@@ -1,0 +1,155 @@
+"""Catalog layer: table registration + metadata introspection.
+
+Replaces the reference's AWS Glue Data Catalog calls:
+
+- ``list_data_types``  ~ ``athena_client.list_table_metadata``
+  (reference app/main.py:124-128 returns only table names).
+- ``describe_table``   ~ ``athena_client.get_table_metadata``
+  (reference app/main.py:194-198 returns ``[{"Name","Type"}]``).
+- ``list_key_values``  ~ ``SELECT DISTINCT species FROM t``
+  (reference app/main.py:184-185).
+
+Tables are plain Parquet directories/files registered as temp views;
+at 100 TB the same interface fronts a Hive/Delta catalog — only
+``register_dir`` changes (``spark.table`` instead of
+``spark.read.parquet``). Metadata lookups go through a small TTL
+cache (reference caches them in Redis, app/main.py:119-196).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ensembl_lakehouse_spark.service.cache import KVCache
+from ensembl_lakehouse_spark.sources.tables import load_table
+
+# The driver fixture tables (TESTDATA.md). `gene` appears when a
+# caller registers one explicitly (tests build it from FIXTURES.md).
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Mandatory-filter key per table: the reference forces a
+# ``species='...'`` equality on every query (app/main.py:479). Our
+# fixtures have no species column, so low-cardinality columns stand
+# in (FIXTURES.md §2 role mapping).
+DEFAULT_KEY_COLUMN: dict[str, str] = {
+    "gene": "species",
+    "lineitem": "l_returnflag",
+    "orders": "o_orderstatus",
+    "customer": "c_mktsegment",
+    "events": "event_type",
+    "documents": "lang",
+}
+
+
+@dataclass(frozen=True)
+class ColumnInfo:
+    name: str
+    type: str  # Spark simpleString, e.g. "bigint", "string"
+
+    def as_reference_shape(self) -> dict[str, str]:
+        """The reference's ``{"Name": ..., "Type": ...}`` shape
+        (app/main.py:198)."""
+        return {"Name": self.name, "Type": self.type}
+
+
+class Catalog:
+    """Engine catalog over parquet-backed temp views."""
+
+    def __init__(self, spark: SparkSession, cache: KVCache | None = None):
+        self.spark = spark
+        self.cache = cache if cache is not None else KVCache()
+        self._tables: dict[str, str] = {}  # name -> source path ('' = pre-registered view)
+
+    # -- registration -------------------------------------------------
+
+    def register_parquet(self, name: str, path: str) -> None:
+        # load_table knows the lake's physical quirks (e.g. the
+        # nanos-timestamp events table).
+        df = load_table(self.spark, os.path.dirname(path), name)
+        df.createOrReplaceTempView(name)
+        self._tables[name] = path
+        self.cache.invalidate_prefix("")  # metadata changed
+
+    def register_dataframe(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+        self._tables[name] = ""
+        self.cache.invalidate_prefix("")
+
+    def register_dir(self, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES) -> None:
+        """Register every fixture table under ``sf_dir``."""
+        for name in tables:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                self.register_parquet(name, path)
+
+    # -- introspection (reference endpoints) --------------------------
+
+    def list_data_types(self) -> list[str]:
+        """Table names, cached (reference GET /data_types,
+        app/main.py:117-131, Redis key ``data_types``)."""
+        cached = self.cache.get("data_types")
+        if cached is not None:
+            return cached
+        names = sorted(self._tables)
+        self.cache.set("data_types", names)
+        return names
+
+    def has_table(self, name: str) -> bool:
+        return name in self._tables
+
+    def table(self, name: str) -> DataFrame:
+        if not self.has_table(name):
+            raise KeyError(f"Selected data type: {name} does not exist!")
+        return self.spark.table(name)
+
+    def describe_table(self, name: str) -> list[ColumnInfo]:
+        """Column names + types, cached (reference
+        GET /filters/{data_type}, app/main.py:189-198, Redis key
+        ``{data_type}_table_metadata``)."""
+        key = f"{name}_table_metadata"
+        cached = self.cache.get(key)
+        if cached is not None:
+            return cached
+        schema = self.table(name).schema
+        cols = [ColumnInfo(f.name, f.dataType.simpleString()) for f in schema.fields]
+        self.cache.set(key, cols)
+        return cols
+
+    def key_column(self, name: str) -> str | None:
+        return DEFAULT_KEY_COLUMN.get(name)
+
+    def list_key_values(self, name: str) -> list[str]:
+        """Distinct values of the table's mandatory key column,
+        cached (reference ``SELECT DISTINCT species from {t}``,
+        app/main.py:179-187, Redis key ``{data_type}_species``).
+
+        Runs as a hash-distinct on one column: column pruning means
+        the scan reads a single column, and partial (map-side)
+        aggregation makes the shuffle carry only unique values — at
+        100 TB this is a few-KB shuffle for a low-cardinality key.
+        """
+        cache_key = f"{name}_species"
+        cached = self.cache.get(cache_key)
+        if cached is not None:
+            return cached
+        key_col = self.key_column(name)
+        if key_col is None:
+            raise KeyError(f"No key column configured for table {name}")
+        rows = self.table(name).select(key_col).distinct().collect()
+        values = sorted(r[0] for r in rows if r[0] is not None)
+        self.cache.set(cache_key, values)
+        return values

@@ -1,0 +1,127 @@
+"""Engine facade: the reference's eight-endpoint surface as methods.
+
+Wires catalog + query builder + semantic cache + job registry +
+preview + export into one object. The (optional) HTTP layer in
+``api/`` is a thin adapter over this; all semantics live here so the
+engine is fully usable embedded (tests, notebooks, bench).
+
+Endpoint mapping (reference app/main.py):
+
+| Method                  | Reference endpoint                         |
+|-------------------------|--------------------------------------------|
+| banner()                | GET /               (:88-100)              |
+| data_types()            | GET /data_types     (:103-134)             |
+| filters(dt)             | GET /filters/{dt}   (:137-203)             |
+| result_file_formats()   | GET /result_file_formats (:206-231)        |
+| submit_query(...)       | GET /query/{dt}/{species} (:427-503)       |
+| query_status(qid)       | GET /query/{qid}/status   (:234-277)       |
+| query_preview(qid, n)   | GET /query/{qid}/preview  (:361-424)       |
+| export(qid, fmt)        | GET /query/{qid}/export   (:280-358)       |
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ensembl_lakehouse_spark.catalog import Catalog
+from ensembl_lakehouse_spark.plans.canonical import cache_key
+from ensembl_lakehouse_spark.query import QueryValidationError, build_df
+from ensembl_lakehouse_spark.service.cache import KVCache
+from ensembl_lakehouse_spark.service.export import SUPPORTED_FILE_FORMATS, ExportManager
+from ensembl_lakehouse_spark.service.jobs import QueryRegistry, SUCCEEDED
+from ensembl_lakehouse_spark.service.preview import preview as _preview
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        cache: KVCache | None = None,
+    ):
+        self.spark = spark
+        self.cache = cache if cache is not None else KVCache()
+        self.catalog = Catalog(spark, cache=self.cache)
+        self.registry = QueryRegistry(
+            spark, results_dir=os.path.join(work_dir, "results"), cache=self.cache
+        )
+        self.exports = ExportManager(
+            export_dir=os.path.join(work_dir, "exports"), cache=self.cache
+        )
+
+    # -- metadata endpoints ------------------------------------------
+
+    def banner(self) -> str:
+        return (
+            "ensembl_lakehouse_spark: PySpark-native analytics engine — "
+            "submit queries via submit_query(data_type, key_value, fields, condition)"
+        )
+
+    def data_types(self) -> list[str]:
+        return self.catalog.list_data_types()
+
+    def filters(self, data_type: str) -> dict:
+        """Reference response shape: columns + key values
+        (app/main.py:198, golden response postman_collection.json:102)."""
+        if not data_type or not data_type.strip():
+            raise QueryValidationError("data_type must be non-blank")
+        columns = [c.as_reference_shape() for c in self.catalog.describe_table(data_type)]
+        out: dict = {"columns": columns}
+        if self.catalog.key_column(data_type) is not None:
+            out["species"] = self.catalog.list_key_values(data_type)
+        return out
+
+    def result_file_formats(self) -> list[str]:
+        cached = self.cache.get("result_file_formats")
+        if cached is not None:
+            return cached
+        formats = list(SUPPORTED_FILE_FORMATS)
+        self.cache.set("result_file_formats", formats)
+        return formats
+
+    # -- query lifecycle ---------------------------------------------
+
+    def submit_query(
+        self,
+        data_type: str,
+        key_value: str,
+        fields: str | None = None,
+        condition: str | None = None,
+    ) -> dict:
+        """Build plan → semantic-cache probe → async submit → HAL-ish
+        response (reference app/main.py:427-503)."""
+        for name, value in (("data_type", data_type), ("species", key_value)):
+            if value is None or not str(value).strip():
+                raise QueryValidationError(f"{name} must be non-blank")
+        df = build_df(self.catalog, data_type.strip(), key_value.strip(), fields, condition)
+        key = cache_key(data_type, key_value, fields, condition)
+        query_id = self.registry.submit(df, cache_key=key)
+        return {
+            "query_id": query_id,
+            "_links": {
+                "self": f"/query/{data_type}/{key_value}",
+                "status": f"/query/{query_id}/status",
+                "preview": f"/query/{query_id}/preview",
+                "export": f"/query/{query_id}/export",
+            },
+        }
+
+    def query_status(self, query_id: str) -> dict:
+        return self.registry.status(query_id)
+
+    def query_preview(self, query_id: str, max_results: int = 26) -> dict:
+        handle = self.registry.get(query_id)
+        if handle.df is None or handle.state != SUCCEEDED:
+            return {"status": handle.state}
+        return _preview(handle.df, max_results)
+
+    def export(self, query_id: str, file_format: str) -> dict:
+        handle = self.registry.get(query_id)
+        return self.exports.request_export(query_id, handle.df, file_format, handle.state)
+
+    # -- lifecycle ----------------------------------------------------
+
+    def close(self) -> None:
+        self.registry.shutdown()

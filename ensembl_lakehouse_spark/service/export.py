@@ -1,0 +1,204 @@
+"""Multi-format result export with the reference's async state machine.
+
+Reference behavior (app/main.py:280-358 + app/tasks.py:13-37):
+
+- 7 formats: csv, tsv, xlsx, json, xml, feather, parquet
+  (app/constants.py:3-10);
+- export allowed only for SUCCEEDED queries (app/main.py:325-327);
+- idempotence: artifact already exists → DONE immediately
+  (app/main.py:338-340);
+- otherwise a Redis state machine QUEUED → PROCESSING → DONE|FAILED
+  keyed ``{query_id}.{format}`` (app/main.py:344-355,
+  app/tasks.py:17,29,32), FAILED throttled for 60 s before retry is
+  allowed (app/main.py:348-350, app/tasks.py:34-37);
+- the Celery worker re-reads the result CSV with pandas and loses
+  all types (app/tasks.py:19: ``pd.read_csv``).
+
+Here the conversion runs on a thread pool straight from the *typed*
+DataFrame — no CSV round-trip, so int64 stays int64 in parquet/
+feather exports. csv/tsv/json/parquet use native distributed Spark
+writers (scale to any result size); xlsx/xml/feather have no
+distributed writer, so they take the pandas tail via Arrow
+``toPandas()``, guarded by a row cap — exports are human-sized by
+contract (the reference streams the whole CSV through one pandas
+process too, so the cap is strictly more scalable than the
+reference).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame
+
+from ensembl_lakehouse_spark.service.cache import FAILED_EXPORT_RETRY_SECONDS, KVCache
+
+# Reference SupportedFileFormats enum (app/constants.py:3-10).
+SUPPORTED_FILE_FORMATS = ("csv", "tsv", "xlsx", "json", "xml", "feather", "parquet")
+
+# States (app/main.py:344-355, app/tasks.py:17,29,32).
+EXPORT_QUEUED = "QUEUED"
+EXPORT_PROCESSING = "PROCESSING"
+EXPORT_DONE = "DONE"
+EXPORT_FAILED = "FAILED"
+
+# Formats that require the single-process pandas tail.
+_PANDAS_TAIL_FORMATS = {"xlsx", "xml", "feather"}
+PANDAS_TAIL_ROW_CAP = 1_000_000
+
+
+class UnsupportedFormat(ValueError):
+    """422 in the reference's OpenAPI (the one endpoint keeping 422,
+    app/main.py:52-68)."""
+
+
+class QueryNotSucceeded(ValueError):
+    """400: export requires the source query to be SUCCEEDED
+    (app/main.py:330-331)."""
+
+
+class ExportTooLarge(ValueError):
+    """Pandas-tail formats are capped; distributed formats are not."""
+
+
+class ExportManager:
+    def __init__(self, export_dir: str, cache: KVCache | None = None, max_workers: int = 2):
+        # max_workers=2 mirrors the reference's celery --concurrency=2
+        # (README.md:15); tune freely.
+        self.export_dir = export_dir
+        self.cache = cache if cache is not None else KVCache()
+        self._pool = ThreadPoolExecutor(max_workers=max_workers, thread_name_prefix="elh-export")
+        self._lock = threading.Lock()
+        os.makedirs(export_dir, exist_ok=True)
+
+    # -- public -------------------------------------------------------
+
+    def artifact_path(self, query_id: str, file_format: str) -> str:
+        return os.path.join(self.export_dir, f"{query_id}.{file_format}")
+
+    def request_export(self, query_id: str, df: DataFrame, file_format: str, query_state: str) -> dict:
+        """The GET /query/{id}/export state machine (app/main.py:280-358).
+
+        Returns ``{"status": ..., "result": path?}`` — the caller (API
+        layer) maps DONE→200, QUEUED/PROCESSING→202, FAILED→the
+        reference's retry message.
+        """
+        file_format = (file_format or "").lower().strip()
+        if file_format not in SUPPORTED_FILE_FORMATS:
+            raise UnsupportedFormat(
+                f"file_format must be one of {SUPPORTED_FILE_FORMATS}, got {file_format!r}"
+            )
+        if query_state != "SUCCEEDED":
+            raise QueryNotSucceeded(
+                "Export is supported only for successfully executed queries!"
+            )
+
+        # Idempotence: artifact exists → DONE (app/main.py:338-340).
+        path = self.artifact_path(query_id, file_format)
+        if os.path.exists(path):
+            return {"status": EXPORT_DONE, "result": path}
+
+        state_key = f"{query_id}.{file_format}"
+        with self._lock:
+            state = self.cache.get(state_key)
+            if state == EXPORT_FAILED:
+                # 60 s retry throttle: the FAILED key self-expires
+                # (app/main.py:348-350) — until then, report FAILED.
+                return {
+                    "status": EXPORT_FAILED,
+                    "detail": "you can try again after one minute interval!",
+                }
+            if state in (EXPORT_QUEUED, EXPORT_PROCESSING):
+                return {"status": state}
+            # Enqueue (app/main.py:352-355).
+            self.cache.set(state_key, EXPORT_QUEUED)
+            self._pool.submit(self._convert, query_id, df, file_format)
+            return {"status": EXPORT_QUEUED}
+
+    def wait_all(self) -> None:
+        self._pool.shutdown(wait=True)
+        self._pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="elh-export")
+
+    # -- conversion (reference app/tasks.py:13-32) --------------------
+
+    def _convert(self, query_id: str, df: DataFrame, file_format: str) -> None:
+        state_key = f"{query_id}.{file_format}"
+        self.cache.set(state_key, EXPORT_PROCESSING)
+        path = self.artifact_path(query_id, file_format)
+        try:
+            write_export(df, path, file_format)
+            self.cache.set(state_key, EXPORT_DONE)
+        except Exception:
+            self.cache.set(state_key, EXPORT_FAILED, ttl_seconds=FAILED_EXPORT_RETRY_SECONDS)
+
+
+def write_export(df: DataFrame, path: str, file_format: str) -> str:
+    """Write ``df`` to ``path`` in the given format.
+
+    Distributed writers (csv/tsv/json/parquet) write a directory of
+    part files — correct at any scale; single-file formats
+    (xlsx/xml/feather) take the Arrow toPandas tail with a row cap.
+    """
+    if file_format == "csv":
+        df.write.mode("overwrite").option("header", True).csv(path)
+    elif file_format == "tsv":
+        df.write.mode("overwrite").option("header", True).option("sep", "\t").csv(path)
+    elif file_format == "json":
+        # Native writer emits JSON Lines — the scalable choice. (The
+        # reference emits pandas orient="split", app/tasks.py:23; that
+        # shape requires a single process and is not reproduced.)
+        df.write.mode("overwrite").json(path)
+    elif file_format == "parquet":
+        df.write.mode("overwrite").parquet(path)
+    elif file_format in _PANDAS_TAIL_FORMATS:
+        _write_pandas_tail(df, path, file_format)
+    else:
+        raise UnsupportedFormat(file_format)
+    return path
+
+
+def _write_pandas_tail(df: DataFrame, path: str, file_format: str) -> None:
+    # Cap before collecting: limit(cap+1) so the check costs O(cap).
+    capped = df.limit(PANDAS_TAIL_ROW_CAP + 1).toPandas()
+    if len(capped) > PANDAS_TAIL_ROW_CAP:
+        raise ExportTooLarge(
+            f"{file_format} export is capped at {PANDAS_TAIL_ROW_CAP} rows; "
+            "use csv/parquet/json for larger results"
+        )
+    if file_format == "feather":
+        capped.to_feather(path)
+    elif file_format == "xml":
+        try:
+            capped.to_xml(path, index=False)
+        except ImportError as exc:  # lxml not installed in this container
+            _write_xml_fallback(capped, path)
+    elif file_format == "xlsx":
+        try:
+            capped.to_excel(path, index=False)
+        except (ImportError, ModuleNotFoundError):
+            # openpyxl absent: the reference depends on it
+            # (requirements.txt:32); here we degrade to a clearly
+            # marked unavailable format rather than silently writing
+            # something else.
+            raise UnsupportedFormat("xlsx export requires openpyxl, which is not installed")
+
+
+def _write_xml_fallback(pdf, path: str) -> None:
+    """Minimal pandas.to_xml-compatible writer (lxml-free)."""
+    from xml.sax.saxutils import escape
+
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("<?xml version='1.0' encoding='utf-8'?>\n<data>\n")
+        for _, row in pdf.iterrows():
+            fh.write("  <row>\n")
+            for col in pdf.columns:
+                val = row[col]
+                tag = str(col)
+                if val is None or (isinstance(val, float) and val != val):
+                    fh.write(f"    <{tag}/>\n")
+                else:
+                    fh.write(f"    <{tag}>{escape(str(val))}</{tag}>\n")
+            fh.write("  </row>\n")
+        fh.write("</data>\n")

@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ensembl_lakehouse_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    # Fewer shuffle partitions for tiny test data: keeps test wall
+    # time dominated by work, not task scheduling.
+    spark = get_spark(
+        app_name="elh-tests",
+        extra_conf={"spark.sql.shuffle.partitions": "8"},
+    )
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def catalog(spark):
+    from ensembl_lakehouse_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register_dir(SF_DIR)
+    return cat
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    from ensembl_lakehouse_spark.engine import Engine
+
+    eng = Engine(spark, work_dir=str(tmp_path))
+    eng.catalog.register_dir(SF_DIR)
+    yield eng
+    eng.close()

@@ -1,0 +1,107 @@
+"""End-to-end lifecycle tests: submit → status → preview → export.
+
+Mirrors the reference's Postman collection flows
+(ensembl_lakehouse.postman_collection.json) against the engine
+facade.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ensembl_lakehouse_spark.query import QueryValidationError
+from ensembl_lakehouse_spark.service.jobs import (
+    InvalidQueryId,
+    QueryNotFound,
+    SUCCEEDED,
+    is_valid_query_id,
+)
+
+
+def test_data_types_lists_fixture_tables(engine):
+    names = engine.data_types()
+    assert "lineitem" in names and "orders" in names
+
+
+def test_filters_shape(engine):
+    out = engine.filters("lineitem")
+    cols = {c["Name"]: c["Type"] for c in out["columns"]}
+    assert cols["l_orderkey"] == "bigint"
+    assert cols["l_returnflag"] == "string"
+    # species-analog values for lineitem's key column l_returnflag
+    assert set(out["species"]) == {"A", "N", "R"}
+
+
+def test_result_file_formats(engine):
+    assert engine.result_file_formats() == [
+        "csv",
+        "tsv",
+        "xlsx",
+        "json",
+        "xml",
+        "feather",
+        "parquet",
+    ]
+
+
+def test_submit_status_preview_export_roundtrip(engine):
+    resp = engine.submit_query(
+        "lineitem",
+        "R",
+        fields="l_orderkey,l_extendedprice,l_returnflag",
+        condition="l_quantity > 40",
+    )
+    qid = resp["query_id"]
+    assert is_valid_query_id(qid)
+    assert resp["_links"]["status"] == f"/query/{qid}/status"
+
+    handle = engine.registry.wait(qid, timeout=120)
+    assert handle.state == SUCCEEDED
+
+    status = engine.query_status(qid)
+    assert status["status"] == SUCCEEDED
+    assert os.path.isdir(status["result"])
+
+    prev = engine.query_preview(qid, max_results=5)
+    rows = prev["Rows"]
+    assert len(rows) <= 5
+    header = [c["VarCharValue"] for c in rows[0]["Data"]]
+    assert header == ["l_orderkey", "l_extendedprice", "l_returnflag"]
+    # all data rows respect both filters
+    for row in rows[1:]:
+        assert row["Data"][2]["VarCharValue"] == "R"
+
+    exp = engine.export(qid, "parquet")
+    assert exp["status"] in ("QUEUED", "PROCESSING", "DONE")
+    engine.exports.wait_all()
+    exp2 = engine.export(qid, "parquet")
+    assert exp2["status"] == "DONE"
+    assert os.path.exists(exp2["result"])
+
+
+def test_semantic_cache_hit_reuses_query_id(engine):
+    a = engine.submit_query("lineitem", "R", condition="l_quantity > 40 AND l_discount < 0.05")
+    b = engine.submit_query("lineitem", "R", condition="L_DISCOUNT < 0.05 and l_quantity > 40")
+    assert a["query_id"] == b["query_id"]
+
+
+def test_validation_errors(engine):
+    with pytest.raises(QueryValidationError):
+        engine.submit_query("lineitem", "R", fields="nonexistent_col")
+    with pytest.raises(QueryValidationError):
+        engine.submit_query("lineitem", "R", condition="l_quantity +")
+    with pytest.raises(QueryValidationError):
+        engine.submit_query("lineitem", "R", condition="l_quantity")  # not boolean
+    with pytest.raises(QueryValidationError):
+        engine.submit_query("", "R")
+    with pytest.raises(KeyError):
+        engine.submit_query("no_such_table", "R")
+
+
+def test_query_id_error_mapping(engine):
+    with pytest.raises(InvalidQueryId):
+        engine.query_status("not-a-uuid")
+    with pytest.raises(QueryNotFound):
+        engine.query_status("00000000-0000-0000-0000-000000000000")
