@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Every query name maps to an operator in SURVEY.md §2 (see the
+builder docstrings in ensembl_lakehouse_spark/operators/ for the
+reference file:line citations and the 100 TB plan rationale).
 """
 
 from __future__ import annotations
@@ -13,26 +16,64 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ensembl_lakehouse_spark.operators import relational as R
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the TPC-H Q1-style
+    pricing summary (scan → pushed filters → partial agg → 6 rows)."""
+    return R.agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # Reference parity (SURVEY §2 P1-P3, A1, L1)
+        "scan_project": R.scan_project,
+        "key_filter": R.key_filter,
+        "condition_filter": R.condition_filter,
+        "distinct_key": R.distinct_key,
+        "preview_limit": R.preview_limit,
+        # Aggregations (SURVEY §2 EXT)
+        "agg_pricing_summary": R.agg_pricing_summary,
+        "rollup_agg": R.rollup_agg,
+        # Joins (SURVEY §2 EXT)
+        "join_region_revenue": R.join_region_revenue,
+        "join_order_lineitem": R.join_order_lineitem,
+        "join_semi_anti": R.join_semi_anti,
+        # Windows (SURVEY §2 EXT)
+        "window_topk_per_group": R.window_topk_per_group,
+        "window_running_sum": R.window_running_sum,
+        # Set ops (SURVEY §2 EXT)
+        "set_ops": R.set_ops,
+        # Time-series (SURVEY §2 EXT; batch twin of streaming demo)
+        "events_hourly": R.events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_project": "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+        "key_filter": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+            "l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate "
+            "FROM lineitem WHERE l_returnflag = 'R'"
+        ),
+        "condition_filter": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice "
+            "FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40 AND l_discount < 0.05"
+        ),
+        "distinct_key": "SELECT DISTINCT l_returnflag FROM lineitem",
+        "preview_limit": (
+            "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity "
+            "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 26"
+        ),
+        "agg_pricing_summary": R.AGG_PRICING_SUMMARY_SQL,
+        "rollup_agg": R.ROLLUP_AGG_SQL,
+        "join_region_revenue": R.JOIN_REGION_REVENUE_SQL,
+        "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
+        "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,
+        "window_topk_per_group": R.WINDOW_TOPK_SQL,
+        "window_running_sum": R.WINDOW_RUNNING_SUM_SQL,
+        "set_ops": R.SET_OPS_SQL,
+        "events_hourly": R.EVENTS_HOURLY_SQL,
+    }
