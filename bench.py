@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs every query from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is materialized with the Spark ``noop`` sink so the full
+plan executes (scan → shuffle → agg) without driver-side collect
+overhead — the number measured is engine throughput, not pandas
+conversion. Per query: one warm-up pass primes the JVM/code-cache,
+then REPEATS timed runs are taken and the minimum recorded. The min
+filters out multi-second JIT/GC/VM stalls observed on this host
+(trivial queries wobble 0.5-4 s run-to-run) and reflects
+steady-state execution — what a long-lived cluster sees. Flags:
+--no-warmup, --repeats=N.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def materialize(df) -> None:
+    """Run the full plan without collecting rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    warmup = "--no-warmup" not in sys.argv
+    repeats = 3
+    for arg in sys.argv[1:]:
+        if arg.startswith("--repeats="):
+            repeats = max(1, int(arg.split("=", 1)[1]))
+    only = {a for a in sys.argv[1:] if not a.startswith("-")}
+
+    import __spark_entry__ as entry
+    from ensembl_lakehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="elh-bench")
+    queries = entry.queries()
+    timings: dict[str, float] = {}
+
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        df = fn(spark, SF_DIR)
+        if warmup:
+            materialize(df)
+        best = float("inf")
+        for _ in range(repeats):
+            start = time.perf_counter()
+            materialize(df)
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
