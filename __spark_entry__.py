@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ensembl_lakehouse_spark.operators import relational as R
+from ensembl_lakehouse_spark.operators import text as T
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -47,6 +48,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": R.set_ops,
         # Time-series (SURVEY §2 EXT; batch twin of streaming demo)
         "events_hourly": R.events_hourly,
+        # Text analysis (SURVEY §2 X3)
+        "text_token_stats": T.text_token_stats,
+        "text_langid": T.text_langid,
+        "text_quality": T.text_quality,
+        "text_fingerprint": T.text_fingerprint,
     }
 
 
@@ -76,4 +82,8 @@ def oracle_sql() -> dict[str, str]:
         "window_running_sum": R.WINDOW_RUNNING_SUM_SQL,
         "set_ops": R.SET_OPS_SQL,
         "events_hourly": R.EVENTS_HOURLY_SQL,
+        "text_token_stats": T.TEXT_TOKEN_STATS_SQL,
+        "text_langid": T.TEXT_LANGID_SQL,
+        "text_quality": T.TEXT_QUALITY_SQL,
+        "text_fingerprint": T.TEXT_FINGERPRINT_SQL,
     }

@@ -1,0 +1,291 @@
+"""Text-analysis operators over the ``documents`` table (EXT X3).
+
+The reference has no text processing at all (SURVEY §2: scalar
+functions are fully delegated to Athena, app/main.py:477-479); these
+are the north-star LLM-pipeline operators: token statistics,
+language ID, quality scoring, and document fingerprinting.
+
+Design rules shared by every query here:
+
+- **Pure JVM expressions** (split / transform / filter / aggregate
+  higher-order functions) — no Python UDFs, so the whole pipeline
+  stays inside whole-stage codegen and scales linearly with input
+  splits: per-document work is O(chars), there is **zero shuffle**
+  until the (optional) final ORDER BY.
+- **Deterministic & oracle-checked**: every float is produced by an
+  identical index-ordered expression tree in the DuckDB twin, so the
+  driver's value-hash comparison matches bit-for-bit.
+- At 100 TB: these are embarrassingly parallel map-only plans; the
+  only tuning needed is input split size (maxPartitionBytes) — no
+  keys, no skew, no repartitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ensembl_lakehouse_spark.functions.hashing import (
+    rolling_hash,
+    sql_md5_long60,
+    sql_rolling_hash,
+)
+from ensembl_lakehouse_spark.functions.text import BPE_REGEX
+from ensembl_lakehouse_spark.sources.tables import load_table
+
+# Deterministic marker token sets for the n-gram language-ID
+# heuristic. The fixture corpus shares one 31-word vocabulary across
+# all languages, so the markers are arbitrary-but-fixed partitions of
+# that vocabulary — the *mechanism* (hit-count scoring + argmax with
+# alphabetical tie-break) is the real operator under test.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("table", "row", "column", "key"),
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("data", "value", "part", "line"),
+    "fr": ("query", "join", "merge", "sort"),
+    "zh": ("hash", "scan", "batch", "stream"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in")
+
+#: Winnowing window width (chars) for the fingerprint shingle pass.
+FP_WINDOW = 8
+
+
+def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + whitespace token array (shared prep)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .withColumn("toks", F.split(F.trim("text"), r"\s+"))
+    )
+
+
+_SQL_PREP = (
+    "WITH t AS (SELECT doc_id, lang, text, "
+    "string_split_regex(trim(text), '\\s+') AS toks "
+    "FROM documents WHERE length(trim(text)) > 0)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Token statistics
+# ---------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens, distinct tokens,
+    BPE-ish pre-tokens (letter runs | digit runs | single symbol),
+    and mean token length.
+
+    Map-only; one pass over the text per row."""
+    df = _docs_with_tokens(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_len"),
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        # Pattern passed as a lit Column: F.expr would re-interpret
+        # the \s escape inside the SQL string literal.
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_REGEX), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        (
+            F.expr("aggregate(transform(toks, x -> char_length(x)), 0, (a, x) -> a + x)")
+            .cast("double") / F.size("toks")
+        ).alias("avg_token_len"),
+    )
+
+
+TEXT_TOKEN_STATS_SQL = f"""
+{_SQL_PREP}
+SELECT doc_id, lang,
+       length(text) AS n_chars_len,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS n_bpe_tokens,
+       CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+         / len(toks) AS avg_token_len
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language ID
+# ---------------------------------------------------------------------------
+
+def _score_expr(markers: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return f"size(filter(toks, x -> x IN ({quoted})))"
+
+
+def _sql_score(markers: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(toks, x -> x IN ({quoted})))"
+
+
+def _argmax_case(score_fmt: str) -> str:
+    """CASE chain picking the max-scoring language, ties broken
+    alphabetically — identical text works in Spark SQL and DuckDB."""
+    langs = sorted(LANG_MARKERS)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"{score_fmt.format(lang=lang)} >= {score_fmt.format(lang=other)}"
+            for other in langs[i + 1 :]
+        )
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: count marker hits per language,
+    predict the argmax (alphabetical tie-break).
+
+    A real deployment swaps LANG_MARKERS for per-language character
+    n-gram frequency tables — the plan shape (map-only scoring +
+    CASE argmax) is unchanged."""
+    df = _docs_with_tokens(spark, sf_dir)
+    for lang, markers in LANG_MARKERS.items():
+        df = df.withColumn(f"score_{lang}", F.expr(_score_expr(markers)))
+    predicted = _argmax_case("score_{lang}")
+    return df.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        F.expr(predicted).alias("predicted_lang"),
+        (F.expr(predicted) == F.col("lang")).alias("is_match"),
+    )
+
+
+TEXT_LANGID_SQL = f"""
+{_SQL_PREP},
+s AS (SELECT doc_id, lang,
+  {", ".join(f"{_sql_score(m)} AS score_{lang}" for lang, m in sorted(LANG_MARKERS.items()))}
+  FROM t)
+SELECT doc_id, lang,
+       {", ".join(f"score_{lang}" for lang in sorted(LANG_MARKERS))},
+       {_argmax_case("score_{lang}")} AS predicted_lang,
+       ({_argmax_case("score_{lang}")} = lang) AS is_match
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score from length / punctuation /
+    stopword / uniqueness ratios, with a keep/drop verdict — the
+    standard pre-training corpus filter shape (C4/Gopher-style
+    rules, simplified).
+
+    Every ratio is a single division of identically-ordered
+    operands, and the composite is a left-associated weighted sum,
+    so the DuckDB twin is bit-identical."""
+    stop_quoted = ", ".join(f"'{s}'" for s in STOPWORDS)
+    df = _docs_with_tokens(spark, sf_dir)
+    df = df.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        (
+            F.expr(f"size(filter(toks, x -> x IN ({stop_quoted})))").cast("double")
+            / F.size("toks")
+        ).alias("stop_ratio"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
+            "distinct_ratio"
+        ),
+        (F.least(F.size("toks"), F.lit(100)).cast("double") / F.lit(100.0)).alias(
+            "len_norm"
+        ),
+    )
+    score = (
+        F.col("stop_ratio") * 0.25
+        + F.col("distinct_ratio") * 0.25
+        + (F.lit(1.0) - F.col("punct_ratio")) * 0.25
+        + F.col("len_norm") * 0.25
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "stop_ratio",
+        "punct_ratio",
+        "distinct_ratio",
+        "len_norm",
+        score.alias("quality_score"),
+        F.when(score >= 0.5, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+{_SQL_PREP},
+r AS (SELECT doc_id, lang,
+  len(toks) AS n_tokens,
+  CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{s}'" for s in STOPWORDS)}))) AS DOUBLE) / len(toks) AS stop_ratio,
+  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+  CAST(least(len(toks), 100) AS DOUBLE) / 100.0 AS len_norm
+  FROM t)
+SELECT doc_id, lang, n_tokens, stop_ratio, punct_ratio, distinct_ratio, len_norm,
+       ((((stop_ratio * 0.25) + (distinct_ratio * 0.25)) + ((1.0 - punct_ratio) * 0.25)) + (len_norm * 0.25)) AS quality_score,
+       CASE WHEN ((((stop_ratio * 0.25) + (distinct_ratio * 0.25)) + ((1.0 - punct_ratio) * 0.25)) + (len_norm * 0.25)) >= 0.5
+            THEN 'keep' ELSE 'drop' END AS verdict
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three per-document fingerprints:
+
+    - ``fp_md5``: 60-bit md5 of the normalized text (exact-dup key);
+    - ``fp_roll``: polynomial rolling hash of the normalized text;
+    - ``fp_winnow``: minimum hash over all 8-char windows (1-window
+      winnowing, Schleimer et al. MOSS-style) — robust to local
+      edits.
+
+    The window pass recomputes md5 per window for DuckDB parity; a
+    production variant updates the polynomial hash in O(1) per
+    shift. Map-only either way."""
+    norm = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+    win = (
+        f"array_min(transform(sequence(1, greatest(char_length({norm}) - {FP_WINDOW - 1}, 1)), "
+        f"i -> cast(conv(substring(md5(substring({norm}, i, {FP_WINDOW})), 1, 8), 16, 10) AS long)))"
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.expr(f"cast(conv(substring(md5({norm}), 1, 15), 16, 10) AS long)").alias(
+                "fp_md5"
+            ),
+            rolling_hash(norm).alias("fp_roll"),
+            F.expr(win).alias("fp_winnow"),
+        )
+    )
+
+
+_SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+TEXT_FINGERPRINT_SQL = f"""
+WITH d AS (SELECT doc_id, {_SQL_NORM} AS norm
+           FROM documents WHERE length(trim(text)) > 0)
+SELECT doc_id,
+       {sql_md5_long60("norm")} AS fp_md5,
+       {sql_rolling_hash("norm")} AS fp_roll,
+       list_aggregate(list_transform(
+         range(1, greatest(length(norm) - {FP_WINDOW - 1}, 1) + 1),
+         i -> CAST('0x' || substr(md5(substr(norm, i, {FP_WINDOW})), 1, 8) AS BIGINT)),
+         'min') AS fp_winnow
+FROM d
+"""

@@ -1,0 +1,91 @@
+"""Unit tests: functions/hashing + operators/text.
+
+The oracle differential (tools/check_oracle.py, driver t2) is the
+deep correctness gate; these tests pin the cross-engine hash
+contract to known values and check operator invariants fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_lakehouse_spark.functions.hashing import md5_long31, md5_long60, rolling_hash
+from ensembl_lakehouse_spark.operators import text as T
+from tests.conftest import SF_DIR
+
+# Values verified against DuckDB 1.0:
+#   CAST('0x'||substr(md5(s),1,15) AS BIGINT) etc.
+KNOWN = {
+    "hello world": (426544247714475757, 1589001147, 204910434),
+    "köln": (333651908426596093, 1242950217, 3427501),
+    "": (955282973525019424, 1411222746, 0),
+}
+
+
+def test_hash_contract_pinned(spark):
+    df = spark.createDataFrame([(s,) for s in KNOWN], ["t"])
+    rows = df.select(
+        "t",
+        md5_long60("t").alias("h60"),
+        md5_long31("t").alias("h31"),
+        rolling_hash("t").alias("rh"),
+    ).collect()
+    for row in rows:
+        h60, h31, rh = KNOWN[row.t]
+        assert (row.h60, row.h31, row.rh) == (h60, h31, rh), row.t
+
+
+def test_token_stats_invariants(spark):
+    rows = T.text_token_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens >= 1
+        assert 1 <= r.n_distinct_tokens <= r.n_tokens
+        assert r.n_bpe_tokens >= r.n_tokens  # BPE splits at least as fine
+        assert 0 < r.avg_token_len <= r.n_chars_len
+
+
+def test_langid_predicts_known_language(spark):
+    rows = T.text_langid(spark, SF_DIR).collect()
+    assert rows
+    langs = set(T.LANG_MARKERS)
+    for r in rows:
+        assert r.predicted_lang in langs
+        assert r.is_match == (r.predicted_lang == r.lang)
+
+
+def test_quality_score_bounds_and_verdict(spark):
+    rows = T.text_quality(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.stop_ratio <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.verdict == ("keep" if r.quality_score >= 0.5 else "drop")
+
+
+def test_fingerprint_deterministic_and_distinct(spark):
+    a = {r.doc_id: (r.fp_md5, r.fp_roll, r.fp_winnow) for r in T.text_fingerprint(spark, SF_DIR).collect()}
+    b = {r.doc_id: (r.fp_md5, r.fp_roll, r.fp_winnow) for r in T.text_fingerprint(spark, SF_DIR).collect()}
+    assert a == b
+    assert all(v[0] >= 0 and v[1] >= 0 and v[2] >= 0 for v in a.values())
+    # md5 fingerprints of distinct texts should be (near-)unique
+    assert len({v[0] for v in a.values()}) > len(a) * 0.9
+
+
+def test_fingerprint_detects_exact_dup_after_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "different doc")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.fp_md5
+        for r in df.select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substring(md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))), 1, 15), 16, 10) AS long)"
+            ).alias("fp_md5"),
+        ).collect()
+    }
+    assert out[1] == out[2] != out[3]
