@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ensembl_lakehouse_spark.operators import dedup as D
 from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import text as T
 
@@ -53,6 +54,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": T.text_langid,
         "text_quality": T.text_quality,
         "text_fingerprint": T.text_fingerprint,
+        # Deduplication (SURVEY §2 X1)
+        "dedup_exact": D.dedup_exact,
+        "dedup_near": D.dedup_near,
     }
 
 
@@ -86,4 +90,6 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": T.TEXT_LANGID_SQL,
         "text_quality": T.TEXT_QUALITY_SQL,
         "text_fingerprint": T.TEXT_FINGERPRINT_SQL,
+        "dedup_exact": D.DEDUP_EXACT_SQL,
+        "dedup_near": D.DEDUP_NEAR_SQL,
     }

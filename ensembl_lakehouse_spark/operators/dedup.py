@@ -1,0 +1,290 @@
+"""Deduplication operators over ``documents`` (EXT X1).
+
+The reference has no dedup (its surface is single-table
+SELECT-project-filter, app/main.py:479); these are the north-star
+LLM-pipeline operators: exact dedup keyed on a content fingerprint,
+and near-duplicate detection via MinHash + banded LSH.
+
+Design for 100 TB (the part that matters):
+
+- **Never all-pairs.** Candidate pairs come only from LSH band
+  buckets: a doc emits ``BANDS`` (band_idx, band_key) rows, pairs
+  are generated *within* a bucket by an equi-join on the band key.
+  The shuffle is on band_key — O(docs·BANDS) rows — and the join
+  fan-out is quadratic only in the bucket size, which is capped
+  (``BUCKET_CAP``) exactly like production dedup pipelines cap or
+  salt hot buckets. An uncapped degenerate key (e.g. the empty
+  document) would otherwise create one quadratic straggler task.
+- **Signatures are map-only.** One md5 per shingle, then K affine
+  permutations folded JVM-side inside whole-stage codegen via
+  higher-order functions; the shingle→signature stage has zero
+  shuffle and scales linearly with input splits.
+- **Verification is exact.** LSH only *proposes*; every candidate
+  pair is re-scored with the true shingle-set Jaccard (integer set
+  sizes, one double division), so false positives cost time but
+  never correctness, and the recall knob (BANDS×ROWS_PER_BAND vs
+  threshold) is explicit: P[pair at j shares ≥1 band] =
+  1-(1-j^R)^B, ≈0.9996 at j=0.9 with B=4, R=4.
+
+Cross-engine determinism: every hash is md5-derived
+(functions/hashing.py — Spark ``conv(substr(md5(x),..),16,10)`` ==
+DuckDB ``CAST('0x'||substr(md5(x),..) AS BIGINT)``), and the affine
+permutation constants are generated once in Python (hashlib) and
+interpolated into BOTH the Spark plan and the DuckDB oracle SQL, so
+the two engines walk the identical candidate lattice.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ensembl_lakehouse_spark.functions.hashing import (
+    P31,
+    sql_md5_long31,
+    sql_md5_long60,
+)
+from ensembl_lakehouse_spark.functions.text import sql_word_shingles
+from ensembl_lakehouse_spark.sources.tables import load_table
+
+#: Shingle width (words) for near-dup signatures.
+SHINGLE_N = 3
+#: MinHash permutations; BANDS * ROWS_PER_BAND must equal K.
+K_MINHASH = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+#: Exact-Jaccard acceptance threshold for a candidate pair.
+JACCARD_THRESHOLD = 0.8
+#: Max docs per LSH bucket; larger buckets are dropped (degenerate
+#: keys — at 100 TB a hot bucket is a quadratic straggler).
+BUCKET_CAP = 50
+
+
+def _perm_constants() -> list[tuple[int, int]]:
+    """K deterministic affine-permutation constants (a, b), a != 0.
+
+    Derived from hashlib md5 so the list is reproducible in any
+    environment and identical in the Spark plan and the oracle SQL.
+    a*h + b stays < 2^63: a < 2^31, h < 2^31 → product < 2^62.
+    """
+    out = []
+    for j in range(K_MINHASH):
+        a = int(hashlib.md5(f"minhash-a-{j}".encode()).hexdigest()[:8], 16) % (P31 - 1) + 1
+        b = int(hashlib.md5(f"minhash-b-{j}".encode()).hexdigest()[:8], 16) % P31
+        out.append((a, b))
+    return out
+
+
+PERMS = _perm_constants()
+
+
+# --- shared expression builders (Spark SQL dialect) -----------------------
+
+def _spark_shingles(toks: str) -> str:
+    """Distinct word n-grams from a token-array expression."""
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({toks}) - {SHINGLE_N} + 1, 1)), "
+        f"i -> array_join(slice({toks}, i, {SHINGLE_N}), ' ')))"
+    )
+
+
+def _spark_signature(shingles: str) -> str:
+    """K-element minhash signature of a shingle-array expression.
+
+    The base-hash array is let-bound via the single-element
+    ``transform(array(x), v -> body)[0]`` idiom so md5 runs ONCE per
+    shingle, not once per permutation — without the binding Catalyst
+    inlines the subtree into all K lambdas.
+    """
+    mins = ", ".join(
+        f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {P31}L))" for a, b in PERMS
+    )
+    base = (
+        f"transform({shingles}, "
+        f"s -> cast(conv(substring(md5(s), 1, 8), 16, 10) AS bigint) % {P31}L)"
+    )
+    return f"transform(array({base}), hs -> array({mins}))[0]"
+
+
+def _spark_band_keys(sig: str) -> str:
+    """Array of BANDS pipe-joined band keys from a signature expr."""
+    return (
+        f"transform(array({sig}), g -> transform(sequence(0, {BANDS - 1}), "
+        f"bi -> array_join(transform(slice(g, bi * {ROWS_PER_BAND} + 1, "
+        f"{ROWS_PER_BAND}), x -> cast(x AS string)), '|')))[0]"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the 60-bit md5 of normalized text.
+
+    Emits every doc with its fingerprint group size and whether it
+    is the canonical (min doc_id) representative — the row a
+    ``WHERE is_canonical`` filter keeps, which is how the dedup is
+    applied downstream.
+
+    Scale: one shuffle on fp_md5 (the window partition key); group
+    sizes are duplicate-cluster sizes, naturally tiny, so there is
+    no skew. Equivalent groupBy+broadcast-join shape would also
+    work; the window form reads the data once.
+    """
+    norm = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+    df = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .withColumn(
+            "fp_md5",
+            F.expr(f"cast(conv(substring(md5({norm}), 1, 15), 16, 10) AS bigint)"),
+        )
+    )
+    w = "(PARTITION BY fp_md5)"
+    return df.select(
+        "doc_id",
+        "fp_md5",
+        F.expr(f"count(*) OVER {w}").alias("n_copies"),
+        F.expr(f"doc_id = min(doc_id) OVER {w}").alias("is_canonical"),
+    )
+
+
+_SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+DEDUP_EXACT_SQL = f"""
+WITH d AS (SELECT doc_id, {sql_md5_long60(_SQL_NORM)} AS fp_md5
+           FROM documents WHERE length(trim(text)) > 0)
+SELECT doc_id, fp_md5,
+       count(*) OVER (PARTITION BY fp_md5) AS n_copies,
+       doc_id = min(doc_id) OVER (PARTITION BY fp_md5) AS is_canonical
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = "split(trim(text), '\\\\s+')"
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.expr(_spark_shingles(toks)).alias("sh"))
+    )
+
+
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + banded LSH,
+    verified with exact shingle-set Jaccard >= JACCARD_THRESHOLD.
+
+    Pipeline (each stage's shuffle justified in the module
+    docstring): shingle → K-minhash signature (map-only) → explode
+    BANDS band keys → drop buckets larger than BUCKET_CAP →
+    self-join within buckets (da < db) → distinct pairs → exact
+    Jaccard from integer set sizes → threshold filter.
+
+    Output: (doc_a, doc_b, n_sh_a, n_sh_b, n_common, jaccard).
+    """
+    s = _shingled(spark, sf_dir)
+    sig = s.select("doc_id", "sh", F.expr(_spark_signature("sh")).alias("sig"))
+    bands = sig.select(
+        "doc_id", F.posexplode(F.expr(_spark_band_keys("sig"))).alias("band_idx", "band_key")
+    )
+    bands = bands.withColumn(
+        "bucket_n", F.expr("count(*) OVER (PARTITION BY band_idx, band_key)")
+    ).where(F.col("bucket_n").between(2, BUCKET_CAP))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").alias("n_sh_a"),
+            F.size("sh_b").alias("n_sh_b"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return scored
+
+
+def _duck_signature(hs: str) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({hs}, h -> (h * {a} + {b}) % {P31}))" for a, b in PERMS
+    )
+    return f"[{mins}]"
+
+
+def _duck_band_keys(sig: str) -> str:
+    return (
+        f"list_transform(range(0, {BANDS}), "
+        f"bi -> array_to_string(list_transform(list_slice({sig}, "
+        f"bi * {ROWS_PER_BAND} + 1, bi * {ROWS_PER_BAND} + {ROWS_PER_BAND}), "
+        f"x -> CAST(x AS VARCHAR)), '|'))"
+    )
+
+
+DEDUP_NEAR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), s AS (
+  SELECT doc_id, {sql_word_shingles("toks", SHINGLE_N)} AS sh FROM t
+), hs AS (
+  SELECT doc_id, sh, list_transform(sh, x -> {sql_md5_long31("x")}) AS h FROM s
+), sig AS (
+  SELECT doc_id, sh, {_duck_signature("h")} AS g FROM hs
+), bands AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, {BANDS}),
+           bi -> {{'band_idx': bi, 'band_key': {_duck_band_keys("g")}[bi + 1]}}),
+           recursive := true)
+  FROM sig
+), capped AS (
+  SELECT * FROM (
+    SELECT doc_id, band_idx, band_key,
+           count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+    FROM bands)
+  WHERE bucket_n BETWEEN 2 AND {BUCKET_CAP}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT p.doc_a, p.doc_b,
+         len(sa.sh) AS n_sh_a, len(sb.sh) AS n_sh_b,
+         len(list_intersect(sa.sh, sb.sh)) AS n_common
+  FROM pairs p
+  JOIN s sa ON sa.doc_id = p.doc_a
+  JOIN s sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, n_sh_a, n_sh_b, n_common,
+       CAST(n_common AS DOUBLE) / (n_sh_a + n_sh_b - n_common) AS jaccard
+FROM scored
+WHERE CAST(n_common AS DOUBLE) / (n_sh_a + n_sh_b - n_common) >= {JACCARD_THRESHOLD}
+"""
