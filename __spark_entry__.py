@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ensembl_lakehouse_spark.operators import dedup as D
 from ensembl_lakehouse_spark.operators import relational as R
+from ensembl_lakehouse_spark.operators import similarity as S
 from ensembl_lakehouse_spark.operators import text as T
 
 
@@ -57,6 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Deduplication (SURVEY §2 X1)
         "dedup_exact": D.dedup_exact,
         "dedup_near": D.dedup_near,
+        # Similarity search (SURVEY §2 X2)
+        "similarity_topk": S.similarity_topk,
+        "similarity_lsh": S.similarity_lsh,
     }
 
 
@@ -92,4 +96,6 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": T.TEXT_FINGERPRINT_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_near": D.DEDUP_NEAR_SQL,
+        "similarity_topk": S.SIMILARITY_TOPK_SQL,
+        "similarity_lsh": S.SIMILARITY_LSH_SQL,
     }

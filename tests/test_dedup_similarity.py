@@ -1,0 +1,117 @@
+"""Property tests for the X1 dedup and X2 similarity operators.
+
+The driver's oracle already hash-checks these plans against DuckDB;
+these tests assert the *semantic* properties the hash can't express:
+LSH recall vs the exact baseline, pair symmetry/threshold invariants,
+and exact-dedup partition algebra.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_lakehouse_spark.operators import dedup as D
+from ensembl_lakehouse_spark.operators import similarity as S
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def near_pairs(spark):
+    return D.dedup_near(spark, SF_DIR).collect()
+
+
+def test_dedup_exact_partitions_corpus(spark):
+    rows = D.dedup_exact(spark, SF_DIR).collect()
+    # Every doc appears exactly once, and each fingerprint group has
+    # exactly one canonical representative (its min doc_id).
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_fp: dict[int, list] = {}
+    for r in rows:
+        by_fp.setdefault(r.fp_md5, []).append(r)
+    for grp in by_fp.values():
+        assert sum(r.is_canonical for r in grp) == 1
+        assert min(g.doc_id for g in grp) == next(g.doc_id for g in grp if g.is_canonical)
+        assert all(g.n_copies == len(grp) for g in grp)
+
+
+def test_dedup_near_pairs_are_valid(near_pairs):
+    for r in near_pairs:
+        assert r.doc_a < r.doc_b
+        assert r.jaccard >= D.JACCARD_THRESHOLD
+        assert r.n_common <= min(r.n_sh_a, r.n_sh_b)
+    # No duplicate pairs out of the banded join.
+    assert len({(r.doc_a, r.doc_b) for r in near_pairs}) == len(near_pairs)
+
+
+def test_dedup_near_catches_all_pairs_above_threshold(spark, near_pairs):
+    """LSH recall check: compare against all-pairs exact Jaccard
+    (feasible at test SF). With B=4/R=4 bands, pairs at j>=0.8 share
+    a band with p>=0.97 each; the fixture's planted pairs are at
+    j>=0.9 where p>0.9996 — expect full recall."""
+    s = D._shingled(spark, SF_DIR)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    allp = (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("ni", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "j",
+            F.col("ni").cast("double") / (F.size("sh_a") + F.size("sh_b") - F.col("ni")),
+        )
+        .where(F.col("j") >= D.JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    truth = {(r.doc_a, r.doc_b) for r in allp}
+    found = {(r.doc_a, r.doc_b) for r in near_pairs}
+    assert found <= truth  # LSH + exact verify never invents a pair
+    assert found == truth  # and at these j values recall is total
+
+
+def test_similarity_topk_shape_and_order(spark):
+    rows = S.similarity_topk(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(S.N_QUERIES))
+    for grp in by_q.values():
+        grp.sort(key=lambda r: r.rank)
+        assert [r.rank for r in grp] == list(range(1, S.TOP_K + 1))
+        cosines = [r.cosine for r in grp]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.vec_id >= S.N_QUERIES for r in grp)  # no self-match
+
+
+def test_similarity_lsh_recall(spark):
+    exact = S.similarity_topk(spark, SF_DIR).collect()
+    approx = S.similarity_lsh(spark, SF_DIR).collect()
+    truth = {(r.q_id, r.vec_id) for r in exact}
+    found = {(r.q_id, r.vec_id) for r in approx}
+    # Candidates are a subset of the corpus scored exactly, so every
+    # (q, v) the LSH returns at rank<=k with cosine >= exact kth
+    # must be in the exact top-k; recall just needs to clear a floor.
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.5, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_two_phase_topk_equals_single_window(spark):
+    """The partition-local pre-top-k (phase 1) must not change the
+    result vs a single global window — the scale optimization is
+    semantics-preserving."""
+    queries, corpus = S._split(spark, SF_DIR)
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "cosine", F.expr(S._cosine_expr("q_vec", "embedding"))
+    )
+    naive = (
+        scored.withColumn(
+            "rank",
+            F.expr("row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC)"),
+        )
+        .where(F.col("rank") <= S.TOP_K)
+        .select("q_id", "rank", "vec_id")
+        .collect()
+    )
+    fast = S.similarity_topk(spark, SF_DIR).select("q_id", "rank", "vec_id").collect()
+    assert sorted(map(tuple, naive)) == sorted(map(tuple, fast))
