@@ -15,6 +15,12 @@ from pyspark.sql import Column, functions as F
 #: Pre-tokenizer regex: letter runs, digit runs, or one symbol.
 BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+#: Canonical text normalization, as Spark SQL / DuckDB SQL text.
+#: Single source of truth — operators interpolate THESE strings so
+#: the plan and its oracle can't drift (advice r1).
+NORM_SPARK_SQL = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+NORM_DUCK_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
 
 def normalize_text(col: Column | str) -> Column:
     """lower + trim + collapse internal whitespace to single spaces.
@@ -34,8 +40,9 @@ def whitespace_tokens(col: Column | str) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
-def bpe_tokens(col: Column | str) -> Column:
-    """BPE-style pre-tokens of the lowercased text.
+def bpe_tokens(col: str) -> Column:
+    """BPE-style pre-tokens of the lowercased text. ``col`` is a SQL
+    expression string (same convention as the other lambda helpers).
 
     DuckDB twin: ``regexp_extract_all(lower(x), '{BPE_REGEX}')``.
     """

@@ -45,7 +45,11 @@ from ensembl_lakehouse_spark.functions.hashing import (
     sql_md5_long31,
     sql_md5_long60,
 )
-from ensembl_lakehouse_spark.functions.text import sql_word_shingles
+from ensembl_lakehouse_spark.functions.text import (
+    NORM_DUCK_SQL,
+    NORM_SPARK_SQL,
+    sql_word_shingles,
+)
 from ensembl_lakehouse_spark.sources.tables import load_table
 
 #: Shingle width (words) for near-dup signatures.
@@ -134,13 +138,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     no skew. Equivalent groupBy+broadcast-join shape would also
     work; the window form reads the data once.
     """
-    norm = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
     df = (
         load_table(spark, sf_dir, "documents")
         .where(F.length(F.trim("text")) > 0)
         .withColumn(
             "fp_md5",
-            F.expr(f"cast(conv(substring(md5({norm}), 1, 15), 16, 10) AS bigint)"),
+            F.expr(f"cast(conv(substring(md5({NORM_SPARK_SQL}), 1, 15), 16, 10) AS bigint)"),
         )
     )
     w = "(PARTITION BY fp_md5)"
@@ -152,10 +155,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-
 DEDUP_EXACT_SQL = f"""
-WITH d AS (SELECT doc_id, {sql_md5_long60(_SQL_NORM)} AS fp_md5
+WITH d AS (SELECT doc_id, {sql_md5_long60(NORM_DUCK_SQL)} AS fp_md5
            FROM documents WHERE length(trim(text)) > 0)
 SELECT doc_id, fp_md5,
        count(*) OVER (PARTITION BY fp_md5) AS n_copies,
