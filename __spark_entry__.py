@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ensembl_lakehouse_spark.operators import dedup as D
+from ensembl_lakehouse_spark.operators import multimodal as M
 from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import similarity as S
 from ensembl_lakehouse_spark.operators import text as T
@@ -61,6 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Similarity search (SURVEY §2 X2)
         "similarity_topk": S.similarity_topk,
         "similarity_lsh": S.similarity_lsh,
+        # Multimodal columns (SURVEY §2 X4)
+        "multimodal_centroid": M.multimodal_centroid,
+        "multimodal_payload": M.multimodal_payload,
     }
 
 
@@ -98,4 +102,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near": D.DEDUP_NEAR_SQL,
         "similarity_topk": S.SIMILARITY_TOPK_SQL,
         "similarity_lsh": S.SIMILARITY_LSH_SQL,
+        "multimodal_centroid": M.MULTIMODAL_CENTROID_SQL,
+        "multimodal_payload": M.MULTIMODAL_PAYLOAD_SQL,
     }

@@ -1,0 +1,225 @@
+"""Multimodal-column operators (EXT X4): typed array / binary / map
+columns as first-class citizens.
+
+The reference's type surface is bigint+string only
+(postman_collection.json:102); an LLM-data lake adds:
+
+- ``array<float>`` embeddings (``embeddings.parquet`` fixture),
+- opaque ``binary`` payloads (image/audio bytes) + typed metadata,
+- ``map<string,string>`` property bags.
+
+Operators here:
+
+- :func:`multimodal_centroid` — per-label, per-dimension statistics
+  of the embedding column in long form (label, dim, n, mean, min,
+  max). **Float sums are made deterministic by fixed-point
+  accumulation**: each component is floored to integer micro-units
+  (``floor(x * 1e6)`` — IEEE multiply and floor are bit-identical
+  across engines), summed as BIGINT (exact, associative, so the
+  result is independent of Spark's partition-parallel reduction
+  order), and divided back once at the end. This is the
+  100 TB-safe pattern for aggregating float telemetry: a plain
+  SUM(double) differs run-to-run under parallel reduction.
+- :func:`multimodal_payload` — binary-column plumbing: byte length,
+  content hash and head bytes of an opaque blob, plus map-typed
+  metadata extraction. The blob is derived from ``documents.text``
+  (utf-8 encode) because the fixture lake ships no raw media; the
+  operator surface (BinaryType in, typed scalars out) is what a
+  real image/audio column needs.
+- :func:`decode_payloads` — the decode/feature-extract stage as a
+  ``mapInPandas`` operator with a real Arrow batch signature. Media
+  codecs (PIL/librosa/…) are not in this container, so the actual
+  decode is pluggable: the default deterministic stub derives a
+  fake (width, height, feature vector) from the payload's md5 — the
+  Spark-side contract (schema, batching, partition-preserving
+  parallelism) is real and tested in tests/test_multimodal.py.
+
+Scale notes: centroid shuffles once on (label, dim) — cardinality
+|labels|·DIM, tiny and uniform, with map-side partial aggregation;
+payload/decode are map-only. ``decode_payloads`` is the one place
+the engine legitimately crosses into Python: Arrow-batched columnar
+transfer, never per-row UDF calls.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ensembl_lakehouse_spark.sources.tables import load_table
+
+#: Fixed-point scale for deterministic float aggregation (micro-units).
+FP_SCALE = 1_000_000
+
+
+def multimodal_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, long form:
+    (label, dim, n, dim_mean, dim_min, dim_max).
+
+    posexplode keeps the dimension index (0-based); the groupBy key
+    (label, dim) has |labels|·64 = 640 groups — partial aggregation
+    reduces each task's output to ≤640 rows before the one shuffle,
+    so the plan is scan-bound at any corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn("x_fp", F.floor(F.col("x").cast("double") * FP_SCALE))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x_fp").alias("sum_fp"),
+            F.min(F.col("x").cast("double")).alias("dim_min"),
+            F.max(F.col("x").cast("double")).alias("dim_max"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            ((F.col("sum_fp").cast("double") / FP_SCALE) / F.col("n")).alias("dim_mean"),
+            "dim_min",
+            "dim_max",
+        )
+    )
+
+
+MULTIMODAL_CENTROID_SQL = f"""
+WITH x AS (
+  SELECT label, u.dim AS dim, u.val AS x,
+         CAST(floor(u.val::DOUBLE * {FP_SCALE}) AS BIGINT) AS x_fp
+  FROM (
+    SELECT label,
+           unnest(list_transform(range(0, len(embedding)),
+             i -> {{'dim': i, 'val': embedding[i + 1]}})) AS u
+    FROM embeddings)
+)
+SELECT label, dim, count(*) AS n,
+       (CAST(sum(x_fp) AS DOUBLE) / {FP_SCALE}) / count(*) AS dim_mean,
+       min(x::DOUBLE) AS dim_min,
+       max(x::DOUBLE) AS dim_max
+FROM x GROUP BY label, dim
+"""
+
+
+def multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary + map-metadata plumbing over ``documents``:
+    utf-8 payload blob → byte length, content hash, head bytes;
+    a map<string,string> props bag → extracted values.
+
+    Hashing goes through the hex *string* of the blob because the
+    DuckDB oracle's md5/substring are VARCHAR-only — same bytes
+    compared, both engines uppercase hex. Map-only plan.
+    """
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("props"),
+    )
+    return df.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5(F.hex("payload")).alias("payload_md5"),
+        F.substring(F.hex("payload"), 1, 16).alias("head_hex"),
+        F.element_at("props", "lang").alias("prop_lang"),
+        F.element_at("props", "source").alias("prop_source"),
+    )
+
+
+MULTIMODAL_PAYLOAD_SQL = """
+WITH d AS (
+  SELECT doc_id, encode(text) AS payload,
+         MAP {'lang': lang, 'source': source} AS props
+  FROM documents)
+SELECT doc_id,
+       octet_length(payload) AS n_bytes,
+       md5(hex(payload)) AS payload_md5,
+       substring(hex(payload), 1, 16) AS head_hex,
+       props['lang'][1] AS prop_lang,
+       props['source'][1] AS prop_source
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Decode stage (mapInPandas; pytest-verified, not oracle-expressible)
+# ---------------------------------------------------------------------------
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+#: Feature-vector length produced by the decoder.
+N_FEATURES = 8
+
+
+def _stub_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake decoder: md5-derived (width, height,
+    8-dim feature vector). Stands in for PIL/librosa which are not
+    installed here; a real deployment passes its own ``decode_fn``
+    with the identical signature."""
+    h = hashlib.md5(payload).digest()
+    width = 1 + h[0] % 64
+    height = 1 + h[1] % 64
+    feats = [round(b / 255.0, 6) for b in h[2 : 2 + N_FEATURES]]
+    return width, height, feats
+
+
+def decode_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decode_fn: Callable[[bytes], tuple[int, int, list[float]]] | None = None,
+) -> DataFrame:
+    """Decode a binary column into typed media metadata + features
+    via ``mapInPandas`` (Arrow-batched, partition-preserving — the
+    idiomatic Spark shape for a Python media codec).
+
+    ``decode_fn`` defaults to the deterministic stub; pass e.g. a
+    PIL-backed callable in a real deployment. If you need an
+    import-gated real decoder, raise NotImplementedError inside it —
+    the operator plumbing does not change.
+    """
+    fn = decode_fn or _stub_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [fn(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "features": [d[2] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(batches, DECODE_SCHEMA)
+
+
+def documents_with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the text re-encoded as an opaque binary column
+    (test stand-in for an image/audio payload column)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
