@@ -15,7 +15,7 @@ k=15 hex chars = 60 bits (fits signed 64-bit, non-negative);
 k=8 = 32 bits, reduced mod 2^31-1 for minhash arithmetic headroom.
 
 Verified bit-identical across engines for ASCII, UTF-8 multibyte,
-and empty strings (see tests/test_functions.py).
+and empty strings (pinned-value contract: tests/test_text_ops.py).
 
 md5 is ~2-3x slower than murmur3 per call but runs JVM-side inside
 whole-stage codegen; at 100 TB the scan, not the hash, dominates.

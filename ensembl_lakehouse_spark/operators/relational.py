@@ -320,9 +320,11 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Window partitioned by a low-cardinality key: at 100 TB a single
     hot partition would bottleneck one task — for that shape, use
-    the groupBy-heap pattern (operators/similarity.topk_per_key) or
-    pre-filter with an approximate threshold; here cardinality per
-    group is bounded and the window is the idiomatic plan."""
+    the two-phase per-partition pre-top-k (implemented in
+    operators/similarity.similarity_topk and proven equivalent in
+    tests/test_dedup_similarity.py) or pre-filter with an
+    approximate threshold; here cardinality per group is bounded
+    and the window is the idiomatic plan."""
     from pyspark.sql.window import Window
 
     orders = load_table(spark, sf_dir, "orders")
