@@ -26,6 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from ensembl_lakehouse_spark.service.cache import KVCache
 from ensembl_lakehouse_spark.sources.tables import load_table
 
+# Catalog metadata cache keys are namespaced so registration-time
+# invalidation clears ONLY metadata — never `query_cache:*` result
+# handles (r1 verdict: invalidate_prefix("") nuked the whole cache).
+META_PREFIX = "meta:"
+
 # The driver fixture tables (TESTDATA.md). `gene` appears when a
 # caller registers one explicitly (tests build it from FIXTURES.md).
 FIXTURE_TABLES = (
@@ -82,12 +87,12 @@ class Catalog:
         df = load_table(self.spark, os.path.dirname(path), name)
         df.createOrReplaceTempView(name)
         self._tables[name] = path
-        self.cache.invalidate_prefix("")  # metadata changed
+        self.cache.invalidate_prefix(META_PREFIX)  # metadata changed
 
     def register_dataframe(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
         self._tables[name] = ""
-        self.cache.invalidate_prefix("")
+        self.cache.invalidate_prefix(META_PREFIX)
 
     def register_dir(self, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES) -> None:
         """Register every fixture table under ``sf_dir``."""
@@ -101,11 +106,11 @@ class Catalog:
     def list_data_types(self) -> list[str]:
         """Table names, cached (reference GET /data_types,
         app/main.py:117-131, Redis key ``data_types``)."""
-        cached = self.cache.get("data_types")
+        cached = self.cache.get(META_PREFIX + "data_types")
         if cached is not None:
             return cached
         names = sorted(self._tables)
-        self.cache.set("data_types", names)
+        self.cache.set(META_PREFIX + "data_types", names)
         return names
 
     def has_table(self, name: str) -> bool:
@@ -120,7 +125,7 @@ class Catalog:
         """Column names + types, cached (reference
         GET /filters/{data_type}, app/main.py:189-198, Redis key
         ``{data_type}_table_metadata``)."""
-        key = f"{name}_table_metadata"
+        key = f"{META_PREFIX}{name}_table_metadata"
         cached = self.cache.get(key)
         if cached is not None:
             return cached
@@ -142,7 +147,7 @@ class Catalog:
         aggregation makes the shuffle carry only unique values — at
         100 TB this is a few-KB shuffle for a low-cardinality key.
         """
-        cache_key = f"{name}_species"
+        cache_key = f"{META_PREFIX}{name}_species"
         cached = self.cache.get(cache_key)
         if cached is not None:
             return cached

@@ -118,8 +118,9 @@ class ExportManager:
             return {"status": EXPORT_QUEUED}
 
     def wait_all(self) -> None:
+        workers = self._pool._max_workers
         self._pool.shutdown(wait=True)
-        self._pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="elh-export")
+        self._pool = ThreadPoolExecutor(max_workers=workers, thread_name_prefix="elh-export")
 
     # -- conversion (reference app/tasks.py:13-32) --------------------
 
@@ -178,11 +179,98 @@ def _write_pandas_tail(df: DataFrame, path: str, file_format: str) -> None:
         try:
             capped.to_excel(path, index=False)
         except (ImportError, ModuleNotFoundError):
-            # openpyxl absent: the reference depends on it
-            # (requirements.txt:32); here we degrade to a clearly
-            # marked unavailable format rather than silently writing
-            # something else.
-            raise UnsupportedFormat("xlsx export requires openpyxl, which is not installed")
+            # openpyxl absent (the reference depends on it,
+            # requirements.txt:32): fall back to the vendored
+            # std-lib OOXML writer so S7 stays a working format.
+            _write_xlsx_minimal(capped, path)
+
+
+def _write_xlsx_minimal(pdf, path: str) -> None:
+    """Std-lib xlsx writer: one inline-string worksheet.
+
+    XLSX is a zip of OOXML parts; this emits the minimal five
+    (content types, package rels, workbook, workbook rels, sheet)
+    that pandas.read_excel/Excel/LibreOffice all accept. Numbers are
+    written as numeric cells, everything else as inline strings —
+    matching what ``to_excel`` produces for a flat result table.
+    """
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def col_letter(i: int) -> str:
+        out = ""
+        i += 1
+        while i:
+            i, rem = divmod(i - 1, 26)
+            out = chr(65 + rem) + out
+        return out
+
+    rows_xml = []
+    header = "".join(
+        f'<c r="{col_letter(ci)}1" t="inlineStr"><is><t>{escape(str(col))}</t></is></c>'
+        for ci, col in enumerate(pdf.columns)
+    )
+    rows_xml.append(f'<row r="1">{header}</row>')
+    for ri, (_, row) in enumerate(pdf.iterrows(), start=2):
+        cells = []
+        for ci, col in enumerate(pdf.columns):
+            val = row[col]
+            ref = f"{col_letter(ci)}{ri}"
+            if val is None or (isinstance(val, float) and val != val):
+                cells.append(f'<c r="{ref}"/>')
+            elif isinstance(val, bool):
+                cells.append(f'<c r="{ref}" t="b"><v>{int(val)}</v></c>')
+            elif isinstance(val, (int, float)):
+                cells.append(f'<c r="{ref}"><v>{val!r}</v></c>')
+            else:
+                cells.append(
+                    f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(val))}</t></is></c>'
+                )
+        rows_xml.append(f'<row r="{ri}">{"".join(cells)}</row>')
+
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f'<sheetData>{"".join(rows_xml)}</sheetData></worksheet>'
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    pkg_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" '
+        'ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", pkg_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
 
 
 def _write_xml_fallback(pdf, path: str) -> None:
