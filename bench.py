@@ -15,8 +15,14 @@ conversion. Per query: one warm-up pass primes the JVM/code-cache,
 then REPEATS timed runs are taken and the minimum recorded. The min
 filters out multi-second JIT/GC/VM stalls observed on this host
 (trivial queries wobble 0.5-4 s run-to-run) and reflects
-steady-state execution — what a long-lived cluster sees. Flags:
---no-warmup, --repeats=N.
+steady-state execution — what a long-lived cluster sees. Per-query
+max/min spread is reported in "spread" so a recorded number whose
+stall leaked through is visible (r1: two queries recorded ~24 s
+host stalls that min-of-3 failed to filter). Flags: --no-warmup,
+--repeats=N (default 5).
+
+Positional args select a subset of queries; unknown names are a
+hard error (a typo must not silently bench nothing).
 """
 
 from __future__ import annotations
@@ -46,7 +52,7 @@ def materialize(df) -> None:
 
 def main() -> int:
     warmup = "--no-warmup" not in sys.argv
-    repeats = 3
+    repeats = 5
     for arg in sys.argv[1:]:
         if arg.startswith("--repeats="):
             repeats = max(1, int(arg.split("=", 1)[1]))
@@ -55,9 +61,19 @@ def main() -> int:
     import __spark_entry__ as entry
     from ensembl_lakehouse_spark.session import get_spark
 
-    spark = get_spark(app_name="elh-bench")
     queries = entry.queries()
+    unknown = only - set(queries)
+    if unknown:
+        print(
+            f"error: unknown queries {sorted(unknown)}; "
+            f"available: {sorted(queries)}",
+            file=sys.stderr,
+        )
+        return 2
+
+    spark = get_spark(app_name="elh-bench")
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
 
     for name, fn in queries.items():
         if only and name not in only:
@@ -65,12 +81,13 @@ def main() -> int:
         df = fn(spark, SF_DIR)
         if warmup:
             materialize(df)
-        best = float("inf")
+        runs = []
         for _ in range(repeats):
             start = time.perf_counter()
             materialize(df)
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(min(runs), 4)
+        spread[name] = round(max(runs) - min(runs), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -80,6 +97,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

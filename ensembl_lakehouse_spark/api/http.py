@@ -1,0 +1,205 @@
+"""The reference's public HTTP contract on the std-lib http.server.
+
+Mirrors app/main.py's eight endpoints (SURVEY §2.2), the HAL
+``_links`` envelope (app/main.py:492-500, including
+``supported_file_formats`` on the export link :497-500), the
+per-request ``X-Correlation-ID`` middleware (:32-43), the Athena
+query-id shape validation (:70-76), and the reference's error
+strings/status codes (:201-202, :276, :330-333, :409).
+
+No FastAPI/Flask in this container, and none needed: the layer is a
+deliberately thin adapter — every semantic lives in ``Engine``
+(engine.py), this module only routes, serializes, and maps
+exceptions to the reference's wire behavior. A deployment with
+FastAPI available can lift the same ROUTES table into a router in
+~50 lines; nothing else changes.
+
+Threading note: ThreadingHTTPServer serves each request on its own
+thread; Engine/Catalog/Registry are already thread-safe (KVCache
+lock, registry lock), and Spark job submission is thread-safe by
+design (one SparkContext, many job groups).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from ensembl_lakehouse_spark.engine import Engine
+from ensembl_lakehouse_spark.query import QueryValidationError
+from ensembl_lakehouse_spark.service.export import (
+    SUPPORTED_FILE_FORMATS,
+    QueryNotSucceeded,
+    UnsupportedFormat,
+)
+
+#: Athena query-execution-id shape (reference app/main.py:70-76):
+#: 36 chars, 4 hyphens, hex groups — i.e. a UUID.
+_QUERY_ID_RE = re.compile(
+    r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+)
+
+
+def _is_query_id(segment: str) -> bool:
+    return bool(_QUERY_ID_RE.match(segment))
+
+
+def make_handler(engine: Engine):
+    """Build a request-handler class bound to ``engine``."""
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "ensembl-lakehouse-spark"
+
+        # -- plumbing --------------------------------------------------
+
+        def log_message(self, fmt, *args):  # quiet test output
+            pass
+
+        def _send(self, status: int, payload, content_type="application/json"):
+            body = json.dumps(payload).encode() if not isinstance(payload, bytes) else payload
+            self.send_response(status)
+            # X-Correlation-ID on every response (app/main.py:32-43).
+            self.send_header("X-Correlation-ID", str(uuid.uuid4()))
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            # CORS allow-all (app/main.py:25-29).
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _detail(self, status: int, message: str):
+            self._send(status, {"detail": message})
+
+        # -- routing ---------------------------------------------------
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            url = urlparse(self.path)
+            parts = [unquote(p) for p in url.path.split("/") if p]
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            try:
+                self._route(parts, q)
+            except QueryValidationError as exc:
+                self._detail(400, str(exc))
+            except KeyError as exc:
+                self._detail(404, str(exc.args[0]) if exc.args else "not found")
+            except UnsupportedFormat as exc:
+                self._detail(422, str(exc))
+            except QueryNotSucceeded as exc:
+                self._detail(400, str(exc))
+            except Exception as exc:  # 500 with detail, never a hang
+                self._detail(500, f"{type(exc).__name__}: {exc}")
+
+        def _route(self, parts: list[str], q: dict[str, str]) -> None:
+            if not parts:
+                self._send(200, {"message": engine.banner()})
+            elif parts == ["data_types"]:
+                self._send(200, engine.data_types())
+            elif parts == ["result_file_formats"]:
+                self._send(200, engine.result_file_formats())
+            elif len(parts) == 2 and parts[0] == "filters":
+                self._filters(parts[1])
+            elif len(parts) == 3 and parts[0] == "query" and parts[2] in (
+                "status",
+                "preview",
+                "export",
+            ):
+                self._query_sub(parts[1], parts[2], q)
+            elif len(parts) == 3 and parts[0] == "query":
+                self._submit(parts[1], parts[2], q)
+            else:
+                self._detail(404, "Not Found")
+
+        # -- endpoints -------------------------------------------------
+
+        def _filters(self, data_type: str) -> None:
+            if not data_type.strip():
+                # 400 blank (app/main.py:201-202 error mapping).
+                self._detail(400, "data_type must be non-blank")
+                return
+            if not engine.catalog.has_table(data_type):
+                # Reference 404 string (app/main.py:201).
+                self._detail(404, f"Selected data type: {data_type} does not exist!")
+                return
+            self._send(200, engine.filters(data_type))
+
+        def _submit(self, data_type: str, species: str, q: dict[str, str]) -> None:
+            resp = engine.submit_query(
+                data_type, species, fields=q.get("fields"), condition=q.get("condition")
+            )
+            # HAL envelope with supported_file_formats on the export
+            # link (app/main.py:492-500).
+            qid = resp["query_id"]
+            payload = {
+                "query_id": qid,
+                "_links": {
+                    "self": {"href": f"/query/{data_type}/{species}"},
+                    "status": {"href": f"/query/{qid}/status"},
+                    "preview": {"href": f"/query/{qid}/preview"},
+                    "export": {
+                        "href": f"/query/{qid}/export{{?file_format}}",
+                        "templated": True,
+                        "supported_file_formats": list(SUPPORTED_FILE_FORMATS),
+                    },
+                },
+            }
+            self._send(200, payload, content_type="application/hal+json")
+
+        def _query_sub(self, query_id: str, action: str, q: dict[str, str]) -> None:
+            if not _is_query_id(query_id):
+                # 400 bad id shape (app/main.py:70-76).
+                self._detail(400, "Invalid query_id!")
+                return
+            try:
+                if action == "status":
+                    self._send(200, engine.query_status(query_id))
+                elif action == "preview":
+                    n = int(q.get("maxResults", "26"))
+                    if not 1 <= n <= 1000:
+                        # Reference range check (app/main.py:406-409).
+                        self._detail(400, "maxResults must be in [1, 1000]")
+                        return
+                    self._send(200, engine.query_preview(query_id, max_results=n))
+                else:
+                    resp = engine.export(query_id, q.get("file_format", ""))
+                    status = 200 if resp["status"] == "DONE" else 202
+                    self._send(status, resp)
+            except KeyError:
+                # Reference 404 string (app/main.py:276).
+                self._detail(404, f"Query: {query_id} was not found!")
+
+    return Handler
+
+
+class ApiServer:
+    """Threaded HTTP server wrapping an Engine; context-manageable.
+
+    >>> with ApiServer(engine, port=0) as srv:
+    ...     urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/data_types")
+    """
+
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+        self._httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+        self.host = host
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "ApiServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "ApiServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
