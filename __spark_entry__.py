@@ -59,9 +59,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Deduplication (SURVEY §2 X1)
         "dedup_exact": D.dedup_exact,
         "dedup_near": D.dedup_near,
+        "dedup_simhash": D.dedup_simhash,
         # Similarity search (SURVEY §2 X2)
         "similarity_topk": S.similarity_topk,
         "similarity_lsh": S.similarity_lsh,
+        "similarity_ivf": S.similarity_ivf,
+        "dedup_embedding": S.dedup_embedding,
         # Multimodal columns (SURVEY §2 X4)
         "multimodal_centroid": M.multimodal_centroid,
         "multimodal_payload": M.multimodal_payload,
@@ -100,8 +103,11 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": T.TEXT_FINGERPRINT_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_near": D.DEDUP_NEAR_SQL,
+        "dedup_simhash": D.DEDUP_SIMHASH_SQL,
         "similarity_topk": S.SIMILARITY_TOPK_SQL,
         "similarity_lsh": S.SIMILARITY_LSH_SQL,
+        "similarity_ivf": S.SIMILARITY_IVF_SQL,
+        "dedup_embedding": S.DEDUP_EMBEDDING_SQL,
         "multimodal_centroid": M.MULTIMODAL_CENTROID_SQL,
         "multimodal_payload": M.MULTIMODAL_PAYLOAD_SQL,
     }

@@ -233,6 +233,132 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored
 
 
+# ---------------------------------------------------------------------------
+# Near-dup: SimHash
+# ---------------------------------------------------------------------------
+
+#: SimHash width (bits) — md5_long60 supplies 60 deterministic bits.
+SIMHASH_BITS = 60
+#: Bands for the banded hamming pre-filter: 4 × 15 bits. Pigeonhole:
+#: any pair within hamming distance 3 shares at least one intact
+#: band, so recall is GUARANTEED (not probabilistic) at the chosen
+#: SIMHASH_MAX_HAMMING = 3.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+SIMHASH_MAX_HAMMING = 3
+
+
+def _spark_simhash(toks: str) -> str:
+    """60-bit SimHash of a token-array expression.
+
+    Per bit i: the bit is set iff at least half the token hashes
+    have bit i set (majority vote; the classic ±1 sum ≥ 0 rewritten
+    as 2·ones ≥ n so everything stays integer). The token-hash
+    array is let-bound so md5 runs once per token, not 60×.
+    """
+    bits = " + ".join(
+        f"(CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, {i}) & 1) = 1)) "
+        f">= size(hs) THEN {1 << i}L ELSE 0L END)"
+        for i in range(SIMHASH_BITS)
+    )
+    base = (
+        f"transform({toks}, "
+        f"t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint))"
+    )
+    return f"transform(array({base}), hs -> {bits})[0]"
+
+
+def _duck_simhash(toks: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {i}) & 1) = 1)) "
+        f">= len(hs) THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"(SELECT {bits} FROM (SELECT list_transform({toks}, t -> {sql_md5_long60('t')}) AS hs))"
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via SimHash + banded hamming search.
+
+    Pipeline: whitespace tokens → 60-bit majority-vote SimHash
+    (map-only) → explode 4×15-bit bands (integer keys, cheaper to
+    shuffle than MinHash's string keys) → bucket self-join →
+    verify with exact ``bit_count(xor)`` ≤ 3.
+
+    vs MinHash (dedup_near): SimHash is one 8-byte signature per
+    doc instead of K=16, and the verify is two machine instructions
+    per pair instead of a set intersection — the cheap screen a
+    100 TB pipeline runs FIRST. Its recall guarantee is exact for
+    hamming ≤ bands-1 (pigeonhole), whereas MinHash's is
+    probabilistic in Jaccard space; run both, they catch different
+    tails.
+    """
+    toks = "split(trim(lower(text)), '\\\\s+')"
+    sigs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.expr(_spark_simhash(toks)).alias("sim"))
+    )
+    band_arr = ", ".join(
+        f"shiftright(sim, {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+        for b in range(SIMHASH_BANDS)
+    )
+    bands = sigs.select(
+        "doc_id", "sim", F.posexplode(F.expr(f"array({band_arr})")).alias("band_idx", "band_key")
+    )
+    bands = bands.withColumn(
+        "bucket_n", F.expr("count(*) OVER (PARTITION BY band_idx, band_key)")
+    ).where(F.col("bucket_n").between(2, BUCKET_CAP))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.sim ^ b.sim)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), sigs AS (
+  SELECT doc_id, {_duck_simhash("toks")} AS sim FROM t
+), bands AS (
+  SELECT doc_id, sim,
+         unnest(list_transform(range(0, {SIMHASH_BANDS}),
+           b -> {{'band_idx': b,
+                  'band_key': (sim >> (b * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1}}}),
+           recursive := true)
+  FROM sigs
+), capped AS (
+  SELECT * FROM (
+    SELECT doc_id, sim, band_idx, band_key,
+           count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+    FROM bands)
+  WHERE bucket_n BETWEEN 2 AND {BUCKET_CAP}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 def _duck_signature(hs: str) -> str:
     mins = ", ".join(
         f"list_min(list_transform({hs}, h -> (h * {a} + {b}) % {P31}))" for a, b in PERMS

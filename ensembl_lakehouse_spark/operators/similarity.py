@@ -234,6 +234,181 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF variant
+# ---------------------------------------------------------------------------
+
+#: IVF coarse quantizer: corpus vectors whose id satisfies this
+#: modulus become the cell centroids (deterministic, data-dependent
+#: like a trained quantizer, no RNG). ~13 cells at the fixture SF.
+IVF_CENTROID_MOD = 37
+IVF_CENTROID_REM = 7
+#: Cells probed per query.
+IVF_NPROBE = 4
+
+
+def _assign_cells(
+    vectors: DataFrame, centroids: DataFrame, n_keep: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment: rank centroids per vector by
+    cosine (DESC, centroid_id ASC) and keep the top n_keep."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "c_cos", F.expr(_cosine_expr(vec_col, "c_vec"))
+    )
+    return scored.withColumn(
+        "c_rank",
+        F.expr(
+            f"row_number() OVER (PARTITION BY {id_col} ORDER BY c_cos DESC, c_id ASC)"
+        ),
+    ).where(F.col("c_rank") <= n_keep)
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) coarse quantizer:
+    corpus vectors are assigned to their nearest centroid cell;
+    each query probes its IVF_NPROBE nearest cells and ranks only
+    those cells' members by exact cosine.
+
+    Scale: this is the architecture FAISS/Milvus deploy at
+    billion-vector scale — assignment is a map-side broadcast
+    cross with |centroids| dot products per row (centroids ≪
+    corpus, always broadcastable: real deployments use √N cells),
+    and the probe join is an equi-join on cell id, so the per-query
+    scan is corpus/|cells|·nprobe instead of corpus. Recall depends
+    on neighbors landing in probed cells — measured against the
+    exact baseline in tests (isotropic-fixture caveat as for LSH).
+    """
+    queries, corpus = _split(spark, sf_dir)
+    centroids = (
+        corpus.where(
+            (F.col("vec_id") % IVF_CENTROID_MOD) == IVF_CENTROID_REM
+        ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    )
+    assigned = _assign_cells(
+        corpus.select("vec_id", "label", "embedding"), centroids, 1, "embedding", "vec_id"
+    ).select("vec_id", "label", "embedding", F.col("c_id").alias("cell"))
+    probes = _assign_cells(queries, centroids, IVF_NPROBE, "q_vec", "q_id").select(
+        "q_id", "q_vec", F.col("c_id").alias("cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").select(
+        "q_id", "q_vec", "vec_id", "label", "embedding"
+    )
+    return (
+        cand.withColumn("cosine", F.expr(_cosine_expr("q_vec", "embedding")))
+        .withColumn(
+            "rank",
+            F.expr("row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC)"),
+        )
+        .where(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "vec_id", "label", "cosine")
+    )
+
+
+SIMILARITY_IVF_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT * FROM embeddings WHERE vec_id >= {N_QUERIES}
+), cent AS (
+  SELECT vec_id AS c_id, embedding AS c_vec FROM c
+  WHERE vec_id % {IVF_CENTROID_MOD} = {IVF_CENTROID_REM}
+), assigned AS (
+  SELECT vec_id, label, embedding, c_id AS cell FROM (
+    SELECT c.vec_id, c.label, c.embedding, cent.c_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {sql_cosine("c.embedding", "cent.c_vec")} DESC, cent.c_id ASC) AS rk
+    FROM c CROSS JOIN cent)
+  WHERE rk = 1
+), probes AS (
+  SELECT q_id, q_vec, c_id AS cell FROM (
+    SELECT q.q_id, q.q_vec, cent.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {sql_cosine("q.q_vec", "cent.c_vec")} DESC, cent.c_id ASC) AS rk
+    FROM q CROSS JOIN cent)
+  WHERE rk <= {IVF_NPROBE}
+), cand AS (
+  SELECT p.q_id, p.q_vec, a.vec_id, a.label, a.embedding
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+), ranked AS (
+  SELECT q_id, vec_id, label,
+         {sql_cosine("q_vec", "embedding")} AS cosine,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY {sql_cosine("q_vec", "embedding")} DESC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, rank, vec_id, label, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (the X1/X2 bridge)
+# ---------------------------------------------------------------------------
+
+#: Cosine threshold for embedding near-duplicates. The fixture
+#: corpus is isotropic (max pairwise cosine 0.51), so the threshold
+#: is set where the fixture HAS structure; a real embedding corpus
+#: would use ~0.95.
+EMBED_DUP_THRESHOLD = 0.45
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidate pairs from
+    shared LSH buckets (never all-pairs), verified with exact
+    cosine ≥ EMBED_DUP_THRESHOLD. Same banded-LSH shape as the text
+    MinHash dedup, in vector space; at production thresholds
+    (≥0.95) the bucket keys get longer (P up) and the candidate set
+    collapses to near-misses only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(F.expr(_bucket_expr("embedding"))).alias("t_idx", "bucket"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.t_idx") == F.col("b.t_idx"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("cosine", F.expr(_cosine_expr("emb_a", "emb_b")))
+        .where(F.col("cosine") >= EMBED_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH bk AS (
+  SELECT vec_id, embedding,
+         unnest(list_transform(range(0, {LSH_TABLES}),
+           t -> {{'t_idx': t, 'bucket': {_duck_bucket("embedding")}[t + 1]}}),
+           recursive := true)
+  FROM embeddings
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  a.embedding AS emb_a, b.embedding AS emb_b
+  FROM bk a JOIN bk b ON a.t_idx = b.t_idx AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {sql_cosine("emb_a", "emb_b")} AS cosine
+FROM pairs
+WHERE {sql_cosine("emb_a", "emb_b")} >= {EMBED_DUP_THRESHOLD}
+"""
+
+
 SIMILARITY_LSH_SQL = f"""
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {N_QUERIES}

@@ -96,6 +96,52 @@ def test_similarity_lsh_recall(spark):
     assert recall >= 0.5, f"LSH recall collapsed: {recall:.2f}"
 
 
+def test_dedup_simhash_pairs_verified_and_guaranteed(spark):
+    """Every returned pair is within the hamming threshold, and —
+    the pigeonhole guarantee — EVERY pair of signatures within
+    hamming ≤ SIMHASH_MAX_HAMMING (in an uncapped bucket) appears:
+    4 bands of 15 bits cannot all differ on ≤3 flipped bits."""
+    pairs = D.dedup_simhash(spark, SF_DIR).collect()
+    assert all(0 <= r.hamming <= D.SIMHASH_MAX_HAMMING for r in pairs)
+    assert all(r.doc_a < r.doc_b for r in pairs)
+
+    toks = "split(trim(lower(text)), '\\\\s+')"
+    sigs = (
+        D.load_table(spark, SF_DIR, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.expr(D._spark_simhash(toks)).alias("sim"))
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sb"))
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.expr(f"bit_count(sa ^ sb) <= {D.SIMHASH_MAX_HAMMING}"))
+        .collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in pairs} == truth
+
+
+def test_dedup_embedding_pairs_verified(spark):
+    from ensembl_lakehouse_spark.operators import similarity as S2
+
+    pairs = S2.dedup_embedding(spark, SF_DIR).collect()
+    for r in pairs:
+        assert r.vec_a < r.vec_b
+        assert r.cosine >= S2.EMBED_DUP_THRESHOLD
+
+
+def test_similarity_ivf_recall_and_pruning(spark):
+    exact = {(r.q_id, r.vec_id) for r in S.similarity_topk(spark, SF_DIR).collect()}
+    ivf = {(r.q_id, r.vec_id) for r in S.similarity_ivf(spark, SF_DIR).collect()}
+    recall = len(exact & ivf) / len(exact)
+    # Isotropic fixture: nprobe=4 of ~13 cells scans ~30% of the
+    # corpus; neighbors are weakly clustered so recall floors low —
+    # see the similarity module docstring for the envelope.
+    assert recall >= 0.25, f"IVF recall collapsed: {recall:.2f}"
+
+
 def test_two_phase_topk_equals_single_window(spark):
     """The partition-local pre-top-k (phase 1) must not change the
     result vs a single global window — the scale optimization is
