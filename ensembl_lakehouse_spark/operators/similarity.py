@@ -8,14 +8,11 @@ variant as the 100 TB scale path.
 
 Scale design:
 
-- **Brute force is the oracle, two-phase top-k is the plan.** The
-  naive shape (score all, global window rank) shuffles every scored
-  row. Instead phase 1 keeps only the per-partition top-k (window
-  over (query, input partition) — map-side, no exchange of the
-  corpus), so the single shuffle moves at most k·P·Q tiny rows,
-  independent of corpus size. Phase 2 ranks those. Results are
-  identical to the global rank because top-k(∪ partition top-k) ==
-  global top-k under a strict total order (cosine DESC, vec_id ASC).
+- **Brute force is the oracle; Catalyst makes it two-phase.** A
+  `row_number() <= k` window compiles to WindowGroupLimit
+  Partial→Exchange→Final: each task keeps a k-row heap map-side, so
+  the one shuffle moves at most k·tasks·queries tiny rows,
+  independent of corpus size (plan shape asserted in tests).
 - **LSH prunes the scan.** Each vector gets L bucket keys (one per
   hash table, P hyperplane sign bits each); candidates are the
   equi-join of query buckets with corpus buckets — the corpus scan
@@ -108,26 +105,20 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: for each of the N_QUERIES query vectors,
     the TOP_K nearest corpus vectors (cosine DESC, vec_id ASC).
 
-    Phase 1: broadcast the tiny query side, score every corpus row
-    (map-only), keep per-(input partition, query) top-k. Phase 2:
-    global rank over the ≤ k·P·Q survivors. See module docstring for
-    why this equals the global top-k while shuffling O(k·P·Q), not
-    O(corpus).
+    Deliberately the *declarative* single-window form: Spark ≥3.5
+    rewrites `rank <= k` windows into a two-phase WindowGroupLimit —
+    the executed plan (asserted in tests/test_dedup_similarity.py)
+    keeps a k-row heap per task BEFORE the exchange, so the shuffle
+    moves O(k · tasks · queries) rows, not the scored corpus. A
+    hand-rolled partition-id pre-top-k (tried first) produced the
+    same result with one extra shuffle — the "let Catalyst optimize"
+    rule, measured.
     """
     queries, corpus = _split(spark, sf_dir)
-    scored = (
+    return (
         corpus.crossJoin(F.broadcast(queries))
         .withColumn("cosine", F.expr(_cosine_expr("q_vec", "embedding")))
-        .withColumn("_part", F.spark_partition_id())
-    )
-    local = scored.withColumn(
-        "_lr",
-        F.expr(
-            "row_number() OVER (PARTITION BY _part, q_id ORDER BY cosine DESC, vec_id ASC)"
-        ),
-    ).where(F.col("_lr") <= TOP_K)
-    return (
-        local.withColumn(
+        .withColumn(
             "rank",
             F.expr("row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC)"),
         )

@@ -142,22 +142,20 @@ def test_similarity_ivf_recall_and_pruning(spark):
     assert recall >= 0.25, f"IVF recall collapsed: {recall:.2f}"
 
 
-def test_two_phase_topk_equals_single_window(spark):
-    """The partition-local pre-top-k (phase 1) must not change the
-    result vs a single global window — the scale optimization is
-    semantics-preserving."""
-    queries, corpus = S._split(spark, SF_DIR)
-    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "cosine", F.expr(S._cosine_expr("q_vec", "embedding"))
+def test_topk_plan_is_two_phase(spark):
+    """Plan-shape regression guard: the declarative rank<=k window
+    must compile to a partial (map-side) WindowGroupLimit BEFORE the
+    exchange — the property that keeps the shuffle O(k·tasks·q)
+    instead of O(corpus) at 100 TB. If a Spark upgrade or a plan
+    change loses the rewrite, this fails."""
+    plan = S.similarity_topk(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    partial_idx = next(
+        i for i, l in enumerate(lines) if "WindowGroupLimit" in l and "Partial" in l
     )
-    naive = (
-        scored.withColumn(
-            "rank",
-            F.expr("row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC)"),
-        )
-        .where(F.col("rank") <= S.TOP_K)
-        .select("q_id", "rank", "vec_id")
-        .collect()
+    exchange_idx = next(
+        i for i, l in enumerate(lines) if "Exchange hashpartitioning(q_id" in l
     )
-    fast = S.similarity_topk(spark, SF_DIR).select("q_id", "rank", "vec_id").collect()
-    assert sorted(map(tuple, naive)) == sorted(map(tuple, fast))
+    # Plans print top-down: the Partial limit must sit BELOW the
+    # exchange (executed before it).
+    assert partial_idx > exchange_idx, plan
