@@ -111,6 +111,26 @@ def sliding_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     )
 
 
+def session_stream(spark: SparkSession, events_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge
+    into one session (the third window family SURVEY §7 promises).
+    Session state merges incrementally and is finalized by the
+    watermark; ``F.session_window`` evaluates identically in batch,
+    which is how tests/test_streaming.py cross-checks it."""
+    src = _event_source(spark, events_dir)
+    return (
+        src.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def run_hourly_to_memory(
     spark: SparkSession, events_dir: str, table_name: str = "events_hourly_stream"
 ) -> DataFrame:

@@ -60,6 +60,50 @@ def test_sliding_windows_cover_each_event_four_times(spark, events_dir):
     assert total_events == 4 * n_src
 
 
+def test_session_stream_matches_batch_session_window(spark, events_dir):
+    """F.session_window evaluates in batch too — the batch run is
+    the oracle for the streaming session assembly."""
+    from pyspark.sql import functions as F
+
+    out = (
+        SE.session_stream(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination()
+    stream = {
+        (r.session_start, r.session_end, r.user_id): r.n_events
+        for r in spark.table("t_sessions").collect()
+    }
+
+    batch_src = (
+        spark.read.schema(SE.EVENTS_RAW_SCHEMA)
+        .parquet(events_dir)
+        .withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP '1970-01-01 00:00:00')"),
+        )
+    )
+    batch = {
+        (r.session_start, r.session_end, r.user_id): r.n_events
+        for r in batch_src.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+        .collect()
+    }
+    assert stream == batch
+
+
 def test_watermark_is_applied(spark, events_dir):
     plan = SE.hourly_stream(spark, events_dir)._jdf.queryExecution().analyzed().toString()
     assert "watermark" in plan.lower()
