@@ -193,6 +193,34 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (l_returnflag, l_linestatus): all 2^2 grouping
+    sets, completing the grouping-sets family next to rollup_agg.
+
+    Same Expand+Aggregate single-scan plan as rollup — grouping-set
+    count multiplies the Expand fan-out (rows × sets pre-partial-
+    agg), not the number of scans or shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+CUBE_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Joins (EXT — "Joins: ABSENT" in reference, SURVEY §2)
 # ---------------------------------------------------------------------------

@@ -29,6 +29,7 @@ from ensembl_lakehouse_spark.functions.text import (
     BPE_REGEX,
     NORM_DUCK_SQL,
     NORM_SPARK_SQL,
+    whitespace_tokens,
 )
 from ensembl_lakehouse_spark.sources.tables import load_table
 
@@ -52,11 +53,12 @@ FP_WINDOW = 8
 
 
 def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + whitespace token array (shared prep)."""
+    """documents + whitespace token array (shared prep); tokenizer
+    comes from functions.text so operator and helper can't drift."""
     return (
         load_table(spark, sf_dir, "documents")
         .where(F.length(F.trim("text")) > 0)
-        .withColumn("toks", F.split(F.trim("text"), r"\s+"))
+        .withColumn("toks", whitespace_tokens("text"))
     )
 
 
