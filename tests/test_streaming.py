@@ -104,6 +104,35 @@ def test_session_stream_matches_batch_session_window(spark, events_dir):
     assert stream == batch
 
 
+def test_stateful_running_totals_match_batch(spark, events_dir):
+    """applyInPandasWithState totals must equal the batch groupBy —
+    the fixed-point (floor cents) contract makes this exact, not
+    approximate, whatever the micro-batch split."""
+    from pyspark.sql import functions as F
+
+    from ensembl_lakehouse_spark.streaming import stateful as ST
+
+    out = ST.run_totals_to_memory(spark, events_dir, "t_totals")
+    # Update-mode sink appends one row per key per batch: the LAST
+    # row per key is the final running total.
+    latest: dict[str, tuple[int, int]] = {}
+    for r in out.collect():
+        latest[r.event_type] = (r.n_events, r.sum_value_cents)
+
+    batch = {
+        r.event_type: (r.n, r.cents)
+        for r in spark.read.schema(SE.EVENTS_RAW_SCHEMA)
+        .parquet(events_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).alias("cents"),
+        )
+        .collect()
+    }
+    assert latest == batch
+
+
 def test_watermark_is_applied(spark, events_dir):
     plan = SE.hourly_stream(spark, events_dir)._jdf.queryExecution().analyzed().toString()
     assert "watermark" in plan.lower()
