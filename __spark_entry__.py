@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": R.agg_pricing_summary,
         "rollup_agg": R.rollup_agg,
         "cube_agg": R.cube_agg,
+        "skew_safe_distinct": R.skew_safe_distinct,
         # Joins (SURVEY §2 EXT)
         "join_region_revenue": R.join_region_revenue,
         "join_order_lineitem": R.join_order_lineitem,
@@ -92,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_pricing_summary": R.AGG_PRICING_SUMMARY_SQL,
         "rollup_agg": R.ROLLUP_AGG_SQL,
         "cube_agg": R.CUBE_AGG_SQL,
+        "skew_safe_distinct": R.SKEW_SAFE_DISTINCT_SQL,
         "join_region_revenue": R.JOIN_REGION_REVENUE_SQL,
         "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,

@@ -221,6 +221,43 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT x) per low-cardinality key, written as the
+    skew-safe two-stage plan: stage 1 dedups on (key, x) — the
+    shuffle hashes BOTH columns, so a hot key's rows spread across
+    all reducers instead of landing on one; stage 2 counts per key
+    over the already-unique pairs (tiny input).
+
+    This is the shuffle-key-widening member of the skew toolkit;
+    the other members used in this repo: AQE skew-join splitting
+    (on, session.py), bounded LSH buckets with caps (dedup.py), and
+    partial aggregation (every groupBy here). Plain salting (key,
+    rand%N) is the same idea when there is no second column to
+    widen by — not used in oracle queries because rand() breaks
+    cross-engine determinism.
+
+    A direct ``countDistinct`` compiles to Expand+double-shuffle on
+    the key alone — at 100 TB with one dominant key that is a
+    single-reducer straggler; this shape is how production pipelines
+    write it. The oracle is the semantically-equal direct form.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    return (
+        pairs.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_distinct_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+SKEW_SAFE_DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct_parts
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Joins (EXT — "Joins: ABSENT" in reference, SURVEY §2)
 # ---------------------------------------------------------------------------
