@@ -105,3 +105,23 @@ def test_query_id_error_mapping(engine):
         engine.query_status("not-a-uuid")
     with pytest.raises(QueryNotFound):
         engine.query_status("00000000-0000-0000-0000-000000000000")
+
+
+def test_cancel_lifecycle(engine):
+    """J2's fifth state: cancel maps onto cancelJobGroup; a
+    CANCELLED query reports CANCELLED and refuses export (the
+    reference's export gate requires SUCCEEDED, app/main.py:326)."""
+    from ensembl_lakehouse_spark.service.export import QueryNotSucceeded
+
+    resp = engine.submit_query("lineitem", "A", condition="l_quantity > 10")
+    qid = resp["query_id"]
+    engine.registry.cancel(qid)
+    engine.registry.wait(qid, timeout=120)
+    status = engine.query_status(qid)
+    # Cancellation races materialization on tiny fixtures: either it
+    # landed (CANCELLED) or the job finished first (SUCCEEDED) —
+    # both legal; CANCELLED must then refuse export.
+    assert status["status"] in ("CANCELLED", "SUCCEEDED")
+    if status["status"] == "CANCELLED":
+        with pytest.raises(QueryNotSucceeded):
+            engine.export(qid, "csv")
