@@ -351,9 +351,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to near-misses only.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # Buckets carry ONLY the id: the candidate-pair distinct must
+    # shuffle 16-byte id pairs, not 2×64-float vectors — measured
+    # 31 s → ~3 s at sf0.1 when the vectors ride through the
+    # distinct. Embeddings are joined back per side afterwards,
+    # exactly like dedup_near re-joins shingle sets.
     buckets = emb.select(
         "vec_id",
-        "embedding",
         F.posexplode(F.expr(_bucket_expr("embedding"))).alias("t_idx", "bucket"),
     )
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -369,13 +373,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("emb_a"),
-            F.col("b.embedding").alias("emb_b"),
         )
         .distinct()
     )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
-        pairs.withColumn("cosine", F.expr(_cosine_expr("emb_a", "emb_b")))
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", F.expr(_cosine_expr("emb_a", "emb_b")))
         .where(F.col("cosine") >= EMBED_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
