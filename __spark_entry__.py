@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": R.rollup_agg,
         "cube_agg": R.cube_agg,
         "skew_safe_distinct": R.skew_safe_distinct,
+        "quantile_summary": R.quantile_summary,
+        "events_sessionize": R.events_sessionize,
         # Joins (SURVEY §2 EXT)
         "join_region_revenue": R.join_region_revenue,
         "join_order_lineitem": R.join_order_lineitem,
@@ -94,6 +96,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_agg": R.ROLLUP_AGG_SQL,
         "cube_agg": R.CUBE_AGG_SQL,
         "skew_safe_distinct": R.SKEW_SAFE_DISTINCT_SQL,
+        "quantile_summary": R.QUANTILE_SUMMARY_SQL,
+        "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
         "join_region_revenue": R.JOIN_REGION_REVENUE_SQL,
         "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,

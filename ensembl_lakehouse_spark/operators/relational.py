@@ -258,6 +258,101 @@ ORDER BY l_returnflag
 """
 
 
+def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p95) per group —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` implement the
+    same linear interpolation and agree bit-for-bit (verified).
+
+    Scale: exact percentile materializes each group's values at one
+    reducer — correct for bounded groups like these. For
+     100 TB-wide groups the production swap is
+    ``percentile_approx`` (t-digest-style mergeable sketch, fully
+    partial-aggregated); it is not oracle-checkable because sketch
+    error is engine-specific, which is exactly why the exact form
+    carries the correctness contract here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUANTILE_SUMMARY_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       quantile_cont(l_quantity, 0.5) AS p50_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the event stream: per user, events
+    closer than 30 minutes merge into one session (gap-and-island
+    via lag + running sum of session starts). The batch twin of
+    streaming/events.session_window with fully deterministic
+    session numbering (ordering tie-broken by event_id; explicit
+    ROWS frame so engines can't disagree on peer handling).
+
+    Scale: two window passes over the same (user_id) partitioning —
+    ONE shuffle, the second window reuses the partitioning — then a
+    partial-agg groupBy on (user, session). Per-user data is the
+    unit of parallelism, the natural sessionization shape."""
+    events = load_table(spark, sf_dir, "events")
+    w = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    wsum = (
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            f"CASE WHEN lag(ts) OVER {w} IS NULL "
+            f"OR ts - lag(ts) OVER {w} > INTERVAL '30' MINUTE THEN 1 ELSE 0 END"
+        ).alias("is_new"),
+    )
+    sessions = marked.select(
+        "user_id", "ts", "event_id", F.expr(f"sum(is_new) OVER {wsum}").alias("session_num")
+    )
+    return (
+        sessions.groupBy("user_id", "session_num")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+  FROM g
+)
+SELECT user_id, session_num,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_num
+"""
+
+
 # ---------------------------------------------------------------------------
 # Joins (EXT — "Joins: ABSENT" in reference, SURVEY §2)
 # ---------------------------------------------------------------------------
