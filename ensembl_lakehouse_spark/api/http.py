@@ -96,6 +96,8 @@ def make_handler(engine: Engine):
         def _route(self, parts: list[str], q: dict[str, str]) -> None:
             if not parts:
                 self._send(200, {"message": engine.banner()})
+            elif parts == ["download"]:
+                self._download(q)
             elif parts == ["data_types"]:
                 self._send(200, engine.data_types())
             elif parts == ["result_file_formats"]:
@@ -114,6 +116,43 @@ def make_handler(engine: Engine):
                 self._detail(404, "Not Found")
 
         # -- endpoints -------------------------------------------------
+
+        def _download(self, q: dict[str, str]) -> None:
+            """Serve a presigned result/artifact URL (S12 — the
+            local analog of the reference's S3 presigned GET,
+            app/main.py:272). 403 on bad/expired signature. Result
+            *directories* (distributed csv/tsv/json writes) are
+            served as one concatenated body, part headers deduped
+            for csv/tsv."""
+            import os
+
+            path = q.get("path", "")
+            if not engine.signer.verify(path, q.get("expires"), q.get("signature", "")):
+                self._detail(403, "invalid or expired signature")
+                return
+            if os.path.isfile(path):
+                with open(path, "rb") as fh:
+                    self._send(200, fh.read(), content_type="application/octet-stream")
+                return
+            if os.path.isdir(path):
+                parts_files = sorted(
+                    os.path.join(path, f)
+                    for f in os.listdir(path)
+                    if f.startswith("part-")
+                )
+                dedupe_header = path.endswith((".csv", ".tsv")) or any(
+                    f.endswith(".csv") for f in parts_files
+                )
+                chunks: list[bytes] = []
+                for i, p in enumerate(parts_files):
+                    with open(p, "rb") as fh:
+                        data = fh.read()
+                    if dedupe_header and i > 0 and b"\n" in data:
+                        data = data.split(b"\n", 1)[1]
+                    chunks.append(data)
+                self._send(200, b"".join(chunks), content_type="application/octet-stream")
+                return
+            self._detail(404, "artifact not found")
 
         def _filters(self, data_type: str) -> None:
             if not data_type.strip():

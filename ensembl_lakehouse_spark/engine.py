@@ -32,6 +32,7 @@ from ensembl_lakehouse_spark.service.cache import KVCache
 from ensembl_lakehouse_spark.service.export import SUPPORTED_FILE_FORMATS, ExportManager
 from ensembl_lakehouse_spark.service.jobs import QueryRegistry, SUCCEEDED
 from ensembl_lakehouse_spark.service.preview import preview as _preview
+from ensembl_lakehouse_spark.service.urls import UrlSigner
 
 
 class Engine:
@@ -50,6 +51,7 @@ class Engine:
         self.exports = ExportManager(
             export_dir=os.path.join(work_dir, "exports"), cache=self.cache
         )
+        self.signer = UrlSigner()
 
     # -- metadata endpoints ------------------------------------------
 
@@ -109,7 +111,14 @@ class Engine:
         }
 
     def query_status(self, query_id: str) -> dict:
-        return self.registry.status(query_id)
+        """Status + (on success) the result path AND a presigned URL
+        — the reference mints a 3600 s S3 presigned URL here
+        (app/main.py:272); ours is the HMAC-signed local equivalent
+        (service/urls.py)."""
+        out = self.registry.status(query_id)
+        if "result" in out:
+            out["result_url"] = self.signer.sign(out["result"])
+        return out
 
     def query_preview(self, query_id: str, max_results: int = 26) -> dict:
         handle = self.registry.get(query_id)
@@ -119,7 +128,10 @@ class Engine:
 
     def export(self, query_id: str, file_format: str) -> dict:
         handle = self.registry.get(query_id)
-        return self.exports.request_export(query_id, handle.df, file_format, handle.state)
+        out = self.exports.request_export(query_id, handle.df, file_format, handle.state)
+        if out.get("status") == "DONE" and "result" in out:
+            out["result_url"] = self.signer.sign(out["result"])
+        return out
 
     # -- lifecycle ----------------------------------------------------
 

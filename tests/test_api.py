@@ -122,6 +122,47 @@ def test_preview_range_check(server):
     assert status == 400
 
 
+def test_presigned_result_url_roundtrip(server):
+    """S12: SUCCEEDED status carries a presigned URL; fetching it
+    serves the result bytes (part headers deduped); tampering with
+    the signature is a 403."""
+    _, _, body = _get(server, "/query/lineitem/R?fields=l_orderkey,l_returnflag")
+    qid = body["query_id"]
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, _, st = _get(server, f"/query/{qid}/status")
+        if st.get("status") == "SUCCEEDED":
+            break
+        time.sleep(0.5)
+    url = st["result_url"]
+    assert url.startswith("/download?")
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{url}") as resp:
+        assert resp.status == 200
+        text = resp.read().decode()
+    assert text.count("l_orderkey,l_returnflag") == 1  # one header total
+    assert text.count("\n") > 1
+
+    tampered = url.replace("signature=", "signature=0")
+    try:
+        urllib.request.urlopen(f"http://127.0.0.1:{server.port}{tampered}")
+        raise AssertionError("tampered signature accepted")
+    except urllib.error.HTTPError as e:
+        assert e.code == 403
+
+
+def test_url_signer_expiry():
+    from ensembl_lakehouse_spark.service.urls import UrlSigner
+
+    now = [1000.0]
+    s = UrlSigner(secret=b"k", clock=lambda: now[0])
+    url = s.sign("/tmp/x", ttl_seconds=10)
+    q = dict(p.split("=", 1) for p in url.split("?", 1)[1].split("&"))
+    assert s.verify(q["path"], q["expires"], q["signature"])
+    now[0] += 11
+    assert not s.verify(q["path"], q["expires"], q["signature"])
+
+
 def test_export_unsupported_format_is_422(server):
     status, headers, body = _get(server, "/query/lineitem/R")
     qid = body["query_id"]
