@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": D.dedup_exact,
         "dedup_near": D.dedup_near,
         "dedup_simhash": D.dedup_simhash,
+        # Iterative (no SQL oracle — driver does rows-only check;
+        # pinned against Python union-find in pytest instead)
+        "dedup_components": D.dedup_components,
         # Similarity search (SURVEY §2 X2)
         "similarity_topk": S.similarity_topk,
         "similarity_lsh": S.similarity_lsh,

@@ -359,6 +359,82 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
 
 
+# ---------------------------------------------------------------------------
+# Cluster assembly: connected components over the near-dup graph
+# ---------------------------------------------------------------------------
+
+#: Iteration cap for label propagation (component diameter bound;
+#: near-dup clusters are near-cliques, so 2-3 rounds converge).
+CC_MAX_ITERATIONS = 20
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to its near-duplicate cluster: the
+    connected components of the dedup_near pair graph, labeled by
+    min doc_id (the canonical representative a pipeline keeps).
+
+    Iterative min-label propagation: each round every node takes
+    the min of its own label and its neighbors' labels; converged
+    when no label changes. This is the one operator here that is
+    genuinely iterative — not SQL-expressible as a single query, so
+    it has no DuckDB oracle (driver records the weaker rows-only
+    check); correctness is pinned by tests/test_dedup_similarity.py
+    against a Python union-find over the same edges.
+
+    Scale notes: each round is one join + partial-agg min on the
+    edge list — the textbook large-graph CC (Hash-Min), rounds
+    bounded by component diameter (near-dup clusters are
+    near-cliques → 2-3 rounds). ``localCheckpoint`` truncates the
+    growing lineage each round — without it iteration N replays
+    rounds 1..N-1 and the loop is quadratic. The driver-side loop
+    controls ITERATION count only (a `.count()` per round for the
+    convergence test); data never visits the driver.
+
+    Output: (doc_id, component, cluster_size) for ALL documents —
+    singletons are their own component, so `WHERE doc_id !=
+    component` is the rows-to-drop dedup verdict.
+    """
+    edges = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    both = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+
+    labels = (
+        both.select(F.col("doc_a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(CC_MAX_ITERATIONS):
+        msgs = both.join(labels, both.doc_a == labels.id).select(
+            F.col("doc_b").alias("id"), "label"
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select("doc_id")
+    )
+    assigned = docs.join(labels, docs.doc_id == labels.id, "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("component")
+    )
+    return assigned.withColumn(
+        "cluster_size", F.expr("count(*) OVER (PARTITION BY component)")
+    )
+
+
 def _duck_signature(hs: str) -> str:
     mins = ", ".join(
         f"list_min(list_transform({hs}, h -> (h * {a} + {b}) % {P31}))" for a, b in PERMS

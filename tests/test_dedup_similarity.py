@@ -123,6 +123,40 @@ def test_dedup_simhash_pairs_verified_and_guaranteed(spark):
     assert {(r.doc_a, r.doc_b) for r in pairs} == truth
 
 
+def test_dedup_components_match_union_find(spark, near_pairs):
+    """The Spark label-propagation components must equal a Python
+    union-find over the identical edge list — this pytest pin
+    replaces the DuckDB oracle the iterative operator can't have."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in near_pairs:
+        union(r.doc_a, r.doc_b)
+
+    rows = D.dedup_components(spark, SF_DIR).collect()
+    docs = {r.doc_id for r in rows}
+    assert len(rows) == len(docs)  # every doc exactly once
+    for r in rows:
+        expected = find(r.doc_id) if r.doc_id in parent else r.doc_id
+        assert r.component == expected, (r.doc_id, r.component, expected)
+    # cluster_size is consistent with the component partition
+    from collections import Counter
+
+    sizes = Counter(r.component for r in rows)
+    assert all(r.cluster_size == sizes[r.component] for r in rows)
+
+
 def test_dedup_embedding_pairs_verified(spark):
     from ensembl_lakehouse_spark.operators import similarity as S2
 
