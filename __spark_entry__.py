@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_safe_distinct": R.skew_safe_distinct,
         "quantile_summary": R.quantile_summary,
         "events_sessionize": R.events_sessionize,
+        "sample_hash": R.sample_hash,
+        "quota_per_group": R.quota_per_group,
         # Joins (SURVEY §2 EXT)
         "join_region_revenue": R.join_region_revenue,
         "join_order_lineitem": R.join_order_lineitem,
@@ -64,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": D.dedup_exact,
         "dedup_near": D.dedup_near,
         "dedup_simhash": D.dedup_simhash,
+        "dedup_near_chargram": D.dedup_near_chargram,
         # Iterative (no SQL oracle — driver does rows-only check;
         # pinned against Python union-find in pytest instead)
         "dedup_components": D.dedup_components,
@@ -101,6 +104,8 @@ def oracle_sql() -> dict[str, str]:
         "skew_safe_distinct": R.SKEW_SAFE_DISTINCT_SQL,
         "quantile_summary": R.QUANTILE_SUMMARY_SQL,
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
+        "sample_hash": R.SAMPLE_HASH_SQL,
+        "quota_per_group": R.QUOTA_PER_GROUP_SQL,
         "join_region_revenue": R.JOIN_REGION_REVENUE_SQL,
         "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,
@@ -115,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_near": D.DEDUP_NEAR_SQL,
         "dedup_simhash": D.DEDUP_SIMHASH_SQL,
+        "dedup_near_chargram": D.DEDUP_NEAR_CHARGRAM_SQL,
         "similarity_topk": S.SIMILARITY_TOPK_SQL,
         "similarity_lsh": S.SIMILARITY_LSH_SQL,
         "similarity_ivf": S.SIMILARITY_IVF_SQL,

@@ -190,7 +190,13 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_a, doc_b, n_sh_a, n_sh_b, n_common, jaccard).
     """
-    s = _shingled(spark, sf_dir)
+    return _near_pipeline(_shingled(spark, sf_dir))
+
+
+def _near_pipeline(s: DataFrame) -> DataFrame:
+    """MinHash+LSH+verify over any (doc_id, sh: array<string>)
+    input — the shingle definition (word n-gram, char n-gram, url,
+    …) is the caller's; the candidate lattice is shared."""
     sig = s.select("doc_id", "sh", F.expr(_spark_signature("sh")).alias("sig"))
     bands = sig.select(
         "doc_id", F.posexplode(F.expr(_spark_band_keys("sig"))).alias("band_idx", "band_key")
@@ -231,6 +237,37 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return scored
+
+
+#: Char-shingle width for the character-n-gram variant.
+CHARGRAM_N = 5
+
+
+def dedup_near_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram Jaccard near-dup: the same MinHash+LSH
+    lattice as dedup_near, but shingles are distinct 5-char windows
+    of the normalized text. Char grams are tokenizer-free — they
+    catch near-dups across languages without word boundaries (CJK,
+    code) and survive punctuation/casing edits that break word
+    shingles; word shingles are cheaper (fewer shingles/doc).
+    Production pipelines run whichever matches their corpus; both
+    share this implementation.
+
+    The char array is let-bound so the regexp char-split runs once
+    per doc, with each window an O(n) slice+join of the bound
+    array, never a substring re-scan of the string."""
+    chars = f"regexp_extract_all({NORM_SPARK_SQL}, '.', 0)"
+    sh = (
+        f"transform(array({chars}), ch -> array_distinct(transform("
+        f"sequence(1, greatest(size(ch) - {CHARGRAM_N - 1}, 1)), "
+        f"i -> array_join(slice(ch, i, {CHARGRAM_N}), ''))))[0]"
+    )
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.expr(sh).alias("sh"))
+    )
+    return _near_pipeline(s)
 
 
 # ---------------------------------------------------------------------------
@@ -451,13 +488,12 @@ def _duck_band_keys(sig: str) -> str:
     )
 
 
-DEDUP_NEAR_SQL = f"""
-WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-  FROM documents WHERE length(trim(text)) > 0
-), s AS (
-  SELECT doc_id, {sql_word_shingles("toks", SHINGLE_N)} AS sh FROM t
-), hs AS (
+def _near_sql(s_cte: str) -> str:
+    """Shared MinHash+LSH+verify oracle SQL over a caller-supplied
+    CTE chain ending in ``s(doc_id, sh)`` — the DuckDB twin of
+    :func:`_near_pipeline`."""
+    return f"""
+WITH {s_cte}, hs AS (
   SELECT doc_id, sh, list_transform(sh, x -> {sql_md5_long31("x")}) AS h FROM s
 ), sig AS (
   SELECT doc_id, sh, {_duck_signature("h")} AS g FROM hs
@@ -491,3 +527,26 @@ SELECT doc_a, doc_b, n_sh_a, n_sh_b, n_common,
 FROM scored
 WHERE CAST(n_common AS DOUBLE) / (n_sh_a + n_sh_b - n_common) >= {JACCARD_THRESHOLD}
 """
+
+
+_WORD_S_CTE = f"""t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), s AS (
+  SELECT doc_id, {sql_word_shingles("toks", SHINGLE_N)} AS sh FROM t
+)"""
+
+_CHAR_S_CTE = f"""c AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all({NORM_DUCK_SQL}, '.'), x -> x) AS ch
+  FROM documents WHERE length(trim(text)) > 0
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ch) - {CHARGRAM_N - 1}, 1) + 1),
+           i -> array_to_string(list_slice(ch, i, i + {CHARGRAM_N - 1}), ''))) AS sh
+  FROM c
+)"""
+
+DEDUP_NEAR_SQL = _near_sql(_WORD_S_CTE)
+DEDUP_NEAR_CHARGRAM_SQL = _near_sql(_CHAR_S_CTE)

@@ -333,6 +333,69 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10 % sample of lineitem keyed on the row's
+    identity hash — the reproducible-sampling primitive every
+    training-data pipeline needs: the same row set on every run, on
+    any cluster, resumable and auditable, unlike ``TABLESAMPLE`` /
+    ``rand()`` whose draw depends on partitioning and seed plumbing.
+
+    Map-only: the predicate evaluates inside the scan stage and the
+    sampled fraction flows straight to the consumer — no shuffle,
+    no extra pass. Rate changes are one constant; stratified rates
+    are a CASE over the stratum column on the same hash.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat(cast(l_orderkey AS string), '|', "
+        "cast(l_linenumber AS string))), 1, 8), 16, 10) AS bigint) % 100"
+    )
+    return (
+        li.withColumn("sample_bucket", bucket)
+        .where(F.col("sample_bucket") < 10)
+        .select("l_orderkey", "l_linenumber", "sample_bucket", "l_quantity")
+    )
+
+
+SAMPLE_HASH_SQL = """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         CAST('0x' || substr(md5(concat(CAST(l_orderkey AS VARCHAR), '|',
+              CAST(l_linenumber AS VARCHAR))), 1, 8) AS BIGINT) % 100 AS sample_bucket
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, sample_bucket, l_quantity
+FROM b WHERE sample_bucket < 10
+"""
+
+
+def quota_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quota: keep at most 40 documents per language
+    (deterministic doc_id order) — the source/language balancing
+    cap applied before training-data mixing.
+
+    Same two-phase WindowGroupLimit plan as the top-k operators:
+    each task pre-trims to 40 rows per group map-side, so the
+    shuffle is bounded by groups×quota×tasks regardless of how
+    skewed the group sizes are."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "rn", F.expr("row_number() OVER (PARTITION BY lang ORDER BY doc_id)")
+        )
+        .where(F.col("rn") <= 40)
+        .select("doc_id", "lang", "source", "rn")
+    )
+
+
+QUOTA_PER_GROUP_SQL = """
+SELECT doc_id, lang, source, rn FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= 40
+"""
+
+
 EVENTS_SESSIONIZE_SQL = """
 WITH g AS (
   SELECT user_id, ts, event_id,
