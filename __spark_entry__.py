@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": R.events_sessionize,
         "sample_hash": R.sample_hash,
         "quota_per_group": R.quota_per_group,
+        "events_asof_join": R.events_asof_join,
+        "pivot_counts": R.pivot_counts,
         # Joins (SURVEY §2 EXT)
         "join_region_revenue": R.join_region_revenue,
         "join_order_lineitem": R.join_order_lineitem,
@@ -106,6 +108,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
         "sample_hash": R.SAMPLE_HASH_SQL,
         "quota_per_group": R.QUOTA_PER_GROUP_SQL,
+        "events_asof_join": R.EVENTS_ASOF_JOIN_SQL,
+        "pivot_counts": R.PIVOT_COUNTS_SQL,
         "join_region_revenue": R.JOIN_REGION_REVENUE_SQL,
         "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,

@@ -396,6 +396,100 @@ WHERE rn <= 40
 """
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: for every ``click`` event, the
+    most recent ``purchase`` by the same user at or before the
+    click — the temporal-correctness primitive of feature pipelines
+    (no future leakage), which Spark has no built-in operator for.
+
+    Implemented as the composition SURVEY §2's custom-operator rule
+    prefers: union both sides sorted by (user, time), then one
+    IGNORE-NULLS running ``last`` window carries the latest
+    purchase forward into each click row. ONE shuffle on user_id
+    and a sort — strictly cheaper than the naive
+    join-then-filter-then-rank (events×events join fan-out), and
+    the shape AS OF joins compile to in kdb/QuestDB.
+
+    Rows: every click, with its matched purchase event_id/ts (null
+    when the user never purchased before the click)."""
+    events = load_table(spark, sf_dir, "events")
+    both = events.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    carried = both.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr(
+            f"last(CASE WHEN event_type = 'purchase' THEN event_id END, true) OVER {w}"
+        ).alias("asof_purchase_id"),
+        F.expr(
+            f"last(CASE WHEN event_type = 'purchase' THEN ts END, true) OVER {w}"
+        ).alias("asof_purchase_ts"),
+    )
+    return carried.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "asof_purchase_id",
+        "asof_purchase_ts",
+    )
+
+
+EVENTS_ASOF_JOIN_SQL = """
+WITH both_sides AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+           OVER w AS asof_purchase_id,
+         last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+           OVER w AS asof_purchase_ts
+  FROM both_sides
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS click_id, ts AS click_ts,
+       asof_purchase_id, asof_purchase_ts
+FROM carried WHERE event_type = 'click'
+"""
+
+
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/crosstab: lineitem counts by returnflag × linestatus,
+    statuses as columns. Expressed as conditional aggregation (the
+    portable pivot form — ``df.pivot()`` compiles to exactly this),
+    so the one groupBy keeps its map-side partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    statuses = ["F", "O"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.sum(F.when(F.col("l_linestatus") == s, 1).otherwise(0)).alias(f"n_{s}")
+                for s in statuses
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PIVOT_COUNTS_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_F,
+       SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_O
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 EVENTS_SESSIONIZE_SQL = """
 WITH g AS (
   SELECT user_id, ts, event_id,
