@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_per_group": R.quota_per_group,
         "events_asof_join": R.events_asof_join,
         "pivot_counts": R.pivot_counts,
+        "range_join_bands": R.range_join_bands,
+        "events_daily_from_hourly": R.events_daily_from_hourly,
+        "sketch_kmv_distinct": R.sketch_kmv_distinct,
         # Joins (SURVEY §2 EXT)
         "join_region_revenue": R.join_region_revenue,
         "join_order_lineitem": R.join_order_lineitem,
@@ -110,6 +113,9 @@ def oracle_sql() -> dict[str, str]:
         "quota_per_group": R.QUOTA_PER_GROUP_SQL,
         "events_asof_join": R.EVENTS_ASOF_JOIN_SQL,
         "pivot_counts": R.PIVOT_COUNTS_SQL,
+        "range_join_bands": R.RANGE_JOIN_BANDS_SQL,
+        "events_daily_from_hourly": R.EVENTS_DAILY_FROM_HOURLY_SQL,
+        "sketch_kmv_distinct": R.SKETCH_KMV_DISTINCT_SQL,
         "join_region_revenue": R.JOIN_REGION_REVENUE_SQL,
         "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,

@@ -490,6 +490,165 @@ ORDER BY l_returnflag
 """
 
 
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join, scalably: count lineitems whose
+    quantity falls in each of five uniform quantity bands.
+
+    Spark executes a raw ``lo <= x AND x < hi`` theta-join as a
+    broadcast nested loop — O(rows × bands) comparisons. Because
+    the bands are uniform, the point side can compute its band id
+    arithmetically (``floor(x / width)``) and the join becomes an
+    EQUI-join with a residual predicate — the standard bucketized
+    range join (non-uniform intervals bucketize by interval overlap
+    instead). The oracle is the plain theta-join: results must be
+    identical, only the plan differs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.range(5).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 10 + 1).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 10 + 1).cast("double").alias("hi"),
+    )
+    pts = li.withColumn(
+        "band_id", F.floor((F.col("l_quantity") - 1) / 10).cast("int")
+    )
+    return (
+        pts.join(F.broadcast(bands), "band_id")
+        .where((F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")))
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("band_id")
+    )
+
+
+RANGE_JOIN_BANDS_SQL = """
+WITH bands AS (
+  SELECT CAST(i AS INTEGER) AS band_id,
+         CAST(i * 10 + 1 AS DOUBLE) AS lo,
+         CAST((i + 1) * 10 + 1 AS DOUBLE) AS hi
+  FROM (SELECT unnest(range(0, 5)) AS i)
+)
+SELECT band_id, lo, hi,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN bands
+  ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band_id, lo, hi
+ORDER BY band_id
+"""
+
+
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the DAILY
+    aggregate computed FROM the hourly aggregate (events_hourly),
+    not from raw events — sums re-aggregate losslessly (decimal),
+    counts sum, so coarser resolutions derive from finer ones
+    without rescanning the base table. That cascade is the entire
+    point of a hypertable at 100 TB: the daily query touches
+    |hours| rows, not |events|. The oracle aggregates raw events
+    directly — equality proves the re-aggregation is lossless.
+    distinct users intentionally ABSENT here: distinct does not
+    re-aggregate (that is what sketches are for — see
+    sketch_kmv_distinct)."""
+    hourly = events_hourly(spark, sf_dir)
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("sum_value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_DAILY_FROM_HOURLY_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+#: KMV sketch size (k-th minimum hash value estimator).
+KMV_K = 64
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation via a K-Minimum-Values sketch —
+    the oracle-able sketch: built on deterministic md5 hashes, so
+    unlike HLL (engine-specific registers) both engines compute the
+    identical estimate. Estimator: with h_k the k-th smallest
+    60-bit hash of the distinct values, D̂ = (k-1)·2^60 / h_k.
+
+    Mergeability is the 100 TB property: a KMV sketch is just the k
+    smallest hashes, so partial sketches from different partitions
+    (or the hourly rollup above) merge by union+truncate — exactly
+    what COUNT(DISTINCT) cannot do. Plan: distinct (flag, partkey)
+    pairs (skew-free two-column shuffle), hash, per-flag rank, keep
+    rank k. Output carries the exact count too, so the estimate's
+    error is visible in the result (~1/√k ≈ 12 % at k=64)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    hashed = pairs.withColumn(
+        "h",
+        F.expr(
+            "cast(conv(substring(md5(cast(l_partkey AS string)), 1, 15), 16, 10) AS bigint)"
+        ),
+    )
+    ranked = hashed.withColumn(
+        "rk", F.expr("row_number() OVER (PARTITION BY l_returnflag ORDER BY h, l_partkey)")
+    )
+    kth = ranked.where(F.col("rk") == KMV_K)
+    exact = pairs.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return (
+        kth.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("h").alias("kth_min_hash"),
+            (
+                F.lit(float(KMV_K - 1))
+                * F.lit(float(2**60))
+                / F.col("h").cast("double")
+            ).alias("kmv_estimate"),
+            "exact_distinct",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SKETCH_KMV_DISTINCT_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+), hashed AS (
+  SELECT l_returnflag, l_partkey,
+         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM pairs
+), ranked AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h, l_partkey) AS rk
+  FROM hashed
+), kth AS (
+  SELECT l_returnflag, h FROM ranked WHERE rk = {KMV_K}
+), exact AS (
+  SELECT l_returnflag, COUNT(*) AS exact_distinct FROM pairs GROUP BY 1
+)
+SELECT k.l_returnflag,
+       k.h AS kth_min_hash,
+       (CAST({KMV_K - 1} AS DOUBLE) * CAST({2**60} AS DOUBLE) / CAST(k.h AS DOUBLE)) AS kmv_estimate,
+       e.exact_distinct
+FROM kth k JOIN exact e ON k.l_returnflag = e.l_returnflag
+ORDER BY k.l_returnflag
+"""
+
+
 EVENTS_SESSIONIZE_SQL = """
 WITH g AS (
   SELECT user_id, ts, event_id,
