@@ -6,3 +6,12 @@ from ensembl_lakehouse_spark.streaming.events import (  # noqa: F401
     session_stream,
     sliding_stream,
 )
+from ensembl_lakehouse_spark.streaming.joins import (  # noqa: F401
+    attribution_join,
+    attribution_join_batch,
+    run_attribution_to_memory,
+)
+from ensembl_lakehouse_spark.streaming.stateful import (  # noqa: F401
+    running_event_totals,
+    run_totals_to_memory,
+)
