@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ensembl_lakehouse_spark.operators import dedup as D
 from ensembl_lakehouse_spark.operators import multimodal as M
+from ensembl_lakehouse_spark.operators import pipeline as P
 from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import similarity as S
 from ensembl_lakehouse_spark.operators import text as T
@@ -83,6 +84,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Multimodal columns (SURVEY §2 X4)
         "multimodal_centroid": M.multimodal_centroid,
         "multimodal_payload": M.multimodal_payload,
+        # Composed curation pipeline (EXT capstone)
+        "pipeline_curation": P.pipeline_curation,
     }
 
 
@@ -137,4 +140,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": S.DEDUP_EMBEDDING_SQL,
         "multimodal_centroid": M.MULTIMODAL_CENTROID_SQL,
         "multimodal_payload": M.MULTIMODAL_PAYLOAD_SQL,
+        "pipeline_curation": P.PIPELINE_CURATION_SQL,
     }

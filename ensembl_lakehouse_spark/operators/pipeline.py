@@ -1,0 +1,117 @@
+"""Composed curation pipeline (EXT capstone): the operators as one
+dataset-curation flow, proving they compose into the thing a user
+actually runs — quality-filter → exact-dedup → per-language quota →
+deterministic sample — in a single declarative plan.
+
+Stage order follows production practice: cheap map-only filters
+first (quality — kills rows before any shuffle), dedup second
+(fingerprint window), balancing quota third (needs the surviving
+population), reproducible sampling last (so the sample rate applies
+to the curated pool). Catalyst pipelines the whole thing: one scan
+of documents, two window shuffles (fp_md5, lang), no joins.
+
+Every stage reuses the SAME expression builders as its standalone
+operator (functions.text norm constants, md5 fingerprint, quota
+window, hash-bucket sample), so this query's oracle doubles as an
+integration check that the pieces don't drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ensembl_lakehouse_spark.functions.text import NORM_DUCK_SQL, NORM_SPARK_SQL
+from ensembl_lakehouse_spark.operators.text import STOPWORDS
+from ensembl_lakehouse_spark.sources.tables import load_table
+
+#: Pipeline knobs (each stage's standalone twin documents the why).
+QUALITY_MIN = 0.5
+QUOTA_PER_LANG = 30
+SAMPLE_PCT = 50
+
+
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → keep quality ≥ 0.5 → keep canonical exact-dup
+    representative → keep first QUOTA_PER_LANG per language → keep
+    the deterministic SAMPLE_PCT% hash sample.
+
+    Output: (doc_id, lang, quality_score, rn, sample_bucket) of the
+    surviving curated set."""
+    stop_quoted = ", ".join(f"'{s}'" for s in STOPWORDS)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .withColumn("toks", F.split(F.trim("text"), r"\s+"))
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (
+            (
+                F.expr(f"size(filter(toks, x -> x IN ({stop_quoted})))").cast("double")
+                / F.size("toks")
+            )
+            * 0.25
+            + (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")) * 0.25
+            + (
+                F.lit(1.0)
+                - (
+                    F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+                ).cast("double")
+                / F.length("text")
+            )
+            * 0.25
+            + (F.least(F.size("toks"), F.lit(100)).cast("double") / F.lit(100.0)) * 0.25
+        ).alias("quality_score"),
+        F.expr(
+            f"cast(conv(substring(md5({NORM_SPARK_SQL}), 1, 15), 16, 10) AS bigint)"
+        ).alias("fp_md5"),
+    ).where(F.col("quality_score") >= QUALITY_MIN)
+    canonical = scored.withColumn(
+        "min_doc", F.expr("min(doc_id) OVER (PARTITION BY fp_md5)")
+    ).where(F.col("doc_id") == F.col("min_doc"))
+    quota = canonical.withColumn(
+        "rn", F.expr("row_number() OVER (PARTITION BY lang ORDER BY doc_id)")
+    ).where(F.col("rn") <= QUOTA_PER_LANG)
+    return (
+        quota.withColumn(
+            "sample_bucket",
+            F.expr(
+                "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100"
+            ),
+        )
+        .where(F.col("sample_bucket") < SAMPLE_PCT)
+        .select("doc_id", "lang", "quality_score", "rn", "sample_bucket")
+    )
+
+
+PIPELINE_CURATION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), scored AS (
+  SELECT doc_id, lang,
+    ((CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{s}'" for s in STOPWORDS)}))) AS DOUBLE) / len(toks)) * 0.25
+     + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.25
+     + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+     + (CAST(least(len(toks), 100) AS DOUBLE) / 100.0) * 0.25) AS quality_score,
+    CAST('0x' || substr(md5({NORM_DUCK_SQL}), 1, 15) AS BIGINT) AS fp_md5
+  FROM t
+), q AS (
+  SELECT * FROM scored WHERE quality_score >= {QUALITY_MIN}
+), canonical AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fp_md5) AS min_doc FROM q)
+  WHERE doc_id = min_doc
+), quota AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, quality_score,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM canonical)
+  WHERE rn <= {QUOTA_PER_LANG}
+)
+SELECT doc_id, lang, quality_score, rn,
+       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS sample_bucket
+FROM quota
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < {SAMPLE_PCT}
+"""
