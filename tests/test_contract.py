@@ -1,0 +1,63 @@
+"""Driver-contract integrity guards (no SparkSession needed — fast).
+
+Protects the __spark_entry__ wiring against future-round mistakes:
+every query callable must be importable, every oracle must be valid
+DuckDB SQL against the fixture schema (EXPLAIN parses and binds
+without executing), and the documented no-oracle exceptions must
+stay an explicit, short list."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: queries() entries deliberately lacking an oracle (iterative /
+#: not SQL-expressible). Adding to this list is an explicit act.
+NO_ORACLE_ALLOWED = {"dedup_components"}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def test_every_query_is_callable():
+    qs = entry.queries()
+    assert qs, "queries() is empty"
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_oracle_coverage_is_total_minus_documented_exceptions():
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    missing = set(qs) - set(oracles)
+    assert missing == NO_ORACLE_ALLOWED, (
+        f"queries without an oracle beyond the documented set: "
+        f"{missing - NO_ORACLE_ALLOWED}; stale exceptions: "
+        f"{NO_ORACLE_ALLOWED - missing}"
+    )
+    orphans = set(oracles) - set(qs)
+    assert not orphans, f"oracles with no query: {orphans}"
+
+
+def test_every_oracle_parses_and_binds_in_duckdb(duck):
+    for name, sql in entry.oracle_sql().items():
+        try:
+            duck.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # pragma: no cover - failure detail
+            pytest.fail(f"oracle for {name!r} does not bind: {exc}")
