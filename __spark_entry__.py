@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bands": R.range_join_bands,
         "events_daily_from_hourly": R.events_daily_from_hourly,
         "sketch_kmv_distinct": R.sketch_kmv_distinct,
+        "events_gapfill": R.events_gapfill,
+        "text_redact": T.text_redact,
         # Joins (SURVEY §2 EXT)
         "join_region_revenue": R.join_region_revenue,
         "join_order_lineitem": R.join_order_lineitem,
@@ -119,6 +121,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join_bands": R.RANGE_JOIN_BANDS_SQL,
         "events_daily_from_hourly": R.EVENTS_DAILY_FROM_HOURLY_SQL,
         "sketch_kmv_distinct": R.SKETCH_KMV_DISTINCT_SQL,
+        "events_gapfill": R.EVENTS_GAPFILL_SQL,
+        "text_redact": T.TEXT_REDACT_SQL,
         "join_region_revenue": R.JOIN_REGION_REVENUE_SQL,
         "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,

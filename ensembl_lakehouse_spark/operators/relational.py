@@ -649,6 +649,65 @@ ORDER BY k.l_returnflag
 """
 
 
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: the hourly event counts with every
+    (hour × event_type) cell present — zero-filled where no events
+    landed. Downstream consumers (anomaly detection, charting,
+    windowed models) need the dense grid; a groupBy alone silently
+    omits empty buckets.
+
+    Plan: aggregate to hourly counts first (small), THEN build the
+    spine (sequence over the observed min..max hour × distinct
+    types — both tiny aggregates) and left-join the counts onto it.
+    The expensive side is reduced before the join; the spine side is
+    |hours|·|types| rows and broadcast. Never densify raw rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = hourly.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    spine = hours.crossJoin(types)
+    return (
+        spine.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            (F.col("n_events").isNull()).alias("was_gap"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(hour) AS lo, max(hour) AS hi FROM hourly
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), spine AS (
+  SELECT h.hour, t.event_type FROM hours h CROSS JOIN types t
+)
+SELECT s.hour, s.event_type,
+       COALESCE(hourly.n_events, 0) AS n_events,
+       hourly.n_events IS NULL AS was_gap
+FROM spine s LEFT JOIN hourly
+  ON s.hour = hourly.hour AND s.event_type = hourly.event_type
+ORDER BY s.hour, s.event_type
+"""
+
+
 EVENTS_SESSIONIZE_SQL = """
 WITH g AS (
   SELECT user_id, ts, event_id,

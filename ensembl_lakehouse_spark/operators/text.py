@@ -243,6 +243,77 @@ FROM r
 
 
 # ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: Redaction patterns, applied in order. Kept to constructs with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB):
+#: character classes, bounded/unbounded repetition — no
+#: backreferences or lookaround. Patterns are passed through the
+#: COLUMN API on the Spark side: embedding them in SQL literals
+#: would let Spark's string parser eat the backslashes
+#: (`'\.'` → `.`) and silently change the regex (measured — see
+#: cross-engine parity notes).
+REDACTIONS: tuple[tuple[str, str, str], ...] = (
+    # Specific before generic: SSN must precede phone or the broad
+    # digits-and-dashes phone pattern consumes SSNs first (caught by
+    # tests/test_text_ops.py::test_redact_df_on_crafted_pii).
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_df(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
+    """Apply the REDACTIONS cascade to ``df[text_col]``; returns
+    ``keep`` columns + per-category counts + ``redacted`` +
+    ``was_redacted``. Reused by the contract query and unit-tested
+    directly on crafted PII (the fixture corpus is word-salad, so
+    the oracle match alone would only prove the no-op path)."""
+    out = df.select(
+        *keep,
+        *[
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+            for name, pat, _ in REDACTIONS
+        ],
+        F.col(text_col).alias("redacted"),
+    )
+    for _, pat, token in REDACTIONS:
+        out = out.withColumn("redacted", F.regexp_replace("redacted", pat, token))
+    return out.withColumn(
+        "was_redacted",
+        sum(F.col(f"n_{name}") for name, _, _ in REDACTIONS) > F.lit(0),
+    )
+
+
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the compliance gate of a training-data pipeline:
+    emails, URLs, phone-like numbers and SSN-shaped ids replaced
+    with typed placeholders, with per-category hit counts so the
+    scrub is auditable (which corpora leak what, at what rate).
+
+    Map-only; patterns applied in declaration order (earlier
+    redactions can mask later patterns — e.g. an email inside a URL
+    — so order is part of the semantics, mirrored in the oracle).
+    Counts are measured on the ORIGINAL text, redaction cascades on
+    the running result."""
+    df = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return redact_df(df, "text", keep=["doc_id", "lang"])
+
+
+TEXT_REDACT_SQL = f"""
+WITH d AS (SELECT doc_id, lang, text FROM documents WHERE length(trim(text)) > 0)
+SELECT doc_id, lang,
+  {", ".join(f"len(regexp_extract_all(text, '{pat}')) AS n_{name}" for name, pat, _ in REDACTIONS)},
+  {"".join("regexp_replace(" for _ in REDACTIONS)}text
+    {"".join(f", '{pat}', '{tok}', 'g')" for _, pat, tok in REDACTIONS)} AS redacted,
+  ({" + ".join(f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in REDACTIONS)}) > 0 AS was_redacted
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fingerprinting
 # ---------------------------------------------------------------------------
 

@@ -89,3 +89,27 @@ def test_fingerprint_detects_exact_dup_after_normalization(spark):
         ).collect()
     }
     assert out[1] == out[2] != out[3]
+
+
+def test_redact_df_on_crafted_pii(spark):
+    """The fixture corpus has no PII, so the oracle only proves the
+    no-op path; this drives the cascade with real-shaped PII."""
+    from ensembl_lakehouse_spark.operators.text import redact_df
+
+    rows = [
+        (1, "mail me at jane.doe+spam@corp.example.com today"),
+        (2, "see https://example.com/a?b=c#frag and also http://x.io"),
+        (3, "call +1 (555) 123-4567 or 555 867 5309 ok"),
+        (4, "ssn 123-45-6789 leaked"),
+        (5, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_df(df, "text", ["doc_id"]).collect()}
+
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].redacted
+    assert "jane" not in out[1].redacted
+    assert out[2].n_url == 2 and out[2].redacted.count("<URL>") == 2
+    assert out[3].n_phone == 2 and out[3].redacted.count("<PHONE>") == 2
+    assert out[4].n_ssn == 1 and "<SSN>" in out[4].redacted
+    assert not out[5].was_redacted and out[5].redacted == rows[4][1]
+    assert all(out[i].was_redacted for i in (1, 2, 3, 4))
