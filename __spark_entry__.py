@@ -21,6 +21,7 @@ from ensembl_lakehouse_spark.operators import multimodal as M
 from ensembl_lakehouse_spark.operators import pipeline as P
 from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import similarity as S
+from ensembl_lakehouse_spark.operators import subqueries as Q
 from ensembl_lakehouse_spark.operators import text as T
 
 
@@ -54,6 +55,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": R.sketch_kmv_distinct,
         "events_gapfill": R.events_gapfill,
         "text_redact": T.text_redact,
+        # Decorrelated subqueries (SURVEY §2 EXT; TPC-H Q17/Q13/Q4 shapes)
+        "scalar_subquery_threshold": Q.scalar_subquery_threshold,
+        "cust_order_distribution": Q.cust_order_distribution,
+        "exists_order_priority": Q.exists_order_priority,
         # Joins (SURVEY §2 EXT)
         "join_region_revenue": R.join_region_revenue,
         "join_order_lineitem": R.join_order_lineitem,
@@ -123,6 +128,9 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kmv_distinct": R.SKETCH_KMV_DISTINCT_SQL,
         "events_gapfill": R.EVENTS_GAPFILL_SQL,
         "text_redact": T.TEXT_REDACT_SQL,
+        "scalar_subquery_threshold": Q.SCALAR_SUBQUERY_THRESHOLD_SQL,
+        "cust_order_distribution": Q.CUST_ORDER_DISTRIBUTION_SQL,
+        "exists_order_priority": Q.EXISTS_ORDER_PRIORITY_SQL,
         "join_region_revenue": R.JOIN_REGION_REVENUE_SQL,
         "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,
