@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ensembl_lakehouse_spark.operators import dedup as D
+from ensembl_lakehouse_spark.operators import maintenance as MT
 from ensembl_lakehouse_spark.operators import multimodal as M
 from ensembl_lakehouse_spark.operators import pipeline as P
 from ensembl_lakehouse_spark.operators import relational as R
@@ -63,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_region_revenue": R.join_region_revenue,
         "join_order_lineitem": R.join_order_lineitem,
         "join_semi_anti": R.join_semi_anti,
+        "join_skew_salted": MT.join_skew_salted,
+        "merge_upsert": MT.merge_upsert,
         # Windows (SURVEY §2 EXT)
         "window_topk_per_group": R.window_topk_per_group,
         "window_running_sum": R.window_running_sum,
@@ -134,6 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "join_region_revenue": R.JOIN_REGION_REVENUE_SQL,
         "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,
+        "join_skew_salted": MT.JOIN_SKEW_SALTED_SQL,
+        "merge_upsert": MT.MERGE_UPSERT_SQL,
         "window_topk_per_group": R.WINDOW_TOPK_SQL,
         "window_running_sum": R.WINDOW_RUNNING_SUM_SQL,
         "set_ops": R.SET_OPS_SQL,

@@ -1,0 +1,182 @@
+"""Skew management and table-maintenance operators (EXT).
+
+The reference never joins or mutates (read-only single-table surface,
+app/main.py:479); at 100 TB both arrive immediately:
+
+- **Salted join** — the standard counter to a hot join key. When the
+  probe side has a key whose row count dwarfs the rest, hash
+  partitioning sends the whole hot key to ONE task; AQE's skew-join
+  split handles many cases, but the classic explicit fix — salt the
+  big side, replicate the dim — is the tool when AQE can't (e.g.
+  aggregation-after-join pinned to the same partitioning, or
+  pre-AQE engines). The operator proves the rewrite is
+  semantics-preserving: its oracle is the UNSALTED join.
+- **Merge/upsert** — what Delta's MERGE INTO compiles to when the
+  storage layer is plain parquet: full-outer join target↔source on
+  the primary key, per-column coalesce, change-type tag. One
+  sort-merge shuffle on the PK; at scale the source side is
+  partition-pruned to touched partitions first (sources/layout.py
+  carries that story).
+
+Determinism: no aggregation over doubles except behind DECIMAL
+casts; per-row double arithmetic (the simulated CDC price bump) is
+identical IEEE ops in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ensembl_lakehouse_spark.sources.tables import load_table
+
+_DEC = "decimal(12,2)"
+
+#: Salt fan-out: each (suppkey) key's rows spread over this many
+#: sub-keys; the dim is replicated this many times. 8 splits a
+#: straggler task 8× at the cost of an 8× dim dup — cheap when the
+#: dim is thousands of times smaller than the fact.
+SALT_BUCKETS = 8
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier via an explicitly SALTED fact⋈dim join.
+
+    Rewrite: fact rows get ``salt = pmod(l_orderkey, S)`` (any
+    deterministic spreader works — crucially NOT derived from the
+    join key, so a hot suppkey's rows land in S different
+    partitions); the supplier dim is exploded ×S with every salt
+    value. The join key becomes (suppkey, salt): a key that was one
+    straggler task is now S parallel tasks.
+
+    The aggregation then re-groups by supplier only, which Spark
+    runs as partial aggs on the salted partitioning followed by one
+    tiny final shuffle — so the hot key's work stays split end-to-
+    end. Oracle = the plain unsalted join+agg: bit-equal results
+    prove the rewrite preserves semantics.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    salted_fact = li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(SALT_BUCKETS)))
+    salted_dim = supp.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+    ).withColumn("salt", F.col("salt").cast("bigint"))
+    revenue = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    )
+    return (
+        salted_fact.join(
+            salted_dim,
+            on=[
+                salted_fact.l_suppkey == salted_dim.s_suppkey,
+                salted_fact.salt == salted_dim.salt,
+            ],
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+JOIN_SKEW_SALTED_SQL = """
+SELECT s_suppkey, s_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY s_suppkey
+"""
+
+
+#: Simulated CDC feed: every 10th order gets a price/status update,
+#: every 100th≡7 order arrives as a brand-new row (key offset far
+#: above the existing keyspace).
+_UPDATE_MOD = 10
+_INSERT_MOD = 100
+_INSERT_REM = 7
+_INSERT_KEY_OFFSET = 1_000_000_000
+
+
+def _cdc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.where(F.col("o_orderkey") % _UPDATE_MOD == 0)
+        .select(
+            "o_orderkey",
+            F.lit("P").alias("o_orderstatus"),
+            (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        )
+    )
+    inserts = (
+        orders.where(F.col("o_orderkey") % _INSERT_MOD == _INSERT_REM)
+        .select(
+            (F.col("o_orderkey") + F.lit(_INSERT_KEY_OFFSET)).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.col("o_totalprice"),
+        )
+    )
+    return updates.unionByName(inserts)
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO orders USING cdc ON o_orderkey — as a plain-
+    parquet engine runs it: one full-outer sort-merge join on the
+    PK, per-column COALESCE(source, target), and a change tag
+    (U=updated, I=inserted, K=kept) so downstream audit is free.
+
+    WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT — the
+    full-outer + coalesce IS those clauses, declaratively; Delta's
+    MERGE compiles to this same join under the hood. Scale: both
+    sides shuffle once on o_orderkey; with a partitioned target the
+    join is preceded by partition pruning to the touched set.
+    """
+    target = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    source = _cdc_source(spark, sf_dir)
+    t, s = target.alias("t"), source.alias("s")
+    return (
+        t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("s.o_orderkey"), F.col("t.o_orderkey")).alias("o_orderkey"),
+            F.coalesce(F.col("s.o_orderstatus"), F.col("t.o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.coalesce(F.col("s.o_totalprice"), F.col("t.o_totalprice")).alias(
+                "o_totalprice"
+            ),
+            F.when(
+                F.col("s.o_orderkey").isNotNull() & F.col("t.o_orderkey").isNotNull(),
+                F.lit("U"),
+            )
+            .when(F.col("t.o_orderkey").isNull(), F.lit("I"))
+            .otherwise(F.lit("K"))
+            .alias("change_type"),
+        )
+    )
+
+
+MERGE_UPSERT_SQL = f"""
+WITH src AS (
+  SELECT o_orderkey, 'P' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % {_UPDATE_MOD} = 0
+  UNION ALL
+  SELECT o_orderkey + {_INSERT_KEY_OFFSET}, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % {_INSERT_MOD} = {_INSERT_REM}
+)
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+       COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+       CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 'U'
+            WHEN t.o_orderkey IS NULL THEN 'I'
+            ELSE 'K' END AS change_type
+FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) t
+FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+"""
