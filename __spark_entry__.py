@@ -48,12 +48,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_summary": R.quantile_summary,
         "events_sessionize": R.events_sessionize,
         "sample_hash": R.sample_hash,
+        "sample_weighted": R.sample_weighted,
         "quota_per_group": R.quota_per_group,
         "events_asof_join": R.events_asof_join,
         "pivot_counts": R.pivot_counts,
         "range_join_bands": R.range_join_bands,
         "events_daily_from_hourly": R.events_daily_from_hourly,
         "sketch_kmv_distinct": R.sketch_kmv_distinct,
+        "sketch_quantile_sample": R.sketch_quantile_sample,
         "events_gapfill": R.events_gapfill,
         "text_redact": T.text_redact,
         # Decorrelated subqueries (SURVEY §2 EXT; TPC-H Q17/Q13/Q4 shapes)
@@ -123,12 +125,14 @@ def oracle_sql() -> dict[str, str]:
         "quantile_summary": R.QUANTILE_SUMMARY_SQL,
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
         "sample_hash": R.SAMPLE_HASH_SQL,
+        "sample_weighted": R.SAMPLE_WEIGHTED_SQL,
         "quota_per_group": R.QUOTA_PER_GROUP_SQL,
         "events_asof_join": R.EVENTS_ASOF_JOIN_SQL,
         "pivot_counts": R.PIVOT_COUNTS_SQL,
         "range_join_bands": R.RANGE_JOIN_BANDS_SQL,
         "events_daily_from_hourly": R.EVENTS_DAILY_FROM_HOURLY_SQL,
         "sketch_kmv_distinct": R.SKETCH_KMV_DISTINCT_SQL,
+        "sketch_quantile_sample": R.SKETCH_QUANTILE_SAMPLE_SQL,
         "events_gapfill": R.EVENTS_GAPFILL_SQL,
         "text_redact": T.TEXT_REDACT_SQL,
         "scalar_subquery_threshold": Q.SCALAR_SUBQUERY_THRESHOLD_SQL,

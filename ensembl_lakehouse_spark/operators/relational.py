@@ -368,6 +368,75 @@ FROM b WHERE sample_bucket < 10
 """
 
 
+#: Weighted-sample size and weight cap (tokens).
+WEIGHTED_SAMPLE_N = 200
+WEIGHTED_SAMPLE_MAX_W = 32
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, fully deterministic:
+    an integer-only Efraimidis–Spirakis sampler. Classic A-ES keeps
+    the top-n rows by ``u^(1/w)`` with u~U(0,1); the max of w i.i.d.
+    uniforms has exactly that distribution, so the key here is
+    ``max over j in 1..w of md5_uniform(doc_id, j)`` — pure 60-bit
+    integer hashing, no pow/log, bit-identical in any engine. Weight
+    = token count capped at 32: length-proportional selection, the
+    "sample long documents preferentially" knob of a curation
+    pipeline, and the cap bounds per-row hash cost.
+
+    Scale: key computation is map-only (≤32 md5s per row);
+    ``orderBy().limit(n)`` compiles to TakeOrderedAndProject — each
+    task keeps an n-row heap and only n·tasks rows reach the final
+    merge, so there is no global sort and no single-partition
+    window. The rank column is added AFTER the limit, over n=200
+    rows (bounded, like preview_limit).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        f"greatest(1, least({WEIGHTED_SAMPLE_MAX_W}, "
+        f"size(split(trim(text), '\\\\s+'))))"
+    )
+    key = (
+        f"array_max(transform(sequence(1, {w}), "
+        f"j -> cast(conv(substring(md5(concat(cast(doc_id AS string), '#', "
+        f"cast(j AS string))), 1, 15), 16, 10) AS bigint)))"
+    )
+    top = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(w).alias("weight"),
+            F.expr(key).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        .limit(WEIGHTED_SAMPLE_N)
+    )
+    return top.withColumn(
+        "rank", F.expr("row_number() OVER (ORDER BY es_key DESC, doc_id)")
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         greatest(1, least({WEIGHTED_SAMPLE_MAX_W},
+                 len(string_split_regex(trim(text), '\\s+')))) AS weight
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, weight,
+         list_max(list_transform(range(1, weight + 1),
+           j -> CAST('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#',
+                CAST(j AS VARCHAR))), 1, 15) AS BIGINT))) AS es_key
+  FROM keyed
+), top AS (
+  SELECT * FROM scored ORDER BY es_key DESC, doc_id LIMIT {WEIGHTED_SAMPLE_N}
+)
+SELECT doc_id, lang, weight, es_key,
+       row_number() OVER (ORDER BY es_key DESC, doc_id) AS rank
+FROM top
+"""
+
+
 def quota_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quota: keep at most 40 documents per language
     (deterministic doc_id order) — the source/language balancing
@@ -646,6 +715,88 @@ SELECT k.l_returnflag,
        e.exact_distinct
 FROM kth k JOIN exact e ON k.l_returnflag = e.l_returnflag
 ORDER BY k.l_returnflag
+"""
+
+
+#: Bottom-k sample size per group for the quantile sketch.
+QSKETCH_K = 256
+
+
+def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: per group, the bottom-QSKETCH_K
+    rows by deterministic hash rank form a uniform sample (the KMV
+    idea applied to rows instead of distinct values); quantiles are
+    then computed exactly over the sample. Like any bottom-k
+    structure it merges by union+truncate, so partial sketches from
+    different partitions/days combine losslessly — the property
+    ``percentile`` lacks and ``percentile_approx`` buys with an
+    engine-specific t-digest that no oracle can check. This sketch
+    is deterministic in ANY engine, which is the whole trick:
+    sketch accuracy becomes oracle-checkable.
+
+    Plan: the hash rank is map-only; ``row_number() <= k`` per group
+    compiles to two-phase WindowGroupLimit (map-side k-row heap →
+    one bounded shuffle of k·tasks rows); the sample percentile then
+    touches k rows per group, not the group. The exact percentile is
+    carried alongside (one extra agg over the same scan) so the
+    sample error ~1/√k is visible in the result, mirroring
+    sketch_kmv_distinct's exact_distinct column.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        "cast(conv(substring(md5(concat(cast(l_orderkey AS string), '|', "
+        "cast(l_linenumber AS string))), 1, 15), 16, 10) AS bigint)"
+    )
+    sampled = (
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("h", F.expr(h))
+        .withColumn(
+            "rk",
+            F.expr(
+                "row_number() OVER (PARTITION BY l_returnflag "
+                "ORDER BY h, l_orderkey, l_linenumber)"
+            ),
+        )
+        .where(F.col("rk") <= QSKETCH_K)
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_sample"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_sample"),
+            F.count(F.lit(1)).alias("n_sample"),
+        )
+    )
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"))
+    )
+    return sampled.join(exact, "l_returnflag").orderBy("l_returnflag")
+
+
+SKETCH_QUANTILE_SAMPLE_SQL = f"""
+WITH hashed AS (
+  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+         CAST('0x' || substr(md5(concat(CAST(l_orderkey AS VARCHAR), '|',
+              CAST(l_linenumber AS VARCHAR))), 1, 15) AS BIGINT) AS h
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+           ORDER BY h, l_orderkey, l_linenumber) AS rk
+  FROM hashed
+), sampled AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.5) AS p50_sample,
+         quantile_cont(l_extendedprice, 0.95) AS p95_sample,
+         COUNT(*) AS n_sample
+  FROM ranked WHERE rk <= {QSKETCH_K}
+  GROUP BY l_returnflag
+), exact AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50_exact
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT s.l_returnflag, s.p50_sample, s.p95_sample, s.n_sample, e.p50_exact
+FROM sampled s JOIN exact e ON s.l_returnflag = e.l_returnflag
+ORDER BY s.l_returnflag
 """
 
 
