@@ -160,3 +160,16 @@ def test_stream_stream_attribution_join_matches_batch(spark, events_dir):
 def test_watermark_is_applied(spark, events_dir):
     plan = SE.hourly_stream(spark, events_dir)._jdf.queryExecution().analyzed().toString()
     assert "watermark" in plan.lower()
+
+
+def test_streaming_dedup_suppresses_redelivery(spark, events_dir):
+    """Every event delivered twice (worst-case at-least-once) must
+    come out exactly once: the deduped stream equals the batch
+    row set, with no duplicates surviving."""
+    from ensembl_lakehouse_spark.streaming import dedup as SD
+
+    out = SD.run_dedup_to_memory(spark, events_dir, "t_dedup_stream").collect()
+    ids = [r.event_id for r in out]
+    assert len(ids) == len(set(ids)), "duplicates survived the dedup"
+    batch = spark.read.schema(SE.EVENTS_RAW_SCHEMA).parquet(events_dir)
+    assert sorted(ids) == sorted(r.event_id for r in batch.select("event_id").collect())
