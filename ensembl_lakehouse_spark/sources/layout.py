@@ -47,6 +47,45 @@ def read_pruned(spark: SparkSession, path: str, key_col: str, key_value: str) ->
     return spark.read.parquet(path).where(F.col(key_col) == key_value)
 
 
+def write_bucketed(
+    df: DataFrame, table_name: str, path: str, key_col: str, n_buckets: int = 8
+) -> None:
+    """Write ``df`` as an external bucketed table: rows hash-
+    partitioned into ``n_buckets`` files by ``key_col``, each bucket
+    sorted on it.
+
+    Bucketing is the co-location tool for HIGH-cardinality keys
+    (orderkey, custkey, doc_id) where ``partitionBy`` would explode
+    into millions of directories: two tables bucketed on their join
+    keys with the same bucket count join WITHOUT a shuffle — the
+    exchange that dominates every large fact⋈fact join simply
+    disappears from the plan (asserted in tests/test_layout.py, not
+    assumed). At 100 TB this is the difference between re-shuffling
+    both tables per join and paying the layout cost once at write
+    time, amortized over every subsequent join/agg on that key.
+
+    ``bucketBy`` requires a catalog table (the bucket spec lives in
+    table metadata, not the files); ``option("path", ...)`` keeps
+    the data external at ``path`` with only metadata in the session
+    catalog.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, key_col)
+        .sortBy(key_col)
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on) -> DataFrame:
+    """Join two bucketed catalog tables on their bucket keys — the
+    read path that consumes write_bucketed's layout. With matching
+    bucket counts Spark plans a SortMergeJoin with NO Exchange on
+    either side (and, because buckets are sorted, no Sort either)."""
+    return spark.table(left_table).join(spark.table(right_table), on)
+
+
 def pruning_report(df: DataFrame) -> dict:
     """Extract pruning evidence from a DataFrame's executed plan:
     the FileScan's PartitionFilters text and the files actually
