@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Windows (SURVEY §2 EXT)
         "window_topk_per_group": R.window_topk_per_group,
         "window_running_sum": R.window_running_sum,
+        "window_lead_lag": R.window_lead_lag,
+        "window_ntile_deciles": R.window_ntile_deciles,
+        "agg_filtered": R.agg_filtered,
         # Set ops (SURVEY §2 EXT)
         "set_ops": R.set_ops,
         # Time-series (SURVEY §2 EXT; batch twin of streaming demo)
@@ -145,6 +148,9 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": MT.MERGE_UPSERT_SQL,
         "window_topk_per_group": R.WINDOW_TOPK_SQL,
         "window_running_sum": R.WINDOW_RUNNING_SUM_SQL,
+        "window_lead_lag": R.WINDOW_LEAD_LAG_SQL,
+        "window_ntile_deciles": R.WINDOW_NTILE_DECILES_SQL,
+        "agg_filtered": R.AGG_FILTERED_SQL,
         "set_ops": R.SET_OPS_SQL,
         "events_hourly": R.EVENTS_HOURLY_SQL,
         "text_token_stats": T.TEXT_TOKEN_STATS_SQL,

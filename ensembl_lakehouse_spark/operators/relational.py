@@ -1072,6 +1072,134 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 """
 
 
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gaps and value deltas (lag offsets) —
+    the feature-engineering window every behavioral model starts
+    from: time-since-last-event, change-since-last-event.
+
+    One shuffle on user_id; both lags share the same window spec so
+    Spark evaluates them in a single window pass. First event per
+    user keeps NULL gap/delta (no synthetic zero — downstream
+    imputation is a modeling decision, not the engine's). Bounded to
+    user_id ≤ 100 like window_running_sum so the contract result
+    stays small; the plan is user-count-independent.
+
+    Cross-engine note: the gap is measured in MICROSECONDS — at
+    second granularity Spark's timestampdiff (elapsed seconds) and
+    DuckDB's date_diff (boundary crossings) disagree by ±1 on
+    sub-second offsets; at the native microsecond resolution both
+    are the exact integer difference.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    return (
+        events.where(F.col("user_id") <= 100)
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(f"timestampdiff(MICROSECOND, lag(ts) OVER {w}, ts)").alias("gap_us"),
+            F.expr(
+                f"cast(floor(value * 100) - floor(lag(value) OVER {w} * 100) AS bigint)"
+            ).alias("value_delta_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+WINDOW_LEAD_LAG_SQL = """
+SELECT user_id, event_id,
+       date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us,
+       CAST(floor(value * 100) - floor(lag(value) OVER w * 100) AS BIGINT)
+         AS value_delta_cents
+FROM events
+WHERE user_id <= 100
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile summary of order value: ntile(10) over total price
+    (tie-broken by orderkey so the bucketing is deterministic), then
+    per-decile bounds and decimal-exact totals — the spend-band
+    segmentation behind "top 10% of orders carry X% of revenue".
+
+    Scale caveat, stated not hidden: ntile is a GLOBAL ordering —
+    one total sort. That is the honest cost of exact deciles; the
+    cheap alternative at 100 TB is bucketing on percentile cutoffs
+    from sketch_quantile_sample (two map passes, no global sort).
+    This operator is the exact baseline that checks that shortcut.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_totalprice",
+            F.expr(
+                "ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)"
+            ).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+        .orderBy("decile")
+    )
+
+
+WINDOW_NTILE_DECILES_SQL = """
+SELECT decile,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders)
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: several differently-filtered
+    aggregates from ONE scan (the FILTER clause / count_if family) —
+    per order priority: total orders, high-value count, open count,
+    and the high-value share. The alternative — one query per
+    predicate — multiplies 100 TB scans by the predicate count;
+    conditional aggregation keeps it at exactly one.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)
+    openo = F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(high).alias("n_high_value"),
+            F.sum(openo).alias("n_open"),
+            (F.sum(high).cast("double") / F.count(F.lit(1))).alias("high_value_share"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+AGG_FILTERED_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_high_value,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS high_value_share
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Set operations (EXT)
 # ---------------------------------------------------------------------------
