@@ -53,6 +53,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -223,3 +224,125 @@ def documents_with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize stage (mapInPandas, 1→1)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_fp", StringType()),
+    ]
+)
+
+
+def _stub_resize(payload: bytes, target: tuple[int, int]) -> str:
+    """Deterministic fake resampler: fingerprint of (payload,
+    target) — stands in for the PIL ``Image.resize`` bytes. The
+    plumbing (schema, batching, partitioning) is the real part."""
+    return hashlib.md5(payload + f"|{target[0]}x{target[1]}".encode()).hexdigest()
+
+
+def resize_payloads(
+    df: DataFrame,
+    target: tuple[int, int] = (32, 32),
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    resize_fn: Callable[[bytes, tuple[int, int]], str] | None = None,
+) -> DataFrame:
+    """Resize/resample stage: source dims (from the stub decoder) +
+    target dims + resized-content fingerprint, one output row per
+    input row via ``mapInPandas``.
+
+    Same pluggable-callable contract as decode_payloads: swap
+    ``resize_fn`` for a PIL/ffmpeg-backed one in deployment; an
+    import-gated real implementation raises NotImplementedError
+    inside the callable without touching the Spark plumbing.
+    Map-only and partition-preserving — at 100 TB the stage scales
+    with input splits and shuffles nothing.
+    """
+    fn = resize_fn or _stub_resize
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            decoded = [_stub_decode(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "src_width": [d[0] for d in decoded],
+                    "src_height": [d[1] for d in decoded],
+                    "width": target[0],
+                    "height": target[1],
+                    "resized_fp": [fn(p, target) for p in payloads],
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame-sampling stage (mapInPandas, 1→N)
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("total_frames", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_fp", StringType()),
+    ]
+)
+
+#: Frames sampled per payload (evenly spaced over the fake stream).
+N_SAMPLED_FRAMES = 4
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = N_SAMPLED_FRAMES,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame-sampling plumbing: each payload expands to up to
+    ``n_frames`` evenly-spaced frame rows — the 1→N batch shape
+    (output rows ≠ input rows) that distinguishes a frame sampler
+    from a per-row UDF, and the reason this is ``mapInPandas`` and
+    not ``withColumn``.
+
+    The stub derives a fake frame count from the payload length and
+    fingerprints each sampled frame deterministically; a real
+    deployment decodes with pyav/ffmpeg inside the same batch
+    function. Frame expansion happens inside the executor batch —
+    nothing is exploded through a shuffle.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "total_frames": [],
+                "frame_idx": [],
+                "frame_fp": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload)
+                total = 1 + len(p) % 240
+                k = min(n_frames, total)
+                idxs = sorted({(i * total) // k for i in range(k)})
+                for idx in idxs:
+                    out["doc_id"].append(int(doc_id))
+                    out["total_frames"].append(total)
+                    out["frame_idx"].append(idx)
+                    out["frame_fp"].append(
+                        hashlib.md5(p + f"|frame{idx}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

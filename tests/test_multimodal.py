@@ -92,3 +92,35 @@ def test_centroid_fixed_point_is_partition_order_invariant(spark):
     )
     key = lambda rows: sorted((r.label, r.dim, r.n, r.dim_mean, r.dim_min, r.dim_max) for r in rows)
     assert key(base.collect()) == key(alt.collect())
+
+
+def test_resize_stage_shapes_and_determinism(spark):
+    src = M.documents_with_payload(spark, SF_DIR)
+    out = M.resize_payloads(src, target=(16, 9)).collect()
+    assert len(out) == src.count()  # 1→1
+    assert all(r.width == 16 and r.height == 9 for r in out)
+    assert all(1 <= r.src_width <= 64 and 1 <= r.src_height <= 64 for r in out)
+    again = {r.doc_id: r.resized_fp for r in M.resize_payloads(src, target=(16, 9)).collect()}
+    assert {r.doc_id: r.resized_fp for r in out} == again
+    # target participates in the fingerprint: a different size is a
+    # different artifact, never a silent cache hit
+    other = {r.doc_id: r.resized_fp for r in M.resize_payloads(src, target=(32, 32)).collect()}
+    assert all(other[i] != fp for i, fp in again.items())
+
+
+def test_frame_sampling_expands_one_to_n(spark):
+    src = M.documents_with_payload(spark, SF_DIR)
+    n_docs = src.count()
+    out = M.sample_frames(src).collect()
+    assert len(out) > n_docs  # genuinely 1→N
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == n_docs
+    for doc_id, rows in by_doc.items():
+        idxs = [r.frame_idx for r in rows]
+        total = rows[0].total_frames
+        assert len(rows) <= M.N_SAMPLED_FRAMES
+        assert idxs == sorted(set(idxs))  # strictly increasing, no dup frames
+        assert all(0 <= i < total for i in idxs)
+        assert len({r.frame_fp for r in rows}) == len(rows)
