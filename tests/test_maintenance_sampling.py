@@ -1,0 +1,98 @@
+"""Behavioral tests for the round-2 additions the oracle can't see:
+the weighted sampler's BIAS (the oracle only proves both engines
+draw the same sample, not that weights matter) and the CDC merge's
+bookkeeping invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ensembl_lakehouse_spark.operators import maintenance as MT
+from ensembl_lakehouse_spark.operators import relational as R
+from ensembl_lakehouse_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """Efraimidis–Spirakis: inclusion probability rises with weight.
+    Compare inclusion RATES between the max-weight stratum and the
+    light (w ≤ half-cap) stratum — the corpus is weight-saturated
+    (most docs sit at the cap), so mean-weight comparisons are
+    mushy, but the per-stratum rates separate cleanly (measured
+    0.43 vs 0.21 on the fixed corpus; deterministic hash → a fixed
+    number, asserted with margin)."""
+    sampled = {r.doc_id for r in R.sample_weighted(spark, SF_DIR).collect()}
+    w = (
+        f"greatest(1, least({R.WEIGHTED_SAMPLE_MAX_W}, "
+        f"size(split(trim(text), '\\\\s+'))))"
+    )
+    weights = {
+        r.doc_id: r.w
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", F.expr(w).alias("w"))
+        .collect()
+    }
+    cap = R.WEIGHTED_SAMPLE_MAX_W
+    heavy = [d for d, wt in weights.items() if wt == cap]
+    light = [d for d, wt in weights.items() if wt <= cap // 2]
+    assert heavy and light
+    rate_heavy = sum(d in sampled for d in heavy) / len(heavy)
+    rate_light = sum(d in sampled for d in light) / len(light)
+    assert rate_heavy > 1.5 * rate_light, (rate_heavy, rate_light)
+
+
+def test_weighted_sample_is_deterministic(spark):
+    a = {r.doc_id for r in R.sample_weighted(spark, SF_DIR).collect()}
+    b = {r.doc_id for r in R.sample_weighted(spark, SF_DIR).collect()}
+    assert a == b and len(a) == R.WEIGHTED_SAMPLE_N
+
+
+def test_merge_upsert_invariants(spark):
+    """Merge bookkeeping: every target key survives exactly once,
+    every insert key appears exactly once, tags partition the result
+    and agree with the CDC feed's own counts."""
+    orders = load_table(spark, SF_DIR, "orders")
+    n_target = orders.count()
+    n_updates = orders.where(F.col("o_orderkey") % MT._UPDATE_MOD == 0).count()
+    n_inserts = orders.where(
+        F.col("o_orderkey") % MT._INSERT_MOD == MT._INSERT_REM
+    ).count()
+
+    merged = MT.merge_upsert(spark, SF_DIR)
+    by_tag = {r.change_type: r.n for r in merged.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+    assert by_tag.get("U", 0) == n_updates
+    assert by_tag.get("I", 0) == n_inserts
+    assert by_tag.get("K", 0) == n_target - n_updates
+    assert merged.count() == n_target + n_inserts
+    # keys stay unique through the merge (PK preserved)
+    assert merged.select("o_orderkey").distinct().count() == n_target + n_inserts
+    # updated rows actually carry the update
+    assert (
+        merged.where(F.col("change_type") == "U")
+        .where(F.col("o_orderstatus") != "P")
+        .count()
+        == 0
+    )
+
+
+def test_salted_join_matches_unsalted(spark):
+    """Pure-Spark twin of the oracle check: the salt rewrite must be
+    invisible in the result."""
+    salted = {
+        (r.s_suppkey, r.revenue, r.n_items)
+        for r in MT.join_skew_salted(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    supp = load_table(spark, SF_DIR, "supplier")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+    )
+    plain = {
+        (r.s_suppkey, r.revenue, r.n_items)
+        for r in li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .collect()
+    }
+    assert salted == plain
