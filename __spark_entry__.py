@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": R.sketch_kmv_distinct,
         "sketch_quantile_sample": R.sketch_quantile_sample,
         "events_gapfill": R.events_gapfill,
+        "events_json_extract": R.events_json_extract,
+        "profile_table": R.profile_table,
         "text_redact": T.text_redact,
         # Decorrelated subqueries (SURVEY §2 EXT; TPC-H Q17/Q13/Q4 shapes)
         "scalar_subquery_threshold": Q.scalar_subquery_threshold,
@@ -137,6 +139,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kmv_distinct": R.SKETCH_KMV_DISTINCT_SQL,
         "sketch_quantile_sample": R.SKETCH_QUANTILE_SAMPLE_SQL,
         "events_gapfill": R.EVENTS_GAPFILL_SQL,
+        "events_json_extract": R.EVENTS_JSON_EXTRACT_SQL,
+        "profile_table": R.PROFILE_TABLE_SQL,
         "text_redact": T.TEXT_REDACT_SQL,
         "scalar_subquery_threshold": Q.SCALAR_SUBQUERY_THRESHOLD_SQL,
         "cust_order_distribution": Q.CUST_ORDER_DISTRIBUTION_SQL,

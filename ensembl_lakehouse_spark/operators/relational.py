@@ -1072,6 +1072,106 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 """
 
 
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the ``props`` column carries a
+    JSON payload; pull ``$.k`` out, bucket it, and aggregate — the
+    everyday lakehouse pattern of typed queries over a schemaless
+    attribute bag.
+
+    Spark evaluates ``get_json_object`` inside codegen per row (at
+    scale, prefer ``from_json`` with an explicit schema once per
+    pipeline stage so the parse cost is paid once, then prune to
+    struct fields); the aggregation is the standard partial-agg
+    shape. Integer sums — no float determinism concerns.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = "cast(get_json_object(props, '$.k') AS bigint)"
+    return (
+        events.select(
+            "event_type",
+            F.expr(k).alias("k"),
+        )
+        .groupBy("event_type", F.expr("k % 10").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+EVENTS_JSON_EXTRACT_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+)
+SELECT event_type, k % 10 AS k_bucket,
+       COUNT(*) AS n_events, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM x
+GROUP BY event_type, k % 10
+ORDER BY event_type, k_bucket
+"""
+
+
+#: Columns profiled by profile_table (lineitem).
+_PROFILE_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+)
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: per column, row/null/distinct counts —
+    the first query every ingestion pipeline runs against a new
+    table, and the summary a catalog UI shows.
+
+    ONE scan computes all 3·|cols| aggregates (count + count(col) +
+    count(distinct col) per column, all partial-aggregated); the
+    single wide row is then unpivoted driver-free with ``stack``
+    into (column, n_rows, n_nulls, n_distinct) rows. The naive
+    per-column loop would scan the table |cols| times.
+    Count-distinct per column is exact here (the profile contract);
+    a 100 TB profile swaps in approx_count_distinct per column —
+    same single-scan shape, sketch-sized state.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}" for c in _PROFILE_COLS
+    )
+    return (
+        wide.selectExpr(
+            "_n",
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_non_null, n_distinct)",
+        )
+        .select(
+            "column_name",
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col("n_non_null")).alias("n_nulls"),
+            "n_distinct",
+        )
+        .orderBy("column_name")
+    )
+
+
+def _profile_sql() -> str:
+    selects = [
+        f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+        f"COUNT(*) - COUNT({c}) AS n_nulls, COUNT(DISTINCT {c}) AS n_distinct "
+        f"FROM lineitem"
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(selects) + " ORDER BY column_name"
+
+
+PROFILE_TABLE_SQL = _profile_sql()
+
+
 def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event gaps and value deltas (lag offsets) —
     the feature-engineering window every behavioral model starts
