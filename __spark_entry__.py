@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": R.agg_pricing_summary,
         "rollup_agg": R.rollup_agg,
         "cube_agg": R.cube_agg,
+        "grouping_sets_agg": R.grouping_sets_agg,
+        "scalar_functions_dialect": R.scalar_functions_dialect,
         "skew_safe_distinct": R.skew_safe_distinct,
         "quantile_summary": R.quantile_summary,
         "events_sessionize": R.events_sessionize,
@@ -126,6 +128,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_pricing_summary": R.AGG_PRICING_SUMMARY_SQL,
         "rollup_agg": R.ROLLUP_AGG_SQL,
         "cube_agg": R.CUBE_AGG_SQL,
+        "grouping_sets_agg": R.GROUPING_SETS_AGG_SQL,
+        "scalar_functions_dialect": R.SCALAR_FUNCTIONS_DIALECT_SQL,
         "skew_safe_distinct": R.SKEW_SAFE_DISTINCT_SQL,
         "quantile_summary": R.QUANTILE_SUMMARY_SQL,
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,

@@ -221,6 +221,105 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form rollup/cube are
+    sugar for: per-returnflag totals and per-linestatus totals from
+    one scan, with ``grouping()`` markers disambiguating real NULL
+    keys from subtotal rows (the part naive NULL-checking gets
+    wrong).
+
+    Same single Expand+Aggregate plan as rollup_agg/cube_agg: one
+    scan, one shuffle, however many sets are requested.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+        """
+    )
+
+
+GROUPING_SETS_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+def scalar_functions_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 scalar-dialect evidence: one row per lineitem sample
+    exercising the date / string / math / conditional function
+    families users reach through the condition pass-through — each
+    picked for bit-identical cross-engine semantics (floor/ceil
+    over round, whose half-way rule differs between engines;
+    strftime-formatted dates per the key_filter convention).
+
+    Map-only: every function evaluates inside the scan stage's
+    codegen span; the LIMIT keeps the contract result bounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_orderkey") % 1000) == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("year(l_shipdate)").alias("ship_year"),
+            F.expr("month(l_shipdate)").alias("ship_month"),
+            F.expr("date_format(date_trunc('month', l_shipdate), 'yyyy-MM-dd')").alias(
+                "ship_month_start"
+            ),
+            F.expr("upper(l_returnflag)").alias("flag_upper"),
+            F.expr("concat_ws('-', l_returnflag, l_linestatus)").alias("flag_status"),
+            F.expr("lpad(cast(l_linenumber AS string), 3, '0')").alias("line_padded"),
+            F.expr("length(concat(l_returnflag, l_linestatus))").alias("tag_len"),
+            F.expr("abs(l_quantity - 25)").alias("qty_dev"),
+            F.expr("floor(l_extendedprice / 1000)").alias("price_k_floor"),
+            F.expr("ceil(l_discount * 100)").alias("disc_pct_ceil"),
+            F.expr("pmod(l_orderkey, 7)").alias("key_mod7"),
+            F.expr("greatest(l_quantity, cast(l_linenumber AS double))").alias("g_max"),
+            F.expr("coalesce(nullif(l_returnflag, 'N'), 'none')").alias("flag_or_none"),
+            F.expr(
+                "CASE WHEN l_quantity > 25 THEN 'bulk' WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END"
+            ).alias("qty_band"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+SCALAR_FUNCTIONS_DIALECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+       CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS ship_month,
+       strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS ship_month_start,
+       upper(l_returnflag) AS flag_upper,
+       concat_ws('-', l_returnflag, l_linestatus) AS flag_status,
+       lpad(CAST(l_linenumber AS VARCHAR), 3, '0') AS line_padded,
+       length(concat(l_returnflag, l_linestatus)) AS tag_len,
+       abs(l_quantity - 25) AS qty_dev,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+       CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+       l_orderkey % 7 AS key_mod7,
+       greatest(l_quantity, CAST(l_linenumber AS DOUBLE)) AS g_max,
+       coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+       CASE WHEN l_quantity > 25 THEN 'bulk' WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS qty_band
+FROM lineitem
+WHERE l_orderkey % 1000 = 1
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT x) per low-cardinality key, written as the
     skew-safe two-stage plan: stage 1 dedups on (key, x) — the
