@@ -125,3 +125,34 @@ def test_cancel_lifecycle(engine):
     if status["status"] == "CANCELLED":
         with pytest.raises(QueryNotSucceeded):
             engine.export(qid, "csv")
+
+
+def test_concurrent_submissions_all_succeed(engine):
+    """The async registry under parallel load: 8 distinct queries
+    submitted from 8 threads at once must each reach SUCCEEDED with
+    a non-empty result, with 8 distinct query ids (no id collision,
+    no cross-talk between jobs sharing the SparkSession)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    conditions = [f"l_quantity > {q}" for q in range(40, 48)]
+
+    def submit(cond):
+        resp = engine.submit_query(
+            "lineitem", "R", fields="l_orderkey,l_quantity", condition=cond
+        )
+        return resp["query_id"]
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        qids = list(pool.map(submit, conditions))
+
+    assert len(set(qids)) == len(conditions)
+    for qid in qids:
+        engine.registry.wait(qid, timeout=180)
+        st = engine.query_status(qid)
+        assert st["status"] == SUCCEEDED, (qid, st)
+    # results differ across jobs (no cross-talk): stricter condition
+    # must never return MORE rows
+    counts = [
+        len(engine.query_preview(qid, max_results=1000)["Rows"]) for qid in qids
+    ]
+    assert counts == sorted(counts, reverse=True), counts
