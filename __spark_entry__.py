@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi_anti": R.join_semi_anti,
         "join_skew_salted": MT.join_skew_salted,
         "merge_upsert": MT.merge_upsert,
+        "rollup_incremental": MT.rollup_incremental,
         # Windows (SURVEY §2 EXT)
         "window_topk_per_group": R.window_topk_per_group,
         "window_running_sum": R.window_running_sum,
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,
         "join_skew_salted": MT.JOIN_SKEW_SALTED_SQL,
         "merge_upsert": MT.MERGE_UPSERT_SQL,
+        "rollup_incremental": MT.ROLLUP_INCREMENTAL_SQL,
         "window_topk_per_group": R.WINDOW_TOPK_SQL,
         "window_running_sum": R.WINDOW_RUNNING_SUM_SQL,
         "window_lead_lag": R.WINDOW_LEAD_LAG_SQL,

@@ -163,6 +163,87 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Split of the event stream into "already ingested" base vs the
+#: late-arriving delta batch (deterministic, disjoint, complete).
+_DELTA_MOD = 10
+_DELTA_REM = 7
+
+
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for the hourly rollup: the
+    materialized base aggregate (events except the delta slice) is
+    UPDATED with the late batch's partial aggregate — full-outer
+    merge on the group key, counts added, sums added — instead of
+    recomputing from all history.
+
+    This is how continuous aggregates stay O(delta) at 100 TB: the
+    base is |groups| rows, the delta aggregate is |delta| rows
+    reduced before the merge, and history is never re-scanned. The
+    oracle recomputes the rollup from scratch over ALL events —
+    equality proves the merge algebra (count/sum are mergeable;
+    avg/derived metrics must be re-derived from merged sums, which
+    this does) is exactly lossless.
+
+    Decimal fixed-point sums keep the merged totals bit-identical
+    to the recomputed ones in both engines.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("value").cast(_DEC).alias("v"),
+    )
+    is_delta = F.col("event_id") % _DELTA_MOD == _DELTA_REM
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("hour", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("sum_v")
+        )
+
+    base = rollup(events.where(~is_delta))
+    delta = rollup(events.where(is_delta))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = (
+        b.join(
+            d,
+            (F.col("b.hour") == F.col("d.hour"))
+            & (F.col("b.event_type") == F.col("d.event_type")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("b.hour"), F.col("d.hour")).alias("hour"),
+            F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias("event_type"),
+            (
+                F.coalesce(F.col("b.n_events"), F.lit(0))
+                + F.coalesce(F.col("d.n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("b.sum_v"), F.lit(0).cast(_DEC))
+                + F.coalesce(F.col("d.sum_v"), F.lit(0).cast(_DEC))
+            ).alias("sum_v"),
+        )
+    )
+    return merged.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+        F.col("sum_v").cast("double").alias("sum_value"),
+        (F.col("sum_v").cast("double") / F.col("n_events")).alias("avg_value"),
+    ).orderBy("hour", "event_type")
+
+
+ROLLUP_INCREMENTAL_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour, event_type
+"""
+
+
 MERGE_UPSERT_SQL = f"""
 WITH src AS (
   SELECT o_orderkey, 'P' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
