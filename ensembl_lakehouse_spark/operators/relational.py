@@ -229,20 +229,22 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong).
 
     Same single Expand+Aggregate plan as rollup_agg/cube_agg: one
-    scan, one shuffle, however many sets are requested.
+    scan, one shuffle, however many sets are requested. Uses the
+    Spark 4 ``DataFrame.groupingSets`` API directly — no temp-view
+    session mutation on the query path.
     """
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(grouping(l_returnflag) AS INT) AS g_flag,
-               CAST(grouping(l_linestatus) AS INT) AS g_status,
-               COUNT(*) AS n_rows,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        FROM _gs_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
-        """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.expr("CAST(grouping(l_returnflag) AS INT)").alias("g_flag"),
+            F.expr("CAST(grouping(l_linestatus) AS INT)").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
     )
 
 
