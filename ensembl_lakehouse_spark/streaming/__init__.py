@@ -1,5 +1,9 @@
 """Structured Streaming operators (SURVEY §2 Streaming EXT)."""
 
+from ensembl_lakehouse_spark.streaming.continuous import (  # noqa: F401
+    hourly_rollup_updates,
+    run_continuous_rollup,
+)
 from ensembl_lakehouse_spark.streaming.dedup import (  # noqa: F401
     dedup_stream,
     run_dedup_to_memory,

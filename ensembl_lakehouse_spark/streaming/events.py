@@ -63,9 +63,12 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
-def _event_source(spark: SparkSession, events_dir: str) -> DataFrame:
+def _event_source(spark: SparkSession, events_dir: str, **options: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(events_dir)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(events_dir)
     # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
     # on NTZ), so the stream rebuilds event time as an instant; the
     # session timezone is pinned to UTC (session.py) so the wall-clock

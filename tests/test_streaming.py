@@ -173,3 +173,37 @@ def test_streaming_dedup_suppresses_redelivery(spark, events_dir):
     assert len(ids) == len(set(ids)), "duplicates survived the dedup"
     batch = spark.read.schema(SE.EVENTS_RAW_SCHEMA).parquet(events_dir)
     assert sorted(ids) == sorted(r.event_id for r in batch.select("event_id").collect())
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, tmp_path_factory, events_dir):
+    """The events table split into two parquet files so
+    maxFilesPerTrigger=1 yields two genuine micro-batches."""
+    d = tmp_path_factory.mktemp("events_split")
+    src = spark.read.schema(SE.EVENTS_RAW_SCHEMA).parquet(events_dir)
+    src.where("event_id % 2 = 0").coalesce(1).write.parquet(str(d / "even"))
+    src.where("event_id % 2 = 1").coalesce(1).write.parquet(str(d / "odd"))
+    import glob, shutil as sh
+
+    out = tmp_path_factory.mktemp("events_two_files")
+    for i, f in enumerate(sorted(glob.glob(str(d / "*" / "*.parquet")))):
+        sh.copy(f, out / f"part{i}.parquet")
+    return str(out)
+
+
+def test_continuous_rollup_upserts_across_microbatches(spark, split_events_dir, events_dir):
+    """Two micro-batches (one file each) must leave the materialized
+    view exactly equal to the batch rollup over all events: the
+    second batch's update rows OVERWRITE the first's partial values
+    (state-store math + sink upsert, no sink arithmetic)."""
+    from ensembl_lakehouse_spark.streaming import continuous as SC
+
+    view, n_batches = SC.run_continuous_rollup(
+        spark, split_events_dir, max_files_per_trigger=1
+    )
+    assert n_batches >= 2, "expected one micro-batch per file"
+    batch = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in R.events_hourly(spark, SF_DIR).collect()
+    }
+    assert view == batch
