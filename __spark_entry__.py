@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ensembl_lakehouse_spark.operators import chunking as C
 from ensembl_lakehouse_spark.operators import dedup as D
 from ensembl_lakehouse_spark.operators import maintenance as MT
 from ensembl_lakehouse_spark.operators import multimodal as M
@@ -104,6 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Multimodal columns (SURVEY §2 X4)
         "multimodal_centroid": M.multimodal_centroid,
         "multimodal_payload": M.multimodal_payload,
+        # Chunking + packing (EXT; training-batch prep)
+        "chunk_documents": C.chunk_documents,
+        "pack_sequences": C.pack_sequences,
         # Composed curation pipeline (EXT capstone)
         "pipeline_curation": P.pipeline_curation,
     }
@@ -177,5 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": S.DEDUP_EMBEDDING_SQL,
         "multimodal_centroid": M.MULTIMODAL_CENTROID_SQL,
         "multimodal_payload": M.MULTIMODAL_PAYLOAD_SQL,
+        "chunk_documents": C.CHUNK_DOCUMENTS_SQL,
+        "pack_sequences": C.PACK_SEQUENCES_SQL,
         "pipeline_curation": P.PIPELINE_CURATION_SQL,
     }
