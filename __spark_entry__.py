@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": T.text_langid,
         "text_quality": T.text_quality,
         "text_fingerprint": T.text_fingerprint,
+        "text_doc_terms": T.text_doc_terms,
+        "text_top_ngrams": T.text_top_ngrams,
         # Deduplication (SURVEY §2 X1)
         "dedup_exact": D.dedup_exact,
         "dedup_near": D.dedup_near,
@@ -171,6 +173,8 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": T.TEXT_LANGID_SQL,
         "text_quality": T.TEXT_QUALITY_SQL,
         "text_fingerprint": T.TEXT_FINGERPRINT_SQL,
+        "text_doc_terms": T.TEXT_DOC_TERMS_SQL,
+        "text_top_ngrams": T.TEXT_TOP_NGRAMS_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_near": D.DEDUP_NEAR_SQL,
         "dedup_simhash": D.DEDUP_SIMHASH_SQL,

@@ -373,3 +373,135 @@ SELECT doc_id,
               (a, c) -> (a * 31 + c) % {ROLL_MOD}))) AS fp_winnow
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# Doc-term matrix / TF-IDF-style ranking + corpus n-gram vocabulary
+# ---------------------------------------------------------------------------
+
+#: Top terms kept per document.
+DOC_TERMS_K = 5
+#: Top corpus bigrams reported.
+TOP_NGRAMS_K = 50
+
+
+def text_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style doc-term matrix: per document, the DOC_TERMS_K
+    most characteristic terms ranked by tf · (N/df) — term frequency
+    damped by corpus-wide document frequency, the retrieval/keyword
+    primitive behind search and near-topic clustering.
+
+    The score is kept as one integer multiply and one divide of
+    exact integers (tf · N / df), NOT ln(N/df): a transcendental in
+    the score would let the two engines' libm disagree in the last
+    ulp and flip a rank; the rational form is IEEE-exact and
+    order-identical in any engine (monotone in the same ranking for
+    fixed tf scaling).
+
+    Plan: explode tokens (map-side 1→N) → (doc, term) tf partial-agg
+    → df per term partial-agg (tiny, broadcast back) → per-doc
+    WindowGroupLimit top-k. Two hash shuffles total, both on
+    pre-aggregated rows, never on raw token rows.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    terms = toks.select(
+        "doc_id", F.explode("toks").alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = toks.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double") * F.col("n_docs") / F.col("df"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (PARTITION BY doc_id "
+                "ORDER BY tfidf DESC, term ASC)"
+            ),
+        )
+        .where(F.col("rank") <= DOC_TERMS_K)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+TEXT_DOC_TERMS_SQL = f"""
+{_SQL_PREP}, terms AS (
+  SELECT doc_id, unnest(toks) AS term FROM t
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM t
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, df, tfidf FROM (
+  SELECT doc_id, term, tf, df, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+WHERE rank <= {DOC_TERMS_K}
+"""
+
+
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram vocabulary: the TOP_NGRAMS_K most frequent word
+    bigrams with occurrence and document counts — the corpus
+    statistic tokenizer training (BPE merges start from pair
+    frequencies) and contamination checks read first.
+
+    Plan: bigrams via a slice-join over the let-bound token array
+    (map-only 1→N), partial-agg count per bigram, then a global
+    top-k that Catalyst runs as TakeOrderedAndProject — per-task
+    heaps, no global sort.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    bigram = (
+        "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+        "i -> array_join(slice(toks, i, 2), ' '))"
+    )
+    pairs = toks.select(
+        "doc_id", F.explode(F.expr(bigram)).alias("bigram")
+    )
+    counted = pairs.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        counted.orderBy(
+            F.col("n_occurrences").desc(), F.col("bigram").asc()
+        )
+        .limit(TOP_NGRAMS_K)
+        .withColumn(
+            "rank",
+            F.expr("row_number() OVER (ORDER BY n_occurrences DESC, bigram ASC)"),
+        )
+    )
+
+
+TEXT_TOP_NGRAMS_SQL = f"""
+{_SQL_PREP}, grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+  FROM t
+), counted AS (
+  SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+  FROM grams GROUP BY bigram
+), top AS (
+  SELECT * FROM counted ORDER BY n_occurrences DESC, bigram ASC LIMIT {TOP_NGRAMS_K}
+)
+SELECT bigram, n_occurrences, n_docs,
+       row_number() OVER (ORDER BY n_occurrences DESC, bigram ASC) AS rank
+FROM top
+"""
