@@ -399,9 +399,13 @@ def text_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed tf scaling).
 
     Plan: explode tokens (map-side 1→N) → (doc, term) tf partial-agg
-    → df per term partial-agg (tiny, broadcast back) → per-doc
-    WindowGroupLimit top-k. Two hash shuffles total, both on
-    pre-aggregated rows, never on raw token rows.
+    → df per term partial-agg → join tf⋈df on term → per-doc
+    WindowGroupLimit top-k. All shuffles move pre-aggregated rows,
+    never raw token rows. The tf⋈df join is deliberately un-hinted:
+    a web-scale vocabulary (every typo and number is a term) is NOT
+    broadcastable — AQE broadcasts it at fixture SFs and correctly
+    sort-merges on term at corpus scale; only the single-row n_docs
+    is an unconditional broadcast.
     """
     toks = _docs_with_tokens(spark, sf_dir)
     terms = toks.select(
@@ -411,7 +415,7 @@ def text_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = toks.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
