@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: pin the shuffle/broadcast budget of
+representative queries so a future edit that sneaks an extra
+exchange into a hot path FAILS here instead of surfacing as a 2×
+regression at 100 TB. Counts come from the same final-adaptive-plan
+parser the PLANS.md audit uses (tools/explain_audit.summarize)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from tools.explain_audit import summarize
+from tests.conftest import SF_DIR
+
+#: query -> (max hash shuffles, require zero shuffles?)
+BUDGETS = {
+    # map-only paths: any shuffle at all is a defect
+    "scan_project": 0,
+    "sample_hash": 0,
+    "sample_weighted": 0,
+    "text_quality": 0,
+    "text_fingerprint": 0,
+    "text_redact": 0,
+    # canonical agg: exactly one partial->final exchange
+    "agg_pricing_summary": 1,
+    "rollup_agg": 1,
+    "grouping_sets_agg": 1,
+    # fact⋈fact with broadcast dims: one shuffle max
+    "join_region_revenue": 1,
+    "join_skew_salted": 1,
+    # window on one partitioning
+    "window_topk_per_group": 1,
+    "window_running_sum": 1,
+    # two-stage pipelines
+    "scalar_subquery_threshold": 2,
+    "cust_order_distribution": 2,
+    "merge_upsert": 2,
+    "pack_sequences": 2,
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entry.queries()
+    out = {}
+    for name in BUDGETS:
+        df = qs[name](spark, SF_DIR)
+        df.collect()  # finalize the adaptive plan
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out[name] = summarize(formatted)
+    return out
+
+
+def test_shuffle_budgets(plans):
+    over = {
+        name: (s["shuffles"], budget)
+        for name, budget in BUDGETS.items()
+        if (s := plans[name])["shuffles"] > budget
+    }
+    assert not over, f"shuffle budget exceeded (actual, budget): {over}"
+
+
+def test_scans_stay_pruned(plans):
+    # map-only scans must push their projection: no query here reads
+    # more than the columns it returns + filters on.
+    rs = plans["scan_project"]["read_schemas"]
+    assert rs and all(sch.count(":") <= 3 for sch in rs), rs
+
+
+def test_dim_joins_are_broadcast(plans):
+    assert "BroadcastHashJoin" in plans["join_region_revenue"]["joins"]
+    assert plans["join_region_revenue"]["broadcasts"] >= 3
