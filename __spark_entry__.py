@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": T.text_fingerprint,
         "text_doc_terms": T.text_doc_terms,
         "text_top_ngrams": T.text_top_ngrams,
+        "text_repetition": T.text_repetition,
+        # Benchmark decontamination (SURVEY §2 X1-adjacent curation)
+        "decontaminate": P.decontaminate,
         # Deduplication (SURVEY §2 X1)
         "dedup_exact": D.dedup_exact,
         "dedup_near": D.dedup_near,
@@ -175,6 +178,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": T.TEXT_FINGERPRINT_SQL,
         "text_doc_terms": T.TEXT_DOC_TERMS_SQL,
         "text_top_ngrams": T.TEXT_TOP_NGRAMS_SQL,
+        "text_repetition": T.TEXT_REPETITION_SQL,
+        "decontaminate": P.DECONTAMINATE_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_near": D.DEDUP_NEAR_SQL,
         "dedup_simhash": D.DEDUP_SIMHASH_SQL,

@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ensembl_lakehouse_spark.functions.text import NORM_DUCK_SQL, NORM_SPARK_SQL
+from ensembl_lakehouse_spark.functions.text import (
+    NORM_DUCK_SQL,
+    NORM_SPARK_SQL,
+    sql_word_shingles,
+    word_shingles,
+)
 from ensembl_lakehouse_spark.operators.text import STOPWORDS
 from ensembl_lakehouse_spark.sources.tables import load_table
 
@@ -114,4 +119,90 @@ SELECT doc_id, lang, quality_score, rn,
        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS sample_bucket
 FROM quota
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < {SAMPLE_PCT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: Every BENCH_MOD-th doc_id stands in for the held-out benchmark set.
+BENCH_MOD = 50
+#: Word n-gram length for overlap detection. Production corpora use
+#: 8–13-gram matching (GPT-3/PaLM decontamination); this fixture's
+#: ~200-word synthetic vocabulary saturates much shorter n-grams
+#: (3-grams flag half the corpus, 5-grams almost none), so 4 plays
+#: the same discriminating role here. A knob, not a constant of the
+#: algorithm.
+DECONTAM_N = 4
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: find corpus documents that
+    share any word DECONTAM_N-gram with the benchmark set — the
+    overlap check every LLM training pipeline runs against its eval
+    suites before training (and the report an auditor asks for:
+    which docs, how many distinct overlapping n-grams, what fraction
+    of the doc's n-grams).
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination_frac)
+    for contaminated corpus docs only.
+
+    Plan — the asymmetry IS the design: the corpus is 100 TB but a
+    benchmark suite is megabytes, so the benchmark's distinct shingle
+    set is collected map-side and BROADCAST (explicit hint — this
+    side is bounded by construction, the one case where hard-coding
+    beats AQE's sampling). The corpus side then never shuffles raw
+    text: explode is map-side, the hash-join probe is map-side, and
+    the only exchange carries pre-aggregated (doc_id, hit-count)
+    rows for contaminated docs alone.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .withColumn("toks", F.split(F.trim("text"), r"\s+"))
+        .select(
+            "doc_id", word_shingles("toks", DECONTAM_N).alias("shingles")
+        )
+        .withColumn("n_shingles", F.size("shingles"))
+    )
+    bench = (
+        docs.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        corpus.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_shingles").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.col("n_contaminated").cast("double") / F.col("n_shingles"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), d AS (
+  SELECT doc_id, {sql_word_shingles("toks", DECONTAM_N)} AS shingles FROM t
+), sh AS (
+  SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle FROM d
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0
+), hits AS (
+  SELECT sh.doc_id, sh.n_shingles, sh.shingle
+  FROM sh JOIN bench USING (shingle)
+  WHERE sh.doc_id % {BENCH_MOD} != 0
+)
+SELECT doc_id, MAX(n_shingles) AS n_shingles, COUNT(*) AS n_contaminated,
+       CAST(COUNT(*) AS DOUBLE) / MAX(n_shingles) AS contamination_frac
+FROM hits GROUP BY doc_id
 """

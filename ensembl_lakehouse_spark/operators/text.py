@@ -384,6 +384,20 @@ DOC_TERMS_K = 5
 #: Top corpus bigrams reported.
 TOP_NGRAMS_K = 50
 
+#: Non-distinct word bigrams from the let-bound token array — shared
+#: by text_top_ngrams (corpus vocabulary) and text_repetition
+#: (per-doc duplicate fractions), one source so the two can't drift.
+#: Single-token docs yield zero bigrams in BOTH engines (greatest
+#: guard is 0, unlike word_shingles' ≥1-shingle guard).
+_BIGRAM_EXPR = (
+    "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+    "i -> array_join(slice(toks, i, 2), ' '))"
+)
+_SQL_BIGRAM = (
+    "list_transform(range(1, greatest(len(toks) - 1, 0) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 1), ' '))"
+)
+
 
 def text_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-style doc-term matrix: per document, the DOC_TERMS_K
@@ -470,12 +484,8 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     heaps, no global sort.
     """
     toks = _docs_with_tokens(spark, sf_dir)
-    bigram = (
-        "transform(sequence(1, greatest(size(toks) - 1, 0)), "
-        "i -> array_join(slice(toks, i, 2), ' '))"
-    )
     pairs = toks.select(
-        "doc_id", F.explode(F.expr(bigram)).alias("bigram")
+        "doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram")
     )
     counted = pairs.groupBy("bigram").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
@@ -495,9 +505,7 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_TOP_NGRAMS_SQL = f"""
 {_SQL_PREP}, grams AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
-           i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+  SELECT doc_id, unnest({_SQL_BIGRAM}) AS bigram
   FROM t
 ), counted AS (
   SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
@@ -508,4 +516,78 @@ TEXT_TOP_NGRAMS_SQL = f"""
 SELECT bigram, n_occurrences, n_docs,
        row_number() OVER (ORDER BY n_occurrences DESC, bigram ASC) AS rank
 FROM top
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals, the Gopher/MassiveText-family
+    quality filters (Rae et al. 2021 §A1.1) adapted to this fixture's
+    newline-free text: duplicate-token fraction, most-frequent-bigram
+    mass, and duplicate-bigram fraction. High values mark boilerplate
+    and degenerate generator loops — the filter LLM corpus curation
+    applies right after language ID.
+
+    Docs with <2 tokens are excluded (a bigram signal is undefined
+    there), identically in both engines.
+
+    All three fractions are single IEEE divisions of exact integers
+    (no float accumulation), so the oracle matches bit-for-bit.
+
+    Plan: map-side explode of non-distinct bigrams (ints ride along,
+    avoiding a doc_id re-join) → partial-agg count per (doc, bigram)
+    → partial-agg per doc. Both shuffle keys are high-cardinality and
+    unskewed; shuffle volume is one row per distinct bigram per doc —
+    the wordcount shape, linear to 100 TB.
+    """
+    toks = _docs_with_tokens(spark, sf_dir).where(F.size("toks") >= 2)
+    rows = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"),
+    )
+    per_bigram = rows.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("n_distinct").alias("n_distinct"),
+    )
+    return per_bigram.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        (
+            (F.max("n_tokens") - F.max("n_distinct")).cast("double")
+            / F.max("n_tokens")
+        ).alias("dup_token_frac"),
+        F.sum("cnt").alias("n_bigrams"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_bigram_frac"),
+        (
+            (F.sum("cnt") - F.count(F.lit(1))).cast("double") / F.sum("cnt")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+{_SQL_PREP}, d AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct, toks
+  FROM t WHERE len(toks) >= 2
+), bg AS (
+  SELECT doc_id, n_tokens, n_distinct, unnest({_SQL_BIGRAM}) AS bigram
+  FROM d
+), pb AS (
+  SELECT doc_id, bigram, COUNT(*) AS cnt,
+         MAX(n_tokens) AS n_tokens, MAX(n_distinct) AS n_distinct
+  FROM bg GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       MAX(n_tokens) AS n_tokens,
+       CAST(MAX(n_tokens) - MAX(n_distinct) AS DOUBLE) / MAX(n_tokens)
+         AS dup_token_frac,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_bigram_frac,
+       CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT)
+         AS dup_bigram_frac
+FROM pb GROUP BY doc_id
 """

@@ -113,3 +113,29 @@ def test_redact_df_on_crafted_pii(spark):
     assert out[4].n_ssn == 1 and "<SSN>" in out[4].redacted
     assert not out[5].was_redacted and out[5].redacted == rows[4][1]
     assert all(out[i].was_redacted for i in (1, 2, 3, 4))
+
+
+def test_repetition_invariants(spark):
+    """Every doc with >=2 tokens has exactly n_tokens-1 bigrams;
+    all three fractions are well-defined probabilities; a corpus of
+    ~200 synthetic words must show heavy bigram repetition."""
+    rows = T.text_repetition(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams == r.n_tokens - 1, r.doc_id
+        assert 0.0 <= r.dup_token_frac < 1.0
+        assert 0.0 < r.top_bigram_frac <= 1.0
+        assert 0.0 <= r.dup_bigram_frac < 1.0
+        # top bigram accounts for at least its share of duplicates
+        assert r.top_bigram_frac >= (1.0 / r.n_bigrams)
+
+
+def test_decontaminate_excludes_benchmark_and_bounds(spark):
+    from ensembl_lakehouse_spark.operators.pipeline import BENCH_MOD, decontaminate
+
+    rows = decontaminate(spark, SF_DIR).collect()
+    assert rows, "fixture corpus should have some contaminated docs"
+    for r in rows:
+        assert r.doc_id % BENCH_MOD != 0, "benchmark docs must not be flagged"
+        assert 1 <= r.n_contaminated <= r.n_shingles
+        assert 0.0 < r.contamination_frac <= 1.0
