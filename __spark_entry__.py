@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": R.set_ops,
         # Time-series (SURVEY §2 EXT; batch twin of streaming demo)
         "events_hourly": R.events_hourly,
+        "events_moving_avg": R.events_moving_avg,
+        "events_funnel": R.events_funnel,
+        "cohort_retention": R.cohort_retention,
         # Text analysis (SURVEY §2 X3)
         "text_token_stats": T.text_token_stats,
         "text_langid": T.text_langid,
@@ -110,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Multimodal columns (SURVEY §2 X4)
         "multimodal_centroid": M.multimodal_centroid,
         "multimodal_payload": M.multimodal_payload,
+        "multimodal_quantize": M.multimodal_quantize,
         # Chunking + packing (EXT; training-batch prep)
         "chunk_documents": C.chunk_documents,
         "pack_sequences": C.pack_sequences,
@@ -172,6 +176,9 @@ def oracle_sql() -> dict[str, str]:
         "agg_filtered": R.AGG_FILTERED_SQL,
         "set_ops": R.SET_OPS_SQL,
         "events_hourly": R.EVENTS_HOURLY_SQL,
+        "events_moving_avg": R.EVENTS_MOVING_AVG_SQL,
+        "events_funnel": R.EVENTS_FUNNEL_SQL,
+        "cohort_retention": R.COHORT_RETENTION_SQL,
         "text_token_stats": T.TEXT_TOKEN_STATS_SQL,
         "text_langid": T.TEXT_LANGID_SQL,
         "text_quality": T.TEXT_QUALITY_SQL,
@@ -190,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": S.DEDUP_EMBEDDING_SQL,
         "multimodal_centroid": M.MULTIMODAL_CENTROID_SQL,
         "multimodal_payload": M.MULTIMODAL_PAYLOAD_SQL,
+        "multimodal_quantize": M.MULTIMODAL_QUANTIZE_SQL,
         "chunk_documents": C.CHUNK_DOCUMENTS_SQL,
         "pack_sequences": C.PACK_SEQUENCES_SQL,
         "pipeline_curation": P.PIPELINE_CURATION_SQL,

@@ -114,6 +114,81 @@ FROM x GROUP BY label, dim
 """
 
 
+def multimodal_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    the storage/serving compression step of a vector pipeline
+    (store int8 + per-vector scale ≈ 4× smaller than float32).
+
+    Per vector: ``scale = max(|x|) / 127``; each component becomes
+    ``floor(x/scale + 0.5)`` (round-half-up via floor so Spark and
+    DuckDB agree bit-for-bit — their native ``round`` half-rule
+    differs); reported alongside the max absolute reconstruction
+    error and the count of non-zero quantized components.
+
+    Determinism: every float op here (abs, /, floor, *, -, max) is
+    a pure IEEE-754 double op with no reduction-order freedom —
+    ``array_max`` is order-independent — so the oracle matches
+    exactly. All-zero vectors get scale 0 and an all-zero code.
+
+    Map-only plan, zero shuffle: at 100 TB this is scan-bound and
+    embarrassingly parallel, the same shape as the text operators.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    df = emb.select(
+        "vec_id",
+        "label",
+        xd.alias("xd"),
+        (F.array_max(F.transform(xd, F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    q = F.when(F.col("scale") == 0.0, F.transform("xd", lambda x: F.lit(0))).otherwise(
+        F.transform("xd", lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"))
+    )
+    recon_err = F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                "xd",
+                lambda x: F.abs(x - F.floor(x / F.col("scale") + 0.5) * F.col("scale")),
+            )
+        )
+    )
+    return df.select(
+        "vec_id",
+        "label",
+        "scale",
+        # codes as a canonical CSV string: array-typed result columns
+        # don't survive the driver's pandas value-hash comparator
+        F.concat_ws(",", F.transform(q, lambda v: v.cast("string"))).alias("q_csv"),
+        F.size(F.filter(q, lambda v: v != 0)).alias("n_nonzero"),
+        recon_err.alias("max_abs_err"),
+    )
+
+
+MULTIMODAL_QUANTIZE_SQL = """
+WITH d AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, label, xd, scale,
+         CASE WHEN scale = 0.0
+              THEN list_transform(xd, x -> 0)
+              ELSE list_transform(xd, x -> CAST(floor(x / scale + 0.5) AS INT))
+         END AS q_int8
+  FROM d
+)
+SELECT vec_id, label, scale,
+       array_to_string(q_int8, ',') AS q_csv,
+       len(list_filter(q_int8, v -> v != 0)) AS n_nonzero,
+       CASE WHEN scale = 0.0 THEN 0.0
+            ELSE list_max(list_transform(xd,
+                 x -> abs(x - floor(x / scale + 0.5) * scale)))
+       END AS max_abs_err
+FROM q
+"""
+
+
 def multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary + map-metadata plumbing over ``documents``:
     utf-8 payload blob → byte length, content hash, head bytes;

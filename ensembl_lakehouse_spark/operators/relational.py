@@ -1474,3 +1474,221 @@ FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-windowed moving average (RANGE frame), funnel, cohort retention
+# ---------------------------------------------------------------------------
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-hour trailing moving average of ``value`` — a
+    time-based RANGE window frame (frame membership decided by the
+    event's timestamp, not its row offset), the standard smoothing
+    operator for telemetry/metric streams.
+
+    The frame is ordered by epoch *seconds* (``floor(epoch)``) so
+    both engines agree on membership exactly; the frame aggregate
+    sums in DECIMAL (associative fixed-point — immune to the
+    float-summation-order freedom a RANGE frame would otherwise
+    expose) and divides by the frame count, cast once at the end.
+
+    Scale: one shuffle on user_id, then a per-partition sort; the
+    frame is bounded by the 1-hour horizon so state per row is
+    O(events/hour/user) — no unbounded-preceding memory growth.
+    Restricted to user_id ≤ 100 to keep the contract result small;
+    the plan is user-count-independent.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp("ts")  # long seconds, truncated — = floor(epoch) post-1970
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("epoch_s"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        events.where(F.col("user_id") <= 100)
+        .withColumn("epoch_s", epoch_s)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.count(F.lit(1)).over(w).alias("n_in_window"),
+            (
+                F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+            ).alias("moving_avg"),
+        )
+        .orderBy("user_id", "ts_s", "event_id")
+    )
+
+
+EVENTS_MOVING_AVG_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+  FROM events WHERE user_id <= 100
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       COUNT(*) OVER w AS n_in_window,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS moving_avg
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts_s, event_id
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis view → click → purchase: a user
+    converts at stage N only with an event at stage N *at or after*
+    their stage-N-1 entry time. Reports users reaching each stage
+    and conversion vs the funnel top.
+
+    Shape: three groupBy-on-user_id stages, each feeding the next
+    through an equi-join on user_id. At 100 TB all three shuffles
+    hash on the same key, the natural parallel funnel plan; the
+    per-stage aggregates reduce to one row per user before each
+    join, so join inputs shrink monotonically down the funnel. The
+    stage tables are |users|-sized — NOT broadcast-hinted, AQE may
+    choose so at small SFs but a billion-user corpus must shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("stage_idx"), F.lit("view").alias("stage"), "n_users"
+        )
+        .unionAll(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("stage_idx"), F.lit("click").alias("stage"), "n_users"
+            )
+        )
+        .unionAll(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("stage_idx"), F.lit("purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+    top = v.agg(F.count(F.lit(1)).alias("n_top"))
+    return (
+        stages.crossJoin(F.broadcast(top))
+        .select(
+            "stage_idx",
+            "stage",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("n_top")).alias("conv_from_top"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1
+), s AS (
+  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'click', count(*) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', count(*) FROM p
+)
+SELECT stage_idx, stage, n_users,
+       CAST(n_users AS DOUBLE) / (SELECT count(*) FROM v) AS conv_from_top
+FROM s ORDER BY stage_idx
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over orders: customers grouped by their
+    first-order month; for each (cohort month, months-since-first)
+    cell, the count of distinct active customers and the retained
+    fraction of the cohort.
+
+    Month arithmetic is integer (year*12 + month) in both engines —
+    no interval/rounding semantics to disagree on. Two shuffles:
+    the first-order aggregate hashes on o_custkey and the join back
+    to orders reuses that key (co-partitioned); the final (cohort,
+    offset) aggregate is tiny (months² cells) after map-side
+    partial agg. countDistinct(custkey) inside a cell is the one
+    genuinely expensive reduction at scale — it stays shuffle-bound
+    on (cohort, offset, custkey), the canonical two-phase distinct.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mo = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = orders.groupBy("o_custkey").agg(F.min(mo).alias("cohort_mo"))
+    sized = first.groupBy("cohort_mo").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        orders.select("o_custkey", mo.alias("mo"))
+        .join(first, "o_custkey")
+        .groupBy("cohort_mo", (F.col("mo") - F.col("cohort_mo")).alias("month_offset"))
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+        .join(F.broadcast(sized), "cohort_mo")
+        .select(
+            # back to a printable YYYY-MM label: cohort_mo = y*12+m
+            # floor-div, NOT cast(x/12): DuckDB casts double→int by
+            # rounding, Spark by truncation — // sidesteps both.
+            F.format_string(
+                "%04d-%02d",
+                F.floor((F.col("cohort_mo") - 1) / 12).cast("int"),
+                ((F.col("cohort_mo") - 1) % 12 + 1).cast("int"),
+            ).alias("cohort_month"),
+            "month_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retained_frac"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH o AS (
+  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS mo FROM orders
+), first AS (
+  SELECT o_custkey, min(mo) AS cohort_mo FROM o GROUP BY 1
+), sized AS (
+  SELECT cohort_mo, count(*) AS cohort_size FROM first GROUP BY 1
+), cells AS (
+  SELECT f.cohort_mo, o.mo - f.cohort_mo AS month_offset,
+         count(DISTINCT o.o_custkey) AS n_active
+  FROM o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+)
+SELECT printf('%04d-%02d',
+              CAST((c.cohort_mo - 1) // 12 AS INT),
+              CAST((c.cohort_mo - 1) % 12 + 1 AS INT)) AS cohort_month,
+       c.month_offset, c.n_active, s.cohort_size,
+       CAST(c.n_active AS DOUBLE) / s.cohort_size AS retained_frac
+FROM cells c JOIN sized s ON c.cohort_mo = s.cohort_mo
+ORDER BY cohort_month, month_offset
+"""

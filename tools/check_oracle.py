@@ -41,7 +41,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             out[col] = s.astype("datetime64[us]").astype(str)
         elif s.dtype == object:
-            out[col] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            out[col] = s.map(
+                lambda v: tuple(v) if hasattr(v, "__len__") and not isinstance(v, (str, bytes)) else v
+            )
     cols = sorted(out.columns)
     out = out[cols]
     return out.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
