@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": R.events_moving_avg,
         "events_funnel": R.events_funnel,
         "cohort_retention": R.cohort_retention,
+        "events_anomaly": R.events_anomaly,
+        "scd2_intervals": MT.scd2_intervals,
+        "split_train_val_test": P.split_train_val_test,
         # Text analysis (SURVEY §2 X3)
         "text_token_stats": T.text_token_stats,
         "text_langid": T.text_langid,
@@ -179,6 +182,9 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg": R.EVENTS_MOVING_AVG_SQL,
         "events_funnel": R.EVENTS_FUNNEL_SQL,
         "cohort_retention": R.COHORT_RETENTION_SQL,
+        "events_anomaly": R.EVENTS_ANOMALY_SQL,
+        "scd2_intervals": MT.SCD2_INTERVALS_SQL,
+        "split_train_val_test": P.SPLIT_TRAIN_VAL_TEST_SQL,
         "text_token_stats": T.TEXT_TOKEN_STATS_SQL,
         "text_langid": T.TEXT_LANGID_SQL,
         "text_quality": T.TEXT_QUALITY_SQL,

@@ -261,3 +261,76 @@ SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
 FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) t
 FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build
+# ---------------------------------------------------------------------------
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: collapse each user's
+    event-type history into validity intervals — one row per state
+    *change*, carrying [valid_from, valid_to) and a version number,
+    open-ended on the current state. The standard dimension-table
+    derivation every warehouse load runs over a CDC/event feed.
+
+    Two window passes over the same (user_id → ts, event_id)
+    ordering: lag() marks change rows (consecutive-duplicate
+    collapse), then lead() over the surviving rows closes each
+    interval. Catalyst evaluates both in one shuffle on user_id —
+    the second window reuses the first's partitioning and sort.
+
+    Validity bounds are epoch MICROSECONDS (exact integers in both
+    engines — no timestamp-format round-trip). Bounded to
+    user_id ≤ 50 for the contract result; the plan is
+    user-count-independent. At 100 TB per-user history length is
+    the only memory knob (window buffers one user's rows).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    changes = (
+        events.where(F.col("user_id") <= 50)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("state"),
+            # ts is TIMESTAMP_NTZ (unix_micros rejects it) — diff
+            # against the epoch instead, same exact integer
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("ts_us"),
+            F.expr(f"lag(event_type) OVER {w}").alias("prev_state"),
+        )
+        .where(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+    )
+    w2 = "(PARTITION BY user_id ORDER BY ts_us, event_id)"
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts_us").alias("valid_from_us"),
+        F.expr(f"lead(ts_us) OVER {w2}").alias("valid_to_us"),
+        F.expr(f"row_number() OVER {w2}").alias("version"),
+        F.expr(f"lead(ts_us) OVER {w2} IS NULL").alias("is_current"),
+    ).orderBy("user_id", "version")
+
+
+SCD2_INTERVALS_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, event_type AS state,
+         epoch_us(ts) AS ts_us,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM events WHERE user_id <= 50
+), k AS (
+  SELECT user_id, state, ts_us, event_id FROM c
+  WHERE prev_state IS NULL OR state != prev_state
+)
+SELECT user_id, state,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER w AS valid_to_us,
+       row_number() OVER w AS version,
+       lead(ts_us) OVER w IS NULL AS is_current
+FROM k
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY user_id, version
+"""

@@ -206,3 +206,75 @@ SELECT doc_id, MAX(n_shingles) AS n_shingles, COUNT(*) AS n_contaminated,
        CAST(COUNT(*) AS DOUBLE) / MAX(n_shingles) AS contamination_frac
 FROM hits GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Stratified train/val/test split
+# ---------------------------------------------------------------------------
+
+#: Split proportions in tenths: train 8/10, val 1/10, test 1/10.
+SPLIT_TRAIN_TENTHS = 8
+SPLIT_VAL_TENTHS = 9  # cumulative: ranks in (8/10, 9/10] are val
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment: within
+    each language stratum, documents are ranked by an identity hash
+    and cut at exact 80/10/10 boundaries — every training-data
+    pipeline's split step, reproducible on any cluster and immune
+    to partitioning (unlike ``randomSplit``, whose draw depends on
+    partition layout and seed plumbing).
+
+    The boundary test is pure integer arithmetic (``rank*10 <=
+    n*8``) — no float proportions to disagree on. Ranking within a
+    stratum, not global hashing, guarantees EXACT per-stratum
+    proportions (a plain hash-mod split only approximates them on
+    small strata).
+
+    Scale: one shuffle on lang. Stratum cardinality is bounded
+    (|languages|), so per-partition sort memory is the constraint —
+    the same documented skew caveat as quota_per_group: a dominant
+    language concentrates in one task; salt the rank (two-phase
+    rank-then-offset) when a stratum outgrows a task.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint)"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    rn = F.row_number().over(w)
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .select(
+            "doc_id",
+            "lang",
+            rn.alias("stratum_rank"),
+            n.alias("stratum_n"),
+            F.when(rn * 10 <= n * SPLIT_TRAIN_TENTHS, F.lit("train"))
+            .when(rn * 10 <= n * SPLIT_VAL_TENTHS, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
+SPLIT_TRAIN_VAL_TEST_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS stratum_rank,
+         count(*) OVER (PARTITION BY lang) AS stratum_n
+  FROM h
+)
+SELECT doc_id, lang, stratum_rank, stratum_n,
+       CASE WHEN stratum_rank * 10 <= stratum_n * {SPLIT_TRAIN_TENTHS} THEN 'train'
+            WHEN stratum_rank * 10 <= stratum_n * {SPLIT_VAL_TENTHS} THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""

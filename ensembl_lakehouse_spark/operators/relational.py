@@ -1692,3 +1692,73 @@ SELECT printf('%04d-%02d',
 FROM cells c JOIN sized s ON c.cohort_mo = s.cohort_mo
 ORDER BY cohort_month, month_offset
 """
+
+
+#: Outlier threshold in z-score units.
+ANOMALY_Z = 2.5
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection: flag events whose ``value`` sits
+    more than ANOMALY_Z sample standard deviations from their
+    event-type mean — the first-pass telemetry anomaly screen.
+
+    Two-pass shape: a 5-row per-type stats aggregate (count / sum /
+    sum-of-squares, accumulated in DECIMAL so the parallel reduction
+    order can't perturb the result), broadcast back onto the event
+    stream, then a map-only z filter. The mean/variance/z float math
+    runs AFTER the exact fixed-point sums, as one identical scalar
+    expression tree in both engines — deterministic end to end.
+
+    At 100 TB: pass one is a partial-agg to |event_types| rows
+    (scan-bound); pass two is shuffle-free (broadcast + filter).
+    Memory per task is O(1).
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast(_DEC)
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sum_d"),
+        F.sum((v * v).cast("decimal(28,4)")).alias("sumsq_d"),
+    )
+    mean = F.col("sum_d").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("sumsq_d").cast("double")
+        - F.col("sum_d").cast("double") * F.col("sum_d").cast("double")
+        / F.col("n").cast("double")
+    ) / (F.col("n").cast("double") - 1.0)
+    enriched = stats.select(
+        "event_type", "n", mean.alias("mean_v"), F.sqrt(var).alias("std_v")
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        events.join(F.broadcast(enriched), "event_type")
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > ANOMALY_Z)
+        .select("event_id", "event_type", "value", "mean_v", "std_v", "z")
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS sum_d,
+         SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+                  AS DECIMAL(28,4))) AS sumsq_d
+  FROM events GROUP BY 1
+), e AS (
+  SELECT event_type, n,
+         CAST(sum_d AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+         sqrt((CAST(sumsq_d AS DOUBLE)
+               - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0)) AS std_v
+  FROM s
+)
+SELECT ev.event_id, ev.event_type, ev.value, e.mean_v, e.std_v,
+       (ev.value - e.mean_v) / e.std_v AS z
+FROM events ev JOIN e ON ev.event_type = e.event_type
+WHERE abs((ev.value - e.mean_v) / e.std_v) > {ANOMALY_Z}
+ORDER BY ev.event_id
+"""
