@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery_threshold": Q.scalar_subquery_threshold,
         "cust_order_distribution": Q.cust_order_distribution,
         "exists_order_priority": Q.exists_order_priority,
+        "suppliers_waiting": Q.suppliers_waiting,
+        "revenue_view_max": Q.revenue_view_max,
         # Joins (SURVEY §2 EXT)
         "join_region_revenue": R.join_region_revenue,
         "join_order_lineitem": R.join_order_lineitem,
@@ -88,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": R.events_funnel,
         "cohort_retention": R.cohort_retention,
         "events_anomaly": R.events_anomaly,
+        "value_winsorize": R.value_winsorize,
         "scd2_intervals": MT.scd2_intervals,
         "split_train_val_test": P.split_train_val_test,
         # Text analysis (SURVEY §2 X3)
@@ -108,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Iterative (no SQL oracle — driver does rows-only check;
         # pinned against Python union-find in pytest instead)
         "dedup_components": D.dedup_components,
+        "fuzzy_match_names": D.fuzzy_match_names,
         # Similarity search (SURVEY §2 X2)
         "similarity_topk": S.similarity_topk,
         "similarity_lsh": S.similarity_lsh,
@@ -166,6 +170,8 @@ def oracle_sql() -> dict[str, str]:
         "scalar_subquery_threshold": Q.SCALAR_SUBQUERY_THRESHOLD_SQL,
         "cust_order_distribution": Q.CUST_ORDER_DISTRIBUTION_SQL,
         "exists_order_priority": Q.EXISTS_ORDER_PRIORITY_SQL,
+        "suppliers_waiting": Q.SUPPLIERS_WAITING_SQL,
+        "revenue_view_max": Q.REVENUE_VIEW_MAX_SQL,
         "join_region_revenue": R.JOIN_REGION_REVENUE_SQL,
         "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,
@@ -183,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": R.EVENTS_FUNNEL_SQL,
         "cohort_retention": R.COHORT_RETENTION_SQL,
         "events_anomaly": R.EVENTS_ANOMALY_SQL,
+        "value_winsorize": R.VALUE_WINSORIZE_SQL,
         "scd2_intervals": MT.SCD2_INTERVALS_SQL,
         "split_train_val_test": P.SPLIT_TRAIN_VAL_TEST_SQL,
         "text_token_stats": T.TEXT_TOKEN_STATS_SQL,
@@ -197,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near": D.DEDUP_NEAR_SQL,
         "dedup_simhash": D.DEDUP_SIMHASH_SQL,
         "dedup_near_chargram": D.DEDUP_NEAR_CHARGRAM_SQL,
+        "fuzzy_match_names": D.FUZZY_MATCH_NAMES_SQL,
         "similarity_topk": S.SIMILARITY_TOPK_SQL,
         "similarity_lsh": S.SIMILARITY_LSH_SQL,
         "similarity_ivf": S.SIMILARITY_IVF_SQL,

@@ -550,3 +550,74 @@ _CHAR_S_CTE = f"""c AS (
 
 DEDUP_NEAR_SQL = _near_sql(_WORD_S_CTE)
 DEDUP_NEAR_CHARGRAM_SQL = _near_sql(_CHAR_S_CTE)
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy entity matching (edit distance)
+# ---------------------------------------------------------------------------
+
+#: Max edit distance for a fuzzy name match.
+FUZZY_MAX_DIST = 1
+
+
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join over ``part.p_name``: candidate
+    pairs are generated per *blocking key* (the name's last token —
+    the head noun), then scored with Levenshtein edit distance and
+    kept under FUZZY_MAX_DIST. The blocked-self-join pattern every
+    record-linkage pipeline uses: never all-pairs — candidate count
+    is Σ block² over blocks, not N².
+
+    Same lattice discipline as the MinHash dedups: the equi-join on
+    the blocking key is the only shuffle, pairs are ordered
+    (key_a < key_b) to halve the candidate set and de-duplicate
+    mirror pairs, and the distance filter runs JVM-side
+    (``levenshtein`` is a codegen builtin in Spark AND a native
+    function in DuckDB — identical classic DP semantics, so the
+    oracle matches exactly).
+
+    At 100 TB: blocking-key skew is the knob — a degenerate block
+    (everything named "widget") re-creates all-pairs, so production
+    adds a block-size cap or a second blocking key, exactly like
+    the LSH band-bucket cap in dedup_near.
+    """
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.element_at(F.split("p_name", " "), -1).alias("block"),
+        )
+    )
+    a, b = parts.alias("a"), parts.alias("b")
+    return (
+        a.join(b, on="block")
+        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .where(F.col("a.p_name") != F.col("b.p_name"))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+        .where(F.col("dist") <= FUZZY_MAX_DIST)
+        .orderBy("key_a", "key_b")
+    )
+
+
+FUZZY_MATCH_NAMES_SQL = f"""
+WITH p AS (
+  SELECT p_partkey, p_name,
+         list_extract(string_split(p_name, ' '), len(string_split(p_name, ' '))) AS block
+  FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM p a JOIN p b ON a.block = b.block
+WHERE a.p_partkey < b.p_partkey
+  AND a.p_name != b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+ORDER BY key_a, key_b
+"""

@@ -1762,3 +1762,55 @@ FROM events ev JOIN e ON ev.event_type = e.event_type
 WHERE abs((ev.value - e.mean_v) / e.std_v) > {ANOMALY_Z}
 ORDER BY ev.event_id
 """
+
+
+def value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping) of ``value`` at the
+    per-event-type p05/p95 — the robust-statistics companion to the
+    z-score screen: instead of dropping outliers, clamp them to the
+    stratum's order-statistic bounds.
+
+    PERCENTILE_DISC (not CONT) on purpose: it returns an actual
+    data element — a pure order statistic with zero float
+    interpolation — so both engines pick the identical value and
+    the clamp is bit-exact. The bounds table is |event_types| rows,
+    broadcast back; the clamp itself is map-only.
+
+    At 100 TB exact per-group percentiles are a sort-per-group;
+    Spark evaluates percentile_disc as a single-pass aggregate with
+    per-group state. For heavy groups swap in approx_percentile
+    (t-digest, mergeable) — same plan shape, documented error.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias("p05"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
+    )
+    return (
+        events.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "p05",
+            "p95",
+            F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p05")).alias(
+                "value_clipped"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+VALUE_WINSORIZE_SQL = """
+WITH b AS (
+  SELECT event_type,
+         percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value, b.p05, b.p95,
+       greatest(least(e.value, b.p95), b.p05) AS value_clipped
+FROM events e JOIN b ON e.event_type = b.event_type
+ORDER BY e.event_id
+"""

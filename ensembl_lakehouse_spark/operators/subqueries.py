@@ -169,3 +169,127 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+#: Days after order date a shipment counts as late (fixture has no
+#: l_commitdate/l_receiptdate; lateness is defined vs o_orderdate).
+LATE_DAYS = 90
+
+
+def suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape on the fixture schema: suppliers who were the
+    *sole* late shipper on a finished multi-supplier order — the
+    hardest classic subquery lattice (correlated EXISTS + NOT
+    EXISTS against the same fact table), decorrelated into one
+    per-order aggregate instead of two self-joins.
+
+    Rewrite: aggregate lineitem per order ONCE into (distinct
+    suppliers, distinct late suppliers, the late supplier key if
+    unique); the EXISTS ("another supplier shipped") and NOT EXISTS
+    ("no other supplier was late") both become predicates over
+    those counts. The naive form scans lineitem three times and
+    self-joins twice on l_orderkey; this form scans it once and
+    shuffles once — per-order distinct-supplier state is tiny and
+    bounded by suppliers-per-order (~7 max in TPC-H).
+
+    Determinism: counts and keys only — no float math anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), LATE_DAYS)
+    per_order = (
+        li.join(
+            orders.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+    )
+    return (
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy(F.col("late_supp").alias("l_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "l_suppkey")
+        .limit(50)
+    )
+
+
+SUPPLIERS_WAITING_SQL = f"""
+WITH per_order AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+                             THEN l.l_suppkey END) AS n_late_supp,
+         min(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+                  THEN l.l_suppkey END) AS late_supp
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1
+)
+SELECT late_supp AS l_suppkey, count(*) AS numwait
+FROM per_order
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY 1
+ORDER BY numwait DESC, l_suppkey
+LIMIT 50
+"""
+
+
+def revenue_view_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier revenue over a shipdate
+    window, then keep the supplier(s) achieving the global maximum
+    — aggregate-of-aggregate via a broadcast scalar, not a
+    correlated ``WHERE rev = (SELECT max(rev) ...)`` rescan.
+
+    Plan: one lineitem scan → per-supplier decimal revenue (partial
+    agg, |supplier| rows) → 1-row max() broadcast-joined back as an
+    equality filter. The revenue view is computed exactly once and
+    reused for both sides, where the textbook SQL recomputes the
+    view inside the scalar subquery. Revenue compares are exact
+    DECIMAL — max-equality on doubles would be flaky.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount")))
+            .alias("total_revenue_d")
+        )
+    )
+    top = rev.agg(F.max("total_revenue_d").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue_d == F.col("max_rev"))
+        .select(
+            "l_suppkey",
+            F.col("total_revenue_d").cast("double").alias("total_revenue"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+REVENUE_VIEW_MAX_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS total_revenue_d
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1
+)
+SELECT l_suppkey, CAST(total_revenue_d AS DOUBLE) AS total_revenue
+FROM rev
+WHERE total_revenue_d = (SELECT max(total_revenue_d) FROM rev)
+ORDER BY l_suppkey
+"""
