@@ -16,6 +16,7 @@ from tests.conftest import SF_DIR
 BUDGETS = {
     # map-only paths: any shuffle at all is a defect
     "scan_project": 0,
+    "multimodal_quantize": 0,
     "sample_hash": 0,
     "sample_weighted": 0,
     "text_quality": 0,
@@ -31,6 +32,12 @@ BUDGETS = {
     # window on one partitioning
     "window_topk_per_group": 1,
     "window_running_sum": 1,
+    "events_moving_avg": 1,
+    "scd2_intervals": 1,
+    "split_train_val_test": 1,
+    # stats broadcast back: one agg shuffle, join must not add one
+    "events_anomaly": 1,
+    "value_winsorize": 1,
     # two-stage pipelines
     "scalar_subquery_threshold": 2,
     "cust_order_distribution": 2,
