@@ -189,7 +189,7 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors sharing ≥1 of LSH_TABLES bucket keys with the query;
     exact cosine then ranks the candidates (cosine DESC, vec_id ASC,
     top TOP_K). Recall vs the exact operator is asserted in
-    tests/test_similarity.py; the driver oracle checks this plan's
+    tests/test_dedup_similarity.py; the driver oracle checks this plan's
     own (deterministic) output.
 
     Scale: the corpus is scanned once to emit L short bucket keys
