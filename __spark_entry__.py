@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_order_priority": Q.exists_order_priority,
         "suppliers_waiting": Q.suppliers_waiting,
         "revenue_view_max": Q.revenue_view_max,
+        "nation_trade_volume": Q.nation_trade_volume,
+        "market_share": Q.market_share,
         # Joins (SURVEY §2 EXT)
         "join_region_revenue": R.join_region_revenue,
         "join_order_lineitem": R.join_order_lineitem,
@@ -172,6 +174,8 @@ def oracle_sql() -> dict[str, str]:
         "exists_order_priority": Q.EXISTS_ORDER_PRIORITY_SQL,
         "suppliers_waiting": Q.SUPPLIERS_WAITING_SQL,
         "revenue_view_max": Q.REVENUE_VIEW_MAX_SQL,
+        "nation_trade_volume": Q.NATION_TRADE_VOLUME_SQL,
+        "market_share": Q.MARKET_SHARE_SQL,
         "join_region_revenue": R.JOIN_REGION_REVENUE_SQL,
         "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,

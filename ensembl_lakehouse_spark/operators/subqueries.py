@@ -293,3 +293,153 @@ FROM rev
 WHERE total_revenue_d = (SELECT max(total_revenue_d) FROM rev)
 ORDER BY l_suppkey
 """
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between
+    every ordered pair of distinct nations — supplier nation →
+    customer nation — by ship year. The canonical snowflake
+    multi-join: fact ⋈ two independent dimension chains.
+
+    Plan: lineitem ⋈ orders is the one big fact⋈fact shuffle;
+    supplier, customer and the two nation copies are broadcast
+    (|supplier| = SF·10k, |customer| joined AFTER the orders
+    reduction... customer is SF·150k — at fixture SFs AQE
+    broadcasts it, at 100 TB it becomes the second fact shuffle;
+    deliberately un-hinted). The pair × year output is tiny, so the
+    final agg is partial-agg dominated — scan-bound end to end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+NATION_TRADE_VOLUME_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name != n2.n_name
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+#: Q8 market-share target nation and part type.
+MKT_NATION = "NATION_7"
+MKT_PART_TYPE = "PROMO"
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: MKT_NATION's share of ASIA-region PROMO-part
+    revenue by order year — the conditional-aggregation-over-join
+    classic: share = sum(volume WHERE supplier ∈ nation) /
+    sum(volume), one pass, no second scan.
+
+    Both sums accumulate in DECIMAL and divide once in double, so
+    the share is deterministic. Join order mirrors Q7; part is the
+    added broadcast dim that prunes the fact early (PROMO filter
+    pushes into the part scan, then the join drops ~5/6 of
+    lineitem before the orders shuffle).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == MKT_PART_TYPE)
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cnat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    reg = (
+        load_table(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnat), cust.c_nationkey == cnat.c_nk)
+        .join(F.broadcast(reg), cnat.c_rk == reg.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.s_nk)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == MKT_NATION, vol).otherwise(F.lit(0).cast(_DEC)))
+            .alias("nation_vol_d"),
+            F.sum(vol).alias("total_vol_d"),
+        )
+        .select(
+            "o_year",
+            F.col("nation_vol_d").cast("double").alias("nation_volume"),
+            F.col("total_vol_d").cast("double").alias("total_volume"),
+            (
+                F.col("nation_vol_d").cast("double") / F.col("total_vol_d").cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+MARKET_SHARE_SQL = f"""
+WITH j AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS vol,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{MKT_PART_TYPE}'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r ON n2.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = '{MKT_NATION}' THEN vol
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS nation_volume,
+       CAST(SUM(vol) AS DOUBLE) AS total_volume,
+       CAST(SUM(CASE WHEN supp_nation = '{MKT_NATION}' THEN vol
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+FROM j
+GROUP BY 1
+ORDER BY o_year
+"""
