@@ -3,12 +3,14 @@
 One place that knows the physical quirks of the test lake so the
 rest of the engine sees clean typed DataFrames:
 
-- ``events.parquet`` stores TIMESTAMP(NANOS) which Spark's Parquet
-  reader rejects ([PARQUET_TYPE_ILLEGAL]); we read nanos as long
-  (legacy conf) and rebuild a TIMESTAMP_NTZ at microsecond
-  precision — exactly what DuckDB's µs-resolution TIMESTAMP sees, so
-  oracle comparisons agree. The conversion is tz-independent
-  (epoch arithmetic on NTZ, no session-timezone cast).
+- ``events.ts`` has shipped in two physical encodings across
+  fixture generations: TIMESTAMP(NANOS) (which Spark's Parquet
+  reader rejects — [PARQUET_TYPE_ILLEGAL] — so we read nanos as
+  long via the legacy conf and rebuild TIMESTAMP_NTZ with epoch
+  arithmetic) and plain TIMESTAMP(MICROS). ``normalize_event_ts``
+  dispatches on the *observed* Spark type so both generations load
+  to the same TIMESTAMP_NTZ µs column — exactly what DuckDB's
+  µs-resolution naive TIMESTAMP sees, so oracle comparisons agree.
 - Everything else reads natively; ms-timestamps arrive as
   TIMESTAMP_NTZ which matches DuckDB's naive TIMESTAMP semantics.
 
@@ -39,18 +41,38 @@ TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP_NTZ (µs).
+
+    Dispatches on the observed type so every fixture generation
+    lands on identical values:
+
+    - ``bigint``  — epoch *nanos* read via the nanosAsLong legacy
+      conf; truncate to µs (DuckDB truncates the same way) and
+      rebuild NTZ with tz-independent epoch arithmetic.
+    - ``timestamp`` (instant) — cast to NTZ; the session timezone
+      is pinned to UTC (session.py) so the wall clock is preserved.
+    - ``timestamp_ntz`` — already the canonical shape; no-op.
+    """
+    dt = df.schema[col].dataType.simpleString()
+    if dt == "bigint":
+        return df.withColumn(
+            col,
+            F.expr(
+                f"timestampadd(MICROSECOND, {col} div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    if dt == "timestamp":
+        return df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a typed DataFrame."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # TIMESTAMP(NANOS) → read as long → truncate to µs (DuckDB
-        # does the same truncation) → NTZ via epoch arithmetic.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-        )
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -12,10 +12,11 @@ Design:
 
 - **Source**: ``readStream`` over a parquet directory with an
   explicit schema (streaming sources cannot infer). The fixture's
-  TIMESTAMP(NANOS) quirk is handled the same way as the batch
-  loader (sources/tables.py): nanos read as long, rebuilt to µs
-  TIMESTAMP_NTZ — one shared conversion, so the stream and the
-  batch twin agree bit-for-bit.
+  ``ts`` physical encoding has varied across generations
+  (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)); we peek at the batch-
+  observed schema and normalize with the same dispatch as the batch
+  loader (sources/tables.py:normalize_event_ts), so the stream and
+  the batch twin agree bit-for-bit on any fixture generation.
 - **Watermark** bounds state: ``withWatermark("ts", ...)`` lets the
   engine drop window state once event time passes window_end +
   delay — the difference between O(open windows) and O(all time)
@@ -39,44 +40,51 @@ Design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import StructType
 
 #: Allowed event-time lateness before window state is finalized.
 WATERMARK_DELAY = "2 hours"
 
-#: Raw parquet schema (ts as raw nanos long, see module docstring).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def observed_raw_schema(spark: SparkSession, events_dir: str) -> StructType:
+    """Schema the parquet files actually carry. Streaming sources
+    cannot infer, and the fixture's ``ts`` physical type has shipped
+    as both TIMESTAMP(NANOS) (→ bigint under the nanosAsLong legacy
+    conf) and TIMESTAMP(MICROS), so we peek with a batch read."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(events_dir).schema
+
+
+def as_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize ``ts`` to TIMESTAMP (instant), dispatching on the
+    observed type like sources/tables.normalize_event_ts. Watermarks
+    require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ);
+    the session timezone is pinned to UTC (session.py) so the
+    wall-clock fields equal the batch loader's NTZ values."""
+    dt = df.schema[col].dataType.simpleString()
+    if dt == "bigint":
+        return df.withColumn(
+            col,
+            F.expr(f"timestampadd(MICROSECOND, {col} div 1000, TIMESTAMP '1970-01-01 00:00:00')"),
+        )
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def _event_source(spark: SparkSession, events_dir: str, **options: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(observed_raw_schema(spark, events_dir))
     for k, v in options.items():
         reader = reader.option(k, v)
-    raw = reader.parquet(events_dir)
-    # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
-    # on NTZ), so the stream rebuilds event time as an instant; the
-    # session timezone is pinned to UTC (session.py) so the wall-clock
-    # fields equal the batch loader's NTZ values.
-    return raw.withColumn(
-        "ts",
-        F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP '1970-01-01 00:00:00')"),
-    )
+    return as_event_time(reader.parquet(events_dir))
+
+
+def load_events_batch(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Batch read of the same files with the identical ``ts``
+    normalization — the shared base for the batch-equivalence
+    oracles in tests/test_streaming.py and streaming/joins.py."""
+    raw = spark.read.schema(observed_raw_schema(spark, events_dir)).parquet(events_dir)
+    return as_event_time(raw)
 
 
 def hourly_stream(spark: SparkSession, events_dir: str) -> DataFrame:

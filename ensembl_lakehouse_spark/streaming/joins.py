@@ -80,13 +80,9 @@ def attribution_join(spark: SparkSession, events_dir: str) -> DataFrame:
 def attribution_join_batch(spark: SparkSession, events_dir: str) -> DataFrame:
     """Batch twin over the same files with the same predicate — the
     correctness oracle for the streaming join."""
-    from ensembl_lakehouse_spark.streaming.events import EVENTS_RAW_SCHEMA
+    from ensembl_lakehouse_spark.streaming.events import load_events_batch
 
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(events_dir).withColumn(
-        "ts",
-        F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP '1970-01-01 00:00:00')"),
-    )
-    clicks, purchases = _sides(raw)
+    clicks, purchases = _sides(load_events_batch(spark, events_dir))
     return clicks.join(purchases, F.expr(_JOIN_COND), "inner").select(
         F.col("c_user").alias("user_id"),
         "click_id",

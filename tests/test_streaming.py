@@ -79,14 +79,7 @@ def test_session_stream_matches_batch_session_window(spark, events_dir):
         for r in spark.table("t_sessions").collect()
     }
 
-    batch_src = (
-        spark.read.schema(SE.EVENTS_RAW_SCHEMA)
-        .parquet(events_dir)
-        .withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP '1970-01-01 00:00:00')"),
-        )
-    )
+    batch_src = SE.load_events_batch(spark, events_dir)
     batch = {
         (r.session_start, r.session_end, r.user_id): r.n_events
         for r in batch_src.groupBy(
@@ -121,8 +114,7 @@ def test_stateful_running_totals_match_batch(spark, events_dir):
 
     batch = {
         r.event_type: (r.n, r.cents)
-        for r in spark.read.schema(SE.EVENTS_RAW_SCHEMA)
-        .parquet(events_dir)
+        for r in SE.load_events_batch(spark, events_dir)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -171,7 +163,7 @@ def test_streaming_dedup_suppresses_redelivery(spark, events_dir):
     out = SD.run_dedup_to_memory(spark, events_dir, "t_dedup_stream").collect()
     ids = [r.event_id for r in out]
     assert len(ids) == len(set(ids)), "duplicates survived the dedup"
-    batch = spark.read.schema(SE.EVENTS_RAW_SCHEMA).parquet(events_dir)
+    batch = SE.load_events_batch(spark, events_dir)
     assert sorted(ids) == sorted(r.event_id for r in batch.select("event_id").collect())
 
 
@@ -180,7 +172,7 @@ def split_events_dir(spark, tmp_path_factory, events_dir):
     """The events table split into two parquet files so
     maxFilesPerTrigger=1 yields two genuine micro-batches."""
     d = tmp_path_factory.mktemp("events_split")
-    src = spark.read.schema(SE.EVENTS_RAW_SCHEMA).parquet(events_dir)
+    src = SE.load_events_batch(spark, events_dir)
     src.where("event_id % 2 = 0").coalesce(1).write.parquet(str(d / "even"))
     src.where("event_id % 2 = 1").coalesce(1).write.parquet(str(d / "odd"))
     import glob, shutil as sh
