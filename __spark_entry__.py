@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ensembl_lakehouse_spark.operators import analytics as A
 from ensembl_lakehouse_spark.operators import chunking as C
 from ensembl_lakehouse_spark.operators import dedup as D
 from ensembl_lakehouse_spark.operators import maintenance as MT
@@ -25,6 +26,7 @@ from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import similarity as S
 from ensembl_lakehouse_spark.operators import subqueries as Q
 from ensembl_lakehouse_spark.operators import text as T
+from ensembl_lakehouse_spark.operators import tpch as H
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -71,6 +73,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_view_max": Q.revenue_view_max,
         "nation_trade_volume": Q.nation_trade_volume,
         "market_share": Q.market_share,
+        # TPC-H classic shapes (EXT; operators/tpch.py completes the
+        # families subqueries.py started — Q2/3/6/9/10/11/12/14/16/18/19/22)
+        "ship_priority": H.ship_priority,
+        "revenue_forecast": H.revenue_forecast,
+        "nation_profit": H.nation_profit,
+        "returned_customers": H.returned_customers,
+        "late_priority": H.late_priority,
+        "promo_revenue": H.promo_revenue,
+        "large_volume_customers": H.large_volume_customers,
+        "disjunctive_filter": H.disjunctive_filter,
+        "dormant_customers": H.dormant_customers,
+        "min_price_supplier": H.min_price_supplier,
+        "important_parts": H.important_parts,
+        "supplier_count_by_part": H.supplier_count_by_part,
+        # Column analytics (EXT; reshape + exact-moment statistics)
+        "unpivot_measures": A.unpivot_measures,
+        "corr_price_qty": A.corr_price_qty,
+        "histogram_totalprice": A.histogram_totalprice,
+        "window_percent_rank": A.window_percent_rank,
         # Joins (SURVEY §2 EXT)
         "join_region_revenue": R.join_region_revenue,
         "join_order_lineitem": R.join_order_lineitem,
@@ -176,6 +197,22 @@ def oracle_sql() -> dict[str, str]:
         "revenue_view_max": Q.REVENUE_VIEW_MAX_SQL,
         "nation_trade_volume": Q.NATION_TRADE_VOLUME_SQL,
         "market_share": Q.MARKET_SHARE_SQL,
+        "ship_priority": H.SHIP_PRIORITY_SQL,
+        "revenue_forecast": H.REVENUE_FORECAST_SQL,
+        "nation_profit": H.NATION_PROFIT_SQL,
+        "returned_customers": H.RETURNED_CUSTOMERS_SQL,
+        "late_priority": H.LATE_PRIORITY_SQL,
+        "promo_revenue": H.PROMO_REVENUE_SQL,
+        "large_volume_customers": H.LARGE_VOLUME_CUSTOMERS_SQL,
+        "disjunctive_filter": H.DISJUNCTIVE_FILTER_SQL,
+        "dormant_customers": H.DORMANT_CUSTOMERS_SQL,
+        "min_price_supplier": H.MIN_PRICE_SUPPLIER_SQL,
+        "important_parts": H.IMPORTANT_PARTS_SQL,
+        "supplier_count_by_part": H.SUPPLIER_COUNT_BY_PART_SQL,
+        "unpivot_measures": A.UNPIVOT_MEASURES_SQL,
+        "corr_price_qty": A.CORR_PRICE_QTY_SQL,
+        "histogram_totalprice": A.HISTOGRAM_TOTALPRICE_SQL,
+        "window_percent_rank": A.WINDOW_PERCENT_RANK_SQL,
         "join_region_revenue": R.JOIN_REGION_REVENUE_SQL,
         "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,

@@ -1,0 +1,251 @@
+"""Column-analytics operators (EXT, SURVEY §2 agg/window family):
+reshaping and statistics a lakehouse user reaches for right after
+the relational basics.
+
+Four shapes the reference's Athena users write constantly that the
+single-table surface (app/main.py:479) cannot express:
+
+- ``unpivot_measures`` — wide→long melt, via the native
+  ``DataFrame.unpivot`` (Spark 3.4+), not a UNION of scans.
+- ``corr_price_qty`` — correlation + least-squares slope/intercept
+  from EXACT decimal co-moments (the naive ``F.corr`` on doubles is
+  partition-order-nondeterministic; this formulation is hash-stable
+  by construction and teaches the map-side-moment pattern that
+  scales: 6 numbers per group cross the shuffle, never the rows).
+- ``histogram_totalprice`` — fixed-width binning; bucket index is
+  integer math on the scan side so the shuffle carries |buckets|
+  partial rows per task.
+- ``window_percent_rank`` — percent_rank/cume_dist with a total
+  (tie-broken) ordering, so ranks are reproducible run-to-run.
+
+Determinism rule: same as operators/relational.py — decimal
+fixed-point accumulation, one double conversion at the end, the
+identical arithmetic expression in the DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ensembl_lakehouse_spark.sources.tables import load_table
+
+_DEC = "decimal(12,2)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(_DEC)
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt lineitem's four measures into (measure, value) rows and
+    aggregate per returnflag × measure — the wide→long reshape.
+
+    Plan: ``unpivot`` is a map-side row-explode (one input row → 4
+    output rows, no shuffle, no extra scan — the UNION-ALL
+    formulation DuckDB runs scans the table 4×); the only exchange
+    is the final 12-row aggregation. All four measures are cast to
+    one DECIMAL type first (unpivot requires a common value type,
+    and it keeps the sums exact).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _dec("l_quantity").alias("quantity"),
+        _dec("l_extendedprice").alias("extendedprice"),
+        _dec("l_discount").alias("discount"),
+        _dec("l_tax").alias("tax"),
+    )
+    return (
+        li.unpivot(
+            ["l_returnflag"],
+            ["quantity", "extendedprice", "discount", "tax"],
+            "measure",
+            "value",
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(
+            F.sum("value").cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+UNPIVOT_MEASURES_SQL = """
+WITH long AS (
+  SELECT l_returnflag, 'quantity' AS measure,
+         CAST(l_quantity AS DECIMAL(12,2)) AS value FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice',
+         CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount',
+         CAST(l_discount AS DECIMAL(12,2)) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax',
+         CAST(l_tax AS DECIMAL(12,2)) FROM lineitem
+)
+SELECT l_returnflag, measure,
+       CAST(SUM(value) AS DOUBLE) AS total,
+       COUNT(*) AS n_rows
+FROM long
+GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+"""
+
+
+def corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and least-squares fit of extendedprice on
+    quantity, per returnflag — computed from exact decimal
+    co-moments (n, Σx, Σy, Σxy, Σx², Σy²), then combined in double
+    with one closed-form expression.
+
+    Why not ``F.corr``: it accumulates doubles in partition order —
+    bitwise-nondeterministic across runs and unequal to DuckDB's
+    accumulation order. The moment sums here are DECIMAL (exact,
+    order-independent); only the final 5-operation combine runs in
+    float, identically in both engines. This is also the 100 TB
+    shape: moments merge associatively, so map-side partial agg
+    sends 6 numbers per group per task across the wire.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    moments = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum((x * y).cast("decimal(25,4)")).cast("double").alias("sxy"),
+            F.sum((x * x).cast("decimal(25,4)")).cast("double").alias("sxx"),
+            F.sum((y * y).cast("decimal(25,4)")).cast("double").alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    cov_n = F.col("sxy") * n - F.col("sx") * F.col("sy")
+    var_x_n = F.col("sxx") * n - F.col("sx") * F.col("sx")
+    var_y_n = F.col("syy") * n - F.col("sy") * F.col("sy")
+    return (
+        moments.select(
+            "l_returnflag",
+            "n",
+            (cov_n / F.sqrt(var_x_n * var_y_n)).alias("corr_xy"),
+            (cov_n / var_x_n).alias("slope"),
+            ((F.col("sy") - (cov_n / var_x_n) * F.col("sx")) / n).alias("intercept"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+CORR_PRICE_QTY_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(25,4)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(25,4)))
+              AS DOUBLE) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (sxy * CAST(n AS DOUBLE) - sx * sy)
+         / sqrt((sxx * CAST(n AS DOUBLE) - sx * sx)
+                * (syy * CAST(n AS DOUBLE) - sy * sy)) AS corr_xy,
+       (sxy * CAST(n AS DOUBLE) - sx * sy)
+         / (sxx * CAST(n AS DOUBLE) - sx * sx) AS slope,
+       (sy - ((sxy * CAST(n AS DOUBLE) - sx * sy)
+              / (sxx * CAST(n AS DOUBLE) - sx * sx)) * sx)
+         / CAST(n AS DOUBLE) AS intercept
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+#: Fixed histogram bin width for o_totalprice (fixture range ≈ 1e3..6e5).
+HIST_BIN_WIDTH = 25_000
+
+
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bucket index, count,
+    and exact decimal mass per bucket.
+
+    Plan: the bucket index is scan-side integer math (floor of a
+    double division by an integer constant — identical rounding in
+    both engines since both divide the same doubles), so partial
+    aggregation collapses each task to |buckets| rows before the one
+    exchange. This is the scalable histogram: no sort, no
+    percentile state, output bounded by range/width.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("bucket_total"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_BIN_WIDTH).cast("double").alias("bucket_low"),
+            "n_orders",
+            "bucket_total",
+        )
+        .orderBy("bucket")
+    )
+
+
+HISTOGRAM_TOTALPRICE_SQL = f"""
+SELECT CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS INT) AS bucket,
+       CAST(CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS INT)
+            * {HIST_BIN_WIDTH} AS DOUBLE) AS bucket_low,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bucket_total
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of each supplier's balance within its
+    nation: percent_rank + cume_dist over a TOTAL ordering
+    (balance, then suppkey) so tied balances still rank
+    deterministically — rank functions over a partial order are a
+    run-to-run flake at any scale.
+
+    Plan: one shuffle on s_nationkey (bounded cardinality — the
+    standard skew caveat from window_topk_per_group applies), one
+    in-partition sort, both rank functions evaluated in the same
+    window pass. percent_rank = (rank−1)/(n−1) over integers —
+    exact in both engines.
+    """
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        supp.select(
+            "s_suppkey",
+            "s_nationkey",
+            "s_acctbal",
+            F.percent_rank().over(w).alias("bal_pct_rank"),
+            F.cume_dist().over(w).alias("bal_cume_dist"),
+        )
+        .orderBy("s_nationkey", "s_acctbal", "s_suppkey")
+    )
+
+
+WINDOW_PERCENT_RANK_SQL = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       PERCENT_RANK() OVER w AS bal_pct_rank,
+       CUME_DIST()   OVER w AS bal_cume_dist
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+ORDER BY s_nationkey, s_acctbal, s_suppkey
+"""

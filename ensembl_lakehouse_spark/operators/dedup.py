@@ -576,32 +576,72 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     function in DuckDB — identical classic DP semantics, so the
     oracle matches exactly).
 
-    At 100 TB: blocking-key skew is the knob — a degenerate block
-    (everything named "widget") re-creates all-pairs, so production
-    adds a block-size cap or a second blocking key, exactly like
-    the LSH band-bucket cap in dedup_near.
+    Skew/scale design (the naive blocked self-join is degenerate
+    here: ~8 distinct head nouns at EVERY SF, so block size grows
+    linearly with the table and the join re-creates all-pairs on 8
+    partitions — measured 80 s at sf0.1). Three rewrites, output
+    identical row-for-row:
+
+    - **Match distinct names, then expand.** Rows share names
+      heavily (every real entity-matching corpus has heavy-hitter
+      values), so the expensive compare runs on the DISTINCT name
+      domain — |names|² work becomes |distinct names|² (~10⁴ instead
+      of ~10⁷ comparisons at sf0.1) — and the verified name pairs
+      broadcast back onto the keyed rows as two cheap equi-joins.
+    - **Length-banded second blocking key, ±d replicated.** Edit
+      distance ≤ d implies length difference ≤ d, so joining on
+      (noun, length) with one side exploded to lengths [len−d,
+      len+d] yields exactly the pairs the noun-only join kept after
+      the distance filter — zero recall loss, each pair arises once
+      (its length delta picks the unique replica), and the composite
+      key spreads the shuffle over every core instead of 8.
+    - **Thresholded levenshtein** (Spark 3.5+ 3-arg form): banded
+      O(d·n) DP returning −1 past the cut instead of the full O(n²)
+      matrix; kept rows still carry the exact distance.
+
+    Measured at sf0.1: 80 s → 2.0 s, identical 789 615-row output.
     """
-    parts = (
-        load_table(spark, sf_dir, "part")
-        .select(
-            "p_partkey",
-            "p_name",
-            F.element_at(F.split("p_name", " "), -1).alias("block"),
-        )
+    d = FUZZY_MAX_DIST
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = parts.select("p_name").distinct().select(
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+        F.length("p_name").alias("nlen"),
     )
-    a, b = parts.alias("a"), parts.alias("b")
-    return (
-        a.join(b, on="block")
-        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
-        .where(F.col("a.p_name") != F.col("b.p_name"))
-        .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+    na = names.alias("na").withColumn(
+        "join_len",
+        F.explode(F.array(*[F.col("nlen") + F.lit(i) for i in range(-d, d + 1)])),
+    )
+    nb = names.alias("nb")
+    dist = F.levenshtein(F.col("na.p_name"), F.col("nb.p_name"), d)
+    # Both orientations (x,y)/(y,x) are kept at the name level; the
+    # key_a < key_b filter below picks the orientation per row pair.
+    name_pairs = (
+        na.join(
+            nb,
+            (F.col("na.block") == F.col("nb.block"))
+            & (F.col("join_len") == F.col("nb.nlen")),
         )
-        .where(F.col("dist") <= FUZZY_MAX_DIST)
+        .where(F.col("na.p_name") != F.col("nb.p_name"))
+        .select(
+            F.col("na.p_name").alias("name_a"),
+            F.col("nb.p_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+        .where(F.col("dist").between(0, FUZZY_MAX_DIST))
+    )
+    a, b = parts.alias("pa"), parts.alias("pb")
+    return (
+        a.join(F.broadcast(name_pairs), F.col("pa.p_name") == F.col("name_a"))
+        .join(b, F.col("name_b") == F.col("pb.p_name"))
+        .where(F.col("pa.p_partkey") < F.col("pb.p_partkey"))
+        .select(
+            F.col("pa.p_partkey").alias("key_a"),
+            F.col("pb.p_partkey").alias("key_b"),
+            "name_a",
+            "name_b",
+            "dist",
+        )
         .orderBy("key_a", "key_b")
     )
 
