@@ -26,6 +26,21 @@ BUDGETS = {
     "agg_pricing_summary": 1,
     "rollup_agg": 1,
     "grouping_sets_agg": 1,
+    "histogram_totalprice": 1,
+    "unpivot_measures": 1,
+    "corr_price_qty": 1,
+    # single global agg, all predicates in the scan
+    "revenue_forecast": 0,
+    # TPC-H shapes: the fact⋈fact exchange is the only one allowed
+    "ship_priority": 1,
+    "late_priority": 1,
+    "promo_revenue": 1,
+    "returned_customers": 1,
+    "nation_profit": 1,
+    "large_volume_customers": 1,
+    "important_parts": 1,
+    "dormant_customers": 1,
+    "window_percent_rank": 1,
     # fact⋈fact with broadcast dims: one shuffle max
     "join_region_revenue": 1,
     "join_skew_salted": 1,
