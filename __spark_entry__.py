@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_terms": T.text_doc_terms,
         "text_top_ngrams": T.text_top_ngrams,
         "text_repetition": T.text_repetition,
+        "text_token_rarity": T.text_token_rarity,
         # Benchmark decontamination (SURVEY §2 X1-adjacent curation)
         "decontaminate": P.decontaminate,
         # Deduplication (SURVEY §2 X1)
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "text_doc_terms": T.TEXT_DOC_TERMS_SQL,
         "text_top_ngrams": T.TEXT_TOP_NGRAMS_SQL,
         "text_repetition": T.TEXT_REPETITION_SQL,
+        "text_token_rarity": T.TEXT_TOKEN_RARITY_SQL,
         "decontaminate": P.DECONTAMINATE_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_near": D.DEDUP_NEAR_SQL,

@@ -591,3 +591,70 @@ SELECT doc_id,
          AS dup_bigram_frac
 FROM pb GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM rarity scoring
+# ---------------------------------------------------------------------------
+
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality signal (the CCNet/perplexity-filter shape):
+    score each document by how common its tokens are in the corpus —
+    mean corpus frequency of the document's tokens, plus the rarest
+    token's frequency. Low mean ⇒ rare-token-heavy (OCR garbage,
+    code, boilerplate IDs); the standard cheap stand-in for LM
+    perplexity when ranking documents for training-data curation.
+
+    Deliberately integer-exact where the textbook form is
+    ``Σ ln p(tok)``: a transcendental per token would let the two
+    engines' libm disagree in the last ulp (same reasoning as
+    text_doc_terms' rational tf·N/df score), so the score is the
+    exact integer frequency mass divided ONCE in double — monotone
+    in the same ranking as the smoothed log-prob for fixed doc
+    length, and hash-identical across engines.
+
+    Plan (the tf–df lattice of text_doc_terms, minus the window):
+    explode tokens map-side → corpus frequency per term (partial agg
+    before the term shuffle) → terms⋈cf join back — un-hinted, a
+    web-scale vocabulary is NOT broadcastable; AQE broadcasts at
+    fixture SFs, sort-merges on term at corpus scale — → per-doc
+    aggregation. Every shuffle moves pre-aggregated or
+    single-token-width rows.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    terms = toks.select("doc_id", F.explode("toks").alias("term"))
+    cf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    return (
+        terms.join(cf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cf").alias("freq_mass"),
+            F.min("cf").alias("rarest_cf"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "freq_mass",
+            "rarest_cf",
+            (F.col("freq_mass").cast("double") / F.col("n_tokens")).alias("mean_cf"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_TOKEN_RARITY_SQL = f"""
+{_SQL_PREP}, terms AS (
+  SELECT doc_id, unnest(toks) AS term FROM t
+), cf AS (
+  SELECT term, COUNT(*) AS cf FROM terms GROUP BY term
+)
+SELECT terms.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(cf.cf) AS BIGINT) AS freq_mass,
+       MIN(cf.cf) AS rarest_cf,
+       CAST(SUM(cf.cf) AS DOUBLE) / COUNT(*) AS mean_cf
+FROM terms JOIN cf ON terms.term = cf.term
+GROUP BY terms.doc_id
+ORDER BY doc_id
+"""

@@ -149,6 +149,24 @@ def test_stream_stream_attribution_join_matches_batch(spark, events_dir):
         assert 0 <= delta <= 3600
 
 
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    """The stream-static join needs no state and no watermark; its
+    availableNow run must equal the batch join exactly (inner join +
+    projection only — set equality on full rows)."""
+    from ensembl_lakehouse_spark.streaming import enrich as EN
+
+    stream = {
+        tuple(r)
+        for r in EN.run_enriched_to_memory(spark, events_dir, SF_DIR, "t_enrich").collect()
+    }
+    batch = {tuple(r) for r in EN.enriched_batch(spark, events_dir, SF_DIR).collect()}
+    assert stream == batch
+    assert batch  # the fixture's user_ids all resolve to customers
+    # every stream event survived the inner join (full referential fixture)
+    n_src = spark.read.parquet(events_dir).count()
+    assert len(stream) == n_src
+
+
 def test_watermark_is_applied(spark, events_dir):
     plan = SE.hourly_stream(spark, events_dir)._jdf.queryExecution().analyzed().toString()
     assert "watermark" in plan.lower()
