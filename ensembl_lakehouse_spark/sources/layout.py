@@ -96,3 +96,91 @@ def pruning_report(df: DataFrame) -> dict:
     ]
     files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
     return {"partition_filters": partition_filters, "files": files}
+
+
+def compact(
+    spark: SparkSession, src_path: str, dst_path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ⌈input_bytes / target_file_bytes⌉ files.
+
+    The classic lake-maintenance job — streaming sinks and
+    high-cardinality partitionBy writes leave thousands of KB-sized
+    files, and at 100 TB the per-file open/footer cost plus the
+    scheduler's per-split overhead dominate scans long before I/O
+    does. Target count comes from the actual on-disk byte size (not
+    file count), so compaction is idempotent: re-running on compacted
+    output is a no-op rewrite to the same count.
+
+    Returns {files_before, files_after, bytes}: the evidence tests
+    assert on (tests/test_layout.py), same policy as pruning_report —
+    measured facts, not trust.
+    """
+    import glob
+    import os
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(src_path).repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    out = [
+        f
+        for f in glob.glob(os.path.join(dst_path, "*.parquet"))
+        if os.path.isfile(f)
+    ]
+    return {"files_before": len(files), "files_after": len(out), "bytes": total}
+
+
+def write_clustered(df: DataFrame, path: str, sort_col: str, n_files: int = 8) -> None:
+    """Range-clustered write: range-partition on ``sort_col`` then
+    sort within each file — the 1-D clustering (Z-order's simple
+    case) that makes parquet row-group min/max statistics selective.
+
+    After this write, a range/point predicate on ``sort_col`` skips
+    whole files and row groups via footer stats alone; on a random
+    layout every row group's [min,max] spans the full domain and
+    nothing skips. ``repartitionByRange`` samples the column to cut
+    balanced ranges — the same mechanics a Delta OPTIMIZE ZORDER
+    runs, minus the space-filling curve.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def skipping_report(path: str, col: str, lo, hi) -> dict:
+    """Row-group skipping evidence from parquet footers: how many
+    row groups could a [lo, hi] range predicate on ``col`` skip,
+    judged ONLY by their min/max statistics (what any engine's
+    reader sees before touching data pages).
+
+    Returns {row_groups, skippable, skippable_frac}. The layout
+    tests assert clustered ≫ random — measured from the same footer
+    metadata production scans use, not inferred from the plan.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = skippable = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(meta.num_row_groups):
+            stats = meta.row_group(rg).column(idx).statistics
+            total += 1
+            if stats is not None and (stats.min > hi or stats.max < lo):
+                skippable += 1
+    return {
+        "row_groups": total,
+        "skippable": skippable,
+        "skippable_frac": (skippable / total) if total else 0.0,
+    }

@@ -104,3 +104,43 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         .count()
     )
     assert n == expected
+
+
+def test_compaction_reduces_file_count(spark, tmp_path_factory):
+    """Many small files in, ceil(bytes/target) files out, same rows;
+    idempotent on re-run."""
+    src = str(tmp_path_factory.mktemp("compact") / "small")
+    dst = str(tmp_path_factory.mktemp("compact") / "big")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    li.repartition(64).write.parquet(src)  # deliberately shattered
+    report = L.compact(spark, src, dst, target_file_bytes=1 << 30)
+    assert report["files_before"] == 64
+    assert report["files_after"] == 1  # fixture ≪ 1 GiB target
+    assert spark.read.parquet(dst).count() == li.count()
+    # Idempotence: compacting the compacted output is a same-count rewrite.
+    dst2 = dst + "_again"
+    report2 = L.compact(spark, dst, dst2, target_file_bytes=1 << 30)
+    assert report2["files_after"] == report["files_after"]
+
+
+def test_clustered_write_enables_rowgroup_skipping(spark, tmp_path_factory):
+    """Range-clustered layout: a narrow range predicate must be able
+    to skip most row groups on footer stats; the same data written
+    randomly skips (almost) none. Judged from the actual parquet
+    footers, not the plan."""
+    base = tmp_path_factory.mktemp("cluster")
+    clustered, random = str(base / "clustered"), str(base / "random")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    L.write_clustered(orders, clustered, "o_orderkey", n_files=8)
+    orders.repartition(8).write.parquet(random)  # round-robin: every file spans the domain
+
+    lo, hi = 1, 100  # ~the lowest keys: one range file should cover them
+    rep_c = L.skipping_report(clustered, "o_orderkey", lo, hi)
+    rep_r = L.skipping_report(random, "o_orderkey", lo, hi)
+    assert rep_c["row_groups"] >= 8
+    assert rep_c["skippable_frac"] >= 0.8, rep_c
+    assert rep_r["skippable_frac"] == 0.0, rep_r
+    # Correctness unchanged by layout: same rows under the predicate.
+    n_c = spark.read.parquet(clustered).where(f"o_orderkey between {lo} and {hi}").count()
+    n_r = spark.read.parquet(random).where(f"o_orderkey between {lo} and {hi}").count()
+    assert n_c == n_r > 0
