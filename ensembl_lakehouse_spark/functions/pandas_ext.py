@@ -48,3 +48,42 @@ def cosine_udf(a: Column | str, b: Column | str) -> Column:
     columns. Prefer functions/vectors.cosine_similarity (JVM) for
     ≤~256 dims; prefer this above that, where SIMD wins."""
     return _cosine_batch(a, b)
+
+
+def ols_per_group(df, group_col: str, x_col: str, y_col: str):
+    """Per-group least-squares fit via ``applyInPandas`` — the
+    grouped-map face of the sanctioned Pandas seam (cosine_udf is
+    the scalar face; streaming/stateful.py the stateful one;
+    operators/multimodal.py the mapInPandas one).
+
+    The shape to copy for any per-group Python model fit: each group
+    becomes ONE pandas frame on one executor (so a group must fit in
+    memory — at 100 TB that means fitting per bounded key, never per
+    heavy-hitter key without a pre-aggregation), and the output
+    schema is declared up front.
+
+    Numerics contract, same as cosine_udf: equivalent to the exact
+    closed form (operators/analytics.corr_price_qty computes the
+    identical slope/intercept JVM-side from decimal co-moments)
+    within float tolerance — asserted in tests/test_pandas_ext.py —
+    NOT bit-identical, which is why it's a seam demo and not an
+    oracle-checked query.
+    """
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[x_col].to_numpy(dtype=np.float64)
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        n = len(x)
+        if n > 1 and np.ptp(x) > 0:
+            slope, intercept = np.polyfit(x, y, 1)
+        else:
+            slope, intercept = float("nan"), float("nan")
+        return pd.DataFrame(
+            [[pdf[group_col].iloc[0], n, float(slope), float(intercept)]],
+            columns=[group_col, "n", "slope", "intercept"],
+        )
+
+    return df.groupBy(group_col).applyInPandas(
+        fit, f"{group_col} string, n long, slope double, intercept double"
+    )
