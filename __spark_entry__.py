@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_skew_salted": MT.join_skew_salted,
         "merge_upsert": MT.merge_upsert,
         "rollup_incremental": MT.rollup_incremental,
+        "audit_referential": MT.audit_referential,
         # Windows (SURVEY §2 EXT)
         "window_topk_per_group": R.window_topk_per_group,
         "window_running_sum": R.window_running_sum,
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Time-series (SURVEY §2 EXT; batch twin of streaming demo)
         "events_hourly": R.events_hourly,
         "events_moving_avg": R.events_moving_avg,
+        "events_ewma": R.events_ewma,
         "events_funnel": R.events_funnel,
         "cohort_retention": R.cohort_retention,
         "events_anomaly": R.events_anomaly,
@@ -220,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "join_skew_salted": MT.JOIN_SKEW_SALTED_SQL,
         "merge_upsert": MT.MERGE_UPSERT_SQL,
         "rollup_incremental": MT.ROLLUP_INCREMENTAL_SQL,
+        "audit_referential": MT.AUDIT_REFERENTIAL_SQL,
         "window_topk_per_group": R.WINDOW_TOPK_SQL,
         "window_running_sum": R.WINDOW_RUNNING_SUM_SQL,
         "window_lead_lag": R.WINDOW_LEAD_LAG_SQL,
@@ -228,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": R.SET_OPS_SQL,
         "events_hourly": R.EVENTS_HOURLY_SQL,
         "events_moving_avg": R.EVENTS_MOVING_AVG_SQL,
+        "events_ewma": R.EVENTS_EWMA_SQL,
         "events_funnel": R.EVENTS_FUNNEL_SQL,
         "cohort_retention": R.COHORT_RETENTION_SQL,
         "events_anomaly": R.EVENTS_ANOMALY_SQL,

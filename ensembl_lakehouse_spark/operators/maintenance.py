@@ -334,3 +334,59 @@ FROM k
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ORDER BY user_id, version
 """
+
+
+#: Foreign-key edges of the fixture star/snowflake schema:
+#: (edge label, child table, child key, parent table, parent key).
+FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for every FK edge of the schema,
+    the child row count and the orphan count (child keys with no
+    parent) — the data-quality sweep a lakehouse runs after every
+    load, and the operator that catches a broken upstream export
+    before queries silently inner-join rows away.
+
+    Plan: one left-anti join per edge (the anti side carries ONLY
+    the parent key column; bounded parents broadcast, fact-sized
+    parents shuffle — both left to AQE), each reduced to a 1-row
+    count before the 8-row union. Cost is one scan per table per
+    role, embarrassingly parallel across edges; at 100 TB the same
+    audit is the canary job, scans shared via caching if desired.
+    """
+    out = None
+    for label, child, ck, parent, pk in FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        edge = (
+            c.join(p, "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphan_rows"))
+            .crossJoin(c.agg(F.count(F.lit(1)).alias("child_rows")))
+            .select(
+                F.lit(label).alias("fk_edge"),
+                "child_rows",
+                "orphan_rows",
+            )
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out.orderBy("fk_edge")
+
+
+AUDIT_REFERENTIAL_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS fk_edge,
+       (SELECT COUNT(*) FROM {child}) AS child_rows,
+       (SELECT COUNT(*) FROM {child}
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} WHERE {parent}.{pk} = {child}.{ck}))
+         AS orphan_rows"""
+    for label, child, ck, parent, pk in FK_EDGES
+) + "\nORDER BY fk_edge"

@@ -1814,3 +1814,74 @@ SELECT e.event_id, e.event_type, e.value, b.p05, b.p95,
 FROM events e JOIN b ON e.event_type = b.event_type
 ORDER BY e.event_id
 """
+
+
+#: EWMA decay = 1/2 per step; span = number of lags included.
+EWMA_SPAN = 8
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value``
+    over the last EWMA_SPAN events (α = ½) — the telemetry smoother
+    that weights recent events geometrically more than old ones,
+    complementing events_moving_avg's uniform RANGE frame.
+
+    Determinism engineering: α = ½ makes every weight 2^-k — an
+    EXACT binary double — so each term is one correctly-rounded IEEE
+    multiply, and the numerator/denominator are written as explicit
+    left-to-right chains of lag() terms, identical token-for-token
+    in the DuckDB twin: no frame-aggregation order freedom at all
+    (the usual EWMA-over-frame is nondeterministic in any engine
+    that reorders float sums). Division happens once at the end.
+
+    Plan: one shuffle on user_id + one in-partition sort; all
+    EWMA_SPAN lag() columns evaluate in a single Window physical
+    node (same spec), so the state per row is a bounded ring of
+    EWMA_SPAN values — O(1) memory, any scale.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", k).over(w) for k in range(EWMA_SPAN)]
+    num = F.coalesce(lags[0], F.lit(0.0)) * F.lit(1.0)
+    den = F.when(lags[0].isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    for k in range(1, EWMA_SPAN):
+        wt = F.lit(2.0 ** -k)
+        num = num + F.coalesce(lags[k], F.lit(0.0)) * wt
+        den = den + F.when(lags[k].isNotNull(), wt).otherwise(F.lit(0.0))
+    return (
+        events.where(F.col("user_id") <= 100)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+            (num / den).alias("ewma"),
+        )
+        .orderBy("user_id", "ts_s", "event_id")
+    )
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    nums = ["COALESCE(value, 0.0) * 1.0"]
+    dens = ["CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END"]
+    for k in range(1, EWMA_SPAN):
+        wt = repr(2.0 ** -k)
+        nums.append(f"COALESCE(lag(value, {k}) OVER w, 0.0) * {wt}")
+        dens.append(f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL THEN {wt} ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+
+EVENTS_EWMA_SQL = f"""
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       value,
+       ({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma
+FROM events
+WHERE user_id <= 100
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts_s, event_id
+"""
