@@ -41,6 +41,7 @@ BUDGETS = {
     "important_parts": 1,
     "dormant_customers": 1,
     "window_percent_rank": 1,
+    "events_ewma": 1,
     # fact⋈fact with broadcast dims: one shuffle max
     "join_region_revenue": 1,
     "join_skew_salted": 1,
