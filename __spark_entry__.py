@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_winsorize": R.value_winsorize,
         "scd2_intervals": MT.scd2_intervals,
         "split_train_val_test": P.split_train_val_test,
+        "mix_sources": P.mix_sources,
         # Text analysis (SURVEY §2 X3)
         "text_token_stats": T.text_token_stats,
         "text_langid": T.text_langid,
@@ -238,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "value_winsorize": R.VALUE_WINSORIZE_SQL,
         "scd2_intervals": MT.SCD2_INTERVALS_SQL,
         "split_train_val_test": P.SPLIT_TRAIN_VAL_TEST_SQL,
+        "mix_sources": P.MIX_SOURCES_SQL,
         "text_token_stats": T.TEXT_TOKEN_STATS_SQL,
         "text_langid": T.TEXT_LANGID_SQL,
         "text_quality": T.TEXT_QUALITY_SQL,

@@ -278,3 +278,88 @@ SELECT doc_id, lang, stratum_rank, stratum_n,
             ELSE 'test' END AS split
 FROM r
 """
+
+
+#: Target mixture weights by source (integer ratios — heavy sources
+#: get 3 units, the long tail 1). Integer weights keep every derived
+#: quantity exact: no float proportions anywhere.
+MIX_HEAVY_SOURCES = ("src0", "src1", "src2", "src3")
+MIX_HEAVY_WEIGHT = 3
+MIX_TAIL_WEIGHT = 1
+
+
+def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture downsampling: select the LARGEST corpus that
+    hits the target per-source mixture exactly, without upsampling —
+    the "data mixing" step of every LLM training-data pipeline
+    (web:books:code ratios), downstream of dedup and quality
+    filtering.
+
+    Integer-exact construction: with integer weights w_s, the
+    bottleneck source fixes ``units = min_s floor(n_s / w_s)`` and
+    each source keeps exactly ``w_s · units`` rows — no float
+    proportion ever materializes, so both engines agree row-for-row.
+    WHICH rows survive is deterministic too: rows rank within their
+    source by (md5(doc_id), doc_id) and the lowest ranks win — the
+    same reproducible-hash-order contract as sample_hash/
+    quota_per_group.
+
+    Plan: per-source counts (partial-agg, |sources| rows) → 1-row
+    ``units`` scalar broadcast back → per-source row_number window →
+    rank filter. Two shuffles total (count agg + window sort).
+    At 100 TB the per-source sort is the knob: swap the exact
+    row_number for a hash-threshold predicate (rank-free, map-only,
+    ±binomial noise on the kept count) once corpus sizes make
+    per-source sorts expensive — the mixture math above is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = F.when(
+        F.col("source").isin(*MIX_HEAVY_SOURCES), F.lit(MIX_HEAVY_WEIGHT)
+    ).otherwise(F.lit(MIX_TAIL_WEIGHT))
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    units = counts.select(
+        F.min(
+            F.floor(
+                F.col("n_source")
+                / F.when(
+                    F.col("source").isin(*MIX_HEAVY_SOURCES), F.lit(MIX_HEAVY_WEIGHT)
+                ).otherwise(F.lit(MIX_TAIL_WEIGHT))
+            )
+        ).alias("units")
+    )
+    ranked = docs.withColumn(
+        "rk",
+        F.expr(
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY md5(cast(doc_id AS string)), doc_id)"
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(units))
+        .where(F.col("rk") <= w * F.col("units"))
+        .select("doc_id", "source", (w * F.col("units")).alias("source_quota"))
+        .orderBy("source", "doc_id")
+    )
+
+
+MIX_SOURCES_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN source IN {MIX_HEAVY_SOURCES} THEN {MIX_HEAVY_WEIGHT}
+              ELSE {MIX_TAIL_WEIGHT} END AS wt
+  FROM documents
+), counts AS (
+  SELECT source, ANY_VALUE(wt) AS wt, COUNT(*) AS n_source FROM w GROUP BY source
+), u AS (
+  SELECT MIN(CAST(FLOOR(n_source / wt) AS BIGINT)) AS units FROM counts
+), ranked AS (
+  SELECT doc_id, source, wt,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM w
+)
+SELECT doc_id, source, wt * units AS source_quota
+FROM ranked, u
+WHERE rk <= wt * units
+ORDER BY source, doc_id
+"""

@@ -96,3 +96,36 @@ def test_salted_join_matches_unsalted(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_mix_sources_hits_exact_mixture(spark):
+    """The mixture invariant: every heavy source keeps exactly
+    heavy_weight·units rows, every tail source tail_weight·units,
+    where units is fixed by the bottleneck source — and the selection
+    is a subset of the corpus, reproducible run-to-run."""
+    from ensembl_lakehouse_spark.operators import pipeline as P
+    from ensembl_lakehouse_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    out = P.mix_sources(spark, SF_DIR)
+    per_source = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    src_counts = {
+        r.source: r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    units = min(
+        n // (P.MIX_HEAVY_WEIGHT if s in P.MIX_HEAVY_SOURCES else P.MIX_TAIL_WEIGHT)
+        for s, n in src_counts.items()
+    )
+    for s, n in per_source.items():
+        expect = (P.MIX_HEAVY_WEIGHT if s in P.MIX_HEAVY_SOURCES else P.MIX_TAIL_WEIGHT) * units
+        assert n == expect, (s, n, expect)
+    # determinism: second run selects the identical doc_ids
+    again = {tuple(r) for r in P.mix_sources(spark, SF_DIR).collect()}
+    assert {tuple(r) for r in out.collect()} == again
