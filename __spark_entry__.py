@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_price_supplier": H.min_price_supplier,
         "important_parts": H.important_parts,
         "supplier_count_by_part": H.supplier_count_by_part,
+        "suppliers_excess": H.suppliers_excess,
         # Column analytics (EXT; reshape + exact-moment statistics)
         "unpivot_measures": A.unpivot_measures,
         "corr_price_qty": A.corr_price_qty,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "min_price_supplier": H.MIN_PRICE_SUPPLIER_SQL,
         "important_parts": H.IMPORTANT_PARTS_SQL,
         "supplier_count_by_part": H.SUPPLIER_COUNT_BY_PART_SQL,
+        "suppliers_excess": H.SUPPLIERS_EXCESS_SQL,
         "unpivot_measures": A.UNPIVOT_MEASURES_SQL,
         "corr_price_qty": A.CORR_PRICE_QTY_SQL,
         "histogram_totalprice": A.HISTOGRAM_TOTALPRICE_SQL,

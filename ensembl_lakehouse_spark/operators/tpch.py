@@ -5,14 +5,14 @@ The reference's own surface is single-table SELECT-project-filter
 (app/main.py:479 builds ``SELECT {fields} FROM {table} WHERE ...``),
 but its users run exactly these shapes through Athena on the same
 lake. Together with operators/subqueries.py (Q4/Q7/Q8/Q13/Q15/Q17/
-Q21) this module completes the TPC-H dashboard-query families the
-fixture schema can express: Q2/Q3/Q6/Q9/Q10/Q11/Q12/Q14/Q16/Q18/
-Q19/Q22.
+Q21) and relational.py's Q1/Q5 twins, this module completes ALL 22
+classic TPC-H shapes on the fixture schema: Q2/Q3/Q6/Q9/Q10/Q11/
+Q12/Q14/Q16/Q18/Q19/Q20/Q22.
 
 Fixture adaptations (documented, deliberate):
 
 - There is no ``partsupp`` table, so the supplier⇄part relation for
-  Q2/Q11/Q16 is derived from distinct ``(l_partkey, l_suppkey)``
+  Q2/Q11/Q16/Q20 is derived from distinct ``(l_partkey, l_suppkey)``
   pairs in lineitem — same join lattice, same decorrelation
   patterns, observable relation instead of the catalog one.
 - No ``l_shipmode``/``l_commitdate``/``l_receiptdate``: Q12's
@@ -728,4 +728,93 @@ WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
   AND p_size IN (1, 4, 9, 16, 25, 36, 49)
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------- Q20
+
+#: Minimum all-time shipped quantity for a (part, supplier) pair to
+#: count toward "excess availability" (see docstring).
+Q20_MIN_QTY = 50
+
+
+def suppliers_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who
+    shipped more than half their all-time volume of some "red" part
+    during 1996 — the doubly-nested IN-subquery lattice
+    (supplier ∈ {suppliers of parts ∈ {red parts} with excess
+    availability}), decorrelated into ONE conditional aggregation.
+
+    The fixture has no partsupp.availqty, so "excess availability"
+    is re-expressed observationally: for each (part, supplier) pair,
+    1996 shipped quantity > ½ × total shipped quantity — both sums
+    come from the same single pass over lineitem as conditional
+    DECIMAL aggregates (the nested form re-scans lineitem inside two
+    IN-subqueries; this form scans it once). Qualifying pairs
+    LEFT SEMI onto supplier (each supplier reported once however
+    many parts qualify), then the bounded nation dim broadcasts.
+
+    Determinism: quantities are integral doubles — DECIMAL sums are
+    exact; the ½ comparison multiplies by 2 on the left instead of
+    dividing, staying in integers end-to-end. The Q20_MIN_QTY floor
+    keeps the predicate discriminating (without it a pair with one
+    1996 shipment qualifies trivially and EVERY supplier passes —
+    a vacuous result at fixture scale).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    red_parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    in_96 = (F.col("l_shipdate") >= F.lit("1996-01-01")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01")
+    )
+    pair_qty = (
+        li.join(red_parts, li.l_partkey == red_parts.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in_96, _dec("l_quantity")).otherwise(F.lit(0).cast(_DEC))).alias(
+                "qty_96"
+            ),
+            F.sum(_dec("l_quantity")).alias("qty_all"),
+        )
+        .where(
+            (F.col("qty_all") >= F.lit(Q20_MIN_QTY).cast(_DEC))
+            & (F.lit(2).cast(_DEC) * F.col("qty_96") > F.col("qty_all"))
+        )
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(pair_qty, supp.s_suppkey == pair_qty.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+SUPPLIERS_EXCESS_SQL = f"""
+WITH pair_qty AS (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+  GROUP BY l_partkey, l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2)))
+           >= CAST({Q20_MIN_QTY} AS DECIMAL(12,2))
+     AND CAST(2 AS DECIMAL(12,2))
+           * SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01'
+                      THEN CAST(l_quantity AS DECIMAL(12,2))
+                      ELSE CAST(0 AS DECIMAL(12,2)) END)
+         > SUM(CAST(l_quantity AS DECIMAL(12,2)))
+)
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM pair_qty)
+ORDER BY s_suppkey
 """
