@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_price_qty": A.corr_price_qty,
         "histogram_totalprice": A.histogram_totalprice,
         "window_percent_rank": A.window_percent_rank,
+        "basket_pairs": A.basket_pairs,
         # Joins (SURVEY §2 EXT)
         "join_region_revenue": R.join_region_revenue,
         "join_order_lineitem": R.join_order_lineitem,
@@ -219,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_price_qty": A.CORR_PRICE_QTY_SQL,
         "histogram_totalprice": A.HISTOGRAM_TOTALPRICE_SQL,
         "window_percent_rank": A.WINDOW_PERCENT_RANK_SQL,
+        "basket_pairs": A.BASKET_PAIRS_SQL,
         "join_region_revenue": R.JOIN_REGION_REVENUE_SQL,
         "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,

@@ -2,7 +2,7 @@
 reshaping and statistics a lakehouse user reaches for right after
 the relational basics.
 
-Four shapes the reference's Athena users write constantly that the
+Shapes the reference's Athena users write constantly that the
 single-table surface (app/main.py:479) cannot express:
 
 - ``unpivot_measures`` — wide→long melt, via the native
@@ -17,6 +17,8 @@ single-table surface (app/main.py:479) cannot express:
   partial rows per task.
 - ``window_percent_rank`` — percent_rank/cume_dist with a total
   (tie-broken) ordering, so ranks are reproducible run-to-run.
+- ``basket_pairs`` — market-basket co-occurrence mining with the
+  quadratic-guard basket cap.
 
 Determinism rule: same as operators/relational.py — decimal
 fixed-point accumulation, one double conversion at the end, the
@@ -248,4 +250,68 @@ SELECT s_suppkey, s_nationkey, s_acctbal,
 FROM supplier
 WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
 ORDER BY s_nationkey, s_acctbal, s_suppkey
+"""
+
+
+#: Quadratic guard: orders with more distinct parts than this are
+#: excluded from pair generation (pairs grow as items², exactly the
+#: degenerate-bucket risk the dedup LSH caps guard against).
+BASKET_MAX_ITEMS = 20
+#: Pairs reported.
+BASKET_TOP_N = 50
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the BASKET_TOP_N most co-ordered
+    part pairs with their support counts — the frequent-itemset /
+    association primitive (recommendations, co-occurrence graphs).
+
+    Plan: distinct (order, part) first — multiplicity within an
+    order must not inflate support — then the within-order self-join
+    (pk_a < pk_b halves the candidates and canonicalizes the pair),
+    pair-count aggregation, TakeOrderedAndProject top-N. Both the
+    distinct and the self-join key on l_orderkey, so Catalyst reuses
+    ONE partitioning for the distinct and the join (the executed
+    plan shows no exchange between them); the pair agg is the second
+    shuffle.
+
+    Scale guard: pairs per order grow quadratically in basket size,
+    so baskets over BASKET_MAX_ITEMS items are excluded — the
+    documented cap pattern shared with the LSH bucket caps
+    (operators/dedup.py). At TPC-H shapes (≤7 items) the cap never
+    binds; on retail data it is the difference between |orders|·k²
+    and one pathological basket of 10⁵ items generating 10¹⁰ pairs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = items.withColumn(
+        "n_items", F.expr("count(*) OVER (PARTITION BY l_orderkey)")
+    ).where(F.col("n_items") <= BASKET_MAX_ITEMS)
+    a = sized.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = sized.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(BASKET_TOP_N)
+    )
+
+
+BASKET_PAIRS_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey, l_partkey,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items
+  FROM items
+), kept AS (
+  SELECT l_orderkey, l_partkey FROM sized WHERE n_items <= {BASKET_MAX_ITEMS}
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+FROM kept a
+JOIN kept b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY support DESC, part_a, part_b
+LIMIT {BASKET_TOP_N}
 """
