@@ -108,6 +108,16 @@ def corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     float, identically in both engines. This is also the 100 TB
     shape: moments merge associatively, so map-side partial agg
     sends 6 numbers per group per task across the wire.
+
+    The 2^53 caveat (measured, not theoretical): when a co-moment
+    sum's unscaled decimal exceeds 2^53, Spark's cast (BigDecimal →
+    double, correctly rounded ONCE) and DuckDB's (int128 ÷ 10^scale
+    in doubles — double-rounded) can differ in the last ulp — syy at
+    sf0.001 really does. Spark's side is the correctly-rounded one
+    and stays a plain cast; the DuckDB twin routes the cast through
+    VARCHAR (decimal → exact digit string → strtod), which is also
+    correctly rounded, so both engines produce the identical double
+    for the identical exact rational.
     """
     li = load_table(spark, sf_dir, "lineitem")
     x, y = _dec("l_quantity"), _dec("l_extendedprice")
@@ -138,21 +148,25 @@ def corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DECIMAL→DOUBLE goes through VARCHAR below: DuckDB's direct cast
+# double-rounds (int128 / 10^scale) and differs from Spark's
+# correctly-rounded BigDecimal cast in the last ulp once the
+# unscaled value passes 2^53; text→strtod is correctly rounded.
 CORR_PRICE_QTY_SQL = """
 WITH m AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
-                       * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(25,4)))
-              AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
-                       * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4)))
-              AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                       * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(25,4)))
-              AS DOUBLE) AS syy
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                            * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(25,4)))
+                   AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4)))
+                   AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(25,4)))
+                   AS VARCHAR) AS DOUBLE) AS syy
   FROM lineitem
   GROUP BY l_returnflag
 )
