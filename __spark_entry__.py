@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Iterative (no SQL oracle — driver does rows-only check;
         # pinned against Python union-find in pytest instead)
         "dedup_components": D.dedup_components,
+        # Declarative twin: Spark 4 recursive CTE, WITH a DuckDB oracle
+        "components_recursive": D.components_recursive,
         "fuzzy_match_names": D.fuzzy_match_names,
         # Similarity search (SURVEY §2 X2)
         "similarity_topk": S.similarity_topk,
@@ -258,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": D.DEDUP_SIMHASH_SQL,
         "dedup_near_chargram": D.DEDUP_NEAR_CHARGRAM_SQL,
         "fuzzy_match_names": D.FUZZY_MATCH_NAMES_SQL,
+        "components_recursive": D.COMPONENTS_RECURSIVE_SQL,
         "similarity_topk": S.SIMILARITY_TOPK_SQL,
         "similarity_lsh": S.SIMILARITY_LSH_SQL,
         "similarity_ivf": S.SIMILARITY_IVF_SQL,

@@ -661,3 +661,67 @@ WHERE a.p_partkey < b.p_partkey
   AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
 ORDER BY key_a, key_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Declarative components: Spark 4 recursive CTE
+# ---------------------------------------------------------------------------
+
+#: Hop bound for the recursive closure. UNION ALL recursion walks
+#: paths (Spark 4 does not yet support UNION-distinct in recursive
+#: CTEs), so cycles make unbounded recursion diverge; the level cap
+#: both terminates it and bounds the walk blow-up. Near-dup clusters
+#: are near-cliques of diameter 2-3, so 6 hops is exact closure with
+#: margin.
+COMPONENTS_MAX_HOPS = 6
+
+_COMPONENTS_REC_BODY = """sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM {src}
+  UNION ALL
+  SELECT doc_b, doc_a FROM {src}
+), walk(src, dst, lvl) AS (
+  SELECT n.a, n.a, 0 FROM (SELECT DISTINCT a FROM sym) AS n
+  UNION ALL
+  SELECT w.src, s.b, w.lvl + 1
+  FROM walk w JOIN sym s ON w.dst = s.a
+  WHERE w.lvl < {hops}
+)
+SELECT src AS doc_id, MIN(dst) AS component
+FROM walk GROUP BY src ORDER BY doc_id"""
+
+
+def components_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters as a single declarative query: the
+    bounded-hop transitive closure of the dedup_near pair graph via
+    Spark 4's ``WITH RECURSIVE``, labeled by min reachable doc_id —
+    the SQL-expressible twin of the iterative ``dedup_components``
+    (which tests/test_dedup_similarity.py pins to a Python
+    union-find; this query finally gives the component assignment a
+    DuckDB oracle too, since both engines run the identical
+    UNION ALL + hop-cap recursion).
+
+    Covers only documents that appear in at least one near-dup pair
+    (singletons are trivially their own component — the iterative
+    twin reports them; see the equivalence test).
+
+    Scale honesty: recursion materializes WALKS, not reachability —
+    on a near-clique the walk count grows ~degree^hops, so this
+    form is for sparse pair graphs and moderate diameters; the
+    iterative Hash-Min loop in dedup_components (one join + min-agg
+    per round, rows never multiply) is the 100 TB path. That
+    trade-off is exactly why both exist.
+    """
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("_components_rec_pairs")
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _COMPONENTS_REC_BODY.format(src="_components_rec_pairs", hops=COMPONENTS_MAX_HOPS)
+    )
+
+
+COMPONENTS_RECURSIVE_SQL = (
+    "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+    + DEDUP_NEAR_SQL
+    + ") t), "
+    + _COMPONENTS_REC_BODY.format(src="pairs", hops=COMPONENTS_MAX_HOPS)
+)

@@ -193,3 +193,23 @@ def test_topk_plan_is_two_phase(spark):
     # Plans print top-down: the Partial limit must sit BELOW the
     # exchange (executed before it).
     assert partial_idx > exchange_idx, plan
+
+
+def test_components_recursive_matches_iterative(spark):
+    """The recursive-CTE closure and the iterative Hash-Min loop
+    must assign identical components to every paired document — the
+    declarative form (which HAS a DuckDB oracle) transitively
+    anchors the iterative one (which cannot be a single query)."""
+    recursive = {
+        r.doc_id: r.component for r in D.components_recursive(spark, SF_DIR).collect()
+    }
+    iterative = {
+        r.doc_id: r.component for r in D.dedup_components(spark, SF_DIR).collect()
+    }
+    assert recursive  # non-vacuous: the fixture has near-dup pairs
+    for doc_id, comp in recursive.items():
+        assert iterative[doc_id] == comp, doc_id
+    # every doc the recursive form does NOT cover is a singleton
+    for doc_id, comp in iterative.items():
+        if doc_id not in recursive:
+            assert comp == doc_id, doc_id
