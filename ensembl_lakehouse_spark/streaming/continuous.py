@@ -49,17 +49,31 @@ def hourly_rollup_updates(
 
 
 def run_continuous_rollup(
-    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
-) -> tuple[dict, int]:
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+    view: dict | None = None,
+) -> tuple[dict, int, int]:
     """Drive the continuous rollup with availableNow and a
-    foreachBatch upsert sink; returns (materialized_view, n_batches).
+    foreachBatch upsert sink; returns (materialized_view, n_batches,
+    n_input_rows).
 
     ``max_files_per_trigger=1`` forces one micro-batch per source
     file, so a multi-file directory genuinely exercises incremental
     updates (later batches overwrite earlier keys with re-aggregated
     values) rather than collapsing into one batch.
+
+    ``checkpoint_dir`` + a carried-over ``view`` dict model the
+    RESTART path: the source offsets, watermark, and window state
+    all live in the checkpoint, so a second availableNow run on the
+    same checkpoint ingests ONLY files that arrived since the last
+    run and keeps upserting the same materialized view —
+    effectively-exactly-once across process restarts
+    (tests/test_streaming.py asserts both the no-reprocessing and
+    the final-equality halves of that claim).
     """
-    view: dict = {}
+    view = {} if view is None else view
     batches = {"n": 0}
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -72,12 +86,15 @@ def run_continuous_rollup(
         if max_files_per_trigger is not None
         else {}
     )
-    q = (
+    writer = (
         hourly_rollup_updates(spark, events_dir, **opts)
         .writeStream.outputMode("update")
         .foreachBatch(upsert)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     q.awaitTermination()
-    return view, batches["n"]
+    n_input = sum(int(p["numInputRows"]) for p in q.recentProgress)
+    return view, batches["n"], n_input

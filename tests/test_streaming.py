@@ -208,10 +208,56 @@ def test_continuous_rollup_upserts_across_microbatches(spark, split_events_dir, 
     (state-store math + sink upsert, no sink arithmetic)."""
     from ensembl_lakehouse_spark.streaming import continuous as SC
 
-    view, n_batches = SC.run_continuous_rollup(
+    view, n_batches, _ = SC.run_continuous_rollup(
         spark, split_events_dir, max_files_per_trigger=1
     )
     assert n_batches >= 2, "expected one micro-batch per file"
+    batch = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in R.events_hourly(spark, SF_DIR).collect()
+    }
+    assert view == batch
+
+
+def test_checkpoint_restart_is_effectively_exactly_once(spark, tmp_path_factory, events_dir):
+    """Restart semantics: a second availableNow run on the same
+    checkpoint must ingest ONLY files that arrived in between (no
+    reprocessing of run 1's input) and leave the materialized view
+    exactly equal to the batch rollup over everything. Files are
+    split by TIME (second half strictly later) so the persisted
+    watermark never classifies run-2 rows as late."""
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from ensembl_lakehouse_spark.streaming import continuous as SC
+
+    src = SE.load_events_batch(spark, events_dir)
+    lohi = src.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = lohi.lo + (lohi.hi - lohi.lo) / 2
+    base = tmp_path_factory.mktemp("ckpt_restart")
+    live, ckpt = base / "live", str(base / "ckpt")
+    live.mkdir()
+    half1, half2 = base / "h1", base / "h2"
+    src.where(F.col("ts") <= F.lit(mid)).coalesce(1).write.parquet(str(half1))
+    src.where(F.col("ts") > F.lit(mid)).coalesce(1).write.parquet(str(half2))
+    import glob
+
+    f1 = glob.glob(str(half1 / "*.parquet"))[0]
+    f2 = glob.glob(str(half2 / "*.parquet"))[0]
+    n2 = spark.read.parquet(f2).count()
+
+    sh.copy(f1, live / "part1.parquet")
+    view, _, rows1 = SC.run_continuous_rollup(spark, str(live), checkpoint_dir=ckpt)
+    assert rows1 == spark.read.parquet(f1).count()
+
+    # "process restart": new query, same checkpoint, one new file
+    sh.copy(f2, live / "part2.parquet")
+    view, _, rows2 = SC.run_continuous_rollup(
+        spark, str(live), checkpoint_dir=ckpt, view=view
+    )
+    assert rows2 == n2, "run 2 must ingest only the new file"
+
     batch = {
         (r.hour, r.event_type): (r.n_events, r.sum_value)
         for r in R.events_hourly(spark, SF_DIR).collect()
