@@ -670,10 +670,13 @@ ORDER BY key_a, key_b
 #: Hop bound for the recursive closure. UNION ALL recursion walks
 #: paths (Spark 4 does not yet support UNION-distinct in recursive
 #: CTEs), so cycles make unbounded recursion diverge; the level cap
-#: both terminates it and bounds the walk blow-up. Near-dup clusters
-#: are near-cliques of diameter 2-3, so 6 hops is exact closure with
-#: margin.
-COMPONENTS_MAX_HOPS = 6
+#: both terminates it and bounds the walk blow-up — walk count grows
+#: ~degree^hops, so the cap is ALSO the cost knob (hops 6 → 4 plus
+#: the pair-graph checkpoint below took sf0.1 from 25.6 s to 5.1 s
+#: end-to-end with identical labels — near-dup clusters are
+#: near-cliques of diameter 2-3, asserted equal to the iterative
+#: Hash-Min labels in pytest at sf0.001 and by hand at sf0.1).
+COMPONENTS_MAX_HOPS = 4
 
 _COMPONENTS_REC_BODY = """sym AS (
   SELECT doc_a AS a, doc_b AS b FROM {src}
@@ -711,7 +714,12 @@ def components_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round, rows never multiply) is the 100 TB path. That
     trade-off is exactly why both exist.
     """
-    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint materializes the pair graph ONCE: the recursion
+    # references this relation at every level, and without truncation
+    # each level would re-execute the full MinHash+LSH pipeline behind
+    # the view (measured 19 s vs 4 s at sf0.1). Same reasoning as the
+    # per-round checkpoint in dedup_components.
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     pairs.createOrReplaceTempView("_components_rec_pairs")
     return spark.sql(
         "WITH RECURSIVE "
