@@ -160,10 +160,10 @@ WITH t AS (
            AS token_offset
   FROM chunks
 )
-SELECT lang, token_offset // {SEQ_LEN} AS seq_id,
+SELECT lang, CAST(token_offset // {SEQ_LEN} AS BIGINT) AS seq_id,
        COUNT(*) AS n_chunks,
        COUNT(DISTINCT doc_id) AS n_docs,
-       SUM(n_chunk_tokens) AS n_tokens_started
+       CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens_started
 FROM placed
 GROUP BY lang, token_offset // {SEQ_LEN}
 ORDER BY lang, seq_id

@@ -652,8 +652,8 @@ def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_COUNTS_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_F,
-       SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_O
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -737,7 +737,7 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_DAILY_FROM_HOURLY_SQL = """
-SELECT date_trunc('day', ts) AS day,
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
@@ -969,8 +969,8 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts, event_id,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
   FROM g
 )
 SELECT user_id, session_num,
@@ -1208,7 +1208,7 @@ WITH x AS (
   SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
 )
 SELECT event_type, k % 10 AS k_bucket,
-       COUNT(*) AS n_events, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+       COUNT(*) AS n_events, CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
 FROM x
 GROUP BY event_type, k % 10
 ORDER BY event_type, k_bucket
@@ -1391,8 +1391,8 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_FILTERED_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_high_value,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
        CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
          AS high_value_share
 FROM orders

