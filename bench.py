@@ -3,10 +3,18 @@
 
 Runs every query from ``__spark_entry__.queries()`` at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints TWO JSON lines — first the
+full contract record:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
+
+then a short summary line (metric/value/unit/sf only) as the FINAL
+line of output, so a bounded tail capture that truncates the long
+per-query line still records the headline number (the r2 driver
+captured only the tail of one huge line and parsed nothing). The
+complete record including per-query spread is also written to
+``BENCH_FULL.json`` beside this script.
 
 Each query is materialized with the Spark ``noop`` sink so the full
 plan executes (scan → shuffle → agg) without driver-side collect
@@ -90,15 +98,35 @@ def main() -> int:
         spread[name] = round(max(runs) - min(runs), 4)
 
     total = round(sum(timings.values()), 4)
+    sf = _sf_from_dir(SF_DIR)
+    full = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "sf": sf,
+    }
+    # Full record to a file (always intact regardless of console capture).
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    # Contract line with per-query timings (spread lives in the file —
+    # halves the line so a bounded tail capture is less likely to cut it).
+    print(json.dumps({k: full[k] for k in ("metric", "value", "unit", "queries", "sf")}))
+    # Short summary LAST: r2's driver tail-capture truncated the single
+    # huge line from the front, so the final short line is the one spot
+    # guaranteed to survive; it makes the 2x gate machine-checkable alone.
     print(
         json.dumps(
             {
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "sf": _sf_from_dir(SF_DIR),
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries_file": "BENCH_FULL.json",
             }
         )
     )
