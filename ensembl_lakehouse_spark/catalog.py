@@ -103,18 +103,35 @@ class Catalog:
 
     # -- introspection (reference endpoints) --------------------------
 
+    def _catalog_tables(self) -> list[str]:
+        """Tables known to the Spark catalog itself — in a
+        warehouse-backed session (warehouse.py) these come from the
+        persistent metastore and survive restarts, the Glue analog."""
+        try:
+            return [t.name for t in self.spark.catalog.listTables()]
+        except Exception:  # pragma: no cover - catalog unavailable
+            return []
+
     def list_data_types(self) -> list[str]:
         """Table names, cached (reference GET /data_types,
-        app/main.py:117-131, Redis key ``data_types``)."""
+        app/main.py:117-131, Redis key ``data_types``). Unions the
+        engine's registered views with Spark-catalog (metastore)
+        tables so a restarted warehouse session serves its durable
+        tables without re-registration."""
         cached = self.cache.get(META_PREFIX + "data_types")
         if cached is not None:
             return cached
-        names = sorted(self._tables)
+        names = sorted(set(self._tables) | set(self._catalog_tables()))
         self.cache.set(META_PREFIX + "data_types", names)
         return names
 
     def has_table(self, name: str) -> bool:
-        return name in self._tables
+        if name in self._tables:
+            return True
+        try:
+            return self.spark.catalog.tableExists(name)
+        except Exception:  # pragma: no cover
+            return False
 
     def table(self, name: str) -> DataFrame:
         if not self.has_table(name):
