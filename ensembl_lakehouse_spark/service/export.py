@@ -64,10 +64,19 @@ class ExportTooLarge(ValueError):
 
 
 class ExportManager:
-    def __init__(self, export_dir: str, cache: KVCache | None = None, max_workers: int = 2):
+    def __init__(
+        self,
+        export_dir: str,
+        cache: KVCache | None = None,
+        max_workers: int = 2,
+        json_orient: str = "lines",
+    ):
         # max_workers=2 mirrors the reference's celery --concurrency=2
-        # (README.md:15); tune freely.
+        # (README.md:15); tune freely. json_orient="split" switches the
+        # json format to the reference's byte format (app/tasks.py:23);
+        # the default stays JSON Lines, the distributed-writer shape.
         self.export_dir = export_dir
+        self.json_orient = json_orient
         self.cache = cache if cache is not None else KVCache()
         self._pool = ThreadPoolExecutor(max_workers=max_workers, thread_name_prefix="elh-export")
         self._lock = threading.Lock()
@@ -129,28 +138,36 @@ class ExportManager:
         self.cache.set(state_key, EXPORT_PROCESSING)
         path = self.artifact_path(query_id, file_format)
         try:
-            write_export(df, path, file_format)
+            write_export(df, path, file_format, json_orient=self.json_orient)
             self.cache.set(state_key, EXPORT_DONE)
         except Exception:
             self.cache.set(state_key, EXPORT_FAILED, ttl_seconds=FAILED_EXPORT_RETRY_SECONDS)
 
 
-def write_export(df: DataFrame, path: str, file_format: str) -> str:
+def write_export(df: DataFrame, path: str, file_format: str, *, json_orient: str = "lines") -> str:
     """Write ``df`` to ``path`` in the given format.
 
     Distributed writers (csv/tsv/json/parquet) write a directory of
     part files — correct at any scale; single-file formats
-    (xlsx/xml/feather) take the Arrow toPandas tail with a row cap.
+    (xlsx/xml/feather, and json with ``json_orient="split"``) take the
+    Arrow toPandas tail with a row cap.
     """
     if file_format == "csv":
         df.write.mode("overwrite").option("header", True).csv(path)
     elif file_format == "tsv":
         df.write.mode("overwrite").option("header", True).option("sep", "\t").csv(path)
     elif file_format == "json":
-        # Native writer emits JSON Lines — the scalable choice. (The
-        # reference emits pandas orient="split", app/tasks.py:23; that
-        # shape requires a single process and is not reproduced.)
-        df.write.mode("overwrite").json(path)
+        if json_orient == "split":
+            # Reference byte format: pandas orient="split"
+            # ({"columns":[...],"index":[...],"data":[...]},
+            # app/tasks.py:23). Single-file by nature → pandas tail
+            # with the row cap; byte compatibility comes from letting
+            # pandas itself serialize, exactly as the reference does.
+            _write_pandas_tail(df, path, "json_split")
+        else:
+            # Native writer emits JSON Lines — the scalable default
+            # (a directory of part files any consumer can stream).
+            df.write.mode("overwrite").json(path)
     elif file_format == "parquet":
         df.write.mode("overwrite").parquet(path)
     elif file_format in _PANDAS_TAIL_FORMATS:
@@ -168,7 +185,9 @@ def _write_pandas_tail(df: DataFrame, path: str, file_format: str) -> None:
             f"{file_format} export is capped at {PANDAS_TAIL_ROW_CAP} rows; "
             "use csv/parquet/json for larger results"
         )
-    if file_format == "feather":
+    if file_format == "json_split":
+        capped.to_json(path, orient="split")
+    elif file_format == "feather":
         capped.to_feather(path)
     elif file_format == "xml":
         try:

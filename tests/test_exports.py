@@ -135,3 +135,32 @@ def test_wait_all_preserves_pool_size(tmp_path):
     mgr = X.ExportManager(str(tmp_path / "exp"), max_workers=5)
     mgr.wait_all()
     assert mgr._pool._max_workers == 5
+
+
+def test_json_split_byte_compatible(result_df, tmp_path):
+    """json_orient="split" reproduces the reference's export bytes
+    (app/tasks.py:23 does ``df.to_json(path, orient="split")``): the
+    file must equal pandas' own serialization of the same frame."""
+    path = str(tmp_path / "out_split.json")
+    X.write_export(result_df, path, "json", json_orient="split")
+    with open(path, "rb") as fh:
+        got = fh.read()
+    import io
+    buf = io.StringIO()
+    result_df.toPandas().to_json(buf, orient="split")
+    assert got == buf.getvalue().encode()
+    doc = json.loads(got)
+    assert set(doc) == {"columns", "index", "data"}
+    assert doc["columns"] == ["r_regionkey", "r_name"]
+
+
+def test_json_split_via_manager(result_df, tmp_path):
+    mgr = X.ExportManager(str(tmp_path / "exp"), json_orient="split")
+    out = mgr.request_export("q1", result_df, "json", "SUCCEEDED")
+    assert out["status"] in (X.EXPORT_QUEUED, X.EXPORT_DONE)
+    mgr.wait_all()
+    out = mgr.request_export("q1", result_df, "json", "SUCCEEDED")
+    assert out["status"] == X.EXPORT_DONE
+    with open(out["result"]) as fh:
+        doc = json.load(fh)
+    assert set(doc) == {"columns", "index", "data"}
