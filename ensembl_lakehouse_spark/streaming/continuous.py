@@ -18,14 +18,26 @@ Division of labor, which is the design point:
 
 At 100 TB/day the sink's upsert target is a keyed table (Delta
 MERGE, an RDBMS, a KV store) — |open windows| rows per batch, not
-|events|. The in-memory dict used here is the test harness stand-in
-with identical semantics (operators/maintenance.py shows the same
-merge as a batch full-outer join).
+|events|. Two sinks are provided:
+
+- ``run_continuous_rollup``: in-memory dict view — the bounded test
+  harness stand-in (|hours|x|event_types| keys by construction).
+- ``run_continuous_rollup_table``: a durable parquet-table sink with
+  MERGE semantics via *append + latest-wins read*: each batch appends
+  its update rows stamped with ``batch_id``; the view resolves each
+  key to the row from the highest batch. Appends are new-files-only
+  (no read-modify-write hazard on an object store), and a replayed
+  batch re-appends identical rows under the same batch_id, so replay
+  is idempotent at read time — the same reasoning Delta's MERGE gives
+  you transactionally. ``compact_rollup_table`` folds the log back to
+  one row per key, exactly the OPTIMIZE step a production table runs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ensembl_lakehouse_spark.streaming.events import WATERMARK_DELAY, _event_source
 
@@ -78,18 +90,49 @@ def run_continuous_rollup(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         batches["n"] += 1
+        # Bounded by construction: |hours| x |event_types| keys — the
+        # production form of this sink is run_continuous_rollup_table.
         for r in batch_df.collect():
             view[(r.hour, r.event_type)] = (r.n_events, r.sum_value)
+
+    n_batches, n_input = _drive(
+        spark, events_dir, upsert, max_files_per_trigger, checkpoint_dir
+    )
+    batches["n"] = n_batches
+    return view, batches["n"], n_input
+
+
+def _drive(
+    spark: SparkSession,
+    events_dir: str,
+    sink,
+    max_files_per_trigger: int | None,
+    checkpoint_dir: str | None,
+) -> tuple[int, int]:
+    """Run the update-mode rollup with ``availableNow`` into the given
+    foreachBatch sink; returns (n_batches, n_input_rows).
+
+    Input rows are summed from the query's progress buffer, whose
+    retention defaults to 100 entries — an availableNow run with
+    ``maxFilesPerTrigger=1`` over >100 files would silently
+    undercount, so the buffer is sized to cover every micro-batch of
+    this run before the query starts."""
+    batches = {"n": 0}
+
+    def counted(batch_df: DataFrame, batch_id: int) -> None:
+        batches["n"] += 1
+        sink(batch_df, batch_id)
 
     opts = (
         {"maxFilesPerTrigger": str(max_files_per_trigger)}
         if max_files_per_trigger is not None
         else {}
     )
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     writer = (
         hourly_rollup_updates(spark, events_dir, **opts)
         .writeStream.outputMode("update")
-        .foreachBatch(upsert)
+        .foreachBatch(counted)
         .trigger(availableNow=True)
     )
     if checkpoint_dir is not None:
@@ -97,4 +140,80 @@ def run_continuous_rollup(
     q = writer.start()
     q.awaitTermination()
     n_input = sum(int(p["numInputRows"]) for p in q.recentProgress)
-    return view, batches["n"], n_input
+    return batches["n"], n_input
+
+
+# ---------------------------------------------------------------------------
+# Durable table sink (the production form of the dict view)
+# ---------------------------------------------------------------------------
+
+ROLLUP_KEYS = ("hour", "event_type")
+
+
+def run_continuous_rollup_table(
+    spark: SparkSession,
+    events_dir: str,
+    table_dir: str,
+    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[int, int]:
+    """Continuous rollup into a durable parquet table with MERGE
+    semantics; returns (n_batches, n_input_rows).
+
+    The sink APPENDS each update batch stamped with its ``batch_id``
+    instead of rewriting the table: append is new-files-only (safe on
+    object stores, no read-while-overwrite), and the reader
+    (``rollup_table_view``) resolves each (hour, event_type) to its
+    highest-batch row — last-write-wins, i.e. MERGE at read time.
+    A replayed micro-batch after a crash re-appends byte-identical
+    rows under the same batch_id, so the view is unchanged:
+    effectively-exactly-once without a transaction log. On a Delta/
+    Iceberg deployment the same foreachBatch body becomes
+    ``MERGE INTO rollup USING batch ON keys WHEN MATCHED UPDATE ...``
+    and the read-time resolution disappears."""
+
+    def append_updates(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(table_dir)
+        )
+
+    return _drive(spark, events_dir, append_updates, max_files_per_trigger, checkpoint_dir)
+
+
+def rollup_table_view(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Current state of the rollup table: latest row per key.
+
+    One window over the append log — at scale the log stays shallow
+    because ``compact_rollup_table`` folds it (and the watermark stops
+    closed windows from being re-emitted, so only recent hours ever
+    accumulate versions)."""
+    log = spark.read.parquet(table_dir)
+    w = Window.partitionBy(*ROLLUP_KEYS).orderBy(F.col("batch_id").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "batch_id")
+    )
+
+
+def compact_rollup_table(spark: SparkSession, table_dir: str) -> None:
+    """Fold the append log to one row per key (the OPTIMIZE step).
+
+    Writes the resolved view to a sibling directory, then swaps it in
+    with two renames — the closest to atomic a plain filesystem
+    offers; a transactional table format makes this a real commit."""
+    import shutil
+
+    staged = table_dir.rstrip("/") + "__compact"
+    old = table_dir.rstrip("/") + "__old"
+    (
+        rollup_table_view(spark, table_dir)
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    os.rename(table_dir, old)
+    os.rename(staged, table_dir)
+    shutil.rmtree(old)
