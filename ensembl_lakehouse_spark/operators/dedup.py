@@ -693,7 +693,9 @@ SELECT src AS doc_id, MIN(dst) AS component
 FROM walk GROUP BY src ORDER BY doc_id"""
 
 
-def components_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+def components_recursive(
+    spark: SparkSession, sf_dir: str, hops: int = COMPONENTS_MAX_HOPS
+) -> DataFrame:
     """Near-duplicate clusters as a single declarative query: the
     bounded-hop transitive closure of the dedup_near pair graph via
     Spark 4's ``WITH RECURSIVE``, labeled by min reachable doc_id —
@@ -713,6 +715,15 @@ def components_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative Hash-Min loop in dedup_components (one join + min-agg
     per round, rows never multiply) is the 100 TB path. That
     trade-off is exactly why both exist.
+
+    ``hops`` is the level cap. The cap is only correct while every
+    node reaches its component's min doc_id within it, and the DuckDB
+    oracle embeds the SAME cap — a larger-diameter pair graph would
+    make both engines agree on wrong labels. The convergence test
+    (tests/test_dedup_similarity.py) therefore asserts labels at
+    ``hops`` equal labels at ``hops - 1``: convergence with a full
+    hop of slack, so a fixture regen that raises the graph diameter
+    fails loudly instead of silently.
     """
     # localCheckpoint materializes the pair graph ONCE: the recursion
     # references this relation at every level, and without truncation
@@ -723,7 +734,7 @@ def components_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs.createOrReplaceTempView("_components_rec_pairs")
     return spark.sql(
         "WITH RECURSIVE "
-        + _COMPONENTS_REC_BODY.format(src="_components_rec_pairs", hops=COMPONENTS_MAX_HOPS)
+        + _COMPONENTS_REC_BODY.format(src="_components_rec_pairs", hops=hops)
     )
 
 

@@ -66,30 +66,61 @@ def read_table(
     return reader.csv(path)
 
 
+def _first_part_file(spark: SparkSession, path: str) -> str:
+    """Resolve a dataset path to its lexicographically-first data file.
+
+    A multi-file text dataset (a directory of part files) carries one
+    header line PER FILE for csv/tsv, and ``limit(n)`` over the whole
+    directory neither guarantees which file contributes the first
+    line nor keeps later files' headers out of the sample — mid-file
+    header lines would be parsed as data rows and skew inference.
+    Sampling exactly one file sidesteps both; part files of one
+    dataset share a schema by construction, so one file is a valid
+    sample frame. Uses the Hadoop FileSystem API so any scheme the
+    session can read (file://, s3a://, hdfs://) resolves the same way.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getFileStatus(hpath).isFile():
+        return path
+    parts = sorted(
+        str(s.getPath())
+        for s in fs.listStatus(hpath)
+        if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+    )
+    if not parts:
+        raise FileNotFoundError(f"no data files under {path}")
+    return parts[0]
+
+
 def sample_schema(
     spark: SparkSession, path: str, file_format: str, sample_rows: int = 10_000
 ) -> StructType:
     """Infer a schema from a BOUNDED sample — the exploration path.
 
     Unlike ``inferSchema=true`` (which scans everything), this reads
-    ``sample_rows`` rows once, infers from that, and returns the
-    StructType for the caller to review/pin. Production feeds should
-    commit the reviewed schema into code/catalog, not re-infer per
-    run.
+    ``sample_rows`` rows from the dataset's FIRST data file, infers
+    from that, and returns the StructType for the caller to
+    review/pin. One file, not the directory: see
+    :func:`_first_part_file` for why multi-file sampling corrupts
+    header handling. Production feeds should commit the reviewed
+    schema into code/catalog, not re-infer per run.
     """
     if file_format not in TEXT_FORMATS:
         raise ValueError(f"file_format must be one of {TEXT_FORMATS}, got {file_format!r}")
+    one_file = _first_part_file(spark, path)
     if file_format == "json":
-        sampled = spark.read.text(path).limit(sample_rows)
+        sampled = spark.read.text(one_file).limit(sample_rows)
         return spark.read.json(sampled.rdd.map(lambda r: r[0])).schema
     reader = spark.read.option("header", True).option("inferSchema", True)
     if file_format == "tsv":
         reader = reader.option("sep", "\t")
     # limit() the text first so inference cost is bounded by the
-    # sample, not the dataset.
+    # sample, not the file.
     import tempfile
 
-    sampled = spark.read.text(path).limit(sample_rows)
+    sampled = spark.read.text(one_file).limit(sample_rows)
     with tempfile.TemporaryDirectory() as d:
         sampled.coalesce(1).write.mode("overwrite").text(d + "/s")
         return reader.csv(d + "/s").schema

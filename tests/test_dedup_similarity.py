@@ -213,3 +213,25 @@ def test_components_recursive_matches_iterative(spark):
     for doc_id, comp in iterative.items():
         if doc_id not in recursive:
             assert comp == doc_id, doc_id
+
+
+def test_components_hop_cap_has_convergence_slack(spark):
+    """COMPONENTS_MAX_HOPS guards a silent-failure mode: the DuckDB
+    oracle embeds the same cap, so an under-capped recursion would
+    make both engines agree on WRONG labels. Requiring labels at the
+    cap to equal labels one hop below proves convergence happened
+    with slack — a fixture regen that raises the pair-graph diameter
+    breaks this loudly at round start."""
+    at_cap = {
+        r.doc_id: r.component
+        for r in D.components_recursive(spark, SF_DIR).collect()
+    }
+    one_below = {
+        r.doc_id: r.component
+        for r in D.components_recursive(
+            spark, SF_DIR, hops=D.COMPONENTS_MAX_HOPS - 1
+        ).collect()
+    }
+    assert at_cap == one_below, (
+        "labels still changing at the hop cap - raise COMPONENTS_MAX_HOPS"
+    )

@@ -63,3 +63,22 @@ def test_corrupt_rows_are_counted_not_fatal(spark, tmp_path):
     df = I.read_table(spark, str(p), "json", schema)
     assert I.corrupt_count(df) == 1
     assert df.where("id is not null").count() == 2
+
+
+def test_sample_schema_multifile_headers(spark, tmp_path):
+    """A multi-file csv dataset has one header line PER part file;
+    inference must not swallow later files' headers as data rows
+    (which would e.g. demote an int column to string)."""
+    import ensembl_lakehouse_spark.sources.ingest as I
+
+    d = tmp_path / "multi"
+    d.mkdir()
+    # Three part files, identical header, int + string columns.
+    for i in range(3):
+        (d / f"part-{i:05d}.csv").write_text(
+            "k,name\n" + "".join(f"{j + i * 10},row{j}\n" for j in range(5))
+        )
+    schema = I.sample_schema(spark, str(d), "csv")
+    assert [f.name for f in schema.fields] == ["k", "name"]
+    # A header line parsed as data would force k to string.
+    assert schema["k"].dataType.simpleString() in ("int", "bigint")
