@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ensembl_lakehouse_spark.operators import analytics as A
 from ensembl_lakehouse_spark.operators import chunking as C
 from ensembl_lakehouse_spark.operators import dedup as D
+from ensembl_lakehouse_spark.operators import diagnostics as DG
 from ensembl_lakehouse_spark.operators import maintenance as MT
 from ensembl_lakehouse_spark.operators import multimodal as M
 from ensembl_lakehouse_spark.operators import pipeline as P
@@ -148,6 +149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": S.similarity_lsh,
         "similarity_ivf": S.similarity_ivf,
         "dedup_embedding": S.dedup_embedding,
+        # Diagnostics: audits of the approximate operators (EXT)
+        "ann_recall_audit": DG.ann_recall_audit,
+        "minhash_calibration": DG.minhash_calibration,
         # Multimodal columns (SURVEY §2 X4)
         "multimodal_centroid": M.multimodal_centroid,
         "multimodal_payload": M.multimodal_payload,
@@ -265,6 +269,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh": S.SIMILARITY_LSH_SQL,
         "similarity_ivf": S.SIMILARITY_IVF_SQL,
         "dedup_embedding": S.DEDUP_EMBEDDING_SQL,
+        "ann_recall_audit": DG.ANN_RECALL_AUDIT_SQL,
+        "minhash_calibration": DG.MINHASH_CALIBRATION_SQL,
         "multimodal_centroid": M.MULTIMODAL_CENTROID_SQL,
         "multimodal_payload": M.MULTIMODAL_PAYLOAD_SQL,
         "multimodal_quantize": M.MULTIMODAL_QUANTIZE_SQL,

@@ -59,6 +59,11 @@ BUDGETS = {
     "cust_order_distribution": 2,
     "merge_upsert": 2,
     "pack_sequences": 2,
+    # diagnostics: calibration shares dedup_near's lattice (band
+    # window + pair distinct); the recall audit composes three ANN
+    # pipelines (their per-query windows) + the hit-join agg.
+    "minhash_calibration": 2,
+    "ann_recall_audit": 8,
 }
 
 
