@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ensembl_lakehouse_spark.operators import analytics as A
 from ensembl_lakehouse_spark.operators import chunking as C
 from ensembl_lakehouse_spark.operators import dedup as D
+from ensembl_lakehouse_spark.operators import decomposition as DC
 from ensembl_lakehouse_spark.operators import diagnostics as DG
 from ensembl_lakehouse_spark.operators import maintenance as MT
 from ensembl_lakehouse_spark.operators import multimodal as M
@@ -152,6 +153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Diagnostics: audits of the approximate operators (EXT)
         "ann_recall_audit": DG.ann_recall_audit,
         "minhash_calibration": DG.minhash_calibration,
+        # Distributed PCA (map-side Gram; no SQL oracle - eigensolve;
+        # pinned vs numpy in tests/test_decomposition.py)
+        "embedding_pca": DC.embedding_pca,
         # Multimodal columns (SURVEY §2 X4)
         "multimodal_centroid": M.multimodal_centroid,
         "multimodal_payload": M.multimodal_payload,

@@ -36,7 +36,12 @@ from pyspark.sql import DataFrame
 from ensembl_lakehouse_spark.service.cache import FAILED_EXPORT_RETRY_SECONDS, KVCache
 
 # Reference SupportedFileFormats enum (app/constants.py:3-10).
-SUPPORTED_FILE_FORMATS = ("csv", "tsv", "xlsx", "json", "xml", "feather", "parquet")
+REFERENCE_FILE_FORMATS = ("csv", "tsv", "xlsx", "json", "xml", "feather", "parquet")
+# EXT: columnar formats the reference lacks but Spark writes natively
+# (distributed, any result size). Kept separate so the reference's
+# 7-format enum stays recognizable.
+EXT_FILE_FORMATS = ("orc",)
+SUPPORTED_FILE_FORMATS = REFERENCE_FILE_FORMATS + EXT_FILE_FORMATS
 
 # States (app/main.py:344-355, app/tasks.py:17,29,32).
 EXPORT_QUEUED = "QUEUED"
@@ -170,6 +175,8 @@ def write_export(df: DataFrame, path: str, file_format: str, *, json_orient: str
             df.write.mode("overwrite").json(path)
     elif file_format == "parquet":
         df.write.mode("overwrite").parquet(path)
+    elif file_format == "orc":
+        df.write.mode("overwrite").orc(path)
     elif file_format in _PANDAS_TAIL_FORMATS:
         _write_pandas_tail(df, path, file_format)
     else:

@@ -164,3 +164,14 @@ def test_json_split_via_manager(result_df, tmp_path):
     with open(out["result"]) as fh:
         doc = json.load(fh)
     assert set(doc) == {"columns", "index", "data"}
+
+
+def test_orc_roundtrip_keeps_schema(result_df, expected, tmp_path, spark):
+    """EXT format: ORC is the second columnar sink (native distributed
+    writer, jars ship with Spark). Round-trip must preserve schema and
+    values exactly like parquet."""
+    path = str(tmp_path / "out.orc")
+    X.write_export(result_df, path, "orc")
+    back = spark.read.orc(path)
+    assert back.schema == result_df.schema
+    assert sorted((r.r_regionkey, r.r_name) for r in back.collect()) == expected
