@@ -196,14 +196,24 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _near_pipeline(s: DataFrame) -> DataFrame:
     """MinHash+LSH+verify over any (doc_id, sh: array<string>)
     input — the shingle definition (word n-gram, char n-gram, url,
-    …) is the caller's; the candidate lattice is shared."""
+    …) is the caller's; the candidate lattice is shared.
+
+    The shingle set and the capped band list are ``localCheckpoint``ed
+    because each is consumed by MULTIPLE plan branches (bands feed
+    both sides of the self-join; shingles feed the signature AND both
+    verification joins): without truncation Spark re-runs the
+    md5-per-shingle map stage up to 4x — measured 5.1 s → 2.0 s on
+    the char-gram variant and 3.5 s → 0.4 s on the word variant at
+    sf0.1, identical output. Same reasoning as the pair-graph
+    checkpoint in components_recursive."""
+    s = s.localCheckpoint()
     sig = s.select("doc_id", "sh", F.expr(_spark_signature("sh")).alias("sig"))
     bands = sig.select(
         "doc_id", F.posexplode(F.expr(_spark_band_keys("sig"))).alias("band_idx", "band_key")
     )
     bands = bands.withColumn(
         "bucket_n", F.expr("count(*) OVER (PARTITION BY band_idx, band_key)")
-    ).where(F.col("bucket_n").between(2, BUCKET_CAP))
+    ).where(F.col("bucket_n").between(2, BUCKET_CAP)).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -343,9 +353,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", "sim", F.posexplode(F.expr(f"array({band_arr})")).alias("band_idx", "band_key")
     )
+    # Checkpoint: both self-join sides consume the banded signatures;
+    # without truncation the 60-bit majority-vote map stage (60
+    # filters over the token-hash array per doc) runs twice.
     bands = bands.withColumn(
         "bucket_n", F.expr("count(*) OVER (PARTITION BY band_idx, band_key)")
-    ).where(F.col("bucket_n").between(2, BUCKET_CAP))
+    ).where(F.col("bucket_n").between(2, BUCKET_CAP)).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -126,15 +126,20 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_a, doc_b, n_match, est_jaccard, jaccard, abs_err).
     """
+    # Checkpoints for the same multi-branch reuse reason as
+    # dedup._near_pipeline: sig feeds bands AND both per-side joins;
+    # capped feeds both sides of the pair self-join.
     s = _shingled(spark, sf_dir)
-    sig = s.select("doc_id", "sh", F.expr(_spark_signature("sh")).alias("sig"))
+    sig = s.select(
+        "doc_id", "sh", F.expr(_spark_signature("sh")).alias("sig")
+    ).localCheckpoint()
     bands = sig.select(
         "doc_id",
         F.posexplode(F.expr(_spark_band_keys("sig"))).alias("band_idx", "band_key"),
     )
     capped = bands.withColumn(
         "bucket_n", F.expr("count(*) OVER (PARTITION BY band_idx, band_key)")
-    ).where(F.col("bucket_n").between(2, BUCKET_CAP))
+    ).where(F.col("bucket_n").between(2, BUCKET_CAP)).localCheckpoint()
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(

@@ -165,6 +165,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", word_shingles("toks", DECONTAM_N).alias("shingles")
         )
         .withColumn("n_shingles", F.size("shingles"))
+        # Both the benchmark branch and the corpus branch consume the
+        # shingled docs; checkpoint so the tokenize+shingle map stage
+        # runs once (the _near_pipeline reasoning; measured ~2x here).
+        .localCheckpoint()
     )
     bench = (
         docs.where(F.col("doc_id") % BENCH_MOD == 0)

@@ -79,26 +79,48 @@ def _plane_weights() -> list[list[list[int]]]:
 PLANES = _plane_weights()
 
 
+def _dot_expr(x: str, y: str) -> str:
+    return (
+        f"aggregate(zip_with({x}, {y}, "
+        f"(p, q) -> cast(p AS double) * cast(q AS double)), "
+        f"cast(0 AS double), (acc, v) -> acc + v)"
+    )
+
+
 def _cosine_expr(a: str, b: str) -> str:
     """Index-ordered cosine (Spark SQL text; functions/vectors.py
     Column twin; both mirror sql_cosine's DuckDB text)."""
-    def dot(x: str, y: str) -> str:
-        return (
-            f"aggregate(zip_with({x}, {y}, "
-            f"(p, q) -> cast(p AS double) * cast(q AS double)), "
-            f"cast(0 AS double), (acc, v) -> acc + v)"
-        )
+    return f"({_dot_expr(a, b)} / (sqrt({_dot_expr(a, a)}) * sqrt({_dot_expr(b, b)})))"
 
-    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+def _norm_expr(v: str) -> str:
+    """L2 norm, the exact subtree sqrt(dot(v, v)) from _cosine_expr —
+    precomputing it per VECTOR instead of per PAIR drops two of the
+    three array aggregates from every candidate evaluation with
+    bit-identical results (same values through the same sqrt), so
+    the DuckDB oracle text needs no change."""
+    return f"sqrt({_dot_expr(v, v)})"
 
 
 def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(queries, corpus), each carrying its precomputed L2 norm —
+    one map-side aggregate per vector instead of one per scored
+    pair (see _norm_expr; bit-identical to the inline form)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.expr(_norm_expr("embedding")).alias("q_nrm"),
     )
-    corpus = emb.where(F.col("vec_id") >= N_QUERIES)
+    corpus = emb.where(F.col("vec_id") >= N_QUERIES).withColumn(
+        "c_nrm", F.expr(_norm_expr("embedding"))
+    )
     return queries, corpus
+
+
+#: Pairwise cosine from precomputed norms (Spark side only; the
+#: DuckDB twin keeps the inline form — same values, same bits).
+_PAIR_COSINE = f"{_dot_expr('q_vec', 'embedding')} / (q_nrm * c_nrm)"
 
 
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +139,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _split(spark, sf_dir)
     return (
         corpus.crossJoin(F.broadcast(queries))
-        .withColumn("cosine", F.expr(_cosine_expr("q_vec", "embedding")))
+        .withColumn("cosine", F.expr(_PAIR_COSINE))
         .withColumn(
             "rank",
             F.expr("row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC)"),
@@ -201,21 +223,23 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qb = queries.select(
         "q_id",
         "q_vec",
+        "q_nrm",
         F.posexplode(F.expr(_bucket_expr("q_vec"))).alias("t_idx", "bucket"),
     )
     cb = corpus.select(
         "vec_id",
         "label",
         "embedding",
+        "c_nrm",
         F.posexplode(F.expr(_bucket_expr("embedding"))).alias("t_idx", "bucket"),
     )
     cand = (
         cb.join(F.broadcast(qb), on=["t_idx", "bucket"])
-        .select("q_id", "q_vec", "vec_id", "label", "embedding")
+        .select("q_id", "q_vec", "q_nrm", "vec_id", "label", "embedding", "c_nrm")
         .distinct()
     )
     return (
-        cand.withColumn("cosine", F.expr(_cosine_expr("q_vec", "embedding")))
+        cand.withColumn("cosine", F.expr(_PAIR_COSINE))
         .withColumn(
             "rank",
             F.expr("row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC)"),
@@ -239,12 +263,20 @@ IVF_NPROBE = 4
 
 
 def _assign_cells(
-    vectors: DataFrame, centroids: DataFrame, n_keep: int, vec_col: str, id_col: str
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_keep: int,
+    vec_col: str,
+    id_col: str,
+    nrm_col: str,
 ) -> DataFrame:
     """Nearest-centroid assignment: rank centroids per vector by
-    cosine (DESC, centroid_id ASC) and keep the top n_keep."""
+    cosine (DESC, centroid_id ASC) and keep the top n_keep. Both
+    sides carry precomputed norms, so scoring is one dot per
+    (vector, centroid)."""
     scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "c_cos", F.expr(_cosine_expr(vec_col, "c_vec"))
+        "c_cos",
+        F.expr(f"{_dot_expr(vec_col, 'c_vec')} / ({nrm_col} * cent_nrm)"),
     )
     return scored.withColumn(
         "c_rank",
@@ -273,19 +305,24 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = (
         corpus.where(
             (F.col("vec_id") % IVF_CENTROID_MOD) == IVF_CENTROID_REM
-        ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+        ).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_vec"),
+            F.col("c_nrm").alias("cent_nrm"),
+        )
     )
     assigned = _assign_cells(
-        corpus.select("vec_id", "label", "embedding"), centroids, 1, "embedding", "vec_id"
-    ).select("vec_id", "label", "embedding", F.col("c_id").alias("cell"))
-    probes = _assign_cells(queries, centroids, IVF_NPROBE, "q_vec", "q_id").select(
-        "q_id", "q_vec", F.col("c_id").alias("cell")
-    )
+        corpus.select("vec_id", "label", "embedding", "c_nrm"),
+        centroids, 1, "embedding", "vec_id", "c_nrm",
+    ).select("vec_id", "label", "embedding", "c_nrm", F.col("c_id").alias("cell"))
+    probes = _assign_cells(
+        queries, centroids, IVF_NPROBE, "q_vec", "q_id", "q_nrm"
+    ).select("q_id", "q_vec", "q_nrm", F.col("c_id").alias("cell"))
     cand = assigned.join(F.broadcast(probes), "cell").select(
-        "q_id", "q_vec", "vec_id", "label", "embedding"
+        "q_id", "q_vec", "q_nrm", "vec_id", "label", "embedding", "c_nrm"
     )
     return (
-        cand.withColumn("cosine", F.expr(_cosine_expr("q_vec", "embedding")))
+        cand.withColumn("cosine", F.expr(_PAIR_COSINE))
         .withColumn(
             "rank",
             F.expr("row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC)"),
@@ -376,12 +413,22 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # Norms once per vector (map-side), not once per pair: the
+    # verify stage then does ONE 64-dim aggregate per candidate
+    # instead of three. Same bits — see _norm_expr.
+    withn = emb.withColumn("nrm", F.expr(_norm_expr("embedding")))
+    ea = withn.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = withn.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     return (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("cosine", F.expr(_cosine_expr("emb_a", "emb_b")))
+        .withColumn("cosine", F.expr(f"{_dot_expr('emb_a', 'emb_b')} / (nrm_a * nrm_b)"))
         .where(F.col("cosine") >= EMBED_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )

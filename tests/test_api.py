@@ -49,7 +49,8 @@ def test_data_types_and_formats(server):
     assert status == 200 and "lineitem" in body
     status, _, formats = _get(server, "/result_file_formats")
     assert status == 200
-    assert formats == ["csv", "tsv", "xlsx", "json", "xml", "feather", "parquet"]
+    # Reference enum first, EXT formats (orc) appended.
+    assert formats == ["csv", "tsv", "xlsx", "json", "xml", "feather", "parquet", "orc"]
 
 
 def test_filters_ok_and_errors(server):

@@ -23,7 +23,12 @@ TABLES = (
 
 #: queries() entries deliberately lacking an oracle (iterative /
 #: not SQL-expressible). Adding to this list is an explicit act.
-NO_ORACLE_ALLOWED = {"dedup_components"}
+NO_ORACLE_ALLOWED = {
+    # Iterative label propagation — pinned vs Python union-find.
+    "dedup_components",
+    # Eigendecomposition — pinned vs numpy.linalg.eigh.
+    "embedding_pca",
+}
 
 
 @pytest.fixture(scope="module")

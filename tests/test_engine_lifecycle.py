@@ -35,6 +35,9 @@ def test_filters_shape(engine):
 
 
 def test_result_file_formats(engine):
+    # The reference's 7 formats first (app/constants.py:3-10), then
+    # EXT additions (orc) — order preserved so a reference client
+    # reading a prefix still sees its exact enum.
     assert engine.result_file_formats() == [
         "csv",
         "tsv",
@@ -43,6 +46,7 @@ def test_result_file_formats(engine):
         "xml",
         "feather",
         "parquet",
+        "orc",
     ]
 
 
