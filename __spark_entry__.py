@@ -145,11 +145,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Declarative twin: Spark 4 recursive CTE, WITH a DuckDB oracle
         "components_recursive": D.components_recursive,
         "fuzzy_match_names": D.fuzzy_match_names,
+        # Exact-substring dedup via winnowed long char-grams (X1)
+        "dedup_substring": D.dedup_substring,
         # Similarity search (SURVEY §2 X2)
         "similarity_topk": S.similarity_topk,
         "similarity_lsh": S.similarity_lsh,
         "similarity_ivf": S.similarity_ivf,
         "dedup_embedding": S.dedup_embedding,
+        # SemDeDup + centroid-distance curation gates (X1/X2)
+        "dedup_semantic": S.dedup_semantic,
+        "embedding_outliers": S.embedding_outliers,
         # Diagnostics: audits of the approximate operators (EXT)
         "ann_recall_audit": DG.ann_recall_audit,
         "minhash_calibration": DG.minhash_calibration,
@@ -268,11 +273,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": D.DEDUP_SIMHASH_SQL,
         "dedup_near_chargram": D.DEDUP_NEAR_CHARGRAM_SQL,
         "fuzzy_match_names": D.FUZZY_MATCH_NAMES_SQL,
+        "dedup_substring": D.DEDUP_SUBSTRING_SQL,
         "components_recursive": D.COMPONENTS_RECURSIVE_SQL,
         "similarity_topk": S.SIMILARITY_TOPK_SQL,
         "similarity_lsh": S.SIMILARITY_LSH_SQL,
         "similarity_ivf": S.SIMILARITY_IVF_SQL,
         "dedup_embedding": S.DEDUP_EMBEDDING_SQL,
+        "dedup_semantic": S.DEDUP_SEMANTIC_SQL,
+        "embedding_outliers": S.EMBEDDING_OUTLIERS_SQL,
         "ann_recall_audit": DG.ANN_RECALL_AUDIT_SQL,
         "minhash_calibration": DG.MINHASH_CALIBRATION_SQL,
         "multimodal_centroid": M.MULTIMODAL_CENTROID_SQL,

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ensembl_lakehouse_spark.functions.hashing import (
     P31,
+    ROLL_MOD,
     sql_md5_long31,
     sql_md5_long60,
 )
@@ -757,3 +758,142 @@ COMPONENTS_RECURSIVE_SQL = (
     + ") t), "
     + _COMPONENTS_REC_BODY.format(src="pairs", hops=COMPONENTS_MAX_HOPS)
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup via winnowed long char-grams
+# ---------------------------------------------------------------------------
+
+#: Char-gram length for substring matching (over normalized text).
+SUBSTR_GRAM = 20
+#: Winnow window, in gram positions: every run of SUBSTR_WINDOW
+#: consecutive gram hashes contributes its (leftmost) minimum.
+SUBSTR_WINDOW = 8
+#: Max docs sharing one selected gram before it's treated as
+#: boilerplate and dropped (same quadratic-straggler guard as
+#: BUCKET_CAP — a site-wide footer would otherwise pair everything
+#: with everything).
+SUBSTR_CAP = 50
+
+
+def _substr_grams_expr() -> str:
+    """Spark SQL expression: the winnow-selected SUBSTR_GRAM-char
+    substrings of the normalized text, distinct, as array<string>.
+
+    Let-binding idiom from text_fingerprint: nrm, its codepoint
+    array, and the per-position gram-hash array are each bound ONCE
+    with ``transform(array(x), v -> body)[0]`` so Catalyst's
+    CollapseProject can't inline the O(n) subtrees into every
+    lambda (the measured 100-300x constant factor from r1)."""
+    g, w, mod = SUBSTR_GRAM, SUBSTR_WINDOW, ROLL_MOD
+    cp = "transform(regexp_extract_all(nrm, '.', 0), ch -> cast(ascii(ch) AS bigint))"
+    hs = (
+        f"transform(sequence(1, greatest(size(cp) - {g - 1}, 1)), "
+        f"i -> aggregate(slice(cp, i, {g}), 0L, (a, c) -> (a * 31 + c) % {mod}))"
+    )
+    sel = (
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {w - 1}, 1)), "
+        f"j -> j + array_position(slice(hs, j, {w}), array_min(slice(hs, j, {w}))) - 1))"
+    )
+    return (
+        f"transform(array({NORM_SPARK_SQL}), nrm -> "
+        f"transform(array({cp}), cp -> "
+        f"transform(array({hs}), hs -> "
+        f"array_distinct(transform({sel}, i -> substring(nrm, cast(i AS int), {g})))"
+        f")[0])[0])[0]"
+    )
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    documents sharing a long verbatim character run, found via
+    winnowing (Schleimer et al., MOSS) instead of a suffix array.
+
+    Each document contributes the winnow-selected SUBSTR_GRAM-char
+    grams of its normalized text: per position a polynomial hash of
+    the gram, and every SUBSTR_WINDOW-window's leftmost minimum is
+    selected. Selection is content-defined, so two documents
+    sharing a normalized substring of length >= SUBSTR_GRAM +
+    SUBSTR_WINDOW - 1 select at least one identical gram inside the
+    shared region — the winnowing guarantee — and the join key is
+    the gram TEXT itself, so every reported pair truly shares a
+    >= SUBSTR_GRAM-char substring (no false positives, unlike
+    hash-only fingerprint joins).
+
+    Scale: the per-doc stage is map-only codegen, O(n * GRAM) int
+    ops; winnowing emits ~n/((WINDOW+1)/2) grams per doc, so the
+    shuffle carries a bounded multiple of the input rows (the same
+    density MOSS runs at). Pairs come only from an equi-join on
+    gram, with SUBSTR_CAP dropping boilerplate grams exactly like
+    BUCKET_CAP drops degenerate LSH buckets — never all-pairs. The
+    suffix-array formulation is O(n) too but needs a global sort of
+    every suffix; the winnow join is embarrassingly partition-
+    parallel, which is why production pipelines (e.g. Dolma,
+    RedPajama-v2 tooling) ship the n-gram/winnow form.
+
+    Reference has no dedup surface (single-table SELECT,
+    app/main.py:479); EXT X1 north star.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.expr(NORM_SPARK_SQL)) >= SUBSTR_GRAM
+    )
+    g = docs.select("doc_id", F.explode(F.expr(_substr_grams_expr())).alias("gram"))
+    # Consumed by both sides of the self-join: materialize once
+    # (same reasoning as the bands checkpoint in _near_pipeline).
+    g = g.withColumn(
+        "gram_n", F.expr("count(*) OVER (PARTITION BY gram)")
+    ).where(F.col("gram_n").between(2, SUBSTR_CAP)).localCheckpoint()
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.gram") == F.col("b.gram"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {NORM_DUCK_SQL} AS nrm FROM documents
+  WHERE length({NORM_DUCK_SQL}) >= {SUBSTR_GRAM}
+), c AS (
+  SELECT doc_id, nrm,
+         list_transform(regexp_extract_all(nrm, '.'),
+                        ch -> CAST(unicode(ch) AS BIGINT)) AS cp
+  FROM d
+), h AS (
+  SELECT doc_id, nrm,
+         list_transform(range(1, greatest(len(cp) - {SUBSTR_GRAM - 1}, 1) + 1),
+           i -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+                  list_slice(cp, i, i + {SUBSTR_GRAM - 1})),
+                (a, x) -> (a * 31 + x) % {ROLL_MOD})) AS hs
+  FROM c
+), sel AS (
+  SELECT doc_id, nrm,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - {SUBSTR_WINDOW - 1}, 1) + 1),
+           j -> j + list_position(list_slice(hs, j, j + {SUBSTR_WINDOW - 1}),
+                  list_min(list_slice(hs, j, j + {SUBSTR_WINDOW - 1}))) - 1)) AS pos
+  FROM h
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(pos,
+             i -> substr(nrm, CAST(i AS INTEGER), {SUBSTR_GRAM}))) AS gram
+    FROM sel)
+), capped AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS gram_n FROM g)
+  WHERE gram_n BETWEEN 2 AND {SUBSTR_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_grams
+FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+"""

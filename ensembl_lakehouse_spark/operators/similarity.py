@@ -482,3 +482,206 @@ WITH q AS (
 )
 SELECT q_id, rank, vec_id, label, cosine FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via within-cluster cosine
+# ---------------------------------------------------------------------------
+
+#: Within-cell cosine bar for a semantic duplicate. The fixture
+#: corpus is isotropic (max pairwise cosine ~0.51), so the bar sits
+#: where the fixture HAS structure; a production embedding corpus
+#: (clustered, duplicates at cosine >= 0.95) would raise it.
+SEMANTIC_THRESHOLD = 0.30
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    the embedding space coarsely, then mark a vector a duplicate if
+    some LOWER-id member of its own cluster sits above
+    SEMANTIC_THRESHOLD cosine — keep-lowest-id, the same canonical-
+    representative convention as dedup_exact.
+
+    Emits every vector with its cell, the max cosine to any
+    lower-id cellmate (NULL for the cell's first member), and the
+    dup verdict — the auditable form: ``WHERE NOT is_semantic_dup``
+    applies the dedup, and the cosine column says how close each
+    drop was to the bar.
+
+    Scale (the SemDeDup design point): pairwise comparison happens
+    ONLY within a cell. Assignment is a map-side broadcast cross
+    with |centroids| dots per row (centroids ~ sqrt(N), always
+    broadcastable — same scheme as similarity_ivf); the intra-cell
+    self-join is an equi-join on cell id whose fan-out is quadratic
+    only in the cell size, which concentration keeps near N/k. The
+    paper runs exactly this at 5B-embedding scale with k-means
+    cells; the deterministic mod-sampled centroids here stand in
+    for trained ones so both engines walk the identical partition
+    (swap in k-means centroids at deployment — the plan shape is
+    unchanged).
+
+    Reference has no vector surface (app/main.py:479); EXT X1/X2.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.expr(_norm_expr("embedding"))
+    )
+    centroids = emb.where(
+        (F.col("vec_id") % IVF_CENTROID_MOD) == IVF_CENTROID_REM
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("nrm").alias("cent_nrm"),
+    )
+    # Consumed by three branches (both self-join sides + the final
+    # left join): materialize the assignment once, same reasoning
+    # as the bands checkpoint in dedup._near_pipeline.
+    assigned = (
+        _assign_cells(
+            emb.select("vec_id", "embedding", "nrm"),
+            centroids, 1, "embedding", "vec_id", "nrm",
+        )
+        .select("vec_id", "embedding", "nrm", F.col("c_id").alias("cell"))
+        .localCheckpoint()
+    )
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"),
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"),
+    )
+    best = (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine", F.expr(f"{_dot_expr('emb_a', 'emb_b')} / (nrm_a * nrm_b)")
+        )
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.max("cosine").alias("max_lower_cos"))
+    )
+    return assigned.join(best, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "max_lower_cos",
+        F.coalesce(
+            F.col("max_lower_cos") >= SEMANTIC_THRESHOLD, F.lit(False)
+        ).alias("is_semantic_dup"),
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+), cent AS (
+  SELECT vec_id AS c_id, embedding AS c_vec FROM e
+  WHERE vec_id % {IVF_CENTROID_MOD} = {IVF_CENTROID_REM}
+), assigned AS (
+  SELECT vec_id, embedding, c_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, cent.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {sql_cosine("e.embedding", "cent.c_vec")} DESC, cent.c_id ASC) AS rk
+    FROM e CROSS JOIN cent)
+  WHERE rk = 1
+), best AS (
+  SELECT b.vec_id, max({sql_cosine("a.embedding", "b.embedding")}) AS max_lower_cos
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cell, bst.max_lower_cos,
+       coalesce(bst.max_lower_cos >= {SEMANTIC_THRESHOLD}, false) AS is_semantic_dup
+FROM assigned s LEFT JOIN best bst ON s.vec_id = bst.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers: distance-to-centroid quality gate
+# ---------------------------------------------------------------------------
+
+#: Most-atypical vectors reported per label.
+OUTLIER_K = 10
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the OUTLIER_K vectors LEAST
+    cosine-similar to their own label's centroid — the curation
+    gate that surfaces mislabeled / off-distribution samples before
+    training (and the per-cluster 'keep the outliers, drop the
+    core' variant SemDeDup-style pruning uses).
+
+    The centroid is the per-(label, dim) sum of FP_SCALE fixed-point
+    components (multimodal_centroid's determinism trick: BIGINT sums
+    are partition-order invariant, so both engines build bit-equal
+    centroids). Cosine is scale-invariant, so the SUM vector stands
+    in for the mean without the count division.
+
+    Plan: posexplode -> partial agg on (label, dim) (|labels|*64
+    groups, map-side combine does the heavy lifting) -> assemble the
+    centroid array via sorted collect_list -> broadcast the
+    |labels|-row centroid table back -> map-side cosine -> per-label
+    bottom-k window (WindowGroupLimit keeps a k-row heap per task
+    before the exchange). At 100 TB the only full-data shuffle is
+    the (label, dim) partial agg, already reduced to tiny rows.
+    """
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cen = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .withColumn("x_fp", F.floor(F.col("x").cast("double") * FP_SCALE))
+        .groupBy("label", "dim")
+        .agg(F.sum("x_fp").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, s))), p -> p.s)"
+            ).alias("c_vec")
+        )
+    )
+    scored = emb.join(F.broadcast(cen), "label").withColumn(
+        "cos_centroid", F.expr(_cosine_expr("embedding", "c_vec"))
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (PARTITION BY label "
+                "ORDER BY cos_centroid ASC, vec_id ASC)"
+            ),
+        )
+        .where(F.col("rank") <= OUTLIER_K)
+        .select("label", "rank", "vec_id", "cos_centroid")
+    )
+
+
+def _outliers_sql() -> str:
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    return f"""
+WITH x AS (
+  SELECT label, u.dim AS dim,
+         CAST(floor(u.val::DOUBLE * {FP_SCALE}) AS BIGINT) AS x_fp
+  FROM (
+    SELECT label,
+           unnest(list_transform(range(0, len(embedding)),
+             i -> {{'dim': i, 'val': embedding[i + 1]}})) AS u
+    FROM embeddings)
+), sums AS (
+  SELECT label, dim, CAST(sum(x_fp) AS BIGINT) AS s FROM x GROUP BY label, dim
+), cen AS (
+  SELECT label, list(s ORDER BY dim) AS c_vec FROM sums GROUP BY label
+), scored AS (
+  SELECT e.label, e.vec_id,
+         {sql_cosine("e.embedding", "cen.c_vec")} AS cos_centroid
+  FROM embeddings e JOIN cen ON e.label = cen.label
+)
+SELECT label, rank, vec_id, cos_centroid FROM (
+  SELECT label, vec_id, cos_centroid,
+         row_number() OVER (PARTITION BY label
+           ORDER BY cos_centroid ASC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {OUTLIER_K}
+"""
+
+
+EMBEDDING_OUTLIERS_SQL = _outliers_sql()

@@ -235,3 +235,108 @@ def test_components_hop_cap_has_convergence_slack(spark):
     assert at_cap == one_below, (
         "labels still changing at the hop cap - raise COMPONENTS_MAX_HOPS"
     )
+
+
+def test_dedup_substring_pairs_share_real_substrings(spark):
+    """Every reported pair must truly share a >= SUBSTR_GRAM-char
+    normalized substring (the join key is the gram text, so this is
+    exactness, not recall), and the winnowing guarantee must hold:
+    pairs sharing a run of >= GRAM+WINDOW-1 chars are reported
+    unless every shared gram was capped as boilerplate."""
+    pairs = D.dedup_substring(spark, SF_DIR).collect()
+    assert pairs, "fixture should contain substring-sharing docs"
+    docs = {
+        r.doc_id: r.nrm
+        for r in spark.sql(
+            f"SELECT doc_id, {D.NORM_SPARK_SQL} AS nrm FROM "
+            f"parquet.`{SF_DIR}/documents.parquet`"
+        ).collect()
+    }
+    g = D.SUBSTR_GRAM
+    for r in pairs[:200]:
+        a, b = docs[r.doc_a], docs[r.doc_b]
+        grams_a = {a[i : i + g] for i in range(len(a) - g + 1)}
+        assert any(b[i : i + g] in grams_a for i in range(len(b) - g + 1))
+        assert r.n_shared_grams >= 1
+    # Guarantee direction: build the exact inverted index of
+    # (GRAM+WINDOW-1)-char runs and check recall of uncapped pairs.
+    long = g + D.SUBSTR_WINDOW - 1
+    by_gram: dict[str, set[int]] = {}
+    for did, t in docs.items():
+        for i in range(len(t) - long + 1):
+            by_gram.setdefault(t[i : i + long], set()).add(did)
+    expected = set()
+    for ds in by_gram.values():
+        if 2 <= len(ds) <= D.SUBSTR_CAP:
+            s = sorted(ds)
+            for i, x in enumerate(s):
+                for y in s[i + 1 :]:
+                    expected.add((x, y))
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    missed = expected - got
+    # Capped boilerplate grams may legitimately drop a few pairs.
+    assert len(missed) <= max(1, len(expected) // 20), (
+        f"winnow recall too low: missed {len(missed)}/{len(expected)}"
+    )
+
+
+def test_dedup_semantic_keep_lowest_id(spark):
+    import numpy as np
+
+    rows = S.dedup_semantic(spark, SF_DIR).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    assert len(rows) == len(emb)
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell_rows in by_cell.values():
+        cell_rows.sort(key=lambda r: r.vec_id)
+        # The cell's first member has no lower-id mate and is kept.
+        assert cell_rows[0].max_lower_cos is None
+        assert not cell_rows[0].is_semantic_dup
+        for r in cell_rows[1:]:
+            lower = [c.vec_id for c in cell_rows if c.vec_id < r.vec_id]
+            v = emb[r.vec_id]
+            best = max(
+                float(emb[o] @ v / (np.linalg.norm(emb[o]) * np.linalg.norm(v)))
+                for o in lower
+            )
+            assert r.max_lower_cos == pytest.approx(best, rel=1e-9)
+            assert r.is_semantic_dup == (r.max_lower_cos >= S.SEMANTIC_THRESHOLD)
+
+
+def test_embedding_outliers_match_numpy(spark):
+    import numpy as np
+
+    rows = S.embedding_outliers(spark, SF_DIR).collect()
+    data = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label: dict[int, list] = {}
+    for r in data:
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        )
+    expected = {}
+    for label, members in by_label.items():
+        cen = np.sum(
+            [np.floor(v * 1_000_000) for _, v in members], axis=0
+        )
+        scored = sorted(
+            (
+                (float(v @ cen / (np.linalg.norm(v) * np.linalg.norm(cen))), vid)
+                for vid, v in members
+            ),
+        )
+        expected[label] = [vid for _, vid in scored[: S.OUTLIER_K]]
+    for r in rows:
+        assert expected[r.label][r.rank - 1] == r.vec_id
+    per_label: dict[int, list] = {}
+    for r in rows:
+        per_label.setdefault(r.label, []).append(r)
+    for rs in per_label.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cos = [r.cos_centroid for r in rs]
+        assert cos == sorted(cos)
