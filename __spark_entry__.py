@@ -24,6 +24,7 @@ from ensembl_lakehouse_spark.operators import diagnostics as DG
 from ensembl_lakehouse_spark.operators import maintenance as MT
 from ensembl_lakehouse_spark.operators import multimodal as M
 from ensembl_lakehouse_spark.operators import pipeline as P
+from ensembl_lakehouse_spark.operators import pq as PQ
 from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import similarity as S
 from ensembl_lakehouse_spark.operators import subqueries as Q
@@ -154,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": S.dedup_embedding,
         # SemDeDup + centroid-distance curation gates (X1/X2)
         "dedup_semantic": S.dedup_semantic,
+        "similarity_pq": PQ.similarity_pq,
         "embedding_outliers": S.embedding_outliers,
         # Diagnostics: audits of the approximate operators (EXT)
         "ann_recall_audit": DG.ann_recall_audit,
@@ -280,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf": S.SIMILARITY_IVF_SQL,
         "dedup_embedding": S.DEDUP_EMBEDDING_SQL,
         "dedup_semantic": S.DEDUP_SEMANTIC_SQL,
+        "similarity_pq": PQ.SIMILARITY_PQ_SQL,
         "embedding_outliers": S.EMBEDDING_OUTLIERS_SQL,
         "ann_recall_audit": DG.ANN_RECALL_AUDIT_SQL,
         "minhash_calibration": DG.MINHASH_CALIBRATION_SQL,

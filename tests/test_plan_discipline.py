@@ -64,6 +64,13 @@ BUDGETS = {
     # pipelines (their per-query windows) + the hit-join agg.
     "minhash_calibration": 2,
     "ann_recall_audit": 8,
+    # X1/X2 additions: substring dedup's only visible shuffle is the
+    # pair agg (the gram-cap window lives behind the checkpoint);
+    # semantic dedup = cell join + best-agg + final left join;
+    # outliers = (label,dim) agg + label assemble + per-label window.
+    "dedup_substring": 2,
+    "dedup_semantic": 3,
+    "embedding_outliers": 3,
 }
 
 
