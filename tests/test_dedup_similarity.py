@@ -340,3 +340,56 @@ def test_embedding_outliers_match_numpy(spark):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         cos = [r.cos_centroid for r in rs]
         assert cos == sorted(cos)
+
+
+def test_similarity_pq_rerank_and_recall(spark):
+    """PQ/ADC results must be exactly-ranked within the shortlist
+    (rerank is true cosine), codes must be valid, and recall vs the
+    exact baseline must clear the floor expected for untrained
+    codebooks on an isotropic corpus (the ADC shortlist is 5x the
+    reported k, so even weak codes recover a good fraction)."""
+    from ensembl_lakehouse_spark.operators import pq as PQ
+
+    exact = {
+        (r.q_id, r.vec_id) for r in S.similarity_topk(spark, SF_DIR).collect()
+    }
+    rows = PQ.similarity_pq(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert len(by_q) == S.N_QUERIES
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, S.TOP_K + 1))
+        cos = [r.cosine for r in rs]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r.adc_dist >= 0 for r in rs)
+    got = {(r.q_id, r.vec_id) for r in rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.3, f"PQ recall collapsed: {recall}"
+
+
+def test_pq_codes_compress(spark):
+    """Every corpus vector encodes to PQ_M in-range codes, and the
+    codebook argmin is consistent with a numpy recompute."""
+    import numpy as np
+    from ensembl_lakehouse_spark.operators import pq as PQ
+    from pyspark.sql import functions as F2
+
+    enc = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .where(F2.col("vec_id") >= S.N_QUERIES)
+        .select("vec_id", "embedding",
+                F2.expr(PQ._codes_spark("embedding")).alias("codes"))
+        .limit(25)
+        .collect()
+    )
+    cb = np.array(PQ.CODEBOOKS)  # (M, K, SUB)
+    for r in enc:
+        v = np.array(r.embedding, dtype=np.float64)
+        assert len(r.codes) == PQ.PQ_M
+        for m, code in enumerate(r.codes):
+            assert 0 <= code < PQ.PQ_K
+            sub = v[m * PQ.PQ_SUB:(m + 1) * PQ.PQ_SUB]
+            d = ((cb[m] - sub) ** 2).sum(axis=1)
+            assert code == int(np.argmin(d))

@@ -71,6 +71,9 @@ BUDGETS = {
     "dedup_substring": 2,
     "dedup_semantic": 3,
     "embedding_outliers": 3,
+    # PQ/ADC: encode+LUT are map-side; the ADC window and the rerank
+    # window share the q_id partitioning, so one exchange serves both.
+    "similarity_pq": 1,
 }
 
 
