@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ensembl_lakehouse_spark.operators import analytics as A
 from ensembl_lakehouse_spark.operators import chunking as C
+from ensembl_lakehouse_spark.operators import clustering as K
 from ensembl_lakehouse_spark.operators import dedup as D
 from ensembl_lakehouse_spark.operators import decomposition as DC
 from ensembl_lakehouse_spark.operators import diagnostics as DG
@@ -156,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SemDeDup + centroid-distance curation gates (X1/X2)
         "dedup_semantic": S.dedup_semantic,
         "similarity_pq": PQ.similarity_pq,
+        "embedding_kmeans": K.embedding_kmeans,
         "embedding_outliers": S.embedding_outliers,
         # Diagnostics: audits of the approximate operators (EXT)
         "ann_recall_audit": DG.ann_recall_audit,
@@ -283,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": S.DEDUP_EMBEDDING_SQL,
         "dedup_semantic": S.DEDUP_SEMANTIC_SQL,
         "similarity_pq": PQ.SIMILARITY_PQ_SQL,
+        "embedding_kmeans": K.EMBEDDING_KMEANS_SQL,
         "embedding_outliers": S.EMBEDDING_OUTLIERS_SQL,
         "ann_recall_audit": DG.ANN_RECALL_AUDIT_SQL,
         "minhash_calibration": DG.MINHASH_CALIBRATION_SQL,

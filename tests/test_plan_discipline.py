@@ -74,6 +74,10 @@ BUDGETS = {
     # PQ/ADC: encode+LUT are map-side; the ADC window and the rerank
     # window share the q_id partitioning, so one exchange serves both.
     "similarity_pq": 1,
+    # Unrolled Lloyd: (KM_ITERS-1) * two tiny-row agg exchanges
+    # ((cid,dim) partial-agg + cid assemble) + the final cluster agg;
+    # assignment itself is map-only broadcast.
+    "embedding_kmeans": 2 * (3 - 1) + 1,
 }
 
 
