@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": T.text_top_ngrams,
         "text_repetition": T.text_repetition,
         "text_token_rarity": T.text_token_rarity,
+        "bpe_pair_counts": T.bpe_pair_counts,
         # Benchmark decontamination (SURVEY §2 X1-adjacent curation)
         "decontaminate": P.decontaminate,
         # Deduplication (SURVEY §2 X1)
@@ -271,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "text_top_ngrams": T.TEXT_TOP_NGRAMS_SQL,
         "text_repetition": T.TEXT_REPETITION_SQL,
         "text_token_rarity": T.TEXT_TOKEN_RARITY_SQL,
+        "bpe_pair_counts": T.BPE_PAIR_COUNTS_SQL,
         "decontaminate": P.DECONTAMINATE_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_near": D.DEDUP_NEAR_SQL,

@@ -658,3 +658,84 @@ FROM terms JOIN cf ON terms.term = cf.term
 GROUP BY terms.doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting (tokenizer-training primitive)
+# ---------------------------------------------------------------------------
+
+#: Most frequent adjacent pairs reported (= the first TOP_PAIRS
+#: merge candidates of a BPE training run).
+TOP_PAIRS = 30
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE pair counting — the inner statistic of byte-
+    pair-encoding tokenizer training (Sennrich et al. 2016): over
+    the pre-tokenized corpus, the corpus-wide frequency of every
+    ADJACENT symbol pair, reported as the TOP_PAIRS ranked merge
+    candidates. A full trainer loops this: count pairs -> merge the
+    argmax -> recount; one iteration is the distributed primitive
+    (the loop re-issues the same plan against the merged vocab).
+
+    Plan (two wordcount shapes, the scalable BPE formulation):
+    explode pre-tokens -> (word, count) partial agg FIRST — at
+    corpus scale the word vocabulary is orders of magnitude smaller
+    than the token stream, so pair generation runs once per DISTINCT
+    word weighted by its count, not once per occurrence (exactly how
+    HuggingFace tokenizers trains) -> explode the word's adjacent
+    char pairs -> weighted pair agg -> distributed top-k
+    (TakeOrderedAndProject, no single-partition global window over
+    the vocabulary; the rank window runs on TOP_PAIRS rows only).
+
+    Determinism: counts are integers; ties rank (n DESC, pair ASC) —
+    a total order both engines share.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    words = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{BPE_REGEX}', 0)")
+        ).alias("w")
+    ).where(F.length("w") >= 2)
+    wc = words.groupBy("w").agg(F.count("*").alias("wn"))
+    pairs = wc.select(
+        "wn",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(TOP_PAIRS)
+    )
+    return top.select(
+        F.expr("row_number() OVER (ORDER BY n DESC, pair ASC)").alias("rank"),
+        "pair",
+        "n",
+    )
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), wc AS (
+  SELECT w, count(*) AS wn FROM w WHERE length(w) >= 2 GROUP BY w
+), p AS (
+  SELECT wn,
+         unnest(list_transform(range(1, length(w)),
+           i -> substr(w, CAST(i AS INTEGER), 1) || ' ' ||
+                substr(w, CAST(i + 1 AS INTEGER), 1))) AS pair
+  FROM wc
+), a AS (
+  SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p GROUP BY pair
+), top AS (
+  SELECT pair, n FROM a ORDER BY n DESC, pair ASC LIMIT {TOP_PAIRS}
+)
+SELECT row_number() OVER (ORDER BY n DESC, pair ASC) AS rank, pair, n FROM top
+"""

@@ -139,3 +139,30 @@ def test_decontaminate_excludes_benchmark_and_bounds(spark):
         assert r.doc_id % BENCH_MOD != 0, "benchmark docs must not be flagged"
         assert 1 <= r.n_contaminated <= r.n_shingles
         assert 0.0 < r.contamination_frac <= 1.0
+
+
+def test_bpe_pair_counts_match_python(spark):
+    """Pin the distributed pair counts against a direct Python BPE
+    first-iteration recount (per-occurrence, unweighted), proving
+    the word-frequency-weighted formulation is count-equivalent."""
+    import re
+    from collections import Counter
+
+    from ensembl_lakehouse_spark.functions.text import BPE_REGEX
+
+    rows = T.bpe_pair_counts(spark, SF_DIR).collect()
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        if r.text and r.text.strip()
+    ]
+    counts: Counter = Counter()
+    for t in texts:
+        for w in re.findall(BPE_REGEX, t.lower()):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    counts[f"{w[i]} {w[i + 1]}"] += 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: T.TOP_PAIRS]
+    got = sorted(rows, key=lambda r: r.rank)
+    assert [(r.pair, r.n) for r in got] == expected
+    assert [r.rank for r in got] == list(range(1, T.TOP_PAIRS + 1))
