@@ -28,6 +28,7 @@ from ensembl_lakehouse_spark.operators import pipeline as P
 from ensembl_lakehouse_spark.operators import pq as PQ
 from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import similarity as S
+from ensembl_lakehouse_spark.operators import search as SR
 from ensembl_lakehouse_spark.operators import subqueries as Q
 from ensembl_lakehouse_spark.operators import text as T
 from ensembl_lakehouse_spark.operators import tpch as H
@@ -135,6 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": T.text_repetition,
         "text_token_rarity": T.text_token_rarity,
         "bpe_pair_counts": T.bpe_pair_counts,
+        # Retrieval: BM25 ranked search + inverted-index build (EXT)
+        "bm25_search": SR.bm25_search,
+        "inverted_postings": SR.inverted_postings,
         # Benchmark decontamination (SURVEY §2 X1-adjacent curation)
         "decontaminate": P.decontaminate,
         # Deduplication (SURVEY §2 X1)
@@ -273,6 +277,8 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": T.TEXT_REPETITION_SQL,
         "text_token_rarity": T.TEXT_TOKEN_RARITY_SQL,
         "bpe_pair_counts": T.BPE_PAIR_COUNTS_SQL,
+        "bm25_search": SR.BM25_SEARCH_SQL,
+        "inverted_postings": SR.INVERTED_POSTINGS_SQL,
         "decontaminate": P.DECONTAMINATE_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_near": D.DEDUP_NEAR_SQL,

@@ -1,0 +1,226 @@
+"""Full-text retrieval operators over ``documents`` (EXT X3/X2
+adjacent): BM25 ranked search and an inverted-index build.
+
+The reference exposes no text search (its conditions are equality
+filters pushed to Athena, app/main.py:477-479); these are the
+retrieval primitives a training-data pipeline needs for targeted
+corpus slicing ("pull every doc about X"), hard-negative mining, and
+benchmark-leak auditing beyond exact n-gram overlap
+(pipeline.decontaminate).
+
+Design rules (shared with operators/text.py):
+
+- Pure JVM expressions, zero Python; tokenization comes from
+  functions.text so operators can't drift from the shared dialect.
+- Hash-exact across engines: BM25's textbook ``ln`` idf is replaced
+  by its rational core ``(N - df + 0.5) / (df + 0.5)`` (monotone in
+  the same document ordering for a fixed query term, since ln is
+  monotone), and per-term score contributions are rounded to
+  fixed-point BIGINT **before** the per-document SUM — integer sums
+  are partition-order invariant, so Spark's unordered partial aggs
+  and DuckDB's sequential scan produce bit-identical totals (the
+  multimodal_centroid / embedding_kmeans determinism trick).
+
+At 100 TB: the only wide exchanges move pre-aggregated (doc, term)
+or (term) rows, never raw token explosions; the query-term filter is
+applied map-side BEFORE the tf aggregation so the shuffled volume is
+proportional to matching docs, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ensembl_lakehouse_spark.operators.text import _SQL_PREP, _docs_with_tokens
+
+#: Fixed demo query (terms from the fixture vocabulary). A service
+#: deployment parameterizes these three literals per request.
+QUERY_TERMS: tuple[str, ...] = ("data", "query", "stream")
+
+#: BM25 hyperparameters (the standard Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: Results returned.
+BM25_TOPK = 20
+
+#: Fixed-point scale for per-term score contributions (nano-units).
+BM25_FP = 1_000_000_000
+
+#: Posting-list cap per term (first CAP doc_ids by doc_id order) —
+#: the bound that keeps a web-scale stopword's posting row small.
+POSTINGS_CAP = 15
+
+#: One scoring expression template shared verbatim by the Spark plan
+#: and the DuckDB oracle, so the double expression tree cannot drift.
+#: Every fractional literal is CAST(... AS DOUBLE) explicitly: a bare
+#: ``0.5`` parses as DECIMAL in both engines and its promotion rules
+#: differ between them; with the casts, every operation below is
+#: IEEE-double with identical association order in both engines.
+_SCORE_TEMPLATE = (
+    "CAST(floor("
+    "((CAST({n_docs} AS DOUBLE) - {df} + CAST(0.5 AS DOUBLE))"
+    " / ({df} + CAST(0.5 AS DOUBLE)))"
+    " * ({tf} * CAST({k1p1} AS DOUBLE))"
+    " / ({tf} + CAST({k1} AS DOUBLE) * (CAST({omb} AS DOUBLE)"
+    "   + CAST({b} AS DOUBLE) * {dl} / (CAST({sum_dl} AS DOUBLE) / {n_docs})))"
+    " * CAST({fp} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _score_expr(n_docs: str, df: str, tf: str, dl: str, sum_dl: str) -> str:
+    return _SCORE_TEMPLATE.format(
+        n_docs=n_docs,
+        df=df,
+        tf=tf,
+        dl=dl,
+        sum_dl=sum_dl,
+        k1=BM25_K1,
+        k1p1=BM25_K1 + 1.0,
+        omb=1.0 - BM25_B,
+        b=BM25_B,
+        fp=BM25_FP,
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-K documents for QUERY_TERMS.
+
+    Plan (all shuffles move aggregated rows):
+
+    1. map-side: tokenize, keep only query-term hits (`array_contains`
+       filter applied before any exchange), per-doc dl alongside;
+    2. tf per (doc, term) — partial agg before its shuffle;
+    3. df per term — aggregate of the tf relation (3 rows out);
+    4. corpus stats (N, avgdl) — single-row broadcast;
+    5. score = Σ_t fp_round(idf_t · tf(k1+1)/(tf + k1(1-b+b·dl/avgdl)))
+       with the rational idf (N-df+.5)/(df+.5); fixed-point BIGINT
+       per-term rounding makes the SUM order-invariant;
+    6. global top-K by (score_fp DESC, doc_id) — TakeOrderedAndProject,
+       no full sort.
+
+    At 100 TB the df side is |query| rows (broadcast), the stats side
+    1 row (broadcast); the only real shuffle carries one row per
+    (matching doc, query term).
+    """
+    toks = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", "toks", F.size("toks").alias("dl")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    hits = (
+        toks.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter("toks", lambda t: t.isin(*QUERY_TERMS))
+            ).alias("term"),
+        )
+    )
+    tf = hits.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib_fp",
+            F.expr(_score_expr("n_docs", "df", "tf", "dl", "sum_dl")),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("contrib_fp").alias("score_fp"),
+        )
+        .withColumn(
+            "score", F.col("score_fp").cast("double") / F.lit(float(BM25_FP))
+        )
+        .orderBy(F.desc("score_fp"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+_QUERY_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+BM25_SEARCH_SQL = f"""
+{_SQL_PREP}, d AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM t
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM d
+), hits AS (
+  SELECT doc_id, dl, unnest(list_filter(toks, x -> x IN ({_QUERY_TERMS_SQL}))) AS term
+  FROM d
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, dl, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         {_score_expr("stats.n_docs", "df.df", "tf.tf", "tf.dl", "stats.sum_dl")} AS contrib_fp
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+)
+SELECT doc_id,
+       COUNT(*) AS n_terms_matched,
+       CAST(SUM(contrib_fp) AS BIGINT) AS score_fp,
+       CAST(SUM(contrib_fp) AS DOUBLE) / {BM25_FP} AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY score_fp DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: per term, document frequency, total
+    occurrences, and the first POSTINGS_CAP doc_ids (sorted) — the
+    build side of any keyword retrieval system.
+
+    Plan: explode → (doc, term) partial agg → per-term agg with
+    ``slice(sort_array(collect_list(doc_id)))``. The cap bounds the
+    posting array a stopword would otherwise accumulate; at web
+    scale the posting list becomes a bucketed table keyed by term
+    (one row per (term, doc block)) rather than one array row — the
+    cap marks exactly where that split happens.
+
+    Note collect_list is ORDER-NONDETERMINISTIC across partitions;
+    correctness comes from sort_array before slice — both engines
+    sort the full per-term list before capping, so the result is
+    set-deterministic.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )
+
+
+INVERTED_POSTINGS_SQL = f"""
+{_SQL_PREP}, terms AS (
+  SELECT doc_id, unnest(toks) AS term FROM t
+), tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM terms GROUP BY term, doc_id
+)
+SELECT term,
+       COUNT(*) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       list_slice(list_sort(list(doc_id)), 1, {POSTINGS_CAP}) AS postings
+FROM tf
+GROUP BY term
+ORDER BY term
+"""
