@@ -28,6 +28,7 @@ from ensembl_lakehouse_spark.operators import pipeline as P
 from ensembl_lakehouse_spark.operators import pq as PQ
 from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import similarity as S
+from ensembl_lakehouse_spark.operators import graph as G
 from ensembl_lakehouse_spark.operators import search as SR
 from ensembl_lakehouse_spark.operators import subqueries as Q
 from ensembl_lakehouse_spark.operators import text as T
@@ -139,6 +140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Retrieval: BM25 ranked search + inverted-index build (EXT)
         "bm25_search": SR.bm25_search,
         "inverted_postings": SR.inverted_postings,
+        # Graph analytics over the aggregated trade graph (EXT)
+        "graph_degree": G.graph_degree,
+        "graph_pagerank": G.graph_pagerank,
+        "graph_triangles": G.graph_triangles,
         # Benchmark decontamination (SURVEY §2 X1-adjacent curation)
         "decontaminate": P.decontaminate,
         # Deduplication (SURVEY §2 X1)
@@ -279,6 +284,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": T.BPE_PAIR_COUNTS_SQL,
         "bm25_search": SR.BM25_SEARCH_SQL,
         "inverted_postings": SR.INVERTED_POSTINGS_SQL,
+        "graph_degree": G.GRAPH_DEGREE_SQL,
+        "graph_pagerank": G.GRAPH_PAGERANK_SQL,
+        "graph_triangles": G.GRAPH_TRIANGLES_SQL,
         "decontaminate": P.DECONTAMINATE_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_near": D.DEDUP_NEAR_SQL,
