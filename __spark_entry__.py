@@ -29,6 +29,7 @@ from ensembl_lakehouse_spark.operators import pq as PQ
 from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import similarity as S
 from ensembl_lakehouse_spark.operators import graph as G
+from ensembl_lakehouse_spark.operators import lm as LM
 from ensembl_lakehouse_spark.operators import search as SR
 from ensembl_lakehouse_spark.operators import subqueries as Q
 from ensembl_lakehouse_spark.operators import text as T
@@ -144,6 +145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": G.graph_degree,
         "graph_pagerank": G.graph_pagerank,
         "graph_triangles": G.graph_triangles,
+        # Corpus LM estimation + scoring, hashing-trick features (EXT)
+        "lm_bigram_topk": LM.lm_bigram_topk,
+        "lm_doc_score": LM.lm_doc_score,
+        "hash_features": LM.hash_features,
         # Benchmark decontamination (SURVEY §2 X1-adjacent curation)
         "decontaminate": P.decontaminate,
         # Deduplication (SURVEY §2 X1)
@@ -287,6 +292,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree": G.GRAPH_DEGREE_SQL,
         "graph_pagerank": G.GRAPH_PAGERANK_SQL,
         "graph_triangles": G.GRAPH_TRIANGLES_SQL,
+        "lm_bigram_topk": LM.LM_BIGRAM_TOPK_SQL,
+        "lm_doc_score": LM.LM_DOC_SCORE_SQL,
+        "hash_features": LM.HASH_FEATURES_SQL,
         "decontaminate": P.DECONTAMINATE_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_near": D.DEDUP_NEAR_SQL,
