@@ -78,6 +78,22 @@ BUDGETS = {
     # ((cid,dim) partial-agg + cid assemble) + the final cluster agg;
     # assignment itself is map-only broadcast.
     "embedding_kmeans": 2 * (3 - 1) + 1,
+    # Retrieval: tf agg + df agg + stats row + per-doc score agg
+    # (top-k is TakeOrdered, no exchange); postings = tf agg + term agg.
+    "bm25_search": 4,
+    "inverted_postings": 2,
+    # Graph: ReuseExchange dedups the shared trade aggregation, so
+    # degree = trade + out + in; pagerank = trade + outdeg + one mass
+    # agg per unrolled iteration; triangles = trade + per-node agg
+    # (the edge self-joins are broadcast on the dim-bounded graph).
+    "graph_degree": 3,
+    "graph_pagerank": 2 + 3,
+    "graph_triangles": 2,
+    # LM lattice: pair agg + head agg + vocab row + topk window /
+    # per-doc score agg; hash_features is explode + ONE per-doc agg.
+    "lm_bigram_topk": 4,
+    "lm_doc_score": 5,
+    "hash_features": 1,
 }
 
 
