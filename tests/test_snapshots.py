@@ -1,0 +1,92 @@
+"""Snapshot table format: append/overwrite/merge commits, time
+travel, rollback, compaction, OCC conflicts, vacuum retention."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ensembl_lakehouse_spark import snapshots as S
+
+
+def _rows(spark, df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_append_overwrite_time_travel(spark, tdir):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    df2 = spark.createDataFrame([(3, "c")], ["k", "v"])
+    assert S.write_snapshot(tdir, df1) == 0
+    assert S.write_snapshot(tdir, df2, mode="append") == 1
+    assert _rows(spark, S.read_snapshot(spark, tdir)) == [(1, "a"), (2, "b"), (3, "c")]
+    # time travel to v0
+    assert _rows(spark, S.read_snapshot(spark, tdir, version=0)) == [(1, "a"), (2, "b")]
+    # overwrite replaces logical content but v0/v1 stay readable
+    S.write_snapshot(tdir, df2, mode="overwrite")
+    assert _rows(spark, S.read_snapshot(spark, tdir)) == [(3, "c")]
+    assert _rows(spark, S.read_snapshot(spark, tdir, version=1)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    ops = [h["op"] for h in S.history(tdir)]
+    assert ops == ["overwrite", "append", "overwrite"]
+
+
+def test_merge_upsert_and_rollback(spark, tdir):
+    S.write_snapshot(tdir, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    S.merge_snapshot(
+        spark, tdir, spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"]), key="k"
+    )
+    assert _rows(spark, S.read_snapshot(spark, tdir)) == [(1, "a"), (2, "B"), (4, "d")]
+    v = S.rollback(tdir, 0)
+    assert v == 2
+    assert _rows(spark, S.read_snapshot(spark, tdir)) == [(1, "a"), (2, "b")]
+    # the rolled-back-over merge remains time-travelable
+    assert (2, "B") in _rows(spark, S.read_snapshot(spark, tdir, version=1))
+
+
+def test_occ_conflict_detected(spark, tdir):
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    S.write_snapshot(tdir, df)
+    S.write_snapshot(tdir, df, mode="append")  # moves table to v1
+    with pytest.raises(S.SnapshotConflict):
+        S.write_snapshot(tdir, df, mode="append", expect_version=0)
+    # table unchanged by the failed commit
+    assert S.current_version(tdir) == 1
+
+
+def test_compact_preserves_content_reduces_files(spark, tdir):
+    df = spark.createDataFrame([(i, str(i)) for i in range(100)], ["k", "v"])
+    S.write_snapshot(tdir, df.repartition(8))
+    before = S.history(tdir)[-1]["n_files"]
+    assert before >= 8
+    S.compact(spark, tdir, target_files=1)
+    assert S.history(tdir)[-1]["n_files"] == 1
+    assert _rows(spark, S.read_snapshot(spark, tdir)) == sorted(
+        (i, str(i)) for i in range(100)
+    )
+
+
+def test_vacuum_drops_only_unreferenced(spark, tdir):
+    for i in range(4):
+        S.write_snapshot(tdir, spark.createDataFrame([(i, "x")], ["k", "v"]))
+    removed = S.vacuum(tdir, keep_versions=2)
+    assert removed  # v0/v1 data gone
+    # newest two still readable
+    assert _rows(spark, S.read_snapshot(spark, tdir, version=2)) == [(2, "x")]
+    assert _rows(spark, S.read_snapshot(spark, tdir, version=3)) == [(3, "x")]
+    with pytest.raises(FileNotFoundError):
+        S._read_manifest(tdir, 0)
+
+
+def test_pointer_survives_like_restart(spark, tdir):
+    # a "restart" is just a fresh resolve from disk: no in-memory state
+    S.write_snapshot(tdir, spark.createDataFrame([(7, "z")], ["k", "v"]))
+    assert S.current_version(tdir) == 0
+    assert os.path.exists(os.path.join(tdir, "_current"))
+    assert _rows(spark, S.read_snapshot(spark, tdir)) == [(7, "z")]
