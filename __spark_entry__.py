@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ensembl_lakehouse_spark.operators import analytics as A
 from ensembl_lakehouse_spark.operators import chunking as C
+from ensembl_lakehouse_spark.operators import classifier as CL
 from ensembl_lakehouse_spark.operators import clustering as K
 from ensembl_lakehouse_spark.operators import dedup as D
 from ensembl_lakehouse_spark.operators import decomposition as DC
@@ -149,6 +150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_topk": LM.lm_bigram_topk,
         "lm_doc_score": LM.lm_doc_score,
         "hash_features": LM.hash_features,
+        # In-engine trained ridge gate (no SQL oracle — matrix solve;
+        # pinned vs numpy in tests/test_classifier.py)
+        "quality_classifier": CL.quality_classifier,
         # Benchmark decontamination (SURVEY §2 X1-adjacent curation)
         "decontaminate": P.decontaminate,
         # Deduplication (SURVEY §2 X1)
