@@ -201,21 +201,38 @@ def merge_snapshot(
     spark: SparkSession,
     table_dir: str,
     updates: DataFrame,
-    key: str,
+    key: str | list[str] | tuple[str, ...],
     expect_version: int | None = None,
+    op: str = "merge",
 ) -> int:
-    """MERGE (upsert) by key: copy-on-write — rows whose key appears
-    in ``updates`` are replaced, new keys are inserted, everything
-    else is carried forward into a fresh data directory. The
-    full-rewrite form; a production variant rewrites only the files
-    whose key ranges intersect ``updates`` (the manifest already
-    carries the per-file paths needed to scope that)."""
+    """MERGE (upsert) by key(s): copy-on-write — rows whose key
+    appears in ``updates`` are replaced, new keys are inserted,
+    everything else is carried forward into a fresh data directory.
+    On an empty table this degenerates to the initial overwrite
+    commit. The full-rewrite form; a production variant rewrites only
+    the files whose key ranges intersect ``updates`` (the manifest
+    already carries the per-file paths needed to scope that).
+
+    ``op`` is recorded in the manifest — idempotent writers (the
+    streaming sink) stamp their transaction id here and consult
+    ``committed_ops`` before retrying, the Delta txn-version
+    protocol in miniature."""
+    keys = [key] if isinstance(key, str) else list(key)
     base = current_version(table_dir)
+    if base is None:
+        files = _write_data(table_dir, updates, 0)
+        return _commit(table_dir, files, op, expect_version, base)
     current = read_snapshot(spark, table_dir)
-    kept = current.join(updates.select(key), on=key, how="left_anti")
+    kept = current.join(updates.select(*keys), on=keys, how="left_anti")
     merged = kept.unionByName(updates)
-    files = _write_data(table_dir, merged, (base if base is not None else -1) + 1)
-    return _commit(table_dir, files, "merge", expect_version, base)
+    files = _write_data(table_dir, merged, base + 1)
+    return _commit(table_dir, files, op, expect_version, base)
+
+
+def committed_ops(table_dir: str) -> list[str]:
+    """The op label of every retained snapshot, oldest first — the
+    lookup an idempotent (exactly-once) writer replays against."""
+    return [h["op"] for h in history(table_dir)]
 
 
 def compact(

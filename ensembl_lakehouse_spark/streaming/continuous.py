@@ -198,6 +198,50 @@ def rollup_table_view(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def run_continuous_rollup_snapshots(
+    spark: SparkSession,
+    events_dir: str,
+    table_dir: str,
+    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[int, int]:
+    """Continuous rollup committing each micro-batch as a REAL MERGE
+    into a snapshot-versioned table (snapshots.py); returns
+    (n_batches, n_input_rows).
+
+    This is the transactional upgrade of run_continuous_rollup_table:
+    instead of append + last-write-wins-at-read, every micro-batch is
+    one atomic copy-on-write merge commit keyed by ROLLUP_KEYS, so
+    readers always see a complete consistent rollup (and can time
+    travel across batch boundaries). Exactly-once comes from the
+    manifest op stamp: the sink writes ``stream-merge:batch={id}``
+    and SKIPS any batch id already committed — a foreachBatch retry
+    after a crash between commit and checkpoint advance becomes a
+    no-op, the Delta streaming-sink txn protocol on plain parquet.
+    """
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stamp = f"stream-merge:batch={batch_id}"
+        if stamp in SN.committed_ops(table_dir):
+            return  # replayed batch: already durably committed
+        SN.merge_snapshot(
+            batch_df.sparkSession, table_dir, batch_df,
+            key=list(ROLLUP_KEYS), op=stamp,
+        )
+
+    return _drive(spark, events_dir, merge_batch, max_files_per_trigger, checkpoint_dir)
+
+
+def snapshot_rollup_view(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Current rollup state — the snapshot read itself (merge
+    resolved state at WRITE time; no read-time window needed, unlike
+    rollup_table_view's append log)."""
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    return SN.read_snapshot(spark, table_dir)
+
+
 def compact_rollup_table(spark: SparkSession, table_dir: str) -> None:
     """Fold the append log to one row per key (the OPTIMIZE step).
 

@@ -28,6 +28,8 @@ NO_ORACLE_ALLOWED = {
     "dedup_components",
     # Eigendecomposition — pinned vs numpy.linalg.eigh.
     "embedding_pca",
+    # Ridge matrix solve — pinned vs numpy.linalg.solve.
+    "quality_classifier",
 }
 
 
