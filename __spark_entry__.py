@@ -29,6 +29,7 @@ from ensembl_lakehouse_spark.operators import pipeline as P
 from ensembl_lakehouse_spark.operators import pq as PQ
 from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import similarity as S
+from ensembl_lakehouse_spark.operators import sketches as SK
 from ensembl_lakehouse_spark.operators import graph as G
 from ensembl_lakehouse_spark.operators import lm as LM
 from ensembl_lakehouse_spark.operators import search as SR
@@ -153,6 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # In-engine trained ridge gate (no SQL oracle — matrix solve;
         # pinned vs numpy in tests/test_classifier.py)
         "quality_classifier": CL.quality_classifier,
+        # Mergeable sketches: CMS heavy-hitter audit + HLL registers
+        "sketch_count_min": SK.sketch_count_min,
+        "sketch_hll_distinct": SK.sketch_hll_distinct,
         # Benchmark decontamination (SURVEY §2 X1-adjacent curation)
         "decontaminate": P.decontaminate,
         # Deduplication (SURVEY §2 X1)
@@ -299,6 +303,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram_topk": LM.LM_BIGRAM_TOPK_SQL,
         "lm_doc_score": LM.LM_DOC_SCORE_SQL,
         "hash_features": LM.HASH_FEATURES_SQL,
+        "sketch_count_min": SK.SKETCH_COUNT_MIN_SQL,
+        "sketch_hll_distinct": SK.SKETCH_HLL_DISTINCT_SQL,
         "decontaminate": P.DECONTAMINATE_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_near": D.DEDUP_NEAR_SQL,

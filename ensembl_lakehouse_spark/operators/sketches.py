@@ -1,0 +1,239 @@
+"""Streaming-friendly frequency/cardinality sketches (EXT),
+completing the sketch family relational.py starts (KMV distinct,
+bottom-k quantile): a Count-Min frequency sketch with its
+overestimate audit, and a HyperLogLog-style register estimator.
+
+The reference aggregates nothing itself (Athena delegation,
+app/main.py:477-479); at 100 TB these sketches are how a pipeline
+answers "how often / how many distinct" without a full-fidelity
+shuffle: both reduce the data map-side to a FIXED-size summary
+(D×W counters, M registers) that is mergeable across partitions —
+the property that makes them streaming-state and partial-agg safe.
+
+Determinism (oracle rule): all hashing is the md5 contract
+(functions/hashing.py); register/bucket reductions are integer MAX /
+SUM (partition-order invariant); the only float is one final shared
+expression template per query. The HLL estimator outputs its RAW
+form plus the zero-register count rather than applying the
+small-range linear-counting correction, because that correction
+needs ln() — a transcendental whose last ulp may differ between the
+two engines' libm; callers apply it driver-side (documented
+tradeoff, same reasoning as text_doc_terms' rational tf·N/df).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ensembl_lakehouse_spark.operators.text import _SQL_PREP, _docs_with_tokens
+from ensembl_lakehouse_spark.sources.tables import load_table
+
+#: Count-Min geometry: D independent hash rows × W buckets.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+#: Heavy hitters audited against their CMS estimate.
+CMS_TOPK = 20
+
+#: HLL registers (m = 2^p, p = 4) and the rho cap that keeps the
+#: 2^(HLL_FPBITS - rho) register weight an exact BIGINT.
+HLL_M = 16
+HLL_FPBITS = 50
+
+
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over document tokens + overestimate audit:
+    build the D×W counter table, then for the CMS_TOPK exact heavy
+    hitters report exact count, CMS estimate (min over the D row
+    counters), and the overestimate — the one-sided error CMS
+    guarantees (estimate ≥ exact, excess bounded by collisions).
+
+    Plan: token instances explode into D (row, bucket) updates
+    map-side → ONE partial agg to the D·W counter table (fixed size,
+    broadcastable) → the top-k probe joins its D buckets against it.
+    At 100 TB the counter table is still D·W rows — the sketch is
+    the shuffle.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    inst = toks.select(F.explode("toks").alias("term"))
+    bucket_structs = ", ".join(
+        f"named_struct('r', {r}, 'bucket', "
+        f"CAST(conv(substring(md5(concat('{r}|', term)), 1, 8), 16, 10) AS BIGINT)"
+        f" % 2147483647 % {CMS_WIDTH})"
+        for r in range(CMS_DEPTH)
+    )
+    updates = inst.select(
+        F.explode(F.expr(f"array({bucket_structs})")).alias("u")
+    ).select("u.r", "u.bucket")
+    cms = updates.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = (
+        inst.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf_exact"))
+        .orderBy(F.desc("cf_exact"), "term")
+        .limit(CMS_TOPK)
+    )
+    probes = exact.select(
+        "term",
+        "cf_exact",
+        F.explode(F.expr(f"array({bucket_structs})")).alias("u"),
+    ).select("term", "cf_exact", "u.r", "u.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("term", "cf_exact")
+        .agg(F.min("cnt").alias("cf_est"))
+        .select(
+            "term",
+            "cf_exact",
+            "cf_est",
+            (F.col("cf_est") - F.col("cf_exact")).alias("overestimate"),
+        )
+        .orderBy(F.desc("cf_exact"), "term")
+    )
+
+
+def _duck_bucket(r: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5(concat('{r}|', term)), 1, 8) AS BIGINT)"
+        f" % 2147483647 % {CMS_WIDTH}"
+    )
+
+
+SKETCH_COUNT_MIN_SQL = f"""
+{_SQL_PREP}, inst AS (
+  SELECT unnest(toks) AS term FROM t
+), updates AS (
+  SELECT u.r AS r, u.bucket AS bucket
+  FROM (SELECT unnest([{", ".join(f"{{'r': {r}, 'bucket': {_duck_bucket(r)}}}" for r in range(CMS_DEPTH))}]) AS u
+        FROM inst)
+), cms AS (
+  SELECT r, bucket, COUNT(*) AS cnt FROM updates GROUP BY r, bucket
+), exact AS (
+  SELECT term, COUNT(*) AS cf_exact FROM inst GROUP BY term
+  ORDER BY cf_exact DESC, term LIMIT {CMS_TOPK}
+), probes AS (
+  SELECT term, cf_exact, u.r AS r, u.bucket AS bucket
+  FROM (SELECT term, cf_exact,
+               unnest([{", ".join(f"{{'r': {r}, 'bucket': {_duck_bucket(r)}}}" for r in range(CMS_DEPTH))}]) AS u
+        FROM exact)
+)
+SELECT probes.term,
+       probes.cf_exact,
+       MIN(cms.cnt) AS cf_est,
+       CAST(MIN(cms.cnt) - probes.cf_exact AS BIGINT) AS overestimate
+FROM probes JOIN cms ON probes.r = cms.r AND probes.bucket = cms.bucket
+GROUP BY probes.term, probes.cf_exact
+ORDER BY cf_exact DESC, term
+"""
+
+
+#: Shared raw-estimate expression (alpha_16 · m² / Σ 2^-M_j, the
+#: register sum carried as exact 2^(FPBITS - M) BIGINTs).
+_HLL_EST = (
+    "CAST(0.673 AS DOUBLE) * {m} * {m}"
+    " / (CAST({sum_fp} AS DOUBLE) / CAST({one} AS DOUBLE))"
+)
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog-style distinct-user estimate per event_type:
+    HLL_M max-rho registers from the 60-bit md5 hash (rho = trailing
+    -zero variant — same geometric distribution as Flajolet's
+    leading-zero form, chosen because trailing zeros extract exactly
+    with bin()+regexp in both engines), raw estimate alongside the
+    exact count and the zero-register count V (callers apply
+    small-range linear counting m·ln(m/V) driver-side; see module
+    docstring for why ln stays out of the oracle-checked plan).
+
+    Plan: hash + register index map-side → per (event_type, idx) MAX
+    partial agg (≤ groups·m rows shuffle) → dense register grid via
+    a generated (event_type × idx) frame → one integer SUM. The
+    register table IS the mergeable sketch state: the same MAX-merge
+    runs per-partition, per-node, or per-day incrementally.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = ev.selectExpr(
+        "event_type",
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) AS h",
+    ).selectExpr(
+        "event_type",
+        f"h % {HLL_M} AS idx",
+        f"h DIV {HLL_M} AS rest",
+    )
+    rhos = hashed.selectExpr(
+        "event_type",
+        "idx",
+        f"CASE WHEN rest = 0 THEN {HLL_FPBITS}"
+        f" ELSE LEAST(1 + length(regexp_extract(bin(rest), '0*$', 0)),"
+        f" {HLL_FPBITS}) END AS rho",
+    )
+    regs = rhos.groupBy("event_type", "idx").agg(F.max("rho").alias("m_reg"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1).selectExpr(
+                f"explode(sequence(0, {HLL_M - 1})) AS idx"
+            )
+        )
+    )
+    dense = grid.join(regs, ["event_type", "idx"], "left").select(
+        "event_type", "idx", F.coalesce("m_reg", F.lit(0)).alias("m_reg")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    summed = dense.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_FPBITS} - m_reg)")).alias(
+            "sum_fp"
+        ),
+        F.sum(F.when(F.col("m_reg") == 0, 1).otherwise(0)).alias("n_zero_registers"),
+    )
+    return (
+        summed.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_zero_registers",
+            F.expr(
+                _HLL_EST.format(m=HLL_M, sum_fp="sum_fp", one=1 << HLL_FPBITS)
+            ).alias("hll_raw_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKETCH_HLL_DISTINCT_SQL = f"""
+WITH hashed AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+), parts AS (
+  SELECT event_type, h % {HLL_M} AS idx, h // {HLL_M} AS rest FROM hashed
+), rhos AS (
+  SELECT event_type, idx,
+         CASE WHEN rest = 0 THEN {HLL_FPBITS}
+              ELSE LEAST(1 + length(regexp_extract(bin(rest), '0*$', 0)),
+                         {HLL_FPBITS}) END AS rho
+  FROM parts
+), regs AS (
+  SELECT event_type, idx, MAX(rho) AS m_reg FROM rhos GROUP BY event_type, idx
+), grid AS (
+  SELECT event_type, r.range AS idx
+  FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN range({HLL_M}) r
+), dense AS (
+  SELECT grid.event_type, grid.idx, COALESCE(regs.m_reg, 0) AS m_reg
+  FROM grid LEFT JOIN regs ON grid.event_type = regs.event_type AND grid.idx = regs.idx
+), summed AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_FPBITS} - m_reg)) AS BIGINT) AS sum_fp,
+         CAST(SUM(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_registers
+  FROM dense GROUP BY event_type
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type
+)
+SELECT summed.event_type AS event_type, exact.n_exact, summed.n_zero_registers,
+       {_HLL_EST.format(m=HLL_M, sum_fp="summed.sum_fp", one=1 << HLL_FPBITS)} AS hll_raw_estimate
+FROM summed JOIN exact ON summed.event_type = exact.event_type
+ORDER BY 1
+"""
