@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match_names": D.fuzzy_match_names,
         # Exact-substring dedup via winnowed long char-grams (X1)
         "dedup_substring": D.dedup_substring,
+        # Incremental ingest: new batch vs standing corpus (X1)
+        "dedup_incremental": D.dedup_incremental,
         # Similarity search (SURVEY §2 X2)
         "similarity_topk": S.similarity_topk,
         "similarity_lsh": S.similarity_lsh,
@@ -312,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_chargram": D.DEDUP_NEAR_CHARGRAM_SQL,
         "fuzzy_match_names": D.FUZZY_MATCH_NAMES_SQL,
         "dedup_substring": D.DEDUP_SUBSTRING_SQL,
+        "dedup_incremental": D.DEDUP_INCREMENTAL_SQL,
         "components_recursive": D.COMPONENTS_RECURSIVE_SQL,
         "similarity_topk": S.SIMILARITY_TOPK_SQL,
         "similarity_lsh": S.SIMILARITY_LSH_SQL,

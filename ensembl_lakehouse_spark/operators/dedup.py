@@ -897,3 +897,174 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_grams
 FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
 GROUP BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+#: Deterministic batch split: every 5th doc_id plays the "new
+#: arrivals" role; the rest are the standing corpus.
+INCR_MOD = 5
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: classify each NEW document against the
+    standing corpus as ``exact`` (identical normalized text),
+    ``near`` (MinHash-banded candidate verified at Jaccard >=
+    JACCARD_THRESHOLD), or ``new`` — with the matched corpus doc
+    (min doc_id; exact wins over near). Within-batch duplicates are
+    out of scope here by design: they are the batch's own
+    dedup_exact/dedup_near pass.
+
+    This is the INCREMENTAL shape that makes dedup affordable on a
+    growing 100 TB corpus: the standing corpus's fingerprints, bands
+    and shingle sets are exactly what dedup_exact/dedup_near already
+    computed and would be PERSISTED (a snapshots.py table keyed by
+    band); each new batch then joins its own (small) bands against
+    that index — cost proportional to the batch, never a corpus
+    re-scan. Here both sides derive from one fixture table split
+    deterministically (doc_id % INCR_MOD), so the oracle can see the
+    whole computation; the plan shape (band equi-join batch x corpus
+    with the shared BUCKET_CAP guard, verify on candidates only) is
+    unchanged by where the corpus side comes from.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .withColumn("is_new", (F.col("doc_id") % INCR_MOD) == 0)
+        .withColumn(
+            "fp_md5",
+            F.expr(
+                f"cast(conv(substring(md5({NORM_SPARK_SQL}), 1, 15), 16, 10) AS bigint)"
+            ),
+        )
+    )
+    toks = "split(trim(text), '\\\\s+')"
+    s = docs.select(
+        "doc_id", "is_new", "fp_md5", F.expr(_spark_shingles(toks)).alias("sh")
+    ).localCheckpoint()
+
+    # exact: batch fp joins corpus fp; min corpus id per new doc
+    new_fp = s.where("is_new").select(
+        F.col("doc_id").alias("new_id"), "fp_md5"
+    )
+    old_fp = s.where("NOT is_new").select(
+        F.col("doc_id").alias("old_id"), "fp_md5"
+    )
+    exact = (
+        new_fp.join(old_fp, "fp_md5")
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("exact_id"))
+    )
+
+    # near: banded candidates across the split, verify on candidates
+    sig = s.select(
+        "doc_id", "is_new", F.expr(_spark_signature("sh")).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        "is_new",
+        F.posexplode(F.expr(_spark_band_keys("sig"))).alias("band_idx", "band_key"),
+    )
+    bands = (
+        bands.withColumn(
+            "bucket_n", F.expr("count(*) OVER (PARTITION BY band_idx, band_key)")
+        )
+        .where(F.col("bucket_n").between(2, BUCKET_CAP))
+        .localCheckpoint()
+    )
+    nb = bands.where("is_new").select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_key"
+    )
+    ob = bands.where("NOT is_new").select(
+        F.col("doc_id").alias("old_id"), "band_idx", "band_key"
+    )
+    cand = nb.join(ob, ["band_idx", "band_key"]).select("new_id", "old_id").distinct()
+    sa = s.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_b"))
+    near = (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("near_id"))
+    )
+
+    batch = s.where("is_new").select(F.col("doc_id"))
+    return (
+        batch.join(exact, batch.doc_id == exact.new_id, "left")
+        .drop("new_id")
+        .join(near, batch.doc_id == near.new_id, "left")
+        .drop("new_id")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN exact_id IS NOT NULL THEN 'exact' "
+                "WHEN near_id IS NOT NULL THEN 'near' ELSE 'new' END"
+            ).alias("verdict"),
+            F.coalesce("exact_id", "near_id").alias("match_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {INCR_MOD} = 0 AS is_new,
+         {sql_md5_long60(NORM_DUCK_SQL)} AS fp_md5,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), s AS (
+  SELECT doc_id, is_new, fp_md5, {sql_word_shingles("toks", SHINGLE_N)} AS sh FROM t
+), exact AS (
+  SELECT n.doc_id AS new_id, MIN(o.doc_id) AS exact_id
+  FROM s n JOIN s o ON n.fp_md5 = o.fp_md5 AND n.is_new AND NOT o.is_new
+  GROUP BY n.doc_id
+), hs AS (
+  SELECT doc_id, is_new, sh, list_transform(sh, x -> {sql_md5_long31("x")}) AS h FROM s
+), sig AS (
+  SELECT doc_id, is_new, {_duck_signature("h")} AS g FROM hs
+), bands AS (
+  SELECT doc_id, is_new,
+         unnest(list_transform(range(0, {BANDS}),
+           bi -> {{'band_idx': bi, 'band_key': {_duck_band_keys("g")}[bi + 1]}}),
+           recursive := true)
+  FROM sig
+), capped AS (
+  SELECT * FROM (
+    SELECT doc_id, is_new, band_idx, band_key,
+           count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+    FROM bands)
+  WHERE bucket_n BETWEEN 2 AND {BUCKET_CAP}
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM capped n JOIN capped o
+    ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+   AND n.is_new AND NOT o.is_new
+), near AS (
+  SELECT new_id, MIN(old_id) AS near_id FROM (
+    SELECT c.new_id, c.old_id,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+    FROM cand c
+    JOIN s sa ON sa.doc_id = c.new_id
+    JOIN s sb ON sb.doc_id = c.old_id)
+  WHERE jaccard >= {JACCARD_THRESHOLD}
+  GROUP BY new_id
+)
+SELECT b.doc_id,
+       CASE WHEN exact.exact_id IS NOT NULL THEN 'exact'
+            WHEN near.near_id IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+       COALESCE(exact.exact_id, near.near_id) AS match_id
+FROM (SELECT doc_id FROM s WHERE is_new) b
+LEFT JOIN exact ON b.doc_id = exact.new_id
+LEFT JOIN near ON b.doc_id = near.new_id
+ORDER BY doc_id
+"""

@@ -393,3 +393,28 @@ def test_pq_codes_compress(spark):
             sub = v[m * PQ.PQ_SUB:(m + 1) * PQ.PQ_SUB]
             d = ((cb[m] - sub) ** 2).sum(axis=1)
             assert code == int(np.argmin(d))
+
+
+def test_incremental_dedup_consistent_with_pairwise(spark):
+    """dedup_incremental's near matches must agree with the global
+    dedup_near pair list restricted to cross-split (new x corpus)
+    pairs, and its exact matches with fp-equality."""
+    from ensembl_lakehouse_spark.operators import dedup as D
+
+    inc = {r.doc_id: (r.verdict, r.match_id)
+           for r in D.dedup_incremental(spark, SF_DIR).collect()}
+    assert inc
+    pairs = D.dedup_near(spark, SF_DIR).collect()
+    cross: dict[int, int] = {}
+    for p in pairs:
+        for new, old in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
+            if new % D.INCR_MOD == 0 and old % D.INCR_MOD != 0:
+                cross[new] = min(cross.get(new, old), old)
+    for doc_id, (verdict, match_id) in inc.items():
+        assert doc_id % D.INCR_MOD == 0
+        if verdict == "near":
+            assert cross.get(doc_id) == match_id
+        elif verdict == "new":
+            assert doc_id not in cross
+        else:
+            assert verdict == "exact" and match_id is not None
