@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ensembl_lakehouse_spark.operators import analytics as A
+from ensembl_lakehouse_spark.operators import bloom as BL
 from ensembl_lakehouse_spark.operators import chunking as C
 from ensembl_lakehouse_spark.operators import classifier as CL
 from ensembl_lakehouse_spark.operators import clustering as K
@@ -108,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_order_lineitem": R.join_order_lineitem,
         "join_semi_anti": R.join_semi_anti,
         "join_skew_salted": MT.join_skew_salted,
+        "join_bloom_pruned": BL.join_bloom_pruned,
         "merge_upsert": MT.merge_upsert,
         "rollup_incremental": MT.rollup_incremental,
         "audit_referential": MT.audit_referential,
@@ -269,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "join_order_lineitem": R.JOIN_ORDER_LINEITEM_SQL,
         "join_semi_anti": R.JOIN_SEMI_ANTI_SQL,
         "join_skew_salted": MT.JOIN_SKEW_SALTED_SQL,
+        "join_bloom_pruned": BL.JOIN_BLOOM_PRUNED_SQL,
         "merge_upsert": MT.MERGE_UPSERT_SQL,
         "rollup_incremental": MT.ROLLUP_INCREMENTAL_SQL,
         "audit_referential": MT.AUDIT_REFERENTIAL_SQL,
