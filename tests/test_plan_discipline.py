@@ -94,6 +94,19 @@ BUDGETS = {
     "lm_bigram_topk": 4,
     "lm_doc_score": 5,
     "hash_features": 1,
+    # Sketches: CMS = counter-table agg + heavy-hitter agg (probe
+    # join is broadcast); HLL = register agg + grid/exact aggs.
+    "sketch_count_min": 2,
+    "sketch_hll_distinct": 4,
+    # Incremental dedup: fp join agg + band window + verify agg
+    # (band/shingle branches live behind localCheckpoint truncation).
+    "dedup_incremental": 3,
+    # Bloom: bitmap agg (<=64 rows) + per-order AND-agg + final agg;
+    # bitmap and truth sides broadcast.
+    "join_bloom_pruned": 3,
+    # Ridge gate: the d x d normal-equation reduction is the ONLY
+    # exchange; scoring is map-side with literal weights.
+    "quality_classifier": 1,
 }
 
 
