@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": C.pack_sequences,
         # Composed curation pipeline (EXT capstone)
         "pipeline_curation": P.pipeline_curation,
+        "corpus_datacard": P.corpus_datacard,
     }
 
 
@@ -335,4 +336,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": C.CHUNK_DOCUMENTS_SQL,
         "pack_sequences": C.PACK_SEQUENCES_SQL,
         "pipeline_curation": P.PIPELINE_CURATION_SQL,
+        "corpus_datacard": P.CORPUS_DATACARD_SQL,
     }

@@ -367,3 +367,87 @@ FROM ranked, u
 WHERE rk <= wt * units
 ORDER BY source, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card
+# ---------------------------------------------------------------------------
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus data card: the summary table a
+    dataset release ships (counts, token mass, length profile, exact
+    -duplicate rate) — the composition capstone over the text/dedup
+    signal families, and the report a mixture designer (mix_sources)
+    reads before choosing weights.
+
+    Plan: one map-side pass computes per-doc length/token signals and
+    the md5 fingerprint; a window on the fingerprint marks exact
+    duplicates (the dedup_exact lattice); ONE final partial agg per
+    (lang, source). Shuffle volume: |docs| narrow rows into the
+    fingerprint window, then group-count rows — linear, unskewed
+    (fixture sources are uniform; a skewed real source key would
+    ride the same salting pattern as join_skew_salted).
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.length("text").alias("n_chars"),
+            F.size(F.expr("split(trim(text), '\\\\s+')")).alias("n_tokens"),
+            F.expr(
+                f"cast(conv(substring(md5({NORM_SPARK_SQL}), 1, 15), 16, 10) AS bigint)"
+            ).alias("fp_md5"),
+        )
+        .withColumn(
+            "is_dup",
+            F.expr("count(*) OVER (PARTITION BY fp_md5) > 1"),
+        )
+    )
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+                "avg_doc_tokens"
+            ),
+            F.min("n_tokens").alias("min_doc_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_exact_dup"),
+            (
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("exact_dup_frac"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CORPUS_DATACARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CAST('0x' || substr(md5({NORM_DUCK_SQL}), 1, 15) AS BIGINT) AS fp_md5
+  FROM documents WHERE length(trim(text)) > 0
+), flagged AS (
+  SELECT *, count(*) OVER (PARTITION BY fp_md5) > 1 AS is_dup FROM d
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_doc_tokens,
+       MIN(n_tokens) AS min_doc_tokens,
+       MAX(n_tokens) AS max_doc_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS exact_dup_frac
+FROM flagged
+GROUP BY lang, source
+ORDER BY lang, source
+"""
