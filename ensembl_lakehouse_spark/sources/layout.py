@@ -184,3 +184,63 @@ def skipping_report(path: str, col: str, lo, hi) -> dict:
         "skippable": skippable,
         "skippable_frac": (skippable / total) if total else 0.0,
     }
+
+
+#: Bits per dimension in the Z-order interleave (2 dims × ZBITS ≤ 62).
+ZBITS = 8
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 8,
+) -> None:
+    """Z-order-clustered write on TWO columns: normalize each to a
+    ZBITS-bit integer (min-max scaled), interleave the bits into one
+    Morton key, then range-partition + sort on that key — Delta
+    OPTIMIZE ZORDER's mechanics on plain parquet.
+
+    Why the curve matters: 1-D clustering (write_clustered) makes
+    row-group stats selective on ONE column and useless on the
+    other; the Morton interleave gives every file a small rectangle
+    of (x, y) space, so range predicates on EITHER column skip via
+    footer stats — the property the layout tests measure directly.
+
+    The min/max scan is one 1-row aggregate (same bounded-collect
+    class as catalog key enumeration); everything else is a map-side
+    expression + one range exchange. The Morton key column
+    ``_zval`` is retained in the files (harmless, and it lets tests
+    and future OPTIMIZE passes see the clustering key).
+    """
+    lo_hi = df.agg(
+        F.min(col_x).alias("xlo"),
+        F.max(col_x).alias("xhi"),
+        F.min(col_y).alias("ylo"),
+        F.max(col_y).alias("yhi"),
+    ).collect()[0]
+    scale = (1 << ZBITS) - 1
+
+    def norm(col: str, lo, hi) -> str:
+        span = (hi - lo) or 1
+        return (
+            f"CAST(floor((CAST({col} AS DOUBLE) - {lo!r}) * {scale} / {span!r})"
+            f" AS BIGINT)"
+        )
+
+    interleave = " + ".join(
+        f"(shiftright(xb, {i}) % 2) * {1 << (2 * i)}"
+        f" + (shiftright(yb, {i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(ZBITS)
+    )
+    (
+        df.withColumn("xb", F.expr(norm(col_x, lo_hi.xlo, lo_hi.xhi)))
+        .withColumn("yb", F.expr(norm(col_y, lo_hi.ylo, lo_hi.yhi)))
+        .withColumn("_zval", F.expr(interleave))
+        .drop("xb", "yb")
+        .repartitionByRange(n_files, F.col("_zval"))
+        .sortWithinPartitions("_zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

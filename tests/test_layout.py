@@ -144,3 +144,49 @@ def test_clustered_write_enables_rowgroup_skipping(spark, tmp_path_factory):
     n_c = spark.read.parquet(clustered).where(f"o_orderkey between {lo} and {hi}").count()
     n_r = spark.read.parquet(random).where(f"o_orderkey between {lo} and {hi}").count()
     assert n_c == n_r > 0
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, tmp_path_factory):
+    """Z-order layout: narrow range predicates on EITHER clustered
+    column must skip a large fraction of row groups on footer stats;
+    a 1-D clustering on x skips nothing on y (the reason the curve
+    exists). Judged from parquet footers, like the 1-D test."""
+    base = tmp_path_factory.mktemp("zorder")
+    zpath, xpath = str(base / "z"), str(base / "x1d")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    L.write_zordered(orders, zpath, "o_orderkey", "o_custkey", n_files=16)
+    L.write_clustered(orders, xpath, "o_orderkey", n_files=16)
+
+    stats = orders.selectExpr(
+        "min(o_orderkey) AS klo", "max(o_orderkey) AS khi",
+        "min(o_custkey) AS clo", "max(o_custkey) AS chi",
+    ).collect()[0]
+    # ~1/8 of each domain
+    kw = (stats.khi - stats.klo) // 8
+    cw = (stats.chi - stats.clo) // 8
+    k_rng = (stats.klo, stats.klo + kw)
+    c_rng = (stats.clo, stats.clo + cw)
+
+    z_on_x = L.skipping_report(zpath, "o_orderkey", *k_rng)
+    z_on_y = L.skipping_report(zpath, "o_custkey", *c_rng)
+    x_on_y = L.skipping_report(xpath, "o_custkey", *c_rng)
+    # the curve buys skipping on BOTH dims...
+    assert z_on_x["skippable_frac"] >= 0.5, z_on_x
+    assert z_on_y["skippable_frac"] >= 0.5, z_on_y
+    # ...which 1-D clustering cannot give on the second dim
+    assert x_on_y["skippable_frac"] <= z_on_y["skippable_frac"], (x_on_y, z_on_y)
+
+    # Correctness unchanged by layout.
+    n_z = (
+        spark.read.parquet(zpath)
+        .where(f"o_custkey between {c_rng[0]} and {c_rng[1]}")
+        .count()
+    )
+    n_x = (
+        spark.read.parquet(xpath)
+        .where(f"o_custkey between {c_rng[0]} and {c_rng[1]}")
+        .count()
+    )
+    assert n_z == n_x > 0
