@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Diagnostics: audits of the approximate operators (EXT)
         "ann_recall_audit": DG.ann_recall_audit,
         "minhash_calibration": DG.minhash_calibration,
+        "skew_audit": DG.skew_audit,
         # Distributed PCA (map-side Gram; no SQL oracle - eigensolve;
         # pinned vs numpy in tests/test_decomposition.py)
         "embedding_pca": DC.embedding_pca,
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": S.EMBEDDING_OUTLIERS_SQL,
         "ann_recall_audit": DG.ANN_RECALL_AUDIT_SQL,
         "minhash_calibration": DG.MINHASH_CALIBRATION_SQL,
+        "skew_audit": DG.SKEW_AUDIT_SQL,
         "multimodal_centroid": M.MULTIMODAL_CENTROID_SQL,
         "multimodal_payload": M.MULTIMODAL_PAYLOAD_SQL,
         "multimodal_quantize": M.MULTIMODAL_QUANTIZE_SQL,

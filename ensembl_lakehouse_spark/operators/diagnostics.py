@@ -40,6 +40,7 @@ from ensembl_lakehouse_spark.operators.similarity import (
     similarity_lsh,
     similarity_topk,
 )
+from ensembl_lakehouse_spark.sources.tables import load_table
 
 
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,4 +220,88 @@ SELECT doc_a, doc_b, n_match,
        abs(CAST(n_match AS DOUBLE) / {K_MINHASH}
            - CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)) AS abs_err
 FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew audit
+# ---------------------------------------------------------------------------
+
+#: Key columns audited as join-key candidates.
+SKEW_KEYS = ("l_partkey", "l_suppkey", "l_returnflag")
+
+
+def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-join-key skew profile over lineitem: distinct
+    count, heaviest key's share, and the Gini impurity of the key
+    distribution (1 - Σ p_k²) — the audit run BEFORE choosing a join
+    strategy: top-share near 1 or impurity near 0 says "salt this
+    key or broadcast the other side" (join_skew_salted is the cure
+    this diagnostic prescribes).
+
+    Gini impurity instead of Shannon entropy on purpose: entropy's
+    ln() is a transcendental whose last ulp may differ between the
+    engines' libm; Σ p² is one exact integer sum of squared counts
+    divided once in double — hash-identical (the sketches.py
+    HLL-estimator reasoning).
+
+    Plan: per (column, key) counts via ONE unpivoted explode →
+    partial agg (wordcount shape, unskewed because the audited key's
+    own skew lands in the count values, not the shuffle keys) → per
+    column: Σ c², max c, Σ c as BIGINTs → the three ratios. Linear,
+    two exchanges, any number of audited columns in one pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(*SKEW_KEYS)
+    structs = ", ".join(
+        f"named_struct('col_name', '{c}', 'key', CAST({c} AS STRING))"
+        for c in SKEW_KEYS
+    )
+    keyed = li.select(
+        F.explode(F.expr(f"array({structs})")).alias("e")
+    ).select("e.col_name", "e.key")
+    counts = keyed.groupBy("col_name", "key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("col_name")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_count"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_distinct",
+            (F.col("top_count").cast("double") / F.col("n_rows")).alias(
+                "top_share"
+            ),
+            (
+                F.lit(1.0)
+                - F.col("sum_c2").cast("double")
+                / (F.col("n_rows") * F.col("n_rows"))
+            ).alias("gini_impurity"),
+        )
+        .orderBy("col_name")
+    )
+
+
+SKEW_AUDIT_SQL = f"""
+WITH keyed AS (
+  SELECT e.col_name AS col_name, e.key AS key FROM (
+    SELECT unnest([{", ".join(f"{{'col_name': '{c}', 'key': CAST({c} AS VARCHAR)}}" for c in SKEW_KEYS)}]) AS e
+    FROM lineitem)
+), counts AS (
+  SELECT col_name, key, COUNT(*) AS c FROM keyed GROUP BY col_name, key
+)
+SELECT col_name,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_distinct,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_share,
+       1.0 - CAST(SUM(c * c) AS DOUBLE)
+           / (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS gini_impurity
+FROM counts
+GROUP BY col_name
+ORDER BY col_name
 """
