@@ -313,3 +313,22 @@ def test_table_sink_restart_equals_batch(spark, tmp_path_factory, events_dir):
     some = log.limit(5)
     some.write.mode("append").parquet(tbl)
     assert as_dict(SC.rollup_table_view(spark, tbl)) == batch
+
+
+def test_trending_topk_stream_equals_batch(spark, events_dir):
+    """Streaming sliding-window counts ranked at the sink equal the
+    batch twin's ranking exactly (count desc, type asc total order)."""
+    from ensembl_lakehouse_spark.streaming import trending as ST
+
+    streamed = [
+        (r.win_start, r.rank, r.event_type, r.n_events)
+        for r in ST.run_trending_to_memory(spark, events_dir, "t_trend_eq").collect()
+    ]
+    batch = [
+        (r.win_start, r.rank, r.event_type, r.n_events)
+        for r in ST.trending_batch(spark, events_dir).collect()
+    ]
+    assert streamed == batch
+    assert streamed
+    for _, rank, _, _ in streamed:
+        assert 1 <= rank <= ST.TREND_K
