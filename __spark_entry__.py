@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Composed curation pipeline (EXT capstone)
         "pipeline_curation": P.pipeline_curation,
         "corpus_datacard": P.corpus_datacard,
+        "privacy_kanon_audit": P.privacy_kanon_audit,
+        "epoch_shuffle": P.epoch_shuffle,
     }
 
 
@@ -339,4 +341,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": C.PACK_SEQUENCES_SQL,
         "pipeline_curation": P.PIPELINE_CURATION_SQL,
         "corpus_datacard": P.CORPUS_DATACARD_SQL,
+        "privacy_kanon_audit": P.PRIVACY_KANON_AUDIT_SQL,
+        "epoch_shuffle": P.EPOCH_SHUFFLE_SQL,
     }

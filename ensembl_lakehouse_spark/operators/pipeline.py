@@ -451,3 +451,120 @@ FROM flagged
 GROUP BY lang, source
 ORDER BY lang, source
 """
+
+
+# ---------------------------------------------------------------------------
+# Privacy: k-anonymity audit
+# ---------------------------------------------------------------------------
+
+#: Quasi-identifier columns audited on the customer table and the
+#: anonymity threshold.
+QI_COLS = ("c_nationkey", "c_mktsegment")
+K_ANON = 5
+
+
+def privacy_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers: per
+    equivalence class (distinct QI tuple), its size and whether it
+    violates k >= K_ANON — plus each class's share of the table. A
+    release gate runs this BEFORE exporting any row-level dataset:
+    classes smaller than k re-identify individuals by joining on the
+    quasi-identifiers alone (Sweeney's k-anonymity model).
+
+    Plan: one groupBy on the QI tuple (the equivalence-class
+    partition), one 1-row total broadcast back. Linear; class-size
+    skew is the data's own property and lands in values, not keys.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(*QI_COLS)
+    classes = cust.groupBy(*QI_COLS).agg(F.count(F.lit(1)).alias("class_size"))
+    total = cust.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        classes.crossJoin(F.broadcast(total))
+        .select(
+            *QI_COLS,
+            "class_size",
+            (F.col("class_size") < K_ANON).alias("violates_k"),
+            (F.col("class_size").cast("double") / F.col("n_total")).alias(
+                "class_share"
+            ),
+        )
+        .orderBy(*QI_COLS)
+    )
+
+
+PRIVACY_KANON_AUDIT_SQL = f"""
+WITH classes AS (
+  SELECT {", ".join(QI_COLS)}, COUNT(*) AS class_size
+  FROM customer GROUP BY {", ".join(QI_COLS)}
+), total AS (
+  SELECT COUNT(*) AS n_total FROM customer
+)
+SELECT {", ".join(QI_COLS)}, class_size,
+       class_size < {K_ANON} AS violates_k,
+       CAST(class_size AS DOUBLE) / n_total AS class_share
+FROM classes CROSS JOIN total
+ORDER BY {", ".join(QI_COLS)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffling
+# ---------------------------------------------------------------------------
+
+#: Training epochs materialized by the demo query.
+N_EPOCHS = 2
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-data permutation: for each
+    epoch, every document gets a position from the rank of its
+    md5(epoch|doc_id) — a different, reproducible shuffle per epoch
+    with no RNG state to coordinate across executors. This is how a
+    distributed loader shuffles 100 TB: the permutation is a pure
+    function of (seed, key), so any worker can compute its own
+    slice's order without a central shuffle service, and a resumed
+    job regenerates the identical order.
+
+    Plan: explode epochs (map-side 1→N_EPOCHS) → per-epoch
+    row_number over the hash order. The window is the one exchange;
+    at scale the loader replaces the global row_number with
+    hash-ordered range partitioning (the same ordering, no total
+    order materialized).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {N_EPOCHS - 1})")).alias("epoch"),
+    ).withColumn(
+        "h",
+        F.expr(
+            "CAST(conv(substring(md5(concat(epoch, '|', doc_id)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ),
+    )
+    return (
+        epochs.withColumn(
+            "position",
+            F.expr(
+                "row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)"
+            ),
+        )
+        .select("epoch", "position", "doc_id")
+        .orderBy("epoch", "position")
+    )
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH e AS (
+  SELECT doc_id, r.range AS epoch
+  FROM documents CROSS JOIN range({N_EPOCHS}) r
+), h AS (
+  SELECT doc_id, epoch,
+         CAST('0x' || substr(md5(concat(epoch, '|', doc_id)), 1, 15) AS BIGINT) AS h
+  FROM e
+)
+SELECT epoch, row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS position,
+       doc_id
+FROM h
+ORDER BY epoch, position
+"""

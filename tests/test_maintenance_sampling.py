@@ -129,3 +129,38 @@ def test_mix_sources_hits_exact_mixture(spark):
     # determinism: second run selects the identical doc_ids
     again = {tuple(r) for r in P.mix_sources(spark, SF_DIR).collect()}
     assert {tuple(r) for r in out.collect()} == again
+
+
+def test_kanon_audit_partitions_table(spark):
+    from ensembl_lakehouse_spark.operators import pipeline as P
+    from ensembl_lakehouse_spark.sources.tables import load_table
+
+    rows = P.privacy_kanon_audit(spark, SF_DIR).collect()
+    assert rows
+    n_total = load_table(spark, SF_DIR, "customer").count()
+    assert sum(r.class_size for r in rows) == n_total
+    for r in rows:
+        assert r.violates_k == (r.class_size < P.K_ANON)
+        assert abs(r.class_share - r.class_size / n_total) < 1e-12
+
+
+def test_epoch_shuffle_is_permutation_and_epochs_differ(spark):
+    from ensembl_lakehouse_spark.operators import pipeline as P
+
+    rows = P.epoch_shuffle(spark, SF_DIR).collect()
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append((r.position, r.doc_id))
+    assert set(by_epoch) == set(range(P.N_EPOCHS))
+    orders = []
+    all_docs = None
+    for _, entries in sorted(by_epoch.items()):
+        entries.sort()
+        positions = [p for p, _ in entries]
+        docs = [d for _, d in entries]
+        assert positions == list(range(1, len(entries) + 1))
+        if all_docs is None:
+            all_docs = sorted(docs)
+        assert sorted(docs) == all_docs  # same population every epoch
+        orders.append(docs)
+    assert orders[0] != orders[1]  # different permutation per epoch
