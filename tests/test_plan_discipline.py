@@ -107,6 +107,13 @@ BUDGETS = {
     # Ridge gate: the d x d normal-equation reduction is the ONLY
     # exchange; scoring is map-side with literal weights.
     "quality_classifier": 1,
+    # Reporting/curation: datacard = dedup window + group agg; skew
+    # audit = (col,key) counts + per-col agg; k-anon = class agg +
+    # 1-row total broadcast; epoch shuffle = the per-epoch window.
+    "corpus_datacard": 2,
+    "skew_audit": 2,
+    "privacy_kanon_audit": 1,
+    "epoch_shuffle": 1,
 }
 
 
