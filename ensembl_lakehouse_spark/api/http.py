@@ -112,6 +112,15 @@ def make_handler(engine: Engine):
                 self._query_sub(parts[1], parts[2], q)
             elif len(parts) == 3 and parts[0] == "query":
                 self._submit(parts[1], parts[2], q)
+            elif parts == ["analytics"]:
+                # EXT: the operator-library listing (no reference
+                # twin — its API stops at single-table SELECTs).
+                self._send(200, engine.analytics_names())
+            elif len(parts) == 2 and parts[0] == "analytics":
+                resp = engine.submit_analytics(
+                    parts[1], q.get("sf_dir", self.server.default_sf_dir)
+                )
+                self._send(200, resp)
             else:
                 self._detail(404, "Not Found")
 
@@ -220,8 +229,17 @@ class ApiServer:
     ...     urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/data_types")
     """
 
-    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        engine: Engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        default_sf_dir: str = "/root/testdata/sf0.001",
+    ):
         self._httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+        # default fixture dir for /analytics/{name} submissions when
+        # the request carries no ?sf_dir= (EXT endpoint).
+        self._httpd.default_sf_dir = default_sf_dir
         self.host = host
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None

@@ -110,6 +110,48 @@ class Engine:
             },
         }
 
+    def submit_analytics(self, name: str, sf_dir: str) -> dict:
+        """Submit a NAMED analytics query (any operator from the
+        driver contract's ``queries()`` registry — dedup, similarity,
+        BM25, graph, sketches, …) through the SAME async lifecycle as
+        submit_query: semantic cache, 5-state machine, preview,
+        export, presigned URLs. This is the extension surface the
+        reference never had — its API stops at single-table SELECTs
+        (app/main.py:479); here the whole operator library is a
+        service endpoint.
+
+        The cache key is (name, sf_dir): operators are deterministic
+        functions of their input directory, so a repeat submission
+        returns the prior query id with no Spark job (C5 semantics).
+        """
+        import __spark_entry__ as contract  # repo-root driver registry
+
+        if not name or not str(name).strip():
+            raise QueryValidationError("name must be non-blank")
+        qs = contract.queries()
+        if name not in qs:
+            raise QueryValidationError(
+                f"unknown analytics query {name!r}; see /analytics for names"
+            )
+        df = qs[name](self.spark, sf_dir)
+        key = cache_key("analytics", name, sf_dir, None)
+        query_id = self.registry.submit(df, cache_key=key)
+        return {
+            "query_id": query_id,
+            "_links": {
+                "self": f"/analytics/{name}",
+                "status": f"/query/{query_id}/status",
+                "preview": f"/query/{query_id}/preview",
+                "export": f"/query/{query_id}/export",
+            },
+        }
+
+    def analytics_names(self) -> list[str]:
+        """The operator library's query names (the /analytics listing)."""
+        import __spark_entry__ as contract
+
+        return sorted(contract.queries())
+
     def query_status(self, query_id: str) -> dict:
         """Status + (on success) the result path AND a presigned URL
         — the reference mints a 3600 s S3 presigned URL here

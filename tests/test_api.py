@@ -175,3 +175,33 @@ def test_export_unsupported_format_is_422(server):
         time.sleep(0.5)
     status, _, _ = _get(server, f"/query/{qid}/export?file_format=docx")
     assert status == 422
+
+
+def test_analytics_endpoint_full_flow(server):
+    """EXT /analytics: list names, submit a named operator query,
+    poll to success, preview through the standard endpoint."""
+    status, _, names = _get(server, "/analytics")
+    assert status == 200
+    assert "bm25_search" in names and "graph_pagerank" in names
+
+    status, _, resp = _get(server, "/analytics/bm25_search")
+    assert status == 200
+    qid = resp["query_id"]
+    assert resp["_links"]["preview"] == f"/query/{qid}/preview"
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        status, _, body = _get(server, f"/query/{qid}/status")
+        if body.get("status") in ("SUCCEEDED", "FAILED"):
+            break
+        time.sleep(0.5)
+    assert body["status"] == "SUCCEEDED"
+    status, _, prev = _get(server, f"/query/{qid}/preview?maxResults=3")
+    header = [c["VarCharValue"] for c in prev["Rows"][0]["Data"]]
+    assert header == ["doc_id", "n_terms_matched", "score_fp", "score"]
+
+    # semantic cache: resubmission returns the same id
+    _, _, again = _get(server, "/analytics/bm25_search")
+    assert again["query_id"] == qid
+
+    status, _, err = _get(server, "/analytics/nope_not_real")
+    assert status == 400 and "unknown analytics query" in err["detail"]

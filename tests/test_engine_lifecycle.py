@@ -12,6 +12,7 @@ import os
 import pytest
 
 from ensembl_lakehouse_spark.query import QueryValidationError
+from tests.conftest import SF_DIR
 from ensembl_lakehouse_spark.service.jobs import (
     InvalidQueryId,
     QueryNotFound,
@@ -160,3 +161,31 @@ def test_concurrent_submissions_all_succeed(engine):
         len(engine.query_preview(qid, max_results=1000)["Rows"]) for qid in qids
     ]
     assert counts == sorted(counts, reverse=True), counts
+
+
+def test_named_analytics_through_full_lifecycle(engine):
+    """Any operator-library query runs through submit/status/preview/
+    export with semantic caching — the service-layer integration of
+    the analytics registry."""
+    resp = engine.submit_analytics("bm25_search", SF_DIR)
+    qid = resp["query_id"]
+    assert resp["_links"]["status"] == f"/query/{qid}/status"
+    engine.registry.wait(qid, timeout=180)
+    status = engine.query_status(qid)
+    assert status["status"] == "SUCCEEDED"
+    assert "result_url" in status
+    prev = engine.query_preview(qid, max_results=5)
+    header = [c["VarCharValue"] for c in prev["Rows"][0]["Data"]]
+    assert header == ["doc_id", "n_terms_matched", "score_fp", "score"]
+    # repeat submission: semantic-cache hit returns the SAME query id
+    assert engine.submit_analytics("bm25_search", SF_DIR)["query_id"] == qid
+    out = engine.export(qid, "parquet")
+    engine.exports.wait_all()
+    out = engine.export(qid, "parquet")
+    assert out["status"] == "DONE"
+
+
+def test_named_analytics_rejects_unknown(engine):
+    assert "bm25_search" in engine.analytics_names()
+    with pytest.raises(QueryValidationError):
+        engine.submit_analytics("no_such_query", SF_DIR)
