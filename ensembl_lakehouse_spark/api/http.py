@@ -23,6 +23,7 @@ design (one SparkContext, many job groups).
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 import uuid
@@ -117,9 +118,19 @@ def make_handler(engine: Engine):
                 # twin — its API stops at single-table SELECTs).
                 self._send(200, engine.analytics_names())
             elif len(parts) == 2 and parts[0] == "analytics":
-                resp = engine.submit_analytics(
-                    parts[1], q.get("sf_dir", self.server.default_sf_dir)
-                )
+                # sf_dir is allowlisted: a raw path from the query
+                # string would let any HTTP client point Spark at an
+                # arbitrary local directory and exfiltrate it through
+                # preview/export/download.
+                sf_dir = q.get("sf_dir", self.server.default_sf_dir)
+                if sf_dir not in self.server.allowed_sf_dirs:
+                    self._detail(
+                        400,
+                        "sf_dir not in the server's allowlist; configure "
+                        "ApiServer(allowed_sf_dirs=[...]) to expose more",
+                    )
+                    return
+                resp = engine.submit_analytics(parts[1], sf_dir)
                 self._send(200, resp)
             else:
                 self._detail(404, "Not Found")
@@ -234,12 +245,23 @@ class ApiServer:
         engine: Engine,
         host: str = "127.0.0.1",
         port: int = 0,
-        default_sf_dir: str = "/root/testdata/sf0.001",
+        default_sf_dir: str | None = None,
+        allowed_sf_dirs: list[str] | None = None,
     ):
         self._httpd = ThreadingHTTPServer((host, port), make_handler(engine))
         # default fixture dir for /analytics/{name} submissions when
-        # the request carries no ?sf_dir= (EXT endpoint).
+        # the request carries no ?sf_dir= (EXT endpoint); follows the
+        # suite-wide SPARK_GRAFT_TEST_SF_DIR convention. Requested
+        # dirs are checked against an allowlist (default: only the
+        # default dir) — see the routing comment.
+        if default_sf_dir is None:
+            default_sf_dir = os.environ.get(
+                "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+            )
         self._httpd.default_sf_dir = default_sf_dir
+        self._httpd.allowed_sf_dirs = set(
+            allowed_sf_dirs if allowed_sf_dirs is not None else [default_sf_dir]
+        )
         self.host = host
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None

@@ -122,7 +122,13 @@ class Engine:
 
         The cache key is (name, sf_dir): operators are deterministic
         functions of their input directory, so a repeat submission
-        returns the prior query id with no Spark job (C5 semantics).
+        returns the prior query id with no Spark job — probed BEFORE
+        the operator function runs, because some operators (the
+        in-engine-trained classifier, checkpointing dedups) execute
+        Spark jobs while BUILDING their plan. sf_dir goes into the
+        key verbatim (it is a filesystem path — the projection-list
+        canonicalizer would case-fold it and split on commas,
+        colliding distinct directories).
         """
         import __spark_entry__ as contract  # repo-root driver registry
 
@@ -133,9 +139,11 @@ class Engine:
             raise QueryValidationError(
                 f"unknown analytics query {name!r}; see /analytics for names"
             )
-        df = qs[name](self.spark, sf_dir)
-        key = cache_key("analytics", name, sf_dir, None)
-        query_id = self.registry.submit(df, cache_key=key)
+        key = f"analytics\x1f{name}\x1f{sf_dir}"
+        query_id = self.registry.cached_query_id(key)
+        if query_id is None:
+            df = qs[name](self.spark, sf_dir)
+            query_id = self.registry.submit(df, cache_key=key)
         return {
             "query_id": query_id,
             "_links": {

@@ -79,6 +79,19 @@ def rolling_hash(col_sql: str, mod: int = ROLL_MOD) -> Column:
     return F.expr(expr.format(x=col_sql, mod=mod))
 
 
+# --- Spark-side SQL text fragments ----------------------------------------
+# (for call sites that build plan strings rather than Columns —
+# keeping them here preserves the one-place-to-swap-the-hash
+# property the module docstring promises)
+
+def spark_md5_long60(x: str) -> str:
+    return f"CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def spark_md5_long31(x: str) -> str:
+    return f"(CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT) % {P31})"
+
+
 # --- DuckDB-side twins (SQL text fragments) -------------------------------
 
 def sql_md5_long60(x: str) -> str:

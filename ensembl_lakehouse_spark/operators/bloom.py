@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ensembl_lakehouse_spark.functions.hashing import spark_md5_long31, sql_md5_long31
 from ensembl_lakehouse_spark.sources.tables import load_table
 
 #: Bitmap geometry: BLOOM_WORDS words of 63 usable bits each (bit 63
@@ -49,8 +50,8 @@ def _probe_structs_spark(key: str) -> tuple[list[str], str]:
         for i in range(BLOOM_K)
     )
     lets = [
-        f"CAST(conv(substring(md5(concat('{i}|', CAST({key} AS STRING))), 1, 8), 16, 10)"
-        f" AS BIGINT) % 2147483647 % {BLOOM_BITS} AS h{i}"
+        spark_md5_long31(f"concat('{i}|', CAST({key} AS STRING))")
+        + f" % {BLOOM_BITS} AS h{i}"
         for i in range(BLOOM_K)
     ]
     return lets, probes
@@ -125,8 +126,8 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_lets(key: str) -> str:
     return ", ".join(
-        f"CAST('0x' || substr(md5(concat('{i}|', CAST({key} AS VARCHAR))), 1, 8) AS BIGINT)"
-        f" % 2147483647 % {BLOOM_BITS} AS h{i}"
+        sql_md5_long31(f"concat('{i}|', CAST({key} AS VARCHAR))")
+        + f" % {BLOOM_BITS} AS h{i}"
         for i in range(BLOOM_K)
     )
 

@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from ensembl_lakehouse_spark.operators.lm import FEAT_DIM, hash_features
+from ensembl_lakehouse_spark.operators.lm import FEAT_DIM, hash_features_core
 from ensembl_lakehouse_spark.operators.text import _docs_with_tokens
 
 #: Ridge regularization strength.
@@ -92,19 +92,24 @@ def _partial_normal_eq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 
 def _featurized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hash_features + binary is-English label."""
+    """hash_features (unsorted core — the join destroys order) +
+    binary is-English label."""
     labels = _docs_with_tokens(spark, sf_dir).select(
         "doc_id", (F.col("lang") == "en").cast("long").alias("label")
     )
-    return hash_features(spark, sf_dir).join(labels, "doc_id")
+    return hash_features_core(spark, sf_dir).join(labels, "doc_id")
 
 
-def train_ridge(spark: SparkSession, sf_dir: str) -> list[float]:
+def train_ridge(
+    spark: SparkSession, sf_dir: str, feats: DataFrame | None = None
+) -> list[float]:
     """Distributed normal equations + driver-side ridge solve;
-    returns the (FEAT_DIM+1)-vector of weights, intercept first."""
+    returns the (FEAT_DIM+1)-vector of weights, intercept first.
+    Pass a prebuilt (ideally checkpointed) ``feats`` frame to share
+    the featurization with a scoring pass."""
     import numpy as np
 
-    feats = _featurized(spark, sf_dir)
+    feats = _featurized(spark, sf_dir) if feats is None else feats
     partials = feats.mapInPandas(_partial_normal_eq, schema=_PARTIAL_SCHEMA)
     moments = (
         partials.groupBy("i", "j")
@@ -131,9 +136,12 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Weights enter the scoring plan as literal doubles, so scoring is
     one codegen'd expression per row — the train step's only cluster
-    cost is the d×d reduction above."""
-    w = train_ridge(spark, sf_dir)
-    feats = _featurized(spark, sf_dir)
+    cost is the d×d reduction above. The featurized frame is built
+    ONCE and localCheckpointed so training and scoring share it
+    instead of re-running the scan+tokenize+agg pipeline twice (the
+    _near_pipeline multi-consumer reasoning)."""
+    feats = _featurized(spark, sf_dir).localCheckpoint()
+    w = train_ridge(spark, sf_dir, feats=feats)
     dot = " + ".join(
         [repr(w[0])] + [f"{w[b + 1]!r} * f{b}" for b in range(FEAT_DIM)]
     )

@@ -262,13 +262,17 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = keyed.groupBy("col_name", "key").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # sum(c²) accumulates in DECIMAL(38,0): exact AND order-invariant
+    # AND overflow-safe — int64 c² wraps (or ANSI-throws) once a key
+    # holds ~3e9 rows, which a 100 TB fact table's low-cardinality
+    # keys exceed. n_rows² likewise squares in double, never int64.
     return (
         counts.groupBy("col_name")
         .agg(
             F.sum("c").alias("n_rows"),
             F.count(F.lit(1)).alias("n_distinct"),
             F.max("c").alias("top_count"),
-            F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+            F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("sum_c2"),
         )
         .select(
             "col_name",
@@ -277,10 +281,9 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("top_count").cast("double") / F.col("n_rows")).alias(
                 "top_share"
             ),
-            (
-                F.lit(1.0)
-                - F.col("sum_c2").cast("double")
-                / (F.col("n_rows") * F.col("n_rows"))
+            F.expr(
+                "CAST(1.0 AS DOUBLE) - CAST(sum_c2 AS DOUBLE)"
+                " / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))"
             ).alias("gini_impurity"),
         )
         .orderBy("col_name")
@@ -299,8 +302,8 @@ SELECT col_name,
        CAST(SUM(c) AS BIGINT) AS n_rows,
        COUNT(*) AS n_distinct,
        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_share,
-       1.0 - CAST(SUM(c * c) AS DOUBLE)
-           / (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS gini_impurity
+       CAST(1.0 AS DOUBLE) - CAST(SUM(c * c) AS DOUBLE)
+           / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS gini_impurity
 FROM counts
 GROUP BY col_name
 ORDER BY col_name

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ensembl_lakehouse_spark.functions.hashing import spark_md5_long31, sql_md5_long31
+
 from ensembl_lakehouse_spark.operators.text import _SQL_PREP, _docs_with_tokens
 
 #: Successors reported per head word.
@@ -59,9 +61,16 @@ _COND_FP = (
 )
 
 #: Spark bigram pair structs (element_at is 1-based, matching DuckDB
-#: list indexing).
+#: list indexing). Empty-guard via slice: Spark's sequence(1, 0) is
+#: the DESCENDING [1, 0] (the functions/hashing.py:69 pitfall), so a
+#: bare greatest(size-1, 0) upper bound would evaluate
+#: element_at(toks, 0) and throw on 0/1-token docs; slicing the
+#: 1..size sequence down to size-1 entries yields [] instead, and
+#: every surviving index i has i+1 <= size. Matches the DuckDB twin
+#: (range(1, n) is empty for n <= 1).
 _PAIRS_EXPR = (
-    "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+    "transform(slice(sequence(1, greatest(size(toks), 1)), 1, "
+    "greatest(size(toks) - 1, 0)), "
     "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
 )
 
@@ -205,14 +214,8 @@ ORDER BY doc_id
 
 
 #: Cross-engine term→bucket hash (md5 contract, functions/hashing.py).
-_BUCKET_SPARK = (
-    f"CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT)"
-    f" % 2147483647 % {FEAT_DIM}"
-)
-_BUCKET_DUCK = (
-    f"CAST('0x' || substr(md5(term), 1, 8) AS BIGINT)"
-    f" % 2147483647 % {FEAT_DIM}"
-)
+_BUCKET_SPARK = f"{spark_md5_long31('term')} % {FEAT_DIM}"
+_BUCKET_DUCK = f"{sql_md5_long31('term')} % {FEAT_DIM}"
 
 
 def hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,8 +228,17 @@ def hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: explode → bucket map-side → ONE per-doc partial agg of
     FEAT_DIM conditional sums. Strictly map + one agg; the dense
     row-vector layout (not a sparse map) is what a downstream linear
-    scorer consumes directly.
+    scorer consumes directly. The registry entry sorts for display;
+    pipeline consumers (classifier training/scoring) use the
+    unsorted core and skip that range exchange.
     """
+    return hash_features_core(spark, sf_dir).orderBy("doc_id")
+
+
+def hash_features_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash_features without the final ORDER BY — the form a
+    downstream join/agg consumes (its exchange would destroy the
+    order anyway)."""
     toks = _docs_with_tokens(spark, sf_dir)
     bucketed = toks.select(
         "doc_id", F.explode("toks").alias("term")
@@ -237,7 +249,7 @@ def hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"f{b}")
         for b in range(FEAT_DIM)
     ]
-    return bucketed.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return bucketed.groupBy("doc_id").agg(*aggs)
 
 
 _FEATURE_SUMS = ",\n       ".join(

@@ -25,6 +25,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ensembl_lakehouse_spark.functions.hashing import (
+    spark_md5_long31,
+    spark_md5_long60,
+    sql_md5_long31,
+    sql_md5_long60,
+)
+
 from ensembl_lakehouse_spark.operators.text import _SQL_PREP, _docs_with_tokens
 from ensembl_lakehouse_spark.sources.tables import load_table
 
@@ -58,8 +65,8 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst = toks.select(F.explode("toks").alias("term"))
     bucket_structs = ", ".join(
         f"named_struct('r', {r}, 'bucket', "
-        f"CAST(conv(substring(md5(concat('{r}|', term)), 1, 8), 16, 10) AS BIGINT)"
-        f" % 2147483647 % {CMS_WIDTH})"
+        + spark_md5_long31(f"concat('{r}|', term)")
+        + f" % {CMS_WIDTH})"
         for r in range(CMS_DEPTH)
     )
     updates = inst.select(
@@ -92,10 +99,7 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_bucket(r: int) -> str:
-    return (
-        f"CAST('0x' || substr(md5(concat('{r}|', term)), 1, 8) AS BIGINT)"
-        f" % 2147483647 % {CMS_WIDTH}"
-    )
+    return sql_md5_long31(f"concat('{r}|', term)") + f" % {CMS_WIDTH}"
 
 
 SKETCH_COUNT_MIN_SQL = f"""
@@ -153,8 +157,7 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     hashed = ev.selectExpr(
         "event_type",
-        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
-        " AS BIGINT) AS h",
+        f"{spark_md5_long60('CAST(user_id AS STRING)')} AS h",
     ).selectExpr(
         "event_type",
         f"h % {HLL_M} AS idx",

@@ -96,6 +96,15 @@ class QueryRegistry:
 
     # -- submit -------------------------------------------------------
 
+    def cached_query_id(self, cache_key: str) -> str | None:
+        """Live query id for a semantic-cache key, or None. Exposed
+        so callers whose PLAN CONSTRUCTION is itself expensive
+        (analytics operators that train/collect eagerly) can probe
+        the cache BEFORE building the DataFrame — submit() probes
+        again, but by then the plan already exists."""
+        prior = self.cache.get(f"query_cache:{cache_key}")
+        return prior if prior is not None and prior in self._handles else None
+
     def submit(self, df: DataFrame, cache_key: str | None = None) -> str:
         """Submit a query plan for async materialization; returns the
         query id immediately (reference app/main.py:478-489).
@@ -103,8 +112,8 @@ class QueryRegistry:
         On a semantic-cache hit the prior query id is returned and no
         Spark job runs (app/main.py:472-474)."""
         if cache_key is not None:
-            prior = self.cache.get(f"query_cache:{cache_key}")
-            if prior is not None and prior in self._handles:
+            prior = self.cached_query_id(cache_key)
+            if prior is not None:
                 return prior
 
         query_id = str(uuid.uuid4())

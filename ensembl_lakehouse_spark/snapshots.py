@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -73,6 +74,19 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+#: Committed manifests only — a crash between the tmp write and the
+#: os.replace leaves a ``v{N}.json.tmp-*`` stray that must never be
+#: parsed (it is garbage by protocol; vacuum sweeps it).
+_MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
+
+
+def _manifest_names(mdir: str) -> list[str]:
+    return sorted(
+        (n for n in os.listdir(mdir) if _MANIFEST_RE.match(n)),
+        key=lambda n: int(_MANIFEST_RE.match(n).group(1)),
+    )
+
+
 def history(table_dir: str) -> list[dict]:
     """All retained snapshots, oldest first: version, op, file count,
     commit wall time. The audit surface a `DESCRIBE HISTORY` serves."""
@@ -81,7 +95,7 @@ def history(table_dir: str) -> list[dict]:
     if cur is None:
         return out
     mdir = _manifest_dir(table_dir)
-    for name in sorted(os.listdir(mdir), key=lambda n: int(n[1:-5])):
+    for name in _manifest_names(mdir):
         m = json.loads(open(os.path.join(mdir, name)).read())
         out.append(
             {
@@ -274,6 +288,10 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
             removed.append(rel)
     mdir = _manifest_dir(table_dir)
     for name in os.listdir(mdir):
-        if int(name[1:-5]) not in keep:
+        m = _MANIFEST_RE.match(name)
+        if m is None:
+            # stray tmp from a crashed commit: never valid, sweep it
+            os.remove(os.path.join(mdir, name))
+        elif int(m.group(1)) not in keep:
             os.remove(os.path.join(mdir, name))
     return removed

@@ -189,3 +189,16 @@ def test_named_analytics_rejects_unknown(engine):
     assert "bm25_search" in engine.analytics_names()
     with pytest.raises(QueryValidationError):
         engine.submit_analytics("no_such_query", SF_DIR)
+
+
+def test_analytics_cache_keys_do_not_collide_across_dirs(engine):
+    """Distinct sf_dir paths must never share a semantic-cache entry
+    (the key embeds the path verbatim, not through the projection
+    canonicalizer which case-folds and splits on commas)."""
+    a = engine.submit_analytics("scan_project", SF_DIR)["query_id"]
+    b = engine.submit_analytics("scan_project", "/root/testdata/sf0.01")["query_id"]
+    assert a != b
+    # same dir again: cache hit
+    assert engine.submit_analytics("scan_project", SF_DIR)["query_id"] == a
+    engine.registry.wait(a, timeout=120)
+    engine.registry.wait(b, timeout=120)

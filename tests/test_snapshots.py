@@ -90,3 +90,19 @@ def test_pointer_survives_like_restart(spark, tdir):
     assert S.current_version(tdir) == 0
     assert os.path.exists(os.path.join(tdir, "_current"))
     assert _rows(spark, S.read_snapshot(spark, tdir)) == [(7, "z")]
+
+
+def test_stray_tmp_manifest_is_tolerated_and_vacuumed(spark, tdir):
+    """A crash between the manifest tmp write and the os.replace
+    leaves a stray .tmp file; history/committed_ops must ignore it
+    and vacuum must sweep it."""
+    S.write_snapshot(tdir, spark.createDataFrame([(1, "a")], ["k", "v"]))
+    S.write_snapshot(tdir, spark.createDataFrame([(2, "b")], ["k", "v"]), mode="append")
+    stray = os.path.join(tdir, "_manifests", "v2.json.tmp-deadbeef")
+    with open(stray, "w") as f:
+        f.write("{not json")
+    assert [h["version"] for h in S.history(tdir)] == [0, 1]
+    assert len(S.committed_ops(tdir)) == 2
+    S.vacuum(tdir, keep_versions=2)
+    assert not os.path.exists(stray)
+    assert [h["version"] for h in S.history(tdir)] == [0, 1]
