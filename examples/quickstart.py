@@ -1,0 +1,73 @@
+"""Quickstart: the three ways to use the engine.
+
+Run:  python examples/quickstart.py  [sf_dir]   (default sf0.001)
+
+1. Reference-shaped service: submit → status → preview → export —
+   the workflow a rohitxsh/ensembl_lakehouse user already knows,
+   minus the AWS account.
+2. The operator library, called directly as DataFrame functions.
+3. Snapshot tables: versioned writes, time travel, MERGE.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ensembl_lakehouse_spark import get_spark, snapshots
+from ensembl_lakehouse_spark.engine import Engine
+from ensembl_lakehouse_spark.operators import search, text
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="quickstart")
+    work = tempfile.mkdtemp(prefix="elh_quickstart_")
+
+    # 1 — the reference-shaped async lifecycle ------------------------
+    eng = Engine(spark, work_dir=work)
+    eng.catalog.register_dir(sf_dir)
+    resp = eng.submit_query(
+        "lineitem", "R",
+        fields="l_orderkey,l_extendedprice,l_returnflag",
+        condition="l_quantity > 40",
+    )
+    qid = resp["query_id"]
+    eng.registry.wait(qid, timeout=120)
+    print("status:", eng.query_status(qid)["status"])
+    print("preview rows:", len(eng.query_preview(qid, max_results=5)["Rows"]) - 1)
+    eng.export(qid, "parquet")
+    eng.exports.wait_all()
+    print("export:", eng.export(qid, "parquet")["status"])
+
+    # ...and the operator library through the same lifecycle:
+    aresp = eng.submit_analytics("bm25_search", sf_dir)
+    eng.registry.wait(aresp["query_id"], timeout=120)
+    print("bm25 via service:", eng.query_status(aresp["query_id"])["status"])
+
+    # 2 — operators as plain DataFrame functions ----------------------
+    top = search.bm25_search(spark, sf_dir)
+    print("bm25 top hit:", top.first().asDict())
+    quality = text.text_quality(spark, sf_dir)
+    print("docs scored:", quality.count())
+
+    # 3 — snapshot tables --------------------------------------------
+    tbl = f"{work}/curated"
+    v0 = snapshots.write_snapshot(tbl, quality.limit(10))
+    v1 = snapshots.merge_snapshot(
+        spark, tbl, quality.limit(3), key="doc_id"
+    )
+    print("versions:", [h["version"] for h in snapshots.history(tbl)])
+    print("rows now:", snapshots.read_snapshot(spark, tbl).count(),
+          "| rows at v0:", snapshots.read_snapshot(spark, tbl, version=v0).count())
+    assert v1 == v0 + 1
+
+    eng.close()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
