@@ -103,6 +103,7 @@ def history(table_dir: str) -> list[dict]:
                 "op": m["op"],
                 "n_files": len(m["files"]),
                 "committed_at": m["committed_at"],
+                "parent": m.get("parent"),
                 "is_current": m["version"] == cur,
             }
         )
@@ -139,6 +140,11 @@ def _commit(
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     manifest = {
         "version": version,
+        # explicit lineage: the version this commit was derived from
+        # (None for the initial commit; for rollback it is the
+        # CURRENT version being rolled away from, while the op label
+        # names the restored source version)
+        "parent": now_cur,
         "op": op,
         "files": sorted(files),
         "committed_at": time.time(),

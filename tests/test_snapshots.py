@@ -106,3 +106,12 @@ def test_stray_tmp_manifest_is_tolerated_and_vacuumed(spark, tdir):
     S.vacuum(tdir, keep_versions=2)
     assert not os.path.exists(stray)
     assert [h["version"] for h in S.history(tdir)] == [0, 1]
+
+
+def test_history_records_parent_lineage(spark, tdir):
+    S.write_snapshot(tdir, spark.createDataFrame([(1, "a")], ["k", "v"]))
+    S.write_snapshot(tdir, spark.createDataFrame([(2, "b")], ["k", "v"]), mode="append")
+    S.rollback(tdir, 0)
+    parents = [h["parent"] for h in S.history(tdir)]
+    assert parents == [None, 0, 1]
+    assert S.history(tdir)[-1]["op"] == "rollback:v0"
