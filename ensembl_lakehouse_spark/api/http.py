@@ -113,6 +113,14 @@ def make_handler(engine: Engine):
                 self._query_sub(parts[1], parts[2], q)
             elif len(parts) == 3 and parts[0] == "query":
                 self._submit(parts[1], parts[2], q)
+            elif parts == ["sql"]:
+                # EXT: raw read-only SQL (Athena StartQueryExecution
+                # parity) — DDL/DML is refused at the parser inside
+                # submit_sql, so nothing side-effecting runs.
+                if "query" not in q:
+                    self._detail(400, "missing query parameter")
+                    return
+                self._send(200, engine.submit_sql(q["query"]))
             elif parts == ["analytics"]:
                 # EXT: the operator-library listing (no reference
                 # twin — its API stops at single-table SELECTs).

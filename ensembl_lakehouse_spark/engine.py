@@ -154,6 +154,60 @@ class Engine:
             },
         }
 
+    #: Logical-plan roots a read-only query may parse to. Anything
+    #: else (DDL/DML parse to *Command/CreateTable/InsertInto…) is
+    #: rejected BEFORE spark.sql() ever runs — Spark executes
+    #: commands eagerly on construction, so the gate must sit at the
+    #: parser, not on the DataFrame. Whitelist, not blacklist: an
+    #: unrecognized root fails closed.
+    _SQL_QUERY_ROOTS = frozenset(
+        {
+            "Project", "Aggregate", "Filter", "Sort", "GlobalLimit",
+            "LocalLimit", "Distinct", "Deduplicate", "Union", "Intersect",
+            "Except", "UnresolvedWith", "SubqueryAlias", "UnresolvedRelation",
+            "Join", "UnresolvedHaving", "WithWindowDefinition", "Offset",
+            "Tail", "Pivot", "Unpivot", "UnresolvedSubqueryColumnAliases",
+        }
+    )
+
+    def submit_sql(self, sql: str) -> dict:
+        """Submit a raw read-only SQL query — the Athena
+        ``StartQueryExecution`` parity surface (the reference sends
+        its assembled SQL string there, app/main.py:478-485; here
+        users may also write their own). The statement must parse to
+        a query plan root in _SQL_QUERY_ROOTS; DDL/DML is refused at
+        the parser so nothing side-effecting ever executes. Runs
+        through the same cache/job/preview/export lifecycle; the
+        semantic-cache key is the canonicalized statement text.
+        """
+        if not sql or not sql.strip():
+            raise QueryValidationError("sql must be non-blank")
+        parser = self.spark._jsparkSession.sessionState().sqlParser()
+        try:
+            root = parser.parsePlan(sql).getClass().getSimpleName()
+        except Exception as exc:
+            raise QueryValidationError(f"SQL does not parse: {exc}") from exc
+        if root not in self._SQL_QUERY_ROOTS:
+            raise QueryValidationError(
+                f"only read-only queries are accepted (statement parses to "
+                f"{root})"
+            )
+        try:
+            df = self.spark.sql(sql)
+        except Exception as exc:
+            raise QueryValidationError(f"SQL does not bind: {exc}") from exc
+        key = "sql\x1f" + " ".join(sql.split()).lower()
+        query_id = self.registry.submit(df, cache_key=key)
+        return {
+            "query_id": query_id,
+            "_links": {
+                "self": "/sql",
+                "status": f"/query/{query_id}/status",
+                "preview": f"/query/{query_id}/preview",
+                "export": f"/query/{query_id}/export",
+            },
+        }
+
     def analytics_names(self) -> list[str]:
         """The operator library's query names (the /analytics listing)."""
         import __spark_entry__ as contract

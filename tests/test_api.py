@@ -205,3 +205,20 @@ def test_analytics_endpoint_full_flow(server):
 
     status, _, err = _get(server, "/analytics/nope_not_real")
     assert status == 400 and "unknown analytics query" in err["detail"]
+
+
+def test_sql_endpoint(server):
+    import urllib.parse
+
+    q = urllib.parse.quote(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+    status, _, resp = _get(server, f"/sql?query={q}")
+    assert status == 200 and "query_id" in resp
+
+    bad = urllib.parse.quote("DROP TABLE lineitem")
+    status, _, err = _get(server, f"/sql?query={bad}")
+    assert status == 400 and "read-only" in err["detail"]
+
+    status, _, err = _get(server, "/sql")
+    assert status == 400

@@ -202,3 +202,49 @@ def test_analytics_cache_keys_do_not_collide_across_dirs(engine):
     assert engine.submit_analytics("scan_project", SF_DIR)["query_id"] == a
     engine.registry.wait(a, timeout=120)
     engine.registry.wait(b, timeout=120)
+
+
+def test_submit_sql_runs_read_only_queries(engine):
+    """Raw SQL through the lifecycle: a SELECT (incl. CTE form) runs
+    to SUCCEEDED; repeat submission is a semantic-cache hit on the
+    whitespace/case-canonicalized text."""
+    resp = engine.submit_sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    qid = resp["query_id"]
+    engine.registry.wait(qid, timeout=120)
+    assert engine.query_status(qid)["status"] == "SUCCEEDED"
+    prev = engine.query_preview(qid, max_results=10)
+    assert [c["VarCharValue"] for c in prev["Rows"][0]["Data"]] == [
+        "l_returnflag", "n",
+    ]
+    again = engine.submit_sql(
+        "select   l_returnflag, count(*) AS n from LINEITEM "
+        "group by l_returnflag ORDER BY l_returnflag"
+    )
+    assert again["query_id"] == qid
+
+    cte = engine.submit_sql(
+        "WITH r AS (SELECT * FROM lineitem WHERE l_returnflag = 'R') "
+        "SELECT COUNT(*) AS n FROM r"
+    )
+    engine.registry.wait(cte["query_id"], timeout=120)
+    assert engine.query_status(cte["query_id"])["status"] == "SUCCEEDED"
+
+
+def test_submit_sql_refuses_ddl_dml_and_garbage(engine):
+    for bad in (
+        "DROP TABLE lineitem",
+        "CREATE TABLE t (a INT)",
+        "INSERT INTO lineitem VALUES (1)",
+        "SET spark.sql.shuffle.partitions=1",
+        "EXPLAIN SELECT 1",
+        "not sql at all",
+        "",
+        "SELECT no_such_col FROM lineitem",
+    ):
+        with pytest.raises(QueryValidationError):
+            engine.submit_sql(bad)
+    # the registered views are untouched
+    assert "lineitem" in engine.data_types()
