@@ -42,10 +42,26 @@ import json
 import os
 import re
 import shutil
+import threading
 import time
 import uuid
+from collections import defaultdict
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Per-table commit locks: within one process, check-then-swap in
+#: _commit is atomic, so two racing writers resolve to one committed
+#: and one SnapshotConflict instead of a silently lost update. Across
+#: processes / object stores the same span is what a conditional PUT
+#: (S3 if-match, GCS generation) makes atomic — the lock is the
+#: embedded-mode stand-in for that precondition.
+_COMMIT_LOCKS: defaultdict[str, threading.Lock] = defaultdict(threading.Lock)
+_LOCKS_GUARD = threading.Lock()
+
+
+def _table_lock(table_dir: str) -> threading.Lock:
+    with _LOCKS_GUARD:
+        return _COMMIT_LOCKS[os.path.abspath(table_dir)]
 
 
 class SnapshotConflict(RuntimeError):
@@ -121,12 +137,23 @@ def _commit(
 
     ``base_seen`` is the version the writer planned against (None for
     a fresh table); the swap-time re-check implements single-pointer
-    OCC. The window between check and replace is the same one a
-    conditional PUT closes on object storage; embedded use accepts it
-    (process-local writers serialize on the GIL around these two
-    syscalls' span in practice, and the test suite drives the
-    conflict path explicitly via expect_version).
+    OCC. The whole check+write+swap span holds the per-table commit
+    lock, so in-process racing writers resolve to one winner and one
+    SnapshotConflict — never a silently lost update (asserted under
+    real thread contention in tests). Cross-process, the same span is
+    what an object store's conditional PUT makes atomic.
     """
+    with _table_lock(table_dir):
+        return _commit_locked(table_dir, files, op, expect_version, base_seen)
+
+
+def _commit_locked(
+    table_dir: str,
+    files: list[str],
+    op: str,
+    expect_version: int | None,
+    base_seen: int | None,
+) -> int:
     now_cur = current_version(table_dir)
     if expect_version is not None and now_cur != expect_version:
         raise SnapshotConflict(

@@ -115,3 +115,38 @@ def test_history_records_parent_lineage(spark, tdir):
     parents = [h["parent"] for h in S.history(tdir)]
     assert parents == [None, 0, 1]
     assert S.history(tdir)[-1]["op"] == "rollback:v0"
+
+
+def test_concurrent_appends_never_lose_updates(spark, tdir):
+    """Real thread contention on one table: every append either
+    commits or raises SnapshotConflict — winners' rows all present,
+    version count equals winner count, history is a clean chain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    S.write_snapshot(tdir, spark.createDataFrame([(0, "seed")], ["k", "v"]))
+
+    def append(i: int):
+        try:
+            S.write_snapshot(
+                tdir,
+                spark.createDataFrame([(100 + i, f"w{i}")], ["k", "v"]),
+                mode="append",
+            )
+            return i
+        except S.SnapshotConflict:
+            return None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        winners = [i for i in pool.map(append, range(8)) if i is not None]
+
+    assert winners, "at least one append must win each round"
+    assert S.current_version(tdir) == len(winners)
+    rows = _rows(spark, S.read_snapshot(spark, tdir))
+    assert (0, "seed") in rows
+    for i in winners:
+        assert (100 + i, f"w{i}") in rows, f"winner {i}'s commit was lost"
+    # chain integrity: each retained version's parent is its predecessor
+    hist = S.history(tdir)
+    assert [h["parent"] for h in hist] == [None] + [
+        h["version"] for h in hist[:-1]
+    ]
