@@ -248,3 +248,51 @@ def test_submit_sql_refuses_ddl_dml_and_garbage(engine):
             engine.submit_sql(bad)
     # the registered views are untouched
     assert "lineitem" in engine.data_types()
+
+
+def test_submit_sql_fuzz_never_side_effects(engine):
+    """Property: for ANY statement string, submit_sql either raises
+    QueryValidationError or returns a query id — and the catalog's
+    table set is unchanged either way. Drives the parser gate with
+    mutation-shaped and garbage inputs, including whitespace/case
+    disguises."""
+    before = set(engine.data_types())
+    attempts = [
+        "drop table lineitem",
+        "  DROP   TABLE   lineitem  ",
+        "DrOp TaBlE lineitem",
+        "create or replace view v1 as select 1",
+        "alter table lineitem add column zzz int",
+        "truncate table lineitem",
+        "delete from lineitem",
+        "update lineitem set l_quantity = 0",
+        "merge into lineitem using lineitem b on false when matched then delete",
+        "insert overwrite table lineitem select * from lineitem",
+        "cache table lineitem",
+        "refresh table lineitem",
+        "analyze table lineitem compute statistics",
+        "set spark.sql.ansi.enabled=false",
+        "show tables",
+        "describe lineitem",
+        "use default",
+        "select 1; drop table lineitem",
+        "with x as (select 1) insert into lineitem select * from x",
+        "')' union select * from lineitem --",
+        "\x00\x01garbage",
+        "SELECT * FROM lineitem LIMIT 1",  # the one legal entry
+    ]
+    ok = 0
+    for stmt in attempts:
+        try:
+            resp = engine.submit_sql(stmt)
+            ok += 1
+            engine.registry.wait(resp["query_id"], timeout=120)
+        except QueryValidationError:
+            pass
+    assert ok == 1  # only the plain SELECT passed
+    assert set(engine.data_types()) == before
+    # the data itself is intact
+    n = engine.submit_sql("SELECT COUNT(*) AS n FROM lineitem")
+    engine.registry.wait(n["query_id"], timeout=120)
+    prev = engine.query_preview(n["query_id"], max_results=2)
+    assert int(prev["Rows"][1]["Data"][0]["VarCharValue"]) > 0
