@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import threading
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -37,16 +36,12 @@ from ensembl_lakehouse_spark.service.export import (
     QueryNotSucceeded,
     UnsupportedFormat,
 )
+from ensembl_lakehouse_spark.service.jobs import is_valid_query_id
 
-#: Athena query-execution-id shape (reference app/main.py:70-76):
-#: 36 chars, 4 hyphens, hex groups — i.e. a UUID.
-_QUERY_ID_RE = re.compile(
-    r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
-)
-
-
-def _is_query_id(segment: str) -> bool:
-    return bool(_QUERY_ID_RE.match(segment))
+# Query-id shape validation is the registry's contract — one
+# definition (service/jobs.py) so the HTTP 400 check can never drift
+# from the InvalidQueryId mapping.
+_is_query_id = is_valid_query_id
 
 
 def make_handler(engine: Engine):
@@ -224,7 +219,11 @@ def make_handler(engine: Engine):
                 if action == "status":
                     self._send(200, engine.query_status(query_id))
                 elif action == "preview":
-                    n = int(q.get("maxResults", "26"))
+                    try:
+                        n = int(q.get("maxResults", "26"))
+                    except ValueError:
+                        self._detail(400, "maxResults must be an integer")
+                        return
                     if not 1 <= n <= 1000:
                         # Reference range check (app/main.py:406-409).
                         self._detail(400, "maxResults must be in [1, 1000]")

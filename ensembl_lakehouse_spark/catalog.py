@@ -82,9 +82,16 @@ class Catalog:
     # -- registration -------------------------------------------------
 
     def register_parquet(self, name: str, path: str) -> None:
-        # load_table knows the lake's physical quirks (e.g. the
-        # nanos-timestamp events table).
-        df = load_table(self.spark, os.path.dirname(path), name)
+        """Register ``path`` as table ``name``. The basename is
+        honored: ``register_parquet("documents", ".../snap.parquet")``
+        reads that file, not a rebuilt ``{name}.parquet`` (load_table
+        assumes fixture naming, so it only serves the fast path when
+        the basename already matches — it still supplies the lake's
+        physical quirks, e.g. the nanos-timestamp events dispatch)."""
+        if os.path.basename(path) == f"{name}.parquet":
+            df = load_table(self.spark, os.path.dirname(path), name)
+        else:
+            df = self.spark.read.parquet(path)
         df.createOrReplaceTempView(name)
         self._tables[name] = path
         self.cache.invalidate_prefix(META_PREFIX)  # metadata changed

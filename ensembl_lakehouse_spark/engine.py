@@ -26,7 +26,7 @@ import os
 from pyspark.sql import SparkSession
 
 from ensembl_lakehouse_spark.catalog import Catalog
-from ensembl_lakehouse_spark.plans.canonical import cache_key
+from ensembl_lakehouse_spark.plans.canonical import cache_key, canonical_sql_text
 from ensembl_lakehouse_spark.query import QueryValidationError, build_df
 from ensembl_lakehouse_spark.service.cache import KVCache
 from ensembl_lakehouse_spark.service.export import SUPPORTED_FILE_FORMATS, ExportManager
@@ -196,7 +196,9 @@ class Engine:
             df = self.spark.sql(sql)
         except Exception as exc:
             raise QueryValidationError(f"SQL does not bind: {exc}") from exc
-        key = "sql\x1f" + " ".join(sql.split()).lower()
+        # quote-aware canonicalization: keywords fold, string
+        # literals stay byte-exact ('EN' vs 'en' must not collide)
+        key = "sql\x1f" + canonical_sql_text(sql)
         query_id = self.registry.submit(df, cache_key=key)
         return {
             "query_id": query_id,

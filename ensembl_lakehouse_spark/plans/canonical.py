@@ -130,3 +130,41 @@ def cache_key(
     )
     digest = hashlib.sha256(canonical.encode("utf-8")).digest()
     return base64.urlsafe_b64encode(digest).decode("ascii").rstrip("=")
+
+
+def canonical_sql_text(sql: str) -> str:
+    """Cache-key canonicalization for a raw SQL statement: lowercase
+    and whitespace-collapse everything OUTSIDE single-quoted string
+    literals, leave literal contents byte-exact ('' escapes
+    honored) — ``WHERE lang = 'EN'`` and ``where  lang='en'`` must
+    NOT collide (same rationale as _fold_case_outside_quotes for
+    conditions)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    pending_space = False
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if pending_space and out:
+                out.append(" ")
+            pending_space = False
+            out.append(sql[i : min(j + 1, n)])
+            i = j + 1
+        elif ch.isspace():
+            pending_space = True
+            i += 1
+        else:
+            if pending_space and out:
+                out.append(" ")
+            pending_space = False
+            out.append(ch.lower())
+            i += 1
+    return "".join(out)

@@ -109,14 +109,23 @@ class ExportManager:
                 "Export is supported only for successfully executed queries!"
             )
 
-        # Idempotence: artifact exists → DONE (app/main.py:338-340).
+        # State machine FIRST, existence second: Spark creates the
+        # output directory at write START and leaves it behind on
+        # failure, so a bare head-check would serve a partial/failed
+        # artifact as DONE (and report DONE for a write still in
+        # flight). The reference can head-check S3 first only because
+        # S3 keys appear atomically on completion (app/main.py:338);
+        # a filesystem/Spark writer must consult its own state while
+        # it has one, and fall back to the head-check only for
+        # artifacts from a previous process (no state recorded).
         path = self.artifact_path(query_id, file_format)
-        if os.path.exists(path):
-            return {"status": EXPORT_DONE, "result": path}
-
         state_key = f"{query_id}.{file_format}"
         with self._lock:
             state = self.cache.get(state_key)
+            if state is None and os.path.exists(path):
+                return {"status": EXPORT_DONE, "result": path}
+            if state == EXPORT_DONE:
+                return {"status": EXPORT_DONE, "result": path}
             if state == EXPORT_FAILED:
                 # 60 s retry throttle: the FAILED key self-expires
                 # (app/main.py:348-350) — until then, report FAILED.
@@ -146,6 +155,18 @@ class ExportManager:
             write_export(df, path, file_format, json_orient=self.json_orient)
             self.cache.set(state_key, EXPORT_DONE)
         except Exception:
+            # Remove the partial artifact a failed distributed write
+            # leaves behind — after the FAILED throttle expires, the
+            # no-state head-check path must not resurrect it as DONE.
+            try:
+                if os.path.isdir(path):
+                    import shutil
+
+                    shutil.rmtree(path, ignore_errors=True)
+                elif os.path.exists(path):
+                    os.remove(path)
+            except OSError:
+                pass
             self.cache.set(state_key, EXPORT_FAILED, ttl_seconds=FAILED_EXPORT_RETRY_SECONDS)
 
 
@@ -299,6 +320,21 @@ def _write_xlsx_minimal(pdf, path: str) -> None:
         zf.writestr("xl/worksheets/sheet1.xml", sheet)
 
 
+def _xml_tag(col: str) -> str:
+    """Sanitize a column name into a valid XML element name: invalid
+    characters become '_', a leading digit gets a '_' prefix —
+    without this, ``SELECT count(*)`` exports would emit
+    ``<count(*)>`` which no parser accepts (pandas.to_xml enforces
+    the same constraint by erroring; we sanitize instead so the
+    export still completes)."""
+    import re as _re
+
+    tag = _re.sub(r"[^A-Za-z0-9_.\-]", "_", str(col)) or "_"
+    if not (tag[0].isalpha() or tag[0] == "_"):
+        tag = "_" + tag
+    return tag
+
+
 def _write_xml_fallback(pdf, path: str) -> None:
     """Minimal pandas.to_xml-compatible writer (lxml-free)."""
     from xml.sax.saxutils import escape
@@ -309,7 +345,7 @@ def _write_xml_fallback(pdf, path: str) -> None:
             fh.write("  <row>\n")
             for col in pdf.columns:
                 val = row[col]
-                tag = str(col)
+                tag = _xml_tag(col)
                 if val is None or (isinstance(val, float) and val != val):
                     fh.write(f"    <{tag}/>\n")
                 else:

@@ -64,6 +64,9 @@ class QueryHandle:
     # types by round-tripping through CSV, app/tasks.py:19).
     df: DataFrame | None = None
     row_count: int | None = None
+    #: semantic-cache key this handle was registered under, kept so a
+    #: terminal failure can evict itself (see _run)
+    cache_key: str | None = None
     _done: threading.Event = field(default_factory=threading.Event, repr=False)
 
     def wait(self, timeout: float | None = None) -> bool:
@@ -117,7 +120,7 @@ class QueryRegistry:
                 return prior
 
         query_id = str(uuid.uuid4())
-        handle = QueryHandle(query_id=query_id, df=df)
+        handle = QueryHandle(query_id=query_id, df=df, cache_key=cache_key)
         with self._lock:
             self._handles[query_id] = handle
         if cache_key is not None:
@@ -127,6 +130,8 @@ class QueryRegistry:
 
     def _run(self, handle: QueryHandle) -> None:
         if handle.state == CANCELLED:
+            if handle.cache_key is not None:
+                self.cache.delete(f"query_cache:{handle.cache_key}")
             handle._done.set()
             return
         handle.state = RUNNING
@@ -144,6 +149,12 @@ class QueryRegistry:
             if handle.state != CANCELLED:
                 handle.state = FAILED
                 handle.error = traceback.format_exc(limit=5)
+            # Evict the semantic-cache entry: a FAILED/CANCELLED id
+            # must not be served to resubmissions for the 44-day TTL
+            # (one transient failure would otherwise make the query
+            # unrunnable until the entry expired).
+            if handle.cache_key is not None:
+                self.cache.delete(f"query_cache:{handle.cache_key}")
         finally:
             self.spark.sparkContext.setJobGroup("", "")
             handle._done.set()

@@ -18,7 +18,7 @@ import hashlib
 import hmac
 import secrets
 import time
-from urllib.parse import quote, unquote
+from urllib.parse import quote
 
 #: Reference TTL (app/constants.py:16).
 PRESIGNED_URL_EXPIRATION_SECONDS = 3600
@@ -42,11 +42,17 @@ class UrlSigner:
         )
 
     def verify(self, path: str, expires: str | int, signature: str) -> bool:
-        """True iff the signature matches and the URL is unexpired."""
+        """True iff the signature matches and the URL is unexpired.
+
+        ``path`` must be the already-percent-decoded value (the HTTP
+        layer's parse_qs decodes exactly once); decoding again here
+        would break any path whose literal text looks percent-encoded
+        (e.g. a directory named ``v%20final``) — sign and verify must
+        hash the same representation."""
         try:
             exp = int(expires)
         except (TypeError, ValueError):
             return False
         if self._clock() >= exp:
             return False
-        return hmac.compare_digest(self._sig(unquote(path), exp), signature)
+        return hmac.compare_digest(self._sig(path, exp), signature)

@@ -68,6 +68,21 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     active = SparkSession.getActiveSession()
     if active is not None:
+        if master is not None or extra_conf:
+            # One JVM, one session: a second caller's master/conf
+            # CANNOT be applied to a running context. Returning the
+            # active session is correct for the shared-session code
+            # path; doing it silently while dropping explicit
+            # settings is not.
+            import warnings
+
+            warnings.warn(
+                "get_spark: an active SparkSession exists; the "
+                "requested master/extra_conf are NOT applied. Call "
+                "stop_spark() first to rebuild with new settings.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return active
     builder = builder.master(master or f"local[{_DEFAULT_CPUS}]")
     for key, value in _BASE_CONF.items():

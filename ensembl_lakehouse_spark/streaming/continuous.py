@@ -221,14 +221,23 @@ def run_continuous_rollup_snapshots(
     """
     from ensembl_lakehouse_spark import snapshots as SN
 
+    # Load the committed-stamp set ONCE per run and extend it locally
+    # per commit: checking membership via committed_ops() on every
+    # micro-batch re-reads every retained manifest (O(versions) JSON
+    # opens per batch, O(N²) per run) — a long-lived table made each
+    # commit slower as history grew. A restart reloads the set from
+    # disk, so the exactly-once property is unchanged.
+    committed: set[str] = set(SN.committed_ops(table_dir))
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         stamp = f"stream-merge:batch={batch_id}"
-        if stamp in SN.committed_ops(table_dir):
+        if stamp in committed:
             return  # replayed batch: already durably committed
         SN.merge_snapshot(
             batch_df.sparkSession, table_dir, batch_df,
             key=list(ROLLUP_KEYS), op=stamp,
         )
+        committed.add(stamp)
 
     return _drive(spark, events_dir, merge_batch, max_files_per_trigger, checkpoint_dir)
 

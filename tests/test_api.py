@@ -153,15 +153,40 @@ def test_presigned_result_url_roundtrip(server):
 
 
 def test_url_signer_expiry():
+    from urllib.parse import unquote
+
     from ensembl_lakehouse_spark.service.urls import UrlSigner
 
     now = [1000.0]
     s = UrlSigner(secret=b"k", clock=lambda: now[0])
     url = s.sign("/tmp/x", ttl_seconds=10)
-    q = dict(p.split("=", 1) for p in url.split("?", 1)[1].split("&"))
+    # parse_qs in the HTTP layer decodes exactly once; verify takes
+    # the decoded path (signing and verifying hash the same bytes).
+    q = {
+        k: unquote(v)
+        for k, v in (p.split("=", 1) for p in url.split("?", 1)[1].split("&"))
+    }
     assert s.verify(q["path"], q["expires"], q["signature"])
     now[0] += 11
     assert not s.verify(q["path"], q["expires"], q["signature"])
+
+
+def test_url_signer_handles_percent_looking_paths():
+    """A path whose literal text contains %XX must round-trip: the
+    old double-unquote in verify broke every such path (403s)."""
+    from urllib.parse import unquote
+
+    from ensembl_lakehouse_spark.service.urls import UrlSigner
+
+    s = UrlSigner(secret=b"k", clock=lambda: 0.0)
+    weird = "/data/v%20final/results/abc"
+    url = s.sign(weird, ttl_seconds=100)
+    q = {
+        k: unquote(v)
+        for k, v in (p.split("=", 1) for p in url.split("?", 1)[1].split("&"))
+    }
+    assert q["path"] == weird
+    assert s.verify(q["path"], q["expires"], q["signature"])
 
 
 def test_export_unsupported_format_is_422(server):

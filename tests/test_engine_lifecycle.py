@@ -296,3 +296,36 @@ def test_submit_sql_fuzz_never_side_effects(engine):
     engine.registry.wait(n["query_id"], timeout=120)
     prev = engine.query_preview(n["query_id"], max_results=2)
     assert int(prev["Rows"][1]["Data"][0]["VarCharValue"]) > 0
+
+
+def test_failed_query_does_not_poison_semantic_cache(engine, spark):
+    """A FAILED job evicts its cache entry: resubmission runs fresh
+    instead of serving the failed id for the 44-day TTL."""
+    broken = spark.range(3).selectExpr("id DIV (id - id) AS boom")
+    qid1 = engine.registry.submit(broken, cache_key="poison-test")
+    engine.registry.wait(qid1, timeout=120)
+    assert engine.query_status(qid1)["status"] == "FAILED"
+    assert engine.registry.cached_query_id("poison-test") is None
+    qid2 = engine.registry.submit(spark.range(3), cache_key="poison-test")
+    assert qid2 != qid1
+    engine.registry.wait(qid2, timeout=120)
+    assert engine.query_status(qid2)["status"] == "SUCCEEDED"
+
+
+def test_submit_sql_literal_case_not_collided(engine):
+    """'R' and 'r' in string literals are different queries: the
+    cache key folds case OUTSIDE quotes only."""
+    a = engine.submit_sql(
+        "SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R'"
+    )["query_id"]
+    b = engine.submit_sql(
+        "SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'r'"
+    )["query_id"]
+    assert a != b
+    # keyword/identifier case + whitespace DO fold
+    c = engine.submit_sql(
+        "select  count(*) AS n FROM LINEITEM where l_returnflag='R'"
+    )["query_id"]
+    assert c != b  # sanity: not colliding with the 'r' one
+    engine.registry.wait(a, timeout=120)
+    engine.registry.wait(b, timeout=120)

@@ -175,3 +175,41 @@ def test_orc_roundtrip_keeps_schema(result_df, expected, tmp_path, spark):
     back = spark.read.orc(path)
     assert back.schema == result_df.schema
     assert sorted((r.r_regionkey, r.r_name) for r in back.collect()) == expected
+
+
+def test_runtime_failure_leaves_no_servable_artifact(result_df, tmp_path):
+    """Spark creates the output dir at write START; a RUNTIME failure
+    mid-write must not be served as DONE by the head-check (the state
+    machine wins while state exists, and the partial dir is removed
+    so the post-TTL no-state path cannot resurrect it)."""
+    now = [1000.0]
+    cache = KVCache(clock=lambda: now[0])
+    mgr = X.ExportManager(str(tmp_path / "exp"), cache=cache, max_workers=1)
+
+    # data-dependent zero divisor: survives analysis/constant
+    # folding, fails during the distributed write under ANSI
+    broken = result_df.selectExpr(
+        "r_regionkey", "r_regionkey DIV (r_regionkey - r_regionkey) AS boom"
+    )
+    mgr.request_export("q9", broken, "csv", "SUCCEEDED")
+    mgr.wait_all()
+    resp = mgr.request_export("q9", broken, "csv", "SUCCEEDED")
+    assert resp["status"] == X.EXPORT_FAILED, resp
+    # the partial directory was cleaned up
+    assert not os.path.exists(mgr.artifact_path("q9", "csv"))
+    # after the throttle, a good plan completes and serves correctly
+    now[0] += FAILED_EXPORT_RETRY_SECONDS + 1
+    mgr.request_export("q9", result_df, "csv", "SUCCEEDED")
+    mgr.wait_all()
+    resp = mgr.request_export("q9", result_df, "csv", "SUCCEEDED")
+    assert resp["status"] == X.EXPORT_DONE
+    assert os.path.exists(resp["result"])
+
+
+def test_xml_fallback_sanitizes_invalid_tags(tmp_path):
+    pdf = pd.DataFrame({"count(*)": [1], "ok col": ["x"], "9lives": [2]})
+    path = str(tmp_path / "weird.xml")
+    X._write_xml_fallback(pdf, path)
+    root = ET.parse(path).getroot()  # must parse at all
+    row = root.find("row")
+    assert {c.tag for c in row} == {"count___", "ok_col", "_9lives"}
