@@ -36,6 +36,7 @@ from ensembl_lakehouse_spark.operators import lm as LM
 from ensembl_lakehouse_spark.operators import search as SR
 from ensembl_lakehouse_spark.operators import subqueries as Q
 from ensembl_lakehouse_spark.operators import text as T
+from ensembl_lakehouse_spark.operators import tokenize as TK
 from ensembl_lakehouse_spark.operators import tpch as H
 
 
@@ -142,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": T.text_repetition,
         "text_token_rarity": T.text_token_rarity,
         "bpe_pair_counts": T.bpe_pair_counts,
+        # BPE encode (no SQL oracle — per-word greedy merge loop;
+        # pinned vs the pure-Python reference in tests/test_tokenize.py)
+        "bpe_encode": TK.bpe_encode,
         # Retrieval: BM25 ranked search + inverted-index build (EXT)
         "bm25_search": SR.bm25_search,
         "inverted_postings": SR.inverted_postings,

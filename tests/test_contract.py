@@ -30,6 +30,8 @@ NO_ORACLE_ALLOWED = {
     "embedding_pca",
     # Ridge matrix solve — pinned vs numpy.linalg.solve.
     "quality_classifier",
+    # Greedy BPE merge loop — pinned vs the pure-Python reference.
+    "bpe_encode",
 }
 
 
