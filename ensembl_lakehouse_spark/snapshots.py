@@ -328,3 +328,60 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
         elif int(m.group(1)) not in keep:
             os.remove(os.path.join(mdir, name))
     return removed
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    key: str | list[str] | tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Row-level changes between two versions — the
+    ``table_changes`` / CDC-read analog, computed from the two
+    immutable snapshots themselves (no change log needed).
+
+    Without ``key``: full-row diff — one output row per
+    added/removed row, tagged ``_change`` in {'insert', 'delete'}
+    (a modified row appears as delete + insert). With ``key``:
+    key-level diff — '_change' in {'insert', 'delete', 'update'},
+    carrying the NEW row for inserts/updates and the OLD row for
+    deletes (the MERGE-feed shape a downstream mirror applies).
+
+    Cost: two snapshot scans + one anti/outer join on the chosen
+    granularity. At scale the manifests' file lists let a smarter
+    diff skip files shared by both versions (identical paths means
+    identical content — immutability makes file identity a content
+    proof); this implementation keeps the simple two-scan form.
+    """
+    to_version = (
+        current_version(table_dir) if to_version is None else to_version
+    )
+    old = read_snapshot(spark, table_dir, version=from_version)
+    new = read_snapshot(spark, table_dir, version=to_version)
+    from pyspark.sql import functions as F
+
+    if key is None:
+        ins = new.exceptAll(old).withColumn("_change", F.lit("insert"))
+        dele = old.exceptAll(new).withColumn("_change", F.lit("delete"))
+        return ins.unionByName(dele)
+    keys = [key] if isinstance(key, str) else list(key)
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*val_cols).alias("_old"))
+    n = new.select(*keys, F.struct(*val_cols).alias("_new"))
+    joined = o.join(n, on=keys, how="full_outer")
+    return (
+        joined.withColumn(
+            "_change",
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .when(F.col("_new").isNull(), F.lit("delete"))
+            .when(F.col("_old") != F.col("_new"), F.lit("update"))
+            .otherwise(F.lit(None)),
+        )
+        .where(F.col("_change").isNotNull())
+        .select(
+            *keys,
+            "_change",
+            F.coalesce("_new", "_old").alias("_row"),
+        )
+    )

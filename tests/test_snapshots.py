@@ -150,3 +150,32 @@ def test_concurrent_appends_never_lose_updates(spark, tdir):
     assert [h["parent"] for h in hist] == [None] + [
         h["version"] for h in hist[:-1]
     ]
+
+
+def test_snapshot_diff_row_and_key_level(spark, tdir):
+    S.write_snapshot(
+        tdir, spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    )
+    S.merge_snapshot(
+        spark, tdir, spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"]), key="k"
+    )
+    # key-level: 2 updated, 4 inserted, nothing deleted
+    changes = {
+        r.k: (r._change, r._row.v)
+        for r in S.snapshot_diff(spark, tdir, 0, key="k").collect()
+    }
+    assert changes == {2: ("update", "B"), 4: ("insert", "d")}
+    # row-level: update shows as delete+insert
+    row_changes = sorted(
+        (r.k, r.v, r._change)
+        for r in S.snapshot_diff(spark, tdir, 0).collect()
+    )
+    assert row_changes == [
+        (2, "B", "insert"), (2, "b", "delete"), (4, "d", "insert"),
+    ]
+    # a deletion: overwrite without key 3
+    S.write_snapshot(
+        tdir, spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], ["k", "v"])
+    )
+    d = {r.k: r._change for r in S.snapshot_diff(spark, tdir, 1, key="k").collect()}
+    assert d == {3: "delete"}
