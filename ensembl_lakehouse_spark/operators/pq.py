@@ -51,10 +51,8 @@ from ensembl_lakehouse_spark.operators.similarity import (
     N_QUERIES,
     TOP_K,
     _dot_expr,
-    _norm_expr,
     _split,
 )
-from ensembl_lakehouse_spark.sources.tables import load_table
 
 #: Subquantizers (subvectors); DIM must divide evenly.
 PQ_M = 8

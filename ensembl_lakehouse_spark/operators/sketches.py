@@ -209,7 +209,7 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKETCH_HLL_DISTINCT_SQL = f"""
 WITH hashed AS (
   SELECT event_type,
-         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         {sql_md5_long60("CAST(user_id AS VARCHAR)")} AS h
   FROM events
 ), parts AS (
   SELECT event_type, h % {HLL_M} AS idx, h // {HLL_M} AS rest FROM hashed
