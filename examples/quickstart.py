@@ -54,6 +54,14 @@ def main() -> None:
     quality = text.text_quality(spark, sf_dir)
     print("docs scored:", quality.count())
 
+    # 2b — raw read-only SQL (Athena-parity; DDL/DML refused) --------
+    sresp = eng.submit_sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    eng.registry.wait(sresp["query_id"], timeout=120)
+    print("raw sql:", eng.query_status(sresp["query_id"])["status"])
+
     # 3 — snapshot tables --------------------------------------------
     tbl = f"{work}/curated"
     v0 = snapshots.write_snapshot(tbl, quality.limit(10))
@@ -64,6 +72,23 @@ def main() -> None:
     print("rows now:", snapshots.read_snapshot(spark, tbl).count(),
           "| rows at v0:", snapshots.read_snapshot(spark, tbl, version=v0).count())
     assert v1 == v0 + 1
+
+    # 3b — resumable backfill over the corpus ------------------------
+    from pyspark.sql import functions as F
+
+    from ensembl_lakehouse_spark import backfill
+
+    scored_dir = f"{work}/scores"
+    out = backfill.run_backfill(
+        spark,
+        eng.catalog.spark.table("documents"),
+        scored_dir,
+        lambda df: df.select("doc_id", F.length("text").alias("score")),
+        key_col="doc_id",
+        n_chunks=4,
+    )
+    print("backfill:", out, "| rows:",
+          snapshots.read_snapshot(spark, scored_dir).count())
 
     eng.close()
     spark.stop()
