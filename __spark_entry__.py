@@ -48,13 +48,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Reference parity (SURVEY §2 P1-P3, A1, L1)
+        # --- Rotation window (round 4): oracle-backed entries that
+        # have never had a driver CORRECTNESS row. The driver samples
+        # list(queries())[:50]; rounds rotate uncertified entries into
+        # that window until every entry has a driver-green row.
+        "basket_pairs": A.basket_pairs,
+        "join_skew_salted": MT.join_skew_salted,
+        "join_bloom_pruned": BL.join_bloom_pruned,
+        "merge_upsert": MT.merge_upsert,
+        "rollup_incremental": MT.rollup_incremental,
+        "audit_referential": MT.audit_referential,
+        "window_lead_lag": R.window_lead_lag,
+        "window_ntile_deciles": R.window_ntile_deciles,
+        "agg_filtered": R.agg_filtered,
+        "events_moving_avg": R.events_moving_avg,
+        "events_ewma": R.events_ewma,
+        "events_funnel": R.events_funnel,
+        "cohort_retention": R.cohort_retention,
+        "events_anomaly": R.events_anomaly,
+        "value_winsorize": R.value_winsorize,
+        "scd2_intervals": MT.scd2_intervals,
+        "split_train_val_test": P.split_train_val_test,
+        "mix_sources": P.mix_sources,
+        "text_doc_terms": T.text_doc_terms,
+        "text_top_ngrams": T.text_top_ngrams,
+        "text_repetition": T.text_repetition,
+        "text_token_rarity": T.text_token_rarity,
+        "bpe_pair_counts": T.bpe_pair_counts,
+        "bm25_search": SR.bm25_search,
+        "inverted_postings": SR.inverted_postings,
+        "graph_degree": G.graph_degree,
+        "graph_pagerank": G.graph_pagerank,
+        "graph_triangles": G.graph_triangles,
+        "lm_bigram_topk": LM.lm_bigram_topk,
+        "lm_doc_score": LM.lm_doc_score,
+        "hash_features": LM.hash_features,
+        "sketch_count_min": SK.sketch_count_min,
+        "sketch_hll_distinct": SK.sketch_hll_distinct,
+        "decontaminate": P.decontaminate,
+        "dedup_exact": D.dedup_exact,
+        "dedup_near": D.dedup_near,
+        "dedup_simhash": D.dedup_simhash,
+        "dedup_near_chargram": D.dedup_near_chargram,
+        "components_recursive": D.components_recursive,
+        "fuzzy_match_names": D.fuzzy_match_names,
+        "dedup_substring": D.dedup_substring,
+        "dedup_incremental": D.dedup_incremental,
+        "similarity_topk": S.similarity_topk,
+        "similarity_lsh": S.similarity_lsh,
+        "similarity_ivf": S.similarity_ivf,
+        "dedup_embedding": S.dedup_embedding,
+        "dedup_semantic": S.dedup_semantic,
+        "similarity_pq": PQ.similarity_pq,
+        "embedding_kmeans": K.embedding_kmeans,
+        "embedding_outliers": S.embedding_outliers,
+        "ann_recall_audit": DG.ann_recall_audit,
+        "minhash_calibration": DG.minhash_calibration,
+        "skew_audit": DG.skew_audit,
+        "multimodal_centroid": M.multimodal_centroid,
+        "multimodal_payload": M.multimodal_payload,
+        "multimodal_quantize": M.multimodal_quantize,
+        "chunk_documents": C.chunk_documents,
+        "pack_sequences": C.pack_sequences,
+        "pipeline_curation": P.pipeline_curation,
+        "corpus_datacard": P.corpus_datacard,
+        "privacy_kanon_audit": P.privacy_kanon_audit,
+        "epoch_shuffle": P.epoch_shuffle,
+        # --- No-SQL-oracle entries (driver does a rows-only check;
+        # each is pinned against a Python/numpy reference in pytest —
+        # see tests/test_contract.py::NO_ORACLE_ALLOWED).
+        "bpe_encode": TK.bpe_encode,
+        "quality_classifier": CL.quality_classifier,
+        "dedup_components": D.dedup_components,
+        "embedding_pca": DC.embedding_pca,
+        # --- Driver-certified in rounds 1-3 (green CORRECTNESS rows).
         "scan_project": R.scan_project,
         "key_filter": R.key_filter,
         "condition_filter": R.condition_filter,
         "distinct_key": R.distinct_key,
         "preview_limit": R.preview_limit,
-        # Aggregations (SURVEY §2 EXT)
         "agg_pricing_summary": R.agg_pricing_summary,
         "rollup_agg": R.rollup_agg,
         "cube_agg": R.cube_agg,
@@ -76,7 +148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": R.events_json_extract,
         "profile_table": R.profile_table,
         "text_redact": T.text_redact,
-        # Decorrelated subqueries (SURVEY §2 EXT; TPC-H Q17/Q13/Q4 shapes)
         "scalar_subquery_threshold": Q.scalar_subquery_threshold,
         "cust_order_distribution": Q.cust_order_distribution,
         "exists_order_priority": Q.exists_order_priority,
@@ -84,8 +155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_view_max": Q.revenue_view_max,
         "nation_trade_volume": Q.nation_trade_volume,
         "market_share": Q.market_share,
-        # TPC-H classic shapes (EXT; operators/tpch.py completes the
-        # families subqueries.py started — Q2/3/6/9/10/11/12/14/16/18/19/22)
         "ship_priority": H.ship_priority,
         "revenue_forecast": H.revenue_forecast,
         "nation_profit": H.nation_profit,
@@ -99,116 +168,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": H.important_parts,
         "supplier_count_by_part": H.supplier_count_by_part,
         "suppliers_excess": H.suppliers_excess,
-        # Column analytics (EXT; reshape + exact-moment statistics)
         "unpivot_measures": A.unpivot_measures,
         "corr_price_qty": A.corr_price_qty,
         "histogram_totalprice": A.histogram_totalprice,
         "window_percent_rank": A.window_percent_rank,
-        "basket_pairs": A.basket_pairs,
-        # Joins (SURVEY §2 EXT)
         "join_region_revenue": R.join_region_revenue,
         "join_order_lineitem": R.join_order_lineitem,
         "join_semi_anti": R.join_semi_anti,
-        "join_skew_salted": MT.join_skew_salted,
-        "join_bloom_pruned": BL.join_bloom_pruned,
-        "merge_upsert": MT.merge_upsert,
-        "rollup_incremental": MT.rollup_incremental,
-        "audit_referential": MT.audit_referential,
-        # Windows (SURVEY §2 EXT)
         "window_topk_per_group": R.window_topk_per_group,
         "window_running_sum": R.window_running_sum,
-        "window_lead_lag": R.window_lead_lag,
-        "window_ntile_deciles": R.window_ntile_deciles,
-        "agg_filtered": R.agg_filtered,
-        # Set ops (SURVEY §2 EXT)
         "set_ops": R.set_ops,
-        # Time-series (SURVEY §2 EXT; batch twin of streaming demo)
         "events_hourly": R.events_hourly,
-        "events_moving_avg": R.events_moving_avg,
-        "events_ewma": R.events_ewma,
-        "events_funnel": R.events_funnel,
-        "cohort_retention": R.cohort_retention,
-        "events_anomaly": R.events_anomaly,
-        "value_winsorize": R.value_winsorize,
-        "scd2_intervals": MT.scd2_intervals,
-        "split_train_val_test": P.split_train_val_test,
-        "mix_sources": P.mix_sources,
-        # Text analysis (SURVEY §2 X3)
         "text_token_stats": T.text_token_stats,
         "text_langid": T.text_langid,
         "text_quality": T.text_quality,
         "text_fingerprint": T.text_fingerprint,
-        "text_doc_terms": T.text_doc_terms,
-        "text_top_ngrams": T.text_top_ngrams,
-        "text_repetition": T.text_repetition,
-        "text_token_rarity": T.text_token_rarity,
-        "bpe_pair_counts": T.bpe_pair_counts,
-        # BPE encode (no SQL oracle — per-word greedy merge loop;
-        # pinned vs the pure-Python reference in tests/test_tokenize.py)
-        "bpe_encode": TK.bpe_encode,
-        # Retrieval: BM25 ranked search + inverted-index build (EXT)
-        "bm25_search": SR.bm25_search,
-        "inverted_postings": SR.inverted_postings,
-        # Graph analytics over the aggregated trade graph (EXT)
-        "graph_degree": G.graph_degree,
-        "graph_pagerank": G.graph_pagerank,
-        "graph_triangles": G.graph_triangles,
-        # Corpus LM estimation + scoring, hashing-trick features (EXT)
-        "lm_bigram_topk": LM.lm_bigram_topk,
-        "lm_doc_score": LM.lm_doc_score,
-        "hash_features": LM.hash_features,
-        # In-engine trained ridge gate (no SQL oracle — matrix solve;
-        # pinned vs numpy in tests/test_classifier.py)
-        "quality_classifier": CL.quality_classifier,
-        # Mergeable sketches: CMS heavy-hitter audit + HLL registers
-        "sketch_count_min": SK.sketch_count_min,
-        "sketch_hll_distinct": SK.sketch_hll_distinct,
-        # Benchmark decontamination (SURVEY §2 X1-adjacent curation)
-        "decontaminate": P.decontaminate,
-        # Deduplication (SURVEY §2 X1)
-        "dedup_exact": D.dedup_exact,
-        "dedup_near": D.dedup_near,
-        "dedup_simhash": D.dedup_simhash,
-        "dedup_near_chargram": D.dedup_near_chargram,
-        # Iterative (no SQL oracle — driver does rows-only check;
-        # pinned against Python union-find in pytest instead)
-        "dedup_components": D.dedup_components,
-        # Declarative twin: Spark 4 recursive CTE, WITH a DuckDB oracle
-        "components_recursive": D.components_recursive,
-        "fuzzy_match_names": D.fuzzy_match_names,
-        # Exact-substring dedup via winnowed long char-grams (X1)
-        "dedup_substring": D.dedup_substring,
-        # Incremental ingest: new batch vs standing corpus (X1)
-        "dedup_incremental": D.dedup_incremental,
-        # Similarity search (SURVEY §2 X2)
-        "similarity_topk": S.similarity_topk,
-        "similarity_lsh": S.similarity_lsh,
-        "similarity_ivf": S.similarity_ivf,
-        "dedup_embedding": S.dedup_embedding,
-        # SemDeDup + centroid-distance curation gates (X1/X2)
-        "dedup_semantic": S.dedup_semantic,
-        "similarity_pq": PQ.similarity_pq,
-        "embedding_kmeans": K.embedding_kmeans,
-        "embedding_outliers": S.embedding_outliers,
-        # Diagnostics: audits of the approximate operators (EXT)
-        "ann_recall_audit": DG.ann_recall_audit,
-        "minhash_calibration": DG.minhash_calibration,
-        "skew_audit": DG.skew_audit,
-        # Distributed PCA (map-side Gram; no SQL oracle - eigensolve;
-        # pinned vs numpy in tests/test_decomposition.py)
-        "embedding_pca": DC.embedding_pca,
-        # Multimodal columns (SURVEY §2 X4)
-        "multimodal_centroid": M.multimodal_centroid,
-        "multimodal_payload": M.multimodal_payload,
-        "multimodal_quantize": M.multimodal_quantize,
-        # Chunking + packing (EXT; training-batch prep)
-        "chunk_documents": C.chunk_documents,
-        "pack_sequences": C.pack_sequences,
-        # Composed curation pipeline (EXT capstone)
-        "pipeline_curation": P.pipeline_curation,
-        "corpus_datacard": P.corpus_datacard,
-        "privacy_kanon_audit": P.privacy_kanon_audit,
-        "epoch_shuffle": P.epoch_shuffle,
     }
 
 
