@@ -25,59 +25,102 @@ import hashlib
 import re
 
 
+#: Quote characters that open a string literal under Spark's default
+#: parser: '...' always; "..." too, because
+#: spark.sql.ansi.doubleQuotedIdentifiers defaults to false, so
+#: ``WHERE flag = "R"`` compares against the STRING 'R'. Both span
+#: kinds must stay byte-exact in cache keys — case-folding "R" to "r"
+#: would make two different queries share a key and serve wrong rows.
+_QUOTES = ("'", '"')
+
+
+def _scan_literal(text: str, i: int) -> int:
+    """Return j such that ``text[i:j]`` is the complete quoted
+    literal opening at ``text[i]``.
+
+    Honors the two escape forms Spark's default (non-ANSI) string
+    parser accepts: doubled quotes (``''`` / ``""``) and backslash
+    escapes (``\\'`` / ``\\"`` / ``\\\\``). Without the backslash rule
+    a scanner ends ``'It\\'s fine'`` at the escaped quote and then
+    case-folds the real literal tail — another wrong-key collision.
+    Unterminated literals consume to end of string (conservative:
+    nothing after them is folded).
+    """
+    quote = text[i]
+    j, n = i + 1, len(text)
+    while j < n:
+        ch = text[j]
+        if ch == "\\" and j + 1 < n:
+            j += 2
+            continue
+        if ch == quote:
+            if j + 1 < n and text[j + 1] == quote:  # doubled-quote escape
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
 def _fold_case_outside_quotes(text: str) -> str:
-    """Lowercase everything outside single-quoted string literals.
+    """Lowercase everything outside string literals.
 
     Mirrors the *intent* of the reference's regex (app/main.py:80):
     keywords/identifiers are case-insensitive, quoted values are not.
-    Handles '' escapes inside literals.
+    Literal spans (single- OR double-quoted, with escapes — see
+    _scan_literal) are kept byte-exact. If a deployment runs with
+    ANSI double-quoted *identifiers*, not folding them merely loses a
+    cache-hit equivalence; folding them under the default parser
+    serves wrong data, so byte-exact is the safe direction.
     """
     out: list[str] = []
     i, n = 0, len(text)
     while i < n:
-        ch = text[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if text[j] == "'":
-                    if j + 1 < n and text[j + 1] == "'":  # escaped ''
-                        j += 2
-                        continue
-                    break
-                j += 1
-            out.append(text[i : min(j + 1, n)])
-            i = j + 1
+        if text[i] in _QUOTES:
+            j = _scan_literal(text, i)
+            out.append(text[i:j])
+            i = j
         else:
-            out.append(ch.lower())
+            out.append(text[i].lower())
             i += 1
     return "".join(out)
 
 
 def _split_top_level_and(condition: str) -> list[str]:
-    """Split on AND tokens not inside quotes or parentheses."""
+    """Split on AND tokens not inside literals or parentheses."""
     parts: list[str] = []
-    depth = 0
-    in_quote = False
     buf: list[str] = []
-    tokens = re.split(r"(\s+|\(|\)|')", condition)
-    i = 0
-    while i < len(tokens):
-        tok = tokens[i]
-        if tok == "'":
-            in_quote = not in_quote
-            buf.append(tok)
-        elif not in_quote and tok == "(":
+    depth = 0
+    i, n = 0, len(condition)
+    while i < n:
+        ch = condition[i]
+        if ch in _QUOTES:
+            j = _scan_literal(condition, i)
+            buf.append(condition[i:j])
+            i = j
+        elif ch == "(":
             depth += 1
-            buf.append(tok)
-        elif not in_quote and tok == ")":
+            buf.append(ch)
+            i += 1
+        elif ch == ")":
             depth -= 1
-            buf.append(tok)
-        elif not in_quote and depth == 0 and tok.lower() == "and":
+            buf.append(ch)
+            i += 1
+        elif (
+            depth == 0
+            and condition[i : i + 3].lower() == "and"
+            and (i == 0 or not (condition[i - 1].isalnum() or condition[i - 1] == "_"))
+            and (
+                i + 3 >= n
+                or not (condition[i + 3].isalnum() or condition[i + 3] == "_")
+            )
+        ):
             parts.append("".join(buf))
             buf = []
+            i += 3
         else:
-            buf.append(tok)
-        i += 1
+            buf.append(ch)
+            i += 1
     parts.append("".join(buf))
     return [p for p in (part.strip() for part in parts) if p]
 
@@ -134,30 +177,25 @@ def cache_key(
 
 def canonical_sql_text(sql: str) -> str:
     """Cache-key canonicalization for a raw SQL statement: lowercase
-    and whitespace-collapse everything OUTSIDE single-quoted string
-    literals, leave literal contents byte-exact ('' escapes
-    honored) — ``WHERE lang = 'EN'`` and ``where  lang='en'`` must
-    NOT collide (same rationale as _fold_case_outside_quotes for
-    conditions)."""
+    and whitespace-collapse everything OUTSIDE string literals, leave
+    literal contents byte-exact — ``WHERE lang = 'EN'`` and
+    ``where  lang='en'`` must NOT collide. Literals are scanned with
+    _scan_literal, so double-quoted spans (string literals under
+    Spark's default doubleQuotedIdentifiers=false) and
+    backslash-escaped quotes are also kept byte-exact; see that
+    helper for why folding either serves wrong cached rows."""
     out: list[str] = []
     i, n = 0, len(sql)
     pending_space = False
     while i < n:
         ch = sql[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if sql[j] == "'":
-                    if j + 1 < n and sql[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
+        if ch in _QUOTES:
+            j = _scan_literal(sql, i)
             if pending_space and out:
                 out.append(" ")
             pending_space = False
-            out.append(sql[i : min(j + 1, n)])
-            i = j + 1
+            out.append(sql[i:j])
+            i = j
         elif ch.isspace():
             pending_space = True
             i += 1

@@ -81,3 +81,52 @@ def test_cache_key_stability():
     k2 = cache_key("LINEITEM", "R", "B,A", "Y = 2 and X = 1")
     assert k1 == k2
     assert k1 != cache_key("lineitem", "N", "a,b", "x = 1 AND y = 2")
+
+
+# --- Literal-span hardening (round-4 advice): Spark's default parser
+# treats "R" as a string literal (doubleQuotedIdentifiers=false) and
+# honors backslash escapes inside literals; the canonicalizer must
+# keep both byte-exact or two different queries share one cache key
+# and submit_sql serves the first query's rows for the second.
+
+def test_double_quoted_literal_case_is_preserved():
+    from ensembl_lakehouse_spark.plans.canonical import canonical_sql_text
+
+    upper = canonical_sql_text('SELECT * FROM lineitem WHERE l_returnflag = "R"')
+    lower = canonical_sql_text('SELECT * FROM lineitem WHERE l_returnflag = "r"')
+    assert upper != lower
+    # keyword/whitespace folding still applies outside the literal
+    assert upper == canonical_sql_text(
+        'select  *  from LINEITEM where L_RETURNFLAG =  "R"'
+    )
+
+
+def test_backslash_escaped_quote_does_not_end_literal():
+    from ensembl_lakehouse_spark.plans.canonical import canonical_sql_text
+
+    # Under Spark parsing the literal is It'S HERE — the S HERE part
+    # must not be case-folded as if it were outside the literal.
+    a = canonical_sql_text(r"SELECT * FROM t WHERE c = 'It\'S HERE'")
+    b = canonical_sql_text(r"SELECT * FROM t WHERE c = 'It\'s here'")
+    assert a != b
+    assert "S HERE" in a and "s here" in b
+
+
+def test_condition_double_quoted_literal_preserved():
+    assert canonical_condition('flag = "R"') != canonical_condition('flag = "r"')
+
+
+def test_and_inside_double_quoted_literal_not_split():
+    a = canonical_condition('note = "x and y" AND k = 1')
+    b = canonical_condition('k = 1 AND note = "x and y"')
+    assert a == b
+    assert 'x and y' in a
+
+
+def test_and_split_without_surrounding_spaces():
+    # parenthesized conjuncts glued to AND still split at top level
+    assert canonical_condition("(a = 1)AND(b = 2)") == canonical_condition(
+        "(b = 2) and (a = 1)"
+    )
+    # but identifiers containing 'and' are not split
+    assert "android" in canonical_condition("android = 1")
