@@ -49,6 +49,19 @@ from ensembl_lakehouse_spark.sources.tables import load_table
 #: Merges trained for the demo table.
 N_MERGES = 20
 
+#: Default cap on the distinct-pretoken vocabulary collected to the
+#: driver for BPE training. Real tokenizer trainers never ingest the
+#: raw distinct-word table either — HuggingFace applies
+#: ``min_frequency`` and SentencePiece prunes to ``vocab_size``
+#: before the in-memory loop. 500k (count, word) rows is a few tens
+#: of MB; fixture corpora have ~10^3 distinct pretokens so the cap
+#: is a provable no-op there (pinned in tests/test_tokenize.py). At
+#: 100 TB of web text, distinct pretokens run to 10^8-10^9 and an
+#: uncapped collect kills the driver; production additionally sets
+#: min_count >= 2 to drop the typo/unicode-junk long tail before
+#: the top-N even applies.
+TOP_N_VOCAB = 500_000
+
 _ENCODE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
@@ -61,15 +74,29 @@ _ENCODE_SCHEMA = StructType(
 
 
 def train_bpe_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    min_count: int = 1,
+    top_n: int = TOP_N_VOCAB,
 ) -> list[tuple[str, str]]:
     """Classic BPE training over the corpus word-count vocabulary;
-    returns the ordered merge list. The vocab collect is bounded by
-    DISTINCT pre-tokens (see module docstring)."""
+    returns the ordered merge list.
+
+    The driver collect is bounded BEFORE it happens: pretokens with
+    fewer than ``min_count`` occurrences are filtered executor-side,
+    and at most ``top_n`` survivors are shipped, chosen
+    deterministically by (count desc, word asc) — Spark plans the
+    sort+limit as TakeOrderedAndProject, a per-partition top-N heap
+    with no full sort. Defaults (min_count=1, top_n=500k) are
+    no-ops on any fixture corpus, so trained merges are unchanged
+    there (pinned in tests/test_tokenize.py); production web-scale
+    runs set min_count>=2, which is what HuggingFace
+    ``min_frequency`` / SentencePiece vocab pruning do."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.length(F.trim("text")) > 0
     )
-    wc_rows = (
+    wc = (
         docs.select(
             F.explode(
                 F.expr(f"regexp_extract_all(lower(text), '{BPE_REGEX}', 0)")
@@ -77,7 +104,13 @@ def train_bpe_merges(
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()  # bounded: distinct word vocabulary
+    )
+    if min_count > 1:
+        wc = wc.where(F.col("n") >= min_count)
+    wc_rows = (
+        wc.orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(top_n)  # bounded collect: deterministic top-N vocab
+        .collect()
     )
     vocab: dict[tuple[str, ...], int] = {
         tuple(r.w): r.n for r in wc_rows if len(r.w) >= 2

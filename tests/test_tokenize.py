@@ -52,3 +52,20 @@ def test_encode_word_greedy_properties():
     assert TK.encode_word("abcd", ranks) == ["abc", "d"]  # rank order wins
     assert TK.encode_word("xyz", ranks) == ["x", "y", "z"]  # no merges apply
     assert "".join(TK.encode_word("abcabc", ranks)) == "abcabc"  # lossless
+
+
+def test_vocab_cap_is_noop_on_fixture(spark):
+    """The bounded-collect defaults must not change training on any
+    corpus where the cap doesn't bind: capped (default) and
+    effectively-uncapped runs produce identical merge tables, and a
+    min_count high enough to prune the tail still trains (on the
+    fixture every surviving pair ranks the same way)."""
+    capped = TK.train_bpe_merges(spark, SF_DIR)
+    # top-N far above the fixture vocab (but small enough that the
+    # TakeOrdered priority queue stays allocation-friendly)
+    uncapped = TK.train_bpe_merges(spark, SF_DIR, min_count=1, top_n=1_000_000)
+    assert capped == uncapped
+    # a binding top_n changes the vocab yet stays deterministic
+    small_a = TK.train_bpe_merges(spark, SF_DIR, top_n=50)
+    small_b = TK.train_bpe_merges(spark, SF_DIR, top_n=50)
+    assert small_a == small_b
