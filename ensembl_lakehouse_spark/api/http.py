@@ -133,7 +133,11 @@ def make_handler(engine: Engine):
                         "ApiServer(allowed_sf_dirs=[...]) to expose more",
                     )
                     return
-                resp = engine.submit_analytics(parts[1], sf_dir)
+                # every other query-string key is a per-request
+                # operator parameter — validated fail-closed by
+                # service/params.py inside submit_analytics
+                params = {k: v for k, v in q.items() if k != "sf_dir"}
+                resp = engine.submit_analytics(parts[1], sf_dir, params or None)
                 self._send(200, resp)
             else:
                 self._detail(404, "Not Found")

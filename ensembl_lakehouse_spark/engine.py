@@ -27,6 +27,11 @@ from pyspark.sql import SparkSession
 
 from ensembl_lakehouse_spark.catalog import Catalog
 from ensembl_lakehouse_spark.plans.canonical import cache_key, canonical_sql_text
+from ensembl_lakehouse_spark.service.params import (
+    ParamError,
+    params_cache_suffix,
+    resolve_params,
+)
 from ensembl_lakehouse_spark.query import QueryValidationError, build_df
 from ensembl_lakehouse_spark.service.cache import KVCache
 from ensembl_lakehouse_spark.service.export import SUPPORTED_FILE_FORMATS, ExportManager
@@ -110,7 +115,9 @@ class Engine:
             },
         }
 
-    def submit_analytics(self, name: str, sf_dir: str) -> dict:
+    def submit_analytics(
+        self, name: str, sf_dir: str, params: dict | None = None
+    ) -> dict:
         """Submit a NAMED analytics query (any operator from the
         driver contract's ``queries()`` registry — dedup, similarity,
         BM25, graph, sketches, …) through the SAME async lifecycle as
@@ -139,10 +146,21 @@ class Engine:
             raise QueryValidationError(
                 f"unknown analytics query {name!r}; see /analytics for names"
             )
-        key = f"analytics\x1f{name}\x1f{sf_dir}"
+        # per-request overrides for parameterizable operators (the
+        # reference's fields/condition freedom, app/main.py:460-466,
+        # extended to the analytics library): validated/coerced by
+        # service/params.py, fail-closed on anything undeclared.
+        # Values equal to the oracle-pinned defaults are dropped
+        # during resolution, so explicit-default requests share the
+        # bare submission's cache entry.
+        try:
+            resolved = resolve_params(name, params)
+        except ParamError as exc:
+            raise QueryValidationError(str(exc)) from exc
+        key = f"analytics\x1f{name}\x1f{sf_dir}" + params_cache_suffix(resolved)
         query_id = self.registry.cached_query_id(key)
         if query_id is None:
-            df = qs[name](self.spark, sf_dir)
+            df = qs[name](self.spark, sf_dir, **resolved)
             query_id = self.registry.submit(df, cache_key=key)
         return {
             "query_id": query_id,

@@ -83,8 +83,17 @@ def _score_expr(n_docs: str, df: str, tf: str, dl: str, sum_dl: str) -> str:
     )
 
 
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-K documents for QUERY_TERMS.
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """BM25 top-K documents for ``terms`` (default QUERY_TERMS —
+    the oracle-pinned demo constants; the /analytics service passes
+    per-request overrides through the validated ``params`` surface,
+    service/params.py).
 
     Plan (all shuffles move aggregated rows):
 
@@ -114,7 +123,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "dl",
             F.explode(
-                F.filter("toks", lambda t: t.isin(*QUERY_TERMS))
+                F.filter("toks", lambda t: t.isin(*terms))
             ).alias("term"),
         )
     )
@@ -140,7 +149,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score", F.col("score_fp").cast("double") / F.lit(float(BM25_FP))
         )
         .orderBy(F.desc("score_fp"), "doc_id")
-        .limit(BM25_TOPK)
+        .limit(topk)
     )
 
 

@@ -102,17 +102,19 @@ def _norm_expr(v: str) -> str:
     return f"sqrt({_dot_expr(v, v)})"
 
 
-def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _split(
+    spark: SparkSession, sf_dir: str, n_queries: int = N_QUERIES
+) -> tuple[DataFrame, DataFrame]:
     """(queries, corpus), each carrying its precomputed L2 norm —
     one map-side aggregate per vector instead of one per scored
     pair (see _norm_expr; bit-identical to the inline form)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+    queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
         F.expr(_norm_expr("embedding")).alias("q_nrm"),
     )
-    corpus = emb.where(F.col("vec_id") >= N_QUERIES).withColumn(
+    corpus = emb.where(F.col("vec_id") >= n_queries).withColumn(
         "c_nrm", F.expr(_norm_expr("embedding"))
     )
     return queries, corpus
@@ -123,9 +125,17 @@ def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 _PAIR_COSINE = f"{_dot_expr('q_vec', 'embedding')} / (q_nrm * c_nrm)"
 
 
-def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: for each of the N_QUERIES query vectors,
-    the TOP_K nearest corpus vectors (cosine DESC, vec_id ASC).
+def similarity_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_queries: int = N_QUERIES,
+    topk: int = TOP_K,
+) -> DataFrame:
+    """Exact cosine top-k: for each of the first ``n_queries`` query
+    vectors, the ``topk`` nearest corpus vectors (cosine DESC,
+    vec_id ASC). Defaults are the oracle-pinned demo constants;
+    per-request overrides arrive through service/params.py.
 
     Deliberately the *declarative* single-window form: Spark ≥3.5
     rewrites `rank <= k` windows into a two-phase WindowGroupLimit —
@@ -136,7 +146,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same result with one extra shuffle — the "let Catalyst optimize"
     rule, measured.
     """
-    queries, corpus = _split(spark, sf_dir)
+    queries, corpus = _split(spark, sf_dir, n_queries)
     return (
         corpus.crossJoin(F.broadcast(queries))
         .withColumn("cosine", F.expr(_PAIR_COSINE))
@@ -144,7 +154,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.expr("row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC)"),
         )
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= topk)
         .select("q_id", "rank", "vec_id", "label", "cosine")
     )
 
@@ -286,11 +296,19 @@ def _assign_cells(
     ).where(F.col("c_rank") <= n_keep)
 
 
-def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_probe: int = IVF_NPROBE,
+    topk: int = TOP_K,
+) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) coarse quantizer:
     corpus vectors are assigned to their nearest centroid cell;
-    each query probes its IVF_NPROBE nearest cells and ranks only
-    those cells' members by exact cosine.
+    each query probes its ``n_probe`` nearest cells and ranks only
+    those cells' members by exact cosine (defaults oracle-pinned;
+    service/params.py carries per-request overrides — n_probe is
+    THE recall/latency knob IVF serving tunes).
 
     Scale: this is the architecture FAISS/Milvus deploy at
     billion-vector scale — assignment is a map-side broadcast
@@ -316,7 +334,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids, 1, "embedding", "vec_id", "c_nrm",
     ).select("vec_id", "label", "embedding", "c_nrm", F.col("c_id").alias("cell"))
     probes = _assign_cells(
-        queries, centroids, IVF_NPROBE, "q_vec", "q_id", "q_nrm"
+        queries, centroids, n_probe, "q_vec", "q_id", "q_nrm"
     ).select("q_id", "q_vec", "q_nrm", F.col("c_id").alias("cell"))
     cand = assigned.join(F.broadcast(probes), "cell").select(
         "q_id", "q_vec", "q_nrm", "vec_id", "label", "embedding", "c_nrm"
@@ -327,7 +345,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.expr("row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC)"),
         )
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= topk)
         .select("q_id", "rank", "vec_id", "label", "cosine")
     )
 

@@ -1,0 +1,150 @@
+"""Per-request parameter validation for the /analytics operator
+library.
+
+The reference's one query surface lets each request choose its own
+``fields``/``condition`` (app/main.py:460-466); the analytics
+library deserves the same per-request freedom — "search for MY
+terms" — without widening it into an injection surface. Every
+parameterizable operator declares a spec here: the parameter's
+type, its coercion from the HTTP query-string string form, its
+bounds, and its default. Anything not declared is refused.
+
+Defaults are the oracle-pinned demo constants, and resolution DROPS
+values equal to the default, so a request that spells out the
+defaults shares its semantic-cache entry (and query id) with a bare
+submission of the same operator.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from ensembl_lakehouse_spark.operators import search as _search
+from ensembl_lakehouse_spark.operators import similarity as _sim
+
+
+class ParamError(ValueError):
+    """A request parameter failed validation (HTTP 400)."""
+
+
+#: Bound on any requested top-K / fan-out style integer: keeps a
+#: request from turning a bounded top-N heap into an unbounded sort
+#: or a preview into a full-table collect.
+MAX_K = 10_000
+
+#: Bound on requested term lists (a 10k-term query is a scan DoS).
+MAX_TERMS = 64
+
+
+def _coerce_int(raw: Any, lo: int, hi: int, name: str) -> int:
+    try:
+        val = int(raw)
+    except (TypeError, ValueError):
+        raise ParamError(f"{name} must be an integer, got {raw!r}")
+    if not lo <= val <= hi:
+        raise ParamError(f"{name} must be in [{lo}, {hi}], got {val}")
+    return val
+
+
+def _coerce_terms(raw: Any, name: str) -> tuple[str, ...]:
+    """Comma-separated string (HTTP) or list of strings (python).
+
+    Terms are matched against the tokenizer's lowercase output, so
+    they are case-folded here; empties are dropped. The values are
+    DATA (they end up inside `array_contains`-style Column
+    expressions, never interpolated into SQL text), so any
+    characters are safe — only count is bounded.
+    """
+    if isinstance(raw, str):
+        parts = [t.strip().lower() for t in raw.split(",")]
+    elif isinstance(raw, (list, tuple)):
+        parts = [str(t).strip().lower() for t in raw]
+    else:
+        raise ParamError(f"{name} must be a comma-separated string or list")
+    terms = tuple(t for t in parts if t)
+    if not terms:
+        raise ParamError(f"{name} must contain at least one term")
+    if len(terms) > MAX_TERMS:
+        raise ParamError(f"{name} accepts at most {MAX_TERMS} terms")
+    return terms
+
+
+@dataclass(frozen=True)
+class ParamSpec:
+    """One operator parameter: coercion + bounds + pinned default."""
+
+    coerce: Callable[[Any], Any]
+    default: Any
+
+
+def _int_spec(default: int, lo: int = 1, hi: int = MAX_K) -> ParamSpec:
+    return ParamSpec(
+        coerce=lambda raw, _lo=lo, _hi=hi: _coerce_int(raw, _lo, _hi, "value"),
+        default=default,
+    )
+
+
+#: operator name -> {param name -> spec}. Operators not listed accept
+#: no parameters (fail closed). Keep defaults EQUAL to the operator
+#: keyword defaults — tests/test_params.py pins that equality so the
+#: oracle-checked zero-param behavior can never drift from the spec.
+PARAM_SPECS: dict[str, dict[str, ParamSpec]] = {
+    "bm25_search": {
+        "terms": ParamSpec(
+            coerce=lambda raw: _coerce_terms(raw, "terms"),
+            default=_search.QUERY_TERMS,
+        ),
+        "topk": _int_spec(_search.BM25_TOPK),
+    },
+    "similarity_topk": {
+        "n_queries": _int_spec(_sim.N_QUERIES, lo=1, hi=MAX_K),
+        "topk": _int_spec(_sim.TOP_K),
+    },
+    "similarity_ivf": {
+        "n_probe": _int_spec(_sim.IVF_NPROBE, lo=1, hi=256),
+        "topk": _int_spec(_sim.TOP_K),
+    },
+}
+
+
+def resolve_params(name: str, raw: dict[str, Any] | None) -> dict[str, Any]:
+    """Validate+coerce a request's params for operator ``name``.
+
+    Returns only the NON-DEFAULT resolved values (so cache keys for
+    explicit-default requests collapse onto the bare entry). Unknown
+    parameter names and out-of-bounds values raise ParamError —
+    fail closed, nothing unvalidated ever reaches an operator.
+    """
+    if not raw:
+        return {}
+    spec = PARAM_SPECS.get(name)
+    if spec is None:
+        raise ParamError(f"operator {name!r} accepts no parameters")
+    out: dict[str, Any] = {}
+    for key, value in raw.items():
+        if key not in spec:
+            raise ParamError(
+                f"unknown parameter {key!r} for {name!r}; "
+                f"accepted: {sorted(spec)}"
+            )
+        try:
+            coerced = spec[key].coerce(value)
+        except ParamError as exc:
+            raise ParamError(f"{key}: {exc}") from exc
+        if coerced != spec[key].default:
+            out[key] = coerced
+    return out
+
+
+def params_cache_suffix(resolved: dict[str, Any]) -> str:
+    """Deterministic cache-key fragment for resolved (non-default)
+    params; empty string for the bare submission."""
+    if not resolved:
+        return ""
+    canon = {
+        k: list(v) if isinstance(v, tuple) else v
+        for k, v in sorted(resolved.items())
+    }
+    return "\x1f" + json.dumps(canon, sort_keys=True, separators=(",", ":"))

@@ -1,0 +1,150 @@
+"""Per-request analytics parameters (service/params.py): spec
+defaults pinned to the operator keyword defaults, fail-closed
+validation, cache-key collapse for explicit defaults, and the
+end-to-end custom-terms BM25 flow through the HTTP surface."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from ensembl_lakehouse_spark.operators import search as SR
+from ensembl_lakehouse_spark.operators import similarity as SIM
+from ensembl_lakehouse_spark.service.params import (
+    PARAM_SPECS,
+    ParamError,
+    params_cache_suffix,
+    resolve_params,
+)
+
+
+def test_spec_defaults_equal_operator_keyword_defaults():
+    """If an operator default drifts from its spec default, explicit
+    requests and bare requests would silently diverge — pin them."""
+    assert PARAM_SPECS["bm25_search"]["terms"].default == SR.QUERY_TERMS
+    assert PARAM_SPECS["bm25_search"]["topk"].default == SR.BM25_TOPK
+    assert PARAM_SPECS["similarity_topk"]["n_queries"].default == SIM.N_QUERIES
+    assert PARAM_SPECS["similarity_topk"]["topk"].default == SIM.TOP_K
+    assert PARAM_SPECS["similarity_ivf"]["n_probe"].default == SIM.IVF_NPROBE
+
+
+def test_resolve_drops_defaults_and_coerces_strings():
+    # explicit defaults resolve to {} -> same cache key as bare
+    assert resolve_params("bm25_search", {"topk": str(SR.BM25_TOPK)}) == {}
+    assert (
+        resolve_params("bm25_search", {"terms": ",".join(SR.QUERY_TERMS)}) == {}
+    )
+    out = resolve_params("bm25_search", {"terms": "Alpha, beta", "topk": "5"})
+    assert out == {"terms": ("alpha", "beta"), "topk": 5}
+    assert params_cache_suffix({}) == ""
+    assert params_cache_suffix(out) == params_cache_suffix(dict(reversed(out.items())))
+
+
+def test_resolve_fails_closed():
+    with pytest.raises(ParamError):
+        resolve_params("bm25_search", {"nope": 1})
+    with pytest.raises(ParamError):
+        resolve_params("scan_project", {"topk": 3})  # no spec -> no params
+    with pytest.raises(ParamError):
+        resolve_params("bm25_search", {"topk": "not-an-int"})
+    with pytest.raises(ParamError):
+        resolve_params("bm25_search", {"topk": 0})
+    with pytest.raises(ParamError):
+        resolve_params("bm25_search", {"topk": 10_001})
+    with pytest.raises(ParamError):
+        resolve_params("bm25_search", {"terms": " , "})
+    with pytest.raises(ParamError):
+        resolve_params("bm25_search", {"terms": ",".join(["x"] * 65)})
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    from ensembl_lakehouse_spark.api import ApiServer
+    from ensembl_lakehouse_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, work_dir=str(tmp_path_factory.mktemp("params_work")))
+    eng.catalog.register_dir(SF_DIR)
+    with ApiServer(eng) as srv:
+        yield srv
+    eng.close()
+
+
+def _get(server, path: str):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}") as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _wait(server, qid: str) -> str:
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        _, body = _get(server, f"/query/{qid}/status")
+        if body.get("status") in ("SUCCEEDED", "FAILED"):
+            return body["status"]
+        time.sleep(0.5)
+    return "TIMEOUT"
+
+
+def test_bm25_custom_terms_end_to_end(server):
+    """Custom query terms through submit -> preview -> export: the
+    'search for MY terms' flow the operator library owed its users."""
+    qs = urllib.parse.urlencode({"terms": "table,join", "topk": "5"})
+    status, resp = _get(server, f"/analytics/bm25_search?{qs}")
+    assert status == 200
+    qid = resp["query_id"]
+    assert _wait(server, qid) == "SUCCEEDED"
+
+    status, prev = _get(server, f"/query/{qid}/preview?maxResults=10")
+    header = [c["VarCharValue"] for c in prev["Rows"][0]["Data"]]
+    assert header == ["doc_id", "n_terms_matched", "score_fp", "score"]
+    assert 1 <= len(prev["Rows"]) - 1 <= 5  # topk honored
+
+    # distinct params -> distinct query id; same params -> cache hit
+    _, bare = _get(server, "/analytics/bm25_search")
+    assert bare["query_id"] != qid
+    _, again = _get(server, f"/analytics/bm25_search?{qs}")
+    assert again["query_id"] == qid
+    # explicit defaults collapse onto the bare submission
+    dflt = urllib.parse.urlencode(
+        {"terms": ",".join(SR.QUERY_TERMS), "topk": str(SR.BM25_TOPK)}
+    )
+    _, explicit = _get(server, f"/analytics/bm25_search?{dflt}")
+    assert explicit["query_id"] == bare["query_id"]
+
+    # export the parameterized result through the standard endpoint
+    status, exp = _get(server, f"/query/{qid}/export?file_format=csv")
+    assert status in (200, 202)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        status, exp = _get(server, f"/query/{qid}/export?file_format=csv")
+        if exp["status"] == "DONE":
+            break
+        time.sleep(0.5)
+    assert status == 200 and exp["status"] == "DONE"
+
+    # undeclared / out-of-bounds params are 400s, not 500s
+    status, err = _get(server, "/analytics/bm25_search?bogus=1")
+    assert status == 400 and "bogus" in err["detail"]
+    status, err = _get(server, "/analytics/scan_project?topk=3")
+    assert status == 400 and "accepts no parameters" in err["detail"]
+    status, err = _get(server, "/analytics/similarity_ivf?n_probe=9999")
+    assert status == 400
+
+
+def test_ivf_nprobe_override_runs(server):
+    status, resp = _get(server, "/analytics/similarity_ivf?n_probe=2&topk=3")
+    assert status == 200
+    assert _wait(server, resp["query_id"]) == "SUCCEEDED"
+    _, prev = _get(server, f"/query/{resp['query_id']}/preview?maxResults=26")
+    ranks = {
+        row["Data"][1]["VarCharValue"] for row in prev["Rows"][1:]
+    }
+    assert ranks <= {"1", "2", "3"}
