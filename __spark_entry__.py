@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": P.corpus_datacard,
         "privacy_kanon_audit": P.privacy_kanon_audit,
         "epoch_shuffle": P.epoch_shuffle,
+        # --- Round-4 additions (oracle-backed; rotate into the
+        # driver window once the round-4 block above is certified).
+        "graph_pagerank_full": G.graph_pagerank_full,
         # --- No-SQL-oracle entries (driver does a rows-only check;
         # each is pinned against a Python/numpy reference in pytest —
         # see tests/test_contract.py::NO_ORACLE_ALLOWED).
@@ -286,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_postings": SR.INVERTED_POSTINGS_SQL,
         "graph_degree": G.GRAPH_DEGREE_SQL,
         "graph_pagerank": G.GRAPH_PAGERANK_SQL,
+        "graph_pagerank_full": G.GRAPH_PAGERANK_FULL_SQL,
         "graph_triangles": G.GRAPH_TRIANGLES_SQL,
         "lm_bigram_topk": LM.LM_BIGRAM_TOPK_SQL,
         "lm_doc_score": LM.LM_DOC_SCORE_SQL,

@@ -282,6 +282,151 @@ def _pagerank_sql() -> str:
 GRAPH_PAGERANK_SQL = _pagerank_sql()
 
 
+#: Fixed-point rank rounding shared by the dangling-mass aggregate
+#: and the final projection (identical double trees, both engines).
+_RANK_FP_TEMPLATE = (
+    "CAST(floor({rank} * CAST({fp} AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+_UPDATE_FULL_TEMPLATE = (
+    "CAST({one_minus_d} AS DOUBLE) / {n}"
+    " + CAST({d} AS DOUBLE) * (CAST({mass} AS BIGINT) / CAST({fp} AS DOUBLE)"
+    " + CAST({dm} AS BIGINT) / CAST({fp} AS DOUBLE) / {n})"
+)
+
+
+def graph_pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution — the full
+    formulation graph_pagerank's docstring names: per iteration the
+    total rank sitting on dangling nodes (no out-edges once
+    self-loops are dropped) is gathered by ONE 1-row aggregate and
+    redistributed uniformly, so ranks form a true probability
+    distribution (Σ rank = 1, asserted in tests/test_graph.py).
+
+    rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)/outdeg(u) + dm/N),
+    dm = Σ_{dangling u} rank(u).
+
+    Determinism: dm is a cross-partition SUM of doubles, so each
+    dangling rank is rounded to fixed-point BIGINT first (the
+    bm25/kmeans rule) — both the per-dst mass and dm ride the plan
+    as BIGINTs and are divided back exactly once inside the shared
+    update template. Cost over the simplified form: one extra
+    broadcast-size aggregate per iteration — at 100 TB that is one
+    |dangling|-row partial-agg feeding a 1-row exchange, dwarfed by
+    the |edges| contribution shuffle it rides next to.
+    """
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("node")
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.expr("CAST(1 AS DOUBLE) / n").alias("rank"))
+    )
+    rank_fp = _RANK_FP_TEMPLATE.format(rank="rank", fp=PR_FP)
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, "src")
+            .select(
+                "dst",
+                F.expr(
+                    _CONTRIB_TEMPLATE.format(
+                        rank="rank", outdeg="outdeg", fp=PR_FP
+                    )
+                ).alias("cfp"),
+            )
+        )
+        mass = contrib.groupBy("dst").agg(F.sum("cfp").alias("m"))
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum(F.expr(rank_fp)), F.lit(0)).alias("dm"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dangling))
+            .join(F.broadcast(mass), nodes.node == mass.dst, "left")
+            .select(
+                "node",
+                F.expr(
+                    _UPDATE_FULL_TEMPLATE.format(
+                        one_minus_d=1.0 - PR_DAMP,
+                        d=PR_DAMP,
+                        n="n",
+                        mass="COALESCE(m, 0)",
+                        dm="dm",
+                        fp=PR_FP,
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.expr(rank_fp).alias("rank_fp"),
+        "rank",
+    ).orderBy("node")
+
+
+def _pagerank_full_sql() -> str:
+    rank_fp = _RANK_FP_TEMPLATE.format(rank="r.rank", fp=PR_FP)
+    parts = [
+        f"WITH {_TRADE_SQL},",
+        "nodes AS (SELECT n_name AS node FROM nation),",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes),",
+        "edges AS (SELECT src, dst FROM trade WHERE src <> dst),",
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank"
+        " FROM nodes CROSS JOIN nn),",
+    ]
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        contrib = _CONTRIB_TEMPLATE.format(
+            rank="r.rank", outdeg="o.outdeg", fp=PR_FP
+        )
+        update = _UPDATE_FULL_TEMPLATE.format(
+            one_minus_d=1.0 - PR_DAMP,
+            d=PR_DAMP,
+            n="nn.n",
+            mass=f"COALESCE(c{i}.m, 0)",
+            dm=f"d{i}.dm",
+            fp=PR_FP,
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" CAST(SUM({contrib}) AS BIGINT) AS m"
+            f" FROM edges e JOIN {prev} r ON e.src = r.node"
+            f" JOIN outdeg o ON e.src = o.src GROUP BY e.dst),"
+        )
+        parts.append(
+            f"d{i} AS (SELECT CAST(COALESCE(SUM({rank_fp}), 0) AS BIGINT) AS dm"
+            f" FROM {prev} r LEFT JOIN outdeg o ON r.node = o.src"
+            f" WHERE o.src IS NULL),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node, {update} AS rank"
+            f" FROM nodes CROSS JOIN nn CROSS JOIN d{i}"
+            f" LEFT JOIN c{i} ON nodes.node = c{i}.node),"
+        )
+        prev = f"r{i}"
+    parts[-1] = parts[-1].rstrip(",")
+    final_fp = _RANK_FP_TEMPLATE.format(rank="rank", fp=PR_FP)
+    parts.append(
+        f"SELECT node, {final_fp} AS rank_fp, rank"
+        f" FROM {prev} ORDER BY node"
+    )
+    return "\n".join(parts)
+
+
+GRAPH_PAGERANK_FULL_SQL = _pagerank_full_sql()
+
+
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation triangle participation count in the undirected
     trade graph — the local clustering signal used to audit

@@ -53,3 +53,41 @@ def test_triangles_match_python_bruteforce(spark):
         if r.n_triangles
     }
     assert got == expected
+
+
+def test_pagerank_full_is_a_probability_distribution(spark):
+    """Dangling-mass redistribution: ranks sum to exactly 1 (up to
+    the per-iteration fixed-point rounding), every rank at least the
+    teleport floor, and the result matches a pure-Python full
+    PageRank on the same extracted edge list."""
+    rows = G.graph_pagerank_full(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n == 25
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    for r in rows:
+        assert r.rank >= (1.0 - G.PR_DAMP) / n - 1e-12
+
+    edges = {
+        (r.src, r.dst)
+        for r in G._trade_edges(spark, SF_DIR).where("src <> dst").collect()
+    }
+    nodes = sorted({r.node for r in rows})
+    out = {v: sorted(d for s, d in edges if s == v) for v in nodes}
+    rank = {v: 1.0 / n for v in nodes}
+    fp = G.PR_FP
+    for _ in range(G.PR_ITERS):
+        mass = {v: 0 for v in nodes}
+        for u in nodes:
+            if out[u]:
+                c = int((rank[u] / len(out[u])) * fp + 0.5)
+                for v in out[u]:
+                    mass[v] += c
+        dm = sum(int(rank[u] * fp + 0.5) for u in nodes if not out[u])
+        rank = {
+            v: (1.0 - G.PR_DAMP) / n
+            + G.PR_DAMP * (mass[v] / fp + dm / fp / n)
+            for v in nodes
+        }
+    for r in rows:
+        assert abs(r.rank - rank[r.node]) < 1e-9, r.node

@@ -88,6 +88,8 @@ BUDGETS = {
     # (the edge self-joins are broadcast on the dim-bounded graph).
     "graph_degree": 3,
     "graph_pagerank": 2 + 3,
+    # full variant adds one 1-row dangling aggregate per iteration
+    "graph_pagerank_full": 2 + 3 + 3,
     "graph_triangles": 2,
     # LM lattice: pair agg + head agg + vocab row + topk window /
     # per-doc score agg; hash_features is explode + ONE per-doc agg.
