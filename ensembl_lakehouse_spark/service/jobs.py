@@ -25,6 +25,7 @@ TTL.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import threading
@@ -104,9 +105,51 @@ class QueryRegistry:
         so callers whose PLAN CONSTRUCTION is itself expensive
         (analytics operators that train/collect eagerly) can probe
         the cache BEFORE building the DataFrame — submit() probes
-        again, but by then the plan already exists."""
+        again, but by then the plan already exists.
+
+        With a shared cache backend (RedisKVCache), the prior id may
+        belong to a PEER process: it is honored as long as that peer
+        published a non-terminal-failure state for it (the
+        reference's 2-uvicorn-worker behavior, where worker B serves
+        a query worker A submitted, app/main.py:472-474 over
+        app/redis_setup.py)."""
         prior = self.cache.get(f"query_cache:{cache_key}")
-        return prior if prior is not None and prior in self._handles else None
+        if prior is None:
+            return None
+        if prior in self._handles:
+            return prior
+        shared = self._shared_state(prior)
+        if shared is not None and shared.get("status") not in (FAILED, CANCELLED):
+            return prior
+        return None
+
+    def _publish(self, handle: QueryHandle) -> None:
+        """Write the handle's externally-visible state to the cache
+        backend so peer registries sharing it (RESP/Redis) can answer
+        status polls for this id — the DataFrame stays local, the
+        STATE crosses processes, exactly the split the reference has
+        between its uvicorn workers (state in Redis+Athena) and each
+        worker's boto3 clients."""
+        state: dict[str, str] = {"status": handle.state}
+        if handle.result_path:
+            state["result"] = handle.result_path
+        if handle.error:
+            state["error"] = handle.error
+        self.cache.set(
+            f"query_state:{handle.query_id}",
+            json.dumps(state),
+            ttl_seconds=QUERY_CACHE_TTL_SECONDS,
+        )
+
+    def _shared_state(self, query_id: str) -> dict | None:
+        raw = self.cache.get(f"query_state:{query_id}")
+        if raw is None:
+            return None
+        try:
+            out = json.loads(raw)
+        except (TypeError, ValueError):
+            return None
+        return out if isinstance(out, dict) else None
 
     def submit(self, df: DataFrame, cache_key: str | None = None) -> str:
         """Submit a query plan for async materialization; returns the
@@ -123,6 +166,7 @@ class QueryRegistry:
         handle = QueryHandle(query_id=query_id, df=df, cache_key=cache_key)
         with self._lock:
             self._handles[query_id] = handle
+        self._publish(handle)
         if cache_key is not None:
             self.cache.set(f"query_cache:{cache_key}", query_id, ttl_seconds=QUERY_CACHE_TTL_SECONDS)
         self._pool.submit(self._run, handle)
@@ -132,9 +176,11 @@ class QueryRegistry:
         if handle.state == CANCELLED:
             if handle.cache_key is not None:
                 self.cache.delete(f"query_cache:{handle.cache_key}")
+            self._publish(handle)
             handle._done.set()
             return
         handle.state = RUNNING
+        self._publish(handle)
         out_dir = os.path.join(self.results_dir, handle.query_id)
         try:
             self.spark.sparkContext.setJobGroup(handle.query_id, f"query {handle.query_id}", True)
@@ -156,6 +202,7 @@ class QueryRegistry:
             if handle.cache_key is not None:
                 self.cache.delete(f"query_cache:{handle.cache_key}")
         finally:
+            self._publish(handle)
             self.spark.sparkContext.setJobGroup("", "")
             handle._done.set()
 
@@ -174,16 +221,33 @@ class QueryRegistry:
 
     def status(self, query_id: str) -> dict:
         """Reference GET /query/{id}/status shape (app/main.py:269-273):
-        ``{"status": s}`` plus ``result`` path when SUCCEEDED."""
-        handle = self.get(query_id)
-        if handle.state == SUCCEEDED:
-            return {"status": handle.state, "result": handle.result_path}
-        return {"status": handle.state}
+        ``{"status": s}`` plus ``result`` path when SUCCEEDED.
+
+        Falls back to the shared state store for ids owned by a peer
+        process (2-worker parity). Preview/export stay owner-local:
+        they need the retained typed DataFrame; a peer serves the
+        materialized artifact via ``result`` instead — the same
+        division the reference has (any worker returns the S3 path,
+        only Athena holds the plan)."""
+        if not is_valid_query_id(query_id):
+            raise InvalidQueryId(query_id)
+        handle = self._handles.get(query_id)
+        if handle is not None:
+            if handle.state == SUCCEEDED:
+                return {"status": handle.state, "result": handle.result_path}
+            return {"status": handle.state}
+        shared = self._shared_state(query_id)
+        if shared is None:
+            raise QueryNotFound(query_id)
+        if shared.get("status") == SUCCEEDED and "result" in shared:
+            return {"status": SUCCEEDED, "result": shared["result"]}
+        return {"status": shared.get("status", QUEUED)}
 
     def cancel(self, query_id: str) -> None:
         handle = self.get(query_id)
         if handle.state in (QUEUED, RUNNING):
             handle.state = CANCELLED
+            self._publish(handle)
             self.spark.sparkContext.cancelJobGroup(query_id)
 
     def wait(self, query_id: str, timeout: float | None = 300) -> QueryHandle:
