@@ -15,9 +15,21 @@ are atomic commits, a bad rebuild rolls back, incremental corpus
 adds are stamped merge commits (the backfill.py pattern), and
 readers keep snapshot isolation during rebuilds.
 
-Consistency pin: serving from the persisted index returns EXACTLY
-the rows the inline similarity_ivf computes (same centroids, same
-probes, same rerank) — asserted in tests/test_ann_index.py.
+The CENTROIDS are part of the snapshot (``kind='c'`` rows next to
+the ``kind='m'`` member rows, one atomic commit covers both), so
+query-time probing always uses the exact quantizer the members were
+assigned under — even if the source corpus has changed since the
+build. Rederiving centroids from the live corpus at query time (the
+pre-round-4 shape) silently degraded recall whenever build and
+corpus drifted apart; FAISS stores the trained quantizer inside the
+index file for exactly this reason.
+
+Consistency pins (tests/test_ann_index.py): serving from the
+persisted index returns EXACTLY the rows the inline similarity_ivf
+computes on the same corpus; add_to_ivf_index over a split corpus
+serves EXACTLY what a full rebuild over the union serves (when the
+batch introduces no new centroid-residue vectors — a batch that
+does is a retrain, i.e. a rebuild, by definition).
 """
 
 from __future__ import annotations
@@ -32,11 +44,12 @@ from ensembl_lakehouse_spark.operators.similarity import (
     TOP_K,
     _PAIR_COSINE,
     _assign_cells,
+    _norm_expr,
     _split,
 )
 
 
-def _centroids(corpus: DataFrame) -> DataFrame:
+def _centroids_from_corpus(corpus: DataFrame) -> DataFrame:
     return corpus.where(
         (F.col("vec_id") % IVF_CENTROID_MOD) == IVF_CENTROID_REM
     ).select(
@@ -46,20 +59,88 @@ def _centroids(corpus: DataFrame) -> DataFrame:
     )
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
-    """Assign every corpus vector to its cell and commit the
-    (cell, vec_id, label, embedding, c_nrm) table as one atomic
-    snapshot; returns the committed version. Rebuild = call again
-    (new snapshot; readers of the old version are undisturbed)."""
-    _, corpus = _split(spark, sf_dir)
-    centroids = _centroids(corpus)
-    assigned = _assign_cells(
-        corpus.select("vec_id", "label", "embedding", "c_nrm"),
+def _member_rows(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign ``vectors`` (vec_id, label, embedding, c_nrm) to their
+    nearest centroid and shape them as kind='m' index rows."""
+    return _assign_cells(
+        vectors.select("vec_id", "label", "embedding", "c_nrm"),
         centroids, 1, "embedding", "vec_id", "c_nrm",
     ).select(
-        F.col("c_id").alias("cell"), "vec_id", "label", "embedding", "c_nrm"
+        F.lit("m").alias("kind"),
+        F.col("c_id").alias("cell"),
+        "vec_id", "label", "embedding", "c_nrm",
     )
-    return SN.write_snapshot(table_dir, assigned, mode="overwrite")
+
+
+def _centroid_rows(centroids: DataFrame, label_type: str) -> DataFrame:
+    """Centroids as kind='c' rows in the SAME schema (cell = vec_id =
+    c_id; label NULL) so one atomic commit persists both halves."""
+    return centroids.select(
+        F.lit("c").alias("kind"),
+        F.col("c_id").alias("cell"),
+        F.col("c_id").alias("vec_id"),
+        F.lit(None).cast(label_type).alias("label"),
+        F.col("c_vec").alias("embedding"),
+        F.col("cent_nrm").alias("c_nrm"),
+    )
+
+
+def _build_from_corpus(corpus: DataFrame, table_dir: str) -> int:
+    centroids = _centroids_from_corpus(corpus)
+    label_type = dict(corpus.dtypes)["label"]
+    rows = _member_rows(corpus, centroids).unionByName(
+        _centroid_rows(centroids, label_type)
+    )
+    return SN.write_snapshot(table_dir, rows, mode="overwrite")
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Assign every corpus vector to its cell and commit members +
+    centroids as one atomic snapshot; returns the committed version.
+    Rebuild (= retrain) is calling this again: new snapshot, readers
+    of the old version undisturbed."""
+    _, corpus = _split(spark, sf_dir)
+    return _build_from_corpus(corpus, table_dir)
+
+
+def persisted_centroids(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The quantizer stored inside the index snapshot — the ONLY
+    centroid source the serve and add paths use."""
+    idx = SN.read_snapshot(spark, table_dir, version=version)
+    return idx.where(F.col("kind") == "c").select(
+        F.col("cell").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("c_nrm").alias("cent_nrm"),
+    )
+
+
+def add_to_ivf_index(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    op: str | None = None,
+) -> int:
+    """Incrementally add ``batch`` (vec_id, label, embedding) to the
+    index: assign against the PERSISTED centroids and merge-commit
+    the new member rows — cost ∝ |batch| × |centroids|, never a
+    corpus rescan (the affordable growing-corpus shape, same as
+    dedup_incremental).
+
+    ``op`` is the exactly-once stamp (backfill.py protocol): pass a
+    stable id per ingest batch and a crashed/retried add becomes a
+    no-op instead of a duplicate merge. Merge key is (kind, vec_id),
+    so re-adding an existing vector REPLACES its row (upsert) and
+    centroid rows are never touched."""
+    if op is not None and op in SN.committed_ops(table_dir):
+        return SN.current_version(table_dir)
+    centroids = persisted_centroids(spark, table_dir)
+    batch_n = batch.withColumn("c_nrm", F.expr(_norm_expr("embedding")))
+    rows = _member_rows(batch_n, centroids)
+    return SN.merge_snapshot(
+        spark, table_dir, rows, key=["kind", "vec_id"], op=op or "add"
+    )
 
 
 def query_ivf_index(
@@ -70,14 +151,20 @@ def query_ivf_index(
 ) -> DataFrame:
     """Serve the standard query batch against the persisted index
     (optionally time-traveling to an older index version): probe
-    IVF_NPROBE cells per query, exact-cosine rerank, top-K."""
-    queries, corpus = _split(spark, sf_dir)
-    centroids = _centroids(corpus)
-    index = SN.read_snapshot(spark, table_dir, version=version)
+    IVF_NPROBE cells per query using the SNAPSHOT's centroids,
+    exact-cosine rerank over the probed members, top-K."""
+    queries, _ = _split(spark, sf_dir)
+    idx = SN.read_snapshot(spark, table_dir, version=version)
+    centroids = idx.where(F.col("kind") == "c").select(
+        F.col("cell").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("c_nrm").alias("cent_nrm"),
+    )
+    members = idx.where(F.col("kind") == "m")
     probes = _assign_cells(
         queries, centroids, IVF_NPROBE, "q_vec", "q_id", "q_nrm"
     ).select("q_id", "q_vec", "q_nrm", F.col("c_id").alias("cell"))
-    cand = index.join(F.broadcast(probes), "cell").select(
+    cand = members.join(F.broadcast(probes), "cell").select(
         "q_id", "q_vec", "q_nrm", "vec_id", "label", "embedding", "c_nrm"
     )
     return (

@@ -31,3 +31,58 @@ def test_persisted_index_serves_identically(spark, tmp_path):
     assert _rows(AX.query_ivf_index(spark, SF_DIR, tdir, version=v0)) == inline
     assert _rows(AX.query_ivf_index(spark, SF_DIR, tdir)) == inline
     assert [h["op"] for h in SN.history(tdir)] == ["overwrite", "overwrite"]
+
+
+def test_centroids_are_persisted_in_the_snapshot(spark, tmp_path):
+    """The quantizer rides inside the index table: kind='c' rows,
+    committed atomically with the members, and the serve path reads
+    them from the snapshot (never the live corpus) — so build/serve
+    stay consistent even when the corpus drifts after the build."""
+    tdir = str(tmp_path / "ivf_c")
+    AX.build_ivf_index(spark, SF_DIR, tdir)
+    idx = SN.read_snapshot(spark, tdir)
+    kinds = {r.kind for r in idx.select("kind").distinct().collect()}
+    assert kinds == {"c", "m"}
+    cents = AX.persisted_centroids(spark, tdir)
+    from ensembl_lakehouse_spark.operators.similarity import (
+        IVF_CENTROID_MOD,
+        IVF_CENTROID_REM,
+    )
+    ids = sorted(r.c_id for r in cents.collect())
+    assert ids and all(i % IVF_CENTROID_MOD == IVF_CENTROID_REM for i in ids)
+
+
+def test_incremental_add_equals_full_rebuild(spark, tmp_path):
+    """add ≡ rebuild on a split corpus: build on the base partition,
+    stamp-add the rest, serve — identical rows to one build over the
+    full corpus. The batch deliberately contains no centroid-residue
+    ids (a batch that adds centroids is a retrain = rebuild, stated
+    in the module docstring)."""
+    from ensembl_lakehouse_spark.operators.similarity import (
+        IVF_CENTROID_MOD,
+        IVF_CENTROID_REM,
+        _split,
+    )
+
+    _, corpus = _split(spark, SF_DIR)
+    residue = (corpus.vec_id % IVF_CENTROID_MOD) == IVF_CENTROID_REM
+    batch_pred = (corpus.vec_id % 3 == 0) & ~residue
+    base = corpus.where(~batch_pred)
+    batch = (
+        corpus.where(batch_pred).select("vec_id", "label", "embedding")
+    )
+    assert batch.count() > 0
+
+    inc_dir = str(tmp_path / "ivf_inc")
+    AX._build_from_corpus(base, inc_dir)
+    v = AX.add_to_ivf_index(spark, inc_dir, batch, op="ingest-0001")
+    # exactly-once: the same stamp is a no-op, version unchanged
+    assert AX.add_to_ivf_index(spark, inc_dir, batch, op="ingest-0001") == v
+
+    full_dir = str(tmp_path / "ivf_full")
+    AX.build_ivf_index(spark, SF_DIR, full_dir)
+    assert _rows(AX.query_ivf_index(spark, SF_DIR, inc_dir)) == _rows(
+        AX.query_ivf_index(spark, SF_DIR, full_dir)
+    )
+    # and the pre-add version still time-travels to base-only results
+    assert [h["op"] for h in SN.history(inc_dir)] == ["overwrite", "ingest-0001"]
