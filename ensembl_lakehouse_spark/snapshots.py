@@ -72,6 +72,13 @@ def _manifest_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_manifests")
 
 
+def _txns_path(table_dir: str) -> str:
+    """Append-only (version, op) log surviving vacuum — see the
+    commit-path comment; the object-store analog is an append to a
+    _txns object or one marker object per stamp."""
+    return os.path.join(table_dir, "_txns")
+
+
 def _pointer_path(table_dir: str) -> str:
     return os.path.join(table_dir, "_current")
 
@@ -185,6 +192,15 @@ def _commit_locked(
     with open(ptmp, "w") as f:
         f.write(str(version))
     os.replace(ptmp, _pointer_path(table_dir))
+    # Retention-independent op-stamp log: vacuum drops old manifests,
+    # but exactly-once writers (streaming sink, backfill chunks, ANN
+    # adds) need their stamps FOREVER — a replayed pre-retention
+    # batch must stay a no-op. Appended strictly AFTER the pointer
+    # swap: a crash between swap and append re-runs one idempotent
+    # merge; the reverse order would record a stamp for data that
+    # never committed and silently skip it on resume.
+    with open(_txns_path(table_dir), "a") as f:
+        f.write(json.dumps({"version": version, "op": op}) + "\n")
     return version
 
 
@@ -277,9 +293,34 @@ def merge_snapshot(
 
 
 def committed_ops(table_dir: str) -> list[str]:
-    """The op label of every retained snapshot, oldest first — the
-    lookup an idempotent (exactly-once) writer replays against."""
-    return [h["op"] for h in history(table_dir)]
+    """Every committed op label, oldest first — the lookup an
+    idempotent (exactly-once) writer replays against.
+
+    Reads the retention-independent ``_txns`` log UNION the retained
+    manifests (tables written before the log existed have only the
+    latter), so vacuum never truncates the exactly-once window: a
+    backfill chunk or streaming batch committed before an aggressive
+    vacuum still reads as done."""
+    records: list[tuple[int, str]] = []
+    seen: set[int] = set()
+    txns = _txns_path(table_dir)
+    if os.path.exists(txns):
+        with open(txns) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue  # torn tail from a crashed append
+                records.append((rec["version"], rec["op"]))
+                seen.add(rec["version"])
+    for h in history(table_dir):
+        if h["version"] not in seen:
+            records.append((h["version"], h["op"]))
+    records.sort(key=lambda t: t[0])
+    return [op for _, op in records]
 
 
 def compact(
@@ -307,7 +348,16 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     cur = current_version(table_dir)
     if cur is None:
         return []
-    keep = set(range(max(0, cur - keep_versions + 1), cur + 1))
+    mdir = _manifest_dir(table_dir)
+    present = {
+        int(m.group(1))
+        for name in _manifest_names(mdir)
+        if (m := _MANIFEST_RE.match(name))
+    }
+    # intersect with what actually exists: an earlier vacuum with a
+    # smaller keep_versions already deleted older manifests, and a
+    # later vacuum with a larger window must not try to read them
+    keep = set(range(max(0, cur - keep_versions + 1), cur + 1)) & present
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(table_dir, v)["files"])
@@ -319,7 +369,6 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
         if rel not in live_dirs:
             shutil.rmtree(os.path.join(data_root, sub))
             removed.append(rel)
-    mdir = _manifest_dir(table_dir)
     for name in os.listdir(mdir):
         m = _MANIFEST_RE.match(name)
         if m is None:

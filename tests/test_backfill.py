@@ -68,3 +68,18 @@ def test_chunks_partition_the_key_space(spark):
     ]
     assert sum(sizes) == total
     assert all(s > 0 for s in sizes)  # md5 spreads the fixture ids
+
+
+def test_completed_chunks_survive_vacuum(spark, tmp_path):
+    """Advice repro: vacuum used to truncate the stamp window, making
+    a resume reprocess finished chunks. Stamps now live in the
+    retention-independent _txns log."""
+    tdir = str(tmp_path / "scored_v")
+    docs = load_table(spark, SF_DIR, "documents").where(
+        "length(trim(text)) > 0"
+    )
+    B.run_backfill(spark, docs, tdir, _score, key_col="doc_id", n_chunks=4)
+    SN.vacuum(tdir, keep_versions=1)
+    assert B.completed_chunks(tdir, 4) == {0, 1, 2, 3}
+    out = B.run_backfill(spark, docs, tdir, _score, key_col="doc_id", n_chunks=4)
+    assert out == {"processed": [], "skipped": [0, 1, 2, 3]}

@@ -179,3 +179,35 @@ def test_snapshot_diff_row_and_key_level(spark, tdir):
     )
     d = {r.k: r._change for r in S.snapshot_diff(spark, tdir, 1, key="k").collect()}
     assert d == {3: "delete"}
+
+
+def test_vacuum_widening_after_narrow_vacuum(spark, tdir):
+    """Advice repro: vacuum(keep=2) then vacuum(keep=5) must not
+    crash reading manifests the first vacuum already deleted."""
+    for i in range(6):
+        S.write_snapshot(tdir, spark.createDataFrame([(i, "x")], ["k", "v"]))
+    S.vacuum(tdir, keep_versions=2)
+    removed = S.vacuum(tdir, keep_versions=5)  # wider window, no crash
+    assert removed == []  # nothing extra to drop
+    assert _rows(spark, S.read_snapshot(spark, tdir)) == [(5, "x")]
+
+
+def test_txn_stamps_survive_vacuum(spark, tdir):
+    """Exactly-once stamps are retention-independent: an op committed
+    before an aggressive vacuum still reads as done, so a replayed
+    old batch/chunk stays a no-op."""
+    S.write_snapshot(tdir, spark.createDataFrame([(1, "a")], ["k", "v"]))
+    S.merge_snapshot(
+        spark, tdir, spark.createDataFrame([(2, "b")], ["k", "v"]),
+        key="k", op="batch:epoch=0/batch=0",
+    )
+    for i in range(3, 7):
+        S.write_snapshot(
+            tdir, spark.createDataFrame([(i, "x")], ["k", "v"]), mode="append"
+        )
+    S.vacuum(tdir, keep_versions=1)
+    ops = S.committed_ops(tdir)
+    assert "batch:epoch=0/batch=0" in ops
+    assert ops == sorted(ops, key=ops.index)  # oldest-first, stable
+    # and the retained manifest's op is still present exactly once
+    assert ops.count("append") >= 1
