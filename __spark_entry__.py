@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- Round-4 additions (oracle-backed; rotate into the
         # driver window once the round-4 block above is certified).
         "graph_pagerank_full": G.graph_pagerank_full,
+        "rank_fusion": SR.rank_fusion,
         # --- No-SQL-oracle entries (driver does a rows-only check;
         # each is pinned against a Python/numpy reference in pytest —
         # see tests/test_contract.py::NO_ORACLE_ALLOWED).
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree": G.GRAPH_DEGREE_SQL,
         "graph_pagerank": G.GRAPH_PAGERANK_SQL,
         "graph_pagerank_full": G.GRAPH_PAGERANK_FULL_SQL,
+        "rank_fusion": SR.RANK_FUSION_SQL,
         "graph_triangles": G.GRAPH_TRIANGLES_SQL,
         "lm_bigram_topk": LM.LM_BIGRAM_TOPK_SQL,
         "lm_doc_score": LM.LM_DOC_SCORE_SQL,

@@ -233,3 +233,110 @@ FROM tf
 GROUP BY term
 ORDER BY term
 """
+
+
+#: Reciprocal-rank-fusion constant (the k=60 from Cormack et al.'s
+#: RRF paper, the default every hybrid-search engine ships).
+RRF_K = 60
+
+#: Fused results returned / per-list depth.
+RRF_TOPK = 20
+
+#: Per-doc fusion score: at most one term per list, so there is NO
+#: cross-row float summation — each COALESCE term is a fixed-shape
+#: double expression, identical tree in both engines.
+_RRF_TEMPLATE = (
+    "COALESCE(CAST(1 AS DOUBLE) / (CAST({k} AS DOUBLE) + r_lex),"
+    " CAST(0 AS DOUBLE))"
+    " + COALESCE(CAST(1 AS DOUBLE) / (CAST({k} AS DOUBLE) + r_sem),"
+    " CAST(0 AS DOUBLE))"
+)
+
+
+def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    top-20 (QUERY_TERMS) fused with the embedding-cosine semantic
+    top-20 (query vector = vec_id 0; doc_id ≡ vec_id in the fixture
+    contract) by RRF(d) = Σ_lists 1/(k + rank_list(d)).
+
+    The production RAG/training-retrieval shape: lexical and vector
+    retrieval each produce a SMALL ranked list (top-k heaps, no full
+    sort), and fusion is a full-outer join of two ≤k-row relations —
+    driver-trivial at any corpus scale because everything after the
+    two retrievals is bounded by k, not the corpus. The ranks are
+    assigned by a window over an already-top-k relation, so the
+    single-partition window touches ≤k rows.
+    """
+    from ensembl_lakehouse_spark.operators.similarity import (
+        _PAIR_COSINE,
+        _split,
+    )
+
+    lex = (
+        bm25_search(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(row_number() OVER "
+                "(ORDER BY score_fp DESC, doc_id ASC) AS BIGINT)"
+            ).alias("r_lex"),
+        )
+    )
+    queries, corpus = _split(spark, sf_dir)
+    q0 = queries.where(F.col("q_id") == 0)
+    sem = (
+        corpus.crossJoin(F.broadcast(q0))
+        .withColumn("cosine", F.expr(_PAIR_COSINE))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(RRF_TOPK)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(
+                "CAST(row_number() OVER "
+                "(ORDER BY cosine DESC, vec_id ASC) AS BIGINT)"
+            ).alias("r_sem"),
+        )
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            F.expr(_RRF_TEMPLATE.format(k=RRF_K)).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(RRF_TOPK)
+    )
+
+
+def _rank_fusion_sql() -> str:
+    from ensembl_lakehouse_spark.functions.vectors import sql_cosine
+    from ensembl_lakehouse_spark.operators.similarity import N_QUERIES
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS r_lex
+  FROM ({BM25_SEARCH_SQL})
+), sem AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS r_sem
+  FROM (
+    SELECT c.vec_id, {sql_cosine("q.embedding", "c.embedding")} AS cosine
+    FROM embeddings c
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE c.vec_id >= {N_QUERIES}
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT {RRF_TOPK}
+  )
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+       {_RRF_TEMPLATE.format(k=RRF_K)} AS rrf
+FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf DESC, COALESCE(lex.doc_id, sem.doc_id)
+LIMIT {RRF_TOPK}
+"""
+
+
+RANK_FUSION_SQL = _rank_fusion_sql()

@@ -81,6 +81,10 @@ BUDGETS = {
     # Retrieval: tf agg + df agg + stats row + per-doc score agg
     # (top-k is TakeOrdered, no exchange); postings = tf agg + term agg.
     "bm25_search": 4,
+    # fusion = the bm25 subplan + two bounded top-k sorts + the
+    # <=k-row rank windows + final k-row order (AQE may plan the
+    # tiny exchanges); generous cap, the real pin is bm25's own
+    "rank_fusion": 9,
     "inverted_postings": 2,
     # Graph: ReuseExchange dedups the shared trade aggregation, so
     # degree = trade + out + in; pagerank = trade + outdeg + one mass

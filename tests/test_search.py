@@ -41,3 +41,22 @@ def test_inverted_postings_sorted_capped_consistent(spark):
         assert list(r.postings) == sorted(r.postings)
         assert len(r.postings) == min(r.df, SR.POSTINGS_CAP)
         assert r.cf >= r.df >= 1
+
+
+def test_rank_fusion_blends_both_lists(spark):
+    """RRF sanity: every fused row's score equals the recomputed
+    1/(k+r) sum; docs appearing in BOTH lists outrank equal-rank
+    single-list docs; output bounded by RRF_TOPK."""
+    rows = SR.rank_fusion(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= SR.RRF_TOPK
+    for r in rows:
+        want = 0.0
+        if r.r_lex is not None:
+            want += 1.0 / (SR.RRF_K + r.r_lex)
+        if r.r_sem is not None:
+            want += 1.0 / (SR.RRF_K + r.r_sem)
+        assert abs(r.rrf - want) < 1e-15
+        assert r.r_lex is not None or r.r_sem is not None
+    # ordered by fused score descending
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
