@@ -568,3 +568,115 @@ SELECT epoch, row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS posit
 FROM h
 ORDER BY epoch, position
 """
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage retention through the curation pipeline — the
+    funnel report every corpus-curation run publishes next to its
+    output ("we started with N docs; the quality gate kept X%, dedup
+    kept Y%, ..."): one row of monotone BIGINT survivor counts for
+    raw → nonblank → quality ≥ 0.5 → exact-dup canonical → per-lang
+    quota → hash sample, mirroring pipeline_curation stage for stage
+    (its count pinned equal to n_sampled in tests/test_pipeline* —
+    the funnel can never drift from the pipeline it reports on).
+
+    Plan: ONE scan computes per-doc survival flags; the stages that
+    are windows in the pipeline become CONDITIONAL windows over the
+    full table (min(CASE WHEN prior-stage THEN doc_id END) per
+    fingerprint; running count of prior-stage survivors per lang),
+    then one 1-row aggregate. Shuffle volume: |docs| narrow rows
+    into each of the two window exchanges — identical to running the
+    pipeline itself, and 6× cheaper than counting each stage with
+    its own scan.
+    """
+    stop_quoted = ", ".join(f"'{s}'" for s in STOPWORDS)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.split(F.trim("text"), r"\s+").alias("toks"),
+    )
+    flagged = docs.select(
+        "doc_id",
+        "lang",
+        (F.length(F.trim("text")) > 0).alias("f_nonblank"),
+        F.expr(
+            f"""CASE WHEN length(trim(text)) > 0 THEN
+              (CAST(size(filter(toks, x -> x IN ({stop_quoted}))) AS DOUBLE) / size(toks)) * 0.25
+              + (CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)) * 0.25
+              + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS DOUBLE) / length(text)) * 0.25
+              + (CAST(least(size(toks), 100) AS DOUBLE) / 100.0) * 0.25
+            END >= {QUALITY_MIN} AND length(trim(text)) > 0"""
+        ).alias("f_quality"),
+        F.expr(
+            f"cast(conv(substring(md5({NORM_SPARK_SQL}), 1, 15), 16, 10) AS bigint)"
+        ).alias("fp_md5"),
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100"
+        ).alias("sample_bucket"),
+    )
+    windowed = flagged.select(
+        "*",
+        F.expr(
+            "min(CASE WHEN f_quality THEN doc_id END)"
+            " OVER (PARTITION BY fp_md5) = doc_id AND f_quality"
+        ).alias("f_canonical"),
+    )
+    windowed = windowed.select(
+        "*",
+        F.expr(
+            "CASE WHEN f_canonical THEN"
+            " sum(CASE WHEN f_canonical THEN 1 ELSE 0 END)"
+            " OVER (PARTITION BY lang ORDER BY doc_id)"
+            f" <= {QUOTA_PER_LANG} ELSE false END"
+        ).alias("f_quota"),
+    )
+    return windowed.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("f_nonblank").cast("bigint")).alias("n_nonblank"),
+        F.sum(F.col("f_quality").cast("bigint")).alias("n_quality"),
+        F.sum(F.col("f_canonical").cast("bigint")).alias("n_unique"),
+        F.sum(F.col("f_quota").cast("bigint")).alias("n_quota"),
+        F.sum(
+            (F.col("f_quota") & (F.col("sample_bucket") < SAMPLE_PCT)).cast("bigint")
+        ).alias("n_sampled"),
+    )
+
+
+CURATION_FUNNEL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), flagged AS (
+  SELECT doc_id, lang,
+    length(trim(text)) > 0 AS f_nonblank,
+    COALESCE(CASE WHEN length(trim(text)) > 0 THEN
+      ((CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{s}'" for s in STOPWORDS)}))) AS DOUBLE) / len(toks)) * 0.25
+       + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.25
+       + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.25
+       + (CAST(least(len(toks), 100) AS DOUBLE) / 100.0) * 0.25)
+    END >= {QUALITY_MIN}, FALSE) AS f_quality,
+    CAST('0x' || substr(md5({NORM_DUCK_SQL}), 1, 15) AS BIGINT) AS fp_md5,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS sample_bucket
+  FROM t
+), canon AS (
+  SELECT *,
+    COALESCE(min(CASE WHEN f_quality THEN doc_id END)
+      OVER (PARTITION BY fp_md5) = doc_id AND f_quality, FALSE) AS f_canonical
+  FROM flagged
+), quota AS (
+  SELECT *,
+    CASE WHEN f_canonical THEN
+      sum(CASE WHEN f_canonical THEN 1 ELSE 0 END)
+        OVER (PARTITION BY lang ORDER BY doc_id) <= {QUOTA_PER_LANG}
+    ELSE FALSE END AS f_quota
+  FROM canon
+)
+SELECT COUNT(*) AS n_raw,
+       CAST(SUM(CASE WHEN f_nonblank THEN 1 ELSE 0 END) AS BIGINT) AS n_nonblank,
+       CAST(SUM(CASE WHEN f_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN f_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN f_quota THEN 1 ELSE 0 END) AS BIGINT) AS n_quota,
+       CAST(SUM(CASE WHEN f_quota AND sample_bucket < {SAMPLE_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM quota
+"""

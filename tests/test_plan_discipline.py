@@ -117,6 +117,8 @@ BUDGETS = {
     # audit = (col,key) counts + per-col agg; k-anon = class agg +
     # 1-row total broadcast; epoch shuffle = the per-epoch window.
     "corpus_datacard": 2,
+    # funnel: fp window + lang running-count window + 1-row agg
+    "curation_funnel": 3,
     "skew_audit": 2,
     "privacy_kanon_audit": 1,
     "epoch_shuffle": 1,

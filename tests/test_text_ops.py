@@ -166,3 +166,18 @@ def test_bpe_pair_counts_match_python(spark):
     got = sorted(rows, key=lambda r: r.rank)
     assert [(r.pair, r.n) for r in got] == expected
     assert [r.rank for r in got] == list(range(1, T.TOP_PAIRS + 1))
+
+
+def test_curation_funnel_matches_pipeline(spark):
+    """The funnel is an audit OF pipeline_curation: its final stage
+    count must equal the pipeline's surviving row count, and the
+    stage counts must be monotone non-increasing."""
+    from ensembl_lakehouse_spark.operators import pipeline as P
+
+    row = P.curation_funnel(spark, SF_DIR).collect()[0]
+    assert (
+        row.n_raw >= row.n_nonblank >= row.n_quality
+        >= row.n_unique >= row.n_quota >= row.n_sampled
+    )
+    assert row.n_sampled == P.pipeline_curation(spark, SF_DIR).count()
+    assert row.n_sampled > 0
