@@ -1885,3 +1885,66 @@ WHERE user_id <= 100
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, ts_s, event_id
 """
+
+
+#: Trailing window length (days) for the rolling distinct-user count.
+SLIDING_DISTINCT_DAYS = 7
+
+
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day distinct active users per day (the
+    DAU→WAU rollup every product-metrics pipeline maintains).
+
+    Sliding EXACT distincts cannot ride an ordinary window frame
+    (distinct state is not subtractable), so this uses the standard
+    contribution lattice: dedup to (day, user) pairs map-side, each
+    pair contributes to the SLIDING_DISTINCT_DAYS days it is visible
+    in (``sequence`` explode), then ONE per-day count-distinct. At
+    100 TB the shuffle carries |active user-days| × 7 narrow rows —
+    linear in actual activity, never events × window — and the
+    explode happens AFTER the first dedup collapsed raw events.
+    Days with no events are dropped (join back to observed days), so
+    the report has no trailing ghost rows. The approximate
+    subtractable alternative is the HLL register table
+    (sketch_hll_distinct) merged over day buckets.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    span = ud.select(
+        F.explode(
+            F.expr(f"sequence(d, date_add(d, {SLIDING_DISTINCT_DAYS - 1}))")
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        span.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("rolling_users"))
+        .join(days, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "rolling_users",
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_SLIDING_DISTINCT_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (
+  SELECT DISTINCT d AS day FROM ud
+), span AS (
+  SELECT CAST(unnest(generate_series(d, d + INTERVAL {SLIDING_DISTINCT_DAYS - 1} DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS day,
+         user_id
+  FROM ud
+)
+SELECT strftime(span.day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS rolling_users
+FROM span JOIN days ON span.day = days.day
+GROUP BY span.day
+ORDER BY day
+"""

@@ -164,3 +164,34 @@ def test_epoch_shuffle_is_permutation_and_epochs_differ(spark):
         assert sorted(docs) == all_docs  # same population every epoch
         orders.append(docs)
     assert orders[0] != orders[1]  # different permutation per epoch
+
+
+def test_sliding_distinct_matches_bruteforce(spark):
+    """Rolling 7-day distinct users vs a per-day Python recount."""
+    from collections import defaultdict
+
+    from ensembl_lakehouse_spark.operators import relational as R
+
+    got = {
+        r.day: r.rolling_users
+        for r in R.events_sliding_distinct(spark, SF_DIR).collect()
+    }
+    pairs = {
+        (str(r.d), r.user_id)
+        for r in load_table(spark, SF_DIR, "events")
+        .selectExpr("to_date(ts) AS d", "user_id")
+        .collect()
+    }
+    days = sorted({d for d, _ in pairs})
+    by_day = defaultdict(set)
+    for d, u in pairs:
+        by_day[d].add(u)
+    import datetime
+
+    for day in days:
+        dt = datetime.date.fromisoformat(day)
+        want = set()
+        for back in range(R.SLIDING_DISTINCT_DAYS):
+            want |= by_day.get(str(dt - datetime.timedelta(days=back)), set())
+        assert got[day] == len(want), day
+    assert set(got) == set(days)

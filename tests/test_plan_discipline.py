@@ -51,6 +51,9 @@ BUDGETS = {
     "events_moving_avg": 1,
     "scd2_intervals": 1,
     "split_train_val_test": 1,
+    # (day,user) dedup + per-day distinct lattice + observed-days
+    # dedup feeding the (AQE-broadcast) join
+    "events_sliding_distinct": 4,
     # stats broadcast back: one agg shuffle, join must not add one
     "events_anomaly": 1,
     "value_winsorize": 1,
