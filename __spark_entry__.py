@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_fusion": SR.rank_fusion,
         "curation_funnel": P.curation_funnel,
         "events_sliding_distinct": R.events_sliding_distinct,
+        "mmr_rerank": SR.mmr_rerank,
         # --- No-SQL-oracle entries (driver does a rows-only check;
         # each is pinned against a Python/numpy reference in pytest —
         # see tests/test_contract.py::NO_ORACLE_ALLOWED).
@@ -296,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_fusion": SR.RANK_FUSION_SQL,
         "curation_funnel": P.CURATION_FUNNEL_SQL,
         "events_sliding_distinct": R.EVENTS_SLIDING_DISTINCT_SQL,
+        "mmr_rerank": SR.MMR_RERANK_SQL,
         "graph_triangles": G.GRAPH_TRIANGLES_SQL,
         "lm_bigram_topk": LM.LM_BIGRAM_TOPK_SQL,
         "lm_doc_score": LM.LM_DOC_SCORE_SQL,

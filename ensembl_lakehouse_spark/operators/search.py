@@ -340,3 +340,145 @@ LIMIT {RRF_TOPK}
 
 
 RANK_FUSION_SQL = _rank_fusion_sql()
+
+
+#: MMR trade-off: λ·relevance − (1−λ)·max-similarity-to-selected.
+MMR_LAMBDA = 0.7
+#: Results diversified / candidate pool depth.
+MMR_SELECT = 5
+MMR_POOL = 20
+
+_MMR_SCORE_TEMPLATE = (
+    "CAST({lam} AS DOUBLE) * rel - CAST({one_minus_lam} AS DOUBLE) * msim"
+)
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank: greedily select MMR_SELECT
+    diverse results from the semantic top-MMR_POOL (query vector 0),
+    step k maximizing λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) —
+    the diversity-aware second stage RAG retrieval runs so the k
+    passages handed to the model aren't five near-copies.
+
+    Scale shape: MMR always runs on the retrieved PAGE, never the
+    corpus — the pool is a bounded top-k heap (TakeOrdered), the
+    pairwise sim relation is ≤ pool² rows, and the greedy argmax
+    steps are unrolled into ONE lazy plan over those bounded
+    relations (the kmeans/pagerank unroll precedent), so the whole
+    rerank costs O(pool²) regardless of corpus size. Ties and float
+    determinism: cosines come from the shared cosine contract,
+    argmax breaks ties by doc_id, and the max-over-selected is an
+    order-independent MAX — bit-stable across engines.
+    """
+    from ensembl_lakehouse_spark.operators.similarity import (
+        _PAIR_COSINE,
+        _dot_expr,
+        _split,
+    )
+
+    queries, corpus = _split(spark, sf_dir)
+    q0 = queries.where(F.col("q_id") == 0)
+    cand = (
+        corpus.crossJoin(F.broadcast(q0))
+        .withColumn("rel", F.expr(_PAIR_COSINE))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_POOL)
+        .select(
+            F.col("vec_id").alias("doc_id"), "rel", "embedding", "c_nrm"
+        )
+    )
+    x = cand.select(
+        F.col("doc_id").alias("a"),
+        F.col("embedding").alias("a_vec"),
+        F.col("c_nrm").alias("a_nrm"),
+    )
+    y = cand.select(
+        F.col("doc_id").alias("b"),
+        F.col("embedding").alias("b_vec"),
+        F.col("c_nrm").alias("b_nrm"),
+    )
+    pairs = (
+        x.join(y, F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.expr(
+                f"{_dot_expr('a_vec', 'b_vec')} / (a_nrm * b_nrm)"
+            ).alias("sim"),
+        )
+    )
+    score = _MMR_SCORE_TEMPLATE.format(
+        lam=MMR_LAMBDA, one_minus_lam=1.0 - MMR_LAMBDA
+    )
+    selected = (
+        cand.orderBy(F.desc("rel"), "doc_id")
+        .limit(1)
+        .select("doc_id", F.lit(1).alias("sel_order"), "rel")
+    )
+    for step in range(2, MMR_SELECT + 1):
+        remaining = cand.join(
+            selected.select("doc_id"), "doc_id", "left_anti"
+        )
+        scored = (
+            remaining.join(pairs, remaining.doc_id == pairs.a)
+            .join(
+                selected.select(F.col("doc_id").alias("b")), "b"
+            )
+            .groupBy(remaining.doc_id, "rel")
+            .agg(F.max("sim").alias("msim"))
+        )
+        nxt = (
+            scored.orderBy(F.expr(score).desc(), "doc_id")
+            .limit(1)
+            .select("doc_id", F.lit(step).alias("sel_order"), "rel")
+        )
+        selected = selected.union(nxt)
+    return selected.orderBy("sel_order")
+
+
+def _mmr_rerank_sql() -> str:
+    from ensembl_lakehouse_spark.functions.vectors import sql_cosine
+    from ensembl_lakehouse_spark.operators.similarity import N_QUERIES
+
+    score = _MMR_SCORE_TEMPLATE.format(
+        lam=MMR_LAMBDA, one_minus_lam=1.0 - MMR_LAMBDA
+    )
+    parts = [
+        "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),",
+        f"""cand AS (
+  SELECT c.vec_id AS doc_id, {sql_cosine("q.embedding", "c.embedding")} AS rel,
+         c.embedding
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id >= {N_QUERIES}
+  ORDER BY rel DESC, c.vec_id LIMIT {MMR_POOL}
+),""",
+        f"""pair AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         {sql_cosine("x.embedding", "y.embedding")} AS sim
+  FROM cand x JOIN cand y ON x.doc_id <> y.doc_id
+),""",
+        "sel1 AS (SELECT doc_id, 1 AS sel_order, rel FROM cand"
+        " ORDER BY rel DESC, doc_id LIMIT 1),",
+    ]
+    prev = "sel1"
+    for step in range(2, MMR_SELECT + 1):
+        parts.append(
+            f"""t{step} AS (
+  SELECT c.doc_id, c.rel, MAX(p.sim) AS msim
+  FROM cand c
+  JOIN pair p ON p.a = c.doc_id
+  JOIN {prev} s ON p.b = s.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM {prev})
+  GROUP BY c.doc_id, c.rel
+),
+s{step} AS (SELECT doc_id, {step} AS sel_order, rel FROM t{step}
+  ORDER BY {score} DESC, doc_id LIMIT 1),
+sel{step} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{step}),"""
+        )
+        prev = f"sel{step}"
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT doc_id, sel_order, rel FROM {prev} ORDER BY sel_order")
+    return "\n".join(parts)
+
+
+MMR_RERANK_SQL = _mmr_rerank_sql()

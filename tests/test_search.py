@@ -60,3 +60,50 @@ def test_rank_fusion_blends_both_lists(spark):
     # ordered by fused score descending
     scores = [r.rrf for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    """MMR pinned against a driver-side greedy recompute over the
+    same candidate pool and pairwise cosines."""
+    out = [(r.doc_id, r.sel_order, r.rel) for r in SR.mmr_rerank(spark, SF_DIR).collect()]
+    assert [o for _, o, _ in out] == list(range(1, SR.MMR_SELECT + 1))
+
+    from ensembl_lakehouse_spark.operators.similarity import _PAIR_COSINE, _split
+    from pyspark.sql import functions as F
+
+    queries, corpus = _split(spark, SF_DIR)
+    cand = (
+        corpus.crossJoin(F.broadcast(queries.where("q_id = 0")))
+        .withColumn("rel", F.expr(_PAIR_COSINE))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(SR.MMR_POOL)
+        .collect()
+    )
+    import math
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return dot / (na * nb)
+
+    pool = {r.vec_id: (r.rel, r.embedding) for r in cand}
+    selected = []
+    first = min(pool, key=lambda d: (-pool[d][0], d))
+    selected.append(first)
+    lam = SR.MMR_LAMBDA
+    while len(selected) < SR.MMR_SELECT:
+        best = None
+        for d in pool:
+            if d in selected:
+                continue
+            msim = max(cos(pool[d][1], pool[s][1]) for s in selected)
+            sc = lam * pool[d][0] - (1 - lam) * msim
+            key = (-sc, d)
+            if best is None or key < best[0]:
+                best = (key, d)
+        selected.append(best[1])
+    assert [d for d, _, _ in out] == selected
+    # diversity is real: the MMR set differs from plain top-5 unless
+    # the top-5 was already diverse; at minimum ranks are valid pool ids
+    assert set(selected) <= set(pool)
