@@ -253,7 +253,13 @@ _RRF_TEMPLATE = (
 )
 
 
-def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rank_fusion(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = RRF_K,
+    topk: int = RRF_TOPK,
+) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
     top-20 (QUERY_TERMS) fused with the embedding-cosine semantic
     top-20 (query vector = vec_id 0; doc_id ≡ vec_id in the fixture
@@ -288,7 +294,7 @@ def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.crossJoin(F.broadcast(q0))
         .withColumn("cosine", F.expr(_PAIR_COSINE))
         .orderBy(F.desc("cosine"), "vec_id")
-        .limit(RRF_TOPK)
+        .limit(topk)
         .select(
             F.col("vec_id").alias("doc_id"),
             F.expr(
@@ -303,10 +309,10 @@ def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "r_lex",
             "r_sem",
-            F.expr(_RRF_TEMPLATE.format(k=RRF_K)).alias("rrf"),
+            F.expr(_RRF_TEMPLATE.format(k=k)).alias("rrf"),
         )
         .orderBy(F.desc("rrf"), "doc_id")
-        .limit(RRF_TOPK)
+        .limit(topk)
     )
 
 
@@ -353,7 +359,13 @@ _MMR_SCORE_TEMPLATE = (
 )
 
 
-def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mmr_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    select_k: int = MMR_SELECT,
+    pool: int = MMR_POOL,
+) -> DataFrame:
     """Maximal Marginal Relevance rerank: greedily select MMR_SELECT
     diverse results from the semantic top-MMR_POOL (query vector 0),
     step k maximizing λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) —
@@ -382,7 +394,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.crossJoin(F.broadcast(q0))
         .withColumn("rel", F.expr(_PAIR_COSINE))
         .orderBy(F.desc("rel"), "vec_id")
-        .limit(MMR_POOL)
+        .limit(pool)
         .select(
             F.col("vec_id").alias("doc_id"), "rel", "embedding", "c_nrm"
         )
@@ -415,7 +427,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select("doc_id", F.lit(1).alias("sel_order"), "rel")
     )
-    for step in range(2, MMR_SELECT + 1):
+    for step in range(2, select_k + 1):
         remaining = cand.join(
             selected.select("doc_id"), "doc_id", "left_anti"
         )

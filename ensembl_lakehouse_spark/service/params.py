@@ -102,6 +102,15 @@ PARAM_SPECS: dict[str, dict[str, ParamSpec]] = {
         "n_queries": _int_spec(_sim.N_QUERIES, lo=1, hi=MAX_K),
         "topk": _int_spec(_sim.TOP_K),
     },
+    "rank_fusion": {
+        "k": _int_spec(_search.RRF_K, lo=1, hi=1000),
+        "topk": _int_spec(_search.RRF_TOPK, lo=1, hi=200),
+    },
+    "mmr_rerank": {
+        # select_k > pool degrades gracefully (returns <= pool rows)
+        "select_k": _int_spec(_search.MMR_SELECT, lo=1, hi=20),
+        "pool": _int_spec(_search.MMR_POOL, lo=2, hi=200),
+    },
     "similarity_ivf": {
         "n_probe": _int_spec(_sim.IVF_NPROBE, lo=1, hi=256),
         "topk": _int_spec(_sim.TOP_K),

@@ -148,3 +148,18 @@ def test_ivf_nprobe_override_runs(server):
         row["Data"][1]["VarCharValue"] for row in prev["Rows"][1:]
     }
     assert ranks <= {"1", "2", "3"}
+
+
+def test_retrieval_param_specs_pinned():
+    assert PARAM_SPECS["rank_fusion"]["k"].default == SR.RRF_K
+    assert PARAM_SPECS["mmr_rerank"]["pool"].default == SR.MMR_POOL
+    out = resolve_params("mmr_rerank", {"select_k": "3", "pool": "10"})
+    assert out == {"select_k": 3, "pool": 10}
+
+
+def test_mmr_select_override_end_to_end(server):
+    status, resp = _get(server, "/analytics/mmr_rerank?select_k=3&pool=10")
+    assert status == 200
+    assert _wait(server, resp["query_id"]) == "SUCCEEDED"
+    _, prev = _get(server, f"/query/{resp['query_id']}/preview?maxResults=26")
+    assert len(prev["Rows"]) - 1 == 3
