@@ -130,16 +130,23 @@ def add_to_ivf_index(
 
     ``op`` is the exactly-once stamp (backfill.py protocol): pass a
     stable id per ingest batch and a crashed/retried add becomes a
-    no-op instead of a duplicate merge. Merge key is (kind, vec_id),
-    so re-adding an existing vector REPLACES its row (upsert) and
+    no-op instead of a duplicate merge. Caller stamps are recorded
+    under the ``add:`` namespace (the backfill:/batch: convention),
+    so a stamp that happens to equal a snapshot mode label
+    ("overwrite", "merge", "compact", or a previous unstamped "add")
+    can never collide with history and silently drop the batch.
+    Unstamped adds record a plain mode label and never participate
+    in the idempotency check. Merge key is (kind, vec_id), so
+    re-adding an existing vector REPLACES its row (upsert) and
     centroid rows are never touched."""
-    if op is not None and op in SN.committed_ops(table_dir):
+    stamp = f"add:{op}" if op is not None else None
+    if stamp is not None and stamp in SN.committed_ops(table_dir):
         return SN.current_version(table_dir)
     centroids = persisted_centroids(spark, table_dir)
     batch_n = batch.withColumn("c_nrm", F.expr(_norm_expr("embedding")))
     rows = _member_rows(batch_n, centroids)
     return SN.merge_snapshot(
-        spark, table_dir, rows, key=["kind", "vec_id"], op=op or "add"
+        spark, table_dir, rows, key=["kind", "vec_id"], op=stamp or "add"
     )
 
 

@@ -279,7 +279,7 @@ def rank_fusion(
     )
 
     lex = (
-        bm25_search(spark, sf_dir)
+        bm25_search(spark, sf_dir, topk=topk)  # both lists share depth
         .select(
             "doc_id",
             F.expr(
@@ -373,14 +373,18 @@ def mmr_rerank(
     passages handed to the model aren't five near-copies.
 
     Scale shape: MMR always runs on the retrieved PAGE, never the
-    corpus — the pool is a bounded top-k heap (TakeOrdered), the
-    pairwise sim relation is ≤ pool² rows, and the greedy argmax
-    steps are unrolled into ONE lazy plan over those bounded
-    relations (the kmeans/pagerank unroll precedent), so the whole
-    rerank costs O(pool²) regardless of corpus size. Ties and float
-    determinism: cosines come from the shared cosine contract,
-    argmax breaks ties by doc_id, and the max-over-selected is an
-    order-independent MAX — bit-stable across engines.
+    corpus — the pool is a bounded top-k heap (TakeOrdered),
+    materialized ONCE via localCheckpoint (one corpus scan total;
+    the dedup.py lineage-truncation precedent), and the pairwise sim
+    relation is ≤ pool² rows. Each greedy step is also checkpointed:
+    the naive fully-lazy unroll references the selected set three
+    times per step, so its logical plan grows ~3^k and Catalyst
+    analysis OOMs the driver around k=10 — truncating lineage per
+    step keeps plan size LINEAR in k at the cost of k tiny local
+    jobs over ≤pool-row data. Ties and float determinism: cosines
+    come from the shared cosine contract, argmax breaks ties by
+    doc_id, and the max-over-selected is an order-independent MAX —
+    bit-stable across engines.
     """
     from ensembl_lakehouse_spark.operators.similarity import (
         _PAIR_COSINE,
@@ -398,6 +402,7 @@ def mmr_rerank(
         .select(
             F.col("vec_id").alias("doc_id"), "rel", "embedding", "c_nrm"
         )
+        .localCheckpoint()  # bounded: <= pool rows; ends the corpus lineage
     )
     x = cand.select(
         F.col("doc_id").alias("a"),
@@ -444,7 +449,9 @@ def mmr_rerank(
             .limit(1)
             .select("doc_id", F.lit(step).alias("sel_order"), "rel")
         )
-        selected = selected.union(nxt)
+        # bounded: <= step rows; without this the plan tree triples
+        # per step (see docstring) and analysis OOMs the driver
+        selected = selected.union(nxt).localCheckpoint()
     return selected.orderBy("sel_order")
 
 

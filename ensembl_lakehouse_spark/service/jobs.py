@@ -108,18 +108,23 @@ class QueryRegistry:
         again, but by then the plan already exists.
 
         With a shared cache backend (RedisKVCache), the prior id may
-        belong to a PEER process: it is honored as long as that peer
-        published a non-terminal-failure state for it (the
-        reference's 2-uvicorn-worker behavior, where worker B serves
-        a query worker A submitted, app/main.py:472-474 over
-        app/redis_setup.py)."""
+        belong to a PEER process: it is honored ONLY once that peer
+        published SUCCEEDED (the reference's 2-uvicorn-worker
+        behavior, app/main.py:472-474 over app/redis_setup.py, where
+        Athena durably owns in-flight queries — here nothing outlives
+        the owner process, so honoring a peer's QUEUED/RUNNING id
+        would poison this key for the 44-day TTL if that peer died
+        mid-run: every resubmission would return an orphaned id that
+        never reaches a terminal state). The cost of the conservative
+        rule is bounded duplicate work when two workers race the same
+        cold query; the winner's SUCCEEDED state then serves both."""
         prior = self.cache.get(f"query_cache:{cache_key}")
         if prior is None:
             return None
         if prior in self._handles:
             return prior
         shared = self._shared_state(prior)
-        if shared is not None and shared.get("status") not in (FAILED, CANCELLED):
+        if shared is not None and shared.get("status") == SUCCEEDED:
             return prior
         return None
 

@@ -85,4 +85,22 @@ def test_incremental_add_equals_full_rebuild(spark, tmp_path):
         AX.query_ivf_index(spark, SF_DIR, full_dir)
     )
     # and the pre-add version still time-travels to base-only results
-    assert [h["op"] for h in SN.history(inc_dir)] == ["overwrite", "ingest-0001"]
+    assert [h["op"] for h in SN.history(inc_dir)] == ["overwrite", "add:ingest-0001"]
+
+
+def test_add_stamp_cannot_collide_with_mode_labels(spark, tmp_path):
+    """Review regression: a caller stamp equal to a snapshot mode
+    label ("overwrite"/"add") must still merge — stamps live in the
+    add: namespace, unstamped adds never join the idempotency set."""
+    from ensembl_lakehouse_spark.operators.similarity import _split
+
+    _, corpus = _split(spark, SF_DIR)
+    tdir = str(tmp_path / "ivf_ns")
+    AX._build_from_corpus(corpus.limit(100), tdir)  # history has "overwrite"
+    batch = corpus.limit(120).select("vec_id", "label", "embedding")
+    v = AX.add_to_ivf_index(spark, tdir, batch, op="overwrite")
+    assert v == 1  # merged despite the mode label already in history
+    assert "add:overwrite" in SN.committed_ops(tdir)
+    # unstamped adds always run (not idempotent, by contract)
+    v2 = AX.add_to_ivf_index(spark, tdir, batch)
+    assert v2 == 2

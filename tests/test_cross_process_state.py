@@ -77,3 +77,22 @@ def test_unknown_id_still_404s_with_shared_store(engines):
     _, b = engines
     with pytest.raises(QueryNotFound):
         b.query_status("00000000-0000-0000-0000-000000000000")
+
+
+def test_dead_peer_running_state_does_not_poison_cache(engines):
+    """Review regression: a worker that crashed mid-run leaves
+    query_cache -> qid and query_state=RUNNING behind forever (44-day
+    TTL, no owner left to update them). A surviving worker must treat
+    that as a miss and resubmit, not hand out the orphaned id."""
+    import json as _json
+
+    _, b = engines
+    dead_qid = "99999999-9999-4999-8999-999999999999"
+    key = f"analytics\x1fagg_filtered\x1f{SF_DIR}"
+    b.cache.set(f"query_cache:{key}", dead_qid)
+    b.cache.set(
+        f"query_state:{dead_qid}", _json.dumps({"status": "RUNNING"})
+    )
+    out = b.submit_analytics("agg_filtered", SF_DIR)
+    assert out["query_id"] != dead_qid
+    assert _poll(b, out["query_id"])["status"] == "SUCCEEDED"

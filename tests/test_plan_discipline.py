@@ -88,6 +88,9 @@ BUDGETS = {
     # <=k-row rank windows + final k-row order (AQE may plan the
     # tiny exchanges); generous cap, the real pin is bm25's own
     "rank_fusion": 9,
+    # final MMR plan reads checkpointed <=pool-row frames; only the
+    # <=select_k-row final order survives as exchanges
+    "mmr_rerank": 4,
     "inverted_postings": 2,
     # Graph: ReuseExchange dedups the shared trade aggregation, so
     # degree = trade + out + in; pagerank = trade + outdeg + one mass

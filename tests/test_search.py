@@ -107,3 +107,45 @@ def test_mmr_rerank_matches_python_greedy(spark):
     # diversity is real: the MMR set differs from plain top-5 unless
     # the top-5 was already diverse; at minimum ranks are valid pool ids
     assert set(selected) <= set(pool)
+
+
+def test_rank_fusion_topk_deepens_both_lists(spark):
+    """Review regression: topk must widen the LEXICAL list too, not
+    only the semantic one — otherwise deep fused pages are silently
+    semantic-only past rank BM25_TOPK. Pinned by recomputing the
+    expected fusion from the two depth-30 lists."""
+    from pyspark.sql import functions as F
+
+    from ensembl_lakehouse_spark.operators.similarity import _PAIR_COSINE, _split
+
+    depth = 30
+    lex = SR.bm25_search(spark, SF_DIR, topk=depth).collect()
+    assert len(lex) == depth  # bm25 actually deepened
+    lex_rank = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            sorted(lex, key=lambda r: (-r.score_fp, r.doc_id))
+        )
+    }
+    queries, corpus = _split(spark, SF_DIR)
+    sem = (
+        corpus.crossJoin(F.broadcast(queries.where("q_id = 0")))
+        .withColumn("cosine", F.expr(_PAIR_COSINE))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(depth)
+        .collect()
+    )
+    sem_rank = {r.vec_id: i + 1 for i, r in enumerate(sem)}
+    want = {}
+    for d in set(lex_rank) | set(sem_rank):
+        score = 0.0
+        if d in lex_rank:
+            score += 1.0 / (SR.RRF_K + lex_rank[d])
+        if d in sem_rank:
+            score += 1.0 / (SR.RRF_K + sem_rank[d])
+        want[d] = score
+    top = sorted(want, key=lambda d: (-want[d], d))[:depth]
+    got = SR.rank_fusion(spark, SF_DIR, topk=depth).collect()
+    assert [r.doc_id for r in got] == top
+    for r in got:
+        assert abs(r.rrf - want[r.doc_id]) < 1e-15
