@@ -120,6 +120,14 @@ def make_handler(engine: Engine):
                 # EXT: the operator-library listing (no reference
                 # twin — its API stops at single-table SELECTs).
                 self._send(200, engine.analytics_names())
+            elif (
+                len(parts) == 3
+                and parts[0] == "analytics"
+                and parts[2] == "params"
+            ):
+                # EXT: per-operator parameter discovery (accepted
+                # keys + oracle-pinned defaults; {} = none accepted)
+                self._send(200, engine.analytics_params(parts[1]))
             elif len(parts) == 2 and parts[0] == "analytics":
                 # sf_dir is allowlisted: a raw path from the query
                 # string would let any HTTP client point Spark at an

@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession
 from ensembl_lakehouse_spark.catalog import Catalog
 from ensembl_lakehouse_spark.plans.canonical import cache_key, canonical_sql_text
 from ensembl_lakehouse_spark.service.params import (
+    PARAM_SPECS,
     ParamError,
     params_cache_suffix,
     resolve_params,
@@ -233,6 +234,27 @@ class Engine:
         import __spark_entry__ as contract
 
         return sorted(contract.queries())
+
+    def analytics_params(self, name: str) -> dict:
+        """Discoverable parameter surface for one operator (the
+        GET /analytics/{name}/params listing): each accepted
+        parameter with its oracle-pinned default. Operators without
+        a spec return an empty dict — they accept no parameters."""
+        import __spark_entry__ as contract
+
+        if name not in contract.queries():
+            raise QueryValidationError(
+                f"unknown analytics query {name!r}; see /analytics for names"
+            )
+        spec = PARAM_SPECS.get(name, {})
+        return {
+            key: {
+                "default": list(ps.default)
+                if isinstance(ps.default, tuple)
+                else ps.default
+            }
+            for key, ps in spec.items()
+        }
 
     def query_status(self, query_id: str) -> dict:
         """Status + (on success) the result path AND a presigned URL

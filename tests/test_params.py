@@ -163,3 +163,14 @@ def test_mmr_select_override_end_to_end(server):
     assert _wait(server, resp["query_id"]) == "SUCCEEDED"
     _, prev = _get(server, f"/query/{resp['query_id']}/preview?maxResults=26")
     assert len(prev["Rows"]) - 1 == 3
+
+
+def test_params_discovery_endpoint(server):
+    status, spec = _get(server, "/analytics/bm25_search/params")
+    assert status == 200
+    assert spec["terms"]["default"] == list(SR.QUERY_TERMS)
+    assert spec["topk"]["default"] == SR.BM25_TOPK
+    status, spec = _get(server, "/analytics/scan_project/params")
+    assert status == 200 and spec == {}
+    status, err = _get(server, "/analytics/nope/params")
+    assert status == 400
