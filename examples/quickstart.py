@@ -48,6 +48,14 @@ def main() -> None:
     eng.registry.wait(aresp["query_id"], timeout=120)
     print("bm25 via service:", eng.query_status(aresp["query_id"])["status"])
 
+    # ...with per-request parameters (discover via analytics_params):
+    print("bm25 params:", eng.analytics_params("bm25_search"))
+    presp = eng.submit_analytics(
+        "bm25_search", sf_dir, params={"terms": "table,join", "topk": 5}
+    )
+    eng.registry.wait(presp["query_id"], timeout=120)
+    print("custom-terms bm25:", eng.query_status(presp["query_id"])["status"])
+
     # 2 — operators as plain DataFrame functions ----------------------
     top = search.bm25_search(spark, sf_dir)
     print("bm25 top hit:", top.first().asDict())
@@ -89,6 +97,22 @@ def main() -> None:
     )
     print("backfill:", out, "| rows:",
           snapshots.read_snapshot(spark, scored_dir).count())
+
+    # 3c — persisted ANN index: build, serve, incremental add --------
+    from ensembl_lakehouse_spark import ann_index
+
+    idx_dir = f"{work}/ivf_index"
+    ann_index.build_ivf_index(spark, sf_dir, idx_dir)
+    print("index top hit:",
+          ann_index.query_ivf_index(spark, sf_dir, idx_dir).first().asDict())
+    # stamped add: re-running the same batch id is a no-op
+    from ensembl_lakehouse_spark.operators.similarity import _split
+
+    _, corpus = _split(spark, sf_dir)
+    batch = corpus.limit(5).select("vec_id", "label", "embedding")
+    v = ann_index.add_to_ivf_index(spark, idx_dir, batch, op="batch-001")
+    assert ann_index.add_to_ivf_index(spark, idx_dir, batch, op="batch-001") == v
+    print("index versions:", [h["op"] for h in snapshots.history(idx_dir)])
 
     eng.close()
     spark.stop()
