@@ -739,3 +739,44 @@ WITH w AS (
 )
 SELECT row_number() OVER (ORDER BY n DESC, pair ASC) AS rank, pair, n FROM top
 """
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the language-ID gate: per (labeled lang,
+    predicted lang) cell, count and per-row-label recall as an exact
+    rational pair — the calibration table any classifier-driven
+    curation filter publishes before it is allowed to drop documents
+    (the diagnostics.py audit pattern applied to text_langid).
+
+    Plan: the map-only langid scoring feeds ONE (lang, predicted)
+    partial agg plus a per-lang window for the row totals — shuffle
+    is |langs|² cells, never documents. Recall is emitted as
+    (n_cell, n_label) BIGINTs, not a float division, so the result
+    is trivially exact cross-engine and the consumer chooses its
+    rounding.
+    """
+    pred = text_langid(spark, sf_dir).select("lang", "predicted_lang")
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_cell")
+    )
+    return (
+        cells.withColumn(
+            "n_label",
+            F.expr("sum(n_cell) OVER (PARTITION BY lang)"),
+        )
+        .select("lang", "predicted_lang", "n_cell", "n_label")
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH p AS ({TEXT_LANGID_SQL}),
+cells AS (
+  SELECT lang, predicted_lang, COUNT(*) AS n_cell
+  FROM p GROUP BY lang, predicted_lang
+)
+SELECT lang, predicted_lang, n_cell,
+       CAST(sum(n_cell) OVER (PARTITION BY lang) AS BIGINT) AS n_label
+FROM cells
+ORDER BY lang, predicted_lang
+"""

@@ -126,6 +126,8 @@ BUDGETS = {
     # funnel: fp window + lang running-count window + 1-row agg
     "curation_funnel": 3,
     "skew_audit": 2,
+    # langid scoring is map-only; cell agg + per-lang total window
+    "langid_confusion": 2,
     "privacy_kanon_audit": 1,
     "epoch_shuffle": 1,
 }

@@ -181,3 +181,20 @@ def test_curation_funnel_matches_pipeline(spark):
     )
     assert row.n_sampled == P.pipeline_curation(spark, SF_DIR).count()
     assert row.n_sampled > 0
+
+
+def test_langid_confusion_totals(spark):
+    """Cells partition the corpus: Σn_cell == doc count; per-label
+    totals equal the window column; diagonal = is_match count."""
+    from ensembl_lakehouse_spark.operators import text as T
+
+    rows = T.langid_confusion(spark, SF_DIR).collect()
+    docs = T.text_langid(spark, SF_DIR).collect()
+    assert sum(r.n_cell for r in rows) == len(docs)
+    from collections import Counter
+
+    label_tot = Counter(d.lang for d in docs)
+    for r in rows:
+        assert r.n_label == label_tot[r.lang]
+    diag = sum(r.n_cell for r in rows if r.lang == r.predicted_lang)
+    assert diag == sum(1 for d in docs if d.is_match)
