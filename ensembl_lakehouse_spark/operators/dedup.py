@@ -179,9 +179,18 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_near(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + banded LSH,
-    verified with exact shingle-set Jaccard >= JACCARD_THRESHOLD.
+    verified with exact shingle-set Jaccard >= ``threshold``
+    (default JACCARD_THRESHOLD — oracle-pinned; per-request
+    overrides via service/params.py; the LSH band geometry stays
+    fixed, so lowering the threshold below the bands' S-curve
+    sweet spot trades recall, which minhash_calibration measures).
 
     Pipeline (each stage's shuffle justified in the module
     docstring): shingle → K-minhash signature (map-only) → explode
@@ -191,10 +200,12 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_a, doc_b, n_sh_a, n_sh_b, n_common, jaccard).
     """
-    return _near_pipeline(_shingled(spark, sf_dir))
+    return _near_pipeline(_shingled(spark, sf_dir), threshold)
 
 
-def _near_pipeline(s: DataFrame) -> DataFrame:
+def _near_pipeline(
+    s: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
     """MinHash+LSH+verify over any (doc_id, sh: array<string>)
     input — the shingle definition (word n-gram, char n-gram, url,
     …) is the caller's; the candidate lattice is shared.
@@ -245,7 +256,7 @@ def _near_pipeline(s: DataFrame) -> DataFrame:
             F.col("n_common").cast("double")
             / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")),
         )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .where(F.col("jaccard") >= threshold)
     )
     return scored
 

@@ -21,6 +21,7 @@ import json
 from dataclasses import dataclass
 from typing import Any, Callable
 
+from ensembl_lakehouse_spark.operators import dedup as _dedup
 from ensembl_lakehouse_spark.operators import search as _search
 from ensembl_lakehouse_spark.operators import similarity as _sim
 
@@ -86,6 +87,23 @@ def _int_spec(default: int, lo: int = 1, hi: int = MAX_K) -> ParamSpec:
     )
 
 
+def _coerce_float(raw: Any, lo: float, hi: float, name: str) -> float:
+    try:
+        val = float(raw)
+    except (TypeError, ValueError):
+        raise ParamError(f"{name} must be a number, got {raw!r}")
+    if not lo <= val <= hi:
+        raise ParamError(f"{name} must be in [{lo}, {hi}], got {val}")
+    return val
+
+
+def _float_spec(default: float, lo: float, hi: float) -> ParamSpec:
+    return ParamSpec(
+        coerce=lambda raw, _lo=lo, _hi=hi: _coerce_float(raw, _lo, _hi, "value"),
+        default=default,
+    )
+
+
 #: operator name -> {param name -> spec}. Operators not listed accept
 #: no parameters (fail closed). Keep defaults EQUAL to the operator
 #: keyword defaults — tests/test_params.py pins that equality so the
@@ -110,6 +128,11 @@ PARAM_SPECS: dict[str, dict[str, ParamSpec]] = {
         # select_k > pool degrades gracefully (returns <= pool rows)
         "select_k": _int_spec(_search.MMR_SELECT, lo=1, hi=20),
         "pool": _int_spec(_search.MMR_POOL, lo=2, hi=200),
+    },
+    "dedup_near": {
+        # verification threshold only — the LSH band geometry (and
+        # thus candidate recall) is fixed; see the operator docstring
+        "threshold": _float_spec(_dedup.JACCARD_THRESHOLD, 0.0, 1.0),
     },
     "similarity_ivf": {
         "n_probe": _int_spec(_sim.IVF_NPROBE, lo=1, hi=256),

@@ -174,3 +174,15 @@ def test_params_discovery_endpoint(server):
     assert status == 200 and spec == {}
     status, err = _get(server, "/analytics/nope/params")
     assert status == 400
+
+
+def test_dedup_near_threshold_param(server):
+    from ensembl_lakehouse_spark.operators import dedup as D
+
+    assert PARAM_SPECS["dedup_near"]["threshold"].default == D.JACCARD_THRESHOLD
+    assert resolve_params("dedup_near", {"threshold": "0.5"}) == {"threshold": 0.5}
+    with pytest.raises(ParamError):
+        resolve_params("dedup_near", {"threshold": "1.5"})
+    status, resp = _get(server, "/analytics/dedup_near?threshold=0.5")
+    assert status == 200
+    assert _wait(server, resp["query_id"]) == "SUCCEEDED"
