@@ -139,6 +139,7 @@ def _commit(
     op: str,
     expect_version: int | None,
     base_seen: int | None,
+    stats: dict | None = None,
 ) -> int:
     """Write manifest v{N} then atomically swap the pointer.
 
@@ -151,7 +152,9 @@ def _commit(
     what an object store's conditional PUT makes atomic.
     """
     with _table_lock(table_dir):
-        return _commit_locked(table_dir, files, op, expect_version, base_seen)
+        return _commit_locked(
+            table_dir, files, op, expect_version, base_seen, stats
+        )
 
 
 def _commit_locked(
@@ -160,6 +163,7 @@ def _commit_locked(
     op: str,
     expect_version: int | None,
     base_seen: int | None,
+    stats: dict | None = None,
 ) -> int:
     now_cur = current_version(table_dir)
     if expect_version is not None and now_cur != expect_version:
@@ -181,6 +185,9 @@ def _commit_locked(
         "parent": now_cur,
         "op": op,
         "files": sorted(files),
+        # per-file min/max skipping metadata (see _file_stats); keys
+        # are a subset of "files", absent entries are unprunable
+        "stats": stats or {},
         "committed_at": time.time(),
     }
     mpath = os.path.join(_manifest_dir(table_dir), f"v{version}.json")
@@ -217,6 +224,52 @@ def _write_data(table_dir: str, df: DataFrame, version_hint: int) -> list[str]:
     ]
 
 
+def _file_stats(table_dir: str, files: list[str]) -> dict:
+    """Per-file min/max column statistics from the parquet footers —
+    the Iceberg/Delta data-skipping metadata, collected ONCE at write
+    time (one local footer read per freshly written file; on object
+    storage this runs in the writer, so readers never touch footers).
+
+    Only numeric and boolean columns are recorded: their parquet
+    min/max ordering provably matches Spark's filter comparison.
+    String stats are deliberately excluded — parquet may truncate
+    them and UTF-8-byte vs UTF-16 ordering diverges on supplementary
+    characters, either of which could make pruning UNSOUND. A column
+    absent from a file's stats simply keeps that file unprunable
+    (conservative)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in files:
+        try:
+            meta = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        except Exception:
+            continue  # unreadable footer -> file stays unprunable
+        cols: dict[str, list] = {}
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    cols.pop(col.path_in_schema, None)
+                    continue
+                lo, hi = st.min, st.max
+                if not (
+                    isinstance(lo, (int, float, bool))
+                    and isinstance(hi, (int, float, bool))
+                ):
+                    continue
+                name = col.path_in_schema
+                if name in cols:
+                    cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
+                else:
+                    cols[name] = [lo, hi]
+        if cols:
+            out[rel] = cols
+    return out
+
+
 def write_snapshot(
     table_dir: str,
     df: DataFrame,
@@ -230,16 +283,54 @@ def write_snapshot(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     base = current_version(table_dir)
     files = _write_data(table_dir, df, (base if base is not None else -1) + 1)
+    stats = _file_stats(table_dir, files)
     if mode == "append" and base is not None:
-        files = files + _read_manifest(table_dir, base)["files"]
-    return _commit(table_dir, files, mode, expect_version, base)
+        prev = _read_manifest(table_dir, base)
+        files = files + prev["files"]
+        stats = {**prev.get("stats", {}), **stats}
+    return _commit(table_dir, files, mode, expect_version, base, stats)
+
+
+def files_for_range(
+    table_dir: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Data-skipping plan: the subset of ``version``'s files whose
+    [min, max] stats for ``column`` overlap [lo, hi], plus the total
+    file count. Files with no recorded stats for the column are
+    INCLUDED (conservative — skipping must never lose rows)."""
+    cur = current_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    version = cur if version is None else version
+    manifest = _read_manifest(table_dir, version)
+    stats = manifest.get("stats", {})
+    keep = []
+    for rel in manifest["files"]:
+        col = stats.get(rel, {}).get(column)
+        if col is None or (col[0] <= hi and col[1] >= lo):
+            keep.append(rel)
+    return keep, len(manifest["files"])
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    where_between: tuple | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: current) — time travel
-    is just resolving an older manifest's file list."""
+    is just resolving an older manifest's file list.
+
+    ``where_between=(column, lo, hi)`` additionally applies
+    manifest-level DATA SKIPPING: only files whose min/max stats
+    overlap the range are planned at all (the Iceberg/Delta read
+    path — at 100 TB this is the difference between scanning the
+    table and scanning the slice), and the exact BETWEEN filter is
+    applied on top so results equal a full-scan filter exactly."""
     cur = current_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
@@ -247,7 +338,16 @@ def read_snapshot(
     files = _read_manifest(table_dir, version)["files"]
     if not files:
         raise ValueError(f"v{version} of {table_dir} lists no files")
-    return spark.read.parquet(*(os.path.join(table_dir, f) for f in files))
+    if where_between is None:
+        return spark.read.parquet(*(os.path.join(table_dir, f) for f in files))
+    column, lo, hi = where_between
+    keep, _total = files_for_range(table_dir, column, lo, hi, version)
+    if not keep:
+        # every file skipped: keep the schema, return zero rows
+        df = spark.read.parquet(os.path.join(table_dir, files[0]))
+        return df.where("1 = 0")
+    df = spark.read.parquet(*(os.path.join(table_dir, f) for f in keep))
+    return df.where((df[column] >= lo) & (df[column] <= hi))
 
 
 def rollback(table_dir: str, version: int) -> int:
@@ -256,8 +356,15 @@ def rollback(table_dir: str, version: int) -> int:
     nothing is deleted, so the rolled-back-over version remains
     readable)."""
     base = current_version(table_dir)
-    files = _read_manifest(table_dir, version)["files"]
-    return _commit(table_dir, files, f"rollback:v{version}", None, base)
+    restored = _read_manifest(table_dir, version)
+    return _commit(
+        table_dir,
+        restored["files"],
+        f"rollback:v{version}",
+        None,
+        base,
+        restored.get("stats", {}),
+    )
 
 
 def merge_snapshot(
@@ -284,12 +391,18 @@ def merge_snapshot(
     base = current_version(table_dir)
     if base is None:
         files = _write_data(table_dir, updates, 0)
-        return _commit(table_dir, files, op, expect_version, base)
+        return _commit(
+            table_dir, files, op, expect_version, base,
+            _file_stats(table_dir, files),
+        )
     current = read_snapshot(spark, table_dir)
     kept = current.join(updates.select(*keys), on=keys, how="left_anti")
     merged = kept.unionByName(updates)
     files = _write_data(table_dir, merged, base + 1)
-    return _commit(table_dir, files, op, expect_version, base)
+    return _commit(
+        table_dir, files, op, expect_version, base,
+        _file_stats(table_dir, files),
+    )
 
 
 def committed_ops(table_dir: str) -> list[str]:
@@ -336,7 +449,10 @@ def compact(
     base = current_version(table_dir)
     df = read_snapshot(spark, table_dir).coalesce(target_files)
     files = _write_data(table_dir, df, (base if base is not None else -1) + 1)
-    return _commit(table_dir, files, "compact", expect_version, base)
+    return _commit(
+        table_dir, files, "compact", expect_version, base,
+        _file_stats(table_dir, files),
+    )
 
 
 def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:

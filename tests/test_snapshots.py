@@ -211,3 +211,50 @@ def test_txn_stamps_survive_vacuum(spark, tdir):
     assert ops == sorted(ops, key=ops.index)  # oldest-first, stable
     # and the retained manifest's op is still present exactly once
     assert ops.count("append") >= 1
+
+
+def test_data_skipping_prunes_files_and_matches_full_scan(spark, tdir):
+    """Manifest min/max stats: a range read plans only overlapping
+    files, returns exactly the full-scan-filter rows, and files
+    without stats stay unprunable (conservative)."""
+    df = spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    S.write_snapshot(tdir, df.repartitionByRange(8, "k"))
+    m = S._read_manifest(tdir, 0)
+    assert m["stats"], "stats recorded for fresh files"
+
+    keep, total = S.files_for_range(tdir, "k", 100, 150)
+    assert total == len(m["files"])
+    assert 0 < len(keep) < total  # actual skipping happened
+
+    pruned = S.read_snapshot(spark, tdir, where_between=("k", 100, 150))
+    full = S.read_snapshot(spark, tdir).where("k BETWEEN 100 AND 150")
+    assert sorted(r.k for r in pruned.collect()) == sorted(
+        r.k for r in full.collect()
+    )
+
+    # out-of-domain range: zero files planned, schema intact
+    empty = S.read_snapshot(spark, tdir, where_between=("k", 5000, 6000))
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+    # stats survive append carry-forward and rollback
+    S.write_snapshot(
+        tdir,
+        spark.range(2000, 2100).selectExpr("id AS k", "CAST(id AS STRING) AS v"),
+        mode="append",
+    )
+    keep2, total2 = S.files_for_range(tdir, "k", 2000, 2050)
+    assert total2 > total and 0 < len(keep2) < total2
+    S.rollback(tdir, 0)
+    assert S._read_manifest(tdir, S.current_version(tdir))["stats"]
+
+    # a manifest without stats (pre-feature table) is fully readable
+    # and fully unprunable
+    import json as _json, os as _os
+
+    mpath = _os.path.join(tdir, "_manifests", f"v{S.current_version(tdir)}.json")
+    m = _json.load(open(mpath))
+    m.pop("stats")
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+    keep3, total3 = S.files_for_range(tdir, "k", 100, 150)
+    assert len(keep3) == total3
