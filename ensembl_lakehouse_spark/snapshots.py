@@ -275,12 +275,27 @@ def write_snapshot(
     df: DataFrame,
     mode: str = "overwrite",
     expect_version: int | None = None,
+    cluster_by: list[str] | None = None,
+    n_files: int | None = None,
 ) -> int:
     """Commit df as the next snapshot. ``mode`` is ``overwrite``
     (replace logical content) or ``append`` (add to it); either way
-    no existing file is touched. Returns the committed version."""
+    no existing file is touched. Returns the committed version.
+
+    ``cluster_by`` range-partitions and sorts the data on the given
+    columns before writing (optionally into ``n_files`` files), so
+    each file's min/max stats cover a NARROW slice and
+    ``read_snapshot(where_between=...)`` skips almost everything
+    outside the queried range — the write-side half of data skipping
+    (Delta OPTIMIZE ZORDER's 1-d case; sources/layout.py has the
+    2-d Morton variant for raw parquet)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if cluster_by:
+        parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartitionByRange(parts, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
     base = current_version(table_dir)
     files = _write_data(table_dir, df, (base if base is not None else -1) + 1)
     stats = _file_stats(table_dir, files)

@@ -258,3 +258,28 @@ def test_data_skipping_prunes_files_and_matches_full_scan(spark, tdir):
         _json.dump(m, f)
     keep3, total3 = S.files_for_range(tdir, "k", 100, 150)
     assert len(keep3) == total3
+
+
+def test_clustered_write_improves_skipping(spark, tdir):
+    """cluster_by makes file stats disjoint: a narrow range read
+    plans ~1 file instead of all of them; unclustered (round-robin)
+    writes of the same data cannot prune at all."""
+    df = spark.range(0, 4000).selectExpr(
+        "CAST(pmod(id * 2654435761, 4096) AS BIGINT) AS k", "id AS v"
+    )
+    S.write_snapshot(tdir, df.repartition(8), cluster_by=["k"], n_files=8)
+    keep, total = S.files_for_range(tdir, "k", 100, 150)
+    assert total == 8 and len(keep) <= 2
+
+    flat = str(tdir) + "_flat"
+    S.write_snapshot(flat, df.repartition(8))  # hash layout: every file spans k
+    keep_f, total_f = S.files_for_range(flat, "k", 100, 150)
+    assert total_f == 8 and len(keep_f) == 8
+
+    got = sorted(
+        r.v for r in S.read_snapshot(
+            spark, tdir, where_between=("k", 100, 150)
+        ).collect()
+    )
+    want = sorted(r.v for r in df.where("k BETWEEN 100 AND 150").collect())
+    assert got == want
