@@ -1948,3 +1948,87 @@ FROM span JOIN days ON span.day = days.day
 GROUP BY span.day
 ORDER BY day
 """
+
+
+#: Conversion window for the forward as-of match (seconds).
+ASOF_FORWARD_HORIZON_SEC = 7 * 24 * 3600
+
+
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every ``click``, the FIRST ``purchase``
+    by the same user at-or-after the click (ties by event_id), plus
+    the conversion delay and a within-horizon flag — the
+    time-to-conversion attribution primitive (events_asof_join's
+    no-future-leakage twin looks backward; this one measures how far
+    FORWARD the outcome landed).
+
+    Same single-shuffle shape as the backward form: union both event
+    kinds, sort (user, ts DESC), one IGNORE-NULLS running ``last``
+    carries the earliest following purchase into each click row.
+    Delay is an exact BIGINT epoch difference, so the flag and the
+    delay are bit-stable cross-engine.
+    """
+    events = load_table(spark, sf_dir, "events")
+    both = events.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    carried = both.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr(
+            f"last(CASE WHEN event_type = 'purchase' THEN event_id END, true) OVER {w}"
+        ).alias("next_purchase_id"),
+        F.expr(
+            f"last(CASE WHEN event_type = 'purchase' THEN ts END, true) OVER {w}"
+        ).alias("next_purchase_ts"),
+    )
+    return (
+        carried.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "next_purchase_id",
+            "next_purchase_ts",
+            F.expr(
+                "CAST(unix_timestamp(next_purchase_ts) - unix_timestamp(ts) AS BIGINT)"
+            ).alias("delay_sec"),
+        )
+        .withColumn(
+            "converted",
+            F.expr(
+                f"COALESCE(CAST(unix_timestamp(next_purchase_ts)"
+                f" - unix_timestamp(click_ts) AS BIGINT)"
+                f" <= {ASOF_FORWARD_HORIZON_SEC}, FALSE)"
+            ),
+        )
+    )
+
+
+EVENTS_ASOF_FORWARD_SQL = f"""
+WITH both_sides AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+           OVER w AS next_purchase_id,
+         last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+           OVER w AS next_purchase_ts
+  FROM both_sides
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS click_id, ts AS click_ts,
+       next_purchase_id, next_purchase_ts,
+       CAST(floor(epoch(next_purchase_ts)) - floor(epoch(ts)) AS BIGINT) AS delay_sec,
+       COALESCE(CAST(floor(epoch(next_purchase_ts)) - floor(epoch(ts)) AS BIGINT)
+                <= {ASOF_FORWARD_HORIZON_SEC}, FALSE) AS converted
+FROM carried WHERE event_type = 'click'
+"""

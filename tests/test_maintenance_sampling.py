@@ -195,3 +195,46 @@ def test_sliding_distinct_matches_bruteforce(spark):
             want |= by_day.get(str(dt - datetime.timedelta(days=back)), set())
         assert got[day] == len(want), day
     assert set(got) == set(days)
+
+
+def test_asof_forward_matches_bruteforce(spark):
+    """Forward as-of pinned against a per-user Python recompute."""
+    got = {
+        r.click_id: (r.next_purchase_id, r.delay_sec, r.converted)
+        for r in R.events_asof_forward(spark, SF_DIR).collect()
+    }
+    evs = (
+        load_table(spark, SF_DIR, "events")
+        .where("event_type IN ('click', 'purchase')")
+        .collect()
+    )
+    by_user = {}
+    for e in evs:
+        by_user.setdefault(e.user_id, []).append(e)
+    import math
+
+    for u, rows in by_user.items():
+        rows.sort(key=lambda e: (e.ts, e.event_id))
+        for i, e in enumerate(rows):
+            if e.event_type != "click":
+                continue
+            nxt = next(
+                (
+                    p
+                    for p in rows[i:]
+                    if p.event_type == "purchase"
+                    and (p.ts, p.event_id) >= (e.ts, e.event_id)
+                ),
+                None,
+            )
+            want_id = nxt.event_id if nxt else None
+            got_id, delay, conv = got[e.event_id]
+            assert got_id == want_id, e.event_id
+            if nxt is None:
+                assert delay is None and conv is False
+            else:
+                want_delay = math.floor(nxt.ts.timestamp()) - math.floor(
+                    e.ts.timestamp()
+                )
+                assert delay == want_delay
+                assert conv == (delay <= R.ASOF_FORWARD_HORIZON_SEC)

@@ -54,6 +54,8 @@ BUDGETS = {
     # (day,user) dedup + per-day distinct lattice + observed-days
     # dedup feeding the (AQE-broadcast) join
     "events_sliding_distinct": 4,
+    # one user_id window shuffle, same as the backward as-of twin
+    "events_asof_forward": 1,
     # stats broadcast back: one agg shuffle, join must not add one
     "events_anomaly": 1,
     "value_winsorize": 1,
