@@ -45,26 +45,42 @@ _TOKS = "split(trim(text), '\\\\s+')"
 #: 1-based start positions of every chunk window for a token array
 #: bound as ``t``: 1, 1+S, 1+2S, …, covering the tail (last window
 #: may be shorter than CHUNK_W; every doc yields ≥1 chunk).
-_STARTS = (
-    f"transform(sequence(0, cast(greatest(size(t) - {CHUNK_W} + {CHUNK_S} - 1, 0) "
-    f"div {CHUNK_S} AS int)), i -> i * {CHUNK_S} + 1)"
-)
+def _starts_expr(width: int, stride: int) -> str:
+    """1-based start positions of every chunk window for a token
+    array bound as ``t``: 1, 1+S, 1+2S, …, covering the tail (last
+    window may be shorter than ``width``; every doc yields ≥1
+    chunk)."""
+    return (
+        f"transform(sequence(0, cast(greatest(size(t) - {width} + {stride} - 1, 0) "
+        f"div {stride} AS int)), i -> i * {stride} + 1)"
+    )
 
 
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split every document into CHUNK_W-token windows every CHUNK_S
-    tokens (CHUNK_W−CHUNK_S token overlap, the standard boundary-
-    context trick). Emits (doc_id, lang, chunk_idx, chunk_start,
-    n_chunk_tokens, chunk_fp) — the fingerprint stands in for the
-    chunk text so the contract result stays narrow; a pipeline keeps
-    the text column too (same plan, wider rows)."""
+_STARTS = _starts_expr(CHUNK_W, CHUNK_S)
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    width: int = CHUNK_W,
+    stride: int = CHUNK_S,
+) -> DataFrame:
+    """Split every document into ``width``-token windows every
+    ``stride`` tokens (width−stride token overlap, the standard
+    boundary-context trick; defaults oracle-pinned, per-request
+    overrides via service/params.py — chunk geometry is THE knob a
+    RAG/packing pipeline sweeps). Emits (doc_id, lang, chunk_idx,
+    chunk_start, n_chunk_tokens, chunk_fp) — the fingerprint stands
+    in for the chunk text so the contract result stays narrow; a
+    pipeline keeps the text column too (same plan, wider rows)."""
     docs = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     chunks = (
-        f"transform(array({_TOKS}), t -> transform({_STARTS}, "
+        f"transform(array({_TOKS}), t -> transform({_starts_expr(width, stride)}, "
         f"s -> named_struct("
         f"'chunk_start', s, "
-        f"'n_chunk_tokens', size(slice(t, s, {CHUNK_W})), "
-        f"'chunk_fp', md5(array_join(slice(t, s, {CHUNK_W}), ' ')))))[0]"
+        f"'n_chunk_tokens', size(slice(t, s, {width})), "
+        f"'chunk_fp', md5(array_join(slice(t, s, {width}), ' ')))))[0]"
     )
     return (
         docs.select(

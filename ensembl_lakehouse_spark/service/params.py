@@ -21,6 +21,7 @@ import json
 from dataclasses import dataclass
 from typing import Any, Callable
 
+from ensembl_lakehouse_spark.operators import chunking as _chunk
 from ensembl_lakehouse_spark.operators import dedup as _dedup
 from ensembl_lakehouse_spark.operators import search as _search
 from ensembl_lakehouse_spark.operators import similarity as _sim
@@ -129,6 +130,10 @@ PARAM_SPECS: dict[str, dict[str, ParamSpec]] = {
         "select_k": _int_spec(_search.MMR_SELECT, lo=1, hi=20),
         "pool": _int_spec(_search.MMR_POOL, lo=2, hi=200),
     },
+    "chunk_documents": {
+        "width": _int_spec(_chunk.CHUNK_W, lo=1, hi=8192),
+        "stride": _int_spec(_chunk.CHUNK_S, lo=1, hi=8192),
+    },
     "dedup_near": {
         # verification threshold only — the LSH band geometry (and
         # thus candidate recall) is fixed; see the operator docstring
@@ -138,6 +143,21 @@ PARAM_SPECS: dict[str, dict[str, ParamSpec]] = {
         "n_probe": _int_spec(_sim.IVF_NPROBE, lo=1, hi=256),
         "topk": _int_spec(_sim.TOP_K),
     },
+}
+
+
+def _check_chunk_geometry(p: dict[str, Any]) -> None:
+    if p["stride"] > p["width"]:
+        raise ParamError(
+            f"stride ({p['stride']}) must be <= width ({p['width']}) — "
+            "a larger stride would silently DROP the tokens between windows"
+        )
+
+
+#: Cross-field validators, run on the FULL resolved view (defaults +
+#: overrides) after per-param coercion.
+POST_CHECKS: dict[str, Callable[[dict], None]] = {
+    "chunk_documents": _check_chunk_geometry,
 }
 
 
@@ -167,6 +187,9 @@ def resolve_params(name: str, raw: dict[str, Any] | None) -> dict[str, Any]:
             raise ParamError(f"{key}: {exc}") from exc
         if coerced != spec[key].default:
             out[key] = coerced
+    check = POST_CHECKS.get(name)
+    if check is not None:
+        check({k: ps.default for k, ps in spec.items()} | out)
     return out
 
 

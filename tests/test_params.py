@@ -186,3 +186,20 @@ def test_dedup_near_threshold_param(server):
     status, resp = _get(server, "/analytics/dedup_near?threshold=0.5")
     assert status == 200
     assert _wait(server, resp["query_id"]) == "SUCCEEDED"
+
+
+def test_chunk_geometry_params(server):
+    from ensembl_lakehouse_spark.operators import chunking as C
+
+    assert PARAM_SPECS["chunk_documents"]["width"].default == C.CHUNK_W
+    assert resolve_params("chunk_documents", {"width": "128", "stride": "96"}) == {
+        "width": 128, "stride": 96,
+    }
+    # stride > width would drop tokens between windows: fail closed
+    with pytest.raises(ParamError):
+        resolve_params("chunk_documents", {"stride": "200", "width": "100"})
+    status, resp = _get(server, "/analytics/chunk_documents?width=32&stride=32")
+    assert status == 200
+    assert _wait(server, resp["query_id"]) == "SUCCEEDED"
+    status, err = _get(server, "/analytics/chunk_documents?stride=9000")
+    assert status == 400
