@@ -184,3 +184,68 @@ FROM placed
 GROUP BY lang, token_offset // {SEQ_LEN}
 ORDER BY lang, seq_id
 """
+
+
+#: Sample doc ids carried per repeated chunk (bounded array row).
+BOILERPLATE_SAMPLE = 8
+
+
+def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: chunk fingerprints that repeat across
+    DISTINCT documents — the header/footer/navigation text a
+    chunk-level pipeline strips before training (page-level dedup
+    misses it because the surrounding document differs; the repeated
+    WINDOW is the unit that matters). Emits per repeated fingerprint:
+    distinct docs, total occurrences, chunk width, and a sorted
+    capped sample of carrier doc_ids.
+
+    Plan: rides chunk_documents' map-only lattice; ONE partial agg
+    per fingerprint. The sample array is bounded (slice of
+    sort_array) exactly like inverted_postings' posting cap, so a
+    fingerprint appearing in millions of docs still yields one
+    narrow row at 100 TB.
+    """
+    chunks = chunk_documents(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("n_chunk_tokens").alias("n_chunk_tokens"),
+            F.slice(
+                F.sort_array(F.collect_set("doc_id")), 1, BOILERPLATE_SAMPLE
+            ).alias("sample_doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "chunk_fp")
+    )
+
+
+CHUNK_BOILERPLATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, text FROM documents WHERE length(trim(text)) > 0
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM t
+), starts AS (
+  SELECT doc_id, tk,
+         unnest(range(0, CAST(greatest(len(tk) - {CHUNK_W} + {CHUNK_S} - 1, 0)
+                              // {CHUNK_S} AS BIGINT) + 1)) AS i
+  FROM toks
+), chunks AS (
+  SELECT doc_id,
+         len(list_slice(tk, i * {CHUNK_S} + 1, i * {CHUNK_S} + {CHUNK_W})) AS n_chunk_tokens,
+         md5(list_aggregate(list_slice(tk, i * {CHUNK_S} + 1, i * {CHUNK_S} + {CHUNK_W}),
+             'string_agg', ' ')) AS chunk_fp
+  FROM starts
+)
+SELECT chunk_fp,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       CAST(MAX(n_chunk_tokens) AS BIGINT) AS n_chunk_tokens,
+       list_slice(list_sort(list_distinct(list(doc_id))), 1, {BOILERPLATE_SAMPLE})
+         AS sample_doc_ids
+FROM chunks
+GROUP BY chunk_fp
+HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY n_docs DESC, n_occurrences DESC, chunk_fp
+"""

@@ -64,6 +64,8 @@ BUDGETS = {
     "cust_order_distribution": 2,
     "merge_upsert": 2,
     "pack_sequences": 2,
+    # map-only chunk lattice + one fingerprint agg (distinct inside)
+    "chunk_boilerplate": 2,
     # diagnostics: calibration shares dedup_near's lattice (band
     # window + pair distinct); the recall audit composes three ANN
     # pipelines (their per-query windows) + the hit-join agg.

@@ -198,3 +198,23 @@ def test_langid_confusion_totals(spark):
         assert r.n_label == label_tot[r.lang]
     diag = sum(r.n_cell for r in rows if r.lang == r.predicted_lang)
     assert diag == sum(1 for d in docs if d.is_match)
+
+
+def test_chunk_boilerplate_flags_cross_doc_repeats(spark):
+    """Every flagged fingerprint genuinely appears in >1 distinct doc
+    (recomputed from chunk_documents); sample ids are carriers."""
+    from collections import defaultdict
+
+    from ensembl_lakehouse_spark.operators import chunking as C
+
+    chunks = C.chunk_documents(spark, SF_DIR).collect()
+    carriers = defaultdict(set)
+    for c in chunks:
+        carriers[c.chunk_fp].add(c.doc_id)
+    rows = C.chunk_boilerplate(spark, SF_DIR).collect()
+    flagged = {r.chunk_fp for r in rows}
+    assert flagged == {fp for fp, d in carriers.items() if len(d) > 1}
+    for r in rows:
+        assert r.n_docs == len(carriers[r.chunk_fp])
+        assert set(r.sample_doc_ids) <= carriers[r.chunk_fp]
+        assert len(r.sample_doc_ids) <= C.BOILERPLATE_SAMPLE
