@@ -117,9 +117,13 @@ FROM starts
 """
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lay chunks end-to-end per pack group (lang) and cut SEQ_LEN-
-    token training sequences: per sequence, how many chunks/docs
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, *, seq_len: int = SEQ_LEN
+) -> DataFrame:
+    """Lay chunks end-to-end per pack group (lang) and cut
+    ``seq_len``-token training sequences (default SEQ_LEN,
+    oracle-pinned; service/params.py carries per-request overrides —
+    context length is the other half of the chunk-geometry sweep): per sequence, how many chunks/docs
     feed it and how full it is. The concat-then-chunk accounting —
     zero padding waste; a chunk straddling the boundary counts
     toward the sequence where it starts.
@@ -141,7 +145,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.expr(f"sum(n_chunk_tokens) OVER {w}") - F.col("n_chunk_tokens")
         ).alias("token_offset"),
-    ).withColumn("seq_id", F.expr(f"token_offset div {SEQ_LEN}"))
+    ).withColumn("seq_id", F.expr(f"token_offset div {seq_len}"))
     return (
         placed.groupBy("lang", "seq_id")
         .agg(

@@ -134,6 +134,9 @@ PARAM_SPECS: dict[str, dict[str, ParamSpec]] = {
         "width": _int_spec(_chunk.CHUNK_W, lo=1, hi=8192),
         "stride": _int_spec(_chunk.CHUNK_S, lo=1, hi=8192),
     },
+    "pack_sequences": {
+        "seq_len": _int_spec(_chunk.SEQ_LEN, lo=16, hi=1_048_576),
+    },
     "dedup_near": {
         # verification threshold only — the LSH band geometry (and
         # thus candidate recall) is fixed; see the operator docstring

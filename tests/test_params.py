@@ -203,3 +203,12 @@ def test_chunk_geometry_params(server):
     assert _wait(server, resp["query_id"]) == "SUCCEEDED"
     status, err = _get(server, "/analytics/chunk_documents?stride=9000")
     assert status == 400
+
+
+def test_pack_seq_len_param(server):
+    from ensembl_lakehouse_spark.operators import chunking as C
+
+    assert PARAM_SPECS["pack_sequences"]["seq_len"].default == C.SEQ_LEN
+    status, resp = _get(server, "/analytics/pack_sequences?seq_len=128")
+    assert status == 200
+    assert _wait(server, resp["query_id"]) == "SUCCEEDED"
