@@ -42,9 +42,7 @@ SEQ_LEN = 512
 
 _TOKS = "split(trim(text), '\\\\s+')"
 
-#: 1-based start positions of every chunk window for a token array
-#: bound as ``t``: 1, 1+S, 1+2S, …, covering the tail (last window
-#: may be shorter than CHUNK_W; every doc yields ≥1 chunk).
+
 def _starts_expr(width: int, stride: int) -> str:
     """1-based start positions of every chunk window for a token
     array bound as ``t``: 1, 1+S, 1+2S, …, covering the tail (last
@@ -54,9 +52,6 @@ def _starts_expr(width: int, stride: int) -> str:
         f"transform(sequence(0, cast(greatest(size(t) - {width} + {stride} - 1, 0) "
         f"div {stride} AS int)), i -> i * {stride} + 1)"
     )
-
-
-_STARTS = _starts_expr(CHUNK_W, CHUNK_S)
 
 
 def chunk_documents(

@@ -2002,10 +2002,8 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "converted",
-            F.expr(
-                f"COALESCE(CAST(unix_timestamp(next_purchase_ts)"
-                f" - unix_timestamp(click_ts) AS BIGINT)"
-                f" <= {ASOF_FORWARD_HORIZON_SEC}, FALSE)"
+            F.coalesce(
+                F.col("delay_sec") <= ASOF_FORWARD_HORIZON_SEC, F.lit(False)
             ),
         )
     )

@@ -237,6 +237,8 @@ def _file_stats(table_dir: str, files: list[str]) -> dict:
     characters, either of which could make pruning UNSOUND. A column
     absent from a file's stats simply keeps that file unprunable
     (conservative)."""
+    import math
+
     import pyarrow.parquet as pq
 
     out: dict[str, dict[str, list]] = {}
@@ -246,21 +248,40 @@ def _file_stats(table_dir: str, files: list[str]) -> dict:
         except Exception:
             continue  # unreadable footer -> file stays unprunable
         cols: dict[str, list] = {}
+        # once ANY row group leaves a column uncovered, it must stay
+        # unprunable for the whole file — re-adding it from a later
+        # row group would record a range that does not cover the
+        # stat-less rows (pruning would silently drop them)
+        dead: set[str] = set()
         for rg in range(meta.num_row_groups):
             group = meta.row_group(rg)
             for ci in range(group.num_columns):
                 col = group.column(ci)
+                name = col.path_in_schema
+                if name in dead:
+                    continue
                 st = col.statistics
                 if st is None or not st.has_min_max:
-                    cols.pop(col.path_in_schema, None)
+                    cols.pop(name, None)
+                    dead.add(name)
                     continue
                 lo, hi = st.min, st.max
                 if not (
                     isinstance(lo, (int, float, bool))
                     and isinstance(hi, (int, float, bool))
                 ):
+                    dead.add(name)
+                    cols.pop(name, None)
                     continue
-                name = col.path_in_schema
+                # NaN/inf poison both the overlap comparison (NaN
+                # compares False, so overlapping files get skipped —
+                # data loss) and the manifest JSON (non-RFC numbers)
+                if isinstance(lo, float) and not math.isfinite(lo) or (
+                    isinstance(hi, float) and not math.isfinite(hi)
+                ):
+                    dead.add(name)
+                    cols.pop(name, None)
+                    continue
                 if name in cols:
                     cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
                 else:
@@ -306,6 +327,16 @@ def write_snapshot(
     return _commit(table_dir, files, mode, expect_version, base, stats)
 
 
+def _prune_manifest(manifest: dict, column: str, lo, hi) -> list[str]:
+    stats = manifest.get("stats", {})
+    keep = []
+    for rel in manifest["files"]:
+        col = stats.get(rel, {}).get(column)
+        if col is None or (col[0] <= hi and col[1] >= lo):
+            keep.append(rel)
+    return keep
+
+
 def files_for_range(
     table_dir: str,
     column: str,
@@ -322,13 +353,7 @@ def files_for_range(
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     version = cur if version is None else version
     manifest = _read_manifest(table_dir, version)
-    stats = manifest.get("stats", {})
-    keep = []
-    for rel in manifest["files"]:
-        col = stats.get(rel, {}).get(column)
-        if col is None or (col[0] <= hi and col[1] >= lo):
-            keep.append(rel)
-    return keep, len(manifest["files"])
+    return _prune_manifest(manifest, column, lo, hi), len(manifest["files"])
 
 
 def read_snapshot(
@@ -350,13 +375,14 @@ def read_snapshot(
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     version = cur if version is None else version
-    files = _read_manifest(table_dir, version)["files"]
+    manifest = _read_manifest(table_dir, version)
+    files = manifest["files"]
     if not files:
         raise ValueError(f"v{version} of {table_dir} lists no files")
     if where_between is None:
         return spark.read.parquet(*(os.path.join(table_dir, f) for f in files))
     column, lo, hi = where_between
-    keep, _total = files_for_range(table_dir, column, lo, hi, version)
+    keep = _prune_manifest(manifest, column, lo, hi)
     if not keep:
         # every file skipped: keep the schema, return zero rows
         df = spark.read.parquet(os.path.join(table_dir, files[0]))

@@ -283,3 +283,24 @@ def test_clustered_write_improves_skipping(spark, tdir):
     )
     want = sorted(r.v for r in df.where("k BETWEEN 100 AND 150").collect())
     assert got == want
+
+
+def test_nan_stats_never_skip_files(spark, tdir):
+    """Review regression (reproduced pre-fix): Spark writes max=NaN
+    parquet stats for double columns containing NaN; NaN compares
+    False in the overlap test, so the file was skipped and rows
+    silently lost. Non-finite stats must leave the column unprunable
+    for that file."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 5.0), (3, 7.0)], ["k", "x"]
+    ).coalesce(1)
+    S.write_snapshot(tdir, df)
+    stats = S._read_manifest(tdir, 0)["stats"]
+    for cols in stats.values():
+        assert "x" not in cols  # NaN-poisoned column dropped from stats
+        for lo, hi in cols.values():
+            assert math.isfinite(lo) and math.isfinite(hi)
+    got = S.read_snapshot(spark, tdir, where_between=("x", 5, 10)).collect()
+    assert sorted(r.k for r in got) == [2, 3]
