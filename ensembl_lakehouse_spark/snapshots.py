@@ -482,13 +482,26 @@ def compact(
     table_dir: str,
     target_files: int = 1,
     expect_version: int | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Rewrite the current snapshot into ``target_files`` files — the
     small-file maintenance pass for append/streaming-heavy tables.
     Logical content is unchanged (asserted by the caller's tests);
-    old files stay readable for older versions."""
+    old files stay readable for older versions.
+
+    ``cluster_by`` additionally range-sorts the rewrite (Delta
+    OPTIMIZE ZORDER's 1-d analog): streaming appends land in
+    arrival order, so their per-file stats overlap everywhere and
+    prune nothing — one clustered compaction afterwards makes the
+    same manifest stats disjoint and range reads selective again."""
     base = current_version(table_dir)
-    df = read_snapshot(spark, table_dir).coalesce(target_files)
+    df = read_snapshot(spark, table_dir)
+    if cluster_by:
+        df = df.repartitionByRange(target_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        df = df.coalesce(target_files)
     files = _write_data(table_dir, df, (base if base is not None else -1) + 1)
     return _commit(
         table_dir, files, "compact", expect_version, base,

@@ -304,3 +304,33 @@ def test_nan_stats_never_skip_files(spark, tdir):
             assert math.isfinite(lo) and math.isfinite(hi)
     got = S.read_snapshot(spark, tdir, where_between=("x", 5, 10)).collect()
     assert sorted(r.k for r in got) == [2, 3]
+
+
+def test_clustered_compaction_restores_skipping(spark, tdir):
+    """Arrival-order appends prune nothing; compact(cluster_by=)
+    makes the SAME data range-selective again, content unchanged."""
+    import random
+
+    rnd = random.Random(7)
+    ids = list(range(2000))
+    rnd.shuffle(ids)
+    for batch in range(4):  # interleaved arrival order
+        chunk = ids[batch * 500 : (batch + 1) * 500]
+        S.write_snapshot(
+            tdir,
+            spark.createDataFrame([(k, batch) for k in chunk], ["k", "b"]).coalesce(2),
+            mode="append" if batch else "overwrite",
+        )
+    keep_before, total_before = S.files_for_range(tdir, "k", 100, 199)
+    assert len(keep_before) == total_before  # nothing prunable
+
+    S.compact(spark, tdir, target_files=8, cluster_by=["k"])
+    keep_after, total_after = S.files_for_range(tdir, "k", 100, 199)
+    assert total_after == 8 and len(keep_after) <= 2
+    got = sorted(
+        r.k for r in S.read_snapshot(
+            spark, tdir, where_between=("k", 100, 199)
+        ).collect()
+    )
+    assert got == list(range(100, 200))
+    assert S.read_snapshot(spark, tdir).count() == 2000
