@@ -397,10 +397,17 @@ SELECT q_id, rank, vec_id, label, cosine FROM ranked WHERE rank <= {TOP_K}
 EMBED_DUP_THRESHOLD = 0.45
 
 
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = EMBED_DUP_THRESHOLD,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidate pairs from
     shared LSH buckets (never all-pairs), verified with exact
-    cosine ≥ EMBED_DUP_THRESHOLD. Same banded-LSH shape as the text
+    cosine ≥ ``threshold`` (default oracle-pinned; per-request
+    overrides via service/params.py — the verify gate only, bucket
+    geometry and thus candidate recall stay fixed). Same banded-LSH shape as the text
     MinHash dedup, in vector space; at production thresholds
     (≥0.95) the bucket keys get longer (P up) and the candidate set
     collapses to near-misses only.
@@ -447,7 +454,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
         .withColumn("cosine", F.expr(f"{_dot_expr('emb_a', 'emb_b')} / (nrm_a * nrm_b)"))
-        .where(F.col("cosine") >= EMBED_DUP_THRESHOLD)
+        .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
 
@@ -513,11 +520,16 @@ SELECT q_id, rank, vec_id, label, cosine FROM ranked WHERE rank <= {TOP_K}
 SEMANTIC_THRESHOLD = 0.30
 
 
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = SEMANTIC_THRESHOLD,
+) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
     the embedding space coarsely, then mark a vector a duplicate if
-    some LOWER-id member of its own cluster sits above
-    SEMANTIC_THRESHOLD cosine — keep-lowest-id, the same canonical-
+    some LOWER-id member of its own cluster sits above ``threshold``
+    cosine (default oracle-pinned; service/params.py overrides) — keep-lowest-id, the same canonical-
     representative convention as dedup_exact.
 
     Emits every vector with its cell, the max cosine to any
@@ -583,7 +595,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         "max_lower_cos",
         F.coalesce(
-            F.col("max_lower_cos") >= SEMANTIC_THRESHOLD, F.lit(False)
+            F.col("max_lower_cos") >= threshold, F.lit(False)
         ).alias("is_semantic_dup"),
     )
 

@@ -142,6 +142,12 @@ PARAM_SPECS: dict[str, dict[str, ParamSpec]] = {
         # thus candidate recall) is fixed; see the operator docstring
         "threshold": _float_spec(_dedup.JACCARD_THRESHOLD, 0.0, 1.0),
     },
+    "dedup_embedding": {
+        "threshold": _float_spec(_sim.EMBED_DUP_THRESHOLD, -1.0, 1.0),
+    },
+    "dedup_semantic": {
+        "threshold": _float_spec(_sim.SEMANTIC_THRESHOLD, -1.0, 1.0),
+    },
     "similarity_ivf": {
         "n_probe": _int_spec(_sim.IVF_NPROBE, lo=1, hi=256),
         "topk": _int_spec(_sim.TOP_K),

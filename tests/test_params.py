@@ -212,3 +212,13 @@ def test_pack_seq_len_param(server):
     status, resp = _get(server, "/analytics/pack_sequences?seq_len=128")
     assert status == 200
     assert _wait(server, resp["query_id"]) == "SUCCEEDED"
+
+
+def test_embedding_threshold_params():
+    assert PARAM_SPECS["dedup_embedding"]["threshold"].default == SIM.EMBED_DUP_THRESHOLD
+    assert PARAM_SPECS["dedup_semantic"]["threshold"].default == SIM.SEMANTIC_THRESHOLD
+    assert resolve_params("dedup_embedding", {"threshold": "0.9"}) == {
+        "threshold": 0.9
+    }
+    with pytest.raises(ParamError):
+        resolve_params("dedup_semantic", {"threshold": "2.0"})
