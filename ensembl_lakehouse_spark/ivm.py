@@ -1,0 +1,110 @@
+"""Incremental view maintenance (IVM) over snapshot-table CDC: keep
+a grouped rollup in sync with a source snapshot table by applying
+``snapshot_diff`` deltas, never re-scanning the source (EXT X10/X6
+composition; the reference has no mutable tables at all — its
+results are immutable per-query objects, app/tasks.py:16-21).
+
+Why this module is the scale story: at 100 TB the source table
+changes by a few GB per commit; recomputing a rollup scans 100 TB,
+while applying the CDC delta costs O(changed rows). That asymmetry
+is what Materialize/Delta Live Tables sell; here it falls out of
+parts the repo already has — ``snapshot_diff`` (row-level CDC from
+two immutable file lists), ``merge_snapshot`` (keyed copy-on-write
+upsert), and the retention-independent ``_txns`` op stamps for
+exactly-once application (a replayed maintenance run is a no-op).
+
+Semantics: the rollup stores per group ``n_rows`` and ``sum_val``
+(COUNT/SUM — the self-maintainable aggregates; MIN/MAX would need
+the per-group re-scan on deletes, the classic IVM limitation).
+Groups whose count reaches zero stay as TOMBSTONE rows (merge
+cannot delete); ``read_rollup`` filters them, and the equivalence
+test pins read_rollup == full recompute at every version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ensembl_lakehouse_spark import snapshots as SN
+
+_STAMP = "ivm:src_v{v}"
+
+
+def _applied_versions(rollup_dir: str) -> list[int]:
+    out = []
+    for op in SN.committed_ops(rollup_dir):
+        if op.startswith("ivm:src_v"):
+            out.append(int(op.rsplit("v", 1)[1]))
+    return sorted(out)
+
+
+def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """The maintained view, tombstones filtered."""
+    return SN.read_snapshot(spark, rollup_dir).where(F.col("n_rows") > 0)
+
+
+def maintain_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    rollup_dir: str,
+    group_cols: list[str],
+    sum_col: str,
+) -> dict:
+    """Bring the rollup up to the source's CURRENT version.
+
+    First call: one full aggregate of the source (unavoidable — the
+    initial state). Every later call: ``snapshot_diff`` between the
+    last applied source version and the current one, aggregated to
+    per-group (±count, ±sum) deltas — cost ∝ changed rows — merged
+    into the rollup keyed on the group columns. The commit is
+    stamped ``ivm:src_v{V}``, so re-running after a crash (or a
+    duplicate scheduler tick) is a no-op.
+
+    Returns {"applied": from_v_exclusive..to_v or None, "mode":
+    "full"|"delta"|"noop"}.
+    """
+    src_v = SN.current_version(source_dir)
+    if src_v is None:
+        raise FileNotFoundError(f"no committed snapshot in {source_dir}")
+    stamp = _STAMP.format(v=src_v)
+    applied = _applied_versions(rollup_dir)
+    if applied and applied[-1] == src_v:
+        return {"applied": None, "mode": "noop"}
+
+    if not applied:
+        full = (
+            SN.read_snapshot(spark, source_dir)
+            .groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(sum_col).cast("bigint")).alias("sum_val"),
+            )
+        )
+        SN.merge_snapshot(spark, rollup_dir, full, key=group_cols, op=stamp)
+        return {"applied": src_v, "mode": "full"}
+
+    last = applied[-1]
+    diff = SN.snapshot_diff(spark, source_dir, last, src_v)
+    sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        diff.groupBy(*group_cols)
+        .agg(
+            F.sum(sign).alias("d_rows"),
+            F.sum(sign * F.col(sum_col).cast("bigint")).alias("d_sum"),
+        )
+    )
+    current = SN.read_snapshot(spark, rollup_dir)
+    updated = (
+        delta.join(current, on=group_cols, how="left")
+        .select(
+            *group_cols,
+            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")).alias(
+                "n_rows"
+            ),
+            (F.coalesce(F.col("sum_val"), F.lit(0)) + F.col("d_sum")).alias(
+                "sum_val"
+            ),
+        )
+    )
+    SN.merge_snapshot(spark, rollup_dir, updated, key=group_cols, op=stamp)
+    return {"applied": src_v, "mode": "delta"}
