@@ -214,6 +214,25 @@ def write_zordered(
     ``_zval`` is retained in the files (harmless, and it lets tests
     and future OPTIMIZE passes see the clustering key).
     """
+    (
+        with_morton_key(df, col_x, col_y)
+        .repartitionByRange(n_files, F.col("_zval"))
+        .sortWithinPartitions("_zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def with_morton_key(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Append the Morton (Z-order) key column ``_zval`` interleaving
+    ``col_x``/``col_y`` min-max-normalized to ZBITS bits each — the
+    shared clustering-key builder for write_zordered and for
+    snapshot-layer 2-d skipping (``snapshots.write_snapshot(df_z,
+    cluster_by=["_zval"])`` makes manifest stats rectangular in
+    (x, y), so ``files_for_range`` prunes on EITHER column).
+
+    The min/max scan is one 1-row aggregate (bounded-collect class).
+    """
     lo_hi = df.agg(
         F.min(col_x).alias("xlo"),
         F.max(col_x).alias("xhi"),
@@ -234,13 +253,9 @@ def write_zordered(
         f" + (shiftright(yb, {i}) % 2) * {1 << (2 * i + 1)}"
         for i in range(ZBITS)
     )
-    (
+    return (
         df.withColumn("xb", F.expr(norm(col_x, lo_hi.xlo, lo_hi.xhi)))
         .withColumn("yb", F.expr(norm(col_y, lo_hi.ylo, lo_hi.yhi)))
         .withColumn("_zval", F.expr(interleave))
         .drop("xb", "yb")
-        .repartitionByRange(n_files, F.col("_zval"))
-        .sortWithinPartitions("_zval")
-        .write.mode("overwrite")
-        .parquet(path)
     )

@@ -334,3 +334,26 @@ def test_clustered_compaction_restores_skipping(spark, tdir):
     )
     assert got == list(range(100, 200))
     assert S.read_snapshot(spark, tdir).count() == 2000
+
+
+def test_zorder_cluster_gives_two_dimensional_skipping(spark, tdir):
+    """Snapshot written clustered on the Morton key prunes files on
+    EITHER dimension; results equal the full-scan filters."""
+    from ensembl_lakehouse_spark.sources.layout import with_morton_key
+
+    df = spark.range(0, 4096).selectExpr(
+        "CAST(id % 64 AS BIGINT) AS x", "CAST(id div 64 AS BIGINT) AS y", "id AS v"
+    )
+    S.write_snapshot(tdir, with_morton_key(df, "x", "y"), cluster_by=["_zval"], n_files=16)
+    for col, lo, hi in (("x", 0, 7), ("y", 0, 7)):
+        keep, total = S.files_for_range(tdir, col, lo, hi)
+        assert total == 16 and len(keep) < total, (col, len(keep))
+        got = sorted(
+            r.v for r in S.read_snapshot(
+                spark, tdir, where_between=(col, lo, hi)
+            ).collect()
+        )
+        want = sorted(
+            r.v for r in df.where(f"{col} BETWEEN {lo} AND {hi}").collect()
+        )
+        assert got == want
