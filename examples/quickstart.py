@@ -98,7 +98,25 @@ def main() -> None:
     print("backfill:", out, "| rows:",
           snapshots.read_snapshot(spark, scored_dir).count())
 
-    # 3c — persisted ANN index: build, serve, incremental add --------
+    # 3c — incremental view maintenance from CDC deltas --------------
+    from ensembl_lakehouse_spark import ivm
+
+    rollup_dir = f"{work}/lang_rollup"
+    src_docs = f"{work}/docs_src"
+    snapshots.write_snapshot(
+        src_docs, quality.select("doc_id", "lang", "n_tokens")
+    )
+    print("ivm:", ivm.maintain_rollup(spark, src_docs, rollup_dir, ["lang"], "n_tokens"))
+    snapshots.merge_snapshot(
+        spark, src_docs,
+        quality.select("doc_id", "lang", "n_tokens").limit(5)
+        .withColumn("n_tokens", F.col("n_tokens") + 100),
+        key="doc_id",
+    )
+    print("ivm:", ivm.maintain_rollup(spark, src_docs, rollup_dir, ["lang"], "n_tokens"))
+    print("rollup rows:", ivm.read_rollup(spark, rollup_dir).count())
+
+    # 3d — persisted ANN index: build, serve, incremental add --------
     from ensembl_lakehouse_spark import ann_index
 
     idx_dir = f"{work}/ivf_index"
