@@ -101,6 +101,24 @@ class Catalog:
         self._tables[name] = ""
         self.cache.invalidate_prefix(META_PREFIX)
 
+    def register_snapshot(
+        self, name: str, table_dir: str, version: int | None = None
+    ) -> None:
+        """Register a snapshots.py table (optionally a time-travel
+        version) as queryable view ``name`` — the versioned lakehouse
+        layer surfaced through the SAME catalog the fixture lake and
+        the raw-SQL endpoint use, so ``GET /sql`` can join a curated
+        snapshot against the source tables. The view pins the
+        registration-time file list (snapshot isolation: later
+        commits don't shift a registered reader); re-register to
+        advance."""
+        from ensembl_lakehouse_spark import snapshots as SN
+
+        df = SN.read_snapshot(self.spark, table_dir, version=version)
+        df.createOrReplaceTempView(name)
+        self._tables[name] = table_dir
+        self.cache.invalidate_prefix(META_PREFIX)
+
     def register_dir(self, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES) -> None:
         """Register every fixture table under ``sf_dir``."""
         for name in tables:

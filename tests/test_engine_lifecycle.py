@@ -329,3 +329,35 @@ def test_submit_sql_literal_case_not_collided(engine):
     assert c != b  # sanity: not colliding with the 'r' one
     engine.registry.wait(a, timeout=120)
     engine.registry.wait(b, timeout=120)
+
+
+def test_raw_sql_over_registered_snapshot(engine, spark, tmp_path):
+    """The versioned lakehouse layer through the service: commit a
+    snapshot table, register it, query it (joined to a fixture
+    table) via submit_sql; re-register after a merge advances the
+    view; version pin time-travels."""
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    tdir = str(tmp_path / "curated_docs")
+    base = spark.createDataFrame(
+        [(1, "en"), (2, "fr"), (3, "en")], ["doc_id", "lang"]
+    )
+    SN.write_snapshot(tdir, base)
+    engine.catalog.register_snapshot("curated_docs", tdir)
+    resp = engine.submit_sql(
+        "SELECT c.lang, COUNT(*) AS n FROM curated_docs c "
+        "JOIN documents d ON c.doc_id = d.doc_id GROUP BY c.lang ORDER BY c.lang"
+    )
+    engine.registry.wait(resp["query_id"], timeout=120)
+    assert engine.query_status(resp["query_id"])["status"] == "SUCCEEDED"
+
+    SN.merge_snapshot(
+        spark, tdir,
+        spark.createDataFrame([(4, "de")], ["doc_id", "lang"]), key="doc_id",
+    )
+    # registered view is snapshot-isolated until re-registration
+    assert engine.spark.table("curated_docs").count() == 3
+    engine.catalog.register_snapshot("curated_docs", tdir)
+    assert engine.spark.table("curated_docs").count() == 4
+    engine.catalog.register_snapshot("curated_docs", tdir, version=0)
+    assert engine.spark.table("curated_docs").count() == 3
