@@ -78,8 +78,26 @@ class Catalog:
         self.spark = spark
         self.cache = cache if cache is not None else KVCache()
         self._tables: dict[str, str] = {}  # name -> source path ('' = pre-registered view)
+        #: name -> content identity of the registered view (path /
+        #: snapshot version / unique df token) — see view_fingerprint
+        self._view_state: dict[str, str] = {}
 
     # -- registration -------------------------------------------------
+
+    def view_fingerprint(self) -> str:
+        """Content fingerprint of the catalog's registered-view
+        state. The raw-SQL semantic cache folds this into its key:
+        the same SQL text against a DIFFERENT registration state
+        (a re-registered snapshot that advanced, a re-pointed
+        parquet path) must not share a cache entry, or /sql serves
+        pre-advance rows for the 44-day TTL. DataFrame registrations
+        fingerprint as unique tokens (their content has no stable
+        identity), trading cache sharing for correctness."""
+        import hashlib as _hashlib
+        import json as _json
+
+        canon = _json.dumps(sorted(self._view_state.items()))
+        return _hashlib.sha256(canon.encode()).hexdigest()[:16]
 
     def register_parquet(self, name: str, path: str) -> None:
         """Register ``path`` as table ``name``. The basename is
@@ -94,11 +112,15 @@ class Catalog:
             df = self.spark.read.parquet(path)
         df.createOrReplaceTempView(name)
         self._tables[name] = path
+        self._view_state[name] = f"parquet:{path}"
         self.cache.invalidate_prefix(META_PREFIX)  # metadata changed
 
     def register_dataframe(self, name: str, df: DataFrame) -> None:
+        import uuid as _uuid
+
         df.createOrReplaceTempView(name)
         self._tables[name] = ""
+        self._view_state[name] = f"df:{_uuid.uuid4().hex}"
         self.cache.invalidate_prefix(META_PREFIX)
 
     def register_snapshot(
@@ -114,9 +136,13 @@ class Catalog:
         advance."""
         from ensembl_lakehouse_spark import snapshots as SN
 
-        df = SN.read_snapshot(self.spark, table_dir, version=version)
+        resolved = (
+            SN.current_version(table_dir) if version is None else version
+        )
+        df = SN.read_snapshot(self.spark, table_dir, version=resolved)
         df.createOrReplaceTempView(name)
         self._tables[name] = table_dir
+        self._view_state[name] = f"snapshot:{table_dir}@v{resolved}"
         self.cache.invalidate_prefix(META_PREFIX)
 
     def register_dir(self, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES) -> None:

@@ -216,8 +216,14 @@ class Engine:
         except Exception as exc:
             raise QueryValidationError(f"SQL does not bind: {exc}") from exc
         # quote-aware canonicalization: keywords fold, string
-        # literals stay byte-exact ('EN' vs 'en' must not collide)
-        key = "sql\x1f" + canonical_sql_text(sql)
+        # literals stay byte-exact ('EN' vs 'en' must not collide).
+        # The catalog view fingerprint is part of the key: identical
+        # SQL against a re-registered (advanced) snapshot view must
+        # MISS, not serve the pre-advance rows for 44 days.
+        key = (
+            "sql\x1f" + self.catalog.view_fingerprint()
+            + "\x1f" + canonical_sql_text(sql)
+        )
         query_id = self.registry.submit(df, cache_key=key)
         return {
             "query_id": query_id,

@@ -11,7 +11,8 @@ is what Materialize/Delta Live Tables sell; here it falls out of
 parts the repo already has — ``snapshot_diff`` (row-level CDC from
 two immutable file lists), ``merge_snapshot`` (keyed copy-on-write
 upsert), and the retention-independent ``_txns`` op stamps for
-exactly-once application (a replayed maintenance run is a no-op).
+exactly-once application (a replayed maintenance run is a no-op
+— see the failure-window notes below for the one exception).
 
 Semantics: the rollup stores per group ``n_rows`` and ``sum_val``
 (COUNT/SUM — the self-maintainable aggregates; MIN/MAX would need
@@ -19,6 +20,27 @@ the per-group re-scan on deletes, the classic IVM limitation).
 Groups whose count reaches zero stay as TOMBSTONE rows (merge
 cannot delete); ``read_rollup`` filters them, and the equivalence
 test pins read_rollup == full recompute at every version.
+
+Constraints and failure windows, stated plainly:
+
+- **Group keys must be non-NULL** (the dimension-key NOT NULL
+  constraint every warehouse rollup imposes): NULL never
+  equi-joins, so both the delta join and the keyed merge would
+  duplicate the NULL group. Enforced with an explicit error.
+- **Vacuumed history falls back to a rebuild**: if the source's
+  last-applied manifest is gone, the delta cannot be computed; the
+  maintenance run recomputes the full aggregate and tombstones
+  vanished groups (mode "rebuild") instead of wedging forever.
+- **Concurrent ticks are OCC-fenced**: the rollup version read at
+  plan time is passed as ``expect_version``, so of two racing
+  maintenance runs one commits and one raises SnapshotConflict —
+  never a double-applied delta.
+- The exactly-once stamp survives vacuum via the ``_txns`` log;
+  the one residual window is a crash BETWEEN the commit's pointer
+  swap and its log append, followed by enough commits + a vacuum
+  to drop that manifest before the resume — then the resumed run
+  re-applies a delta that is NOT idempotent. Run maintenance
+  before vacuuming its own rollup dir (or rebuild) to close it.
 """
 
 from __future__ import annotations
@@ -68,31 +90,86 @@ def maintain_rollup(
         raise FileNotFoundError(f"no committed snapshot in {source_dir}")
     stamp = _STAMP.format(v=src_v)
     applied = _applied_versions(rollup_dir)
+    # OCC fence captured at PLAN time: a racing tick that commits
+    # first moves the rollup version, and this tick's merge then
+    # raises SnapshotConflict instead of double-applying its delta.
+    rollup_v = SN.current_version(rollup_dir)
     if applied and applied[-1] == src_v:
         return {"applied": None, "mode": "noop"}
 
-    if not applied:
-        full = (
-            SN.read_snapshot(spark, source_dir)
+    def _full_agg(version: int):
+        # version pinned: a source commit landing mid-run must not
+        # be aggregated under the earlier stamp (it would be
+        # re-applied by the next delta — double count)
+        return (
+            SN.read_snapshot(spark, source_dir, version=version)
             .groupBy(*group_cols)
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col(sum_col).cast("bigint")).alias("sum_val"),
+                F.coalesce(
+                    F.sum(F.col(sum_col).cast("bigint")), F.lit(0)
+                ).alias("sum_val"),
             )
         )
-        SN.merge_snapshot(spark, rollup_dir, full, key=group_cols, op=stamp)
+
+    def _reject_null_groups(df):
+        null_pred = None
+        for c in group_cols:
+            p = F.col(c).isNull()
+            null_pred = p if null_pred is None else (null_pred | p)
+        if df.where(null_pred).head(1):  # bounded: grouped relation
+            raise ValueError(
+                f"NULL in group column(s) {group_cols}: IVM group keys "
+                "must be non-NULL (NULL never equi-joins, so the NULL "
+                "group would duplicate) — filter or coalesce upstream"
+            )
+
+    if not applied:
+        full = _full_agg(src_v)
+        _reject_null_groups(full)
+        SN.merge_snapshot(
+            spark, rollup_dir, full, key=group_cols, op=stamp,
+            expect_version=rollup_v,
+        )
         return {"applied": src_v, "mode": "full"}
 
     last = applied[-1]
-    diff = SN.snapshot_diff(spark, source_dir, last, src_v)
+    try:
+        diff = SN.snapshot_diff(spark, source_dir, last, src_v)
+    except FileNotFoundError:
+        # source history vacuumed past the last-applied version: the
+        # delta is uncomputable — rebuild from the pinned full
+        # aggregate, tombstoning groups that vanished entirely
+        full = _full_agg(src_v)
+        _reject_null_groups(full)
+        current = SN.read_snapshot(spark, rollup_dir)
+        gone = (
+            current.join(full, on=group_cols, how="left_anti")
+            .select(
+                *group_cols,
+                F.lit(0).cast("bigint").alias("n_rows"),
+                F.lit(0).cast("bigint").alias("sum_val"),
+            )
+        )
+        SN.merge_snapshot(
+            spark, rollup_dir, full.unionByName(gone), key=group_cols,
+            op=stamp, expect_version=rollup_v,
+        )
+        return {"applied": src_v, "mode": "rebuild"}
+
     sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
     delta = (
         diff.groupBy(*group_cols)
         .agg(
-            F.sum(sign).alias("d_rows"),
-            F.sum(sign * F.col(sum_col).cast("bigint")).alias("d_sum"),
+            F.coalesce(F.sum(sign), F.lit(0)).alias("d_rows"),
+            # all-NULL measure values must contribute 0, not NULL —
+            # NULL here would overwrite the group's standing sum
+            F.coalesce(
+                F.sum(sign * F.col(sum_col).cast("bigint")), F.lit(0)
+            ).alias("d_sum"),
         )
     )
+    _reject_null_groups(delta)
     current = SN.read_snapshot(spark, rollup_dir)
     updated = (
         delta.join(current, on=group_cols, how="left")
@@ -106,5 +183,8 @@ def maintain_rollup(
             ),
         )
     )
-    SN.merge_snapshot(spark, rollup_dir, updated, key=group_cols, op=stamp)
+    SN.merge_snapshot(
+        spark, rollup_dir, updated, key=group_cols, op=stamp,
+        expect_version=rollup_v,
+    )
     return {"applied": src_v, "mode": "delta"}

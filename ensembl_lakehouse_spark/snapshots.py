@@ -211,6 +211,18 @@ def _commit_locked(
     return version
 
 
+def _clustered(
+    df: DataFrame, cluster_by: list[str], n_files: int | None
+) -> DataFrame:
+    """The one clustering recipe (range partition + in-partition
+    sort) shared by write_snapshot and compact, so the write-side
+    and compaction-side layouts can never silently diverge."""
+    parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(parts, *cluster_by).sortWithinPartitions(
+        *cluster_by
+    )
+
+
 def _write_data(table_dir: str, df: DataFrame, version_hint: int) -> list[str]:
     """Materialize df into a fresh immutable data directory; returns
     the parquet file paths (relative to table_dir)."""
@@ -313,10 +325,7 @@ def write_snapshot(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     if cluster_by:
-        parts = n_files or df.sparkSession.sparkContext.defaultParallelism
-        df = df.repartitionByRange(parts, *cluster_by).sortWithinPartitions(
-            *cluster_by
-        )
+        df = _clustered(df, cluster_by, n_files)
     base = current_version(table_dir)
     files = _write_data(table_dir, df, (base if base is not None else -1) + 1)
     stats = _file_stats(table_dir, files)
@@ -497,9 +506,7 @@ def compact(
     base = current_version(table_dir)
     df = read_snapshot(spark, table_dir)
     if cluster_by:
-        df = df.repartitionByRange(target_files, *cluster_by).sortWithinPartitions(
-            *cluster_by
-        )
+        df = _clustered(df, cluster_by, target_files)
     else:
         df = df.coalesce(target_files)
     files = _write_data(table_dir, df, (base if base is not None else -1) + 1)

@@ -361,3 +361,32 @@ def test_raw_sql_over_registered_snapshot(engine, spark, tmp_path):
     assert engine.spark.table("curated_docs").count() == 4
     engine.catalog.register_snapshot("curated_docs", tdir, version=0)
     assert engine.spark.table("curated_docs").count() == 3
+
+
+def test_sql_cache_misses_after_snapshot_reregistration(engine, spark, tmp_path):
+    """Review regression: identical SQL after advancing a registered
+    snapshot must produce a NEW query id — the old cache entry keyed
+    the old view state (serving it would return pre-advance rows for
+    the 44-day TTL)."""
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    tdir = str(tmp_path / "reg_cache")
+    SN.write_snapshot(
+        tdir, spark.createDataFrame([(1,), (2,)], ["k"])
+    )
+    engine.catalog.register_snapshot("reg_cache_t", tdir)
+    sql = "SELECT COUNT(*) AS n FROM reg_cache_t"
+    first = engine.submit_sql(sql)["query_id"]
+    engine.registry.wait(first, timeout=120)
+    # same view state: cache hit
+    assert engine.submit_sql(sql)["query_id"] == first
+
+    SN.merge_snapshot(
+        spark, tdir, spark.createDataFrame([(3,)], ["k"]), key="k"
+    )
+    engine.catalog.register_snapshot("reg_cache_t", tdir)
+    second = engine.submit_sql(sql)["query_id"]
+    assert second != first
+    engine.registry.wait(second, timeout=120)
+    prev = engine.query_preview(second, max_results=3)
+    assert prev["Rows"][1]["Data"][0]["VarCharValue"] == "3"
