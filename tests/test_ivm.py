@@ -79,3 +79,70 @@ def test_rollup_tracks_source_through_inserts_updates_deletes(spark, tmp_path):
     out = ivm.maintain_rollup(spark, src, rol, ["grp"], "val")
     assert out["mode"] == "delta"
     assert _view(spark, rol) == _recompute(spark, src)
+
+
+def test_null_measure_delta_does_not_corrupt_sum(spark, tmp_path):
+    """Review regression: a delta whose measure values are all NULL
+    contributes 0, never NULL (NULL would overwrite the standing
+    sum and silently restart it from 0)."""
+    src = str(tmp_path / "src_n")
+    rol = str(tmp_path / "rol_n")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame([(1, "g", 10), (2, "g", 20)], ["k", "grp", "val"]),
+    )
+    ivm.maintain_rollup(spark, src, rol, ["grp"], "val")
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame(
+            [(3, "g", None)], schema="k INT, grp STRING, val INT"
+        ),
+        key="k",
+    )
+    assert ivm.maintain_rollup(spark, src, rol, ["grp"], "val")["mode"] == "delta"
+    assert _view(spark, rol) == _recompute(spark, src)
+    assert _view(spark, rol)[("g",)] == (3, 30)
+
+
+def test_null_group_key_is_rejected(spark, tmp_path):
+    import pytest
+
+    src = str(tmp_path / "src_ng")
+    rol = str(tmp_path / "rol_ng")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(1, None, 10), (2, "g", 20)], schema="k INT, grp STRING, val INT"
+        ),
+    )
+    with pytest.raises(ValueError, match="NULL in group column"):
+        ivm.maintain_rollup(spark, src, rol, ["grp"], "val")
+
+
+def test_vacuumed_source_history_triggers_rebuild(spark, tmp_path):
+    """Review regression: source vacuum past the last-applied version
+    used to wedge maintenance with FileNotFoundError forever; now it
+    rebuilds, tombstoning groups that vanished meanwhile."""
+    src = str(tmp_path / "src_v")
+    rol = str(tmp_path / "rol_v")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(i, f"g{i % 2}", i) for i in range(10)], ["k", "grp", "val"]
+        ),
+    )
+    ivm.maintain_rollup(spark, src, rol, ["grp"], "val")  # applied v0
+    # three source commits, the last removing group g1 entirely
+    for batch in ([(100, "g0", 5)], [(101, "g0", 6)]):
+        SN.merge_snapshot(
+            spark, src, spark.createDataFrame(batch, ["k", "grp", "val"]), key="k"
+        )
+    SN.write_snapshot(
+        src, SN.read_snapshot(spark, src).where("grp <> 'g1'"), mode="overwrite"
+    )
+    SN.vacuum(src, keep_versions=1)  # v0 manifest gone
+    out = ivm.maintain_rollup(spark, src, rol, ["grp"], "val")
+    assert out["mode"] == "rebuild"
+    assert _view(spark, rol) == _recompute(spark, src)
+    raw = {r.grp: r.n_rows for r in SN.read_snapshot(spark, rol).collect()}
+    assert raw.get("g1") == 0  # vanished group tombstoned
