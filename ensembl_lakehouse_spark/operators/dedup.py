@@ -1079,3 +1079,55 @@ LEFT JOIN exact ON b.doc_id = exact.new_id
 LEFT JOIN near ON b.doc_id = near.new_id
 ORDER BY doc_id
 """
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: for every unordered
+    source pair, how many verified near-duplicate pairs connect them
+    — the provenance audit that answers "which of my feeds copy from
+    each other" before mixture weights are chosen (mix_sources) and
+    the question a dedup run's savings estimate is broken down by.
+
+    Composition: dedup_near's banded-LSH pair lattice (cost argument
+    lives there) joined back to the documents table for each side's
+    source label, then ONE |sources|²-bounded aggregate; the pair
+    label is canonicalized (least/greatest) so A→B and B→A land in
+    one cell. within_source marks the diagonal.
+    """
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .withColumn("within_source", F.col("source_x") == F.col("source_y"))
+        .orderBy(F.desc("n_dup_pairs"), "source_x", "source_y")
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH near AS ({DEDUP_NEAR_SQL}),
+labeled AS (
+  SELECT least(da.source, db.source) AS source_x,
+         greatest(da.source, db.source) AS source_y
+  FROM near
+  JOIN documents da ON near.doc_a = da.doc_id
+  JOIN documents db ON near.doc_b = db.doc_id
+)
+SELECT source_x, source_y, COUNT(*) AS n_dup_pairs,
+       source_x = source_y AS within_source
+FROM labeled
+GROUP BY source_x, source_y
+ORDER BY n_dup_pairs DESC, source_x, source_y
+"""

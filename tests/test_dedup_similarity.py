@@ -418,3 +418,14 @@ def test_incremental_dedup_consistent_with_pairwise(spark):
             assert doc_id not in cross
         else:
             assert verdict == "exact" and match_id is not None
+
+
+def test_source_overlap_totals_match_pair_count(spark):
+    """Matrix cells partition the verified near-dup pairs; labels
+    are canonically ordered; diagonal flag correct."""
+    cells = D.source_overlap(spark, SF_DIR).collect()
+    n_pairs = D.dedup_near(spark, SF_DIR).count()
+    assert sum(c.n_dup_pairs for c in cells) == n_pairs
+    for c in cells:
+        assert c.source_x <= c.source_y
+        assert c.within_source == (c.source_x == c.source_y)

@@ -66,6 +66,9 @@ BUDGETS = {
     "pack_sequences": 2,
     # map-only chunk lattice + one fingerprint agg (distinct inside)
     "chunk_boilerplate": 2,
+    # near-pair lattice (band window + pair distinct behind its
+    # checkpoint) + two source joins + the |sources|^2 cell agg
+    "source_overlap": 5,
     # diagnostics: calibration shares dedup_near's lattice (band
     # window + pair distinct); the recall audit composes three ANN
     # pipelines (their per-query windows) + the hit-join agg.
