@@ -82,3 +82,57 @@ def test_snapshot_sink_restart_replay_and_time_travel(
     early = _as_dict(SN.read_snapshot(spark, tbl, version=v_after_first))
     assert set(early) <= set(batch)
     assert all(early[k][0] <= batch[k][0] for k in early)
+
+
+def test_stream_to_snapshot_to_ivm_rollup(spark, tmp_path_factory, events_dir):
+    """The medallion chain end-to-end: stream → exactly-once MERGE
+    into the bronze snapshot table → IVM tick maintains the silver
+    per-type rollup from CDC deltas; after each stage the silver
+    view equals a full recompute from bronze."""
+    from ensembl_lakehouse_spark import ivm
+
+    src = SE.load_events_batch(spark, events_dir)
+    lohi = src.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = lohi.lo + (lohi.hi - lohi.lo) / 2
+    base = tmp_path_factory.mktemp("medallion")
+    live, ckpt = base / "live", str(base / "ckpt")
+    bronze, silver = str(base / "bronze"), str(base / "silver")
+    live.mkdir()
+    h1, h2 = base / "h1", base / "h2"
+    src.where(F.col("ts") <= F.lit(mid)).coalesce(1).write.parquet(str(h1))
+    src.where(F.col("ts") > F.lit(mid)).coalesce(1).write.parquet(str(h2))
+    f1 = glob.glob(str(h1 / "*.parquet"))[0]
+    f2 = glob.glob(str(h2 / "*.parquet"))[0]
+
+    def silver_equals_recompute():
+        want = {
+            (r.event_type,): (r.n_rows, r.sum_val)
+            for r in SN.read_snapshot(spark, bronze)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("n_events").cast("bigint")).alias("sum_val"),
+            )
+            .collect()
+        }
+        got = {
+            (r.event_type,): (r.n_rows, r.sum_val)
+            for r in ivm.read_rollup(spark, silver).collect()
+        }
+        assert got == want
+
+    sh.copy(f1, live / "part1.parquet")
+    SC.run_continuous_rollup_snapshots(spark, str(live), bronze, checkpoint_dir=ckpt)
+    out = ivm.maintain_rollup(spark, bronze, silver, ["event_type"], "n_events")
+    assert out["mode"] == "full"
+    silver_equals_recompute()
+
+    sh.copy(f2, live / "part2.parquet")
+    SC.run_continuous_rollup_snapshots(spark, str(live), bronze, checkpoint_dir=ckpt)
+    out = ivm.maintain_rollup(spark, bronze, silver, ["event_type"], "n_events")
+    assert out["mode"] == "delta"
+    silver_equals_recompute()
+    # duplicate maintenance tick: exactly-once noop
+    assert ivm.maintain_rollup(spark, bronze, silver, ["event_type"], "n_events")[
+        "mode"
+    ] == "noop"
