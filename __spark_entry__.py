@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_forward": R.events_asof_forward,
         "chunk_boilerplate": C.chunk_boilerplate,
         "source_overlap": D.source_overlap,
+        "dedup_savings": D.dedup_savings,
         # --- No-SQL-oracle entries (driver does a rows-only check;
         # each is pinned against a Python/numpy reference in pytest —
         # see tests/test_contract.py::NO_ORACLE_ALLOWED).
@@ -306,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_forward": R.EVENTS_ASOF_FORWARD_SQL,
         "chunk_boilerplate": C.CHUNK_BOILERPLATE_SQL,
         "source_overlap": D.SOURCE_OVERLAP_SQL,
+        "dedup_savings": D.DEDUP_SAVINGS_SQL,
         "graph_triangles": G.GRAPH_TRIANGLES_SQL,
         "lm_bigram_topk": LM.LM_BIGRAM_TOPK_SQL,
         "lm_doc_score": LM.LM_DOC_SCORE_SQL,

@@ -1131,3 +1131,66 @@ FROM labeled
 GROUP BY source_x, source_y
 ORDER BY n_dup_pairs DESC, source_x, source_y
 """
+
+
+def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup headline report: one row of exact-dedup savings —
+    documents and token mass before/after keeping only canonical
+    representatives — the number every dedup run is judged by
+    ("exact dedup removed X% of tokens") and the datacard's
+    companion scalar.
+
+    Plan: dedup_exact's single fp-window pass extended with the
+    per-doc token count, then ONE 1-row aggregate. No new shuffle
+    class; at 100 TB this is the same cost as the dedup itself.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+            F.expr(
+                f"cast(conv(substring(md5({NORM_SPARK_SQL}), 1, 15), 16, 10) AS bigint)"
+            ).alias("fp_md5"),
+        )
+    )
+    flagged = docs.select(
+        "n_tokens",
+        F.expr(
+            "doc_id = min(doc_id) OVER (PARTITION BY fp_md5)"
+        ).alias("is_canonical"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_canonical").cast("bigint")).alias("n_kept"),
+        F.sum((~F.col("is_canonical")).cast("bigint")).alias("n_removed"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.sum(
+            F.when(F.col("is_canonical"), F.col("n_tokens")).otherwise(0)
+        ).alias("tokens_kept"),
+        F.sum(
+            F.when(~F.col("is_canonical"), F.col("n_tokens")).otherwise(0)
+        ).alias("tokens_removed"),
+    )
+
+
+DEDUP_SAVINGS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         {sql_md5_long60(NORM_DUCK_SQL)} AS fp_md5
+  FROM documents WHERE length(trim(text)) > 0
+), flagged AS (
+  SELECT n_tokens,
+         doc_id = min(doc_id) OVER (PARTITION BY fp_md5) AS is_canonical
+  FROM d
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN is_canonical THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+       CAST(SUM(CASE WHEN is_canonical THEN 0 ELSE n_tokens END) AS BIGINT) AS tokens_removed
+FROM flagged
+"""

@@ -429,3 +429,12 @@ def test_source_overlap_totals_match_pair_count(spark):
     for c in cells:
         assert c.source_x <= c.source_y
         assert c.within_source == (c.source_x == c.source_y)
+
+
+def test_dedup_savings_consistent_with_dedup_exact(spark):
+    row = D.dedup_savings(spark, SF_DIR).collect()[0]
+    flags = D.dedup_exact(spark, SF_DIR).collect()
+    assert row.n_docs == len(flags)
+    assert row.n_kept == sum(1 for f in flags if f.is_canonical)
+    assert row.n_kept + row.n_removed == row.n_docs
+    assert row.tokens_kept + row.tokens_removed == row.tokens_total

@@ -69,6 +69,8 @@ BUDGETS = {
     # near-pair lattice (band window + pair distinct behind its
     # checkpoint) + two source joins + the |sources|^2 cell agg
     "source_overlap": 5,
+    # fp window + the 1-row savings aggregate
+    "dedup_savings": 2,
     # diagnostics: calibration shares dedup_near's lattice (band
     # window + pair distinct); the recall audit composes three ANN
     # pipelines (their per-query windows) + the hit-join agg.
