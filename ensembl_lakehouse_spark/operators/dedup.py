@@ -1143,6 +1143,17 @@ def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: dedup_exact's single fp-window pass extended with the
     per-doc token count, then ONE 1-row aggregate. No new shuffle
     class; at 100 TB this is the same cost as the dedup itself.
+
+    Token counts follow the suite-wide whitespace convention
+    (split trimmed text on the whitespace-class regex —
+    text_token_stats et al.). Two documented edges of that
+    convention: Java and RE2 disagree on vertical-tab membership in
+    the whitespace class (a doc containing one would diverge
+    cross-engine), and trim() strips spaces only, so a
+    newline-led doc counts one leading empty token — both moot on
+    the fixtures and inherited here verbatim so the savings number
+    stays comparable with every other token statistic the engine
+    reports.
     """
     docs = (
         load_table(spark, sf_dir, "documents")

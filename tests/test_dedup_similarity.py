@@ -438,3 +438,17 @@ def test_dedup_savings_consistent_with_dedup_exact(spark):
     assert row.n_kept == sum(1 for f in flags if f.is_canonical)
     assert row.n_kept + row.n_removed == row.n_docs
     assert row.tokens_kept + row.tokens_removed == row.tokens_total
+    # independent token-mass pin: a tokenization bug mirrored into
+    # the DuckDB oracle would pass the gate; this recompute from the
+    # raw texts (same trim+\s+ convention) would not
+    import re
+
+    from ensembl_lakehouse_spark.sources.tables import load_table
+
+    texts = [
+        r.text
+        for r in load_table(spark, SF_DIR, "documents").collect()
+        if r.text.strip()
+    ]
+    want = sum(len(re.split(r"\s+", t.strip(" "))) for t in texts)
+    assert row.tokens_total == want

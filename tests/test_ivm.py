@@ -4,6 +4,7 @@ exactly-once and delta-driven after the first run."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ensembl_lakehouse_spark import ivm
@@ -105,8 +106,6 @@ def test_null_measure_delta_does_not_corrupt_sum(spark, tmp_path):
 
 
 def test_null_group_key_is_rejected(spark, tmp_path):
-    import pytest
-
     src = str(tmp_path / "src_ng")
     rol = str(tmp_path / "rol_ng")
     SN.write_snapshot(
