@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_boilerplate": C.chunk_boilerplate,
         "source_overlap": D.source_overlap,
         "dedup_savings": D.dedup_savings,
+        "component_size_histogram": D.component_size_histogram,
+        "embedding_norm_audit": S.embedding_norm_audit,
         # --- No-SQL-oracle entries (driver does a rows-only check;
         # each is pinned against a Python/numpy reference in pytest —
         # see tests/test_contract.py::NO_ORACLE_ALLOWED).
@@ -308,6 +310,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_boilerplate": C.CHUNK_BOILERPLATE_SQL,
         "source_overlap": D.SOURCE_OVERLAP_SQL,
         "dedup_savings": D.DEDUP_SAVINGS_SQL,
+        "component_size_histogram": D.COMPONENT_SIZE_HISTOGRAM_SQL,
+        "embedding_norm_audit": S.EMBEDDING_NORM_AUDIT_SQL,
         "graph_triangles": G.GRAPH_TRIANGLES_SQL,
         "lm_bigram_topk": LM.LM_BIGRAM_TOPK_SQL,
         "lm_doc_score": LM.LM_DOC_SCORE_SQL,

@@ -1205,3 +1205,41 @@ SELECT COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN is_canonical THEN 0 ELSE n_tokens END) AS BIGINT) AS tokens_removed
 FROM flagged
 """
+
+
+def component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many near-dup
+    components have 2 members, 3, … — the shape report that decides
+    dedup strategy (a fat tail of giant clusters means boilerplate/
+    template content and argues for substring or chunk-level dedup;
+    mostly-pairs means organic near-copies). Composes on
+    components_recursive's labeled graph; two tiny aggregates over
+    the |paired docs| relation — the recursion dominates, priced in
+    its own docstring.
+    """
+    comp = components_recursive(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return (
+        sizes.groupBy("component_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.min("component").alias("sample_component"),
+        )
+        .orderBy("component_size")
+    )
+
+
+COMPONENT_SIZE_HISTOGRAM_SQL = f"""
+WITH labeled AS ({COMPONENTS_RECURSIVE_SQL}),
+sizes AS (
+  SELECT component, COUNT(*) AS component_size
+  FROM labeled GROUP BY component
+)
+SELECT component_size, COUNT(*) AS n_components,
+       CAST(MIN(component) AS BIGINT) AS sample_component
+FROM sizes
+GROUP BY component_size
+ORDER BY component_size
+"""

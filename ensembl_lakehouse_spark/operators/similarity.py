@@ -37,7 +37,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ensembl_lakehouse_spark.functions.vectors import sql_cosine
+from ensembl_lakehouse_spark.functions.vectors import sql_cosine, sql_norm
 from ensembl_lakehouse_spark.sources.tables import load_table
 
 #: Number of query vectors: vec_id < N_QUERIES are queries, the rest corpus.
@@ -715,3 +715,65 @@ WHERE rank <= {OUTLIER_K}
 
 
 EMBEDDING_OUTLIERS_SQL = _outliers_sql()
+
+
+#: Fixed-point scale for the norm-mass sum in the audit below.
+NORM_FP = 1_000_000_000
+
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health report: one row with vector count,
+    distinct dimensionalities (anything but 1 means a broken
+    ingest), zero-vector count (cosine is undefined on them — every
+    similarity operator upstream assumes none), norm extremes, and
+    the fixed-point norm mass/mean — the sanity gate a vector
+    pipeline runs BEFORE building indexes on a new embedding drop.
+
+    Map-only per-vector signals into ONE 1-row aggregate; min/max
+    are order-independent and the mean rides the usual per-row
+    fixed-point rounding, so the row is bit-stable cross-engine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.expr(_norm_expr("embedding")).alias("nrm"),
+    )
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("dim").alias("n_distinct_dims"),
+        F.sum((F.col("nrm") == 0.0).cast("bigint")).alias("n_zero_vectors"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        F.sum(
+            F.expr(
+                f"CAST(floor(nrm * CAST({NORM_FP} AS DOUBLE)"
+                f" + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            )
+        ).alias("norm_mass_fp"),
+    ).withColumn(
+        "mean_norm",
+        F.expr(
+            f"CAST(norm_mass_fp AS DOUBLE) / CAST({NORM_FP} AS DOUBLE)"
+            f" / n_vectors"
+        ),
+    )
+
+
+EMBEDDING_NORM_AUDIT_SQL = f"""
+WITH e AS (
+  SELECT vec_id, len(embedding) AS dim,
+         {sql_norm("embedding")} AS nrm
+  FROM embeddings
+)
+SELECT COUNT(*) AS n_vectors,
+       COUNT(DISTINCT dim) AS n_distinct_dims,
+       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
+       MIN(nrm) AS min_norm,
+       MAX(nrm) AS max_norm,
+       CAST(SUM(CAST(floor(nrm * CAST({NORM_FP} AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS norm_mass_fp,
+       CAST(SUM(CAST(floor(nrm * CAST({NORM_FP} AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+         / CAST({NORM_FP} AS DOUBLE) / COUNT(*) AS mean_norm
+FROM e
+"""

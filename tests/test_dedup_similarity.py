@@ -452,3 +452,33 @@ def test_dedup_savings_consistent_with_dedup_exact(spark):
     ]
     want = sum(len(re.split(r"\s+", t.strip(" "))) for t in texts)
     assert row.tokens_total == want
+
+
+def test_component_size_histogram_partitions_components(spark):
+    hist = D.component_size_histogram(spark, SF_DIR).collect()
+    comp = D.components_recursive(spark, SF_DIR).collect()
+    from collections import Counter
+
+    sizes = Counter(Counter(r.component for r in comp).values())
+    assert {(h.component_size, h.n_components) for h in hist} == set(sizes.items())
+    assert all(h.component_size >= 2 for h in hist)  # paired docs only
+
+
+def test_embedding_norm_audit_matches_numpy(spark):
+    import numpy as np
+
+    from ensembl_lakehouse_spark.operators.similarity import embedding_norm_audit
+    from ensembl_lakehouse_spark.sources.tables import load_table
+
+    row = embedding_norm_audit(spark, SF_DIR).collect()[0]
+    vecs = [
+        np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    ]
+    norms = [float(np.sqrt((v * v).sum())) for v in vecs]
+    assert row.n_vectors == len(vecs)
+    assert row.n_distinct_dims == len({v.shape[0] for v in vecs})
+    assert row.n_zero_vectors == sum(1 for n in norms if n == 0.0)
+    assert abs(row.min_norm - min(norms)) < 1e-9
+    assert abs(row.max_norm - max(norms)) < 1e-9
+    assert abs(row.mean_norm - sum(norms) / len(norms)) < 1e-6

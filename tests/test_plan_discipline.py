@@ -71,6 +71,8 @@ BUDGETS = {
     "source_overlap": 5,
     # fp window + the 1-row savings aggregate
     "dedup_savings": 2,
+    # map-only norms + the 1-row audit (EXPAND for the distinct)
+    "embedding_norm_audit": 2,
     # diagnostics: calibration shares dedup_near's lattice (band
     # window + pair distinct); the recall audit composes three ANN
     # pipelines (their per-query windows) + the hit-join agg.
