@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings": D.dedup_savings,
         "component_size_histogram": D.component_size_histogram,
         "embedding_norm_audit": S.embedding_norm_audit,
+        "group_median": R.group_median,
         # --- No-SQL-oracle entries (driver does a rows-only check;
         # each is pinned against a Python/numpy reference in pytest —
         # see tests/test_contract.py::NO_ORACLE_ALLOWED).
@@ -312,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_savings": D.DEDUP_SAVINGS_SQL,
         "component_size_histogram": D.COMPONENT_SIZE_HISTOGRAM_SQL,
         "embedding_norm_audit": S.EMBEDDING_NORM_AUDIT_SQL,
+        "group_median": R.GROUP_MEDIAN_SQL,
         "graph_triangles": G.GRAPH_TRIANGLES_SQL,
         "lm_bigram_topk": LM.LM_BIGRAM_TOPK_SQL,
         "lm_doc_score": LM.LM_DOC_SCORE_SQL,

@@ -2030,3 +2030,74 @@ SELECT user_id, event_id AS click_id, ts AS click_ts,
                 <= {ASOF_FORWARD_HORIZON_SEC}, FALSE) AS converted
 FROM carried WHERE event_type = 'click'
 """
+
+
+def group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group order statistics without interpolation: for
+    each (l_returnflag, l_linestatus) group, the lower median, p25
+    and p75 of l_extendedprice picked as the value at rank
+    ceil(q·n) under the total order (value, orderkey, linenumber) —
+    the engine-agnostic percentile definition (interpolated
+    PERCENTILE_CONT arithmetic is engine-specific; rank selection is
+    bit-exact by construction, the quantile_summary precedent made
+    per-group).
+
+    Plan: ONE window shuffle on the group key ranks every row, and
+    the per-group aggregate reuses that partitioning — at 100 TB
+    this is the standard two-phase exact-percentile shape; the
+    approximate path at higher cardinalities is sketch_quantile
+    _sample's mergeable bottom-k.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice",
+        "l_orderkey", "l_linenumber",
+    )
+    w = (
+        "(PARTITION BY l_returnflag, l_linestatus "
+        "ORDER BY l_extendedprice, l_orderkey, l_linenumber)"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_extendedprice",
+        F.expr(f"row_number() OVER {w}").alias("rn"),
+        F.expr(
+            "count(*) OVER (PARTITION BY l_returnflag, l_linestatus)"
+        ).alias("n"),
+    )
+    def pick(q_num: int, q_den: int, alias: str):
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"CAST(ceil(n * {q_num} / {q_den}) AS BIGINT)"),
+                F.col("l_extendedprice"),
+            )
+        ).alias(alias)
+    return (
+        ranked.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.max("n").alias("n_rows"),
+            pick(1, 4, "p25"),
+            pick(1, 2, "median"),
+            pick(3, 4, "p75"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+GROUP_MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_linestatus, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       MAX(CASE WHEN rn = CAST(ceil(n * 1 / 4) AS BIGINT) THEN l_extendedprice END) AS p25,
+       MAX(CASE WHEN rn = CAST(ceil(n * 1 / 2) AS BIGINT) THEN l_extendedprice END) AS median,
+       MAX(CASE WHEN rn = CAST(ceil(n * 3 / 4) AS BIGINT) THEN l_extendedprice END) AS p75
+FROM ranked
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -238,3 +238,26 @@ def test_asof_forward_matches_bruteforce(spark):
                 )
                 assert delay == want_delay
                 assert conv == (delay <= R.ASOF_FORWARD_HORIZON_SEC)
+
+
+def test_group_median_matches_python_order_stats(spark):
+    rows = R.group_median(spark, SF_DIR).collect()
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice",
+        "l_orderkey", "l_linenumber",
+    ).collect()
+    import math
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in li:
+        groups[(r.l_returnflag, r.l_linestatus)].append(
+            (r.l_extendedprice, r.l_orderkey, r.l_linenumber)
+        )
+    for row in rows:
+        vals = sorted(groups[(row.l_returnflag, row.l_linestatus)])
+        n = len(vals)
+        assert row.n_rows == n
+        assert row.p25 == vals[math.ceil(n / 4) - 1][0]
+        assert row.median == vals[math.ceil(n / 2) - 1][0]
+        assert row.p75 == vals[math.ceil(3 * n / 4) - 1][0]

@@ -56,6 +56,8 @@ BUDGETS = {
     "events_sliding_distinct": 4,
     # one user_id window shuffle, same as the backward as-of twin
     "events_asof_forward": 1,
+    # one group-key window shuffle; the final agg reuses it
+    "group_median": 1,
     # stats broadcast back: one agg shuffle, join must not add one
     "events_anomaly": 1,
     "value_winsorize": 1,
