@@ -196,7 +196,8 @@ def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses it because the surrounding document differs; the repeated
     WINDOW is the unit that matters). Emits per repeated fingerprint:
     distinct docs, total occurrences, chunk width, and a sorted
-    capped sample of carrier doc_ids.
+    capped sample of carrier doc_ids (comma-joined to a scalar
+    string so every output column is driver-hashable).
 
     Plan: rides chunk_documents' map-only lattice; ONE partial agg
     per fingerprint. The sample array is bounded (slice of
@@ -211,8 +212,11 @@ def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
             F.max("n_chunk_tokens").alias("n_chunk_tokens"),
-            F.slice(
-                F.sort_array(F.collect_set("doc_id")), 1, BOILERPLATE_SAMPLE
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")), 1, BOILERPLATE_SAMPLE
+                ),
+                ",",
             ).alias("sample_doc_ids"),
         )
         .where(F.col("n_docs") > 1)
@@ -241,8 +245,9 @@ SELECT chunk_fp,
        COUNT(DISTINCT doc_id) AS n_docs,
        COUNT(*) AS n_occurrences,
        CAST(MAX(n_chunk_tokens) AS BIGINT) AS n_chunk_tokens,
-       list_slice(list_sort(list_distinct(list(doc_id))), 1, {BOILERPLATE_SAMPLE})
-         AS sample_doc_ids
+       array_to_string(
+         list_slice(list_sort(list_distinct(list(doc_id))), 1, {BOILERPLATE_SAMPLE}),
+         ',') AS sample_doc_ids
 FROM chunks
 GROUP BY chunk_fp
 HAVING COUNT(DISTINCT doc_id) > 1

@@ -185,7 +185,9 @@ LIMIT {BM25_TOPK}
 
 def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index: per term, document frequency, total
-    occurrences, and the first POSTINGS_CAP doc_ids (sorted) — the
+    occurrences, and the first POSTINGS_CAP doc_ids (sorted,
+    comma-joined to one scalar string so the output schema carries
+    no array columns) — the
     build side of any keyword retrieval system.
 
     Plan: explode → (doc, term) partial agg → per-term agg with
@@ -211,8 +213,11 @@ def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("cf"),
-            F.slice(
-                F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP
+                ),
+                ",",
             ).alias("postings"),
         )
         .orderBy("term")
@@ -228,7 +233,8 @@ INVERTED_POSTINGS_SQL = f"""
 SELECT term,
        COUNT(*) AS df,
        CAST(SUM(tf) AS BIGINT) AS cf,
-       list_slice(list_sort(list(doc_id)), 1, {POSTINGS_CAP}) AS postings
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, {POSTINGS_CAP}), ',')
+         AS postings
 FROM tf
 GROUP BY term
 ORDER BY term

@@ -70,3 +70,24 @@ def test_every_oracle_parses_and_binds_in_duckdb(duck):
             duck.execute(f"EXPLAIN {sql}")
         except Exception as exc:  # pragma: no cover - failure detail
             pytest.fail(f"oracle for {name!r} does not bind: {exc}")
+
+
+#: DuckDB type-string fragments that mark a non-scalar column. The
+#: driver's pandas canonicalizer sort_values over all columns dies on
+#: unhashable cells (lists/structs/maps) — r4's only red row
+#: (inverted_postings) was exactly this, with correct values.
+_NON_SCALAR_DUCK = ("[]", "STRUCT(", "MAP(", "UNION(")
+
+
+def test_every_oracle_output_column_is_scalar(duck):
+    """DESCRIBE each oracle (binds without executing) and reject any
+    list/struct/map output column — serialize with array_to_string
+    before projecting. The Spark-side twin lives in
+    tests/test_output_schema_lint.py."""
+    for name, sql in entry.oracle_sql().items():
+        rows = duck.execute(f"DESCRIBE {sql}").fetchall()
+        for col, typ, *_ in rows:
+            assert not any(tag in typ.upper() for tag in _NON_SCALAR_DUCK), (
+                f"{name}.{col} has non-scalar oracle type {typ}; the driver "
+                f"canonicalizer cannot hash it — array_to_string it"
+            )

@@ -216,5 +216,7 @@ def test_chunk_boilerplate_flags_cross_doc_repeats(spark):
     assert flagged == {fp for fp, d in carriers.items() if len(d) > 1}
     for r in rows:
         assert r.n_docs == len(carriers[r.chunk_fp])
-        assert set(r.sample_doc_ids) <= carriers[r.chunk_fp]
-        assert len(r.sample_doc_ids) <= C.BOILERPLATE_SAMPLE
+        # comma-joined scalar string (driver-hashable, r4 red-row fix)
+        sample = [int(x) for x in r.sample_doc_ids.split(",")]
+        assert set(sample) <= carriers[r.chunk_fp]
+        assert len(sample) <= C.BOILERPLATE_SAMPLE

@@ -74,6 +74,33 @@ def canonical_type(t: pa.DataType) -> str:
     return str(t)
 
 
+def nested_output_problems(schema: pa.Schema, side: str) -> list[str]:
+    """Flag any non-scalar (list/map/struct) output column.
+
+    The driver's canonicalizer sorts a pandas frame over ALL columns;
+    a list cell is unhashable and crashes it before any value
+    comparison happens — this produced r4's only red row
+    (``inverted_postings``) even though the arrow-typed value compare
+    passed. Nothing downstream can hash these, so the gate now fails
+    them outright: serialize to a scalar (``array_join`` /
+    ``array_to_string``) before projecting."""
+    problems = []
+    for f in schema:
+        t = f.type
+        if (
+            pa.types.is_list(t)
+            or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)
+            or pa.types.is_map(t)
+            or pa.types.is_struct(t)
+        ):
+            problems.append(
+                f"NON-SCALAR {side} col {f.name}: {t} — driver canonicalizer "
+                f"cannot hash it; array_join/array_to_string to a string"
+            )
+    return problems
+
+
 def schema_problems(spark_schema: pa.Schema, duck_schema: pa.Schema) -> list[str]:
     problems = []
     s = {f.name: canonical_type(f.type) for f in spark_schema}
@@ -160,6 +187,13 @@ def main() -> int:
             failed.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
             continue
+        nested = nested_output_problems(spark_tbl.schema, "spark")
+        if nested:
+            failed.append(name)
+            print(f"FAIL  {name} ({len(spark_pdf)} rows):")
+            for p in nested:
+                print(f"      {p}")
+            continue
         if sql is None:
             print(f"skip  {name}: no oracle (rows={len(spark_pdf)})")
             continue
@@ -170,7 +204,8 @@ def main() -> int:
             failed.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
-        problems = schema_problems(spark_tbl.schema, duck_tbl.schema)
+        problems = nested_output_problems(duck_tbl.schema, "duck")
+        problems += schema_problems(spark_tbl.schema, duck_tbl.schema)
         problems += compare(name, spark_pdf, duck_pdf)
         if problems:
             failed.append(name)
