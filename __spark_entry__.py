@@ -48,10 +48,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- Rotation window (round 4): oracle-backed entries that
-        # have never had a driver CORRECTNESS row. The driver samples
-        # list(queries())[:50]; rounds rotate uncertified entries into
-        # that window until every entry has a driver-green row.
+        # --- Rotation window slots 1-26 (round 5): the last 26
+        # oracle-backed entries with no driver CORRECTNESS row
+        # (computed from CORRECTNESS_r01..r04 green rows — see the
+        # window guards in tests/test_contract.py). The driver
+        # samples list(queries())[:50]; a green round closes
+        # certification of the whole inventory.
+        "inverted_postings": SR.inverted_postings,
+        "ann_recall_audit": DG.ann_recall_audit,
+        "minhash_calibration": DG.minhash_calibration,
+        "skew_audit": DG.skew_audit,
+        "multimodal_centroid": M.multimodal_centroid,
+        "multimodal_payload": M.multimodal_payload,
+        "multimodal_quantize": M.multimodal_quantize,
+        "chunk_documents": C.chunk_documents,
+        "pack_sequences": C.pack_sequences,
+        "pipeline_curation": P.pipeline_curation,
+        "corpus_datacard": P.corpus_datacard,
+        "privacy_kanon_audit": P.privacy_kanon_audit,
+        "epoch_shuffle": P.epoch_shuffle,
+        "graph_pagerank_full": G.graph_pagerank_full,
+        "rank_fusion": SR.rank_fusion,
+        "curation_funnel": P.curation_funnel,
+        "events_sliding_distinct": R.events_sliding_distinct,
+        "mmr_rerank": SR.mmr_rerank,
+        "langid_confusion": T.langid_confusion,
+        "events_asof_forward": R.events_asof_forward,
+        "chunk_boilerplate": C.chunk_boilerplate,
+        "source_overlap": D.source_overlap,
+        "dedup_savings": D.dedup_savings,
+        "component_size_histogram": D.component_size_histogram,
+        "embedding_norm_audit": S.embedding_norm_audit,
+        "group_median": R.group_median,
+        # --- Round-5 additions (oracle-backed, never sampled —
+        # kept inside the first-50 window so they certify this
+        # round too).
+        # --- Certified filler (driver-green in r1-r4) padding the
+        # window to 50.
         "basket_pairs": A.basket_pairs,
         "join_skew_salted": MT.join_skew_salted,
         "join_bloom_pruned": BL.join_bloom_pruned,
@@ -76,7 +109,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_rarity": T.text_token_rarity,
         "bpe_pair_counts": T.bpe_pair_counts,
         "bm25_search": SR.bm25_search,
-        "inverted_postings": SR.inverted_postings,
+        # --- No-SQL-oracle entries, kept OUT of the first-50
+        # window (driver behavior on a missing oracle key is
+        # unverified); each is pinned against a Python/numpy
+        # reference in pytest (tests/test_contract.py::NO_ORACLE_ALLOWED).
+        "bpe_encode": TK.bpe_encode,
+        "quality_classifier": CL.quality_classifier,
+        "dedup_components": D.dedup_components,
+        "embedding_pca": DC.embedding_pca,
+        # --- Remaining driver-certified entries (rounds 1-4).
         "graph_degree": G.graph_degree,
         "graph_pagerank": G.graph_pagerank,
         "graph_triangles": G.graph_triangles,
@@ -102,41 +143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq": PQ.similarity_pq,
         "embedding_kmeans": K.embedding_kmeans,
         "embedding_outliers": S.embedding_outliers,
-        "ann_recall_audit": DG.ann_recall_audit,
-        "minhash_calibration": DG.minhash_calibration,
-        "skew_audit": DG.skew_audit,
-        "multimodal_centroid": M.multimodal_centroid,
-        "multimodal_payload": M.multimodal_payload,
-        "multimodal_quantize": M.multimodal_quantize,
-        "chunk_documents": C.chunk_documents,
-        "pack_sequences": C.pack_sequences,
-        "pipeline_curation": P.pipeline_curation,
-        "corpus_datacard": P.corpus_datacard,
-        "privacy_kanon_audit": P.privacy_kanon_audit,
-        "epoch_shuffle": P.epoch_shuffle,
-        # --- Round-4 additions (oracle-backed; rotate into the
-        # driver window once the round-4 block above is certified).
-        "graph_pagerank_full": G.graph_pagerank_full,
-        "rank_fusion": SR.rank_fusion,
-        "curation_funnel": P.curation_funnel,
-        "events_sliding_distinct": R.events_sliding_distinct,
-        "mmr_rerank": SR.mmr_rerank,
-        "langid_confusion": T.langid_confusion,
-        "events_asof_forward": R.events_asof_forward,
-        "chunk_boilerplate": C.chunk_boilerplate,
-        "source_overlap": D.source_overlap,
-        "dedup_savings": D.dedup_savings,
-        "component_size_histogram": D.component_size_histogram,
-        "embedding_norm_audit": S.embedding_norm_audit,
-        "group_median": R.group_median,
-        # --- No-SQL-oracle entries (driver does a rows-only check;
-        # each is pinned against a Python/numpy reference in pytest —
-        # see tests/test_contract.py::NO_ORACLE_ALLOWED).
-        "bpe_encode": TK.bpe_encode,
-        "quality_classifier": CL.quality_classifier,
-        "dedup_components": D.dedup_components,
-        "embedding_pca": DC.embedding_pca,
-        # --- Driver-certified in rounds 1-3 (green CORRECTNESS rows).
         "scan_project": R.scan_project,
         "key_filter": R.key_filter,
         "condition_filter": R.condition_filter,

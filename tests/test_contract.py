@@ -72,6 +72,49 @@ def test_every_oracle_parses_and_binds_in_duckdb(duck):
             pytest.fail(f"oracle for {name!r} does not bind: {exc}")
 
 
+def _driver_green() -> set[str]:
+    """Names with a cumulative driver-green CORRECTNESS row."""
+    import glob
+    import json
+
+    green = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        for name, v in json.load(open(path)).items():
+            if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
+                green.add(name)
+    return green
+
+
+def test_no_oracle_entries_stay_out_of_the_driver_window():
+    """The driver samples list(queries())[:50]; its behavior on a
+    missing oracle key is unverified, so the 4 no-oracle entries must
+    never sit inside that window."""
+    window = list(entry.queries())[:50]
+    assert not (set(window) & NO_ORACLE_ALLOWED), (
+        f"no-oracle entries inside the first-50 driver window: "
+        f"{set(window) & NO_ORACLE_ALLOWED}"
+    )
+
+
+def test_every_uncertified_oracle_query_is_inside_the_driver_window():
+    """Rotation invariant: any oracle-backed entry without a
+    cumulative driver-green row must be in the first-50 window so the
+    next driver run certifies it. Recomputed from the committed
+    CORRECTNESS_r*.json files, so this stays correct as rounds land."""
+    green = _driver_green()
+    qs = list(entry.queries())
+    oracle_backed = set(entry.oracle_sql())
+    uncertified = [q for q in qs if q in oracle_backed and q not in green]
+    window = set(qs[:50])
+    stranded = [q for q in uncertified if q not in window]
+    assert len(uncertified) <= 50, (
+        f"{len(uncertified)} uncertified entries cannot fit one window; "
+        f"prioritize or split across rounds"
+    )
+    assert not stranded, f"uncertified entries outside the window: {stranded}"
+
+
 #: DuckDB type-string fragments that mark a non-scalar column. The
 #: driver's pandas canonicalizer sort_values over all columns dies on
 #: unhashable cells (lists/structs/maps) — r4's only red row
