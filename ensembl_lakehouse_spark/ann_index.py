@@ -103,12 +103,30 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
     return _build_from_corpus(corpus, table_dir)
 
 
+def _require_kind_schema(idx: DataFrame, table_dir: str, version) -> None:
+    """Fail fast with a plain message on pre-round-4 index layouts.
+
+    Indexes committed before centroids were persisted (no ``kind``
+    column) — including time-travel reads of pre-migration versions
+    of a since-rebuilt index — would otherwise surface as an opaque
+    unresolved-column AnalysisException deep inside the probe plan."""
+    if "kind" not in idx.columns:
+        at = f" at version {version}" if version is not None else ""
+        raise ValueError(
+            f"legacy IVF index layout in {table_dir}{at}: no 'kind' "
+            "column (pre-centroid-persistence format) — run "
+            "build_ivf_index to rebuild it; historical pre-migration "
+            "versions cannot be served"
+        )
+
+
 def persisted_centroids(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """The quantizer stored inside the index snapshot — the ONLY
     centroid source the serve and add paths use."""
     idx = SN.read_snapshot(spark, table_dir, version=version)
+    _require_kind_schema(idx, table_dir, version)
     return idx.where(F.col("kind") == "c").select(
         F.col("cell").alias("c_id"),
         F.col("embedding").alias("c_vec"),
@@ -162,6 +180,7 @@ def query_ivf_index(
     exact-cosine rerank over the probed members, top-K."""
     queries, _ = _split(spark, sf_dir)
     idx = SN.read_snapshot(spark, table_dir, version=version)
+    _require_kind_schema(idx, table_dir, version)
     centroids = idx.where(F.col("kind") == "c").select(
         F.col("cell").alias("c_id"),
         F.col("embedding").alias("c_vec"),

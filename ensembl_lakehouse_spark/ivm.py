@@ -53,11 +53,19 @@ _STAMP = "ivm:src_v{v}"
 
 
 def _applied_versions(rollup_dir: str) -> list[int]:
-    out = []
-    for op in SN.committed_ops(rollup_dir):
-        if op.startswith("ivm:src_v"):
-            out.append(int(op.rsplit("v", 1)[1]))
-    return sorted(out)
+    """Applied source versions in APPLICATION order (raw ``_txns``
+    log order), not numeric order. The distinction matters after a
+    source ``rollback``: the source's current version can then be a
+    LOWER number than a previously applied one, and numeric sorting
+    would pin "last applied" at the higher number forever — every
+    tick would recompute and re-apply the same delta, corrupting the
+    rollup unboundedly (r4 ADVICE). Log order makes the latest stamp
+    the actual last-applied state, so the noop check holds."""
+    return [
+        int(op.rsplit("v", 1)[1])
+        for _, op in SN.committed_op_records(rollup_dir)
+        if op.startswith("ivm:src_v")
+    ]
 
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
@@ -71,6 +79,7 @@ def maintain_rollup(
     rollup_dir: str,
     group_cols: list[str],
     sum_col: str,
+    rebuild: bool = False,
 ) -> dict:
     """Bring the rollup up to the source's CURRENT version.
 
@@ -80,10 +89,20 @@ def maintain_rollup(
     per-group (±count, ±sum) deltas — cost ∝ changed rows — merged
     into the rollup keyed on the group columns. The commit is
     stamped ``ivm:src_v{V}``, so re-running after a crash (or a
-    duplicate scheduler tick) is a no-op.
+    duplicate scheduler tick) is a no-op. "Last applied" is tracked
+    in ``_txns`` LOG order, so a source ``rollback`` (which makes the
+    current state correspond to an earlier applied version) noops or
+    deltas correctly instead of re-applying a stale delta forever.
+
+    ``rebuild=True`` forces the full-aggregate path (with vanished
+    groups tombstoned) regardless of stamps. Use it after rolling
+    back the ROLLUP table itself: rollback reverts the rollup's
+    *content* but not its ``_txns`` stamp history, so delta
+    maintenance would resume from a base the content no longer
+    matches.
 
     Returns {"applied": from_v_exclusive..to_v or None, "mode":
-    "full"|"delta"|"noop"}.
+    "full"|"delta"|"rebuild"|"noop"}.
     """
     src_v = SN.current_version(source_dir)
     if src_v is None:
@@ -94,7 +113,7 @@ def maintain_rollup(
     # first moves the rollup version, and this tick's merge then
     # raises SnapshotConflict instead of double-applying its delta.
     rollup_v = SN.current_version(rollup_dir)
-    if applied and applied[-1] == src_v:
+    if not rebuild and applied and applied[-1] == src_v:
         return {"applied": None, "mode": "noop"}
 
     def _full_agg(version: int):
@@ -133,12 +152,9 @@ def maintain_rollup(
         )
         return {"applied": src_v, "mode": "full"}
 
-    last = applied[-1]
-    try:
-        diff = SN.snapshot_diff(spark, source_dir, last, src_v)
-    except FileNotFoundError:
-        # source history vacuumed past the last-applied version: the
-        # delta is uncomputable — rebuild from the pinned full
+    def _rebuild():
+        # delta unusable (vacuumed source history, or an explicit
+        # rebuild after a rollup rollback): recompute the full
         # aggregate, tombstoning groups that vanished entirely
         full = _full_agg(src_v)
         _reject_null_groups(full)
@@ -156,6 +172,14 @@ def maintain_rollup(
             op=stamp, expect_version=rollup_v,
         )
         return {"applied": src_v, "mode": "rebuild"}
+
+    if rebuild:
+        return _rebuild()
+    last = applied[-1]
+    try:
+        diff = SN.snapshot_diff(spark, source_dir, last, src_v)
+    except FileNotFoundError:
+        return _rebuild()
 
     sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
     delta = (

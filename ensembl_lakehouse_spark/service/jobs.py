@@ -125,6 +125,17 @@ class QueryRegistry:
             return prior
         shared = self._shared_state(prior)
         if shared is not None and shared.get("status") == SUCCEEDED:
+            # A peer's result path is only serveable from THIS host if
+            # the results_dir is actually shared storage (NFS/fuse
+            # mount — or the peer is a co-hosted worker, the default
+            # single-host deployment). A shared Redis with per-host
+            # local disks would otherwise hand clients a path that
+            # does not exist here; the existence probe makes the
+            # honored-peer rule self-configuring instead of trusting
+            # a deployment flag.
+            result = shared.get("result")
+            if result is not None and not os.path.exists(result):
+                return None
             return prior
         return None
 

@@ -131,7 +131,16 @@ class RedisKVCache:
     Drop-in for every caller (catalog metadata, query-result handles,
     export throttle keys); being server-backed makes the cache shared
     across workers and restart-surviving, matching the reference's
-    Redis deployment."""
+    Redis deployment.
+
+    Multi-HOST deployments: query STATE crosses processes through
+    this cache, but query RESULTS live in each registry's local
+    ``results_dir``. Workers on different hosts must point
+    ``results_dir`` at shared storage (NFS etc.) for peer cache hits
+    to be serveable; QueryRegistry.cached_query_id probes the
+    published path with os.path.exists and falls back to a fresh run
+    when the peer's result is not visible locally, so a non-shared
+    results_dir degrades to duplicate work, never a dead link."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 6379, *, client: RespClient | None = None):
         self._c = client or RespClient(host, port)

@@ -341,7 +341,15 @@ def _prune_manifest(manifest: dict, column: str, lo, hi) -> list[str]:
     keep = []
     for rel in manifest["files"]:
         col = stats.get(rel, {}).get(column)
-        if col is None or (col[0] <= hi and col[1] >= lo):
+        try:
+            skip = col is not None and not (col[0] <= hi and col[1] >= lo)
+        except TypeError:
+            # caller-supplied bound type incomparable with the stored
+            # numeric/bool stats (e.g. a string bound on an int
+            # column): degrade to the documented conservative
+            # behavior — keep the file, never raise from a skip path
+            skip = False
+        if not skip:
             keep.append(rel)
     return keep
 
@@ -455,16 +463,21 @@ def merge_snapshot(
     )
 
 
-def committed_ops(table_dir: str) -> list[str]:
-    """Every committed op label, oldest first — the lookup an
-    idempotent (exactly-once) writer replays against.
+def committed_op_records(table_dir: str) -> list[tuple[int, str]]:
+    """(version, op) records in APPLICATION order — the order commits
+    actually happened, NOT numeric version order.
 
-    Reads the retention-independent ``_txns`` log UNION the retained
-    manifests (tables written before the log existed have only the
-    latter), so vacuum never truncates the exactly-once window: a
-    backfill chunk or streaming batch committed before an aggressive
-    vacuum still reads as done."""
-    records: list[tuple[int, str]] = []
+    The two differ exactly when ``rollback`` re-points a table at an
+    earlier state: the log then reads ...v5, v3... and a consumer that
+    tracks "last applied" (ivm.maintain_rollup) must see v3 as latest
+    — sorting by version would pin it at v5 forever and re-apply the
+    same delta every tick (the r4 ADVICE corruption scenario).
+
+    Source of truth is the retention-independent ``_txns`` log in
+    file (append) order; manifest-only versions (pre-log tables, or
+    the rare crash between pointer swap and log append) are merged in
+    at their version position relative to logged versions."""
+    logged: list[tuple[int, str]] = []
     seen: set[int] = set()
     txns = _txns_path(table_dir)
     if os.path.exists(txns):
@@ -477,13 +490,45 @@ def committed_ops(table_dir: str) -> list[str]:
                     rec = json.loads(line)
                 except ValueError:
                     continue  # torn tail from a crashed append
-                records.append((rec["version"], rec["op"]))
+                logged.append((rec["version"], rec["op"]))
                 seen.add(rec["version"])
-    for h in history(table_dir):
-        if h["version"] not in seen:
-            records.append((h["version"], h["op"]))
-    records.sort(key=lambda t: t[0])
-    return [op for _, op in records]
+    unlogged = sorted(
+        (h["version"], h["op"]) for h in history(table_dir)
+        if h["version"] not in seen
+    )
+    if not logged:
+        return unlogged
+    # Splice each unlogged version before the first logged record
+    # with a greater version (its commit necessarily preceded it —
+    # versions are monotone at commit time; only rollback re-visits
+    # state, never version numbers).
+    records: list[tuple[int, str]] = []
+    ui = 0
+    for v, op in logged:
+        while ui < len(unlogged) and unlogged[ui][0] < v:
+            records.append(unlogged[ui])
+            ui += 1
+        records.append((v, op))
+    records.extend(unlogged[ui:])
+    return records
+
+
+def committed_ops(table_dir: str) -> list[str]:
+    """Every committed op label, oldest version first — the lookup an
+    idempotent (exactly-once) writer replays membership against.
+
+    Reads the retention-independent ``_txns`` log UNION the retained
+    manifests (tables written before the log existed have only the
+    latter), so vacuum never truncates the exactly-once window: a
+    backfill chunk or streaming batch committed before an aggressive
+    vacuum still reads as done. Order is numeric-version for display
+    stability; order-sensitive consumers use committed_op_records."""
+    return [
+        op
+        for _, op in sorted(
+            committed_op_records(table_dir), key=lambda t: t[0]
+        )
+    ]
 
 
 def compact(

@@ -104,3 +104,26 @@ def test_add_stamp_cannot_collide_with_mode_labels(spark, tmp_path):
     # unstamped adds always run (not idempotent, by contract)
     v2 = AX.add_to_ivf_index(spark, tdir, batch)
     assert v2 == 2
+
+
+def test_legacy_index_without_kind_column_fails_plainly(spark, tmp_path):
+    """ADVICE r4 regression: a pre-round-4 index table (no 'kind'
+    column) must raise a clear rebuild message, not an unresolved-
+    column AnalysisException from deep inside the probe plan."""
+    import pytest as _pytest
+
+    from ensembl_lakehouse_spark import ann_index as AI
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    legacy = str(tmp_path / "legacy_idx")
+    SN.write_snapshot(
+        legacy,
+        spark.createDataFrame(
+            [(1, "a", [0.1, 0.2], 3, 1.0)],
+            ["vec_id", "label", "embedding", "cell", "c_nrm"],
+        ),
+    )
+    with _pytest.raises(ValueError, match="legacy IVF index.*rebuild"):
+        AI.persisted_centroids(spark, legacy)
+    with _pytest.raises(ValueError, match="legacy IVF index"):
+        AI.query_ivf_index(spark, "/root/testdata/sf0.001", legacy).collect()

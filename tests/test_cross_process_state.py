@@ -96,3 +96,28 @@ def test_dead_peer_running_state_does_not_poison_cache(engines):
     out = b.submit_analytics("agg_filtered", SF_DIR)
     assert out["query_id"] != dead_qid
     assert _poll(b, out["query_id"])["status"] == "SUCCEEDED"
+
+
+def test_peer_succeeded_with_unreachable_result_path_is_a_miss(engines):
+    """ADVICE r4 regression: with a shared Redis but per-host local
+    disks, a peer's SUCCEEDED state points at a results_dir that does
+    not exist on this host — honoring it would hand clients a dead
+    link. The registry probes the path and resubmits instead."""
+    import json as _json
+
+    _, b = engines
+    ghost_qid = "88888888-8888-4888-8888-888888888888"
+    key = f"analytics\x1fdistinct_key\x1f{SF_DIR}"
+    b.cache.set(f"query_cache:{key}", ghost_qid)
+    b.cache.set(
+        f"query_state:{ghost_qid}",
+        _json.dumps(
+            {
+                "status": "SUCCEEDED",
+                "result": "/nonexistent-host-disk/results/" + ghost_qid,
+            }
+        ),
+    )
+    out = b.submit_analytics("distinct_key", SF_DIR)
+    assert out["query_id"] != ghost_qid
+    assert _poll(b, out["query_id"])["status"] == "SUCCEEDED"

@@ -145,3 +145,75 @@ def test_vacuumed_source_history_triggers_rebuild(spark, tmp_path):
     assert _view(spark, rol) == _recompute(spark, src)
     raw = {r.grp: r.n_rows for r in SN.read_snapshot(spark, rol).collect()}
     assert raw.get("g1") == 0  # vanished group tombstoned
+
+
+def _seed(spark, src, rol):
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", i) for i in range(12)], ["k", "grp", "val"]
+        ),
+    )
+    ivm.maintain_rollup(spark, src, rol, ["grp"], "val")  # applied v0
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame(
+            [(100, "g0", 50), (101, "g3", 7)], ["k", "grp", "val"]
+        ),
+        key="k",
+    )
+    ivm.maintain_rollup(spark, src, rol, ["grp"], "val")  # applied v1
+
+
+def test_source_rollback_api_maintains_correctly(spark, tmp_path):
+    """Official rollback(): a NEW source version carrying old
+    content. Maintenance must apply the reversing delta once and then
+    noop — view == recompute at every step."""
+    src, rol = str(tmp_path / "src_rb"), str(tmp_path / "rol_rb")
+    _seed(spark, src, rol)
+    SN.rollback(src, 0)  # v2 == v0's content
+    out = ivm.maintain_rollup(spark, src, rol, ["grp"], "val")
+    assert out["mode"] == "delta"
+    assert _view(spark, rol) == _recompute(spark, src)
+    assert ivm.maintain_rollup(spark, src, rol, ["grp"], "val")["mode"] == "noop"
+    assert _view(spark, rol) == _recompute(spark, src)
+
+
+def test_out_of_band_source_version_decrease_does_not_corrupt(spark, tmp_path):
+    """ADVICE r4 regression: a source restored out-of-band to a LOWER
+    version number (backup restore — pointer moves backwards, no new
+    commit). Numeric-sorted stamp tracking pinned last-applied at the
+    higher version forever and re-applied the same reversing delta on
+    EVERY tick, corrupting the rollup unboundedly. Log-order tracking
+    applies it once and then noops."""
+    src, rol = str(tmp_path / "src_oob"), str(tmp_path / "rol_oob")
+    _seed(spark, src, rol)
+    # simulate the backup restore: pointer back to v0
+    with open(SN._pointer_path(src), "w") as f:
+        f.write("0")
+    out = ivm.maintain_rollup(spark, src, rol, ["grp"], "val")
+    assert out["mode"] == "delta"
+    assert _view(spark, rol) == _recompute(spark, src)
+    # the old bug fired here: every later tick re-applied the delta
+    for _ in range(3):
+        assert (
+            ivm.maintain_rollup(spark, src, rol, ["grp"], "val")["mode"]
+            == "noop"
+        )
+        assert _view(spark, rol) == _recompute(spark, src)
+
+
+def test_rollup_rollback_requires_explicit_rebuild(spark, tmp_path):
+    """Rolling back the ROLLUP reverts its content but not its stamp
+    history, so plain maintenance noops on stale content; rebuild=True
+    restores view == recompute."""
+    src, rol = str(tmp_path / "src_rr"), str(tmp_path / "rol_rr")
+    _seed(spark, src, rol)
+    SN.rollback(rol, 0)  # rollup content back to the v0 aggregate
+    assert (
+        ivm.maintain_rollup(spark, src, rol, ["grp"], "val")["mode"] == "noop"
+    )
+    out = ivm.maintain_rollup(spark, src, rol, ["grp"], "val", rebuild=True)
+    assert out["mode"] == "rebuild"
+    assert _view(spark, rol) == _recompute(spark, src)
+    assert ivm.maintain_rollup(spark, src, rol, ["grp"], "val")["mode"] == "noop"

@@ -357,3 +357,18 @@ def test_zorder_cluster_gives_two_dimensional_skipping(spark, tdir):
             r.v for r in df.where(f"{col} BETWEEN {lo} AND {hi}").collect()
         )
         assert got == want
+
+
+def test_incomparable_skip_bound_keeps_files_instead_of_raising(spark, tdir):
+    """ADVICE r4 regression: a string/date bound against numeric
+    file stats used to raise TypeError from the skip path; it must
+    degrade to the documented conservative keep-everything plan."""
+    df = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    S.write_snapshot(tdir, df.repartitionByRange(4, "k"))
+    keep, total = S.files_for_range(tdir, "k", "a", "z")
+    assert keep and len(keep) == total  # nothing skipped, nothing raised
+    got = S.read_snapshot(spark, tdir, where_between=("v", 10, 20))
+    # v carries no stats (string) -> unprunable; filter still applies
+    assert got.count() == spark.range(0, 100).where(
+        "CAST(id AS STRING) >= 10 AND CAST(id AS STRING) <= 20"
+    ).count()
