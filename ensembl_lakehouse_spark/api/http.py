@@ -283,6 +283,10 @@ class ApiServer:
         )
         self.host = host
         self.port = self._httpd.server_address[1]
+        #: the wrapped engine — exposed so an operator can manage
+        #: catalog registrations (e.g. register_snapshot pins) on a
+        #: live server without holding a separate reference
+        self.engine = engine
         self._thread: threading.Thread | None = None
 
     def start(self) -> "ApiServer":

@@ -247,3 +247,137 @@ def test_sql_endpoint(server):
 
     status, _, err = _get(server, "/sql")
     assert status == 400
+
+
+def _wait_succeeded(server, qid, timeout=180):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        _, _, body = _get(server, f"/query/{qid}/status")
+        if body.get("status") in ("SUCCEEDED", "FAILED"):
+            assert body["status"] == "SUCCEEDED", body
+            return body
+        time.sleep(0.3)
+    raise AssertionError("timeout waiting for SUCCEEDED")
+
+
+def _preview_rows(server, qid, n=50):
+    _, _, prev = _get(server, f"/query/{qid}/preview?maxResults={n}")
+    rows = prev["Rows"]
+    header = [c["VarCharValue"] for c in rows[0]["Data"]]
+    return header, [
+        [c.get("VarCharValue") for c in r["Data"]] for r in rows[1:]
+    ]
+
+
+def test_params_lifecycle_end_to_end(server):
+    """VERDICT r4 item 5: drive parameterized analytics through the
+    FULL HTTP lifecycle (submit -> status -> preview -> export) with
+    two distinct param sets, pinning that parameterized runs bypass
+    the bare-key semantic cache entry and that non-default results
+    are never served to default requests."""
+    # default bm25 run (bare cache key)
+    _, _, d = _get(server, "/analytics/bm25_search")
+    default_qid = d["query_id"]
+    _wait_succeeded(server, default_qid)
+    _, default_rows = _preview_rows(server, default_qid)
+
+    # param set 1: tighter topk — distinct id, row count bound honored
+    status, _, p1 = _get(server, "/analytics/bm25_search?topk=3")
+    assert status == 200
+    assert p1["query_id"] != default_qid
+    _wait_succeeded(server, p1["query_id"])
+    _, rows1 = _preview_rows(server, p1["query_id"])
+    assert len(rows1) <= 3
+    # topk truncates the same ranking: prefix of the default result
+    assert rows1 == default_rows[: len(rows1)]
+
+    # param set 2: different terms — distinct id from BOTH prior runs
+    status, _, p2 = _get(server, "/analytics/bm25_search?terms=model,table&topk=3")
+    assert status == 200
+    assert p2["query_id"] not in (default_qid, p1["query_id"])
+    _wait_succeeded(server, p2["query_id"])
+
+    # export the parameterized result through the standard endpoint
+    qid1 = p1["query_id"]
+    status, _, exp = _get(server, f"/query/{qid1}/export?file_format=csv")
+    assert status in (200, 202)
+    deadline = time.time() + 120
+    while exp["status"] != "DONE" and time.time() < deadline:
+        time.sleep(0.3)
+        _, _, exp = _get(server, f"/query/{qid1}/export?file_format=csv")
+    assert exp["status"] == "DONE"
+
+    # identical param resubmission -> same id (per-param cache key)
+    _, _, again = _get(server, "/analytics/bm25_search?topk=3")
+    assert again["query_id"] == p1["query_id"]
+    # explicit defaults collapse onto the bare key
+    _, _, expl = _get(server, "/analytics/bm25_search?topk=20")
+    # and a fresh default request still gets the DEFAULT result
+    _, _, d2 = _get(server, "/analytics/bm25_search")
+    assert d2["query_id"] == default_qid
+    assert expl["query_id"] == default_qid
+
+    # dedup_near with a non-default threshold: full lifecycle, and
+    # the stricter threshold can only shrink the pair set
+    _, _, nd = _get(server, "/analytics/dedup_near")
+    _wait_succeeded(server, nd["query_id"])
+    _, base_pairs = _preview_rows(server, nd["query_id"], n=1000)
+    _, _, hi = _get(server, "/analytics/dedup_near?threshold=0.95")
+    assert hi["query_id"] != nd["query_id"]
+    _wait_succeeded(server, hi["query_id"])
+    _, strict_pairs = _preview_rows(server, hi["query_id"], n=1000)
+    assert len(strict_pairs) <= len(base_pairs)
+    as_set = {tuple(r[:2]) for r in base_pairs}
+    assert all(tuple(r[:2]) in as_set for r in strict_pairs)
+
+    # invalid param value fails closed with a 400, not a 500
+    status, _, err = _get(server, "/analytics/dedup_near?threshold=2.5")
+    assert status == 400 and "threshold" in err["detail"]
+    status, _, err = _get(server, "/analytics/dedup_near?bogus=1")
+    assert status == 400
+
+
+def test_sql_time_travel_over_registered_snapshot_versions(server, tmp_path):
+    """VERDICT r4 item 6: lakehouse time travel through GET /sql —
+    write v0, merge v1, register the live view AND a version-pinned
+    view, and the SAME SQL shape serves v1 rows from the live view
+    while the pin serves v0; cache keys stay distinct."""
+    import urllib.parse
+
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    eng = server.engine
+    spark = eng.spark
+    tdir = str(tmp_path / "tt_docs")
+    SN.write_snapshot(
+        tdir,
+        spark.createDataFrame(
+            [(1, "en"), (2, "fr"), (3, "en")], ["doc_id", "lang"]
+        ),
+    )
+    SN.merge_snapshot(
+        spark, tdir,
+        spark.createDataFrame([(4, "de"), (5, "de")], ["doc_id", "lang"]),
+        key="doc_id",
+    )
+    eng.catalog.register_snapshot("tt_live", tdir)            # v1
+    eng.catalog.register_snapshot("tt_hist", tdir, version=0)  # pinned v0
+
+    def run(sql):
+        q = urllib.parse.quote(sql)
+        status, _, resp = _get(server, f"/sql?query={q}")
+        assert status == 200, resp
+        qid = resp["query_id"]
+        _wait_succeeded(server, qid)
+        _, rows = _preview_rows(server, qid, n=10)
+        return qid, rows
+
+    live_qid, live = run("SELECT COUNT(*) AS n FROM tt_live")
+    hist_qid, hist = run("SELECT COUNT(*) AS n FROM tt_hist")
+    assert live == [["5"]] and hist == [["3"]]
+    assert live_qid != hist_qid  # distinct cache keys per view state
+
+    # advancing the pin re-keys the cache: same SQL, new id, new rows
+    eng.catalog.register_snapshot("tt_hist", tdir, version=1)
+    hist2_qid, hist2 = run("SELECT COUNT(*) AS n FROM tt_hist")
+    assert hist2 == [["5"]] and hist2_qid != hist_qid
