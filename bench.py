@@ -99,16 +99,60 @@ def main() -> int:
 
     total = round(sum(timings.values()), 4)
     sf = _sf_from_dir(SF_DIR)
+
+    # --- Regression tracking vs the previous ROUND's record. The
+    # driver archives its own BENCH_r{N}.json; here the last round's
+    # BENCH_FULL.json is kept under a round-stamped name the first
+    # time bench runs in a new round, and per-query deltas are
+    # computed against it so a regression is visible in the round
+    # artifact itself rather than via tail-scraping two files.
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(here, "BENCH_FULL.json")
+    import glob
+    import re as _re
+    import shutil
+
+    rounds = sorted(
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f)))
+    )
+    baseline = None
+    if rounds and os.path.exists(out_path):
+        arch = os.path.join(here, f"BENCH_FULL_r{rounds[-1]:02d}.json")
+        if not os.path.exists(arch):
+            # first bench run of a new round: stamp last round's record
+            shutil.copyfile(out_path, arch)
+        try:
+            with open(arch) as fh:
+                baseline = json.load(fh)
+        except ValueError:
+            baseline = None
+    regressions: dict[str, dict] = {}
+    if baseline and baseline.get("sf") == sf:
+        prev_q = baseline.get("queries", {})
+        for name, now in timings.items():
+            prev = prev_q.get(name)
+            # 1.5x with a 0.2 s floor filters the 0.5-4 s host wobble
+            # on trivial queries (r4 verdict treated 1.25x as noise)
+            if prev and now >= 1.5 * prev and now - prev >= 0.2:
+                regressions[name] = {
+                    "prev": prev,
+                    "now": now,
+                    "ratio": round(now / prev, 2),
+                }
+
     full = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "regressions": regressions,
+        "baseline_round": rounds[-1] if rounds else None,
         "sf": sf,
     }
     # Full record to a file (always intact regardless of console capture).
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1)
         fh.write("\n")
@@ -127,6 +171,13 @@ def main() -> int:
                 "sf": sf,
                 "n_queries": len(timings),
                 "queries_file": "BENCH_FULL.json",
+                # bounded: worst 10 by ratio so the line stays short
+                "regressions": dict(
+                    sorted(
+                        regressions.items(),
+                        key=lambda kv: -kv[1]["ratio"],
+                    )[:10]
+                ),
             }
         )
     )
