@@ -83,6 +83,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- Round-5 additions (oracle-backed, never sampled —
         # kept inside the first-50 window so they certify this
         # round too).
+        "events_topk_per_hour": R.events_topk_per_hour,
+        "basket_rules": A.basket_rules,
+        "cooccur_pmi": T.cooccur_pmi,
+        "doc_jaccard_knn": D.doc_jaccard_knn,
+        "embedding_margin_audit": S.embedding_margin_audit,
+        "events_dow_profile": R.events_dow_profile,
         # --- Certified filler (driver-green in r1-r4) padding the
         # window to 50.
         "basket_pairs": A.basket_pairs,
@@ -320,6 +326,12 @@ def oracle_sql() -> dict[str, str]:
         "component_size_histogram": D.COMPONENT_SIZE_HISTOGRAM_SQL,
         "embedding_norm_audit": S.EMBEDDING_NORM_AUDIT_SQL,
         "group_median": R.GROUP_MEDIAN_SQL,
+        "events_topk_per_hour": R.EVENTS_TOPK_PER_HOUR_SQL,
+        "basket_rules": A.BASKET_RULES_SQL,
+        "cooccur_pmi": T.COOCCUR_PMI_SQL,
+        "doc_jaccard_knn": D.DOC_JACCARD_KNN_SQL,
+        "embedding_margin_audit": S.EMBEDDING_MARGIN_AUDIT_SQL,
+        "events_dow_profile": R.EVENTS_DOW_PROFILE_SQL,
         "graph_triangles": G.GRAPH_TRIANGLES_SQL,
         "lm_bigram_topk": LM.LM_BIGRAM_TOPK_SQL,
         "lm_doc_score": LM.LM_DOC_SCORE_SQL,

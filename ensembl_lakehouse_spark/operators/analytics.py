@@ -329,3 +329,132 @@ GROUP BY 1, 2
 ORDER BY support DESC, part_a, part_b
 LIMIT {BASKET_TOP_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# Association rules (round 5): confidence + lift over the basket lattice
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for confidence (basis points) and lift.
+RULES_SCALE = 10_000
+
+#: Rules emitted (both directions of each supported pair compete).
+RULES_TOP_N = 40
+
+
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the basket lattice: for each directed
+    pair antecedent→consequent, support, confidence (basis points)
+    and lift (RULES_SCALE-scaled) — the step after basket_pairs that
+    recommendation/affinity systems actually consume.
+
+    Rides basket_pairs' capped distinct-(order, part) lattice (same
+    BASKET_MAX_ITEMS guard, same one-partitioning self-join); item
+    supports and the basket count are two more partial aggs of that
+    lattice. The pair list is bounded (top RULES_TOP_N by support,
+    both directions), so the supports join runs against a relation
+    of ≤2·RULES_TOP_N rows — broadcast, never a fact-side shuffle.
+
+    Determinism: confidence and lift use staged INTEGER division —
+    ``(support·S) DIV supp_a`` then ``·N DIV supp_b`` — so no
+    float ever accumulates; the staged order is part of the contract
+    (documented asymmetry ≤1 ulp of the scale), and the same tree
+    runs on both engines. Staging also keeps every intermediate
+    under 2^63 at warehouse scale, where support·N·S alone would
+    overflow (2.25e22 at 1.5e9 baskets).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    kept = items.withColumn(
+        "n_items", F.expr("count(*) OVER (PARTITION BY l_orderkey)")
+    ).where(F.col("n_items") <= BASKET_MAX_ITEMS).select(
+        "l_orderkey", "l_partkey"
+    )
+    n_baskets = kept.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    supp = kept.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("part_supp")
+    )
+    a = kept.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = kept.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(RULES_TOP_N)
+    )
+    directed = pairs.selectExpr(
+        "part_a AS antecedent", "part_b AS consequent", "support"
+    ).unionByName(
+        pairs.selectExpr(
+            "part_b AS antecedent", "part_a AS consequent", "support"
+        )
+    )
+    return (
+        directed.join(
+            F.broadcast(supp).withColumnRenamed("l_partkey", "antecedent")
+            .withColumnRenamed("part_supp", "supp_a"),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(supp).withColumnRenamed("l_partkey", "consequent")
+            .withColumnRenamed("part_supp", "supp_b"),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .withColumn(
+            "conf_bp", F.expr(f"(support * {RULES_SCALE}) DIV supp_a")
+        )
+        .withColumn(
+            "lift_fp",
+            F.expr(
+                f"((support * {RULES_SCALE}) DIV supp_a) * n_baskets DIV supp_b"
+            ),
+        )
+        .select(
+            "antecedent", "consequent", "support", "supp_a", "supp_b",
+            "conf_bp", "lift_fp",
+        )
+        .orderBy(F.desc("lift_fp"), "antecedent", "consequent")
+    )
+
+
+BASKET_RULES_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey, l_partkey,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items
+  FROM items
+), kept AS (
+  SELECT l_orderkey, l_partkey FROM sized WHERE n_items <= {BASKET_MAX_ITEMS}
+), nb AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM kept
+), supp AS (
+  SELECT l_partkey, COUNT(*) AS part_supp FROM kept GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM kept a
+  JOIN kept b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  ORDER BY support DESC, part_a, part_b
+  LIMIT {RULES_TOP_N}
+), directed AS (
+  SELECT part_a AS antecedent, part_b AS consequent, support FROM pairs
+  UNION ALL
+  SELECT part_b AS antecedent, part_a AS consequent, support FROM pairs
+)
+SELECT d.antecedent, d.consequent, CAST(d.support AS BIGINT) AS support,
+       CAST(sa.part_supp AS BIGINT) AS supp_a,
+       CAST(sb.part_supp AS BIGINT) AS supp_b,
+       CAST((d.support * {RULES_SCALE}) // sa.part_supp AS BIGINT) AS conf_bp,
+       CAST(((d.support * {RULES_SCALE}) // sa.part_supp) * nb.n_baskets
+            // sb.part_supp AS BIGINT) AS lift_fp
+FROM directed d
+JOIN supp sa ON sa.l_partkey = d.antecedent
+JOIN supp sb ON sb.l_partkey = d.consequent
+CROSS JOIN nb
+ORDER BY lift_fp DESC, antecedent, consequent
+"""

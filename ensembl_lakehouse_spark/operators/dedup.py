@@ -1243,3 +1243,142 @@ FROM sizes
 GROUP BY component_size
 ORDER BY component_size
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact token-Jaccard k-nearest documents (round 5)
+# ---------------------------------------------------------------------------
+
+#: Relative document-frequency cap: terms in more than 1/JKNN_DF_DIV
+#: of all docs carry no similarity signal (stopwords) and would each
+#: generate df² posting pairs — dropping them bounds the per-term
+#: pair volume at (N/JKNN_DF_DIV)² and is part of the operator
+#: contract (Jaccard over the discriminative term projection), not
+#: an approximation knob. Relative, not absolute: an absolute cap
+#: silently empties the projection as the corpus grows past it.
+JKNN_DF_DIV = 20
+
+#: Neighbors reported per document.
+JKNN_K = 3
+
+
+def doc_jaccard_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard k-nearest-neighbor documents over the
+    discriminative-term projection: for every doc, the JKNN_K most
+    token-set-similar docs — the exact complement to the minhash
+    estimate (dedup_near generates CANDIDATES above a threshold;
+    this ranks every doc's neighborhood, the shape dedup review
+    queues and contamination triage consume).
+
+    Intersections come from the inverted-posting self-join (pairs
+    exist only where a shared term exists — no all-pairs shape
+    anywhere); the relative DF cap (df ≤ N/JKNN_DF_DIV)
+    bounds any term's contribution to the pair lattice at corpus
+    scale, the same quadratic-straggler guard as BUCKET_CAP.
+    Sizes and Jaccard are computed over the SAME capped projection,
+    so the ratio is a true Jaccard of the projected sets. Score is
+    ``inter·S DIV union`` — pure BIGINT, order-invariant.
+
+    At 100 TB: posting join shuffles on term, pair agg on (a, b),
+    size join on doc_id, final window on doc_id — every exchange
+    carries pre-aggregated bounded rows; the df cap is what keeps
+    the term shuffle from being quadratic in hot terms.
+    """
+    from ensembl_lakehouse_spark.operators.text import _docs_with_tokens
+
+    toks = _docs_with_tokens(spark, sf_dir)
+    doc_terms = toks.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).distinct()
+    n_docs = doc_terms.agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    df_ok = (
+        doc_terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.expr(f"df * {JKNN_DF_DIV} <= n_docs"))
+        .select("term")
+    )
+    kept = doc_terms.join(df_ok, "term")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = kept.select(F.col("term").alias("t"), F.col("doc_id").alias("doc_a"))
+    b = kept.select(F.col("term").alias("t2"), F.col("doc_id").alias("doc_b"))
+    inter = (
+        a.join(b, (F.col("t") == F.col("t2")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    directed = inter.selectExpr(
+        "doc_a AS doc_id", "doc_b AS neighbor_id", "inter"
+    ).unionByName(
+        inter.selectExpr("doc_b AS doc_id", "doc_a AS neighbor_id", "inter")
+    )
+    scored = (
+        directed.join(sizes, "doc_id")
+        .join(
+            sizes.selectExpr(
+                "doc_id AS neighbor_id", "n_terms AS n_terms_b"
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "jac_bp",
+            F.expr("(inter * 10000) DIV (n_terms + n_terms_b - inter)"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (PARTITION BY doc_id "
+                "ORDER BY jac_bp DESC, neighbor_id ASC)"
+            ),
+        )
+        .where(F.col("rank") <= JKNN_K)
+        .select("doc_id", "rank", "neighbor_id", "inter", "jac_bp")
+        .orderBy("doc_id", "rank")
+    )
+
+
+DOC_JACCARD_KNN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), doc_terms AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM t
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM doc_terms
+), df_ok AS (
+  SELECT term FROM doc_terms GROUP BY term
+  HAVING COUNT(*) * {JKNN_DF_DIV} <= (SELECT n_docs FROM nd)
+), kept AS (
+  SELECT d.doc_id, d.term FROM doc_terms d JOIN df_ok USING (term)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_terms FROM kept GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM kept a
+  JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), directed AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, inter FROM inter
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS neighbor_id, inter FROM inter
+), scored AS (
+  SELECT d.doc_id, d.neighbor_id, d.inter,
+         (d.inter * 10000) // (sa.n_terms + sb.n_terms - d.inter) AS jac_bp
+  FROM directed d
+  JOIN sizes sa ON sa.doc_id = d.doc_id
+  JOIN sizes sb ON sb.doc_id = d.neighbor_id
+), ranked AS (
+  SELECT doc_id, neighbor_id, inter, jac_bp,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY jac_bp DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, neighbor_id, CAST(inter AS BIGINT) AS inter,
+       CAST(jac_bp AS BIGINT) AS jac_bp
+FROM ranked WHERE rank <= {JKNN_K}
+ORDER BY doc_id, rank
+"""

@@ -2101,3 +2101,141 @@ FROM ranked
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# Trending top-K per hour + day-of-week seasonality profile (round 5)
+# ---------------------------------------------------------------------------
+
+#: Event types surfaced per hour by the trending report.
+TRENDING_K = 3
+
+
+def events_topk_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending report: the TRENDING_K most frequent event types in
+    every hour — the batch twin of the streaming trending top-K sink
+    (streaming/trending.py shares the grouping), and the classic
+    "what moved this hour" dashboard feed.
+
+    Plan: tumbling-hour partial agg first (each scan task collapses
+    to |hours × types| rows before the exchange), then a per-hour
+    row_number window. Spark rewrites the rank<=k filter into
+    WindowGroupLimit, so the second exchange moves at most k rows per
+    hour per task — at 100 TB the window input is already only
+    |hours × types| rows, microscopic next to the scan.
+
+    Ties break on event_type ASC so the selected set is
+    deterministic cross-engine.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        hourly.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (PARTITION BY hour "
+                "ORDER BY n_events DESC, event_type ASC)"
+            ),
+        )
+        .where(F.col("rank") <= TRENDING_K)
+        .select("hour", "rank", "event_type", "n_events")
+        .orderBy("hour", "rank")
+    )
+
+
+EVENTS_TOPK_PER_HOUR_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT hour, event_type, n_events,
+         row_number() OVER (PARTITION BY hour
+                            ORDER BY n_events DESC, event_type ASC) AS rank
+  FROM hourly
+)
+SELECT hour, rank, event_type, n_events
+FROM ranked WHERE rank <= {TRENDING_K}
+ORDER BY hour, rank
+"""
+
+
+#: Fixed-point scale for event values in the seasonality profile
+#: (cents — matches the DECIMAL(12,2) convention of events_hourly).
+DOW_VALUE_SCALE = 100
+
+#: Share scale: basis points.
+DOW_SHARE_SCALE = 10_000
+
+
+def events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: per (weekday, event type),
+    event count, distinct users, fixed-point value mass, and the
+    type's share of the weekday's events in basis points — the
+    seasonal-baseline input of any anomaly/capacity model.
+
+    Weekday is computed arithmetically — ``(days_since_epoch + 3) %
+    7`` with 0 = Monday (1970-01-01 was a Thursday → 3) — instead of
+    engine dayofweek()/strftime, whose 0-vs-1-based and
+    Sunday-vs-Monday-first conventions differ between engines. Value
+    mass is per-row fixed-pointed BEFORE the sum (order-invariant
+    BIGINT lattice) and the share uses integer DIV, so every output
+    bit is engine-independent.
+
+    Plan: one partial agg to |7 × types| rows; the share window runs
+    on that tiny grouped relation.
+    """
+    events = load_table(spark, sf_dir, "events")
+    grouped = (
+        events.withColumn(
+            "dow",
+            F.expr(
+                "CAST((floor(unix_timestamp(ts) / 86400) + 3) % 7 AS INT)"
+            ),
+        )
+        .groupBy("dow", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.expr(
+                    f"CAST(floor(value * {DOW_VALUE_SCALE} + "
+                    f"CAST(0.5 AS DOUBLE)) AS BIGINT)"
+                )
+            ).alias("value_fp"),
+        )
+    )
+    return (
+        grouped.withColumn(
+            "dow_total", F.expr("sum(n_events) OVER (PARTITION BY dow)")
+        )
+        .withColumn(
+            "share_bp",
+            F.expr(f"(n_events * {DOW_SHARE_SCALE}) DIV dow_total"),
+        )
+        .select(
+            "dow", "event_type", "n_events", "n_users", "value_fp", "share_bp"
+        )
+        .orderBy("dow", "event_type")
+    )
+
+
+EVENTS_DOW_PROFILE_SQL = f"""
+WITH grouped AS (
+  SELECT CAST((floor(epoch(ts) / 86400) + 3) % 7 AS INT) AS dow,
+         event_type,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_users,
+         CAST(SUM(CAST(floor(value * {DOW_VALUE_SCALE} +
+                             CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+           AS value_fp
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, event_type, n_events, n_users, value_fp,
+       CAST((n_events * {DOW_SHARE_SCALE}) // SUM(n_events) OVER (PARTITION BY dow)
+            AS BIGINT) AS share_bp
+FROM grouped
+ORDER BY dow, event_type
+"""

@@ -777,3 +777,76 @@ SELECT COUNT(*) AS n_vectors,
          / CAST({NORM_FP} AS DOUBLE) / COUNT(*) AS mean_norm
 FROM e
 """
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor margin audit (round 5)
+# ---------------------------------------------------------------------------
+
+def embedding_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query nearest-neighbor confidence margin: for each query
+    vector, its top-1 and top-2 corpus cosines and their difference —
+    the retrieval-confidence diagnostic (a small margin means the
+    labeling/dedup decision downstream is a coin flip; margin
+    distributions are how ANN pipelines pick "trust the top-1"
+    thresholds).
+
+    Same scored lattice as similarity_topk (broadcast queries, one
+    WindowGroupLimit window keeping 2 rows per query before the
+    exchange); the top-2 pivot is a conditional MAX over exactly two
+    rows per query. Every cosine is a per-pair map-side double (no
+    cross-row float accumulation), and top-1/top-2 selection is a
+    total order (cosine DESC, vec_id ASC), so the margins are
+    bit-stable cross-engine.
+    """
+    queries, corpus = _split(spark, sf_dir)
+    ranked = (
+        corpus.crossJoin(F.broadcast(queries))
+        .withColumn("cosine", F.expr(_PAIR_COSINE))
+        .withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (PARTITION BY q_id "
+                "ORDER BY cosine DESC, vec_id ASC)"
+            ),
+        )
+        .where(F.col("rank") <= 2)
+    )
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.max(F.when(F.col("rank") == 1, F.col("vec_id"))).alias("top1_id"),
+            F.max(F.when(F.col("rank") == 1, F.col("cosine"))).alias("cos1"),
+            F.max(F.when(F.col("rank") == 2, F.col("vec_id"))).alias("top2_id"),
+            F.max(F.when(F.col("rank") == 2, F.col("cosine"))).alias("cos2"),
+        )
+        .withColumn("margin", F.expr("cos1 - cos2"))
+        .orderBy("q_id")
+    )
+
+
+EMBEDDING_MARGIN_AUDIT_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT * FROM embeddings WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, c.vec_id,
+         {sql_cosine("q.q_vec", "c.embedding")} AS cosine
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id,
+       MAX(CASE WHEN rank = 1 THEN vec_id END) AS top1_id,
+       MAX(CASE WHEN rank = 1 THEN cosine END) AS cos1,
+       MAX(CASE WHEN rank = 2 THEN vec_id END) AS top2_id,
+       MAX(CASE WHEN rank = 2 THEN cosine END) AS cos2,
+       MAX(CASE WHEN rank = 1 THEN cosine END)
+         - MAX(CASE WHEN rank = 2 THEN cosine END) AS margin
+FROM ranked WHERE rank <= 2
+GROUP BY q_id
+ORDER BY q_id
+"""

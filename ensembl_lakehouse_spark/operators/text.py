@@ -780,3 +780,117 @@ SELECT lang, predicted_lang, n_cell,
 FROM cells
 ORDER BY lang, predicted_lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Term co-occurrence PMI (round 5)
+# ---------------------------------------------------------------------------
+
+#: Distinct-term-per-doc cap — the basket_pairs quadratic-blowup
+#: guard applied to documents (pairs grow as terms², so one giant
+#: doc must not generate the corpus's worst-case pair volume).
+COOCCUR_MAX_TERMS = 200
+
+#: Minimum docs a PAIR must co-occur in to be scored (rare-pair
+#: noise floor — PMI of a 1-doc pair is pure sampling noise).
+COOCCUR_MIN_PAIR_DF = 3
+
+#: Fixed-point PMI scale.
+PMI_SCALE = 10_000
+
+#: Pairs reported.
+COOCCUR_TOP_N = 40
+
+
+def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-pair pointwise-mutual-information mining: the
+    COOCCUR_TOP_N term pairs whose document co-occurrence most
+    exceeds independence — the phrase/collocation detector feeding
+    tokenizer vocab curation and topic audits (bpe_pair_counts ranks
+    ADJACENT pairs; this ranks same-document association at any
+    distance, a different signal).
+
+    PMI's ``log P(xy)/(P(x)P(y))`` is monotone in its rational core,
+    so the score is ``(c_xy · N · S) DIV (c_x · c_y)`` — staged
+    integer arithmetic, no transcendentals (the oracle-determinism
+    contract), where all counts are DISTINCT-document counts from
+    one (doc, term) lattice. Magnitude: c_xy ≤ c_x ≤ N keeps
+    c_xy·N·S ≤ N²·S — under 2^63 to N ≈ 9.6e8 docs; beyond that
+    the staged DIV form from basket_rules applies (documented, not
+    needed at fixture scale).
+
+    Plan shape is basket_pairs over documents: distinct (doc, term),
+    per-doc cap, one self-join on doc_id (one partitioning reused),
+    pair agg, bounded top-N; term supports join against the ≤2·TOP_N
+    result is broadcast.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    doc_terms = toks.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).distinct()
+    kept = doc_terms.withColumn(
+        "n_terms", F.expr("count(*) OVER (PARTITION BY doc_id)")
+    ).where(F.col("n_terms") <= COOCCUR_MAX_TERMS).select("doc_id", "term")
+    n_docs = kept.agg(F.countDistinct("doc_id").alias("n_docs"))
+    supp = kept.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
+    a = kept.select(F.col("doc_id").alias("d"), F.col("term").alias("term_a"))
+    b = kept.select(F.col("doc_id").alias("d2"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, (F.col("d") == F.col("d2")) & (F.col("term_a") < F.col("term_b")))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("pair_df"))
+        .where(F.col("pair_df") >= COOCCUR_MIN_PAIR_DF)
+    )
+    return (
+        pairs.join(
+            F.broadcast(supp).withColumnRenamed("term", "term_a")
+            .withColumnRenamed("term_df", "df_a"),
+            "term_a",
+        )
+        .join(
+            F.broadcast(supp).withColumnRenamed("term", "term_b")
+            .withColumnRenamed("term_df", "df_b"),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "pmi_fp",
+            F.expr(f"(pair_df * n_docs * {PMI_SCALE}) DIV (df_a * df_b)"),
+        )
+        .select("term_a", "term_b", "pair_df", "df_a", "df_b", "pmi_fp")
+        .orderBy(F.desc("pmi_fp"), "term_a", "term_b")
+        .limit(COOCCUR_TOP_N)
+    )
+
+
+COOCCUR_PMI_SQL = f"""
+{_SQL_PREP}, doc_terms AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM t
+), sized AS (
+  SELECT doc_id, term, COUNT(*) OVER (PARTITION BY doc_id) AS n_terms
+  FROM doc_terms
+), kept AS (
+  SELECT doc_id, term FROM sized WHERE n_terms <= {COOCCUR_MAX_TERMS}
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM kept
+), supp AS (
+  SELECT term, COUNT(*) AS term_df FROM kept GROUP BY 1
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS pair_df
+  FROM kept a
+  JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COOCCUR_MIN_PAIR_DF}
+)
+SELECT p.term_a, p.term_b, CAST(p.pair_df AS BIGINT) AS pair_df,
+       CAST(sa.term_df AS BIGINT) AS df_a,
+       CAST(sb.term_df AS BIGINT) AS df_b,
+       CAST((p.pair_df * nd.n_docs * {PMI_SCALE}) // (sa.term_df * sb.term_df)
+            AS BIGINT) AS pmi_fp
+FROM pairs p
+JOIN supp sa ON sa.term = p.term_a
+JOIN supp sb ON sb.term = p.term_b
+CROSS JOIN nd
+ORDER BY pmi_fp DESC, term_a, term_b
+LIMIT {COOCCUR_TOP_N}
+"""

@@ -58,6 +58,18 @@ BUDGETS = {
     "events_asof_forward": 1,
     # one group-key window shuffle; the final agg reuses it
     "group_median": 1,
+    # round 5: hourly agg + per-hour window
+    "events_topk_per_hour": 2,
+    # distinct-agg lattice (2) + share window on the 7×types relation
+    "events_dow_profile": 3,
+    # basket lattice distinct + cap window + pair agg + supports/N aggs
+    # (pair list is bounded, so the supports joins broadcast)
+    "basket_rules": 7,
+    "cooccur_pmi": 7,
+    # posting join + pair agg + sizes join (large-large SMJ) + kNN window
+    "doc_jaccard_knn": 7,
+    # scored lattice window only (queries broadcast)
+    "embedding_margin_audit": 1,
     # stats broadcast back: one agg shuffle, join must not add one
     "events_anomaly": 1,
     "value_winsorize": 1,
