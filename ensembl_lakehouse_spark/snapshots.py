@@ -140,6 +140,7 @@ def _commit(
     expect_version: int | None,
     base_seen: int | None,
     stats: dict | None = None,
+    blooms: dict | None = None,
 ) -> int:
     """Write manifest v{N} then atomically swap the pointer.
 
@@ -153,7 +154,7 @@ def _commit(
     """
     with _table_lock(table_dir):
         return _commit_locked(
-            table_dir, files, op, expect_version, base_seen, stats
+            table_dir, files, op, expect_version, base_seen, stats, blooms
         )
 
 
@@ -164,6 +165,7 @@ def _commit_locked(
     expect_version: int | None,
     base_seen: int | None,
     stats: dict | None = None,
+    blooms: dict | None = None,
 ) -> int:
     now_cur = current_version(table_dir)
     if expect_version is not None and now_cur != expect_version:
@@ -188,6 +190,10 @@ def _commit_locked(
         # per-file min/max skipping metadata (see _file_stats); keys
         # are a subset of "files", absent entries are unprunable
         "stats": stats or {},
+        # per-file per-column bloom filters for point-lookup skipping
+        # (see _file_blooms); opt-in at write/compact time, absent
+        # entries are unprunable
+        "blooms": blooms or {},
         "committed_at": time.time(),
     }
     mpath = os.path.join(_manifest_dir(table_dir), f"v{version}.json")
@@ -303,6 +309,120 @@ def _file_stats(table_dir: str, files: list[str]) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Per-file bloom filters: point-lookup data skipping (round 5)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: 1024 bits / 4 hashes ≈ 1.2% false-positive rate at
+#: ~100 distinct values per file, 2.4 KB of JSON per (file, column).
+#: False positives only cost an extra file scan; false negatives are
+#: impossible by construction (every present value sets its bits).
+BLOOM_BITS = 1024
+BLOOM_HASHES = 4
+_BLOOM_WORD = 64
+
+
+def _bloom_key(value) -> str | None:
+    """Canonical serialization shared by the writer (add) and the
+    reader (test) — a type prefix keeps 1, 1.0 and '1' distinct, the
+    same discipline as the md5 contract in functions/hashing.py.
+    None means 'not bloomable' (the file stays unprunable for it)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return f"b:{int(value)}"
+    if isinstance(value, int):
+        return f"i:{value}"
+    if isinstance(value, float):
+        import math as _math
+
+        if not _math.isfinite(value):
+            return None
+        if value == int(value):
+            # integer-valued floats canonicalize so a lookup by
+            # 3 and by 3.0 both find the file
+            return f"f:{int(value)}"
+        return f"f:{value!r}"
+    if isinstance(value, str):
+        return f"s:{value}"
+    if isinstance(value, bytes):
+        return f"y:{value.hex()}"
+    return None
+
+
+def _bloom_positions(key: str) -> list[int]:
+    import hashlib as _hashlib
+
+    return [
+        int(
+            _hashlib.md5(f"{i}|{key}".encode()).hexdigest()[:15], 16
+        ) % BLOOM_BITS
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    """True unless the filter PROVES absence (never a false negative)."""
+    key = _bloom_key(value)
+    if key is None:
+        return True
+    words = bloom.get("words")
+    bits = bloom.get("bits", BLOOM_BITS)
+    if not words:
+        return True
+    for pos in _bloom_positions(key):
+        pos %= bits
+        if not (words[pos // _BLOOM_WORD] >> (pos % _BLOOM_WORD)) & 1:
+            return False
+    return True
+
+
+def _file_blooms(table_dir: str, files: list[str], columns: list[str]) -> dict:
+    """Per-file bloom filters over each column's distinct values —
+    the equality-predicate complement to _file_stats' min/max ranges
+    (ranges prune BETWEEN; blooms prune point lookups that fall
+    INSIDE every file's range, the high-cardinality-id case where
+    min/max keeps everything).
+
+    Writer-side cost: one columnar read of each freshly written file
+    (the projection touches only the bloomed columns) — the same
+    moment Delta computes its stats, so readers never pay it. A
+    column that fails to serialize (nested types, NaN) is simply
+    absent, which readers treat as unprunable."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, dict]] = {}
+    for rel in files:
+        per_col: dict[str, dict] = {}
+        for col in columns:
+            try:
+                tbl = pq.read_table(
+                    os.path.join(table_dir, rel), columns=[col]
+                )
+            except Exception:
+                continue  # unknown column / unreadable -> unprunable
+            words = [0] * (BLOOM_BITS // _BLOOM_WORD)
+            ok = True
+            for v in set(tbl.column(0).to_pylist()):
+                key = _bloom_key(v)
+                if key is None:
+                    if v is not None:
+                        ok = False  # unbloomable value present
+                        break
+                    continue  # NULLs never match equality; skip
+                for pos in _bloom_positions(key):
+                    words[pos // _BLOOM_WORD] |= 1 << (pos % _BLOOM_WORD)
+            if ok:
+                per_col[col] = {
+                    "bits": BLOOM_BITS,
+                    "k": BLOOM_HASHES,
+                    "words": words,
+                }
+        if per_col:
+            out[rel] = per_col
+    return out
+
+
 def write_snapshot(
     table_dir: str,
     df: DataFrame,
@@ -310,6 +430,7 @@ def write_snapshot(
     expect_version: int | None = None,
     cluster_by: list[str] | None = None,
     n_files: int | None = None,
+    bloom_for: list[str] | None = None,
 ) -> int:
     """Commit df as the next snapshot. ``mode`` is ``overwrite``
     (replace logical content) or ``append`` (add to it); either way
@@ -329,11 +450,19 @@ def write_snapshot(
     base = current_version(table_dir)
     files = _write_data(table_dir, df, (base if base is not None else -1) + 1)
     stats = _file_stats(table_dir, files)
+    blooms = (
+        _file_blooms(table_dir, files, bloom_for) if bloom_for else {}
+    )
     if mode == "append" and base is not None:
         prev = _read_manifest(table_dir, base)
         files = files + prev["files"]
         stats = {**prev.get("stats", {}), **stats}
-    return _commit(table_dir, files, mode, expect_version, base, stats)
+        # appended commits carry forward the prior blooms — old files
+        # keep their pruning power, new files add theirs
+        blooms = {**prev.get("blooms", {}), **blooms}
+    return _commit(
+        table_dir, files, mode, expect_version, base, stats, blooms
+    )
 
 
 def _prune_manifest(manifest: dict, column: str, lo, hi) -> list[str]:
@@ -373,11 +502,41 @@ def files_for_range(
     return _prune_manifest(manifest, column, lo, hi), len(manifest["files"])
 
 
+def files_for_point(
+    table_dir: str,
+    column: str,
+    value,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Point-lookup skipping plan: min/max range pruning at the
+    degenerate [value, value] interval, then bloom-filter membership
+    for files that carry a bloom on the column (write_snapshot/
+    compact ``bloom_for=``). Files without a bloom survive the
+    second stage untouched — both stages are prune-only and can
+    never lose a row. At 100 TB this is the difference between a
+    key lookup scanning the table and scanning ~one file."""
+    cur = current_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    version = cur if version is None else version
+    manifest = _read_manifest(table_dir, version)
+    keep = _prune_manifest(manifest, column, value, value)
+    blooms = manifest.get("blooms", {})
+    keep = [
+        rel
+        for rel in keep
+        if column not in blooms.get(rel, {})
+        or _bloom_maybe_contains(blooms[rel][column], value)
+    ]
+    return keep, len(manifest["files"])
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     where_between: tuple | None = None,
+    where_eq: tuple | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: current) — time travel
     is just resolving an older manifest's file list.
@@ -387,7 +546,13 @@ def read_snapshot(
     overlap the range are planned at all (the Iceberg/Delta read
     path — at 100 TB this is the difference between scanning the
     table and scanning the slice), and the exact BETWEEN filter is
-    applied on top so results equal a full-scan filter exactly."""
+    applied on top so results equal a full-scan filter exactly.
+
+    ``where_eq=(column, value)`` is the point-lookup form: min/max
+    pruning at [value, value] plus per-file BLOOM membership for
+    files written with ``bloom_for=[column]`` — the case range stats
+    cannot help (a scattered id sits inside every file's range), and
+    the exact equality filter on top."""
     cur = current_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
@@ -396,15 +561,36 @@ def read_snapshot(
     files = manifest["files"]
     if not files:
         raise ValueError(f"v{version} of {table_dir} lists no files")
+    read = spark.read.option("mergeSchema", "true")
+    if where_eq is not None:
+        if where_between is not None:
+            raise ValueError("pass where_between OR where_eq, not both")
+        column, value = where_eq
+        if value is None or (isinstance(value, float) and value != value):
+            raise ValueError(
+                "where_eq needs a non-NULL, non-NaN value (SQL equality "
+                "never matches them); filter explicitly instead"
+            )
+        keep, _total = files_for_point(table_dir, column, value, version)
+        if not keep:
+            # plan over ALL files so the MERGED schema survives even
+            # when every file is skipped (a single file may predate a
+            # schema-evolving commit); 1=0 pushes down, no row group
+            # is ever read
+            df = read.parquet(*(os.path.join(table_dir, f) for f in files))
+            return df.where("1 = 0")
+        df = read.parquet(*(os.path.join(table_dir, f) for f in keep))
+        return df.where(df[column] == value)
     if where_between is None:
-        return spark.read.parquet(*(os.path.join(table_dir, f) for f in files))
+        return read.parquet(*(os.path.join(table_dir, f) for f in files))
     column, lo, hi = where_between
     keep = _prune_manifest(manifest, column, lo, hi)
     if not keep:
-        # every file skipped: keep the schema, return zero rows
-        df = spark.read.parquet(os.path.join(table_dir, files[0]))
+        # every file skipped: keep the MERGED schema, return zero rows
+        # (1=0 pushes down — no row group is read)
+        df = read.parquet(*(os.path.join(table_dir, f) for f in files))
         return df.where("1 = 0")
-    df = spark.read.parquet(*(os.path.join(table_dir, f) for f in keep))
+    df = read.parquet(*(os.path.join(table_dir, f) for f in keep))
     return df.where((df[column] >= lo) & (df[column] <= hi))
 
 
@@ -444,7 +630,15 @@ def merge_snapshot(
     ``op`` is recorded in the manifest — idempotent writers (the
     streaming sink) stamp their transaction id here and consult
     ``committed_ops`` before retrying, the Delta txn-version
-    protocol in miniature."""
+    protocol in miniature.
+
+    Schema evolution: ``updates`` may carry columns the table lacks
+    (existing rows read NULL in them from this version on) and may
+    omit columns the table has (upserted rows hold NULL there — rows
+    are replaced whole, never column-patched). Earlier versions keep
+    their own schema under time travel; readers of mixed-file
+    versions get the merged schema (read_snapshot reads with
+    mergeSchema)."""
     keys = [key] if isinstance(key, str) else list(key)
     base = current_version(table_dir)
     if base is None:
@@ -455,7 +649,12 @@ def merge_snapshot(
         )
     current = read_snapshot(spark, table_dir)
     kept = current.join(updates.select(*keys), on=keys, how="left_anti")
-    merged = kept.unionByName(updates)
+    # allowMissingColumns = schema evolution on MERGE: updates may ADD
+    # columns (carried-forward rows read NULL there — the Delta
+    # mergeSchema behavior) or omit existing ones (inserted rows get
+    # NULL; they are whole-row upserts, not partial column patches —
+    # documented in the docstring)
+    merged = kept.unionByName(updates, allowMissingColumns=True)
     files = _write_data(table_dir, merged, base + 1)
     return _commit(
         table_dir, files, op, expect_version, base,
@@ -537,6 +736,7 @@ def compact(
     target_files: int = 1,
     expect_version: int | None = None,
     cluster_by: list[str] | None = None,
+    bloom_for: list[str] | None = None,
 ) -> int:
     """Rewrite the current snapshot into ``target_files`` files — the
     small-file maintenance pass for append/streaming-heavy tables.
@@ -558,6 +758,7 @@ def compact(
     return _commit(
         table_dir, files, "compact", expect_version, base,
         _file_stats(table_dir, files),
+        _file_blooms(table_dir, files, bloom_for) if bloom_for else {},
     )
 
 

@@ -372,3 +372,101 @@ def test_incomparable_skip_bound_keeps_files_instead_of_raising(spark, tdir):
     assert got.count() == spark.range(0, 100).where(
         "CAST(id AS STRING) >= 10 AND CAST(id AS STRING) <= 20"
     ).count()
+
+
+def test_bloom_point_lookup_prunes_inside_overlapping_ranges(spark, tdir):
+    """Round 5: per-file blooms prune point lookups that min/max
+    CANNOT (interleaved ids make every file's range cover every
+    value); results always equal the full-scan filter, absent values
+    plan zero files, and bloom-less files stay conservative."""
+    evens = spark.createDataFrame(
+        [(i, f"e{i}") for i in range(0, 200, 2)], ["k", "v"]
+    ).coalesce(1)
+    odds = spark.createDataFrame(
+        [(i, f"o{i}") for i in range(1, 200, 2)], ["k", "v"]
+    ).coalesce(1)
+    S.write_snapshot(tdir, evens, bloom_for=["k"])
+    S.write_snapshot(tdir, odds, mode="append", bloom_for=["k"])
+
+    # min/max alone keeps BOTH files (ranges fully overlap)...
+    range_keep, total = S.files_for_range(tdir, "k", 42, 42)
+    assert total == 2 and len(range_keep) == 2
+    # ...the bloom stage prunes to the one real carrier
+    point_keep, _ = S.files_for_point(tdir, "k", 42)
+    assert len(point_keep) == 1
+
+    # no false negatives: every present value is found, exactly
+    for probe in (0, 1, 42, 43, 198, 199):
+        got = S.read_snapshot(spark, tdir, where_eq=("k", probe)).collect()
+        assert [(r.k, r.v) for r in got] == [
+            (probe, ("e" if probe % 2 == 0 else "o") + str(probe))
+        ]
+    # absent value: zero files planned, schema intact, zero rows
+    keep_absent, _ = S.files_for_point(tdir, "k", 5000)
+    assert keep_absent == []
+    empty = S.read_snapshot(spark, tdir, where_eq=("k", 5000))
+    assert empty.columns == ["k", "v"] and empty.count() == 0
+
+    # string column without a bloom: conservative (kept), exact filter
+    got = S.read_snapshot(spark, tdir, where_eq=("v", "o57")).collect()
+    assert [(r.k, r.v) for r in got] == [(57, "o57")]
+
+    # blooms ride compaction too
+    S.compact(spark, tdir, target_files=4, cluster_by=["k"], bloom_for=["k"])
+    keep_c, total_c = S.files_for_point(tdir, "k", 42)
+    assert len(keep_c) == 1 and total_c == 4
+    got = S.read_snapshot(spark, tdir, where_eq=("k", 42)).collect()
+    assert [(r.k, r.v) for r in got] == [(42, "e42")]
+
+
+def test_where_eq_rejects_null_and_nan(spark, tdir):
+    S.write_snapshot(
+        tdir, spark.createDataFrame([(1, 1.0)], ["k", "x"]).coalesce(1)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-NULL"):
+        S.read_snapshot(spark, tdir, where_eq=("k", None))
+    with _pytest.raises(ValueError, match="non-NULL"):
+        S.read_snapshot(spark, tdir, where_eq=("x", float("nan")))
+
+
+def test_schema_evolution_on_append_and_merge(spark, tdir):
+    """Round 5: a commit may ADD columns. Existing rows read NULL in
+    the new column from that version on, earlier versions keep their
+    own schema under time travel, and merge carries old rows through
+    a widened schema without loss."""
+    S.write_snapshot(
+        tdir, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).coalesce(1)
+    )
+    # v1: append with an extra column
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(3, "c", 30)], ["k", "v", "extra"]).coalesce(1),
+        mode="append",
+    )
+    cur = S.read_snapshot(spark, tdir)
+    assert set(cur.columns) == {"k", "v", "extra"}
+    got = {r.k: (r.v, r.extra) for r in cur.collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+    # time travel: v0 keeps the narrow schema
+    v0 = S.read_snapshot(spark, tdir, version=0)
+    assert v0.columns == ["k", "v"] and v0.count() == 2
+
+    # v2: MERGE with a further column + an update + an omitted column
+    S.merge_snapshot(
+        spark, tdir,
+        spark.createDataFrame([(2, "B2", 99)], ["k", "v", "score"]),
+        key="k",
+    )
+    m = S.read_snapshot(spark, tdir)
+    assert set(m.columns) == {"k", "v", "extra", "score"}
+    rows = {r.k: (r.v, r.extra, r.score) for r in m.collect()}
+    assert rows[2] == ("B2", None, 99)   # upserted whole-row
+    assert rows[1] == ("a", None, None)  # carried forward, null-filled
+    assert rows[3] == ("c", 30, None)
+
+    # skipping on the evolved column stays sound: old files carry no
+    # stats for it (conservative keep), values still filter exactly
+    got = S.read_snapshot(spark, tdir, where_between=("score", 50, 100))
+    assert [(r.k, r.score) for r in got.collect()] == [(2, 99)]
