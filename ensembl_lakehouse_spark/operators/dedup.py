@@ -1262,7 +1262,9 @@ JKNN_DF_DIV = 20
 JKNN_K = 3
 
 
-def doc_jaccard_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_jaccard_knn(
+    spark: SparkSession, sf_dir: str, *, k: int = JKNN_K
+) -> DataFrame:
     """Exact Jaccard k-nearest-neighbor documents over the
     discriminative-term projection: for every doc, the JKNN_K most
     token-set-similar docs — the exact complement to the minhash
@@ -1335,7 +1337,7 @@ def doc_jaccard_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ORDER BY jac_bp DESC, neighbor_id ASC)"
             ),
         )
-        .where(F.col("rank") <= JKNN_K)
+        .where(F.col("rank") <= k)
         .select("doc_id", "rank", "neighbor_id", "inter", "jac_bp")
         .orderBy("doc_id", "rank")
     )

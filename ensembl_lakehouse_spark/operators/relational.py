@@ -2111,7 +2111,9 @@ ORDER BY l_returnflag, l_linestatus
 TRENDING_K = 3
 
 
-def events_topk_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_topk_per_hour(
+    spark: SparkSession, sf_dir: str, *, k: int = TRENDING_K
+) -> DataFrame:
     """Trending report: the TRENDING_K most frequent event types in
     every hour — the batch twin of the streaming trending top-K sink
     (streaming/trending.py shares the grouping), and the classic
@@ -2140,7 +2142,7 @@ def events_topk_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ORDER BY n_events DESC, event_type ASC)"
             ),
         )
-        .where(F.col("rank") <= TRENDING_K)
+        .where(F.col("rank") <= k)
         .select("hour", "rank", "event_type", "n_events")
         .orderBy("hour", "rank")
     )

@@ -802,7 +802,9 @@ PMI_SCALE = 10_000
 COOCCUR_TOP_N = 40
 
 
-def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cooccur_pmi(
+    spark: SparkSession, sf_dir: str, *, top_n: int = COOCCUR_TOP_N
+) -> DataFrame:
     """Term-pair pointwise-mutual-information mining: the
     COOCCUR_TOP_N term pairs whose document co-occurrence most
     exceeds independence — the phrase/collocation detector feeding
@@ -859,7 +861,7 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("term_a", "term_b", "pair_df", "df_a", "df_b", "pmi_fp")
         .orderBy(F.desc("pmi_fp"), "term_a", "term_b")
-        .limit(COOCCUR_TOP_N)
+        .limit(top_n)
     )
 
 

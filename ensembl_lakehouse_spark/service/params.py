@@ -23,8 +23,10 @@ from typing import Any, Callable
 
 from ensembl_lakehouse_spark.operators import chunking as _chunk
 from ensembl_lakehouse_spark.operators import dedup as _dedup
+from ensembl_lakehouse_spark.operators import relational as _rel
 from ensembl_lakehouse_spark.operators import search as _search
 from ensembl_lakehouse_spark.operators import similarity as _sim
+from ensembl_lakehouse_spark.operators import text as _text
 
 
 class ParamError(ValueError):
@@ -151,6 +153,15 @@ PARAM_SPECS: dict[str, dict[str, ParamSpec]] = {
     "similarity_ivf": {
         "n_probe": _int_spec(_sim.IVF_NPROBE, lo=1, hi=256),
         "topk": _int_spec(_sim.TOP_K),
+    },
+    "events_topk_per_hour": {
+        "k": _int_spec(_rel.TRENDING_K, lo=1, hi=100),
+    },
+    "doc_jaccard_knn": {
+        "k": _int_spec(_dedup.JKNN_K, lo=1, hi=50),
+    },
+    "cooccur_pmi": {
+        "top_n": _int_spec(_text.COOCCUR_TOP_N, lo=1, hi=500),
     },
 }
 

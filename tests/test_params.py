@@ -222,3 +222,42 @@ def test_embedding_threshold_params():
     }
     with pytest.raises(ParamError):
         resolve_params("dedup_semantic", {"threshold": "2.0"})
+
+
+def test_round5_param_specs_pinned():
+    from ensembl_lakehouse_spark.operators import dedup as D
+    from ensembl_lakehouse_spark.operators import relational as R
+    from ensembl_lakehouse_spark.operators import text as T
+
+    assert PARAM_SPECS["events_topk_per_hour"]["k"].default == R.TRENDING_K
+    assert PARAM_SPECS["doc_jaccard_knn"]["k"].default == D.JKNN_K
+    assert PARAM_SPECS["cooccur_pmi"]["top_n"].default == T.COOCCUR_TOP_N
+    # explicit default collapses onto the bare key; overrides don't
+    assert resolve_params("doc_jaccard_knn", {"k": str(D.JKNN_K)}) == {}
+    assert resolve_params("doc_jaccard_knn", {"k": "7"}) == {"k": 7}
+
+
+def test_round5_k_override_end_to_end(server):
+    import json as _json
+    import urllib.request as _rq
+
+    def get(path):
+        with _rq.urlopen(f"http://127.0.0.1:{server.port}{path}") as r:
+            return _json.loads(r.read())
+
+    resp = get("/analytics/events_topk_per_hour?k=1")
+    qid = resp["query_id"]
+    import time as _t
+
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        st = get(f"/query/{qid}/status")
+        if st["status"] in ("SUCCEEDED", "FAILED"):
+            break
+        _t.sleep(0.3)
+    assert st["status"] == "SUCCEEDED"
+    prev = get(f"/query/{qid}/preview?maxResults=1000")
+    ranks = {
+        r["Data"][1]["VarCharValue"] for r in prev["Rows"][1:]
+    }
+    assert ranks == {"1"}
