@@ -483,6 +483,47 @@ def _prune_manifest(manifest: dict, column: str, lo, hi) -> list[str]:
     return keep
 
 
+#: Max distinct scope values collected driver-side for per-value
+#: merge pruning; beyond this the interval form applies.
+_SCOPE_VALUES_CAP = 10_000
+
+
+def _files_touching_values(manifest: dict, column: str, values: list) -> set:
+    """Files that may hold ANY of ``values`` on ``column``: binary
+    search of the sorted value list against each file's [min, max]
+    (O(files · log values)), refined by the file's bloom when one is
+    recorded. Stat-less files are conservatively touched."""
+    import bisect
+
+    try:
+        svals = sorted(values)
+    except TypeError:
+        svals = None  # mixed/incomparable types: interval-of-nothing
+    stats = manifest.get("stats", {})
+    blooms = manifest.get("blooms", {})
+    touched = set()
+    for rel in manifest["files"]:
+        col = stats.get(rel, {}).get(column)
+        if col is None or svals is None:
+            touched.add(rel)
+            continue
+        lo, hi = col
+        try:
+            i = bisect.bisect_left(svals, lo)
+            in_range = svals[i : bisect.bisect_right(svals, hi)]
+        except TypeError:
+            touched.add(rel)  # incomparable bound types: conservative
+            continue
+        if not in_range:
+            continue
+        bloom = blooms.get(rel, {}).get(column)
+        if bloom is None or any(
+            _bloom_maybe_contains(bloom, v) for v in in_range
+        ):
+            touched.add(rel)
+    return touched
+
+
 def files_for_range(
     table_dir: str,
     column: str,
@@ -618,14 +659,28 @@ def merge_snapshot(
     key: str | list[str] | tuple[str, ...],
     expect_version: int | None = None,
     op: str = "merge",
+    scope_by: str | None = None,
 ) -> int:
     """MERGE (upsert) by key(s): copy-on-write — rows whose key
     appears in ``updates`` are replaced, new keys are inserted,
     everything else is carried forward into a fresh data directory.
     On an empty table this degenerates to the initial overwrite
-    commit. The full-rewrite form; a production variant rewrites only
-    the files whose key ranges intersect ``updates`` (the manifest
-    already carries the per-file paths needed to scope that).
+    commit.
+
+    ``scope_by`` (must be one of the merge keys) turns this into the
+    FILE-SCOPED rewrite: the updates' [min, max] on that key is
+    compared against the manifest's per-file stats, and only files
+    whose range OVERLAPS the updates are read and rewritten — every
+    other file is carried into the new manifest BY REFERENCE,
+    keeping its stats and blooms. On a key-clustered table this is
+    the Delta/Iceberg merge cost model: a few-row upsert touches
+    O(matching files), not O(table) — at 100 TB the difference
+    between rewriting gigabytes and rewriting everything. Sound
+    because any existing row matching an update key holds that key's
+    scope value, which lies inside the updates' range; files without
+    stats on the key are conservatively treated as overlapping.
+    Requires scope_by ∈ key: scoping on a non-key column could leave
+    a matching key in an untouched file (duplicate after merge).
 
     ``op`` is recorded in the manifest — idempotent writers (the
     streaming sink) stamp their transaction id here and consult
@@ -638,8 +693,16 @@ def merge_snapshot(
     are replaced whole, never column-patched). Earlier versions keep
     their own schema under time travel; readers of mixed-file
     versions get the merged schema (read_snapshot reads with
-    mergeSchema)."""
+    mergeSchema). NOTE scope_by + a schema-ADDING update rewrites
+    only the touched files, so untouched-file rows read NULL in the
+    new column exactly as the full rewrite would produce."""
     keys = [key] if isinstance(key, str) else list(key)
+    if scope_by is not None and scope_by not in keys:
+        raise ValueError(
+            f"scope_by {scope_by!r} must be one of the merge keys {keys} — "
+            "scoping on a non-key column could strand a matching key in "
+            "an untouched file and duplicate it"
+        )
     base = current_version(table_dir)
     if base is None:
         files = _write_data(table_dir, updates, 0)
@@ -647,7 +710,51 @@ def merge_snapshot(
             table_dir, files, op, expect_version, base,
             _file_stats(table_dir, files),
         )
-    current = read_snapshot(spark, table_dir)
+    carried: list[str] = []
+    if scope_by is None:
+        current = read_snapshot(spark, table_dir)
+    else:
+        from pyspark.sql import functions as F
+
+        manifest = _read_manifest(table_dir, base)
+        # Per-VALUE pruning for trickle updates (the common CDC case:
+        # a handful of scattered keys whose min/max interval would
+        # touch every file); bounded by _SCOPE_VALUES_CAP distinct
+        # values, beyond which the interval form takes over — one
+        # bounded driver collect either way.
+        distinct_vals = [
+            r[0]
+            for r in updates.select(scope_by)
+            .distinct()
+            .limit(_SCOPE_VALUES_CAP + 1)
+            .collect()
+        ]
+        if any(v is None for v in distinct_vals):
+            raise ValueError(
+                f"updates carry NULL {scope_by!r} values — NULL keys "
+                "never merge; filter them upstream"
+            )
+        if not distinct_vals:
+            raise ValueError("updates are empty — nothing to merge")
+        if len(distinct_vals) <= _SCOPE_VALUES_CAP:
+            touched = _files_touching_values(
+                manifest, scope_by, distinct_vals
+            )
+        else:
+            row = updates.agg(
+                F.min(scope_by).alias("lo"), F.max(scope_by).alias("hi")
+            ).collect()[0]
+            touched = set(
+                _prune_manifest(manifest, scope_by, row["lo"], row["hi"])
+            )
+        carried = [f for f in manifest["files"] if f not in touched]
+        if not touched:
+            # no existing file can hold a matching key: pure insert
+            current = read_snapshot(spark, table_dir).where("1 = 0")
+        else:
+            current = spark.read.option("mergeSchema", "true").parquet(
+                *(os.path.join(table_dir, f) for f in sorted(touched))
+            )
     kept = current.join(updates.select(*keys), on=keys, how="left_anti")
     # allowMissingColumns = schema evolution on MERGE: updates may ADD
     # columns (carried-forward rows read NULL there — the Delta
@@ -656,9 +763,19 @@ def merge_snapshot(
     # documented in the docstring)
     merged = kept.unionByName(updates, allowMissingColumns=True)
     files = _write_data(table_dir, merged, base + 1)
+    stats = _file_stats(table_dir, files)
+    blooms: dict = {}
+    if carried:
+        prev = _read_manifest(table_dir, base)
+        stats = {
+            **{f: prev["stats"][f] for f in carried if f in prev.get("stats", {})},
+            **stats,
+        }
+        blooms = {
+            f: prev["blooms"][f] for f in carried if f in prev.get("blooms", {})
+        }
     return _commit(
-        table_dir, files, op, expect_version, base,
-        _file_stats(table_dir, files),
+        table_dir, files + carried, op, expect_version, base, stats, blooms
     )
 
 
