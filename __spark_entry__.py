@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_pmi": T.cooccur_pmi,
         "doc_jaccard_knn": D.doc_jaccard_knn,
         "embedding_margin_audit": S.embedding_margin_audit,
+        "dedup_cluster_keep_list": D.dedup_cluster_keep_list,
+        "ngram_novelty": T.ngram_novelty,
         "events_dow_profile": R.events_dow_profile,
         # --- Certified filler (driver-green in r1-r4) padding the
         # window to 50.
@@ -331,6 +333,8 @@ def oracle_sql() -> dict[str, str]:
         "cooccur_pmi": T.COOCCUR_PMI_SQL,
         "doc_jaccard_knn": D.DOC_JACCARD_KNN_SQL,
         "embedding_margin_audit": S.EMBEDDING_MARGIN_AUDIT_SQL,
+        "dedup_cluster_keep_list": D.DEDUP_CLUSTER_KEEP_LIST_SQL,
+        "ngram_novelty": T.NGRAM_NOVELTY_SQL,
         "events_dow_profile": R.EVENTS_DOW_PROFILE_SQL,
         "graph_triangles": G.GRAPH_TRIANGLES_SQL,
         "lm_bigram_topk": LM.LM_BIGRAM_TOPK_SQL,

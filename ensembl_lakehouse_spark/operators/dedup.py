@@ -1384,3 +1384,71 @@ SELECT doc_id, rank, neighbor_id, CAST(inter AS BIGINT) AS inter,
 FROM ranked WHERE rank <= {JKNN_K}
 ORDER BY doc_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Cluster keep-list (round 5): canonical representatives + drop mass
+# ---------------------------------------------------------------------------
+
+def dedup_cluster_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision a pipeline actually ships: per near-dup
+    cluster its canonical representative (min doc_id — the component
+    label by construction), member count, the token mass KEPT (the
+    representative's) and DROPPED (everyone else's). dedup_savings
+    reports the corpus-level headline; this is the row-level keep
+    list a curation run materializes and audits.
+
+    Composes on components_recursive's labeled graph + one broadcast-
+    friendly join to the per-doc whitespace token counts; aggregates
+    move |paired docs| rows — the recursion dominates, priced in its
+    own docstring.
+    """
+    from ensembl_lakehouse_spark.operators.text import _docs_with_tokens
+
+    comp = components_recursive(spark, sf_dir)
+    tokens = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", F.size("toks").alias("n_tokens")
+    )
+    labeled = comp.join(tokens, "doc_id")
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("component"), F.col("n_tokens"))
+                .otherwise(F.lit(0))
+            ).alias("tokens_kept"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("component"), F.col("n_tokens"))
+                .otherwise(F.lit(0))
+            ).alias("tokens_dropped"),
+        )
+        .where(F.col("n_members") > 1)
+        .select(
+            F.col("component").alias("keep_doc_id"),
+            "n_members",
+            F.col("tokens_kept").cast("bigint").alias("tokens_kept"),
+            F.col("tokens_dropped").cast("bigint").alias("tokens_dropped"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+DEDUP_CLUSTER_KEEP_LIST_SQL = f"""
+WITH labeled AS ({COMPONENTS_RECURSIVE_SQL}),
+tok AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT l.component AS keep_doc_id,
+       COUNT(*) AS n_members,
+       CAST(SUM(CASE WHEN l.doc_id = l.component THEN t.n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_kept,
+       CAST(SUM(CASE WHEN l.doc_id <> l.component THEN t.n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_dropped
+FROM labeled l JOIN tok t ON t.doc_id = l.doc_id
+GROUP BY l.component
+HAVING COUNT(*) > 1
+ORDER BY keep_doc_id
+"""

@@ -29,7 +29,9 @@ from ensembl_lakehouse_spark.functions.text import (
     BPE_REGEX,
     NORM_DUCK_SQL,
     NORM_SPARK_SQL,
+    sql_word_shingles,
     whitespace_tokens,
+    word_shingles,
 )
 from ensembl_lakehouse_spark.sources.tables import load_table
 
@@ -895,4 +897,67 @@ JOIN supp sb ON sb.term = p.term_b
 CROSS JOIN nd
 ORDER BY pmi_fp DESC, term_a, term_b
 LIMIT {COOCCUR_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty / memorization audit (round 5)
+# ---------------------------------------------------------------------------
+
+#: Shingle width for the novelty audit (3-grams: long enough to be
+#: phrase-specific, short enough that every doc has many).
+NOVELTY_N = 3
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction (basis points) of a doc's
+    distinct word 3-grams that appear NOWHERE else in the corpus —
+    the memorization/duplication audit at phrase granularity. Low
+    novelty with no near-dup pair means diffuse boilerplate
+    (dedup_near can't see it; chunk_boilerplate and this query can);
+    training pipelines drop or downweight the low tail.
+
+    One distinct (doc, shingle) lattice feeds both sides: corpus
+    document frequency per shingle, then a per-doc aggregate of
+    unique-gram hits. Ratio is integer DIV — engine-exact. The
+    shingle explode is map-side (word_shingles is a per-row
+    transform); the two exchanges carry (shingle) and (doc_id)
+    grouped rows, never raw text.
+    """
+    docs = _docs_with_tokens(spark, sf_dir)
+    lattice = docs.select(
+        "doc_id",
+        F.explode(word_shingles("toks", NOVELTY_N)).alias("shingle"),
+    )
+    df = lattice.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        lattice.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("n_unique"),
+        )
+        .withColumn("novelty_bp", F.expr("(n_unique * 10000) DIV n_grams"))
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+{_SQL_PREP}, d AS (
+  SELECT doc_id, {sql_word_shingles("toks", NOVELTY_N)} AS shingles FROM t
+), lattice AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM d
+), dfreq AS (
+  SELECT shingle, COUNT(*) AS df FROM lattice GROUP BY 1
+), per_doc AS (
+  SELECT l.doc_id,
+         COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM lattice l JOIN dfreq f USING (shingle)
+  GROUP BY 1
+)
+SELECT doc_id, n_grams, n_unique,
+       CAST((n_unique * 10000) // n_grams AS BIGINT) AS novelty_bp
+FROM per_doc
+ORDER BY doc_id
 """

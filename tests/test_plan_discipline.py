@@ -70,6 +70,13 @@ BUDGETS = {
     "doc_jaccard_knn": 7,
     # scored lattice window only (queries broadcast)
     "embedding_margin_audit": 1,
+    # component labels come from the checkpointed recursion (priced
+    # in components_recursive); the keep-list adds a token join +
+    # one component agg
+    "dedup_cluster_keep_list": 2,
+    # shingle-df agg + per-doc agg; the df join broadcasts at test SF
+    # (AQE) and SMJs at scale on the same two exchanges
+    "ngram_novelty": 2,
     # stats broadcast back: one agg shuffle, join must not add one
     "events_anomaly": 1,
     "value_winsorize": 1,

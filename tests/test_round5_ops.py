@@ -107,3 +107,51 @@ def test_embedding_margin_audit_agrees_with_topk(spark):
     for m in margins.values():
         assert m.cos1 >= m.cos2
         assert abs(m.margin - (m.cos1 - m.cos2)) == 0.0
+
+
+def test_dedup_cluster_keep_list_matches_component_labels(spark):
+    rows = D.dedup_cluster_keep_list(spark, SF_DIR).collect()
+    assert rows
+    comp = D.components_recursive(spark, SF_DIR).collect()
+    members = defaultdict(set)
+    for c in comp:
+        members[c.component].add(c.doc_id)
+    tokens = {
+        d.doc_id: len(d.text.strip().split())
+        for d in load_table(spark, SF_DIR, "documents").collect()
+        if d.text and d.text.strip()
+    }
+    listed = {r.keep_doc_id for r in rows}
+    assert listed == {c for c, m in members.items() if len(m) > 1}
+    for r in rows:
+        m = members[r.keep_doc_id]
+        assert r.n_members == len(m)
+        assert r.keep_doc_id == min(m)  # canonical rep = min label
+        assert r.tokens_kept == tokens[r.keep_doc_id]
+        assert r.tokens_dropped == sum(
+            tokens[d] for d in m if d != r.keep_doc_id
+        )
+
+
+def test_ngram_novelty_against_python_recompute(spark):
+    rows = {r.doc_id: r for r in T.ngram_novelty(spark, SF_DIR).collect()}
+    assert rows
+    docs = {
+        d.doc_id: d.text.strip().split()
+        for d in load_table(spark, SF_DIR, "documents").collect()
+        if d.text and d.text.strip()
+    }
+    def shingles(toks):
+        n = T.NOVELTY_N
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sh = {d: shingles(t) for d, t in docs.items()}
+    df = Counter(g for s in sh.values() for g in s)
+    assert set(rows) == set(sh)
+    for d, r in rows.items():
+        uniq = sum(1 for g in sh[d] if df[g] == 1)
+        assert r.n_grams == len(sh[d])
+        assert r.n_unique == uniq
+        assert r.novelty_bp == (uniq * 10000) // len(sh[d])
