@@ -122,12 +122,23 @@ def main() -> int:
         arch = os.path.join(here, f"BENCH_FULL_r{rounds[-1]:02d}.json")
         if not os.path.exists(arch):
             # first bench run of a new round: stamp last round's record
-            shutil.copyfile(out_path, arch)
-        try:
-            with open(arch) as fh:
-                baseline = json.load(fh)
-        except ValueError:
-            baseline = None
+            # — but never a PARTIAL one (a subset debugging run marks
+            # itself below; archiving it would silently shrink all
+            # regression tracking for the following round to its few
+            # queries)
+            try:
+                with open(out_path) as fh:
+                    prior = json.load(fh)
+            except ValueError:
+                prior = {}
+            if not prior.get("partial"):
+                shutil.copyfile(out_path, arch)
+        if os.path.exists(arch):
+            try:
+                with open(arch) as fh:
+                    baseline = json.load(fh)
+            except ValueError:
+                baseline = None
     regressions: dict[str, dict] = {}
     if baseline and baseline.get("sf") == sf:
         prev_q = baseline.get("queries", {})
@@ -150,6 +161,8 @@ def main() -> int:
         "spread": spread,
         "regressions": regressions,
         "baseline_round": rounds[-1] if rounds else None,
+        # subset runs are never round baselines (see archive guard)
+        "partial": bool(only),
         "sf": sf,
     }
     # Full record to a file (always intact regardless of console capture).

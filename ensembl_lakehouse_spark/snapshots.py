@@ -339,9 +339,11 @@ def _bloom_key(value) -> str | None:
         if not _math.isfinite(value):
             return None
         if value == int(value):
-            # integer-valued floats canonicalize so a lookup by
-            # 3 and by 3.0 both find the file
-            return f"f:{int(value)}"
+            # integer-valued floats share the INT key so a lookup by
+            # 3 and by 3.0 both find the file (SQL equality treats
+            # them equal; distinct keys here would be a false
+            # negative — the one failure mode a bloom must not have)
+            return f"i:{int(value)}"
         return f"f:{value!r}"
     if isinstance(value, str):
         return f"s:{value}"
@@ -621,6 +623,12 @@ def read_snapshot(
             df = read.parquet(*(os.path.join(table_dir, f) for f in files))
             return df.where("1 = 0")
         df = read.parquet(*(os.path.join(table_dir, f) for f in keep))
+        if column not in df.columns:
+            # every kept file predates the column (schema evolution):
+            # those rows read NULL there, and NULL never equals the
+            # probe — empty result under the full merged schema
+            df = read.parquet(*(os.path.join(table_dir, f) for f in files))
+            return df.where("1 = 0")
         return df.where(df[column] == value)
     if where_between is None:
         return read.parquet(*(os.path.join(table_dir, f) for f in files))
@@ -632,6 +640,10 @@ def read_snapshot(
         df = read.parquet(*(os.path.join(table_dir, f) for f in files))
         return df.where("1 = 0")
     df = read.parquet(*(os.path.join(table_dir, f) for f in keep))
+    if column not in df.columns:
+        # kept files all predate the evolved column — see where_eq
+        df = read.parquet(*(os.path.join(table_dir, f) for f in files))
+        return df.where("1 = 0")
     return df.where((df[column] >= lo) & (df[column] <= hi))
 
 
@@ -649,6 +661,7 @@ def rollback(table_dir: str, version: int) -> int:
         None,
         base,
         restored.get("stats", {}),
+        restored.get("blooms", {}),
     )
 
 
@@ -660,6 +673,7 @@ def merge_snapshot(
     expect_version: int | None = None,
     op: str = "merge",
     scope_by: str | None = None,
+    bloom_for: list[str] | None = None,
 ) -> int:
     """MERGE (upsert) by key(s): copy-on-write — rows whose key
     appears in ``updates`` are replaced, new keys are inserted,
@@ -709,6 +723,7 @@ def merge_snapshot(
         return _commit(
             table_dir, files, op, expect_version, base,
             _file_stats(table_dir, files),
+            _file_blooms(table_dir, files, bloom_for) if bloom_for else {},
         )
     carried: list[str] = []
     if scope_by is None:
@@ -722,6 +737,15 @@ def merge_snapshot(
         # touch every file); bounded by _SCOPE_VALUES_CAP distinct
         # values, beyond which the interval form takes over — one
         # bounded driver collect either way.
+        # NULL check is exact and separate: the capped distinct
+        # collect below may not surface NULL in a >cap batch, and a
+        # silently inserted NULL key is the outcome this guard exists
+        # to reject
+        if updates.where(updates[scope_by].isNull()).head(1):
+            raise ValueError(
+                f"updates carry NULL {scope_by!r} values — NULL keys "
+                "never merge; filter them upstream"
+            )
         distinct_vals = [
             r[0]
             for r in updates.select(scope_by)
@@ -729,11 +753,6 @@ def merge_snapshot(
             .limit(_SCOPE_VALUES_CAP + 1)
             .collect()
         ]
-        if any(v is None for v in distinct_vals):
-            raise ValueError(
-                f"updates carry NULL {scope_by!r} values — NULL keys "
-                "never merge; filter them upstream"
-            )
         if not distinct_vals:
             raise ValueError("updates are empty — nothing to merge")
         if len(distinct_vals) <= _SCOPE_VALUES_CAP:
@@ -764,7 +783,12 @@ def merge_snapshot(
     merged = kept.unionByName(updates, allowMissingColumns=True)
     files = _write_data(table_dir, merged, base + 1)
     stats = _file_stats(table_dir, files)
-    blooms: dict = {}
+    # rewritten files get fresh blooms when requested — without this,
+    # every merge on a bloom-maintained table silently strips point-
+    # lookup pruning from the files it rewrites
+    blooms: dict = (
+        _file_blooms(table_dir, files, bloom_for) if bloom_for else {}
+    )
     if carried:
         prev = _read_manifest(table_dir, base)
         stats = {
@@ -772,7 +796,12 @@ def merge_snapshot(
             **stats,
         }
         blooms = {
-            f: prev["blooms"][f] for f in carried if f in prev.get("blooms", {})
+            **{
+                f: prev["blooms"][f]
+                for f in carried
+                if f in prev.get("blooms", {})
+            },
+            **blooms,
         }
     return _commit(
         table_dir, files + carried, op, expect_version, base, stats, blooms

@@ -552,3 +552,96 @@ def test_scoped_merge_equals_full_merge(spark, tdir, tmp_path):
     left = sorted(map(tuple, S.read_snapshot(spark, tdir).collect()))
     right = sorted(map(tuple, S.read_snapshot(spark, other).collect()))
     assert left == right
+
+
+def test_bloom_int_float_key_equivalence(spark, tdir):
+    """Review regression: SQL equality treats 3 and 3.0 equal, so the
+    bloom must too — distinct keys were a FALSE NEGATIVE (pruned the
+    carrier file on a float-typed probe of an int column)."""
+    S.write_snapshot(
+        tdir,
+        spark.range(0, 100).selectExpr("id AS k").coalesce(1),
+        bloom_for=["k"],
+    )
+    m = S._read_manifest(tdir, 0)
+    bloom = next(iter(m["blooms"].values()))["k"]
+    assert S._bloom_maybe_contains(bloom, 42)
+    assert S._bloom_maybe_contains(bloom, 42.0)  # the r5 review bug
+    assert not S._bloom_maybe_contains(bloom, 4242)
+    got = S.read_snapshot(spark, tdir, where_eq=("k", 42.0)).collect()
+    assert [r.k for r in got] == [42]
+
+
+def test_point_and_range_reads_on_evolved_column(spark, tdir):
+    """Review regression: pruning that keeps only pre-evolution files
+    must return an empty frame under the merged schema, not raise
+    UNRESOLVED_COLUMN."""
+    S.write_snapshot(
+        tdir, spark.createDataFrame([(1, "a")], ["k", "v"]).coalesce(1)
+    )
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(100, "b", 7)], ["k", "v", "extra"]).coalesce(1),
+        mode="append",
+    )
+    # probe misses the new file's stats -> only the stat-less old
+    # file survives pruning, and it lacks 'extra'
+    got = S.read_snapshot(spark, tdir, where_eq=("extra", 999))
+    assert set(got.columns) == {"k", "v", "extra"} and got.count() == 0
+    got = S.read_snapshot(spark, tdir, where_between=("extra", 900, 950))
+    assert set(got.columns) == {"k", "v", "extra"} and got.count() == 0
+    # present value still found
+    got = S.read_snapshot(spark, tdir, where_eq=("extra", 7)).collect()
+    assert [(r.k, r.extra) for r in got] == [(100, 7)]
+
+
+def test_rollback_preserves_blooms(spark, tdir):
+    """Review regression: rollback carried stats but dropped blooms,
+    silently degrading point lookups in the restored version."""
+    S.write_snapshot(
+        tdir,
+        spark.range(0, 100).selectExpr("id AS k").coalesce(1),
+        bloom_for=["k"],
+    )
+    S.write_snapshot(
+        tdir, spark.range(100, 200).selectExpr("id AS k"), mode="overwrite"
+    )
+    v = S.rollback(tdir, 0)
+    m = S._read_manifest(tdir, v)
+    assert m["blooms"], "restored version lost its blooms"
+    keep, _ = S.files_for_point(tdir, "k", 5000)
+    assert keep == []  # bloom still prunes the absent value
+
+
+def test_merge_bloom_for_keeps_pruning_alive(spark, tdir):
+    """Review regression: merges on a bloom-maintained table used to
+    strip blooms from every rewritten file."""
+    S.write_snapshot(
+        tdir,
+        spark.range(0, 400).selectExpr("id AS k", "CAST(id AS STRING) v"),
+        cluster_by=["k"], n_files=4, bloom_for=["k"],
+    )
+    S.merge_snapshot(
+        spark, tdir,
+        spark.createDataFrame([(7, "X")], ["k", "v"]),
+        key="k", scope_by="k", bloom_for=["k"],
+    )
+    m = S._read_manifest(tdir, 1)
+    # every file in the new manifest carries a bloom (carried + fresh)
+    assert set(m["blooms"]) == set(m["files"])
+    keep, total = S.files_for_point(tdir, "k", 7)
+    assert len(keep) == 1 and total == len(m["files"])
+
+
+def test_scoped_merge_null_guard_beyond_value_cap(spark, tdir, monkeypatch):
+    """Review regression: the NULL-key guard must fire even when the
+    distinct scope values exceed the per-value cap."""
+    import pytest as _pytest
+
+    S.write_snapshot(tdir, spark.range(0, 10).selectExpr("id AS k", "id AS a"))
+    monkeypatch.setattr(S, "_SCOPE_VALUES_CAP", 3)
+    upd = spark.createDataFrame(
+        [(i, i) for i in range(20)] + [(None, 99)], "k BIGINT, a BIGINT"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        S.merge_snapshot(spark, tdir, upd, key="k", scope_by="k")
