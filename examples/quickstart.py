@@ -81,6 +81,27 @@ def main() -> None:
           "| rows at v0:", snapshots.read_snapshot(spark, tbl, version=v0).count())
     assert v1 == v0 + 1
 
+    # 3a — data skipping: bloom point lookups + scoped MERGE ---------
+    ids = f"{work}/ids"
+    snapshots.write_snapshot(
+        ids,
+        spark.range(0, 2000).selectExpr("id AS k", "CAST(id AS STRING) AS v"),
+        cluster_by=["k"], n_files=8, bloom_for=["k"],
+    )
+    keep, total = snapshots.files_for_point(ids, "k", 777)
+    print(f"point lookup plans {len(keep)}/{total} files;",
+          snapshots.read_snapshot(spark, ids, where_eq=("k", 777)).count(),
+          "row(s)")
+    before = set(snapshots._read_manifest(ids, 0)["files"])
+    v = snapshots.merge_snapshot(
+        spark, ids,
+        spark.createDataFrame([(777, "UPDATED")], ["k", "v"]),
+        key="k", scope_by="k", bloom_for=["k"],
+    )
+    after = set(snapshots._read_manifest(ids, v)["files"])
+    print(f"scoped merge carried {len(before & after)}/{len(before)} files "
+          "by reference")
+
     # 3b — resumable backfill over the corpus ------------------------
     from pyspark.sql import functions as F
 
