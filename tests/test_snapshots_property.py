@@ -116,3 +116,53 @@ def test_history_matches_model(tmp_path_factory, ops):
     # every retained version readable after all mutations = snapshot
     # isolation by immutability
     assert [h["version"] for h in S.history(tdir)] == list(range(len(model_history)))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter laws (round 5)
+# ---------------------------------------------------------------------------
+
+_bloomable = st.one_of(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=24),
+    st.booleans(),
+    st.binary(max_size=16),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(vals=st.lists(_bloomable, min_size=1, max_size=80))
+def test_bloom_never_false_negative(vals):
+    """The one law a bloom must satisfy: every added value tests
+    maybe-present — across ints, floats (incl. int-valued, the r5
+    review bug), strings, bools, and bytes."""
+    words = [0] * (S.BLOOM_BITS // S._BLOOM_WORD)
+    for v in vals:
+        key = S._bloom_key(v)
+        if key is None:
+            continue
+        for pos in S._bloom_positions(key):
+            words[pos // S._BLOOM_WORD] |= 1 << (pos % S._BLOOM_WORD)
+    bloom = {"bits": S.BLOOM_BITS, "k": S.BLOOM_HASHES, "words": words}
+    for v in vals:
+        assert S._bloom_maybe_contains(bloom, v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    ints=st.lists(
+        st.integers(min_value=-(2**52), max_value=2**52), min_size=1, max_size=50
+    )
+)
+def test_bloom_int_float_cross_typing(ints):
+    """SQL equality is typeless across numeric widths: a bloom built
+    from ints must answer maybe-present for the float spellings and
+    vice versa (the scoped-merge soundness requirement)."""
+    words = [0] * (S.BLOOM_BITS // S._BLOOM_WORD)
+    for v in ints:
+        for pos in S._bloom_positions(S._bloom_key(v)):
+            words[pos // S._BLOOM_WORD] |= 1 << (pos % S._BLOOM_WORD)
+    bloom = {"bits": S.BLOOM_BITS, "k": S.BLOOM_HASHES, "words": words}
+    for v in ints:
+        assert S._bloom_maybe_contains(bloom, float(v))
