@@ -101,6 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_bin_lift": RP.feature_bin_lift,
         "revenue_yoy": RP.revenue_yoy,
         "revenue_concentration": RP.revenue_concentration,
+        "events_level_shift": R.events_level_shift,
+        "session_concurrency": R.session_concurrency,
+        "graph_link_predict": G.graph_link_predict,
+        "embedding_quant_error": S.embedding_quant_error,
+        "source_token_diversity": T.source_token_diversity,
         # --- Certified filler (driver-green in r1-r4) padding the
         # window to 50.
         "basket_pairs": A.basket_pairs,
@@ -353,6 +358,11 @@ def oracle_sql() -> dict[str, str]:
         "feature_bin_lift": RP.FEATURE_BIN_LIFT_SQL,
         "revenue_yoy": RP.REVENUE_YOY_SQL,
         "revenue_concentration": RP.REVENUE_CONCENTRATION_SQL,
+        "events_level_shift": R.EVENTS_LEVEL_SHIFT_SQL,
+        "session_concurrency": R.SESSION_CONCURRENCY_SQL,
+        "graph_link_predict": G.GRAPH_LINK_PREDICT_SQL,
+        "embedding_quant_error": S.EMBEDDING_QUANT_ERROR_SQL,
+        "source_token_diversity": T.SOURCE_TOKEN_DIVERSITY_SQL,
         "graph_triangles": G.GRAPH_TRIANGLES_SQL,
         "lm_bigram_topk": LM.LM_BIGRAM_TOPK_SQL,
         "lm_doc_score": LM.LM_DOC_SCORE_SQL,

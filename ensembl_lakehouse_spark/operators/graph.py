@@ -498,3 +498,155 @@ FROM nation n
 LEFT JOIN per_node p ON n.n_name = p.node
 ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Link prediction on the part co-purchase graph (round 5 cont.)
+# ---------------------------------------------------------------------------
+
+#: Baskets larger than this are dropped before pairing (the
+#: analytics.basket_pairs quadratic guard, same rationale).
+LINKPRED_BASKET_CAP = 20
+
+#: Per-node adjacency cap for the wedge join: only the top
+#: LINKPRED_NEIGHBOR_CAP neighbors by co-purchase count take part,
+#: bounding the wedge fan-out at CAP^2 per node.
+LINKPRED_NEIGHBOR_CAP = 50
+
+#: Predictions reported.
+LINKPRED_TOP_N = 20
+
+
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the part co-purchase
+    graph: for part pairs NOT yet bought together, count shared
+    co-purchase neighbors and rank by neighbor-Jaccard — the
+    "customers also bought" candidate generator, and the same shape
+    (two-hop wedge join) a doc-similarity graph uses for related-
+    document suggestions.
+
+    Scale is governed by two caps, both deterministic: baskets over
+    LINKPRED_BASKET_CAP items are dropped before pairing (quadratic
+    guard — analytics.basket_pairs:273), and each node keeps only
+    its LINKPRED_NEIGHBOR_CAP strongest neighbors (co-count DESC,
+    partkey ASC row_number), so the wedge join emits at most CAP²
+    candidates per node regardless of hub degree — the standard
+    heavy-hitter bound for two-hop joins. Jaccard is integer basis
+    points over capped degrees; the known-edge exclusion is a
+    left-anti join on the undirected pair lattice.
+
+    Plan: basket lattice distinct + per-order cap window + pair agg
+    (the basket_pairs lattice), per-node cap window, wedge equi-join
+    on the shared neighbor, candidate agg, anti join, bounded top-N.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = items.withColumn(
+        "n_items", F.expr("count(*) OVER (PARTITION BY l_orderkey)")
+    ).where(F.col("n_items") <= LINKPRED_BASKET_CAP)
+    pairs = (
+        sized.alias("a")
+        .join(sized.alias("b"), "l_orderkey")
+        .where(F.expr("a.l_partkey < b.l_partkey"))
+        .groupBy(
+            F.expr("a.l_partkey").alias("part_a"),
+            F.expr("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co_count"))
+        .localCheckpoint()
+    )
+    adj = pairs.selectExpr(
+        "part_a AS node", "part_b AS nbr", "co_count"
+    ).unionAll(pairs.selectExpr("part_b AS node", "part_a AS nbr", "co_count"))
+    kept = (
+        adj.withColumn(
+            "rk",
+            F.expr(
+                "row_number() OVER (PARTITION BY node "
+                "ORDER BY co_count DESC, nbr ASC)"
+            ),
+        )
+        .where(F.col("rk") <= LINKPRED_NEIGHBOR_CAP)
+        .select("node", "nbr")
+    )
+    deg = kept.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        kept.selectExpr("node AS part_a", "nbr AS x")
+        .join(kept.selectExpr("node AS part_b", "nbr AS x"), "x")
+        .where(F.expr("part_a < part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    candidates = wedges.join(
+        pairs.select("part_a", "part_b"), ["part_a", "part_b"], "left_anti"
+    )
+    scored = (
+        candidates.join(
+            deg.selectExpr("node AS part_a", "deg AS deg_a"), "part_a"
+        )
+        .join(deg.selectExpr("node AS part_b", "deg AS deg_b"), "part_b")
+        .withColumn(
+            "jaccard_bp",
+            F.expr("(common * 10000) DIV (deg_a + deg_b - common)"),
+        )
+    )
+    return (
+        scored.select(
+            "part_a", "part_b", "common", "deg_a", "deg_b", "jaccard_bp"
+        )
+        .orderBy(
+            F.desc("jaccard_bp"), F.desc("common"), "part_a", "part_b"
+        )
+        .limit(LINKPRED_TOP_N)
+    )
+
+
+GRAPH_LINK_PREDICT_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey, l_partkey,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items
+  FROM items
+), kept_items AS (
+  SELECT l_orderkey, l_partkey FROM sized
+  WHERE n_items <= {LINKPRED_BASKET_CAP}
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS co_count
+  FROM kept_items a
+  JOIN kept_items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), adj AS (
+  SELECT part_a AS node, part_b AS nbr, co_count FROM pairs
+  UNION ALL
+  SELECT part_b AS node, part_a AS nbr, co_count FROM pairs
+), kept AS (
+  SELECT node, nbr FROM (
+    SELECT node, nbr,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY co_count DESC, nbr ASC) AS rk
+    FROM adj)
+  WHERE rk <= {LINKPRED_NEIGHBOR_CAP}
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM kept GROUP BY 1
+), wedges AS (
+  SELECT a.node AS part_a, b.node AS part_b, COUNT(*) AS common
+  FROM kept a JOIN kept b ON a.nbr = b.nbr AND a.node < b.node
+  GROUP BY 1, 2
+), candidates AS (
+  SELECT w.part_a, w.part_b, w.common
+  FROM wedges w
+  ANTI JOIN pairs p ON w.part_a = p.part_a AND w.part_b = p.part_b
+)
+SELECT c.part_a, c.part_b, CAST(c.common AS BIGINT) AS common,
+       da.deg AS deg_a, db.deg AS deg_b,
+       CAST((c.common * 10000) // (da.deg + db.deg - c.common) AS BIGINT)
+         AS jaccard_bp
+FROM candidates c
+JOIN deg da ON da.node = c.part_a
+JOIN deg db ON db.node = c.part_b
+ORDER BY jaccard_bp DESC, common DESC, c.part_a, c.part_b
+LIMIT {LINKPRED_TOP_N}
+"""

@@ -2241,3 +2241,244 @@ SELECT dow, event_type, n_events, n_users, value_fp,
 FROM grouped
 ORDER BY dow, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Level-shift detection + session concurrency sweep (round 5 cont.)
+# ---------------------------------------------------------------------------
+
+#: Trailing/leading window width (observed days) for level-shift scoring.
+SHIFT_WINDOW = 7
+
+#: |shift| in basis points at which a day is flagged.
+SHIFT_FLAG_BP = 1500
+
+
+def events_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift (changepoint) screen over the daily event-count
+    series: for every (day, event_type) with SHIFT_WINDOW observed
+    days on both sides, compare the leading window's event mass to
+    the trailing window's and report the relative shift in basis
+    points — the log-free CUSUM stand-in that a windowed engine can
+    compute in one pass (true CUSUM is a running recurrence; this
+    two-sided contrast is the standard scalable screen).
+
+    Windows are over OBSERVED days (ROWS frames), not calendar days
+    — on a gappy series a missing day simply widens the span, which
+    is the conservative behavior for a volume screen. shift_bp uses
+    one integer DIV; both engines truncate toward zero.
+
+    Plan: one partial agg to |days × types| rows; both windows share
+    the per-type day ordering, so ONE window exchange serves the
+    trailing and leading frames.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w_lag = (
+        "(PARTITION BY event_type ORDER BY day "
+        f"ROWS BETWEEN {SHIFT_WINDOW} PRECEDING AND 1 PRECEDING)"
+    )
+    w_lead = (
+        "(PARTITION BY event_type ORDER BY day "
+        f"ROWS BETWEEN 1 FOLLOWING AND {SHIFT_WINDOW} FOLLOWING)"
+    )
+    scored = daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.expr(f"sum(n_events) OVER {w_lag}").alias("trail_sum"),
+        F.expr(f"count(n_events) OVER {w_lag}").alias("trail_cnt"),
+        F.expr(f"sum(n_events) OVER {w_lead}").alias("lead_sum"),
+        F.expr(f"count(n_events) OVER {w_lead}").alias("lead_cnt"),
+    )
+    return (
+        scored.where(
+            f"trail_cnt = {SHIFT_WINDOW} AND lead_cnt = {SHIFT_WINDOW} "
+            "AND trail_sum > 0"
+        )
+        .withColumn(
+            "shift_bp",
+            F.expr("(lead_sum * 10000) DIV trail_sum - 10000"),
+        )
+        .withColumn(
+            "is_shift",
+            F.expr(
+                f"CAST(abs(shift_bp) >= {SHIFT_FLAG_BP} AS INT)"
+            ),
+        )
+        .select(
+            "day", "event_type", "n_events", "trail_sum", "lead_sum",
+            "shift_bp", "is_shift",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_LEVEL_SHIFT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT day, event_type, n_events,
+         CAST(sum(n_events) OVER w_lag AS BIGINT) AS trail_sum,
+         count(n_events) OVER w_lag AS trail_cnt,
+         CAST(sum(n_events) OVER w_lead AS BIGINT) AS lead_sum,
+         count(n_events) OVER w_lead AS lead_cnt
+  FROM daily
+  WINDOW w_lag AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {SHIFT_WINDOW} PRECEDING AND 1 PRECEDING),
+         w_lead AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 1 FOLLOWING AND {SHIFT_WINDOW} FOLLOWING)
+)
+SELECT day, event_type, n_events, trail_sum, lead_sum,
+       CAST((lead_sum * 10000) // trail_sum - 10000 AS BIGINT) AS shift_bp,
+       CAST(abs((lead_sum * 10000) // trail_sum - 10000) >= {SHIFT_FLAG_BP}
+            AS INT) AS is_shift
+FROM scored
+WHERE trail_cnt = {SHIFT_WINDOW} AND lead_cnt = {SHIFT_WINDOW}
+  AND trail_sum > 0
+ORDER BY day, event_type
+"""
+
+
+def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning
+    number behind connection pools and autoscaling targets —
+    computed with the classic sweep line: +1 at each session start,
+    -1 at its (exclusive) end, peak = max running sum.
+
+    Sessions come from the 30-minute-gap sessionization
+    (events_sessionize's lattice); each is treated as the half-open
+    interval [start, end + 1s) so single-event sessions still
+    occupy an instant. Sessions are CLIPPED at day boundaries and a
+    session crossing midnight contributes to both days — this is
+    what makes the sweep embarrassingly parallel: the running sum
+    partitions by day, so no global ordering ever exists (the naive
+    corpus-wide sweep is a single-partition window; this one
+    shuffles |2 rows per session-day| keyed by day).
+
+    Determinism: the sweep orders by (t, delta, user, session) —
+    at equal t all -1s precede all +1s, and a +1 run's maximum is
+    its final value regardless of intra-run order, so the daily max
+    is engine- and partition-independent.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    wsum = (
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            f"CASE WHEN lag(ts) OVER {w} IS NULL "
+            f"OR ts - lag(ts) OVER {w} > INTERVAL '30' MINUTE THEN 1 ELSE 0 END"
+        ).alias("is_new"),
+    )
+    sessions = (
+        marked.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr(f"sum(is_new) OVER {wsum}").alias("session_num"),
+        )
+        .groupBy("user_id", "session_num")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.expr("max(ts) + INTERVAL '1' SECOND").alias("s_end_excl"),
+        )
+    )
+    per_day = sessions.select(
+        "user_id",
+        "session_num",
+        "s_start",
+        "s_end_excl",
+        F.explode(
+            F.expr("sequence(CAST(s_start AS DATE), CAST(s_end_excl AS DATE))")
+        ).alias("day"),
+    ).select(
+        "user_id",
+        "session_num",
+        "day",
+        F.expr("greatest(s_start, CAST(day AS TIMESTAMP))").alias("cs"),
+        F.expr(
+            "least(s_end_excl, CAST(day AS TIMESTAMP) + INTERVAL '1' DAY)"
+        ).alias("ce"),
+    ).where("cs < ce")
+    deltas = per_day.selectExpr(
+        "day", "cs AS t", "1 AS delta", "user_id", "session_num"
+    ).unionAll(
+        per_day.selectExpr(
+            "day", "ce AS t", "-1 AS delta", "user_id", "session_num"
+        )
+    )
+    swept = deltas.withColumn(
+        "running",
+        F.expr(
+            "sum(delta) OVER (PARTITION BY day "
+            "ORDER BY t, delta, user_id, session_num "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+    )
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.expr("CAST(count(*) DIV 2 AS BIGINT)").alias("n_session_days"),
+            F.max("running").alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )
+
+
+SESSION_CONCURRENCY_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_num
+  FROM g
+), sessions AS (
+  SELECT user_id, session_num, MIN(ts) AS s_start,
+         MAX(ts) + INTERVAL 1 SECOND AS s_end_excl
+  FROM s GROUP BY user_id, session_num
+), exploded AS (
+  SELECT user_id, session_num, s_start, s_end_excl,
+         CAST(unnest(generate_series(CAST(s_start AS DATE),
+                                     CAST(s_end_excl AS DATE),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM sessions
+), per_day AS (
+  SELECT user_id, session_num, day,
+         greatest(s_start, CAST(day AS TIMESTAMP)) AS cs,
+         least(s_end_excl, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) AS ce
+  FROM exploded
+  WHERE greatest(s_start, CAST(day AS TIMESTAMP))
+        < least(s_end_excl, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
+), deltas AS (
+  SELECT day, cs AS t, 1 AS delta, user_id, session_num FROM per_day
+  UNION ALL
+  SELECT day, ce AS t, -1 AS delta, user_id, session_num FROM per_day
+), swept AS (
+  SELECT day,
+         CAST(SUM(delta) OVER (PARTITION BY day
+             ORDER BY t, delta, user_id, session_num
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running
+  FROM deltas
+)
+SELECT day, CAST(COUNT(*) // 2 AS BIGINT) AS n_session_days,
+       MAX(running) AS peak_concurrency
+FROM swept
+GROUP BY day
+ORDER BY day
+"""

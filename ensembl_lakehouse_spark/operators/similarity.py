@@ -850,3 +850,103 @@ FROM ranked WHERE rank <= 2
 GROUP BY q_id
 ORDER BY q_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantization error audit (round 5 cont.)
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for squared reconstruction errors (pico-units).
+QUANT_ERR_FP = 1_000_000_000_000
+
+#: Shared per-element expression templates — one string, two engines,
+#: so the arithmetic trees cannot drift (oracle-determinism rule).
+_QUANT_Q = (
+    "CAST(floor(CAST({x} AS DOUBLE) * CAST(127 AS DOUBLE) / maxabs"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_QUANT_ERR2_FP = (
+    "CAST(floor((CAST({x} AS DOUBLE) - CAST({q} AS DOUBLE) * maxabs"
+    f" / CAST(127 AS DOUBLE)) * (CAST({{x}} AS DOUBLE)"
+    " - CAST({q} AS DOUBLE) * maxabs / CAST(127 AS DOUBLE))"
+    f" * CAST({QUANT_ERR_FP} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def embedding_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit: symmetrically quantize every
+    embedding to 8 bits (q = round(x·127/max|x|)), reconstruct, and
+    report per-label squared-error mass — the go/no-go report before
+    shipping a quantized ANN index (PQ's cheaper cousin; similarity
+    search teams run exactly this table when choosing int8 vs fp16).
+
+    Zero vectors are excluded (scale undefined — counted by
+    embedding_norm_audit). Per-element squared errors are rounded to
+    fixed-point BIGINT before ANY sum, and the float steps (widen,
+    scale, reconstruct) share one expression template across
+    engines, so the whole audit is bit-stable.
+
+    Plan: map-only per-element math (explode carries no shuffle);
+    the ONE exchange is the |labels|-row aggregate.
+    """
+    q = _QUANT_Q.format(x="x")
+    err2 = _QUANT_ERR2_FP.format(x="x", q=q)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn(
+            "maxabs",
+            F.expr(
+                "array_max(transform(embedding,"
+                " x -> abs(CAST(x AS DOUBLE))))"
+            ),
+        )
+        .where("maxabs > 0")
+        .select(
+            "label", "maxabs", F.explode("embedding").alias("x")
+        )
+        .select(
+            "label",
+            F.expr(f"abs({q})").alias("absq"),
+            F.expr(err2).alias("err2_fp"),
+        )
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_elems"),
+            F.sum("err2_fp").alias("err_mass_fp"),
+            F.max("absq").alias("max_abs_q"),
+        )
+        .withColumn("mean_err_fp", F.expr("err_mass_fp DIV n_elems"))
+        .select("label", "n_elems", "err_mass_fp", "mean_err_fp", "max_abs_q")
+        .orderBy("label")
+    )
+
+
+def _quant_error_sql() -> str:
+    q = _QUANT_Q.format(x="x")
+    err2 = _QUANT_ERR2_FP.format(x="x", q=q)
+    return f"""
+WITH vecs AS (
+  SELECT label, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+), elems AS (
+  SELECT label, maxabs, unnest(embedding) AS x
+  FROM vecs WHERE maxabs > 0
+), scored AS (
+  SELECT label, abs({q}) AS absq, {err2} AS err2_fp FROM elems
+)
+SELECT label, COUNT(*) AS n_elems,
+       CAST(SUM(err2_fp) AS BIGINT) AS err_mass_fp,
+       CAST(CAST(SUM(err2_fp) AS BIGINT) // COUNT(*) AS BIGINT)
+         AS mean_err_fp,
+       MAX(absq) AS max_abs_q
+FROM scored
+GROUP BY label
+ORDER BY label
+"""
+
+
+EMBEDDING_QUANT_ERROR_SQL = _quant_error_sql()

@@ -961,3 +961,98 @@ SELECT doc_id, n_grams, n_unique,
 FROM per_doc
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Source-level token diversity (round 5 cont.)
+# ---------------------------------------------------------------------------
+
+
+def source_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary diversity for corpus mixing: token
+    volume, vocabulary size, the dominant term, and the Gini-Simpson
+    index 1 - Σp² in basis points — the log-free diversity measure
+    (entropy's rational twin, oracle-determinism rule: no
+    transcendentals) that flags template-generated or boilerplate-
+    heavy sources before they enter a training mix.
+
+    Σtf² and T² are exact DECIMAL(38,0) products (BIGINT would
+    overflow once a stopword's tf passes ~3e9 at corpus scale); the
+    single ratio converts both to DOUBLE once — correctly-rounded
+    identically in both engines — then floors to integer basis
+    points.
+
+    Plan: the (source, term) wordcount lattice is the only big
+    exchange; the per-source rollup and the dominant-term window run
+    on |sources × vocab| aggregated rows.
+    """
+    terms = (
+        _docs_with_tokens(spark, sf_dir)
+        .select("source", F.explode("toks").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_source = terms.groupBy("source").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(
+            F.expr("CAST(tf AS DECIMAL(38,0)) * CAST(tf AS DECIMAL(38,0))")
+        ).cast("decimal(38,0)").alias("sq_mass"),
+    )
+    top = (
+        terms.withColumn(
+            "rk",
+            F.expr(
+                "row_number() OVER (PARTITION BY source "
+                "ORDER BY tf DESC, term ASC)"
+            ),
+        )
+        .where("rk = 1")
+        .select("source", F.col("term").alias("top_term"), F.col("tf").alias("top_tf"))
+    )
+    return (
+        per_source.join(top, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_terms",
+            "top_term",
+            "top_tf",
+            F.expr(
+                "CAST(10000 - floor(CAST(sq_mass AS DOUBLE) * "
+                "CAST(10000 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * "
+                "CAST(n_tokens AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("simpson_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_TOKEN_DIVERSITY_SQL = f"""
+{_SQL_PREP.replace("SELECT doc_id, lang, text,", "SELECT doc_id, source, text,")},
+terms AS (
+  SELECT source, unnest(toks) AS term FROM t
+), tf AS (
+  SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+), per_source AS (
+  SELECT source,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_terms,
+         CAST(SUM(CAST(tf AS DECIMAL(38,0)) * CAST(tf AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sq_mass
+  FROM tf GROUP BY 1
+), top AS (
+  SELECT source, term AS top_term, CAST(tf AS BIGINT) AS top_tf
+  FROM (SELECT source, term, tf,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY tf DESC, term ASC) AS rk
+        FROM tf)
+  WHERE rk = 1
+)
+SELECT p.source, n_tokens, n_terms, top_term, top_tf,
+       CAST(10000 - floor(CAST(sq_mass AS DOUBLE) * CAST(10000 AS DOUBLE)
+            / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS simpson_bp
+FROM per_source p JOIN top USING (source)
+ORDER BY p.source
+"""

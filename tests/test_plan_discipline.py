@@ -174,6 +174,17 @@ BUDGETS = {
     "feature_bin_lift": 1,
     "revenue_yoy": 2,
     "revenue_concentration": 2,
+    # level shift: daily agg + per-type window; concurrency: the
+    # user-session window + the per-day sweep window (the union
+    # reuses the session lattice); link predict: the pair lattice
+    # lives behind its checkpoint, leaving the per-node cap window +
+    # wedge agg; quant error: map-only element math, one label agg;
+    # diversity: wordcount lattice + per-source rollup + top window.
+    "events_level_shift": 2,
+    "session_concurrency": 2,
+    "graph_link_predict": 2,
+    "embedding_quant_error": 1,
+    "source_token_diversity": 3,
 }
 
 
