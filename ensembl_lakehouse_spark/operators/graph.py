@@ -517,7 +517,9 @@ LINKPRED_NEIGHBOR_CAP = 50
 LINKPRED_TOP_N = 20
 
 
-def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_link_predict(
+    spark: SparkSession, sf_dir: str, *, top_n: int = LINKPRED_TOP_N
+) -> DataFrame:
     """Common-neighbor link prediction on the part co-purchase
     graph: for part pairs NOT yet bought together, count shared
     co-purchase neighbors and rank by neighbor-Jaccard — the
@@ -597,7 +599,7 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(
             F.desc("jaccard_bp"), F.desc("common"), "part_a", "part_b"
         )
-        .limit(LINKPRED_TOP_N)
+        .limit(top_n)
     )
 
 

@@ -2254,7 +2254,9 @@ SHIFT_WINDOW = 7
 SHIFT_FLAG_BP = 1500
 
 
-def events_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_level_shift(
+    spark: SparkSession, sf_dir: str, *, window: int = SHIFT_WINDOW
+) -> DataFrame:
     """Level-shift (changepoint) screen over the daily event-count
     series: for every (day, event_type) with SHIFT_WINDOW observed
     days on both sides, compare the leading window's event mass to
@@ -2278,11 +2280,11 @@ def events_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_events"))
     w_lag = (
         "(PARTITION BY event_type ORDER BY day "
-        f"ROWS BETWEEN {SHIFT_WINDOW} PRECEDING AND 1 PRECEDING)"
+        f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)"
     )
     w_lead = (
         "(PARTITION BY event_type ORDER BY day "
-        f"ROWS BETWEEN 1 FOLLOWING AND {SHIFT_WINDOW} FOLLOWING)"
+        f"ROWS BETWEEN 1 FOLLOWING AND {window} FOLLOWING)"
     )
     scored = daily.select(
         "day",
@@ -2295,7 +2297,7 @@ def events_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.where(
-            f"trail_cnt = {SHIFT_WINDOW} AND lead_cnt = {SHIFT_WINDOW} "
+            f"trail_cnt = {window} AND lead_cnt = {window} "
             "AND trail_sum > 0"
         )
         .withColumn(
@@ -2343,7 +2345,13 @@ ORDER BY day, event_type
 """
 
 
-def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Session gap threshold (minutes) shared with events_sessionize.
+SESSION_GAP_MIN = 30
+
+
+def session_concurrency(
+    spark: SparkSession, sf_dir: str, *, gap_minutes: int = SESSION_GAP_MIN
+) -> DataFrame:
     """Peak concurrent sessions per day — the capacity-planning
     number behind connection pools and autoscaling targets —
     computed with the classic sweep line: +1 at each session start,
@@ -2376,7 +2384,8 @@ def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr(
             f"CASE WHEN lag(ts) OVER {w} IS NULL "
-            f"OR ts - lag(ts) OVER {w} > INTERVAL '30' MINUTE THEN 1 ELSE 0 END"
+            f"OR ts - lag(ts) OVER {w} > INTERVAL '{gap_minutes}' MINUTE "
+            "THEN 1 ELSE 0 END"
         ).alias("is_new"),
     )
     sessions = (

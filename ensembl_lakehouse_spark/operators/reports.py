@@ -126,7 +126,13 @@ ORDER BY p_retailprice, p_size
 # ---------------------------------------------------------------------------
 
 
-def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Quantile buckets per RFM dimension.
+RFM_QUANTILES = 4
+
+
+def orders_rfm_segments(
+    spark: SparkSession, sf_dir: str, *, quantiles: int = RFM_QUANTILES
+) -> DataFrame:
     """RFM segmentation: per customer compute Recency (days since
     last order, anchored to the corpus max order date so the report
     is reproducible), Frequency (order count) and Monetary (lifetime
@@ -167,17 +173,22 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_cust.withColumn(
             "r_q",
             F.expr(
-                "ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC)"
+                f"ntile({quantiles}) OVER "
+                "(ORDER BY recency_days ASC, o_custkey ASC)"
             ),
         )
         .withColumn(
             "f_q",
-            F.expr("ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC)"),
+            F.expr(
+                f"ntile({quantiles}) OVER "
+                "(ORDER BY frequency DESC, o_custkey ASC)"
+            ),
         )
         .withColumn(
             "m_q",
             F.expr(
-                "ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC)"
+                f"ntile({quantiles}) OVER "
+                "(ORDER BY monetary_cents DESC, o_custkey ASC)"
             ),
         )
     )
@@ -297,7 +308,9 @@ ORDER BY first_digit
 TE_PRIOR = 20
 
 
-def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def target_encoding(
+    spark: SparkSession, sf_dir: str, *, prior: int = TE_PRIOR
+) -> DataFrame:
     """Smoothed target encoding of (market segment × nation) against
     order value: enc = (sum + PRIOR * global_mean) / (n + PRIOR) —
     the shrinkage that keeps rare categories from memorizing noise.
@@ -334,8 +347,8 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "enc_cents",
             F.expr(
-                f"(sum_cents + {TE_PRIOR} * global_mean_cents) "
-                f"DIV (n_orders + {TE_PRIOR})"
+                f"(sum_cents + {prior} * global_mean_cents) "
+                f"DIV (n_orders + {prior})"
             ),
         )
         .select(
@@ -381,7 +394,9 @@ ORDER BY c_mktsegment, c_nationkey
 BIN_WIDTH = 50_000
 
 
-def feature_bin_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def feature_bin_lift(
+    spark: SparkSession, sf_dir: str, *, bin_width: int = BIN_WIDTH
+) -> DataFrame:
     """Feature-vs-label binning report: equal-width bins of
     o_totalprice against the binary label "order is finalized"
     (o_orderstatus = 'F'), with per-bin positive rate and lift in
@@ -397,7 +412,7 @@ def feature_bin_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back.
     """
     orders = load_table(spark, sf_dir, "orders").select(
-        F.expr(f"CAST(floor(o_totalprice) AS BIGINT) DIV {BIN_WIDTH}").alias(
+        F.expr(f"CAST(floor(o_totalprice) AS BIGINT) DIV {bin_width}").alias(
             "bin"
         ),
         F.expr(
@@ -421,7 +436,7 @@ def feature_bin_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "((n_pos * 10000) DIV n_orders) * total_n DIV total_pos"
             ),
         )
-        .withColumn("bin_lo", F.expr(f"bin * {BIN_WIDTH}"))
+        .withColumn("bin_lo", F.expr(f"bin * {bin_width}"))
         .select("bin", "bin_lo", "n_orders", "n_pos", "pos_rate_bp", "lift_bp")
         .orderBy("bin")
     )

@@ -23,7 +23,9 @@ from typing import Any, Callable
 
 from ensembl_lakehouse_spark.operators import chunking as _chunk
 from ensembl_lakehouse_spark.operators import dedup as _dedup
+from ensembl_lakehouse_spark.operators import graph as _graph
 from ensembl_lakehouse_spark.operators import relational as _rel
+from ensembl_lakehouse_spark.operators import reports as _rep
 from ensembl_lakehouse_spark.operators import search as _search
 from ensembl_lakehouse_spark.operators import similarity as _sim
 from ensembl_lakehouse_spark.operators import text as _text
@@ -162,6 +164,26 @@ PARAM_SPECS: dict[str, dict[str, ParamSpec]] = {
     },
     "cooccur_pmi": {
         "top_n": _int_spec(_text.COOCCUR_TOP_N, lo=1, hi=500),
+    },
+    # round-5 continuation report pack + events/graph additions
+    "orders_rfm_segments": {
+        "quantiles": _int_spec(_rep.RFM_QUANTILES, lo=2, hi=10),
+    },
+    "target_encoding": {
+        # prior=0 is plain per-category means (no shrinkage)
+        "prior": _int_spec(_rep.TE_PRIOR, lo=0, hi=10_000),
+    },
+    "feature_bin_lift": {
+        "bin_width": _int_spec(_rep.BIN_WIDTH, lo=1_000, hi=1_000_000),
+    },
+    "events_level_shift": {
+        "window": _int_spec(_rel.SHIFT_WINDOW, lo=2, hi=30),
+    },
+    "session_concurrency": {
+        "gap_minutes": _int_spec(_rel.SESSION_GAP_MIN, lo=1, hi=1_440),
+    },
+    "graph_link_predict": {
+        "top_n": _int_spec(_graph.LINKPRED_TOP_N, lo=1, hi=500),
     },
 }
 

@@ -261,3 +261,65 @@ def test_round5_k_override_end_to_end(server):
         r["Data"][1]["VarCharValue"] for r in prev["Rows"][1:]
     }
     assert ranks == {"1"}
+
+
+def test_round5_cont_param_specs_pinned():
+    """Report-pack / events / graph param defaults pinned to the
+    operator keyword defaults (same contract as the earlier specs)."""
+    from ensembl_lakehouse_spark.operators import graph as G
+    from ensembl_lakehouse_spark.operators import relational as R
+    from ensembl_lakehouse_spark.operators import reports as RP
+
+    assert (
+        PARAM_SPECS["orders_rfm_segments"]["quantiles"].default
+        == RP.RFM_QUANTILES
+    )
+    assert PARAM_SPECS["target_encoding"]["prior"].default == RP.TE_PRIOR
+    assert PARAM_SPECS["feature_bin_lift"]["bin_width"].default == RP.BIN_WIDTH
+    assert (
+        PARAM_SPECS["events_level_shift"]["window"].default == R.SHIFT_WINDOW
+    )
+    assert (
+        PARAM_SPECS["session_concurrency"]["gap_minutes"].default
+        == R.SESSION_GAP_MIN
+    )
+    assert (
+        PARAM_SPECS["graph_link_predict"]["top_n"].default
+        == G.LINKPRED_TOP_N
+    )
+    assert resolve_params("target_encoding", {"prior": "20"}) == {}
+    assert resolve_params("target_encoding", {"prior": "0"}) == {"prior": 0}
+    with pytest.raises(ParamError):
+        resolve_params("orders_rfm_segments", {"quantiles": "1"})
+
+
+def test_round5_cont_overrides_change_results(spark):
+    """Parameter overrides actually change the computation: prior=0
+    target encoding returns raw category means; a coarser RFM
+    quantile count shrinks the segment lattice; a custom link-predict
+    top_n truncates the ranking."""
+    from ensembl_lakehouse_spark.operators import graph as G
+    from ensembl_lakehouse_spark.operators import reports as RP
+
+    sf = "/root/testdata/sf0.001"
+    enc_smooth = {
+        (r["c_mktsegment"], r["c_nationkey"]): r["enc_cents"]
+        for r in RP.target_encoding(spark, sf).collect()
+    }
+    raw = RP.target_encoding(spark, sf, prior=0).collect()
+    assert {
+        (r["c_mktsegment"], r["c_nationkey"]): r["sum_cents"] // r["n_orders"]
+        for r in raw
+    } == {
+        (r["c_mktsegment"], r["c_nationkey"]): r["enc_cents"] for r in raw
+    }
+    assert any(
+        enc_smooth[(r["c_mktsegment"], r["c_nationkey"])] != r["enc_cents"]
+        for r in raw
+    )
+    seg2 = RP.orders_rfm_segments(spark, sf, quantiles=2).collect()
+    assert seg2 and all(
+        r["r_q"] <= 2 and r["f_q"] <= 2 and r["m_q"] <= 2 for r in seg2
+    )
+    top5 = G.graph_link_predict(spark, sf, top_n=5).collect()
+    assert len(top5) == 5
