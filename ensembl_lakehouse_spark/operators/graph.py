@@ -508,9 +508,19 @@ ORDER BY node
 #: analytics.basket_pairs quadratic guard, same rationale).
 LINKPRED_BASKET_CAP = 20
 
-#: Per-node adjacency cap for the wedge join: only the top
-#: LINKPRED_NEIGHBOR_CAP neighbors by co-purchase count take part,
-#: bounding the wedge fan-out at CAP^2 per node.
+#: Minimum co-purchase count for a pair to become a graph edge.
+#: Support-1 pairs are coincidence noise AND the volume majority
+#: (sf0.1: 1.19M of 1.20M pairs) — at 100 TB they would dominate
+#: every downstream join while contributing no signal.
+LINKPRED_MIN_SUPPORT = 2
+
+#: Per-node adjacency cap: each node keeps only its strongest
+#: LINKPRED_NEIGHBOR_CAP neighbors (out-cap), and each node may be
+#: KEPT by at most LINKPRED_NEIGHBOR_CAP others (in-cap) — the
+#: second cap is what actually bounds the wedge join, because a
+#: popular node's in-links are unbounded no matter how its own list
+#: is capped (measured: sf0.1 sum(indeg^2) = 108M wedge rows
+#: without the in-cap, and the out-cap alone cannot prevent it).
 LINKPRED_NEIGHBOR_CAP = 50
 
 #: Predictions reported.
@@ -527,19 +537,26 @@ def graph_link_predict(
     (two-hop wedge join) a doc-similarity graph uses for related-
     document suggestions.
 
-    Scale is governed by two caps, both deterministic: baskets over
-    LINKPRED_BASKET_CAP items are dropped before pairing (quadratic
-    guard — analytics.basket_pairs:273), and each node keeps only
-    its LINKPRED_NEIGHBOR_CAP strongest neighbors (co-count DESC,
-    partkey ASC row_number), so the wedge join emits at most CAP²
-    candidates per node regardless of hub degree — the standard
-    heavy-hitter bound for two-hop joins. Jaccard is integer basis
-    points over capped degrees; the known-edge exclusion is a
-    left-anti join on the undirected pair lattice.
+    Scale is governed by a support floor and three deterministic
+    caps: baskets over LINKPRED_BASKET_CAP items are dropped before
+    pairing (quadratic guard — analytics.basket_pairs:273); pairs
+    below LINKPRED_MIN_SUPPORT co-purchases never become edges
+    (support-1 pairs are noise and 99% of pair volume at sf0.1);
+    each node keeps its LINKPRED_NEIGHBOR_CAP strongest neighbors
+    (out-cap); and each node is kept BY at most
+    LINKPRED_NEIGHBOR_CAP others (in-cap — the cap that actually
+    bounds the wedge join at CAP² rows per shared neighbor; without
+    it a popular node's in-degree is unbounded and sum(indeg²)
+    measured 108M wedge rows at sf0.1). All cap orderings are
+    (co_count DESC, key ASC) row_numbers, so the kept sets are
+    bit-identical cross-engine. Jaccard is integer basis points
+    over capped degrees; the known-edge exclusion is a left-anti
+    join against ALL co-purchased pairs (any support).
 
     Plan: basket lattice distinct + per-order cap window + pair agg
-    (the basket_pairs lattice), per-node cap window, wedge equi-join
-    on the shared neighbor, candidate agg, anti join, bounded top-N.
+    (checkpointed once, reused by the support filter and the anti
+    join), out-cap and in-cap windows, wedge equi-join on the
+    shared neighbor, candidate agg, anti join, bounded top-N.
     """
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
@@ -557,9 +574,10 @@ def graph_link_predict(
         .agg(F.count(F.lit(1)).alias("co_count"))
         .localCheckpoint()
     )
-    adj = pairs.selectExpr(
+    edges = pairs.where(F.col("co_count") >= LINKPRED_MIN_SUPPORT)
+    adj = edges.selectExpr(
         "part_a AS node", "part_b AS nbr", "co_count"
-    ).unionAll(pairs.selectExpr("part_b AS node", "part_a AS nbr", "co_count"))
+    ).unionAll(edges.selectExpr("part_b AS node", "part_a AS nbr", "co_count"))
     kept = (
         adj.withColumn(
             "rk",
@@ -569,12 +587,23 @@ def graph_link_predict(
             ),
         )
         .where(F.col("rk") <= LINKPRED_NEIGHBOR_CAP)
-        .select("node", "nbr")
+        .select("node", "nbr", "co_count")
     )
     deg = kept.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    inv = (
+        kept.withColumn(
+            "rk",
+            F.expr(
+                "row_number() OVER (PARTITION BY nbr "
+                "ORDER BY co_count DESC, node ASC)"
+            ),
+        )
+        .where(F.col("rk") <= LINKPRED_NEIGHBOR_CAP)
+        .selectExpr("nbr AS x", "node")
+    )
     wedges = (
-        kept.selectExpr("node AS part_a", "nbr AS x")
-        .join(kept.selectExpr("node AS part_b", "nbr AS x"), "x")
+        inv.selectExpr("x", "node AS part_a")
+        .join(inv.selectExpr("x", "node AS part_b"), "x")
         .where(F.expr("part_a < part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("common"))
@@ -620,22 +649,34 @@ WITH items AS (
   JOIN kept_items b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
+), edges AS (
+  SELECT part_a, part_b, co_count FROM pairs
+  WHERE co_count >= {LINKPRED_MIN_SUPPORT}
 ), adj AS (
-  SELECT part_a AS node, part_b AS nbr, co_count FROM pairs
+  SELECT part_a AS node, part_b AS nbr, co_count FROM edges
   UNION ALL
-  SELECT part_b AS node, part_a AS nbr, co_count FROM pairs
+  SELECT part_b AS node, part_a AS nbr, co_count FROM edges
 ), kept AS (
-  SELECT node, nbr FROM (
-    SELECT node, nbr,
+  SELECT node, nbr, co_count FROM (
+    SELECT node, nbr, co_count,
            row_number() OVER (PARTITION BY node
                               ORDER BY co_count DESC, nbr ASC) AS rk
     FROM adj)
   WHERE rk <= {LINKPRED_NEIGHBOR_CAP}
 ), deg AS (
   SELECT node, COUNT(*) AS deg FROM kept GROUP BY 1
+), inv AS (
+  SELECT nbr AS x, node FROM (
+    SELECT nbr, node,
+           row_number() OVER (PARTITION BY nbr
+                              ORDER BY co_count DESC, node ASC) AS rk
+    FROM kept)
+  WHERE rk <= {LINKPRED_NEIGHBOR_CAP}
 ), wedges AS (
-  SELECT a.node AS part_a, b.node AS part_b, COUNT(*) AS common
-  FROM kept a JOIN kept b ON a.nbr = b.nbr AND a.node < b.node
+  SELECT a.part_a, b.part_b, COUNT(*) AS common
+  FROM (SELECT x, node AS part_a FROM inv) a
+  JOIN (SELECT x, node AS part_b FROM inv) b
+    ON a.x = b.x AND a.part_a < b.part_b
   GROUP BY 1, 2
 ), candidates AS (
   SELECT w.part_a, w.part_b, w.common

@@ -182,7 +182,9 @@ BUDGETS = {
     # diversity: wordcount lattice + per-source rollup + top window.
     "events_level_shift": 2,
     "session_concurrency": 2,
-    "graph_link_predict": 2,
+    # out-cap + in-cap windows (different partitionings) + wedge agg
+    # + deg agg; the pair lattice lives behind its checkpoint
+    "graph_link_predict": 4,
     "embedding_quant_error": 1,
     "source_token_diversity": 3,
 }
