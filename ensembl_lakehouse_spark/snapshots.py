@@ -948,12 +948,41 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     return removed
 
 
+def _read_file_subset(
+    spark: SparkSession, table_dir: str, files: list[str], all_files: list[str]
+) -> DataFrame:
+    """Read an explicit manifest file subset (mergeSchema). An empty
+    subset still plans over ``all_files`` under ``1=0`` so the
+    version's merged schema survives with zero row groups read."""
+    read = spark.read.option("mergeSchema", "true")
+    if not files:
+        df = read.parquet(*(os.path.join(table_dir, f) for f in all_files))
+        return df.where("1 = 0")
+    return read.parquet(*(os.path.join(table_dir, f) for f in files))
+
+
+def _align_columns(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Add NULL columns for fields present on one side only — the
+    values a mergeSchema read would produce for files that predate a
+    schema-evolving commit, so a subset read diffs like a full read."""
+    from pyspark.sql import functions as F
+
+    for name, dtype in b.dtypes:
+        if name not in a.columns:
+            a = a.withColumn(name, F.lit(None).cast(dtype))
+    for name, dtype in a.dtypes:
+        if name not in b.columns:
+            b = b.withColumn(name, F.lit(None).cast(dtype))
+    return a, b.select(a.columns)
+
+
 def snapshot_diff(
     spark: SparkSession,
     table_dir: str,
     from_version: int,
     to_version: int | None = None,
     key: str | list[str] | tuple[str, ...] | None = None,
+    skip_shared: bool = True,
 ) -> DataFrame:
     """Row-level changes between two versions — the
     ``table_changes`` / CDC-read analog, computed from the two
@@ -966,17 +995,42 @@ def snapshot_diff(
     carrying the NEW row for inserts/updates and the OLD row for
     deletes (the MERGE-feed shape a downstream mirror applies).
 
-    Cost: two snapshot scans + one anti/outer join on the chosen
-    granularity. At scale the manifests' file lists let a smarter
-    diff skip files shared by both versions (identical paths means
-    identical content — immutability makes file identity a content
-    proof); this implementation keeps the simple two-scan form.
+    ``skip_shared`` (default on) applies MANIFEST-LEVEL FILE
+    SKIPPING: files listed by both versions are never planned.
+    Immutability makes a shared path a content proof, so for the
+    full-row multiset diff the shared rows cancel exactly
+    ((S+A) - (S+R) = A - R), and for the key-level diff a changed
+    key's old row cannot sit in a shared file (the commit that
+    changed it rewrote that file — key uniqueness, which the key
+    form already assumes). At 100 TB this is the difference between
+    diffing two snapshots of the table and scanning the handful of
+    files an append/MERGE actually touched — cost ∝ change, not
+    table. Pass ``skip_shared=False`` to force the two-full-scan
+    form (the oracle the skipping path is pinned against).
     """
     to_version = (
         current_version(table_dir) if to_version is None else to_version
     )
-    old = read_snapshot(spark, table_dir, version=from_version)
-    new = read_snapshot(spark, table_dir, version=to_version)
+    if skip_shared:
+        m_old = _read_manifest(table_dir, from_version)
+        m_new = _read_manifest(table_dir, to_version)
+        shared = set(m_old["files"]) & set(m_new["files"])
+        old = _read_file_subset(
+            spark,
+            table_dir,
+            [f for f in m_old["files"] if f not in shared],
+            m_old["files"],
+        )
+        new = _read_file_subset(
+            spark,
+            table_dir,
+            [f for f in m_new["files"] if f not in shared],
+            m_new["files"],
+        )
+        old, new = _align_columns(old, new)
+    else:
+        old = read_snapshot(spark, table_dir, version=from_version)
+        new = read_snapshot(spark, table_dir, version=to_version)
     from pyspark.sql import functions as F
 
     if key is None:

@@ -645,3 +645,60 @@ def test_scoped_merge_null_guard_beyond_value_cap(spark, tdir, monkeypatch):
     )
     with _pytest.raises(ValueError, match="NULL"):
         S.merge_snapshot(spark, tdir, upd, key="k", scope_by="k")
+
+
+def test_snapshot_diff_skips_shared_files(spark, tdir):
+    """skip_shared (default) must plan ONLY the files an append/MERGE
+    touched — and return exactly what the two-full-scan form does."""
+    S.write_snapshot(
+        tdir, spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    )
+    S.write_snapshot(
+        tdir, spark.createDataFrame([(4, "d"), (5, "e")], ["k", "v"]),
+        mode="append",
+    )
+    m0 = S._read_manifest(tdir, 0)
+    m1 = S._read_manifest(tdir, 1)
+    shared = set(m0["files"]) & set(m1["files"])
+    assert shared, "append must carry v0's files by reference"
+
+    fast = S.snapshot_diff(spark, tdir, 0, 1, key="k")
+    slow = S.snapshot_diff(spark, tdir, 0, 1, key="k", skip_shared=False)
+    assert sorted((r.k, r._change, r._row.v) for r in fast.collect()) == sorted(
+        (r.k, r._change, r._row.v) for r in slow.collect()
+    ) == [(4, "insert", "d"), (5, "insert", "e")]
+    planned = {f.split("/")[-1] for f in fast.inputFiles()}
+    assert not planned & {f.split("/")[-1] for f in shared}, (
+        "a shared file was planned by the skipping diff"
+    )
+    # row-level multiset form takes the same shortcut
+    fast_rows = S.snapshot_diff(spark, tdir, 0, 1)
+    assert sorted((r.k, r.v, r._change) for r in fast_rows.collect()) == [
+        (4, "d", "insert"), (5, "e", "insert"),
+    ]
+    assert not {f.split("/")[-1] for f in fast_rows.inputFiles()} & {
+        f.split("/")[-1] for f in shared
+    }
+
+
+def test_snapshot_diff_skip_shared_schema_evolution(spark, tdir):
+    """A schema-adding append diffs identically with and without
+    skipping: the subset reads are NULL-aligned to the union schema,
+    matching what a full mergeSchema read would produce."""
+    S.write_snapshot(tdir, spark.createDataFrame([(1, "a")], ["k", "v"]))
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(2, "b", 9.5)], ["k", "v", "score"]),
+        mode="append",
+    )
+    fast = {
+        (r.k, r.v, r.score, r._change)
+        for r in S.snapshot_diff(spark, tdir, 0, 1).collect()
+    }
+    assert fast == {(2, "b", 9.5, "insert")}
+    # and a key-level diff across the evolution stays consistent
+    kfast = {
+        (r.k, r._change)
+        for r in S.snapshot_diff(spark, tdir, 0, 1, key="k").collect()
+    }
+    assert kfast == {(2, "insert")}
