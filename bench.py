@@ -107,7 +107,14 @@ def main() -> int:
     # computed against it so a regression is visible in the round
     # artifact itself rather than via tail-scraping two files.
     here = os.path.dirname(os.path.abspath(__file__))
-    out_path = os.path.join(here, "BENCH_FULL.json")
+    # Subset debug runs must never clobber the round's full record:
+    # BENCH_FULL.json is the next round's regression baseline, and a
+    # partial overwrite would silently erase it (the archive guard only
+    # protects the cross-round stamp). Partial runs get their own file.
+    out_path = os.path.join(
+        here, "BENCH_PARTIAL.json" if only else "BENCH_FULL.json"
+    )
+    full_path = os.path.join(here, "BENCH_FULL.json")
     import glob
     import re as _re
     import shutil
@@ -118,21 +125,21 @@ def main() -> int:
         if (m := _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f)))
     )
     baseline = None
-    if rounds and os.path.exists(out_path):
+    if rounds and os.path.exists(full_path):
         arch = os.path.join(here, f"BENCH_FULL_r{rounds[-1]:02d}.json")
         if not os.path.exists(arch):
             # first bench run of a new round: stamp last round's record
-            # — but never a PARTIAL one (a subset debugging run marks
-            # itself below; archiving it would silently shrink all
-            # regression tracking for the following round to its few
-            # queries)
+            # — but never a PARTIAL one (historical BENCH_FULL.json
+            # files written before partial runs were split out may
+            # carry partial=true; archiving one would silently shrink
+            # all regression tracking for the following round)
             try:
-                with open(out_path) as fh:
+                with open(full_path) as fh:
                     prior = json.load(fh)
             except ValueError:
                 prior = {}
             if not prior.get("partial"):
-                shutil.copyfile(out_path, arch)
+                shutil.copyfile(full_path, arch)
         if os.path.exists(arch):
             try:
                 with open(arch) as fh:
@@ -183,7 +190,7 @@ def main() -> int:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
-                "queries_file": "BENCH_FULL.json",
+                "queries_file": os.path.basename(out_path),
                 # bounded: worst 10 by ratio so the line stays short
                 "regressions": dict(
                     sorted(

@@ -364,10 +364,27 @@ def _bloom_positions(key: str) -> list[int]:
 
 
 def _bloom_maybe_contains(bloom: dict, value) -> bool:
-    """True unless the filter PROVES absence (never a false negative)."""
+    """True unless the filter PROVES absence (never a false negative).
+
+    Cross-typed probes are unprunable: Spark equality COERCES across
+    types (``bigint_col = '42'`` matches 42, ``int_col = true``
+    matches 1, and a string column matches a numeric probe under any
+    spelling that casts to it — unenumerable), so the typed-key
+    discipline that keeps 1 / '1' distinct inside the filter would
+    turn those matches into FALSE NEGATIVES. The writer records the
+    key-type prefixes actually present per column (``types``); a
+    probe whose prefix is absent from that set conservatively keeps
+    the file, mirroring the min/max stage's TypeError keep. Legacy
+    blooms without a ``types`` record are treated as unprunable —
+    soundness beats pruning power."""
     key = _bloom_key(value)
     if key is None:
         return True
+    types = bloom.get("types")
+    if types is None:
+        return True  # legacy bloom: stored types unknown, keep
+    if types and key.split(":", 1)[0] not in types:
+        return True  # cross-typed probe: equality may coerce, keep
     words = bloom.get("words")
     bits = bloom.get("bits", BLOOM_BITS)
     if not words:
@@ -405,6 +422,7 @@ def _file_blooms(table_dir: str, files: list[str], columns: list[str]) -> dict:
                 continue  # unknown column / unreadable -> unprunable
             words = [0] * (BLOOM_BITS // _BLOOM_WORD)
             ok = True
+            prefixes: set[str] = set()
             for v in set(tbl.column(0).to_pylist()):
                 key = _bloom_key(v)
                 if key is None:
@@ -412,6 +430,7 @@ def _file_blooms(table_dir: str, files: list[str], columns: list[str]) -> dict:
                         ok = False  # unbloomable value present
                         break
                     continue  # NULLs never match equality; skip
+                prefixes.add(key.split(":", 1)[0])
                 for pos in _bloom_positions(key):
                     words[pos // _BLOOM_WORD] |= 1 << (pos % _BLOOM_WORD)
             if ok:
@@ -419,6 +438,11 @@ def _file_blooms(table_dir: str, files: list[str], columns: list[str]) -> dict:
                     "bits": BLOOM_BITS,
                     "k": BLOOM_HASHES,
                     "words": words,
+                    # key-type prefixes present in this file's column —
+                    # the reader refuses to prune a probe of any OTHER
+                    # type (Spark equality coerces across types; see
+                    # _bloom_maybe_contains)
+                    "types": sorted(prefixes),
                 }
         if per_col:
             out[rel] = per_col
@@ -494,7 +518,14 @@ def _files_touching_values(manifest: dict, column: str, values: list) -> set:
     """Files that may hold ANY of ``values`` on ``column``: binary
     search of the sorted value list against each file's [min, max]
     (O(files · log values)), refined by the file's bloom when one is
-    recorded. Stat-less files are conservatively touched."""
+    recorded. A file with NO min/max stats (string columns —
+    _file_stats deliberately records only numeric/bool) falls back to
+    its bloom ALONE when one exists: sound, because the bloom proves
+    absence within the typed-key contract and _bloom_maybe_contains
+    keeps cross-typed probes. Only files with neither stats nor bloom
+    are conservatively touched — without this fallback, every
+    scope_by= merge on a string key (the high-cardinality doc_id
+    case blooms exist for) would degrade to a full-table rewrite."""
     import bisect
 
     try:
@@ -506,8 +537,12 @@ def _files_touching_values(manifest: dict, column: str, values: list) -> set:
     touched = set()
     for rel in manifest["files"]:
         col = stats.get(rel, {}).get(column)
+        bloom = blooms.get(rel, {}).get(column)
         if col is None or svals is None:
-            touched.add(rel)
+            if bloom is None or any(
+                _bloom_maybe_contains(bloom, v) for v in values
+            ):
+                touched.add(rel)
             continue
         lo, hi = col
         try:
@@ -518,7 +553,6 @@ def _files_touching_values(manifest: dict, column: str, values: list) -> set:
             continue
         if not in_range:
             continue
-        bloom = blooms.get(rel, {}).get(column)
         if bloom is None or any(
             _bloom_maybe_contains(bloom, v) for v in in_range
         ):
@@ -1027,10 +1061,15 @@ def snapshot_diff(
             [f for f in m_new["files"] if f not in shared],
             m_new["files"],
         )
-        old, new = _align_columns(old, new)
     else:
         old = read_snapshot(spark, table_dir, version=from_version)
         new = read_snapshot(spark, table_dir, version=to_version)
+    # Align across schema-evolving commits in BOTH branches: the
+    # full-scan form is the documented oracle for the skipping form,
+    # so it must diff an added/dropped column identically (NULL-filled
+    # on the side that lacks it) rather than raise on exceptAll
+    # column-count mismatch / UNRESOLVED_COLUMN in the key form.
+    old, new = _align_columns(old, new)
     from pyspark.sql import functions as F
 
     if key is None:
