@@ -842,6 +842,179 @@ def merge_snapshot(
     )
 
 
+def _abs_to_rel(table_dir: str, files: list[str]) -> dict[str, str]:
+    """Map each manifest-relative file to the absolute-path forms
+    Spark's ``input_file_name()`` reports (with and without the
+    ``file:`` scheme), so scan results resolve back to manifest
+    entries."""
+    out = {}
+    for rel in files:
+        ap = os.path.abspath(os.path.join(table_dir, rel))
+        out[ap] = rel
+        out["file:" + ap] = rel
+        out["file://" + ap] = rel
+    return out
+
+
+def delete_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    where: str | None = None,
+    *,
+    keys: DataFrame | None = None,
+    key: str | list[str] | tuple[str, ...] | None = None,
+    scope_by: str | None = None,
+    expect_version: int | None = None,
+    op: str = "delete",
+    bloom_for: list[str] | None = None,
+) -> int:
+    """Row-level DELETE, copy-on-write — the Delta/Iceberg COW delete
+    algorithm: one pushed-down scan finds the files that actually
+    hold matching rows (``input_file_name()`` under the predicate),
+    ONLY those files are rewritten without the matches, and every
+    other file is carried into the new manifest BY REFERENCE with its
+    stats and blooms intact. At 100 TB a targeted erasure (the
+    GDPR/right-to-be-forgotten case) costs O(matching files), not
+    O(table) — and the finding scan itself is pruned by parquet
+    row-group stats under predicate pushdown.
+
+    Two forms, exactly one of which must be given:
+
+    - ``where``: a SQL boolean expression; rows where it is TRUE are
+      deleted (FALSE and NULL rows are kept — SQL DELETE three-valued
+      semantics).
+    - ``keys`` + ``key``: delete every row whose key value(s) appear
+      in the ``keys`` DataFrame (the erasure-list form). ``scope_by``
+      (one of the key columns) additionally prunes the candidate
+      files with manifest stats + blooms BEFORE the finding scan,
+      exactly as merge_snapshot's scoped path — so the scan itself
+      reads O(candidate files).
+
+    A delete is always committed (even when nothing matched) so the
+    ``op`` stamp lands in the retention-independent ``_txns`` log —
+    an idempotent eraser checks ``committed_ops`` before replaying,
+    and an auditor can prove WHEN the erasure happened. Old versions
+    still serve the deleted rows under time travel until ``vacuum``
+    drops them — physical erasure is delete + vacuum, and that pair
+    is what an erasure SLA measures.
+    """
+    from pyspark.sql import functions as F
+
+    if (where is None) == (keys is None):
+        raise ValueError("pass exactly one of where= or keys=")
+    if keys is not None and key is None:
+        raise ValueError("keys= requires key= (the join column names)")
+    base = current_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = _read_manifest(table_dir, base)
+    candidates = list(manifest["files"])
+
+    key_cols = (
+        [key] if isinstance(key, str) else list(key) if key else []
+    )
+    if keys is not None and scope_by is not None:
+        if scope_by not in key_cols:
+            raise ValueError(
+                f"scope_by {scope_by!r} must be one of the key columns "
+                f"{key_cols}"
+            )
+        if keys.where(keys[scope_by].isNull()).head(1):
+            raise ValueError(
+                f"keys carry NULL {scope_by!r} values — NULL never "
+                "equals; filter them upstream"
+            )
+        vals = [
+            r[0]
+            for r in keys.select(scope_by)
+            .distinct()
+            .limit(_SCOPE_VALUES_CAP + 1)
+            .collect()
+        ]
+        if len(vals) <= _SCOPE_VALUES_CAP:
+            touched_set = _files_touching_values(manifest, scope_by, vals)
+        else:
+            row = keys.agg(
+                F.min(scope_by).alias("lo"), F.max(scope_by).alias("hi")
+            ).collect()[0]
+            touched_set = set(
+                _prune_manifest(manifest, scope_by, row["lo"], row["hi"])
+            )
+        candidates = [f for f in manifest["files"] if f in touched_set]
+
+    # Finding scan: which candidate files hold >=1 row to delete?
+    # Bounded driver collect — one row per FILE, never per data row.
+    touched: list[str] = []
+    if candidates:
+        cand_df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*(os.path.join(table_dir, f) for f in candidates))
+            # captured AT SCAN TIME: after a join/exchange the row
+            # loses scan lineage and input_file_name() returns ''
+            .withColumn("_src_file", F.input_file_name())
+        )
+        if where is not None:
+            matching = cand_df.where(F.expr(where))
+        else:
+            # no broadcast hint: erasure lists are usually tiny and
+            # AQE broadcasts them at runtime, but a bulk purge list
+            # may not be — forcing broadcast would OOM the executors
+            matching = cand_df.join(
+                keys.select(*key_cols).distinct(),
+                on=key_cols,
+                how="left_semi",
+            )
+        hit_files = {
+            r[0] for r in matching.select("_src_file").distinct().collect()
+        }
+        rel_of = _abs_to_rel(table_dir, candidates)
+        touched = sorted(rel_of[f] for f in hit_files)
+
+    carried = [f for f in manifest["files"] if f not in set(touched)]
+    files: list[str] = []
+    stats: dict = {}
+    blooms: dict = {}
+    if touched:
+        sub = spark.read.option("mergeSchema", "true").parquet(
+            *(os.path.join(table_dir, f) for f in touched)
+        )
+        if where is not None:
+            # DELETE removes rows where the predicate is TRUE; FALSE
+            # and NULL both keep (coalesce supplies the NULL arm)
+            kept = sub.where(F.coalesce(~F.expr(where), F.lit(True)))
+        else:
+            kept = sub.join(
+                keys.select(*key_cols).distinct(),
+                on=key_cols,
+                how="left_anti",
+            )
+        files = _write_data(table_dir, kept, base + 1)
+        stats = _file_stats(table_dir, files)
+        blooms = (
+            _file_blooms(table_dir, files, bloom_for) if bloom_for else {}
+        )
+    if carried:
+        stats = {
+            **{
+                f: manifest["stats"][f]
+                for f in carried
+                if f in manifest.get("stats", {})
+            },
+            **stats,
+        }
+        blooms = {
+            **{
+                f: manifest["blooms"][f]
+                for f in carried
+                if f in manifest.get("blooms", {})
+            },
+            **blooms,
+        }
+    return _commit(
+        table_dir, files + carried, op, expect_version, base, stats, blooms
+    )
+
+
 def committed_op_records(table_dir: str) -> list[tuple[int, str]]:
     """(version, op) records in APPLICATION order — the order commits
     actually happened, NOT numeric version order.

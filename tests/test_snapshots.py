@@ -815,3 +815,126 @@ def test_snapshot_diff_full_scan_form_handles_schema_evolution(spark, tdir):
     assert slow_keys == fast_keys == [
         (2, "update", "B"), (3, "insert", "c"),
     ]
+
+
+def test_delete_where_rewrites_only_carrier_files(spark, tdir):
+    """Round 6: copy-on-write DELETE — the finding scan narrows the
+    rewrite to files that actually hold matching rows; everything
+    else is carried by reference with stats and blooms intact."""
+    df = spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    S.write_snapshot(tdir, df, cluster_by=["k"], n_files=8, bloom_for=["k"])
+    before = S._read_manifest(tdir, 0)
+    assert len(before["files"]) == 8
+
+    v1 = S.delete_snapshot(spark, tdir, where="k >= 10 AND k < 20")
+    assert v1 == 1
+    after = S._read_manifest(tdir, 1)
+    carried = set(before["files"]) & set(after["files"])
+    # k in [10, 20) lives in the first clustered file only
+    assert len(carried) >= 6, (carried, set(after["files"]))
+    for f in carried:
+        assert after["stats"].get(f) == before["stats"].get(f)
+        assert after["blooms"].get(f) == before["blooms"].get(f)
+
+    got = sorted(r.k for r in S.read_snapshot(spark, tdir).collect())
+    assert got == [k for k in range(1000) if not (10 <= k < 20)]
+    # time travel still serves the pre-delete rows until vacuum
+    assert S.read_snapshot(spark, tdir, version=0).count() == 1000
+    # op is stamped in the retention-independent log
+    assert "delete" in S.committed_ops(tdir)
+
+
+def test_delete_where_three_valued_semantics(spark, tdir):
+    """DELETE WHERE p removes only p=TRUE rows; FALSE and NULL keep."""
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame(
+            [(1, 5), (2, None), (3, 50)], "k BIGINT, x BIGINT"
+        ).coalesce(1),
+    )
+    S.delete_snapshot(spark, tdir, where="x > 10")
+    got = sorted((r.k, r.x) for r in S.read_snapshot(spark, tdir).collect())
+    assert got == [(1, 5), (2, None)]  # NULL predicate row survives
+
+
+def test_delete_by_keys_equals_anti_join_and_scope_prunes(spark, tdir):
+    """Erasure-list form: delete(keys=, key=, scope_by=) must equal the
+    anti-join recompute and rewrite O(matching files)."""
+    df = spark.range(0, 800).selectExpr("id AS k", "id * 2 AS a")
+    S.write_snapshot(tdir, df, cluster_by=["k"], n_files=8)
+    expected = sorted(
+        (r.k, r.a)
+        for r in df.join(
+            spark.createDataFrame([(5,), (6,), (700,)], ["k"]),
+            on="k", how="left_anti",
+        ).collect()
+    )
+    before = S._read_manifest(tdir, 0)
+    erase = spark.createDataFrame([(5, "z"), (6, "z"), (700, "z")], ["k", "junk"])
+    S.delete_snapshot(spark, tdir, keys=erase, key="k", scope_by="k")
+    after = S._read_manifest(tdir, 1)
+    carried = set(before["files"]) & set(after["files"])
+    assert len(carried) >= 6, carried  # 5,6 in one file; 700 in another
+    got = sorted((r.k, r.a) for r in S.read_snapshot(spark, tdir).collect())
+    assert got == expected
+
+    # replay protocol: a stamped op makes the retry a caller-side no-op
+    S.delete_snapshot(spark, tdir, keys=erase, key="k", scope_by="k",
+                      op="erasure:req-42")
+    assert "erasure:req-42" in S.committed_ops(tdir)
+    v_before = S.current_version(tdir)
+    if "erasure:req-42" in S.committed_ops(tdir):
+        pass  # the idempotent eraser skips the replay
+    assert S.current_version(tdir) == v_before
+
+    # guards
+    with pytest.raises(ValueError, match="exactly one"):
+        S.delete_snapshot(spark, tdir)
+    with pytest.raises(ValueError, match="exactly one"):
+        S.delete_snapshot(spark, tdir, where="1=1", keys=erase, key="k")
+    with pytest.raises(ValueError, match="requires key="):
+        S.delete_snapshot(spark, tdir, keys=erase)
+    with pytest.raises(ValueError, match="must be one of the key"):
+        S.delete_snapshot(spark, tdir, keys=erase, key="k", scope_by="junk")
+
+
+def test_delete_then_vacuum_physically_erases(spark, tdir):
+    """The erasure SLA pair: delete removes rows logically; vacuum
+    drops the bytes. After both, NO remaining parquet file under the
+    table contains the erased value."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame(
+            [(1, "keep-me"), (2, "ERASE-SECRET"), (3, "also-keep")],
+            ["k", "v"],
+        ).coalesce(1),
+    )
+    S.delete_snapshot(spark, tdir, where="v = 'ERASE-SECRET'")
+    # pre-vacuum: time travel still serves it (retention window)
+    assert S.read_snapshot(spark, tdir, version=0).count() == 3
+    S.vacuum(tdir, keep_versions=1)
+    with pytest.raises(Exception):
+        S.read_snapshot(spark, tdir, version=0).count()
+    for path in _glob.glob(os.path.join(tdir, "data", "**", "*.parquet"),
+                           recursive=True):
+        vals = _pq.read_table(path).to_pydict().get("v", [])
+        assert "ERASE-SECRET" not in vals, path
+    got = sorted(r.k for r in S.read_snapshot(spark, tdir).collect())
+    assert got == [1, 3]
+
+
+def test_delete_no_match_commits_stamp_only(spark, tdir):
+    """A no-match delete still commits (audit + exactly-once stamp)
+    but rewrites nothing — every file carries by reference."""
+    S.write_snapshot(tdir, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    before = S._read_manifest(tdir, 0)
+    v = S.delete_snapshot(spark, tdir, where="k = 999", op="erasure:none")
+    assert v == 1
+    after = S._read_manifest(tdir, 1)
+    assert set(after["files"]) == set(before["files"])
+    assert "erasure:none" in S.committed_ops(tdir)
+    assert S.read_snapshot(spark, tdir).count() == 2
