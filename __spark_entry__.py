@@ -32,6 +32,7 @@ from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import reports as RP
 from ensembl_lakehouse_spark.operators import similarity as S
 from ensembl_lakehouse_spark.operators import sketches as SK
+from ensembl_lakehouse_spark.operators import governance as GV
 from ensembl_lakehouse_spark.operators import graph as G
 from ensembl_lakehouse_spark.operators import lm as LM
 from ensembl_lakehouse_spark.operators import search as SR
@@ -49,12 +50,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- Rotation window slots 1-26 (round 5): the last 26
-        # oracle-backed entries with no driver CORRECTNESS row
-        # (computed from CORRECTNESS_r01..r04 green rows — see the
-        # window guards in tests/test_contract.py). The driver
-        # samples list(queries())[:50]; a green round closes
-        # certification of the whole inventory.
+        # --- Round-6 additions FIRST (window discipline: every
+        # oracle-backed entry was driver-certified across r1-r5, so
+        # the first-50 window now leads with this round's new
+        # operators — the governance/retention pack pairing with
+        # snapshots.delete_snapshot — followed by certified filler;
+        # the 4 no-oracle entries stay out of the window).
+        "retention_audit": GV.retention_audit,
+        "tombstone_cascade": GV.tombstone_cascade,
+        "term_exposure_scan": GV.term_exposure_scan,
+        "subject_access_report": GV.subject_access_report,
+        "events_user_gaps": GV.events_user_gaps,
+        "attribution_first_last": GV.attribution_first_last,
+        "label_balance_audit": GV.label_balance_audit,
+        "kfold_assign": GV.kfold_assign,
+        "order_ship_lead": GV.order_ship_lead,
+        # --- Certified in r5 (slots were the r4-uncertified batch).
         "inverted_postings": SR.inverted_postings,
         "ann_recall_audit": DG.ann_recall_audit,
         "minhash_calibration": DG.minhash_calibration,
@@ -232,6 +243,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- Round-6 governance/retention pack.
+        "retention_audit": GV.RETENTION_AUDIT_SQL,
+        "tombstone_cascade": GV.TOMBSTONE_CASCADE_SQL,
+        "term_exposure_scan": GV.TERM_EXPOSURE_SCAN_SQL,
+        "subject_access_report": GV.SUBJECT_ACCESS_REPORT_SQL,
+        "events_user_gaps": GV.EVENTS_USER_GAPS_SQL,
+        "attribution_first_last": GV.ATTRIBUTION_FIRST_LAST_SQL,
+        "label_balance_audit": GV.LABEL_BALANCE_AUDIT_SQL,
+        "kfold_assign": GV.KFOLD_ASSIGN_SQL,
+        "order_ship_lead": GV.ORDER_SHIP_LEAD_SQL,
         "scan_project": "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
         "key_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "

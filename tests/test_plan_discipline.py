@@ -187,6 +187,29 @@ BUDGETS = {
     "graph_link_predict": 4,
     "embedding_quant_error": 1,
     "source_token_diversity": 3,
+    # Round-6 governance pack: every member is one partial-agg
+    # lattice (+1 hash exchange per extra agg/join stage); 1-row
+    # anchors/totals broadcast back (SinglePartition, not counted).
+    "retention_audit": 1,
+    # base agg + cascade agg; the id semi-join and source join
+    # broadcast at test SF (the semi side is the erasure set — it
+    # stays broadcastable at scale by construction)
+    "tombstone_cascade": 2,
+    "term_exposure_scan": 1,
+    # per-order agg + per-cust agg; orders join broadcasts at test
+    # SF, SMJs at scale on the same two exchanges; cust dim join is
+    # k-row broadcast after the TakeOrdered
+    "subject_access_report": 2,
+    # one user_id window exchange, reused by the per-user agg
+    "events_user_gaps": 1,
+    # purchase-window exchange + pre-window exchange (reused by the
+    # touches agg) + final combo agg
+    "attribution_first_last": 3,
+    "label_balance_audit": 1,
+    "kfold_assign": 1,
+    # orderkey join broadcasts orders at test SF (SMJ at scale);
+    # priority agg is the one hash exchange
+    "order_ship_lead": 1,
 }
 
 
