@@ -242,16 +242,43 @@ def _write_data(table_dir: str, df: DataFrame, version_hint: int) -> list[str]:
     ]
 
 
+def _stat_norm(v):
+    """Normalize a stats/probe value onto one comparable axis:
+    datetimes and dates map to epoch MICROSECONDS (tz-aware values
+    via UTC — sound because session.py pins
+    spark.sql.session.timeZone=UTC, so a naive probe and a
+    UTC-normalized parquet stat mean the same instant); numerics and
+    bools pass through. Returns None for types with no sound
+    ordering contract (strings etc.) — callers treat that as
+    unprunable. Applied identically to the WRITER's footer stats and
+    the READER's probe bounds, so the two sides can never compare on
+    different axes."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return int(
+            (v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days * 86_400_000_000
+    return None
+
+
 def _file_stats(table_dir: str, files: list[str]) -> dict:
     """Per-file min/max column statistics from the parquet footers —
     the Iceberg/Delta data-skipping metadata, collected ONCE at write
     time (one local footer read per freshly written file; on object
     storage this runs in the writer, so readers never touch footers).
 
-    Only numeric and boolean columns are recorded: their parquet
-    min/max ordering provably matches Spark's filter comparison.
-    String stats are deliberately excluded — parquet may truncate
-    them and UTF-8-byte vs UTF-16 ordering diverges on supplementary
+    Numeric, boolean, timestamp and date columns are recorded
+    (temporal values normalized to epoch microseconds via _stat_norm
+    — the axis probe bounds are normalized onto too). String stats
+    are deliberately excluded — parquet may truncate them and
+    UTF-8-byte vs UTF-16 ordering diverges on supplementary
     characters, either of which could make pruning UNSOUND. A column
     absent from a file's stats simply keeps that file unprunable
     (conservative)."""
@@ -283,11 +310,8 @@ def _file_stats(table_dir: str, files: list[str]) -> dict:
                     cols.pop(name, None)
                     dead.add(name)
                     continue
-                lo, hi = st.min, st.max
-                if not (
-                    isinstance(lo, (int, float, bool))
-                    and isinstance(hi, (int, float, bool))
-                ):
+                lo, hi = _stat_norm(st.min), _stat_norm(st.max)
+                if lo is None or hi is None:
                     dead.add(name)
                     cols.pop(name, None)
                     continue
@@ -492,6 +516,12 @@ def write_snapshot(
 
 
 def _prune_manifest(manifest: dict, column: str, lo, hi) -> list[str]:
+    # probes onto the same axis the writer recorded (epoch micros
+    # for temporals); un-normalizable probes fall through to the
+    # TypeError keep below
+    nlo, nhi = _stat_norm(lo), _stat_norm(hi)
+    if nlo is not None and nhi is not None:
+        lo, hi = nlo, nhi
     stats = manifest.get("stats", {})
     keep = []
     for rel in manifest["files"]:
@@ -528,8 +558,9 @@ def _files_touching_values(manifest: dict, column: str, values: list) -> set:
     case blooms exist for) would degrade to a full-table rewrite."""
     import bisect
 
+    norm = [_stat_norm(v) for v in values]
     try:
-        svals = sorted(values)
+        svals = None if any(n is None for n in norm) else sorted(norm)
     except TypeError:
         svals = None  # mixed/incomparable types: interval-of-nothing
     stats = manifest.get("stats", {})
@@ -1214,6 +1245,20 @@ def snapshot_diff(
     files an append/MERGE actually touched — cost ∝ change, not
     table. Pass ``skip_shared=False`` to force the two-full-scan
     form (the oracle the skipping path is pinned against).
+
+    .. warning:: The ``key`` form REQUIRES key uniqueness in both
+       versions — i.e. a merge-maintained table (``merge_snapshot``
+       upserts whole rows per key). A plain ``append`` can introduce
+       a SECOND row for an existing key without touching the shared
+       file that holds the first; under such duplicates the key-level
+       diff is ill-defined in BOTH modes, and the two modes can
+       additionally DISAGREE (the skipping form never plans the
+       shared carrier, so it tags the key 'insert' where the full
+       scan sees a pre-existing row). The divergence is pinned in
+       tests/test_snapshots.py::
+       test_snapshot_diff_key_form_requires_unique_keys. Full-row
+       diffs (``key=None``) remain exact multiset semantics under
+       duplicates in both modes.
     """
     to_version = (
         current_version(table_dir) if to_version is None else to_version

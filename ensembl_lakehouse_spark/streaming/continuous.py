@@ -91,8 +91,18 @@ def run_continuous_rollup(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         batches["n"] += 1
         # Bounded by construction: |hours| x |event_types| keys — the
-        # production form of this sink is run_continuous_rollup_table.
-        for r in batch_df.collect():
+        # production form of this sink is run_continuous_rollup_table/
+        # _snapshots. The cap turns a silently unbounded driver
+        # collect (if a caller ever points this demo sink at a
+        # non-rollup stream) into a loud error instead of an OOM.
+        rows = batch_df.limit(_DICT_SINK_CAP + 1).collect()
+        if len(rows) > _DICT_SINK_CAP:
+            raise RuntimeError(
+                f"dict-sink batch exceeds {_DICT_SINK_CAP} rows — this "
+                "demo sink is for bounded rollups; use "
+                "run_continuous_rollup_snapshots for real volumes"
+            )
+        for r in rows:
             view[(r.hour, r.event_type)] = (r.n_events, r.sum_value)
 
     n_batches, n_input = _drive(
@@ -148,6 +158,9 @@ def _drive(
 # ---------------------------------------------------------------------------
 
 ROLLUP_KEYS = ("hour", "event_type")
+
+#: Safety bound for the in-memory dict demo sink (run_continuous_rollup).
+_DICT_SINK_CAP = 100_000
 
 
 def run_continuous_rollup_table(
@@ -233,9 +246,21 @@ def run_continuous_rollup_snapshots(
         stamp = f"stream-merge:batch={batch_id}"
         if stamp in committed:
             return  # replayed batch: already durably committed
+        if batch_df.isEmpty():
+            # watermark-advance batches emit no updates; skipping
+            # them (rather than stamping) is safe — replaying an
+            # empty batch is itself a no-op
+            return
+        # FILE-SCOPED merge on the window-start hour: a micro-batch
+        # only re-emits windows the watermark still holds open, so
+        # its hour range is narrow and the rewrite touches O(open
+        # windows) files, never the table's history — the manifest's
+        # temporal min/max stats (epoch-micros normalized) prune
+        # every closed-hour file. Composes round 5's scoped MERGE
+        # with the exactly-once op stamps.
         SN.merge_snapshot(
             batch_df.sparkSession, table_dir, batch_df,
-            key=list(ROLLUP_KEYS), op=stamp,
+            key=list(ROLLUP_KEYS), op=stamp, scope_by="hour",
         )
         committed.add(stamp)
 

@@ -136,3 +136,47 @@ def test_stream_to_snapshot_to_ivm_rollup(spark, tmp_path_factory, events_dir):
     assert ivm.maintain_rollup(spark, bronze, silver, ["event_type"], "n_events")[
         "mode"
     ] == "noop"
+
+
+def test_streaming_scoped_merge_rewrites_only_open_hour_files(
+    spark, tmp_path_factory, events_dir
+):
+    """Round 6: the snapshot sink merges with scope_by='hour', so a
+    micro-batch touching k open windows rewrites O(k) files — files
+    holding only closed hours are carried by reference across the
+    commit (temporal min/max stats prune them). The view still
+    equals the batch recompute exactly."""
+    src = SE.load_events_batch(spark, events_dir)
+    lohi = src.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    # late slice: the last ~10% of the time range
+    cut = lohi.hi - (lohi.hi - lohi.lo) / 10
+    base = tmp_path_factory.mktemp("snap_scoped")
+    live, ckpt, tbl = base / "live", str(base / "ckpt"), str(base / "rollup")
+    live.mkdir()
+    early = base / "early"
+    late = base / "late"
+    src.where(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(str(early))
+    src.where(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(str(late))
+    f_early = glob.glob(str(early / "*.parquet"))[0]
+    f_late = glob.glob(str(late / "*.parquet"))[0]
+
+    # first run ingests the bulk; compact hour-clustered so files
+    # hold disjoint hour ranges (what a maintained table looks like)
+    sh.copy(f_early, live / "part1.parquet")
+    SC.run_continuous_rollup_snapshots(spark, str(live), tbl, checkpoint_dir=ckpt)
+    SN.compact(spark, tbl, target_files=8, cluster_by=["hour"])
+    before = SN._read_manifest(tbl, SN.current_version(tbl))
+    assert len(before["files"]) == 8
+
+    # second run ingests only the late slice -> touches late hours only
+    sh.copy(f_late, live / "part2.parquet")
+    SC.run_continuous_rollup_snapshots(spark, str(live), tbl, checkpoint_dir=ckpt)
+    after = SN._read_manifest(tbl, SN.current_version(tbl))
+    carried = set(before["files"]) & set(after["files"])
+    assert len(carried) >= 6, (
+        f"scoped streaming merge must carry closed-hour files: "
+        f"{len(carried)}/8 carried"
+    )
+    # and the merged state equals the batch recompute
+    batch = _as_dict(R.events_hourly(spark, SF_DIR))
+    assert _as_dict(SC.snapshot_rollup_view(spark, tbl)) == batch

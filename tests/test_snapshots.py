@@ -938,3 +938,92 @@ def test_delete_no_match_commits_stamp_only(spark, tdir):
     assert set(after["files"]) == set(before["files"])
     assert "erasure:none" in S.committed_ops(tdir)
     assert S.read_snapshot(spark, tdir).count() == 2
+
+
+def test_snapshot_diff_key_form_requires_unique_keys(spark, tdir):
+    """r5 VERDICT pin: an APPEND that adds a second row for an
+    existing key (duplicate keys — outside the key-form's contract)
+    makes the two skip modes DISAGREE: the skipping form never plans
+    the shared carrier file, so it tags the key 'insert'; the full
+    scan sees the pre-existing row and tags it 'update' (or nothing,
+    per struct compare). This test documents the divergence so the
+    docstring's merge-maintained-table requirement stays honest; the
+    full-ROW diff stays exact in both modes under the same data."""
+    S.write_snapshot(
+        tdir, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).coalesce(1)
+    )
+    # append introduces a duplicate k=1 row WITHOUT rewriting v0's file
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(1, "a2")], ["k", "v"]).coalesce(1),
+        mode="append",
+    )
+    m0, m1 = S._read_manifest(tdir, 0), S._read_manifest(tdir, 1)
+    assert set(m0["files"]) & set(m1["files"]), "append must share v0's file"
+
+    fast = {
+        (r.k, r._change)
+        for r in S.snapshot_diff(spark, tdir, 0, 1, key="k").collect()
+    }
+    slow = {
+        (r.k, r._change)
+        for r in S.snapshot_diff(
+            spark, tdir, 0, 1, key="k", skip_shared=False
+        ).collect()
+    }
+    # the documented divergence under duplicate keys:
+    assert fast == {(1, "insert")}
+    assert slow == {(1, "update")}
+    assert fast != slow
+
+    # the full-row multiset diff is exact in BOTH modes regardless
+    for skip in (True, False):
+        rows = sorted(
+            (r.k, r.v, r._change)
+            for r in S.snapshot_diff(
+                spark, tdir, 0, 1, skip_shared=skip
+            ).collect()
+        )
+        assert rows == [(1, "a2", "insert")]
+
+
+def test_timestamp_stats_enable_range_and_scoped_merge_pruning(spark, tdir):
+    """Round 6: temporal columns now carry min/max stats (epoch-micros
+    normalized on BOTH the writer and probe sides), so time-range
+    reads and scope_by= merges on a timestamp key prune files — the
+    streaming-rollup table's dominant access pattern."""
+    import datetime as dt
+
+    df = spark.sql(
+        "SELECT timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS hour, "
+        "CAST(id AS BIGINT) AS n FROM range(0, 96)"
+    )
+    S.write_snapshot(tdir, df, cluster_by=["hour"], n_files=8)
+    m = S._read_manifest(tdir, 0)
+    assert all("hour" in m["stats"].get(f, {}) for f in m["files"]), (
+        "timestamp column must be recorded in file stats"
+    )
+    lo = dt.datetime(2024, 1, 2, 0, 0)
+    hi = dt.datetime(2024, 1, 2, 5, 0)
+    keep, total = S.files_for_range(tdir, "hour", lo, hi)
+    assert total == 8 and len(keep) <= 2, (keep, total)
+    got = sorted(
+        r.n
+        for r in S.read_snapshot(
+            spark, tdir, where_between=("hour", lo, hi)
+        ).collect()
+    )
+    assert got == list(range(24, 30))
+
+    # scoped merge on the timestamp key rewrites only the carrier file
+    before = m
+    upd = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, 3, 0), 999)], ["hour", "n"]
+    )
+    S.merge_snapshot(spark, tdir, upd, key=["hour"], scope_by="hour")
+    after = S._read_manifest(tdir, 1)
+    carried = set(before["files"]) & set(after["files"])
+    assert len(carried) >= 6, carried
+    got = {r.hour: r.n for r in S.read_snapshot(spark, tdir).collect()}
+    assert got[dt.datetime(2024, 1, 2, 3, 0)] == 999
+    assert len(got) == 96
