@@ -147,6 +147,30 @@ def make_handler(engine: Engine):
                 params = {k: v for k, v in q.items() if k != "sf_dir"}
                 resp = engine.submit_analytics(parts[1], sf_dir, params or None)
                 self._send(200, resp)
+            elif parts == ["table"]:
+                # EXT: registered snapshot tables (the CDC surface;
+                # registration is operator-side only — see
+                # Engine.register_snapshot_table)
+                self._send(200, engine.snapshot_table_names())
+            elif len(parts) == 3 and parts[0] == "table" and parts[2] == "history":
+                self._send(200, engine.table_history(parts[1]))
+            elif len(parts) == 3 and parts[0] == "table" and parts[2] == "changes":
+                # EXT: CDC read — snapshot_diff(from, to, key) through
+                # the async lifecycle; a downstream mirror polls this
+                # and applies the MERGE feed
+                if "from_version" not in q:
+                    self._detail(400, "missing from_version parameter")
+                    return
+                try:
+                    from_v = int(q["from_version"])
+                    to_v = int(q["to_version"]) if "to_version" in q else None
+                except ValueError:
+                    self._detail(400, "versions must be integers")
+                    return
+                resp = engine.submit_table_changes(
+                    parts[1], from_v, to_v, key=q.get("key")
+                )
+                self._send(200, resp)
             else:
                 self._detail(404, "Not Found")
 

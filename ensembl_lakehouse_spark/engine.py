@@ -58,6 +58,10 @@ class Engine:
             export_dir=os.path.join(work_dir, "exports"), cache=self.cache
         )
         self.signer = UrlSigner()
+        #: name -> table_dir for snapshot tables exposed over HTTP
+        #: (the CDC surface) — registration is explicit and local,
+        #: never a request-supplied path (path-traversal surface).
+        self._snapshot_tables: dict[str, str] = {}
 
     # -- metadata endpoints ------------------------------------------
 
@@ -260,6 +264,115 @@ class Engine:
                 else ps.default
             }
             for key, ps in spec.items()
+        }
+
+    # -- snapshot tables over HTTP (CDC) ------------------------------
+
+    def register_snapshot_table(self, name: str, table_dir: str) -> None:
+        """Expose a snapshot-versioned table (snapshots.py) under a
+        service name. Registration is an OPERATOR action on the local
+        engine — table paths never come from requests, so the HTTP
+        surface can only reach tables deliberately published."""
+        from ensembl_lakehouse_spark import snapshots as _SN
+
+        if not name or not name.replace("_", "").replace("-", "").isalnum():
+            raise QueryValidationError(
+                "table name must be alphanumeric (plus _ and -)"
+            )
+        if _SN.current_version(table_dir) is None:
+            raise QueryValidationError(
+                f"{table_dir} holds no committed snapshot"
+            )
+        self._snapshot_tables[name] = table_dir
+
+    def snapshot_table_names(self) -> list[str]:
+        return sorted(self._snapshot_tables)
+
+    def table_history(self, name: str) -> list[dict]:
+        """Retained versions of a registered table (the DESCRIBE
+        HISTORY surface a mirror uses to pick from/to versions)."""
+        from ensembl_lakehouse_spark import snapshots as _SN
+
+        if name not in self._snapshot_tables:
+            raise QueryValidationError(
+                f"unknown table {name!r}; see /table for names"
+            )
+        return _SN.history(self._snapshot_tables[name])
+
+    def submit_table_changes(
+        self,
+        name: str,
+        from_version: int,
+        to_version: int | None = None,
+        key: str | None = None,
+    ) -> dict:
+        """Submit a CDC read (snapshots.snapshot_diff) through the
+        standard async lifecycle: status, preview, export, presigned
+        download — the ``table_changes`` endpoint a downstream mirror
+        polls. ``key`` switches to the key-level MERGE-feed shape
+        (comma-separated for composite keys).
+
+        ``to_version`` is resolved to the CURRENT version at submit
+        time and pinned into the cache key, so a poll after new
+        commits gets a fresh diff while a repeat of the same
+        (from, to, key) triple returns the cached query id — diffs of
+        immutable snapshots are themselves immutable.
+        """
+        from ensembl_lakehouse_spark import snapshots as _SN
+
+        if name not in self._snapshot_tables:
+            raise QueryValidationError(
+                f"unknown table {name!r}; see /table for names"
+            )
+        table_dir = self._snapshot_tables[name]
+        retained = {h["version"] for h in _SN.history(table_dir)}
+        if to_version is None:
+            to_version = _SN.current_version(table_dir)
+        for label, v in (("from_version", from_version), ("to_version", to_version)):
+            if not isinstance(v, int) or v not in retained:
+                raise QueryValidationError(
+                    f"{label} {v!r} is not a retained version; "
+                    f"see /table/{name}/history"
+                )
+        keys = [k.strip() for k in key.split(",") if k.strip()] if key else None
+        if key is not None and not keys:
+            raise QueryValidationError("key must name at least one column")
+        cache_probe = (
+            f"cdc\x1f{name}\x1f{from_version}\x1f{to_version}\x1f"
+            + (",".join(keys) if keys else "")
+        )
+        query_id = self.registry.cached_query_id(cache_probe)
+        if query_id is None:
+            try:
+                df = _SN.snapshot_diff(
+                    self.spark,
+                    table_dir,
+                    from_version,
+                    to_version,
+                    key=keys,
+                )
+            except Exception as exc:  # unknown key column etc.
+                raise QueryValidationError(
+                    f"snapshot_diff failed: {exc}"
+                ) from exc
+            if keys:
+                # wire shape: the MERGE-feed row travels as JSON —
+                # the result store is CSV (Athena parity) and the
+                # preview stringifies scalars, neither holds a struct
+                from pyspark.sql import functions as _F
+
+                df = df.withColumn("_row", _F.to_json("_row"))
+            query_id = self.registry.submit(df, cache_key=cache_probe)
+        return {
+            "query_id": query_id,
+            "from_version": from_version,
+            "to_version": to_version,
+            "_links": {
+                "self": f"/table/{name}/changes",
+                "status": f"/query/{query_id}/status",
+                "preview": f"/query/{query_id}/preview",
+                "export": f"/query/{query_id}/export",
+            },
         }
 
     def query_status(self, query_id: str) -> dict:

@@ -381,3 +381,71 @@ def test_sql_time_travel_over_registered_snapshot_versions(server, tmp_path):
     eng.catalog.register_snapshot("tt_hist", tdir, version=1)
     hist2_qid, hist2 = run("SELECT COUNT(*) AS n FROM tt_hist")
     assert hist2 == [["5"]] and hist2_qid != hist_qid
+
+
+def test_cdc_over_http_end_to_end(server, spark, tmp_path_factory):
+    """Round 6 (r5 VERDICT #7): write → merge → poll the diff over
+    HTTP — /table lists the registered table, /history serves the
+    retained versions, /changes submits the CDC read through the
+    async lifecycle and the preview returns the MERGE-feed rows."""
+    import time as _time
+
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    tdir = str(tmp_path_factory.mktemp("cdc_http") / "tbl")
+    SN.write_snapshot(
+        tdir, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    )
+    SN.merge_snapshot(
+        spark, tdir,
+        spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]),
+        key="k",
+    )
+    server.engine.register_snapshot_table("mirror_src", tdir)
+
+    status, _, names = _get(server, "/table")
+    assert status == 200 and "mirror_src" in names
+
+    status, _, hist = _get(server, "/table/mirror_src/history")
+    assert status == 200
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[-1]["is_current"]
+
+    # bad requests fail closed
+    assert _get(server, "/table/nope/history")[0] == 400
+    assert _get(server, "/table/mirror_src/changes")[0] == 400  # no from
+    assert _get(server, "/table/mirror_src/changes?from_version=9")[0] == 400
+
+    status, _, resp = _get(
+        server, "/table/mirror_src/changes?from_version=0&key=k"
+    )
+    assert status == 200 and resp["to_version"] == 1
+    qid = resp["query_id"]
+    for _ in range(120):
+        st = _get(server, f"/query/{qid}/status")[2]
+        if st["status"] in ("SUCCEEDED", "FAILED"):
+            break
+        _time.sleep(0.5)
+    assert st["status"] == "SUCCEEDED"
+    _, _, prev = _get(server, f"/query/{qid}/preview?maxResults=10")
+    hdr = [c["VarCharValue"] for c in prev["Rows"][0]["Data"]]
+    rows = [
+        dict(zip(hdr, [c["VarCharValue"] for c in r["Data"]]))
+        for r in prev["Rows"][1:]
+    ]
+    changes = {(r["k"], r["_change"]) for r in rows}
+    assert changes == {("2", "update"), ("3", "insert")}
+
+    # repeat submission returns the SAME query id (immutable diff)
+    _, _, resp2 = _get(
+        server, "/table/mirror_src/changes?from_version=0&key=k"
+    )
+    assert resp2["query_id"] == qid
+    # a new commit moves to_version -> a fresh query id
+    SN.merge_snapshot(
+        spark, tdir, spark.createDataFrame([(4, "d")], ["k", "v"]), key="k"
+    )
+    _, _, resp3 = _get(
+        server, "/table/mirror_src/changes?from_version=0&key=k"
+    )
+    assert resp3["to_version"] == 2 and resp3["query_id"] != qid
