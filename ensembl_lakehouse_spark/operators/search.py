@@ -190,17 +190,23 @@ def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     no array columns) — the
     build side of any keyword retrieval system.
 
-    Plan: explode → (doc, term) partial agg → per-term agg with
-    ``slice(sort_array(collect_list(doc_id)))``. The cap bounds the
-    posting array a stopword would otherwise accumulate; at web
-    scale the posting list becomes a bucketed table keyed by term
-    (one row per (term, doc block)) rather than one array row — the
-    cap marks exactly where that split happens.
+    Plan: explode → (doc, term) partial agg → per-term rank window →
+    per-term agg collecting ONLY rows ranked ≤ POSTINGS_CAP
+    (collect_list skips the NULLs the rank filter leaves). The rank
+    is ordered by doc_id, so the capped set IS the smallest-CAP
+    doc_ids — identical to sorting the full list then slicing, but
+    the per-group collected state is BOUNDED by the cap: the
+    sort-then-slice form accumulates a stopword's entire posting
+    list in one aggregation buffer before truncating it, which is an
+    executor OOM at web scale, and was also the r5 bench regression
+    (sorting full lists per term). At true web scale the posting
+    list becomes a bucketed table keyed by term (one row per (term,
+    doc block)); the cap marks exactly where that split happens.
 
     Note collect_list is ORDER-NONDETERMINISTIC across partitions;
-    correctness comes from sort_array before slice — both engines
-    sort the full per-term list before capping, so the result is
-    set-deterministic.
+    correctness comes from sort_array over the ≤CAP collected
+    elements — both engines sort the same capped SET, so the result
+    is deterministic.
     """
     toks = _docs_with_tokens(spark, sf_dir)
     tf = (
@@ -208,14 +214,20 @@ def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    ranked = tf.withColumn(
+        "rn",
+        F.expr("row_number() OVER (PARTITION BY term ORDER BY doc_id)"),
+    )
     return (
-        tf.groupBy("term")
+        ranked.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("cf"),
             F.array_join(
-                F.slice(
-                    F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rn") <= POSTINGS_CAP, F.col("doc_id"))
+                    )
                 ),
                 ",",
             ).alias("postings"),
@@ -229,13 +241,18 @@ INVERTED_POSTINGS_SQL = f"""
   SELECT doc_id, unnest(toks) AS term FROM t
 ), tf AS (
   SELECT term, doc_id, COUNT(*) AS tf FROM terms GROUP BY term, doc_id
+), ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tf
 )
 SELECT term,
        COUNT(*) AS df,
        CAST(SUM(tf) AS BIGINT) AS cf,
-       array_to_string(list_slice(list_sort(list(doc_id)), 1, {POSTINGS_CAP}), ',')
+       array_to_string(
+         list_sort(list(doc_id) FILTER (WHERE rn <= {POSTINGS_CAP})), ',')
          AS postings
-FROM tf
+FROM ranked
 GROUP BY term
 ORDER BY term
 """
