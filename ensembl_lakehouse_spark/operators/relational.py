@@ -2350,7 +2350,11 @@ SESSION_GAP_MIN = 30
 
 
 def session_concurrency(
-    spark: SparkSession, sf_dir: str, *, gap_minutes: int = SESSION_GAP_MIN
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    gap_minutes: int = SESSION_GAP_MIN,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Peak concurrent sessions per day — the capacity-planning
     number behind connection pools and autoscaling targets —
@@ -2371,6 +2375,18 @@ def session_concurrency(
     at equal t all -1s precede all +1s, and a +1 run's maximum is
     its final value regardless of intra-run order, so the daily max
     is engine- and partition-independent.
+
+    ``two_phase=True`` swaps the per-day running sum for the
+    bucket-carry rewrite: the sweep partitions by (day, HOUR),
+    per-bucket peaks combine with the prefix-sum carry of preceding
+    buckets' deltas (``global_running(t) = carry + local_running(t)``,
+    so ``day_peak = max over buckets of carry_before + local_peak``).
+    The default form is exact and parallel ACROSS days but sorts one
+    hot day's boundaries in a single window task — fine at this
+    fixture's volumes ×100, a ceiling at extreme per-day volumes;
+    the two-phase form caps any task at one HOUR of one day, at the
+    price of two extra tiny aggregates. Results are identical
+    (pinned in tests), so the day-partitioned form is the oracle.
     """
     events = load_table(spark, sf_dir, "events")
     w = "(PARTITION BY user_id ORDER BY ts, event_id)"
@@ -2425,19 +2441,56 @@ def session_concurrency(
             "day", "ce AS t", "-1 AS delta", "user_id", "session_num"
         )
     )
-    swept = deltas.withColumn(
-        "running",
+    if not two_phase:
+        swept = deltas.withColumn(
+            "running",
+            F.expr(
+                "sum(delta) OVER (PARTITION BY day "
+                "ORDER BY t, delta, user_id, session_num "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ),
+        )
+        return (
+            swept.groupBy("day")
+            .agg(
+                F.expr("CAST(count(*) DIV 2 AS BIGINT)").alias("n_session_days"),
+                F.max("running").alias("peak_concurrency"),
+            )
+            .orderBy("day")
+        )
+    # Two-phase bucket-carry sweep: local running sums per
+    # (day, hour) bucket, then global peaks via the prefix-sum carry
+    # of preceding buckets — no task ever sorts more than one hour
+    # of one day's boundaries.
+    bucketed = deltas.withColumn("bucket", F.expr("hour(t)"))
+    local = bucketed.withColumn(
+        "running_local",
         F.expr(
-            "sum(delta) OVER (PARTITION BY day "
+            "sum(delta) OVER (PARTITION BY day, bucket "
             "ORDER BY t, delta, user_id, session_num "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),
     )
+    per_bucket = local.groupBy("day", "bucket").agg(
+        F.max("running_local").alias("local_peak"),
+        F.sum("delta").alias("bucket_total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    carried = per_bucket.withColumn(
+        "carry",
+        F.expr(
+            "coalesce(sum(bucket_total) OVER (PARTITION BY day "
+            "ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0)"
+        ),
+    )
     return (
-        swept.groupBy("day")
+        carried.groupBy("day")
         .agg(
-            F.expr("CAST(count(*) DIV 2 AS BIGINT)").alias("n_session_days"),
-            F.max("running").alias("peak_concurrency"),
+            F.expr("CAST(sum(n_rows) DIV 2 AS BIGINT)").alias(
+                "n_session_days"
+            ),
+            F.max(F.expr("carry + local_peak")).alias("peak_concurrency"),
         )
         .orderBy("day")
     )

@@ -100,3 +100,29 @@ def test_term_exposure_rejects_regex_terms(spark):
 
     with pytest.raises(ValueError, match="plain words"):
         GV.term_exposure_scan(spark, SF_DIR, terms=("a.*b",))
+
+
+def test_session_concurrency_two_phase_equals_day_partitioned(spark):
+    """The bucket-carry rewrite (no task sorts more than one hour of
+    one day) must equal the day-partitioned sweep exactly — the
+    oracle form for both."""
+    from ensembl_lakehouse_spark.operators import relational as R
+
+    base = sorted(map(tuple, R.session_concurrency(spark, SF_DIR).collect()))
+    two = sorted(
+        map(tuple, R.session_concurrency(spark, SF_DIR, two_phase=True).collect())
+    )
+    assert base == two
+    # and under a different gap parameter too
+    base5 = sorted(
+        map(tuple, R.session_concurrency(spark, SF_DIR, gap_minutes=5).collect())
+    )
+    two5 = sorted(
+        map(
+            tuple,
+            R.session_concurrency(
+                spark, SF_DIR, gap_minutes=5, two_phase=True
+            ).collect(),
+        )
+    )
+    assert base5 == two5
