@@ -154,6 +154,15 @@ def make_handler(engine: Engine):
                 self._send(200, engine.snapshot_table_names())
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "history":
                 self._send(200, engine.table_history(parts[1]))
+            elif len(parts) == 3 and parts[0] == "table" and parts[2] == "retention":
+                # EXT: vacuum dry-run — how many bytes old versions
+                # still pin (the erasure-SLA sizing report)
+                try:
+                    keep = int(q.get("keep_versions", "2"))
+                except ValueError:
+                    self._detail(400, "keep_versions must be an integer")
+                    return
+                self._send(200, engine.table_retention_report(parts[1], keep))
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "changes":
                 # EXT: CDC read — snapshot_diff(from, to, key) through
                 # the async lifecycle; a downstream mirror polls this

@@ -299,6 +299,22 @@ class Engine:
             )
         return _SN.history(self._snapshot_tables[name])
 
+    def table_retention_report(
+        self, name: str, keep_versions: int = 2
+    ) -> dict:
+        """Vacuum DRY-RUN for a registered table (the erasure-SLA
+        sizing surface): versions/dirs/bytes a retention pass at
+        ``keep_versions`` would drop. Read-only."""
+        from ensembl_lakehouse_spark import snapshots as _SN
+
+        if name not in self._snapshot_tables:
+            raise QueryValidationError(
+                f"unknown table {name!r}; see /table for names"
+            )
+        if not isinstance(keep_versions, int) or keep_versions < 1:
+            raise QueryValidationError("keep_versions must be >= 1")
+        return _SN.vacuum_plan(self._snapshot_tables[name], keep_versions)
+
     def submit_table_changes(
         self,
         name: str,

@@ -1146,6 +1146,56 @@ def compact(
     )
 
 
+def vacuum_plan(table_dir: str, keep_versions: int = 2) -> dict:
+    """DRY-RUN of ``vacuum``: what a retention pass at
+    ``keep_versions`` would drop — versions, data directories, and
+    bytes — without deleting anything. The erasure-SLA sizing
+    report: after a ``delete_snapshot``, this is how many bytes the
+    pre-delete versions still pin until vacuum runs. Pure manifest
+    arithmetic + directory stat; no Spark job."""
+    cur = current_version(table_dir)
+    if cur is None:
+        return {
+            "keep_versions": keep_versions,
+            "kept": [],
+            "drop_manifest_versions": [],
+            "drop_dirs": [],
+            "drop_bytes": 0,
+        }
+    mdir = _manifest_dir(table_dir)
+    present = {
+        int(m.group(1))
+        for name in _manifest_names(mdir)
+        if (m := _MANIFEST_RE.match(name))
+    }
+    keep = set(range(max(0, cur - keep_versions + 1), cur + 1)) & present
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(table_dir, v)["files"])
+    live_dirs = {os.path.dirname(f) for f in live}
+    drop_dirs: list[str] = []
+    drop_bytes = 0
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for sub in sorted(os.listdir(data_root)):
+            rel = os.path.join("data", sub)
+            if rel not in live_dirs:
+                drop_dirs.append(rel)
+                full = os.path.join(data_root, sub)
+                drop_bytes += sum(
+                    os.path.getsize(os.path.join(full, f))
+                    for f in os.listdir(full)
+                    if os.path.isfile(os.path.join(full, f))
+                )
+    return {
+        "keep_versions": keep_versions,
+        "kept": sorted(keep),
+        "drop_manifest_versions": sorted(present - keep),
+        "drop_dirs": drop_dirs,
+        "drop_bytes": drop_bytes,
+    }
+
+
 def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     """Delete data directories unreferenced by the newest
     ``keep_versions`` manifests (and drop the older manifests). The

@@ -449,3 +449,33 @@ def test_cdc_over_http_end_to_end(server, spark, tmp_path_factory):
         server, "/table/mirror_src/changes?from_version=0&key=k"
     )
     assert resp3["to_version"] == 2 and resp3["query_id"] != qid
+
+
+def test_retention_report_over_http(server, spark, tmp_path_factory):
+    """Vacuum dry-run over HTTP: after a DELETE, old versions pin
+    bytes until vacuum — the report sizes exactly what a retention
+    pass would drop, and the actual vacuum then matches it."""
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    tdir = str(tmp_path_factory.mktemp("ret_http") / "tbl")
+    SN.write_snapshot(
+        tdir,
+        spark.createDataFrame(
+            [(i, "x" * 50) for i in range(100)], ["k", "v"]
+        ).coalesce(1),
+    )
+    SN.delete_snapshot(spark, tdir, where="k < 50", op="erasure:http")
+    server.engine.register_snapshot_table("ret_tbl", tdir)
+
+    status, _, rep = _get(server, "/table/ret_tbl/retention?keep_versions=1")
+    assert status == 200
+    assert rep["kept"] == [1]
+    assert rep["drop_manifest_versions"] == [0]
+    assert rep["drop_dirs"] and rep["drop_bytes"] > 0
+
+    assert _get(server, "/table/ret_tbl/retention?keep_versions=0")[0] == 400
+    assert _get(server, "/table/nope/retention")[0] == 400
+
+    # the dry run predicts the real vacuum exactly
+    removed = SN.vacuum(tdir, keep_versions=1)
+    assert sorted(removed) == sorted(rep["drop_dirs"])
