@@ -65,6 +65,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_balance_audit": GV.label_balance_audit,
         "kfold_assign": GV.kfold_assign,
         "order_ship_lead": GV.order_ship_lead,
+        # --- Round-6 batch 2: corpus/assortment/graph analytics.
+        "vocab_growth_curve": T.vocab_growth_curve,
+        "graph_reciprocity": G.graph_reciprocity,
+        "discount_band_lift": RP.discount_band_lift,
+        "priority_mix_monthly": RP.priority_mix_monthly,
+        "brand_price_dispersion": RP.brand_price_dispersion,
+        "label_centroid_separation": S.label_centroid_separation,
         # --- Certified in r5 (slots were the r4-uncertified batch).
         "inverted_postings": SR.inverted_postings,
         "ann_recall_audit": DG.ann_recall_audit,
@@ -253,6 +260,12 @@ def oracle_sql() -> dict[str, str]:
         "label_balance_audit": GV.LABEL_BALANCE_AUDIT_SQL,
         "kfold_assign": GV.KFOLD_ASSIGN_SQL,
         "order_ship_lead": GV.ORDER_SHIP_LEAD_SQL,
+        "vocab_growth_curve": T.VOCAB_GROWTH_CURVE_SQL,
+        "graph_reciprocity": G.GRAPH_RECIPROCITY_SQL,
+        "discount_band_lift": RP.DISCOUNT_BAND_LIFT_SQL,
+        "priority_mix_monthly": RP.PRIORITY_MIX_MONTHLY_SQL,
+        "brand_price_dispersion": RP.BRAND_PRICE_DISPERSION_SQL,
+        "label_centroid_separation": S.LABEL_CENTROID_SEPARATION_SQL,
         "scan_project": "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
         "key_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "

@@ -693,3 +693,59 @@ JOIN deg db ON db.node = c.part_b
 ORDER BY jaccard_bp DESC, common DESC, c.part_a, c.part_b
 LIMIT {LINKPRED_TOP_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# Edge reciprocity (round 6)
+# ---------------------------------------------------------------------------
+
+
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-nation edge reciprocity on the directed trade
+    graph: how many of a nation's outgoing trade edges have a
+    reciprocal edge back, in basis points — the symmetric-flow
+    audit (a low-reciprocity hub exports without importing).
+
+    Plan: the shared trade aggregation (<=|nations|² rows) self-joins
+    against its reversed copy (broadcast — the graph relation is
+    dimension-bounded) and rolls up per src. Self-loops are excluded
+    (trivially reciprocal).
+    """
+    edges = _trade_edges(spark, sf_dir).where("src <> dst")
+    rev = edges.select(
+        F.col("src").alias("r_dst"), F.col("dst").alias("r_src")
+    )
+    return (
+        edges.join(
+            F.broadcast(rev),
+            (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+            "left",
+        )
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("out_edges"),
+            F.sum(F.when(F.col("r_src").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("reciprocated"),
+        )
+        .withColumn(
+            "reciprocity_bp", F.expr("(reciprocated * 10000) DIV out_edges")
+        )
+        .orderBy("src")
+    )
+
+
+GRAPH_RECIPROCITY_SQL = f"""
+WITH {_TRADE_SQL}, e AS (
+  SELECT src, dst FROM trade WHERE src <> dst
+)
+SELECT e.src,
+       CAST(COUNT(*) AS BIGINT) AS out_edges,
+       CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reciprocated,
+       (CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         * 10000) // CAST(COUNT(*) AS BIGINT) AS reciprocity_bp
+FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src
+GROUP BY e.src
+ORDER BY e.src
+"""

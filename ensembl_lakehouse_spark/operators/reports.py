@@ -631,3 +631,198 @@ FROM cum
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# discount_band_lift (round 6)
+# ---------------------------------------------------------------------------
+
+
+def discount_band_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing analysis: per discount band (whole percent), line
+    count, quantity, revenue cents and each band's share of total
+    revenue in basis points — does discounting move volume?
+
+    Per-row cents are fixed-point BIGINT before the SUM; the revenue
+    share is one integer DIV against a broadcast 1-row total. One
+    partial agg to ~12 bands.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("band_pct"),
+        F.expr(
+            "CAST(floor(l_quantity + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("qty"),
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("rev_cents"),
+    )
+    bands = li.groupBy("band_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.sum("rev_cents").cast("long").alias("revenue_cents"),
+    )
+    total = bands.agg(
+        F.sum("revenue_cents").cast("long").alias("total_cents")
+    )
+    return (
+        bands.crossJoin(F.broadcast(total))
+        .withColumn(
+            "revenue_share_bp",
+            F.expr("(revenue_cents * 10000) DIV total_cents"),
+        )
+        .select(
+            "band_pct", "n_lines", "total_qty", "revenue_cents",
+            "revenue_share_bp",
+        )
+        .orderBy("band_pct")
+    )
+
+
+DISCOUNT_BAND_LIFT_SQL = """
+WITH li AS (
+  SELECT CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS band_pct,
+         CAST(floor(l_quantity + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100
+           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rev_cents
+  FROM lineitem
+), bands AS (
+  SELECT band_pct,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(qty) AS BIGINT) AS total_qty,
+         CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents
+  FROM li GROUP BY band_pct
+), total AS (
+  SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total_cents FROM bands
+)
+SELECT band_pct, n_lines, total_qty, revenue_cents,
+       (revenue_cents * 10000) // total_cents AS revenue_share_bp
+FROM bands CROSS JOIN total
+ORDER BY band_pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# priority_mix_monthly (round 6)
+# ---------------------------------------------------------------------------
+
+
+def priority_mix_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix by month with month-over-month drift: per
+    (month, priority) the order count, the priority's share of that
+    month in basis points, and the share delta vs the previous month
+    — the operational health trend (a rising URGENT share is a
+    process change or a data problem).
+
+    Plan: one partial agg to |months|·|priorities| rows; both
+    windows (month-total share, MoM lag) run on that tiny relation.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(date_trunc('MONTH', o_orderdate) AS DATE)").alias(
+            "month"
+        ),
+        "o_orderpriority",
+    )
+    mix = orders.groupBy("month", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return (
+        mix.withColumn(
+            "share_bp",
+            F.expr(
+                "(n_orders * 10000) DIV sum(n_orders) "
+                "OVER (PARTITION BY month)"
+            ),
+        )
+        .withColumn(
+            "mom_delta_bp",
+            F.expr(
+                "share_bp - lag(share_bp) OVER "
+                "(PARTITION BY o_orderpriority ORDER BY month)"
+            ),
+        )
+        .orderBy("month", "o_orderpriority")
+    )
+
+
+PRIORITY_MIX_MONTHLY_SQL = """
+WITH mix AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+), shared AS (
+  SELECT month, o_orderpriority, n_orders,
+         (n_orders * 10000) // CAST(SUM(n_orders)
+           OVER (PARTITION BY month) AS BIGINT) AS share_bp
+  FROM mix
+)
+SELECT month, o_orderpriority, n_orders, share_bp,
+       share_bp - lag(share_bp) OVER (PARTITION BY o_orderpriority
+         ORDER BY month) AS mom_delta_bp
+FROM shared
+ORDER BY month, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# brand_price_dispersion (round 6)
+# ---------------------------------------------------------------------------
+
+
+def brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price structure: part count, distinct type count,
+    min/mean/max retail price in cents and the min-max spread — the
+    assortment/pricing-consistency report.
+
+    One partial agg to |brands| rows; the distinct-type count rides
+    the same exchange as a count(distinct) expansion.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_type",
+        F.expr(
+            "CAST(floor(p_retailprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.countDistinct("p_type").cast("long").alias("n_types"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .withColumn("mean_cents", F.expr("sum_cents DIV n_parts"))
+        .withColumn("spread_cents", F.expr("max_cents - min_cents"))
+        .select(
+            "p_brand", "n_parts", "n_types", "min_cents", "mean_cents",
+            "max_cents", "spread_cents",
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_PRICE_DISPERSION_SQL = """
+WITH part_c AS (
+  SELECT p_brand, p_type,
+         CAST(floor(p_retailprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM part
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents,
+       CAST(MAX(cents) - MIN(cents) AS BIGINT) AS spread_cents
+FROM part_c
+GROUP BY p_brand
+ORDER BY p_brand
+"""

@@ -950,3 +950,92 @@ ORDER BY label
 
 
 EMBEDDING_QUANT_ERROR_SQL = _quant_error_sql()
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid separation (round 6)
+# ---------------------------------------------------------------------------
+
+
+def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability audit: for every label pair (a < b), the
+    dot product of the two label centroids in fixed point — near-
+    parallel centroids say the embedding does not separate those
+    classes (a classifier trained on it will confuse them).
+
+    Integer-exact across engines at ANY corpus size: per-(label,
+    dim) sums of FP_SCALE fixed-point components, per-dim centroid
+    means by integer DIV (so the per-dim term is bounded by
+    FP_SCALE² regardless of n — no overflow as counts grow), then
+    the pair dot as a 64-dim integer sum. The pair join runs on the
+    |labels|·64 centroid relation — broadcast-sized by construction.
+    """
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .withColumn(
+            "x_fp", F.floor(F.col("x").cast("double") * FP_SCALE)
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x_fp").cast("long").alias("sum_fp"),
+        )
+        .withColumn("mean_fp", F.expr("sum_fp DIV n"))
+        .select("label", "dim", "n", "mean_fp")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("n").alias("n_a"),
+        F.col("mean_fp").alias("mean_a"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("n").alias("n_b"),
+        F.col("mean_fp").alias("mean_b"),
+    )
+    return (
+        a.join(F.broadcast(b), on="dim")
+        .where("label_a < label_b")
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.min("n_a").cast("long").alias("n_a"),
+            F.min("n_b").cast("long").alias("n_b"),
+            F.sum(F.expr("mean_a * mean_b")).cast("long").alias("dot_fp2"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+def _label_centroid_separation_sql() -> str:
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    return f"""
+WITH x AS (
+  SELECT label, u.dim AS dim,
+         CAST(floor(u.val::DOUBLE * {FP_SCALE}) AS BIGINT) AS x_fp
+  FROM (
+    SELECT label,
+           unnest(list_transform(range(0, len(embedding)),
+             i -> {{'dim': i, 'val': embedding[i + 1]}})) AS u
+    FROM embeddings)
+), cent AS (
+  SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_fp) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_fp
+  FROM x GROUP BY label, dim
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(MIN(a.n) AS BIGINT) AS n_a,
+       CAST(MIN(b.n) AS BIGINT) AS n_b,
+       CAST(SUM(a.mean_fp * b.mean_fp) AS BIGINT) AS dot_fp2
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+GROUP BY a.label, b.label
+ORDER BY label_a, label_b
+"""
+
+
+LABEL_CENTROID_SEPARATION_SQL = _label_centroid_separation_sql()

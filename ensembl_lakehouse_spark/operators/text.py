@@ -1056,3 +1056,74 @@ SELECT p.source, n_tokens, n_terms, top_term, top_tf,
 FROM per_source p JOIN top USING (source)
 ORDER BY p.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (round 6)
+# ---------------------------------------------------------------------------
+
+#: Documents per growth bucket (the curve's x-axis granularity).
+VOCAB_BUCKET_DOCS = 50
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law audit: vocabulary size as the corpus grows, in
+    ``VOCAB_BUCKET_DOCS``-document buckets ordered by doc_id — per
+    bucket the token volume, the NEW terms first seen there, and the
+    cumulative vocabulary. A saturating curve says more data adds
+    tokens but no new vocabulary (dedup/diversity problem); a
+    still-rising curve says the corpus keeps contributing.
+
+    Plan: one (term → min bucket) agg + one per-bucket count + one
+    per-bucket token agg, then a running sum over |buckets| rows
+    (SinglePartition window on a tiny relation). No per-term state
+    beyond the agg lattice; scale-safe at any corpus size.
+    """
+    toks = _docs_with_tokens(spark, sf_dir).select(
+        F.expr(f"doc_id DIV {VOCAB_BUCKET_DOCS}").alias("bucket"),
+        F.explode("toks").alias("term"),
+    )
+    first_seen = (
+        toks.groupBy("term")
+        .agg(F.min("bucket").alias("first_bucket"))
+        .groupBy("first_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+        .withColumnRenamed("first_bucket", "bucket")
+    )
+    volume = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return (
+        volume.join(first_seen, on="bucket", how="left")
+        .withColumn(
+            "new_terms", F.coalesce("new_terms", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "cum_vocab",
+            F.expr(
+                "CAST(sum(new_terms) OVER (ORDER BY bucket "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+VOCAB_GROWTH_CURVE_SQL = f"""
+{_SQL_PREP}, toks AS (
+  SELECT doc_id // {VOCAB_BUCKET_DOCS} AS bucket, unnest(toks) AS term FROM t
+), first_seen AS (
+  SELECT first_bucket AS bucket, CAST(COUNT(*) AS BIGINT) AS new_terms
+  FROM (SELECT term, MIN(bucket) AS first_bucket FROM toks GROUP BY term)
+  GROUP BY first_bucket
+), volume AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY bucket
+)
+SELECT v.bucket, v.n_tokens,
+       CAST(COALESCE(f.new_terms, 0) AS BIGINT) AS new_terms,
+       CAST(SUM(COALESCE(f.new_terms, 0)) OVER (ORDER BY v.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM volume v LEFT JOIN first_seen f ON v.bucket = f.bucket
+ORDER BY v.bucket
+"""

@@ -210,6 +210,22 @@ BUDGETS = {
     # orderkey join broadcasts orders at test SF (SMJ at scale);
     # priority agg is the one hash exchange
     "order_ship_lead": 1,
+    # Round-6 batch 2: term->min-bucket agg + the two per-bucket
+    # aggs (the |buckets|-row curve join broadcasts; the cumulative
+    # window is SinglePartition on that tiny relation)
+    "vocab_growth_curve": 3,
+    # the shared trade aggregation's two exchanges; the reversed-
+    # edge self-join broadcasts on the dim-bounded graph relation
+    "graph_reciprocity": 2,
+    # band agg + final sort; 1-row total broadcast back
+    "discount_band_lift": 2,
+    # mix agg + the two differently-partitioned windows (month
+    # share, per-priority MoM lag) — all on |months|x|priorities|
+    "priority_mix_monthly": 3,
+    # count(distinct) expansion = two-phase agg on |brands| rows
+    "brand_price_dispersion": 2,
+    # (label,dim) centroid agg + pair agg; the b-side broadcast
+    "label_centroid_separation": 2,
 }
 
 

@@ -126,3 +126,42 @@ def test_session_concurrency_two_phase_equals_day_partitioned(spark):
         )
     )
     assert base5 == two5
+
+
+def test_vocab_growth_is_monotone_and_conserves_vocab(spark):
+    from ensembl_lakehouse_spark.operators import text as T
+
+    rows = T.vocab_growth_curve(spark, SF_DIR).collect()
+    cums = [r.cum_vocab for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(r.new_terms for r in rows)
+    # first bucket introduces its entire vocabulary
+    assert rows[0].new_terms == rows[0].cum_vocab > 0
+
+
+def test_graph_reciprocity_bounds(spark):
+    from ensembl_lakehouse_spark.operators import graph as G
+
+    for r in G.graph_reciprocity(spark, SF_DIR).collect():
+        assert 0 <= r.reciprocated <= r.out_edges
+        assert 0 <= r.reciprocity_bp <= 10000
+
+
+def test_discount_band_shares_sum_to_total(spark):
+    from ensembl_lakehouse_spark.operators import reports as RP
+
+    rows = RP.discount_band_lift(spark, SF_DIR).collect()
+    # integer-DIV shares undershoot: sum in (10000 - |bands|, 10000]
+    s = sum(r.revenue_share_bp for r in rows)
+    assert 10000 - len(rows) < s <= 10000
+
+
+def test_label_centroid_separation_is_symmetric_complete(spark):
+    from ensembl_lakehouse_spark.operators import similarity as S
+
+    rows = S.label_centroid_separation(spark, SF_DIR).collect()
+    labels = {r.label_a for r in rows} | {r.label_b for r in rows}
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2  # every unordered pair once
+    for r in rows:
+        assert r.label_a < r.label_b and r.n_a > 0 and r.n_b > 0
