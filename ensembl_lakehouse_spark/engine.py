@@ -353,8 +353,12 @@ class Engine:
         keys = [k.strip() for k in key.split(",") if k.strip()] if key else None
         if key is not None and not keys:
             raise QueryValidationError("key must name at least one column")
+        # the registered DIRECTORY is part of the key: a re-register
+        # of the same name onto a different table must never serve
+        # the old table's cached diffs
         cache_probe = (
-            f"cdc\x1f{name}\x1f{from_version}\x1f{to_version}\x1f"
+            f"cdc\x1f{os.path.abspath(table_dir)}\x1f{name}\x1f"
+            f"{from_version}\x1f{to_version}\x1f"
             + (",".join(keys) if keys else "")
         )
         query_id = self.registry.cached_query_id(cache_probe)

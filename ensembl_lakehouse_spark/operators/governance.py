@@ -652,15 +652,18 @@ def kfold_assign(
 
     Plan: map-side hash + one partial agg to |langs|·|folds| rows.
     """
+    from ensembl_lakehouse_spark.functions.hashing import md5_long60
+
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(
             "lang",
             F.col("doc_id"),
-            F.expr(
-                "CAST(conv(substring(md5(concat('kfold|', "
-                "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) "
-                f"% {folds}"
+            (
+                md5_long60(
+                    F.concat(F.lit("kfold|"), F.col("doc_id").cast("string"))
+                )
+                % folds
             ).alias("fold"),
         )
         .groupBy("lang", "fold")

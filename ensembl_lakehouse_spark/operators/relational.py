@@ -2462,7 +2462,19 @@ def session_concurrency(
     # (day, hour) bucket, then global peaks via the prefix-sum carry
     # of preceding buckets — no task ever sorts more than one hour
     # of one day's boundaries.
-    bucketed = deltas.withColumn("bucket", F.expr("hour(t)"))
+    # Bucket = hours SINCE THE ROW'S OWN DAY START, not hour(t): a
+    # midnight-clipped session end carries t = next day 00:00 with
+    # this day's key, and hour(t)=0 would sort that -1 BEFORE the
+    # whole day (corrupting every carry); elapsed-hours puts it in
+    # bucket 24, after bucket 23, exactly where the global order has
+    # it. Pinned by the midnight-crossing repro in tests.
+    bucketed = deltas.withColumn(
+        "bucket",
+        F.expr(
+            "CAST((unix_timestamp(t) - "
+            "unix_timestamp(CAST(day AS TIMESTAMP))) DIV 3600 AS INT)"
+        ),
+    )
     local = bucketed.withColumn(
         "running_local",
         F.expr(

@@ -797,40 +797,9 @@ def merge_snapshot(
         from pyspark.sql import functions as F
 
         manifest = _read_manifest(table_dir, base)
-        # Per-VALUE pruning for trickle updates (the common CDC case:
-        # a handful of scattered keys whose min/max interval would
-        # touch every file); bounded by _SCOPE_VALUES_CAP distinct
-        # values, beyond which the interval form takes over — one
-        # bounded driver collect either way.
-        # NULL check is exact and separate: the capped distinct
-        # collect below may not surface NULL in a >cap batch, and a
-        # silently inserted NULL key is the outcome this guard exists
-        # to reject
-        if updates.where(updates[scope_by].isNull()).head(1):
-            raise ValueError(
-                f"updates carry NULL {scope_by!r} values — NULL keys "
-                "never merge; filter them upstream"
-            )
-        distinct_vals = [
-            r[0]
-            for r in updates.select(scope_by)
-            .distinct()
-            .limit(_SCOPE_VALUES_CAP + 1)
-            .collect()
-        ]
-        if not distinct_vals:
+        touched = _scoped_candidates(updates, scope_by, manifest, "updates")
+        if touched is None:
             raise ValueError("updates are empty — nothing to merge")
-        if len(distinct_vals) <= _SCOPE_VALUES_CAP:
-            touched = _files_touching_values(
-                manifest, scope_by, distinct_vals
-            )
-        else:
-            row = updates.agg(
-                F.min(scope_by).alias("lo"), F.max(scope_by).alias("hi")
-            ).collect()[0]
-            touched = set(
-                _prune_manifest(manifest, scope_by, row["lo"], row["hi"])
-            )
         carried = [f for f in manifest["files"] if f not in touched]
         if not touched:
             # no existing file can hold a matching key: pure insert
@@ -855,36 +824,106 @@ def merge_snapshot(
         _file_blooms(table_dir, files, bloom_for) if bloom_for else {}
     )
     if carried:
-        prev = _read_manifest(table_dir, base)
-        stats = {
-            **{f: prev["stats"][f] for f in carried if f in prev.get("stats", {})},
-            **stats,
-        }
-        blooms = {
-            **{
-                f: prev["blooms"][f]
-                for f in carried
-                if f in prev.get("blooms", {})
-            },
-            **blooms,
-        }
+        stats, blooms = _carry_metadata(
+            _read_manifest(table_dir, base), carried, stats, blooms
+        )
     return _commit(
         table_dir, files + carried, op, expect_version, base, stats, blooms
     )
 
 
-def _abs_to_rel(table_dir: str, files: list[str]) -> dict[str, str]:
-    """Map each manifest-relative file to the absolute-path forms
-    Spark's ``input_file_name()`` reports (with and without the
-    ``file:`` scheme), so scan results resolve back to manifest
-    entries."""
-    out = {}
-    for rel in files:
-        ap = os.path.abspath(os.path.join(table_dir, rel))
-        out[ap] = rel
-        out["file:" + ap] = rel
-        out["file://" + ap] = rel
-    return out
+def _scan_paths_to_rel(
+    table_dir: str, candidates: list[str], hit_uris: set[str]
+) -> list[str]:
+    """Resolve ``input_file_name()`` URIs back to manifest-relative
+    paths. Spark reports percent-encoded ``file:`` URIs (a space in
+    table_dir arrives as ``%20``), so each hit is URL-decoded before
+    the path compare; an empty string (scan lineage lost) or a path
+    outside the candidate set is a protocol violation and raises
+    loudly rather than silently mis-planning an erasure."""
+    from urllib.parse import unquote, urlsplit
+
+    by_abs = {
+        os.path.abspath(os.path.join(table_dir, rel)): rel
+        for rel in candidates
+    }
+    out = []
+    for uri in hit_uris:
+        if not uri:
+            raise RuntimeError(
+                "input_file_name() returned '' — scan lineage lost; "
+                "refusing to plan the rewrite"
+            )
+        path = uri
+        if path.startswith("file:"):
+            path = unquote(urlsplit(path).path)
+        rel = by_abs.get(os.path.abspath(path))
+        if rel is None:
+            raise RuntimeError(
+                f"scan path {uri!r} does not resolve into the candidate "
+                "file set"
+            )
+        out.append(rel)
+    return sorted(out)
+
+
+def _scoped_candidates(df: DataFrame, column: str, manifest: dict, label: str):
+    """Shared scoped-pruning protocol (merge_snapshot scope_by= and
+    delete_snapshot keys+scope_by=): the touched-file set for the
+    values ``df`` carries on ``column``. Per-VALUE pruning for
+    trickle batches, bounded by _SCOPE_VALUES_CAP distinct values,
+    beyond which the [min, max] interval form takes over — one
+    bounded driver collect either way. The NULL check is exact and
+    separate: the capped distinct collect may not surface NULL in a
+    >cap batch, and a silently matched NULL key is the outcome the
+    guard exists to reject. Returns None when ``df`` is empty (the
+    caller decides whether empty input is an error or a no-op)."""
+    from pyspark.sql import functions as F
+
+    if df.where(df[column].isNull()).head(1):
+        raise ValueError(
+            f"{label} carry NULL {column!r} values — NULL keys never "
+            "match; filter them upstream"
+        )
+    vals = [
+        r[0]
+        for r in df.select(column)
+        .distinct()
+        .limit(_SCOPE_VALUES_CAP + 1)
+        .collect()
+    ]
+    if not vals:
+        return None
+    if len(vals) <= _SCOPE_VALUES_CAP:
+        return _files_touching_values(manifest, column, vals)
+    row = df.agg(
+        F.min(column).alias("lo"), F.max(column).alias("hi")
+    ).collect()[0]
+    return set(_prune_manifest(manifest, column, row["lo"], row["hi"]))
+
+
+def _carry_metadata(
+    prev_manifest: dict, carried: list[str], stats: dict, blooms: dict
+) -> tuple[dict, dict]:
+    """Merge carried-by-reference files' skipping metadata from the
+    previous manifest under the freshly written files' entries."""
+    stats = {
+        **{
+            f: prev_manifest["stats"][f]
+            for f in carried
+            if f in prev_manifest.get("stats", {})
+        },
+        **stats,
+    }
+    blooms = {
+        **{
+            f: prev_manifest["blooms"][f]
+            for f in carried
+            if f in prev_manifest.get("blooms", {})
+        },
+        **blooms,
+    }
+    return stats, blooms
 
 
 def delete_snapshot(
@@ -933,6 +972,12 @@ def delete_snapshot(
 
     if (where is None) == (keys is None):
         raise ValueError("pass exactly one of where= or keys=")
+    if where is not None and (key is not None or scope_by is not None):
+        raise ValueError(
+            "key=/scope_by= apply only to the keys= form — with where= "
+            "they would be silently ignored (the finding scan is pruned "
+            "by parquet row-group stats, not the manifest)"
+        )
     if keys is not None and key is None:
         raise ValueError("keys= requires key= (the join column names)")
     base = current_version(table_dir)
@@ -944,34 +989,28 @@ def delete_snapshot(
     key_cols = (
         [key] if isinstance(key, str) else list(key) if key else []
     )
-    if keys is not None and scope_by is not None:
+    keys_d: DataFrame | None = None
+    if keys is not None:
+        # ONE materialized distinct key set for every job below (the
+        # NULL/scope collects, the finding scan's semi join, and the
+        # rewrite's anti join): without it each Spark action would
+        # re-evaluate the caller's plan, and a non-deterministic
+        # source (re-read external table, limit/sample) could make
+        # the finding scan and the rewrite disagree — deleting
+        # against one key set while stamping the erasure for another.
+        keys_d = keys.select(*key_cols).distinct().localCheckpoint(eager=True)
+    if keys_d is not None and scope_by is not None:
         if scope_by not in key_cols:
             raise ValueError(
                 f"scope_by {scope_by!r} must be one of the key columns "
                 f"{key_cols}"
             )
-        if keys.where(keys[scope_by].isNull()).head(1):
-            raise ValueError(
-                f"keys carry NULL {scope_by!r} values — NULL never "
-                "equals; filter them upstream"
-            )
-        vals = [
-            r[0]
-            for r in keys.select(scope_by)
-            .distinct()
-            .limit(_SCOPE_VALUES_CAP + 1)
-            .collect()
-        ]
-        if len(vals) <= _SCOPE_VALUES_CAP:
-            touched_set = _files_touching_values(manifest, scope_by, vals)
-        else:
-            row = keys.agg(
-                F.min(scope_by).alias("lo"), F.max(scope_by).alias("hi")
-            ).collect()[0]
-            touched_set = set(
-                _prune_manifest(manifest, scope_by, row["lo"], row["hi"])
-            )
-        candidates = [f for f in manifest["files"] if f in touched_set]
+        touched_set = _scoped_candidates(keys_d, scope_by, manifest, "keys")
+        candidates = (
+            [f for f in manifest["files"] if f in touched_set]
+            if touched_set is not None
+            else []
+        )
 
     # Finding scan: which candidate files hold >=1 row to delete?
     # Bounded driver collect — one row per FILE, never per data row.
@@ -990,16 +1029,11 @@ def delete_snapshot(
             # no broadcast hint: erasure lists are usually tiny and
             # AQE broadcasts them at runtime, but a bulk purge list
             # may not be — forcing broadcast would OOM the executors
-            matching = cand_df.join(
-                keys.select(*key_cols).distinct(),
-                on=key_cols,
-                how="left_semi",
-            )
+            matching = cand_df.join(keys_d, on=key_cols, how="left_semi")
         hit_files = {
             r[0] for r in matching.select("_src_file").distinct().collect()
         }
-        rel_of = _abs_to_rel(table_dir, candidates)
-        touched = sorted(rel_of[f] for f in hit_files)
+        touched = _scan_paths_to_rel(table_dir, candidates, hit_files)
 
     carried = [f for f in manifest["files"] if f not in set(touched)]
     files: list[str] = []
@@ -1014,33 +1048,14 @@ def delete_snapshot(
             # and NULL both keep (coalesce supplies the NULL arm)
             kept = sub.where(F.coalesce(~F.expr(where), F.lit(True)))
         else:
-            kept = sub.join(
-                keys.select(*key_cols).distinct(),
-                on=key_cols,
-                how="left_anti",
-            )
+            kept = sub.join(keys_d, on=key_cols, how="left_anti")
         files = _write_data(table_dir, kept, base + 1)
         stats = _file_stats(table_dir, files)
         blooms = (
             _file_blooms(table_dir, files, bloom_for) if bloom_for else {}
         )
     if carried:
-        stats = {
-            **{
-                f: manifest["stats"][f]
-                for f in carried
-                if f in manifest.get("stats", {})
-            },
-            **stats,
-        }
-        blooms = {
-            **{
-                f: manifest["blooms"][f]
-                for f in carried
-                if f in manifest.get("blooms", {})
-            },
-            **blooms,
-        }
+        stats, blooms = _carry_metadata(manifest, carried, stats, blooms)
     return _commit(
         table_dir, files + carried, op, expect_version, base, stats, blooms
     )
@@ -1201,37 +1216,29 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     ``keep_versions`` manifests (and drop the older manifests). The
     ONLY destructive operation, and explicitly invoked — mirrors
     Delta VACUUM's contract that time travel extends exactly as far
-    as retention."""
+    as retention.
+
+    Executes exactly the ``vacuum_plan`` dry run (one planner, two
+    consumers — the HTTP retention report can never predict a
+    different drop set than the pass performs), plus the stray-tmp
+    sweep the plan does not list (crashed-commit garbage is never
+    part of any retention arithmetic)."""
     cur = current_version(table_dir)
     if cur is None:
         return []
-    mdir = _manifest_dir(table_dir)
-    present = {
-        int(m.group(1))
-        for name in _manifest_names(mdir)
-        if (m := _MANIFEST_RE.match(name))
-    }
-    # intersect with what actually exists: an earlier vacuum with a
-    # smaller keep_versions already deleted older manifests, and a
-    # later vacuum with a larger window must not try to read them
-    keep = set(range(max(0, cur - keep_versions + 1), cur + 1)) & present
-    live: set[str] = set()
-    for v in keep:
-        live.update(_read_manifest(table_dir, v)["files"])
-    live_dirs = {os.path.dirname(f) for f in live}
+    plan = vacuum_plan(table_dir, keep_versions)
     removed = []
-    data_root = os.path.join(table_dir, "data")
-    for sub in sorted(os.listdir(data_root)):
-        rel = os.path.join("data", sub)
-        if rel not in live_dirs:
-            shutil.rmtree(os.path.join(data_root, sub))
-            removed.append(rel)
+    for rel in plan["drop_dirs"]:
+        shutil.rmtree(os.path.join(table_dir, rel))
+        removed.append(rel)
+    mdir = _manifest_dir(table_dir)
+    drop_manifests = set(plan["drop_manifest_versions"])
     for name in os.listdir(mdir):
         m = _MANIFEST_RE.match(name)
         if m is None:
             # stray tmp from a crashed commit: never valid, sweep it
             os.remove(os.path.join(mdir, name))
-        elif int(m.group(1)) not in keep:
+        elif int(m.group(1)) in drop_manifests:
             os.remove(os.path.join(mdir, name))
     return removed
 

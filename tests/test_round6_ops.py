@@ -165,3 +165,39 @@ def test_label_centroid_separation_is_symmetric_complete(spark):
     assert len(rows) == k * (k - 1) // 2  # every unordered pair once
     for r in rows:
         assert r.label_a < r.label_b and r.n_a > 0 and r.n_b > 0
+
+
+def test_session_concurrency_two_phase_midnight_crossing(spark, tmp_path):
+    """Code-review repro: a session clipped at midnight emits its -1
+    at t = next-day 00:00 under THIS day's key; bucketing by hour(t)
+    sorted that delta before the whole day and corrupted the carry.
+    Elapsed-hours bucketing (bucket 24) must reproduce the
+    day-partitioned sweep exactly."""
+    import datetime as dt
+
+    from ensembl_lakehouse_spark.operators import relational as R
+
+    rows = [
+        # user 1: one session 23:50 -> 23:58 (peaks with user 2's)
+        (1, dt.datetime(2024, 3, 1, 23, 50), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 3, 1, 23, 58), 1, "click", 1.0, "{}"),
+        # user 2: session crossing midnight (23:55 -> 00:05 next day)
+        (3, dt.datetime(2024, 3, 1, 23, 55), 2, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 3, 2, 0, 5), 2, "click", 1.0, "{}"),
+        # user 3: a lone early session the same day
+        (5, dt.datetime(2024, 3, 1, 10, 0), 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    d = tmp_path / "fixture"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+    base = sorted(map(tuple, R.session_concurrency(spark, str(d)).collect()))
+    two = sorted(
+        map(tuple, R.session_concurrency(spark, str(d), two_phase=True).collect())
+    )
+    assert base == two
+    peaks = {r[0]: r[2] for r in base}
+    assert peaks[dt.date(2024, 3, 1)] == 2  # users 1+2 overlap at 23:55

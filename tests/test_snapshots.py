@@ -1027,3 +1027,21 @@ def test_timestamp_stats_enable_range_and_scoped_merge_pruning(spark, tdir):
     got = {r.hour: r.n for r in S.read_snapshot(spark, tdir).collect()}
     assert got[dt.datetime(2024, 1, 2, 3, 0)] == 999
     assert len(got) == 96
+
+
+def test_delete_handles_uri_escaped_table_dirs_and_guards(spark, tmp_path):
+    """Code-review fixes: input_file_name() reports percent-encoded
+    URIs, so a table_dir with a space must still resolve; where= with
+    key=/scope_by= is a loud error, not silently ignored pruning."""
+    tdir = str(tmp_path / "my table")  # space -> %20 in scan URIs
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"]).coalesce(1),
+    )
+    S.delete_snapshot(spark, tdir, where="k = 2")
+    assert sorted(r.k for r in S.read_snapshot(spark, tdir).collect()) == [1, 3]
+
+    with pytest.raises(ValueError, match="apply only to the keys= form"):
+        S.delete_snapshot(spark, tdir, where="k = 1", scope_by="k")
+    with pytest.raises(ValueError, match="apply only to the keys= form"):
+        S.delete_snapshot(spark, tdir, where="k = 1", key="k")
