@@ -154,6 +154,8 @@ def make_handler(engine: Engine):
                 self._send(200, engine.snapshot_table_names())
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "history":
                 self._send(200, engine.table_history(parts[1]))
+            elif len(parts) == 3 and parts[0] == "table" and parts[2] == "tags":
+                self._send(200, engine.table_tags(parts[1]))
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "retention":
                 # EXT: vacuum dry-run — how many bytes old versions
                 # still pin (the erasure-SLA sizing report)

@@ -299,6 +299,16 @@ class Engine:
             )
         return _SN.history(self._snapshot_tables[name])
 
+    def table_tags(self, name: str) -> dict[str, int]:
+        """Tag listing for a registered table (tag -> version)."""
+        from ensembl_lakehouse_spark import snapshots as _SN
+
+        if name not in self._snapshot_tables:
+            raise QueryValidationError(
+                f"unknown table {name!r}; see /table for names"
+            )
+        return _SN.list_tags(self._snapshot_tables[name])
+
     def table_retention_report(
         self, name: str, keep_versions: int = 2
     ) -> dict:

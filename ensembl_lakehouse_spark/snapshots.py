@@ -645,9 +645,13 @@ def read_snapshot(
     version: int | None = None,
     where_between: tuple | None = None,
     where_eq: tuple | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: current) — time travel
-    is just resolving an older manifest's file list.
+    is just resolving an older manifest's file list. ``tag`` reads a
+    named tagged version (tag_snapshot) — the reproducible-training
+    read: tags survive vacuum, so this resolves for as long as the
+    tag exists.
 
     ``where_between=(column, lo, hi)`` additionally applies
     manifest-level DATA SKIPPING: only files whose min/max stats
@@ -664,6 +668,13 @@ def read_snapshot(
     cur = current_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version= OR tag=, not both")
+        tags = list_tags(table_dir)
+        if tag not in tags:
+            raise KeyError(f"no tag {tag!r} on {table_dir}")
+        version = tags[tag]
     version = cur if version is None else version
     manifest = _read_manifest(table_dir, version)
     files = manifest["files"]
@@ -1161,6 +1172,73 @@ def compact(
     )
 
 
+def _tags_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_tags")
+
+
+def list_tags(table_dir: str) -> dict[str, int]:
+    """name -> version for every tag on the table."""
+    try:
+        with open(_tags_path(table_dir)) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except FileNotFoundError:
+        return {}
+
+
+def tag_snapshot(
+    table_dir: str, tag: str, version: int | None = None, force: bool = False
+) -> int:
+    """Pin a named TAG to a version (default: current) — the
+    Iceberg tag: a human-meaningful, immutable reference ("the
+    January training snapshot") that RETENTION RESPECTS: ``vacuum``
+    keeps every tagged version's manifest and data alive regardless
+    of ``keep_versions``, so an experiment can always re-read the
+    exact bytes it trained on. Re-pointing an existing tag requires
+    ``force=True`` (a silently moved tag breaks the reproducibility
+    contract). The tag file swap is atomic (os.replace under the
+    table's commit lock); on object storage it is the same
+    conditional PUT the pointer uses."""
+    if not tag or "/" in tag or tag.strip() != tag:
+        raise ValueError(f"invalid tag name {tag!r}")
+    cur = current_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    version = cur if version is None else version
+    try:
+        _read_manifest(table_dir, version)
+    except FileNotFoundError:
+        raise ValueError(
+            f"v{version} is not a retained version of {table_dir}"
+        )
+    with _table_lock(table_dir):
+        tags = list_tags(table_dir)
+        if tag in tags and tags[tag] != version and not force:
+            raise ValueError(
+                f"tag {tag!r} already points at v{tags[tag]}; pass "
+                "force=True to move it"
+            )
+        tags[tag] = version
+        tmp = _tags_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, _tags_path(table_dir))
+    return version
+
+
+def delete_tag(table_dir: str, tag: str) -> None:
+    """Remove a tag (its version then ages out under normal
+    retention on the next vacuum)."""
+    with _table_lock(table_dir):
+        tags = list_tags(table_dir)
+        if tag not in tags:
+            raise KeyError(tag)
+        del tags[tag]
+        tmp = _tags_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, _tags_path(table_dir))
+
+
 def vacuum_plan(table_dir: str, keep_versions: int = 2) -> dict:
     """DRY-RUN of ``vacuum``: what a retention pass at
     ``keep_versions`` would drop — versions, data directories, and
@@ -1183,7 +1261,12 @@ def vacuum_plan(table_dir: str, keep_versions: int = 2) -> dict:
         for name in _manifest_names(mdir)
         if (m := _MANIFEST_RE.match(name))
     }
-    keep = set(range(max(0, cur - keep_versions + 1), cur + 1)) & present
+    # tagged versions are retention-exempt: a tag is a promise that
+    # the exact bytes stay re-readable (see tag_snapshot)
+    keep = (
+        set(range(max(0, cur - keep_versions + 1), cur + 1))
+        | set(list_tags(table_dir).values())
+    ) & present
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(table_dir, v)["files"])

@@ -479,3 +479,16 @@ def test_retention_report_over_http(server, spark, tmp_path_factory):
     # the dry run predicts the real vacuum exactly
     removed = SN.vacuum(tdir, keep_versions=1)
     assert sorted(removed) == sorted(rep["drop_dirs"])
+
+
+def test_tags_over_http(server, spark, tmp_path_factory):
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    tdir = str(tmp_path_factory.mktemp("tags_http") / "tbl")
+    SN.write_snapshot(tdir, spark.createDataFrame([(1, "a")], ["k", "v"]))
+    SN.write_snapshot(tdir, spark.createDataFrame([(2, "b")], ["k", "v"]))
+    SN.tag_snapshot(tdir, "baseline", version=0)
+    server.engine.register_snapshot_table("tagged_tbl", tdir)
+    status, _, tags = _get(server, "/table/tagged_tbl/tags")
+    assert status == 200 and tags == {"baseline": 0}
+    assert _get(server, "/table/nope/tags")[0] == 400

@@ -1045,3 +1045,44 @@ def test_delete_handles_uri_escaped_table_dirs_and_guards(spark, tmp_path):
         S.delete_snapshot(spark, tdir, where="k = 1", scope_by="k")
     with pytest.raises(ValueError, match="apply only to the keys= form"):
         S.delete_snapshot(spark, tdir, where="k = 1", key="k")
+
+
+def test_tags_survive_vacuum_and_pin_exact_bytes(spark, tdir):
+    """Round 6: Iceberg-style tags — a tagged version is retention-
+    exempt (vacuum keeps its manifest + data beyond keep_versions),
+    re-reads identically after later commits, and moving a tag
+    requires force=True."""
+    S.write_snapshot(tdir, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    S.tag_snapshot(tdir, "train-jan")  # pins v0
+    for i in range(4):
+        S.write_snapshot(
+            tdir, spark.createDataFrame([(10 + i, "x")], ["k", "v"])
+        )
+    assert S.list_tags(tdir) == {"train-jan": 0}
+
+    removed = S.vacuum(tdir, keep_versions=1)
+    assert removed  # middle versions' data gone
+    # the tagged version still reads EXACTLY
+    got = sorted(
+        (r.k, r.v)
+        for r in S.read_snapshot(spark, tdir, tag="train-jan").collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+    # untagged old versions are gone
+    with pytest.raises(Exception):
+        S.read_snapshot(spark, tdir, version=2).collect()
+
+    # guards
+    with pytest.raises(ValueError, match="force=True"):
+        S.tag_snapshot(tdir, "train-jan", version=4)
+    S.tag_snapshot(tdir, "train-jan", version=4, force=True)
+    assert S.list_tags(tdir)["train-jan"] == 4
+    with pytest.raises(KeyError):
+        S.read_snapshot(spark, tdir, tag="nope")
+    with pytest.raises(ValueError, match="not both"):
+        S.read_snapshot(spark, tdir, version=0, tag="train-jan")
+    with pytest.raises(ValueError, match="invalid tag"):
+        S.tag_snapshot(tdir, "bad/name")
+    # dropping the tag lets the version age out on the next vacuum
+    S.delete_tag(tdir, "train-jan")
+    assert S.list_tags(tdir) == {}
