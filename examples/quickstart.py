@@ -102,6 +102,25 @@ def main() -> None:
     print(f"scoped merge carried {len(before & after)}/{len(before)} files "
           "by reference")
 
+    # 3a2 — governance lifecycle: delete, tag, CDC, retention --------
+    gov = f"{work}/gov_tbl"
+    snapshots.write_snapshot(gov, quality.limit(20))
+    snapshots.tag_snapshot(gov, "pre-erasure")          # pin the bytes
+    snapshots.delete_snapshot(
+        spark, gov, where="doc_id < 3", op="erasure:req-1"
+    )
+    print("erased:", 20 - snapshots.read_snapshot(spark, gov).count(),
+          "| tagged pre-erasure rows:",
+          snapshots.read_snapshot(spark, gov, tag="pre-erasure").count(),
+          "| stamp:", "erasure:req-1" in snapshots.committed_ops(gov))
+    eng.register_snapshot_table("gov", gov)
+    feed = eng.submit_table_changes("gov", 0, key="doc_id")
+    eng.registry.wait(feed["query_id"], timeout=120)
+    print("CDC feed rows:",
+          eng.query_preview(feed["query_id"], max_results=10))
+    print("retention dry-run:",
+          eng.table_retention_report("gov", keep_versions=1))
+
     # 3b — resumable backfill over the corpus ------------------------
     from pyspark.sql import functions as F
 
