@@ -495,6 +495,7 @@ def write_snapshot(
     2-d Morton variant for raw parquet)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    _enforce_constraints(table_dir, df, "write")
     if cluster_by:
         df = _clustered(df, cluster_by, n_files)
     base = current_version(table_dir)
@@ -646,6 +647,7 @@ def read_snapshot(
     where_between: tuple | None = None,
     where_eq: tuple | None = None,
     tag: str | None = None,
+    published: bool = False,
 ) -> DataFrame:
     """Read the table at ``version`` (default: current) — time travel
     is just resolving an older manifest's file list. ``tag`` reads a
@@ -668,13 +670,21 @@ def read_snapshot(
     cur = current_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    if sum(x is not None for x in (version, tag)) + bool(published) > 1:
+        raise ValueError("pass at most one of version=, tag=, published=")
     if tag is not None:
-        if version is not None:
-            raise ValueError("pass version= OR tag=, not both")
         tags = list_tags(table_dir)
         if tag not in tags:
             raise KeyError(f"no tag {tag!r} on {table_dir}")
         version = tags[tag]
+    if published:
+        version = published_version(table_dir)
+        if version is None:
+            raise ValueError(
+                f"{table_dir} was never published — consumers reading "
+                "published=True see nothing until the first "
+                "publish_snapshot (the write-audit-publish gate)"
+            )
     version = cur if version is None else version
     manifest = _read_manifest(table_dir, version)
     files = manifest["files"]
@@ -787,6 +797,7 @@ def merge_snapshot(
     only the touched files, so untouched-file rows read NULL in the
     new column exactly as the full rewrite would produce."""
     keys = [key] if isinstance(key, str) else list(key)
+    _enforce_constraints(table_dir, updates, "merge updates")
     if scope_by is not None and scope_by not in keys:
         raise ValueError(
             f"scope_by {scope_by!r} must be one of the merge keys {keys} — "
@@ -1172,6 +1183,134 @@ def compact(
     )
 
 
+def _published_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_published")
+
+
+def published_version(table_dir: str) -> int | None:
+    """The version the PUBLISHED pointer marks, or None if the table
+    was never published."""
+    try:
+        with open(_published_path(table_dir)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def publish_snapshot(table_dir: str, version: int | None = None) -> int:
+    """Advance the PUBLISHED pointer (default: to current) — the
+    Iceberg write-audit-publish pattern on this layer: writers
+    commit versions as usual (the ``_current`` pointer advances per
+    commit), audits run against the staged versions via time travel,
+    and only an explicit publish makes them visible to consumers who
+    read with ``read_snapshot(published=True)``. The publish itself
+    is one atomic pointer swap, and like a tag the published version
+    is retention-exempt (vacuum never drops what consumers see)."""
+    cur = current_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    version = cur if version is None else version
+    try:
+        _read_manifest(table_dir, version)
+    except FileNotFoundError:
+        raise ValueError(
+            f"v{version} is not a retained version of {table_dir}"
+        )
+    with _table_lock(table_dir):
+        tmp = _published_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, _published_path(table_dir))
+    return version
+
+
+class ConstraintViolation(ValueError):
+    """Incoming data failed a table CHECK constraint — the commit is
+    refused and the table is unchanged."""
+
+
+def _constraints_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_constraints")
+
+
+def list_constraints(table_dir: str) -> dict[str, str]:
+    """name -> SQL boolean expression for every CHECK constraint."""
+    try:
+        with open(_constraints_path(table_dir)) as f:
+            return dict(json.load(f))
+    except FileNotFoundError:
+        return {}
+
+
+def add_constraint(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> None:
+    """Add a CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT`
+    semantics): every EXISTING row must already satisfy it (one scan,
+    verified before the constraint lands), and every future
+    write_snapshot/merge_snapshot refuses data that violates it.
+    SQL-standard CHECK three-valued logic: a row violates only when
+    the expression is FALSE — NULL (unknown) passes.
+
+    Constraints are table metadata, not version metadata: they apply
+    from now on regardless of time travel, and survive restarts in
+    the ``_constraints`` file (atomic replace under the commit
+    lock)."""
+    from pyspark.sql import functions as F
+
+    if not name or not name.replace("_", "").replace("-", "").isalnum():
+        raise ValueError(f"invalid constraint name {name!r}")
+    if current_version(table_dir) is not None:
+        existing = read_snapshot(spark, table_dir)
+        bad = existing.where(F.expr(expr) == False).limit(3).collect()  # noqa: E712
+        if bad:
+            raise ConstraintViolation(
+                f"existing rows violate {name!r} ({expr}): "
+                f"e.g. {[r.asDict() for r in bad]}"
+            )
+    with _table_lock(table_dir):
+        cons = list_constraints(table_dir)
+        cons[name] = expr
+        os.makedirs(table_dir, exist_ok=True)
+        tmp = _constraints_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, _constraints_path(table_dir))
+
+
+def drop_constraint(table_dir: str, name: str) -> None:
+    with _table_lock(table_dir):
+        cons = list_constraints(table_dir)
+        if name not in cons:
+            raise KeyError(name)
+        del cons[name]
+        tmp = _constraints_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, _constraints_path(table_dir))
+
+
+def _enforce_constraints(table_dir: str, df: DataFrame, what: str) -> None:
+    """Refuse ``df`` if any row makes a registered CHECK expression
+    FALSE (NULL passes — SQL CHECK). One filtered pass per
+    constraint over the INCOMING data only, never the table; an
+    expression that does not resolve against this df's schema
+    (schema evolution dropped the column) is a loud error, not a
+    silent skip."""
+    cons = list_constraints(table_dir)
+    if not cons:
+        return
+    from pyspark.sql import functions as F
+
+    for name, expr in cons.items():
+        bad = df.where(F.expr(expr) == False).limit(3).collect()  # noqa: E712
+        if bad:
+            raise ConstraintViolation(
+                f"{what} violates constraint {name!r} ({expr}): "
+                f"e.g. {[r.asDict() for r in bad]}"
+            )
+
+
 def _tags_path(table_dir: str) -> str:
     return os.path.join(table_dir, "_tags")
 
@@ -1263,9 +1402,11 @@ def vacuum_plan(table_dir: str, keep_versions: int = 2) -> dict:
     }
     # tagged versions are retention-exempt: a tag is a promise that
     # the exact bytes stay re-readable (see tag_snapshot)
+    pub = published_version(table_dir)
     keep = (
         set(range(max(0, cur - keep_versions + 1), cur + 1))
         | set(list_tags(table_dir).values())
+        | ({pub} if pub is not None else set())
     ) & present
     live: set[str] = set()
     for v in keep:

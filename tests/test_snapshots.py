@@ -1079,10 +1079,97 @@ def test_tags_survive_vacuum_and_pin_exact_bytes(spark, tdir):
     assert S.list_tags(tdir)["train-jan"] == 4
     with pytest.raises(KeyError):
         S.read_snapshot(spark, tdir, tag="nope")
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         S.read_snapshot(spark, tdir, version=0, tag="train-jan")
     with pytest.raises(ValueError, match="invalid tag"):
         S.tag_snapshot(tdir, "bad/name")
     # dropping the tag lets the version age out on the next vacuum
     S.delete_tag(tdir, "train-jan")
     assert S.list_tags(tdir) == {}
+
+
+def test_check_constraints_gate_commits(spark, tdir):
+    """Round 6: Delta-style CHECK constraints — adding one verifies
+    existing rows, every later write/merge refuses violating data
+    (table unchanged), NULL passes (SQL three-valued CHECK), and the
+    constraint survives like a restart (file-backed)."""
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(1, 10), (2, None)], "k BIGINT, score BIGINT"),
+    )
+    S.add_constraint(spark, tdir, "score_nonneg", "score >= 0")
+    assert S.list_constraints(tdir) == {"score_nonneg": "score >= 0"}
+
+    # adding a constraint current data violates is refused
+    with pytest.raises(S.ConstraintViolation, match="existing rows"):
+        S.add_constraint(spark, tdir, "score_big", "score >= 100")
+
+    # violating append refused, table unchanged
+    v = S.current_version(tdir)
+    with pytest.raises(S.ConstraintViolation, match="score_nonneg"):
+        S.write_snapshot(
+            tdir,
+            spark.createDataFrame([(3, -5)], "k BIGINT, score BIGINT"),
+            mode="append",
+        )
+    assert S.current_version(tdir) == v
+    # violating merge refused
+    with pytest.raises(S.ConstraintViolation, match="merge updates"):
+        S.merge_snapshot(
+            spark, tdir,
+            spark.createDataFrame([(1, -1)], "k BIGINT, score BIGINT"),
+            key="k",
+        )
+    assert S.current_version(tdir) == v
+
+    # NULL passes (unknown), valid rows pass
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(3, None), (4, 7)], "k BIGINT, score BIGINT"),
+        mode="append",
+    )
+    assert S.read_snapshot(spark, tdir).count() == 4
+
+    # drop lifts the gate
+    S.drop_constraint(tdir, "score_nonneg")
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(5, -9)], "k BIGINT, score BIGINT"),
+        mode="append",
+    )
+    assert S.read_snapshot(spark, tdir).count() == 5
+    with pytest.raises(KeyError):
+        S.drop_constraint(tdir, "nope")
+
+
+def test_write_audit_publish_flow(spark, tdir):
+    """Round 6: WAP — staged commits stay invisible to published
+    readers until an explicit publish; the published version is
+    retention-exempt; publish is a validated atomic pointer swap."""
+    S.write_snapshot(tdir, spark.createDataFrame([(1, "a")], ["k", "v"]))
+    with pytest.raises(ValueError, match="never published"):
+        S.read_snapshot(spark, tdir, published=True)
+    assert S.publish_snapshot(tdir) == 0
+
+    # stage two more commits; published readers still see v0
+    S.write_snapshot(tdir, spark.createDataFrame([(2, "b")], ["k", "v"]), mode="append")
+    S.write_snapshot(tdir, spark.createDataFrame([(3, "c")], ["k", "v"]), mode="append")
+    assert S.read_snapshot(spark, tdir).count() == 3          # writer view
+    assert S.read_snapshot(spark, tdir, published=True).count() == 1
+
+    # audit the staged version, then publish it
+    assert S.read_snapshot(spark, tdir, version=2).count() == 3
+    S.publish_snapshot(tdir, version=2)
+    assert S.read_snapshot(spark, tdir, published=True).count() == 3
+
+    # retention respects the published pointer
+    S.publish_snapshot(tdir, version=0)
+    for i in range(3):
+        S.write_snapshot(tdir, spark.createDataFrame([(9, "z")], ["k", "v"]))
+    S.vacuum(tdir, keep_versions=1)
+    assert S.read_snapshot(spark, tdir, published=True).count() == 1  # v0 alive
+
+    with pytest.raises(ValueError, match="not a retained version"):
+        S.publish_snapshot(tdir, version=99)
+    with pytest.raises(ValueError, match="at most one"):
+        S.read_snapshot(spark, tdir, version=0, published=True)
