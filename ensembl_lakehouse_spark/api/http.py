@@ -152,6 +152,10 @@ def make_handler(engine: Engine):
                 # registration is operator-side only — see
                 # Engine.register_snapshot_table)
                 self._send(200, engine.snapshot_table_names())
+            elif len(parts) == 2 and parts[0] == "table":
+                # EXT: table summary (versions, published pointer,
+                # tags, constraints)
+                self._send(200, engine.table_summary(parts[1]))
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "history":
                 self._send(200, engine.table_history(parts[1]))
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "tags":

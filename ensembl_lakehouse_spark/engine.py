@@ -309,6 +309,24 @@ class Engine:
             )
         return _SN.list_tags(self._snapshot_tables[name])
 
+    def table_summary(self, name: str) -> dict:
+        """One-stop table metadata: current/published versions, tags,
+        constraints — what a consumer checks before reading."""
+        from ensembl_lakehouse_spark import snapshots as _SN
+
+        if name not in self._snapshot_tables:
+            raise QueryValidationError(
+                f"unknown table {name!r}; see /table for names"
+            )
+        d = self._snapshot_tables[name]
+        return {
+            "name": name,
+            "current_version": _SN.current_version(d),
+            "published_version": _SN.published_version(d),
+            "tags": _SN.list_tags(d),
+            "constraints": _SN.list_constraints(d),
+        }
+
     def table_retention_report(
         self, name: str, keep_versions: int = 2
     ) -> dict:

@@ -492,3 +492,24 @@ def test_tags_over_http(server, spark, tmp_path_factory):
     status, _, tags = _get(server, "/table/tagged_tbl/tags")
     assert status == 200 and tags == {"baseline": 0}
     assert _get(server, "/table/nope/tags")[0] == 400
+
+
+def test_table_summary_over_http(server, spark, tmp_path_factory):
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    tdir = str(tmp_path_factory.mktemp("summary_http") / "tbl")
+    SN.write_snapshot(tdir, spark.createDataFrame([(1, 5)], "k BIGINT, s BIGINT"))
+    SN.add_constraint(spark, tdir, "s_pos", "s > 0")
+    SN.tag_snapshot(tdir, "gold")
+    SN.publish_snapshot(tdir)
+    server.engine.register_snapshot_table("sum_tbl", tdir)
+    status, _, s = _get(server, "/table/sum_tbl")
+    assert status == 200
+    assert s == {
+        "name": "sum_tbl",
+        "current_version": 0,
+        "published_version": 0,
+        "tags": {"gold": 0},
+        "constraints": {"s_pos": "s > 0"},
+    }
+    assert _get(server, "/table/nope")[0] == 400
