@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_mix_monthly": RP.priority_mix_monthly,
         "brand_price_dispersion": RP.brand_price_dispersion,
         "label_centroid_separation": S.label_centroid_separation,
+        "events_type_transitions": R.events_type_transitions,
+        "supplier_nation_balance": RP.supplier_nation_balance,
+        "embedding_dim_stats": S.embedding_dim_stats,
         # --- Certified in r5 (slots were the r4-uncertified batch).
         "inverted_postings": SR.inverted_postings,
         "ann_recall_audit": DG.ann_recall_audit,
@@ -266,6 +269,9 @@ def oracle_sql() -> dict[str, str]:
         "priority_mix_monthly": RP.PRIORITY_MIX_MONTHLY_SQL,
         "brand_price_dispersion": RP.BRAND_PRICE_DISPERSION_SQL,
         "label_centroid_separation": S.LABEL_CENTROID_SEPARATION_SQL,
+        "events_type_transitions": R.EVENTS_TYPE_TRANSITIONS_SQL,
+        "supplier_nation_balance": RP.SUPPLIER_NATION_BALANCE_SQL,
+        "embedding_dim_stats": S.EMBEDDING_DIM_STATS_SQL,
         "scan_project": "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
         "key_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "

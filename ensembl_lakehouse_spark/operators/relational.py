@@ -2556,3 +2556,70 @@ FROM swept
 GROUP BY day
 ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (round 6)
+# ---------------------------------------------------------------------------
+
+
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov matrix: for every consecutive
+    event pair within a user's stream (ordered by epoch seconds with
+    the event_id tie-break), the (from_type → to_type) count and the
+    transition probability in basis points (integer DIV against the
+    from_type's outgoing total) — the session-model input and the
+    anomaly baseline ("error → error at 4× the expected rate").
+
+    Plan: one lag window partitioned per user, one partial agg to
+    |types|² rows, and the out-total share window on that tiny
+    relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("to_type"),
+            F.unix_timestamp("ts").alias("s"),
+            "event_id",
+        )
+        .withColumn(
+            "from_type",
+            F.expr(
+                "lag(to_type) OVER (PARTITION BY user_id "
+                "ORDER BY s ASC, event_id ASC)"
+            ),
+        )
+        .where(F.col("from_type").isNotNull())
+    )
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "prob_bp",
+            F.expr(
+                "(n * 10000) DIV sum(n) OVER (PARTITION BY from_type)"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENTS_TYPE_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT user_id, event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
+           AS from_type
+  FROM events
+), counted AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       (n * 10000) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS prob_bp
+FROM counted
+ORDER BY from_type, to_type
+"""

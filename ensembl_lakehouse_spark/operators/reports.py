@@ -826,3 +826,72 @@ FROM part_c
 GROUP BY p_brand
 ORDER BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# supplier_nation_balance (round 6)
+# ---------------------------------------------------------------------------
+
+
+def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier financial health per nation: supplier count, total
+    and mean account balance in cents, and the share of suppliers in
+    the red (negative balance) in basis points — the credit-risk
+    screen over the supplier dimension.
+
+    One partial agg to |nations| rows with the broadcast nation dim.
+    """
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        F.expr(
+            "CAST(floor(s_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("bal_cents"),
+    )
+    return (
+        supp.join(
+            F.broadcast(nation),
+            supp["s_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("bal_cents").cast("long").alias("total_cents"),
+            F.sum(F.when(F.col("bal_cents") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative"),
+        )
+        .withColumn("mean_cents", F.expr("total_cents DIV n_suppliers"))
+        .withColumn(
+            "negative_share_bp", F.expr("(n_negative * 10000) DIV n_suppliers")
+        )
+        .select(
+            "n_name", "n_suppliers", "total_cents", "mean_cents",
+            "n_negative", "negative_share_bp",
+        )
+        .orderBy("n_name")
+    )
+
+
+SUPPLIER_NATION_BALANCE_SQL = """
+WITH supp AS (
+  SELECT s_nationkey,
+         CAST(floor(s_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS bal_cents
+  FROM supplier
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(s.bal_cents) AS BIGINT) AS total_cents,
+       CAST(SUM(s.bal_cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+         AS mean_cents,
+       CAST(SUM(CASE WHEN s.bal_cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       (CAST(SUM(CASE WHEN s.bal_cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         * 10000) // CAST(COUNT(*) AS BIGINT) AS negative_share_bp
+FROM supp s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""

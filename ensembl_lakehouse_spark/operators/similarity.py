@@ -1039,3 +1039,78 @@ ORDER BY label_a, label_b
 
 
 LABEL_CENTROID_SEPARATION_SQL = _label_centroid_separation_sql()
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension distribution audit (round 6)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health audit over the whole embedding corpus:
+    count, fixed-point mean, and fixed-point variance — a dead or
+    exploding dimension (variance ≈ 0 or ≫ its peers) means the
+    encoder or the quantizer is broken for that coordinate.
+
+    Variance is E[x²] − E[x]² on an integer lattice: per-row
+    ``x2_fp = (x_fp · x_fp) DIV FP_SCALE`` BEFORE the sum (bounded
+    by FP_SCALE per row, so the corpus sum stays far from int64 at
+    any row count), means by integer DIV — order-invariant and
+    engine-exact. One partial agg to |dims| rows; map-only above it.
+    """
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .withColumn("x_fp", F.floor(F.col("x").cast("double") * FP_SCALE))
+        .withColumn("x2_fp", F.expr(f"(x_fp * x_fp) DIV {FP_SCALE}"))
+    )
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x_fp").cast("long").alias("sum_fp"),
+            F.sum("x2_fp").cast("long").alias("sum2_fp"),
+        )
+        .withColumn("mean_fp", F.expr("sum_fp DIV n"))
+        .withColumn(
+            "var_fp",
+            F.expr(
+                f"sum2_fp DIV n - (mean_fp * mean_fp) DIV {FP_SCALE}"
+            ),
+        )
+        .select("dim", "n", "mean_fp", "var_fp")
+        .orderBy("dim")
+    )
+
+
+def _embedding_dim_stats_sql() -> str:
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    return f"""
+WITH x AS (
+  SELECT u.dim AS dim,
+         CAST(floor(u.val::DOUBLE * {FP_SCALE}) AS BIGINT) AS x_fp
+  FROM (
+    SELECT unnest(list_transform(range(0, len(embedding)),
+             i -> {{'dim': i, 'val': embedding[i + 1]}})) AS u
+    FROM embeddings)
+), fp AS (
+  SELECT dim, x_fp, (x_fp * x_fp) // {FP_SCALE} AS x2_fp FROM x
+), agg AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_fp) AS BIGINT) AS sum_fp,
+         CAST(SUM(x2_fp) AS BIGINT) AS sum2_fp
+  FROM fp GROUP BY dim
+)
+SELECT dim, n,
+       sum_fp // n AS mean_fp,
+       sum2_fp // n - ((sum_fp // n) * (sum_fp // n)) // {FP_SCALE}
+         AS var_fp
+FROM agg
+ORDER BY dim
+"""
+
+
+EMBEDDING_DIM_STATS_SQL = _embedding_dim_stats_sql()

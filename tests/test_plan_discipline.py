@@ -226,6 +226,11 @@ BUDGETS = {
     "brand_price_dispersion": 2,
     # (label,dim) centroid agg + pair agg; the b-side broadcast
     "label_centroid_separation": 2,
+    # user lag window + |types|² agg + the from_type share window
+    "events_type_transitions": 3,
+    "supplier_nation_balance": 1,
+    # map-only explode/fixed-point math, one |dims| agg
+    "embedding_dim_stats": 1,
 }
 
 

@@ -201,3 +201,24 @@ def test_session_concurrency_two_phase_midnight_crossing(spark, tmp_path):
     assert base == two
     peaks = {r[0]: r[2] for r in base}
     assert peaks[dt.date(2024, 3, 1)] == 2  # users 1+2 overlap at 23:55
+
+
+def test_transition_probs_sum_per_source_type(spark):
+    from ensembl_lakehouse_spark.operators import relational as R
+
+    rows = R.events_type_transitions(spark, SF_DIR).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r.prob_bp)
+    for f, probs in by_from.items():
+        # integer-DIV undershoot: sum in (10000 - |targets|, 10000]
+        assert 10000 - len(probs) < sum(probs) <= 10000, f
+
+
+def test_embedding_dim_stats_variance_nonnegative(spark):
+    from ensembl_lakehouse_spark.operators import similarity as S
+
+    rows = S.embedding_dim_stats(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    assert all(r.var_fp >= 0 for r in rows)
+    assert all(r.n == rows[0].n for r in rows)  # every dim same count
