@@ -56,6 +56,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operators — the governance/retention pack pairing with
         # snapshots.delete_snapshot — followed by certified filler;
         # the 4 no-oracle entries stay out of the window).
+        # --- Round-6 batch 3: series dispersion/seasonality, drift,
+        # mixing, lexical concentration, k-core (newest first).
+        "events_burstiness": R.events_burstiness,
+        "events_autocorr24": R.events_autocorr24,
+        "feature_drift_chi2": RP.feature_drift_chi2,
+        "mix_temperature_weights": P.mix_temperature_weights,
+        "text_lexical_gini": T.text_lexical_gini,
+        "graph_kcore": G.graph_kcore,
         "retention_audit": GV.retention_audit,
         "tombstone_cascade": GV.tombstone_cascade,
         "term_exposure_scan": GV.term_exposure_scan,
@@ -253,6 +261,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- Round-6 batch 3.
+        "events_burstiness": R.EVENTS_BURSTINESS_SQL,
+        "events_autocorr24": R.EVENTS_AUTOCORR24_SQL,
+        "feature_drift_chi2": RP.FEATURE_DRIFT_CHI2_SQL,
+        "mix_temperature_weights": P.MIX_TEMPERATURE_WEIGHTS_SQL,
+        "text_lexical_gini": T.TEXT_LEXICAL_GINI_SQL,
+        "graph_kcore": G.GRAPH_KCORE_SQL,
         # --- Round-6 governance/retention pack.
         "retention_audit": GV.RETENTION_AUDIT_SQL,
         "tombstone_cascade": GV.TOMBSTONE_CASCADE_SQL,

@@ -749,3 +749,173 @@ FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src
 GROUP BY e.src
 ORDER BY e.src
 """
+
+
+# ---------------------------------------------------------------------------
+# Adaptive k-core decomposition (unrolled peeling)
+# ---------------------------------------------------------------------------
+
+#: Peel iterations unrolled into the one lazy plan (like PR_ITERS).
+KCORE_ROUNDS = 3
+#: Minimum co-purchase support for an edge (noise floor — a pair
+#: ordered together once is not a relationship).
+KCORE_SUPPORT = 2
+#: Quadratic guard on basket size (basket_pairs' documented cap).
+KCORE_BASKET_CAP = 20
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive k-core peeling on the part co-purchase graph: pick
+    k as the 75th-percentile round-0 degree, then run KCORE_ROUNDS
+    peel iterations (drop nodes with degree < k, drop edges touching
+    a dropped node, repeat) and report the shrinking (nodes, edges)
+    per round — the standard dense-subgraph extractor (spam-cluster
+    mining on link graphs, "core community" detection, and the
+    candidate filter before expensive clique-ish analytics).
+
+    k is data-adaptive (a percentile of the degree distribution)
+    instead of a constant because a meaningful absolute core number
+    scales with corpus density — the exact percentile is ONE ordered
+    row_number pick over the dim-bounded degree table, fully
+    deterministic (ties broken by the total (deg, node) order).
+
+    Exactness: every quantity is an integer COUNT; no floats exist.
+    Peeling is unrolled (graph_pagerank's fixed-iteration pattern)
+    so one lazy plan exists and a CTE-chain oracle can mirror it
+    step for step. True k-core runs peeling to fixpoint; a fixed
+    unroll is the oracle-compatible prefix and each round is pinned
+    monotone non-increasing in pytest.
+
+    Plan: the expensive step is the ONE basket self-join funnel
+    (distinct (order, part) → windowed basket cap → within-order
+    pair join → support agg), identical to analytics.basket_pairs
+    and bounded by cap²·|orders| pair rows; its output is
+    localCheckpoint'd so the four round summaries and three peels
+    iterate on the materialized dim-bounded edge list instead of
+    re-running the funnel per branch (the dedup_near re-execution
+    fix). Each peel is two semi-joins + one degree agg over
+    |edges| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = items.withColumn(
+        "n_items", F.expr("count(*) OVER (PARTITION BY l_orderkey)")
+    ).where(F.col("n_items") <= KCORE_BASKET_CAP)
+    a = sized.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = sized.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= KCORE_SUPPORT)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        ends = e.select(F.col("pa").alias("node")).unionAll(
+            e.select(F.col("pb").alias("node"))
+        )
+        return ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+    deg0 = degrees(edges)
+    k_df = (
+        deg0.withColumn(
+            "rn",
+            F.expr("row_number() OVER (ORDER BY deg ASC, node ASC)"),
+        )
+        .withColumn("n", F.expr("count(*) OVER ()"))
+        .where("rn = (n * 3) DIV 4 + 1")
+        .select(F.col("deg").alias("k"))
+    )
+
+    def summary(e: DataFrame, rnd: int) -> DataFrame:
+        n_nodes = degrees(e).agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes")
+        )
+        n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        return (
+            n_nodes.crossJoin(n_edges)
+            .crossJoin(k_df)
+            .select(
+                F.lit(rnd).cast("long").alias("round"),
+                "k", "n_nodes", "n_edges",
+            )
+        )
+
+    out = [summary(edges, 0)]
+    cur = edges
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        keep = (
+            degrees(cur)
+            .crossJoin(k_df)
+            .where("deg >= k")
+            .select("node")
+        )
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "pa"), "pa", "semi")
+            .join(keep.withColumnRenamed("node", "pb"), "pb", "semi")
+            .select("pa", "pb")
+            .localCheckpoint(eager=False)
+        )
+        out.append(summary(cur, rnd))
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionAll(s)
+    return res.orderBy("round")
+
+
+def _kcore_sql() -> str:
+    """CTE-chain oracle mirroring the unrolled peel step for step."""
+    prep = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey, l_partkey,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items
+  FROM items
+), kept AS (
+  SELECT l_orderkey, l_partkey FROM sized
+  WHERE n_items <= {KCORE_BASKET_CAP}
+), e0 AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM kept a JOIN kept b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {KCORE_SUPPORT}
+), d0 AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0
+  ) GROUP BY node
+), kv AS (
+  SELECT deg AS k FROM (
+    SELECT deg, row_number() OVER (ORDER BY deg ASC, node ASC) AS rn,
+           COUNT(*) OVER () AS n
+    FROM d0
+  ) WHERE rn = (n * 3) // 4 + 1
+)"""
+    chain = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        p, c = f"e{r - 1}", f"e{r}"
+        chain.append(f""", keep{r} AS (
+  SELECT node FROM (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      SELECT pa AS node FROM {p} UNION ALL SELECT pb FROM {p}
+    ) GROUP BY node
+  ), kv WHERE deg >= kv.k
+), {c} AS (
+  SELECT pa, pb FROM {p}
+  WHERE pa IN (SELECT node FROM keep{r})
+    AND pb IN (SELECT node FROM keep{r})
+)""")
+    selects = []
+    for r in range(0, KCORE_ROUNDS + 1):
+        selects.append(f"""SELECT CAST({r} AS BIGINT) AS round, kv.k,
+  (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM (
+     SELECT pa AS node FROM e{r} UNION ALL SELECT pb FROM e{r})) AS n_nodes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges
+FROM kv""")
+    return prep + "".join(chain) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
+
+
+GRAPH_KCORE_SQL = _kcore_sql()

@@ -680,3 +680,86 @@ SELECT COUNT(*) AS n_raw,
        CAST(SUM(CASE WHEN f_quota AND sample_bucket < {SAMPLE_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM quota
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing weights
+# ---------------------------------------------------------------------------
+
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights at τ = 0.5 — the
+    multilingual/multi-source rebalancing rule (sample source s with
+    probability ∝ n_s^τ) that upweights tail sources relative to
+    proportional sampling without going fully uniform; the published
+    recipe behind mT5/XLM-R style corpus mixing. Reported per
+    source: raw proportional share, the τ=0.5 share, and the uniform
+    share, all in basis points, plus the lift the temperature gives
+    the source vs proportional.
+
+    Exactness: n^0.5 = √n, and SQRT on a double is IEEE-754
+    correctly rounded (algebraic, not transcendental), so
+    s = FLOOR(√n · 1000) is bit-identical cross-engine; every share
+    is then an integer DIV over BIGINT sums of those s — no float
+    accumulation, one shared expression template (memory:
+    oracle-determinism-rules). Other temperatures need n^τ via
+    exp/ln — out of the oracle contract; τ=0.5 is the published
+    default and stays exact.
+
+    Plan: one partial agg to |sources| rows, one 1-row-broadcast
+    total via an empty-frame window; everything after the first agg
+    is dim-bounded. The 100 TB cost is the map-side count combine.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scaled = counts.withColumn(
+        "s_e3",
+        F.expr("CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000.0) AS BIGINT)"),
+    )
+    return (
+        scaled.select(
+            "source",
+            "n_docs",
+            "s_e3",
+            F.expr(
+                "(n_docs * 10000) DIV SUM(n_docs) OVER ()"
+            ).alias("prop_bp"),
+            F.expr("(s_e3 * 10000) DIV SUM(s_e3) OVER ()").alias("temp_bp"),
+            F.expr(
+                "10000 DIV COUNT(*) OVER ()"
+            ).alias("uniform_bp"),
+        )
+        .withColumn(
+            "lift_bp",
+            F.expr(
+                "CASE WHEN prop_bp > 0 "
+                "THEN (temp_bp * 10000) DIV prop_bp - 10000 END"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+MIX_TEMPERATURE_WEIGHTS_SQL = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), scaled AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000.0) AS BIGINT) AS s_e3
+  FROM counts
+), shares AS (
+  SELECT source, n_docs, s_e3,
+         (n_docs * 10000) // CAST(SUM(n_docs) OVER () AS BIGINT) AS prop_bp,
+         (s_e3 * 10000) // CAST(SUM(s_e3) OVER () AS BIGINT) AS temp_bp,
+         CAST(10000 AS BIGINT) // CAST(COUNT(*) OVER () AS BIGINT)
+           AS uniform_bp
+  FROM scaled
+)
+SELECT source, n_docs, s_e3, prop_bp, temp_bp, uniform_bp,
+       CASE WHEN prop_bp > 0
+            THEN (temp_bp * 10000) // prop_bp - 10000 END AS lift_bp
+FROM shares
+ORDER BY source
+"""

@@ -2623,3 +2623,182 @@ SELECT from_type, to_type, n,
 FROM counted
 ORDER BY from_type, to_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor) of the hourly event series
+# ---------------------------------------------------------------------------
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of the hourly event-count
+    series per event_type — the standard dispersion screen for "is
+    this stream Poisson-ish or bursty" (capacity planning, anomaly
+    baselines, rate-limiter tuning). Fano ≈ 1e6 (scaled) means
+    Poisson; ≫ means bursty traffic that needs headroom.
+
+    The reference's users run ad-hoc traffic screens via the raw-SQL
+    passthrough (app/main.py:479); here it is a first-class operator.
+
+    Exactness: sample variance / mean collapses to the all-integer
+    form fano_e6 = (n·Σc² − (Σc)²)·1e6 DIV ((n−1)·Σc) — one integer
+    DIV, no float accumulation anywhere (memory: oracle-determinism
+    rules). At extreme per-hour counts (Σc² approaching 2⁶³/n) the
+    e6 scale would need to drop to e3 — noted, not reached at any
+    fixture SF nor at 1000× (counts are per-type-hour partials).
+
+    Plan: one partial agg to |hours × types| rows (map-side combine
+    does the heavy lifting — this is the 100 TB→dim-bounded funnel),
+    one final per-type agg over observed hours. Two exchanges total,
+    both over pre-aggregated single-row-per-group width.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_type = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("sum_c"),
+        F.sum(F.expr("c * c")).alias("sum_c2"),
+    )
+    return (
+        per_type.where("n_hours > 1 AND sum_c > 0")
+        .withColumn(
+            "mean_e3", F.expr("(sum_c * 1000) DIV n_hours")
+        )
+        .withColumn(
+            "fano_e6",
+            F.expr(
+                "((n_hours * sum_c2 - sum_c * sum_c) * 1000000) "
+                "DIV ((n_hours - 1) * sum_c)"
+            ),
+        )
+        .select("event_type", "n_hours", "sum_c", "sum_c2", "mean_e3", "fano_e6")
+        .orderBy("event_type")
+    )
+
+
+EVENTS_BURSTINESS_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS sum_c,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, n_hours, sum_c, sum_c2,
+       (sum_c * 1000) // n_hours AS mean_e3,
+       ((n_hours * sum_c2 - sum_c * sum_c) * 1000000)
+         // ((n_hours - 1) * sum_c) AS fano_e6
+FROM per_type
+WHERE n_hours > 1 AND sum_c > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Daily-seasonality autocorrelation (lag-24 hours)
+# ---------------------------------------------------------------------------
+
+def events_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-24-hour autocorrelation of the hourly event-count series
+    per event_type — the one-number daily-seasonality detector
+    (corr ≈ 1e6-scaled Pearson between hour t and hour t−24).
+    High autocorr ⇒ schedule-driven traffic (use yesterday's same
+    hour as the forecast baseline); near zero ⇒ don't.
+
+    Pairs are formed by a calendar self-join (hour = hour − 24 h),
+    so a missing hour simply drops its two pairs rather than
+    shifting the alignment — the right behavior for a gappy series.
+
+    Exactness: all five moment sums (Σx, Σy, Σxy, Σx², Σy²) are
+    BIGINT aggregates of integer per-pair products — no float
+    accumulation. The final Pearson is ONE shared expression
+    template evaluated per output row: num/√dx·√dy where num, dx,
+    dy are integers; SQRT on a double is IEEE-754 correctly rounded
+    (algebraic, not transcendental — both engines bit-agree), and
+    the single divide + FLOOR is likewise exact-input/exact-op, so
+    corr_e6 is hash-stable cross-engine. The raw sums ride along so
+    a consumer can re-derive at any scale.
+
+    Plan: one partial agg to |hours × types|, one self-join on the
+    (type, hour) key — both sides share the partial agg's exchange;
+    AQE broadcasts at fixture SFs — then a per-type final agg of
+    pre-multiplied integers. Nothing data-proportional crosses the
+    wire after the first partial agg.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cur = hourly.select(
+        "event_type", "hour", F.col("c").alias("x")
+    )
+    prev = hourly.select(
+        F.col("event_type").alias("event_type2"),
+        (F.col("hour") + F.expr("INTERVAL 24 HOURS")).alias("hour2"),
+        F.col("c").alias("y"),
+    )
+    pairs = cur.join(
+        prev,
+        (F.col("event_type") == F.col("event_type2"))
+        & (F.col("hour") == F.col("hour2")),
+    )
+    mom = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    corr_tmpl = (
+        "CAST(FLOOR((CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1000000.0)"
+        " / (SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE))"
+        " * SQRT(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) AS BIGINT)"
+    )
+    return (
+        mom.where(
+            "n_pairs > 1 AND n_pairs * sxx - sx * sx > 0 "
+            "AND n_pairs * syy - sy * sy > 0"
+        )
+        .withColumn("corr_e6", F.expr(corr_tmpl))
+        .select("event_type", "n_pairs", "sx", "sy", "sxy", "sxx", "syy", "corr_e6")
+        .orderBy("event_type")
+    )
+
+
+EVENTS_AUTOCORR24_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.c AS x, b.c AS y
+  FROM hourly a
+  JOIN hourly b
+    ON a.event_type = b.event_type
+   AND a.hour = b.hour + INTERVAL 24 HOURS
+), mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n_pairs, sx, sy, sxy, sxx, syy,
+       CAST(FLOOR((CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1000000.0)
+         / (SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+          * SQRT(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+         AS corr_e6
+FROM mom
+WHERE n_pairs > 1 AND n_pairs * sxx - sx * sx > 0
+  AND n_pairs * syy - sy * sy > 0
+ORDER BY event_type
+"""

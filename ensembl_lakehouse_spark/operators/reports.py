@@ -895,3 +895,115 @@ FROM supp s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
 ORDER BY n.n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# feature_drift_chi2
+# ---------------------------------------------------------------------------
+
+#: Price band width (whole currency units) for the drift histogram.
+DRIFT_BAND = 50000
+#: Baseline / comparison order years.
+DRIFT_YEAR_A = 1995
+DRIFT_YEAR_B = 1996
+
+
+def feature_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-distribution drift monitor: chi-square contribution of
+    each o_totalprice band between a baseline year and the next, per
+    order priority — the PSI-style "did this feature's distribution
+    move" screen every production training pipeline runs before
+    retraining (PSI itself needs ln; the chi-square statistic is the
+    log-free twin and ranks bands identically for small shifts).
+
+    Expected counts scale the baseline band to the comparison
+    year's volume: exp = cA·tB/tA; the per-band contribution is
+    (obs−exp)²/exp = (obs·tA − cA·tB)² / (cA·tA·tB). Everything up
+    to the final quotient is BIGINT (obs·tA ≈ 2e10 at sf0.1 — six
+    orders of headroom); the quotient is ONE shared expression
+    template of correctly-rounded double ops, bit-identical across
+    engines, and per-ROW (each band is its own output row — the
+    chi-square total is the consumer's integer-safe sum of
+    contrib_e6). Bands new in year B (cA = 0, chi2 undefined) are
+    reported with NULL contrib rather than dropped — a brand-new
+    band is the loudest drift signal there is.
+
+    Plan: one partial agg over the two-year scan to |priority ×
+    band × 2| rows, a dim-bounded outer join of the two year
+    histograms, per-priority totals via window over ≤|bands| rows.
+    The 100 TB cost is the map-side histogram combine; nothing
+    after it is data-proportional.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    def year_hist(year: int, cname: str) -> DataFrame:
+        return (
+            orders.where(F.expr(f"year(o_orderdate) = {year}"))
+            .groupBy(
+                F.col("o_orderpriority").alias("priority"),
+                F.expr(
+                    f"CAST(FLOOR(o_totalprice / {DRIFT_BAND}) AS BIGINT)"
+                ).alias("band"),
+            )
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+    a = year_hist(DRIFT_YEAR_A, "c_a")
+    b = year_hist(DRIFT_YEAR_B, "c_b")
+    joined = (
+        a.join(b, ["priority", "band"], "full_outer")
+        .withColumn("c_a", F.expr("coalesce(c_a, CAST(0 AS BIGINT))"))
+        .withColumn("c_b", F.expr("coalesce(c_b, CAST(0 AS BIGINT))"))
+        .withColumn("tot_a", F.expr("SUM(c_a) OVER (PARTITION BY priority)"))
+        .withColumn("tot_b", F.expr("SUM(c_b) OVER (PARTITION BY priority)"))
+    )
+    contrib = (
+        "CASE WHEN c_a > 0 THEN CAST(FLOOR(((CAST(c_b * tot_a - c_a * tot_b"
+        " AS DOUBLE) * CAST(c_b * tot_a - c_a * tot_b AS DOUBLE))"
+        " * 1000000.0) / ((CAST(c_a AS DOUBLE) * CAST(tot_a AS DOUBLE))"
+        " * CAST(tot_b AS DOUBLE))) AS BIGINT) END"
+    )
+    return (
+        joined.where("tot_a > 0 AND tot_b > 0")
+        .withColumn("chi2_contrib_e6", F.expr(contrib))
+        .select(
+            "priority", "band", "c_a", "c_b", "tot_a", "tot_b",
+            "chi2_contrib_e6",
+        )
+        .orderBy("priority", "band")
+    )
+
+
+FEATURE_DRIFT_CHI2_SQL = f"""
+WITH a AS (
+  SELECT o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice / {DRIFT_BAND}) AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS c_a
+  FROM orders WHERE year(o_orderdate) = {DRIFT_YEAR_A}
+  GROUP BY 1, 2
+), b AS (
+  SELECT o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice / {DRIFT_BAND}) AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS c_b
+  FROM orders WHERE year(o_orderdate) = {DRIFT_YEAR_B}
+  GROUP BY 1, 2
+), joined AS (
+  SELECT COALESCE(a.priority, b.priority) AS priority,
+         COALESCE(a.band, b.band) AS band,
+         COALESCE(a.c_a, CAST(0 AS BIGINT)) AS c_a,
+         COALESCE(b.c_b, CAST(0 AS BIGINT)) AS c_b
+  FROM a FULL OUTER JOIN b
+    ON a.priority = b.priority AND a.band = b.band
+), tot AS (
+  SELECT priority, band, c_a, c_b,
+         CAST(SUM(c_a) OVER (PARTITION BY priority) AS BIGINT) AS tot_a,
+         CAST(SUM(c_b) OVER (PARTITION BY priority) AS BIGINT) AS tot_b
+  FROM joined
+)
+SELECT priority, band, c_a, c_b, tot_a, tot_b,
+       CASE WHEN c_a > 0 THEN CAST(FLOOR(((CAST(c_b * tot_a - c_a * tot_b
+         AS DOUBLE) * CAST(c_b * tot_a - c_a * tot_b AS DOUBLE))
+         * 1000000.0) / ((CAST(c_a AS DOUBLE) * CAST(tot_a AS DOUBLE))
+         * CAST(tot_b AS DOUBLE))) AS BIGINT) END AS chi2_contrib_e6
+FROM tot
+WHERE tot_a > 0 AND tot_b > 0
+ORDER BY priority, band
+"""

@@ -1127,3 +1127,84 @@ SELECT v.bucket, v.n_tokens,
 FROM volume v LEFT JOIN first_seen f ON v.bucket = f.bucket
 ORDER BY v.bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Lexical concentration (Gini) per document, profiled per language
+# ---------------------------------------------------------------------------
+
+def text_lexical_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical concentration via the Gini/Simpson index
+    1 − Σ p(tok)², rolled up per language — the entropy-free twin of
+    token entropy (memory: oracle-determinism-rules bans ln in
+    checked plans; 1−Σp² ranks repetitive docs the same way). Low
+    gini ⇒ few tokens dominate (boilerplate, keyword stuffing, OCR
+    loops); the curation filter reads it next to text_repetition's
+    longest-run signal, which catches ADJACENT repetition only —
+    this catches global concentration regardless of position.
+
+    Integer-exact: per doc, gini_bp = (T² − Σc²)·10000 DIV T² over
+    BIGINT token counts; the language rollup reports min/max and the
+    BIGINT sum + integer-DIV mean of those per-doc basis points.
+    No float exists anywhere in the plan.
+
+    Plan: explode → (doc, tok) partial-agg count → per-doc agg
+    (both shuffles hash on doc-prefixed keys and move pre-combined
+    single-width rows) → |langs|-row final agg. The explode fan-out
+    is the 100 TB cost and is map-side; everything after the first
+    combine is sublinear.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    counts = (
+        toks.select("doc_id", "lang", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("t_toks"),
+        F.sum(F.expr("c * c")).alias("sum_c2"),
+    ).withColumn(
+        "gini_bp",
+        F.expr("((t_toks * t_toks - sum_c2) * 10000) DIV (t_toks * t_toks)"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("gini_bp").alias("min_gini_bp"),
+            F.max("gini_bp").alias("max_gini_bp"),
+            F.sum("gini_bp").alias("sum_gini_bp"),
+        )
+        .withColumn("mean_gini_bp", F.expr("sum_gini_bp DIV n_docs"))
+        .orderBy("lang")
+    )
+
+
+TEXT_LEXICAL_GINI_SQL = f"""
+{_SQL_PREP}, counts AS (
+  SELECT doc_id, lang, unnest(toks) AS tok FROM t
+), cc AS (
+  SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM counts GROUP BY doc_id, lang, tok
+), per_doc AS (
+  SELECT doc_id, lang,
+         CAST(SUM(c) AS BIGINT) AS t_toks,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM cc GROUP BY doc_id, lang
+), scored AS (
+  SELECT doc_id, lang,
+         ((t_toks * t_toks - sum_c2) * 10000) // (t_toks * t_toks)
+           AS gini_bp
+  FROM per_doc
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(gini_bp) AS min_gini_bp,
+       MAX(gini_bp) AS max_gini_bp,
+       CAST(SUM(gini_bp) AS BIGINT) AS sum_gini_bp,
+       CAST(SUM(gini_bp) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+         AS mean_gini_bp
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""

@@ -231,6 +231,21 @@ BUDGETS = {
     "supplier_nation_balance": 1,
     # map-only explode/fixed-point math, one |dims| agg
     "embedding_dim_stats": 1,
+    # round-6 batch 3: hourly partial agg + per-type final agg
+    "events_burstiness": 2,
+    # hourly agg + lag-24 self-join (AQE broadcast at test SF) +
+    # per-type moment agg
+    "events_autocorr24": 3,
+    # two year histograms + the dim-bounded full-outer/window stage
+    "feature_drift_chi2": 3,
+    # one |sources| agg; the share windows ride the 1-partition frame
+    "mix_temperature_weights": 1,
+    # explode → (doc,tok) agg → per-doc agg → |langs| agg (first
+    # combine is map-side; doc-prefixed keys share partitioning)
+    "text_lexical_gini": 3,
+    # visible shuffles only: the basket funnel + per-round degree
+    # aggs sit behind localCheckpoints (priced like dedup_near)
+    "graph_kcore": 3,
 }
 
 

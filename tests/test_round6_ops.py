@@ -222,3 +222,97 @@ def test_embedding_dim_stats_variance_nonnegative(spark):
     assert len(rows) == 64
     assert all(r.var_fp >= 0 for r in rows)
     assert all(r.n == rows[0].n for r in rows)  # every dim same count
+
+
+# --- round-6 batch 3 -------------------------------------------------------
+
+
+def test_events_burstiness_bounds_and_moments(spark):
+    from ensembl_lakehouse_spark.operators import relational as R
+
+    rows = R.events_burstiness(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # Cauchy-Schwarz: n·Σc² ≥ (Σc)² ⇒ fano ≥ 0
+        assert r.fano_e6 >= 0
+        assert r.sum_c2 >= r.sum_c  # counts ≥ 1 per observed hour
+        assert r.mean_e3 >= 1000
+
+
+def test_events_autocorr24_in_pearson_range(spark):
+    from ensembl_lakehouse_spark.operators import relational as R
+
+    rows = R.events_autocorr24(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1_000_001 <= r.corr_e6 <= 1_000_000
+        # moment consistency (Cauchy-Schwarz on the raw sums)
+        assert r.n_pairs * r.sxx >= r.sx * r.sx
+        assert r.n_pairs * r.syy >= r.sy * r.sy
+
+
+def test_feature_drift_chi2_row_conservation(spark):
+    from ensembl_lakehouse_spark.operators import relational  # noqa: F401
+    from ensembl_lakehouse_spark.operators import reports as RP
+
+    rows = RP.feature_drift_chi2(spark, SF_DIR).collect()
+    assert rows
+    import duckdb
+
+    for p in {r.priority for r in rows}:
+        sub = [r for r in rows if r.priority == p]
+        # band histograms conserve each year's priority total
+        assert sum(r.c_a for r in sub) == sub[0].tot_a
+        assert sum(r.c_b for r in sub) == sub[0].tot_b
+        for r in sub:
+            if r.c_a == 0:
+                assert r.chi2_contrib_e6 is None  # new band → NULL signal
+            else:
+                assert r.chi2_contrib_e6 >= 0
+    ya = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet' "
+        f"WHERE year(o_orderdate) = {RP.DRIFT_YEAR_A}"
+    ).fetchone()[0]
+    assert sum(r.c_a for r in rows if r.priority == rows[0].priority) <= ya
+
+
+def test_mix_temperature_weights_flattens_toward_uniform(spark):
+    from ensembl_lakehouse_spark.operators import pipeline as P
+
+    rows = P.mix_temperature_weights(spark, SF_DIR).collect()
+    assert rows
+    # shares are honest basis points (floor ⇒ sum ≤ 10000)
+    for col in ("prop_bp", "temp_bp"):
+        s = sum(getattr(r, col) for r in rows)
+        assert 10000 - len(rows) <= s <= 10000
+    # temperature must sit between proportional and uniform on the
+    # extremes: the largest source loses share, the smallest gains
+    big = max(rows, key=lambda r: r.n_docs)
+    small = min(rows, key=lambda r: r.n_docs)
+    if big.n_docs > small.n_docs:
+        assert big.temp_bp <= big.prop_bp
+        assert small.temp_bp >= small.prop_bp
+
+
+def test_text_lexical_gini_bounds(spark):
+    from ensembl_lakehouse_spark.operators import text as T
+
+    rows = T.text_lexical_gini(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.min_gini_bp <= r.max_gini_bp < 10000
+        assert r.min_gini_bp <= r.mean_gini_bp <= r.max_gini_bp
+
+
+def test_graph_kcore_peeling_is_monotone(spark):
+    from ensembl_lakehouse_spark.operators import graph as G
+
+    rows = G.graph_kcore(spark, SF_DIR).collect()
+    assert [r["round"] for r in rows] == [0, 1, 2, 3]
+    k = rows[0].k
+    for a, b in zip(rows, rows[1:]):
+        assert b.k == k  # one adaptive k, fixed across rounds
+        assert b.n_nodes <= a.n_nodes
+        assert b.n_edges <= a.n_edges
+    # peeling with a p75 threshold must actually remove something
+    assert rows[-1].n_nodes < rows[0].n_nodes
