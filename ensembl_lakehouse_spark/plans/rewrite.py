@@ -1,0 +1,206 @@
+"""Aggregate-query rewrite over maintained rollups (the
+materialized-view answering layer; EXT over SURVEY §2's cache
+family, C5's semantic twin at the PLAN level).
+
+The reference caches whole query RESULTS keyed on the canonical
+request (app/main.py:78-86 → 44-day semantic cache); a rollup
+rewrite is the stronger form every warehouse optimizer ships
+(Oracle query rewrite, BigQuery/Snowflake MVs, Databricks
+materialized views): a maintained per-group aggregate can answer
+any query that groups on a SUBSET of its keys with derivable
+measures — without touching the base table at all.
+
+Why this is the 100 TB story: ``ivm.maintain_rollup`` keeps the
+rollup fresh for O(changed rows) per commit; this module then turns
+a 100 TB base-table aggregate into a scan of the dim-bounded rollup
+(re-aggregating |rollup groups| rows, usually kilobytes). The
+rewrite is *provably exact*, not heuristic:
+
+- COUNT(*)  = Σ n_rows   (count-distributive)
+- SUM(col)  = Σ sum_val  (sum-distributive; col must be the
+  rollup's maintained ``sum_col``)
+- AVG(col)  = Σ sum_val / Σ n_rows (derived, computed ONCE at the
+  end — never averaged-of-averages)
+
+and grouping on a subset of the rollup's group keys re-aggregates
+exactly (GROUP BY (a) over GROUP BY (a, b) partials). Anything
+else — a different measure column, MIN/MAX (not self-maintainable,
+the classic IVM limitation documented in ivm.py), a group key the
+rollup doesn't carry — falls back to the base table, loudly, in
+the returned explanation.
+
+Freshness contract: a rollup answers only if its last APPLIED
+source version (``_txns`` log order, rollback-safe — ivm.py:55)
+equals the source's CURRENT version. ``freshness="stale_ok"``
+opts into bounded staleness (the Snowflake MV read mode);
+``"strict"`` (default) falls back to the base scan instead.
+Tombstoned groups (n_rows = 0 after deletes) are filtered by
+``ivm.read_rollup`` on every rollup read path.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ensembl_lakehouse_spark import ivm
+from ensembl_lakehouse_spark import snapshots as SN
+
+#: Measures the rewrite can derive from (n_rows, sum_val) partials.
+DERIVABLE = ("count", "sum", "avg")
+
+
+@dataclass(frozen=True)
+class RollupSpec:
+    """A registered rollup: where it lives, what it maintains."""
+
+    name: str
+    rollup_dir: str
+    source_dir: str
+    group_cols: tuple[str, ...]
+    sum_col: str
+
+
+class RollupCatalog:
+    """Driver-side registry of maintained rollups (bounded: one
+    entry per registered view, the same driver-metadata class as
+    the snapshot manifests)."""
+
+    def __init__(self) -> None:
+        self._specs: dict[str, RollupSpec] = {}
+
+    def register(
+        self,
+        name: str,
+        rollup_dir: str,
+        source_dir: str,
+        group_cols: list[str],
+        sum_col: str,
+    ) -> RollupSpec:
+        spec = RollupSpec(
+            name=name,
+            rollup_dir=os.path.abspath(rollup_dir),
+            source_dir=os.path.abspath(source_dir),
+            group_cols=tuple(group_cols),
+            sum_col=sum_col,
+        )
+        self._specs[name] = spec
+        return spec
+
+    def unregister(self, name: str) -> None:
+        self._specs.pop(name, None)
+
+    def specs(self) -> list[RollupSpec]:
+        """Registered specs, cheapest-first (fewest group columns ⇒
+        fewest rollup rows to re-aggregate), name-tiebroken so the
+        choice is deterministic."""
+        return sorted(
+            self._specs.values(), key=lambda s: (len(s.group_cols), s.name)
+        )
+
+
+def _rollup_fresh(spec: RollupSpec) -> bool:
+    applied = ivm._applied_versions(spec.rollup_dir)
+    return bool(applied) and applied[-1] == SN.current_version(
+        spec.source_dir
+    )
+
+
+def _can_answer(
+    spec: RollupSpec, group_by: list[str], aggs: dict[str, tuple[str, str]]
+) -> str | None:
+    """None if the spec can answer; else the human-readable reason
+    it cannot (the first failing check — enough for the log)."""
+    missing = set(group_by) - set(spec.group_cols)
+    if missing:
+        return f"group key(s) {sorted(missing)} not in rollup keys"
+    for out, (fn, col) in aggs.items():
+        if fn not in DERIVABLE:
+            return f"{out}: {fn} is not derivable from (count, sum) partials"
+        if fn in ("sum", "avg") and col != spec.sum_col:
+            return f"{out}: rollup maintains sum({spec.sum_col}), not {col}"
+    return None
+
+
+def _agg_exprs(
+    aggs: dict[str, tuple[str, str]], *, from_rollup: bool
+) -> list:
+    """The SAME output contract from either side: count → BIGINT,
+    sum → BIGINT (of the bigint-cast column, matching what
+    maintain_rollup accumulates), avg → one double division at the
+    end."""
+    exprs = []
+    for out, (fn, col) in aggs.items():
+        if from_rollup:
+            cnt = F.sum("n_rows").cast("bigint")
+            sm = F.sum("sum_val").cast("bigint")
+        else:
+            cnt = F.count(F.lit(1)).cast("bigint")
+            sm = F.coalesce(
+                F.sum(F.col(col).cast("bigint")), F.lit(0)
+            ).cast("bigint")
+        if fn == "count":
+            exprs.append(cnt.alias(out))
+        elif fn == "sum":
+            exprs.append(sm.alias(out))
+        else:  # avg
+            exprs.append(
+                (sm.cast("double") / cnt.cast("double")).alias(out)
+            )
+    return exprs
+
+
+def answer_aggregate(
+    spark: SparkSession,
+    catalog: RollupCatalog,
+    source_dir: str,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str]],
+    freshness: str = "strict",
+) -> tuple[DataFrame, dict]:
+    """Answer ``SELECT group_by, aggs FROM source GROUP BY group_by``
+    from the cheapest registered rollup that can serve it exactly,
+    else from the base table.
+
+    ``aggs`` maps output column → ("count"|"sum"|"avg", column)
+    (column ignored for count). Returns (df, explanation) where
+    explanation records which path answered and why the rollups
+    that were skipped could not — the EXPLAIN surface for the
+    rewrite, pinned in tests so fallbacks can't go silent.
+    """
+    if freshness not in ("strict", "stale_ok"):
+        raise ValueError(
+            f"freshness must be strict|stale_ok, got {freshness!r}"
+        )
+    src = os.path.abspath(source_dir)
+    skipped: list[dict] = []
+    for spec in catalog.specs():
+        if spec.source_dir != src:
+            continue
+        reason = _can_answer(spec, group_by, aggs)
+        if reason is not None:
+            skipped.append({"rollup": spec.name, "reason": reason})
+            continue
+        if freshness == "strict" and not _rollup_fresh(spec):
+            skipped.append(
+                {
+                    "rollup": spec.name,
+                    "reason": "stale (last applied != source current)",
+                }
+            )
+            continue
+        df = (
+            ivm.read_rollup(spark, spec.rollup_dir)
+            .groupBy(*group_by)
+            .agg(*_agg_exprs(aggs, from_rollup=True))
+        )
+        return df, {
+            "used": "rollup",
+            "rollup": spec.name,
+            "skipped": skipped,
+        }
+    base = SN.read_snapshot(spark, src)
+    df = base.groupBy(*group_by).agg(*_agg_exprs(aggs, from_rollup=False))
+    return df, {"used": "base", "rollup": None, "skipped": skipped}
