@@ -2802,3 +2802,64 @@ WHERE n_pairs > 1 AND n_pairs * sxx - sx * sx > 0
   AND n_pairs * syy - sy * sy > 0
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Top user paths (consecutive event-type trigrams)
+# ---------------------------------------------------------------------------
+
+#: Paths reported.
+TRIGRAM_TOP_N = 20
+
+
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRIGRAM_TOP_N most common consecutive event-type triples
+    across user journeys — the path-mining step past
+    events_type_transitions' pair matrix (pairs say WHAT follows
+    what; trigrams expose the actual flows — browse→cart→buy vs
+    browse→cart→abandon — that funnel design starts from).
+
+    Order within a user is the same total (ts, event_id) order the
+    transition matrix uses, so the two reports are consistent; ties
+    in support break by the triple's lexical order, making top-N
+    deterministic.
+
+    Plan: ONE window exchange keyed user_id computes both lags
+    (shared ordering), then a trigram partial agg and a
+    TakeOrderedAndProject for the top-N — no full sort. At 100 TB
+    the per-user window parallelizes across users; no user's
+    history sits on more than one task.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_timestamp("ts").alias("s"),
+    )
+    w = "(PARTITION BY user_id ORDER BY s ASC, event_id ASC)"
+    tri = events.select(
+        F.col("event_type").alias("c"),
+        F.expr(f"lag(event_type, 1) OVER {w}").alias("b"),
+        F.expr(f"lag(event_type, 2) OVER {w}").alias("a"),
+    ).where("a IS NOT NULL")
+    return (
+        tri.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .orderBy(F.desc("support"), "a", "b", "c")
+        .limit(TRIGRAM_TOP_N)
+    )
+
+
+EVENTS_TRIGRAM_PATHS_SQL = f"""
+WITH tri AS (
+  SELECT event_type AS c,
+         lag(event_type, 1) OVER (PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) AS b,
+         lag(event_type, 2) OVER (PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) AS a
+  FROM events
+)
+SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS support
+FROM tri WHERE a IS NOT NULL
+GROUP BY a, b, c
+ORDER BY support DESC, a, b, c
+LIMIT {TRIGRAM_TOP_N}
+"""

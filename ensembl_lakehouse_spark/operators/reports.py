@@ -1007,3 +1007,273 @@ FROM tot
 WHERE tot_a > 0 AND tot_b > 0
 ORDER BY priority, band
 """
+
+
+# ---------------------------------------------------------------------------
+# discount_quantity_corr
+# ---------------------------------------------------------------------------
+
+def discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-sensitivity screen: per part brand, the Pearson
+    correlation between a lineitem's discount and its quantity —
+    "do deeper discounts actually move more units for this brand".
+    The demand-elasticity proxy every assortment/pricing report
+    starts from (the true elasticity needs a demand model; the
+    correlation is the screen that says where to look).
+
+    Exactness (events_autocorr24's recipe): discount is snapped to
+    integer basis points per ROW (floor(x·10⁴+0.5) — the values are
+    hundredths, so this is exact re-quantization, not rounding
+    noise), quantity is already integral; all five moment sums are
+    then BIGINT aggregates, and the final Pearson is the ONE shared
+    sqrt/divide template over exact integers (IEEE-correctly-rounded
+    double ops, bit-stable cross-engine).
+
+    Plan: one map-side partial agg over the lineitem⋈part join —
+    part is the broadcast dim — to |brands| moment rows. Nothing
+    after the scan is data-proportional.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(floor(l_discount * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("x"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("y"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mom = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("y * y")).alias("syy"),
+        )
+    )
+    corr_tmpl = (
+        "CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0)"
+        " / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
+        " * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)"
+    )
+    return (
+        mom.where(
+            "n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+        )
+        .withColumn("corr_e6", F.expr(corr_tmpl))
+        .select("p_brand", "n", "sx", "sy", "corr_e6")
+        .orderBy("p_brand")
+    )
+
+
+DISCOUNT_QUANTITY_CORR_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(l_discount * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+), mom AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM li JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n, sx, sy,
+       CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0)
+         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+          * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) AS corr_e6
+FROM mom
+WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer_repeat_rate
+# ---------------------------------------------------------------------------
+
+def customer_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-base loyalty report per market segment: how many
+    ordering customers came back (≥2 orders), the repeat share in
+    basis points, and the mean inter-purchase interval among repeat
+    customers — the retention headline next to orders_rfm_segments'
+    quartile view.
+
+    Per-customer interval = days(first→last) DIV (orders−1): the
+    exact mean gap of an evenly-spaced ideal, integer-truncated; the
+    segment mean is then BIGINT-sum DIV count. All integers — no
+    float anywhere.
+
+    Plan: per-customer agg on the orders scan (one shuffle keyed
+    o_custkey), broadcast-join of the customer dim for the segment,
+    |segments| final agg. Fact is funneled to |customers| rows
+    before anything else happens.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    joined = per_cust.join(
+        F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+    ).withColumn(
+        "gap_days",
+        F.expr(
+            "CASE WHEN n_orders > 1 "
+            "THEN CAST(datediff(last_d, first_d) AS BIGINT) "
+            "DIV (n_orders - 1) END"
+        ),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.expr("CASE WHEN n_orders > 1 THEN 1 ELSE 0 END")).alias(
+                "n_repeat"
+            ),
+            F.sum(F.expr("coalesce(gap_days, CAST(0 AS BIGINT))")).alias(
+                "gap_total"
+            ),
+        )
+        .withColumn("repeat_bp", F.expr("(n_repeat * 10000) DIV n_customers"))
+        .withColumn(
+            "mean_gap_days",
+            F.expr("CASE WHEN n_repeat > 0 THEN gap_total DIV n_repeat END"),
+        )
+        .select(
+            "c_mktsegment", "n_customers", "n_repeat", "repeat_bp",
+            "mean_gap_days",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+CUSTOMER_REPEAT_RATE_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         MIN(CAST(o_orderdate AS DATE)) AS first_d,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+), joined AS (
+  SELECT c_mktsegment, n_orders,
+         CASE WHEN n_orders > 1
+              THEN CAST(datediff('day', first_d, last_d) AS BIGINT)
+                   // (n_orders - 1) END AS gap_days
+  FROM per_cust JOIN customer ON o_custkey = c_custkey
+), seg AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeat,
+         CAST(SUM(COALESCE(gap_days, CAST(0 AS BIGINT))) AS BIGINT)
+           AS gap_total
+  FROM joined GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_customers, n_repeat,
+       (n_repeat * 10000) // n_customers AS repeat_bp,
+       CASE WHEN n_repeat > 0 THEN gap_total // n_repeat END
+         AS mean_gap_days
+FROM seg
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# supplier_hhi
+# ---------------------------------------------------------------------------
+
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration risk per nation: the Herfindahl–
+    Hirschman index of supplier revenue shares — the antitrust/
+    supply-chain-risk number (10000 = one supplier owns the nation's
+    book; 10000/n = perfectly even). Complements
+    revenue_concentration's "customers to reach X%" curve with the
+    single-number concentration index on the SUPPLY side.
+
+    Exactness: revenue is per-row cents (fixed-point BIGINT before
+    any SUM); each supplier's share is an integer-DIV basis-point
+    floor, and HHI = Σ share_bp² DIV 10000 — the floor-share HHI,
+    identical in both engines by construction and within 1bp·n of
+    the real-valued index.
+
+    Plan: lineitem funnels to |suppliers| rows in ONE partial agg
+    (supplier dim broadcasts), then |nations| final agg over the
+    share window that reuses the nation partitioning.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) "
+            "* 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    per_supp = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    shared = per_supp.withColumn(
+        "share_bp",
+        F.expr(
+            "(rev_cents * 10000) DIV SUM(rev_cents) OVER (PARTITION BY n_name)"
+        ),
+    )
+    return (
+        shared.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("rev_cents").alias("nation_cents"),
+            F.sum(F.expr("share_bp * share_bp")).alias("sq_sum"),
+        )
+        .withColumn("hhi_bp", F.expr("sq_sum DIV 10000"))
+        .select("n_name", "n_suppliers", "nation_cents", "hhi_bp")
+        .orderBy("n_name")
+    )
+
+
+SUPPLIER_HHI_SQL = """
+WITH li AS (
+  SELECT l_suppkey,
+         CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+           * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM lineitem
+), per_supp AS (
+  SELECT n_name, s_suppkey, CAST(SUM(cents) AS BIGINT) AS rev_cents
+  FROM li
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey
+), shared AS (
+  SELECT n_name, rev_cents,
+         (rev_cents * 10000)
+           // CAST(SUM(rev_cents) OVER (PARTITION BY n_name) AS BIGINT)
+           AS share_bp
+  FROM per_supp
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(rev_cents) AS BIGINT) AS nation_cents,
+       CAST(SUM(share_bp * share_bp) AS BIGINT) // 10000 AS hhi_bp
+FROM shared
+GROUP BY n_name
+ORDER BY n_name
+"""

@@ -1114,3 +1114,113 @@ ORDER BY dim
 
 
 EMBEDDING_DIM_STATS_SQL = _embedding_dim_stats_sql()
+
+
+# ---------------------------------------------------------------------------
+# Hubness audit (in-degree distribution of the kNN graph)
+# ---------------------------------------------------------------------------
+
+#: Deterministic audit panel (vec_id < HUB_PANEL) and neighbor count.
+HUB_PANEL = 1024
+HUB_K = 5
+
+
+def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space: build the exact
+    k=HUB_K cosine kNN graph over a fixed panel and report the
+    distribution of kNN *in-degree* — how often each vector shows up
+    in someone else's top-k. A healthy space has in-degrees
+    concentrated near k; high-dimensional degeneracy ("hub" vectors
+    that are everyone's neighbor — the classic curse-of-
+    dimensionality failure, Radovanović et al. JMLR'10) shows up as
+    a heavy right tail, and it silently corrupts both kNN dedup
+    (hubs glue unrelated docs into one cluster) and ANN recall
+    (hubs crowd true neighbors out of candidate lists). This is the
+    one-number-per-bucket screen to run BEFORE trusting
+    dedup_embedding / similarity_* on a new embedding model.
+
+    The panel is the deterministic vec_id < HUB_PANEL prefix (the
+    ann_recall_audit sampling convention): hubness is a property of
+    the space, so a fixed-size panel estimates it at any corpus
+    scale while keeping the audit O(panel²), never O(corpus²).
+
+    Exactness: per-pair cosines only (no float accumulation across
+    rows); the top-k total order is (cosine DESC, vec_id ASC); all
+    reported quantities are integer counts of that deterministic
+    graph. Zero-in-degree vectors are reported via an anti-join
+    (never-a-neighbor is itself a signal — orphaned vectors).
+
+    Plan: one broadcast self-join scores panel² pairs map-side; the
+    per-query WindowGroupLimit keeps k rows per task before the one
+    window exchange; the in-degree agg and |distinct in-degrees|
+    histogram agg run on ≤ panel·k rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < HUB_PANEL
+    )
+    left = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.expr(_norm_expr("embedding")).alias("q_nrm"),
+    )
+    right = emb.select(
+        "vec_id", "embedding",
+        F.expr(_norm_expr("embedding")).alias("c_nrm"),
+    )
+    knn = (
+        right.crossJoin(F.broadcast(left))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", F.expr(_PAIR_COSINE))
+        .withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (PARTITION BY q_id "
+                "ORDER BY cosine DESC, vec_id ASC)"
+            ),
+        )
+        .where(F.col("rank") <= HUB_K)
+    )
+    indeg = knn.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    orphans = (
+        emb.join(indeg, "vec_id", "left_anti")
+        .select(F.lit(0).cast("long").alias("in_deg"))
+    )
+    return (
+        indeg.select("in_deg")
+        .unionByName(orphans)
+        .groupBy("in_deg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("in_deg")
+    )
+
+
+EMBEDDING_HUBNESS_SQL = f"""
+WITH panel AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {HUB_PANEL}
+), scored AS (
+  SELECT c.vec_id, q.vec_id AS q_id,
+         {sql_cosine("q.embedding", "c.embedding")} AS cosine
+  FROM panel c CROSS JOIN panel q
+  WHERE c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+), indeg AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS in_deg
+  FROM ranked WHERE rank <= {HUB_K}
+  GROUP BY vec_id
+), all_deg AS (
+  SELECT in_deg FROM indeg
+  UNION ALL
+  SELECT CAST(0 AS BIGINT) AS in_deg FROM panel
+  WHERE vec_id NOT IN (SELECT vec_id FROM indeg)
+)
+SELECT in_deg, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM all_deg
+GROUP BY in_deg
+ORDER BY in_deg
+"""

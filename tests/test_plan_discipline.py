@@ -246,6 +246,18 @@ BUDGETS = {
     # visible shuffles only: the basket funnel + per-round degree
     # aggs sit behind localCheckpoints (priced like dedup_near)
     "graph_kcore": 3,
+    # round-6 batch 4
+    # part dim broadcasts; one moment agg to |brands| rows
+    "discount_quantity_corr": 1,
+    # per-customer agg + |segments| final (customer dim broadcasts)
+    "customer_repeat_rate": 2,
+    # per-supplier agg + |nations| final sharing the n_name window
+    "supplier_hhi": 2,
+    # one user window + trigram agg (top-N is TakeOrdered)
+    "events_trigram_paths": 2,
+    # panel² broadcast self-join; window + in-degree + orphan union
+    # + histogram aggs all run on ≤ panel·k rows
+    "embedding_hubness": 5,
 }
 
 

@@ -316,3 +316,85 @@ def test_graph_kcore_peeling_is_monotone(spark):
         assert b.n_edges <= a.n_edges
     # peeling with a p75 threshold must actually remove something
     assert rows[-1].n_nodes < rows[0].n_nodes
+
+
+# --- round-6 batch 4 -------------------------------------------------------
+
+
+def test_discount_quantity_corr_range_and_moments(spark):
+    from ensembl_lakehouse_spark.operators import reports as RP
+
+    rows = RP.discount_quantity_corr(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1_000_001 <= r.corr_e6 <= 1_000_000
+        assert r.n > 1
+
+
+def test_customer_repeat_rate_bounds(spark):
+    from ensembl_lakehouse_spark.operators import reports as RP
+
+    rows = RP.customer_repeat_rate(spark, SF_DIR).collect()
+    assert rows
+    import duckdb
+
+    n_ordering = duckdb.sql(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF_DIR}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_customers for r in rows) == n_ordering
+    for r in rows:
+        assert 0 <= r.n_repeat <= r.n_customers
+        assert 0 <= r.repeat_bp <= 10000
+        if r.n_repeat == 0:
+            assert r.mean_gap_days is None
+        else:
+            assert r.mean_gap_days >= 0
+
+
+def test_supplier_hhi_bounds(spark):
+    from ensembl_lakehouse_spark.operators import reports as RP
+
+    rows = RP.supplier_hhi(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # floor-share HHI: bounded by the even-split lower bound
+        # (minus floor slack) and the monopoly upper bound
+        assert r.hhi_bp <= 10000
+        assert r.hhi_bp >= 10000 // r.n_suppliers - r.n_suppliers
+        if r.n_suppliers == 1:
+            assert r.hhi_bp == 10000
+
+
+def test_events_trigram_paths_consistent_with_transitions(spark):
+    from ensembl_lakehouse_spark.operators import relational as R
+
+    tri = R.events_trigram_paths(spark, SF_DIR).collect()
+    assert 0 < len(tri) <= R.TRIGRAM_TOP_N
+    # top-N ordering is (support DESC, triple ASC)
+    sups = [r.support for r in tri]
+    assert sups == sorted(sups, reverse=True)
+    # every trigram's (a→b) pair must exist in the transition matrix
+    pairs = {
+        (r.from_type, r.to_type): r.n
+        for r in R.events_type_transitions(spark, SF_DIR).collect()
+    }
+    for r in tri:
+        assert pairs.get((r.a, r.b), 0) >= r.support
+        assert pairs.get((r.b, r.c), 0) >= r.support
+
+
+def test_embedding_hubness_conserves_panel_and_edges(spark):
+    from ensembl_lakehouse_spark.operators import similarity as S
+
+    rows = S.embedding_hubness(spark, SF_DIR).collect()
+    assert rows
+    import duckdb
+
+    panel = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet' "
+        f"WHERE vec_id < {S.HUB_PANEL}"
+    ).fetchone()[0]
+    # every panel vector lands in exactly one in-degree bucket
+    assert sum(r.n_vectors for r in rows) == panel
+    # the kNN graph has exactly panel·k edges, conserved by in-degree
+    assert sum(r.in_deg * r.n_vectors for r in rows) == panel * S.HUB_K
