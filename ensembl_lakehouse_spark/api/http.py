@@ -169,6 +169,21 @@ def make_handler(engine: Engine):
                     self._detail(400, "keep_versions must be an integer")
                     return
                 self._send(200, engine.table_retention_report(parts[1], keep))
+            elif len(parts) == 3 and parts[0] == "table" and parts[2] == "aggregate":
+                # EXT: MV-rewrite aggregate — answered from a fresh
+                # registered rollup when derivable, else base scan;
+                # answered_by in the response keeps the rewrite
+                # auditable from the wire
+                if "aggs" not in q:
+                    self._detail(400, "missing aggs parameter")
+                    return
+                resp = engine.submit_table_aggregate(
+                    parts[1],
+                    q.get("group_by", ""),
+                    q["aggs"],
+                    q.get("freshness", "strict"),
+                )
+                self._send(200, resp)
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "changes":
                 # EXT: CDC read — snapshot_diff(from, to, key) through
                 # the async lifecycle; a downstream mirror polls this

@@ -62,6 +62,12 @@ class Engine:
         #: (the CDC surface) — registration is explicit and local,
         #: never a request-supplied path (path-traversal surface).
         self._snapshot_tables: dict[str, str] = {}
+        #: registered materialized-view rollups answering /aggregate
+        #: (plans/rewrite.py); registration is operator-side only,
+        #: same trust boundary as _snapshot_tables.
+        from ensembl_lakehouse_spark.plans.rewrite import RollupCatalog
+
+        self._rollups = RollupCatalog()
 
     # -- metadata endpoints ------------------------------------------
 
@@ -417,6 +423,111 @@ class Engine:
             "to_version": to_version,
             "_links": {
                 "self": f"/table/{name}/changes",
+                "status": f"/query/{query_id}/status",
+                "preview": f"/query/{query_id}/preview",
+                "export": f"/query/{query_id}/export",
+            },
+        }
+
+    def register_rollup(
+        self,
+        table_name: str,
+        rollup_name: str,
+        rollup_dir: str,
+        group_cols: list[str],
+        sum_col: str,
+    ) -> None:
+        """Register a maintained rollup (ivm.maintain_rollup output)
+        as a materialized view over a REGISTERED snapshot table, so
+        /table/{name}/aggregate can rewrite matching aggregates to
+        it (plans/rewrite.py). Operator-side only, like table
+        registration."""
+        if table_name not in self._snapshot_tables:
+            raise QueryValidationError(
+                f"unknown table {table_name!r}; register it first"
+            )
+        self._rollups.register(
+            rollup_name,
+            rollup_dir,
+            self._snapshot_tables[table_name],
+            group_cols,
+            sum_col,
+        )
+
+    def submit_table_aggregate(
+        self,
+        name: str,
+        group_by: str,
+        aggs: str,
+        freshness: str = "strict",
+    ) -> dict:
+        """Aggregate a registered snapshot table through the
+        MV-rewrite planner: answered from the cheapest fresh rollup
+        that can serve it exactly, else from the base table — the
+        response says which (``answered_by``), making the rewrite
+        auditable at the API. ``aggs`` is a comma list of
+        ``out=count`` / ``out=sum:col`` / ``out=avg:col``.
+
+        Results are cached keyed on (table dir, source version,
+        request shape, answering path): a strict re-ask after a
+        source commit recomputes; re-asking an unchanged table hits.
+        """
+        from ensembl_lakehouse_spark import snapshots as _SN
+        from ensembl_lakehouse_spark.plans import rewrite as _RW
+
+        if name not in self._snapshot_tables:
+            raise QueryValidationError(
+                f"unknown table {name!r}; see /table for names"
+            )
+        group_cols = [g.strip() for g in group_by.split(",") if g.strip()]
+        agg_spec: dict[str, tuple[str, str]] = {}
+        for item in aggs.split(","):
+            item = item.strip()
+            if not item:
+                continue
+            if "=" not in item:
+                raise QueryValidationError(
+                    f"bad aggs item {item!r}: want out=count|out=sum:col|out=avg:col"
+                )
+            out, fn_col = (s.strip() for s in item.split("=", 1))
+            fn, _, col = fn_col.partition(":")
+            fn = fn.strip().lower()
+            if fn == "count":
+                agg_spec[out] = ("count", "")
+            elif fn in ("sum", "avg") and col.strip():
+                agg_spec[out] = (fn, col.strip())
+            else:
+                raise QueryValidationError(
+                    f"bad aggs item {item!r}: want out=count|out=sum:col|out=avg:col"
+                )
+        if not agg_spec:
+            raise QueryValidationError("aggs must name at least one measure")
+        if freshness not in ("strict", "stale_ok"):
+            raise QueryValidationError("freshness must be strict|stale_ok")
+        table_dir = self._snapshot_tables[name]
+        try:
+            df, why = _RW.answer_aggregate(
+                self.spark, self._rollups, table_dir, group_cols, agg_spec,
+                freshness=freshness,
+            )
+        except Exception as exc:  # unknown column etc. — analysis-time
+            raise QueryValidationError(f"aggregate failed: {exc}") from exc
+        answered_by = why["rollup"] if why["used"] == "rollup" else "base"
+        cache_probe = (
+            f"mvagg\x1f{os.path.abspath(table_dir)}\x1f{name}\x1f"
+            f"{_SN.current_version(table_dir)}\x1f"
+            f"{','.join(group_cols)}\x1f"
+            f"{sorted(agg_spec.items())!r}\x1f{freshness}\x1f{answered_by}"
+        )
+        query_id = self.registry.cached_query_id(cache_probe)
+        if query_id is None:
+            query_id = self.registry.submit(df, cache_key=cache_probe)
+        return {
+            "query_id": query_id,
+            "answered_by": answered_by,
+            "skipped": why["skipped"],
+            "_links": {
+                "self": f"/table/{name}/aggregate",
                 "status": f"/query/{query_id}/status",
                 "preview": f"/query/{query_id}/preview",
                 "export": f"/query/{query_id}/export",

@@ -513,3 +513,89 @@ def test_table_summary_over_http(server, spark, tmp_path_factory):
         "constraints": {"s_pos": "s > 0"},
     }
     assert _get(server, "/table/nope")[0] == 400
+
+
+def test_mv_aggregate_over_http(server, spark, tmp_path_factory):
+    """The MV-rewrite surface end-to-end: a registered fresh rollup
+    answers /table/{n}/aggregate (answered_by says so), a source
+    commit flips strict requests to the base path while stale_ok
+    still serves the rollup, and cache keys pin (version, path)."""
+    import time as _time
+
+    from ensembl_lakehouse_spark import ivm
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    base = tmp_path_factory.mktemp("mv_http")
+    src, rol = str(base / "src"), str(base / "rol")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", i) for i in range(30)], ["k", "grp", "val"]
+        ),
+    )
+    ivm.maintain_rollup(spark, src, rol, ["grp"], "val")
+    server.engine.register_snapshot_table("mv_src", src)
+    server.engine.register_rollup("mv_src", "mv_by_grp", rol, ["grp"], "val")
+
+    # bad requests fail closed
+    assert _get(server, "/table/mv_src/aggregate")[0] == 400  # no aggs
+    assert _get(
+        server, "/table/mv_src/aggregate?group_by=grp&aggs=n%3Dmedian%3Aval"
+    )[0] == 400
+    assert _get(
+        server,
+        "/table/mv_src/aggregate?group_by=grp&aggs=n%3Dcount&freshness=bogus",
+    )[0] == 400
+
+    def submit(qs):
+        status, _, resp = _get(server, f"/table/mv_src/aggregate?{qs}")
+        assert status == 200, resp
+        return resp
+
+    def rows_of(qid):
+        for _ in range(120):
+            st = _get(server, f"/query/{qid}/status")[2]
+            if st["status"] in ("SUCCEEDED", "FAILED"):
+                break
+            _time.sleep(0.5)
+        assert st["status"] == "SUCCEEDED"
+        _, _, prev = _get(server, f"/query/{qid}/preview?maxResults=10")
+        hdr = [c["VarCharValue"] for c in prev["Rows"][0]["Data"]]
+        return {
+            r["Data"][hdr.index("grp")]["VarCharValue"]: [
+                c["VarCharValue"] for c in r["Data"]
+            ]
+            for r in prev["Rows"][1:]
+        }
+
+    q = "group_by=grp&aggs=n%3Dcount%2Ctotal%3Dsum%3Aval"
+    resp = submit(q)
+    assert resp["answered_by"] == "mv_by_grp"
+    got = rows_of(resp["query_id"])
+    # ground truth: g0 holds k=0,3,...,27 -> 10 rows, sum 135
+    assert got["g0"][1:] == ["10", "135"]
+
+    # same request → same cached query id
+    assert submit(q)["query_id"] == resp["query_id"]
+
+    # source commit: strict falls back to base, fresh numbers
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame([(100, "g0", 1000)], ["k", "grp", "val"]),
+        mode="append",
+    )
+    resp2 = submit(q)
+    assert resp2["answered_by"] == "base"
+    assert resp2["skipped"] and resp2["skipped"][0]["reason"].startswith("stale")
+    assert rows_of(resp2["query_id"])["g0"][1:] == ["11", "1135"]
+
+    # stale_ok still serves the rollup's (older) numbers
+    resp3 = submit(q + "&freshness=stale_ok")
+    assert resp3["answered_by"] == "mv_by_grp"
+    assert rows_of(resp3["query_id"])["g0"][1:] == ["10", "135"]
+
+    # maintenance restores the rollup path with the fresh numbers
+    ivm.maintain_rollup(spark, src, rol, ["grp"], "val")
+    resp4 = submit(q)
+    assert resp4["answered_by"] == "mv_by_grp"
+    assert rows_of(resp4["query_id"])["g0"][1:] == ["11", "1135"]
