@@ -1,0 +1,154 @@
+"""Streaming medallion pipeline: raw stream → snapshot-versioned
+source table → N incrementally-maintained rollups, one transaction
+chain per micro-batch (the Delta Live Tables shape on plain
+parquet; EXT composing streaming/continuous.py's sink discipline
+with ivm.maintain_rollup's CDC deltas).
+
+Division of labor per micro-batch:
+
+1. **Ingest** — the raw batch MERGEs into the bronze/source
+   snapshot table keyed on ``event_id``, stamped
+   ``stream-ingest:batch={id}``. The stamp makes an at-least-once
+   replay a no-op (the run_continuous_rollup_snapshots protocol);
+   keying on the natural id additionally dedups any upstream
+   redelivery *inside* a different batch id.
+2. **Maintain** — every registered rollup ticks
+   ``ivm.maintain_rollup(source, rollup)``: cost ∝ rows the commit
+   changed (the snapshot_diff delta), never the table. Each tick is
+   its own stamped, OCC-fenced commit, so the chain is exactly-once
+   end to end even though it spans two tables — a crash between
+   ingest and maintain just re-ticks on the next batch (maintain is
+   versioned on the SOURCE version, not the batch id, so it catches
+   up over any number of missed batches in one delta).
+
+Why this is the 100 TB shape: state lives in the tables, not the
+stream — the streaming query carries NO aggregation state (raw
+pass-through, no watermark wait), so N downstream views cost N
+delta applications per batch instead of N streaming state stores;
+adding a view is a registration plus one backfill tick, not a
+stream replay.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ensembl_lakehouse_spark import ivm
+from ensembl_lakehouse_spark import snapshots as SN
+from ensembl_lakehouse_spark.streaming.events import _event_source
+
+_INGEST_STAMP = "stream-ingest:batch={id}"
+
+
+@dataclass(frozen=True)
+class RollupDef:
+    """A downstream view: rollup table dir + the grouped aggregate
+    it maintains (ivm's (n_rows, sum_val) contract)."""
+
+    rollup_dir: str
+    group_cols: tuple[str, ...]
+    sum_col: str
+
+
+def run_stream_ivm(
+    spark: SparkSession,
+    events_dir: str,
+    source_dir: str,
+    rollups: list[RollupDef],
+    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Drive the stream → source table → rollups chain with
+    availableNow; returns {"n_batches", "n_input_rows",
+    "source_version", "ticks": [maintain modes per batch]}.
+
+    ``checkpoint_dir`` models restarts exactly as
+    run_continuous_rollup does: a second run on the same checkpoint
+    ingests only new files; a REPLAYED batch (crash after commit,
+    before checkpoint advance) is absorbed by the ingest stamp and
+    the maintain ticks noop on the unchanged source version.
+    """
+    committed = set(SN.committed_ops(source_dir)) if (
+        SN.current_version(source_dir) is not None
+    ) else set()
+    ticks: list[dict] = []
+    batches = {"n": 0, "rows": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batches["n"] += 1
+        # counted here, not from recentProgress: a raw pass-through
+        # query's progress entries can over-report numInputRows
+        # (observed 1667 for a 1000-row 3-file availableNow run)
+        batches["rows"] += batch_df.count()
+        stamp = _INGEST_STAMP.format(id=batch_id)
+        if stamp not in committed:
+            SN.merge_snapshot(
+                spark, source_dir, batch_df, key="event_id", op=stamp
+            )
+            committed.add(stamp)
+        tick = {"batch_id": batch_id}
+        for r in rollups:
+            out = ivm.maintain_rollup(
+                spark, source_dir, r.rollup_dir, list(r.group_cols),
+                r.sum_col,
+            )
+            tick[r.rollup_dir] = out["mode"]
+        ticks.append(tick)
+
+    opts = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger is not None
+        else {}
+    )
+    writer = (
+        _event_source(spark, events_dir, **opts)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return {
+        "n_batches": batches["n"],
+        "n_input_rows": batches["rows"],
+        "source_version": SN.current_version(source_dir),
+        "ticks": ticks,
+    }
+
+
+def replay_batch(
+    spark: SparkSession,
+    source_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    rollups: list[RollupDef],
+) -> dict:
+    """Simulate an at-least-once redelivery of a committed batch
+    (the crash-between-commit-and-checkpoint window): the ingest
+    stamp makes the merge a no-op and every maintain tick noops on
+    the unchanged source version. Returns the modes observed so
+    tests can pin the no-op, not just the final state."""
+    stamp = _INGEST_STAMP.format(id=batch_id)
+    before = SN.current_version(source_dir)
+    merged = False
+    if stamp not in SN.committed_ops(source_dir):
+        SN.merge_snapshot(
+            spark, source_dir, batch_df, key="event_id", op=stamp
+        )
+        merged = True
+    modes = [
+        ivm.maintain_rollup(
+            spark, source_dir, r.rollup_dir, list(r.group_cols), r.sum_col
+        )["mode"]
+        for r in rollups
+    ]
+    return {
+        "merged": merged,
+        "modes": modes,
+        "version_before": before,
+        "version_after": SN.current_version(source_dir),
+    }

@@ -1,0 +1,130 @@
+"""Streaming medallion chain (stream → source snapshot table → N
+maintained rollups): final rollups equal a batch recompute, restarts
+ingest nothing twice, and a redelivered batch is a provable no-op
+at every link of the chain."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_lakehouse_spark import ivm
+from ensembl_lakehouse_spark import snapshots as SN
+from ensembl_lakehouse_spark.streaming import ivm_stream as IS
+from ensembl_lakehouse_spark.streaming.events import load_events_batch
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, tmp_path_factory):
+    """Events split into 3 files so maxFilesPerTrigger=1 yields a
+    genuinely multi-batch run."""
+    d = tmp_path_factory.mktemp("ivm_stream_src")
+    load_events_batch(spark, f"{SF_DIR}/events.parquet").repartition(
+        3
+    ).write.mode("overwrite").parquet(str(d / "files"))
+    return str(d / "files")
+
+
+def _recompute(spark, events_dir, group_cols):
+    return {
+        tuple(r[c] for c in group_cols): (r.n, r.s)
+        for r in load_events_batch(spark, events_dir)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("bigint")).alias("s"),
+        )
+        .collect()
+    }
+
+
+def _view(spark, rollup_dir, group_cols):
+    return {
+        tuple(r[c] for c in group_cols): (r.n_rows, r.sum_val)
+        for r in ivm.read_rollup(spark, rollup_dir).collect()
+    }
+
+
+def test_stream_ivm_chain_matches_batch_and_survives_restart(
+    spark, split_events_dir, tmp_path_factory
+):
+    base = tmp_path_factory.mktemp("ivm_stream")
+    src = str(base / "source")
+    by_type = IS.RollupDef(str(base / "by_type"), ("event_type",), "value")
+    by_user = IS.RollupDef(str(base / "by_user"), ("user_id",), "value")
+    ckpt = str(base / "ckpt")
+
+    out = IS.run_stream_ivm(
+        spark, split_events_dir, src, [by_type, by_user],
+        max_files_per_trigger=1, checkpoint_dir=ckpt,
+    )
+    assert out["n_batches"] == 3
+    n_events = load_events_batch(spark, split_events_dir).count()
+    assert out["n_input_rows"] == n_events
+
+    # source table holds exactly the stream (keyed dedup on event_id)
+    assert SN.read_snapshot(spark, src).count() == n_events
+    # every rollup equals the from-scratch batch aggregate
+    for rd in (by_type, by_user):
+        assert _view(spark, rd.rollup_dir, list(rd.group_cols)) == _recompute(
+            spark, split_events_dir, list(rd.group_cols)
+        )
+    # first batch aggregates fully, later ones apply deltas
+    modes = [t[by_type.rollup_dir] for t in out["ticks"]]
+    assert modes[0] == "full" and set(modes[1:]) == {"delta"}
+
+    # restart on the same checkpoint: nothing re-ingested, state kept
+    v = SN.current_version(src)
+    out2 = IS.run_stream_ivm(
+        spark, split_events_dir, src, [by_type, by_user],
+        max_files_per_trigger=1, checkpoint_dir=ckpt,
+    )
+    assert out2["n_batches"] == 0
+    assert SN.current_version(src) == v
+
+    # a NEW file after restart flows through incrementally
+    extra_dir = tmp_path_factory.mktemp("ivm_extra")
+    extra = load_events_batch(spark, split_events_dir).limit(0)
+    spark.createDataFrame(
+        [(10_000_001, None, 7, "purchase", 42.0, "{}")], extra.schema
+    ).write.mode("overwrite").parquet(str(extra_dir / "f"))
+    shutil.copy(
+        next(
+            str(p)
+            for p in __import__("pathlib").Path(extra_dir / "f").glob("*.parquet")
+        ),
+        split_events_dir + "/late.parquet",
+    )
+    out3 = IS.run_stream_ivm(
+        spark, split_events_dir, src, [by_type, by_user],
+        max_files_per_trigger=1, checkpoint_dir=ckpt,
+    )
+    assert out3["n_batches"] == 1
+    assert [t[by_type.rollup_dir] for t in out3["ticks"]] == ["delta"]
+    assert _view(spark, by_type.rollup_dir, ["event_type"]) == _recompute(
+        spark, split_events_dir, ["event_type"]
+    )
+
+
+def test_redelivered_batch_is_noop_end_to_end(
+    spark, split_events_dir, tmp_path_factory
+):
+    base = tmp_path_factory.mktemp("ivm_replay")
+    src = str(base / "source")
+    rd = IS.RollupDef(str(base / "by_type"), ("event_type",), "value")
+
+    out = IS.run_stream_ivm(spark, split_events_dir, src, [rd])
+    assert out["n_batches"] == 1
+    before = _view(spark, rd.rollup_dir, ["event_type"])
+
+    # redeliver batch 0 in full (crash between commit and checkpoint)
+    replay = IS.replay_batch(
+        spark, src, load_events_batch(spark, split_events_dir), 0, [rd]
+    )
+    assert replay["merged"] is False  # ingest stamp absorbed it
+    assert replay["modes"] == ["noop"]  # maintain saw no new version
+    assert replay["version_after"] == replay["version_before"]
+    assert _view(spark, rd.rollup_dir, ["event_type"]) == before
