@@ -166,12 +166,21 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql() -> str:
-    assign_duck = (
-        "list_transform([list_transform(cents, c -> {d2})], ds -> "
-        "cents[list_position(ds, list_min(ds))].cid)[1]"
-    )
-    min_d2_duck = "list_min(list_transform(cents, c -> {d2}))"
+#: DuckDB argmin/min-distance twins of _ASSIGN/_MIN_D2.
+_ASSIGN_DUCK = (
+    "list_transform([list_transform(cents, c -> {d2})], ds -> "
+    "cents[list_position(ds, list_min(ds))].cid)[1]"
+)
+_MIN_D2_DUCK = "list_min(list_transform(cents, c -> {d2}))"
+
+
+def _sql_chain() -> tuple[str, str]:
+    """The shared unrolled-Lloyd CTE chain (e + KM_ITERS−1 centroid
+    updates), comma-terminated; returns (sql, last_cents_cte) so
+    embedding_kmeans and embedding_cluster_purity build their final
+    SELECTs on the IDENTICAL iteration text — the two oracles can't
+    drift."""
+    assign_duck = _ASSIGN_DUCK
     d2 = _sql_d2("embedding", "c.v")
     sql = f"WITH e AS (SELECT vec_id, embedding FROM embeddings),\n"
     sql += f"cents0 AS (SELECT {_init_cents_duck()} AS cents),\n"
@@ -197,6 +206,14 @@ def _kmeans_sql() -> str:
             f"  SELECT list({{'cid': cluster, 'v': v}} ORDER BY cluster) AS cents FROM v{it}),\n"
         )
         prev = f"cents{it}"
+    return sql, prev
+
+
+def _kmeans_sql() -> str:
+    assign_duck = _ASSIGN_DUCK
+    min_d2_duck = _MIN_D2_DUCK
+    d2 = _sql_d2("embedding", "c.v")
+    sql, prev = _sql_chain()
     sql += (
         f"final AS (\n"
         f"  SELECT vec_id, {assign_duck.format(d2=d2)} AS cluster,\n"
@@ -209,3 +226,82 @@ def _kmeans_sql() -> str:
 
 
 EMBEDDING_KMEANS_SQL = _kmeans_sql()
+
+
+# ---------------------------------------------------------------------------
+# Cluster purity vs labels
+# ---------------------------------------------------------------------------
+
+def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-vs-label purity audit: run the SAME unrolled Lloyd
+    assignment as embedding_kmeans, then per final cluster report
+    its size, majority label, and purity (majority share in basis
+    points) — the standard external-validation check that the
+    unsupervised geometry agrees with the supervision ("are my
+    embedding clusters actually topics"). Low purity on a
+    high-inertia cluster is the signal to re-embed before trusting
+    embedding-based dedup/curation decisions downstream.
+
+    Majority is deterministic: (count DESC, label ASC) rank-1.
+    Purity is one integer DIV. The iteration text is shared with
+    embedding_kmeans via _sql_chain, so the two oracles cannot
+    drift; shuffles beyond kmeans' own are the (cluster, label)
+    partial agg and its |clusters|-row majority window.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    cents = spark.range(1).select(F.expr(_init_cents_spark()).alias("cents"))
+    for _ in range(KM_ITERS - 1):
+        cents = _update(_assign(emb, cents))
+    assigned = _assign(emb, cents).select("cluster", "label")
+    cl = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    scored = cl.select(
+        "cluster", "label", "n",
+        F.expr(
+            "row_number() OVER (PARTITION BY cluster "
+            "ORDER BY n DESC, label ASC)"
+        ).alias("rn"),
+        F.expr(
+            "CAST(SUM(n) OVER (PARTITION BY cluster) AS BIGINT)"
+        ).alias("n_members"),
+    )
+    return (
+        scored.where("rn = 1")
+        .withColumn("purity_bp", F.expr("(n * 10000) DIV n_members"))
+        .select(
+            "cluster", "n_members",
+            F.col("label").alias("majority_label"), "purity_bp",
+        )
+        .orderBy("cluster")
+    )
+
+
+def _purity_sql() -> str:
+    d2 = _sql_d2("embedding", "c.v")
+    sql, prev = _sql_chain()
+    sql += (
+        f"fin AS (\n"
+        f"  SELECT vec_id, {_ASSIGN_DUCK.format(d2=d2)} AS cluster\n"
+        f"  FROM e CROSS JOIN {prev}),\n"
+        f"lab AS (SELECT vec_id, label FROM embeddings),\n"
+        f"cl AS (\n"
+        f"  SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n\n"
+        f"  FROM fin JOIN lab USING (vec_id) GROUP BY cluster, label),\n"
+        f"sc AS (\n"
+        f"  SELECT cluster, label, n,\n"
+        f"         row_number() OVER (PARTITION BY cluster\n"
+        f"           ORDER BY n DESC, label ASC) AS rn,\n"
+        f"         CAST(SUM(n) OVER (PARTITION BY cluster) AS BIGINT)\n"
+        f"           AS n_members\n"
+        f"  FROM cl)\n"
+        f"SELECT cluster, n_members, label AS majority_label,\n"
+        f"       (n * 10000) // n_members AS purity_bp\n"
+        f"FROM sc WHERE rn = 1 ORDER BY cluster"
+    )
+    return sql
+
+
+EMBEDDING_CLUSTER_PURITY_SQL = _purity_sql()

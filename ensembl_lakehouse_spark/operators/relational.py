@@ -2863,3 +2863,93 @@ GROUP BY a, b, c
 ORDER BY support DESC, a, b, c
 LIMIT {TRIGRAM_TOP_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (weekly new / retained / resurrected actives)
+# ---------------------------------------------------------------------------
+
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting of the active-user base: every
+    active user is exactly one of NEW (first week ever), RETAINED
+    (also active the immediately preceding week) or RESURRECTED
+    (active before, but not last week) — the standard product-
+    analytics ledger (the "quick ratio" inputs), and the identity
+    n_active = new + retained + resurrected is pinned in pytest.
+
+    Exactness: week = date_trunc('week') (Monday in both engines);
+    classification compares each active week to the user's PREVIOUS
+    active week via one lag window — pure integer date arithmetic.
+
+    Plan: events funnel to distinct (user, week) in one partial-agg
+    exchange; the lag window rides a user-keyed repartition of that
+    dim-bounded relation; the final per-week rollup is the third
+    tiny shuffle. Nothing after the first distinct touches fact
+    volume — the 100 TB active-user ledger is the same three
+    exchanges over |users × weeks| rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    uw = events.select(
+        "user_id",
+        F.expr("CAST(date_trunc('week', ts) AS DATE)").alias("week"),
+    ).distinct()
+    lagged = uw.withColumn(
+        "prev_week",
+        F.expr(
+            "lag(week) OVER (PARTITION BY user_id ORDER BY week ASC)"
+        ),
+    )
+    classified = lagged.select(
+        "week",
+        F.expr(
+            "CASE WHEN prev_week IS NULL THEN 'new' "
+            "WHEN datediff(week, prev_week) = 7 THEN 'retained' "
+            "ELSE 'resurrected' END"
+        ).alias("kind"),
+    )
+    return (
+        classified.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.expr("CASE WHEN kind = 'new' THEN 1 ELSE 0 END")).alias(
+                "n_new"
+            ),
+            F.sum(
+                F.expr("CASE WHEN kind = 'retained' THEN 1 ELSE 0 END")
+            ).alias("n_retained"),
+            F.sum(
+                F.expr("CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END")
+            ).alias("n_resurrected"),
+        )
+        .orderBy("week")
+    )
+
+
+EVENTS_GROWTH_ACCOUNTING_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+), lagged AS (
+  SELECT week,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week ASC)
+           AS prev_week
+  FROM uw
+), classified AS (
+  SELECT week,
+         CASE WHEN prev_week IS NULL THEN 'new'
+              WHEN datediff('day', prev_week, week) = 7 THEN 'retained'
+              ELSE 'resurrected' END AS kind
+  FROM lagged
+)
+SELECT week,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resurrected
+FROM classified
+GROUP BY week
+ORDER BY week
+"""

@@ -1277,3 +1277,92 @@ FROM shared
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# orders_backlog_aging
+# ---------------------------------------------------------------------------
+
+#: Backlog age band width in days.
+BACKLOG_BAND_DAYS = 180
+
+
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: non-finalized orders (status O/P)
+    bucketed into BACKLOG_BAND_DAYS age bands (age anchored at the
+    corpus max order date, so the report is reproducible), with
+    order counts, tied-up value in cents, and each band's share of
+    its status' backlog — the working-capital report every ops
+    review opens with, and the lakehouse twin of a ticket-queue
+    aging dashboard.
+
+    All-integer: ages are day diffs, value is per-row cents before
+    the SUM, shares are integer-DIV basis points.
+
+    Plan: the anchor is a 1-row agg broadcast back (orders_rfm's
+    pattern); one partial agg to |status × bands| rows; the share
+    window rides that dim-bounded relation.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        "o_orderstatus <> 'F'"
+    )
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("anchor_date")
+    )
+    banded = (
+        orders.crossJoin(F.broadcast(anchor))
+        .select(
+            "o_orderstatus",
+            F.expr(
+                "CAST(datediff(anchor_date, CAST(o_orderdate AS DATE)) "
+                f"AS BIGINT) DIV {BACKLOG_BAND_DAYS}"
+            ).alias("age_band"),
+            F.expr(
+                "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    return (
+        banded.groupBy("o_orderstatus", "age_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .withColumn(
+            "share_bp",
+            F.expr(
+                "(n_orders * 10000) DIV "
+                "SUM(n_orders) OVER (PARTITION BY o_orderstatus)"
+            ),
+        )
+        .orderBy("o_orderstatus", "age_band")
+    )
+
+
+ORDERS_BACKLOG_AGING_SQL = f"""
+WITH open_orders AS (
+  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS odate,
+         CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM orders WHERE o_orderstatus <> 'F'
+), anchored AS (
+  SELECT o_orderstatus,
+         CAST(datediff('day', odate,
+           (SELECT MAX(odate) FROM open_orders)) AS BIGINT)
+           // {BACKLOG_BAND_DAYS} AS age_band,
+         cents
+  FROM open_orders
+), agg AS (
+  SELECT o_orderstatus, age_band,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS value_cents
+  FROM anchored GROUP BY o_orderstatus, age_band
+)
+SELECT o_orderstatus, age_band, n_orders, value_cents,
+       (n_orders * 10000)
+         // CAST(SUM(n_orders) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+         AS share_bp
+FROM agg
+ORDER BY o_orderstatus, age_band
+"""

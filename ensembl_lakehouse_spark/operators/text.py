@@ -1208,3 +1208,84 @@ FROM scored
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Sentence statistics per language
+# ---------------------------------------------------------------------------
+
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level shape profile per language: sentences per doc
+    and characters per sentence — the readability-adjacent curation
+    signal the token stats can't see (wall-of-text docs with no
+    sentence breaks, and chopped-up listicles, sit at the two ends
+    of sents_per_doc; both are curation flags).
+
+    Sentences are maximal runs split on ``[.!?]+``, trimmed, empties
+    dropped — deliberately the simple regex both engines' RE
+    libraries agree on (the chunking module's boundary rules are
+    for chunk payloads; this is corpus profiling). All outputs are
+    integer counts and integer-DIV ratios at e2 scale.
+
+    Plan: explode is map-side over the documents scan; ONE partial
+    agg to |docs| rows rides the doc-prefixed key, then the |langs|
+    final agg. Same two-exchange funnel as text_lexical_gini.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    sents = docs.select(
+        "doc_id", "lang",
+        F.explode(F.expr("split(text, '[.!?]+')")).alias("seg"),
+    ).select(
+        "doc_id", "lang", F.expr("trim(seg)").alias("seg")
+    ).where("seg <> ''")
+    per_doc = sents.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_sents"),
+        F.sum(F.expr("CAST(length(seg) AS BIGINT)")).alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sents").alias("n_sentences"),
+            F.sum("chars").alias("sum_chars"),
+        )
+        .withColumn(
+            "sents_per_doc_e2", F.expr("(n_sentences * 100) DIV n_docs")
+        )
+        .withColumn(
+            "chars_per_sent_e2", F.expr("(sum_chars * 100) DIV n_sentences")
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_SENTENCE_STATS_SQL = """
+WITH sents AS (
+  SELECT doc_id, lang, trim(seg) AS seg
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(text, '[.!?]+')) AS seg
+    FROM documents WHERE length(trim(text)) > 0
+  )
+), kept AS (
+  SELECT doc_id, lang, seg FROM sents WHERE seg <> ''
+), per_doc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_sents,
+         CAST(SUM(CAST(length(seg) AS BIGINT)) AS BIGINT) AS chars
+  FROM kept GROUP BY doc_id, lang
+), lang_agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_sents) AS BIGINT) AS n_sentences,
+         CAST(SUM(chars) AS BIGINT) AS sum_chars
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, n_sentences, sum_chars,
+       (n_sentences * 100) // n_docs AS sents_per_doc_e2,
+       (sum_chars * 100) // n_sentences AS chars_per_sent_e2
+FROM lang_agg
+ORDER BY lang
+"""

@@ -258,6 +258,16 @@ BUDGETS = {
     # panel² broadcast self-join; window + in-degree + orphan union
     # + histogram aggs all run on ≤ panel·k rows
     "embedding_hubness": 5,
+    # round-6 batch 5
+    # (user,week) distinct + user lag window + per-week agg
+    "events_growth_accounting": 3,
+    # 1-row anchor broadcast; band agg + |status×bands| share window
+    "orders_backlog_aging": 2,
+    # map-side sentence explode; per-doc + per-lang aggs
+    "text_sentence_stats": 2,
+    # kmeans' (KM_ITERS-1)·2 centroid-update exchanges + the
+    # (cluster,label) agg and its |clusters| majority window
+    "embedding_cluster_purity": 2 * (3 - 1) + 2,
 }
 
 

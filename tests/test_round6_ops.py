@@ -398,3 +398,67 @@ def test_embedding_hubness_conserves_panel_and_edges(spark):
     assert sum(r.n_vectors for r in rows) == panel
     # the kNN graph has exactly panel·k edges, conserved by in-degree
     assert sum(r.in_deg * r.n_vectors for r in rows) == panel * S.HUB_K
+
+
+# --- round-6 batch 5 -------------------------------------------------------
+
+
+def test_growth_accounting_identity_and_first_week(spark):
+    from ensembl_lakehouse_spark.operators import relational as R
+
+    rows = R.events_growth_accounting(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+    # first week of the corpus is all-new by definition
+    assert rows[0].n_new == rows[0].n_active
+    # total new across weeks = distinct users ever active
+    import duckdb
+
+    n_users = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_new for r in rows) == n_users
+
+
+def test_backlog_aging_excludes_finalized_and_conserves(spark):
+    from ensembl_lakehouse_spark.operators import reports as RP
+
+    rows = RP.orders_backlog_aging(spark, SF_DIR).collect()
+    assert rows
+    assert {r.o_orderstatus for r in rows} <= {"O", "P"}
+    import duckdb
+
+    open_n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet' "
+        "WHERE o_orderstatus <> 'F'"
+    ).fetchone()[0]
+    assert sum(r.n_orders for r in rows) == open_n
+    for st in {r.o_orderstatus for r in rows}:
+        s = sum(r.share_bp for r in rows if r.o_orderstatus == st)
+        n = len([r for r in rows if r.o_orderstatus == st])
+        assert 10000 - n <= s <= 10000  # floor shares
+
+
+def test_sentence_stats_bounds(spark):
+    from ensembl_lakehouse_spark.operators import text as T
+
+    rows = T.text_sentence_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_sentences >= r.n_docs >= 1
+        assert r.chars_per_sent_e2 > 0
+        assert r.sents_per_doc_e2 >= 100  # ≥1 sentence per doc
+
+
+def test_cluster_purity_consistent_with_kmeans(spark):
+    from ensembl_lakehouse_spark.operators import clustering as K
+
+    purity = {r.cluster: r for r in K.embedding_cluster_purity(spark, SF_DIR).collect()}
+    sizes = {r.cluster: r.n_members for r in K.embedding_kmeans(spark, SF_DIR).collect()}
+    # same partition of the corpus as the kmeans report
+    assert {c: r.n_members for c, r in purity.items()} == sizes
+    for r in purity.values():
+        # majority share is at least the uniform-label floor
+        assert 10000 // 8 <= r.purity_bp <= 10000
+        assert 0 <= r.majority_label
