@@ -1121,7 +1121,11 @@ EMBEDDING_DIM_STATS_SQL = _embedding_dim_stats_sql()
 # ---------------------------------------------------------------------------
 
 #: Deterministic audit panel (vec_id < HUB_PANEL) and neighbor count.
-HUB_PANEL = 1024
+#: 512 vectors = 262k scored pairs — the in-degree histogram is
+#: statistically indistinguishable from the 1024 panel's (checked)
+#: at a quarter of the cost; the panel is the knob if more
+#: resolution is ever needed.
+HUB_PANEL = 512
 HUB_K = 5
 
 
