@@ -513,9 +513,16 @@ class Engine:
         except Exception as exc:  # unknown column etc. — analysis-time
             raise QueryValidationError(f"aggregate failed: {exc}") from exc
         answered_by = why["rollup"] if why["used"] == "rollup" else "base"
+        # identity of the ANSWER, not the request: the source version
+        # is the one answer_aggregate pinned (resolved before the
+        # freshness decision — no TOCTOU with a racing commit), and a
+        # rollup-served answer additionally keys on the rollup's own
+        # version, because under stale_ok the rollup's content can
+        # move (maintenance) while the source version stands still
         cache_probe = (
             f"mvagg\x1f{os.path.abspath(table_dir)}\x1f{name}\x1f"
-            f"{_SN.current_version(table_dir)}\x1f"
+            f"{why['source_version']}\x1f"
+            f"{why.get('rollup_version')}\x1f"
             f"{','.join(group_cols)}\x1f"
             f"{sorted(agg_spec.items())!r}\x1f{freshness}\x1f{answered_by}"
         )

@@ -275,6 +275,42 @@ BASKET_MAX_ITEMS = 20
 BASKET_TOP_N = 50
 
 
+def capped_basket_items(
+    spark: SparkSession, sf_dir: str, cap: int
+) -> DataFrame:
+    """The shared market-basket funnel: distinct (order, part) with
+    baskets over ``cap`` items dropped — the quadratic guard every
+    co-purchase consumer (basket_pairs, basket_rules,
+    graph_link_predict, graph_kcore) must apply BEFORE its
+    within-order self-join. One implementation so a change to the
+    cap semantics can never reach only some of the four."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    return (
+        items.withColumn(
+            "n_items", F.expr("count(*) OVER (PARTITION BY l_orderkey)")
+        )
+        .where(F.col("n_items") <= cap)
+        .select("l_orderkey", "l_partkey")
+    )
+
+
+def capped_items_sql(cap: int, kept: str = "kept") -> str:
+    """DuckDB twin of capped_basket_items: the items/sized/{kept}
+    CTE prep fragment (caller supplies the WITH and what follows)."""
+    return (
+        "items AS (\n"
+        "  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem\n"
+        "), sized AS (\n"
+        "  SELECT l_orderkey, l_partkey,\n"
+        "         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items\n"
+        "  FROM items\n"
+        f"), {kept} AS (\n"
+        f"  SELECT l_orderkey, l_partkey FROM sized WHERE n_items <= {cap}\n"
+        ")"
+    )
+
+
 def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: the BASKET_TOP_N most co-ordered
     part pairs with their support counts — the frequent-itemset /
@@ -296,11 +332,7 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     binds; on retail data it is the difference between |orders|·k²
     and one pathological basket of 10⁵ items generating 10¹⁰ pairs.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sized = items.withColumn(
-        "n_items", F.expr("count(*) OVER (PARTITION BY l_orderkey)")
-    ).where(F.col("n_items") <= BASKET_MAX_ITEMS)
+    sized = capped_basket_items(spark, sf_dir, BASKET_MAX_ITEMS)
     a = sized.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
     b = sized.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
     return (
@@ -313,15 +345,7 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BASKET_PAIRS_SQL = f"""
-WITH items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), sized AS (
-  SELECT l_orderkey, l_partkey,
-         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items
-  FROM items
-), kept AS (
-  SELECT l_orderkey, l_partkey FROM sized WHERE n_items <= {BASKET_MAX_ITEMS}
-)
+WITH {capped_items_sql(BASKET_MAX_ITEMS)}
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
 FROM kept a
 JOIN kept b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -363,13 +387,7 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     under 2^63 at warehouse scale, where support·N·S alone would
     overflow (2.25e22 at 1.5e9 baskets).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    kept = items.withColumn(
-        "n_items", F.expr("count(*) OVER (PARTITION BY l_orderkey)")
-    ).where(F.col("n_items") <= BASKET_MAX_ITEMS).select(
-        "l_orderkey", "l_partkey"
-    )
+    kept = capped_basket_items(spark, sf_dir, BASKET_MAX_ITEMS)
     n_baskets = kept.agg(
         F.countDistinct("l_orderkey").alias("n_baskets")
     )
@@ -422,15 +440,7 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BASKET_RULES_SQL = f"""
-WITH items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), sized AS (
-  SELECT l_orderkey, l_partkey,
-         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items
-  FROM items
-), kept AS (
-  SELECT l_orderkey, l_partkey FROM sized WHERE n_items <= {BASKET_MAX_ITEMS}
-), nb AS (
+WITH {capped_items_sql(BASKET_MAX_ITEMS)}, nb AS (
   SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM kept
 ), supp AS (
   SELECT l_partkey, COUNT(*) AS part_supp FROM kept GROUP BY 1

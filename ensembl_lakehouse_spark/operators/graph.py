@@ -34,6 +34,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ensembl_lakehouse_spark.operators.analytics import (
+    capped_basket_items,
+    capped_items_sql,
+)
 from ensembl_lakehouse_spark.sources.tables import load_table
 
 #: PageRank damping factor and unrolled iteration count.
@@ -558,11 +562,7 @@ def graph_link_predict(
     join), out-cap and in-cap windows, wedge equi-join on the
     shared neighbor, candidate agg, anti join, bounded top-N.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sized = items.withColumn(
-        "n_items", F.expr("count(*) OVER (PARTITION BY l_orderkey)")
-    ).where(F.col("n_items") <= LINKPRED_BASKET_CAP)
+    sized = capped_basket_items(spark, sf_dir, LINKPRED_BASKET_CAP)
     pairs = (
         sized.alias("a")
         .join(sized.alias("b"), "l_orderkey")
@@ -633,16 +633,7 @@ def graph_link_predict(
 
 
 GRAPH_LINK_PREDICT_SQL = f"""
-WITH items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), sized AS (
-  SELECT l_orderkey, l_partkey,
-         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items
-  FROM items
-), kept_items AS (
-  SELECT l_orderkey, l_partkey FROM sized
-  WHERE n_items <= {LINKPRED_BASKET_CAP}
-), pairs AS (
+WITH {capped_items_sql(LINKPRED_BASKET_CAP, kept='kept_items')}, pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
          COUNT(*) AS co_count
   FROM kept_items a
@@ -796,11 +787,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix). Each peel is two semi-joins + one degree agg over
     |edges| rows.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sized = items.withColumn(
-        "n_items", F.expr("count(*) OVER (PARTITION BY l_orderkey)")
-    ).where(F.col("n_items") <= KCORE_BASKET_CAP)
+    sized = capped_basket_items(spark, sf_dir, KCORE_BASKET_CAP)
     a = sized.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = sized.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
     edges = (
@@ -868,16 +855,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kcore_sql() -> str:
     """CTE-chain oracle mirroring the unrolled peel step for step."""
     prep = f"""
-WITH items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), sized AS (
-  SELECT l_orderkey, l_partkey,
-         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items
-  FROM items
-), kept AS (
-  SELECT l_orderkey, l_partkey FROM sized
-  WHERE n_items <= {KCORE_BASKET_CAP}
-), e0 AS (
+WITH {capped_items_sql(KCORE_BASKET_CAP)}, e0 AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb
   FROM kept a JOIN kept b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

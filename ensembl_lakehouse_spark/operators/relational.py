@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ensembl_lakehouse_spark.functions.stats import pearson_e6
 from ensembl_lakehouse_spark.sources.tables import load_table
 
 # DECIMAL(12,2): TPC-H money/quantity values are < 10^10 with 2
@@ -2755,11 +2756,7 @@ def events_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("x * x")).alias("sxx"),
         F.sum(F.expr("y * y")).alias("syy"),
     )
-    corr_tmpl = (
-        "CAST(FLOOR((CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1000000.0)"
-        " / (SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE))"
-        " * SQRT(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) AS BIGINT)"
-    )
+    corr_tmpl = pearson_e6(n="n_pairs")
     return (
         mom.where(
             "n_pairs > 1 AND n_pairs * sxx - sx * sx > 0 "
@@ -2771,7 +2768,7 @@ def events_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_AUTOCORR24_SQL = """
+EVENTS_AUTOCORR24_SQL = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour, event_type,
          CAST(COUNT(*) AS BIGINT) AS c
@@ -2793,10 +2790,7 @@ WITH hourly AS (
   FROM pairs GROUP BY event_type
 )
 SELECT event_type, n_pairs, sx, sy, sxy, sxx, syy,
-       CAST(FLOOR((CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1000000.0)
-         / (SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
-          * SQRT(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) AS BIGINT)
-         AS corr_e6
+       {pearson_e6(n="n_pairs")} AS corr_e6
 FROM mom
 WHERE n_pairs > 1 AND n_pairs * sxx - sx * sx > 0
   AND n_pairs * syy - sy * sy > 0

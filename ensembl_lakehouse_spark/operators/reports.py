@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ensembl_lakehouse_spark.functions.stats import pearson_e6
 from ensembl_lakehouse_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1053,11 +1054,7 @@ def discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("y * y")).alias("syy"),
         )
     )
-    corr_tmpl = (
-        "CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0)"
-        " / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
-        " * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)"
-    )
+    corr_tmpl = pearson_e6()
     return (
         mom.where(
             "n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
@@ -1068,7 +1065,7 @@ def discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DISCOUNT_QUANTITY_CORR_SQL = """
+DISCOUNT_QUANTITY_CORR_SQL = f"""
 WITH li AS (
   SELECT l_partkey,
          CAST(floor(l_discount * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x,
@@ -1086,9 +1083,7 @@ WITH li AS (
   GROUP BY p_brand
 )
 SELECT p_brand, n, sx, sy,
-       CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0)
-         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
-          * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) AS corr_e6
+       {pearson_e6()} AS corr_e6
 FROM mom
 WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 ORDER BY p_brand

@@ -101,11 +101,9 @@ class RollupCatalog:
         )
 
 
-def _rollup_fresh(spec: RollupSpec) -> bool:
+def _rollup_fresh(spec: RollupSpec, source_version: int | None) -> bool:
     applied = ivm._applied_versions(spec.rollup_dir)
-    return bool(applied) and applied[-1] == SN.current_version(
-        spec.source_dir
-    )
+    return bool(applied) and applied[-1] == source_version
 
 
 def _can_answer(
@@ -134,8 +132,11 @@ def _agg_exprs(
     exprs = []
     for out, (fn, col) in aggs.items():
         if from_rollup:
-            cnt = F.sum("n_rows").cast("bigint")
-            sm = F.sum("sum_val").cast("bigint")
+            # coalesce mirrors the base path: a global aggregate over
+            # zero surviving groups (fully tombstoned rollup) must
+            # return 0, not NULL, on BOTH paths
+            cnt = F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint")
+            sm = F.coalesce(F.sum("sum_val"), F.lit(0)).cast("bigint")
         else:
             cnt = F.count(F.lit(1)).cast("bigint")
             sm = F.coalesce(
@@ -166,15 +167,34 @@ def answer_aggregate(
 
     ``aggs`` maps output column → ("count"|"sum"|"avg", column)
     (column ignored for count). Returns (df, explanation) where
-    explanation records which path answered and why the rollups
-    that were skipped could not — the EXPLAIN surface for the
-    rewrite, pinned in tests so fallbacks can't go silent.
+    explanation records which path answered, why the rollups that
+    were skipped could not, and the version the answer corresponds
+    to (``source_version`` for base answers / strict-fresh rollups,
+    plus ``rollup_version`` for rollup answers — a stale_ok answer's
+    identity is the ROLLUP's state, not the source's, so cache keys
+    must include it) — the EXPLAIN surface for the rewrite, pinned
+    in tests so fallbacks can't go silent.
+
+    Measure semantics are ivm's (n_rows, sum_val) contract, stated
+    plainly: ``sum`` accumulates per-row BIGINT casts (fractional
+    values truncate toward zero per row — exact for integer-valued
+    measure columns, which is what the rollup maintains); ``avg``
+    is Σsum / Σcount(*) (row count, not non-NULL count). Both paths
+    compute the SAME definition, so rollup ≡ base always holds;
+    callers needing float SUM/AVG-of-nullable semantics belong on
+    the SQL surface, not the rollup rewrite.
+
+    The source version is resolved ONCE up front and pins the
+    freshness decision AND the base-path read, so a source commit
+    racing this call cannot pair version v+1's identity with
+    version v's data (the submit_table_changes pin-at-submit rule).
     """
     if freshness not in ("strict", "stale_ok"):
         raise ValueError(
             f"freshness must be strict|stale_ok, got {freshness!r}"
         )
     src = os.path.abspath(source_dir)
+    src_v = SN.current_version(src)
     skipped: list[dict] = []
     for spec in catalog.specs():
         if spec.source_dir != src:
@@ -183,7 +203,7 @@ def answer_aggregate(
         if reason is not None:
             skipped.append({"rollup": spec.name, "reason": reason})
             continue
-        if freshness == "strict" and not _rollup_fresh(spec):
+        if freshness == "strict" and not _rollup_fresh(spec, src_v):
             skipped.append(
                 {
                     "rollup": spec.name,
@@ -199,8 +219,16 @@ def answer_aggregate(
         return df, {
             "used": "rollup",
             "rollup": spec.name,
+            "rollup_dir": spec.rollup_dir,
+            "rollup_version": SN.current_version(spec.rollup_dir),
+            "source_version": src_v,
             "skipped": skipped,
         }
-    base = SN.read_snapshot(spark, src)
+    base = SN.read_snapshot(spark, src, version=src_v)
     df = base.groupBy(*group_by).agg(*_agg_exprs(aggs, from_rollup=False))
-    return df, {"used": "base", "rollup": None, "skipped": skipped}
+    return df, {
+        "used": "base",
+        "rollup": None,
+        "source_version": src_v,
+        "skipped": skipped,
+    }

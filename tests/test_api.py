@@ -599,3 +599,12 @@ def test_mv_aggregate_over_http(server, spark, tmp_path_factory):
     resp4 = submit(q)
     assert resp4["answered_by"] == "mv_by_grp"
     assert rows_of(resp4["query_id"])["g0"][1:] == ["11", "1135"]
+
+    # the stale_ok cache key must track the ROLLUP version: the
+    # source version did not move across the maintenance above, so a
+    # source-version-only key would serve resp3's pre-maintenance
+    # numbers here forever (r6 code-review finding)
+    resp5 = submit(q + "&freshness=stale_ok")
+    assert resp5["answered_by"] == "mv_by_grp"
+    assert resp5["query_id"] != resp3["query_id"]
+    assert rows_of(resp5["query_id"])["g0"][1:] == ["11", "1135"]

@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry
+from ensembl_lakehouse_spark.operators.clustering import KM_ITERS
 from tools.explain_audit import summarize
 from tests.conftest import SF_DIR
 
@@ -112,7 +113,7 @@ BUDGETS = {
     # Unrolled Lloyd: (KM_ITERS-1) * two tiny-row agg exchanges
     # ((cid,dim) partial-agg + cid assemble) + the final cluster agg;
     # assignment itself is map-only broadcast.
-    "embedding_kmeans": 2 * (3 - 1) + 1,
+    "embedding_kmeans": 2 * (KM_ITERS - 1) + 1,
     # Retrieval: tf agg + df agg + stats row + per-doc score agg
     # (top-k is TakeOrdered, no exchange); postings = tf agg + term agg.
     "bm25_search": 4,
@@ -267,7 +268,7 @@ BUDGETS = {
     "text_sentence_stats": 2,
     # kmeans' (KM_ITERS-1)·2 centroid-update exchanges + the
     # (cluster,label) agg and its |clusters| majority window
-    "embedding_cluster_purity": 2 * (3 - 1) + 2,
+    "embedding_cluster_purity": 2 * (KM_ITERS - 1) + 2,
 }
 
 
