@@ -1083,6 +1083,111 @@ def delete_snapshot(
     )
 
 
+def update_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    where: str,
+    set: dict[str, str],
+    *,
+    expect_version: int | None = None,
+    op: str = "update",
+    bloom_for: list[str] | None = None,
+) -> int:
+    """Row-level UPDATE, copy-on-write — the remaining DML verb next
+    to write/append/merge_snapshot/delete_snapshot, with the same
+    Delta/Iceberg COW cost model: one pushed-down finding scan
+    (``input_file_name()`` under the predicate, row-group-stat
+    pruned) identifies the files holding rows where ``where`` is
+    TRUE; ONLY those files rewrite with the ``set`` assignments
+    applied to the matching rows, every other file carries into the
+    new manifest BY REFERENCE with stats and blooms intact. At
+    100 TB a targeted correction costs O(matching files), not
+    O(table).
+
+    ``set`` maps existing column → SQL expression. All assignment
+    expressions are evaluated against the PRE-update row in one
+    projection (standard SQL UPDATE semantics: ``SET a = b, b = a``
+    swaps, it does not chain). UPDATE cannot add columns — use a
+    schema-evolving merge for that; unknown targets raise before
+    anything is written. Rows where ``where`` is FALSE or NULL are
+    kept verbatim (three-valued semantics, delete_snapshot's rule).
+
+    CHECK constraints are enforced on the post-update rows of the
+    rewritten subset before commit (untouched files already passed
+    at their own write time — add_constraint validates existing
+    rows at ALTER time, so the invariant is inductive).
+
+    Always commits (even a zero-match update) so the ``op`` stamp
+    lands in the retention-independent ``_txns`` log — idempotent
+    correction jobs check ``committed_ops`` before replaying, and
+    time travel serves the pre-update rows until ``vacuum``.
+    """
+    from pyspark.sql import functions as F
+
+    if not set:
+        raise ValueError("set= must assign at least one column")
+    base = current_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = _read_manifest(table_dir, base)
+    candidates = list(manifest["files"])
+
+    touched: list[str] = []
+    schema_cols: list[str] = []
+    if candidates:
+        cand_df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*(os.path.join(table_dir, f) for f in candidates))
+            .withColumn("_src_file", F.input_file_name())
+        )
+        schema_cols = [c for c in cand_df.columns if c != "_src_file"]
+        unknown = [k for k in set if k not in schema_cols]
+        if unknown:
+            raise ValueError(
+                f"set targets {sorted(unknown)} not in table columns "
+                f"{schema_cols} — UPDATE cannot add columns (use a "
+                "schema-evolving merge_snapshot)"
+            )
+        hit_files = {
+            r[0]
+            for r in cand_df.where(F.expr(where))
+            .select("_src_file")
+            .distinct()
+            .collect()
+        }
+        touched = _scan_paths_to_rel(table_dir, candidates, hit_files)
+
+    carried = [f for f in manifest["files"] if f not in frozenset(touched)]
+    files: list[str] = []
+    stats: dict = {}
+    blooms: dict = {}
+    if touched:
+        sub = spark.read.option("mergeSchema", "true").parquet(
+            *(os.path.join(table_dir, f) for f in touched)
+        )
+        cond = F.coalesce(F.expr(where), F.lit(False))
+        # ONE projection: every assignment sees the pre-update row
+        updated = sub.select(
+            *(
+                F.when(cond, F.expr(set[c])).otherwise(F.col(c)).alias(c)
+                if c in set
+                else F.col(c)
+                for c in sub.columns
+            )
+        )
+        _enforce_constraints(table_dir, updated, "update")
+        files = _write_data(table_dir, updated, base + 1)
+        stats = _file_stats(table_dir, files)
+        blooms = (
+            _file_blooms(table_dir, files, bloom_for) if bloom_for else {}
+        )
+    if carried:
+        stats, blooms = _carry_metadata(manifest, carried, stats, blooms)
+    return _commit(
+        table_dir, files + carried, op, expect_version, base, stats, blooms
+    )
+
+
 def committed_op_records(table_dir: str) -> list[tuple[int, str]]:
     """(version, op) records in APPLICATION order — the order commits
     actually happened, NOT numeric version order.

@@ -1173,3 +1173,87 @@ def test_write_audit_publish_flow(spark, tdir):
         S.publish_snapshot(tdir, version=99)
     with pytest.raises(ValueError, match="at most one"):
         S.read_snapshot(spark, tdir, version=0, published=True)
+
+
+def test_update_where_rewrites_only_carrier_files(spark, tdir):
+    """Round 6 (session 2): copy-on-write UPDATE — same finding-scan
+    cost model as delete: only files holding matching rows rewrite;
+    the rest carry by reference with stats and blooms intact."""
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS v", "id * 2 AS x"
+    )
+    S.write_snapshot(tdir, df, cluster_by=["k"], n_files=8, bloom_for=["k"])
+    before = S._read_manifest(tdir, 0)
+
+    v1 = S.update_snapshot(
+        spark, tdir, where="k >= 10 AND k < 20",
+        set={"v": "concat(v, '!')", "x": "x + 1"},
+    )
+    assert v1 == 1
+    after = S._read_manifest(tdir, 1)
+    carried = set(before["files"]) & set(after["files"])
+    assert len(carried) >= 6, (carried, set(after["files"]))
+    for f in carried:
+        assert after["stats"].get(f) == before["stats"].get(f)
+        assert after["blooms"].get(f) == before["blooms"].get(f)
+
+    got = {r.k: (r.v, r.x) for r in S.read_snapshot(spark, tdir).collect()}
+    assert len(got) == 1000
+    for k in range(1000):
+        if 10 <= k < 20:
+            assert got[k] == (f"{k}!", 2 * k + 1)
+        else:
+            assert got[k] == (str(k), 2 * k)
+    # time travel serves pre-update rows; the op stamp landed
+    assert S.read_snapshot(spark, tdir, version=0).where(
+        "v LIKE '%!'"
+    ).count() == 0
+    assert "update" in S.committed_ops(tdir)
+
+
+def test_update_assignments_see_pre_update_row(spark, tdir):
+    """SET a = b, b = a swaps (one projection over the old row),
+    and FALSE/NULL predicate rows are untouched."""
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame(
+            [(1, 10, 20), (2, None, 30), (3, 100, 200)],
+            "k BIGINT, a BIGINT, b BIGINT",
+        ).coalesce(1),
+    )
+    S.update_snapshot(spark, tdir, where="a > 50", set={"a": "b", "b": "a"})
+    got = {r.k: (r.a, r.b) for r in S.read_snapshot(spark, tdir).collect()}
+    assert got == {
+        1: (10, 20),      # predicate FALSE — untouched
+        2: (None, 30),    # predicate NULL — untouched
+        3: (200, 100),    # swapped, not chained
+    }
+
+
+def test_update_validates_targets_and_constraints(spark, tdir):
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(1, 5)], "k BIGINT, x BIGINT").coalesce(1),
+    )
+    with pytest.raises(ValueError, match="cannot add columns"):
+        S.update_snapshot(spark, tdir, where="k = 1", set={"nope": "1"})
+    with pytest.raises(ValueError, match="at least one column"):
+        S.update_snapshot(spark, tdir, where="k = 1", set={})
+    S.add_constraint(spark, tdir, "x_pos", "x > 0")
+    with pytest.raises(S.ConstraintViolation):
+        S.update_snapshot(spark, tdir, where="k = 1", set={"x": "-5"})
+    # failed update committed nothing
+    assert S.current_version(tdir) == 0
+    assert S.read_snapshot(spark, tdir).collect()[0].x == 5
+
+
+def test_update_zero_match_still_stamps(spark, tdir):
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(1, 5)], "k BIGINT, x BIGINT").coalesce(1),
+    )
+    v = S.update_snapshot(
+        spark, tdir, where="k = 999", set={"x": "0"}, op="fix:tick=7"
+    )
+    assert v == 1 and "fix:tick=7" in S.committed_ops(tdir)
+    assert S.read_snapshot(spark, tdir).collect()[0].x == 5
