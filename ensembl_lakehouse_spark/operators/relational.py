@@ -2947,3 +2947,127 @@ FROM classified
 GROUP BY week
 ORDER BY week
 """
+
+
+# ---------------------------------------------------------------------------
+# Stickiness (DAU over trailing-7-day WAU)
+# ---------------------------------------------------------------------------
+
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stickiness ratio: DAU / trailing-7-day WAU per day, in
+    basis points — THE habit metric next to events_growth_accounting's
+    weekly ledger (a product with 3000 WAU and 3000 DAU is a daily
+    habit; same WAU at 500 DAU is a weekly chore). Only days with a
+    full 7-day trailing window are emitted, so the ratio is never
+    inflated by a short window at the corpus start.
+
+    Distinct-users-over-a-sliding-window does NOT decompose into
+    per-day partials (users active on several days must count once
+    per window), so the exact formulation is the (user, day)
+    distinct lattice range-joined to the day spine — |users×days| ×
+    7 rows, dim-bounded, nothing fact-proportional after the first
+    distinct. The same lattice events_sliding_distinct uses; this
+    derives the ratio per calendar day.
+
+    All integers; one DIV for the ratio.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.expr("CAST(ts AS DATE)").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    spine = days.select(F.col("day").alias("d"))
+    wau = (
+        ud.join(
+            spine,
+            (F.col("day") <= F.col("d"))
+            & (F.expr("datediff(d, day)") < 7),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    first_day = days.agg(F.min("day").alias("first_day"))
+    return (
+        dau.join(wau, dau.day == wau.d)
+        .crossJoin(F.broadcast(first_day))
+        .where("datediff(day, first_day) >= 6")
+        .withColumn("stickiness_bp", F.expr("(dau * 10000) DIV wau"))
+        .select("day", "dau", "wau", "stickiness_bp")
+        .orderBy("day")
+    )
+
+
+EVENTS_STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), spine AS (
+  SELECT DISTINCT day AS d FROM ud
+), wau AS (
+  SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM ud JOIN spine
+    ON ud.day <= spine.d AND datediff('day', ud.day, spine.d) < 7
+  GROUP BY d
+), dau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY day
+)
+SELECT day, dau, wau, (dau * 10000) // wau AS stickiness_bp
+FROM dau JOIN wau ON dau.day = wau.d
+WHERE datediff('day', (SELECT MIN(day) FROM ud), day) >= 6
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day × day-of-week traffic heatmap
+# ---------------------------------------------------------------------------
+
+def events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (weekday, hour) traffic heatmap: event counts per cell
+    and each cell's share of its weekday in basis points — the
+    capacity-planning / on-call-staffing matrix one level finer
+    than events_dow_profile. Weekday uses the SAME engine-agnostic
+    epoch arithmetic as the dow profile (Monday = 0; no reliance on
+    either engine's 0-vs-1-based dayofweek); hour is hour(ts) under
+    the session's pinned UTC zone.
+
+    Plan: one partial agg to ≤ 7×24 rows; the share window rides
+    the dow key on that dim-bounded matrix.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.expr(
+                "CAST((floor(unix_timestamp(ts) / 86400) + 3) % 7 AS INT)"
+            ).alias("dow"),
+            F.expr("CAST(hour(ts) AS INT)").alias("hod"),
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .withColumn(
+            "dow_share_bp",
+            F.expr(
+                "(n_events * 10000) DIV SUM(n_events) OVER (PARTITION BY dow)"
+            ),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+EVENTS_HOUR_HEATMAP_SQL = """
+WITH cells AS (
+  SELECT CAST((floor(epoch(ts) / 86400) + 3) % 7 AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hod, n_events,
+       (n_events * 10000)
+         // CAST(SUM(n_events) OVER (PARTITION BY dow) AS BIGINT)
+         AS dow_share_bp
+FROM cells
+ORDER BY dow, hod
+"""

@@ -1361,3 +1361,83 @@ SELECT o_orderstatus, age_band, n_orders, value_cents,
 FROM agg
 ORDER BY o_orderstatus, age_band
 """
+
+
+# ---------------------------------------------------------------------------
+# supplier_lead_variability
+# ---------------------------------------------------------------------------
+
+#: Suppliers reported (least reliable first).
+LEAD_VAR_TOP_N = 20
+
+
+def supplier_lead_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier reliability screen: the LEAD_VAR_TOP_N suppliers with
+    the most VARIABLE order→ship lead time (sample variance of the
+    day lead, centi-scaled) — order_ship_lead reports who is SLOW on
+    average; this reports who is UNPREDICTABLE, which is what safety
+    stock actually prices. Mean lead rides along so the reader can
+    separate slow-but-steady from fast-but-erratic.
+
+    All-integer: leads are day diffs; var_e2 = (n·Σd² − (Σd)²)·100
+    DIV (n·(n−1)) and mean_e2 are single integer DIVs over BIGINT
+    moment sums (Σd² ≈ 10⁹ per supplier at sf0.1 — ample headroom).
+
+    Plan: the lineitem⋈orders fact-fact join (bucket-colocatable on
+    the order key at 100 TB), one partial agg to |suppliers| moment
+    rows, TakeOrderedAndProject for the top-N.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("odate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("sdate"),
+    )
+    mom = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_suppkey",
+            F.expr("CAST(datediff(sdate, odate) AS BIGINT)").alias("d"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d").alias("sd"),
+            F.sum(F.expr("d * d")).alias("sd2"),
+        )
+        .where("n > 1")
+    )
+    return (
+        mom.withColumn(
+            "var_e2", F.expr("((n * sd2 - sd * sd) * 100) DIV (n * (n - 1))")
+        )
+        .withColumn("mean_e2", F.expr("(sd * 100) DIV n"))
+        .select("l_suppkey", "n", "mean_e2", "var_e2")
+        .orderBy(F.desc("var_e2"), "l_suppkey")
+        .limit(LEAD_VAR_TOP_N)
+    )
+
+
+SUPPLIER_LEAD_VARIABILITY_SQL = f"""
+WITH mom AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS sd,
+         CAST(SUM(d * d) AS BIGINT) AS sd2
+  FROM (
+    SELECT l_suppkey,
+           CAST(datediff('day', CAST(o_orderdate AS DATE),
+             CAST(l_shipdate AS DATE)) AS BIGINT) AS d
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  )
+  GROUP BY l_suppkey
+  HAVING COUNT(*) > 1
+)
+SELECT l_suppkey, n,
+       (sd * 100) // n AS mean_e2,
+       ((n * sd2 - sd * sd) * 100) // (n * (n - 1)) AS var_e2
+FROM mom
+ORDER BY var_e2 DESC, l_suppkey
+LIMIT {LEAD_VAR_TOP_N}
+"""

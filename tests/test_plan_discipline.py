@@ -269,6 +269,21 @@ BUDGETS = {
     # kmeans' (KM_ITERS-1)·2 centroid-update exchanges + the
     # (cluster,label) agg and its |clusters| majority window
     "embedding_cluster_purity": 2 * (KM_ITERS - 1) + 2,
+    # round-6 batch 6
+    # checkpointed basket funnel + degree agg + 1-row moment agg
+    # (deg joins broadcast on the dim-bounded graph)
+    "graph_assortativity": 3,
+    # the one trade aggregation; marginal windows ride the
+    # |nations|² matrix (AQE may add tiny exchanges at scale)
+    "nation_trade_lift": 3,
+    # (user,day) distinct + day spine + range join + wau/dau
+    # distinct aggs — all over the dim-bounded lattice
+    "events_stickiness": 6,
+    # one partial agg to ≤7×24 cells + the dow share window
+    "events_hour_heatmap": 2,
+    # fact⋈fact (AQE-broadcast at test SF) + |suppliers| moment agg;
+    # top-N is TakeOrdered
+    "supplier_lead_variability": 2,
 }
 
 

@@ -462,3 +462,78 @@ def test_cluster_purity_consistent_with_kmeans(spark):
         # majority share is at least the uniform-label floor
         assert 10000 // 8 <= r.purity_bp <= 10000
         assert 0 <= r.majority_label
+
+
+# --- round-6 batch 6 -------------------------------------------------------
+
+
+def test_assortativity_moments_symmetric_and_bounded(spark):
+    from ensembl_lakehouse_spark.operators import graph as G
+
+    rows = G.graph_assortativity(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert -1_000_001 <= r.assortativity_e6 <= 1_000_000
+    # doubled edge list ⇒ n is even and moments are symmetric by
+    # construction (sx == sy was consumed into the output contract)
+    assert r.n % 2 == 0 and r.n > 0
+
+
+def test_nation_trade_lift_marginals(spark):
+    from ensembl_lakehouse_spark.operators import graph as G
+
+    rows = G.nation_trade_lift(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r.n_trades for r in rows)
+    # volume-weighted mean lift = 10⁴·(1 + φ²) ≥ 10⁴ (equality iff
+    # perfectly independent); φ² ≤ min(r,c)−1 = 24 bounds it above.
+    # Integer-DIV floor loses < 1bp per row, hence the −total slack.
+    wsum = sum(r.n_trades * r.lift_bp for r in rows)
+    assert 10000 * total - total <= wsum <= 10000 * total * 25
+    for r in rows:
+        assert r.lift_bp >= 0
+
+
+def test_stickiness_bounds_and_window(spark):
+    from ensembl_lakehouse_spark.operators import relational as R
+
+    rows = R.events_stickiness(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.wau  # a day's actives ⊆ the week's
+        assert 0 < r.stickiness_bp <= 10000
+    import duckdb
+
+    n_days = duckdb.sql(
+        f"SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == n_days - 6  # first 6 days lack a full window
+
+
+def test_hour_heatmap_conserves_and_shares(spark):
+    from ensembl_lakehouse_spark.operators import relational as R
+
+    rows = R.events_hour_heatmap(spark, SF_DIR).collect()
+    import duckdb
+
+    n_events = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_events for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hod <= 23
+    for dow in {r.dow for r in rows}:
+        cells = [r for r in rows if r.dow == dow]
+        s = sum(r.dow_share_bp for r in cells)
+        assert 10000 - len(cells) <= s <= 10000
+
+
+def test_lead_variability_nonnegative_and_ranked(spark):
+    from ensembl_lakehouse_spark.operators import reports as RP
+
+    rows = RP.supplier_lead_variability(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= RP.LEAD_VAR_TOP_N
+    vs = [r.var_e2 for r in rows]
+    assert vs == sorted(vs, reverse=True)
+    for r in rows:
+        assert r.var_e2 >= 0 and r.n > 1
