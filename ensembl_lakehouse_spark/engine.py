@@ -512,7 +512,10 @@ class Engine:
             )
         except Exception as exc:  # unknown column etc. — analysis-time
             raise QueryValidationError(f"aggregate failed: {exc}") from exc
-        answered_by = why["rollup"] if why["used"] == "rollup" else "base"
+        # "metadata" (manifest rowcounts), a rollup's name, or "base"
+        answered_by = (
+            why["rollup"] if why["used"] == "rollup" else why["used"]
+        )
         # identity of the ANSWER, not the request: the source version
         # is the one answer_aggregate pinned (resolved before the
         # freshness decision — no TOCTOU with a racing commit), and a

@@ -196,6 +196,28 @@ def answer_aggregate(
     src = os.path.abspath(source_dir)
     src_v = SN.current_version(src)
     skipped: list[dict] = []
+    # Cheapest tier first — metadata-only: an unfiltered global
+    # COUNT(*) is exactly the manifest's recorded per-file row-count
+    # sum (the Delta-log answer path): zero data reads, zero Spark
+    # jobs, and trivially version-exact. Only when every requested
+    # measure is a count and there is no grouping; any gap in the
+    # recorded counts falls through (never a wrong number).
+    if not group_by and all(fn == "count" for fn, _ in aggs.values()):
+        n = SN.table_rowcount(src, version=src_v)
+        if n is not None:
+            df = spark.createDataFrame(
+                [tuple(n for _ in aggs)],
+                ", ".join(f"{out} BIGINT" for out in aggs),
+            )
+            return df, {
+                "used": "metadata",
+                "rollup": None,
+                "source_version": src_v,
+                "skipped": skipped,
+            }
+        skipped.append(
+            {"rollup": None, "reason": "manifest rowcounts incomplete"}
+        )
     for spec in catalog.specs():
         if spec.source_dir != src:
             continue

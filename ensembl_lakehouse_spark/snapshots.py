@@ -133,6 +133,26 @@ def history(table_dir: str) -> list[dict]:
     return out
 
 
+def table_rowcount(table_dir: str, version: int | None = None) -> int | None:
+    """Exact row count of a version from manifest metadata alone —
+    zero data reads, zero Spark jobs (the Delta-log COUNT(*) answer
+    path). Returns None when any file of the version lacks a
+    recorded count (pre-rowcount manifests, unreadable footer at
+    write time) — the caller falls back to a scan, never to a wrong
+    number."""
+    v = version if version is not None else current_version(table_dir)
+    if v is None:
+        return None
+    manifest = _read_manifest(table_dir, v)
+    counts = manifest.get("rowcounts", {})
+    total = 0
+    for rel in manifest["files"]:
+        if rel not in counts:
+            return None
+        total += counts[rel]
+    return total
+
+
 def _commit(
     table_dir: str,
     files: list[str],
@@ -178,6 +198,33 @@ def _commit_locked(
         )
     version = (now_cur if now_cur is not None else -1) + 1
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    # Per-file row counts (the Delta-log trick that lets COUNT(*) be
+    # answered from metadata alone): carried files copy their count
+    # from the base manifest; freshly written files read ONE footer
+    # field (num_rows) — local to the writer, exactly like
+    # _file_stats. Centralized here so every commit path (write,
+    # merge, delete, update, compact, rollback, backfill) records
+    # counts without threading a parameter through each. A file whose
+    # footer cannot be read is simply absent (table_rowcount then
+    # reports unknown rather than a wrong number).
+    prev_counts = (
+        _read_manifest(table_dir, now_cur).get("rowcounts", {})
+        if now_cur is not None
+        else {}
+    )
+    rowcounts: dict[str, int] = {}
+    for rel in files:
+        if rel in prev_counts:
+            rowcounts[rel] = prev_counts[rel]
+        else:
+            try:
+                import pyarrow.parquet as pq
+
+                rowcounts[rel] = pq.ParquetFile(
+                    os.path.join(table_dir, rel)
+                ).metadata.num_rows
+            except Exception:
+                pass
     manifest = {
         "version": version,
         # explicit lineage: the version this commit was derived from
@@ -194,6 +241,8 @@ def _commit_locked(
         # (see _file_blooms); opt-in at write/compact time, absent
         # entries are unprunable
         "blooms": blooms or {},
+        # per-file row counts (subset of "files"; see above)
+        "rowcounts": rowcounts,
         "committed_at": time.time(),
     }
     mpath = os.path.join(_manifest_dir(table_dir), f"v{version}.json")

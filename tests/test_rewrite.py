@@ -126,3 +126,33 @@ def test_cheapest_matching_rollup_wins(spark, fixture):
     _, why = RW.answer_aggregate(spark, cat, src, ["grp", "reg"], AGGS)
     assert why["rollup"] == "by_grp_reg"  # coarse one can't serve
     assert why["skipped"][0]["rollup"] == "by_grp"
+
+
+def test_metadata_counts_answer_without_reading_data(spark, fixture):
+    src, rol, cat = fixture
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    # manifest rowcount agrees with the scan at every version
+    assert SN.table_rowcount(src) == SN.read_snapshot(spark, src).count()
+
+    got, why = RW.answer_aggregate(
+        spark, cat, src, [], {"n": ("count", ""), "m": ("count", "x")}
+    )
+    assert why["used"] == "metadata"
+    assert got.inputFiles() == []  # zero data reads — a local relation
+    row = got.collect()[0]
+    assert row.n == row.m == 60
+
+    # stays exact through COW DML (update rewrites, delete removes)
+    SN.update_snapshot(spark, src, where="k < 5", set={"val": "val + 1"})
+    SN.delete_snapshot(spark, src, where="k >= 55")
+    assert SN.table_rowcount(src) == 55
+    got2, why2 = RW.answer_aggregate(spark, cat, src, [], {"n": ("count", "")})
+    assert why2["used"] == "metadata"
+    assert got2.collect()[0].n == 55
+
+    # grouping or non-count measures never take the metadata path
+    _, why3 = RW.answer_aggregate(spark, cat, src, ["grp"], {"n": ("count", "")})
+    assert why3["used"] != "metadata"
+    _, why4 = RW.answer_aggregate(spark, cat, src, [], {"s": ("sum", "val")})
+    assert why4["used"] != "metadata"
