@@ -68,9 +68,17 @@ def _applied_versions(rollup_dir: str) -> list[int]:
     ]
 
 
-def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
-    """The maintained view, tombstones filtered."""
-    return SN.read_snapshot(spark, rollup_dir).where(F.col("n_rows") > 0)
+def read_rollup(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """The maintained view, tombstones filtered. ``version`` pins a
+    specific rollup snapshot — callers that cache or stamp an answer
+    with a version identity (plans/rewrite.py) MUST resolve the
+    version first and pass it here, or a racing maintenance commit
+    can pair one version's identity with another's data."""
+    return SN.read_snapshot(spark, rollup_dir, version=version).where(
+        F.col("n_rows") > 0
+    )
 
 
 def maintain_rollup(

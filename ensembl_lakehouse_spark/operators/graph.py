@@ -756,6 +756,39 @@ KCORE_SUPPORT = 2
 KCORE_BASKET_CAP = 20
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (pa < pb) co-purchase edge list with the
+    KCORE_SUPPORT noise floor, checkpointed — ONE builder shared by
+    graph_kcore and graph_assortativity so the two structural
+    reports provably describe the same graph (the capped_basket_items
+    rule, one layer up)."""
+    sized = capped_basket_items(spark, sf_dir, KCORE_BASKET_CAP)
+    a = sized.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = sized.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= KCORE_SUPPORT)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _copurchase_sql() -> str:
+    """DuckDB twin: the capped-items prep + e0 edge CTE fragment."""
+    return (
+        capped_items_sql(KCORE_BASKET_CAP)
+        + f""", e0 AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM kept a JOIN kept b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {KCORE_SUPPORT}
+)"""
+    )
+
+
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive k-core peeling on the part co-purchase graph: pick
     k as the 75th-percentile round-0 degree, then run KCORE_ROUNDS
@@ -788,17 +821,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix). Each peel is two semi-joins + one degree agg over
     |edges| rows.
     """
-    sized = capped_basket_items(spark, sf_dir, KCORE_BASKET_CAP)
-    a = sized.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = sized.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= KCORE_SUPPORT)
-        .select("pa", "pb")
-        .localCheckpoint(eager=False)
-    )
+    edges = _copurchase_edges(spark, sf_dir)
 
     def degrees(e: DataFrame) -> DataFrame:
         ends = e.select(F.col("pa").alias("node")).unionAll(
@@ -856,13 +879,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kcore_sql() -> str:
     """CTE-chain oracle mirroring the unrolled peel step for step."""
     prep = f"""
-WITH {capped_items_sql(KCORE_BASKET_CAP)}, e0 AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM kept a JOIN kept b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= {KCORE_SUPPORT}
-), d0 AS (
+WITH {_copurchase_sql()}, d0 AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
     SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0
   ) GROUP BY node
@@ -925,17 +942,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg over 2|edges| endpoint rows → a broadcast deg join back to
     the doubled edge list → ONE 1-row moment aggregate.
     """
-    sized = capped_basket_items(spark, sf_dir, KCORE_BASKET_CAP)
-    a = sized.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = sized.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= KCORE_SUPPORT)
-        .select("pa", "pb")
-        .localCheckpoint(eager=False)
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     both = edges.selectExpr("pa AS u", "pb AS w").unionAll(
         edges.selectExpr("pb AS u", "pa AS w")
     )
@@ -961,13 +968,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GRAPH_ASSORTATIVITY_SQL = f"""
-WITH {capped_items_sql(KCORE_BASKET_CAP)}, e0 AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM kept a JOIN kept b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= {KCORE_SUPPORT}
-), both_dir AS (
+WITH {_copurchase_sql()}, both_dir AS (
   SELECT pa AS u, pb AS w FROM e0
   UNION ALL
   SELECT pb AS u, pa AS w FROM e0

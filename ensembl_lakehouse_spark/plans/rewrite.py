@@ -205,10 +205,14 @@ def answer_aggregate(
     if not group_by and all(fn == "count" for fn, _ in aggs.values()):
         n = SN.table_rowcount(src, version=src_v)
         if n is not None:
-            df = spark.createDataFrame(
-                [tuple(n for _ in aggs)],
-                ", ".join(f"{out} BIGINT" for out in aggs),
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            # explicit StructType, not a DDL string: output names are
+            # caller-chosen and need not be valid DDL identifiers
+            schema = StructType(
+                [StructField(out, LongType(), False) for out in aggs]
             )
+            df = spark.createDataFrame([tuple(n for _ in aggs)], schema)
             return df, {
                 "used": "metadata",
                 "rollup": None,
@@ -233,8 +237,13 @@ def answer_aggregate(
                 }
             )
             continue
+        # resolve the rollup version ONCE, then read pinned at it —
+        # the same pin-at-plan rule as src_v above, or a racing
+        # maintenance commit stamps v+1's identity onto v's data and
+        # poisons the stale_ok cache
+        rollup_v = SN.current_version(spec.rollup_dir)
         df = (
-            ivm.read_rollup(spark, spec.rollup_dir)
+            ivm.read_rollup(spark, spec.rollup_dir, version=rollup_v)
             .groupBy(*group_by)
             .agg(*_agg_exprs(aggs, from_rollup=True))
         )
@@ -242,7 +251,7 @@ def answer_aggregate(
             "used": "rollup",
             "rollup": spec.name,
             "rollup_dir": spec.rollup_dir,
-            "rollup_version": SN.current_version(spec.rollup_dir),
+            "rollup_version": rollup_v,
             "source_version": src_v,
             "skipped": skipped,
         }

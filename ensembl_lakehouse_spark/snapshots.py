@@ -172,9 +172,33 @@ def _commit(
     real thread contention in tests). Cross-process, the same span is
     what an object store's conditional PUT makes atomic.
     """
+    # Footer reads for per-file rowcounts happen OUTSIDE the lock
+    # (like _file_stats/_file_blooms, which callers compute before
+    # committing): only files not already counted by the pre-lock
+    # pointer's manifest are read; the locked section re-checks the
+    # authoritative base manifest and only falls back to these.
+    pre = current_version(table_dir)
+    pre_counts = (
+        _read_manifest(table_dir, pre).get("rowcounts", {})
+        if pre is not None
+        else {}
+    )
+    fresh_counts: dict[str, int] = {}
+    for rel in files:
+        if rel in pre_counts:
+            continue
+        try:
+            import pyarrow.parquet as pq
+
+            fresh_counts[rel] = pq.ParquetFile(
+                os.path.join(table_dir, rel)
+            ).metadata.num_rows
+        except Exception:
+            pass
     with _table_lock(table_dir):
         return _commit_locked(
-            table_dir, files, op, expect_version, base_seen, stats, blooms
+            table_dir, files, op, expect_version, base_seen, stats, blooms,
+            fresh_counts,
         )
 
 
@@ -186,6 +210,7 @@ def _commit_locked(
     base_seen: int | None,
     stats: dict | None = None,
     blooms: dict | None = None,
+    fresh_counts: dict[str, int] | None = None,
 ) -> int:
     now_cur = current_version(table_dir)
     if expect_version is not None and now_cur != expect_version:
@@ -200,31 +225,26 @@ def _commit_locked(
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     # Per-file row counts (the Delta-log trick that lets COUNT(*) be
     # answered from metadata alone): carried files copy their count
-    # from the base manifest; freshly written files read ONE footer
-    # field (num_rows) — local to the writer, exactly like
-    # _file_stats. Centralized here so every commit path (write,
-    # merge, delete, update, compact, rollback, backfill) records
-    # counts without threading a parameter through each. A file whose
-    # footer cannot be read is simply absent (table_rowcount then
+    # from the base manifest (authoritative, re-read under the lock);
+    # freshly written files use the footer num_rows the UNLOCKED
+    # _commit wrapper read (so footer I/O never lengthens the commit
+    # critical section). Centralized here so every commit path
+    # (write, merge, delete, update, compact, rollback, backfill)
+    # records counts without threading a parameter through each. A
+    # file covered by neither is simply absent (table_rowcount then
     # reports unknown rather than a wrong number).
     prev_counts = (
         _read_manifest(table_dir, now_cur).get("rowcounts", {})
         if now_cur is not None
         else {}
     )
+    fresh_counts = fresh_counts or {}
     rowcounts: dict[str, int] = {}
     for rel in files:
         if rel in prev_counts:
             rowcounts[rel] = prev_counts[rel]
-        else:
-            try:
-                import pyarrow.parquet as pq
-
-                rowcounts[rel] = pq.ParquetFile(
-                    os.path.join(table_dir, rel)
-                ).metadata.num_rows
-            except Exception:
-                pass
+        elif rel in fresh_counts:
+            rowcounts[rel] = fresh_counts[rel]
     manifest = {
         "version": version,
         # explicit lineage: the version this commit was derived from
@@ -1182,14 +1202,15 @@ def update_snapshot(
     candidates = list(manifest["files"])
 
     touched: list[str] = []
-    schema_cols: list[str] = []
+    cand_schema = None
     if candidates:
         cand_df = (
             spark.read.option("mergeSchema", "true")
             .parquet(*(os.path.join(table_dir, f) for f in candidates))
             .withColumn("_src_file", F.input_file_name())
         )
-        schema_cols = [c for c in cand_df.columns if c != "_src_file"]
+        cand_schema = cand_df.drop("_src_file").schema
+        schema_cols = list(cand_schema.names)
         unknown = [k for k in set if k not in schema_cols]
         if unknown:
             raise ValueError(
@@ -1214,6 +1235,17 @@ def update_snapshot(
         sub = spark.read.option("mergeSchema", "true").parquet(
             *(os.path.join(table_dir, f) for f in touched)
         )
+        # Schema evolution: a set target can be absent from every
+        # TOUCHED file even though the table (mergeSchema over all
+        # candidates) has it — e.g. the matching rows live in a file
+        # written before a schema-widening merge. Materialize such
+        # columns as typed NULLs first, so the assignment applies
+        # instead of silently dropping (the rewritten file then
+        # carries the column, exactly as a full-table rewrite would).
+        table_types = {f.name: f.dataType for f in cand_schema.fields}
+        for c in set:
+            if c not in sub.columns:
+                sub = sub.withColumn(c, F.lit(None).cast(table_types[c]))
         cond = F.coalesce(F.expr(where), F.lit(False))
         # ONE projection: every assignment sees the pre-update row
         updated = sub.select(

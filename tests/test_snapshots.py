@@ -1257,3 +1257,28 @@ def test_update_zero_match_still_stamps(spark, tdir):
     )
     assert v == 1 and "fix:tick=7" in S.committed_ops(tdir)
     assert S.read_snapshot(spark, tdir).collect()[0].x == 5
+
+
+def test_update_applies_to_schema_evolved_files(spark, tdir):
+    """A SET target can be absent from every TOUCHED file (rows live
+    in a file written before a schema-widening merge): the update
+    must still apply, not silently drop (r6 code-review finding)."""
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING")
+        .coalesce(1),
+    )
+    # widen the schema via a FILE-SCOPED merge on a disjoint key so
+    # the original (k, v)-only file is carried untouched — the update
+    # below must then materialize x before assigning it
+    S.merge_snapshot(
+        spark, tdir,
+        spark.createDataFrame([(9, "z", 99)], "k BIGINT, v STRING, x BIGINT"),
+        key="k", scope_by="k",
+    )
+    m = S._read_manifest(tdir, 1)
+    old = S._read_manifest(tdir, 0)
+    assert set(old["files"]) & set(m["files"]), "old file must be carried"
+    S.update_snapshot(spark, tdir, where="k = 1", set={"x": "42"})
+    got = {r.k: r.x for r in S.read_snapshot(spark, tdir).collect()}
+    assert got == {1: 42, 2: None, 9: 99}
