@@ -211,6 +211,7 @@ class Engine:
         """
         if not sql or not sql.strip():
             raise QueryValidationError("sql must be non-blank")
+        snap_fp = self._refresh_snapshot_views()
         parser = self.spark._jsparkSession.sessionState().sqlParser()
         try:
             root = parser.parsePlan(sql).getClass().getSimpleName()
@@ -232,6 +233,7 @@ class Engine:
         # MISS, not serve the pre-advance rows for 44 days.
         key = (
             "sql\x1f" + self.catalog.view_fingerprint()
+            + "\x1f" + snap_fp
             + "\x1f" + canonical_sql_text(sql)
         )
         query_id = self.registry.submit(df, cache_key=key)
@@ -428,6 +430,30 @@ class Engine:
                 "export": f"/query/{query_id}/export",
             },
         }
+
+    def _refresh_snapshot_views(self) -> str:
+        """Expose every registered snapshot table to raw SQL as the
+        temp view ``snap_<name>``, pinned at its PUBLISHED version
+        when a publish pointer exists (the write-audit-publish read
+        contract — staged versions stay invisible to SQL consumers)
+        and at the current version otherwise. Re-resolved per /sql
+        submit, so the view can never serve a stale file list; the
+        returned ``name@version`` fingerprint joins the cache key, so
+        identical SQL before/after a publish MISSES instead of
+        serving pre-publish rows for 44 days. O(registered tables)
+        manifest reads — driver metadata, no data touched."""
+        from ensembl_lakehouse_spark import snapshots as _SN
+
+        parts = []
+        for name, tdir in sorted(self._snapshot_tables.items()):
+            v = _SN.published_version(tdir)
+            if v is None:
+                v = _SN.current_version(tdir)
+            _SN.read_snapshot(
+                self.spark, tdir, version=v
+            ).createOrReplaceTempView(f"snap_{name}")
+            parts.append(f"{name}@{v}")
+        return ";".join(parts)
 
     def register_rollup(
         self,

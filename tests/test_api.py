@@ -608,3 +608,48 @@ def test_mv_aggregate_over_http(server, spark, tmp_path_factory):
     assert resp5["answered_by"] == "mv_by_grp"
     assert resp5["query_id"] != resp3["query_id"]
     assert rows_of(resp5["query_id"])["g0"][1:] == ["11", "1135"]
+
+
+def test_sql_over_published_snapshot_views(server, spark, tmp_path_factory):
+    """Registered snapshot tables are queryable from raw /sql as
+    snap_<name>, pinned at the PUBLISHED version (write-audit-publish
+    read contract); a publish advances the view AND the cache key."""
+    import time as _time
+
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    tdir = str(tmp_path_factory.mktemp("sql_snap") / "tbl")
+    SN.write_snapshot(
+        tdir, spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    )
+    SN.publish_snapshot(tdir, 0)
+    SN.write_snapshot(  # staged v1, NOT published
+        tdir,
+        spark.createDataFrame([(100,)], ["k"]),
+        mode="append",
+    )
+    server.engine.register_snapshot_table("sqlsnap", tdir)
+
+    def count_via_sql():
+        import urllib.parse
+
+        q = urllib.parse.quote("SELECT COUNT(*) AS n FROM snap_sqlsnap")
+        status, _, resp = _get(server, f"/sql?query={q}")
+        assert status == 200, resp
+        qid = resp["query_id"]
+        for _ in range(120):
+            st = _get(server, f"/query/{qid}/status")[2]
+            if st["status"] in ("SUCCEEDED", "FAILED"):
+                break
+            _time.sleep(0.5)
+        assert st["status"] == "SUCCEEDED"
+        _, _, prev = _get(server, f"/query/{qid}/preview?maxResults=3")
+        return qid, int(prev["Rows"][1]["Data"][0]["VarCharValue"])
+
+    qid0, n0 = count_via_sql()
+    assert n0 == 10  # staged v1 invisible to SQL consumers
+
+    SN.publish_snapshot(tdir, 1)
+    qid1, n1 = count_via_sql()
+    assert n1 == 11
+    assert qid1 != qid0  # version is in the cache key — no stale hit
