@@ -1441,3 +1441,160 @@ FROM mom
 ORDER BY var_e2 DESC, l_suppkey
 LIMIT {LEAD_VAR_TOP_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# segment_priority_lift
+# ---------------------------------------------------------------------------
+
+def segment_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority affinity per customer market segment: observed
+    cell count vs the independence expectation in basis points
+    (nation_trade_lift's formulation on the behavioral dims) — "do
+    MACHINERY customers actually file more 1-URGENT orders". The
+    marketing/ops cross-tab that raw counts can't answer because
+    segment sizes differ.
+
+    Integer-exact: lift_bp = (n · total · 10⁴) DIV (row·col), all
+    BIGINT with ample headroom at any fixture multiple.
+
+    Plan: one orders⋈customer pass (customer broadcast at test SF,
+    un-hinted so AQE decides at scale), partial agg to |segments ×
+    priorities| cells, marginal windows on that tiny matrix.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cells.withColumn(
+            "row_tot", F.expr("SUM(n) OVER (PARTITION BY c_mktsegment)")
+        )
+        .withColumn(
+            "col_tot", F.expr("SUM(n) OVER (PARTITION BY o_orderpriority)")
+        )
+        .withColumn("total", F.expr("SUM(n) OVER ()"))
+        .withColumn(
+            "lift_bp", F.expr("(n * total * 10000) DIV (row_tot * col_tot)")
+        )
+        .select("c_mktsegment", "o_orderpriority", "n", "lift_bp")
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+SEGMENT_PRIORITY_LIFT_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), scored AS (
+  SELECT c_mktsegment, o_orderpriority, n,
+         CAST(SUM(n) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS row_tot,
+         CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+           AS col_tot,
+         CAST(SUM(n) OVER () AS BIGINT) AS total
+  FROM cells
+)
+SELECT c_mktsegment, o_orderpriority, n,
+       (n * total * 10000) // (row_tot * col_tot) AS lift_bp
+FROM scored
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# region_revenue_share_trend
+# ---------------------------------------------------------------------------
+
+def region_revenue_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional revenue mix over time: each region's share of global
+    yearly revenue in basis points plus the year-over-year share
+    delta — the "is APAC gaining on EUROPE" portfolio trend that
+    join_region_revenue's all-time totals flatten away.
+
+    Per-row cents before any SUM; shares and deltas are integer
+    arithmetic; the YoY delta compares shares (already normalized),
+    so volume growth common to all regions cancels.
+
+    Plan: the one lineitem⋈orders fact-fact exchange (customer →
+    nation → region dims broadcast), partial agg to |regions ×
+    years| rows, share/lag windows on that tiny relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) "
+            "* 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.expr("year(o_orderdate)").alias("yr")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "yr")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    return (
+        cells.withColumn(
+            "share_bp",
+            F.expr(
+                "(rev_cents * 10000) DIV SUM(rev_cents) OVER (PARTITION BY yr)"
+            ),
+        )
+        .withColumn(
+            "share_delta_bp",
+            F.expr(
+                "share_bp - lag(share_bp) OVER "
+                "(PARTITION BY r_name ORDER BY yr)"
+            ),
+        )
+        .select("r_name", "yr", "rev_cents", "share_bp", "share_delta_bp")
+        .orderBy("r_name", "yr")
+    )
+
+
+REGION_REVENUE_SHARE_TREND_SQL = """
+WITH cells AS (
+  SELECT r_name, year(o_orderdate) AS yr,
+         CAST(SUM(CAST(floor(l_extendedprice
+           * (CAST(1 AS DOUBLE) - l_discount)
+           * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), shared AS (
+  SELECT r_name, yr, rev_cents,
+         (rev_cents * 10000)
+           // CAST(SUM(rev_cents) OVER (PARTITION BY yr) AS BIGINT)
+           AS share_bp
+  FROM cells
+)
+SELECT r_name, yr, rev_cents, share_bp,
+       share_bp - lag(share_bp) OVER (PARTITION BY r_name ORDER BY yr)
+         AS share_delta_bp
+FROM shared
+ORDER BY r_name, yr
+"""

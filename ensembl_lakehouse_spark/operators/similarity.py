@@ -1228,3 +1228,82 @@ FROM all_deg
 GROUP BY in_deg
 ORDER BY in_deg
 """
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-cosine histogram (separability profile)
+# ---------------------------------------------------------------------------
+
+#: Histogram band width: cosine is bucketed as floor(cosine · 20)
+#: (0.05-wide bands over [-1, 1]).
+COS_HIST_BANDS_PER_UNIT = 20
+
+
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of pairwise cosines over the HUB_PANEL audit
+    panel, in 0.05 bands, split same-label vs cross-label — the
+    separability profile read BEFORE picking any similarity
+    threshold: dedup_embedding's cutoff, SemDeDup's cell epsilon,
+    and the LSH band count all assume the two distributions are
+    separated, and this is the one-scan check that they are.
+    (embedding_hubness reads the kNN graph's degree skew; this reads
+    the raw geometry it was built from.)
+
+    Determinism: each cosine is a per-pair map-side double (no
+    cross-row float math); FLOOR(cosine · 20) of the identical
+    double is the identical band in both engines; everything after
+    is integer counts. Canonical a<b pairs count each pair once.
+
+    Plan: one broadcast self-join scores panel²/2 pairs map-side,
+    then ONE partial agg to ≤ 80 band cells. O(panel²) forever, the
+    fixed-panel audit contract shared with embedding_hubness.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < HUB_PANEL
+    )
+    left = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+        F.expr(_norm_expr("embedding")).alias("q_nrm"),
+    )
+    right = emb.select(
+        "vec_id", "embedding", "label",
+        F.expr(_norm_expr("embedding")).alias("c_nrm"),
+    )
+    pairs = (
+        right.crossJoin(F.broadcast(left))
+        .where(F.col("q_id") < F.col("vec_id"))
+        .withColumn("cosine", F.expr(_PAIR_COSINE))
+    )
+    return (
+        pairs.select(
+            F.expr(
+                f"CAST(FLOOR(cosine * {COS_HIST_BANDS_PER_UNIT}) AS BIGINT)"
+            ).alias("band"),
+            F.expr(
+                "CASE WHEN label = q_label THEN 'same' ELSE 'cross' END"
+            ).alias("pair_kind"),
+        )
+        .groupBy("band", "pair_kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("band", "pair_kind")
+    )
+
+
+EMBEDDING_COSINE_HISTOGRAM_SQL = f"""
+WITH panel AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE vec_id < {HUB_PANEL}
+), pairs AS (
+  SELECT CAST(FLOOR({sql_cosine("a.embedding", "b.embedding")}
+           * {COS_HIST_BANDS_PER_UNIT}) AS BIGINT) AS band,
+         CASE WHEN a.label = b.label THEN 'same' ELSE 'cross' END
+           AS pair_kind
+  FROM panel a JOIN panel b ON a.vec_id < b.vec_id
+)
+SELECT band, pair_kind, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+GROUP BY band, pair_kind
+ORDER BY band, pair_kind
+"""

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ensembl_lakehouse_spark.functions.hashing import ROLL_MOD, sql_md5_long60
+from ensembl_lakehouse_spark.functions.stats import pearson_e6
 from ensembl_lakehouse_spark.functions.text import (
     BPE_REGEX,
     NORM_DUCK_SQL,
@@ -1287,5 +1288,86 @@ SELECT lang, n_docs, n_sentences, sum_chars,
        (n_sentences * 100) // n_docs AS sents_per_doc_e2,
        (sum_chars * 100) // n_sentences AS chars_per_sent_e2
 FROM lang_agg
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length vs lexical-concentration correlation per language
+# ---------------------------------------------------------------------------
+
+def doc_length_gini_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pearson correlation between document length
+    (tokens) and lexical Gini — "do longer documents stay lexically
+    diverse, or degrade into repetition". Negative correlation is
+    the classic web-crawl pathology (long pages = boilerplate/spam
+    loops) and tells the curator to length-stratify the quality
+    thresholds rather than apply one global cutoff.
+
+    The per-doc (t_toks, gini_bp) lattice is text_lexical_gini's;
+    both variables are integers, the moment sums are BIGINT, and
+    the one float step is the shared pearson_e6 template
+    (functions/stats.py — bit-stable cross-engine).
+
+    Plan: same explode→(doc,tok)→per-doc funnel as the gini report
+    plus one |langs| moment agg. Nothing fact-proportional after
+    the first combine.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    counts = (
+        toks.select("doc_id", "lang", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("x"),
+        F.sum(F.expr("c * c")).alias("sum_c2"),
+    ).withColumn(
+        "y", F.expr("((x * x - sum_c2) * 10000) DIV (x * x)")
+    )
+    mom = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return (
+        mom.where(
+            "n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+        )
+        .withColumn("corr_e6", F.expr(pearson_e6()))
+        .select("lang", "n", "sx", "sy", "corr_e6")
+        .orderBy("lang")
+    )
+
+
+DOC_LENGTH_GINI_CORR_SQL = f"""
+{_SQL_PREP}, counts AS (
+  SELECT doc_id, lang, unnest(toks) AS tok FROM t
+), cc AS (
+  SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM counts GROUP BY doc_id, lang, tok
+), per_doc AS (
+  SELECT doc_id, lang,
+         CAST(SUM(c) AS BIGINT) AS x,
+         ((CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)
+           - CAST(SUM(c * c) AS BIGINT)) * 10000)
+           // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS y
+  FROM cc GROUP BY doc_id, lang
+), mom AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n, sx, sy, {pearson_e6()} AS corr_e6
+FROM mom
+WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 ORDER BY lang
 """

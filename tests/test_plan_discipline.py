@@ -284,6 +284,15 @@ BUDGETS = {
     # fact⋈fact (AQE-broadcast at test SF) + |suppliers| moment agg;
     # top-N is TakeOrdered
     "supplier_lead_variability": 2,
+    # round-6 batch 7
+    # cell agg; marginal windows ride the |segments×priorities| matrix
+    "segment_priority_lift": 3,
+    # fact-fact exchange + |regions×years| cells + share/lag windows
+    "region_revenue_share_trend": 4,
+    # the gini lattice's two doc-keyed aggs + the |langs| moment agg
+    "doc_length_gini_corr": 3,
+    # panel² broadcast self-join; ONE ≤80-cell band agg
+    "embedding_cosine_histogram": 1,
 }
 
 

@@ -537,3 +537,67 @@ def test_lead_variability_nonnegative_and_ranked(spark):
     assert vs == sorted(vs, reverse=True)
     for r in rows:
         assert r.var_e2 >= 0 and r.n > 1
+
+
+# --- round-6 batch 7 -------------------------------------------------------
+
+
+def test_segment_priority_lift_identity(spark):
+    from ensembl_lakehouse_spark.operators import reports as RP
+
+    rows = RP.segment_priority_lift(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r.n for r in rows)
+    wsum = sum(r.n * r.lift_bp for r in rows)
+    # weighted mean lift = 10⁴(1+φ²) ≥ 10⁴ − floor slack
+    assert wsum >= 10000 * total - total
+    for r in rows:
+        assert r.lift_bp >= 0
+
+
+def test_region_share_trend_sums_and_deltas(spark):
+    from ensembl_lakehouse_spark.operators import reports as RP
+
+    rows = RP.region_revenue_share_trend(spark, SF_DIR).collect()
+    assert rows
+    years = {r.yr for r in rows}
+    for yr in years:
+        cells = [r for r in rows if r.yr == yr]
+        s = sum(r.share_bp for r in cells)
+        assert 10000 - len(cells) <= s <= 10000
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, []).append(r)
+    for series in by_region.values():
+        series.sort(key=lambda r: r.yr)
+        assert series[0].share_delta_bp is None  # no prior year
+        for prev, cur in zip(series, series[1:]):
+            assert cur.share_delta_bp == cur.share_bp - prev.share_bp
+
+
+def test_doc_length_gini_corr_range(spark):
+    from ensembl_lakehouse_spark.operators import text as T
+
+    rows = T.doc_length_gini_corr(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1_000_001 <= r.corr_e6 <= 1_000_000
+        assert r.n > 1
+
+
+def test_cosine_histogram_conserves_pairs(spark):
+    from ensembl_lakehouse_spark.operators import similarity as S
+
+    rows = S.embedding_cosine_histogram(spark, SF_DIR).collect()
+    assert rows
+    import duckdb
+
+    panel = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet' "
+        f"WHERE vec_id < {S.HUB_PANEL}"
+    ).fetchone()[0]
+    assert sum(r.n_pairs for r in rows) == panel * (panel - 1) // 2
+    for r in rows:
+        # cosine ∈ [-1, 1] ⇒ band ∈ [-20, 20]
+        assert -S.COS_HIST_BANDS_PER_UNIT <= r.band <= S.COS_HIST_BANDS_PER_UNIT
+        assert r.pair_kind in ("same", "cross")
