@@ -172,6 +172,31 @@ def main() -> None:
     assert ann_index.add_to_ivf_index(spark, idx_dir, batch, op="batch-001") == v
     print("index versions:", [h["op"] for h in snapshots.history(idx_dir)])
 
+    # 3e — round-6: UPDATE, MV rewrite, metadata counts, SQL views --
+    from ensembl_lakehouse_spark.plans import rewrite as RW
+
+    # COW row-level UPDATE: only files holding matches rewrite
+    snapshots.update_snapshot(
+        spark, src_docs, where="lang = 'en'",
+        set={"n_tokens": "n_tokens + 1"},
+    )
+    # metadata-only COUNT(*): zero data reads, exact at any size
+    print("rowcount (manifest):", snapshots.table_rowcount(src_docs))
+    # MV rewrite: the maintained rollup answers matching aggregates
+    ivm.maintain_rollup(spark, src_docs, rollup_dir, ["lang"], "n_tokens")
+    cat = RW.RollupCatalog()
+    cat.register("by_lang", rollup_dir, src_docs, ["lang"], "n_tokens")
+    df, why = RW.answer_aggregate(
+        spark, cat, src_docs, ["lang"],
+        {"docs": ("count", ""), "tokens": ("sum", "n_tokens")},
+    )
+    print("aggregate answered by:", why["used"], "->", df.first().asDict())
+    # registered tables are raw-SQL-queryable at the published version
+    eng.register_snapshot_table("docs", src_docs)
+    resp = eng.submit_sql("SELECT lang, COUNT(*) AS n FROM snap_docs GROUP BY lang")
+    eng.registry.wait(resp["query_id"], timeout=120)
+    print("sql over snapshot view:", eng.query_status(resp["query_id"])["status"])
+
     eng.close()
     spark.stop()
 
