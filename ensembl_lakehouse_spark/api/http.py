@@ -182,6 +182,7 @@ def make_handler(engine: Engine):
                     q.get("group_by", ""),
                     q["aggs"],
                     q.get("freshness", "strict"),
+                    q.get("filter", ""),
                 )
                 self._send(200, resp)
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "changes":

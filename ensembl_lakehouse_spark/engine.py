@@ -283,9 +283,18 @@ class Engine:
         surface can only reach tables deliberately published."""
         from ensembl_lakehouse_spark import snapshots as _SN
 
-        if not name or not name.replace("_", "").replace("-", "").isalnum():
+        # valid SQL identifier only: the name becomes the temp view
+        # snap_<name> on every /sql submit, and Spark rejects
+        # hyphenated view names (AnalysisException) — one bad
+        # registration would break the whole /sql endpoint (r7 ADVICE)
+        if (
+            not name
+            or not name.replace("_", "").isalnum()
+            or name[0].isdigit()
+        ):
             raise QueryValidationError(
-                "table name must be alphanumeric (plus _ and -)"
+                "table name must be a SQL identifier "
+                "(letters, digits, _; not starting with a digit)"
             )
         if _SN.current_version(table_dir) is None:
             raise QueryValidationError(
@@ -486,17 +495,30 @@ class Engine:
         group_by: str,
         aggs: str,
         freshness: str = "strict",
+        filter: str = "",
     ) -> dict:
         """Aggregate a registered snapshot table through the
         MV-rewrite planner: answered from the cheapest fresh rollup
         that can serve it exactly, else from the base table — the
         response says which (``answered_by``), making the rewrite
         auditable at the API. ``aggs`` is a comma list of
-        ``out=count`` / ``out=sum:col`` / ``out=avg:col``.
+        ``out=count`` / ``out=sum:col`` / ``out=avg:col``;
+        ``filter`` is ``col:v1|v2,col2:v3`` meaning
+        ``WHERE col IN (v1, v2) AND col2 = v3`` — the reference's
+        mandatory equality-filter shape (app/main.py:479), rewritten
+        to a rollup whenever every filter column is a rollup group
+        key.
 
-        Results are cached keyed on (table dir, source version,
-        request shape, answering path): a strict re-ask after a
-        source commit recomputes; re-asking an unchanged table hits.
+        Reads pin the PUBLISHED version when a publish pointer
+        exists (falling back to current) — the same
+        write-audit-publish contract as the snap_ SQL views, so
+        staged un-audited rows never leak through this surface
+        either (r7 ADVICE).
+
+        Results are cached keyed on (table dir, pinned version,
+        request shape incl. filter, answering path): a strict re-ask
+        after a publish recomputes; re-asking an unchanged table
+        hits.
         """
         from ensembl_lakehouse_spark import snapshots as _SN
         from ensembl_lakehouse_spark.plans import rewrite as _RW
@@ -530,11 +552,33 @@ class Engine:
             raise QueryValidationError("aggs must name at least one measure")
         if freshness not in ("strict", "stale_ok"):
             raise QueryValidationError("freshness must be strict|stale_ok")
+        filters: dict[str, list[str]] = {}
+        for item in (filter or "").split(","):
+            item = item.strip()
+            if not item:
+                continue
+            if ":" not in item:
+                raise QueryValidationError(
+                    f"bad filter item {item!r}: want col:v1|v2"
+                )
+            col, _, vals = item.partition(":")
+            col = col.strip()
+            vlist = [v for v in (s.strip() for s in vals.split("|")) if v]
+            if not col or not vlist:
+                raise QueryValidationError(
+                    f"bad filter item {item!r}: want col:v1|v2"
+                )
+            filters[col] = vlist
         table_dir = self._snapshot_tables[name]
+        pin_v = _SN.published_version(table_dir)
+        if pin_v is None:
+            pin_v = _SN.current_version(table_dir)
         try:
             df, why = _RW.answer_aggregate(
                 self.spark, self._rollups, table_dir, group_cols, agg_spec,
                 freshness=freshness,
+                filters=filters or None,
+                version=pin_v,
             )
         except Exception as exc:  # unknown column etc. — analysis-time
             raise QueryValidationError(f"aggregate failed: {exc}") from exc
@@ -553,7 +597,9 @@ class Engine:
             f"{why['source_version']}\x1f"
             f"{why.get('rollup_version')}\x1f"
             f"{','.join(group_cols)}\x1f"
-            f"{sorted(agg_spec.items())!r}\x1f{freshness}\x1f{answered_by}"
+            f"{sorted(agg_spec.items())!r}\x1f"
+            f"{sorted(filters.items())!r}\x1f"
+            f"{freshness}\x1f{answered_by}"
         )
         query_id = self.registry.cached_query_id(cache_probe)
         if query_id is None:

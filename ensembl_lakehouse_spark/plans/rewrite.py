@@ -107,19 +107,46 @@ def _rollup_fresh(spec: RollupSpec, source_version: int | None) -> bool:
 
 
 def _can_answer(
-    spec: RollupSpec, group_by: list[str], aggs: dict[str, tuple[str, str]]
+    spec: RollupSpec,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str]],
+    filters: dict | None = None,
 ) -> str | None:
     """None if the spec can answer; else the human-readable reason
-    it cannot (the first failing check — enough for the log)."""
+    it cannot (the first failing check — enough for the log).
+
+    Filter rewrite soundness: an equality/IN filter on a column the
+    rollup GROUPS BY selects whole groups, so filtering the partials
+    ≡ filtering the base rows before aggregating — exact. A filter
+    on any other column slices within groups, which (count, sum)
+    partials cannot express, so the spec is rejected."""
     missing = set(group_by) - set(spec.group_cols)
     if missing:
         return f"group key(s) {sorted(missing)} not in rollup keys"
+    if filters:
+        bad = set(filters) - set(spec.group_cols)
+        if bad:
+            return f"filter column(s) {sorted(bad)} not in rollup keys"
     for out, (fn, col) in aggs.items():
         if fn not in DERIVABLE:
             return f"{out}: {fn} is not derivable from (count, sum) partials"
         if fn in ("sum", "avg") and col != spec.sum_col:
             return f"{out}: rollup maintains sum({spec.sum_col}), not {col}"
     return None
+
+
+def _filter_expr(filters: dict):
+    """AND of per-column IN lists — the reference's mandatory
+    ``species = '…'`` equality (app/main.py:479) generalized to IN.
+    Values compare with Spark's implicit literal coercion, identical
+    on the rollup and base paths (both filter the same column), so
+    the rewrite-equivalence contract is unaffected."""
+    expr = None
+    for col, vals in sorted(filters.items()):
+        vlist = list(vals) if isinstance(vals, (list, tuple, set)) else [vals]
+        term = F.col(col).isin(vlist)
+        expr = term if expr is None else expr & term
+    return expr
 
 
 def _agg_exprs(
@@ -160,6 +187,8 @@ def answer_aggregate(
     group_by: list[str],
     aggs: dict[str, tuple[str, str]],
     freshness: str = "strict",
+    filters: dict | None = None,
+    version: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Answer ``SELECT group_by, aggs FROM source GROUP BY group_by``
     from the cheapest registered rollup that can serve it exactly,
@@ -184,25 +213,50 @@ def answer_aggregate(
     callers needing float SUM/AVG-of-nullable semantics belong on
     the SQL surface, not the rollup rewrite.
 
+    ``filters`` (optional) maps column → value-or-list, meaning
+    ``WHERE col IN (values)`` ANDed across columns — exactly the
+    reference's mandatory equality filter shape (app/main.py:479).
+    A rollup answers a filtered query only when every filter column
+    is one of its group keys (whole-group selection — see
+    ``_can_answer``); the metadata COUNT(*) tier never answers a
+    filtered query (manifest totals are unfiltered).
+
     The source version is resolved ONCE up front and pins the
     freshness decision AND the base-path read, so a source commit
     racing this call cannot pair version v+1's identity with
     version v's data (the submit_table_changes pin-at-submit rule).
+    Pass ``version=`` to pin explicitly instead (the engine resolves
+    published-when-present here, so the aggregate surface honors the
+    same write-audit-publish read contract as the snap_ SQL views);
+    a rollup is then "fresh" only if its last applied version equals
+    THAT pin.
+
+    Among eligible fresh rollups the CHEAPEST answers: fewest
+    physical rows by manifest rowcounts (falling back to fewest
+    group columns when counts are unrecorded), name-tiebroken — the
+    runner-ups land in ``skipped`` with the cost they lost on, so
+    the choice is auditable.
     """
     if freshness not in ("strict", "stale_ok"):
         raise ValueError(
             f"freshness must be strict|stale_ok, got {freshness!r}"
         )
     src = os.path.abspath(source_dir)
-    src_v = SN.current_version(src)
+    src_v = SN.current_version(src) if version is None else version
+    fexpr = _filter_expr(filters) if filters else None
     skipped: list[dict] = []
     # Cheapest tier first — metadata-only: an unfiltered global
     # COUNT(*) is exactly the manifest's recorded per-file row-count
     # sum (the Delta-log answer path): zero data reads, zero Spark
     # jobs, and trivially version-exact. Only when every requested
-    # measure is a count and there is no grouping; any gap in the
-    # recorded counts falls through (never a wrong number).
-    if not group_by and all(fn == "count" for fn, _ in aggs.values()):
+    # measure is a count, there is no grouping and no filter; any
+    # gap in the recorded counts falls through (never a wrong
+    # number).
+    if (
+        not group_by
+        and not filters
+        and all(fn == "count" for fn, _ in aggs.values())
+    ):
         n = SN.table_rowcount(src, version=src_v)
         if n is not None:
             from pyspark.sql.types import LongType, StructField, StructType
@@ -222,10 +276,16 @@ def answer_aggregate(
         skipped.append(
             {"rollup": None, "reason": "manifest rowcounts incomplete"}
         )
+    # collect EVERY eligible fresh rollup (version-pinned at
+    # evaluation time — the same pin-at-plan rule as src_v above, or
+    # a racing maintenance commit stamps v+1's identity onto v's
+    # data and poisons the stale_ok cache), then answer from the
+    # cheapest by recorded rowcount
+    eligible: list[tuple[float, int, str, RollupSpec, int]] = []
     for spec in catalog.specs():
         if spec.source_dir != src:
             continue
-        reason = _can_answer(spec, group_by, aggs)
+        reason = _can_answer(spec, group_by, aggs, filters)
         if reason is not None:
             skipped.append({"rollup": spec.name, "reason": reason})
             continue
@@ -233,20 +293,33 @@ def answer_aggregate(
             skipped.append(
                 {
                     "rollup": spec.name,
-                    "reason": "stale (last applied != source current)",
+                    "reason": "stale (last applied != source pin)",
                 }
             )
             continue
-        # resolve the rollup version ONCE, then read pinned at it —
-        # the same pin-at-plan rule as src_v above, or a racing
-        # maintenance commit stamps v+1's identity onto v's data and
-        # poisons the stale_ok cache
         rollup_v = SN.current_version(spec.rollup_dir)
-        df = (
-            ivm.read_rollup(spark, spec.rollup_dir, version=rollup_v)
-            .groupBy(*group_by)
-            .agg(*_agg_exprs(aggs, from_rollup=True))
+        rows = SN.table_rowcount(spec.rollup_dir, version=rollup_v)
+        cost = float(rows) if rows is not None else float("inf")
+        eligible.append(
+            (cost, len(spec.group_cols), spec.name, spec, rollup_v)
         )
+    if eligible:
+        eligible.sort(key=lambda t: t[:3])
+        cost, _, _, spec, rollup_v = eligible[0]
+        for c, _, _, other, _ in eligible[1:]:
+            skipped.append(
+                {
+                    "rollup": other.name,
+                    "reason": (
+                        f"eligible but costlier than {spec.name} "
+                        f"({c:.0f} vs {cost:.0f} rollup rows)"
+                    ),
+                }
+            )
+        df = ivm.read_rollup(spark, spec.rollup_dir, version=rollup_v)
+        if fexpr is not None:
+            df = df.where(fexpr)
+        df = df.groupBy(*group_by).agg(*_agg_exprs(aggs, from_rollup=True))
         return df, {
             "used": "rollup",
             "rollup": spec.name,
@@ -256,6 +329,8 @@ def answer_aggregate(
             "skipped": skipped,
         }
     base = SN.read_snapshot(spark, src, version=src_v)
+    if fexpr is not None:
+        base = base.where(fexpr)
     df = base.groupBy(*group_by).agg(*_agg_exprs(aggs, from_rollup=False))
     return df, {
         "used": "base",

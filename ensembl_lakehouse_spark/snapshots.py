@@ -1200,6 +1200,16 @@ def update_snapshot(
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     manifest = _read_manifest(table_dir, base)
     candidates = list(manifest["files"])
+    if not candidates:
+        # No files ⇒ no schema to validate ``set`` targets against: a
+        # typo'd target would otherwise pass silently and commit a
+        # no-op version (r7 ADVICE). An empty table has nothing to
+        # update anyway — loud beats a stamp that looks applied.
+        raise ValueError(
+            f"cannot UPDATE {table_dir} at v{base}: the manifest holds "
+            "no data files, so set targets cannot be validated against "
+            "the table schema (and there are no rows to update)"
+        )
 
     touched: list[str] = []
     cand_schema = None

@@ -653,3 +653,118 @@ def test_sql_over_published_snapshot_views(server, spark, tmp_path_factory):
     qid1, n1 = count_via_sql()
     assert n1 == 11
     assert qid1 != qid0  # version is in the cache key — no stale hit
+
+
+def test_register_snapshot_table_requires_sql_identifier(
+    server, spark, tmp_path_factory
+):
+    """r7 ADVICE (engine.py:286): the registered name becomes the
+    snap_<name> temp view on EVERY /sql submit, and Spark rejects
+    hyphenated view names — one bad registration used to break the
+    whole /sql endpoint. Non-identifier names are now rejected at
+    registration time."""
+    from ensembl_lakehouse_spark import snapshots as SN
+    from ensembl_lakehouse_spark.engine import QueryValidationError
+
+    tdir = str(tmp_path_factory.mktemp("badname") / "tbl")
+    SN.write_snapshot(tdir, spark.createDataFrame([(1, "a")], ["k", "v"]))
+    for bad in ("a-b", "7abc", "", "a b", "a;drop"):
+        with pytest.raises(QueryValidationError, match="identifier"):
+            server.engine.register_snapshot_table(bad, tdir)
+        assert bad not in server.engine.snapshot_table_names()
+    # a valid identifier still registers, and /sql keeps working
+    server.engine.register_snapshot_table("ok_name7", tdir)
+    import urllib.parse
+
+    q = urllib.parse.quote("SELECT COUNT(*) AS n FROM snap_ok_name7")
+    status, _, resp = _get(server, f"/sql?query={q}")
+    assert status == 200, resp
+
+
+def test_mv_aggregate_filtered_and_published_pin(
+    server, spark, tmp_path_factory
+):
+    """r7: (a) VERDICT #4a — a filter= on a rollup group key is
+    answered FROM the rollup (answered_by audits it) and matches the
+    base numbers; (b) r7 ADVICE engine.py:454 — on a published table
+    the aggregate surface pins the PUBLISHED version like the snap_
+    SQL views, so staged un-audited rows never leak here either."""
+    import time as _time
+
+    from ensembl_lakehouse_spark import ivm
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    base = tmp_path_factory.mktemp("mv_filt")
+    src, rol = str(base / "src"), str(base / "rol")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", i) for i in range(30)], ["k", "grp", "val"]
+        ),
+    )
+    ivm.maintain_rollup(spark, src, rol, ["grp"], "val")
+    server.engine.register_snapshot_table("mvf_src", src)
+    server.engine.register_rollup("mvf_src", "mvf_by_grp", rol, ["grp"], "val")
+
+    def submit(qs):
+        status, _, resp = _get(server, f"/table/mvf_src/aggregate?{qs}")
+        assert status == 200, resp
+        return resp
+
+    def first_row(qid):
+        for _ in range(120):
+            st = _get(server, f"/query/{qid}/status")[2]
+            if st["status"] in ("SUCCEEDED", "FAILED"):
+                break
+            _time.sleep(0.5)
+        assert st["status"] == "SUCCEEDED"
+        _, _, prev = _get(server, f"/query/{qid}/preview?maxResults=10")
+        hdr = [c["VarCharValue"] for c in prev["Rows"][0]["Data"]]
+        return hdr, [
+            [c["VarCharValue"] for c in r["Data"]] for r in prev["Rows"][1:]
+        ]
+
+    # filtered global aggregate answered from the rollup: g0 ∪ g1
+    # = k ≡ 0,1 (mod 3) → 20 rows, sum = 435 - sum(g2: 2,5,...,29=155)
+    resp = submit(
+        "aggs=n%3Dcount%2Ctotal%3Dsum%3Aval&filter=grp%3Ag0%7Cg1"
+    )
+    assert resp["answered_by"] == "mvf_by_grp"
+    _, rows = first_row(resp["query_id"])
+    assert rows == [["20", "280"]]
+
+    # filter on a NON-key column → base path with a recorded reason
+    respb = submit("aggs=n%3Dcount&filter=k%3A1%7C2")
+    assert respb["answered_by"] == "base"
+    assert any("filter column" in s["reason"] for s in respb["skipped"])
+    _, rowsb = first_row(respb["query_id"])
+    assert rowsb == [["2"]]
+
+    # malformed filter fails closed
+    assert _get(
+        server, "/table/mvf_src/aggregate?aggs=n%3Dcount&filter=nocolon"
+    )[0] == 400
+
+    # ---- published pin: stage a new row WITHOUT publishing ----
+    SN.publish_snapshot(src, SN.current_version(src))
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame([(100, "g0", 1000)], ["k", "grp", "val"]),
+        mode="append",
+    )  # staged, un-audited
+    resp2 = submit("aggs=n%3Dcount")  # metadata tier, pinned version
+    assert resp2["answered_by"] == "metadata"
+    _, rows2 = first_row(resp2["query_id"])
+    assert rows2 == [["30"]]  # staged row invisible
+    # the pinned rollup path stays fresh w.r.t. the PUBLISHED version
+    resp3 = submit("aggs=total%3Dsum%3Aval&filter=grp%3Ag0")
+    assert resp3["answered_by"] == "mvf_by_grp"
+    _, rows3 = first_row(resp3["query_id"])
+    assert rows3 == [["135"]]
+    # publishing the staged version advances the surface + cache key
+    SN.publish_snapshot(src, SN.current_version(src))
+    resp4 = submit("aggs=n%3Dcount")
+    assert resp4["answered_by"] == "metadata"
+    assert resp4["query_id"] != resp2["query_id"]
+    _, rows4 = first_row(resp4["query_id"])
+    assert rows4 == [["31"]]

@@ -85,6 +85,69 @@ def test_mirror_refuses_rolled_back_source(spark, dirs):
     assert _rows(spark, dst) == _rows(spark, src) == [(1, "a")]
 
 
+def test_mirror_resumes_dangling_half_sync_before_advancing(spark, dirs):
+    """r7 ADVICE (mirror.py:102): a crash between the delete commit
+    (mirror-del:vN stamped) and the upsert commit (mirror:vN never
+    lands) must be completed AT vN before syncing to a newer source
+    version — else a key deleted by vN and re-inserted by a later
+    commit with its original values diffs 'unchanged' over the
+    straight last→current jump and is silently lost forever."""
+    from pyspark.sql import functions as F
+
+    src, dst = dirs
+    SN.write_snapshot(
+        src, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    )
+    MI.mirror_snapshot(spark, src, dst, key="k")  # seed, mirror:v0
+
+    SN.delete_snapshot(spark, src, where="k = 1")  # source v1
+    # simulate the crashed sync: the delete half applied and stamped,
+    # the final mirror:v1 stamp never landed
+    diff = SN.snapshot_diff(spark, src, 0, 1, key=["k"])
+    dels = diff.where(F.col("_change") == "delete").select("k")
+    SN.delete_snapshot(
+        spark, dst, keys=dels, key=["k"], op="mirror-del:v1"
+    )
+    assert MI.last_mirrored_version(dst) == 0  # still points at v0
+
+    # source advances: k=1 re-inserted with its ORIGINAL value — the
+    # v0→v2 diff sees it as unchanged, so only a resume-at-v1 sync
+    # (where v1→v2 shows it as an insert) can restore it
+    SN.merge_snapshot(
+        spark, src, spark.createDataFrame([(1, "a")], ["k", "v"]), key="k"
+    )  # source v2
+
+    out = MI.mirror_snapshot(spark, src, dst, key="k")
+    assert out["action"] == "delta" and out["resumed"] == [1]
+    assert _rows(spark, dst) == _rows(spark, src) == [(1, "a"), (2, "b")]
+    assert MI.last_mirrored_version(dst) == 2
+    # and the completed sync is stable: replay is a no-op
+    assert MI.mirror_snapshot(spark, src, dst, key="k")["action"] == "noop"
+
+
+def test_mirror_dangling_half_sync_at_current_version(spark, dirs):
+    """Crash with source still AT the half-synced version: the normal
+    delta path completes it (del stamp skips the replay) — no resume
+    hop needed, deletes applied exactly once."""
+    from pyspark.sql import functions as F
+
+    src, dst = dirs
+    SN.write_snapshot(
+        src, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    )
+    MI.mirror_snapshot(spark, src, dst, key="k")
+    SN.delete_snapshot(spark, src, where="k = 1")  # source v1
+    diff = SN.snapshot_diff(spark, src, 0, 1, key=["k"])
+    dels = diff.where(F.col("_change") == "delete").select("k")
+    SN.delete_snapshot(
+        spark, dst, keys=dels, key=["k"], op="mirror-del:v1"
+    )
+    out = MI.mirror_snapshot(spark, src, dst, key="k")
+    assert out["action"] == "delta" and "resumed" not in out
+    assert _rows(spark, dst) == _rows(spark, src) == [(2, "b")]
+    assert MI.last_mirrored_version(dst) == 1
+
+
 def test_mirror_is_file_scoped_on_clustered_destination(spark, dirs):
     """With scope_by, a small source change rewrites O(matching
     files) on the DESTINATION too — the replica pays for the change,

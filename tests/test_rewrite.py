@@ -156,3 +156,108 @@ def test_metadata_counts_answer_without_reading_data(spark, fixture):
     assert why3["used"] != "metadata"
     _, why4 = RW.answer_aggregate(spark, cat, src, [], {"s": ("sum", "val")})
     assert why4["used"] != "metadata"
+
+
+def test_filtered_rewrite_equals_base_both_freshness_modes(spark, fixture):
+    """r7 (VERDICT #4a): an equality/IN filter on rollup group keys
+    selects whole groups, so the rollup answer must equal the base
+    answer exactly — pinned at strict AND stale_ok freshness."""
+    src, rol, cat = fixture
+    empty = RW.RollupCatalog()
+    for filters in (
+        {"grp": ["g0"]},
+        {"grp": ["g0", "g2"], "reg": "r1"},  # scalar value form too
+    ):
+        for freshness in ("strict", "stale_ok"):
+            got, why = RW.answer_aggregate(
+                spark, cat, src, ["grp"], AGGS,
+                freshness=freshness, filters=filters,
+            )
+            assert why["used"] == "rollup", why
+            want, why_b = RW.answer_aggregate(
+                spark, empty, src, ["grp"], AGGS,
+                freshness=freshness, filters=filters,
+            )
+            assert why_b["used"] == "base"
+            assert _sorted(got) == _sorted(want)
+    # filtered GLOBAL aggregate: rollup still answers, still exact
+    got, why = RW.answer_aggregate(
+        spark, cat, src, [], AGGS, filters={"reg": ["r0"]}
+    )
+    assert why["used"] == "rollup"
+    want, _ = RW.answer_aggregate(
+        spark, empty, src, [], AGGS, filters={"reg": ["r0"]}
+    )
+    assert _sorted(got) == _sorted(want)
+
+
+def test_filter_on_non_key_falls_back_metadata_never_filtered(spark, fixture):
+    src, rol, cat = fixture
+    # filter column outside the rollup's group keys → base, loudly
+    _, why = RW.answer_aggregate(
+        spark, cat, src, ["grp"], AGGS, filters={"k": [1, 2]}
+    )
+    assert why["used"] == "base"
+    assert "filter column" in why["skipped"][0]["reason"]
+    # a filtered global COUNT must never take the metadata tier
+    # (manifest totals are unfiltered) — here the rollup serves it
+    got, why2 = RW.answer_aggregate(
+        spark, cat, src, [], {"n": ("count", "")}, filters={"grp": ["g0"]}
+    )
+    assert why2["used"] == "rollup"
+    assert got.collect()[0].n == 20
+
+
+def test_cheapest_rollup_by_recorded_rowcount(spark, fixture):
+    """r7 (VERDICT #4b): among eligible fresh rollups the fewest
+    PHYSICAL ROWS wins (manifest rowcounts), and every runner-up is
+    recorded in skipped with the cost it lost on."""
+    src, rol, cat = fixture
+    rol_g, rol_r = rol + "_g", rol + "_r"
+    ivm.maintain_rollup(spark, src, rol_g, ["grp"], "val")  # 3 groups
+    ivm.maintain_rollup(spark, src, rol_r, ["reg"], "val")  # 2 groups
+    cat.register("by_grp", rol_g, src, ["grp"], "val")
+    cat.register("by_reg", rol_r, src, ["reg"], "val")
+    got, why = RW.answer_aggregate(
+        spark, cat, src, [], {"total": ("sum", "val")}
+    )
+    # by_reg (2 rows) beats by_grp (3) and by_grp_reg (6); name order
+    # alone would have picked by_grp — proves rowcount decides
+    assert why["rollup"] == "by_reg"
+    costlier = {
+        s["rollup"]: s["reason"]
+        for s in why["skipped"]
+        if "costlier" in s["reason"]
+    }
+    assert set(costlier) == {"by_grp", "by_grp_reg"}
+    assert "2 rollup rows" in costlier["by_grp"]
+    assert got.collect()[0].total == sum(i * 7 for i in range(60))
+
+
+def test_explicit_version_pin_controls_freshness_and_read(spark, fixture):
+    """r7 ADVICE (engine.py:454 twin at the planner level): passing
+    version= pins both the freshness decision and the base read —
+    the engine uses this to honor write-audit-publish."""
+    src, rol, cat = fixture
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame([(999, "g0", "r0", 1)], ["k", "grp", "reg", "val"]),
+        mode="append",
+    )  # src now at v1; rollup applied only v0
+    # pinned at v0 the rollup IS fresh and answers
+    got, why = RW.answer_aggregate(
+        spark, cat, src, ["grp"], AGGS, version=0
+    )
+    assert why["used"] == "rollup" and why["source_version"] == 0
+    # unpinned (current v1) it is stale → base, and the base read
+    # sees the appended row
+    got1, why1 = RW.answer_aggregate(spark, cat, src, ["grp"], AGGS)
+    assert why1["used"] == "base" and why1["source_version"] == 1
+    n0 = {r.grp: r.n for r in got.collect()}
+    n1 = {r.grp: r.n for r in got1.collect()}
+    assert n1["g0"] == n0["g0"] + 1
+    # the metadata COUNT(*) tier honors the pin too
+    gm, whym = RW.answer_aggregate(
+        spark, cat, src, [], {"n": ("count", "")}, version=0
+    )
+    assert whym["used"] == "metadata" and gm.collect()[0].n == 60

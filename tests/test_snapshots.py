@@ -1247,6 +1247,26 @@ def test_update_validates_targets_and_constraints(spark, tdir):
     assert S.read_snapshot(spark, tdir).collect()[0].x == 5
 
 
+def test_update_on_empty_file_manifest_raises(spark, tdir):
+    """r7 ADVICE (snapshots.py:1205): with zero data files there is
+    no schema to validate ``set`` targets against — an unknown target
+    must not pass silently and commit a no-op version. UPDATE raises
+    loudly on an empty-file manifest instead."""
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(1, 5)], "k BIGINT, x BIGINT").coalesce(1),
+    )
+    # craft the empty manifest directly (natural DML keeps at least a
+    # schema-bearing empty file, so this is the defensive edge)
+    S._commit(tdir, [], "truncate", None, 0, {}, {})
+    v = S.current_version(tdir)
+    with pytest.raises(ValueError, match="no data files"):
+        S.update_snapshot(spark, tdir, where="k = 1", set={"nope": "1"})
+    with pytest.raises(ValueError, match="no data files"):
+        S.update_snapshot(spark, tdir, where="k = 1", set={"x": "0"})
+    assert S.current_version(tdir) == v  # nothing committed
+
+
 def test_update_zero_match_still_stamps(spark, tdir):
     S.write_snapshot(
         tdir,
