@@ -115,7 +115,12 @@ def make_handler(engine: Engine):
                 if "query" not in q:
                     self._detail(400, "missing query parameter")
                     return
-                self._send(200, engine.submit_sql(q["query"]))
+                self._send(
+                    200,
+                    engine.submit_sql(
+                        q["query"], q.get("snap_versions", "")
+                    ),
+                )
             elif parts == ["analytics"]:
                 # EXT: the operator-library listing (no reference
                 # twin — its API stops at single-table SELECTs).

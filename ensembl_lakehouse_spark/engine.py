@@ -68,6 +68,16 @@ class Engine:
         from ensembl_lakehouse_spark.plans.rewrite import RollupCatalog
 
         self._rollups = RollupCatalog()
+        #: serializes snap_ view registration with the analysis of
+        #: the statement that reads them: temp views are
+        #: session-global, so a concurrent /sql with a DIFFERENT
+        #: snap_versions pin must not re-register a view between
+        #: this request's refresh and its spark.sql() analysis (the
+        #: df would bind one file list while the cache key names
+        #: another)
+        import threading
+
+        self._sql_view_lock = threading.Lock()
 
     # -- metadata endpoints ------------------------------------------
 
@@ -199,7 +209,7 @@ class Engine:
         }
     )
 
-    def submit_sql(self, sql: str) -> dict:
+    def submit_sql(self, sql: str, snap_versions: str = "") -> dict:
         """Submit a raw read-only SQL query — the Athena
         ``StartQueryExecution`` parity surface (the reference sends
         its assembled SQL string there, app/main.py:478-485; here
@@ -208,10 +218,37 @@ class Engine:
         the parser so nothing side-effecting ever executes. Runs
         through the same cache/job/preview/export lifecycle; the
         semantic-cache key is the canonicalized statement text.
+
+        ``snap_versions`` (``name:v,name2:v``) pins named snap_
+        views at an explicit retained version for THIS request —
+        ``VERSION AS OF`` through the validated params surface
+        (round 7, VERDICT #5). Unpinned views keep the published
+        read contract; the pin joins the view fingerprint, so a
+        pinned read and the live read cache separately, and two
+        requests pinning the same version share one entry (the
+        44-day "old results stay addressable" contract's
+        storage-layer twin).
         """
         if not sql or not sql.strip():
             raise QueryValidationError("sql must be non-blank")
-        snap_fp = self._refresh_snapshot_views()
+        pins: dict[str, int] = {}
+        for item in (snap_versions or "").split(","):
+            item = item.strip()
+            if not item:
+                continue
+            name, sep, ver = item.partition(":")
+            name = name.strip()
+            if not sep or name not in self._snapshot_tables:
+                raise QueryValidationError(
+                    f"snap_versions: unknown snapshot table {name!r} "
+                    "(want name:version; see /table for names)"
+                )
+            try:
+                pins[name] = int(ver)
+            except ValueError:
+                raise QueryValidationError(
+                    "snap_versions versions must be integers"
+                ) from None
         parser = self.spark._jsparkSession.sessionState().sqlParser()
         try:
             root = parser.parsePlan(sql).getClass().getSimpleName()
@@ -222,10 +259,17 @@ class Engine:
                 f"only read-only queries are accepted (statement parses to "
                 f"{root})"
             )
-        try:
-            df = self.spark.sql(sql)
-        except Exception as exc:
-            raise QueryValidationError(f"SQL does not bind: {exc}") from exc
+        # view refresh and statement ANALYSIS (spark.sql is eager)
+        # are one atomic step: a concurrent submit with different
+        # pins must not swap a snap_ view under this statement
+        with self._sql_view_lock:
+            snap_fp = self._refresh_snapshot_views(pins)
+            try:
+                df = self.spark.sql(sql)
+            except Exception as exc:
+                raise QueryValidationError(
+                    f"SQL does not bind: {exc}"
+                ) from exc
         # quote-aware canonicalization: keywords fold, string
         # literals stay byte-exact ('EN' vs 'en' must not collide).
         # The catalog view fingerprint is part of the key: identical
@@ -440,27 +484,39 @@ class Engine:
             },
         }
 
-    def _refresh_snapshot_views(self) -> str:
+    def _refresh_snapshot_views(self, pins: dict[str, int] | None = None) -> str:
         """Expose every registered snapshot table to raw SQL as the
         temp view ``snap_<name>``, pinned at its PUBLISHED version
         when a publish pointer exists (the write-audit-publish read
         contract — staged versions stay invisible to SQL consumers)
-        and at the current version otherwise. Re-resolved per /sql
-        submit, so the view can never serve a stale file list; the
-        returned ``name@version`` fingerprint joins the cache key, so
-        identical SQL before/after a publish MISSES instead of
-        serving pre-publish rows for 44 days. O(registered tables)
-        manifest reads — driver metadata, no data touched."""
+        and at the current version otherwise; a ``pins`` entry
+        overrides either with an explicit retained version (the
+        /sql time-travel parameter). Re-resolved per /sql submit, so
+        the view can never serve a stale file list; the returned
+        ``name@version`` fingerprint joins the cache key, so
+        identical SQL before/after a publish (or with a different
+        pin) MISSES instead of serving the wrong rows for 44 days.
+        O(registered tables) manifest reads — driver metadata, no
+        data touched."""
         from ensembl_lakehouse_spark import snapshots as _SN
 
         parts = []
         for name, tdir in sorted(self._snapshot_tables.items()):
-            v = _SN.published_version(tdir)
-            if v is None:
-                v = _SN.current_version(tdir)
-            _SN.read_snapshot(
-                self.spark, tdir, version=v
-            ).createOrReplaceTempView(f"snap_{name}")
+            if pins and name in pins:
+                v = pins[name]
+            else:
+                v = _SN.published_version(tdir)
+                if v is None:
+                    v = _SN.current_version(tdir)
+            try:
+                _SN.read_snapshot(
+                    self.spark, tdir, version=v
+                ).createOrReplaceTempView(f"snap_{name}")
+            except FileNotFoundError as exc:
+                raise QueryValidationError(
+                    f"snap_versions: {name} has no retained version {v} "
+                    f"({exc})"
+                ) from exc
             parts.append(f"{name}@{v}")
         return ";".join(parts)
 

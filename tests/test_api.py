@@ -768,3 +768,55 @@ def test_mv_aggregate_filtered_and_published_pin(
     assert resp4["query_id"] != resp2["query_id"]
     _, rows4 = first_row(resp4["query_id"])
     assert rows4 == [["31"]]
+
+
+def test_sql_snap_versions_time_travel(server, spark, tmp_path_factory):
+    """r7 (VERDICT #5): VERSION AS OF through the validated params
+    surface — &snap_versions=name:v pins a snap_ view at a retained
+    version for one request; distinct pins cache separately, the
+    same pin re-asked HITS, and unpinned requests keep the
+    published read contract."""
+    import urllib.parse
+
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    tdir = str(tmp_path_factory.mktemp("sql_tt") / "tbl")
+    SN.write_snapshot(
+        tdir, spark.createDataFrame([(i,) for i in range(5)], ["k"])
+    )
+    SN.write_snapshot(
+        tdir, spark.createDataFrame([(100,), (101,)], ["k"]), mode="append"
+    )  # v1
+    server.engine.register_snapshot_table("ttv", tdir)
+
+    def run(extra=""):
+        q = urllib.parse.quote("SELECT COUNT(*) AS n FROM snap_ttv")
+        status, _, resp = _get(server, f"/sql?query={q}{extra}")
+        if status != 200:
+            return status, resp
+        qid = resp["query_id"]
+        for _ in range(120):
+            st = _get(server, f"/query/{qid}/status")[2]
+            if st["status"] in ("SUCCEEDED", "FAILED"):
+                break
+            time.sleep(0.5)
+        assert st["status"] == "SUCCEEDED"
+        _, _, prev = _get(server, f"/query/{qid}/preview?maxResults=3")
+        return qid, int(prev["Rows"][1]["Data"][0]["VarCharValue"])
+
+    live_qid, live_n = run()
+    assert live_n == 7  # current (no publish pointer) = v1
+    v0_qid, v0_n = run("&snap_versions=ttv%3A0")
+    assert v0_n == 5 and v0_qid != live_qid
+    # same pin re-asked → same cached entry; the pin never leaks
+    # into the next unpinned request
+    assert run("&snap_versions=ttv%3A0")[0] == v0_qid
+    assert run() == (live_qid, 7)
+    # both versions stay addressable side by side
+    v1_qid, v1_n = run("&snap_versions=ttv%3A1")
+    assert v1_n == 7
+
+    # validation fails closed: unknown table, bad version, not an int
+    assert run("&snap_versions=nope%3A0")[0] == 400
+    assert run("&snap_versions=ttv%3A99")[0] == 400
+    assert run("&snap_versions=ttv%3Aabc")[0] == 400
