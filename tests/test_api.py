@@ -820,3 +820,107 @@ def test_sql_snap_versions_time_travel(server, spark, tmp_path_factory):
     assert run("&snap_versions=nope%3A0")[0] == 400
     assert run("&snap_versions=ttv%3A99")[0] == 400
     assert run("&snap_versions=ttv%3Aabc")[0] == 400
+
+
+def test_medallion_chain_over_http(server, spark, tmp_path_factory):
+    """r7 (VERDICT #6): the streaming medallion loop driven from the
+    wire — run the stream→source→rollup chain, aggregate over HTTP
+    (answered_by=rollup), land+ingest a new batch WITHOUT a
+    maintenance tick (strict falls back to base, loudly), then tick
+    and watch the rollup answer return fresh."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ensembl_lakehouse_spark import ivm
+    from ensembl_lakehouse_spark.streaming import ivm_stream as IS
+    from ensembl_lakehouse_spark.streaming.events import load_events_batch
+    from tests.conftest import SF_DIR
+
+    base = tmp_path_factory.mktemp("medallion_http")
+    watch = str(base / "watch")
+    src = str(base / "source")
+    ckpt = str(base / "ckpt")
+    rollup = IS.RollupDef(str(base / "by_type"), ("event_type",), "value")
+
+    events = load_events_batch(spark, f"{SF_DIR}/events.parquet")
+    half1 = events.where("pmod(hash(event_id), 2) = 0")
+    half2 = events.where("pmod(hash(event_id), 2) = 1")
+
+    def land(df, stage_name):
+        stage = str(base / stage_name)
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        import os
+
+        os.makedirs(watch, exist_ok=True)
+        for f in glob.glob(f"{stage}/part-*.parquet"):
+            shutil.copy(f, watch)
+
+    # batch 1 lands and flows through the full chain
+    land(half1, "stage1")
+    out = IS.run_stream_ivm(
+        spark, watch, src, [rollup], checkpoint_dir=ckpt
+    )
+    assert out["n_input_rows"] == half1.count()
+    server.engine.register_snapshot_table("medal", src)
+    server.engine.register_rollup(
+        "medal", "medal_by_type", rollup.rollup_dir, ["event_type"], "value"
+    )
+
+    def agg(extra=""):
+        status, _, resp = _get(
+            server,
+            "/table/medal/aggregate?group_by=event_type&aggs=n%3Dcount"
+            + extra,
+        )
+        assert status == 200, resp
+        qid = resp["query_id"]
+        for _ in range(120):
+            st = _get(server, f"/query/{qid}/status")[2]
+            if st["status"] in ("SUCCEEDED", "FAILED"):
+                break
+            _time.sleep(0.5)
+        assert st["status"] == "SUCCEEDED"
+        _, _, prev = _get(server, f"/query/{qid}/preview?maxResults=26")
+        hdr = [c["VarCharValue"] for c in prev["Rows"][0]["Data"]]
+        rows = {
+            r["Data"][hdr.index("event_type")]["VarCharValue"]: int(
+                r["Data"][hdr.index("n")]["VarCharValue"]
+            )
+            for r in prev["Rows"][1:]
+        }
+        return resp["answered_by"], rows
+
+    truth1 = {
+        r.event_type: r.n
+        for r in half1.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    by, rows = agg()
+    assert by == "medal_by_type" and rows == truth1
+
+    # batch 2 lands; ingest it WITHOUT ticking the rollup
+    land(half2, "stage2")
+    out2 = IS.run_stream_ivm(spark, watch, src, [], checkpoint_dir=ckpt)
+    assert out2["n_input_rows"] == half2.count()  # checkpoint: new file only
+
+    by_stale, _ = agg()  # strict: rollup lags the source now
+    assert by_stale == "base"
+    by_ok, rows_ok = agg("&freshness=stale_ok")
+    assert by_ok == "medal_by_type" and rows_ok == truth1
+
+    # maintenance tick catches the rollup up over the missed commit
+    ivm.maintain_rollup(
+        spark, src, rollup.rollup_dir, ["event_type"], "value"
+    )
+    truth_all = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    by2, rows2 = agg()
+    assert by2 == "medal_by_type" and rows2 == truth_all
