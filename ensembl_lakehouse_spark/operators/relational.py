@@ -3071,3 +3071,377 @@ SELECT dow, hod, n_events,
 FROM cells
 ORDER BY dow, hod
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: day-of-week-adjusted daily anomalies
+# ---------------------------------------------------------------------------
+
+def events_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count anomalies per event_type, z-scored against
+    the SAME WEEKDAY's own mean/std — the seasonality-aware outlier
+    screen (a quiet Sunday is normal; a Sunday with Monday traffic
+    is the incident). events_anomaly z-scores against the global
+    mean and so flags every weekend; conditioning on weekday removes
+    exactly that false-positive class. Weekday uses the shared
+    epoch convention (Monday = 0, events_hour_heatmap).
+
+    Determinism: the (type, dow) moments are BIGINT sums; z follows
+    the autocorr24 sqrt contract — integer numerator, ONE shared
+    float expression template (IEEE sqrt is correctly rounded, the
+    final FLOOR is exact-input/exact-op), so z_e3 hash-matches
+    cross-engine. Rows with |z_e3| ≥ 1300 (≈ the top decile of same-weekday deviation) are emitted.
+
+    Plan: one partial agg to |days × types| cells (map-side
+    combine), one (type, dow) moment agg over those cells, and the
+    cells re-join the 35-row moment table by broadcast. Two
+    exchanges over dim-bounded relations.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+                "day"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("dow", F.expr("CAST((day + 3) % 7 AS INT)"))
+    )
+    mom = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sum_c"),
+        F.sum(F.expr("c * c")).alias("sum_c2"),
+    )
+    z_tmpl = (
+        "CAST(FLOOR((n * c - sum_c) * 1000 / "
+        "SQRT(CAST(n * sum_c2 - sum_c * sum_c AS DOUBLE) * n / (n - 1))) "
+        "AS BIGINT)"
+    )
+    return (
+        daily.join(F.broadcast(mom), ["event_type", "dow"])
+        .where("n > 1 AND n * sum_c2 - sum_c * sum_c > 0")
+        .withColumn("mean_e3", F.expr("(sum_c * 1000) DIV n"))
+        .withColumn("z_e3", F.expr(z_tmpl))
+        .where("abs(z_e3) >= 1300")
+        .select("event_type", "day", "dow", "c", "n", "mean_e3", "z_e3")
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_DOW_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cells AS (
+  SELECT event_type, day, c, CAST((day + 3) % 7 AS INT) AS dow
+  FROM daily
+), mom AS (
+  SELECT event_type, dow,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sum_c,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM cells GROUP BY event_type, dow
+)
+SELECT cells.event_type, day, cells.dow, c, n,
+       (sum_c * 1000) // n AS mean_e3,
+       CAST(FLOOR((n * c - sum_c) * 1000 /
+            SQRT(CAST(n * sum_c2 - sum_c * sum_c AS DOUBLE) * n / (n - 1)))
+         AS BIGINT) AS z_e3
+FROM cells JOIN mom
+  ON cells.event_type = mom.event_type AND cells.dow = mom.dow
+WHERE n > 1 AND n * sum_c2 - sum_c * sum_c > 0
+  AND abs(CAST(FLOOR((n * c - sum_c) * 1000 /
+          SQRT(CAST(n * sum_c2 - sum_c * sum_c AS DOUBLE) * n / (n - 1)))
+        AS BIGINT)) >= 1300
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: CUSUM change-point location
+# ---------------------------------------------------------------------------
+
+def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point location per event_type via the integer CUSUM
+    statistic: over the daily count series c_1..c_n,
+    S_t = n·prefix_t − t·total (the mean-centered cumulative sum
+    scaled by n — all integers), and the day maximizing |S_t| is
+    the most likely level-shift point. events_level_shift tests a
+    KNOWN split (before/after window); this LOCATES the split — the
+    pair is the standard offline change-point stack. shift_e6 =
+    |S|·10⁶ ÷ (n·total) normalizes to [0, 1e6] for cross-type
+    comparison.
+
+    Integer-exact end to end — no float appears anywhere.
+
+    Plan: one partial agg to |days × types| cells; ONE per-type
+    window pass computes prefix sums, row index, n, and total in a
+    single partitioning (no extra exchange per aggregate); the
+    argmax is a same-partitioning rank — Spark plans one exchange
+    for all window functions plus the final pick.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+                "day"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    scored = (
+        daily.withColumn("t", F.row_number().over(w_ord))
+        .withColumn(
+            "prefix",
+            F.sum("c").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("total", F.sum("c").over(w_all))
+        .withColumn("s", F.expr("n * prefix - t * total"))
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("s"))), F.desc("day")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .where("rn = 1 AND n > 1 AND total > 0")
+        .withColumn("shift_e6", F.expr("(abs(s) * 1000000) DIV (n * total)"))
+        .select(
+            "event_type",
+            F.col("day").alias("shift_day"),
+            "n",
+            "total",
+            F.col("s").alias("cusum"),
+            "shift_e6",
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CUSUM_SHIFT_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+           AS BIGINT) AS t,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS prefix,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM daily
+), s AS (
+  SELECT event_type, day, n, total,
+         n * prefix - t * total AS s
+  FROM scored
+), picked AS (
+  SELECT event_type, day, n, total, s,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(s) DESC, day DESC) AS rn
+  FROM s
+)
+SELECT event_type, day AS shift_day, n, total, s AS cusum,
+       (abs(s) * 1000000) // (n * total) AS shift_e6
+FROM picked
+WHERE rn = 1 AND n > 1 AND total > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: inter-event gap histogram
+# ---------------------------------------------------------------------------
+
+def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user inter-event gaps in fixed duration
+    bands (sub-minute / minute / hour / day / longer) — the
+    session-timeout calibration curve: events_sessionize hard-codes
+    a gap threshold, this shows where the mass actually sits so the
+    threshold lands in the valley between within-session and
+    between-session gaps.
+
+    Integer-exact: gaps are epoch-second differences (BIGINT),
+    bands are a CASE ladder, shares one DIV per band.
+
+    Plan: ONE user_id window (lag) — the same single-exchange shape
+    as events_user_gaps — then a |bands|-row aggregate with its
+    1-row total broadcast back via a SinglePartition share window.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    # order by the SAME floor-seconds expression both engines use:
+    # fixture timestamps carry microseconds, and ordering by raw ts
+    # here while the oracle orders by its seconds cast would break
+    # ties differently (unix_timestamp truncates; DuckDB's bare
+    # BIGINT cast of epoch() ROUNDS — floor() first on both sides)
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = (
+        events.select(
+            "user_id",
+            "event_id",
+            F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("sec"),
+        )
+        .withColumn("prev_sec", F.lag("sec").over(w))
+        .where(F.col("prev_sec").isNotNull())
+        .withColumn("gap_s", F.expr("sec - prev_sec"))
+    )
+    band_expr = (
+        "CASE WHEN gap_s < 60 THEN 'a_lt_1m' "
+        "WHEN gap_s < 3600 THEN 'b_lt_1h' "
+        "WHEN gap_s < 86400 THEN 'c_lt_1d' "
+        "WHEN gap_s < 604800 THEN 'd_lt_7d' "
+        "ELSE 'e_ge_7d' END"
+    )
+    return (
+        gaps.withColumn("band", F.expr(band_expr))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .withColumn(
+            "share_bp",
+            F.expr("(n_gaps * 10000) DIV SUM(n_gaps) OVER ()"),
+        )
+        .select("band", "n_gaps", "min_gap_s", "max_gap_s", "share_bp")
+        .orderBy("band")
+    )
+
+
+EVENTS_GAP_HISTOGRAM_SQL = """
+WITH secs AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), seq AS (
+  SELECT user_id, sec,
+         LAG(sec) OVER (
+           PARTITION BY user_id ORDER BY sec, event_id) AS prev_sec
+  FROM secs
+), gaps AS (
+  SELECT sec - prev_sec AS gap_s FROM seq WHERE prev_sec IS NOT NULL
+), banded AS (
+  SELECT CASE WHEN gap_s < 60 THEN 'a_lt_1m'
+              WHEN gap_s < 3600 THEN 'b_lt_1h'
+              WHEN gap_s < 86400 THEN 'c_lt_1d'
+              WHEN gap_s < 604800 THEN 'd_lt_7d'
+              ELSE 'e_ge_7d' END AS band,
+         gap_s
+  FROM gaps
+), agg AS (
+  SELECT band,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         MIN(gap_s) AS min_gap_s,
+         MAX(gap_s) AS max_gap_s
+  FROM banded GROUP BY band
+)
+SELECT band, n_gaps, min_gap_s, max_gap_s,
+       (n_gaps * 10000) // CAST(SUM(n_gaps) OVER () AS BIGINT) AS share_bp
+FROM agg
+ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: user activity concentration (decile curve)
+# ---------------------------------------------------------------------------
+
+def events_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-volume concentration across user deciles — "what share
+    of traffic do the top 10 % of users generate": the
+    abuse/bot-screen twin of revenue_concentration (customers →
+    users, revenue → events). A decile-1 share far above the
+    organic band means a handful of accounts dominate the corpus a
+    model would train on — weight or cap before training.
+
+    Determinism: ntile runs over the TOTAL order (n_events DESC,
+    user_id), so decile assignment is unique cross-engine; shares
+    are integer basis points; the cumulative share is a running
+    BIGINT sum over the 10-row decile relation.
+
+    Plan: per-user partial agg, then the decile window —
+    SinglePartition over |users| rows, the documented
+    orders_rfm_segments trade-off (a production variant at 10⁸+
+    users would switch to percentile cutpoints; the fixture
+    contract keeps ntile for cross-engine exactness) — and a 10-row
+    final agg with SinglePartition share/cumulative windows.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    deciled = per_user.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("n_events"), F.asc("user_id"))),
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("events"),
+        F.max("n_events").alias("max_events"),
+        F.min("n_events").alias("min_events"),
+    )
+    return (
+        agg.withColumn(
+            "share_bp", F.expr("(events * 10000) DIV SUM(events) OVER ()")
+        )
+        .withColumn(
+            "cum_share_bp",
+            F.expr(
+                "(SUM(events) OVER (ORDER BY decile "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) "
+                "DIV SUM(events) OVER ()"
+            ),
+        )
+        .select(
+            "decile", "n_users", "events", "min_events", "max_events",
+            "share_bp", "cum_share_bp",
+        )
+        .orderBy("decile")
+    )
+
+
+EVENTS_USER_CONCENTRATION_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+), deciled AS (
+  SELECT user_id, n_events,
+         NTILE(10) OVER (ORDER BY n_events DESC, user_id ASC) AS decile
+  FROM per_user
+), agg AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n_events) AS BIGINT) AS events,
+         MIN(n_events) AS min_events,
+         MAX(n_events) AS max_events
+  FROM deciled GROUP BY decile
+)
+SELECT decile, n_users, events, min_events, max_events,
+       (events * 10000) // CAST(SUM(events) OVER () AS BIGINT) AS share_bp,
+       (CAST(SUM(events) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          * 10000)
+         // CAST(SUM(events) OVER () AS BIGINT) AS cum_share_bp
+FROM agg
+ORDER BY decile
+"""

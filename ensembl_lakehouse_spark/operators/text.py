@@ -1371,3 +1371,302 @@ FROM mom
 WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: hapax ratio (vocabulary-tail health per language)
+# ---------------------------------------------------------------------------
+
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax/dis legomena profile per language: the share of each
+    language's vocabulary that occurs exactly once (hapax) or twice
+    (dis) across its corpus slice. The standard vocabulary-tail
+    screen for training data: a hapax share far above the natural
+    ~40-60 % band flags OCR noise/mojibake minting junk types; far
+    below flags template/boilerplate corpora that starve the
+    tokenizer's tail. Reference users run this via the raw-SQL
+    passthrough (app/main.py:479); first-class here.
+
+    Integer-exact: counts and basis-point shares only (c==1 / c==2
+    flags summed as BIGINTs; one integer DIV per output row).
+
+    Plan: explode → (lang, tok) partial-agg count (map-side combine
+    absorbs the fan-out) → |langs|-row final agg. Two exchanges,
+    both over pre-combined single-width rows — the 100 TB cost is
+    the map-side explode, everything after is |vocab|-bounded.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    per_term = (
+        toks.select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_term.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("c").alias("tokens"),
+            F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END")).alias("hapax"),
+            F.sum(F.expr("CASE WHEN c = 2 THEN 1 ELSE 0 END")).alias("dis"),
+        )
+        .withColumn("hapax_bp", F.expr("(hapax * 10000) DIV vocab"))
+        .withColumn("dis_bp", F.expr("(dis * 10000) DIV vocab"))
+        .select("lang", "vocab", "tokens", "hapax", "dis", "hapax_bp", "dis_bp")
+        .orderBy("lang")
+    )
+
+
+TEXT_HAPAX_RATIO_SQL = f"""
+{_SQL_PREP}, per_term AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(toks) AS tok FROM t)
+  GROUP BY lang, tok
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(c) AS BIGINT) AS tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+       (CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         // CAST(COUNT(*) AS BIGINT) AS hapax_bp,
+       (CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         // CAST(COUNT(*) AS BIGINT) AS dis_bp
+FROM per_term
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: Zipf rank-frequency check (transcendental-free)
+# ---------------------------------------------------------------------------
+
+#: Top-N ranks reported by the Zipf screen (driver-bounded).
+ZIPF_TOP = 30
+
+
+def text_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency head of the corpus with the Zipf-law constancy
+    proxy rank·count: under Zipf, c(r) ≈ C/r, so r·c(r) is roughly
+    flat — a head whose r·c column climbs steeply flags duplicated
+    boilerplate (one term family dominating), one that collapses
+    flags a truncated/filtered vocabulary. The log-log slope fit
+    every NLP textbook uses needs ln() (banned from checked plans —
+    memory: oracle-determinism-rules); r·c carries the same signal
+    as raw integers.
+
+    Integer-exact: counts, ranks, products, and one DIV per row for
+    the per-mille share (corpus total from a 1-row aggregate
+    broadcast back).
+
+    Plan: explode → token partial agg (map-side combined); the head
+    is selected by orderBy+limit — TakeOrderedAndProject keeps
+    ZIPF_TOP rows per task and never globally sorts |vocab| — and
+    only THEN ranked by a window over the ≤ZIPF_TOP-row relation
+    (a global window over |vocab| would funnel the whole vocabulary
+    through one partition at web scale). The 1-row total joins by
+    broadcast. Head size is ZIPF_TOP — driver-bounded output.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    counts = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").alias("total"))
+    from pyspark.sql import Window
+
+    head = counts.orderBy(F.desc("c"), F.asc("tok")).limit(ZIPF_TOP)
+    ranked = head.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok"))),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("rank_x_count", F.expr("rank * c"))
+        .withColumn("share_pm", F.expr("(c * 1000) DIV total"))
+        .select("rank", "tok", "c", "rank_x_count", "share_pm")
+        .orderBy("rank")
+    )
+
+
+TEXT_ZIPF_CHECK_SQL = f"""
+{_SQL_PREP}, counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS tok FROM t)
+  GROUP BY tok
+), total AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts
+), ranked AS (
+  SELECT tok, c,
+         CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS BIGINT)
+           AS rank
+  FROM counts
+)
+SELECT rank, tok, c,
+       rank * c AS rank_x_count,
+       (c * 1000) // total AS share_pm
+FROM ranked, total
+WHERE rank <= {ZIPF_TOP}
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: type-token ratio by length band (Heaps-law screen)
+# ---------------------------------------------------------------------------
+
+#: Upper token-count edges of the TTR length bands (last band open).
+TTR_BANDS = (16, 32, 64, 128)
+
+
+def text_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio by document-length band — the Heaps-law
+    sanity curve: TTR must FALL as documents get longer (vocabulary
+    grows sublinearly in tokens). A band where it doesn't fall
+    flags concatenated-unrelated-snippet docs (crawl glue); a band
+    far below its neighbors flags within-doc duplication that
+    per-doc dedup can't see. Complements text_lexical_gini (global
+    concentration) with the length-conditioned view.
+
+    Integer-exact: per-doc token/distinct counts are exact array
+    ops; band TTR is one pooled integer DIV (Σdistinct·10⁴ ÷
+    Σtokens — pooled, not mean-of-ratios, so short docs don't
+    dominate the band).
+
+    Plan: MAP-ONLY per-doc counts (size/array_distinct — no
+    explode, no per-token shuffle) + ONE |bands|-row aggregate.
+    Single exchange; the cheapest lattice in the text family.
+    """
+    b1, b2, b3, b4 = TTR_BANDS
+    band_expr = (
+        f"CASE WHEN n_toks <= {b1} THEN 'a_le{b1}' "
+        f"WHEN n_toks <= {b2} THEN 'b_le{b2}' "
+        f"WHEN n_toks <= {b3} THEN 'c_le{b3}' "
+        f"WHEN n_toks <= {b4} THEN 'd_le{b4}' "
+        f"ELSE 'e_gt{b4}' END"
+    )
+    per_doc = _docs_with_tokens(spark, sf_dir).select(
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_types"),
+    )
+    return (
+        per_doc.withColumn("band", F.expr(band_expr))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_toks").cast("bigint")).alias("tokens"),
+            F.sum(F.col("n_types").cast("bigint")).alias("types"),
+        )
+        .withColumn("ttr_bp", F.expr("(types * 10000) DIV tokens"))
+        .select("band", "n_docs", "tokens", "types", "ttr_bp")
+        .orderBy("band")
+    )
+
+
+TEXT_TTR_CURVE_SQL = f"""
+{_SQL_PREP}, per_doc AS (
+  SELECT CAST(len(toks) AS BIGINT) AS n_toks,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+  FROM t
+), banded AS (
+  SELECT CASE WHEN n_toks <= {TTR_BANDS[0]} THEN 'a_le{TTR_BANDS[0]}'
+              WHEN n_toks <= {TTR_BANDS[1]} THEN 'b_le{TTR_BANDS[1]}'
+              WHEN n_toks <= {TTR_BANDS[2]} THEN 'c_le{TTR_BANDS[2]}'
+              WHEN n_toks <= {TTR_BANDS[3]} THEN 'd_le{TTR_BANDS[3]}'
+              ELSE 'e_gt{TTR_BANDS[3]}' END AS band,
+         n_toks, n_types
+  FROM per_doc
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS tokens,
+       CAST(SUM(n_types) AS BIGINT) AS types,
+       (CAST(SUM(n_types) AS BIGINT) * 10000)
+         // CAST(SUM(n_toks) AS BIGINT) AS ttr_bp
+FROM banded
+GROUP BY band
+ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: cross-language vocabulary overlap (contamination screen)
+# ---------------------------------------------------------------------------
+
+def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between languages — the
+    language-contamination screen for multilingual corpora: two
+    languages whose vocabularies overlap far above the
+    cognate/named-entity baseline indicate mislabeled documents
+    (langid drift) polluting both slices. Read next to
+    langid_confusion: that audits the CLASSIFIER against labels,
+    this audits the LABELS against each other.
+
+    Integer-exact: set sizes and intersection counts, one DIV per
+    pair for jaccard_e6.
+
+    Plan: (lang, tok) DISTINCT lattice (one partial-agg exchange,
+    map-side combined), then a tok-keyed self-join producing only
+    lang_a < lang_b pairs → |langs|²/2-row aggregate; vocab sizes
+    re-join by broadcast (|langs| rows). The join is
+    |vocab|·|langs|-bounded, never corpus-bounded — at 100 TB the
+    explode is the only data-proportional stage.
+    """
+    toks = _docs_with_tokens(spark, sf_dir)
+    vocab = (
+        toks.select("lang", F.explode("toks").alias("tok")).distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("lang").alias("lang_a"), F.col("v").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("lang").alias("lang_b"), F.col("v").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .withColumn(
+            "jaccard_e6",
+            F.expr("(inter * 1000000) DIV (vocab_a + vocab_b - inter)"),
+        )
+        .select("lang_a", "lang_b", "vocab_a", "vocab_b", "inter", "jaccard_e6")
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+LANG_VOCAB_OVERLAP_SQL = f"""
+{_SQL_PREP}, vocab AS (
+  SELECT DISTINCT lang, tok
+  FROM (SELECT lang, unnest(toks) AS tok FROM t)
+), sizes AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS v FROM vocab GROUP BY lang
+), inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM vocab a JOIN vocab b
+    ON a.tok = b.tok AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT lang_a, lang_b,
+       sa.v AS vocab_a, sb.v AS vocab_b, inter,
+       (inter * 1000000) // (sa.v + sb.v - inter) AS jaccard_e6
+FROM inter
+JOIN sizes sa ON sa.lang = inter.lang_a
+JOIN sizes sb ON sb.lang = inter.lang_b
+ORDER BY lang_a, lang_b
+"""

@@ -376,6 +376,24 @@ BUDGETS = {
     "suppliers_waiting": 3,
     "min_price_supplier": 3,
     "supplier_count_by_part": 3,
+    # ---- Round-7 additions ----
+    # explode → (lang,tok) partial agg → |langs| final
+    "text_hapax_ratio": 2,
+    # token agg + TakeOrdered head (no global-sort window); the
+    # 1-row total joins by broadcast
+    "text_zipf_check": 1,
+    # map-only per-doc counts + ONE |bands| agg
+    "text_ttr_curve": 1,
+    # (lang,tok) distinct + tok self-join pair agg; sizes broadcast
+    "lang_vocab_overlap": 3,
+    # |days×types| cell agg + 35-row moment agg broadcast back
+    "events_dow_anomaly": 2,
+    # cell agg + ONE per-type window pass (prefix/rank share it)
+    "events_cusum_shift": 2,
+    # user lag window + |bands| agg (share rides SinglePartition)
+    "events_gap_histogram": 2,
+    # per-user agg; decile/share windows are SinglePartition
+    "events_user_concentration": 1,
     # (user,day) lattice + funnel stage aggs
     "events_funnel": 4,
     # cohort spine + (cohort,week) cells + retention shares
