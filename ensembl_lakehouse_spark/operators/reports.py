@@ -1598,3 +1598,391 @@ SELECT r_name, yr, rev_cents, share_bp,
 FROM shared
 ORDER BY r_name, yr
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: discount give-back per part type
+# ---------------------------------------------------------------------------
+
+def part_type_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part type: net revenue, the discount give-back rate
+    (list-price value conceded to discounts, in basis points of
+    list), and the type's share of total net revenue — the
+    assortment margin report: a type with high revenue share AND
+    high give-back is where pricing discipline pays first.
+
+    Determinism: list/net values snap to per-row cents (exact for
+    TPC-H's 2-decimal money) before BIGINT sums; both ratios are
+    one integer DIV each.
+
+    Plan: lineitem⋈part with part BROADCAST; one partial agg to
+    |types| rows; the share window rides the tiny relation
+    (SinglePartition). Nothing after the scan is data-proportional.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("list_cents"),
+        F.expr(
+            "CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) "
+            "* 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("net_cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("list_cents").alias("list_cents"),
+            F.sum("net_cents").alias("net_cents"),
+        )
+    )
+    return (
+        agg.withColumn(
+            "giveback_bp",
+            F.expr("((list_cents - net_cents) * 10000) DIV list_cents"),
+        )
+        .withColumn(
+            "revenue_share_bp",
+            F.expr("(net_cents * 10000) DIV SUM(net_cents) OVER ()"),
+        )
+        .select(
+            "p_type", "n_lines", "list_cents", "net_cents",
+            "giveback_bp", "revenue_share_bp",
+        )
+        .orderBy("p_type")
+    )
+
+
+PART_TYPE_MARGIN_SQL = """
+WITH agg AS (
+  SELECT p_type,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(floor(l_extendedprice * 100
+           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS list_cents,
+         CAST(SUM(CAST(floor(l_extendedprice
+           * (CAST(1 AS DOUBLE) - l_discount)
+           * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS net_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type
+)
+SELECT p_type, n_lines, list_cents, net_cents,
+       ((list_cents - net_cents) * 10000) // list_cents AS giveback_bp,
+       (net_cents * 10000) // CAST(SUM(net_cents) OVER () AS BIGINT)
+         AS revenue_share_bp
+FROM agg
+ORDER BY p_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: month-of-year seasonal index
+# ---------------------------------------------------------------------------
+
+def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal index of order value: each calendar
+    month's pooled share of revenue scaled so a flat series reads
+    10000 — index_bp = month_total·12·10⁴ ÷ grand_total. The
+    capacity/forecast baseline one step before any model:
+    revenue_yoy says how years differ, this says how months WITHIN
+    a year repeatably differ (pooled across all years so one
+    anomalous year can't masquerade as seasonality).
+
+    Integer-exact: per-order cents, BIGINT sums, two integer DIVs.
+
+    Plan: orders only (no join); one partial agg to 12 rows; the
+    total rides a SinglePartition window over those 12.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr("month(o_orderdate)").alias("mon"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        orders.groupBy("mon")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("rev_cents"),
+        )
+        .withColumn(
+            "share_bp", F.expr("(rev_cents * 10000) DIV SUM(rev_cents) OVER ()")
+        )
+        .withColumn(
+            "index_bp",
+            F.expr("(rev_cents * 120000) DIV SUM(rev_cents) OVER ()"),
+        )
+        .select("mon", "n_orders", "rev_cents", "share_bp", "index_bp")
+        .orderBy("mon")
+    )
+
+
+SEASONAL_INDEX_SQL = """
+WITH agg AS (
+  SELECT month(o_orderdate) AS mon,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(floor(o_totalprice * 100
+           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT mon, n_orders, rev_cents,
+       (rev_cents * 10000) // CAST(SUM(rev_cents) OVER () AS BIGINT)
+         AS share_bp,
+       (rev_cents * 120000) // CAST(SUM(rev_cents) OVER () AS BIGINT)
+         AS index_bp
+FROM agg
+ORDER BY mon
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: inter-order cadence per market segment
+# ---------------------------------------------------------------------------
+
+def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between a customer's consecutive orders, rolled up per
+    market segment — the replenishment-cycle report behind every
+    churn model's "overdue" feature: a customer whose gap since
+    their last order exceeds their segment's typical cadence is the
+    churn-risk candidate. customer_repeat_rate counts repeaters;
+    this measures their rhythm.
+
+    Integer-exact: order dates collapse to epoch days (BIGINT);
+    gaps are day differences; the segment mean is one integer DIV
+    at e3 scale.
+
+    Plan: ONE o_custkey window (lag over day, orderkey — unique
+    tie-break) on the orders fact, customer dim joins BROADCAST,
+    then a |segments|-row aggregate. Two exchanges.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(
+            "CAST(floor(unix_timestamp(o_orderdate) / 86400) AS BIGINT)"
+        ).alias("day"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_day", F.lag("day").over(w))
+        .where(F.col("prev_day").isNotNull())
+        .withColumn("gap_d", F.expr("day - prev_day"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        gaps.join(F.broadcast(cust), gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_d").alias("sum_gap_d"),
+            F.min("gap_d").alias("min_gap_d"),
+            F.max("gap_d").alias("max_gap_d"),
+        )
+        .withColumn("mean_gap_e3", F.expr("(sum_gap_d * 1000) DIV n_gaps"))
+        .select(
+            "c_mktsegment", "n_gaps", "sum_gap_d", "min_gap_d",
+            "max_gap_d", "mean_gap_e3",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+CUSTOMER_ORDER_CADENCE_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         LAG(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT),
+                    o_orderkey) AS prev_day
+  FROM orders
+), gaps AS (
+  SELECT o_custkey, day - prev_day AS gap_d
+  FROM seq WHERE prev_day IS NOT NULL
+), agg AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_d) AS BIGINT) AS sum_gap_d,
+         MIN(gap_d) AS min_gap_d,
+         MAX(gap_d) AS max_gap_d
+  FROM gaps JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_gaps, sum_gap_d, min_gap_d, max_gap_d,
+       (sum_gap_d * 1000) // n_gaps AS mean_gap_e3
+FROM agg
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: supplier concentration (HHI) per part
+# ---------------------------------------------------------------------------
+
+def part_supply_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain risk register: the TOP_CONC parts whose revenue
+    is most concentrated across the suppliers that actually shipped
+    them (observed from lineitem — the fixture carries no partsupp),
+    scored by the Herfindahl–Hirschman index of supplier revenue
+    shares (10000 = single-source) with the largest single-supplier
+    share alongside. supplier_hhi is the nation-level sibling; this
+    is per-part, where substitution actually happens, surfacing the
+    parts to dual-source first.
+
+    Determinism and overflow safety: per-(part, supplier) cents sum
+    exactly; each supplier's share snaps to integer basis points of
+    the part total (one DIV), and HHI = Σshare_bp² / 10⁴ — shares
+    ≤ 10⁴ keep every product within BIGINT at ANY table size
+    (squaring raw cents would overflow at ~10¹² per cell). The
+    top-N order (hhi, rev, partkey) is a total order.
+
+    Plan: (part, supplier) partial agg; the part-total window and
+    the per-part HHI agg reuse the same part-keyed partitioning;
+    the head is TakeOrderedAndProject — no global sort, ≤TOP_CONC
+    rows leave the executors.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) "
+            "* 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    cell = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("cents").alias("c")
+    )
+    shared = cell.withColumn(
+        "total", F.expr("SUM(c) OVER (PARTITION BY l_partkey)")
+    ).withColumn("share_bp", F.expr("(c * 10000) DIV total"))
+    per_part = shared.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.max("total").alias("rev_cents"),
+        F.expr("SUM(share_bp * share_bp) DIV 10000").alias("hhi_bp"),
+        F.max("share_bp").alias("top_share_bp"),
+    )
+    return per_part.orderBy(
+        F.desc("hhi_bp"), F.desc("rev_cents"), F.asc("l_partkey")
+    ).limit(TOP_CONC)
+
+
+#: Size of the supply-concentration risk register head.
+TOP_CONC = 20
+
+
+PART_SUPPLY_CONCENTRATION_SQL = f"""
+WITH cell AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(floor(l_extendedprice
+           * (CAST(1 AS DOUBLE) - l_discount)
+           * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), shared AS (
+  SELECT l_partkey, c,
+         CAST(SUM(c) OVER (PARTITION BY l_partkey) AS BIGINT) AS total,
+         (c * 10000) // CAST(SUM(c) OVER (PARTITION BY l_partkey) AS BIGINT)
+           AS share_bp
+  FROM cell
+)
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_supp,
+       MAX(total) AS rev_cents,
+       CAST(SUM(share_bp * share_bp) AS BIGINT) // 10000 AS hhi_bp,
+       MAX(share_bp) AS top_share_bp
+FROM shared GROUP BY l_partkey
+ORDER BY hhi_bp DESC, rev_cents DESC, l_partkey ASC
+LIMIT {TOP_CONC}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: market-segment × brand purchase affinity
+# ---------------------------------------------------------------------------
+
+def segment_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift of each (market segment, part brand) cell over the
+    independence baseline — "which brands does BUILDING over-buy":
+    lift_e6 > 1e6 means the segment buys the brand more than its
+    overall volume predicts. The cross-sell / assortment-planning
+    matrix; segment_priority_lift's twin one join deeper (it reads
+    order attributes, this reaches through lineitem into the part
+    dimension — the full fact⋈fact⋈dim⋈dim path).
+
+    Determinism: lift_e6 = (cell·N·10⁶) DIV (row_total·col_total)
+    over BIGINT line counts — all integers.
+
+    Plan: the ONE lineitem⋈orders fact-fact exchange; customer and
+    part dims BROADCAST; partial agg to |segments × brands| cells;
+    marginals ride two windows on that dim-bounded matrix.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("c_mktsegment", "p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return (
+        cells.withColumn(
+            "seg_total",
+            F.expr("SUM(n_lines) OVER (PARTITION BY c_mktsegment)"),
+        )
+        .withColumn(
+            "brand_total", F.expr("SUM(n_lines) OVER (PARTITION BY p_brand)")
+        )
+        .withColumn("grand_total", F.expr("SUM(n_lines) OVER ()"))
+        .withColumn(
+            "lift_e6",
+            F.expr(
+                "(n_lines * grand_total * 1000000) DIV "
+                "(seg_total * brand_total)"
+            ),
+        )
+        .select(
+            "c_mktsegment", "p_brand", "n_lines", "seg_total",
+            "brand_total", "lift_e6",
+        )
+        .orderBy("c_mktsegment", "p_brand")
+    )
+
+
+SEGMENT_BRAND_AFFINITY_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment, p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT c_mktsegment, p_brand, n_lines,
+         CAST(SUM(n_lines) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+           AS seg_total,
+         CAST(SUM(n_lines) OVER (PARTITION BY p_brand) AS BIGINT)
+           AS brand_total,
+         CAST(SUM(n_lines) OVER () AS BIGINT) AS grand_total
+  FROM cells
+)
+SELECT c_mktsegment, p_brand, n_lines, seg_total, brand_total,
+       (n_lines * grand_total * 1000000) // (seg_total * brand_total)
+         AS lift_e6
+FROM m
+ORDER BY c_mktsegment, p_brand
+"""

@@ -377,6 +377,17 @@ BUDGETS = {
     "min_price_supplier": 3,
     "supplier_count_by_part": 3,
     # ---- Round-7 additions ----
+    # lineitem⋈part broadcast; |types| agg, share on SinglePartition
+    "part_type_margin": 1,
+    # orders only; 12-row agg
+    "seasonal_index": 1,
+    # custkey lag window + |segments| agg (customer dim broadcasts)
+    "customer_order_cadence": 2,
+    # (part,supp) agg + part-keyed window/agg reuse; TakeOrdered head
+    "part_supply_concentration": 2,
+    # ONE fact⋈fact exchange (cust/part dims broadcast) + cell agg
+    # rides it; marginal windows on the |segments×brands| matrix
+    "segment_brand_affinity": 1,
     # explode → (lang,tok) partial agg → |langs| final
     "text_hapax_ratio": 2,
     # token agg + TakeOrdered head (no global-sort window); the

@@ -119,3 +119,76 @@ def test_events_user_concentration_curve_shape(spark):
     assert rows[-1].cum_share_bp in (9999, 10000)
     shares = [r.share_bp for r in rows]
     assert shares[0] == max(shares)
+
+
+# ---- batch 3: business-analytics pack ----
+
+from ensembl_lakehouse_spark.operators import reports as RP  # noqa: E402
+
+
+def test_part_type_margin_accounting_identity(spark):
+    rows = RP.part_type_margin(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.net_cents <= r.list_cents
+        assert 0 <= r.giveback_bp <= 10000
+        assert 0 <= r.revenue_share_bp <= 10000
+    assert 9990 <= sum(r.revenue_share_bp for r in rows) <= 10000
+
+
+def test_seasonal_index_is_centered(spark):
+    rows = sorted(RP.seasonal_index(spark, SF_DIR).collect(), key=lambda r: r.mon)
+    assert [r.mon for r in rows] == list(range(1, 13))
+    n_orders = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")
+    assert sum(r.n_orders for r in rows) == n_orders
+    # index averages to ~10000 across months (floor DIV rounds down)
+    mean_idx = sum(r.index_bp for r in rows) / 12
+    assert 9900 <= mean_idx <= 10000
+    for r in rows:
+        assert r.index_bp == r.rev_cents * 120000 // sum(x.rev_cents for x in rows)
+
+
+def test_customer_order_cadence_gap_conservation(spark):
+    rows = {r.c_mktsegment: r for r in RP.customer_order_cadence(spark, SF_DIR).collect()}
+    assert rows
+    # gaps = orders - customers-with-orders, distributed over segments
+    n_orders = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")
+    n_cust = _scalar(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF_DIR}/orders.parquet'"
+    )
+    assert sum(r.n_gaps for r in rows.values()) == n_orders - n_cust
+    for r in rows.values():
+        assert 0 <= r.min_gap_d <= r.max_gap_d
+        assert r.mean_gap_e3 == r.sum_gap_d * 1000 // r.n_gaps
+
+
+def test_part_supply_concentration_head_is_sound(spark):
+    rows = RP.part_supply_concentration(spark, SF_DIR).collect()
+    assert len(rows) == RP.TOP_CONC
+    hhis = [r.hhi_bp for r in rows]
+    assert hhis == sorted(hhis, reverse=True)  # most-concentrated first
+    for r in rows:
+        # HHI of n equal shares ~ 10000/n; max share bounds it above
+        assert 10000 // r.n_supp <= r.hhi_bp <= 10000
+        assert r.top_share_bp * r.top_share_bp // 10000 <= r.hhi_bp
+        assert r.n_supp >= 1 and r.rev_cents > 0
+
+
+def test_segment_brand_affinity_marginals(spark):
+    rows = RP.segment_brand_affinity(spark, SF_DIR).collect()
+    assert rows
+    grand = sum(r.n_lines for r in rows)
+    by_seg: dict = {}
+    by_brand: dict = {}
+    for r in rows:
+        by_seg[r.c_mktsegment] = by_seg.get(r.c_mktsegment, 0) + r.n_lines
+        by_brand[r.p_brand] = by_brand.get(r.p_brand, 0) + r.n_lines
+    for r in rows:
+        assert r.seg_total == by_seg[r.c_mktsegment]
+        assert r.brand_total == by_brand[r.p_brand]
+        assert r.lift_e6 == r.n_lines * grand * 1_000_000 // (
+            r.seg_total * r.brand_total
+        )
+    # lift averages to ~1 when weighted by the independence baseline
+    assert any(r.lift_e6 > 1_000_000 for r in rows)
+    assert any(r.lift_e6 < 1_000_000 for r in rows)
