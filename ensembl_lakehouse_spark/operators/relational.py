@@ -3445,3 +3445,206 @@ SELECT decile, n_users, events, min_events, max_events,
 FROM agg
 ORDER BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: KMV sketch UNION/INTERSECTION across groups
+# ---------------------------------------------------------------------------
+
+#: KMV size for the union/intersection estimator (must stay below
+#: the per-type distinct cardinality at the smallest fixture SF).
+KMV_UNION_K = 64
+
+
+def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes KMV the 100 TB distinct sketch:
+    MERGEABILITY. Per event_type, a KMV sketch of active
+    (user, day) cells; for every type pair the union sketch is just
+    union-then-truncate of the two bottom-k hash sets (no rescan of
+    either side), and the intersection follows by
+    inclusion–exclusion — the "how much does audience A overlap B"
+    question COUNT(DISTINCT) forces a full self-join to answer.
+    sketch_kmv_distinct pins the single-set estimator; this pins
+    the merge algebra, with the exact union/intersection carried
+    alongside so the ~1/√k error stays visible.
+
+    Deterministic cross-engine: the md5-60-bit hash contract
+    (functions/hashing.py), integer ranks with full tie-breaks, and
+    ONE shared float template for each estimate.
+
+    Plan: (type, user, day) DISTINCT lattice once; per-type
+    bottom-k via two-phase WindowGroupLimit (map-side k-row heaps —
+    ≤ k·|types| rows survive); all pairwise merging then runs on
+    ≤ |types|·k rows (driver-bounded, broadcast); the exact
+    intersection is a (user, day)-keyed self-join of the SAME
+    distinct lattice — one reused exchange, cost ∝ active cells,
+    never events.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            "event_type",
+            "user_id",
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+                "day"
+            ),
+        )
+        .distinct()
+        .withColumn(
+            "h",
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(user_id AS string), "
+                "'|', cast(day AS string))), 1, 15), 16, 10) AS bigint)"
+            ),
+        )
+    )
+    ranked = cells.withColumn(
+        "rk",
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY h, user_id, day)"
+        ),
+    )
+    k = KMV_UNION_K
+    sketch = ranked.where(F.col("rk") <= k).select("event_type", "h")
+    # pairwise union sketches over the tiny bottom-k sets
+    a = sketch.select(F.col("event_type").alias("ta"), "h")
+    b = sketch.select(F.col("event_type").alias("tb"), "h")
+    pairs = (
+        a.crossJoin(b.select("tb").distinct())
+        .where("ta < tb")
+        .select("ta", "tb", "h")
+        .union(
+            b.crossJoin(a.select("ta").distinct())
+            .where("ta < tb")
+            .select("ta", "tb", "h")
+        )
+        .distinct()  # same element in both sketches → same hash, once
+    )
+    union_kth = (
+        pairs.withColumn(
+            "rk",
+            F.expr(
+                "row_number() OVER (PARTITION BY ta, tb ORDER BY h)"
+            ),
+        )
+        .where(F.col("rk") == k)
+        .select("ta", "tb", F.col("h").alias("h_union"))
+    )
+    kth = (
+        ranked.where(F.col("rk") == k)
+        .select("event_type", F.col("h").alias("h_single"))
+    )
+    exact = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    ia = cells.select(F.col("event_type").alias("ta"), "user_id", "day")
+    ib = cells.select(F.col("event_type").alias("tb"), "user_id", "day")
+    exact_inter = (
+        ia.join(ib, ["user_id", "day"])
+        .where("ta < tb")
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    est = f"(CAST({k - 1} AS DOUBLE) * CAST({2**60} AS DOUBLE))"
+    ea = exact.select(
+        F.col("event_type").alias("ta"), F.col("exact").alias("exact_a")
+    )
+    eb = exact.select(
+        F.col("event_type").alias("tb"), F.col("exact").alias("exact_b")
+    )
+    ka = kth.select(
+        F.col("event_type").alias("ta"), F.col("h_single").alias("h_a")
+    )
+    kb = kth.select(
+        F.col("event_type").alias("tb"), F.col("h_single").alias("h_b")
+    )
+    return (
+        union_kth.join(F.broadcast(ea), "ta")
+        .join(F.broadcast(eb), "tb")
+        .join(F.broadcast(ka), "ta")
+        .join(F.broadcast(kb), "tb")
+        .join(F.broadcast(exact_inter), ["ta", "tb"])
+        .withColumn("est_union", F.expr(f"{est} / CAST(h_union AS DOUBLE)"))
+        .withColumn(
+            "est_inter",
+            F.expr(
+                f"{est} / CAST(h_a AS DOUBLE) + {est} / CAST(h_b AS DOUBLE) "
+                f"- {est} / CAST(h_union AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "exact_union", F.expr("exact_a + exact_b - exact_inter")
+        )
+        .select(
+            "ta", "tb", "exact_a", "exact_b", "exact_inter", "exact_union",
+            "est_union", "est_inter",
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+SKETCH_KMV_UNION_SQL = f"""
+WITH cells AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), hashed AS (
+  SELECT event_type, user_id, day,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|'
+           || CAST(day AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM cells
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY h, user_id, day) AS rk
+  FROM hashed
+), sketch AS (
+  SELECT event_type, h FROM ranked WHERE rk <= {KMV_UNION_K}
+), pairs AS (
+  SELECT DISTINCT ta, tb, h FROM (
+    SELECT a.event_type AS ta, t.event_type AS tb, a.h
+    FROM sketch a CROSS JOIN (SELECT DISTINCT event_type FROM sketch) t
+    WHERE a.event_type < t.event_type
+    UNION ALL
+    SELECT t.event_type AS ta, b.event_type AS tb, b.h
+    FROM sketch b CROSS JOIN (SELECT DISTINCT event_type FROM sketch) t
+    WHERE t.event_type < b.event_type)
+), union_kth AS (
+  SELECT ta, tb, h AS h_union FROM (
+    SELECT ta, tb, h,
+           row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+    FROM pairs) WHERE rk = {KMV_UNION_K}
+), kth AS (
+  SELECT event_type, h AS h_single FROM ranked WHERE rk = {KMV_UNION_K}
+), exact AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact
+  FROM cells GROUP BY event_type
+), exact_inter AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS exact_inter
+  FROM cells a JOIN cells b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT u.ta, u.tb,
+       ea.exact AS exact_a, eb.exact AS exact_b,
+       i.exact_inter,
+       ea.exact + eb.exact - i.exact_inter AS exact_union,
+       (CAST({KMV_UNION_K - 1} AS DOUBLE) * CAST({2**60} AS DOUBLE))
+         / CAST(u.h_union AS DOUBLE) AS est_union,
+       (CAST({KMV_UNION_K - 1} AS DOUBLE) * CAST({2**60} AS DOUBLE))
+         / CAST(ka.h_single AS DOUBLE)
+       + (CAST({KMV_UNION_K - 1} AS DOUBLE) * CAST({2**60} AS DOUBLE))
+         / CAST(kb.h_single AS DOUBLE)
+       - (CAST({KMV_UNION_K - 1} AS DOUBLE) * CAST({2**60} AS DOUBLE))
+         / CAST(u.h_union AS DOUBLE) AS est_inter
+FROM union_kth u
+JOIN exact ea ON ea.event_type = u.ta
+JOIN exact eb ON eb.event_type = u.tb
+JOIN kth ka ON ka.event_type = u.ta
+JOIN kth kb ON kb.event_type = u.tb
+JOIN exact_inter i ON i.ta = u.ta AND i.tb = u.tb
+ORDER BY u.ta, u.tb
+"""

@@ -1307,3 +1307,120 @@ FROM pairs
 GROUP BY band, pair_kind
 ORDER BY band, pair_kind
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: embedding batch drift (per-dimension A/B centroid shift)
+# ---------------------------------------------------------------------------
+
+def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension centroid shift between two corpus halves
+    (vec_id parity — the deterministic stand-in for "yesterday's
+    batch vs today's"): |mean_A − mean_B| per dimension plus each
+    half's variance. The encoder-regression tripwire: a re-deployed
+    encoder that shifts even a few coordinates silently degrades
+    every downstream ANN index; per-dim drift localizes WHICH
+    coordinates moved, where embedding_dim_stats (whole-corpus
+    moments) only says that something did.
+
+    Integer-exact: per-element fixed-point snap (FP_SCALE) before
+    any sum — the kmeans/dim_stats lattice — means and variances by
+    integer DIV, drift one subtraction.
+
+    Plan: ONE posexplode → (dim, parity) partial agg (map-side
+    combined, |dims|·2 rows) → |dims|-row conditional-agg assemble.
+    Two exchanges over pre-combined rows; map-only above the scan.
+    """
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = (
+        emb.select(
+            F.expr("CAST(vec_id % 2 AS INT)").alias("half"),
+            F.posexplode("embedding").alias("dim", "x"),
+        )
+        .withColumn("x_fp", F.floor(F.col("x").cast("double") * FP_SCALE))
+        .withColumn("x2_fp", F.expr(f"(x_fp * x_fp) DIV {FP_SCALE}"))
+    )
+    cell = exploded.groupBy("dim", "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_fp").alias("s"),
+        F.sum("x2_fp").alias("s2"),
+    )
+    per_dim = cell.groupBy("dim").agg(
+        F.sum(F.expr("CASE WHEN half = 0 THEN n ELSE 0 END")).alias("n_a"),
+        F.sum(F.expr("CASE WHEN half = 1 THEN n ELSE 0 END")).alias("n_b"),
+        F.sum(F.expr("CASE WHEN half = 0 THEN s ELSE 0 END")).alias("s_a"),
+        F.sum(F.expr("CASE WHEN half = 1 THEN s ELSE 0 END")).alias("s_b"),
+        F.sum(F.expr("CASE WHEN half = 0 THEN s2 ELSE 0 END")).alias("s2_a"),
+        F.sum(F.expr("CASE WHEN half = 1 THEN s2 ELSE 0 END")).alias("s2_b"),
+    )
+    return (
+        per_dim.where("n_a > 0 AND n_b > 0")
+        .withColumn("mean_a_fp", F.expr("s_a DIV n_a"))
+        .withColumn("mean_b_fp", F.expr("s_b DIV n_b"))
+        .withColumn(
+            "var_a_fp",
+            F.expr(f"s2_a DIV n_a - (mean_a_fp * mean_a_fp) DIV {FP_SCALE}"),
+        )
+        .withColumn(
+            "var_b_fp",
+            F.expr(f"s2_b DIV n_b - (mean_b_fp * mean_b_fp) DIV {FP_SCALE}"),
+        )
+        .withColumn("drift_fp", F.expr("abs(mean_a_fp - mean_b_fp)"))
+        .select(
+            "dim", "n_a", "n_b", "mean_a_fp", "mean_b_fp",
+            "var_a_fp", "var_b_fp", "drift_fp",
+        )
+        .orderBy("dim")
+    )
+
+
+def _embedding_batch_drift_sql() -> str:
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    return f"""
+WITH x AS (
+  SELECT CAST(vec_id % 2 AS INT) AS half, u.dim AS dim,
+         CAST(floor(u.val::DOUBLE * {FP_SCALE}) AS BIGINT) AS x_fp
+  FROM (
+    SELECT vec_id,
+           unnest(list_transform(range(0, len(embedding)),
+             i -> {{'dim': i, 'val': embedding[i + 1]}})) AS u
+    FROM embeddings)
+), fp AS (
+  SELECT half, dim, x_fp, (x_fp * x_fp) // {FP_SCALE} AS x2_fp FROM x
+), cell AS (
+  SELECT dim, half,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_fp) AS BIGINT) AS s,
+         CAST(SUM(x2_fp) AS BIGINT) AS s2
+  FROM fp GROUP BY dim, half
+), per_dim AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN half = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN half = 0 THEN s ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN half = 1 THEN s ELSE 0 END) AS BIGINT) AS s_b,
+         CAST(SUM(CASE WHEN half = 0 THEN s2 ELSE 0 END) AS BIGINT) AS s2_a,
+         CAST(SUM(CASE WHEN half = 1 THEN s2 ELSE 0 END) AS BIGINT) AS s2_b
+  FROM cell GROUP BY dim
+), m AS (
+  SELECT dim, n_a, n_b,
+         s_a // n_a AS mean_a_fp,
+         s_b // n_b AS mean_b_fp,
+         s2_a // n_a - ((s_a // n_a) * (s_a // n_a)) // {FP_SCALE}
+           AS var_a_fp,
+         s2_b // n_b - ((s_b // n_b) * (s_b // n_b)) // {FP_SCALE}
+           AS var_b_fp
+  FROM per_dim
+  WHERE n_a > 0 AND n_b > 0
+)
+SELECT dim, n_a, n_b, mean_a_fp, mean_b_fp, var_a_fp, var_b_fp,
+       abs(mean_a_fp - mean_b_fp) AS drift_fp
+FROM m
+ORDER BY dim
+"""
+
+
+EMBEDDING_BATCH_DRIFT_SQL = _embedding_batch_drift_sql()

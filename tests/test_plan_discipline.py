@@ -377,6 +377,12 @@ BUDGETS = {
     "min_price_supplier": 3,
     "supplier_count_by_part": 3,
     # ---- Round-7 additions ----
+    # distinct lattice + per-type bottom-k window + pair-union
+    # window + exact-inter self-join agg; all sketch-side merging
+    # runs on ≤|types|·k broadcast rows
+    "sketch_kmv_union": 7,
+    # posexplode → (dim,half) partial agg → |dims| assemble
+    "embedding_batch_drift": 2,
     # lineitem⋈part broadcast; |types| agg, share on SinglePartition
     "part_type_margin": 1,
     # orders only; 12-row agg

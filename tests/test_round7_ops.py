@@ -192,3 +192,44 @@ def test_segment_brand_affinity_marginals(spark):
     # lift averages to ~1 when weighted by the independence baseline
     assert any(r.lift_e6 > 1_000_000 for r in rows)
     assert any(r.lift_e6 < 1_000_000 for r in rows)
+
+
+# ---- batch 4: sketch algebra + embedding drift ----
+
+from ensembl_lakehouse_spark.operators import similarity as SIM  # noqa: E402
+
+
+def test_sketch_kmv_union_algebra(spark):
+    rows = R.sketch_kmv_union(spark, SF_DIR).collect()
+    types = set()
+    for r in rows:
+        types |= {r.ta, r.tb}
+        assert r.ta < r.tb
+        # inclusion-exclusion identities on the exact side
+        assert r.exact_union == r.exact_a + r.exact_b - r.exact_inter
+        assert r.exact_inter <= min(r.exact_a, r.exact_b)
+        assert r.exact_union >= max(r.exact_a, r.exact_b)
+        # estimates land within the ~1/sqrt(k) band (generous x3)
+        assert abs(r.est_union - r.exact_union) / r.exact_union < 0.5
+    n = len(types)
+    assert len(rows) == n * (n - 1) // 2
+
+
+def test_embedding_batch_drift_consistency(spark):
+    import duckdb as dd
+
+    rows = {r.dim: r for r in SIM.embedding_batch_drift(spark, SF_DIR).collect()}
+    n_vecs = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'")
+    dims = _scalar(
+        f"SELECT MAX(len(embedding)) FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    assert set(rows) == set(range(dims))
+    for r in rows.values():
+        assert r.n_a + r.n_b == n_vecs
+        assert r.drift_fp == abs(r.mean_a_fp - r.mean_b_fp)
+        assert r.var_a_fp >= 0 and r.var_b_fp >= 0
+    # the two halves of one corpus must NOT drift materially: the
+    # audit's null case reads near zero (fixed-point scale 1e6)
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    assert max(r.drift_fp for r in rows.values()) < FP_SCALE // 10
