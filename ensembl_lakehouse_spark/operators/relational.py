@@ -3648,3 +3648,189 @@ JOIN kth kb ON kb.event_type = u.tb
 JOIN exact_inter i ON i.ta = u.ta AND i.tb = u.tb
 ORDER BY u.ta, u.tb
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: session length/duration histogram
+# ---------------------------------------------------------------------------
+
+def session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of session sizes and durations over the
+    sessionized event stream — the engagement-shape report built ON
+    events_sessionize's lattice: bounce share (1-event sessions),
+    the long-tail band, and per-band mean duration. Together with
+    events_gap_histogram this closes the sessionization loop: gaps
+    calibrate the timeout, this validates the sessions it yields.
+
+    Integer-exact: durations are floor-epoch-second differences;
+    band shares and mean durations are integer DIVs.
+
+    Plan: the sessionize lattice (ONE user_id exchange reused by
+    both window passes and the (user, session) agg) + one |bands|
+    aggregate; the share window rides SinglePartition on ≤4 rows.
+    """
+    sessions = events_sessionize(spark, sf_dir)
+    band_expr = (
+        "CASE WHEN n_events = 1 THEN 'a_bounce' "
+        "WHEN n_events <= 3 THEN 'b_2_3' "
+        "WHEN n_events <= 7 THEN 'c_4_7' "
+        "ELSE 'd_8plus' END"
+    )
+    return (
+        sessions.withColumn(
+            "dur_s",
+            F.expr(
+                "CAST(floor(unix_timestamp(session_end)) AS BIGINT) "
+                "- CAST(floor(unix_timestamp(session_start)) AS BIGINT)"
+            ),
+        )
+        .withColumn("band", F.expr(band_expr))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.col("n_events").cast("bigint")).alias("events"),
+            F.sum("dur_s").alias("sum_dur_s"),
+            F.max("dur_s").alias("max_dur_s"),
+        )
+        .withColumn(
+            "share_bp",
+            F.expr("(n_sessions * 10000) DIV SUM(n_sessions) OVER ()"),
+        )
+        .withColumn("mean_dur_e3", F.expr("(sum_dur_s * 1000) DIV n_sessions"))
+        .select(
+            "band", "n_sessions", "events", "sum_dur_s", "max_dur_s",
+            "share_bp", "mean_dur_e3",
+        )
+        .orderBy("band")
+    )
+
+
+SESSION_LENGTH_HISTOGRAM_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+           AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_num
+  FROM g
+), sess AS (
+  SELECT user_id, session_num,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT)
+           - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS dur_s,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, session_num
+), banded AS (
+  SELECT CASE WHEN n_events = 1 THEN 'a_bounce'
+              WHEN n_events <= 3 THEN 'b_2_3'
+              WHEN n_events <= 7 THEN 'c_4_7'
+              ELSE 'd_8plus' END AS band,
+         n_events, dur_s
+  FROM sess
+), agg AS (
+  SELECT band,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(n_events) AS BIGINT) AS events,
+         CAST(SUM(dur_s) AS BIGINT) AS sum_dur_s,
+         MAX(dur_s) AS max_dur_s
+  FROM banded GROUP BY band
+)
+SELECT band, n_sessions, events, sum_dur_s, max_dur_s,
+       (n_sessions * 10000) // CAST(SUM(n_sessions) OVER () AS BIGINT)
+         AS share_bp,
+       (sum_dur_s * 1000) // n_sessions AS mean_dur_e3
+FROM agg
+ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: weekly event-type mix drift
+# ---------------------------------------------------------------------------
+
+def events_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week shift in the event-type mix: per week, the L1
+    distance (in summed basis points) between this week's and last
+    week's type-share vectors — the one-number "did traffic
+    composition change" screen that pages before any single type's
+    volume alarm would (volume can hold steady while the mix
+    inverts). feature_drift_chi2 compares two FIXED cohorts; this
+    is the rolling weekly version.
+
+    Integer-exact: weekly shares in basis points, absolute deltas
+    summed as BIGINTs.
+
+    Plan: one partial agg to |weeks × types| cells; the share
+    window (per week), the lag window (per type), and the final
+    per-week agg all ride that dim-bounded lattice.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            F.expr(
+                "CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT)"
+            ).alias("week"),
+            "event_type",
+        )
+        .groupBy("week", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    shared = cells.withColumn(
+        "share_bp",
+        F.expr("(c * 10000) DIV SUM(c) OVER (PARTITION BY week)"),
+    ).withColumn(
+        "prev_share_bp",
+        F.expr(
+            "lag(share_bp) OVER (PARTITION BY event_type ORDER BY week)"
+        ),
+    ).withColumn(
+        "prev_week",
+        F.expr("lag(week) OVER (PARTITION BY event_type ORDER BY week)"),
+    )
+    return (
+        shared.where("prev_week = week - 1")  # only adjacent weeks compare
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("c").alias("n_events"),
+            F.sum(F.expr("abs(share_bp - prev_share_bp)")).alias(
+                "l1_drift_bp"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+EVENTS_TYPE_SHARE_DRIFT_SQL = """
+WITH cells AS (
+  SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), shared AS (
+  SELECT week, event_type, c,
+         (c * 10000) // CAST(SUM(c) OVER (PARTITION BY week) AS BIGINT)
+           AS share_bp
+  FROM cells
+), lagged AS (
+  SELECT week, event_type, c, share_bp,
+         lag(share_bp) OVER (PARTITION BY event_type ORDER BY week)
+           AS prev_share_bp,
+         lag(week) OVER (PARTITION BY event_type ORDER BY week)
+           AS prev_week
+  FROM shared
+)
+SELECT week,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(SUM(abs(share_bp - prev_share_bp)) AS BIGINT) AS l1_drift_bp
+FROM lagged
+WHERE prev_week = week - 1
+GROUP BY week
+ORDER BY week
+"""

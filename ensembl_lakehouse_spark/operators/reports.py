@@ -1986,3 +1986,169 @@ SELECT c_mktsegment, p_brand, n_lines, seg_total, brand_total,
 FROM m
 ORDER BY c_mktsegment, p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: part-name term price lift
+# ---------------------------------------------------------------------------
+
+#: Minimum parts carrying a name term for it to enter the report.
+NAME_TERM_MIN_SUPPORT = 5
+
+
+def part_name_price_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which words in a part's NAME carry price: per name term, the
+    average retail price vs the catalog average as a lift in basis
+    points (10000 = neutral). The attribute-extraction screen every
+    catalog team runs before structuring free-text names into real
+    attributes — terms with stable high lift are latent attributes.
+
+    Determinism: prices snap to cents per part; the lift is ONE
+    cross-multiplied integer DIV (term_sum · catalog_n · 10⁴) ÷
+    (term_n · catalog_sum) — no float division anywhere.
+
+    Plan: the explode runs over the PART DIMENSION (SF·200k rows,
+    not the fact table); one (term) partial agg; the 1-row catalog
+    total joins by broadcast. Support-floored to kill noise terms.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        F.expr(
+            "CAST(floor(p_retailprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+        F.split(F.col("p_name"), " ").alias("terms"),
+    )
+    exploded = part.select(
+        F.explode("terms").alias("term"), "cents"
+    ).where(F.length("term") > 0)
+    per_term = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    total = part.agg(
+        F.count(F.lit(1)).alias("g_n"),
+        F.sum("cents").alias("g_sum"),
+    )
+    return (
+        per_term.where(F.col("n_parts") >= NAME_TERM_MIN_SUPPORT)
+        .crossJoin(F.broadcast(total))
+        .withColumn("mean_cents", F.expr("sum_cents DIV n_parts"))
+        .withColumn(
+            "lift_bp",
+            F.expr("(sum_cents * g_n * 10000) DIV (n_parts * g_sum)"),
+        )
+        .select("term", "n_parts", "mean_cents", "lift_bp")
+        .orderBy(F.desc("lift_bp"), F.asc("term"))
+    )
+
+
+PART_NAME_PRICE_LIFT_SQL = f"""
+WITH p AS (
+  SELECT CAST(floor(p_retailprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents,
+         string_split(p_name, ' ') AS terms
+  FROM part
+), exploded AS (
+  SELECT unnest(terms) AS term, cents FROM p
+), per_term AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM exploded WHERE length(term) > 0 GROUP BY term
+), total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS g_n,
+         CAST(SUM(cents) AS BIGINT) AS g_sum
+  FROM p
+)
+SELECT term, n_parts,
+       sum_cents // n_parts AS mean_cents,
+       (sum_cents * g_n * 10000) // (n_parts * g_sum) AS lift_bp
+FROM per_term, total
+WHERE n_parts >= {NAME_TERM_MIN_SUPPORT}
+ORDER BY lift_bp DESC, term ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: account balance vs order activity correlation
+# ---------------------------------------------------------------------------
+
+def balance_activity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment, the Pearson correlation between a
+    customer's account balance and their order count — the
+    credit-vs-engagement screen: a segment where balance and
+    activity anticorrelate is buying on credit (collections risk);
+    strong positive correlation marks the prepaid/deposit pattern.
+    Customers with no orders count as zero activity (the spine is
+    the customer dimension, not the fact table).
+
+    Determinism (the discount_quantity_corr recipe): balances snap
+    to integer cents per row — exact for 2-decimal money, including
+    negatives (floor of x·100+0.5 is the same value both engines) —
+    order counts are integers; five BIGINT moment sums; one shared
+    sqrt/divide Pearson template.
+
+    Plan: per-customer order counts (one fact agg), LEFT join onto
+    the customer dim (broadcast of the AGGREGATED counts — the agg
+    side is |customers-with-orders|, dim-bounded), |segments|-row
+    moment agg.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("x"),
+    )
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = (
+        cust.join(
+            F.broadcast(counts), cust.c_custkey == counts.o_custkey, "left"
+        )
+        .withColumn("y", F.expr("coalesce(n_orders, 0)"))
+    )
+    mom = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return (
+        mom.where(
+            "n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+        )
+        .withColumn("corr_e6", F.expr(pearson_e6()))
+        .select("c_mktsegment", "n", "sx", "sy", "corr_e6")
+        .orderBy("c_mktsegment")
+    )
+
+
+BALANCE_ACTIVITY_CORR_SQL = f"""
+WITH counts AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+), joined AS (
+  SELECT c_mktsegment,
+         CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x,
+         CAST(coalesce(n_orders, 0) AS BIGINT) AS y
+  FROM customer LEFT JOIN counts ON c_custkey = o_custkey
+), mom AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM joined GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n, sx, sy, {pearson_e6()} AS corr_e6
+FROM mom
+WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY c_mktsegment
+"""

@@ -377,6 +377,17 @@ BUDGETS = {
     "min_price_supplier": 3,
     "supplier_count_by_part": 3,
     # ---- Round-7 additions ----
+    # sessionize's ONE user exchange (both windows + session agg
+    # ride it) + |bands| agg
+    "session_length_histogram": 2,
+    # |weeks×types| cells + week-share window + type-lag window +
+    # per-week final agg (three different keys over the tiny lattice)
+    "events_type_share_drift": 4,
+    # explode over the part DIM only; one term agg; 1-row total
+    # broadcast
+    "part_name_price_lift": 1,
+    # per-customer fact agg (broadcast back) + |segments| moment agg
+    "balance_activity_corr": 2,
     # distinct lattice + per-type bottom-k window + pair-union
     # window + exact-inter self-join agg; all sketch-side merging
     # runs on ≤|types|·k broadcast rows

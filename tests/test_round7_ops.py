@@ -233,3 +233,52 @@ def test_embedding_batch_drift_consistency(spark):
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
     assert max(r.drift_fp for r in rows.values()) < FP_SCALE // 10
+
+
+# ---- batch 5: session shapes, mix drift, catalog semantics ----
+
+
+def test_session_length_histogram_conserves_events(spark):
+    rows = {r.band: r for r in R.session_length_histogram(spark, SF_DIR).collect()}
+    n_events = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'")
+    assert sum(r.events for r in rows.values()) == n_events
+    for r in rows.values():
+        assert r.n_sessions > 0
+        assert 0 <= r.mean_dur_e3 <= r.max_dur_s * 1000
+        if r.band == "a_bounce":
+            assert r.events == r.n_sessions  # 1 event per bounce
+            assert r.max_dur_s == 0
+
+
+def test_events_type_share_drift_bounds(spark):
+    rows = sorted(R.events_type_share_drift(spark, SF_DIR).collect(), key=lambda r: r.week)
+    assert rows
+    weeks = [r.week for r in rows]
+    assert len(set(weeks)) == len(weeks)
+    for r in rows:
+        # L1 distance between two share vectors is at most 2 (=20000 bp)
+        assert 0 <= r.l1_drift_bp <= 20000
+        assert r.n_types >= 1 and r.n_events > 0
+
+
+def test_part_name_price_lift_is_calibrated(spark):
+    rows = RP.part_name_price_lift(spark, SF_DIR).collect()
+    assert rows
+    lifts = [r.lift_bp for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r.n_parts >= RP.NAME_TERM_MIN_SUPPORT
+        assert r.mean_cents > 0
+    # lift is centered: some terms above, some below the catalog avg
+    assert lifts[0] >= 10000 >= lifts[-1]
+
+
+def test_balance_activity_corr_moment_identities(spark):
+    rows = {r.c_mktsegment: r for r in RP.balance_activity_corr(spark, SF_DIR).collect()}
+    assert rows
+    n_cust = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet'")
+    assert sum(r.n for r in rows.values()) == n_cust  # spine = customers
+    n_orders = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")
+    assert sum(r.sy for r in rows.values()) == n_orders  # Σy = orders
+    for r in rows.values():
+        assert -1_000_000 <= r.corr_e6 <= 1_000_000
