@@ -502,20 +502,30 @@ class Engine:
 
         parts = []
         for name, tdir in sorted(self._snapshot_tables.items()):
-            if pins and name in pins:
+            pinned = bool(pins and name in pins)
+            if pinned:
                 v = pins[name]
             else:
                 v = _SN.published_version(tdir)
                 if v is None:
                     v = _SN.current_version(tdir)
+            # ValueError covers the empty-file-list manifest (a
+            # readable version with nothing to plan) — without it a
+            # broken registration 500s EVERY /sql request, including
+            # ones that never touch this table (r7 code-review)
             try:
                 _SN.read_snapshot(
                     self.spark, tdir, version=v
                 ).createOrReplaceTempView(f"snap_{name}")
-            except FileNotFoundError as exc:
+            except (FileNotFoundError, ValueError, KeyError) as exc:
+                if pinned:
+                    raise QueryValidationError(
+                        f"snap_versions: {name} has no readable version "
+                        f"{v} ({exc})"
+                    ) from exc
                 raise QueryValidationError(
-                    f"snap_versions: {name} has no retained version {v} "
-                    f"({exc})"
+                    f"registered snapshot table {name!r} cannot be read "
+                    f"at v{v} ({exc}) — re-register or repair the table"
                 ) from exc
             parts.append(f"{name}@{v}")
         return ";".join(parts)

@@ -3765,9 +3765,17 @@ def events_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-exact: weekly shares in basis points, absolute deltas
     summed as BIGINTs.
 
-    Plan: one partial agg to |weeks × types| cells; the share
-    window (per week), the lag window (per type), and the final
-    per-week agg all ride that dim-bounded lattice.
+    Completeness (r7 code-review): the comparison runs on the DENSE
+    |observed weeks| × |observed types| grid (zero-filled), so a
+    type that APPEARS or DISAPPEARS between weeks contributes its
+    full |share − 0| term — the sparse per-type lag would silently
+    drop exactly the total-mix-inversion case this screen exists
+    for. A week still only reports drift when week−1 was observed
+    at all (a dark week breaks the chain, by design).
+
+    Plan: one partial agg to |weeks × types| cells; the dense grid
+    is a broadcast cross join of the two tiny dim sets; the type-lag
+    window and the final per-week agg ride the grid relation.
     """
     events = load_table(spark, sf_dir, "events")
     cells = (
@@ -3780,24 +3788,27 @@ def events_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("week", "event_type")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    shared = cells.withColumn(
-        "share_bp",
-        F.expr("(c * 10000) DIV SUM(c) OVER (PARTITION BY week)"),
-    ).withColumn(
+    weeks = cells.groupBy("week").agg(F.sum("c").alias("week_total"))
+    types = cells.select("event_type").distinct()
+    grid = (
+        weeks.crossJoin(F.broadcast(types))
+        .join(F.broadcast(cells), ["week", "event_type"], "left")
+        .withColumn("c", F.expr("coalesce(c, CAST(0 AS BIGINT))"))
+        .withColumn("share_bp", F.expr("(c * 10000) DIV week_total"))
+    )
+    lagged = grid.withColumn(
         "prev_share_bp",
-        F.expr(
-            "lag(share_bp) OVER (PARTITION BY event_type ORDER BY week)"
-        ),
+        F.expr("lag(share_bp) OVER (PARTITION BY event_type ORDER BY week)"),
     ).withColumn(
         "prev_week",
         F.expr("lag(week) OVER (PARTITION BY event_type ORDER BY week)"),
     )
     return (
-        shared.where("prev_week = week - 1")  # only adjacent weeks compare
+        lagged.where("prev_week = week - 1")  # only adjacent weeks compare
         .groupBy("week")
         .agg(
             F.count(F.lit(1)).alias("n_types"),
-            F.sum("c").alias("n_events"),
+            F.max("week_total").alias("n_events"),
             F.sum(F.expr("abs(share_bp - prev_share_bp)")).alias(
                 "l1_drift_bp"
             ),
@@ -3812,22 +3823,30 @@ WITH cells AS (
          event_type,
          CAST(COUNT(*) AS BIGINT) AS c
   FROM events GROUP BY 1, 2
-), shared AS (
-  SELECT week, event_type, c,
-         (c * 10000) // CAST(SUM(c) OVER (PARTITION BY week) AS BIGINT)
+), weeks AS (
+  SELECT week, CAST(SUM(c) AS BIGINT) AS week_total
+  FROM cells GROUP BY week
+), types AS (
+  SELECT DISTINCT event_type FROM cells
+), grid AS (
+  SELECT w.week, t.event_type, w.week_total,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS c,
+         (CAST(coalesce(c.c, 0) AS BIGINT) * 10000) // w.week_total
            AS share_bp
-  FROM cells
+  FROM weeks w CROSS JOIN types t
+  LEFT JOIN cells c
+    ON c.week = w.week AND c.event_type = t.event_type
 ), lagged AS (
-  SELECT week, event_type, c, share_bp,
+  SELECT week, event_type, week_total, share_bp,
          lag(share_bp) OVER (PARTITION BY event_type ORDER BY week)
            AS prev_share_bp,
          lag(week) OVER (PARTITION BY event_type ORDER BY week)
            AS prev_week
-  FROM shared
+  FROM grid
 )
 SELECT week,
        CAST(COUNT(*) AS BIGINT) AS n_types,
-       CAST(SUM(c) AS BIGINT) AS n_events,
+       MAX(week_total) AS n_events,
        CAST(SUM(abs(share_bp - prev_share_bp)) AS BIGINT) AS l1_drift_bp
 FROM lagged
 WHERE prev_week = week - 1

@@ -101,9 +101,9 @@ class RollupCatalog:
         )
 
 
-def _rollup_fresh(spec: RollupSpec, source_version: int | None) -> bool:
+def _last_applied(spec: RollupSpec) -> int | None:
     applied = ivm._applied_versions(spec.rollup_dir)
-    return bool(applied) and applied[-1] == source_version
+    return applied[-1] if applied else None
 
 
 def _can_answer(
@@ -289,11 +289,29 @@ def answer_aggregate(
         if reason is not None:
             skipped.append({"rollup": spec.name, "reason": reason})
             continue
-        if freshness == "strict" and not _rollup_fresh(spec, src_v):
+        last = _last_applied(spec)
+        if freshness == "strict" and last != src_v:
             skipped.append(
                 {
                     "rollup": spec.name,
                     "reason": "stale (last applied != source pin)",
+                }
+            )
+            continue
+        # stale_ok opts into OLDER data, never NEWER-than-the-pin
+        # data: with the source pinned at its published version, a
+        # rollup maintained past the pin holds staged un-audited
+        # rows — serving it would leak them through the aggregate
+        # surface (r7 code-review finding). Behind-or-at the pin is
+        # the only eligible stale state.
+        if freshness == "stale_ok" and (last is None or last > src_v):
+            skipped.append(
+                {
+                    "rollup": spec.name,
+                    "reason": (
+                        "ahead of the version pin (staged rows would "
+                        "leak)" if last is not None else "never applied"
+                    ),
                 }
             )
             continue

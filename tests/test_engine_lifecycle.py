@@ -390,3 +390,35 @@ def test_sql_cache_misses_after_snapshot_reregistration(engine, spark, tmp_path)
     engine.registry.wait(second, timeout=120)
     prev = engine.query_preview(second, max_results=3)
     assert prev["Rows"][1]["Data"][0]["VarCharValue"] == "3"
+
+
+def test_broken_snapshot_registration_fails_closed_not_500(spark, tmp_path):
+    """r7 code review: a registered table whose current manifest
+    lists zero files must surface as a QueryValidationError (400)
+    naming the table — not an uncaught ValueError that kills every
+    /sql request."""
+    import pytest as _pytest
+
+    from ensembl_lakehouse_spark import snapshots as SN
+    from ensembl_lakehouse_spark.engine import Engine, QueryValidationError
+
+    eng = Engine(spark, work_dir=str(tmp_path / "work"))
+    try:
+        tdir = str(tmp_path / "tbl")
+        SN.write_snapshot(
+            tdir, spark.createDataFrame([(1,)], ["k"]).coalesce(1)
+        )
+        eng.register_snapshot_table("brk", tdir)
+        SN._commit(tdir, [], "truncate", None, 0, {}, {})  # empty v1
+        with _pytest.raises(QueryValidationError, match="'brk'"):
+            eng.submit_sql("SELECT 1 AS one")
+        # a PINNED read of the healthy version still works
+        out = eng.submit_sql(
+            "SELECT COUNT(*) AS n FROM snap_brk", "brk:0"
+        )
+        eng.registry.wait(out["query_id"], timeout=60)
+        # and a bad pin blames snap_versions explicitly
+        with _pytest.raises(QueryValidationError, match="snap_versions"):
+            eng.submit_sql("SELECT 1 AS one", "brk:99")
+    finally:
+        eng.close()

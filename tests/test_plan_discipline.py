@@ -380,9 +380,11 @@ BUDGETS = {
     # sessionize's ONE user exchange (both windows + session agg
     # ride it) + |bands| agg
     "session_length_histogram": 2,
-    # |weeks×types| cells + week-share window + type-lag window +
-    # per-week final agg (three different keys over the tiny lattice)
-    "events_type_share_drift": 4,
+    # |weeks×types| cells + weeks/types dim aggs + dense-grid
+    # broadcast joins + type-lag window + per-week final agg — only
+    # the first exchange is data-proportional; the rest ride the
+    # dim-bounded lattice (dense grid is the r7 review fix)
+    "events_type_share_drift": 6,
     # explode over the part DIM only; one term agg; 1-row total
     # broadcast
     "part_name_price_lift": 1,

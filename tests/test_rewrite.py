@@ -261,3 +261,34 @@ def test_explicit_version_pin_controls_freshness_and_read(spark, fixture):
         spark, cat, src, [], {"n": ("count", "")}, version=0
     )
     assert whym["used"] == "metadata" and gm.collect()[0].n == 60
+
+
+def test_stale_ok_never_serves_rollup_ahead_of_pin(spark, fixture):
+    """r7 code review: stale_ok opts into OLDER data, never
+    newer-than-the-pin data — a rollup maintained past the published
+    pin holds staged rows and must be skipped, falling back to the
+    base read AT the pin."""
+    src, rol, cat = fixture
+    # staged commit + maintenance tick: rollup now at v1
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(777, "g0", "r0", 1_000_000)], ["k", "grp", "reg", "val"]
+        ),
+        mode="append",
+    )
+    ivm.maintain_rollup(spark, src, rol, ["grp", "reg"], "val")
+    # pinned at v0 (the published state), stale_ok must NOT use the
+    # v1-maintained rollup
+    got, why = RW.answer_aggregate(
+        spark, cat, src, ["grp"], AGGS, freshness="stale_ok", version=0
+    )
+    assert why["used"] == "base" and why["source_version"] == 0
+    assert any("ahead of the version pin" in s["reason"] for s in why["skipped"])
+    totals = {r.grp: r.total for r in got.collect()}
+    assert totals["g0"] < 1_000_000  # staged row absent
+    # unpinned stale_ok still serves it (rollup == current, fresh)
+    _, why2 = RW.answer_aggregate(
+        spark, cat, src, ["grp"], AGGS, freshness="stale_ok"
+    )
+    assert why2["used"] == "rollup"

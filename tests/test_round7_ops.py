@@ -282,3 +282,33 @@ def test_balance_activity_corr_moment_identities(spark):
     assert sum(r.sy for r in rows.values()) == n_orders  # Σy = orders
     for r in rows.values():
         assert -1_000_000 <= r.corr_e6 <= 1_000_000
+
+
+def test_events_type_share_drift_counts_appearing_and_vanishing_types(
+    spark, tmp_path
+):
+    """r7 code review: a full mix inversion (week w-1 all type A,
+    week w all type B) must read as MAXIMUM drift (20000 bp), not as
+    an absent row — the dense zero-filled grid guarantees it."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 4)  # within one epoch-week
+    for i in range(10):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, "A", 1.0, "{}"))
+    for i in range(10):
+        rows.append(
+            (100 + i, base + dt.timedelta(days=7, minutes=i), 1, "B", 1.0, "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    d = str(tmp_path / "lake")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = R.events_type_share_drift(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.l1_drift_bp == 20000  # |0-10000| + |10000-0|
+    assert r.n_types == 2 and r.n_events == 10
