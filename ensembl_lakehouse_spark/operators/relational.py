@@ -3853,3 +3853,157 @@ WHERE prev_week = week - 1
 GROUP BY week
 ORDER BY week
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: weekly value quantiles (operational latency drift)
+# ---------------------------------------------------------------------------
+
+def events_weekly_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-week exact p50/p95 of the event value with the
+    week-over-week p95 delta — the SLO drift report ops teams chart
+    before anything else (p95 creeping while p50 holds = tail
+    regression; both moving = load shift). quantile_summary is the
+    global per-flag twin; this is the time series.
+
+    Exactness: interpolated ``percentile`` and DuckDB
+    ``quantile_cont`` agree bit-for-bit (quantile_summary's
+    verified contract); the delta subtracts two such doubles — one
+    shared expression both engines evaluate identically.
+
+    Plan: one (week) exact-percentile agg — each week materializes
+    at one reducer (bounded groups; the sketch_quantile_sample
+    bottom-k is the 100 TB-wide-group swap) — then the lag window
+    rides the |weeks|-row relation.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    weekly = (
+        events.select(
+            F.expr(
+                "CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT)"
+            ).alias("week"),
+            "value",
+        )
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("percentile(value, 0.5)").alias("p50_value"),
+            F.expr("percentile(value, 0.95)").alias("p95_value"),
+        )
+    )
+    return (
+        weekly.withColumn(
+            "p95_delta",
+            F.expr("p95_value - lag(p95_value) OVER (ORDER BY week)"),
+        )
+        .select("week", "n_events", "p50_value", "p95_value", "p95_delta")
+        .orderBy("week")
+    )
+
+
+EVENTS_WEEKLY_QUANTILES_SQL = """
+WITH weekly AS (
+  SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         quantile_cont(value, 0.5) AS p50_value,
+         quantile_cont(value, 0.95) AS p95_value
+  FROM events GROUP BY 1
+)
+SELECT week, n_events, p50_value, p95_value,
+       p95_value - lag(p95_value) OVER (ORDER BY week) AS p95_delta
+FROM weekly
+ORDER BY week
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: signup→purchase conversion latency quartiles
+# ---------------------------------------------------------------------------
+
+def funnel_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user who signed up,
+    the delay to their FIRST purchase at or after that signup —
+    conversion rate plus exact p25/p50/p75 delay quartiles in one
+    row. events_funnel counts who converts; this measures HOW LONG
+    conversion takes, the number activation teams actually tune.
+
+    Exactness: delays are floor-epoch-second BIGINT differences;
+    the quartiles use the verified interpolated-percentile
+    contract; the conversion rate is an integer DIV.
+
+    Plan: ONE user_id window pass marks each user's first signup
+    second; the per-user first-qualifying-purchase agg reuses that
+    partitioning; the final 1-row summary aggregates |users| rows
+    (converted delays materialize at one reducer — bounded by
+    |users with a purchase|, the dim side).
+    """
+    events = load_table(spark, sf_dir, "events")
+    secs = events.select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("sec"),
+    )
+    marked = secs.withColumn(
+        "signup_sec",
+        F.expr(
+            "MIN(CASE WHEN event_type = 'signup' THEN sec END) "
+            "OVER (PARTITION BY user_id)"
+        ),
+    )
+    per_user = (
+        marked.where("signup_sec IS NOT NULL")
+        .groupBy("user_id")
+        .agg(
+            F.max("signup_sec").alias("signup_sec"),
+            F.min(
+                F.expr(
+                    "CASE WHEN event_type = 'purchase' AND sec >= signup_sec "
+                    "THEN sec END"
+                )
+            ).alias("purchase_sec"),
+        )
+        .withColumn("delay_s", F.expr("purchase_sec - signup_sec"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.count("delay_s").alias("n_converted"),
+        F.expr(
+            "(count(delay_s) * 10000) DIV count(1)"
+        ).alias("conv_bp"),
+        F.expr("percentile(delay_s, 0.25)").alias("p25_delay_s"),
+        F.expr("percentile(delay_s, 0.5)").alias("p50_delay_s"),
+        F.expr("percentile(delay_s, 0.75)").alias("p75_delay_s"),
+    )
+
+
+FUNNEL_LATENCY_QUARTILES_SQL = """
+WITH secs AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), marked AS (
+  SELECT user_id, event_type, sec,
+         MIN(CASE WHEN event_type = 'signup' THEN sec END)
+           OVER (PARTITION BY user_id) AS signup_sec
+  FROM secs
+), per_user AS (
+  SELECT user_id,
+         MAX(signup_sec) AS signup_sec,
+         MIN(CASE WHEN event_type = 'purchase' AND sec >= signup_sec
+                  THEN sec END) AS purchase_sec
+  FROM marked WHERE signup_sec IS NOT NULL
+  GROUP BY user_id
+), delays AS (
+  SELECT purchase_sec - signup_sec AS delay_s FROM per_user
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+       CAST(COUNT(delay_s) AS BIGINT) AS n_converted,
+       (CAST(COUNT(delay_s) AS BIGINT) * 10000)
+         // CAST(COUNT(*) AS BIGINT) AS conv_bp,
+       quantile_cont(delay_s, 0.25) AS p25_delay_s,
+       quantile_cont(delay_s, 0.5) AS p50_delay_s,
+       quantile_cont(delay_s, 0.75) AS p75_delay_s
+FROM delays
+"""

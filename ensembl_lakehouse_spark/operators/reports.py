@@ -2152,3 +2152,99 @@ FROM mom
 WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: price-volume-mix revenue bridge
+# ---------------------------------------------------------------------------
+
+def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FP&A revenue bridge: each year's revenue change
+    decomposed into a VOLUME effect (quantity change at last year's
+    realized unit price), a PRICE effect (this year's quantity at
+    the unit-price change), and an explicit RESIDUAL that makes the
+    identity exact — Δrev = volume + price + residual, enforced by
+    construction rather than approximated away (the residual IS the
+    price·volume interaction plus integer-DIV remainder, and
+    reporting it beats silently mis-attributing it). revenue_yoy
+    gives the headline growth; this says WHY.
+
+    Integer-exact: revenue in cents, quantities in units, realized
+    unit prices via integer DIV (cents per unit) — deterministic,
+    and the residual column absorbs every truncation by identity.
+
+    Plan: one partial agg to |years| rows; lag windows and the
+    decomposition ride the tiny relation (SinglePartition).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("year(l_shipdate)").alias("yr"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        F.expr(
+            "CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) "
+            "* 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    yearly = li.groupBy("yr").agg(
+        F.sum("qty").alias("qty"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    lagged = (
+        yearly.withColumn(
+            "prev_qty", F.expr("lag(qty) OVER (ORDER BY yr)")
+        )
+        .withColumn(
+            "prev_rev", F.expr("lag(rev_cents) OVER (ORDER BY yr)")
+        )
+        .where("prev_qty IS NOT NULL AND prev_qty > 0 AND qty > 0")
+    )
+    return (
+        lagged.withColumn("prev_unit", F.expr("prev_rev DIV prev_qty"))
+        .withColumn("unit", F.expr("rev_cents DIV qty"))
+        .withColumn(
+            "volume_effect", F.expr("(qty - prev_qty) * prev_unit")
+        )
+        .withColumn("price_effect", F.expr("qty * (unit - prev_unit)"))
+        .withColumn(
+            "residual",
+            F.expr(
+                "(rev_cents - prev_rev) "
+                "- (qty - prev_qty) * prev_unit - qty * (unit - prev_unit)"
+            ),
+        )
+        .select(
+            "yr", "qty", "rev_cents", "prev_rev",
+            "volume_effect", "price_effect", "residual",
+        )
+        .orderBy("yr")
+    )
+
+
+REVENUE_BRIDGE_SQL = """
+WITH yearly AS (
+  SELECT year(l_shipdate) AS yr,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(floor(l_extendedprice
+           * (CAST(1 AS DOUBLE) - l_discount)
+           * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY 1
+), lagged AS (
+  SELECT yr, qty, rev_cents,
+         lag(qty) OVER (ORDER BY yr) AS prev_qty,
+         lag(rev_cents) OVER (ORDER BY yr) AS prev_rev
+  FROM yearly
+), m AS (
+  SELECT yr, qty, rev_cents, prev_rev,
+         prev_rev // prev_qty AS prev_unit,
+         rev_cents // qty AS unit,
+         prev_qty
+  FROM lagged
+  WHERE prev_qty IS NOT NULL AND prev_qty > 0 AND qty > 0
+)
+SELECT yr, qty, rev_cents, prev_rev,
+       (qty - prev_qty) * prev_unit AS volume_effect,
+       qty * (unit - prev_unit) AS price_effect,
+       (rev_cents - prev_rev) - (qty - prev_qty) * prev_unit
+         - qty * (unit - prev_unit) AS residual
+FROM m
+ORDER BY yr
+"""

@@ -377,6 +377,12 @@ BUDGETS = {
     "min_price_supplier": 3,
     "supplier_count_by_part": 3,
     # ---- Round-7 additions ----
+    # one (week) exact-percentile agg; lag rides |weeks| rows
+    "events_weekly_quantiles": 1,
+    # ONE user window; per-user agg + 1-row summary reuse it
+    "funnel_latency_quartiles": 1,
+    # |years| agg; lag/decomposition ride SinglePartition
+    "revenue_bridge": 1,
     # sessionize's ONE user exchange (both windows + session agg
     # ride it) + |bands| agg
     "session_length_histogram": 2,

@@ -312,3 +312,44 @@ def test_events_type_share_drift_counts_appearing_and_vanishing_types(
     r = out[0]
     assert r.l1_drift_bp == 20000  # |0-10000| + |10000-0|
     assert r.n_types == 2 and r.n_events == 10
+
+
+# ---- batch 6: quantile drift, conversion latency, revenue bridge ----
+
+
+def test_events_weekly_quantiles_shape(spark):
+    rows = sorted(R.events_weekly_quantiles(spark, SF_DIR).collect(), key=lambda r: r.week)
+    assert rows
+    n_events = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'")
+    assert sum(r.n_events for r in rows) == n_events
+    assert rows[0].p95_delta is None  # first week has no prior
+    for r in rows:
+        assert r.p50_value <= r.p95_value
+    for a, b in zip(rows, rows[1:]):
+        assert b.p95_delta == b.p95_value - a.p95_value
+
+
+def test_funnel_latency_quartiles_identities(spark):
+    r = R.funnel_latency_quartiles(spark, SF_DIR).collect()[0]
+    assert 0 < r.n_converted <= r.n_signup_users
+    assert r.conv_bp == r.n_converted * 10000 // r.n_signup_users
+    assert 0 <= r.p25_delay_s <= r.p50_delay_s <= r.p75_delay_s
+    n_signup_users = _scalar(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet' "
+        "WHERE event_type = 'signup'"
+    )
+    assert r.n_signup_users == n_signup_users
+
+
+def test_revenue_bridge_identity_is_exact(spark):
+    rows = sorted(RP.revenue_bridge(spark, SF_DIR).collect(), key=lambda r: r.yr)
+    assert rows
+    for r in rows:
+        # the decomposition identity holds EXACTLY by construction
+        assert (
+            r.volume_effect + r.price_effect + r.residual
+            == r.rev_cents - r.prev_rev
+        )
+        # residual is the interaction + truncation term: small
+        # relative to revenue
+        assert abs(r.residual) < max(abs(r.rev_cents), abs(r.prev_rev))
