@@ -1525,6 +1525,55 @@ def compact(
     )
 
 
+def compaction_plan(
+    table_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    version: int | None = None,
+) -> dict:
+    """DRY-RUN of ``compact``: which of the current (or pinned)
+    version's files sit below ``target_bytes`` and what a compaction
+    would buy — the auto-OPTIMIZE scheduling input (Delta's
+    OPTIMIZE file-selection heuristic as a report). A
+    streaming/merge-heavy table accretes small files whose per-file
+    overhead (footer reads, task scheduling, stats entries)
+    dominates at scale; this report is what a maintenance daemon
+    polls to decide WHEN a table has drifted enough to pay the
+    rewrite, without running any Spark job — pure manifest + stat
+    arithmetic, like ``vacuum_plan``.
+
+    Returns n_files/small_files/small_bytes/total_bytes, the
+    estimated file count after compacting just the small set
+    (ceil(small_bytes / target_bytes), min 1), and
+    ``worth_compacting`` — True when at least two small files exist
+    and the estimated merge shrinks the count (the trivial gate a
+    scheduler needs; callers wanting smarter policies have every
+    input in the dict)."""
+    v = version if version is not None else current_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = _read_manifest(table_dir, v)
+    sizes: dict[str, int] = {}
+    for rel in manifest["files"]:
+        try:
+            sizes[rel] = os.path.getsize(os.path.join(table_dir, rel))
+        except OSError:
+            sizes[rel] = 0
+    small = {rel: b for rel, b in sizes.items() if b < target_bytes}
+    small_bytes = sum(small.values())
+    est_after = max(1, -(-small_bytes // target_bytes)) if small else 0
+    return {
+        "version": v,
+        "target_bytes": target_bytes,
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes.values()),
+        "small_files": sorted(small),
+        "small_bytes": small_bytes,
+        "est_files_after": est_after + (len(sizes) - len(small)),
+        "worth_compacting": len(small) >= 2
+        and est_after < len(small),
+    }
+
+
 def _published_path(table_dir: str) -> str:
     return os.path.join(table_dir, "_published")
 

@@ -1409,3 +1409,25 @@ def test_snapshot_diff_across_drop_and_rename_is_loud(spark, tdir):
     assert changes2 == {1: "update", 2: "update"}
     r1 = diff2.where(F.col("k") == 1).select("_row.*").collect()[0]
     assert r1.label == "a" and r1.name is None
+
+
+def test_compaction_plan_reports_small_files_without_a_job(spark, tdir):
+    """r7: the auto-OPTIMIZE scheduling input — pure manifest+stat
+    arithmetic (no Spark job), consistent with what compact() then
+    actually does."""
+    df = spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    S.write_snapshot(tdir, df.repartition(8))  # 8 small files
+    plan = S.compaction_plan(tdir, target_bytes=1024 * 1024)
+    assert plan["n_files"] == 8 and len(plan["small_files"]) == 8
+    assert plan["worth_compacting"] is True
+    assert plan["est_files_after"] == 1
+    assert plan["small_bytes"] == plan["total_bytes"] > 0
+
+    S.compact(spark, tdir, target_files=1)
+    plan2 = S.compaction_plan(tdir)
+    assert plan2["n_files"] == 1
+    assert plan2["worth_compacting"] is False
+    # the pre-compact version stays inspectable under time travel
+    assert S.compaction_plan(tdir, version=0)["n_files"] == 8
+    # huge target: everything is "small" but merging 1 file buys nothing
+    assert S.compaction_plan(tdir)["est_files_after"] == 1
