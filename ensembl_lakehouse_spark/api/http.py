@@ -174,6 +174,21 @@ def make_handler(engine: Engine):
                     self._detail(400, "keep_versions must be an integer")
                     return
                 self._send(200, engine.table_retention_report(parts[1], keep))
+            elif len(parts) == 3 and parts[0] == "table" and parts[2] == "maintenance":
+                # EXT: read-only ops dashboard — compaction + vacuum
+                # dry-runs, rowcount, pointers; zero Spark jobs
+                try:
+                    tb = int(q.get("target_bytes", str(128 * 1024 * 1024)))
+                    keep = int(q.get("keep_versions", "2"))
+                except ValueError:
+                    self._detail(
+                        400, "target_bytes/keep_versions must be integers"
+                    )
+                    return
+                self._send(
+                    200,
+                    engine.table_maintenance_report(parts[1], tb, keep),
+                )
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "aggregate":
                 # EXT: MV-rewrite aggregate — answered from a fresh
                 # registered rollup when derivable, else base scan;

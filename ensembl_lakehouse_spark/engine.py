@@ -404,6 +404,40 @@ class Engine:
             raise QueryValidationError("keep_versions must be >= 1")
         return _SN.vacuum_plan(self._snapshot_tables[name], keep_versions)
 
+    def table_maintenance_report(
+        self,
+        name: str,
+        target_bytes: int = 128 * 1024 * 1024,
+        keep_versions: int = 2,
+    ) -> dict:
+        """The ops dashboard for one registered table in one call:
+        small-file compaction dry-run (``compaction_plan``), vacuum
+        dry-run (``vacuum_plan``), the metadata rowcount, and the
+        version pointers — everything a maintenance daemon polls to
+        decide whether to OPTIMIZE or VACUUM, with zero Spark jobs
+        (pure manifest + stat arithmetic). Read-only; the actual
+        compact/vacuum verbs stay operator-side like registration.
+        """
+        from ensembl_lakehouse_spark import snapshots as _SN
+
+        if name not in self._snapshot_tables:
+            raise QueryValidationError(
+                f"unknown table {name!r}; see /table for names"
+            )
+        if not isinstance(target_bytes, int) or target_bytes < 1:
+            raise QueryValidationError("target_bytes must be >= 1")
+        if not isinstance(keep_versions, int) or keep_versions < 1:
+            raise QueryValidationError("keep_versions must be >= 1")
+        d = self._snapshot_tables[name]
+        return {
+            "name": name,
+            "current_version": _SN.current_version(d),
+            "published_version": _SN.published_version(d),
+            "rowcount": _SN.table_rowcount(d),
+            "compaction": _SN.compaction_plan(d, target_bytes),
+            "vacuum": _SN.vacuum_plan(d, keep_versions),
+        }
+
     def submit_table_changes(
         self,
         name: str,

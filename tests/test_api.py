@@ -924,3 +924,39 @@ def test_medallion_chain_over_http(server, spark, tmp_path_factory):
     }
     by2, rows2 = agg()
     assert by2 == "medal_by_type" and rows2 == truth_all
+
+
+def test_table_maintenance_over_http(server, spark, tmp_path_factory):
+    """r7: the read-only ops dashboard — compaction + vacuum
+    dry-runs, rowcount, pointers in one zero-Spark-job call."""
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    tdir = str(tmp_path_factory.mktemp("maint_http") / "tbl")
+    df = spark.range(0, 200).selectExpr("id AS k")
+    SN.write_snapshot(tdir, df.repartition(4))
+    server.engine.register_snapshot_table("maint_tbl", tdir)
+
+    status, _, resp = _get(server, "/table/maint_tbl/maintenance")
+    assert status == 200, resp
+    assert resp["rowcount"] == 200 and resp["current_version"] == 0
+    assert resp["compaction"]["n_files"] == 4
+    assert resp["compaction"]["worth_compacting"] is True
+    assert resp["vacuum"]["drop_dirs"] == []
+
+    # after compaction the report flips; the old version shows in
+    # the vacuum dry-run once it falls out of the keep window
+    SN.compact(spark, tdir, target_files=1)
+    status, _, resp2 = _get(
+        server, "/table/maint_tbl/maintenance?keep_versions=1"
+    )
+    assert status == 200
+    assert resp2["compaction"]["n_files"] == 1
+    assert resp2["compaction"]["worth_compacting"] is False
+    assert resp2["vacuum"]["drop_dirs"]  # v0's dir now reclaimable
+    assert resp2["rowcount"] == 200
+
+    # fail-closed validation
+    assert _get(server, "/table/nope/maintenance")[0] == 400
+    assert _get(
+        server, "/table/maint_tbl/maintenance?target_bytes=abc"
+    )[0] == 400
