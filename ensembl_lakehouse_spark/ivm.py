@@ -220,3 +220,145 @@ def maintain_rollup(
         expect_version=rollup_v,
     )
     return {"applied": src_v, "mode": "delta"}
+
+
+def maintain_rollup_from_rollup(
+    spark: SparkSession,
+    parent_dir: str,
+    child_dir: str,
+    key_exprs: dict[str, str],
+    rebuild: bool = False,
+) -> dict:
+    """Hierarchical IVM: keep a COARSER rollup in sync with a
+    maintained PARENT rollup — the classic rollup lattice (events →
+    daily → weekly → monthly) where each level consumes the level
+    below's CDC feed instead of ever touching the base table. At
+    100 TB the weekly view then costs O(changed daily groups) per
+    tick, which is itself O(changed base rows) — the lattice
+    multiplies the delta advantage instead of re-paying the scan
+    per level.
+
+    ``key_exprs`` maps each child group column to a SQL expression
+    over the PARENT's columns (e.g. ``{"week": "day DIV 7",
+    "event_type": "event_type"}``). Child measures are the
+    sign-weighted sums of the parent's (n_rows, sum_val) partials —
+    COUNT/SUM are what make this exact (the same self-maintainable
+    set as maintain_rollup; a parent row UPDATE arrives as
+    delete(old)+insert(new) in the full-row diff, so the weighted
+    sum applies the net change, including a group tombstoning to
+    zero).
+
+    Same protocol as maintain_rollup: stamped ``ivm:src_v{V}`` with
+    the PARENT version (replay = no-op; rollback-safe via log
+    order), OCC-fenced merges, vacuumed-parent-history falls back
+    to a rebuild with vanished-group tombstones. ``read_rollup``
+    reads the child unchanged.
+
+    Freshness composition is the caller's contract: the child is
+    fresh w.r.t. the BASE table only when this tick ran after the
+    parent's own maintain_rollup tick for the base commit — run the
+    chain bottom-up per batch (streaming/ivm_stream.py's tick shape).
+    The MV-rewrite catalog does not yet chase transitive freshness,
+    so register child views against the PARENT, not the base.
+    """
+    src_v = SN.current_version(parent_dir)
+    if src_v is None:
+        raise FileNotFoundError(f"no committed snapshot in {parent_dir}")
+    if not key_exprs:
+        raise ValueError("key_exprs must map at least one child column")
+    stamp = _STAMP.format(v=src_v)
+    applied = _applied_versions(child_dir)
+    child_v = SN.current_version(child_dir)
+    if not rebuild and applied and applied[-1] == src_v:
+        return {"applied": None, "mode": "noop"}
+    child_cols = list(key_exprs)
+
+    def _keys(df):
+        return [F.expr(e).alias(c) for c, e in key_exprs.items()]
+
+    def _reject_null_groups(df):
+        null_pred = None
+        for c in child_cols:
+            p = F.col(c).isNull()
+            null_pred = p if null_pred is None else (null_pred | p)
+        if df.where(null_pred).head(1):  # bounded: grouped relation
+            raise ValueError(
+                f"NULL in child group column(s) {child_cols}: IVM group "
+                "keys must be non-NULL — filter or coalesce the parent "
+                "keys in key_exprs"
+            )
+
+    def _full_agg(version: int):
+        parent = read_rollup(spark, parent_dir, version=version)
+        return (
+            parent.select(*_keys(parent), "n_rows", "sum_val")
+            .groupBy(*child_cols)
+            .agg(
+                F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"),
+                F.coalesce(F.sum("sum_val"), F.lit(0)).alias("sum_val"),
+            )
+        )
+
+    if not applied:
+        full = _full_agg(src_v)
+        _reject_null_groups(full)
+        SN.merge_snapshot(
+            spark, child_dir, full, key=child_cols, op=stamp,
+            expect_version=child_v,
+        )
+        return {"applied": src_v, "mode": "full"}
+
+    def _rebuild():
+        full = _full_agg(src_v)
+        _reject_null_groups(full)
+        current = SN.read_snapshot(spark, child_dir)
+        gone = current.join(full, on=child_cols, how="left_anti").select(
+            *child_cols,
+            F.lit(0).cast("bigint").alias("n_rows"),
+            F.lit(0).cast("bigint").alias("sum_val"),
+        )
+        SN.merge_snapshot(
+            spark, child_dir, full.unionByName(gone), key=child_cols,
+            op=stamp, expect_version=child_v,
+        )
+        return {"applied": src_v, "mode": "rebuild"}
+
+    if rebuild:
+        return _rebuild()
+    last = applied[-1]
+    try:
+        diff = SN.snapshot_diff(spark, parent_dir, last, src_v)
+    except FileNotFoundError:
+        return _rebuild()
+
+    sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = (
+        diff.select(*_keys(diff), "n_rows", "sum_val", "_change")
+        .groupBy(*child_cols)
+        .agg(
+            F.coalesce(F.sum(sign * F.col("n_rows")), F.lit(0)).alias(
+                "d_rows"
+            ),
+            F.coalesce(F.sum(sign * F.col("sum_val")), F.lit(0)).alias(
+                "d_sum"
+            ),
+        )
+    )
+    _reject_null_groups(delta)
+    current = SN.read_snapshot(spark, child_dir)
+    updated = delta.join(current, on=child_cols, how="left").select(
+        *child_cols,
+        (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")).alias(
+            "n_rows"
+        ),
+        (F.coalesce(F.col("sum_val"), F.lit(0)) + F.col("d_sum")).alias(
+            "sum_val"
+        ),
+    )
+    SN.merge_snapshot(
+        spark, child_dir, updated, key=child_cols, op=stamp,
+        expect_version=child_v,
+    )
+    return {"applied": src_v, "mode": "delta"}

@@ -217,3 +217,119 @@ def test_rollup_rollback_requires_explicit_rebuild(spark, tmp_path):
     assert out["mode"] == "rebuild"
     assert _view(spark, rol) == _recompute(spark, src)
     assert ivm.maintain_rollup(spark, src, rol, ["grp"], "val")["mode"] == "noop"
+
+
+# ---- round 7: hierarchical rollups (rollup over rollup) ----
+
+
+def _weekly_truth(spark, src):
+    from pyspark.sql import functions as F
+
+    return {
+        (r.week, r.t): (r.n, r.s)
+        for r in SN.read_snapshot(spark, src)
+        .groupBy(
+            F.expr("day DIV 7").alias("week"), F.col("t").alias("t")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("bigint")).alias("s"),
+        )
+        .collect()
+    }
+
+
+def _child_view(spark, child):
+    return {
+        (r.week, r.t): (r.n_rows, r.sum_val)
+        for r in ivm.read_rollup(spark, child).collect()
+    }
+
+
+def test_hierarchical_rollup_matches_base_and_applies_deltas(spark, tmp_path):
+    src = str(tmp_path / "src")
+    daily = str(tmp_path / "daily")
+    weekly = str(tmp_path / "weekly")
+    rows = [(i, i % 14, f"t{i % 3}", i) for i in range(120)]
+    SN.write_snapshot(
+        src, spark.createDataFrame(rows, ["k", "day", "t", "v"])
+    )
+    ivm.maintain_rollup(spark, src, daily, ["day", "t"], "v")
+    out = ivm.maintain_rollup_from_rollup(
+        spark, daily, weekly, {"week": "day DIV 7", "t": "t"}
+    )
+    assert out["mode"] == "full"
+    assert _child_view(spark, weekly) == _weekly_truth(spark, src)
+
+    # base change flows source→daily→weekly as DELTAS at both hops
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame(
+            [(1000, 13, "t0", 500), (0, 0, "t0", 999)], ["k", "day", "t", "v"]
+        ),
+        key="k",
+    )
+    assert ivm.maintain_rollup(spark, src, daily, ["day", "t"], "v")[
+        "mode"
+    ] == "delta"
+    out2 = ivm.maintain_rollup_from_rollup(
+        spark, daily, weekly, {"week": "day DIV 7", "t": "t"}
+    )
+    assert out2["mode"] == "delta"
+    assert _child_view(spark, weekly) == _weekly_truth(spark, src)
+
+    # replayed tick is a no-op at the child hop too
+    assert ivm.maintain_rollup_from_rollup(
+        spark, daily, weekly, {"week": "day DIV 7", "t": "t"}
+    )["mode"] == "noop"
+
+
+def test_hierarchical_rollup_tombstones_vanished_weeks(spark, tmp_path):
+    src = str(tmp_path / "src")
+    daily = str(tmp_path / "daily")
+    weekly = str(tmp_path / "weekly")
+    rows = [(i, i % 14, "a", 1) for i in range(28)]
+    SN.write_snapshot(
+        src, spark.createDataFrame(rows, ["k", "day", "t", "v"])
+    )
+    ivm.maintain_rollup(spark, src, daily, ["day", "t"], "v")
+    ivm.maintain_rollup_from_rollup(
+        spark, daily, weekly, {"week": "day DIV 7", "t": "t"}
+    )
+    assert {k[0] for k in _child_view(spark, weekly)} == {0, 1}
+
+    # delete week 1 entirely at the base; deltas drive the child
+    # group to zero and read_rollup filters the tombstone
+    SN.delete_snapshot(spark, src, where="day >= 7")
+    ivm.maintain_rollup(spark, src, daily, ["day", "t"], "v")
+    out = ivm.maintain_rollup_from_rollup(
+        spark, daily, weekly, {"week": "day DIV 7", "t": "t"}
+    )
+    assert out["mode"] == "delta"
+    view = _child_view(spark, weekly)
+    assert {k[0] for k in view} == {0}
+    assert view == _weekly_truth(spark, src)
+    # the tombstone row physically exists at zero
+    raw = {
+        (r.week, r.t): r.n_rows
+        for r in SN.read_snapshot(spark, weekly).collect()
+    }
+    assert raw[(1, "a")] == 0
+
+
+def test_hierarchical_rollup_rejects_null_child_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    daily = str(tmp_path / "daily")
+    weekly = str(tmp_path / "weekly")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame([(1, 3, "a", 1)], ["k", "day", "t", "v"]),
+    )
+    ivm.maintain_rollup(spark, src, daily, ["day", "t"], "v")
+    with _pytest.raises(ValueError, match="non-NULL"):
+        ivm.maintain_rollup_from_rollup(
+            spark, daily, weekly,
+            {"week": "CASE WHEN day > 99 THEN day END", "t": "t"},
+        )
