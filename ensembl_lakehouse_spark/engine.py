@@ -571,12 +571,15 @@ class Engine:
         rollup_dir: str,
         group_cols: list[str],
         sum_col: str,
+        parent_dir: str | None = None,
     ) -> None:
         """Register a maintained rollup (ivm.maintain_rollup output)
         as a materialized view over a REGISTERED snapshot table, so
         /table/{name}/aggregate can rewrite matching aggregates to
-        it (plans/rewrite.py). Operator-side only, like table
-        registration."""
+        it (plans/rewrite.py). ``parent_dir`` marks a hierarchical
+        child (ivm.maintain_rollup_from_rollup) whose freshness
+        composes through that parent rollup. Operator-side only,
+        like table registration."""
         if table_name not in self._snapshot_tables:
             raise QueryValidationError(
                 f"unknown table {table_name!r}; register it first"
@@ -587,6 +590,7 @@ class Engine:
             self._snapshot_tables[table_name],
             group_cols,
             sum_col,
+            parent_dir=parent_dir,
         )
 
     def submit_table_aggregate(

@@ -54,13 +54,21 @@ DERIVABLE = ("count", "sum", "avg")
 
 @dataclass(frozen=True)
 class RollupSpec:
-    """A registered rollup: where it lives, what it maintains."""
+    """A registered rollup: where it lives, what it maintains.
+
+    ``parent_dir`` marks a HIERARCHICAL child view
+    (ivm.maintain_rollup_from_rollup): its keys must be a subset of
+    the base table's columns carried through identity key_exprs,
+    and its freshness w.r.t. the base composes through the parent —
+    child applied == parent current AND parent applied == the base
+    pin (checked at answer time, pinned-at-plan)."""
 
     name: str
     rollup_dir: str
     source_dir: str
     group_cols: tuple[str, ...]
     sum_col: str
+    parent_dir: str | None = None
 
 
 class RollupCatalog:
@@ -78,6 +86,7 @@ class RollupCatalog:
         source_dir: str,
         group_cols: list[str],
         sum_col: str,
+        parent_dir: str | None = None,
     ) -> RollupSpec:
         spec = RollupSpec(
             name=name,
@@ -85,6 +94,9 @@ class RollupCatalog:
             source_dir=os.path.abspath(source_dir),
             group_cols=tuple(group_cols),
             sum_col=sum_col,
+            parent_dir=(
+                os.path.abspath(parent_dir) if parent_dir else None
+            ),
         )
         self._specs[name] = spec
         return spec
@@ -104,6 +116,36 @@ class RollupCatalog:
 def _last_applied(spec: RollupSpec) -> int | None:
     applied = ivm._applied_versions(spec.rollup_dir)
     return applied[-1] if applied else None
+
+
+def _chain_freshness(spec: RollupSpec, src_v: int | None) -> str | None:
+    """None when the spec is exactly fresh w.r.t. the base pin;
+    'stale' when it lags; 'ahead' when any hop has applied PAST the
+    pin (staged data — never servable, even under stale_ok).
+
+    For a direct rollup the applied versions ARE base versions. For
+    a hierarchical child they are PARENT versions, so freshness
+    composes: parent applied == base pin AND child applied ==
+    parent current (parent version resolved once — pin-at-plan)."""
+    last = _last_applied(spec)
+    if last is None:
+        return "never"
+    if spec.parent_dir is None:
+        if last == src_v:
+            return None
+        return "ahead" if (src_v is not None and last > src_v) else "stale"
+    parent_applied = ivm._applied_versions(spec.parent_dir)
+    p_last = parent_applied[-1] if parent_applied else None
+    if p_last is None:
+        return "never"
+    if src_v is not None and p_last > src_v:
+        return "ahead"
+    parent_v = SN.current_version(spec.parent_dir)
+    if last > (parent_v if parent_v is not None else -1):
+        return "ahead"
+    if p_last == src_v and last == parent_v:
+        return None
+    return "stale"
 
 
 def _can_answer(
@@ -289,29 +331,35 @@ def answer_aggregate(
         if reason is not None:
             skipped.append({"rollup": spec.name, "reason": reason})
             continue
-        last = _last_applied(spec)
-        if freshness == "strict" and last != src_v:
+        state = _chain_freshness(spec, src_v)
+        if state == "never":
             skipped.append(
-                {
-                    "rollup": spec.name,
-                    "reason": "stale (last applied != source pin)",
-                }
+                {"rollup": spec.name, "reason": "never applied"}
             )
             continue
         # stale_ok opts into OLDER data, never NEWER-than-the-pin
         # data: with the source pinned at its published version, a
-        # rollup maintained past the pin holds staged un-audited
-        # rows — serving it would leak them through the aggregate
-        # surface (r7 code-review finding). Behind-or-at the pin is
-        # the only eligible stale state.
-        if freshness == "stale_ok" and (last is None or last > src_v):
+        # rollup (or any hop of a hierarchical chain) maintained
+        # past the pin holds staged un-audited rows — serving it
+        # would leak them through the aggregate surface (r7
+        # code-review finding). Behind-or-at the pin is the only
+        # eligible stale state.
+        if state == "ahead":
             skipped.append(
                 {
                     "rollup": spec.name,
                     "reason": (
                         "ahead of the version pin (staged rows would "
-                        "leak)" if last is not None else "never applied"
+                        "leak)"
                     ),
+                }
+            )
+            continue
+        if freshness == "strict" and state is not None:
+            skipped.append(
+                {
+                    "rollup": spec.name,
+                    "reason": "stale (chain not applied to source pin)",
                 }
             )
             continue

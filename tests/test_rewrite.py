@@ -292,3 +292,75 @@ def test_stale_ok_never_serves_rollup_ahead_of_pin(spark, fixture):
         spark, cat, src, ["grp"], AGGS, freshness="stale_ok"
     )
     assert why2["used"] == "rollup"
+
+
+def test_hierarchical_child_answers_with_transitive_freshness(spark, tmp_path):
+    """r7: a child rollup (weekly-from-daily lattice with identity
+    keys) registered against the BASE answers when BOTH hops are
+    applied to the base pin, wins the cheapest-cost pick over its
+    parent, and falls back the moment either hop lags."""
+    src = str(tmp_path / "src")
+    daily = str(tmp_path / "daily")
+    by_t = str(tmp_path / "by_t")
+    rows = [(i, i % 14, f"t{i % 3}", i) for i in range(90)]
+    SN.write_snapshot(
+        src, spark.createDataFrame(rows, ["k", "day", "t", "v"])
+    )
+    ivm.maintain_rollup(spark, src, daily, ["day", "t"], "v")
+    ivm.maintain_rollup_from_rollup(spark, daily, by_t, {"t": "t"})
+    cat = RW.RollupCatalog()
+    cat.register("daily", daily, src, ["day", "t"], "v")
+    cat.register("by_t", by_t, src, ["t"], "v", parent_dir=daily)
+
+    aggs = {"n": ("count", ""), "total": ("sum", "v")}
+    got, why = RW.answer_aggregate(spark, cat, src, ["t"], aggs)
+    assert why["used"] == "rollup" and why["rollup"] == "by_t"
+    assert any("costlier" in s["reason"] for s in why["skipped"])
+    empty = RW.RollupCatalog()
+    want, _ = RW.answer_aggregate(spark, empty, src, ["t"], aggs)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # base commit: parent ticks, child does NOT → child chain stale,
+    # parent (fresh) answers
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(900, 1, "t0", 50)], ["k", "day", "t", "v"]),
+        key="k",
+    )
+    ivm.maintain_rollup(spark, src, daily, ["day", "t"], "v")
+    got2, why2 = RW.answer_aggregate(spark, cat, src, ["t"], aggs)
+    assert why2["used"] == "rollup" and why2["rollup"] == "daily"
+    assert any(
+        s["rollup"] == "by_t" and s["reason"].startswith("stale")
+        for s in why2["skipped"]
+    )
+
+    # child catches up → child answers again, still exact
+    ivm.maintain_rollup_from_rollup(spark, daily, by_t, {"t": "t"})
+    got3, why3 = RW.answer_aggregate(spark, cat, src, ["t"], aggs)
+    assert why3["rollup"] == "by_t"
+    want3, _ = RW.answer_aggregate(spark, empty, src, ["t"], aggs)
+    assert sorted(map(tuple, got3.collect())) == sorted(
+        map(tuple, want3.collect())
+    )
+
+    # staged-past-the-pin at the PARENT hop blocks the child even
+    # under stale_ok (the chain 'ahead' rule)
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(901, 2, "t1", 9)], ["k", "day", "t", "v"]),
+        key="k",
+    )  # src v2 (staged w.r.t. a v1 pin)
+    ivm.maintain_rollup(spark, src, daily, ["day", "t"], "v")
+    ivm.maintain_rollup_from_rollup(spark, daily, by_t, {"t": "t"})
+    _, why4 = RW.answer_aggregate(
+        spark, cat, src, ["t"], aggs, freshness="stale_ok", version=1
+    )
+    assert why4["used"] == "base"
+    assert all(
+        "ahead of the version pin" in s["reason"]
+        for s in why4["skipped"]
+        if s["rollup"] in ("daily", "by_t")
+    )
