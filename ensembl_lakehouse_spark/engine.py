@@ -412,22 +412,28 @@ class Engine:
     ) -> dict:
         """The ops dashboard for one registered table in one call:
         small-file compaction dry-run (``compaction_plan``), vacuum
-        dry-run (``vacuum_plan``), the metadata rowcount, and the
+        dry-run (composed from ``table_retention_report`` so the two
+        endpoints cannot drift), the metadata rowcount, and the
         version pointers — everything a maintenance daemon polls to
         decide whether to OPTIMIZE or VACUUM, with zero Spark jobs
-        (pure manifest + stat arithmetic). Read-only; the actual
-        compact/vacuum verbs stay operator-side like registration.
-        """
+        (pure manifest + stat arithmetic). The actual compact/vacuum
+        verbs stay operator-side like registration.
+
+        This is an OPERATOR surface over the CURRENT physical state
+        — like ``/table/{name}/changes`` and unlike the consumer
+        read paths (snap_ views, /aggregate), it intentionally
+        reports staged/unpublished versions, because maintenance
+        acts on physical files regardless of the publish pointer
+        (rowcount here is current-version too, by the same
+        contract — consumers read counts through /aggregate, which
+        pins published)."""
         from ensembl_lakehouse_spark import snapshots as _SN
 
-        if name not in self._snapshot_tables:
-            raise QueryValidationError(
-                f"unknown table {name!r}; see /table for names"
-            )
         if not isinstance(target_bytes, int) or target_bytes < 1:
             raise QueryValidationError("target_bytes must be >= 1")
-        if not isinstance(keep_versions, int) or keep_versions < 1:
-            raise QueryValidationError("keep_versions must be >= 1")
+        # unknown-table + keep_versions validation live in the
+        # composed retention report — one checked path, no drift
+        vacuum = self.table_retention_report(name, keep_versions)
         d = self._snapshot_tables[name]
         return {
             "name": name,
@@ -435,7 +441,7 @@ class Engine:
             "published_version": _SN.published_version(d),
             "rowcount": _SN.table_rowcount(d),
             "compaction": _SN.compaction_plan(d, target_bytes),
-            "vacuum": _SN.vacuum_plan(d, keep_versions),
+            "vacuum": vacuum,
         }
 
     def submit_table_changes(

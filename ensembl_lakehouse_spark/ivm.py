@@ -45,6 +45,8 @@ Constraints and failure windows, stated plainly:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ensembl_lakehouse_spark import snapshots as SN
@@ -81,6 +83,126 @@ def read_rollup(
     )
 
 
+def rollup_lineage(rollup_dir: str) -> str | None:
+    """Absolute path of the PARENT rollup this dir is maintained
+    from (``maintain_rollup_from_rollup`` stamps it), or None for a
+    direct base-fed rollup. The marker is what lets freshness
+    checks walk a hierarchy of ANY depth without guessing which
+    version space a ``ivm:src_v{N}`` stamp lives in — a child's
+    stamps are PARENT versions, a root's are base versions, and the
+    two are indistinguishable from the stamp text alone."""
+    import json as _json
+
+    try:
+        with open(os.path.join(rollup_dir, "_lineage")) as f:
+            return _json.load(f)["parent"]
+    except (FileNotFoundError, KeyError, ValueError):
+        return None
+
+
+def _write_lineage(rollup_dir: str, parent_dir: str) -> None:
+    import json as _json
+    import uuid as _uuid
+
+    os.makedirs(rollup_dir, exist_ok=True)
+    path = os.path.join(rollup_dir, "_lineage")
+    tmp = path + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        _json.dump({"parent": parent_dir}, f)
+    os.replace(tmp, path)
+
+
+def _reject_null_group_keys(df, cols: list[str], hint: str) -> None:
+    null_pred = None
+    for c in cols:
+        p = F.col(c).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    if df.where(null_pred).head(1):  # bounded: grouped relation
+        raise ValueError(
+            f"NULL in group column(s) {cols}: IVM group keys must be "
+            f"non-NULL (NULL never equi-joins, so the NULL group would "
+            f"duplicate) — {hint}"
+        )
+
+
+def _tick(
+    spark: SparkSession,
+    target_dir: str,
+    key_cols: list[str],
+    src_v: int,
+    rebuild: bool,
+    full_fn,
+    delta_fn,
+    null_hint: str,
+) -> dict:
+    """The shared maintenance protocol both maintainers run: stamp/
+    noop/OCC-fence/full/rebuild-with-tombstones/delta-join-merge.
+    ``full_fn()`` returns the complete (keys..., n_rows, sum_val)
+    state; ``delta_fn(last_applied)`` returns per-group
+    (keys..., d_rows, d_sum) or raises FileNotFoundError when the
+    source history needed for the delta is gone (→ rebuild). One
+    copy of the protocol means the next protocol fix lands once
+    (r7 code review)."""
+    stamp = _STAMP.format(v=src_v)
+    applied = _applied_versions(target_dir)
+    # OCC fence captured at PLAN time: a racing tick that commits
+    # first moves the target version, and this tick's merge then
+    # raises SnapshotConflict instead of double-applying its delta.
+    target_v = SN.current_version(target_dir)
+    if not rebuild and applied and applied[-1] == src_v:
+        return {"applied": None, "mode": "noop"}
+
+    if not applied:
+        full = full_fn()
+        _reject_null_group_keys(full, key_cols, null_hint)
+        SN.merge_snapshot(
+            spark, target_dir, full, key=key_cols, op=stamp,
+            expect_version=target_v,
+        )
+        return {"applied": src_v, "mode": "full"}
+
+    def _rebuild():
+        # delta unusable (vacuumed source history, or an explicit
+        # rebuild after a target rollback): recompute the full
+        # state, tombstoning groups that vanished entirely
+        full = full_fn()
+        _reject_null_group_keys(full, key_cols, null_hint)
+        current = SN.read_snapshot(spark, target_dir)
+        gone = current.join(full, on=key_cols, how="left_anti").select(
+            *key_cols,
+            F.lit(0).cast("bigint").alias("n_rows"),
+            F.lit(0).cast("bigint").alias("sum_val"),
+        )
+        SN.merge_snapshot(
+            spark, target_dir, full.unionByName(gone), key=key_cols,
+            op=stamp, expect_version=target_v,
+        )
+        return {"applied": src_v, "mode": "rebuild"}
+
+    if rebuild:
+        return _rebuild()
+    try:
+        delta = delta_fn(applied[-1])
+    except FileNotFoundError:
+        return _rebuild()
+    _reject_null_group_keys(delta, key_cols, null_hint)
+    current = SN.read_snapshot(spark, target_dir)
+    updated = delta.join(current, on=key_cols, how="left").select(
+        *key_cols,
+        (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")).alias(
+            "n_rows"
+        ),
+        (F.coalesce(F.col("sum_val"), F.lit(0)) + F.col("d_sum")).alias(
+            "sum_val"
+        ),
+    )
+    SN.merge_snapshot(
+        spark, target_dir, updated, key=key_cols, op=stamp,
+        expect_version=target_v,
+    )
+    return {"applied": src_v, "mode": "delta"}
+
+
 def maintain_rollup(
     spark: SparkSession,
     source_dir: str,
@@ -115,21 +237,20 @@ def maintain_rollup(
     src_v = SN.current_version(source_dir)
     if src_v is None:
         raise FileNotFoundError(f"no committed snapshot in {source_dir}")
-    stamp = _STAMP.format(v=src_v)
-    applied = _applied_versions(rollup_dir)
-    # OCC fence captured at PLAN time: a racing tick that commits
-    # first moves the rollup version, and this tick's merge then
-    # raises SnapshotConflict instead of double-applying its delta.
-    rollup_v = SN.current_version(rollup_dir)
-    if not rebuild and applied and applied[-1] == src_v:
-        return {"applied": None, "mode": "noop"}
+    if rollup_lineage(rollup_dir) is not None:
+        raise ValueError(
+            f"{rollup_dir} is lineage-marked as a hierarchical child "
+            "(maintain_rollup_from_rollup) — its stamps are PARENT "
+            "versions; maintaining it directly from a base table "
+            "would mix version spaces"
+        )
 
-    def _full_agg(version: int):
+    def full_fn():
         # version pinned: a source commit landing mid-run must not
         # be aggregated under the earlier stamp (it would be
         # re-applied by the next delta — double count)
         return (
-            SN.read_snapshot(spark, source_dir, version=version)
+            SN.read_snapshot(spark, source_dir, version=src_v)
             .groupBy(*group_cols)
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
@@ -139,60 +260,12 @@ def maintain_rollup(
             )
         )
 
-    def _reject_null_groups(df):
-        null_pred = None
-        for c in group_cols:
-            p = F.col(c).isNull()
-            null_pred = p if null_pred is None else (null_pred | p)
-        if df.where(null_pred).head(1):  # bounded: grouped relation
-            raise ValueError(
-                f"NULL in group column(s) {group_cols}: IVM group keys "
-                "must be non-NULL (NULL never equi-joins, so the NULL "
-                "group would duplicate) — filter or coalesce upstream"
-            )
-
-    if not applied:
-        full = _full_agg(src_v)
-        _reject_null_groups(full)
-        SN.merge_snapshot(
-            spark, rollup_dir, full, key=group_cols, op=stamp,
-            expect_version=rollup_v,
-        )
-        return {"applied": src_v, "mode": "full"}
-
-    def _rebuild():
-        # delta unusable (vacuumed source history, or an explicit
-        # rebuild after a rollup rollback): recompute the full
-        # aggregate, tombstoning groups that vanished entirely
-        full = _full_agg(src_v)
-        _reject_null_groups(full)
-        current = SN.read_snapshot(spark, rollup_dir)
-        gone = (
-            current.join(full, on=group_cols, how="left_anti")
-            .select(
-                *group_cols,
-                F.lit(0).cast("bigint").alias("n_rows"),
-                F.lit(0).cast("bigint").alias("sum_val"),
-            )
-        )
-        SN.merge_snapshot(
-            spark, rollup_dir, full.unionByName(gone), key=group_cols,
-            op=stamp, expect_version=rollup_v,
-        )
-        return {"applied": src_v, "mode": "rebuild"}
-
-    if rebuild:
-        return _rebuild()
-    last = applied[-1]
-    try:
+    def delta_fn(last: int):
         diff = SN.snapshot_diff(spark, source_dir, last, src_v)
-    except FileNotFoundError:
-        return _rebuild()
-
-    sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
-    delta = (
-        diff.groupBy(*group_cols)
-        .agg(
+        sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        return diff.groupBy(*group_cols).agg(
             F.coalesce(F.sum(sign), F.lit(0)).alias("d_rows"),
             # all-NULL measure values must contribute 0, not NULL —
             # NULL here would overwrite the group's standing sum
@@ -200,26 +273,11 @@ def maintain_rollup(
                 F.sum(sign * F.col(sum_col).cast("bigint")), F.lit(0)
             ).alias("d_sum"),
         )
+
+    return _tick(
+        spark, rollup_dir, group_cols, src_v, rebuild, full_fn, delta_fn,
+        "filter or coalesce upstream",
     )
-    _reject_null_groups(delta)
-    current = SN.read_snapshot(spark, rollup_dir)
-    updated = (
-        delta.join(current, on=group_cols, how="left")
-        .select(
-            *group_cols,
-            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")).alias(
-                "n_rows"
-            ),
-            (F.coalesce(F.col("sum_val"), F.lit(0)) + F.col("d_sum")).alias(
-                "sum_val"
-            ),
-        )
-    )
-    SN.merge_snapshot(
-        spark, rollup_dir, updated, key=group_cols, op=stamp,
-        expect_version=rollup_v,
-    )
-    return {"applied": src_v, "mode": "delta"}
 
 
 def maintain_rollup_from_rollup(
@@ -252,46 +310,52 @@ def maintain_rollup_from_rollup(
     the PARENT version (replay = no-op; rollback-safe via log
     order), OCC-fenced merges, vacuumed-parent-history falls back
     to a rebuild with vanished-group tombstones. ``read_rollup``
-    reads the child unchanged.
+    reads the child unchanged. The first call stamps a ``_lineage``
+    marker naming the parent, so freshness checks can walk the
+    chain (any depth) and the direct maintainer refuses to mix
+    version spaces on this dir; re-pointing a child at a DIFFERENT
+    parent is refused (build a fresh child instead).
 
-    Freshness composition is the caller's contract: the child is
-    fresh w.r.t. the BASE table only when this tick ran after the
-    parent's own maintain_rollup tick for the base commit — run the
-    chain bottom-up per batch (streaming/ivm_stream.py's tick shape).
-    The MV-rewrite catalog does not yet chase transitive freshness,
-    so register child views against the PARENT, not the base.
+    To serve base-table aggregates through the MV rewrite, register
+    the child against the BASE table with ``parent_dir=`` (or let
+    the lineage marker be discovered): ``plans/rewrite.py`` composes
+    freshness through every hop of the chain. Run the chain
+    bottom-up per batch (streaming/ivm_stream.py's tick shape) —
+    the child is fresh w.r.t. the base only after the parent's own
+    tick for the base commit.
     """
     src_v = SN.current_version(parent_dir)
     if src_v is None:
         raise FileNotFoundError(f"no committed snapshot in {parent_dir}")
     if not key_exprs:
         raise ValueError("key_exprs must map at least one child column")
-    stamp = _STAMP.format(v=src_v)
+    parent_abs = os.path.abspath(parent_dir)
+    lin = rollup_lineage(child_dir)
     applied = _applied_versions(child_dir)
-    child_v = SN.current_version(child_dir)
-    if not rebuild and applied and applied[-1] == src_v:
-        return {"applied": None, "mode": "noop"}
+    if lin is None and applied:
+        raise ValueError(
+            f"{child_dir} already has ivm stamps but no lineage marker "
+            "— it was maintained directly from a base table; its "
+            "stamps are base versions and cannot be reinterpreted as "
+            "parent-rollup versions. Build a fresh child dir."
+        )
+    if lin is not None and lin != parent_abs:
+        raise ValueError(
+            f"{child_dir} is lineage-marked as a child of {lin}, not "
+            f"{parent_abs} — re-pointing a child would mix version "
+            "spaces; build a fresh child dir"
+        )
+    if lin is None:
+        _write_lineage(child_dir, parent_abs)
     child_cols = list(key_exprs)
+    key_aliases = [
+        F.expr(e).alias(c) for c, e in key_exprs.items()
+    ]
 
-    def _keys(df):
-        return [F.expr(e).alias(c) for c, e in key_exprs.items()]
-
-    def _reject_null_groups(df):
-        null_pred = None
-        for c in child_cols:
-            p = F.col(c).isNull()
-            null_pred = p if null_pred is None else (null_pred | p)
-        if df.where(null_pred).head(1):  # bounded: grouped relation
-            raise ValueError(
-                f"NULL in child group column(s) {child_cols}: IVM group "
-                "keys must be non-NULL — filter or coalesce the parent "
-                "keys in key_exprs"
-            )
-
-    def _full_agg(version: int):
-        parent = read_rollup(spark, parent_dir, version=version)
+    def full_fn():
+        parent = read_rollup(spark, parent_dir, version=src_v)
         return (
-            parent.select(*_keys(parent), "n_rows", "sum_val")
+            parent.select(*key_aliases, "n_rows", "sum_val")
             .groupBy(*child_cols)
             .agg(
                 F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"),
@@ -299,66 +363,25 @@ def maintain_rollup_from_rollup(
             )
         )
 
-    if not applied:
-        full = _full_agg(src_v)
-        _reject_null_groups(full)
-        SN.merge_snapshot(
-            spark, child_dir, full, key=child_cols, op=stamp,
-            expect_version=child_v,
-        )
-        return {"applied": src_v, "mode": "full"}
-
-    def _rebuild():
-        full = _full_agg(src_v)
-        _reject_null_groups(full)
-        current = SN.read_snapshot(spark, child_dir)
-        gone = current.join(full, on=child_cols, how="left_anti").select(
-            *child_cols,
-            F.lit(0).cast("bigint").alias("n_rows"),
-            F.lit(0).cast("bigint").alias("sum_val"),
-        )
-        SN.merge_snapshot(
-            spark, child_dir, full.unionByName(gone), key=child_cols,
-            op=stamp, expect_version=child_v,
-        )
-        return {"applied": src_v, "mode": "rebuild"}
-
-    if rebuild:
-        return _rebuild()
-    last = applied[-1]
-    try:
+    def delta_fn(last: int):
         diff = SN.snapshot_diff(spark, parent_dir, last, src_v)
-    except FileNotFoundError:
-        return _rebuild()
-
-    sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
-    delta = (
-        diff.select(*_keys(diff), "n_rows", "sum_val", "_change")
-        .groupBy(*child_cols)
-        .agg(
-            F.coalesce(F.sum(sign * F.col("n_rows")), F.lit(0)).alias(
-                "d_rows"
-            ),
-            F.coalesce(F.sum(sign * F.col("sum_val")), F.lit(0)).alias(
-                "d_sum"
-            ),
+        sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
         )
+        return (
+            diff.select(*key_aliases, "n_rows", "sum_val", "_change")
+            .groupBy(*child_cols)
+            .agg(
+                F.coalesce(F.sum(sign * F.col("n_rows")), F.lit(0)).alias(
+                    "d_rows"
+                ),
+                F.coalesce(
+                    F.sum(sign * F.col("sum_val")), F.lit(0)
+                ).alias("d_sum"),
+            )
+        )
+
+    return _tick(
+        spark, child_dir, child_cols, src_v, rebuild, full_fn, delta_fn,
+        "filter or coalesce the parent keys in key_exprs",
     )
-    _reject_null_groups(delta)
-    current = SN.read_snapshot(spark, child_dir)
-    updated = delta.join(current, on=child_cols, how="left").select(
-        *child_cols,
-        (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")).alias(
-            "n_rows"
-        ),
-        (F.coalesce(F.col("sum_val"), F.lit(0)) + F.col("d_sum")).alias(
-            "sum_val"
-        ),
-    )
-    SN.merge_snapshot(
-        spark, child_dir, updated, key=child_cols, op=stamp,
-        expect_version=child_v,
-    )
-    return {"applied": src_v, "mode": "delta"}

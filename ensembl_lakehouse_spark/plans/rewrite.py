@@ -88,6 +88,17 @@ class RollupCatalog:
         sum_col: str,
         parent_dir: str | None = None,
     ) -> RollupSpec:
+        lineage = ivm.rollup_lineage(os.path.abspath(rollup_dir))
+        if (
+            parent_dir is not None
+            and lineage is not None
+            and os.path.abspath(parent_dir) != lineage
+        ):
+            raise ValueError(
+                f"rollup {name!r} is lineage-marked as a child of "
+                f"{lineage}, not {os.path.abspath(parent_dir)} — the "
+                "registration contradicts how the view is maintained"
+            )
         spec = RollupSpec(
             name=name,
             rollup_dir=os.path.abspath(rollup_dir),
@@ -95,7 +106,7 @@ class RollupCatalog:
             group_cols=tuple(group_cols),
             sum_col=sum_col,
             parent_dir=(
-                os.path.abspath(parent_dir) if parent_dir else None
+                os.path.abspath(parent_dir) if parent_dir else lineage
             ),
         )
         self._specs[name] = spec
@@ -120,32 +131,56 @@ def _last_applied(spec: RollupSpec) -> int | None:
 
 def _chain_freshness(spec: RollupSpec, src_v: int | None) -> str | None:
     """None when the spec is exactly fresh w.r.t. the base pin;
-    'stale' when it lags; 'ahead' when any hop has applied PAST the
-    pin (staged data — never servable, even under stale_ok).
+    'stale' when it provably lags the pin; 'ahead' when the chain
+    may contain data PAST the pin (staged rows — never servable,
+    even under stale_ok); 'never' when any hop has no stamps.
 
-    For a direct rollup the applied versions ARE base versions. For
-    a hierarchical child they are PARENT versions, so freshness
-    composes: parent applied == base pin AND child applied ==
-    parent current (parent version resolved once — pin-at-plan)."""
-    last = _last_applied(spec)
-    if last is None:
+    A direct rollup's applied versions ARE base versions. A
+    hierarchical child's are PARENT-rollup versions, so the walk
+    follows the ``_lineage`` markers (ivm.rollup_lineage — ANY
+    depth, not just two hops: comparing a grandchild's stamps
+    against base versions would mix version spaces, the r7
+    second-review unsoundness) up to the ROOT, whose stamps are
+    base versions:
+
+    - root applied > pin → 'ahead': staged base rows entered the
+      lattice; nothing downstream can be proven pre-staging.
+    - root applied < pin → 'stale': every downstream state derives
+      from base ≤ root-applied < pin, so serving it under stale_ok
+      can never leak staged rows (base versions only grow; the
+      documented rollback niche excepted).
+    - root applied == pin → fresh iff EVERY hop has applied its
+      parent's current version (each parent version resolved once —
+      pin-at-plan); a lagging hop is 'stale' (its content derives
+      from an earlier ≤-pin root state)."""
+    chain = [spec.rollup_dir]
+    seen = {spec.rollup_dir}
+    parent = spec.parent_dir or ivm.rollup_lineage(spec.rollup_dir)
+    while parent:
+        if parent in seen:  # lineage cycle: refuse to serve
+            return "never"
+        chain.append(parent)
+        seen.add(parent)
+        parent = ivm.rollup_lineage(parent)
+    root_applied = ivm._applied_versions(chain[-1])
+    if not root_applied:
         return "never"
-    if spec.parent_dir is None:
-        if last == src_v:
-            return None
-        return "ahead" if (src_v is not None and last > src_v) else "stale"
-    parent_applied = ivm._applied_versions(spec.parent_dir)
-    p_last = parent_applied[-1] if parent_applied else None
-    if p_last is None:
-        return "never"
-    if src_v is not None and p_last > src_v:
+    root_last = root_applied[-1]
+    if src_v is not None and root_last > src_v:
         return "ahead"
-    parent_v = SN.current_version(spec.parent_dir)
-    if last > (parent_v if parent_v is not None else -1):
-        return "ahead"
-    if p_last == src_v and last == parent_v:
-        return None
-    return "stale"
+    if root_last != src_v:
+        return "stale"
+    state = None
+    for child, parent_dir in zip(chain, chain[1:]):
+        ca = ivm._applied_versions(child)
+        if not ca:
+            return "never"
+        pv = SN.current_version(parent_dir)
+        if pv is None or ca[-1] > pv:
+            return "ahead"
+        if ca[-1] != pv:
+            state = "stale"
+    return state
 
 
 def _can_answer(

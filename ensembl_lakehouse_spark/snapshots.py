@@ -1500,11 +1500,19 @@ def compact(
     expect_version: int | None = None,
     cluster_by: list[str] | None = None,
     bloom_for: list[str] | None = None,
+    only_below: int | None = None,
 ) -> int:
     """Rewrite the current snapshot into ``target_files`` files — the
     small-file maintenance pass for append/streaming-heavy tables.
     Logical content is unchanged (asserted by the caller's tests);
     old files stay readable for older versions.
+
+    ``only_below`` restricts the rewrite to files SMALLER than that
+    byte size: right-sized files carry into the new manifest BY
+    REFERENCE with their stats/blooms intact, so the pass costs
+    O(small files), not O(table) — exactly the operation
+    ``compaction_plan`` prices (its ``est_files_after`` assumes this
+    mode). Without it, every current file rewrites.
 
     ``cluster_by`` additionally range-sorts the rewrite (Delta
     OPTIMIZE ZORDER's 1-d analog): streaming appends land in
@@ -1512,6 +1520,42 @@ def compact(
     prune nothing — one clustered compaction afterwards makes the
     same manifest stats disjoint and range reads selective again."""
     base = current_version(table_dir)
+    if only_below is not None:
+        if base is None:
+            raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+        manifest = _read_manifest(table_dir, base)
+        touched = [
+            rel
+            for rel in manifest["files"]
+            if os.path.getsize(os.path.join(table_dir, rel)) < only_below
+        ]
+        carried = [f for f in manifest["files"] if f not in set(touched)]
+        if not touched:
+            # nothing below the threshold: still commit (stamped), so
+            # an idempotent maintenance job observes its tick
+            return _commit(
+                table_dir, carried, "compact", expect_version, base,
+                manifest.get("stats", {}), manifest.get("blooms", {}),
+            )
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *(os.path.join(table_dir, f) for f in touched)
+        )
+        df = (
+            _clustered(df, cluster_by, target_files)
+            if cluster_by
+            else df.coalesce(target_files)
+        )
+        files = _write_data(table_dir, df, base + 1)
+        stats = _file_stats(table_dir, files)
+        blooms = (
+            _file_blooms(table_dir, files, bloom_for) if bloom_for else {}
+        )
+        if carried:
+            stats, blooms = _carry_metadata(manifest, carried, stats, blooms)
+        return _commit(
+            table_dir, files + carried, "compact", expect_version, base,
+            stats, blooms,
+        )
     df = read_snapshot(spark, table_dir)
     if cluster_by:
         df = _clustered(df, cluster_by, target_files)
@@ -1530,10 +1574,16 @@ def compaction_plan(
     target_bytes: int = 128 * 1024 * 1024,
     version: int | None = None,
 ) -> dict:
-    """DRY-RUN of ``compact``: which of the current (or pinned)
-    version's files sit below ``target_bytes`` and what a compaction
-    would buy — the auto-OPTIMIZE scheduling input (Delta's
-    OPTIMIZE file-selection heuristic as a report). A
+    """DRY-RUN of ``compact(only_below=target_bytes,
+    target_files=<est>)``: which of the current (or pinned)
+    version's files sit below ``target_bytes`` and what merging
+    JUST the small set would buy (right-sized files carry by
+    reference in that mode, so the estimate prices the operation
+    the verb actually performs) — the auto-OPTIMIZE scheduling
+    input (Delta's OPTIMIZE file-selection heuristic as a report).
+    Manifest-listed files that cannot be stat'd are surfaced in
+    ``missing_files`` and force ``worth_compacting`` False — a
+    missing file is corruption to page on, never a merge input. A
     streaming/merge-heavy table accretes small files whose per-file
     overhead (footer reads, task scheduling, stats entries)
     dominates at scale; this report is what a maintenance daemon
@@ -1553,23 +1603,30 @@ def compaction_plan(
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     manifest = _read_manifest(table_dir, v)
     sizes: dict[str, int] = {}
+    missing: list[str] = []
     for rel in manifest["files"]:
         try:
             sizes[rel] = os.path.getsize(os.path.join(table_dir, rel))
         except OSError:
-            sizes[rel] = 0
+            # a manifest-listed file that cannot be stat'd is
+            # CORRUPTION, not a compaction candidate — surface it
+            # and refuse to recommend a rewrite that would commit a
+            # snapshot missing those rows (r7 code review)
+            missing.append(rel)
     small = {rel: b for rel, b in sizes.items() if b < target_bytes}
     small_bytes = sum(small.values())
     est_after = max(1, -(-small_bytes // target_bytes)) if small else 0
     return {
         "version": v,
         "target_bytes": target_bytes,
-        "n_files": len(sizes),
+        "n_files": len(manifest["files"]),
         "total_bytes": sum(sizes.values()),
         "small_files": sorted(small),
         "small_bytes": small_bytes,
+        "missing_files": sorted(missing),
         "est_files_after": est_after + (len(sizes) - len(small)),
-        "worth_compacting": len(small) >= 2
+        "worth_compacting": not missing
+        and len(small) >= 2
         and est_after < len(small),
     }
 

@@ -364,3 +364,102 @@ def test_hierarchical_child_answers_with_transitive_freshness(spark, tmp_path):
         for s in why4["skipped"]
         if s["rollup"] in ("daily", "by_t")
     )
+
+
+def test_depth3_chain_never_leaks_staged_rows(spark, tmp_path):
+    """r7 second review: a monthly←weekly←daily←base chain must
+    compose freshness through EVERY hop via the lineage markers —
+    comparing the grandchild's (weekly-version) stamps against base
+    versions mixed version spaces and could serve staged rows under
+    stale_ok. Pinned: the staged scenario now reads 'ahead' and
+    falls back to base at the pin; the fully-ticked chain answers
+    exactly."""
+    src = str(tmp_path / "src")
+    daily = str(tmp_path / "daily")
+    weekly = str(tmp_path / "weekly")
+    monthly = str(tmp_path / "monthly")
+    rows = [(i, i % 56, f"t{i % 2}", i) for i in range(112)]
+    SN.write_snapshot(
+        src, spark.createDataFrame(rows, ["k", "day", "t", "v"])
+    )
+
+    def tick_all():
+        ivm.maintain_rollup(spark, src, daily, ["day", "t"], "v")
+        ivm.maintain_rollup_from_rollup(
+            spark, daily, weekly, {"week": "day DIV 7", "t": "t"}
+        )
+        ivm.maintain_rollup_from_rollup(
+            spark, weekly, monthly, {"month": "week DIV 4", "t": "t"}
+        )
+
+    tick_all()
+    cat = RW.RollupCatalog()
+    # lineage markers are discovered automatically — no parent_dir
+    cat.register("monthly_t", monthly, src, ["t"], "v")
+    assert cat._specs["monthly_t"].parent_dir is not None
+
+    aggs = {"n": ("count", ""), "total": ("sum", "v")}
+    got, why = RW.answer_aggregate(spark, cat, src, ["t"], aggs)
+    assert why["used"] == "rollup" and why["rollup"] == "monthly_t"
+    empty = RW.RollupCatalog()
+    want, _ = RW.answer_aggregate(spark, empty, src, ["t"], aggs)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # stage base v1 and tick the WHOLE chain: pinned at v0, every
+    # hop now derives from staged data → 'ahead', base answers
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(999, 1, "t0", 7)], ["k", "day", "t", "v"]),
+        key="k",
+    )
+    tick_all()
+    _, why2 = RW.answer_aggregate(
+        spark, cat, src, ["t"], aggs, freshness="stale_ok", version=0
+    )
+    assert why2["used"] == "base"
+    assert any(
+        s["rollup"] == "monthly_t"
+        and "ahead of the version pin" in s["reason"]
+        for s in why2["skipped"]
+    )
+
+    # lagging LEAF hop (weekly/monthly not ticked for base v2):
+    # strict falls back, stale_ok may serve the ≤-pin content
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(998, 2, "t1", 3)], ["k", "day", "t", "v"]),
+        key="k",
+    )
+    ivm.maintain_rollup(spark, src, daily, ["day", "t"], "v")  # root only
+    _, why3 = RW.answer_aggregate(spark, cat, src, ["t"], aggs)
+    assert why3["used"] == "base"
+    assert any(
+        s["rollup"] == "monthly_t" and s["reason"].startswith("stale")
+        for s in why3["skipped"]
+    )
+    got4, why4 = RW.answer_aggregate(
+        spark, cat, src, ["t"], aggs, freshness="stale_ok"
+    )
+    assert why4["used"] == "rollup" and why4["rollup"] == "monthly_t"
+
+
+def test_register_rejects_contradictory_parent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    daily = str(tmp_path / "daily")
+    weekly = str(tmp_path / "weekly")
+    other = str(tmp_path / "other")
+    SN.write_snapshot(
+        src, spark.createDataFrame([(1, 0, "a", 1)], ["k", "day", "t", "v"])
+    )
+    ivm.maintain_rollup(spark, src, daily, ["day", "t"], "v")
+    ivm.maintain_rollup(spark, src, other, ["t"], "v")
+    ivm.maintain_rollup_from_rollup(
+        spark, daily, weekly, {"week": "day DIV 7", "t": "t"}
+    )
+    cat = RW.RollupCatalog()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lineage-marked"):
+        cat.register("w", weekly, src, ["t"], "v", parent_dir=other)

@@ -1431,3 +1431,61 @@ def test_compaction_plan_reports_small_files_without_a_job(spark, tdir):
     assert S.compaction_plan(tdir, version=0)["n_files"] == 8
     # huge target: everything is "small" but merging 1 file buys nothing
     assert S.compaction_plan(tdir)["est_files_after"] == 1
+
+
+def test_compact_only_below_carries_right_sized_files(spark, tdir):
+    """r7 code review: compaction_plan prices compact(only_below=);
+    the verb must exist and carry right-sized files BY REFERENCE so
+    the pass costs O(small files), matching the estimate."""
+    big = spark.range(0, 20000).selectExpr(
+        "id AS k", "repeat('x', 64) AS pad"
+    )
+    S.write_snapshot(tdir, big.coalesce(1))  # one right-sized file
+    small = spark.range(20000, 20200).selectExpr(
+        "id AS k", "repeat('x', 64) AS pad"
+    )
+    S.write_snapshot(tdir, small.repartition(4), mode="append")  # 4 small
+    m0 = S._read_manifest(tdir, S.current_version(tdir))
+    assert len(m0["files"]) == 5
+    sizes = {
+        f: __import__("os").path.getsize(
+            __import__("os").path.join(tdir, f)
+        )
+        for f in m0["files"]
+    }
+    threshold = max(sizes.values())  # only the big file is >= this
+
+    plan = S.compaction_plan(tdir, target_bytes=threshold)
+    assert len(plan["small_files"]) == 4 and plan["missing_files"] == []
+    assert plan["worth_compacting"] is True
+    assert plan["est_files_after"] == 2  # merged smalls + the big one
+
+    S.compact(spark, tdir, target_files=1, only_below=threshold)
+    m1 = S._read_manifest(tdir, S.current_version(tdir))
+    assert len(m1["files"]) == plan["est_files_after"] == 2
+    # the big file carried BY REFERENCE (same path, stats intact)
+    big_file = max(sizes, key=sizes.get)
+    assert big_file in m1["files"]
+    assert S.read_snapshot(spark, tdir).count() == 20200
+    assert S.table_rowcount(tdir) == 20200
+    # nothing-to-do still stamps a commit (idempotent tick contract)
+    v = S.compact(spark, tdir, target_files=1, only_below=1)
+    assert v == S.current_version(tdir)
+    assert S.read_snapshot(spark, tdir).count() == 20200
+
+
+def test_compaction_plan_surfaces_missing_files(spark, tdir):
+    import os as _os
+
+    S.write_snapshot(
+        tdir,
+        spark.range(0, 100).selectExpr("id AS k").repartition(3),
+    )
+    m = S._read_manifest(tdir, S.current_version(tdir))
+    victim = m["files"][0]
+    _os.remove(_os.path.join(tdir, victim))
+    plan = S.compaction_plan(tdir, target_bytes=1 << 30)
+    assert plan["missing_files"] == [victim]
+    assert victim not in plan["small_files"]
+    assert plan["worth_compacting"] is False  # corruption, not a merge
+    assert plan["n_files"] == 3
