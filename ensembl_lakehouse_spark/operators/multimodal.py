@@ -421,3 +421,82 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: payload size histogram (storage planning for binary columns)
+# ---------------------------------------------------------------------------
+
+def multimodal_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-size distribution of the opaque binary payload per
+    language, in fixed bands — the storage-planning report for
+    multimodal columns (row-group sizing, inline-vs-external blob
+    thresholds, shuffle-width estimates all start from "how big are
+    the blobs"). Bands are powers of two around the corpus range so
+    the report stays comparable across scale factors.
+
+    Integer-exact: octet lengths, BIGINT sums, one DIV per share.
+
+    Plan: map-only length + band classification, ONE
+    |langs × bands| aggregate; shares ride SinglePartition on that
+    tiny relation.
+    """
+    df = load_table(spark, sf_dir, "documents").select(
+        "lang", F.encode("text", "utf-8").alias("payload")
+    )
+    band_expr = (
+        "CASE WHEN n_bytes < 128 THEN 'a_lt_128' "
+        "WHEN n_bytes < 256 THEN 'b_lt_256' "
+        "WHEN n_bytes < 512 THEN 'c_lt_512' "
+        "ELSE 'd_ge_512' END"
+    )
+    return (
+        df.select("lang", F.octet_length("payload").alias("n_bytes"))
+        .withColumn("band", F.expr(band_expr))
+        .groupBy("lang", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_bytes").cast("bigint")).alias("bytes"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .withColumn(
+            "lang_share_bp",
+            F.expr(
+                "(n_docs * 10000) DIV SUM(n_docs) OVER (PARTITION BY lang)"
+            ),
+        )
+        .select(
+            "lang", "band", "n_docs", "bytes", "min_bytes", "max_bytes",
+            "lang_share_bp",
+        )
+        .orderBy("lang", "band")
+    )
+
+
+MULTIMODAL_SIZE_HISTOGRAM_SQL = """
+WITH d AS (
+  SELECT lang, octet_length(encode(text)) AS n_bytes FROM documents
+), banded AS (
+  SELECT lang,
+         CASE WHEN n_bytes < 128 THEN 'a_lt_128'
+              WHEN n_bytes < 256 THEN 'b_lt_256'
+              WHEN n_bytes < 512 THEN 'c_lt_512'
+              ELSE 'd_ge_512' END AS band,
+         n_bytes
+  FROM d
+), agg AS (
+  SELECT lang, band,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+         MIN(n_bytes) AS min_bytes,
+         MAX(n_bytes) AS max_bytes
+  FROM banded GROUP BY lang, band
+)
+SELECT lang, band, n_docs, bytes, min_bytes, max_bytes,
+       (n_docs * 10000)
+         // CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+         AS lang_share_bp
+FROM agg
+ORDER BY lang, band
+"""

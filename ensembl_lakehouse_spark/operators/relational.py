@@ -4007,3 +4007,96 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users,
        quantile_cont(delay_s, 0.75) AS p75_delay_s
 FROM delays
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: order width histogram
+# ---------------------------------------------------------------------------
+
+def order_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order distribution in bands with each band's share
+    of orders AND of revenue — the fact-shaping report behind
+    shuffle-width and skew planning: a long tail of very wide
+    orders is exactly what makes an orderkey-keyed join or window
+    skewed (join_skew_salted's WHY), and this is the report that
+    detects it from the data. cust_order_distribution profiles
+    orders-per-customer; this profiles lines-per-order.
+
+    Integer-exact: counts, cents, shares.
+
+    Plan: one per-order partial agg (the l_orderkey exchange), a
+    |bands|-row final agg, shares on SinglePartition.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) "
+            "* 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    band_expr = (
+        "CASE WHEN n_lines = 1 THEN 'a_1' "
+        "WHEN n_lines <= 2 THEN 'b_2' "
+        "WHEN n_lines <= 4 THEN 'c_3_4' "
+        "WHEN n_lines <= 6 THEN 'd_5_6' "
+        "ELSE 'e_7plus' END"
+    )
+    return (
+        per_order.withColumn("band", F.expr(band_expr))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_lines").alias("lines"),
+            F.sum("rev_cents").alias("rev_cents"),
+        )
+        .withColumn(
+            "order_share_bp",
+            F.expr("(n_orders * 10000) DIV SUM(n_orders) OVER ()"),
+        )
+        .withColumn(
+            "rev_share_bp",
+            F.expr("(rev_cents * 10000) DIV SUM(rev_cents) OVER ()"),
+        )
+        .select(
+            "band", "n_orders", "lines", "rev_cents",
+            "order_share_bp", "rev_share_bp",
+        )
+        .orderBy("band")
+    )
+
+
+ORDER_WIDTH_HISTOGRAM_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(floor(l_extendedprice
+           * (CAST(1 AS DOUBLE) - l_discount)
+           * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY l_orderkey
+), banded AS (
+  SELECT CASE WHEN n_lines = 1 THEN 'a_1'
+              WHEN n_lines <= 2 THEN 'b_2'
+              WHEN n_lines <= 4 THEN 'c_3_4'
+              WHEN n_lines <= 6 THEN 'd_5_6'
+              ELSE 'e_7plus' END AS band,
+         n_lines, rev_cents
+  FROM per_order
+), agg AS (
+  SELECT band,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(n_lines) AS BIGINT) AS lines,
+         CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+  FROM banded GROUP BY band
+)
+SELECT band, n_orders, lines, rev_cents,
+       (n_orders * 10000) // CAST(SUM(n_orders) OVER () AS BIGINT)
+         AS order_share_bp,
+       (rev_cents * 10000) // CAST(SUM(rev_cents) OVER () AS BIGINT)
+         AS rev_share_bp
+FROM agg
+ORDER BY band
+"""

@@ -377,6 +377,10 @@ BUDGETS = {
     "min_price_supplier": 3,
     "supplier_count_by_part": 3,
     # ---- Round-7 additions ----
+    # map-only length/band + |langs×bands| agg + lang share window
+    "multimodal_size_histogram": 2,
+    # per-order partial agg + |bands| final; shares SinglePartition
+    "order_width_histogram": 2,
     # one (week) exact-percentile agg; lag rides |weeks| rows
     "events_weekly_quantiles": 1,
     # ONE user window; per-user agg + 1-row summary reuse it

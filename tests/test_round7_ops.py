@@ -353,3 +353,44 @@ def test_revenue_bridge_identity_is_exact(spark):
         # residual is the interaction + truncation term: small
         # relative to revenue
         assert abs(r.residual) < max(abs(r.rev_cents), abs(r.prev_rev))
+
+
+# ---- batch 7: payload sizing + fact shape ----
+
+from ensembl_lakehouse_spark.operators import multimodal as MM  # noqa: E402
+
+
+def test_multimodal_size_histogram_conserves_bytes(spark):
+    rows = MM.multimodal_size_histogram(spark, SF_DIR).collect()
+    assert rows
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == _scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+    )
+    total_bytes = sum(r.bytes for r in rows)
+    assert total_bytes == _scalar(
+        f"SELECT SUM(octet_length(encode(text))) "
+        f"FROM '{SF_DIR}/documents.parquet'"
+    )
+    for r in rows:
+        assert 0 < r.min_bytes <= r.max_bytes
+        assert 0 <= r.lang_share_bp <= 10000
+    # per-lang shares sum to ~100 %
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, 0)
+        by_lang[r.lang] += r.lang_share_bp
+    assert all(9990 <= v <= 10000 for v in by_lang.values())
+
+
+def test_order_width_histogram_conserves_lines_and_revenue(spark):
+    rows = {r.band: r for r in R.order_width_histogram(spark, SF_DIR).collect()}
+    assert sum(r.n_orders for r in rows.values()) == _scalar(
+        f"SELECT COUNT(DISTINCT l_orderkey) FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    assert sum(r.lines for r in rows.values()) == _scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    assert 9990 <= sum(r.order_share_bp for r in rows.values()) <= 10000
+    for r in rows.values():
+        assert r.lines >= r.n_orders  # every order has >= 1 line
