@@ -52,6 +52,20 @@ class RollupDef:
     sum_col: str
 
 
+@dataclass(frozen=True)
+class ChildRollupDef:
+    """A HIERARCHICAL downstream view fed by a parent rollup's CDC
+    (ivm.maintain_rollup_from_rollup): ``key_exprs`` maps child
+    columns to SQL over the parent's columns. Children tick AFTER
+    their parents within the same micro-batch (the bottom-up order
+    the chain-freshness contract requires), so by batch end the
+    whole lattice reflects the batch's source commit."""
+
+    parent_dir: str
+    child_dir: str
+    key_exprs: dict[str, str]
+
+
 def run_stream_ivm(
     spark: SparkSession,
     events_dir: str,
@@ -59,6 +73,7 @@ def run_stream_ivm(
     rollups: list[RollupDef],
     max_files_per_trigger: int | None = None,
     checkpoint_dir: str | None = None,
+    children: list[ChildRollupDef] | None = None,
 ) -> dict:
     """Drive the stream → source table → rollups chain with
     availableNow; returns {"n_batches", "n_input_rows",
@@ -101,6 +116,15 @@ def run_stream_ivm(
                 r.sum_col,
             )
             tick[r.rollup_dir] = out["mode"]
+        # children AFTER parents: each hop consumes the CDC the hop
+        # below just committed, so one batch advances the whole
+        # lattice (in declaration order — declare grandchildren
+        # after their parents)
+        for c in children or []:
+            out = ivm.maintain_rollup_from_rollup(
+                spark, c.parent_dir, c.child_dir, c.key_exprs
+            )
+            tick[c.child_dir] = out["mode"]
         ticks.append(tick)
 
     opts = (
@@ -132,6 +156,7 @@ def replay_batch(
     batch_df: DataFrame,
     batch_id: int,
     rollups: list[RollupDef],
+    children: list[ChildRollupDef] | None = None,
 ) -> dict:
     """Simulate an at-least-once redelivery of a committed batch
     (the crash-between-commit-and-checkpoint window): the ingest
@@ -151,6 +176,11 @@ def replay_batch(
             spark, source_dir, r.rollup_dir, list(r.group_cols), r.sum_col
         )["mode"]
         for r in rollups
+    ] + [
+        ivm.maintain_rollup_from_rollup(
+            spark, c.parent_dir, c.child_dir, c.key_exprs
+        )["mode"]
+        for c in (children or [])
     ]
     return {
         "merged": merged,
