@@ -543,16 +543,32 @@ class Engine:
         parts = []
         for name, tdir in sorted(self._snapshot_tables.items()):
             pinned = bool(pins and name in pins)
+            published = _SN.published_version(tdir)
             if pinned:
                 v = pins[name]
+                # A publish pointer is a read fence, not a default:
+                # pinning PAST it would leak staged (written, not yet
+                # audited/published) rows through /sql — the same
+                # contract /aggregate enforces on its version pin
+                # (r7 ADVICE, medium). Historical pins ≤ published
+                # stay fine; tables with no pointer are unfenced.
+                if published is not None and v > published:
+                    raise QueryValidationError(
+                        f"snap_versions: {name} v{v} is beyond the "
+                        f"published version {published} — staged "
+                        "versions are not readable through /sql"
+                    )
             else:
-                v = _SN.published_version(tdir)
+                v = published
                 if v is None:
                     v = _SN.current_version(tdir)
             # ValueError covers the empty-file-list manifest (a
-            # readable version with nothing to plan) — without it a
-            # broken registration 500s EVERY /sql request, including
-            # ones that never touch this table (r7 code-review)
+            # readable version with nothing to plan). A broken
+            # UNPINNED registration must not fail statements that
+            # never reference it: drop the view so only queries that
+            # bind snap_{name} fail (at analysis), and fingerprint
+            # the broken state so cached results can't straddle a
+            # break/repair transition (r7 ADVICE, low).
             try:
                 _SN.read_snapshot(
                     self.spark, tdir, version=v
@@ -563,10 +579,12 @@ class Engine:
                         f"snap_versions: {name} has no readable version "
                         f"{v} ({exc})"
                     ) from exc
-                raise QueryValidationError(
-                    f"registered snapshot table {name!r} cannot be read "
-                    f"at v{v} ({exc}) — re-register or repair the table"
-                ) from exc
+                try:
+                    self.spark.catalog.dropTempView(f"snap_{name}")
+                except Exception:
+                    pass
+                parts.append(f"{name}@unreadable")
+                continue
             parts.append(f"{name}@{v}")
         return ";".join(parts)
 

@@ -238,12 +238,18 @@ def maintain_rollup(
     if src_v is None:
         raise FileNotFoundError(f"no committed snapshot in {source_dir}")
     if rollup_lineage(rollup_dir) is not None:
-        raise ValueError(
-            f"{rollup_dir} is lineage-marked as a hierarchical child "
-            "(maintain_rollup_from_rollup) — its stamps are PARENT "
-            "versions; maintaining it directly from a base table "
-            "would mix version spaces"
-        )
+        if _applied_versions(rollup_dir):
+            raise ValueError(
+                f"{rollup_dir} is lineage-marked as a hierarchical "
+                "child (maintain_rollup_from_rollup) — its stamps are "
+                "PARENT versions; maintaining it directly from a base "
+                "table would mix version spaces"
+            )
+        # Marker with zero applied stamps = the first hierarchical
+        # tick failed before any merge committed; nothing binds the
+        # dir to the parent's version space, so reclaim it for
+        # direct maintenance (r7 ADVICE, ivm.py:349).
+        os.remove(os.path.join(rollup_dir, "_lineage"))
 
     def full_fn():
         # version pinned: a source commit landing mid-run must not
@@ -340,11 +346,18 @@ def maintain_rollup_from_rollup(
             "parent-rollup versions. Build a fresh child dir."
         )
     if lin is not None and lin != parent_abs:
-        raise ValueError(
-            f"{child_dir} is lineage-marked as a child of {lin}, not "
-            f"{parent_abs} — re-pointing a child would mix version "
-            "spaces; build a fresh child dir"
-        )
+        if applied:
+            raise ValueError(
+                f"{child_dir} is lineage-marked as a child of {lin}, "
+                f"not {parent_abs} — re-pointing a child would mix "
+                "version spaces; build a fresh child dir"
+            )
+        # Marker exists but NOTHING was ever applied: the first tick
+        # under the old parent failed (NULL child keys, OCC loss)
+        # before any merge committed. The dir is empty of state, so
+        # binding it permanently to the dead parent would brick it —
+        # re-point instead (r7 ADVICE, ivm.py:349).
+        _write_lineage(child_dir, parent_abs)
     if lin is None:
         _write_lineage(child_dir, parent_abs)
     child_cols = list(key_exprs)

@@ -66,6 +66,40 @@ class ChildRollupDef:
     key_exprs: dict[str, str]
 
 
+def _topo_children(
+    children: list[ChildRollupDef] | None,
+) -> list[ChildRollupDef]:
+    """Order children so every parent_dir that is ITSELF a declared
+    child ticks before its dependents — declaration order is not a
+    contract the caller should have to get right, and a mis-ordered
+    list would silently leave each downstream hop one micro-batch
+    stale (r7 ADVICE, ivm_stream.py:123). Kahn's algorithm over the
+    (parent_dir → child_dir) edges; a cycle (a dir that is its own
+    transitive parent) is a configuration error and raises."""
+    import os as _os
+
+    if not children:
+        return []
+    by_dir = {_os.path.abspath(c.child_dir): c for c in children}
+    if len(by_dir) != len(children):
+        raise ValueError("duplicate child_dir in children")
+    remaining = dict(by_dir)
+    ordered: list[ChildRollupDef] = []
+    while remaining:
+        ready = [
+            d for d, c in remaining.items()
+            if _os.path.abspath(c.parent_dir) not in remaining
+        ]
+        if not ready:
+            raise ValueError(
+                "children contain a parent/child cycle: "
+                + ", ".join(sorted(remaining))
+            )
+        for d in ready:
+            ordered.append(remaining.pop(d))
+    return ordered
+
+
 def run_stream_ivm(
     spark: SparkSession,
     events_dir: str,
@@ -88,6 +122,7 @@ def run_stream_ivm(
     committed = set(SN.committed_ops(source_dir)) if (
         SN.current_version(source_dir) is not None
     ) else set()
+    chain_order = _topo_children(children)
     ticks: list[dict] = []
     batches = {"n": 0, "rows": 0}
 
@@ -118,9 +153,9 @@ def run_stream_ivm(
             tick[r.rollup_dir] = out["mode"]
         # children AFTER parents: each hop consumes the CDC the hop
         # below just committed, so one batch advances the whole
-        # lattice (in declaration order — declare grandchildren
-        # after their parents)
-        for c in children or []:
+        # lattice (topologically ordered — declaration order is
+        # not load-bearing)
+        for c in chain_order:
             out = ivm.maintain_rollup_from_rollup(
                 spark, c.parent_dir, c.child_dir, c.key_exprs
             )
@@ -180,7 +215,7 @@ def replay_batch(
         ivm.maintain_rollup_from_rollup(
             spark, c.parent_dir, c.child_dir, c.key_exprs
         )["mode"]
-        for c in (children or [])
+        for c in _topo_children(children)
     ]
     return {
         "merged": merged,

@@ -392,11 +392,12 @@ def test_sql_cache_misses_after_snapshot_reregistration(engine, spark, tmp_path)
     assert prev["Rows"][1]["Data"][0]["VarCharValue"] == "3"
 
 
-def test_broken_snapshot_registration_fails_closed_not_500(spark, tmp_path):
-    """r7 code review: a registered table whose current manifest
-    lists zero files must surface as a QueryValidationError (400)
-    naming the table — not an uncaught ValueError that kills every
-    /sql request."""
+def test_broken_snapshot_registration_only_breaks_its_own_view(spark, tmp_path):
+    """r7 ADVICE (engine.py:567): a registered table whose current
+    manifest is unreadable must not fail /sql statements that never
+    reference it — its snap_ view is dropped so only statements
+    binding it fail (400 at analysis), and the break joins the view
+    fingerprint so cached results cannot straddle a repair."""
     import pytest as _pytest
 
     from ensembl_lakehouse_spark import snapshots as SN
@@ -410,8 +411,12 @@ def test_broken_snapshot_registration_fails_closed_not_500(spark, tmp_path):
         )
         eng.register_snapshot_table("brk", tdir)
         SN._commit(tdir, [], "truncate", None, 0, {}, {})  # empty v1
-        with _pytest.raises(QueryValidationError, match="'brk'"):
-            eng.submit_sql("SELECT 1 AS one")
+        # statements that never touch the broken view run fine
+        out = eng.submit_sql("SELECT 1 AS one")
+        eng.registry.wait(out["query_id"], timeout=60)
+        # statements binding the dropped view fail at analysis (400)
+        with _pytest.raises(QueryValidationError, match="does not bind"):
+            eng.submit_sql("SELECT COUNT(*) AS n FROM snap_brk")
         # a PINNED read of the healthy version still works
         out = eng.submit_sql(
             "SELECT COUNT(*) AS n FROM snap_brk", "brk:0"
@@ -420,5 +425,40 @@ def test_broken_snapshot_registration_fails_closed_not_500(spark, tmp_path):
         # and a bad pin blames snap_versions explicitly
         with _pytest.raises(QueryValidationError, match="snap_versions"):
             eng.submit_sql("SELECT 1 AS one", "brk:99")
+    finally:
+        eng.close()
+
+
+def test_snap_versions_rejects_pin_past_published(spark, tmp_path):
+    """r7 ADVICE (medium, engine.py:247): when a publish pointer
+    exists, snap_versions pins beyond it are refused — a staged
+    (written-not-yet-published) version must not leak through /sql
+    any more than through /aggregate. Historical pins at or below
+    the pointer stay valid."""
+    import pytest as _pytest
+
+    from ensembl_lakehouse_spark import snapshots as SN
+    from ensembl_lakehouse_spark.engine import Engine, QueryValidationError
+
+    eng = Engine(spark, work_dir=str(tmp_path / "work"))
+    try:
+        tdir = str(tmp_path / "tbl")
+        SN.write_snapshot(
+            tdir, spark.createDataFrame([(1,)], ["k"]).coalesce(1)
+        )
+        SN.publish_snapshot(tdir)  # published = v0
+        SN.merge_snapshot(  # v1: staged, beyond the pointer
+            spark, tdir, spark.createDataFrame([(2,)], ["k"]), key="k"
+        )
+        eng.register_snapshot_table("fence", tdir)
+        # pin at the published version is fine
+        out = eng.submit_sql(
+            "SELECT COUNT(*) AS n FROM snap_fence", "fence:0"
+        )
+        eng.registry.wait(out["query_id"], timeout=60)
+        # pin past it is a 400 naming the fence — even for a
+        # statement that never reads the table (fail at validation)
+        with _pytest.raises(QueryValidationError, match="published"):
+            eng.submit_sql("SELECT 1 AS one", "fence:1")
     finally:
         eng.close()

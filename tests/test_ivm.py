@@ -333,3 +333,76 @@ def test_hierarchical_rollup_rejects_null_child_keys(spark, tmp_path):
             spark, daily, weekly,
             {"week": "CASE WHEN day > 99 THEN day END", "t": "t"},
         )
+
+
+def test_failed_first_tick_does_not_brick_child_dir(spark, tmp_path):
+    """r7 ADVICE (ivm.py:349): a _lineage marker written for a first
+    tick that never committed must not permanently bind the dir.
+    With zero applied stamps, re-pointing at another parent works;
+    once a tick HAS applied, re-pointing is refused again."""
+    src = str(tmp_path / "src")
+    daily = str(tmp_path / "daily")
+    hourly = str(tmp_path / "hourly")
+    weekly = str(tmp_path / "weekly")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(1, 3, "a", 1), (2, 8, "b", 2)], ["k", "day", "t", "v"]
+        ),
+    )
+    ivm.maintain_rollup(spark, src, daily, ["day", "t"], "v")
+    ivm.maintain_rollup(spark, src, hourly, ["t"], "v")
+    with pytest.raises(ValueError, match="non-NULL"):
+        ivm.maintain_rollup_from_rollup(
+            spark, daily, weekly,
+            {"week": "CASE WHEN day > 99 THEN day END", "t": "t"},
+        )
+    # the failure left a marker but nothing applied
+    assert ivm.rollup_lineage(weekly) is not None
+    assert ivm._applied_versions(weekly) == []
+    # re-pointing at a different parent is allowed and works
+    out = ivm.maintain_rollup_from_rollup(spark, hourly, weekly, {"t": "t"})
+    assert out["mode"] == "full"
+    assert _view_t(spark, weekly) == {("a",): (1, 1), ("b",): (1, 2)}
+    # with state applied, re-pointing is refused again
+    with pytest.raises(ValueError, match="lineage-marked"):
+        ivm.maintain_rollup_from_rollup(
+            spark, daily, weekly, {"week": "day DIV 7", "t": "t"}
+        )
+
+
+def test_failed_first_tick_allows_direct_reclaim(spark, tmp_path):
+    """Companion to the re-point case: with zero applied stamps a
+    dangling-marker dir may be reclaimed for DIRECT base-fed
+    maintenance (the marker is removed); with stamps it stays
+    refused."""
+    src = str(tmp_path / "src")
+    daily = str(tmp_path / "daily")
+    weekly = str(tmp_path / "weekly")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame([(1, 3, "a", 1)], ["k", "day", "t", "v"]),
+    )
+    ivm.maintain_rollup(spark, src, daily, ["day", "t"], "v")
+    with pytest.raises(ValueError, match="non-NULL"):
+        ivm.maintain_rollup_from_rollup(
+            spark, daily, weekly,
+            {"week": "CASE WHEN day > 99 THEN day END", "t": "t"},
+        )
+    out = ivm.maintain_rollup(spark, src, weekly, ["t"], "v")
+    assert out["mode"] == "full"
+    assert ivm.rollup_lineage(weekly) is None
+    assert _view_t(spark, weekly) == {("a",): (1, 1)}
+    # a child dir WITH applied hierarchical stamps still refuses
+    # direct maintenance
+    wk2 = str(tmp_path / "weekly2")
+    ivm.maintain_rollup_from_rollup(spark, daily, wk2, {"t": "t"})
+    with pytest.raises(ValueError, match="PARENT"):
+        ivm.maintain_rollup(spark, src, wk2, ["t"], "v")
+
+
+def _view_t(spark, rollup):
+    return {
+        (r.t,): (r.n_rows, r.sum_val)
+        for r in ivm.read_rollup(spark, rollup).collect()
+    }

@@ -197,3 +197,60 @@ def test_stream_chain_advances_hierarchical_children(
     assert rep["merged"] is False
     assert rep["modes"] == ["noop", "noop"]
     assert rep["version_before"] == rep["version_after"]
+
+
+def test_misordered_children_are_topologically_sorted(
+    spark, tmp_path_factory
+):
+    """r7 ADVICE (ivm_stream.py:123): a grandchild declared BEFORE
+    its parent child must still tick after it — otherwise every
+    downstream hop ends the run one micro-batch stale with no
+    error. The chain here is source → by_type (rollup) → mid
+    (child) → leaf (grandchild), declared [leaf, mid]."""
+    base = tmp_path_factory.mktemp("ivm_stream_topo")
+    # private events dir: 3 files → 3 batches; a stale leaf would
+    # miss batch 3's rows entirely
+    load_events_batch(spark, f"{SF_DIR}/events.parquet").limit(
+        300
+    ).repartition(3).write.mode("overwrite").parquet(str(base / "files"))
+    events_dir = str(base / "files")
+    src = str(base / "source")
+    parent = IS.RollupDef(str(base / "by_type"), ("event_type",), "value")
+    mid = IS.ChildRollupDef(
+        parent.rollup_dir, str(base / "mid"), {"event_type": "event_type"}
+    )
+    leaf = IS.ChildRollupDef(
+        mid.child_dir, str(base / "leaf"), {"event_type": "event_type"}
+    )
+    out = IS.run_stream_ivm(
+        spark, events_dir, src, [parent],
+        max_files_per_trigger=1, checkpoint_dir=str(base / "ckpt"),
+        children=[leaf, mid],  # MIS-ORDERED on purpose
+    )
+    assert out["n_batches"] == 3
+    truth = {
+        r.event_type: (r.n, r.s)
+        for r in load_events_batch(spark, events_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("bigint")).alias("s"),
+        )
+        .collect()
+    }
+    for d in (mid.child_dir, leaf.child_dir):
+        got = {
+            r.event_type: (r.n_rows, r.sum_val)
+            for r in ivm.read_rollup(spark, d).collect()
+        }
+        assert got == truth, d
+
+
+def test_child_cycle_is_refused(tmp_path):
+    a = IS.ChildRollupDef(str(tmp_path / "y"), str(tmp_path / "x"), {"k": "k"})
+    b = IS.ChildRollupDef(str(tmp_path / "x"), str(tmp_path / "y"), {"k": "k"})
+    with pytest.raises(ValueError, match="cycle"):
+        IS._topo_children([a, b])
+    # duplicate child dirs are a configuration error too
+    with pytest.raises(ValueError, match="duplicate"):
+        IS._topo_children([a, a])
