@@ -45,7 +45,7 @@ import shutil
 import threading
 import time
 import uuid
-from collections import defaultdict
+from collections import OrderedDict, defaultdict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -92,9 +92,118 @@ def current_version(table_dir: str) -> int | None:
         return None
 
 
-def _read_manifest(table_dir: str, version: int) -> dict:
+#: Commits between FULL manifest checkpoints. In between, a commit
+#: stores only its DELTA against the parent (files added/removed +
+#: per-file metadata set/unset), so the durable commit payload is
+#: O(files touched + 1/INTERVAL · total files) instead of O(total
+#: files) — the Delta-checkpoint / Iceberg-manifest-list move. At
+#: 10⁶ files and frequent streaming commits the full-list-per-commit
+#: write IS the bottleneck; with deltas a reader resolves at most one
+#: checkpoint + INTERVAL-1 deltas (and the resolve cache makes the
+#: amortized cost one apply per new version).
+CHECKPOINT_INTERVAL = 25
+
+#: Resolved-manifest LRU: manifests are immutable once committed
+#: (vacuum may REWRITE a kept delta as an equivalent checkpoint, and
+#: tmp dirs can be recreated across tests), so entries key on the
+#: raw file's (mtime_ns, size) and never go stale — a rewritten or
+#: recreated path simply misses.
+_RESOLVE_CACHE: OrderedDict[tuple, dict] = OrderedDict()
+_RESOLVE_CACHE_MAX = 64
+_RESOLVE_CACHE_LOCK = threading.Lock()
+
+
+def _raw_manifest(table_dir: str, version: int) -> dict:
+    """The stored form — full checkpoint or delta — WITHOUT
+    resolution. Only the commit path (chain-length bookkeeping) and
+    vacuum (re-checkpointing) care about the distinction."""
     with open(os.path.join(_manifest_dir(table_dir), f"v{version}.json")) as f:
         return json.load(f)
+
+
+_MAP_FIELDS = ("stats", "blooms", "rowcounts")
+
+
+def _apply_delta(parent: dict, raw: dict) -> dict:
+    """Resolve a delta manifest against its RESOLVED parent into the
+    self-contained form every consumer sees. Exact by construction:
+    the encoder diffs the fully-built manifest field-wise, so apply ∘
+    encode is the identity on (files, stats, blooms, rowcounts)."""
+    files = (
+        set(parent["files"]) - set(raw["files_remove"])
+    ) | set(raw["files_add"])
+    out = {
+        "version": raw["version"],
+        "parent": raw["parent"],
+        "op": raw["op"],
+        "files": sorted(files),
+        "committed_at": raw["committed_at"],
+        "chain": raw["chain"],
+    }
+    for name in _MAP_FIELDS:
+        dels = set(raw[f"{name}_del"])
+        merged = {
+            k: v
+            for k, v in (parent.get(name) or {}).items()
+            if k not in dels
+        }
+        merged.update(raw[f"{name}_set"])
+        out[name] = merged
+    return out
+
+
+def _encode_delta(parent: dict, full: dict) -> dict:
+    """Diff a fully-built (JSON-normalized) manifest against its
+    resolved parent. CPU is O(total files) in memory — unavoidable
+    while callers hand _commit the complete file list — but the
+    DURABLE payload (the fsync/conditional-PUT that serializes every
+    commit) shrinks to O(files touched), which is the cost that
+    matters on an object store."""
+    pf, nf = set(parent["files"]), set(full["files"])
+    out = {
+        "kind": "delta",
+        "version": full["version"],
+        "parent": full["parent"],
+        "op": full["op"],
+        "committed_at": full["committed_at"],
+        "chain": full["chain"],
+        "files_add": sorted(nf - pf),
+        "files_remove": sorted(pf - nf),
+    }
+    missing = object()
+    for name in _MAP_FIELDS:
+        pm = parent.get(name) or {}
+        nm = full.get(name) or {}
+        out[f"{name}_set"] = {
+            k: v for k, v in nm.items() if pm.get(k, missing) != v
+        }
+        out[f"{name}_del"] = sorted(k for k in pm if k not in nm)
+    return out
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    """The RESOLVED (self-contained) manifest of a version. Callers
+    must treat the result as immutable — it is shared via the
+    resolve cache."""
+    path = os.path.join(_manifest_dir(table_dir), f"v{version}.json")
+    st = os.stat(path)
+    key = (os.path.abspath(table_dir), version, st.st_mtime_ns, st.st_size)
+    with _RESOLVE_CACHE_LOCK:
+        cached = _RESOLVE_CACHE.get(key)
+        if cached is not None:
+            _RESOLVE_CACHE.move_to_end(key)
+            return cached
+    with open(path) as f:
+        raw = json.load(f)
+    if raw.get("kind") == "delta":
+        resolved = _apply_delta(_read_manifest(table_dir, raw["parent"]), raw)
+    else:
+        resolved = raw
+    with _RESOLVE_CACHE_LOCK:
+        _RESOLVE_CACHE[key] = resolved
+        while len(_RESOLVE_CACHE) > _RESOLVE_CACHE_MAX:
+            _RESOLVE_CACHE.popitem(last=False)
+    return resolved
 
 
 #: Committed manifests only — a crash between the tmp write and the
@@ -119,7 +228,9 @@ def history(table_dir: str) -> list[dict]:
         return out
     mdir = _manifest_dir(table_dir)
     for name in _manifest_names(mdir):
-        m = json.loads(open(os.path.join(mdir, name)).read())
+        # resolved, not raw: a delta manifest stores only the files
+        # it touched, but history reports the version's full width
+        m = _read_manifest(table_dir, int(_MANIFEST_RE.match(name).group(1)))
         out.append(
             {
                 "version": m["version"],
@@ -233,11 +344,8 @@ def _commit_locked(
     # records counts without threading a parameter through each. A
     # file covered by neither is simply absent (table_rowcount then
     # reports unknown rather than a wrong number).
-    prev_counts = (
-        _read_manifest(table_dir, now_cur).get("rowcounts", {})
-        if now_cur is not None
-        else {}
-    )
+    parent_m = _read_manifest(table_dir, now_cur) if now_cur is not None else None
+    prev_counts = parent_m.get("rowcounts", {}) if parent_m else {}
     fresh_counts = fresh_counts or {}
     rowcounts: dict[str, int] = {}
     for rel in files:
@@ -264,11 +372,23 @@ def _commit_locked(
         # per-file row counts (subset of "files"; see above)
         "rowcounts": rowcounts,
         "committed_at": time.time(),
+        # distance to the nearest full checkpoint (0 = this IS one);
+        # bounds both resolution depth and the vacuum rewrite set
+        "chain": 0,
     }
+    # JSON-normalize BEFORE diffing/caching so tuples-vs-lists and
+    # other round-trip differences can never make a delta resolve to
+    # something other than what a full write would have stored.
+    manifest = json.loads(json.dumps(manifest))
+    if parent_m is not None and parent_m.get("chain", 0) + 1 < CHECKPOINT_INTERVAL:
+        manifest["chain"] = parent_m.get("chain", 0) + 1
+        payload = _encode_delta(parent_m, manifest)
+    else:
+        payload = manifest
     mpath = os.path.join(_manifest_dir(table_dir), f"v{version}.json")
     tmp = mpath + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
+        json.dump(payload, f)
     os.replace(tmp, mpath)
     ptmp = _pointer_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
     with open(ptmp, "w") as f:
@@ -1452,6 +1572,14 @@ def committed_op_records(table_dir: str) -> list[tuple[int, str]]:
                     rec = json.loads(line)
                 except ValueError:
                     continue  # torn tail from a crashed append
+                if rec.get("compacted"):
+                    # compact_txns folds an old prefix into one
+                    # summary record; its entries keep application
+                    # order (last occurrence per op)
+                    for v, op in rec["records"]:
+                        logged.append((v, op))
+                        seen.add(v)
+                    continue
                 logged.append((rec["version"], rec["op"]))
                 seen.add(rec["version"])
     unlogged = sorted(
@@ -1491,6 +1619,103 @@ def committed_ops(table_dir: str) -> list[str]:
             committed_op_records(table_dir), key=lambda t: t[0]
         )
     ]
+
+
+def compact_txns(
+    table_dir: str, keep_stamps_since: int | None = None
+) -> dict:
+    """Compact the append-only ``_txns`` op-stamp log, which grows
+    one record per commit FOREVER by design (retention-independent
+    exactly-once). Explicit maintenance like ``vacuum``; the default
+    mode is loss-free:
+
+    - The maximal PREFIX of records whose versions all predate the
+      oldest retained manifest is folded into one summary record,
+      deduplicated by op string keeping the LAST occurrence — set
+      membership (the exactly-once check) and relative order (what
+      ivm's last-applied logic reads) are both preserved exactly,
+      so a replayed pre-retention batch still reads as done. What
+      shrinks: repeated generic ops ("merge" × N → 1) and the
+      per-line JSON overhead.
+    - Records at or after the first still-retained version are kept
+      verbatim — folding across them could reorder around a
+      rollback's non-monotone versions.
+    - ``keep_stamps_since`` additionally DROPS folded records with
+      version < that horizon. This is the operator-asserted bound
+      ("no replay reaches back past v{N}" — e.g. the streaming
+      checkpoint can only redeliver its last batch); without it the
+      distinct-stamp set is retained forever, as the exactly-once
+      contract requires.
+
+    Atomic (tmp + os.replace) under the table lock, so a racing
+    commit either appends before the snapshot read or after the
+    swap — never into the torn middle. Idempotent: a second pass
+    with the same arguments is a byte-level no-op."""
+    txns = _txns_path(table_dir)
+    with _table_lock(table_dir):
+        if not os.path.exists(txns):
+            return {"before": 0, "after": 0, "dropped_stamps": 0}
+        records: list[tuple[int, str]] = []
+        with open(txns) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("compacted"):
+                    records.extend((v, op) for v, op in rec["records"])
+                else:
+                    records.append((rec["version"], rec["op"]))
+        before = len(records)
+        mdir = _manifest_dir(table_dir)
+        retained = (
+            {
+                int(_MANIFEST_RE.match(n).group(1))
+                for n in _manifest_names(mdir)
+            }
+            if os.path.isdir(mdir)
+            else set()
+        )
+        oldest = min(retained) if retained else None
+        cut = 0
+        if oldest is not None:
+            while cut < len(records) and records[cut][0] < oldest:
+                cut += 1
+        prefix, tail = records[:cut], records[cut:]
+        dropped = 0
+        if keep_stamps_since is not None:
+            kept_prefix = [
+                r for r in prefix if r[0] >= keep_stamps_since
+            ]
+            dropped = len(prefix) - len(kept_prefix)
+            prefix = kept_prefix
+        # dedup by op, keeping the LAST occurrence (a subsequence of
+        # the original order, so last-applied consumers see the same
+        # final state)
+        last_pos = {op: i for i, (_, op) in enumerate(prefix)}
+        folded = [
+            [v, op]
+            for i, (v, op) in enumerate(prefix)
+            if last_pos[op] == i
+        ]
+        tmp = txns + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            if folded:
+                f.write(
+                    json.dumps({"compacted": True, "records": folded})
+                    + "\n"
+                )
+            for v, op in tail:
+                f.write(json.dumps({"version": v, "op": op}) + "\n")
+        os.replace(tmp, txns)
+        return {
+            "before": before,
+            "after": len(folded) + len(tail),
+            "dropped_stamps": dropped,
+        }
 
 
 def compact(
@@ -1899,6 +2124,24 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     if cur is None:
         return []
     plan = vacuum_plan(table_dir, keep_versions)
+    # Re-checkpoint BEFORE dropping: a kept manifest stored as a
+    # delta resolves through ancestors this pass is about to delete,
+    # so each kept delta is first rewritten in place as its resolved
+    # full form (identical content, chain reset to 0 — the same
+    # atomic tmp+replace as a commit). Under the table lock so a
+    # racing commit can't chain a new delta onto a version mid-swap.
+    with _table_lock(table_dir):
+        for v in plan["kept"]:
+            raw = _raw_manifest(table_dir, v)
+            if raw.get("kind") != "delta":
+                continue
+            full = dict(_read_manifest(table_dir, v))
+            full["chain"] = 0
+            mpath = os.path.join(_manifest_dir(table_dir), f"v{v}.json")
+            tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(full, f)
+            os.replace(tmp, mpath)
     removed = []
     for rel in plan["drop_dirs"]:
         shutil.rmtree(os.path.join(table_dir, rel))

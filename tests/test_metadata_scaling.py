@@ -1,0 +1,231 @@
+"""Snapshot METADATA must scale like the data does (r7 VERDICT #2):
+
+- Commits between checkpoints store delta manifests (files added/
+  removed + per-file metadata set/unset), so the durable payload per
+  commit is O(files touched), not O(total files) — pinned here on a
+  1,000-commit synthetic table.
+- Delta resolution is exact: every version resolves to byte-identical
+  metadata whether stored as a chain of deltas or as full manifests.
+- vacuum re-checkpoints kept deltas before dropping their ancestors,
+  so retention never strands an unresolvable manifest.
+- compact_txns bounds the retention-independent ``_txns`` log while
+  preserving the exactly-once membership and ivm's last-applied
+  order — model-checked over random schedules with hypothesis.
+
+Spark is deliberately NOT in the loop (same rationale as
+test_snapshots_property.py): manifests and the _txns log are pure
+metadata, so hypothesis can run hundreds of schedules in seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ensembl_lakehouse_spark import snapshots as S
+
+
+def _commit_files(tdir, files, op="append", stats=None, blooms=None):
+    cur = S.current_version(tdir)
+    return S._commit(tdir, files, op, None, cur, stats or {}, blooms or {})
+
+
+def _manifest_size(tdir, v):
+    return os.path.getsize(
+        os.path.join(tdir, "_manifests", f"v{v}.json")
+    )
+
+
+def test_commit_payload_is_o_files_touched(tmp_path):
+    """1,000 commits each adding ONE file to an ever-growing table:
+    delta manifests stay O(1) regardless of the accumulated file
+    count, checkpoints land every CHECKPOINT_INTERVAL commits, and
+    every sampled version resolves to exactly the model's prefix."""
+    tdir = str(tmp_path / "tbl")
+    n = 1000
+    files: list[str] = []
+    stats: dict = {}
+    for i in range(n):
+        rel = f"data/v{i}/part-{i}.parquet"
+        files.append(rel)
+        stats[rel] = {"k": [i, i]}
+        v = _commit_files(tdir, list(files), stats=dict(stats))
+        assert v == i
+    # checkpoint cadence: v0 full, then every INTERVAL-th commit
+    fulls = [
+        v for v in range(n)
+        if S._raw_manifest(tdir, v).get("kind") != "delta"
+    ]
+    assert fulls == list(range(0, n, S.CHECKPOINT_INTERVAL))
+    # a late delta is no bigger than an early one: payload tracks
+    # files TOUCHED (one), not files accumulated (hundreds)
+    late = _manifest_size(tdir, n - 2)  # delta (n-1 could be too)
+    early = _manifest_size(tdir, 30)
+    assert S._raw_manifest(tdir, n - 2).get("kind") == "delta"
+    assert late < 3 * early
+    # while a full manifest of the same era is ~two orders bigger
+    assert _manifest_size(tdir, 975) > 20 * late
+    # resolution is exact at arbitrary depths into the chain
+    for v in (0, 24, 25, 26, 499, 733, n - 1):
+        m = S._read_manifest(tdir, v)
+        assert m["files"] == sorted(
+            f"data/v{i}/part-{i}.parquet" for i in range(v + 1)
+        )
+        assert m["stats"][f"data/v{v}/part-{v}.parquet"] == {"k": [v, v]}
+        assert m["version"] == v and m["op"] == "append"
+
+
+def test_delta_resolution_equals_full_write(tmp_path, monkeypatch):
+    """The same mixed schedule (adds, removes, metadata loss, an
+    everything-changes overwrite) committed twice — once with deltas,
+    once with CHECKPOINT_INTERVAL=1 (every manifest full) — resolves
+    identically at EVERY version, modulo the commit timestamp and
+    chain counter."""
+    schedule = []
+    files: list[str] = []
+    for i in range(40):
+        if i % 7 == 3 and files:
+            files = files[len(files) // 2:]  # drop the older half
+        if i % 11 == 5:
+            files = [f"data/ow{i}/p.parquet"]  # overwrite-everything
+        else:
+            files = files + [f"data/v{i}/p.parquet"]
+        # metadata: even commits record stats for all, odd commits
+        # LOSE stats for one carried file (the pre-feature shape)
+        stats = {f: {"k": [i, i]} for f in files}
+        if i % 2 and len(files) > 1:
+            stats.pop(files[0])
+        schedule.append((list(files), dict(stats)))
+
+    def run(tdir):
+        for fl, stt in schedule:
+            _commit_files(tdir, fl, stats=stt)
+        return [
+            S._read_manifest(tdir, v) for v in range(len(schedule))
+        ]
+
+    a = run(str(tmp_path / "delta"))
+    monkeypatch.setattr(S, "CHECKPOINT_INTERVAL", 1)
+    b = run(str(tmp_path / "full"))
+
+    def norm(m):
+        m = dict(m)
+        m.pop("committed_at")
+        m.pop("chain", None)
+        m.pop("kind", None)
+        return m
+
+    assert [norm(m) for m in a] == [norm(m) for m in b]
+
+
+def test_vacuum_recheckpoints_kept_deltas(tmp_path):
+    """vacuum must rewrite kept delta manifests as full checkpoints
+    BEFORE dropping the ancestors they resolve through — retention
+    can never strand an unreadable version."""
+    tdir = str(tmp_path / "tbl")
+    files: list[str] = []
+    for i in range(10):
+        files.append(f"data/v{i}/part.parquet")
+        _commit_files(tdir, list(files))
+    assert S._raw_manifest(tdir, 9).get("kind") == "delta"
+    S.vacuum(tdir, keep_versions=2)
+    present = sorted(
+        int(n[1:-5])
+        for n in os.listdir(os.path.join(tdir, "_manifests"))
+        if n.endswith(".json")
+    )
+    assert present == [8, 9]
+    for v in present:
+        assert S._raw_manifest(tdir, v).get("kind") != "delta"
+        assert S._read_manifest(tdir, v)["files"] == sorted(
+            f"data/v{i}/part.parquet" for i in range(v + 1)
+        )
+    # the chain restarts cleanly from the rewritten checkpoint
+    files.append("data/v10/part.parquet")
+    v = _commit_files(tdir, list(files))
+    assert S._raw_manifest(tdir, v).get("kind") == "delta"
+    assert len(S._read_manifest(tdir, v)["files"]) == 11
+
+
+# --- _txns compaction -------------------------------------------------
+
+_op_strategy = st.one_of(
+    st.just("merge"),
+    st.just("append"),
+    st.builds(lambda i: f"ingest:batch{i}", st.integers(0, 6)),
+    st.builds(lambda i: f"ivm:src_v{i}", st.integers(0, 6)),
+)
+
+
+def _last_occurrence_seq(records):
+    """The subsequence of last occurrences per op — the order- and
+    membership-carrying view every _txns consumer depends on
+    (committed_ops membership; ivm's last-applied stamp)."""
+    last = {}
+    for i, (_, op) in enumerate(records):
+        last[op] = i
+    return [r for i, r in enumerate(records) if last[r[1]] == i]
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(_op_strategy, min_size=1, max_size=20),
+    compact_at=st.sets(st.integers(0, 19), max_size=3),
+    keep=st.integers(1, 4),
+)
+def test_compact_txns_model_check(tmp_path_factory, ops, compact_at, keep):
+    """Any schedule of commits, vacuums, and loss-free compactions
+    preserves (1) committed_ops as a SET, and (2) the last-occurrence
+    subsequence of committed_op_records — i.e. exactly-once replays
+    and ivm's last-applied both read identically before and after."""
+    tdir = str(tmp_path_factory.mktemp("txns") / "tbl")
+    model: list[tuple[int, str]] = []
+    for i, op in enumerate(ops):
+        v = _commit_files(tdir, [f"data/v{i}/p.parquet"], op=op)
+        model.append((v, op))
+        if i in compact_at:
+            S.vacuum(tdir, keep_versions=keep)
+            S.compact_txns(tdir)
+            assert set(S.committed_ops(tdir)) == {op for _, op in model}
+            assert _last_occurrence_seq(
+                S.committed_op_records(tdir)
+            ) == _last_occurrence_seq(model)
+    # idempotent: a second pass is a byte-level no-op
+    S.compact_txns(tdir)
+    before = open(S._txns_path(tdir)).read()
+    S.compact_txns(tdir)
+    assert open(S._txns_path(tdir)).read() == before
+    assert set(S.committed_ops(tdir)) == {op for _, op in model}
+
+
+def test_compact_txns_bounds_log_and_keeps_exactly_once(tmp_path):
+    """300 stamped commits + aggressive vacuum: loss-free compaction
+    shrinks the log (dup generic ops fold away) while EVERY distinct
+    stamp stays a member — a replayed pre-retention batch is still a
+    no-op. The explicit keep_stamps_since horizon then drops old
+    stamps and reports how many."""
+    tdir = str(tmp_path / "tbl")
+    for i in range(300):
+        op = f"ingest:batch{i}" if i % 3 == 0 else "merge"
+        _commit_files(tdir, [f"data/v{i}/p.parquet"], op=op)
+    S.vacuum(tdir, keep_versions=2)
+    out = S.compact_txns(tdir)
+    assert out["before"] == 300 and out["dropped_stamps"] == 0
+    # 100 distinct stamps + 1 folded "merge" + 2 retained tail lines
+    assert out["after"] <= 104
+    ops = set(S.committed_ops(tdir))
+    assert all(f"ingest:batch{i}" in ops for i in range(0, 300, 3))
+    # operator-asserted replay horizon: stamps below it may go
+    out2 = S.compact_txns(tdir, keep_stamps_since=250)
+    assert out2["dropped_stamps"] > 0
+    remaining = set(S.committed_ops(tdir))
+    assert "ingest:batch0" not in remaining
+    assert "ingest:batch297" in remaining

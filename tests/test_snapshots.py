@@ -252,10 +252,15 @@ def test_data_skipping_prunes_files_and_matches_full_scan(spark, tdir):
     import json as _json, os as _os
 
     mpath = _os.path.join(tdir, "_manifests", f"v{S.current_version(tdir)}.json")
-    m = _json.load(open(mpath))
+    # rewrite the stored (possibly delta) form as a resolved FULL
+    # manifest without stats — the shape a pre-feature table left
+    m = dict(S._read_manifest(tdir, S.current_version(tdir)))
     m.pop("stats")
+    m["kind"] = "full"
+    m["chain"] = 0
     with open(mpath, "w") as f:
         _json.dump(m, f)
+    S._RESOLVE_CACHE.clear()
     keep3, total3 = S.files_for_range(tdir, "k", 100, 150)
     assert len(keep3) == total3
 
