@@ -596,14 +596,17 @@ class Engine:
         group_cols: list[str],
         sum_col: str,
         parent_dir: str | None = None,
+        kind: str = "sum",
     ) -> None:
         """Register a maintained rollup (ivm.maintain_rollup output)
         as a materialized view over a REGISTERED snapshot table, so
         /table/{name}/aggregate can rewrite matching aggregates to
         it (plans/rewrite.py). ``parent_dir`` marks a hierarchical
         child (ivm.maintain_rollup_from_rollup) whose freshness
-        composes through that parent rollup. Operator-side only,
-        like table registration."""
+        composes through that parent rollup. ``kind`` "minmax"/"hll"
+        marks an ivm.maintain_aux_rollup view (MIN/MAX or approx
+        COUNT(DISTINCT) answering; sum_col names the measured
+        column). Operator-side only, like table registration."""
         if table_name not in self._snapshot_tables:
             raise QueryValidationError(
                 f"unknown table {table_name!r}; register it first"
@@ -615,6 +618,7 @@ class Engine:
             group_cols,
             sum_col,
             parent_dir=parent_dir,
+            kind=kind,
         )
 
     def submit_table_aggregate(
@@ -670,31 +674,49 @@ class Engine:
             fn = fn.strip().lower()
             if fn == "count":
                 agg_spec[out] = ("count", "")
-            elif fn in ("sum", "avg") and col.strip():
+            elif fn in ("sum", "avg", "min", "max") and col.strip():
                 agg_spec[out] = (fn, col.strip())
+            elif (
+                fn in ("approx_distinct", "approx_count_distinct")
+                and col.strip()
+            ):
+                agg_spec[out] = ("approx_count_distinct", col.strip())
             else:
                 raise QueryValidationError(
-                    f"bad aggs item {item!r}: want out=count|out=sum:col|out=avg:col"
+                    f"bad aggs item {item!r}: want out=count|out=sum:col|"
+                    "out=avg:col|out=min:col|out=max:col|"
+                    "out=approx_distinct:col"
                 )
         if not agg_spec:
             raise QueryValidationError("aggs must name at least one measure")
         if freshness not in ("strict", "stale_ok"):
             raise QueryValidationError("freshness must be strict|stale_ok")
         filters: dict[str, list[str]] = {}
+        range_filters: dict[str, tuple[str, str]] = {}
         for item in (filter or "").split(","):
             item = item.strip()
             if not item:
                 continue
             if ":" not in item:
                 raise QueryValidationError(
-                    f"bad filter item {item!r}: want col:v1|v2"
+                    f"bad filter item {item!r}: want col:v1|v2 or col:lo..hi"
                 )
             col, _, vals = item.partition(":")
             col = col.strip()
+            if ".." in vals:
+                lo, _, hi = vals.partition("..")
+                lo, hi = lo.strip(), hi.strip()
+                if not col or not lo or not hi or "|" in vals:
+                    raise QueryValidationError(
+                        f"bad filter item {item!r}: want col:lo..hi "
+                        "(inclusive BETWEEN; no | inside a range)"
+                    )
+                range_filters[col] = (lo, hi)
+                continue
             vlist = [v for v in (s.strip() for s in vals.split("|")) if v]
             if not col or not vlist:
                 raise QueryValidationError(
-                    f"bad filter item {item!r}: want col:v1|v2"
+                    f"bad filter item {item!r}: want col:v1|v2 or col:lo..hi"
                 )
             filters[col] = vlist
         table_dir = self._snapshot_tables[name]
@@ -706,6 +728,7 @@ class Engine:
                 self.spark, self._rollups, table_dir, group_cols, agg_spec,
                 freshness=freshness,
                 filters=filters or None,
+                range_filters=range_filters or None,
                 version=pin_v,
             )
         except Exception as exc:  # unknown column etc. — analysis-time
@@ -727,6 +750,7 @@ class Engine:
             f"{','.join(group_cols)}\x1f"
             f"{sorted(agg_spec.items())!r}\x1f"
             f"{sorted(filters.items())!r}\x1f"
+            f"{sorted(range_filters.items())!r}\x1f"
             f"{freshness}\x1f{answered_by}"
         )
         query_id = self.registry.cached_query_id(cache_probe)

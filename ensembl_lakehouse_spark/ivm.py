@@ -398,3 +398,220 @@ def maintain_rollup_from_rollup(
         spark, child_dir, child_cols, src_v, rebuild, full_fn, delta_fn,
         "filter or coalesce the parent keys in key_exprs",
     )
+
+
+#: Measure recipes for ``maintain_aux_rollup``: aggregates that are
+#: self-maintainable under INSERTS (merge = least/greatest or HLL
+#: register-max union) but need a per-group recompute on DELETES —
+#: the classic IVM limitation, priced explicitly: groups a delete
+#: touched are re-aggregated from the base pinned at src_v via a
+#: group-key semi join (cost ∝ rows of changed groups, never a full
+#: rescan), while insert-only groups merge in O(changed groups).
+AUX_KINDS = ("minmax", "hll")
+
+
+def _aux_measures(kind: str, col: str) -> list:
+    if kind == "minmax":
+        return [
+            F.min(F.col(col)).alias("min_val"),
+            F.max(F.col(col)).alias("max_val"),
+        ]
+    # Spark's Apache-DataSketches HLL: deterministic and
+    # order-insensitive (register-wise max), so a sketch unioned
+    # from per-commit partials estimates IDENTICALLY to one built
+    # in a single pass over the same rows — what makes rollup ≡
+    # base pinnable even for the approximate measure.
+    return [F.hll_sketch_agg(F.col(col)).alias("hll")]
+
+
+def _aux_measure_cols(kind: str) -> list[str]:
+    return ["min_val", "max_val"] if kind == "minmax" else ["hll"]
+
+
+def maintain_aux_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    rollup_dir: str,
+    group_cols: list[str],
+    col: str,
+    kind: str = "minmax",
+    rebuild: bool = False,
+) -> dict:
+    """Maintain a per-group (n_rows, MIN/MAX | HLL-sketch) rollup —
+    the measures ``maintain_rollup``'s (count, sum) contract cannot
+    carry (module docstring: "MIN/MAX would need the per-group
+    re-scan on deletes"). This maintainer prices that re-scan
+    instead of refusing it:
+
+    - insert-only groups: merged in place (least/greatest of the
+      stored extreme and the inserted batch's; HLL union) — no base
+      read at all.
+    - groups with any delete (updates arrive as delete+insert in
+      the full-row diff): exact re-aggregate of JUST those groups
+      from the base pinned at src_v (semi join on group keys —
+      partition-prunable when the table clusters on them); groups
+      that vanished entirely become tombstones (n_rows=0, NULL
+      measures), filtered by ``read_aux_rollup``.
+
+    Protocol identical to ``_tick`` (same ``ivm:src_v{V}`` stamps —
+    replay no-op, rollback-safe log order, OCC fence, vacuumed
+    history → rebuild); kept separate because the merge algebra is
+    absolute-state, not additive. ``kind``: "minmax" stores
+    (min_val, max_val) in the column's natural type; "hll" stores
+    one Apache-DataSketches HLL binary per group
+    (plans/rewrite.py answers approx COUNT(DISTINCT) from it)."""
+    if kind not in AUX_KINDS:
+        raise ValueError(f"kind must be one of {AUX_KINDS}, got {kind!r}")
+    src_v = SN.current_version(source_dir)
+    if src_v is None:
+        raise FileNotFoundError(f"no committed snapshot in {source_dir}")
+    if rollup_lineage(rollup_dir) is not None:
+        raise ValueError(
+            f"{rollup_dir} is lineage-marked as a hierarchical child — "
+            "aux rollups are base-fed only"
+        )
+    stamp = _STAMP.format(v=src_v)
+    applied = _applied_versions(rollup_dir)
+    target_v = SN.current_version(rollup_dir)
+    hint = "filter or coalesce NULL group keys before rolling up"
+    mcols = _aux_measure_cols(kind)
+
+    def full_state():
+        return (
+            SN.read_snapshot(spark, source_dir, version=src_v)
+            .groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                *_aux_measures(kind, col),
+            )
+        )
+
+    if not rebuild and applied and applied[-1] == src_v:
+        return {"applied": None, "mode": "noop"}
+
+    if not applied:
+        full = full_state()
+        _reject_null_group_keys(full, group_cols, hint)
+        SN.merge_snapshot(
+            spark, rollup_dir, full, key=group_cols, op=stamp,
+            expect_version=target_v,
+        )
+        return {"applied": src_v, "mode": "full"}
+
+    def _rebuild():
+        full = full_state()
+        _reject_null_group_keys(full, group_cols, hint)
+        current = SN.read_snapshot(spark, rollup_dir)
+        gone = current.join(
+            full, on=group_cols, how="left_anti"
+        ).select(
+            *group_cols,
+            F.lit(0).cast("bigint").alias("n_rows"),
+            *[
+                F.lit(None).cast(t).alias(c)
+                for c, t in full.select(*mcols).dtypes
+            ],
+        )
+        SN.merge_snapshot(
+            spark, rollup_dir, full.unionByName(gone), key=group_cols,
+            op=stamp, expect_version=target_v,
+        )
+        return {"applied": src_v, "mode": "rebuild"}
+
+    if rebuild:
+        return _rebuild()
+    try:
+        diff = SN.snapshot_diff(spark, source_dir, applied[-1], src_v)
+    except FileNotFoundError:
+        return _rebuild()
+    ins = F.col("_change") == "insert"
+    per_group = (
+        diff.select(*group_cols, col, "_change")
+        .groupBy(*group_cols)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(ins, 1).otherwise(-1)), F.lit(0)
+            ).cast("bigint").alias("d_rows"),
+            F.max((~ins).cast("int")).alias("has_del"),
+            *(
+                [
+                    F.min(F.when(ins, F.col(col))).alias("ins_min"),
+                    F.max(F.when(ins, F.col(col))).alias("ins_max"),
+                ]
+                if kind == "minmax"
+                else [
+                    F.hll_sketch_agg(
+                        F.when(ins, F.col(col))
+                    ).alias("ins_hll")
+                ]
+            ),
+        )
+    )
+    _reject_null_group_keys(per_group, group_cols, hint)
+    # shared by the del-recompute AND the ins-merge below; localCheckpoint
+    # would be overkill for a per-commit delta — persist suffices
+    per_group.persist()
+    try:
+        del_keys = per_group.where("has_del = 1").select(*group_cols)
+        recomputed = (
+            SN.read_snapshot(spark, source_dir, version=src_v)
+            .join(del_keys, on=group_cols, how="leftsemi")
+            .groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                *_aux_measures(kind, col),
+            )
+        )
+        gone = del_keys.join(
+            recomputed, on=group_cols, how="left_anti"
+        ).select(
+            *group_cols,
+            F.lit(0).cast("bigint").alias("n_rows"),
+            *[
+                F.lit(None).cast(t).alias(c)
+                for c, t in recomputed.select(*mcols).dtypes
+            ],
+        )
+        current = SN.read_snapshot(spark, rollup_dir)
+        ins_groups = per_group.where("has_del = 0")
+        if kind == "minmax":
+            merged_measures = [
+                F.least(F.col("min_val"), F.col("ins_min")).alias("min_val"),
+                F.greatest(
+                    F.col("max_val"), F.col("ins_max")
+                ).alias("max_val"),
+            ]
+        else:
+            merged_measures = [
+                F.when(
+                    F.col("hll").isNull(), F.col("ins_hll")
+                )
+                .when(F.col("ins_hll").isNull(), F.col("hll"))
+                .otherwise(F.hll_union(F.col("hll"), F.col("ins_hll")))
+                .alias("hll")
+            ]
+        merged = ins_groups.join(current, on=group_cols, how="left").select(
+            *group_cols,
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")
+            ).cast("bigint").alias("n_rows"),
+            *merged_measures,
+        )
+        updated = recomputed.unionByName(gone).unionByName(merged)
+        SN.merge_snapshot(
+            spark, rollup_dir, updated, key=group_cols, op=stamp,
+            expect_version=target_v,
+        )
+    finally:
+        per_group.unpersist()
+    return {"applied": src_v, "mode": "delta"}
+
+
+def read_aux_rollup(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """The maintained aux view, tombstones filtered — same contract
+    as ``read_rollup``."""
+    return SN.read_snapshot(spark, rollup_dir, version=version).where(
+        F.col("n_rows") > 0
+    )

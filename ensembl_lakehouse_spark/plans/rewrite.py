@@ -51,6 +51,21 @@ from ensembl_lakehouse_spark import snapshots as SN
 #: Measures the rewrite can derive from (n_rows, sum_val) partials.
 DERIVABLE = ("count", "sum", "avg")
 
+#: Per-kind derivable measures. "sum" is ivm.maintain_rollup's
+#: (n_rows, sum_val) contract; "minmax" and "hll" are
+#: ivm.maintain_aux_rollup's recompute-on-delete measures —
+#: MIN/MAX re-aggregate exactly over subset groupings
+#: (min-of-mins), and approx COUNT(DISTINCT) reads as
+#: hll_sketch_estimate(hll_union_agg(hll)), identical to a
+#: single-pass sketch because DataSketches HLL union is a
+#: register-wise max (order-insensitive). COUNT(*) derives from
+#: every kind (all carry n_rows).
+DERIVABLE_BY_KIND = {
+    "sum": ("count", "sum", "avg"),
+    "minmax": ("count", "min", "max"),
+    "hll": ("count", "approx_count_distinct"),
+}
+
 
 @dataclass(frozen=True)
 class RollupSpec:
@@ -69,6 +84,10 @@ class RollupSpec:
     group_cols: tuple[str, ...]
     sum_col: str
     parent_dir: str | None = None
+    #: "sum" (maintain_rollup) | "minmax" | "hll"
+    #: (maintain_aux_rollup); sum_col doubles as the measured
+    #: column for the aux kinds
+    kind: str = "sum"
 
 
 class RollupCatalog:
@@ -87,7 +106,18 @@ class RollupCatalog:
         group_cols: list[str],
         sum_col: str,
         parent_dir: str | None = None,
+        kind: str = "sum",
     ) -> RollupSpec:
+        if kind not in DERIVABLE_BY_KIND:
+            raise ValueError(
+                f"kind must be one of {sorted(DERIVABLE_BY_KIND)}, "
+                f"got {kind!r}"
+            )
+        if kind != "sum" and parent_dir is not None:
+            raise ValueError(
+                "aux rollups (minmax/hll) are base-fed only — their "
+                "absolute-state merges have no hierarchical CDC feed"
+            )
         lineage = ivm.rollup_lineage(os.path.abspath(rollup_dir))
         if (
             parent_dir is not None
@@ -108,6 +138,7 @@ class RollupCatalog:
             parent_dir=(
                 os.path.abspath(parent_dir) if parent_dir else lineage
             ),
+            kind=kind,
         )
         self._specs[name] = spec
         return spec
@@ -188,51 +219,68 @@ def _can_answer(
     group_by: list[str],
     aggs: dict[str, tuple[str, str]],
     filters: dict | None = None,
+    range_filters: dict | None = None,
 ) -> str | None:
     """None if the spec can answer; else the human-readable reason
     it cannot (the first failing check — enough for the log).
 
-    Filter rewrite soundness: an equality/IN filter on a column the
-    rollup GROUPS BY selects whole groups, so filtering the partials
-    ≡ filtering the base rows before aggregating — exact. A filter
-    on any other column slices within groups, which (count, sum)
-    partials cannot express, so the spec is rejected."""
+    Filter rewrite soundness: an equality/IN filter — or a BETWEEN
+    range — on a column the rollup GROUPS BY selects whole groups,
+    so filtering the partials ≡ filtering the base rows before
+    aggregating — exact. A filter on any other column slices within
+    groups, which the stored partials cannot express, so the spec
+    is rejected."""
     missing = set(group_by) - set(spec.group_cols)
     if missing:
         return f"group key(s) {sorted(missing)} not in rollup keys"
-    if filters:
-        bad = set(filters) - set(spec.group_cols)
-        if bad:
-            return f"filter column(s) {sorted(bad)} not in rollup keys"
+    fcols = set(filters or ()) | set(range_filters or ())
+    bad = fcols - set(spec.group_cols)
+    if bad:
+        return f"filter column(s) {sorted(bad)} not in rollup keys"
+    derivable = DERIVABLE_BY_KIND[spec.kind]
     for out, (fn, col) in aggs.items():
-        if fn not in DERIVABLE:
-            return f"{out}: {fn} is not derivable from (count, sum) partials"
-        if fn in ("sum", "avg") and col != spec.sum_col:
-            return f"{out}: rollup maintains sum({spec.sum_col}), not {col}"
+        if fn not in derivable:
+            return (
+                f"{out}: {fn} is not derivable from a {spec.kind} "
+                "rollup's partials"
+            )
+        if fn != "count" and col != spec.sum_col:
+            return (
+                f"{out}: rollup maintains {spec.kind}({spec.sum_col}), "
+                f"not {col}"
+            )
     return None
 
 
-def _filter_expr(filters: dict):
+def _filter_expr(filters: dict | None, range_filters: dict | None = None):
     """AND of per-column IN lists — the reference's mandatory
-    ``species = '…'`` equality (app/main.py:479) generalized to IN.
-    Values compare with Spark's implicit literal coercion, identical
-    on the rollup and base paths (both filter the same column), so
-    the rewrite-equivalence contract is unaffected."""
+    ``species = '…'`` equality (app/main.py:479) generalized to IN —
+    plus per-column BETWEEN ranges (inclusive both ends, SQL
+    BETWEEN). Values compare with Spark's implicit literal coercion,
+    identical on the rollup and base paths (both filter the same
+    column), so the rewrite-equivalence contract is unaffected."""
     expr = None
-    for col, vals in sorted(filters.items()):
+    for col, vals in sorted((filters or {}).items()):
         vlist = list(vals) if isinstance(vals, (list, tuple, set)) else [vals]
         term = F.col(col).isin(vlist)
+        expr = term if expr is None else expr & term
+    for col, (lo, hi) in sorted((range_filters or {}).items()):
+        term = F.col(col).between(lo, hi)
         expr = term if expr is None else expr & term
     return expr
 
 
 def _agg_exprs(
-    aggs: dict[str, tuple[str, str]], *, from_rollup: bool
+    aggs: dict[str, tuple[str, str]], *, from_rollup: bool,
+    kind: str = "sum",
 ) -> list:
     """The SAME output contract from either side: count → BIGINT,
     sum → BIGINT (of the bigint-cast column, matching what
     maintain_rollup accumulates), avg → one double division at the
-    end."""
+    end, min/max → the column's natural type (min-of-mins
+    re-aggregates exactly over subset groupings),
+    approx_count_distinct → BIGINT DataSketches-HLL estimate
+    (union-of-partials ≡ single-pass, see DERIVABLE_BY_KIND)."""
     exprs = []
     for out, (fn, col) in aggs.items():
         if from_rollup:
@@ -240,20 +288,39 @@ def _agg_exprs(
             # zero surviving groups (fully tombstoned rollup) must
             # return 0, not NULL, on BOTH paths
             cnt = F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint")
-            sm = F.coalesce(F.sum("sum_val"), F.lit(0)).cast("bigint")
+            if kind == "sum":
+                sm = F.coalesce(F.sum("sum_val"), F.lit(0)).cast("bigint")
         else:
             cnt = F.count(F.lit(1)).cast("bigint")
-            sm = F.coalesce(
-                F.sum(F.col(col).cast("bigint")), F.lit(0)
-            ).cast("bigint")
+            if fn in ("sum", "avg"):
+                sm = F.coalesce(
+                    F.sum(F.col(col).cast("bigint")), F.lit(0)
+                ).cast("bigint")
         if fn == "count":
             exprs.append(cnt.alias(out))
         elif fn == "sum":
             exprs.append(sm.alias(out))
-        else:  # avg
+        elif fn == "avg":
             exprs.append(
                 (sm.cast("double") / cnt.cast("double")).alias(out)
             )
+        elif fn == "min":
+            exprs.append(
+                (F.min("min_val") if from_rollup else F.min(col)).alias(out)
+            )
+        elif fn == "max":
+            exprs.append(
+                (F.max("max_val") if from_rollup else F.max(col)).alias(out)
+            )
+        elif fn == "approx_count_distinct":
+            src = (
+                F.hll_union_agg("hll")
+                if from_rollup
+                else F.hll_sketch_agg(col)
+            )
+            exprs.append(F.hll_sketch_estimate(src).alias(out))
+        else:  # unreachable: _can_answer gates fn per kind
+            raise ValueError(f"unknown measure {fn!r}")
     return exprs
 
 
@@ -265,6 +332,7 @@ def answer_aggregate(
     aggs: dict[str, tuple[str, str]],
     freshness: str = "strict",
     filters: dict | None = None,
+    range_filters: dict | None = None,
     version: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Answer ``SELECT group_by, aggs FROM source GROUP BY group_by``
@@ -320,7 +388,16 @@ def answer_aggregate(
         )
     src = os.path.abspath(source_dir)
     src_v = SN.current_version(src) if version is None else version
-    fexpr = _filter_expr(filters) if filters else None
+    for col, bounds in (range_filters or {}).items():
+        if not isinstance(bounds, (list, tuple)) or len(bounds) != 2:
+            raise ValueError(
+                f"range_filters[{col!r}] must be a (lo, hi) pair"
+            )
+    fexpr = (
+        _filter_expr(filters, range_filters)
+        if (filters or range_filters)
+        else None
+    )
     skipped: list[dict] = []
     # Cheapest tier first — metadata-only: an unfiltered global
     # COUNT(*) is exactly the manifest's recorded per-file row-count
@@ -332,6 +409,7 @@ def answer_aggregate(
     if (
         not group_by
         and not filters
+        and not range_filters
         and all(fn == "count" for fn, _ in aggs.values())
     ):
         n = SN.table_rowcount(src, version=src_v)
@@ -362,7 +440,7 @@ def answer_aggregate(
     for spec in catalog.specs():
         if spec.source_dir != src:
             continue
-        reason = _can_answer(spec, group_by, aggs, filters)
+        reason = _can_answer(spec, group_by, aggs, filters, range_filters)
         if reason is not None:
             skipped.append({"rollup": spec.name, "reason": reason})
             continue
@@ -420,7 +498,9 @@ def answer_aggregate(
         df = ivm.read_rollup(spark, spec.rollup_dir, version=rollup_v)
         if fexpr is not None:
             df = df.where(fexpr)
-        df = df.groupBy(*group_by).agg(*_agg_exprs(aggs, from_rollup=True))
+        df = df.groupBy(*group_by).agg(
+            *_agg_exprs(aggs, from_rollup=True, kind=spec.kind)
+        )
         return df, {
             "used": "rollup",
             "rollup": spec.name,

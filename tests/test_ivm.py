@@ -406,3 +406,194 @@ def _view_t(spark, rollup):
         (r.t,): (r.n_rows, r.sum_val)
         for r in ivm.read_rollup(spark, rollup).collect()
     }
+
+
+# --- aux rollups: MIN/MAX and HLL (recompute-on-delete measures) ----
+
+
+def _minmax_recompute(spark, src):
+    return {
+        (r.grp,): (r.n, r.lo, r.hi)
+        for r in SN.read_snapshot(spark, src)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+        )
+        .collect()
+    }
+
+
+def _minmax_view(spark, rol):
+    return {
+        (r.grp,): (r.n_rows, r.min_val, r.max_val)
+        for r in ivm.read_aux_rollup(spark, rol).collect()
+    }
+
+
+def test_minmax_rollup_tracks_source(spark, tmp_path):
+    """(n_rows, min, max) rollup ≡ recompute through inserts that
+    extend extremes, inserts that don't, updates/deletes that REMOVE
+    the current extreme (the case (count,sum) IVM cannot express),
+    and whole-group deletion — with modes proving the paths taken."""
+    src = str(tmp_path / "src")
+    rol = str(tmp_path / "mm")
+    rows = [(i, f"g{i % 3}", i) for i in range(30)]
+    SN.write_snapshot(src, spark.createDataFrame(rows, ["k", "grp", "val"]))
+
+    out = ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "val")
+    assert out["mode"] == "full"
+    assert _minmax_view(spark, rol) == _minmax_recompute(spark, src)
+
+    # insert-only commit: extends g0's max, leaves g1/g2 untouched
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(100, "g0", 999), (101, "g1", 15)],
+                              ["k", "grp", "val"]),
+        key="k",
+    )
+    out = ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "val")
+    assert out["mode"] == "delta"
+    assert _minmax_view(spark, rol) == _minmax_recompute(spark, src)
+
+    # exactly-once
+    assert ivm.maintain_aux_rollup(
+        spark, src, rol, ["grp"], "val"
+    )["mode"] == "noop"
+
+    # delete the current max of g0 (k=100, val=999) AND update k=0
+    # (val 0, the global min of g0) upward — both force the
+    # per-group recompute path
+    kept = (
+        SN.read_snapshot(spark, src)
+        .where("k <> 100")
+        .collect()
+    )
+    newrows = [
+        (r.k, r.grp, 500 if r.k == 0 else r.val) for r in kept
+    ]
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(newrows, ["k", "grp", "val"]),
+        mode="overwrite",
+    )
+    out = ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "val")
+    assert out["mode"] == "delta"
+    assert _minmax_view(spark, rol) == _minmax_recompute(spark, src)
+
+    # vanish an entire group -> tombstone
+    kept2 = [
+        (r.k, r.grp, r.val)
+        for r in SN.read_snapshot(spark, src).collect()
+        if r.grp != "g2"
+    ]
+    SN.write_snapshot(
+        src, spark.createDataFrame(kept2, ["k", "grp", "val"]),
+        mode="overwrite",
+    )
+    ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "val")
+    assert _minmax_view(spark, rol) == _minmax_recompute(spark, src)
+    raw = {
+        (r.grp,): r.n_rows
+        for r in SN.read_snapshot(spark, rol).collect()
+    }
+    assert raw[("g2",)] == 0  # tombstone, not a deleted row
+
+    # resurrection: inserts into the tombstoned group must not be
+    # polluted by the NULL tombstone measures
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(200, "g2", 7)], ["k", "grp", "val"]),
+        key="k",
+    )
+    ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "val")
+    assert _minmax_view(spark, rol) == _minmax_recompute(spark, src)
+
+
+def test_minmax_rollup_rebuild_and_vacuum(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rol = str(tmp_path / "mm")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(i, f"g{i % 2}", i) for i in range(10)], ["k", "grp", "val"]
+        ),
+    )
+    ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "val")
+    for j in range(3):
+        SN.merge_snapshot(
+            spark, src,
+            spark.createDataFrame([(100 + j, "g0", 100 + j)],
+                                  ["k", "grp", "val"]),
+            key="k",
+        )
+    SN.vacuum(src, keep_versions=1)  # history for the delta is gone
+    out = ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "val")
+    assert out["mode"] == "rebuild"
+    assert _minmax_view(spark, rol) == _minmax_recompute(spark, src)
+
+
+def test_hll_rollup_estimates_match_single_pass(spark, tmp_path):
+    """HLL-sketch rollup: the estimate read from merged per-commit
+    partials equals a single-pass sketch over the same rows — the
+    register-wise-max determinism the rewrite's approx
+    COUNT(DISTINCT) answering relies on. Deletes recompute their
+    groups exactly, so shrinking cardinalities track too."""
+    src = str(tmp_path / "src")
+    rol = str(tmp_path / "hll")
+    rows = [(i, f"g{i % 2}", i % 37) for i in range(200)]
+    SN.write_snapshot(src, spark.createDataFrame(rows, ["k", "grp", "u"]))
+    ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "u", kind="hll")
+
+    def est_rollup():
+        return {
+            r.grp: r.est
+            for r in ivm.read_aux_rollup(spark, rol)
+            .groupBy("grp")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_union_agg("hll")
+                ).alias("est")
+            )
+            .collect()
+        }
+
+    def est_base():
+        return {
+            r.grp: r.est
+            for r in SN.read_snapshot(spark, src)
+            .groupBy("grp")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("u")
+                ).alias("est")
+            )
+            .collect()
+        }
+
+    assert est_rollup() == est_base()
+    # insert-only: new distinct values union in
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame(
+            [(1000 + i, "g0", 100 + i) for i in range(20)],
+            ["k", "grp", "u"],
+        ),
+        key="k",
+    )
+    out = ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "u", kind="hll")
+    assert out["mode"] == "delta"
+    assert est_rollup() == est_base()
+    # deletes shrink g0's distinct set: recompute path
+    kept = [
+        (r.k, r.grp, r.u)
+        for r in SN.read_snapshot(spark, src).collect()
+        if r.k < 500
+    ]
+    SN.write_snapshot(
+        src, spark.createDataFrame(kept, ["k", "grp", "u"]),
+        mode="overwrite",
+    )
+    ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "u", kind="hll")
+    assert est_rollup() == est_base()

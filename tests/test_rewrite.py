@@ -463,3 +463,159 @@ def test_register_rejects_contradictory_parent(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="lineage-marked"):
         cat.register("w", weekly, src, ["t"], "v", parent_dir=other)
+
+
+# --- r8: MIN/MAX, range filters, HLL sketch rollups -----------------
+
+
+@pytest.fixture()
+def aux_fixture(spark, tmp_path):
+    src = str(tmp_path / "src")
+    mm = str(tmp_path / "mm")
+    hll = str(tmp_path / "hll")
+    rows = [(i, f"g{i % 3}", f"r{i % 2}", i * 7, i % 11) for i in range(60)]
+    SN.write_snapshot(
+        src, spark.createDataFrame(rows, ["k", "grp", "reg", "val", "u"])
+    )
+    ivm.maintain_aux_rollup(spark, src, mm, ["grp", "reg"], "val")
+    ivm.maintain_aux_rollup(spark, src, hll, ["grp", "reg"], "u", kind="hll")
+    cat = RW.RollupCatalog()
+    cat.register("mm_grp_reg", mm, src, ["grp", "reg"], "val", kind="minmax")
+    cat.register("hll_grp_reg", hll, src, ["grp", "reg"], "u", kind="hll")
+    return src, mm, hll, cat
+
+
+def test_minmax_rewrite_equals_base(spark, aux_fixture):
+    """MIN/MAX answered from the minmax rollup at every grouping
+    granularity (min-of-mins regroups exactly), reading only rollup
+    files; after a delete removes a group's extreme, strict falls
+    back until maintenance, then the rollup answers again."""
+    src, mm, hll, cat = aux_fixture
+    aggs = {"lo": ("min", "val"), "hi": ("max", "val"), "n": ("count", "")}
+    for group_by in (["grp", "reg"], ["grp"], []):
+        got, why = RW.answer_aggregate(spark, cat, src, group_by, aggs)
+        assert why["used"] == "rollup" and why["rollup"] == "mm_grp_reg"
+        want, _ = RW.answer_aggregate(
+            spark, RW.RollupCatalog(), src, group_by, aggs
+        )
+        assert _sorted(got) == _sorted(want)
+    files = got.inputFiles()
+    assert files and all(mm in f for f in files)
+    # delete the global max row (k=59): strict falls back...
+    SN.delete_snapshot(spark, src, "k = 59")
+    got, why = RW.answer_aggregate(spark, cat, src, [], aggs)
+    assert why["used"] == "base"
+    # ...maintenance recomputes the touched group exactly; serves again
+    ivm.maintain_aux_rollup(spark, src, mm, ["grp", "reg"], "val")
+    got, why = RW.answer_aggregate(spark, cat, src, [], aggs)
+    assert why["used"] == "rollup"
+    want, _ = RW.answer_aggregate(
+        spark, RW.RollupCatalog(), src, [], aggs
+    )
+    assert _sorted(got) == _sorted(want)
+
+
+def test_minmax_rollup_rejects_sum_and_wrong_col(spark, aux_fixture):
+    src, mm, hll, cat = aux_fixture
+    got, why = RW.answer_aggregate(
+        spark, cat, src, ["grp"], {"total": ("sum", "val")}
+    )
+    assert why["used"] == "base"
+    reasons = {s["rollup"]: s["reason"] for s in why["skipped"]}
+    assert "not derivable from a minmax rollup" in reasons["mm_grp_reg"]
+    got, why = RW.answer_aggregate(
+        spark, cat, src, ["grp"], {"lo": ("min", "u")}
+    )
+    assert why["used"] == "base"  # mm maintains minmax(val), not u
+
+
+def test_range_filter_rewrite_equals_base(spark, aux_fixture):
+    """BETWEEN on a rollup group key selects whole groups — answered
+    from the rollup, equal to the base path, at both freshness
+    modes; a range on a non-key column falls back."""
+    src, mm, hll, cat = aux_fixture
+    aggs = {"lo": ("min", "val"), "n": ("count", "")}
+    for fresh in ("strict", "stale_ok"):
+        got, why = RW.answer_aggregate(
+            spark, cat, src, ["grp"], aggs, freshness=fresh,
+            range_filters={"grp": ("g0", "g1")},
+        )
+        assert why["used"] == "rollup", why
+        want, _ = RW.answer_aggregate(
+            spark, RW.RollupCatalog(), src, ["grp"], aggs,
+            range_filters={"grp": ("g0", "g1")},
+        )
+        assert _sorted(got) == _sorted(want)
+        assert {r[0] for r in _sorted(got)} == {"g0", "g1"}
+    # combined IN + range, still whole-group
+    got, why = RW.answer_aggregate(
+        spark, cat, src, ["grp"], aggs,
+        filters={"reg": "r0"}, range_filters={"grp": ("g0", "g2")},
+    )
+    assert why["used"] == "rollup"
+    want, _ = RW.answer_aggregate(
+        spark, RW.RollupCatalog(), src, ["grp"], aggs,
+        filters={"reg": "r0"}, range_filters={"grp": ("g0", "g2")},
+    )
+    assert _sorted(got) == _sorted(want)
+    # range on a NON-key column slices within groups: fall back
+    got, why = RW.answer_aggregate(
+        spark, cat, src, ["grp"], aggs, range_filters={"k": (0, 10)},
+    )
+    assert why["used"] == "base"
+    # metadata tier never answers a range-filtered global count
+    got, why = RW.answer_aggregate(
+        spark, cat, src, [], {"n": ("count", "")},
+        range_filters={"grp": ("g0", "g0")},
+    )
+    assert why["used"] != "metadata"
+
+
+def test_hll_rollup_answers_approx_distinct(spark, aux_fixture):
+    """approx COUNT(DISTINCT) from the sketch-valued rollup equals
+    the single-pass base sketch exactly (register-wise-max union
+    determinism), at every grouping subset and under group-key
+    filters; a delete forces fallback until maintenance."""
+    src, mm, hll, cat = aux_fixture
+    aggs = {"du": ("approx_count_distinct", "u"), "n": ("count", "")}
+    for group_by in (["grp", "reg"], ["reg"], []):
+        got, why = RW.answer_aggregate(spark, cat, src, group_by, aggs)
+        assert why["used"] == "rollup" and why["rollup"] == "hll_grp_reg"
+        want, _ = RW.answer_aggregate(
+            spark, RW.RollupCatalog(), src, group_by, aggs
+        )
+        assert _sorted(got) == _sorted(want)
+    got, why = RW.answer_aggregate(
+        spark, cat, src, ["grp"], aggs, filters={"reg": ["r1"]}
+    )
+    assert why["used"] == "rollup"
+    want, _ = RW.answer_aggregate(
+        spark, RW.RollupCatalog(), src, ["grp"], aggs,
+        filters={"reg": ["r1"]},
+    )
+    assert _sorted(got) == _sorted(want)
+    # stale rollup: strict falls back, maintenance recovers
+    SN.delete_snapshot(spark, src, "u = 3")
+    got, why = RW.answer_aggregate(spark, cat, src, [], aggs)
+    assert why["used"] == "base"
+    ivm.maintain_aux_rollup(spark, src, hll, ["grp", "reg"], "u", kind="hll")
+    got, why = RW.answer_aggregate(spark, cat, src, [], aggs)
+    assert why["used"] == "rollup"
+    want, _ = RW.answer_aggregate(spark, RW.RollupCatalog(), src, [], aggs)
+    assert _sorted(got) == _sorted(want)
+
+
+def test_aux_kind_validation(spark, tmp_path):
+    cat = RW.RollupCatalog()
+    with pytest.raises(ValueError, match="kind"):
+        cat.register("x", str(tmp_path / "r"), str(tmp_path / "s"),
+                     ["g"], "v", kind="median")
+    with pytest.raises(ValueError, match="base-fed"):
+        cat.register("x", str(tmp_path / "r"), str(tmp_path / "s"),
+                     ["g"], "v", kind="hll",
+                     parent_dir=str(tmp_path / "p"))
+    with pytest.raises(ValueError, match="pair"):
+        RW.answer_aggregate(
+            spark, cat, str(tmp_path / "s"), [], {"n": ("count", "")},
+            range_filters={"g": (1,)},
+        )
