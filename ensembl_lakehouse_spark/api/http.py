@@ -108,6 +108,20 @@ def make_handler(engine: Engine):
                 self._query_sub(parts[1], parts[2], q)
             elif len(parts) == 3 and parts[0] == "query":
                 self._submit(parts[1], parts[2], q)
+            elif parts == ["sql", "explain"]:
+                # EXT: EXPLAIN for the raw-SQL surface — formatted
+                # physical plan + the structural summary PLANS.md
+                # records (shuffles/broadcasts/joins/PushedFilters);
+                # same validation as /sql, nothing executes
+                if "query" not in q:
+                    self._detail(400, "missing query parameter")
+                    return
+                self._send(
+                    200,
+                    engine.explain_sql(
+                        q["query"], q.get("snap_versions", "")
+                    ),
+                )
             elif parts == ["sql"]:
                 # EXT: raw read-only SQL (Athena StartQueryExecution
                 # parity) — DDL/DML is refused at the parser inside
@@ -133,6 +147,30 @@ def make_handler(engine: Engine):
                 # EXT: per-operator parameter discovery (accepted
                 # keys + oracle-pinned defaults; {} = none accepted)
                 self._send(200, engine.analytics_params(parts[1]))
+            elif (
+                len(parts) == 3
+                and parts[0] == "analytics"
+                and parts[2] == "plan"
+            ):
+                # EXT: EXPLAIN for a named operator — same wire
+                # shape as /sql/explain, built from the operator's
+                # plan without submitting it (sf_dir allowlisted
+                # like the submit route)
+                sf_dir = q.get("sf_dir", self.server.default_sf_dir)
+                if sf_dir not in self.server.allowed_sf_dirs:
+                    self._detail(
+                        400,
+                        "sf_dir not in the server's allowlist; configure "
+                        "ApiServer(allowed_sf_dirs=[...]) to expose more",
+                    )
+                    return
+                params = {k: v for k, v in q.items() if k != "sf_dir"}
+                self._send(
+                    200,
+                    engine.explain_analytics(
+                        parts[1], sf_dir, params or None
+                    ),
+                )
             elif len(parts) == 2 and parts[0] == "analytics":
                 # sf_dir is allowlisted: a raw path from the query
                 # string would let any HTTP client point Spark at an

@@ -209,26 +209,11 @@ class Engine:
         }
     )
 
-    def submit_sql(self, sql: str, snap_versions: str = "") -> dict:
-        """Submit a raw read-only SQL query — the Athena
-        ``StartQueryExecution`` parity surface (the reference sends
-        its assembled SQL string there, app/main.py:478-485; here
-        users may also write their own). The statement must parse to
-        a query plan root in _SQL_QUERY_ROOTS; DDL/DML is refused at
-        the parser so nothing side-effecting ever executes. Runs
-        through the same cache/job/preview/export lifecycle; the
-        semantic-cache key is the canonicalized statement text.
-
-        ``snap_versions`` (``name:v,name2:v``) pins named snap_
-        views at an explicit retained version for THIS request —
-        ``VERSION AS OF`` through the validated params surface
-        (round 7, VERDICT #5). Unpinned views keep the published
-        read contract; the pin joins the view fingerprint, so a
-        pinned read and the live read cache separately, and two
-        requests pinning the same version share one entry (the
-        44-day "old results stay addressable" contract's
-        storage-layer twin).
-        """
+    def _validated_sql_df(self, sql: str, snap_versions: str = ""):
+        """Shared validation for submit_sql and explain_sql: blank
+        check, snap_versions pin parsing, read-only parse-root gate,
+        and the atomic view-refresh + analysis step. Returns
+        (df, snap view fingerprint)."""
         if not sql or not sql.strip():
             raise QueryValidationError("sql must be non-blank")
         pins: dict[str, int] = {}
@@ -270,6 +255,68 @@ class Engine:
                 raise QueryValidationError(
                     f"SQL does not bind: {exc}"
                 ) from exc
+        return df, snap_fp
+
+    def explain_sql(self, sql: str, snap_versions: str = "") -> dict:
+        """EXPLAIN for the raw-SQL surface: the formatted physical
+        plan plus the structural summary PLANS.md records (shuffle /
+        broadcast / scan counts, join strategies, PushedFilters,
+        ReadSchema) — the plan-discipline story, served over the
+        wire. Validation is identical to submit_sql (read-only
+        parse-root gate, snap_versions pins), but nothing executes:
+        the plan shown is the pre-execution one (with AQE, the
+        runtime may still re-plan exchanges at execution)."""
+        from ensembl_lakehouse_spark.plans.explain import explain_payload
+
+        df, _ = self._validated_sql_df(sql, snap_versions)
+        return explain_payload(df)
+
+    def explain_analytics(
+        self, name: str, sf_dir: str, params: dict | None = None
+    ) -> dict:
+        """EXPLAIN for a named operator: the same wire shape as
+        explain_sql over the operator's DataFrame plan. Builds the
+        plan exactly as submit_analytics would (including per-request
+        params) but never submits it."""
+        import __spark_entry__ as contract
+
+        from ensembl_lakehouse_spark.plans.explain import explain_payload
+
+        if not name or not str(name).strip():
+            raise QueryValidationError("name must be non-blank")
+        qs = contract.queries()
+        if name not in qs:
+            raise QueryValidationError(
+                f"unknown analytics query {name!r}; see /analytics for names"
+            )
+        try:
+            resolved = resolve_params(name, params)
+        except ParamError as exc:
+            raise QueryValidationError(str(exc)) from exc
+        df = qs[name](self.spark, sf_dir, **resolved)
+        return explain_payload(df)
+
+    def submit_sql(self, sql: str, snap_versions: str = "") -> dict:
+        """Submit a raw read-only SQL query — the Athena
+        ``StartQueryExecution`` parity surface (the reference sends
+        its assembled SQL string there, app/main.py:478-485; here
+        users may also write their own). The statement must parse to
+        a query plan root in _SQL_QUERY_ROOTS; DDL/DML is refused at
+        the parser so nothing side-effecting ever executes. Runs
+        through the same cache/job/preview/export lifecycle; the
+        semantic-cache key is the canonicalized statement text.
+
+        ``snap_versions`` (``name:v,name2:v``) pins named snap_
+        views at an explicit retained version for THIS request —
+        ``VERSION AS OF`` through the validated params surface
+        (round 7, VERDICT #5). Unpinned views keep the published
+        read contract; the pin joins the view fingerprint, so a
+        pinned read and the live read cache separately, and two
+        requests pinning the same version share one entry (the
+        44-day "old results stay addressable" contract's
+        storage-layer twin).
+        """
+        df, snap_fp = self._validated_sql_df(sql, snap_versions)
         # quote-aware canonicalization: keywords fold, string
         # literals stay byte-exact ('EN' vs 'en' must not collide).
         # The catalog view fingerprint is part of the key: identical

@@ -960,3 +960,53 @@ def test_table_maintenance_over_http(server, spark, tmp_path_factory):
     assert _get(
         server, "/table/maint_tbl/maintenance?target_bytes=abc"
     )[0] == 400
+
+
+def test_explain_over_http_shows_pushed_filter(server):
+    """r8 (r7 VERDICT #6): GET /sql/explain returns the formatted
+    physical plan + the PLANS.md structural summary, and a WHERE
+    predicate is visible as a PushedFilters entry in the wire
+    response — the plan-discipline story, served."""
+    sql = (
+        "SELECT l_orderkey, l_extendedprice FROM lineitem "
+        "WHERE l_quantity > 40"
+    )
+    q = urllib.parse.quote(sql)
+    status, _, resp = _get(server, f"/sql/explain?query={q}")
+    assert status == 200
+    assert "plan" in resp and "summary" in resp
+    s = resp["summary"]
+    assert s["scans"] >= 1
+    assert any("l_quantity" in pf for pf in s["pushed"]), s["pushed"]
+    # column pruning visible too: the scan reads only what's needed
+    assert any(
+        "l_extendedprice" in rs and "l_comment" not in rs
+        for rs in s["read_schemas"]
+    ), s["read_schemas"]
+    assert "Scan parquet" in resp["plan"]
+    # nothing executed: no query id was minted
+    assert "query_id" not in resp
+    # same validation as /sql: DDL refused, missing param is 400
+    bad = urllib.parse.quote("DROP TABLE lineitem")
+    status, _, err = _get(server, f"/sql/explain?query={bad}")
+    assert status == 400 and "read-only" in err["detail"]
+    status, _, err = _get(server, "/sql/explain")
+    assert status == 400
+
+
+def test_analytics_plan_over_http(server):
+    """GET /analytics/{name}/plan: the operator's plan without
+    submitting it — summary counts present, broadcast join visible
+    for a dimension-joined query, params validated fail-closed."""
+    status, _, resp = _get(server, "/analytics/scan_project/plan")
+    assert status == 200
+    assert resp["summary"]["scans"] >= 1 and "plan" in resp
+    status, _, resp = _get(server, "/analytics/join_broadcast/plan")
+    if status == 200:  # name exists in the registry
+        assert resp["summary"]["broadcasts"] >= 1
+    status, _, err = _get(server, "/analytics/nope/plan")
+    assert status == 400
+    status, _, err = _get(
+        server, "/analytics/scan_project/plan?bogus_param=1"
+    )
+    assert status == 400
