@@ -4100,3 +4100,652 @@ SELECT band, n_orders, lines, rev_cents,
 FROM agg
 ORDER BY band
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8: activity calendar heatmap
+# ---------------------------------------------------------------------------
+
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity grid — the on-call/ops
+    calendar every traffic-shaped system needs (when to schedule
+    maintenance, when the compaction window is). Counts plus each
+    cell's share of total traffic in basis points and its rank
+    within its day (rank 1 = that weekday's peak hour).
+
+    Deterministic cross-engine: dow/hour derive from pure integer
+    epoch arithmetic (epoch day 0 = Thursday ⇒ dow = (d + 4) % 7,
+    0 = Sunday), never engine-local calendar/timezone logic; the
+    share is one integer DIV; the rank's tie-break is total
+    ordering (n DESC, hour ASC).
+
+    Plan: map-only projection to (dow, hour) → one partial agg to
+    ≤ 168 rows; the share window and per-dow rank run on those 168
+    rows (SinglePartition is fine at that size — the aggregate IS
+    the reduction). Scales as pure map-side combine at any event
+    volume."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.select(
+        F.expr(
+            "CAST((floor(unix_timestamp(ts) / 86400) + 4) % 7 AS BIGINT)"
+        ).alias("dow"),
+        F.expr(
+            "CAST(floor(unix_timestamp(ts) / 3600) % 24 AS BIGINT)"
+        ).alias("hour"),
+    )
+    return (
+        cells.groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "share_bp",
+            F.expr("(n_events * 10000) DIV SUM(n_events) OVER ()"),
+        )
+        .withColumn(
+            "dow_rank",
+            F.expr(
+                "row_number() OVER (PARTITION BY dow "
+                "ORDER BY n_events DESC, hour)"
+            ),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+EVENTS_HOURLY_HEATMAP_SQL = """
+WITH cells AS (
+  SELECT CAST((floor(epoch(ts) / 86400) + 4) % 7 AS BIGINT) AS dow,
+         CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hour
+  FROM events
+), agg AS (
+  SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM cells GROUP BY 1, 2
+)
+SELECT dow, hour, n_events,
+       (n_events * 10000) // CAST(SUM(n_events) OVER () AS BIGINT)
+         AS share_bp,
+       CAST(row_number() OVER (PARTITION BY dow
+           ORDER BY n_events DESC, hour) AS BIGINT) AS dow_rank
+FROM agg
+ORDER BY dow, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: weekly active users + week-over-week growth
+# ---------------------------------------------------------------------------
+
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAU and week-over-week growth — the north-star engagement
+    series. Per epoch week: distinct active users, events per
+    active user (integer DIV), and WoW growth in basis points
+    (floor of the double ratio — floor matches in both engines for
+    negative growth too, where truncating DIV would not).
+
+    Plan: one distinct (week, user) lattice (partial-agg'd
+    map-side), counted per week; the lag window runs on ≤ |weeks|
+    rows. Never a global distinct over raw events."""
+    events = load_table(spark, sf_dir, "events")
+    wk = events.select(
+        F.expr(
+            "CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT)"
+        ).alias("week"),
+        "user_id",
+    )
+    weekly = (
+        wk.groupBy("week")
+        .agg(
+            F.countDistinct("user_id").alias("wau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("events_per_user", F.expr("n_events DIV wau"))
+        .withColumn(
+            "prev_wau", F.expr("lag(wau) OVER (ORDER BY week)")
+        )
+    )
+    return weekly.select(
+        "week",
+        "wau",
+        "n_events",
+        "events_per_user",
+        F.expr(
+            "CASE WHEN prev_wau IS NULL THEN NULL ELSE "
+            "CAST(floor((wau - prev_wau) * CAST(10000 AS DOUBLE) "
+            "/ prev_wau) AS BIGINT) END"
+        ).alias("wow_bp"),
+    ).orderBy("week")
+
+
+WEEKLY_ACTIVE_USERS_SQL = """
+WITH weekly AS (
+  SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT week, wau, n_events, n_events // wau AS events_per_user,
+         lag(wau) OVER (ORDER BY week) AS prev_wau
+  FROM weekly
+)
+SELECT week, wau, n_events, events_per_user,
+       CASE WHEN prev_wau IS NULL THEN NULL ELSE
+         CAST(floor((wau - prev_wau) * CAST(10000 AS DOUBLE)
+           / prev_wau) AS BIGINT) END AS wow_bp
+FROM lagged
+ORDER BY week
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: per-user burstiness screen
+# ---------------------------------------------------------------------------
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bursty-account screen: for each user, the peak hourly event
+    count versus their average across active hours, as a basis-point
+    ratio (peak · active_hours · 10⁴ ÷ total — a steady user reads
+    10000, a one-burst bot reads ≫). Top 20 by burstiness — the
+    rate-limit/abuse review queue; the dow-anomaly screen finds hot
+    CALENDAR cells, this finds hot ACCOUNTS.
+
+    Integer-exact throughout (counts and one integer DIV);
+    tie-break (ratio DESC, total DESC, user_id) pins the top-20.
+
+    Plan: (user, hour-bucket) partial agg (map-side combine), then
+    a per-user agg — two shuffles on naturally high-cardinality
+    keys, no windows over raw events; TakeOrdered for the top-20."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "user_id",
+            F.expr(
+                "CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)"
+            ).alias("hour_bucket"),
+        )
+        .groupBy("user_id", "hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_user = hourly.groupBy("user_id").agg(
+        F.max("n").alias("peak_hour_events"),
+        F.count(F.lit(1)).alias("active_hours"),
+        F.sum("n").alias("total_events"),
+    )
+    return (
+        per_user.withColumn(
+            "burst_bp",
+            F.expr(
+                "(peak_hour_events * active_hours * 10000) "
+                "DIV total_events"
+            ),
+        )
+        .orderBy(
+            F.desc("burst_bp"), F.desc("total_events"), F.col("user_id")
+        )
+        .limit(20)
+    )
+
+
+EVENTS_BURSTINESS_SQL = """
+WITH hourly AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id,
+         CAST(MAX(n) AS BIGINT) AS peak_hour_events,
+         CAST(COUNT(*) AS BIGINT) AS active_hours,
+         CAST(SUM(n) AS BIGINT) AS total_events
+  FROM hourly GROUP BY 1
+)
+SELECT user_id, peak_hour_events, active_hours, total_events,
+       (peak_hour_events * active_hours * 10000) // total_events
+         AS burst_bp
+FROM per_user
+ORDER BY burst_bp DESC, total_events DESC, user_id
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: value-distribution drift per event type (percentile bands)
+# ---------------------------------------------------------------------------
+
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift of the VALUE column per event type between
+    the first and second half of the observed window — the
+    percentile-band drift screen (the role PSI plays in model
+    monitoring, with the log-free total-variation statistic so the
+    number is integer-exact cross-engine): value is banded into
+    fixed 50-unit buckets, each half's band shares are compared on
+    a DENSE band grid (a band present in only one half is exactly
+    the signal — the r7 sparse-grid lesson), and
+    tv_bp = Σ|p_early − p_late| / 2 in basis points. r7's
+    events_type_share_drift watches the MIX of types; this watches
+    each type's value distribution.
+
+    Plan: one pass bands and splits (map-only exprs), one partial
+    agg to (type, half, band) ≤ |types|·2·11 rows; the dense grid,
+    shares, and TV fold all run on those dozens of rows."""
+    events = load_table(spark, sf_dir, "events")
+    banded = events.select(
+        "event_type",
+        F.expr(
+            "CAST(least(floor(value / 50), 10) AS BIGINT)"
+        ).alias("band"),
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("sec"),
+    )
+    mid = banded.agg(
+        F.expr("(CAST(min(sec) AS BIGINT) + CAST(max(sec) AS BIGINT)) DIV 2")
+        .alias("mid")
+    )
+    halves = (
+        banded.crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            "band",
+            F.expr(
+                "CASE WHEN sec <= mid THEN 0 ELSE 1 END"
+            ).alias("half"),
+        )
+        .groupBy("event_type", "band", "half")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        halves.select("event_type").distinct()
+        .crossJoin(halves.select("band").distinct())
+    )
+    early = halves.where("half = 0").select(
+        "event_type", "band", F.col("n").alias("n_early")
+    )
+    late = halves.where("half = 1").select(
+        "event_type", "band", F.col("n").alias("n_late")
+    )
+    dense = (
+        grid.join(early, ["event_type", "band"], "left")
+        .join(late, ["event_type", "band"], "left")
+        .select(
+            "event_type",
+            "band",
+            F.expr("coalesce(n_early, CAST(0 AS BIGINT))").alias("n_early"),
+            F.expr("coalesce(n_late, CAST(0 AS BIGINT))").alias("n_late"),
+        )
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("n_early").alias("tot_early"),
+        F.sum("n_late").alias("tot_late"),
+    )
+    return (
+        dense.join(tot, "event_type")
+        .select(
+            "event_type",
+            "band",
+            "n_early",
+            "n_late",
+            F.expr(
+                "abs((n_early * 10000) DIV tot_early "
+                "- (n_late * 10000) DIV tot_late)"
+            ).alias("band_gap_bp"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("CASE WHEN n_early > 0 OR n_late > 0 THEN 1 "
+                         "ELSE 0 END")).alias("bands_used"),
+            F.expr("CAST(SUM(band_gap_bp) DIV 2 AS BIGINT)").alias("tv_bp"),
+            F.max("band_gap_bp").alias("worst_band_gap_bp"),
+        )
+        .orderBy(F.desc("tv_bp"), "event_type")
+    )
+
+
+EVENTS_VALUE_DRIFT_SQL = """
+WITH banded AS (
+  SELECT event_type,
+         CAST(least(floor(value / 50), 10) AS BIGINT) AS band,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), mid AS (
+  SELECT (CAST(min(sec) AS BIGINT) + CAST(max(sec) AS BIGINT)) // 2
+           AS mid FROM banded
+), halves AS (
+  SELECT event_type, band,
+         CASE WHEN sec <= (SELECT mid FROM mid) THEN 0 ELSE 1 END AS half,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM banded GROUP BY 1, 2, 3
+), grid AS (
+  SELECT t.event_type, b.band
+  FROM (SELECT DISTINCT event_type FROM halves) t
+  CROSS JOIN (SELECT DISTINCT band FROM halves) b
+), dense AS (
+  SELECT g.event_type, g.band,
+         COALESCE(e.n, 0) AS n_early, COALESCE(l.n, 0) AS n_late
+  FROM grid g
+  LEFT JOIN (SELECT event_type, band, n FROM halves WHERE half = 0) e
+    ON g.event_type = e.event_type AND g.band = e.band
+  LEFT JOIN (SELECT event_type, band, n FROM halves WHERE half = 1) l
+    ON g.event_type = l.event_type AND g.band = l.band
+), tot AS (
+  SELECT event_type,
+         CAST(SUM(n_early) AS BIGINT) AS tot_early,
+         CAST(SUM(n_late) AS BIGINT) AS tot_late
+  FROM dense GROUP BY 1
+), gaps AS (
+  SELECT d.event_type, d.band, d.n_early, d.n_late,
+         abs((d.n_early * 10000) // t.tot_early
+           - (d.n_late * 10000) // t.tot_late) AS band_gap_bp
+  FROM dense d JOIN tot t ON d.event_type = t.event_type
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN n_early > 0 OR n_late > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS bands_used,
+       CAST(SUM(band_gap_bp) // 2 AS BIGINT) AS tv_bp,
+       CAST(MAX(band_gap_bp) AS BIGINT) AS worst_band_gap_bp
+FROM gaps
+GROUP BY 1
+ORDER BY tv_bp DESC, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: order inter-arrival histogram
+# ---------------------------------------------------------------------------
+
+def orders_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of days between a customer's consecutive orders,
+    banded into replenishment-cycle buckets (≤1w, ≤2w, ≤4w, ≤8w,
+    ≤16w, longer) — the histogram BEHIND customer_order_cadence's
+    per-segment median: the same gaps, but their SHAPE (bimodal
+    weekly+quarterly mixes hide in a median). Share in basis points
+    per band.
+
+    Deterministic: gap days are floor-epoch integer differences
+    (the r7 floor-both-engines lesson); band edges are integers;
+    one integer DIV for the share.
+
+    Plan: ONE customer-keyed window (lag over orderdate with
+    orderkey tie-break) — the same partitioning the cadence op
+    uses — then a partial agg to 6 band rows; the share window
+    runs on those 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    gaps = orders.select(
+        "o_custkey",
+        F.expr(
+            "CAST(floor(unix_timestamp(o_orderdate) / 86400) AS BIGINT)"
+        ).alias("day"),
+        "o_orderkey",
+    ).select(
+        F.expr(
+            "day - lag(day) OVER (PARTITION BY o_custkey "
+            "ORDER BY day, o_orderkey)"
+        ).alias("gap_days")
+    ).where("gap_days IS NOT NULL")
+    banded = gaps.select(
+        F.expr(
+            "CASE WHEN gap_days <= 7 THEN 0 WHEN gap_days <= 14 THEN 1 "
+            "WHEN gap_days <= 28 THEN 2 WHEN gap_days <= 56 THEN 3 "
+            "WHEN gap_days <= 112 THEN 4 ELSE 5 END"
+        ).alias("band"),
+        "gap_days",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").alias("min_days"),
+            F.max("gap_days").alias("max_days"),
+        )
+        .withColumn(
+            "share_bp", F.expr("(n_gaps * 10000) DIV SUM(n_gaps) OVER ()")
+        )
+        .orderBy("band")
+    )
+
+
+ORDERS_INTERARRIVAL_HISTOGRAM_SQL = """
+WITH gaps AS (
+  SELECT day - lag(day) OVER (PARTITION BY o_custkey
+           ORDER BY day, o_orderkey) AS gap_days
+  FROM (
+    SELECT o_custkey, o_orderkey,
+           CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day
+    FROM orders)
+), banded AS (
+  SELECT CASE WHEN gap_days <= 7 THEN 0 WHEN gap_days <= 14 THEN 1
+              WHEN gap_days <= 28 THEN 2 WHEN gap_days <= 56 THEN 3
+              WHEN gap_days <= 112 THEN 4 ELSE 5 END AS band,
+         gap_days
+  FROM gaps WHERE gap_days IS NOT NULL
+), agg AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(MIN(gap_days) AS BIGINT) AS min_days,
+         CAST(MAX(gap_days) AS BIGINT) AS max_days
+  FROM banded GROUP BY 1
+)
+SELECT band, n_gaps, min_days, max_days,
+       (n_gaps * 10000) // CAST(SUM(n_gaps) OVER () AS BIGINT) AS share_bp
+FROM agg
+ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: KMV sketch-valued rollup read (daily partials → merged)
+# ---------------------------------------------------------------------------
+
+KMV_ROLLUP_K = 48
+
+
+def sketch_kmv_rollup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Answer per-type distinct-user counts from SKETCH-VALUED
+    ROLLUP PARTIALS: a bottom-k KMV sketch per (event_type, day) —
+    the shape an IVM'd sketch rollup stores (ivm.maintain_aux_rollup
+    kind="hll" is the maintained twin; this query pins the READ
+    algebra with a cross-engine-exact KMV instead of opaque HLL
+    registers) — then merged per type by union-then-truncate and
+    estimated as (k−1)·2⁶⁰ ÷ h_k. The exact distinct count and the
+    estimator error (bp) ride alongside, so the ~1/√k accuracy
+    stays visible.
+
+    Deterministic: the md5-60-bit hash contract, integer ranks with
+    full tie-breaks, and floor of one shared double template for
+    the estimate.
+
+    Plan: distinct (type, day, user) lattice once; per-(type, day)
+    bottom-k via WindowGroupLimit (map-side k-row heaps — the
+    partials are ≤ k·|type,day| rows, which IS the rollup's size);
+    the merge re-ranks those partial rows per type (never re-reads
+    events) — exactly the cost profile a 100 TB sketch rollup read
+    must have."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.select(
+        "event_type",
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+            "day"
+        ),
+    ).distinct().withColumn(
+        "h",
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id AS string)), 1, 15), "
+            "16, 10) AS bigint)"
+        ),
+    )
+    k = KMV_ROLLUP_K
+    # the stored rollup: per (type, day) bottom-k user hashes
+    partials = cells.withColumn(
+        "rk",
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type, day "
+            "ORDER BY h, user_id)"
+        ),
+    ).where(F.col("rk") <= k).select("event_type", "day", "h")
+    # the read: union partials per type, dedup (same user hashes
+    # equal across days), truncate to bottom-k, take h_k
+    merged_kth = (
+        partials.select("event_type", "h")
+        .distinct()
+        .withColumn(
+            "mrk",
+            F.expr(
+                "row_number() OVER (PARTITION BY event_type ORDER BY h)"
+            ),
+        )
+        .where(F.col("mrk") == k)
+        .select("event_type", F.col("h").alias("h_k"))
+    )
+    exact = (
+        cells.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    est = (
+        f"CAST(floor(CAST({KMV_ROLLUP_K - 1} AS DOUBLE) "
+        f"* CAST({2**60} AS DOUBLE) / h_k) AS BIGINT)"
+    )
+    return (
+        exact.join(merged_kth, "event_type", "left")
+        .select(
+            "event_type",
+            "exact_users",
+            F.expr(
+                f"CASE WHEN h_k IS NULL THEN exact_users ELSE {est} END"
+            ).alias("est_users"),
+        )
+        .withColumn(
+            "err_bp",
+            F.expr(
+                "abs(est_users - exact_users) * 10000 DIV exact_users"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKETCH_KMV_ROLLUP_READ_SQL = f"""
+WITH cells AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), hashed AS (
+  SELECT event_type, user_id, day,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+           AS BIGINT) AS h
+  FROM cells
+), partials AS (
+  SELECT event_type, day, h FROM (
+    SELECT event_type, day, h,
+           row_number() OVER (PARTITION BY event_type, day
+                              ORDER BY h, user_id) AS rk
+    FROM hashed) WHERE rk <= {KMV_ROLLUP_K}
+), merged AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS mrk
+    FROM (SELECT DISTINCT event_type, h FROM partials))
+  WHERE mrk = {KMV_ROLLUP_K}
+), exact AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM cells GROUP BY 1
+)
+SELECT e.event_type, e.exact_users,
+       CASE WHEN m.h IS NULL THEN e.exact_users ELSE
+         CAST(floor(CAST({KMV_ROLLUP_K - 1} AS DOUBLE)
+           * CAST({2**60} AS DOUBLE) / m.h) AS BIGINT) END AS est_users,
+       abs(CASE WHEN m.h IS NULL THEN e.exact_users ELSE
+         CAST(floor(CAST({KMV_ROLLUP_K - 1} AS DOUBLE)
+           * CAST({2**60} AS DOUBLE) / m.h) AS BIGINT) END
+         - e.exact_users) * 10000 // e.exact_users AS err_bp
+FROM exact e LEFT JOIN merged m ON e.event_type = m.event_type
+ORDER BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: per-user event-type specialization (Gini)
+# ---------------------------------------------------------------------------
+
+def user_type_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How specialized each user's activity is across event types:
+    Gini impurity 1 − Σp² per user in basis points (the log-free
+    concentration measure — the corpus-level text diversity screens
+    use the same rational form), with the dominant type and its
+    share. gini 0 = a single-type account (bot-shaped), high gini =
+    organic mixed usage. events_user_concentration ranks users by
+    volume; this ranks them by SHAPE.
+
+    Integer-exact: per-type shares in bp (integer DIV), Σshare²
+    folded back to bp by one more DIV.
+
+    Plan: (user, type) partial agg (map-side combined), then a
+    per-user fold carrying the total via a user-partitioned window
+    on the ≤ |users|·|types| grouped rows — never a window over raw
+    events."""
+    events = load_table(spark, sf_dir, "events")
+    ut = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    shared = ut.withColumn(
+        "total", F.expr("SUM(n) OVER (PARTITION BY user_id)")
+    ).withColumn("share_bp", F.expr("(n * 10000) DIV total"))
+    gini = shared.groupBy("user_id").agg(
+        F.max("total").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.expr(
+            "CAST(10000 - SUM(share_bp * share_bp) DIV 10000 AS BIGINT)"
+        ).alias("gini_bp"),
+    )
+    top = (
+        shared.withColumn(
+            "rk",
+            F.expr(
+                "row_number() OVER (PARTITION BY user_id "
+                "ORDER BY n DESC, event_type)"
+            ),
+        )
+        .where("rk = 1")
+        .select(
+            "user_id",
+            F.col("event_type").alias("top_type"),
+            F.col("share_bp").alias("top_share_bp"),
+        )
+    )
+    return (
+        gini.join(top, "user_id")
+        .select(
+            "user_id", "n_events", "n_types", "gini_bp",
+            "top_type", "top_share_bp",
+        )
+        .orderBy("gini_bp", "user_id")
+    )
+
+
+USER_TYPE_GINI_SQL = """
+WITH ut AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), shared AS (
+  SELECT user_id, event_type, n,
+         CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS total,
+         (n * 10000) // CAST(SUM(n) OVER (PARTITION BY user_id)
+           AS BIGINT) AS share_bp
+  FROM ut
+), gini AS (
+  SELECT user_id,
+         CAST(MAX(total) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(10000 - SUM(share_bp * share_bp) // 10000 AS BIGINT)
+           AS gini_bp
+  FROM shared GROUP BY 1
+), top AS (
+  SELECT user_id, event_type AS top_type, share_bp AS top_share_bp
+  FROM (
+    SELECT user_id, event_type, share_bp,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n DESC, event_type) AS rk
+    FROM shared) WHERE rk = 1
+)
+SELECT g.user_id, g.n_events, g.n_types, g.gini_bp,
+       t.top_type, t.top_share_bp
+FROM gini g JOIN top t ON g.user_id = t.user_id
+ORDER BY g.gini_bp, g.user_id
+"""

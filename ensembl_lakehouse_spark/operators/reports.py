@@ -2248,3 +2248,1033 @@ SELECT yr, qty, rev_cents, prev_rev,
 FROM m
 ORDER BY yr
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8: calendar-adjusted month-of-year index
+# ---------------------------------------------------------------------------
+
+def calendar_adjusted_monthly_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year revenue index ADJUSTED for calendar length —
+    seasonal_index divides by nothing, so February reads ~10 %
+    "slower" purely because it is short; here each pooled month is
+    normalized by its actual day count (per (year, month), summed
+    across years) and indexed against the global revenue-per-day:
+    index 10000 = a flat daily rate. The report that separates real
+    seasonality from calendar arithmetic.
+
+    Integer-exact: per-order cents, day counts from last_day()
+    (both engines' native calendar), integer DIVs shared verbatim.
+
+    Plan: one (year, month) partial agg over orders (≤ 12·|years|
+    rows, carrying days-in-month by max — constant per group), one
+    12-row re-aggregate; the global rate rides a window over those
+    12 rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr("year(o_orderdate)").alias("yr"),
+        F.expr("month(o_orderdate)").alias("mon"),
+        F.expr("CAST(day(last_day(o_orderdate)) AS BIGINT)").alias("dim"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    ym = orders.groupBy("yr", "mon").agg(
+        F.sum("cents").alias("rev_cents"),
+        F.max("dim").alias("dim"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        ym.groupBy("mon")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_cents").alias("rev_cents"),
+            F.sum("dim").alias("days"),
+        )
+        .withColumn("rev_per_day", F.expr("rev_cents DIV days"))
+        .withColumn(
+            "index_bp",
+            F.expr(
+                "(rev_per_day * 10000) DIV (SUM(rev_cents) OVER () "
+                "DIV SUM(days) OVER ())"
+            ),
+        )
+        .select(
+            "mon", "n_orders", "rev_cents", "days", "rev_per_day",
+            "index_bp",
+        )
+        .orderBy("mon")
+    )
+
+
+CALENDAR_ADJUSTED_MONTHLY_INDEX_SQL = """
+WITH o AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+         CAST(day(last_day(o_orderdate)) AS BIGINT) AS dim,
+         CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM orders
+), ym AS (
+  SELECT yr, mon, CAST(SUM(cents) AS BIGINT) AS rev_cents,
+         MAX(dim) AS dim, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM o GROUP BY 1, 2
+), m AS (
+  SELECT mon, CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+         CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+         CAST(SUM(dim) AS BIGINT) AS days
+  FROM ym GROUP BY 1
+)
+SELECT mon, n_orders, rev_cents, days,
+       rev_cents // days AS rev_per_day,
+       ((rev_cents // days) * 10000)
+         // (CAST(SUM(rev_cents) OVER () AS BIGINT)
+             // CAST(SUM(days) OVER () AS BIGINT)) AS index_bp
+FROM m
+ORDER BY mon
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: inventory/backorder simulation (reflected-walk form)
+# ---------------------------------------------------------------------------
+
+def inventory_backorder_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly inventory simulation per part type: demand is shipped
+    quantity per week, replenishment is a constant rate
+    R = total ÷ weeks + 1, and the on-hand stock follows the
+    RECURRENCE S_w = max(0, S_{w−1} + R − D_w) — which a plain
+    cumulative window cannot express. The reflected-walk identity
+    makes it one pass anyway: with C_w = Σ(R − D), the stock is
+    S_w = C_w − min(0, running-min(C_w)), so two stacked windows
+    over the weekly series replace the sequential loop — the trick
+    that keeps a 100 TB simulation distributive instead of
+    driver-sequential. Reports stockout weeks (weeks the walk sets
+    a new sub-zero minimum — demand arrived to an empty shelf), the
+    worst single-week unmet demand (how far below empty that week
+    went: min(0, prev running-min) − C_w), and the ending stock —
+    each pinned against a sequential Python replay of the
+    recurrence in tests.
+
+    Integer-exact: BIGINT quantities, integer R, window sums.
+
+    Plan: lineitem×part broadcast join → (type, week) partial agg
+    (≤ |types|·|weeks| rows); both windows and the final per-type
+    fold run on that small series, partitioned by type."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(floor(unix_timestamp(l_shipdate) / 604800) AS BIGINT)"
+        ).alias("week"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    weekly = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_type", "week")
+        .agg(F.sum("qty").alias("demand"))
+    )
+    rate = weekly.groupBy("p_type").agg(
+        F.expr("SUM(demand) DIV COUNT(*) + 1").alias("restock"),
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum("demand").alias("total_demand"),
+    )
+    walk = (
+        weekly.join(F.broadcast(rate), "p_type")
+        .withColumn(
+            "c",
+            F.expr(
+                "SUM(restock - demand) OVER (PARTITION BY p_type "
+                "ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING "
+                "AND CURRENT ROW)"
+            ),
+        )
+        .withColumn(
+            "runmin",
+            F.expr(
+                "MIN(c) OVER (PARTITION BY p_type ORDER BY week "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ),
+        )
+        .withColumn("stock", F.expr("c - least(runmin, 0)"))
+        .withColumn(
+            "prev_runmin",
+            F.expr(
+                "lag(runmin) OVER (PARTITION BY p_type ORDER BY week)"
+            ),
+        )
+    )
+    return (
+        walk.groupBy("p_type")
+        .agg(
+            F.max("n_weeks").alias("n_weeks"),
+            F.max("restock").alias("restock_per_week"),
+            F.max("total_demand").alias("total_demand"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN c < 0 AND (prev_runmin IS NULL "
+                    "OR c < prev_runmin) THEN 1 ELSE 0 END"
+                )
+            ).alias("stockout_weeks"),
+            F.expr(
+                "CAST(coalesce(MAX(greatest(least(coalesce(prev_runmin, "
+                "0), 0) - c, 0)), 0) AS BIGINT)"
+            ).alias("max_deficit"),
+            F.expr("MAX_BY(stock, week)").alias("end_stock"),
+        )
+        .orderBy("p_type")
+    )
+
+
+INVENTORY_BACKORDER_SIM_SQL = """
+WITH weekly AS (
+  SELECT p.p_type,
+         CAST(floor(epoch(l_shipdate) / 604800) AS BIGINT) AS week,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), rate AS (
+  SELECT p_type,
+         CAST(SUM(demand) AS BIGINT) // CAST(COUNT(*) AS BIGINT) + 1
+           AS restock,
+         CAST(COUNT(*) AS BIGINT) AS n_weeks,
+         CAST(SUM(demand) AS BIGINT) AS total_demand
+  FROM weekly GROUP BY 1
+), walk AS (
+  SELECT w.p_type, w.week, r.restock, r.n_weeks, r.total_demand,
+         CAST(SUM(r.restock - w.demand) OVER (PARTITION BY w.p_type
+           ORDER BY w.week ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS c
+  FROM weekly w JOIN rate r ON w.p_type = r.p_type
+), walk1 AS (
+  SELECT p_type, week, restock, n_weeks, total_demand, c,
+         CAST(MIN(c) OVER (PARTITION BY p_type ORDER BY week
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS runmin
+  FROM walk
+), walk2 AS (
+  SELECT p_type, week, restock, n_weeks, total_demand, c, runmin,
+         lag(runmin) OVER (PARTITION BY p_type ORDER BY week)
+           AS prev_runmin
+  FROM walk1
+)
+SELECT p_type,
+       CAST(MAX(n_weeks) AS BIGINT) AS n_weeks,
+       CAST(MAX(restock) AS BIGINT) AS restock_per_week,
+       CAST(MAX(total_demand) AS BIGINT) AS total_demand,
+       CAST(SUM(CASE WHEN c < 0 AND (prev_runmin IS NULL
+         OR c < prev_runmin) THEN 1 ELSE 0 END) AS BIGINT)
+         AS stockout_weeks,
+       CAST(COALESCE(MAX(greatest(least(COALESCE(prev_runmin, 0), 0)
+         - c, 0)), 0) AS BIGINT) AS max_deficit,
+       CAST(max_by(c - least(runmin, 0), week) AS BIGINT) AS end_stock
+FROM walk2
+GROUP BY p_type
+ORDER BY p_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: reorder-point report (robust demand quantiles)
+# ---------------------------------------------------------------------------
+
+def reorder_point_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part type: the P90/P50 of WEEKLY shipped demand and the
+    implied reorder point + safety stock (P90 as the
+    order-up-to level, P90 − P50 as the buffer above typical
+    demand) — the inventory-policy companion to
+    inventory_backorder_sim: the sim says what a flat restock rate
+    does; this says what rate to set.
+
+    Determinism: weekly demands are BIGINT; quantiles use the
+    verified interpolated-percentile contract at ×10 (P90) and ×2
+    (P50) fixed-point so the interpolation is integral in both
+    engines.
+
+    Plan: the same (type, week) partial agg as the sim, then ONE
+    |types|-row percentile aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(floor(unix_timestamp(l_shipdate) / 604800) AS BIGINT)"
+        ).alias("week"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    weekly = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_type", "week")
+        .agg(F.sum("qty").alias("demand"))
+    )
+    return (
+        weekly.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_weeks"),
+            F.sum("demand").alias("total_demand"),
+            F.expr(
+                "CAST(percentile(demand * 10, CAST(0.9 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("p90_x10"),
+            F.expr(
+                "CAST(percentile(demand * 2, CAST(0.5 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("p50_x2"),
+        )
+        .select(
+            "p_type",
+            "n_weeks",
+            "total_demand",
+            F.expr("p90_x10 DIV 10").alias("reorder_point"),
+            F.expr("p50_x2 DIV 2").alias("typical_demand"),
+            F.expr("p90_x10 DIV 10 - p50_x2 DIV 2").alias("safety_stock"),
+        )
+        .orderBy("p_type")
+    )
+
+
+REORDER_POINT_REPORT_SQL = """
+WITH weekly AS (
+  SELECT p.p_type,
+         CAST(floor(epoch(l_shipdate) / 604800) AS BIGINT) AS week,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), q AS (
+  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+         CAST(SUM(demand) AS BIGINT) AS total_demand,
+         CAST(quantile_cont(demand * 10, CAST(0.9 AS DOUBLE)) AS BIGINT)
+           AS p90_x10,
+         CAST(quantile_cont(demand * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS p50_x2
+  FROM weekly GROUP BY 1
+)
+SELECT p_type, n_weeks, total_demand,
+       p90_x10 // 10 AS reorder_point,
+       p50_x2 // 2 AS typical_demand,
+       p90_x10 // 10 - p50_x2 // 2 AS safety_stock
+FROM q
+ORDER BY p_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: LTV cohort triangle
+# ---------------------------------------------------------------------------
+
+def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LTV cohort triangle: customers grouped by FIRST-order
+    month, revenue tracked by month offset since that first order,
+    cumulative per cohort, and LTV-per-customer at each age — the
+    curve every acquisition-payback decision reads. One query, no
+    sessionization: cohort assignment is a per-customer MIN.
+
+    Integer-exact: month indexes are year·12+month ints, revenue in
+    cents, the per-customer LTV one integer DIV.
+
+    Plan: per-customer first-month agg (customer-keyed partial
+    agg), broadcast back onto orders (dim-sized — |customers| ≪
+    orders at scale it stays a shuffle-hash join on o_custkey, the
+    same key the agg just used), then a (cohort, offset) agg of ≤
+    |months|² rows; the cumulative window runs per cohort on that
+    triangle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "year(o_orderdate) * 12 + month(o_orderdate) - 1"
+        ).alias("m"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sizes = first.groupBy("m0").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    tri = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort"),
+            F.expr("m - m0").alias("age_months"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.sum("cents").alias("rev_cents"),
+        )
+    )
+    return (
+        tri.join(
+            F.broadcast(sizes.select(F.col("m0").alias("cohort"),
+                                     "cohort_size")),
+            "cohort",
+        )
+        .withColumn(
+            "cum_rev_cents",
+            F.expr(
+                "SUM(rev_cents) OVER (PARTITION BY cohort "
+                "ORDER BY age_months ROWS BETWEEN UNBOUNDED PRECEDING "
+                "AND CURRENT ROW)"
+            ),
+        )
+        .withColumn(
+            "ltv_cents", F.expr("cum_rev_cents DIV cohort_size")
+        )
+        .select(
+            "cohort", "age_months", "cohort_size", "active_customers",
+            "rev_cents", "cum_rev_cents", "ltv_cents",
+        )
+        .orderBy("cohort", "age_months")
+    )
+
+
+CUSTOMER_LTV_COHORTS_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+         CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM orders
+), first AS (
+  SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1
+), sizes AS (
+  SELECT m0, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY 1
+), tri AS (
+  SELECT f.m0 AS cohort, o.m - f.m0 AS age_months,
+         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+         CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+  FROM o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT t.cohort, t.age_months, s.cohort_size, t.active_customers,
+         t.rev_cents,
+         CAST(SUM(t.rev_cents) OVER (PARTITION BY t.cohort
+           ORDER BY t.age_months ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+  FROM tri t JOIN sizes s ON t.cohort = s.m0
+)
+SELECT cohort, age_months, cohort_size, active_customers, rev_cents,
+       cum_rev_cents, cum_rev_cents // cohort_size AS ltv_cents
+FROM cum
+ORDER BY cohort, age_months
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: cohort repeat rate
+# ---------------------------------------------------------------------------
+
+def cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per acquisition cohort (first-order month): how many
+    customers came back for a SECOND order within 6 months — the
+    single scalar the LTV triangle gets asked to summarize. Also
+    reports the median months-to-second-order among repeaters.
+
+    Integer-exact: month indexes, counts, one DIV for the bp rate;
+    the median uses the ×2 fixed-point percentile contract.
+
+    Plan: per-customer agg computing first and second order months
+    in ONE pass (min + the min-above-min via a conditional min over
+    a window-free second agg), then a |cohorts|-row rollup."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "year(o_orderdate) * 12 + month(o_orderdate) - 1"
+        ).alias("m"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("m").alias("m0"), F.count(F.lit(1)).alias("n_orders")
+    )
+    second = (
+        orders.join(per_cust, "o_custkey")
+        .where("m > m0")
+        .groupBy("o_custkey")
+        .agg(F.min("m").alias("m1"))
+    )
+    cust = per_cust.join(second, "o_custkey", "left")
+    return (
+        cust.groupBy(F.col("m0").alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("cohort_size"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN m1 IS NOT NULL AND m1 - m0 <= 6 "
+                    "THEN 1 ELSE 0 END"
+                )
+            ).alias("repeaters_6m"),
+            F.expr(
+                "CAST(percentile(CASE WHEN m1 IS NOT NULL THEN "
+                "(m1 - m0) * 2 END, CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("med_gap_x2"),
+        )
+        .select(
+            "cohort",
+            "cohort_size",
+            "repeaters_6m",
+            F.expr("(repeaters_6m * 10000) DIV cohort_size").alias(
+                "repeat_bp"
+            ),
+            F.expr("med_gap_x2 DIV 2").alias("median_months_to_second"),
+        )
+        .orderBy("cohort")
+    )
+
+
+COHORT_REPEAT_RATE_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+  FROM orders
+), per_cust AS (
+  SELECT o_custkey, MIN(m) AS m0, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM o GROUP BY 1
+), second AS (
+  SELECT o.o_custkey, MIN(o.m) AS m1
+  FROM o JOIN per_cust p ON o.o_custkey = p.o_custkey
+  WHERE o.m > p.m0
+  GROUP BY 1
+), cust AS (
+  SELECT p.o_custkey, p.m0, s.m1
+  FROM per_cust p LEFT JOIN second s ON p.o_custkey = s.o_custkey
+)
+SELECT m0 AS cohort,
+       CAST(COUNT(*) AS BIGINT) AS cohort_size,
+       CAST(SUM(CASE WHEN m1 IS NOT NULL AND m1 - m0 <= 6
+         THEN 1 ELSE 0 END) AS BIGINT) AS repeaters_6m,
+       (CAST(SUM(CASE WHEN m1 IS NOT NULL AND m1 - m0 <= 6
+         THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         // CAST(COUNT(*) AS BIGINT) AS repeat_bp,
+       CAST(quantile_cont(CASE WHEN m1 IS NOT NULL THEN (m1 - m0) * 2 END,
+         CAST(0.5 AS DOUBLE)) AS BIGINT) // 2
+         AS median_months_to_second
+FROM cust
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: nation trade balance
+# ---------------------------------------------------------------------------
+
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: revenue SUPPLIED (lineitem value through that
+    nation's suppliers) versus revenue CONSUMED (order value by that
+    nation's customers) and the net balance — the two-sided exposure
+    view nation_trade_lift's graph edges aggregate away. A nation
+    that supplies far more than it buys is a concentration risk on
+    the supply side; the rank makes the tails reviewable.
+
+    Integer-exact: cents on both sides, one subtraction, rank with
+    full tie-break.
+
+    Plan: two independent fact aggregations (lineitem keyed by
+    suppkey, orders keyed by custkey), each with its dim broadcast
+    (supplier/customer/nation are all dim-sized); FULL join of two
+    |nations|-row results, rank over ≤ 25 rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    supplied = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("nationkey")
+        .agg(F.sum("cents").alias("supplied_cents"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    consumed = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy("nationkey")
+        .agg(F.sum("cents").alias("consumed_cents"))
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    return (
+        nation.join(F.broadcast(supplied), "nationkey", "left")
+        .join(F.broadcast(consumed), "nationkey", "left")
+        .select(
+            "n_name",
+            F.expr("coalesce(supplied_cents, CAST(0 AS BIGINT))").alias(
+                "supplied_cents"
+            ),
+            F.expr("coalesce(consumed_cents, CAST(0 AS BIGINT))").alias(
+                "consumed_cents"
+            ),
+        )
+        .withColumn(
+            "net_cents", F.expr("supplied_cents - consumed_cents")
+        )
+        .withColumn(
+            "net_rank",
+            F.expr(
+                "row_number() OVER (ORDER BY supplied_cents "
+                "- consumed_cents DESC, n_name)"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+NATION_TRADE_BALANCE_SQL = """
+WITH supplied AS (
+  SELECT s.s_nationkey AS nationkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS supplied_cents
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1
+), consumed AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100
+           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS consumed_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), base AS (
+  SELECT n.n_name,
+         COALESCE(s.supplied_cents, 0) AS supplied_cents,
+         COALESCE(c.consumed_cents, 0) AS consumed_cents
+  FROM nation n
+  LEFT JOIN supplied s ON n.n_nationkey = s.nationkey
+  LEFT JOIN consumed c ON n.n_nationkey = c.nationkey
+)
+SELECT n_name, supplied_cents, consumed_cents,
+       supplied_cents - consumed_cents AS net_cents,
+       CAST(row_number() OVER (ORDER BY supplied_cents - consumed_cents
+         DESC, n_name) AS BIGINT) AS net_rank
+FROM base
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Pareto concentration of revenue within part types
+# ---------------------------------------------------------------------------
+
+def parts_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 audit per part type: how many of the type's parts
+    carry 80 % of its revenue, plus the top part's share (bp) —
+    part_supply_concentration's HHI says "concentrated or not";
+    this answers the operational form: how short is the list you
+    must protect. A type where 5 % of parts reach the 80 % line
+    prices its catalog like a hit business.
+
+    Integer-exact: cents, cumulative BIGINT window with
+    (revenue DESC, partkey) total order, integer-DIV thresholds.
+
+    Plan: per-(type, part) partial agg (one exchange on the fact),
+    then windows partitioned by type over |parts| rows, folded to
+    |types| rows. No join at all — p_type rides in via broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    per_part = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_type", "l_partkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    ranked = per_part.select(
+        "p_type",
+        "rev",
+        F.expr(
+            "SUM(rev) OVER (PARTITION BY p_type ORDER BY rev DESC, "
+            "l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("cum_rev"),
+        F.expr("SUM(rev) OVER (PARTITION BY p_type)").alias("total_rev"),
+        F.expr(
+            "row_number() OVER (PARTITION BY p_type ORDER BY rev DESC, "
+            "l_partkey)"
+        ).alias("rk"),
+    )
+    return (
+        ranked.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.max("total_rev").alias("rev_cents"),
+            F.min(
+                F.expr(
+                    "CASE WHEN cum_rev * 10 >= total_rev * 8 THEN rk END"
+                )
+            ).alias("parts_to_80pct"),
+            F.max(
+                F.expr("CASE WHEN rk = 1 THEN (rev * 10000) DIV total_rev END")
+            ).alias("top_part_share_bp"),
+        )
+        .withColumn(
+            "pareto_bp", F.expr("(parts_to_80pct * 10000) DIV n_parts")
+        )
+        .orderBy("p_type")
+    )
+
+
+PARTS_PARETO_CONCENTRATION_SQL = """
+WITH per_part AS (
+  SELECT p.p_type, l.l_partkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT p_type, rev,
+         CAST(SUM(rev) OVER (PARTITION BY p_type ORDER BY rev DESC,
+           l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_rev,
+         CAST(SUM(rev) OVER (PARTITION BY p_type) AS BIGINT) AS total_rev,
+         CAST(row_number() OVER (PARTITION BY p_type ORDER BY rev DESC,
+           l_partkey) AS BIGINT) AS rk
+  FROM per_part
+), agg AS (
+  SELECT p_type,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(MAX(total_rev) AS BIGINT) AS rev_cents,
+         CAST(MIN(CASE WHEN cum_rev * 10 >= total_rev * 8 THEN rk END)
+           AS BIGINT) AS parts_to_80pct,
+         CAST(MAX(CASE WHEN rk = 1 THEN (rev * 10000) // total_rev END)
+           AS BIGINT) AS top_part_share_bp
+  FROM ranked GROUP BY 1
+)
+SELECT p_type, n_parts, rev_cents, parts_to_80pct, top_part_share_bp,
+       (parts_to_80pct * 10000) // n_parts AS pareto_bp
+FROM agg
+ORDER BY p_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: brand price dispersion
+# ---------------------------------------------------------------------------
+
+def part_brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog pricing spread per brand: min/max retail price, the
+    interquartile range, and IQR relative to the median (bp) — the
+    assortment-architecture report (a brand with a tight IQR is a
+    single price tier; a wide one straddles segments). Sits beside
+    part_type_margin: that prices the SALES, this prices the
+    CATALOG.
+
+    Determinism: prices in cents; quartiles via the ×4 fixed-point
+    interpolated-percentile contract (0.25/0.75 on BIGINTs ×4 are
+    integral in both engines).
+
+    Plan: part only (dim-sized) — one |brands|-row aggregate."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.expr(
+            "CAST(floor(p_retailprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.expr(
+                "CAST(percentile(cents * 4, CAST(0.25 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("q1_x4"),
+            F.expr(
+                "CAST(percentile(cents * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("med_x2"),
+            F.expr(
+                "CAST(percentile(cents * 4, CAST(0.75 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("q3_x4"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            "min_cents",
+            "max_cents",
+            F.expr("med_x2 DIV 2").alias("median_cents"),
+            F.expr("(q3_x4 - q1_x4) DIV 4").alias("iqr_cents"),
+            F.expr(
+                "(((q3_x4 - q1_x4) DIV 4) * 10000) DIV (med_x2 DIV 2)"
+            ).alias("iqr_over_median_bp"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PART_BRAND_PRICE_DISPERSION_SQL = """
+WITH p AS (
+  SELECT p_brand,
+         CAST(floor(p_retailprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM part
+), q AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(MIN(cents) AS BIGINT) AS min_cents,
+         CAST(MAX(cents) AS BIGINT) AS max_cents,
+         CAST(quantile_cont(cents * 4, CAST(0.25 AS DOUBLE)) AS BIGINT)
+           AS q1_x4,
+         CAST(quantile_cont(cents * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS med_x2,
+         CAST(quantile_cont(cents * 4, CAST(0.75 AS DOUBLE)) AS BIGINT)
+           AS q3_x4
+  FROM p GROUP BY 1
+)
+SELECT p_brand, n_parts, min_cents, max_cents,
+       med_x2 // 2 AS median_cents,
+       (q3_x4 - q1_x4) // 4 AS iqr_cents,
+       (((q3_x4 - q1_x4) // 4) * 10000) // (med_x2 // 2)
+         AS iqr_over_median_bp
+FROM q
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: order-priority mix by month (dense grid)
+# ---------------------------------------------------------------------------
+
+def orders_priority_mix_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix per calendar month (pooled across years)
+    on a DENSE priority × month grid — zero-count cells included
+    (the r7 sparse-grid lesson: a priority that vanishes from a
+    month IS the drift), with each cell's share (bp) of its month
+    and the gap to that priority's overall share. The SLA-mix
+    monitor: a creeping URGENT share is an ops cost signal long
+    before the queue backs up.
+
+    Integer-exact: counts, two integer DIVs on the shared grid.
+
+    Plan: one (month, priority) partial agg (≤ 60 cells), dense
+    grid by cross join of two tiny distinct sets, overall shares by
+    window over those cells."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr("month(o_orderdate)").alias("mon"), "o_orderpriority"
+    )
+    cells = orders.groupBy("mon", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = (
+        cells.select("mon").distinct()
+        .crossJoin(cells.select("o_orderpriority").distinct())
+    )
+    dense = grid.join(cells, ["mon", "o_orderpriority"], "left").select(
+        "mon",
+        "o_orderpriority",
+        F.expr("coalesce(n, CAST(0 AS BIGINT))").alias("n_orders"),
+    )
+    return (
+        dense.withColumn(
+            "mon_total",
+            F.expr("SUM(n_orders) OVER (PARTITION BY mon)"),
+        )
+        .withColumn(
+            "prio_total",
+            F.expr("SUM(n_orders) OVER (PARTITION BY o_orderpriority)"),
+        )
+        .withColumn("grand", F.expr("SUM(n_orders) OVER ()"))
+        .select(
+            "mon",
+            "o_orderpriority",
+            "n_orders",
+            F.expr("(n_orders * 10000) DIV mon_total").alias("share_bp"),
+            F.expr(
+                "(n_orders * 10000) DIV mon_total "
+                "- (prio_total * 10000) DIV grand"
+            ).alias("vs_overall_bp"),
+        )
+        .orderBy("mon", "o_orderpriority")
+    )
+
+
+ORDERS_PRIORITY_MIX_BY_MONTH_SQL = """
+WITH cells AS (
+  SELECT month(o_orderdate) AS mon, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), grid AS (
+  SELECT m.mon, p.o_orderpriority
+  FROM (SELECT DISTINCT mon FROM cells) m
+  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM cells) p
+), dense AS (
+  SELECT g.mon, g.o_orderpriority, COALESCE(c.n, 0) AS n_orders
+  FROM grid g LEFT JOIN cells c
+    ON g.mon = c.mon AND g.o_orderpriority = c.o_orderpriority
+), tot AS (
+  SELECT mon, o_orderpriority, n_orders,
+         CAST(SUM(n_orders) OVER (PARTITION BY mon) AS BIGINT)
+           AS mon_total,
+         CAST(SUM(n_orders) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+           AS prio_total,
+         CAST(SUM(n_orders) OVER () AS BIGINT) AS grand
+  FROM dense
+)
+SELECT mon, o_orderpriority, n_orders,
+       (n_orders * 10000) // mon_total AS share_bp,
+       (n_orders * 10000) // mon_total
+         - (prio_total * 10000) // grand AS vs_overall_bp
+FROM tot
+ORDER BY mon, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: discount effectiveness
+# ---------------------------------------------------------------------------
+
+def lineitem_discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per discount band (percentage points) and return flag: line
+    count, net revenue, average quantity (×100 fixed-point), and
+    the return share (bp) of each band — the promo-effectiveness
+    cut: if deeper discounts ship barely more units per line while
+    the R (returned) share stays flat, the discount buys nothing.
+
+    Integer-exact: bands are floor(discount·100) ints, cents,
+    fixed-point average, one DIV per share.
+
+    Plan: map-only banding → one (band, flag) partial agg
+    (≤ 11·3 cells); the band totals ride a window over those
+    cells."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("disc_pct"),
+        "l_returnflag",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        li.groupBy("disc_pct", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("cents").alias("rev_cents"),
+            F.sum("qty").alias("total_qty"),
+        )
+        .withColumn(
+            "avg_qty_x100", F.expr("(total_qty * 100) DIV n_lines")
+        )
+        .withColumn(
+            "band_share_bp",
+            F.expr(
+                "(n_lines * 10000) DIV SUM(n_lines) "
+                "OVER (PARTITION BY disc_pct)"
+            ),
+        )
+        .orderBy("disc_pct", "l_returnflag")
+    )
+
+
+LINEITEM_DISCOUNT_EFFECTIVENESS_SQL = """
+WITH li AS (
+  SELECT CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS disc_pct,
+         l_returnflag,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100
+           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM lineitem
+), agg AS (
+  SELECT disc_pct, l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(cents) AS BIGINT) AS rev_cents,
+         CAST(SUM(qty) AS BIGINT) AS total_qty
+  FROM li GROUP BY 1, 2
+)
+SELECT disc_pct, l_returnflag, n_lines, rev_cents, total_qty,
+       (total_qty * 100) // n_lines AS avg_qty_x100,
+       (n_lines * 10000) // CAST(SUM(n_lines)
+         OVER (PARTITION BY disc_pct) AS BIGINT) AS band_share_bp
+FROM agg
+ORDER BY disc_pct, l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: supplier balance deciles
+# ---------------------------------------------------------------------------
+
+def supplier_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account-balance deciles: NTILE(10) over balance
+    cents (suppkey tie-break — NTILE is only deterministic under a
+    TOTAL order), per decile the supplier count, balance range, and
+    share of the aggregate positive balance (bp) — the
+    credit-exposure ladder: decile 1's negative tail is the
+    watchlist, decile 10's share says how top-heavy the float is.
+
+    Plan: supplier only (dim-sized): one NTILE window over cents,
+    one 10-row aggregate."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(
+            "CAST(floor(s_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    tiled = sup.withColumn(
+        "decile",
+        F.expr("ntile(10) OVER (ORDER BY cents, s_suppkey)"),
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(
+                F.expr("CASE WHEN cents > 0 THEN cents ELSE 0 END")
+            ).alias("pos_cents"),
+        )
+        .withColumn(
+            "pos_share_bp",
+            F.expr(
+                "(pos_cents * 10000) DIV SUM(pos_cents) OVER ()"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+SUPPLIER_BALANCE_DECILES_SQL = """
+WITH tiled AS (
+  SELECT CAST(floor(s_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents,
+         CAST(ntile(10) OVER (ORDER BY
+           CAST(floor(s_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT),
+           s_suppkey) AS INTEGER) AS decile
+  FROM supplier
+), agg AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(MIN(cents) AS BIGINT) AS min_cents,
+         CAST(MAX(cents) AS BIGINT) AS max_cents,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         CAST(SUM(CASE WHEN cents > 0 THEN cents ELSE 0 END) AS BIGINT)
+           AS pos_cents
+  FROM tiled GROUP BY 1
+)
+SELECT decile, n_suppliers, min_cents, max_cents, sum_cents, pos_cents,
+       (pos_cents * 10000) // CAST(SUM(pos_cents) OVER () AS BIGINT)
+         AS pos_share_bp
+FROM agg
+ORDER BY decile
+"""

@@ -1424,3 +1424,94 @@ ORDER BY dim
 
 
 EMBEDDING_BATCH_DRIFT_SQL = _embedding_batch_drift_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 8: label-centroid separation matrix
+# ---------------------------------------------------------------------------
+
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise L1 distance between LABEL centroids in embedding
+    space — the label-quality audit for a classification corpus:
+    two labels whose centroids nearly coincide are either duplicate
+    classes or a labeling error, and no downstream classifier can
+    fix that. embedding_batch_drift compares batch halves per
+    dimension; this compares CLASSES whole-vector, the matrix an
+    active-learning loop reads to pick confusable pairs.
+    cluster_label_purity asks if kmeans recovers the labels; this
+    asks if the labels are even geometrically distinct.
+
+    Integer-exact: the kmeans fixed-point lattice — per-element
+    FP_SCALE snap before any sum, centroid = integer DIV, |Δ|
+    summed over dims as BIGINT.
+
+    Plan: ONE posexplode → (label, dim) partial agg (map-side
+    combined, |labels|·|dims| rows); the pair matrix is a self-join
+    of that tiny centroid table on dim (≤ |labels|²·|dims| rows, all
+    broadcastable) folded to |labels|²/2 rows. The explode is the
+    only corpus-proportional stage."""
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .withColumn("x_fp", F.floor(F.col("x").cast("double") * FP_SCALE))
+        .groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x_fp").alias("s"))
+        .withColumn("mean_fp", F.expr("s DIV n"))
+        .select("label", "dim", "n", "mean_fp")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("mean_fp").alias("ma"),
+        F.col("n").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("mean_fp").alias("mb"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = a.join(F.broadcast(b), "dim").where("label_a < label_b")
+    return (
+        pairs.groupBy("label_a", "label_b")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(F.expr("abs(ma - mb)")).alias("l1_fp"),
+            F.max(F.expr("abs(ma - mb)")).alias("max_dim_gap_fp"),
+        )
+        .orderBy("l1_fp", "label_a", "label_b")
+    )
+
+
+def _embedding_label_separation_sql() -> str:
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    return f"""
+WITH x AS (
+  SELECT label, u.dim AS dim,
+         CAST(floor(u.val::DOUBLE * {FP_SCALE}) AS BIGINT) AS x_fp
+  FROM (
+    SELECT label,
+           unnest(list_transform(range(0, len(embedding)),
+             i -> {{'dim': i, 'val': embedding[i + 1]}})) AS u
+    FROM embeddings)
+), cent AS (
+  SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_fp) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_fp
+  FROM x GROUP BY 1, 2
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(MAX(a.n) AS BIGINT) AS n_a,
+       CAST(MAX(b.n) AS BIGINT) AS n_b,
+       CAST(SUM(abs(a.mean_fp - b.mean_fp)) AS BIGINT) AS l1_fp,
+       CAST(MAX(abs(a.mean_fp - b.mean_fp)) AS BIGINT) AS max_dim_gap_fp
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2
+ORDER BY l1_fp, label_a, label_b
+"""
+
+
+EMBEDDING_LABEL_SEPARATION_SQL = _embedding_label_separation_sql()

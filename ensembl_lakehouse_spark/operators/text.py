@@ -1670,3 +1670,286 @@ JOIN sizes sa ON sa.lang = inter.lang_a
 JOIN sizes sb ON sb.lang = inter.lang_b
 ORDER BY lang_a, lang_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8: cross-source contamination matrix (n-gram-index tier)
+# ---------------------------------------------------------------------------
+
+def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 8-gram contamination between SOURCES — the
+    train/eval-split audit at the n-gram-index tier:
+    text_decontaminate flags individual documents against one
+    benchmark set; this reports, for every source pair, how many
+    distinct 8-gram shingles they share and the containment ratio
+    (shared ÷ smaller side, ppm) — the number that says "source A
+    is substantially inside source B", which Jaccard dilutes when
+    sizes differ. lang_vocab_overlap audits LABELS at the token
+    tier; this audits PROVENANCE at the n-gram tier.
+
+    Integer-exact: distinct-set sizes, intersection counts, one DIV
+    per pair.
+
+    Plan: one (source, shingle) DISTINCT lattice (the n-gram
+    index — per-row transform then partial-agg'd distinct), a
+    shingle-keyed self-join emitting only a < b pairs
+    (|shared-gram postings|-bounded, never corpus-bounded), sizes
+    re-joined by broadcast (|sources| rows ≤ dozens)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .withColumn("toks", whitespace_tokens("text"))
+    )
+    grams = docs.select(
+        "source", F.explode(word_shingles("toks", 8)).alias("g")
+    ).distinct()
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .withColumn(
+            "containment_ppm",
+            F.expr(
+                "(shared_grams * 1000000) DIV least(grams_a, grams_b)"
+            ),
+        )
+        .select(
+            "source_a", "source_b", "grams_a", "grams_b",
+            "shared_grams", "containment_ppm",
+        )
+        .orderBy(F.desc("containment_ppm"), "source_a", "source_b")
+    )
+
+
+CONTAMINATION_MATRIX_SQL = f"""
+WITH t AS (
+  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT DISTINCT source, g
+  FROM (SELECT source, unnest({sql_word_shingles('toks', 8)}) AS g FROM t)
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM grams GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_grams
+  FROM grams a JOIN grams b
+    ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       sa.n_grams AS grams_a, sb.n_grams AS grams_b, shared_grams,
+       (shared_grams * 1000000) // least(sa.n_grams, sb.n_grams)
+         AS containment_ppm
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
+ORDER BY containment_ppm DESC, source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: character-class profile per language
+# ---------------------------------------------------------------------------
+
+def text_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-class mix: shares (bp) of digits,
+    uppercase letters, and non-alphanumeric-non-space symbols in
+    the corpus slice — the cheap encoding/quality tripwire (a
+    "prose" slice whose digit share spikes is tables or logs; an
+    upper-case spike is boilerplate/headers). Complements
+    text_quality_score's per-document gates with a per-slice
+    profile.
+
+    Integer-exact: class counts are regexp-strip length differences
+    per row (BIGINT), shares one DIV per class.
+
+    Plan: map-only per-row expressions → one partial agg to
+    |langs| rows. The regexes run inside codegen, no explode."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    per_doc = docs.select(
+        "lang",
+        F.expr("CAST(length(text) AS BIGINT)").alias("chars"),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT)"
+        ).alias("digits"),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^A-Z]', '')) AS BIGINT)"
+        ).alias("uppers"),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '')) "
+            "AS BIGINT)"
+        ).alias("symbols"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").alias("chars"),
+            F.sum("digits").alias("digits"),
+            F.sum("uppers").alias("uppers"),
+            F.sum("symbols").alias("symbols"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "chars",
+            F.expr("(digits * 10000) DIV chars").alias("digit_bp"),
+            F.expr("(uppers * 10000) DIV chars").alias("upper_bp"),
+            F.expr("(symbols * 10000) DIV chars").alias("symbol_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_CHAR_CLASS_PROFILE_SQL = """
+WITH per_doc AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+           AS digits,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT)
+           AS uppers,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+           AS BIGINT) AS symbols
+  FROM documents WHERE length(trim(text)) > 0
+), agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(chars) AS BIGINT) AS chars,
+         CAST(SUM(digits) AS BIGINT) AS digits,
+         CAST(SUM(uppers) AS BIGINT) AS uppers,
+         CAST(SUM(symbols) AS BIGINT) AS symbols
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, chars,
+       (digits * 10000) // chars AS digit_bp,
+       (uppers * 10000) // chars AS upper_bp,
+       (symbols * 10000) // chars AS symbol_bp
+FROM agg
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8: robust length outliers (median/MAD)
+# ---------------------------------------------------------------------------
+
+def doc_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length-outlier screen: median n_chars and
+    the median absolute deviation (MAD — the robust sigma that one
+    giant concatenated document cannot inflate, unlike the stddev a
+    z-score screen leans on), then the count and share (bp) of
+    documents beyond 3×MAD. The curation gate for
+    truncation/concatenation artifacts.
+
+    Determinism: medians use the verified interpolated-percentile
+    contract on BIGINT inputs; deviations stay integer until the
+    single ×2 fixed-point when the interpolated median is a .5.
+
+    Plan: per-lang median (one agg), broadcast back, per-lang MAD
+    (second agg over |docs| deviations), broadcast again, final
+    per-lang outlier count — three lang-keyed aggregates, each
+    partial-agg'd; nothing row-expanded."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    # ×2 fixed-point so the interpolated median (possible .5) stays
+    # integer-exact in both engines
+    med = docs.groupBy("lang").agg(
+        F.expr(
+            "CAST(percentile(n_chars * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("med2")
+    )
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "lang",
+        "n_chars",
+        "med2",
+        F.expr("abs(n_chars * 2 - med2)").alias("adev2"),
+    )
+    mad = dev.groupBy("lang").agg(
+        F.expr(
+            "CAST(percentile(adev2 * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("med2").alias("med2"),
+            F.max("mad4").alias("mad4"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN adev2 * 2 > 3 * mad4 THEN 1 ELSE 0 END"
+                )
+            ).alias("n_outliers"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("med2 DIV 2").alias("median_chars"),
+            F.expr("mad4 DIV 4").alias("mad_chars"),
+            "n_outliers",
+            F.expr("(n_outliers * 10000) DIV n_docs").alias("outlier_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_LENGTH_MAD_OUTLIERS_SQL = """
+WITH docs AS (
+  SELECT lang, n_chars FROM documents WHERE length(trim(text)) > 0
+), med AS (
+  SELECT lang,
+         CAST(quantile_cont(n_chars * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS med2
+  FROM docs GROUP BY lang
+), dev AS (
+  SELECT d.lang, d.n_chars, m.med2,
+         abs(d.n_chars * 2 - m.med2) AS adev2
+  FROM docs d JOIN med m ON d.lang = m.lang
+), mad AS (
+  SELECT lang,
+         CAST(quantile_cont(adev2 * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS mad4
+  FROM dev GROUP BY lang
+), agg AS (
+  SELECT v.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MAX(v.med2) AS BIGINT) AS med2,
+         CAST(MAX(a.mad4) AS BIGINT) AS mad4,
+         CAST(SUM(CASE WHEN v.adev2 * 2 > 3 * a.mad4 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_outliers
+  FROM dev v JOIN mad a ON v.lang = a.lang
+  GROUP BY v.lang
+)
+SELECT lang, n_docs,
+       med2 // 2 AS median_chars,
+       mad4 // 4 AS mad_chars,
+       n_outliers,
+       (n_outliers * 10000) // n_docs AS outlier_bp
+FROM agg
+ORDER BY lang
+"""

@@ -15,6 +15,29 @@ from tests.conftest import SF_DIR
 
 #: query -> (max hash shuffles, require zero shuffles?)
 BUDGETS = {
+    # --- Round 8 (probed at sf0.001, pinned at the observed count)
+    "sketch_kmv_rollup_read": 2,
+    "embedding_label_separation": 2,
+    "contamination_matrix": 4,
+    "text_char_class_profile": 1,
+    "doc_length_mad_outliers": 3,
+    "inventory_backorder_sim": 3,
+    "reorder_point_report": 2,
+    "parts_pareto_concentration": 2,
+    "part_brand_price_dispersion": 1,
+    "lineitem_discount_effectiveness": 2,
+    "customer_ltv_cohorts": 6,
+    "cohort_repeat_rate": 4,
+    "calendar_adjusted_monthly_index": 2,
+    "nation_trade_balance": 2,
+    "supplier_balance_deciles": 0,
+    "orders_priority_mix_by_month": 3,
+    "orders_interarrival_histogram": 2,
+    "events_hourly_heatmap": 1,
+    "weekly_active_users": 2,
+    "events_burstiness": 2,
+    "events_value_drift": 4,
+    "user_type_gini": 3,
     # map-only paths: any shuffle at all is a defect
     "scan_project": 0,
     "multimodal_quantize": 0,
