@@ -547,11 +547,12 @@ def maintain_aux_rollup(
             ),
         )
     )
-    _reject_null_group_keys(per_group, group_cols, hint)
-    # shared by the del-recompute AND the ins-merge below; localCheckpoint
-    # would be overkill for a per-commit delta — persist suffices
+    # shared by the null-key check, the del-recompute, AND the
+    # ins-merge below — persisted FIRST so the diff-side aggregation
+    # runs once, not once per consumer (r8 code review)
     per_group.persist()
     try:
+        _reject_null_group_keys(per_group, group_cols, hint)
         del_keys = per_group.where("has_del = 1").select(*group_cols)
         recomputed = (
             SN.read_snapshot(spark, source_dir, version=src_v)
@@ -610,8 +611,6 @@ def maintain_aux_rollup(
 def read_aux_rollup(
     spark: SparkSession, rollup_dir: str, version: int | None = None
 ) -> DataFrame:
-    """The maintained aux view, tombstones filtered — same contract
-    as ``read_rollup``."""
-    return SN.read_snapshot(spark, rollup_dir, version=version).where(
-        F.col("n_rows") > 0
-    )
+    """The maintained aux view — read_rollup's contract verbatim
+    (one tombstone/version-pin rule, one place to change it)."""
+    return read_rollup(spark, rollup_dir, version=version)

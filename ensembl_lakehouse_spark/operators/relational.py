@@ -4239,7 +4239,7 @@ ORDER BY week
 # Round 8: per-user burstiness screen
 # ---------------------------------------------------------------------------
 
-def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bursty-account screen: for each user, the peak hourly event
     count versus their average across active hours, as a basis-point
     ratio (peak · active_hours · 10⁴ ÷ total — a steady user reads
@@ -4284,7 +4284,7 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_BURSTINESS_SQL = """
+USER_BURSTINESS_SQL = """
 WITH hourly AS (
   SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
          CAST(COUNT(*) AS BIGINT) AS n
@@ -4380,9 +4380,15 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band",
             "n_early",
             "n_late",
+            # a type confined to one half is the MAXIMAL drift, not
+            # a NULL: an empty half contributes share 0 to every band
+            # (r8 code review — DIV by a zero total is NULL in both
+            # engines and would blank exactly the loudest signal)
             F.expr(
-                "abs((n_early * 10000) DIV tot_early "
-                "- (n_late * 10000) DIV tot_late)"
+                "abs(CASE WHEN tot_early = 0 THEN 0 ELSE "
+                "(n_early * 10000) DIV tot_early END "
+                "- CASE WHEN tot_late = 0 THEN 0 ELSE "
+                "(n_late * 10000) DIV tot_late END)"
             ).alias("band_gap_bp"),
         )
         .groupBy("event_type")
@@ -4429,8 +4435,10 @@ WITH banded AS (
   FROM dense GROUP BY 1
 ), gaps AS (
   SELECT d.event_type, d.band, d.n_early, d.n_late,
-         abs((d.n_early * 10000) // t.tot_early
-           - (d.n_late * 10000) // t.tot_late) AS band_gap_bp
+         abs(CASE WHEN t.tot_early = 0 THEN 0 ELSE
+               (d.n_early * 10000) // t.tot_early END
+           - CASE WHEN t.tot_late = 0 THEN 0 ELSE
+               (d.n_late * 10000) // t.tot_late END) AS band_gap_bp
   FROM dense d JOIN tot t ON d.event_type = t.event_type
 )
 SELECT event_type,

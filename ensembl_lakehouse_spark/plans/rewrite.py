@@ -48,9 +48,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ensembl_lakehouse_spark import ivm
 from ensembl_lakehouse_spark import snapshots as SN
 
-#: Measures the rewrite can derive from (n_rows, sum_val) partials.
-DERIVABLE = ("count", "sum", "avg")
-
 #: Per-kind derivable measures. "sum" is ivm.maintain_rollup's
 #: (n_rows, sum_val) contract; "minmax" and "hll" are
 #: ivm.maintain_aux_rollup's recompute-on-delete measures —

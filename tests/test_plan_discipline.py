@@ -35,7 +35,7 @@ BUDGETS = {
     "orders_interarrival_histogram": 2,
     "events_hourly_heatmap": 1,
     "weekly_active_users": 2,
-    "events_burstiness": 2,
+    "user_burstiness": 2,
     "events_value_drift": 4,
     "user_type_gini": 3,
     # map-only paths: any shuffle at all is a defect

@@ -43,18 +43,17 @@ def test_weekly_active_users_identities(spark):
     for r in rows:
         assert 0 < r.wau <= total_users
         assert r.events_per_user == r.n_events // r.wau
+    import math
+
     for prev, cur in zip(rows, rows[1:]):
-        want = int(
-            ((cur.wau - prev.wau) * 10000) // prev.wau
-            if (cur.wau - prev.wau) * 10000 % prev.wau == 0
-            or cur.wau >= prev.wau
-            else ((cur.wau - prev.wau) * 10000) // prev.wau
-        )
-        assert cur.wow_bp == want  # floor semantics both signs
+        # floor of the DOUBLE ratio — the operator's actual contract
+        # (truncating DIV would differ on negative growth)
+        want = math.floor((cur.wau - prev.wau) * 10000 / prev.wau)
+        assert cur.wow_bp == want
 
 
-def test_events_burstiness_bounds(spark):
-    rows = R.events_burstiness(spark, SF_DIR).collect()
+def test_user_burstiness_bounds(spark):
+    rows = R.user_burstiness(spark, SF_DIR).collect()
     assert 0 < len(rows) <= 20  # min(20, |users|) at this SF
     bps = [r.burst_bp for r in rows]
     assert bps == sorted(bps, reverse=True)
