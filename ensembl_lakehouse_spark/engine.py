@@ -489,6 +489,10 @@ class Engine:
             "rowcount": _SN.table_rowcount(d),
             "compaction": _SN.compaction_plan(d, target_bytes),
             "vacuum": vacuum,
+            # op-stamp log growth + what a loss-free compact_txns
+            # would shrink it to (r8: the _txns metadata-scaling
+            # story, surfaced where the daemon already polls)
+            "txns": _SN.compact_txns_plan(d),
         }
 
     def submit_table_changes(

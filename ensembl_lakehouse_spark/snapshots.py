@@ -1621,6 +1621,71 @@ def committed_ops(table_dir: str) -> list[str]:
     ]
 
 
+def _txns_records_and_cut(table_dir: str):
+    """Shared planner for compact_txns and its dry-run: the expanded
+    (version, op) record list (summary line unfolded) and the length
+    of the maximal prefix whose versions all predate the oldest
+    retained manifest. (None, 0) when no log exists."""
+    txns = _txns_path(table_dir)
+    if not os.path.exists(txns):
+        return None, 0
+    records: list[tuple[int, str]] = []
+    with open(txns) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("compacted"):
+                records.extend((v, op) for v, op in rec["records"])
+            else:
+                records.append((rec["version"], rec["op"]))
+    mdir = _manifest_dir(table_dir)
+    retained = (
+        {
+            int(_MANIFEST_RE.match(n).group(1))
+            for n in _manifest_names(mdir)
+        }
+        if os.path.isdir(mdir)
+        else set()
+    )
+    oldest = min(retained) if retained else None
+    cut = 0
+    if oldest is not None:
+        while cut < len(records) and records[cut][0] < oldest:
+            cut += 1
+    return records, cut
+
+
+def compact_txns_plan(table_dir: str) -> dict:
+    """DRY-RUN of ``compact_txns`` (loss-free mode): current record
+    count, the foldable-prefix length, the distinct ops that prefix
+    folds to, and the projected post-compaction count — the number a
+    maintenance daemon polls (table_maintenance_report) to decide
+    whether the op-stamp log is worth rewriting. Pure file
+    arithmetic; no lock needed for a dry run (a racing append only
+    makes the estimate conservative)."""
+    records, cut = _txns_records_and_cut(table_dir)
+    if records is None:
+        return {
+            "records": 0,
+            "foldable_prefix": 0,
+            "folded_to": 0,
+            "projected": 0,
+        }
+    prefix = records[:cut]
+    folded = len({op for _, op in prefix})
+    return {
+        "records": len(records),
+        "foldable_prefix": cut,
+        "folded_to": folded,
+        "projected": folded + (len(records) - cut),
+    }
+
+
 def compact_txns(
     table_dir: str, keep_stamps_since: int | None = None
 ) -> dict:
@@ -1653,37 +1718,10 @@ def compact_txns(
     with the same arguments is a byte-level no-op."""
     txns = _txns_path(table_dir)
     with _table_lock(table_dir):
-        if not os.path.exists(txns):
+        records, cut = _txns_records_and_cut(table_dir)
+        if records is None:
             return {"before": 0, "after": 0, "dropped_stamps": 0}
-        records: list[tuple[int, str]] = []
-        with open(txns) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    rec = json.loads(line)
-                except ValueError:
-                    continue
-                if rec.get("compacted"):
-                    records.extend((v, op) for v, op in rec["records"])
-                else:
-                    records.append((rec["version"], rec["op"]))
         before = len(records)
-        mdir = _manifest_dir(table_dir)
-        retained = (
-            {
-                int(_MANIFEST_RE.match(n).group(1))
-                for n in _manifest_names(mdir)
-            }
-            if os.path.isdir(mdir)
-            else set()
-        )
-        oldest = min(retained) if retained else None
-        cut = 0
-        if oldest is not None:
-            while cut < len(records) and records[cut][0] < oldest:
-                cut += 1
         prefix, tail = records[:cut], records[cut:]
         dropped = 0
         if keep_stamps_since is not None:

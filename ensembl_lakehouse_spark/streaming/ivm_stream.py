@@ -53,6 +53,19 @@ class RollupDef:
 
 
 @dataclass(frozen=True)
+class AuxRollupDef:
+    """A base-fed MIN/MAX or HLL-sketch view
+    (ivm.maintain_aux_rollup) ticked per micro-batch like the sum
+    rollups — the streaming feed for the rewrite's minmax/hll
+    answering tier."""
+
+    rollup_dir: str
+    group_cols: tuple[str, ...]
+    col: str
+    kind: str = "minmax"
+
+
+@dataclass(frozen=True)
 class ChildRollupDef:
     """A HIERARCHICAL downstream view fed by a parent rollup's CDC
     (ivm.maintain_rollup_from_rollup): ``key_exprs`` maps child
@@ -108,6 +121,7 @@ def run_stream_ivm(
     max_files_per_trigger: int | None = None,
     checkpoint_dir: str | None = None,
     children: list[ChildRollupDef] | None = None,
+    aux: list[AuxRollupDef] | None = None,
 ) -> dict:
     """Drive the stream → source table → rollups chain with
     availableNow; returns {"n_batches", "n_input_rows",
@@ -151,6 +165,12 @@ def run_stream_ivm(
                 r.sum_col,
             )
             tick[r.rollup_dir] = out["mode"]
+        for a in aux or []:
+            out = ivm.maintain_aux_rollup(
+                spark, source_dir, a.rollup_dir, list(a.group_cols),
+                a.col, kind=a.kind,
+            )
+            tick[a.rollup_dir] = out["mode"]
         # children AFTER parents: each hop consumes the CDC the hop
         # below just committed, so one batch advances the whole
         # lattice (topologically ordered — declaration order is
@@ -192,6 +212,7 @@ def replay_batch(
     batch_id: int,
     rollups: list[RollupDef],
     children: list[ChildRollupDef] | None = None,
+    aux: list[AuxRollupDef] | None = None,
 ) -> dict:
     """Simulate an at-least-once redelivery of a committed batch
     (the crash-between-commit-and-checkpoint window): the ingest
@@ -211,6 +232,12 @@ def replay_batch(
             spark, source_dir, r.rollup_dir, list(r.group_cols), r.sum_col
         )["mode"]
         for r in rollups
+    ] + [
+        ivm.maintain_aux_rollup(
+            spark, source_dir, a.rollup_dir, list(a.group_cols), a.col,
+            kind=a.kind,
+        )["mode"]
+        for a in (aux or [])
     ] + [
         ivm.maintain_rollup_from_rollup(
             spark, c.parent_dir, c.child_dir, c.key_exprs

@@ -954,6 +954,9 @@ def test_table_maintenance_over_http(server, spark, tmp_path_factory):
     assert resp2["compaction"]["worth_compacting"] is False
     assert resp2["vacuum"]["drop_dirs"]  # v0's dir now reclaimable
     assert resp2["rowcount"] == 200
+    # r8: op-stamp log growth + the loss-free compaction projection
+    assert resp2["txns"]["records"] == 2  # write + compact
+    assert resp2["txns"]["projected"] <= resp2["txns"]["records"]
 
     # fail-closed validation
     assert _get(server, "/table/nope/maintenance")[0] == 400

@@ -254,3 +254,48 @@ def test_child_cycle_is_refused(tmp_path):
     # duplicate child dirs are a configuration error too
     with pytest.raises(ValueError, match="duplicate"):
         IS._topo_children([a, a])
+
+
+def test_stream_chain_ticks_aux_rollups(spark, tmp_path_factory):
+    """r8: AuxRollupDefs tick per micro-batch like the sum rollups —
+    by run end the streaming-maintained MIN/MAX view equals a batch
+    recompute, and a replayed batch noops at the aux level too."""
+    base = tmp_path_factory.mktemp("ivm_stream_aux")
+    load_events_batch(spark, f"{SF_DIR}/events.parquet").limit(
+        300
+    ).repartition(3).write.mode("overwrite").parquet(str(base / "files"))
+    events_dir = str(base / "files")
+    src = str(base / "source")
+    sum_r = IS.RollupDef(str(base / "by_type"), ("event_type",), "value")
+    aux_r = IS.AuxRollupDef(
+        str(base / "mm_type"), ("event_type",), "value", kind="minmax"
+    )
+    out = IS.run_stream_ivm(
+        spark, events_dir, src, [sum_r],
+        max_files_per_trigger=1, checkpoint_dir=str(base / "ckpt"),
+        aux=[aux_r],
+    )
+    assert out["n_batches"] == 3
+    modes = [t[aux_r.rollup_dir] for t in out["ticks"]]
+    assert modes[0] == "full" and set(modes[1:]) == {"delta"}
+    truth = {
+        r.event_type: (r.n, r.lo, r.hi)
+        for r in load_events_batch(spark, events_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    got = {
+        r.event_type: (r.n_rows, r.min_val, r.max_val)
+        for r in ivm.read_aux_rollup(spark, aux_r.rollup_dir).collect()
+    }
+    assert got == truth
+    # replayed batch: no-op at ingest, sum AND aux levels
+    batch = load_events_batch(spark, events_dir).limit(5)
+    rep = IS.replay_batch(spark, src, batch, 0, [sum_r], aux=[aux_r])
+    assert rep["merged"] is False
+    assert rep["modes"] == ["noop", "noop"]

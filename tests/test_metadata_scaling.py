@@ -229,3 +229,21 @@ def test_compact_txns_bounds_log_and_keeps_exactly_once(tmp_path):
     remaining = set(S.committed_ops(tdir))
     assert "ingest:batch0" not in remaining
     assert "ingest:batch297" in remaining
+
+
+def test_compact_txns_plan_projects_the_actual_compaction(tmp_path):
+    """One planner, two consumers: the dry-run's projected count is
+    exactly what a loss-free compact_txns then produces."""
+    tdir = str(tmp_path / "tbl")
+    for i in range(60):
+        op = f"ingest:batch{i}" if i % 4 == 0 else "merge"
+        _commit_files(tdir, [f"data/v{i}/p.parquet"], op=op)
+    S.vacuum(tdir, keep_versions=3)
+    plan = S.compact_txns_plan(tdir)
+    assert plan["records"] == 60
+    assert plan["foldable_prefix"] == 57
+    out = S.compact_txns(tdir)
+    assert out["after"] == plan["projected"]
+    # a fresh dry-run on the compacted log projects a no-op
+    plan2 = S.compact_txns_plan(tdir)
+    assert plan2["projected"] == plan2["records"] == out["after"]
