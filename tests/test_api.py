@@ -1013,3 +1013,78 @@ def test_analytics_plan_over_http(server):
         server, "/analytics/scan_project/plan?bogus_param=1"
     )
     assert status == 400
+
+
+def test_aux_rollup_aggregate_over_http(server, spark, tmp_path_factory):
+    """r8 e2e: minmax and hll rollups answer /table/{n}/aggregate
+    over the wire (answered_by names them), the range-filter syntax
+    col:lo..hi parses, and rollup answers equal the base path."""
+    import time as _time
+
+    from ensembl_lakehouse_spark import ivm
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    base = tmp_path_factory.mktemp("aux_http")
+    src = str(base / "src")
+    mm, hl = str(base / "mm"), str(base / "hll")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", i * 2, i % 7) for i in range(60)],
+            ["k", "grp", "val", "u"],
+        ),
+    )
+    ivm.maintain_aux_rollup(spark, src, mm, ["grp"], "val")
+    ivm.maintain_aux_rollup(spark, src, hl, ["grp"], "u", kind="hll")
+    server.engine.register_snapshot_table("aux_src", src)
+    server.engine.register_rollup(
+        "aux_src", "aux_mm", mm, ["grp"], "val", kind="minmax"
+    )
+    server.engine.register_rollup(
+        "aux_src", "aux_hll", hl, ["grp"], "u", kind="hll"
+    )
+
+    def rows_of(qid):
+        for _ in range(120):
+            st = _get(server, f"/query/{qid}/status")[2]
+            if st["status"] in ("SUCCEEDED", "FAILED"):
+                break
+            _time.sleep(0.5)
+        assert st["status"] == "SUCCEEDED", st
+        prev = _get(server, f"/query/{qid}/preview?maxResults=26")[2]
+        head, *data = prev["Rows"]
+        cols = [c["VarCharValue"] for c in head["Data"]]
+        return [
+            dict(zip(cols, [c.get("VarCharValue") for c in r["Data"]]))
+            for r in data
+        ]
+
+    # minmax with a BETWEEN range filter, answered from the rollup
+    status, _, resp = _get(
+        server,
+        "/table/aux_src/aggregate?group_by=grp"
+        "&aggs=lo%3Dmin%3Aval,hi%3Dmax%3Aval,n%3Dcount"
+        "&filter=grp%3Ag0..g1",
+    )
+    assert status == 200 and resp["answered_by"] == "aux_mm", resp
+    got = {r["grp"]: (r["lo"], r["hi"], r["n"]) for r in rows_of(resp["query_id"])}
+    assert set(got) == {"g0", "g1"}
+    assert got["g0"] == ("0", "114", "20")  # k=0,3..57 -> val 0..114
+    # hll approx distinct, rollup-answered, equals the base answer
+    status, _, r1 = _get(
+        server,
+        "/table/aux_src/aggregate?group_by=grp&aggs=du%3Dapprox_distinct%3Au",
+    )
+    assert status == 200 and r1["answered_by"] == "aux_hll"
+    server.engine._rollups.unregister("aux_hll")
+    status, _, r2 = _get(
+        server,
+        "/table/aux_src/aggregate?group_by=grp&aggs=du%3Dapprox_distinct%3Au",
+    )
+    assert status == 200 and r2["answered_by"] == "base"
+    assert rows_of(r1["query_id"]) == rows_of(r2["query_id"])
+    # malformed range fails closed
+    assert _get(
+        server,
+        "/table/aux_src/aggregate?aggs=n%3Dcount&filter=grp%3Ag0..g1%7Cg2",
+    )[0] == 400
