@@ -4757,3 +4757,149 @@ SELECT g.user_id, g.n_events, g.n_types, g.gini_bp,
 FROM gini g JOIN top t ON g.user_id = t.user_id
 ORDER BY g.gini_bp, g.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (batch 6): weekly user retention triangle
+# ---------------------------------------------------------------------------
+
+def user_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle on the event stream: users
+    cohorted by FIRST-active week, the share of each cohort still
+    active k weeks later (bp) — the engagement twin of
+    customer_ltv_cohorts' revenue triangle. weekly_active_users
+    says how many are active; this says whether they are the SAME
+    users.
+
+    Integer-exact: week indexes, distinct counts, one DIV.
+
+    Plan: per-user first-week agg (user-keyed), joined back onto
+    the distinct (user, week) lattice on the SAME key, then a
+    (cohort, offset) agg of ≤ |weeks|² rows. The lattice is the
+    only event-proportional stage and is partial-agg'd map-side."""
+    events = load_table(spark, sf_dir, "events")
+    uw = events.select(
+        "user_id",
+        F.expr(
+            "CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT)"
+        ).alias("week"),
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("w0"))
+    sizes = first.groupBy("w0").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    tri = (
+        uw.join(first, "user_id")
+        .groupBy(F.col("w0").alias("cohort_week"),
+                 F.expr("week - w0").alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return (
+        tri.join(
+            F.broadcast(
+                sizes.select(F.col("w0").alias("cohort_week"),
+                             "cohort_size")
+            ),
+            "cohort_week",
+        )
+        .withColumn(
+            "retention_bp",
+            F.expr("(active_users * 10000) DIV cohort_size"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+USER_RETENTION_CURVE_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS w0 FROM uw GROUP BY 1
+), sizes AS (
+  SELECT w0, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM first GROUP BY 1
+), tri AS (
+  SELECT f.w0 AS cohort_week, u.week - f.w0 AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS active_users
+  FROM uw u JOIN first f ON u.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT t.cohort_week, t.week_offset, t.active_users, s.cohort_size,
+       (t.active_users * 10000) // s.cohort_size AS retention_bp
+FROM tri t JOIN sizes s ON t.cohort_week = s.w0
+ORDER BY t.cohort_week, t.week_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (batch 6): per-type value quartiles
+# ---------------------------------------------------------------------------
+
+def events_type_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: exact quartiles of the value column (in
+    cents) plus the IQR — the per-type distribution card
+    events_value_drift's TV statistic summarizes over time. Uses
+    the ×4/×2 fixed-point interpolated-percentile contract so the
+    quartiles are integral in both engines.
+
+    Plan: map-only cents projection → ONE |types|-row percentile
+    aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    cents = events.select(
+        "event_type",
+        F.expr(
+            "CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        cents.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(percentile(cents * 4, CAST(0.25 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("q1_x4"),
+            F.expr(
+                "CAST(percentile(cents * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("med_x2"),
+            F.expr(
+                "CAST(percentile(cents * 4, CAST(0.75 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("q3_x4"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.expr("q1_x4 DIV 4").alias("q1_cents"),
+            F.expr("med_x2 DIV 2").alias("median_cents"),
+            F.expr("q3_x4 DIV 4").alias("q3_cents"),
+            F.expr("(q3_x4 - q1_x4) DIV 4").alias("iqr_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_TYPE_VALUE_QUARTILES_SQL = """
+WITH cents AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM events
+), q AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(quantile_cont(cents * 4, CAST(0.25 AS DOUBLE)) AS BIGINT)
+           AS q1_x4,
+         CAST(quantile_cont(cents * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS med_x2,
+         CAST(quantile_cont(cents * 4, CAST(0.75 AS DOUBLE)) AS BIGINT)
+           AS q3_x4
+  FROM cents GROUP BY 1
+)
+SELECT event_type, n_events,
+       q1_x4 // 4 AS q1_cents,
+       med_x2 // 2 AS median_cents,
+       q3_x4 // 4 AS q3_cents,
+       (q3_x4 - q1_x4) // 4 AS iqr_cents
+FROM q
+ORDER BY event_type
+"""

@@ -3278,3 +3278,230 @@ SELECT decile, n_suppliers, min_cents, max_cents, sum_cents, pos_cents,
 FROM agg
 ORDER BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (batch 6): catalog type × brand matrix
+# ---------------------------------------------------------------------------
+
+def part_type_brand_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog assortment matrix: per (type, brand) cell, part count,
+    share of the type (bp), and lift versus the brand's overall
+    catalog share (bp ratio ×10⁴ scaled) — does brand B specialize
+    in type T or spread evenly? segment_brand_affinity asks this of
+    SALES; this asks it of the CATALOG, so the two together separate
+    assortment strategy from demand.
+
+    Plan: part only (dim-sized): one (type, brand) agg, share
+    windows over ≤ |types|·|brands| cells."""
+    part = load_table(spark, sf_dir, "part")
+    cells = part.groupBy("p_type", "p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        cells.withColumn(
+            "type_total", F.expr("SUM(n_parts) OVER (PARTITION BY p_type)")
+        )
+        .withColumn(
+            "brand_total",
+            F.expr("SUM(n_parts) OVER (PARTITION BY p_brand)"),
+        )
+        .withColumn("grand", F.expr("SUM(n_parts) OVER ()"))
+        .select(
+            "p_type",
+            "p_brand",
+            "n_parts",
+            F.expr("(n_parts * 10000) DIV type_total").alias(
+                "share_of_type_bp"
+            ),
+            F.expr(
+                "((n_parts * 10000) DIV type_total) * 10000 "
+                "DIV ((brand_total * 10000) DIV grand)"
+            ).alias("lift_bp"),
+        )
+        .orderBy("p_type", "p_brand")
+    )
+
+
+PART_TYPE_BRAND_MATRIX_SQL = """
+WITH cells AS (
+  SELECT p_type, p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1, 2
+), tot AS (
+  SELECT p_type, p_brand, n_parts,
+         CAST(SUM(n_parts) OVER (PARTITION BY p_type) AS BIGINT)
+           AS type_total,
+         CAST(SUM(n_parts) OVER (PARTITION BY p_brand) AS BIGINT)
+           AS brand_total,
+         CAST(SUM(n_parts) OVER () AS BIGINT) AS grand
+  FROM cells
+)
+SELECT p_type, p_brand, n_parts,
+       (n_parts * 10000) // type_total AS share_of_type_bp,
+       ((n_parts * 10000) // type_total) * 10000
+         // ((brand_total * 10000) // grand) AS lift_bp
+FROM tot
+ORDER BY p_type, p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (batch 6): supplier catalog coverage
+# ---------------------------------------------------------------------------
+
+def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier: how much of the catalog they actually ship —
+    distinct parts and distinct part TYPES shipped (from lineitem),
+    type coverage share (bp of all types), and revenue — the
+    single-supplier-dependency view from the supplier side
+    (part_supply_concentration views it from the part side).
+
+    Plan: lineitem×part broadcast join → per-supplier agg with two
+    distinct counts (one EXPAND lattice); the catalog type count is
+    a 1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_partkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    catalog_types = part.agg(
+        F.countDistinct("p_type").alias("catalog_types")
+    )
+    per_supp = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("cents").alias("rev_cents"),
+        )
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(catalog_types))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "n_parts",
+            "n_types",
+            F.expr("(n_types * 10000) DIV catalog_types").alias(
+                "type_coverage_bp"
+            ),
+            "n_lines",
+            "rev_cents",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SUPPLIER_PART_COVERAGE_SQL = """
+WITH per_supp AS (
+  SELECT l.l_suppkey AS s_suppkey,
+         CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+         CAST(COUNT(DISTINCT p.p_type) AS BIGINT) AS n_types,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT s_suppkey, n_parts, n_types,
+       (n_types * 10000)
+         // (SELECT CAST(COUNT(DISTINCT p_type) AS BIGINT) FROM part)
+         AS type_coverage_bp,
+       n_lines, rev_cents
+FROM per_supp
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (batch 6): balance-vs-spend joint deciles
+# ---------------------------------------------------------------------------
+
+def customer_balance_spend_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint distribution of account-balance quintile × lifetime-
+    spend quintile — the full contingency table behind
+    balance_activity_corr's single correlation number: the corner
+    cells (low balance, high spend) are the credit-risk review
+    queue. Customers with no orders take spend 0 (they are the
+    point of the low-spend column, not droppable rows).
+
+    Integer-exact: NTILE(5) under (cents, custkey) total orders on
+    both axes; counts + one DIV per cell.
+
+    Plan: per-customer spend agg, LEFT join from the customer dim
+    (broadcast), two |customers|-row NTILE windows, a ≤ 25-cell
+    rollup."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("bal_cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    spend = orders.groupBy("c_custkey").agg(
+        F.sum("cents").alias("spend_cents")
+    )
+    joined = cust.join(spend, "c_custkey", "left").select(
+        "c_custkey",
+        "bal_cents",
+        F.expr("coalesce(spend_cents, CAST(0 AS BIGINT))").alias(
+            "spend_cents"
+        ),
+    )
+    tiled = joined.withColumn(
+        "bal_q", F.expr("ntile(5) OVER (ORDER BY bal_cents, c_custkey)")
+    ).withColumn(
+        "spend_q",
+        F.expr("ntile(5) OVER (ORDER BY spend_cents, c_custkey)"),
+    )
+    return (
+        tiled.groupBy("bal_q", "spend_q")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn(
+            "share_bp",
+            F.expr("(n_customers * 10000) DIV SUM(n_customers) OVER ()"),
+        )
+        .orderBy("bal_q", "spend_q")
+    )
+
+
+CUSTOMER_BALANCE_SPEND_MATRIX_SQL = """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+           AS BIGINT)) AS BIGINT) AS spend_cents
+  FROM orders GROUP BY 1
+), joined AS (
+  SELECT c.c_custkey,
+         CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS bal_cents,
+         COALESCE(s.spend_cents, 0) AS spend_cents
+  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.c_custkey
+), tiled AS (
+  SELECT CAST(ntile(5) OVER (ORDER BY bal_cents, c_custkey) AS INTEGER)
+           AS bal_q,
+         CAST(ntile(5) OVER (ORDER BY spend_cents, c_custkey) AS INTEGER)
+           AS spend_q
+  FROM joined
+), cells AS (
+  SELECT bal_q, spend_q, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM tiled GROUP BY 1, 2
+)
+SELECT bal_q, spend_q, n_customers,
+       (n_customers * 10000) // CAST(SUM(n_customers) OVER () AS BIGINT)
+         AS share_bp
+FROM cells
+ORDER BY bal_q, spend_q
+"""

@@ -1953,3 +1953,138 @@ SELECT lang, n_docs,
 FROM agg
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (batch 6): token-length profile per language
+# ---------------------------------------------------------------------------
+
+def doc_token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language (1-2, 3-4, 5-7, 8-11,
+    12+ character bands, shares in bp) — the tokenizer-planning
+    profile: a slice whose mass sits in 12+ is agglutinative or
+    concatenation-corrupted, and budgets tokens very differently
+    from one centered on 3-4. Complements text_token_stats'
+    per-document means with the corpus SHAPE.
+
+    Integer-exact: band counts + one DIV per band.
+
+    Plan: explode → map-only banding → (lang, band) partial agg
+    (map-side combined to ≤ |langs|·5 rows); the share window runs
+    on those cells. The explode is the only corpus-proportional
+    stage."""
+    docs = _docs_with_tokens(spark, sf_dir)
+    banded = docs.select(
+        "lang", F.explode("toks").alias("tok")
+    ).select(
+        "lang",
+        F.expr(
+            "CASE WHEN length(tok) <= 2 THEN 0 WHEN length(tok) <= 4 "
+            "THEN 1 WHEN length(tok) <= 7 THEN 2 WHEN length(tok) <= 11 "
+            "THEN 3 ELSE 4 END"
+        ).alias("band"),
+    )
+    return (
+        banded.groupBy("lang", "band")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .withColumn(
+            "share_bp",
+            F.expr(
+                "(n_tokens * 10000) DIV SUM(n_tokens) "
+                "OVER (PARTITION BY lang)"
+            ),
+        )
+        .orderBy("lang", "band")
+    )
+
+
+DOC_TOKEN_LENGTH_PROFILE_SQL = f"""
+{_SQL_PREP}, banded AS (
+  SELECT lang,
+         CASE WHEN length(tok) <= 2 THEN 0 WHEN length(tok) <= 4 THEN 1
+              WHEN length(tok) <= 7 THEN 2 WHEN length(tok) <= 11 THEN 3
+              ELSE 4 END AS band
+  FROM (SELECT lang, unnest(toks) AS tok FROM t)
+), agg AS (
+  SELECT lang, band, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM banded GROUP BY 1, 2
+)
+SELECT lang, band, n_tokens,
+       (n_tokens * 10000) // CAST(SUM(n_tokens)
+         OVER (PARTITION BY lang) AS BIGINT) AS share_bp
+FROM agg
+ORDER BY lang, band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (batch 6): vocabulary concentration per source
+# ---------------------------------------------------------------------------
+
+def source_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration per source: Gini impurity
+    1 − Σp² over token frequencies in parts-per-million (the
+    log-free diversity measure — low gini_ppm = a few tokens
+    dominate, the template/boilerplate signature;
+    text_boilerplate finds the repeated LINES, this flags the
+    slice-level symptom). Top-token share rides alongside.
+
+    Integer-exact: per-token shares in ppm (integer DIV), Σshare²
+    folded back by one DIV; top share via a bounded window.
+
+    Plan: (source, tok) partial agg (the explode is the only
+    corpus-proportional stage), per-source fold over vocab rows
+    with a source-partitioned total window — never a global sort."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .withColumn("toks", whitespace_tokens("text"))
+    )
+    tf = (
+        docs.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    shared = tf.withColumn(
+        "total", F.expr("SUM(n) OVER (PARTITION BY source)")
+    ).withColumn("share_ppm", F.expr("(n * 1000000) DIV total"))
+    return (
+        shared.groupBy("source")
+        .agg(
+            F.max("total").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.expr(
+                "CAST(1000000 - SUM(share_ppm * share_ppm) DIV 1000000 "
+                "AS BIGINT)"
+            ).alias("gini_ppm"),
+            F.max("share_ppm").alias("top_token_ppm"),
+        )
+        .orderBy("gini_ppm", "source")
+    )
+
+
+SOURCE_VOCAB_GINI_SQL = """
+WITH t AS (
+  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT source, unnest(toks) AS tok FROM t)
+  GROUP BY 1, 2
+), shared AS (
+  SELECT source, tok, n,
+         CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS total,
+         (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY source)
+           AS BIGINT) AS share_ppm
+  FROM tf
+)
+SELECT source,
+       CAST(MAX(total) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(1000000 - SUM(share_ppm * share_ppm) // 1000000 AS BIGINT)
+         AS gini_ppm,
+       CAST(MAX(share_ppm) AS BIGINT) AS top_token_ppm
+FROM shared
+GROUP BY source
+ORDER BY gini_ppm, source
+"""

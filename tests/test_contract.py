@@ -134,3 +134,56 @@ def test_every_oracle_output_column_is_scalar(duck):
                 f"{name}.{col} has non-scalar oracle type {typ}; the driver "
                 f"canonicalizer cannot hash it — array_to_string it"
             )
+
+
+def test_registry_has_no_duplicate_keys_or_shadowed_operators():
+    """r8 regression guard: a new operator that reuses an existing
+    name silently destroys the old one twice over — Python's
+    last-def-wins makes the module attribute resolve to the new
+    function, and a duplicate dict literal key makes the registry
+    hide the collision (it cost the r6 events_burstiness and nearly
+    the r5 orders_rfm_segments their certifications this round).
+    Parse the AST so the duplicate is caught BEFORE the dict
+    swallows it, and assert no operator module defines one name
+    twice."""
+    import ast
+    import collections
+    import inspect
+
+    src = inspect.getsource(entry)
+    tree = ast.parse(src)
+    for fn in tree.body:
+        if isinstance(fn, ast.FunctionDef) and fn.name in (
+            "queries", "oracle_sql",
+        ):
+            ret = fn.body[-1].value
+            keys = [k.value for k in ret.keys]
+            dups = [
+                k for k, c in collections.Counter(keys).items() if c > 1
+            ]
+            assert not dups, f"duplicate {fn.name}() keys: {dups}"
+    import ensembl_lakehouse_spark.operators as ops_pkg
+    import os as _os
+    import pkgutil
+
+    for mod in pkgutil.iter_modules(ops_pkg.__path__):
+        path = _os.path.join(ops_pkg.__path__[0], mod.name + ".py")
+        tree = ast.parse(open(path).read())
+        names = [
+            n.name for n in tree.body if isinstance(n, ast.FunctionDef)
+        ]
+        consts = [
+            t.id
+            for n in tree.body
+            if isinstance(n, ast.Assign)
+            for t in n.targets
+            if isinstance(t, ast.Name)
+        ]
+        for label, seq in (("def", names), ("constant", consts)):
+            dups = [
+                k for k, c in collections.Counter(seq).items() if c > 1
+            ]
+            assert not dups, (
+                f"operators/{mod.name}.py defines {label} twice "
+                f"(last silently wins): {dups}"
+            )

@@ -16,6 +16,13 @@ from tests.conftest import SF_DIR
 #: query -> (max hash shuffles, require zero shuffles?)
 BUDGETS = {
     # --- Round 8 (probed at sf0.001, pinned at the observed count)
+    "customer_balance_spend_matrix": 1,
+    "part_type_brand_matrix": 1,
+    "supplier_part_coverage": 3,
+    "user_retention_curve": 5,
+    "events_type_value_quartiles": 1,
+    "doc_token_length_profile": 2,
+    "source_vocab_gini": 2,
     "sketch_kmv_rollup_read": 2,
     "embedding_label_separation": 2,
     "contamination_matrix": 4,

@@ -326,3 +326,100 @@ def test_embedding_label_separation_is_a_metric_sample(spark):
         assert r.label_a < r.label_b
         assert 0 <= r.max_dim_gap_fp <= r.l1_fp
         assert r.n_a > 0 and r.n_b > 0
+
+
+# --- batch 6 ---------------------------------------------------------
+
+
+def test_customer_balance_spend_matrix_is_square(spark):
+    rows = RP.customer_balance_spend_matrix(spark, SF_DIR).collect()
+    n_cust = _scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet'"
+    )
+    assert sum(r.n_customers for r in rows) == n_cust  # incl. no-order
+    for axis in ("bal_q", "spend_q"):
+        marg: dict = {}
+        for r in rows:
+            marg[r[axis]] = marg.get(r[axis], 0) + r.n_customers
+        # NTILE(5) margins are equal ±1
+        assert max(marg.values()) - min(marg.values()) <= 1, (axis, marg)
+
+
+def test_part_type_brand_matrix_shares_sum(spark):
+    rows = RP.part_type_brand_matrix(spark, SF_DIR).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.p_type, []).append(r.share_of_type_bp)
+        assert r.lift_bp > 0
+    for t, shares in by_type.items():
+        assert 10000 - len(shares) <= sum(shares) <= 10000, t
+
+
+def test_supplier_part_coverage_bounds(spark):
+    rows = RP.supplier_part_coverage(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_types <= r.n_parts <= r.n_lines
+        assert 0 < r.type_coverage_bp <= 10000
+
+
+def test_user_retention_curve_monotone_from_full(spark):
+    rows = R.user_retention_curve(spark, SF_DIR).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    total = _scalar(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
+    )
+    assert sum(
+        sorted(v, key=lambda r: r.week_offset)[0].cohort_size
+        for v in by_cohort.values()
+    ) == total
+    for v in by_cohort.values():
+        v = sorted(v, key=lambda r: r.week_offset)
+        assert v[0].week_offset == 0 and v[0].retention_bp == 10000
+        for r in v:
+            assert 0 < r.retention_bp <= 10000
+
+
+def test_events_type_value_quartiles_ordered(spark):
+    for r in events_q(spark):
+        assert r.q1_cents <= r.median_cents <= r.q3_cents
+        assert r.iqr_cents == r.q3_cents - r.q1_cents
+
+
+def events_q(spark):
+    return R.events_type_value_quartiles(spark, SF_DIR).collect()
+
+
+def test_doc_token_length_profile_shares(spark):
+    rows = T.doc_token_length_profile(spark, SF_DIR).collect()
+    by_lang: dict = {}
+    for r in rows:
+        assert 0 <= r.band <= 4
+        by_lang.setdefault(r.lang, 0)
+        by_lang[r.lang] += r.share_bp
+    for lang, s in by_lang.items():
+        assert 9995 <= s <= 10000, (lang, s)
+
+
+def test_source_vocab_gini_matches_python(spark):
+    rows = {r.source: r for r in
+            T.source_vocab_gini(spark, SF_DIR).collect()}
+    data = duckdb.sql(
+        "SELECT source, unnest(string_split_regex(trim(text), '\\s+')) "
+        f"AS tok FROM '{SF_DIR}/documents.parquet' "
+        "WHERE length(trim(text)) > 0"
+    ).fetchall()
+    from collections import Counter
+    by_src: dict = {}
+    for src, tok in data:
+        by_src.setdefault(src, Counter())[tok] += 1
+    for src, cnt in by_src.items():
+        total = sum(cnt.values())
+        shares = [n * 1_000_000 // total for n in cnt.values()]
+        gini = 1_000_000 - sum(x * x for x in shares) // 1_000_000
+        r = rows[src]
+        assert r.vocab == len(cnt) and r.n_tokens == total
+        assert r.gini_ppm == gini, src
+        assert r.top_token_ppm == max(shares)
