@@ -247,3 +247,73 @@ def test_compact_txns_plan_projects_the_actual_compaction(tmp_path):
     # a fresh dry-run on the compacted log projects a no-op
     plan2 = S.compact_txns_plan(tdir)
     assert plan2["projected"] == plan2["records"] == out["after"]
+
+
+# random-schedule twin of the fixed-schedule identity test above
+_sched_op = st.tuples(
+    st.sampled_from(["add", "drop_half", "overwrite", "lose_stats"]),
+    st.integers(0, 3),
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_sched_op, min_size=2, max_size=30),
+       interval=st.integers(2, 7))
+def test_delta_identity_model_check(tmp_path_factory, ops, interval, monkeypatch):
+    """Hypothesis twin of the fixed-schedule identity: ANY schedule
+    of adds/halving drops/overwrites/metadata losses resolves
+    identically whether stored as deltas (random checkpoint
+    interval) or as all-full manifests, at every version, and
+    vacuum-at-the-end re-checkpoints without changing resolution."""
+    monkeypatch.setattr(S, "CHECKPOINT_INTERVAL", interval)
+    schedule = []
+    files: list[str] = []
+    for i, (kind, arg) in enumerate(ops):
+        if kind == "drop_half" and files:
+            files = files[len(files) // 2:]
+        elif kind == "overwrite":
+            files = [f"data/ow{i}/p.parquet"]
+        else:
+            files = files + [f"data/v{i}-{arg}/p.parquet"]
+        stats = {f: {"k": [i, arg]} for f in files}
+        if kind == "lose_stats" and files:
+            stats.pop(files[arg % len(files)])
+        schedule.append((list(files), dict(stats)))
+
+    def norm(m):
+        m = dict(m)
+        m.pop("committed_at")
+        m.pop("chain", None)
+        m.pop("kind", None)
+        return m
+
+    def run(tdir):
+        for fl, stt in schedule:
+            _commit_files(tdir, fl, stats=stt)
+        return [
+            norm(S._read_manifest(tdir, v))
+            for v in range(len(schedule))
+        ]
+
+    base = tmp_path_factory.mktemp("delta_id")
+    a = run(str(base / "delta"))
+    kept = str(base / "delta")
+    # vacuum re-checkpoints; resolution of kept versions unchanged
+    keep = min(3, len(schedule))
+    pre = [
+        norm(S._read_manifest(kept, v))
+        for v in range(len(schedule) - keep, len(schedule))
+    ]
+    S.vacuum(kept, keep_versions=keep)
+    post = [
+        norm(S._read_manifest(kept, v))
+        for v in range(len(schedule) - keep, len(schedule))
+    ]
+    assert pre == post
+    monkeypatch.setattr(S, "CHECKPOINT_INTERVAL", 1)
+    b = run(str(base / "full"))
+    assert a == b
