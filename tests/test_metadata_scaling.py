@@ -317,3 +317,45 @@ def test_delta_identity_model_check(tmp_path_factory, ops, interval, monkeypatch
     monkeypatch.setattr(S, "CHECKPOINT_INTERVAL", 1)
     b = run(str(base / "full"))
     assert a == b
+
+
+def test_concurrent_reads_resolve_consistently_during_commits(tmp_path):
+    """Readers racing writers over the delta layer: every resolved
+    manifest a reader observes must be internally consistent (the
+    version's exact file prefix) — a torn read would surface as a
+    wrong file set. Commits serialize on the table lock; reads are
+    lock-free and cache through the mtime/size key."""
+    import threading
+
+    tdir = str(tmp_path / "tbl")
+    _commit_files(tdir, ["data/v0/p.parquet"])
+    stop = threading.Event()
+    errors: list = []
+
+    def reader():
+        while not stop.is_set():
+            cur = S.current_version(tdir)
+            if cur is None:
+                continue
+            try:
+                m = S._read_manifest(tdir, cur)
+            except FileNotFoundError:
+                continue  # raced a version we saw before its write? no
+            v = m["version"]
+            want = sorted(f"data/v{i}/p.parquet" for i in range(v + 1))
+            if m["files"] != want:
+                errors.append((v, m["files"]))
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    files = ["data/v0/p.parquet"]
+    for i in range(1, 120):
+        files.append(f"data/v{i}/p.parquet")
+        _commit_files(tdir, list(files))
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
+    assert S.current_version(tdir) == 119
