@@ -359,3 +359,51 @@ def test_concurrent_reads_resolve_consistently_during_commits(tmp_path):
         t.join()
     assert not errors, errors[:3]
     assert S.current_version(tdir) == 119
+
+
+def test_vacuum_crash_between_recheckpoint_and_drop_is_resumable(
+    tmp_path, monkeypatch
+):
+    """Crash window inside vacuum: kept deltas were rewritten as
+    checkpoints, then the process died mid-drop. Every kept version
+    must still resolve (checkpoints need no ancestors), and a
+    resumed vacuum completes the drop — the same crash discipline
+    the commit protocol and the mirror pin."""
+    import os as _os
+
+    tdir = str(tmp_path / "tbl")
+    files: list[str] = []
+    for i in range(12):
+        files.append(f"data/v{i}/p.parquet")
+        _commit_files(tdir, list(files))
+
+    real_remove = _os.remove
+    calls = {"n": 0}
+
+    def dying_remove(path):
+        # let the first manifest drop through, then "crash"
+        if "_manifests" in path and path.endswith(".json"):
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise OSError("simulated crash mid-vacuum")
+        return real_remove(path)
+
+    monkeypatch.setattr(S.os, "remove", dying_remove)
+    with pytest.raises(OSError, match="simulated"):
+        S.vacuum(tdir, keep_versions=2)
+    monkeypatch.setattr(S.os, "remove", real_remove)
+
+    # kept versions resolve standalone (already re-checkpointed)
+    for v in (10, 11):
+        assert S._raw_manifest(tdir, v).get("kind") != "delta"
+        assert len(S._read_manifest(tdir, v)["files"]) == v + 1
+    # resumed vacuum completes; the table is fully healthy
+    S.vacuum(tdir, keep_versions=2)
+    present = sorted(
+        int(n[1:-5])
+        for n in _os.listdir(_os.path.join(tdir, "_manifests"))
+        if n.endswith(".json")
+    )
+    assert present == [10, 11]
+    files.append("data/v12/p.parquet")
+    assert _commit_files(tdir, list(files)) == 12
