@@ -1695,11 +1695,7 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-keyed self-join emitting only a < b pairs
     (|shared-gram postings|-bounded, never corpus-bounded), sizes
     re-joined by broadcast (|sources| rows ≤ dozens)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length(F.trim("text")) > 0)
-        .withColumn("toks", whitespace_tokens("text"))
-    )
+    docs = _docs_with_tokens(spark, sf_dir)
     grams = docs.select(
         "source", F.explode(word_shingles("toks", 8)).alias("g")
     ).distinct()
@@ -2035,11 +2031,7 @@ def source_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: (source, tok) partial agg (the explode is the only
     corpus-proportional stage), per-source fold over vocab rows
     with a source-partitioned total window — never a global sort."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length(F.trim("text")) > 0)
-        .withColumn("toks", whitespace_tokens("text"))
-    )
+    docs = _docs_with_tokens(spark, sf_dir)
     tf = (
         docs.select("source", F.explode("toks").alias("tok"))
         .groupBy("source", "tok")

@@ -333,19 +333,25 @@ def test_concurrent_reads_resolve_consistently_during_commits(tmp_path):
     errors: list = []
 
     def reader():
-        while not stop.is_set():
-            cur = S.current_version(tdir)
-            if cur is None:
-                continue
-            try:
+        # EVERY failure mode must land in errors — a torn read is as
+        # likely to raise (JSONDecodeError on a partial file, KeyError
+        # on a half-applied delta) as to return a wrong list (r8
+        # review: the narrow except let raising tears pass silently)
+        try:
+            while not stop.is_set():
+                cur = S.current_version(tdir)
+                if cur is None:
+                    continue
                 m = S._read_manifest(tdir, cur)
-            except FileNotFoundError:
-                continue  # raced a version we saw before its write? no
-            v = m["version"]
-            want = sorted(f"data/v{i}/p.parquet" for i in range(v + 1))
-            if m["files"] != want:
-                errors.append((v, m["files"]))
-                return
+                v = m["version"]
+                want = sorted(
+                    f"data/v{i}/p.parquet" for i in range(v + 1)
+                )
+                if m["files"] != want:
+                    errors.append((v, m["files"]))
+                    return
+        except Exception as exc:  # noqa: BLE001 — the assertion target
+            errors.append(repr(exc))
 
     threads = [threading.Thread(target=reader) for _ in range(4)]
     for t in threads:

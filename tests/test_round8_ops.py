@@ -385,7 +385,11 @@ def test_user_retention_curve_monotone_from_full(spark):
 def test_events_type_value_quartiles_ordered(spark):
     for r in events_q(spark):
         assert r.q1_cents <= r.median_cents <= r.q3_cents
-        assert r.iqr_cents == r.q3_cents - r.q1_cents
+        # iqr = (q3_x4 - q1_x4) DIV 4 truncates ONCE, the displayed
+        # quartiles truncate separately — they may differ by 1 cent
+        # (floor((a-b)/4) vs floor(a/4)-floor(b/4); r8 review found
+        # the exact-equality form fails on sf0.01 data)
+        assert abs(r.iqr_cents - (r.q3_cents - r.q1_cents)) <= 1
 
 
 def events_q(spark):
