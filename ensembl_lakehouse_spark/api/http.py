@@ -203,6 +203,11 @@ def make_handler(engine: Engine):
                 self._send(200, engine.table_history(parts[1]))
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "tags":
                 self._send(200, engine.table_tags(parts[1]))
+            elif len(parts) == 3 and parts[0] == "table" and parts[2] == "rollups":
+                # EXT: MV freshness dashboard — which registered
+                # rollups would answer /aggregate right now, and why
+                # the others would not; zero Spark jobs
+                self._send(200, engine.table_rollups_report(parts[1]))
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "retention":
                 # EXT: vacuum dry-run — how many bytes old versions
                 # still pin (the erasure-SLA sizing report)

@@ -407,6 +407,52 @@ class Engine:
             )
         return _SN.history(self._snapshot_tables[name])
 
+    def table_rollups_report(self, name: str) -> list[dict]:
+        """Freshness dashboard for every rollup registered against
+        one table — the X13 ops surface: which materialized views
+        would answer RIGHT NOW, and why the others would not. Per
+        rollup: kind, keys, measured column, hierarchical parent,
+        the freshness state against the same published-version pin
+        /aggregate uses ("fresh" | "stale" | "ahead" | "never"),
+        the rollup's own version, and its metadata rowcount (the
+        cost the cheapest-rollup pick compares). Zero Spark jobs —
+        pure _txns/manifest arithmetic, like /maintenance."""
+        from ensembl_lakehouse_spark import snapshots as _SN
+        from ensembl_lakehouse_spark.plans import rewrite as _RW
+
+        if name not in self._snapshot_tables:
+            raise QueryValidationError(
+                f"unknown table {name!r}; see /table for names"
+            )
+        tdir = os.path.abspath(self._snapshot_tables[name])
+        pin_v = _SN.published_version(tdir)
+        if pin_v is None:
+            pin_v = _SN.current_version(tdir)
+        out = []
+        for spec in self._rollups.specs():
+            if spec.source_dir != tdir:
+                continue
+            state = _RW._chain_freshness(spec, pin_v)
+            rollup_v = _SN.current_version(spec.rollup_dir)
+            out.append(
+                {
+                    "rollup": spec.name,
+                    "kind": spec.kind,
+                    "group_cols": list(spec.group_cols),
+                    "measure_col": spec.sum_col,
+                    "hierarchical": spec.parent_dir is not None,
+                    "freshness": state if state is not None else "fresh",
+                    "pinned_source_version": pin_v,
+                    "rollup_version": rollup_v,
+                    "rowcount": _SN.table_rowcount(
+                        spec.rollup_dir, version=rollup_v
+                    )
+                    if rollup_v is not None
+                    else None,
+                }
+            )
+        return out
+
     def table_tags(self, name: str) -> dict[str, int]:
         """Tag listing for a registered table (tag -> version)."""
         from ensembl_lakehouse_spark import snapshots as _SN

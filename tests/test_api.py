@@ -1088,3 +1088,65 @@ def test_aux_rollup_aggregate_over_http(server, spark, tmp_path_factory):
         server,
         "/table/aux_src/aggregate?aggs=n%3Dcount&filter=grp%3Ag0..g1%7Cg2",
     )[0] == 400
+
+
+def test_rollups_freshness_dashboard_over_http(server, spark, tmp_path_factory):
+    """r8: GET /table/{n}/rollups — the MV freshness dashboard.
+    A fresh sum rollup and a fresh hll rollup read "fresh"; a source
+    commit flips both to "stale"; maintenance restores them; states
+    match what /aggregate actually does."""
+    from ensembl_lakehouse_spark import ivm
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    base = tmp_path_factory.mktemp("rollups_http")
+    src, rol, hl = str(base / "src"), str(base / "rol"), str(base / "hll")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(i, f"g{i % 2}", i) for i in range(20)], ["k", "grp", "v"]
+        ),
+    )
+    ivm.maintain_rollup(spark, src, rol, ["grp"], "v")
+    ivm.maintain_aux_rollup(spark, src, hl, ["grp"], "v", kind="hll")
+    server.engine.register_snapshot_table("rb_src", src)
+    server.engine.register_rollup("rb_src", "rb_sum", rol, ["grp"], "v")
+    server.engine.register_rollup(
+        "rb_src", "rb_hll", hl, ["grp"], "v", kind="hll"
+    )
+
+    def states():
+        status, _, body = _get(server, "/table/rb_src/rollups")
+        assert status == 200, body
+        return {r["rollup"]: r for r in body}
+
+    st = states()
+    assert st["rb_sum"]["freshness"] == "fresh"
+    assert st["rb_hll"]["freshness"] == "fresh"
+    assert st["rb_sum"]["kind"] == "sum" and st["rb_hll"]["kind"] == "hll"
+    assert st["rb_sum"]["rowcount"] == 2  # two groups
+    assert st["rb_sum"]["hierarchical"] is False
+
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(100, "g0", 9)], ["k", "grp", "v"]),
+        key="k",
+    )
+    st = states()
+    assert st["rb_sum"]["freshness"] == "stale"
+    assert st["rb_hll"]["freshness"] == "stale"
+    # the dashboard's verdict matches the rewrite's actual behavior
+    _, _, agg = _get(
+        server, "/table/rb_src/aggregate?group_by=grp&aggs=n%3Dcount"
+    )
+    assert agg["answered_by"] == "base"
+
+    ivm.maintain_rollup(spark, src, rol, ["grp"], "v")
+    st = states()
+    assert st["rb_sum"]["freshness"] == "fresh"
+    assert st["rb_hll"]["freshness"] == "stale"
+    _, _, agg = _get(
+        server, "/table/rb_src/aggregate?group_by=grp&aggs=n%3Dcount"
+    )
+    assert agg["answered_by"] == "rb_sum"
+    # unknown table fails closed
+    assert _get(server, "/table/nope/rollups")[0] == 400
