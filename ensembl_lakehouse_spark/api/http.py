@@ -119,7 +119,10 @@ def make_handler(engine: Engine):
                 self._send(
                     200,
                     engine.explain_sql(
-                        q["query"], q.get("snap_versions", "")
+                        q["query"],
+                        q.get("snap_versions", ""),
+                        q.get("rewrite", "on"),
+                        q.get("freshness", "strict"),
                     ),
                 )
             elif parts == ["sql"]:
@@ -132,7 +135,10 @@ def make_handler(engine: Engine):
                 self._send(
                     200,
                     engine.submit_sql(
-                        q["query"], q.get("snap_versions", "")
+                        q["query"],
+                        q.get("snap_versions", ""),
+                        q.get("rewrite", "on"),
+                        q.get("freshness", "strict"),
                     ),
                 )
             elif parts == ["analytics"]:

@@ -209,13 +209,9 @@ class Engine:
         }
     )
 
-    def _validated_sql_df(self, sql: str, snap_versions: str = ""):
-        """Shared validation for submit_sql and explain_sql: blank
-        check, snap_versions pin parsing, read-only parse-root gate,
-        and the atomic view-refresh + analysis step. Returns
-        (df, snap view fingerprint)."""
-        if not sql or not sql.strip():
-            raise QueryValidationError("sql must be non-blank")
+    def _parse_snap_pins(self, snap_versions: str) -> dict[str, int]:
+        """The /sql ``snap_versions`` parameter (``name:v,name2:v``)
+        as a dict, validated against the registered tables."""
         pins: dict[str, int] = {}
         for item in (snap_versions or "").split(","):
             item = item.strip()
@@ -234,6 +230,16 @@ class Engine:
                 raise QueryValidationError(
                     "snap_versions versions must be integers"
                 ) from None
+        return pins
+
+    def _validated_sql_df(self, sql: str, snap_versions: str = ""):
+        """Shared validation for submit_sql and explain_sql: blank
+        check, snap_versions pin parsing, read-only parse-root gate,
+        and the atomic view-refresh + analysis step. Returns
+        (df, snap view fingerprint)."""
+        if not sql or not sql.strip():
+            raise QueryValidationError("sql must be non-blank")
+        pins = self._parse_snap_pins(snap_versions)
         parser = self.spark._jsparkSession.sessionState().sqlParser()
         try:
             root = parser.parsePlan(sql).getClass().getSimpleName()
@@ -257,7 +263,141 @@ class Engine:
                 ) from exc
         return df, snap_fp
 
-    def explain_sql(self, sql: str, snap_versions: str = "") -> dict:
+    def _try_sql_rewrite(
+        self,
+        sql: str,
+        pins: dict[str, int],
+        allow_estimates: bool,
+        freshness: str,
+    ):
+        """Attempt the MV rewrite for a raw-SQL statement (VERDICT r8
+        #2 — the reference's whole query surface is SQL text,
+        app/main.py:479, so an aggregate a rollup could answer must
+        not pay the base scan just because it arrived as text).
+
+        Returns ``(df, audit)``: ``df`` is the rewritten plan when a
+        rollup or the metadata tier answers, else None (the caller
+        runs the statement verbatim — bit-identical semantics by
+        construction). ``audit`` is the wire-visible decision record:
+        eligibility, the answering path, and per-rollup skip reasons
+        (the same ``answered_by``/``skipped`` vocabulary as
+        /table/{name}/aggregate). Exactness is two-layer: the strict
+        grammar (plans/sql_rewrite.py) proves the statement's shape,
+        ``semantic_gate`` proves the measures reproduce against the
+        table's schema; anything unproven falls back loudly in the
+        audit, never silently to a different answer."""
+        from pyspark.sql import functions as F
+
+        from ensembl_lakehouse_spark import snapshots as _SN
+        from ensembl_lakehouse_spark.plans import rewrite as _RW
+        from ensembl_lakehouse_spark.plans.sql_rewrite import (
+            parse_aggregate_sql,
+            semantic_gate,
+        )
+
+        intent = parse_aggregate_sql(sql)
+        if intent is None:
+            return None, {
+                "eligible": False,
+                "reason": "statement outside the rewrite grammar "
+                "(single snap_ view, grouped derivable aggregates, "
+                "eq/IN/BETWEEN filters)",
+            }
+        if intent.table not in self._snapshot_tables:
+            return None, {
+                "eligible": False,
+                "reason": f"snap_{intent.table} is not a registered "
+                "snapshot table",
+            }
+        table_dir = self._snapshot_tables[intent.table]
+        if intent.table in pins:
+            pin_v = pins[intent.table]
+        else:
+            pin_v = _SN.published_version(table_dir)
+            if pin_v is None:
+                pin_v = _SN.current_version(table_dir)
+        try:
+            schema = _SN.read_snapshot(
+                self.spark, table_dir, version=pin_v
+            ).schema
+        except (FileNotFoundError, ValueError, KeyError) as exc:
+            return None, {
+                "eligible": False,
+                "reason": f"table unreadable at version {pin_v}: {exc}",
+            }
+        # columns proven non-NULL at the pin: a write-enforced
+        # `col IS NOT NULL` CHECK whose validation scan the pin
+        # postdates (rollback refuses to cross since_version, so the
+        # induction holds for every version ≥ it)
+        import re as _re
+
+        non_null = {
+            m.group(1).lower()
+            for rec in _SN.constraint_records(table_dir).values()
+            if rec["since_version"] is not None
+            and pin_v is not None
+            and pin_v >= rec["since_version"]
+            and (
+                m := _re.fullmatch(
+                    r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+is\s+not\s+null\s*",
+                    rec["expr"],
+                    _re.I,
+                )
+            )
+        }
+        gate = semantic_gate(intent, schema, allow_estimates, non_null)
+        if gate is not None:
+            return None, {"eligible": False, "reason": gate}
+        try:
+            df, why = _RW.answer_aggregate(
+                self.spark,
+                self._rollups,
+                table_dir,
+                list(intent.group_by),
+                intent.aggs,
+                freshness=freshness,
+                filters=intent.filters or None,
+                range_filters=intent.range_filters or None,
+                version=pin_v,
+            )
+        except Exception as exc:  # analysis-time oddity → verbatim run
+            return None, {
+                "eligible": False,
+                "reason": f"rewrite planning failed: {exc}",
+            }
+        audit = {
+            "eligible": True,
+            "answered_by": (
+                why["rollup"] if why["used"] == "rollup" else why["used"]
+            ),
+            "source_version": why["source_version"],
+            "rollup_version": why.get("rollup_version"),
+            "skipped": why["skipped"],
+        }
+        if why["used"] == "base":
+            # nothing to gain: the verbatim statement IS the base
+            # plan, and running the original text keeps /sql
+            # semantics beyond question
+            return None, audit
+        df = df.select(*intent.select_order)
+        if intent.order_by:
+            df = df.orderBy(
+                *[
+                    F.col(c).asc() if asc else F.col(c).desc()
+                    for c, asc in intent.order_by
+                ]
+            )
+        if intent.limit is not None:
+            df = df.limit(intent.limit)
+        return df, audit
+
+    def explain_sql(
+        self,
+        sql: str,
+        snap_versions: str = "",
+        rewrite: str = "on",
+        freshness: str = "strict",
+    ) -> dict:
         """EXPLAIN for the raw-SQL surface: the formatted physical
         plan plus the structural summary PLANS.md records (shuffle /
         broadcast / scan counts, join strategies, PushedFilters,
@@ -265,11 +405,31 @@ class Engine:
         wire. Validation is identical to submit_sql (read-only
         parse-root gate, snap_versions pins), but nothing executes:
         the plan shown is the pre-execution one (with AQE, the
-        runtime may still re-plan exchanges at execution)."""
+        runtime may still re-plan exchanges at execution).
+
+        When the MV rewrite answers the statement (see submit_sql),
+        the plan shown is the REWRITTEN one — what would actually
+        execute — and ``rewrite`` in the payload records the decision
+        either way, so a user can see from the wire why their
+        aggregate did (or did not) hit a rollup."""
         from ensembl_lakehouse_spark.plans.explain import explain_payload
 
+        if rewrite not in ("on", "approx", "off"):
+            raise QueryValidationError("rewrite must be on|approx|off")
+        if freshness not in ("strict", "stale_ok"):
+            raise QueryValidationError("freshness must be strict|stale_ok")
         df, _ = self._validated_sql_df(sql, snap_versions)
-        return explain_payload(df)
+        audit = None
+        if rewrite != "off":
+            pins = self._parse_snap_pins(snap_versions)
+            rdf, audit = self._try_sql_rewrite(
+                sql, pins, rewrite == "approx", freshness
+            )
+            if rdf is not None:
+                df = rdf
+        payload = explain_payload(df)
+        payload["rewrite"] = audit
+        return payload
 
     def explain_analytics(
         self, name: str, sf_dir: str, params: dict | None = None
@@ -296,7 +456,13 @@ class Engine:
         df = qs[name](self.spark, sf_dir, **resolved)
         return explain_payload(df)
 
-    def submit_sql(self, sql: str, snap_versions: str = "") -> dict:
+    def submit_sql(
+        self,
+        sql: str,
+        snap_versions: str = "",
+        rewrite: str = "on",
+        freshness: str = "strict",
+    ) -> dict:
         """Submit a raw read-only SQL query — the Athena
         ``StartQueryExecution`` parity surface (the reference sends
         its assembled SQL string there, app/main.py:478-485; here
@@ -315,20 +481,60 @@ class Engine:
         requests pinning the same version share one entry (the
         44-day "old results stay addressable" contract's
         storage-layer twin).
+
+        ``rewrite`` controls the MV-rewrite front door (r8 VERDICT
+        #2): ``"on"`` (default) answers a recognized aggregate over a
+        ``snap_`` view from the cheapest fresh registered rollup when
+        PROVABLY exact (strict grammar + schema gate — see
+        plans/sql_rewrite.py); ``"approx"`` additionally allows the
+        estimate-tier ``approx_count_distinct`` rewrite (DataSketches
+        HLL partials instead of the statement's native estimator —
+        both within their error bounds, but not the same number);
+        ``"off"`` always runs the text verbatim. The response's
+        ``rewrite`` block records the decision (``answered_by`` +
+        per-rollup skip reasons), so a fallback can never go silent.
+        ``freshness`` is the rollup eligibility mode (strict |
+        stale_ok) — it never affects a verbatim run.
         """
+        if rewrite not in ("on", "approx", "off"):
+            raise QueryValidationError("rewrite must be on|approx|off")
+        if freshness not in ("strict", "stale_ok"):
+            raise QueryValidationError("freshness must be strict|stale_ok")
         df, snap_fp = self._validated_sql_df(sql, snap_versions)
-        # quote-aware canonicalization: keywords fold, string
-        # literals stay byte-exact ('EN' vs 'en' must not collide).
-        # The catalog view fingerprint is part of the key: identical
-        # SQL against a re-registered (advanced) snapshot view must
-        # MISS, not serve the pre-advance rows for 44 days.
-        key = (
-            "sql\x1f" + self.catalog.view_fingerprint()
-            + "\x1f" + snap_fp
-            + "\x1f" + canonical_sql_text(sql)
-        )
+        audit = None
+        rewritten = None
+        if rewrite != "off":
+            pins = self._parse_snap_pins(snap_versions)
+            rewritten, audit = self._try_sql_rewrite(
+                sql, pins, rewrite == "approx", freshness
+            )
+        if rewritten is not None:
+            # identity of the ANSWER: source pin + rollup version +
+            # answering path join the canonical text, mirroring
+            # submit_table_aggregate's key discipline — a stale_ok
+            # rollup answer and the live base answer must never
+            # share a cache entry
+            key = (
+                "mvsql\x1f" + canonical_sql_text(sql)
+                + f"\x1f{audit['source_version']}"
+                + f"\x1f{audit['rollup_version']}"
+                + f"\x1f{audit['answered_by']}\x1f{freshness}"
+            )
+            df = rewritten
+        else:
+            # quote-aware canonicalization: keywords fold, string
+            # literals stay byte-exact ('EN' vs 'en' must not
+            # collide). The catalog view fingerprint is part of the
+            # key: identical SQL against a re-registered (advanced)
+            # snapshot view must MISS, not serve the pre-advance
+            # rows for 44 days.
+            key = (
+                "sql\x1f" + self.catalog.view_fingerprint()
+                + "\x1f" + snap_fp
+                + "\x1f" + canonical_sql_text(sql)
+            )
         query_id = self.registry.submit(df, cache_key=key)
-        return {
+        resp = {
             "query_id": query_id,
             "_links": {
                 "self": "/sql",
@@ -337,6 +543,9 @@ class Engine:
                 "export": f"/query/{query_id}/export",
             },
         }
+        if audit is not None:
+            resp["rewrite"] = audit
+        return resp
 
     def analytics_names(self) -> list[str]:
         """The operator library's query names (the /analytics listing)."""

@@ -112,6 +112,32 @@ def _write_lineage(rollup_dir: str, parent_dir: str) -> None:
     os.replace(tmp, path)
 
 
+def _bind_child_lineage(child_dir: str, parent_abs: str) -> None:
+    """Bind (or verify) a hierarchical child's ``_lineage`` marker.
+    Stamped on first use; a child with prior stamps refuses to be
+    re-pointed or to be reinterpreted across version spaces; a marker
+    with ZERO applied stamps (first tick failed before any merge
+    committed) is re-pointable instead of bricked (r7 ADVICE,
+    ivm.py:349)."""
+    lin = rollup_lineage(child_dir)
+    applied = _applied_versions(child_dir)
+    if lin is None and applied:
+        raise ValueError(
+            f"{child_dir} already has ivm stamps but no lineage marker "
+            "— it was maintained directly from a base table; its "
+            "stamps are base versions and cannot be reinterpreted as "
+            "parent-rollup versions. Build a fresh child dir."
+        )
+    if lin is not None and lin != parent_abs and applied:
+        raise ValueError(
+            f"{child_dir} is lineage-marked as a child of {lin}, "
+            f"not {parent_abs} — re-pointing a child would mix "
+            "version spaces; build a fresh child dir"
+        )
+    if lin is None or lin != parent_abs:
+        _write_lineage(child_dir, parent_abs)
+
+
 def _reject_null_group_keys(df, cols: list[str], hint: str) -> None:
     null_pred = None
     for c in cols:
@@ -336,30 +362,7 @@ def maintain_rollup_from_rollup(
     if not key_exprs:
         raise ValueError("key_exprs must map at least one child column")
     parent_abs = os.path.abspath(parent_dir)
-    lin = rollup_lineage(child_dir)
-    applied = _applied_versions(child_dir)
-    if lin is None and applied:
-        raise ValueError(
-            f"{child_dir} already has ivm stamps but no lineage marker "
-            "— it was maintained directly from a base table; its "
-            "stamps are base versions and cannot be reinterpreted as "
-            "parent-rollup versions. Build a fresh child dir."
-        )
-    if lin is not None and lin != parent_abs:
-        if applied:
-            raise ValueError(
-                f"{child_dir} is lineage-marked as a child of {lin}, "
-                f"not {parent_abs} — re-pointing a child would mix "
-                "version spaces; build a fresh child dir"
-            )
-        # Marker exists but NOTHING was ever applied: the first tick
-        # under the old parent failed (NULL child keys, OCC loss)
-        # before any merge committed. The dir is empty of state, so
-        # binding it permanently to the dead parent would brick it —
-        # re-point instead (r7 ADVICE, ivm.py:349).
-        _write_lineage(child_dir, parent_abs)
-    if lin is None:
-        _write_lineage(child_dir, parent_abs)
+    _bind_child_lineage(child_dir, parent_abs)
     child_cols = list(key_exprs)
     key_aliases = [
         F.expr(e).alias(c) for c, e in key_exprs.items()
@@ -418,9 +421,14 @@ def _aux_measures(kind: str, col: str) -> list:
         ]
     # Spark's Apache-DataSketches HLL: deterministic and
     # order-insensitive (register-wise max), so a sketch unioned
-    # from per-commit partials estimates IDENTICALLY to one built
-    # in a single pass over the same rows — what makes rollup ≡
-    # base pinnable even for the approximate measure.
+    # from per-commit partials estimates identically to any
+    # PARTITION-PARALLEL single pass over the same rows (whose agg
+    # is itself a union of per-partition sketches). A strictly
+    # serial build uses the HIP estimator instead and can differ
+    # within sketch error past exact/coupon mode (r8 ADVICE; pinned
+    # by test_hll_union_vs_single_pass_drift) — the rollup tier is
+    # estimate-equivalent, exact only while sketches stay in
+    # exact mode.
     return [F.hll_sketch_agg(F.col(col)).alias("hll")]
 
 
@@ -466,10 +474,16 @@ def maintain_aux_rollup(
     if src_v is None:
         raise FileNotFoundError(f"no committed snapshot in {source_dir}")
     if rollup_lineage(rollup_dir) is not None:
-        raise ValueError(
-            f"{rollup_dir} is lineage-marked as a hierarchical child — "
-            "aux rollups are base-fed only"
-        )
+        if _applied_versions(rollup_dir):
+            raise ValueError(
+                f"{rollup_dir} is lineage-marked as a hierarchical "
+                "child (maintain_aux_rollup_from_rollup) — its stamps "
+                "are PARENT versions; maintaining it directly from a "
+                "base table would mix version spaces"
+            )
+        # marker with zero stamps: first hierarchical tick failed
+        # before any merge — reclaimable, same rule as maintain_rollup
+        os.remove(os.path.join(rollup_dir, "_lineage"))
     stamp = _STAMP.format(v=src_v)
     applied = _applied_versions(rollup_dir)
     target_v = SN.current_version(rollup_dir)
@@ -601,6 +615,220 @@ def maintain_aux_rollup(
         updated = recomputed.unionByName(gone).unionByName(merged)
         SN.merge_snapshot(
             spark, rollup_dir, updated, key=group_cols, op=stamp,
+            expect_version=target_v,
+        )
+    finally:
+        per_group.unpersist()
+    return {"applied": src_v, "mode": "delta"}
+
+
+def maintain_aux_rollup_from_rollup(
+    spark: SparkSession,
+    parent_dir: str,
+    child_dir: str,
+    key_exprs: dict[str, str],
+    kind: str = "minmax",
+    rebuild: bool = False,
+) -> dict:
+    """Hierarchical IVM for the aux measures (r8 VERDICT #3): keep a
+    COARSER (n_rows, MIN/MAX | HLL) rollup in sync with a maintained
+    PARENT aux rollup of the same kind, so the weekly←daily←base
+    lattice that count/sum already enjoy works for extremes and
+    approx-distinct too. The composition is exact by the measures'
+    own algebra:
+
+    - MIN/MAX re-aggregate over partials (min-of-mins) — a parent
+      INSERT merges via least/greatest; any parent DELETE in a child
+      group (updates arrive as delete+insert) falls back to a
+      re-aggregate of JUST that child group from the PARENT rollup
+      pinned at src_v — the first-hop re-scan costs O(parent rows of
+      changed groups), never a base-table read, which is the whole
+      point of the lattice.
+    - HLL sketches union register-wise (order-insensitive), so a
+      child sketch unioned from parent partials covers exactly the
+      parent's rows; deletes can't be subtracted from a sketch, so
+      delete-touched child groups re-union from the pinned parent.
+
+    Same protocol as ``maintain_aux_rollup`` (``ivm:src_v{V}`` stamps
+    in the PARENT's version space — replay no-op, rollback-safe log
+    order, OCC fence, vacuumed parent history → rebuild with
+    vanished-group tombstones) and the same ``_lineage`` binding as
+    ``maintain_rollup_from_rollup``, so ``plans/rewrite.py`` composes
+    freshness through the chain unchanged and the direct maintainer
+    refuses to mix version spaces. ``key_exprs`` maps each child
+    group column to a SQL expression over the PARENT's columns."""
+    if kind not in AUX_KINDS:
+        raise ValueError(f"kind must be one of {AUX_KINDS}, got {kind!r}")
+    src_v = SN.current_version(parent_dir)
+    if src_v is None:
+        raise FileNotFoundError(f"no committed snapshot in {parent_dir}")
+    if not key_exprs:
+        raise ValueError("key_exprs must map at least one child column")
+    parent_abs = os.path.abspath(parent_dir)
+    mcols = _aux_measure_cols(kind)
+    # the parent must be an aux rollup of the SAME kind — its stored
+    # partials are what the child's measures compose from; a wrong
+    # kind must fail loudly before any lineage marker binds the dir
+    pcols = set(SN.read_snapshot(spark, parent_dir, version=src_v).columns)
+    missing = ({"n_rows", *mcols}) - pcols
+    if missing:
+        raise ValueError(
+            f"parent {parent_dir} lacks column(s) {sorted(missing)} — "
+            f"not a maintained {kind!r} aux rollup"
+        )
+    _bind_child_lineage(child_dir, parent_abs)
+    child_cols = list(key_exprs)
+    key_aliases = [F.expr(e).alias(c) for c, e in key_exprs.items()]
+    stamp = _STAMP.format(v=src_v)
+    applied = _applied_versions(child_dir)
+    target_v = SN.current_version(child_dir)
+    hint = "filter or coalesce the parent keys in key_exprs"
+
+    def _partial_measures():
+        """Re-aggregate child measures from parent PARTIALS (exact:
+        min-of-mins / register-union)."""
+        if kind == "minmax":
+            return [
+                F.min("min_val").alias("min_val"),
+                F.max("max_val").alias("max_val"),
+            ]
+        return [F.hll_union_agg("hll").alias("hll")]
+
+    def full_state():
+        parent = read_rollup(spark, parent_dir, version=src_v)
+        return (
+            parent.select(*key_aliases, "n_rows", *mcols)
+            .groupBy(*child_cols)
+            .agg(
+                F.coalesce(F.sum("n_rows"), F.lit(0))
+                .cast("bigint")
+                .alias("n_rows"),
+                *_partial_measures(),
+            )
+        )
+
+    if not rebuild and applied and applied[-1] == src_v:
+        return {"applied": None, "mode": "noop"}
+
+    if not applied:
+        full = full_state()
+        _reject_null_group_keys(full, child_cols, hint)
+        SN.merge_snapshot(
+            spark, child_dir, full, key=child_cols, op=stamp,
+            expect_version=target_v,
+        )
+        return {"applied": src_v, "mode": "full"}
+
+    def _rebuild():
+        full = full_state()
+        _reject_null_group_keys(full, child_cols, hint)
+        current = SN.read_snapshot(spark, child_dir)
+        gone = current.join(
+            full, on=child_cols, how="left_anti"
+        ).select(
+            *child_cols,
+            F.lit(0).cast("bigint").alias("n_rows"),
+            *[
+                F.lit(None).cast(t).alias(c)
+                for c, t in full.select(*mcols).dtypes
+            ],
+        )
+        SN.merge_snapshot(
+            spark, child_dir, full.unionByName(gone), key=child_cols,
+            op=stamp, expect_version=target_v,
+        )
+        return {"applied": src_v, "mode": "rebuild"}
+
+    if rebuild:
+        return _rebuild()
+    try:
+        diff = SN.snapshot_diff(spark, parent_dir, applied[-1], src_v)
+    except FileNotFoundError:
+        return _rebuild()
+    ins = F.col("_change") == "insert"
+    per_group = (
+        diff.select(*key_aliases, "n_rows", *mcols, "_change")
+        .groupBy(*child_cols)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(ins, F.col("n_rows")).otherwise(-F.col("n_rows"))
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("d_rows"),
+            F.max((~ins).cast("int")).alias("has_del"),
+            *(
+                [
+                    F.min(F.when(ins, F.col("min_val"))).alias("ins_min"),
+                    F.max(F.when(ins, F.col("max_val"))).alias("ins_max"),
+                ]
+                if kind == "minmax"
+                else [
+                    F.hll_union_agg(
+                        F.when(ins, F.col("hll"))
+                    ).alias("ins_hll")
+                ]
+            ),
+        )
+    )
+    # one diff-side aggregation for all three consumers (the same
+    # persist discipline as maintain_aux_rollup — r8 code review)
+    per_group.persist()
+    try:
+        _reject_null_group_keys(per_group, child_cols, hint)
+        del_keys = per_group.where("has_del = 1").select(*child_cols)
+        parent_now = read_rollup(spark, parent_dir, version=src_v)
+        recomputed = (
+            parent_now.select(*key_aliases, "n_rows", *mcols)
+            .join(del_keys, on=child_cols, how="leftsemi")
+            .groupBy(*child_cols)
+            .agg(
+                F.coalesce(F.sum("n_rows"), F.lit(0))
+                .cast("bigint")
+                .alias("n_rows"),
+                *_partial_measures(),
+            )
+        )
+        gone = del_keys.join(
+            recomputed, on=child_cols, how="left_anti"
+        ).select(
+            *child_cols,
+            F.lit(0).cast("bigint").alias("n_rows"),
+            *[
+                F.lit(None).cast(t).alias(c)
+                for c, t in recomputed.select(*mcols).dtypes
+            ],
+        )
+        current = SN.read_snapshot(spark, child_dir)
+        ins_groups = per_group.where("has_del = 0")
+        if kind == "minmax":
+            merged_measures = [
+                F.least(F.col("min_val"), F.col("ins_min")).alias("min_val"),
+                F.greatest(
+                    F.col("max_val"), F.col("ins_max")
+                ).alias("max_val"),
+            ]
+        else:
+            merged_measures = [
+                F.when(
+                    F.col("hll").isNull(), F.col("ins_hll")
+                )
+                .when(F.col("ins_hll").isNull(), F.col("hll"))
+                .otherwise(F.hll_union(F.col("hll"), F.col("ins_hll")))
+                .alias("hll")
+            ]
+        merged = ins_groups.join(
+            current, on=child_cols, how="left"
+        ).select(
+            *child_cols,
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")
+            ).cast("bigint").alias("n_rows"),
+            *merged_measures,
+        )
+        updated = recomputed.unionByName(gone).unionByName(merged)
+        SN.merge_snapshot(
+            spark, child_dir, updated, key=child_cols, op=stamp,
             expect_version=target_v,
         )
     finally:

@@ -53,10 +53,16 @@ from ensembl_lakehouse_spark import snapshots as SN
 #: ivm.maintain_aux_rollup's recompute-on-delete measures —
 #: MIN/MAX re-aggregate exactly over subset groupings
 #: (min-of-mins), and approx COUNT(DISTINCT) reads as
-#: hll_sketch_estimate(hll_union_agg(hll)), identical to a
-#: single-pass sketch because DataSketches HLL union is a
-#: register-wise max (order-insensitive). COUNT(*) derives from
-#: every kind (all carry n_rows).
+#: hll_sketch_estimate(hll_union_agg(hll)). The hll tier is
+#: ESTIMATE-equivalent, not bit-equivalent, to a single-pass
+#: sketch (r8 ADVICE, pinned by
+#: test_hll_union_vs_single_pass_drift): DataSketches HLL union is
+#: a register-wise max (order-insensitive — ANY partition-parallel
+#: hll_sketch_agg goes through the same union and estimates
+#: identically), but a sketch built strictly serially estimates via
+#: the HIP accumulator, which past exact/coupon mode can differ
+#: from the union's composite estimator within the sketch's error
+#: bound. COUNT(*) derives from every kind (all carry n_rows).
 DERIVABLE_BY_KIND = {
     "sum": ("count", "sum", "avg"),
     "minmax": ("count", "min", "max"),
@@ -69,11 +75,13 @@ class RollupSpec:
     """A registered rollup: where it lives, what it maintains.
 
     ``parent_dir`` marks a HIERARCHICAL child view
-    (ivm.maintain_rollup_from_rollup): its keys must be a subset of
-    the base table's columns carried through identity key_exprs,
-    and its freshness w.r.t. the base composes through the parent —
-    child applied == parent current AND parent applied == the base
-    pin (checked at answer time, pinned-at-plan)."""
+    (ivm.maintain_rollup_from_rollup for kind "sum";
+    ivm.maintain_aux_rollup_from_rollup for "minmax"/"hll" — r9):
+    its keys must be a subset of the base table's columns carried
+    through identity key_exprs, and its freshness w.r.t. the base
+    composes through the parent — child applied == parent current
+    AND parent applied == the base pin (checked at answer time,
+    pinned-at-plan)."""
 
     name: str
     rollup_dir: str
@@ -109,11 +117,6 @@ class RollupCatalog:
             raise ValueError(
                 f"kind must be one of {sorted(DERIVABLE_BY_KIND)}, "
                 f"got {kind!r}"
-            )
-        if kind != "sum" and parent_dir is not None:
-            raise ValueError(
-                "aux rollups (minmax/hll) are base-fed only — their "
-                "absolute-state merges have no hierarchical CDC feed"
             )
         lineage = ivm.rollup_lineage(os.path.abspath(rollup_dir))
         if (

@@ -1,0 +1,437 @@
+"""Recognize rewrite-eligible aggregate SQL over ``snap_`` views —
+the /sql front door for the MV rewrite (plans/rewrite.py).
+
+The reference's ONLY query language is SQL text (its API assembles a
+SELECT and ships it to Athena, app/main.py:478-485); this engine's
+rollup rewrite previously answered only the structured /aggregate
+endpoint, so the same aggregate submitted as SQL always paid the
+base scan. This module closes that gap: a strict tokenizer +
+recursive-descent parser recognizes the exact statement family the
+rollup algebra can serve —
+
+    SELECT <group cols + aliased aggregates>
+    FROM snap_<table>
+    [WHERE <AND of col = lit | col IN (lits) | col BETWEEN lo AND hi>]
+    [GROUP BY <cols>]
+    [ORDER BY <output cols [ASC|DESC]>]
+    [LIMIT n]
+
+— and extracts it as an ``AggregateIntent`` the engine feeds to
+``plans.rewrite.answer_aggregate``. EVERYTHING else returns None and
+the statement executes verbatim; a false negative costs a base scan,
+a false positive would serve a wrong answer, so the grammar is
+strict by construction: any unexpected token, expression, qualified
+name, DISTINCT, HAVING, JOIN, subquery, comment, or escape sequence
+makes the statement ineligible.
+
+Exactness gating happens in TWO layers. This parser only proves the
+statement's *shape*; the engine then proves the *semantics* match the
+rollup algebra against the table's schema (``semantic_gate``):
+
+- COUNT(*) / COUNT(1): always exact (rollup n_rows counts rows).
+- MIN/MAX(col): exact for any column type (both paths ignore NULLs
+  and re-aggregate min-of-mins over subset groupings).
+- SUM/AVG(col): exact ONLY when the column is integral AND proven
+  non-NULL at the pinned version (a write-enforced ``col IS NOT
+  NULL`` CHECK constraint the pin postdates — parquet reads force
+  nullable=true, so schema nullability proves nothing). The rollup
+  accumulates per-row BIGINT casts with NULL→0 coalescing and
+  divides by n_rows (row count); SQL SUM returns NULL for an
+  all-NULL group and AVG divides by the non-NULL count, so a
+  nullable column could diverge — the gate falls back instead of
+  guessing.
+- approx_count_distinct(col): estimate tier — Spark's native
+  function is HyperLogLog++ while the rollup stores DataSketches HLL
+  partials, two different estimators whose answers legitimately
+  differ within their error bounds. Rewriting changes the estimate,
+  so it requires the caller's explicit ``rewrite=approx`` opt-in.
+- hll_sketch_estimate(hll_sketch_agg(col)): the DataSketches
+  spelling — the same sketch family the rollup maintains. Still
+  estimate tier (``rewrite=approx``): DataSketches unions estimate
+  via the composite estimator while a directly-built sketch uses the
+  HIP accumulator, so past exact/coupon mode the union-of-partials
+  answer can differ from the single-pass answer (r8 ADVICE; pinned
+  by test_hll_union_vs_single_pass_drift).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+__all__ = ["AggregateIntent", "parse_aggregate_sql", "semantic_gate"]
+
+#: measures servable without changing the statement's answer
+EXACT_FNS = frozenset({"count", "sum", "avg", "min", "max"})
+#: measures whose rewrite swaps the estimator (opt-in only)
+ESTIMATE_FNS = frozenset({"approx_count_distinct"})
+
+_AGG_FNS = frozenset(
+    {"count", "sum", "avg", "min", "max", "approx_count_distinct",
+     "hll_sketch_estimate"}
+)
+
+#: words that may never be treated as an identifier — seeing one
+#: anywhere an identifier is expected aborts recognition, so e.g.
+#: ``SELECT DISTINCT x`` or a HAVING clause can't half-parse
+_RESERVED = frozenset(
+    {"select", "from", "where", "group", "order", "by", "limit",
+     "and", "or", "not", "in", "between", "as", "asc", "desc",
+     "distinct", "having", "join", "on", "union", "except",
+     "intersect", "case", "when", "then", "else", "end", "null",
+     "true", "false", "nulls", "first", "last", "all", "cast",
+     "over", "partition"}
+)
+
+_TOKEN_RE = re.compile(
+    r"""(?P<ws>\s+)
+      | (?P<str>'[^']*')
+      | (?P<qid>`[^`]+`)
+      | (?P<num>\d+\.\d+|\.\d+|\d+)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<punct>\(|\)|,|=|\*|-)
+    """,
+    re.X,
+)
+
+
+@dataclass(frozen=True)
+class AggregateIntent:
+    """The recognized statement, engine-ready: ``table`` is the view
+    name WITHOUT the ``snap_`` prefix; ``aggs`` maps output alias →
+    (fn, column) in answer_aggregate's vocabulary; ``select_order``
+    is the SELECT-list output order (answer_aggregate emits group
+    cols first, so the engine re-projects); ``order_by`` pairs
+    (output column, ascending)."""
+
+    table: str
+    group_by: tuple[str, ...]
+    aggs: dict[str, tuple[str, str]]
+    filters: dict[str, list] = field(default_factory=dict)
+    range_filters: dict[str, tuple] = field(default_factory=dict)
+    select_order: tuple[str, ...] = ()
+    order_by: tuple[tuple[str, bool], ...] = ()
+    limit: int | None = None
+
+
+class _Ineligible(Exception):
+    """Internal: statement shape outside the grammar (never surfaces
+    — parse_aggregate_sql returns None)."""
+
+
+def _tokenize(sql: str) -> list[tuple[str, str]]:
+    """(kind, text) tokens; raises _Ineligible on any character the
+    strict lexer does not know (comments, semicolons, operators the
+    grammar can't serve, escape-bearing literals...)."""
+    toks: list[tuple[str, str]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        m = _TOKEN_RE.match(sql, i)
+        if m is None:
+            raise _Ineligible(f"unexpected character {sql[i]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group(0)
+        if kind == "word":
+            low = text.lower()
+            toks.append(("kw", low) if low in _RESERVED or low in _AGG_FNS
+                        else ("ident", low))
+        elif kind == "qid":
+            toks.append(("ident", text[1:-1].lower()))
+        elif kind == "str":
+            body = text[1:-1]
+            if "\\" in body:
+                raise _Ineligible("escaped literal")
+            toks.append(("str", body))
+        elif kind == "num":
+            toks.append(("num", text))
+        else:
+            toks.append((text, text))
+    return toks
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> str:
+        k, t = self.next()
+        if k != kind or (text is not None and t != text):
+            raise _Ineligible(f"expected {text or kind}, got {t!r}")
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> bool:
+        k, t = self.peek()
+        if k == kind and (text is None or t == text):
+            self.i += 1
+            return True
+        return False
+
+    # -- terminals ---------------------------------------------------
+
+    def ident(self) -> str:
+        k, t = self.next()
+        if k != "ident":
+            raise _Ineligible(f"expected identifier, got {t!r}")
+        return t
+
+    def literal(self):
+        """A scalar literal: string, number, or negated number.
+        Numbers come back as int/float so Spark-side comparisons use
+        numeric, not string, coercion."""
+        k, t = self.next()
+        if k == "str":
+            return t
+        neg = False
+        if k == "-":
+            neg = True
+            k, t = self.next()
+        if k != "num":
+            raise _Ineligible(f"expected literal, got {t!r}")
+        val = float(t) if "." in t else int(t)
+        return -val if neg else val
+
+    # -- grammar -----------------------------------------------------
+
+    def parse(self) -> AggregateIntent:
+        self.expect("kw", "select")
+        items: list[tuple[str, str | None, tuple[str, str] | None]] = []
+        while True:
+            items.append(self._select_item())
+            if not self.accept(",", ","):
+                break
+        self.expect("kw", "from")
+        table = self.ident()
+        filters: dict[str, list] = {}
+        range_filters: dict[str, tuple] = {}
+        if self.accept("kw", "where"):
+            while True:
+                self._predicate(filters, range_filters)
+                if not self.accept("kw", "and"):
+                    break
+        group_by: list[str] = []
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            while True:
+                group_by.append(self.ident())
+                if not self.accept(",", ","):
+                    break
+        order_by: list[tuple[str, bool]] = []
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                col = self.ident()
+                asc = True
+                if self.accept("kw", "asc"):
+                    asc = True
+                elif self.accept("kw", "desc"):
+                    asc = False
+                order_by.append((col, asc))
+                if not self.accept(",", ","):
+                    break
+        limit = None
+        if self.accept("kw", "limit"):
+            k, t = self.next()
+            if k != "num" or "." in t:
+                raise _Ineligible("LIMIT wants an integer")
+            limit = int(t)
+        if self.peek()[0] != "eof":
+            raise _Ineligible(f"trailing tokens: {self.peek()[1]!r}")
+        return self._assemble(
+            items, table, filters, range_filters, group_by, order_by, limit
+        )
+
+    def _select_item(self):
+        """→ (output name, bare column | None, (fn, col) | None)."""
+        k, t = self.peek()
+        if k == "ident":
+            self.next()
+            if self.accept("kw", "as"):
+                # aliased bare column: output name differs from the
+                # group key, which the rewrite path can't reproduce
+                # without a rename map — keep the grammar small
+                raise _Ineligible("aliased bare column")
+            return (t, t, None)
+        if k == "kw" and t in _AGG_FNS:
+            self.next()
+            fn, col = self._agg_call(t)
+            self.expect("kw", "as")
+            alias = self.ident()
+            return (alias, None, (fn, col))
+        raise _Ineligible(f"unsupported select item at {t!r}")
+
+    def _agg_call(self, fn: str) -> tuple[str, str]:
+        self.expect("(", "(")
+        if fn == "count":
+            k, t = self.next()
+            if (k, t) not in (("*", "*"), ("num", "1")):
+                # COUNT(col) counts non-NULLs — not derivable from
+                # the rollup's row count
+                raise _Ineligible("only COUNT(*) / COUNT(1) derive")
+            self.expect(")", ")")
+            return ("count", "")
+        if fn == "hll_sketch_estimate":
+            # the DataSketches spelling: hll_sketch_estimate(
+            #   hll_sketch_agg(col))
+            k, t = self.next()
+            if (k, t) != ("ident", "hll_sketch_agg"):
+                raise _Ineligible(
+                    "hll_sketch_estimate only over hll_sketch_agg(col)"
+                )
+            self.expect("(", "(")
+            col = self.ident()
+            self.expect(")", ")")
+            self.expect(")", ")")
+            return ("approx_count_distinct", col)
+        col = self.ident()
+        self.expect(")", ")")
+        return (fn, col)
+
+    def _predicate(self, filters: dict, range_filters: dict) -> None:
+        col = self.ident()
+        if col in filters or col in range_filters:
+            # two predicates on one column intersect; the rewrite
+            # vocabulary carries one per column — fall back
+            raise _Ineligible(f"multiple predicates on {col!r}")
+        k, t = self.next()
+        if k == "=":
+            filters[col] = [self.literal()]
+        elif (k, t) == ("kw", "in"):
+            self.expect("(", "(")
+            vals = [self.literal()]
+            while self.accept(",", ","):
+                vals.append(self.literal())
+            self.expect(")", ")")
+            filters[col] = vals
+        elif (k, t) == ("kw", "between"):
+            lo = self.literal()
+            self.expect("kw", "and")
+            hi = self.literal()
+            range_filters[col] = (lo, hi)
+        else:
+            raise _Ineligible(f"unsupported predicate operator {t!r}")
+
+    def _assemble(
+        self, items, table, filters, range_filters, group_by, order_by,
+        limit,
+    ) -> AggregateIntent:
+        if not table.startswith("snap_") or len(table) <= len("snap_"):
+            raise _Ineligible("not a snap_ view")
+        aggs: dict[str, tuple[str, str]] = {}
+        bare: list[str] = []
+        select_order: list[str] = []
+        for out, bare_col, agg in items:
+            if out in select_order:
+                raise _Ineligible(f"duplicate output column {out!r}")
+            select_order.append(out)
+            if bare_col is not None:
+                bare.append(bare_col)
+            else:
+                aggs[out] = agg
+        if not aggs:
+            raise _Ineligible("no aggregate in the select list")
+        # the bare columns and the GROUP BY must agree exactly:
+        # answer_aggregate emits every group col, and a grouped col
+        # missing from the SELECT would change the output schema
+        if set(bare) != set(group_by) or len(bare) != len(set(bare)):
+            raise _Ineligible("SELECT columns != GROUP BY columns")
+        if set(group_by) & set(aggs):
+            raise _Ineligible("alias collides with a group column")
+        out_cols = set(select_order)
+        for col, _ in order_by:
+            if col not in out_cols:
+                raise _Ineligible(f"ORDER BY {col!r} is not selected")
+        return AggregateIntent(
+            table=table[len("snap_"):],
+            group_by=tuple(group_by),
+            aggs=aggs,
+            filters=filters,
+            range_filters=range_filters,
+            select_order=tuple(select_order),
+            order_by=tuple(order_by),
+            limit=limit,
+        )
+
+
+def parse_aggregate_sql(sql: str) -> AggregateIntent | None:
+    """The recognizer: the intent when the statement is inside the
+    servable grammar, else None (run the text verbatim)."""
+    try:
+        return _Parser(_tokenize(sql)).parse()
+    except _Ineligible:
+        return None
+
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def semantic_gate(
+    intent: AggregateIntent,
+    schema,
+    allow_estimates: bool,
+    non_null_cols: frozenset[str] | set[str] = frozenset(),
+) -> str | None:
+    """Prove the recognized statement's answer is reproducible from
+    rollup partials given the base table's Spark ``schema``
+    (StructType). Returns None when safe, else the human-readable
+    reason to fall back (recorded in the response's rewrite audit).
+
+    ``non_null_cols`` is the engine-proven set of columns that cannot
+    be NULL *at the pinned version* — parquet reads force
+    nullable=true on every field, so schema nullability proves
+    nothing; the proof comes from a write-enforced ``col IS NOT
+    NULL`` CHECK constraint whose ``since_version`` the pin postdates
+    (snapshots.constraint_records; rollback refuses to cross it).
+
+    Identifier case: the lexer lowercases, so resolution here is
+    case-insensitive against the schema — Spark's own default."""
+    fields = {f.name.lower(): f for f in schema.fields}
+    referenced = (
+        set(intent.group_by)
+        | set(intent.filters)
+        | set(intent.range_filters)
+        | {c for _, c in intent.aggs.values() if c}
+    )
+    for col in sorted(referenced):
+        if col not in fields:
+            return f"column {col!r} not in the table schema"
+        if fields[col].name != col:
+            # the native run names output columns as the schema
+            # spells them; the lexer lowercased, so a mixed-case
+            # field would change the output schema — fall back
+            return f"column {col!r} is mixed-case in the schema"
+    for out, (fn, col) in intent.aggs.items():
+        if fn in ("sum", "avg"):
+            f = fields[col]
+            if f.dataType.simpleString() not in _INTEGRAL:
+                return (
+                    f"{out}: rollup SUM accumulates per-row BIGINT "
+                    f"casts — exact only for integral columns, and "
+                    f"{col} is {f.dataType.simpleString()}"
+                )
+            if col not in non_null_cols:
+                return (
+                    f"{out}: {fn.upper()}({col}) needs a proven "
+                    f"NOT-NULL column (an all-NULL group is NULL in "
+                    f"SQL but 0 in the rollup; AVG divides by the "
+                    f"non-NULL count) — add a '{col} IS NOT NULL' "
+                    "CHECK constraint to enable this rewrite"
+                )
+        elif fn == "approx_count_distinct" and not allow_estimates:
+            return (
+                f"{out}: estimate-tier rewrite (DataSketches HLL vs "
+                "the statement's native estimator) needs "
+                "rewrite=approx"
+            )
+    return None

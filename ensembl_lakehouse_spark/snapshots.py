@@ -926,7 +926,23 @@ def rollback(table_dir: str, version: int) -> int:
     """Make an old version current again — committed as a NEW
     snapshot whose file list is the old one (history is append-only;
     nothing is deleted, so the rolled-back-over version remains
-    readable)."""
+    readable).
+
+    Refused when it would re-point content from BEFORE a CHECK
+    constraint's validation scan (``since_version``): rollback is a
+    file-level op that re-checks nothing, so restoring pre-validation
+    content would silently break the "every version ≥ since_version
+    satisfies the constraint" induction that version-pinned consumers
+    (the /sql MV rewrite's NOT-NULL gate) rely on. Drop the
+    constraint first if the restore is intended."""
+    for cname, rec in constraint_records(table_dir).items():
+        since = rec["since_version"]
+        if since is not None and version < since:
+            raise ConstraintViolation(
+                f"rollback to v{version} would restore content from "
+                f"before constraint {cname!r} was validated at "
+                f"v{since} — drop the constraint first"
+            )
     base = current_version(table_dir)
     restored = _read_manifest(table_dir, version)
     return _commit(
@@ -1946,11 +1962,41 @@ def _constraints_path(table_dir: str) -> str:
 
 def list_constraints(table_dir: str) -> dict[str, str]:
     """name -> SQL boolean expression for every CHECK constraint."""
+    return {
+        name: rec["expr"] for name, rec in constraint_records(table_dir).items()
+    }
+
+
+def constraint_records(table_dir: str) -> dict[str, dict]:
+    """name -> {"expr", "since_version"} for every CHECK constraint.
+
+    ``since_version`` is the table version at which the constraint
+    was VALIDATED against all existing rows (-1 when the table was
+    empty — every version ever committed postdates the guarantee).
+    Because ``add_constraint`` scans existing rows, every write since
+    is enforced, and ``rollback`` refuses to re-point content from
+    before that validation (see rollback), the invariant "every
+    committed version ≥ since_version satisfies the expression" holds
+    by induction — which is what lets the /sql MV rewrite trust a
+    ``col IS NOT NULL`` constraint for a version-pinned answer
+    (plans/sql_rewrite.semantic_gate) without rescanning anything.
+    Records written before this field existed load with
+    ``since_version=None`` (provenance unknown — consumers must not
+    trust them for version-pinned proofs; re-adding the constraint
+    refreshes the stamp)."""
     try:
         with open(_constraints_path(table_dir)) as f:
-            return dict(json.load(f))
+            raw = dict(json.load(f))
     except FileNotFoundError:
         return {}
+    return {
+        name: (
+            {"expr": v, "since_version": None}
+            if isinstance(v, str)
+            else {"expr": v["expr"], "since_version": v.get("since_version")}
+        )
+        for name, v in raw.items()
+    }
 
 
 def add_constraint(
@@ -1966,38 +2012,60 @@ def add_constraint(
     Constraints are table metadata, not version metadata: they apply
     from now on regardless of time travel, and survive restarts in
     the ``_constraints`` file (atomic replace under the commit
-    lock)."""
+    lock). The record also stamps ``since_version`` — the version the
+    validation scan covered — and the scan runs UNDER the table lock,
+    pinned at that version, so an in-flight commit cannot slip rows
+    between the scan and the stamp (same-process; a commit that
+    already passed enforcement against the pre-add constraint set and
+    lands after this returns is the documented enforcement window the
+    base facility always had)."""
     from pyspark.sql import functions as F
 
     if not name or not name.replace("_", "").replace("-", "").isalnum():
         raise ValueError(f"invalid constraint name {name!r}")
-    if current_version(table_dir) is not None:
-        existing = read_snapshot(spark, table_dir)
-        bad = existing.where(F.expr(expr) == False).limit(3).collect()  # noqa: E712
-        if bad:
-            raise ConstraintViolation(
-                f"existing rows violate {name!r} ({expr}): "
-                f"e.g. {[r.asDict() for r in bad]}"
-            )
     with _table_lock(table_dir):
-        cons = list_constraints(table_dir)
-        cons[name] = expr
+        cur = current_version(table_dir)
+        if cur is not None:
+            existing = read_snapshot(spark, table_dir, version=cur)
+            bad = existing.where(F.expr(expr) == False).limit(3).collect()  # noqa: E712
+            if bad:
+                raise ConstraintViolation(
+                    f"existing rows violate {name!r} ({expr}): "
+                    f"e.g. {[r.asDict() for r in bad]}"
+                )
+        raw = {
+            n: rec if rec["since_version"] is not None else rec["expr"]
+            for n, rec in constraint_records(table_dir).items()
+        }
+        raw[name] = {
+            "expr": expr,
+            # -1 when the table is empty: every version ever
+            # committed will postdate the guarantee (see
+            # constraint_records for the induction this anchors)
+            "since_version": cur if cur is not None else -1,
+        }
         os.makedirs(table_dir, exist_ok=True)
         tmp = _constraints_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(cons, f)
+            json.dump(raw, f)
         os.replace(tmp, _constraints_path(table_dir))
 
 
 def drop_constraint(table_dir: str, name: str) -> None:
     with _table_lock(table_dir):
-        cons = list_constraints(table_dir)
-        if name not in cons:
+        recs = constraint_records(table_dir)
+        if name not in recs:
             raise KeyError(name)
-        del cons[name]
+        del recs[name]
+        # preserve the since_version stamps of the survivors (legacy
+        # string records stay strings)
+        raw = {
+            n: rec if rec["since_version"] is not None else rec["expr"]
+            for n, rec in recs.items()
+        }
         tmp = _constraints_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(cons, f)
+            json.dump(raw, f)
         os.replace(tmp, _constraints_path(table_dir))
 
 

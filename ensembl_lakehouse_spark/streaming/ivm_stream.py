@@ -68,15 +68,28 @@ class AuxRollupDef:
 @dataclass(frozen=True)
 class ChildRollupDef:
     """A HIERARCHICAL downstream view fed by a parent rollup's CDC
-    (ivm.maintain_rollup_from_rollup): ``key_exprs`` maps child
-    columns to SQL over the parent's columns. Children tick AFTER
-    their parents within the same micro-batch (the bottom-up order
-    the chain-freshness contract requires), so by batch end the
-    whole lattice reflects the batch's source commit."""
+    (ivm.maintain_rollup_from_rollup for ``kind="sum"``;
+    ivm.maintain_aux_rollup_from_rollup for ``"minmax"``/``"hll"`` —
+    the parent must be an aux rollup of the same kind): ``key_exprs``
+    maps child columns to SQL over the parent's columns. Children
+    tick AFTER their parents within the same micro-batch (the
+    bottom-up order the chain-freshness contract requires), so by
+    batch end the whole lattice reflects the batch's source commit."""
 
     parent_dir: str
     child_dir: str
     key_exprs: dict[str, str]
+    kind: str = "sum"
+
+
+def _tick_child(spark: SparkSession, c: "ChildRollupDef") -> dict:
+    if c.kind == "sum":
+        return ivm.maintain_rollup_from_rollup(
+            spark, c.parent_dir, c.child_dir, c.key_exprs
+        )
+    return ivm.maintain_aux_rollup_from_rollup(
+        spark, c.parent_dir, c.child_dir, c.key_exprs, kind=c.kind
+    )
 
 
 def _topo_children(
@@ -176,10 +189,7 @@ def run_stream_ivm(
         # lattice (topologically ordered — declaration order is
         # not load-bearing)
         for c in chain_order:
-            out = ivm.maintain_rollup_from_rollup(
-                spark, c.parent_dir, c.child_dir, c.key_exprs
-            )
-            tick[c.child_dir] = out["mode"]
+            tick[c.child_dir] = _tick_child(spark, c)["mode"]
         ticks.append(tick)
 
     opts = (
@@ -239,9 +249,7 @@ def replay_batch(
         )["mode"]
         for a in (aux or [])
     ] + [
-        ivm.maintain_rollup_from_rollup(
-            spark, c.parent_dir, c.child_dir, c.key_exprs
-        )["mode"]
+        _tick_child(spark, c)["mode"]
         for c in _topo_children(children)
     ]
     return {

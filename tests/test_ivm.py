@@ -536,9 +536,11 @@ def test_minmax_rollup_rebuild_and_vacuum(spark, tmp_path):
 
 def test_hll_rollup_estimates_match_single_pass(spark, tmp_path):
     """HLL-sketch rollup: the estimate read from merged per-commit
-    partials equals a single-pass sketch over the same rows — the
-    register-wise-max determinism the rewrite's approx
-    COUNT(DISTINCT) answering relies on. Deletes recompute their
+    partials equals a PARTITION-PARALLEL single-pass sketch over the
+    same rows — the register-wise-max determinism the rewrite's
+    approx COUNT(DISTINCT) answering relies on (a strictly serial
+    build is the one path that can drift past exact mode — see
+    test_hll_union_vs_single_pass_drift). Deletes recompute their
     groups exactly, so shrinking cardinalities track too."""
     src = str(tmp_path / "src")
     rol = str(tmp_path / "hll")
@@ -597,3 +599,38 @@ def test_hll_rollup_estimates_match_single_pass(spark, tmp_path):
     )
     ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "u", kind="hll")
     assert est_rollup() == est_base()
+
+
+def test_hll_union_vs_single_pass_drift(spark):
+    """Pin the HLL estimator semantics past exact/coupon mode (r8
+    ADVICE): at 300k distinct values a PARTITION-PARALLEL
+    hll_sketch_agg equals hll_union_agg over partials exactly (both
+    estimate through sketch union — the composite estimator), while a
+    strictly SINGLE-PARTITION build takes the HIP accumulator path
+    and may differ, bounded by the sketch's error (<1.5% at lgK=12).
+    This is why the rollup's approx tier is documented
+    estimate-equivalent, not bit-equivalent, to an arbitrary
+    single-pass build — and why rollup == base holds in this engine,
+    where every base-path agg is partition-parallel."""
+    n = 300_000
+    df = spark.range(n).select(
+        F.col("id").alias("v"), (F.col("id") % 64).alias("g")
+    )
+    parallel = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("u")
+    ).collect()[0][0]
+    unioned = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("v").alias("h"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("h")).alias("u"))
+        .collect()[0][0]
+    )
+    assert parallel == unioned  # the equivalence the rewrite relies on
+    serial = (
+        df.coalesce(1)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("u"))
+        .collect()[0][0]
+    )
+    # the HIP path is allowed to differ — but only within sketch error
+    assert abs(serial - n) / n < 0.015
+    assert abs(unioned - n) / n < 0.015

@@ -610,10 +610,12 @@ def test_aux_kind_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="kind"):
         cat.register("x", str(tmp_path / "r"), str(tmp_path / "s"),
                      ["g"], "v", kind="median")
-    with pytest.raises(ValueError, match="base-fed"):
-        cat.register("x", str(tmp_path / "r"), str(tmp_path / "s"),
-                     ["g"], "v", kind="hll",
-                     parent_dir=str(tmp_path / "p"))
+    # aux rollups MAY be hierarchical children since r9
+    # (ivm.maintain_aux_rollup_from_rollup); registration with a
+    # parent_dir is accepted and freshness composes through the chain
+    cat.register("hier_ok", str(tmp_path / "r"), str(tmp_path / "s"),
+                 ["g"], "v", kind="hll",
+                 parent_dir=str(tmp_path / "p"))
     with pytest.raises(ValueError, match="pair"):
         RW.answer_aggregate(
             spark, cat, str(tmp_path / "s"), [], {"n": ("count", "")},

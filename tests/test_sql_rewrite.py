@@ -1,0 +1,298 @@
+"""The MV rewrite served through /sql text (r8 VERDICT #2): a
+recognized aggregate over a ``snap_`` view answers from the cheapest
+fresh rollup — zero base-table files read — with the decision
+audited in the response; anything unprovable runs verbatim. The
+equivalence contract is pinned at both freshness modes, the NOT-NULL
+constraint proof gates SUM/AVG, and the estimate tier stays behind
+an explicit opt-in."""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from ensembl_lakehouse_spark import ivm
+from ensembl_lakehouse_spark import snapshots as SN
+from ensembl_lakehouse_spark.query import QueryValidationError
+
+
+@pytest.fixture()
+def mv(engine, spark, tmp_path):
+    """A registered snapshot table (NOT-NULL constraint on the
+    measure) with a maintained (grp, reg) sum rollup and a per-grp
+    HLL aux rollup."""
+    src = str(tmp_path / "sqlmv_src")
+    rows = [(i, f"g{i % 3}", f"r{i % 2}", i * 7, i % 5) for i in range(60)]
+    SN.write_snapshot(
+        src, spark.createDataFrame(rows, ["k", "grp", "reg", "val", "day"])
+    )
+    SN.add_constraint(spark, src, "val_nn", "val IS NOT NULL")
+    rol = str(tmp_path / "sqlmv_rol")
+    ivm.maintain_rollup(spark, src, rol, ["grp", "reg"], "val")
+    hll = str(tmp_path / "sqlmv_hll")
+    ivm.maintain_aux_rollup(spark, src, hll, ["grp"], "k", kind="hll")
+    engine.register_snapshot_table("sqlmv", src)
+    engine.register_rollup("sqlmv", "by_grp_reg", rol, ["grp", "reg"], "val")
+    engine.register_rollup("sqlmv", "hll_k", hll, ["grp"], "k", kind="hll")
+    return src, rol, hll
+
+
+def _rows(engine, qid, n=50):
+    engine.registry.wait(qid, timeout=120)
+    assert engine.query_status(qid)["status"] == "SUCCEEDED"
+    prev = engine.query_preview(qid, max_results=n)
+    return [
+        [c.get("VarCharValue") for c in r["Data"]] for r in prev["Rows"]
+    ]
+
+
+SQL = (
+    "SELECT grp, COUNT(*) AS n, SUM(val) AS total, AVG(val) AS mean "
+    "FROM snap_sqlmv GROUP BY grp ORDER BY grp"
+)
+
+
+def test_sql_aggregate_answers_from_rollup_and_matches_verbatim(engine, mv):
+    src, rol, _ = mv
+    resp = engine.submit_sql(SQL)
+    assert resp["rewrite"]["eligible"] is True
+    assert resp["rewrite"]["answered_by"] == "by_grp_reg"
+    got = _rows(engine, resp["query_id"])
+    off = engine.submit_sql(SQL, rewrite="off")
+    assert "rewrite" not in off
+    assert off["query_id"] != resp["query_id"]  # distinct cache identity
+    assert got == _rows(engine, off["query_id"])
+
+
+def test_rollup_answered_sql_reads_zero_base_files(engine, mv):
+    src, rol, _ = mv
+    rdf, audit = engine._try_sql_rewrite(SQL, {}, False, "strict")
+    assert audit["answered_by"] == "by_grp_reg"
+    files = rdf.inputFiles()
+    assert files and all(rol in f for f in files)
+    assert not any(src in f for f in files)
+
+
+def test_strict_falls_back_to_verbatim_stale_ok_serves_pinned(
+    engine, spark, mv
+):
+    """After the source advances past the rollup: strict runs the
+    text verbatim (fresh data), stale_ok answers from the rollup and
+    equals the verbatim run PINNED at the rollup's applied version."""
+    src, rol, _ = mv
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(100, "g0", "r0", 700, 0)],
+                              ["k", "grp", "reg", "val", "day"]),
+        key="k",
+    )
+    strict = engine.submit_sql(SQL)
+    assert strict["rewrite"]["eligible"] is True
+    assert strict["rewrite"]["answered_by"] == "base"
+    stale = engine.submit_sql(SQL, freshness="stale_ok")
+    assert stale["rewrite"]["answered_by"] == "by_grp_reg"
+    pinned = engine.submit_sql(SQL, snap_versions="sqlmv:0", rewrite="off")
+    assert _rows(engine, stale["query_id"]) == _rows(
+        engine, pinned["query_id"]
+    )
+    # and the strict answer reflects the NEW row
+    fresh_rows = _rows(engine, strict["query_id"])
+    assert fresh_rows != _rows(engine, stale["query_id"])
+
+
+def test_snap_versions_pin_time_travels_the_rewrite(engine, spark, mv):
+    """Pinning the view at the rollup's applied version makes the
+    rollup STRICT-fresh for that pin even after the source advanced —
+    the MV answers a time-traveled aggregate."""
+    src, rol, _ = mv
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(101, "g1", "r1", 7000, 1)],
+                              ["k", "grp", "reg", "val", "day"]),
+        key="k",
+    )
+    resp = engine.submit_sql(SQL, snap_versions="sqlmv:0")
+    assert resp["rewrite"]["answered_by"] == "by_grp_reg"
+    assert resp["rewrite"]["source_version"] == 0
+    verbatim = engine.submit_sql(SQL, snap_versions="sqlmv:0", rewrite="off")
+    assert _rows(engine, resp["query_id"]) == _rows(
+        engine, verbatim["query_id"]
+    )
+
+
+def test_filters_on_group_keys_rewrite_others_fall_back(engine, mv):
+    keyed = engine.submit_sql(
+        "SELECT grp, COUNT(*) AS n FROM snap_sqlmv "
+        "WHERE reg = 'r0' GROUP BY grp"
+    )
+    assert keyed["rewrite"]["answered_by"] == "by_grp_reg"
+    off = engine.submit_sql(
+        "SELECT grp, COUNT(*) AS n FROM snap_sqlmv "
+        "WHERE reg = 'r0' GROUP BY grp ORDER BY grp",
+        rewrite="off",
+    )
+    ordered = engine.submit_sql(
+        "SELECT grp, COUNT(*) AS n FROM snap_sqlmv "
+        "WHERE reg = 'r0' GROUP BY grp ORDER BY grp"
+    )
+    assert _rows(engine, ordered["query_id"]) == _rows(
+        engine, off["query_id"]
+    )
+    # a filter on a non-key column slices within groups — base
+    non_key = engine.submit_sql(
+        "SELECT grp, COUNT(*) AS n FROM snap_sqlmv "
+        "WHERE day BETWEEN 1 AND 3 GROUP BY grp"
+    )
+    assert non_key["rewrite"]["eligible"] is True
+    assert non_key["rewrite"]["answered_by"] == "base"
+    assert any(
+        "filter column" in s["reason"]
+        for s in non_key["rewrite"]["skipped"]
+        if s["rollup"] == "by_grp_reg"
+    )
+
+
+def test_sum_without_not_null_proof_falls_back(engine, spark, tmp_path):
+    src = str(tmp_path / "nocon_src")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ["k", "g", "v"]),
+    )
+    rol = str(tmp_path / "nocon_rol")
+    ivm.maintain_rollup(spark, src, rol, ["g"], "v")
+    engine.register_snapshot_table("nocon", src)
+    engine.register_rollup("nocon", "nocon_by_g", rol, ["g"], "v")
+    resp = engine.submit_sql(
+        "SELECT g, SUM(v) AS s FROM snap_nocon GROUP BY g"
+    )
+    assert resp["rewrite"]["eligible"] is False
+    assert "NOT-NULL" in resp["rewrite"]["reason"]
+    # count-only still rewrites: the gate is per-measure
+    cnt = engine.submit_sql(
+        "SELECT g, COUNT(*) AS n FROM snap_nocon GROUP BY g"
+    )
+    assert cnt["rewrite"]["answered_by"] == "nocon_by_g"
+
+
+def test_estimate_tier_requires_opt_in_then_uses_hll_rollup(engine, mv):
+    src, rol, hll = mv
+    sql = (
+        "SELECT grp, approx_count_distinct(k) AS u FROM snap_sqlmv "
+        "GROUP BY grp ORDER BY grp"
+    )
+    default = engine.submit_sql(sql)
+    assert default["rewrite"]["eligible"] is False
+    assert "rewrite=approx" in default["rewrite"]["reason"]
+    approx = engine.submit_sql(sql, rewrite="approx")
+    assert approx["rewrite"]["answered_by"] == "hll_k"
+    # 20 distinct k per grp — well inside sketch exact mode, so the
+    # DataSketches estimate is the true count here (row 0 is the
+    # header-as-row-0 preview shape)
+    assert [r[1] for r in _rows(engine, approx["query_id"])[1:]] == [
+        "20", "20", "20",
+    ]
+
+
+def test_metadata_tier_answers_global_count(engine, mv):
+    resp = engine.submit_sql("SELECT COUNT(*) AS n FROM snap_sqlmv")
+    assert resp["rewrite"]["answered_by"] == "metadata"
+    assert _rows(engine, resp["query_id"]) == [["n"], ["60"]]
+
+
+def test_order_by_desc_and_limit_apply_to_rewritten_answer(engine, mv):
+    resp = engine.submit_sql(
+        "SELECT grp, COUNT(*) AS n FROM snap_sqlmv GROUP BY grp "
+        "ORDER BY grp DESC LIMIT 2"
+    )
+    # COUNT derives from every kind, so the 3-row per-grp HLL rollup
+    # is cheaper than the 6-row (grp, reg) one — cheapest-wins
+    assert resp["rewrite"]["answered_by"] == "hll_k"
+    rows = _rows(engine, resp["query_id"])
+    assert [r[0] for r in rows[1:]] == ["g2", "g1"]
+
+
+def test_explain_sql_reports_the_rewrite_decision(engine, mv):
+    src, rol, _ = mv
+    payload = engine.explain_sql(SQL)
+    assert payload["rewrite"]["answered_by"] == "by_grp_reg"
+    assert rol in payload["plan"] and src not in payload["plan"]
+    off = engine.explain_sql(SQL, "", "off")
+    assert off["rewrite"] is None and src in off["plan"]
+    inel = engine.explain_sql("SELECT COUNT(val) AS n FROM snap_sqlmv")
+    assert inel["rewrite"]["eligible"] is False
+
+
+def test_bad_rewrite_and_freshness_params_reject(engine, mv):
+    with pytest.raises(QueryValidationError):
+        engine.submit_sql(SQL, rewrite="maybe")
+    with pytest.raises(QueryValidationError):
+        engine.submit_sql(SQL, freshness="eventual")
+
+
+def test_http_sql_rewrite_end_to_end(engine, mv):
+    """The wire: /sql carries the audit, /sql/explain shows the
+    decision and the rollup-only plan."""
+    from ensembl_lakehouse_spark.api import ApiServer
+
+    src, rol, _ = mv
+    with ApiServer(engine) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+        q = urllib.parse.quote(SQL)
+        resp = json.load(
+            urllib.request.urlopen(f"{base}/sql?query={q}")
+        )
+        assert resp["rewrite"]["answered_by"] == "by_grp_reg"
+        plan = json.load(
+            urllib.request.urlopen(f"{base}/sql/explain?query={q}")
+        )
+        assert plan["rewrite"]["answered_by"] == "by_grp_reg"
+        assert rol in plan["plan"] and src not in plan["plan"]
+        off = json.load(
+            urllib.request.urlopen(
+                f"{base}/sql/explain?query={q}&rewrite=off"
+            )
+        )
+        assert off["rewrite"] is None
+
+
+# -- the constraint-stamp machinery the gate relies on ----------------
+
+def test_rollback_refuses_to_cross_constraint_validation(spark, tmp_path):
+    tdir = str(tmp_path / "con_rb")
+    SN.write_snapshot(
+        tdir, spark.createDataFrame([(1, None)], "k int, v int")
+    )  # v0 has a NULL
+    SN.write_snapshot(
+        tdir, spark.createDataFrame([(1, 5)], "k int, v int")
+    )  # v1 clean
+    SN.add_constraint(spark, tdir, "v_nn", "v IS NOT NULL")
+    rec = SN.constraint_records(tdir)["v_nn"]
+    assert rec["since_version"] == 1
+    with pytest.raises(SN.ConstraintViolation):
+        SN.rollback(tdir, 0)
+    SN.drop_constraint(tdir, "v_nn")
+    assert SN.rollback(tdir, 0) == 2  # allowed once the proof is gone
+
+
+def test_constraint_records_preserve_stamps_and_legacy_strings(
+    spark, tmp_path
+):
+    import json as _json
+    import os
+
+    tdir = str(tmp_path / "con_legacy")
+    SN.write_snapshot(tdir, spark.createDataFrame([(1,)], "k int"))
+    # a legacy (pre-stamp) record written by an older build
+    with open(os.path.join(tdir, "_constraints"), "w") as f:
+        _json.dump({"old": "k > 0"}, f)
+    SN.add_constraint(spark, tdir, "k_nn", "k IS NOT NULL")
+    recs = SN.constraint_records(tdir)
+    assert recs["old"] == {"expr": "k > 0", "since_version": None}
+    assert recs["k_nn"]["since_version"] == 0
+    # drop keeps the survivor's stamp intact
+    SN.drop_constraint(tdir, "old")
+    assert SN.constraint_records(tdir)["k_nn"]["since_version"] == 0
+    assert SN.list_constraints(tdir) == {"k_nn": "k IS NOT NULL"}

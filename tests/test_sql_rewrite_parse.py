@@ -1,0 +1,169 @@
+"""The /sql MV-rewrite recognizer (plans/sql_rewrite.py): strict
+grammar — anything outside the servable family returns None (the
+statement runs verbatim, so a false negative is only a missed
+optimization), and inside the family every clause extracts exactly.
+No SparkSession needed — the parser and the semantic gate are pure."""
+
+from __future__ import annotations
+
+import pytest
+
+from ensembl_lakehouse_spark.plans.sql_rewrite import (
+    AggregateIntent,
+    parse_aggregate_sql,
+    semantic_gate,
+)
+
+
+def test_full_statement_extracts_every_clause():
+    i = parse_aggregate_sql(
+        "SELECT type, COUNT(*) AS n, sum(value) AS total "
+        "FROM snap_events "
+        "WHERE type IN ('click', 'view') AND day BETWEEN 1 AND 7 "
+        "GROUP BY type ORDER BY n DESC, type LIMIT 10"
+    )
+    assert i == AggregateIntent(
+        table="events",
+        group_by=("type",),
+        aggs={"n": ("count", ""), "total": ("sum", "value")},
+        filters={"type": ["click", "view"]},
+        range_filters={"day": (1, 7)},
+        select_order=("type", "n", "total"),
+        order_by=(("n", False), ("type", True)),
+        limit=10,
+    )
+
+
+def test_global_aggregate_and_count_one():
+    i = parse_aggregate_sql("SELECT COUNT(1) AS n FROM snap_events")
+    assert i.group_by == () and i.aggs == {"n": ("count", "")}
+
+
+def test_min_max_and_equality_filter():
+    i = parse_aggregate_sql(
+        "SELECT reg, MIN(val) AS lo, MAX(val) AS hi FROM snap_t "
+        "WHERE grp = 'g1' GROUP BY reg"
+    )
+    assert i.aggs == {"lo": ("min", "val"), "hi": ("max", "val")}
+    assert i.filters == {"grp": ["g1"]}
+
+
+def test_numeric_literals_parse_typed():
+    i = parse_aggregate_sql(
+        "SELECT COUNT(*) AS n FROM snap_t WHERE a = 5 AND b = -2 "
+        "AND c BETWEEN 1.5 AND 2"
+    )
+    assert i.filters == {"a": [5], "b": [-2]}
+    assert i.range_filters == {"c": (1.5, 2)}
+
+
+def test_hll_sketch_spelling_maps_to_approx_count_distinct():
+    i = parse_aggregate_sql(
+        "SELECT hll_sketch_estimate(hll_sketch_agg(uid)) AS u "
+        "FROM snap_events"
+    )
+    assert i.aggs == {"u": ("approx_count_distinct", "uid")}
+
+
+def test_keywords_and_identifiers_fold_case_literals_do_not():
+    i = parse_aggregate_sql(
+        "select TYPE, Count(*) as N from SNAP_EVENTS "
+        "where TYPE = 'Click' group by TYPE"
+    )
+    assert i.table == "events" and i.group_by == ("type",)
+    assert i.filters == {"type": ["Click"]}  # literal byte-exact
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # outside the grammar — each must run verbatim, never misparse
+        "SELECT type FROM snap_events",  # no aggregate
+        "SELECT COUNT(*) FROM snap_events",  # unaliased aggregate
+        "SELECT COUNT(col) AS n FROM snap_events",  # non-null count
+        "SELECT DISTINCT type FROM snap_events",
+        "SELECT type, COUNT(*) AS n FROM snap_events GROUP BY type HAVING n > 1",
+        "SELECT t.type, COUNT(*) AS n FROM snap_events t GROUP BY t.type",
+        "SELECT type, COUNT(*) AS n FROM events GROUP BY type",  # not snap_
+        "SELECT a, COUNT(*) AS n FROM snap_t GROUP BY a, b",  # SELECT != GROUP BY
+        "SELECT a, b, COUNT(*) AS n FROM snap_t GROUP BY a",
+        "SELECT COUNT(*) AS n FROM snap_t WHERE a > 5",  # non-eq predicate
+        "SELECT COUNT(*) AS n FROM snap_t WHERE a = 1 OR b = 2",
+        "SELECT COUNT(*) AS n FROM snap_t WHERE a = 1 AND a = 2",  # dup col
+        "SELECT COUNT(*) AS n FROM snap_t JOIN snap_u ON 1 = 1",
+        "SELECT SUM(a + b) AS s FROM snap_t",  # expression arg
+        "SELECT COUNT(*) AS n FROM snap_t -- comment",
+        "SELECT COUNT(*) AS n FROM snap_t; DROP TABLE x",
+        "SELECT COUNT(*) AS n FROM (SELECT * FROM snap_t)",
+        "SELECT a AS b, COUNT(*) AS n FROM snap_t GROUP BY a",  # aliased bare
+        "SELECT a, COUNT(*) AS a FROM snap_t GROUP BY a",  # alias collision
+        "SELECT COUNT(*) AS n FROM snap_t ORDER BY missing",  # unselected sort
+        "SELECT COUNT(*) AS n FROM snap_t WHERE s = 'it''s'",  # escaped literal
+        "SELECT approx_count_distinct(a, 0.01) AS u FROM snap_t",  # rsd arg
+        "SELECT hll_sketch_estimate(x) AS u FROM snap_t",  # not over agg
+        "",
+    ],
+)
+def test_outside_grammar_returns_none(sql):
+    assert parse_aggregate_sql(sql) is None
+
+
+# -- semantic gate (pure: takes a StructType) -------------------------
+
+def _schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("type", StringType()),
+            StructField("value", LongType()),
+            StructField("price", DoubleType()),
+            StructField("MiXed", LongType()),
+        ]
+    )
+
+
+def _intent(aggs, group_by=("type",), **kw):
+    return AggregateIntent(
+        table="t", group_by=group_by, aggs=aggs,
+        select_order=tuple(group_by) + tuple(aggs), **kw
+    )
+
+
+def test_gate_accepts_count_min_max_without_proofs():
+    i = _intent({"n": ("count", ""), "lo": ("min", "price")})
+    assert semantic_gate(i, _schema(), False) is None
+
+
+def test_gate_requires_not_null_proof_for_sum_and_avg():
+    i = _intent({"s": ("sum", "value")})
+    reason = semantic_gate(i, _schema(), False)
+    assert reason and "NOT-NULL" in reason
+    assert semantic_gate(i, _schema(), False, {"value"}) is None
+
+
+def test_gate_rejects_sum_on_fractional_even_with_proof():
+    i = _intent({"s": ("sum", "price")})
+    reason = semantic_gate(i, _schema(), False, {"price"})
+    assert reason and "integral" in reason
+
+
+def test_gate_estimates_need_opt_in():
+    i = _intent({"u": ("approx_count_distinct", "value")})
+    assert "rewrite=approx" in semantic_gate(i, _schema(), False)
+    assert semantic_gate(i, _schema(), True) is None
+
+
+def test_gate_rejects_unknown_and_mixed_case_columns():
+    assert "not in the table schema" in semantic_gate(
+        _intent({"n": ("count", "")}, group_by=("nope",)), _schema(), False
+    )
+    assert "mixed-case" in semantic_gate(
+        _intent({"lo": ("min", "mixed")}), _schema(), False
+    )
