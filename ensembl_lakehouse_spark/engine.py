@@ -945,7 +945,11 @@ class Engine:
         ``WHERE col IN (v1, v2) AND col2 = v3`` — the reference's
         mandatory equality-filter shape (app/main.py:479), rewritten
         to a rollup whenever every filter column is a rollup group
-        key.
+        key. A positional value containing ``..`` is ALWAYS parsed
+        as a BETWEEN range (``col:lo..hi``); an equality literal
+        that itself contains ``..`` or ``|`` must use the explicit
+        verbatim form ``col:eq:value`` (r8 ADVICE — the positional
+        grammar cannot express it).
 
         Reads pin the PUBLISHED version when a publish pointer
         exists (falling back to current) — the same
@@ -1005,17 +1009,32 @@ class Engine:
                 continue
             if ":" not in item:
                 raise QueryValidationError(
-                    f"bad filter item {item!r}: want col:v1|v2 or col:lo..hi"
+                    f"bad filter item {item!r}: want col:v1|v2, col:lo..hi "
+                    "or col:eq:value"
                 )
             col, _, vals = item.partition(":")
             col = col.strip()
+            # explicit verbatim equality (r8 ADVICE): a literal whose
+            # value legitimately contains '..' or '|' cannot be
+            # expressed through the positional grammar — 'col:eq:'
+            # takes the remainder as ONE equality value, unparsed
+            if vals.startswith("eq:"):
+                if not col or not vals[3:]:
+                    raise QueryValidationError(
+                        f"bad filter item {item!r}: col:eq:value needs a "
+                        "non-empty value"
+                    )
+                filters.setdefault(col, []).append(vals[3:])
+                continue
             if ".." in vals:
                 lo, _, hi = vals.partition("..")
                 lo, hi = lo.strip(), hi.strip()
                 if not col or not lo or not hi or "|" in vals:
                     raise QueryValidationError(
                         f"bad filter item {item!r}: want col:lo..hi "
-                        "(inclusive BETWEEN; no | inside a range)"
+                        "(inclusive BETWEEN; no | inside a range). For "
+                        "an EQUALITY value that contains '..', use "
+                        "col:eq:value"
                     )
                 range_filters[col] = (lo, hi)
                 continue

@@ -181,10 +181,12 @@ def _encode_delta(parent: dict, full: dict) -> dict:
     return out
 
 
-def _read_manifest(table_dir: str, version: int) -> dict:
-    """The RESOLVED (self-contained) manifest of a version. Callers
-    must treat the result as immutable — it is shared via the
-    resolve cache."""
+def _resolve_manifest(table_dir: str, version: int) -> dict:
+    """One resolve walk (delta → ancestors), cache-backed. May raise
+    FileNotFoundError mid-walk when a RACING vacuum re-checkpointed
+    the kept delta and dropped its ancestors between this walk's
+    stat of the child and its open of the parent — _read_manifest
+    owns the retry."""
     path = os.path.join(_manifest_dir(table_dir), f"v{version}.json")
     st = os.stat(path)
     key = (os.path.abspath(table_dir), version, st.st_mtime_ns, st.st_size)
@@ -196,7 +198,9 @@ def _read_manifest(table_dir: str, version: int) -> dict:
     with open(path) as f:
         raw = json.load(f)
     if raw.get("kind") == "delta":
-        resolved = _apply_delta(_read_manifest(table_dir, raw["parent"]), raw)
+        resolved = _apply_delta(
+            _resolve_manifest(table_dir, raw["parent"]), raw
+        )
     else:
         resolved = raw
     with _RESOLVE_CACHE_LOCK:
@@ -204,6 +208,30 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         while len(_RESOLVE_CACHE) > _RESOLVE_CACHE_MAX:
             _RESOLVE_CACHE.popitem(last=False)
     return resolved
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    """The RESOLVED (self-contained) manifest of a version. Callers
+    must treat the result as immutable — it is shared via the
+    resolve cache.
+
+    Reads are lock-free by design, so a concurrent ``vacuum`` can
+    interleave with a resolve walk: it rewrites every KEPT delta as
+    a full checkpoint (under the table lock), then drops the old
+    ancestor manifests. A walk that opened a kept version's raw
+    delta form just before the rewrite then recurses into a parent
+    deleted moments later — FileNotFoundError for a still-retained
+    version, which would transiently poison the engine's
+    ``@unreadable`` view fingerprint (r8 ADVICE). The retry below
+    re-stats from the REQUESTED version: if it is retained, vacuum
+    has by then rewritten it self-contained (new mtime → fresh cache
+    key) and the second walk cannot recurse; if it was genuinely
+    dropped, the retry re-raises the same FileNotFoundError —
+    vacuumed-history semantics are unchanged."""
+    try:
+        return _resolve_manifest(table_dir, version)
+    except FileNotFoundError:
+        return _resolve_manifest(table_dir, version)
 
 
 #: Committed manifests only — a crash between the tmp write and the

@@ -1088,6 +1088,27 @@ def test_aux_rollup_aggregate_over_http(server, spark, tmp_path_factory):
         server,
         "/table/aux_src/aggregate?aggs=n%3Dcount&filter=grp%3Ag0..g1%7Cg2",
     )[0] == 400
+    # r8 ADVICE: col:eq:value is VERBATIM equality — a literal that
+    # contains '..' is expressible and never reinterpreted as a range
+    status, _, r3 = _get(
+        server,
+        "/table/aux_src/aggregate?group_by=grp&aggs=n%3Dcount"
+        "&filter=grp%3Aeq%3Ag0",
+    )
+    assert status == 200 and r3["answered_by"] == "aux_mm"
+    assert {r["grp"]: r["n"] for r in rows_of(r3["query_id"])} == {"g0": "20"}
+    status, _, r4 = _get(
+        server,
+        "/table/aux_src/aggregate?group_by=grp&aggs=n%3Dcount"
+        "&filter=grp%3Aeq%3Av1..2",
+    )
+    assert status == 200  # equality on 'v1..2', not BETWEEN('v1','2')
+    assert rows_of(r4["query_id"]) == []
+    # empty eq value fails closed
+    assert _get(
+        server,
+        "/table/aux_src/aggregate?aggs=n%3Dcount&filter=grp%3Aeq%3A",
+    )[0] == 400
 
 
 def test_rollups_freshness_dashboard_over_http(server, spark, tmp_path_factory):

@@ -413,3 +413,45 @@ def test_vacuum_crash_between_recheckpoint_and_drop_is_resumable(
     assert present == [10, 11]
     files.append("data/v12/p.parquet")
     assert _commit_files(tdir, list(files)) == 12
+
+
+def test_read_manifest_retries_across_a_racing_vacuum(
+    tmp_path, monkeypatch
+):
+    """r8 ADVICE: a lock-free resolve walk that opened a kept
+    version's raw DELTA form just before vacuum's rewrite can
+    recurse into an ancestor manifest deleted moments later —
+    FileNotFoundError for a still-retained version. _read_manifest
+    retries once from the requested version, whose manifest vacuum
+    has by then rewritten self-contained, so the read succeeds; a
+    GENUINELY vacuumed version still raises after the retry."""
+    tdir = str(tmp_path / "tbl")
+    files: list[str] = []
+    for i in range(6):
+        files.append(f"data/v{i}/part.parquet")
+        _commit_files(tdir, list(files))
+    assert S._raw_manifest(tdir, 5).get("kind") == "delta"
+    real = S._resolve_manifest
+    state = {"fired": False}
+
+    def racing(table_dir, version):
+        # first entry simulates the window: vacuum lands between the
+        # walk's stat of v5 and its recursion into the ancestors,
+        # and the stale walk surfaces the ancestor's absence
+        if not state["fired"]:
+            state["fired"] = True
+            S.vacuum(tdir, keep_versions=2)
+            raise FileNotFoundError(
+                os.path.join(tdir, "_manifests", "v3.json")
+            )
+        return real(table_dir, version)
+
+    monkeypatch.setattr(S, "_resolve_manifest", racing)
+    got = S._read_manifest(tdir, 5)
+    assert got["files"] == sorted(
+        f"data/v{i}/part.parquet" for i in range(6)
+    )
+    # vacuumed-history semantics unchanged: a dropped version raises
+    # even through the retry
+    with pytest.raises(FileNotFoundError):
+        S._read_manifest(tdir, 2)

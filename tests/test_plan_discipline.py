@@ -16,7 +16,10 @@ from tests.conftest import SF_DIR
 #: query -> (max hash shuffles, require zero shuffles?)
 BUDGETS = {
     # --- Round 8 (probed at sf0.001, pinned at the observed count)
-    "customer_balance_spend_matrix": 1,
+    # two-phase tiling (r9): per-tiling bucket-count agg +
+    # bucket-partitioned rank exchange replace the former
+    # SinglePartition global-ntile windows
+    "customer_balance_spend_matrix": 7,
     "part_type_brand_matrix": 1,
     "supplier_part_coverage": 3,
     "user_retention_curve": 5,
@@ -37,7 +40,7 @@ BUDGETS = {
     "cohort_repeat_rate": 4,
     "calendar_adjusted_monthly_index": 2,
     "nation_trade_balance": 2,
-    "supplier_balance_deciles": 0,
+    "supplier_balance_deciles": 3,  # two-phase tiling (r9)
     "orders_priority_mix_by_month": 3,
     "orders_interarrival_histogram": 2,
     "events_hourly_heatmap": 1,
@@ -199,7 +202,7 @@ BUDGETS = {
     # broadcast back (global ntile/share windows are SinglePartition,
     # not hash exchanges); yoy/concentration = agg + keyed window.
     "skyline_pareto": 2,
-    "orders_rfm_segments": 1,
+    "orders_rfm_segments": 12,  # two-phase tiling ×3 (r9)
     "benford_audit": 1,
     "target_encoding": 1,
     "feature_bin_lift": 1,
@@ -519,3 +522,42 @@ def test_budgets_cover_entire_inventory():
         f"unbudgeted: {sorted(qs - set(BUDGETS))}; "
         f"stale: {sorted(set(BUDGETS) - qs)}"
     )
+
+
+#: ops whose tiles come from the two-phase boundary-broadcast
+#: primitive (operators/tiling.py) — the r8 VERDICT's flagged
+#: scale-killer class, rewired in r9
+GLOBAL_TILED = (
+    "supplier_balance_deciles",
+    "orders_rfm_segments",
+    "customer_balance_spend_matrix",
+)
+
+
+def test_no_global_window_on_sf_growing_input(spark):
+    """r8 VERDICT #4: no SF-growing relation may funnel through an
+    Exchange SinglePartition into a Window in these plans. Asserted
+    structurally: (a) no ntile() window remains (the primitive
+    replaced them all), and (b) every row_number() windowspec is
+    PARTITIONED — in the formatted plan a windowspecdefinition's
+    partition columns come before the ordering terms, so a spec
+    whose first argument carries a sort direction is a global
+    window. The share windows (SUM OVER ()) that remain run on
+    ≤ tiles^k aggregate cells and the tiling offsets window runs on
+    ≤ bucket-count rows — both bounded by configuration, not SF."""
+    import re
+
+    qs = entry.queries()
+    for name in GLOBAL_TILED:
+        df = qs[name](spark, SF_DIR)
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "ntile(" not in formatted, f"{name}: global ntile survived"
+        for first_arg in re.findall(
+            r"row_number\(\) windowspecdefinition\(([^,]+),", formatted
+        ):
+            assert " ASC" not in first_arg and " DESC" not in first_arg, (
+                f"{name}: row_number window is unpartitioned "
+                f"(first spec arg {first_arg!r})"
+            )
