@@ -50,11 +50,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- Round-8 additions FIRST (window discipline: every
-        # oracle-backed entry was driver-certified across r1-r7, so
+        # --- Round-9 additions FIRST (window discipline: every
+        # oracle-backed entry was driver-certified across r1-r8, so
         # the first-50 window leads with this round's new operators,
         # followed by certified filler; the 4 no-oracle entries stay
         # out of the window).
+        # --- Round-9 batch 2: embedding preprocessing + text
+        # screens.
+        "embedding_quantile_clip": S.embedding_quantile_clip,
+        "embedding_component_histogram": S.embedding_component_histogram,
+        "vocab_coverage_topk": T.vocab_coverage_topk,
+        "langid_margin_audit": T.langid_margin_audit,
+        "boilerplate_prefix_rate": T.boilerplate_prefix_rate,
+        # --- Round-9 batch 1: calendar seasonality + pricing
+        # response.
+        "holiday_revenue_calendar": RP.holiday_revenue_calendar,
+        "orders_weekday_index": RP.orders_weekday_index,
+        "returns_rate_monthly": RP.returns_rate_monthly,
+        "discount_elasticity_by_type": RP.discount_elasticity_by_type,
+        "segment_value_quartiles": RP.segment_value_quartiles,
+        # --- Round-8 additions (all driver-certified in
+        # CORRECTNESS_r08 — certified filler for the first-50
+        # window behind the r9 cohort).
         # --- Round-8 batch 6: segmentation grids + retention +
         # corpus concentration.
         "customer_balance_spend_matrix": RP.customer_balance_spend_matrix,
@@ -352,6 +369,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- Round-9 batch 2.
+        "embedding_quantile_clip": S.EMBEDDING_QUANTILE_CLIP_SQL,
+        "embedding_component_histogram":
+            S.EMBEDDING_COMPONENT_HISTOGRAM_SQL,
+        "vocab_coverage_topk": T.VOCAB_COVERAGE_TOPK_SQL,
+        "langid_margin_audit": T.LANGID_MARGIN_AUDIT_SQL,
+        "boilerplate_prefix_rate": T.BOILERPLATE_PREFIX_RATE_SQL,
+        # --- Round-9 batch 1.
+        "holiday_revenue_calendar": RP.HOLIDAY_REVENUE_CALENDAR_SQL,
+        "orders_weekday_index": RP.ORDERS_WEEKDAY_INDEX_SQL,
+        "returns_rate_monthly": RP.RETURNS_RATE_MONTHLY_SQL,
+        "discount_elasticity_by_type": RP.DISCOUNT_ELASTICITY_BY_TYPE_SQL,
+        "segment_value_quartiles": RP.SEGMENT_VALUE_QUARTILES_SQL,
         # --- Round-8 batch 6.
         "customer_balance_spend_matrix":
             RP.CUSTOMER_BALANCE_SPEND_MATRIX_SQL,

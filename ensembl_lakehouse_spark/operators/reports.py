@@ -3497,3 +3497,428 @@ SELECT bal_q, spend_q, n_customers,
 FROM cells
 ORDER BY bal_q, spend_q
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (batch 1): calendar seasonality + pricing response
+# ---------------------------------------------------------------------------
+
+#: Fixed-date holidays for the derived calendar dimension
+#: (month, day) — deterministic rules, no locale tables.
+HOLIDAYS_MD = ((1, 1), (7, 4), (12, 25))
+
+
+def holiday_revenue_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-join seasonality (r8 VERDICT #5): build a DERIVED
+    calendar dimension spanning the order history — every date
+    classified holiday / weekend / weekday by deterministic rules —
+    and join revenue onto it, so per (year, day class) the report
+    carries the CALENDAR-side day count alongside the fact-side
+    order count: revenue-per-calendar-day is what separates "July 4
+    is quiet" from "there is only one July 4". The dim-build-and-
+    join shape is the point — at 100 TB the generated calendar is a
+    few thousand rows broadcast against the fact scan, the cheapest
+    dimension money can buy.
+
+    Determinism: dates are exact; weekday via the epoch arithmetic
+    contract ((days + 3) % 7, 0 = Monday — engine dayofweek() is
+    0-vs-1-based across engines); cents fixed-point; shares by DIV.
+
+    Plan: 1-row span agg → broadcast; exploded calendar (≤ |days|
+    rows) broadcast-joined to orders; one (year, class) agg; share
+    window over ≤ |years|·3 cells."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    span = orders.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    holiday = " OR ".join(
+        f"(month(day) = {m} AND day(day) = {d})" for m, d in HOLIDAYS_MD
+    )
+    klass = (
+        f"CASE WHEN {holiday} THEN 'holiday' "
+        "WHEN (datediff(day, DATE '1970-01-01') + 3) % 7 >= 5 "
+        "THEN 'weekend' ELSE 'weekday' END"
+    )
+    calendar = (
+        span.select(
+            F.explode(F.expr("sequence(d0, d1)")).alias("day")
+        )
+        .withColumn("day_class", F.expr(klass))
+        .withColumn("year", F.year("day"))
+    )
+    per_day = orders.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    joined = calendar.join(per_day, "day", "left").groupBy(
+        "year", "day_class"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.coalesce(F.sum("n_orders"), F.lit(0)).cast("long").alias(
+            "n_orders"
+        ),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias(
+            "revenue_cents"
+        ),
+    )
+    return (
+        joined.withColumn(
+            "rev_per_day_cents", F.expr("revenue_cents DIV n_days")
+        )
+        .withColumn(
+            "share_bp",
+            F.expr(
+                "CAST((revenue_cents * 10000) DIV "
+                "(SUM(revenue_cents) OVER (PARTITION BY year)) AS BIGINT)"
+            ),
+        )
+        .select(
+            "year", "day_class", "n_days", "n_orders", "revenue_cents",
+            "rev_per_day_cents", "share_bp",
+        )
+        .orderBy("year", "day_class")
+    )
+
+
+HOLIDAY_REVENUE_CALENDAR_SQL = """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM orders
+), span AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM o
+), days AS (
+  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+           CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+), calendar AS (
+  SELECT day,
+         CASE WHEN (month(day) = 1 AND day(day) = 1)
+                OR (month(day) = 7 AND day(day) = 4)
+                OR (month(day) = 12 AND day(day) = 25)
+              THEN 'holiday'
+              WHEN (datediff('day', DATE '1970-01-01', day) + 3) % 7 >= 5
+              THEN 'weekend' ELSE 'weekday' END AS day_class,
+         year(day) AS year
+  FROM days
+), per_day AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM o GROUP BY 1
+), cells AS (
+  SELECT c.year, c.day_class,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(COALESCE(SUM(p.n_orders), 0) AS BIGINT) AS n_orders,
+         CAST(COALESCE(SUM(p.cents), 0) AS BIGINT) AS revenue_cents
+  FROM calendar c LEFT JOIN per_day p ON c.day = p.day
+  GROUP BY 1, 2
+)
+SELECT year, day_class, n_days, n_orders, revenue_cents,
+       revenue_cents // n_days AS rev_per_day_cents,
+       (revenue_cents * 10000) //
+         CAST(SUM(revenue_cents) OVER (PARTITION BY year) AS BIGINT)
+         AS share_bp
+FROM cells
+ORDER BY year, day_class
+"""
+
+
+def orders_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality of ORDER value (the orders-side twin of
+    events_dow_profile): per weekday, order count, revenue cents,
+    and the flat-series-reads-10000 index (revenue·7·10⁴ ÷ total) —
+    the staffing/capacity baseline.
+
+    Weekday by the epoch arithmetic contract (0 = Monday). One
+    partial agg to 7 rows; index over a 7-row window."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') + 3)"
+            " % 7"
+        ).alias("weekday"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        orders.groupBy("weekday")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .withColumn(
+            "index_bp",
+            F.expr(
+                "CAST((revenue_cents * 7 * 10000) DIV "
+                "(SUM(revenue_cents) OVER ()) AS BIGINT)"
+            ),
+        )
+        .orderBy("weekday")
+    )
+
+
+ORDERS_WEEKDAY_INDEX_SQL = """
+WITH o AS (
+  SELECT (datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           + 3) % 7 AS weekday,
+         CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM orders
+), agg AS (
+  SELECT weekday, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM o GROUP BY 1
+)
+SELECT weekday, n_orders, revenue_cents,
+       (revenue_cents * 7 * 10000) //
+         CAST(SUM(revenue_cents) OVER () AS BIGINT) AS index_bp
+FROM agg
+ORDER BY weekday
+"""
+
+
+def returns_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returns trend: per ship month, line count, returned-line
+    count and rate (bp), plus returned revenue share (bp) — the
+    quality-of-fulfilment time series behind returned_customers'
+    per-customer view. A rate drift is a supplier or carrier
+    problem; a level jump pins the month it started.
+
+    One partial agg over lineitem to |months| rows; rates by DIV."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_format(
+            F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM"
+        ).alias("month"),
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("rev_cents"),
+    )
+    return (
+        li.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("ret").cast("long").alias("returned_lines"),
+            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+            F.sum(
+                F.when(F.col("ret") == 1, F.col("rev_cents")).otherwise(0)
+            ).cast("long").alias("returned_cents"),
+        )
+        .withColumn(
+            "return_rate_bp",
+            F.expr("(returned_lines * 10000) DIV n_lines"),
+        )
+        .withColumn(
+            "returned_rev_bp",
+            F.expr("(returned_cents * 10000) DIV revenue_cents"),
+        )
+        .orderBy("month")
+    )
+
+
+RETURNS_RATE_MONTHLY_SQL = """
+WITH li AS (
+  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100
+           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rev_cents
+  FROM lineitem
+), agg AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(ret) AS BIGINT) AS returned_lines,
+         CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents,
+         CAST(SUM(CASE WHEN ret = 1 THEN rev_cents ELSE 0 END) AS BIGINT)
+           AS returned_cents
+  FROM li GROUP BY 1
+)
+SELECT month, n_lines, returned_lines, revenue_cents, returned_cents,
+       (returned_lines * 10000) // n_lines AS return_rate_bp,
+       (returned_cents * 10000) // revenue_cents AS returned_rev_bp
+FROM agg
+ORDER BY month
+"""
+
+
+def discount_elasticity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount elasticity per product type (r8 VERDICT #5): per
+    (p_type, discount band 0 / 1-2 / 3-5 / 6+ pct), line count and
+    average quantity (×100 fixed-point), plus the band's quantity
+    LIFT vs the type's own zero-discount baseline (bp) — does a
+    deeper discount actually move more units of this type, or just
+    give margin away? discount_band_lift pools all types; the
+    elasticity question is per-type because baselines differ.
+
+    Determinism: whole-percent bands, quantities rounded to BIGINT,
+    lift as one cross-multiplied DIV ((qty·n₀·10⁴) ÷ (n·qty₀) — no
+    intermediate ratios to round).
+
+    Plan: lineitem⋈part shuffle on partkey (both fact-sized at
+    100 TB), partial agg to |types|·4 cells, zero-band baseline
+    broadcast back (≤ |types| rows)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("pct"),
+        F.expr(
+            "CAST(floor(l_quantity + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("qty"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    band = (
+        "CASE WHEN pct = 0 THEN '0' WHEN pct <= 2 THEN '1-2' "
+        "WHEN pct <= 5 THEN '3-5' ELSE '6+' END"
+    )
+    cells = (
+        li.join(part, "l_partkey")
+        .groupBy("p_type", F.expr(band).alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("qty").cast("long").alias("total_qty"),
+        )
+        .withColumn(
+            "avg_qty_x100", F.expr("(total_qty * 100) DIV n_lines")
+        )
+    )
+    base = cells.where(F.col("band") == "0").select(
+        "p_type",
+        F.col("n_lines").alias("n0"),
+        F.col("total_qty").alias("qty0"),
+    )
+    return (
+        cells.join(F.broadcast(base), "p_type", "left")
+        .withColumn(
+            "lift_bp",
+            F.expr(
+                "CASE WHEN qty0 IS NULL OR qty0 = 0 THEN NULL "
+                "ELSE (total_qty * n0 * 10000) DIV "
+                "(CAST(n_lines AS BIGINT) * qty0) END"
+            ).cast("long"),
+        )
+        .select(
+            "p_type", "band", "n_lines", "total_qty", "avg_qty_x100",
+            "lift_bp",
+        )
+        .orderBy("p_type", "band")
+    )
+
+
+DISCOUNT_ELASTICITY_BY_TYPE_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS pct,
+         CAST(floor(l_quantity + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qty
+  FROM lineitem
+), cells AS (
+  SELECT p.p_type,
+         CASE WHEN pct = 0 THEN '0' WHEN pct <= 2 THEN '1-2'
+              WHEN pct <= 5 THEN '3-5' ELSE '6+' END AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(qty) AS BIGINT) AS total_qty
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), with_avg AS (
+  SELECT *, (total_qty * 100) // n_lines AS avg_qty_x100 FROM cells
+), base AS (
+  SELECT p_type, n_lines AS n0, total_qty AS qty0
+  FROM cells WHERE band = '0'
+)
+SELECT w.p_type, w.band, w.n_lines, w.total_qty, w.avg_qty_x100,
+       CAST(CASE WHEN b.qty0 IS NULL OR b.qty0 = 0 THEN NULL
+            ELSE (w.total_qty * b.n0 * 10000) //
+                 (CAST(w.n_lines AS BIGINT) * b.qty0) END AS BIGINT)
+         AS lift_bp
+FROM with_avg w LEFT JOIN base b ON w.p_type = b.p_type
+ORDER BY w.p_type, w.band
+"""
+
+
+def segment_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value distribution per market segment: count, min/max,
+    and the ×4/×2 fixed-point quartile ladder of order totals — the
+    pricing-page view of the customer base (segment_brand_affinity
+    says WHAT they buy; this says how much per basket).
+
+    Plan: orders⋈customer shuffle on custkey (both fact-sized at
+    100 TB; only 2 columns of each survive the scan), one
+    |segments|-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.expr(
+                "CAST(percentile(cents * 4, CAST(0.25 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("q1_x4"),
+            F.expr(
+                "CAST(percentile(cents * 2, CAST(0.5 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("med_x2"),
+            F.expr(
+                "CAST(percentile(cents * 4, CAST(0.75 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("q3_x4"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            "min_cents",
+            "max_cents",
+            F.expr("q1_x4 DIV 4").alias("q1_cents"),
+            F.expr("med_x2 DIV 2").alias("median_cents"),
+            F.expr("q3_x4 DIV 4").alias("q3_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SEGMENT_VALUE_QUARTILES_SQL = """
+WITH j AS (
+  SELECT c.c_mktsegment,
+         CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), q AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(MIN(cents) AS BIGINT) AS min_cents,
+         CAST(MAX(cents) AS BIGINT) AS max_cents,
+         CAST(quantile_cont(cents * 4, CAST(0.25 AS DOUBLE)) AS BIGINT)
+           AS q1_x4,
+         CAST(quantile_cont(cents * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS med_x2,
+         CAST(quantile_cont(cents * 4, CAST(0.75 AS DOUBLE)) AS BIGINT)
+           AS q3_x4
+  FROM j GROUP BY 1
+)
+SELECT c_mktsegment, n_orders, min_cents, max_cents,
+       q1_x4 // 4 AS q1_cents,
+       med_x2 // 2 AS median_cents,
+       q3_x4 // 4 AS q3_cents
+FROM q
+ORDER BY c_mktsegment
+"""

@@ -2080,3 +2080,254 @@ FROM shared
 GROUP BY source
 ORDER BY gini_ppm, source
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 9: vocab coverage, language-ID margin, boilerplate prefixes
+# ---------------------------------------------------------------------------
+
+#: Rank checkpoints for the coverage curve (tokenizer budget sizes).
+COVERAGE_KS = (10, 100, 1000)
+
+
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget coverage curve: what share of all token
+    OCCURRENCES the top-k vocabulary covers at k = 10/100/1000 —
+    the one-line answer to "how big must the vocab be". Complements
+    vocab_growth_curve (types vs docs seen): growth counts NEW
+    types, coverage weights them by frequency, which is what a
+    fixed-budget tokenizer actually cares about.
+
+    Scale shape: the vocabulary is corpus-growing, so the ranking
+    deliberately avoids a global-window sort — TakeOrdered (orderBy
+    + limit, parallel partial top-k per partition) bounds the ranked
+    relation to 1000 rows BEFORE the only window runs. Total
+    occurrences come from a 1-row agg broadcast back. Ties at the
+    boundary break by (freq DESC, term ASC) — a total order, so the
+    cut is engine-exact.
+
+    Output: one row per checkpoint k with the vocabulary size
+    actually available at k and coverage in bp."""
+    df = _docs_with_tokens(spark, sf_dir)
+    freq = (
+        df.select(F.explode("toks").alias("tok"))
+        .select(F.lower("tok").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    top = freq.orderBy(
+        F.col("tf").desc(), F.col("term").asc()
+    ).limit(max(COVERAGE_KS))
+    ranked = top.withColumn(
+        "rnk",
+        F.expr("row_number() OVER (ORDER BY tf DESC, term ASC)"),
+    )
+    total = freq.agg(F.sum("tf").cast("long").alias("total_tf"))
+    ks = ", ".join(str(k) for k in COVERAGE_KS)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.explode(F.expr(f"array({ks})")).alias("k"),
+            "rnk",
+            "tf",
+            "total_tf",
+        )
+        .where(F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_at_k"),
+            F.sum("tf").cast("long").alias("covered_tf"),
+            F.max("total_tf").cast("long").alias("total_tf"),
+        )
+        .withColumn(
+            "coverage_bp", F.expr("(covered_tf * 10000) DIV total_tf")
+        )
+        .orderBy("k")
+    )
+
+
+VOCAB_COVERAGE_TOPK_SQL = f"""
+{_SQL_PREP},
+freq AS (
+  SELECT lower(tok) AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT unnest(toks) AS tok FROM t) u
+  GROUP BY 1
+), ranked AS (
+  SELECT term, tf,
+         CAST(row_number() OVER (ORDER BY tf DESC, term ASC) AS BIGINT)
+           AS rnk
+  FROM freq
+  ORDER BY tf DESC, term ASC
+  LIMIT {max(COVERAGE_KS)}
+), total AS (
+  SELECT CAST(SUM(tf) AS BIGINT) AS total_tf FROM freq
+), pts AS (
+  SELECT k, rnk, tf, total_tf
+  FROM ranked, total, (SELECT unnest([{", ".join(str(k) for k in COVERAGE_KS)}]) AS k)
+  WHERE rnk <= k
+)
+SELECT CAST(k AS INTEGER) AS k,
+       CAST(COUNT(*) AS BIGINT) AS vocab_at_k,
+       CAST(SUM(tf) AS BIGINT) AS covered_tf,
+       CAST(MAX(total_tf) AS BIGINT) AS total_tf,
+       (CAST(SUM(tf) AS BIGINT) * 10000) // CAST(MAX(total_tf) AS BIGINT)
+         AS coverage_bp
+FROM pts
+GROUP BY k
+ORDER BY k
+"""
+
+
+def langid_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confidence audit: per PREDICTED language, how
+    decisive the argmax was — the margin between the best and
+    second-best marker scores. langid_confusion grades accuracy
+    against labels; this screens calibration WITHOUT labels (margin
+    0 = a coin flip that the alphabetical tie-break decided — route
+    to review, don't trust).
+
+    Second-best via the pairwise-least identity (max over pairs of
+    least(sᵢ, sⱼ) = the second maximum) — closed form, identical
+    text in both engines, no sort. Map-only scoring then one
+    |langs|-row agg."""
+    df = _docs_with_tokens(spark, sf_dir)
+    for lang, markers in LANG_MARKERS.items():
+        df = df.withColumn(f"score_{lang}", F.expr(_score_expr(markers)))
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    second = "greatest(" + ", ".join(
+        f"least(score_{a}, score_{b})"
+        for i, a in enumerate(langs)
+        for b in langs[i + 1:]
+    ) + ")"
+    predicted = _argmax_case("score_{lang}")
+    scored = df.select(
+        F.expr(predicted).alias("predicted_lang"),
+        F.expr(f"CAST({best} - {second} AS BIGINT)").alias("margin"),
+    )
+    return (
+        scored.groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("margin").cast("long").alias("margin_sum"),
+            F.sum((F.col("margin") == 0).cast("int")).cast("long").alias(
+                "n_ties"
+            ),
+        )
+        .select(
+            "predicted_lang",
+            "n_docs",
+            F.expr("(margin_sum * 100) DIV n_docs").alias(
+                "avg_margin_x100"
+            ),
+            "n_ties",
+            F.expr("(n_ties * 10000) DIV n_docs").alias("tie_bp"),
+        )
+        .orderBy("predicted_lang")
+    )
+
+
+def _langid_margin_audit_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(
+        f"{_sql_score(m)} AS score_{lang}"
+        for lang, m in sorted(LANG_MARKERS.items())
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    second = "greatest(" + ", ".join(
+        f"least(score_{a}, score_{b})"
+        for i, a in enumerate(langs)
+        for b in langs[i + 1:]
+    ) + ")"
+    return f"""
+{_SQL_PREP},
+s AS (SELECT doc_id, {scores} FROM t),
+m AS (
+  SELECT {_argmax_case("score_{lang}")} AS predicted_lang,
+         CAST({best} - {second} AS BIGINT) AS margin
+  FROM s
+), agg AS (
+  SELECT predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(margin) AS BIGINT) AS margin_sum,
+         CAST(SUM(CASE WHEN margin = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ties
+  FROM m GROUP BY 1
+)
+SELECT predicted_lang, n_docs,
+       (margin_sum * 100) // n_docs AS avg_margin_x100,
+       n_ties,
+       (n_ties * 10000) // n_docs AS tie_bp
+FROM agg
+ORDER BY predicted_lang
+"""
+
+
+LANGID_MARGIN_AUDIT_SQL = _langid_margin_audit_sql()
+
+
+#: Prefix width (chars) and the shared-by threshold for the
+#: boilerplate screen.
+BP_PREFIX_LEN = 32
+BP_MIN_SHARED = 5
+
+
+def boilerplate_prefix_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-header screen: per source, the share of documents
+    whose first BP_PREFIX_LEN characters are shared by at least
+    BP_MIN_SHARED documents OF THAT SOURCE — scraped corpora betray
+    templating (cookie banners, nav headers) exactly this way, and
+    chunk_boilerplate (line-level) misses single-line headers baked
+    into the first sentence. Deduplicate or strip before training.
+
+    Exact and scale-safe: one (source, prefix) agg — never a pairwise
+    comparison; the prefix lattice is corpus-bounded like any
+    group-by."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    pref = docs.select(
+        "source",
+        F.substring(F.trim("text"), 1, BP_PREFIX_LEN).alias("prefix"),
+    )
+    groups = pref.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+            F.sum(
+                F.when(
+                    F.col("n") >= BP_MIN_SHARED, F.col("n")
+                ).otherwise(0)
+            ).cast("long").alias("boilerplate_docs"),
+        )
+        .withColumn(
+            "boilerplate_bp",
+            F.expr("(boilerplate_docs * 10000) DIV n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+BOILERPLATE_PREFIX_RATE_SQL = f"""
+WITH pref AS (
+  SELECT source, substring(trim(text), 1, {BP_PREFIX_LEN}) AS prefix
+  FROM documents WHERE length(trim(text)) > 0
+), groups AS (
+  SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pref GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+         CAST(SUM(CASE WHEN n >= {BP_MIN_SHARED} THEN n ELSE 0 END)
+           AS BIGINT) AS boilerplate_docs
+  FROM groups GROUP BY 1
+)
+SELECT source, n_docs, n_prefixes, boilerplate_docs,
+       (boilerplate_docs * 10000) // n_docs AS boilerplate_bp
+FROM agg
+ORDER BY source
+"""

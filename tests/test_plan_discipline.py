@@ -15,6 +15,17 @@ from tests.conftest import SF_DIR
 
 #: query -> (max hash shuffles, require zero shuffles?)
 BUDGETS = {
+    # --- Round 9 (probed at sf0.001, pinned at the observed count)
+    "holiday_revenue_calendar": 1,
+    "orders_weekday_index": 1,
+    "returns_rate_monthly": 1,
+    "discount_elasticity_by_type": 2,
+    "segment_value_quartiles": 1,
+    "embedding_quantile_clip": 3,
+    "embedding_component_histogram": 2,
+    "vocab_coverage_topk": 1,
+    "langid_margin_audit": 1,
+    "boilerplate_prefix_rate": 2,
     # --- Round 8 (probed at sf0.001, pinned at the observed count)
     # two-phase tiling (r9): per-tiling bucket-count agg +
     # bucket-partitioned rank exchange replace the former
