@@ -55,6 +55,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the first-50 window leads with this round's new operators,
         # followed by certified filler; the 4 no-oracle entries stay
         # out of the window).
+        # --- Round-9 batch 4: corpus provenance + cluster QA.
+        "doc_lang_source_matrix": T.doc_lang_source_matrix,
+        "cross_source_exact_dups": T.cross_source_exact_dups,
+        "dedup_cluster_precision": D.dedup_cluster_precision,
+        # --- Round-9 batch 3: value migration, catalog curves, tax,
+        # basket width, tenure.
+        "customer_value_migration": RP.customer_value_migration,
+        "part_size_price_curve": RP.part_size_price_curve,
+        "tax_band_revenue": RP.tax_band_revenue,
+        "order_width_discount_profile": RP.order_width_discount_profile,
+        "user_volume_bands": R.user_volume_bands,
         # --- Round-9 batch 2: embedding preprocessing + text
         # screens.
         "embedding_quantile_clip": S.embedding_quantile_clip,
@@ -369,6 +380,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- Round-9 batch 4.
+        "doc_lang_source_matrix": T.DOC_LANG_SOURCE_MATRIX_SQL,
+        "cross_source_exact_dups": T.CROSS_SOURCE_EXACT_DUPS_SQL,
+        "dedup_cluster_precision": D.DEDUP_CLUSTER_PRECISION_SQL,
+        # --- Round-9 batch 3.
+        "customer_value_migration": RP.CUSTOMER_VALUE_MIGRATION_SQL,
+        "part_size_price_curve": RP.PART_SIZE_PRICE_CURVE_SQL,
+        "tax_band_revenue": RP.TAX_BAND_REVENUE_SQL,
+        "order_width_discount_profile":
+            RP.ORDER_WIDTH_DISCOUNT_PROFILE_SQL,
+        "user_volume_bands": R.USER_VOLUME_BANDS_SQL,
         # --- Round-9 batch 2.
         "embedding_quantile_clip": S.EMBEDDING_QUANTILE_CLIP_SQL,
         "embedding_component_histogram":

@@ -1452,3 +1452,98 @@ GROUP BY l.component
 HAVING COUNT(*) > 1
 ORDER BY keep_doc_id
 """
+
+
+def dedup_cluster_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster QUALITY audit (r8 VERDICT #5): for every
+    non-canonical member, the exact shingle Jaccard against its
+    cluster's canonical representative, rolled up per cluster size —
+    what fraction of the keep-list's DROP decisions are backed by a
+    direct ≥ 0.8 similarity to the kept doc (transitive closure can
+    chain A~B~C where A and C are only 0.5-similar; this measures
+    how often). Low precision at large cluster sizes is the classic
+    LSH-chaining failure — tighten the threshold or band count
+    before shipping the keep list.
+
+    Cost honesty: member↔representative pairs only — exactly
+    |members| − |clusters| rescores, never pairwise within clusters.
+    The 0.8 gate is the integer cross-multiplication
+    (10·common ≥ 8·union), so the verdict is engine-exact.
+    """
+    labeled = components_recursive(spark, sf_dir)
+    s = _shingled(spark, sf_dir)
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    scored = (
+        labeled.where(F.col("doc_id") != F.col("component"))
+        .join(s.select("doc_id", F.col("sh").alias("sh_m")), "doc_id")
+        .join(
+            s.select(
+                F.col("doc_id").alias("component"),
+                F.col("sh").alias("sh_k"),
+            ),
+            "component",
+        )
+        .select(
+            "component",
+            F.size(F.array_intersect("sh_m", "sh_k")).alias("n_common"),
+            (
+                F.size("sh_m") + F.size("sh_k")
+                - F.size(F.array_intersect("sh_m", "sh_k"))
+            ).alias("n_union"),
+        )
+        .withColumn(
+            "ok", (F.col("n_common") * 10 >= F.col("n_union") * 8).cast("int")
+        )
+    )
+    return (
+        scored.join(F.broadcast(sizes), "component")
+        .groupBy("n_members")
+        .agg(
+            F.countDistinct("component").cast("long").alias("n_clusters"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("ok").cast("long").alias("ok_pairs"),
+        )
+        .withColumn(
+            "precision_bp", F.expr("(ok_pairs * 10000) DIV n_pairs")
+        )
+        .orderBy("n_members")
+    )
+
+
+DEDUP_CLUSTER_PRECISION_SQL = f"""
+WITH labeled AS ({COMPONENTS_RECURSIVE_SQL}),
+ptok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), psh AS (
+  SELECT doc_id, {sql_word_shingles("toks", SHINGLE_N)} AS sh FROM ptok
+), sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM labeled GROUP BY 1
+), scored AS (
+  SELECT l.component,
+         len(list_intersect(m.sh, k.sh)) AS n_common,
+         len(m.sh) + len(k.sh) - len(list_intersect(m.sh, k.sh))
+           AS n_union
+  FROM labeled l
+  JOIN psh m ON m.doc_id = l.doc_id
+  JOIN psh k ON k.doc_id = l.component
+  WHERE l.doc_id <> l.component
+), verdicts AS (
+  SELECT sz.n_members, s.component,
+         CASE WHEN s.n_common * 10 >= s.n_union * 8 THEN 1 ELSE 0 END
+           AS ok
+  FROM scored s JOIN sizes sz ON s.component = sz.component
+)
+SELECT n_members,
+       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ok) AS BIGINT) AS ok_pairs,
+       (CAST(SUM(ok) AS BIGINT) * 10000) // CAST(COUNT(*) AS BIGINT)
+         AS precision_bp
+FROM verdicts
+GROUP BY n_members
+ORDER BY n_members
+"""

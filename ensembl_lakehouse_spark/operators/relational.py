@@ -4903,3 +4903,93 @@ SELECT event_type, n_events,
 FROM q
 ORDER BY event_type
 """
+
+
+def user_volume_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User volume segmentation: users banded by TOTAL event count
+    (<60 / 60-69 / 70-79 / 80+), per band the user count, distinct
+    active days per user (×100) and value per user (cents) — the
+    light/medium/heavy-user cut behind rate-limit and sampling
+    policy (events_user_concentration ranks by share; this gives
+    absolute bands a policy can name). Banding by calendar span or
+    active days would be degenerate on an always-on corpus (every
+    user spans the window — measured 22-30 active days for all at
+    sf0.01); event volume spreads 49-88.
+
+    Integer-exact: per-row cents before SUM, DIV ratios. Plan: one
+    per-user partial agg (count + distinct days + cents), 4 bands."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.select(
+            "user_id",
+            F.expr(
+                "CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)"
+            ).alias("day"),
+            F.expr(
+                "CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("day").cast("long").alias("active_days"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    band = (
+        "CASE WHEN n_events < 60 THEN '0-59' "
+        "WHEN n_events < 70 THEN '60-69' "
+        "WHEN n_events < 80 THEN '70-79' ELSE '80+' END"
+    )
+    return (
+        per_user.groupBy(F.expr(band).alias("volume_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("active_days").cast("long").alias("active_days"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .select(
+            "volume_band",
+            "n_users",
+            "n_events",
+            F.expr("(active_days * 100) DIV n_users").alias(
+                "active_days_per_user_x100"
+            ),
+            F.expr("value_cents DIV n_users").alias(
+                "value_per_user_cents"
+            ),
+        )
+        .orderBy("volume_band")
+    )
+
+
+USER_VOLUME_BANDS_SQL = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM events
+), per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS active_days,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM e GROUP BY 1
+), banded AS (
+  SELECT CASE WHEN n_events < 60 THEN '0-59'
+              WHEN n_events < 70 THEN '60-69'
+              WHEN n_events < 80 THEN '70-79' ELSE '80+' END
+           AS volume_band,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         CAST(SUM(active_days) AS BIGINT) AS active_days,
+         CAST(SUM(cents) AS BIGINT) AS value_cents
+  FROM per_user GROUP BY 1
+)
+SELECT volume_band, n_users, n_events,
+       (active_days * 100) // n_users AS active_days_per_user_x100,
+       value_cents // n_users AS value_per_user_cents
+FROM banded
+ORDER BY volume_band
+"""

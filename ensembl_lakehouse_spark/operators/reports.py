@@ -3922,3 +3922,286 @@ SELECT c_mktsegment, n_orders, min_cents, max_cents,
 FROM q
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (batch 3): migration, catalog curves, tax, basket width
+# ---------------------------------------------------------------------------
+
+#: Static band edges (cents) for the value-migration matrix — fixed
+#: by contract, not data-derived, so the matrix is comparable across
+#: corpus versions (a quantile band would re-draw itself every run).
+MIGRATION_BAND_CENTS = 5_000_000
+
+
+def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value migration: for every customer active in at
+    least two calendar years, the average-order-value band of their
+    FIRST year vs their LAST year — the upgrade/downgrade matrix
+    behind retention economics (the diagonal is stable value; below
+    it, shrinking baskets). Bands are static 50k-cent steps capped
+    at 4 (0..4) so the matrix is version-comparable.
+
+    Integer-exact: per-(customer, year) cents sums, avg by DIV,
+    band by DIV + least. Plan: one (custkey, year) partial agg, one
+    per-customer reduce, a ≤ 25-cell rollup."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    per_year = orders.groupBy("o_custkey", "yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    band = (
+        f"CAST(least((cents DIV n) DIV {MIGRATION_BAND_CENTS}, 4) "
+        "AS BIGINT)"
+    )
+    banded = per_year.select(
+        "o_custkey", "yr", F.expr(band).alias("band")
+    )
+    per_cust = banded.groupBy("o_custkey").agg(
+        F.min("yr").alias("y0"),
+        F.max("yr").alias("y1"),
+        F.min_by("band", "yr").alias("band_first"),
+        F.max_by("band", "yr").alias("band_last"),
+    ).where("y1 > y0")
+    return (
+        per_cust.groupBy("band_first", "band_last")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .withColumn(
+            "share_bp",
+            F.expr(
+                "CAST((n_customers * 10000) DIV (SUM(n_customers) "
+                "OVER ()) AS BIGINT)"
+            ),
+        )
+        .orderBy("band_first", "band_last")
+    )
+
+
+CUSTOMER_VALUE_MIGRATION_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS yr,
+         CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM orders
+), per_year AS (
+  SELECT o_custkey, yr, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM o GROUP BY 1, 2
+), banded AS (
+  SELECT o_custkey, yr,
+         CAST(least((cents // n) // {MIGRATION_BAND_CENTS}, 4) AS BIGINT)
+           AS band
+  FROM per_year
+), per_cust AS (
+  SELECT o_custkey, MIN(yr) AS y0, MAX(yr) AS y1,
+         min_by(band, yr) AS band_first,
+         max_by(band, yr) AS band_last
+  FROM banded GROUP BY 1
+), cells AS (
+  SELECT band_first, band_last, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM per_cust WHERE y1 > y0 GROUP BY 1, 2
+)
+SELECT band_first, band_last, n_customers,
+       (n_customers * 10000) // CAST(SUM(n_customers) OVER () AS BIGINT)
+         AS share_bp
+FROM cells
+ORDER BY band_first, band_last
+"""
+
+
+def part_size_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog size-price curve: per p_size, part count and the
+    retail-price quartile ladder — does price scale with size, and
+    where does the spread blow up? part_brand_price_dispersion cuts
+    by brand (who); this cuts by the physical attribute (what).
+
+    Determinism: ×4/×2 fixed-point quartiles on cents. Plan: part
+    only — one |sizes|-row aggregate."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_size",
+        F.expr(
+            "CAST(floor(p_retailprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        part.groupBy("p_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.expr(
+                "CAST(percentile(cents * 4, CAST(0.25 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("q1_x4"),
+            F.expr(
+                "CAST(percentile(cents * 2, CAST(0.5 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("med_x2"),
+            F.expr(
+                "CAST(percentile(cents * 4, CAST(0.75 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("q3_x4"),
+        )
+        .select(
+            "p_size",
+            "n_parts",
+            F.expr("q1_x4 DIV 4").alias("q1_cents"),
+            F.expr("med_x2 DIV 2").alias("median_cents"),
+            F.expr("q3_x4 DIV 4").alias("q3_cents"),
+            F.expr("(q3_x4 - q1_x4) DIV 4").alias("iqr_cents"),
+        )
+        .orderBy("p_size")
+    )
+
+
+PART_SIZE_PRICE_CURVE_SQL = """
+WITH p AS (
+  SELECT p_size,
+         CAST(floor(p_retailprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM part
+), q AS (
+  SELECT p_size, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(quantile_cont(cents * 4, CAST(0.25 AS DOUBLE)) AS BIGINT)
+           AS q1_x4,
+         CAST(quantile_cont(cents * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS med_x2,
+         CAST(quantile_cont(cents * 4, CAST(0.75 AS DOUBLE)) AS BIGINT)
+           AS q3_x4
+  FROM p GROUP BY 1
+)
+SELECT p_size, n_parts,
+       q1_x4 // 4 AS q1_cents,
+       med_x2 // 2 AS median_cents,
+       q3_x4 // 4 AS q3_cents,
+       (q3_x4 - q1_x4) // 4 AS iqr_cents
+FROM q
+ORDER BY p_size
+"""
+
+
+def tax_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tax-burden report: per whole-percent tax band, line count,
+    discounted revenue, the tax collected on it, and the effective
+    tax rate (bp) — the column the pricing pack never touched
+    (l_tax). TPC-H charges tax AFTER discount; the per-row
+    fixed-point keeps both engines on one lattice.
+
+    One partial agg over lineitem to ~9 bands."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(floor(l_tax * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("band_pct"),
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("rev_cents"),
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * l_tax * 100 "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("tax_cents"),
+    )
+    return (
+        li.groupBy("band_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+            F.sum("tax_cents").cast("long").alias("tax_cents"),
+        )
+        .withColumn(
+            "effective_tax_bp",
+            F.expr("(tax_cents * 10000) DIV revenue_cents"),
+        )
+        .orderBy("band_pct")
+    )
+
+
+TAX_BAND_REVENUE_SQL = """
+WITH li AS (
+  SELECT CAST(floor(l_tax * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS band_pct,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100
+           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rev_cents,
+         CAST(floor(l_extendedprice * (1 - l_discount) * l_tax * 100
+           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS tax_cents
+  FROM lineitem
+)
+SELECT band_pct, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(tax_cents) AS BIGINT) AS tax_cents,
+       (CAST(SUM(tax_cents) AS BIGINT) * 10000) //
+         CAST(SUM(rev_cents) AS BIGINT) AS effective_tax_bp
+FROM li
+GROUP BY band_pct
+ORDER BY band_pct
+"""
+
+
+def order_width_discount_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket width vs discounting: orders bucketed by line count
+    (1..6, 7+), per bucket the order count, total lines, and the
+    average line discount (bp) — do wide orders get systematically
+    deeper discounts? order_width_histogram counts the shapes; this
+    prices them.
+
+    Integer-exact: whole-percent per-line discounts summed, one DIV
+    per bucket (pct·100 = bp). Plan: per-order partial agg, ≤ 7
+    buckets."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("pct"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("width"),
+        F.sum("pct").cast("long").alias("pct_sum"),
+    )
+    bucket = "CASE WHEN width >= 7 THEN '7+' ELSE CAST(width AS STRING) END"
+    return (
+        per_order.groupBy(F.expr(bucket).alias("width_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("width").cast("long").alias("n_lines"),
+            F.sum("pct_sum").cast("long").alias("pct_total"),
+        )
+        .withColumn(
+            "avg_discount_bp",
+            F.expr("(pct_total * 100) DIV n_lines"),
+        )
+        .select(
+            "width_bucket", "n_orders", "n_lines", "avg_discount_bp"
+        )
+        .orderBy("width_bucket")
+    )
+
+
+ORDER_WIDTH_DISCOUNT_PROFILE_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS pct
+  FROM lineitem
+), per_order AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS width,
+         CAST(SUM(pct) AS BIGINT) AS pct_sum
+  FROM li GROUP BY 1
+), buckets AS (
+  SELECT CASE WHEN width >= 7 THEN '7+' ELSE CAST(width AS VARCHAR) END
+           AS width_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(width) AS BIGINT) AS n_lines,
+         CAST(SUM(pct_sum) AS BIGINT) AS pct_total
+  FROM per_order GROUP BY 1
+)
+SELECT width_bucket, n_orders, n_lines,
+       (pct_total * 100) // n_lines AS avg_discount_bp
+FROM buckets
+ORDER BY width_bucket
+"""

@@ -2331,3 +2331,126 @@ SELECT source, n_docs, n_prefixes, boilerplate_docs,
 FROM agg
 ORDER BY source
 """
+
+
+def doc_lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance × language contingency table: per (source, lang)
+    cell the document count, token mass, and the cell's share of its
+    source (bp) — the corpus-composition card a multilingual
+    training mix is balanced from (mix_sources weights by source
+    alone; a source whose language mix shifted between crawls is
+    invisible there).
+
+    One (source, lang) agg; shares over a keyed window."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    ).select("source", "lang", F.col("n_chars").alias("nc"))
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "share_bp",
+            F.expr(
+                "CAST((n_docs * 10000) DIV (SUM(n_docs) OVER "
+                "(PARTITION BY source)) AS BIGINT)"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+DOC_LANG_SOURCE_MATRIX_SQL = """
+WITH d AS (
+  SELECT source, lang, n_chars AS nc
+  FROM documents WHERE length(trim(text)) > 0
+), agg AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nc) AS BIGINT) AS n_chars
+  FROM d GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_chars,
+       (n_docs * 10000) //
+         CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)
+         AS share_bp
+FROM agg
+ORDER BY source, lang
+"""
+
+
+def cross_source_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source mirroring screen at two exactness tiers: for
+    every source pair, how many byte-identical text bodies both
+    carry (md5 of the trimmed text) and how many share a 64-char
+    lowercased prefix fingerprint — the wholesale-syndication twin
+    of contamination_matrix's 8-gram containment (paraphrase tier).
+    Exact mirrors are rare in a healthy corpus (the md5 tier is the
+    alarm); the prefix tier catches re-crawls that only differ in
+    trailing boilerplate.
+
+    Scale shape: per-(fingerprint, source) dedup FIRST, so both pair
+    stages join DISTINCT rows keyed on the fingerprint — bounded by
+    duplicated fingerprints, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+
+    def pair_counts(fp_col, out):
+        d = docs.select("source", fp_col.alias("h")).distinct()
+        a = d.select(F.col("source").alias("source_a"), "h")
+        b = d.select(F.col("source").alias("source_b"), "h")
+        return (
+            a.join(b, "h")
+            .where(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    exact = pair_counts(F.md5(F.trim("text")), "n_exact")
+    prefix = pair_counts(
+        F.substring(F.lower(F.trim("text")), 1, 64), "n_prefix"
+    )
+    return (
+        prefix.join(exact, ["source_a", "source_b"], "full_outer")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_prefix", F.lit(0)).cast("long").alias(
+                "n_prefix"
+            ),
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+CROSS_SOURCE_EXACT_DUPS_SQL = """
+WITH docs AS (
+  SELECT source, trim(text) AS body
+  FROM documents WHERE length(trim(text)) > 0
+), dp AS (
+  SELECT DISTINCT source, substring(lower(body), 1, 64) AS h FROM docs
+), de AS (
+  SELECT DISTINCT source, md5(body) AS h FROM docs
+), prefix AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_prefix
+  FROM dp a JOIN dp b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+), exact AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM de a JOIN de b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT COALESCE(p.source_a, e.source_a) AS source_a,
+       COALESCE(p.source_b, e.source_b) AS source_b,
+       CAST(COALESCE(p.n_prefix, 0) AS BIGINT) AS n_prefix,
+       CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact
+FROM prefix p
+FULL OUTER JOIN exact e
+  ON p.source_a = e.source_a AND p.source_b = e.source_b
+ORDER BY 1, 2
+"""

@@ -16,6 +16,14 @@ from tests.conftest import SF_DIR
 #: query -> (max hash shuffles, require zero shuffles?)
 BUDGETS = {
     # --- Round 9 (probed at sf0.001, pinned at the observed count)
+    "customer_value_migration": 3,
+    "part_size_price_curve": 1,
+    "tax_band_revenue": 1,
+    "order_width_discount_profile": 2,
+    "user_volume_bands": 3,
+    "doc_lang_source_matrix": 2,
+    "cross_source_exact_dups": 2,
+    "dedup_cluster_precision": 5,
     "holiday_revenue_calendar": 1,
     "orders_weekday_index": 1,
     "returns_rate_monthly": 1,
