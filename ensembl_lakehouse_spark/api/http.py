@@ -209,6 +209,16 @@ def make_handler(engine: Engine):
                 self._send(200, engine.table_history(parts[1]))
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "tags":
                 self._send(200, engine.table_tags(parts[1]))
+            elif (
+                len(parts) == 4
+                and parts[0] == "table"
+                and parts[2] == "rollups"
+                and parts[3] == "history"
+            ):
+                # EXT: MV freshness HISTORY — the maintenance ledger
+                # per rollup (every tick with its applied feed
+                # version and lag-at-apply); zero Spark jobs
+                self._send(200, engine.table_rollups_history(parts[1]))
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "rollups":
                 # EXT: MV freshness dashboard — which registered
                 # rollups would answer /aggregate right now, and why

@@ -1171,3 +1171,87 @@ def test_rollups_freshness_dashboard_over_http(server, spark, tmp_path_factory):
     assert agg["answered_by"] == "rb_sum"
     # unknown table fails closed
     assert _get(server, "/table/nope/rollups")[0] == 400
+
+
+def test_rollups_history_ledger_over_http(server, spark, tmp_path_factory):
+    """r9: GET /table/{n}/rollups/history — the maintenance ledger.
+    Every tick appears with the feed version it applied and its
+    lag-at-apply; a late-committing tick (planned before a feed
+    commit, landed after — the crash-recovery replay shape) shows a
+    positive lag; a hierarchical child's ticks measure against the
+    PARENT feed."""
+    import time as _time
+
+    from ensembl_lakehouse_spark import ivm
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    base = tmp_path_factory.mktemp("hist_http")
+    src, rol, child = (
+        str(base / "src"), str(base / "rol"), str(base / "child")
+    )
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(i, i % 5, f"g{i % 2}", i) for i in range(20)],
+            ["k", "day", "grp", "v"],
+        ),
+    )
+    ivm.maintain_rollup(spark, src, rol, ["day", "grp"], "v")
+    ivm.maintain_rollup_from_rollup(spark, rol, child, {"grp": "grp"})
+    server.engine.register_snapshot_table("hist_src", src)
+    server.engine.register_rollup(
+        "hist_src", "hist_daily", rol, ["day", "grp"], "v"
+    )
+    server.engine.register_rollup(
+        "hist_src", "hist_by_grp", child, ["grp"], "v", parent_dir=rol
+    )
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(100, 1, "g0", 7)],
+                              ["k", "day", "grp", "v"]),
+        key="k",
+    )
+    _time.sleep(0.02)  # wall-clock ledger: keep commits ordered
+    ivm.maintain_rollup(spark, src, rol, ["day", "grp"], "v")
+    ivm.maintain_rollup_from_rollup(spark, rol, child, {"grp": "grp"})
+
+    status, _, hist = _get(server, "/table/hist_src/rollups/history")
+    assert status == 200
+    by_name = {h["rollup"]: h for h in hist}
+    daily = by_name["hist_daily"]
+    assert daily["feed"] == "source" and daily["n_ticks"] == 2
+    assert [t["applied_feed_version"] for t in daily["ticks"]] == [0, 1]
+    assert all(t["lag_commits"] == 0 for t in daily["ticks"])
+    assert daily["last_applied"] == 1
+    child_h = by_name["hist_by_grp"]
+    assert child_h["feed"] == "parent" and child_h["n_ticks"] == 2
+    # the child's stamps are PARENT-rollup versions
+    assert [t["applied_feed_version"] for t in child_h["ticks"]] == [0, 1]
+
+    # a late-committing tick: planned at feed v1, lands after the
+    # feed moved to v2 — the ledger must show the lag
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(101, 2, "g1", 8)],
+                              ["k", "day", "grp", "v"]),
+        key="k",
+    )
+    _time.sleep(0.02)
+    SN.merge_snapshot(
+        spark, rol,
+        spark.createDataFrame([(1, "g0", 99, 99)],
+                              ["day", "grp", "n_rows", "sum_val"]),
+        key=["day", "grp"], op="ivm:src_v1",
+    )
+    _, _, hist2 = _get(server, "/table/hist_src/rollups/history")
+    late = [
+        t
+        for h in hist2
+        if h["rollup"] == "hist_daily"
+        for t in h["ticks"]
+    ][-1]
+    assert late["applied_feed_version"] == 1
+    assert late["feed_version_at_apply"] == 2
+    assert late["lag_commits"] == 1
+    # unknown table fails closed
+    assert _get(server, "/table/nope/rollups/history")[0] == 400
