@@ -55,6 +55,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the first-50 window leads with this round's new operators,
         # followed by certified filler; the 4 no-oracle entries stay
         # out of the window).
+        # --- Round-9 batch 5: vector sparsity, source quality,
+        # priority economics.
+        "embedding_sparsity_audit": S.embedding_sparsity_audit,
+        "source_quality_profile": T.source_quality_profile,
+        "orders_priority_value_profile": RP.orders_priority_value_profile,
+        "nation_order_priority_mix": RP.nation_order_priority_mix,
         # --- Round-9 batch 4: corpus provenance + cluster QA.
         "doc_lang_source_matrix": T.doc_lang_source_matrix,
         "cross_source_exact_dups": T.cross_source_exact_dups,
@@ -380,6 +386,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- Round-9 batch 5.
+        "embedding_sparsity_audit": S.EMBEDDING_SPARSITY_AUDIT_SQL,
+        "source_quality_profile": T.SOURCE_QUALITY_PROFILE_SQL,
+        "orders_priority_value_profile":
+            RP.ORDERS_PRIORITY_VALUE_PROFILE_SQL,
+        "nation_order_priority_mix": RP.NATION_ORDER_PRIORITY_MIX_SQL,
         # --- Round-9 batch 4.
         "doc_lang_source_matrix": T.DOC_LANG_SOURCE_MATRIX_SQL,
         "cross_source_exact_dups": T.CROSS_SOURCE_EXACT_DUPS_SQL,

@@ -4205,3 +4205,130 @@ SELECT width_bucket, n_orders, n_lines,
 FROM buckets
 ORDER BY width_bucket
 """
+
+
+def orders_priority_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value distribution per order priority: count, min/max
+    and the ×4/×2 quartile ladder — is URGENT actually bigger money,
+    or just louder? segment_priority_lift asks who files urgent
+    orders; this prices them.
+
+    One |priorities|-row aggregate; the fixed-point percentile
+    contract keeps quartiles integral cross-engine."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.expr(
+                "CAST(percentile(cents * 4, CAST(0.25 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("q1_x4"),
+            F.expr(
+                "CAST(percentile(cents * 2, CAST(0.5 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("med_x2"),
+            F.expr(
+                "CAST(percentile(cents * 4, CAST(0.75 AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("q3_x4"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "min_cents",
+            "max_cents",
+            F.expr("q1_x4 DIV 4").alias("q1_cents"),
+            F.expr("med_x2 DIV 2").alias("median_cents"),
+            F.expr("q3_x4 DIV 4").alias("q3_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDERS_PRIORITY_VALUE_PROFILE_SQL = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM orders
+), q AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(MIN(cents) AS BIGINT) AS min_cents,
+         CAST(MAX(cents) AS BIGINT) AS max_cents,
+         CAST(quantile_cont(cents * 4, CAST(0.25 AS DOUBLE)) AS BIGINT)
+           AS q1_x4,
+         CAST(quantile_cont(cents * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS med_x2,
+         CAST(quantile_cont(cents * 4, CAST(0.75 AS DOUBLE)) AS BIGINT)
+           AS q3_x4
+  FROM o GROUP BY 1
+)
+SELECT o_orderpriority, n_orders, min_cents, max_cents,
+       q1_x4 // 4 AS q1_cents,
+       med_x2 // 2 AS median_cents,
+       q3_x4 // 4 AS q3_cents
+FROM q
+ORDER BY o_orderpriority
+"""
+
+
+def nation_order_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority mix per CUSTOMER NATION: per (nation, priority) the
+    order count and the nation's internal share (bp) — regional
+    operations tempo (a nation skewed to URGENT is an expedite-fee
+    conversation). orders_priority_mix_by_month cuts by time,
+    segment_priority_lift by segment; geography completes the cube.
+
+    Plan: orders⋈customer shuffle on custkey, nation dim broadcast,
+    one ≤ |nations|·5 agg, shares over a keyed window."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        orders.join(cust, "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .withColumn(
+            "share_bp",
+            F.expr(
+                "CAST((n_orders * 10000) DIV (SUM(n_orders) OVER "
+                "(PARTITION BY n_name)) AS BIGINT)"
+            ),
+        )
+        .orderBy("n_name", "o_orderpriority")
+    )
+
+
+NATION_ORDER_PRIORITY_MIX_SQL = """
+WITH j AS (
+  SELECT n.n_name, o.o_orderpriority
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), agg AS (
+  SELECT n_name, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM j GROUP BY 1, 2
+)
+SELECT n_name, o_orderpriority, n_orders,
+       (n_orders * 10000) //
+         CAST(SUM(n_orders) OVER (PARTITION BY n_name) AS BIGINT)
+         AS share_bp
+FROM agg
+ORDER BY n_name, o_orderpriority
+"""

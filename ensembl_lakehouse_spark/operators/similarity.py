@@ -1694,3 +1694,89 @@ SELECT label, band, n,
 FROM agg
 ORDER BY label, band
 """
+
+
+#: |component| < SPARSE_EPS_FP (on the FP_SCALE lattice) counts as
+#: "near zero" for the sparsity audit; band width in components.
+SPARSE_EPS = 0.05
+SPARSE_BAND = 8
+
+
+def embedding_sparsity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-VECTOR sparsity audit: how many of each embedding's
+    components are near zero (|x| < 0.05), banded in steps of 8 —
+    the distribution that says whether sparsification/pruning would
+    be lossless here (embedding_dim_stats finds dead DIMENSIONS;
+    a corpus can have no dead dims yet highly sparse individual
+    vectors, which is what product-quantization and inverted-file
+    pruning actually exploit).
+
+    Integer-exact: the near-zero test runs on the FP_SCALE lattice;
+    per-band mean L1 mass is one DIV. One map-only per-vector
+    aggregate (the array never explodes into rows), one band agg."""
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    eps_fp = int(SPARSE_EPS * FP_SCALE)
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_vec = emb.select(
+        F.expr(
+            f"size(filter(embedding, x -> "
+            f"abs(floor(CAST(x AS DOUBLE) * {FP_SCALE})) < {eps_fp}))"
+        ).cast("long").alias("n_zero"),
+        F.expr(
+            f"aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> "
+            f"acc + abs(floor(CAST(x AS DOUBLE) * {FP_SCALE})))"
+        ).cast("long").alias("l1_fp"),
+    )
+    return (
+        per_vec.groupBy(
+            F.expr(f"(n_zero DIV {SPARSE_BAND}) * {SPARSE_BAND}").alias(
+                "zero_band"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("l1_fp").cast("long").alias("l1_fp"),
+        )
+        .withColumn(
+            "share_bp",
+            F.expr(
+                "CAST((n_vectors * 10000) DIV (SUM(n_vectors) OVER ()) "
+                "AS BIGINT)"
+            ),
+        )
+        .withColumn("mean_l1_fp", F.expr("l1_fp DIV n_vectors"))
+        .select("zero_band", "n_vectors", "share_bp", "mean_l1_fp")
+        .orderBy("zero_band")
+    )
+
+
+def _embedding_sparsity_audit_sql() -> str:
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    eps_fp = int(SPARSE_EPS * FP_SCALE)
+    return f"""
+WITH per_vec AS (
+  SELECT CAST(len(list_filter(embedding, x ->
+           abs(floor(CAST(x AS DOUBLE) * {FP_SCALE})) < {eps_fp}))
+           AS BIGINT) AS n_zero,
+         CAST(list_aggregate(list_transform(embedding, x ->
+           CAST(abs(floor(CAST(x AS DOUBLE) * {FP_SCALE})) AS BIGINT)),
+           'sum') AS BIGINT) AS l1_fp
+  FROM embeddings
+), banded AS (
+  SELECT (n_zero // {SPARSE_BAND}) * {SPARSE_BAND} AS zero_band,
+         CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(l1_fp) AS BIGINT) AS l1_fp
+  FROM per_vec GROUP BY 1
+)
+SELECT zero_band, n_vectors,
+       (n_vectors * 10000) // CAST(SUM(n_vectors) OVER () AS BIGINT)
+         AS share_bp,
+       l1_fp // n_vectors AS mean_l1_fp
+FROM banded
+ORDER BY zero_band
+"""
+
+
+EMBEDDING_SPARSITY_AUDIT_SQL = _embedding_sparsity_audit_sql()

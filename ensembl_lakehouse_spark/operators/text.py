@@ -2454,3 +2454,98 @@ FULL OUTER JOIN exact e
   ON p.source_a = e.source_a AND p.source_b = e.source_b
 ORDER BY 1, 2
 """
+
+
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rollup of the text_quality screen: doc
+    count, keep rate (bp) and the mean composite score (×1000 fixed-
+    point) — the one-row-per-source card a mixing stage downweights
+    from (text_quality verdicts per DOC; a source-level decision
+    needs the aggregate, and averaging doubles across rows would be
+    partition-order dependent, so the score lands on a ×1000 integer
+    lattice per row BEFORE the sum).
+
+    Shares text_quality's exact ratio/score expressions — the same
+    left-associated weighted sum both engines already agree on
+    per-row — so the two screens can never drift."""
+    stop_quoted = ", ".join(f"'{s}'" for s in STOPWORDS)
+    df = _docs_with_tokens(spark, sf_dir)
+    scored = df.select(
+        "source",
+        (
+            (
+                F.expr(
+                    f"size(filter(toks, x -> x IN ({stop_quoted})))"
+                ).cast("double") / F.size("toks")
+            ) * 0.25
+            + (
+                F.size(F.array_distinct("toks")).cast("double")
+                / F.size("toks")
+            ) * 0.25
+            + (
+                F.lit(1.0)
+                - (
+                    F.length("text")
+                    - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+                ).cast("double") / F.length("text")
+            ) * 0.25
+            + (
+                F.least(F.size("toks"), F.lit(100)).cast("double")
+                / F.lit(100.0)
+            ) * 0.25
+        ).alias("score"),
+    ).select(
+        "source",
+        F.expr(
+            "CAST(floor(score * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("score_x1000"),
+        (F.col("score") >= 0.5).cast("int").alias("keep"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            F.sum("score_x1000").cast("long").alias("score_sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            F.expr("(n_keep * 10000) DIV n_docs").alias("keep_bp"),
+            F.expr("score_sum DIV n_docs").alias("mean_score_x1000"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_QUALITY_PROFILE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), r AS (
+  SELECT source,
+    (((CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE) / len(toks)) * 0.25)
+     + ((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.25)
+     + ((1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.25)
+     + ((CAST(least(len(toks), 100) AS DOUBLE) / 100.0) * 0.25)) AS score
+  FROM t
+), scored AS (
+  SELECT source,
+         CAST(floor(score * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS score_x1000,
+         CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS keep
+  FROM r
+), agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(keep) AS BIGINT) AS n_keep,
+         CAST(SUM(score_x1000) AS BIGINT) AS score_sum
+  FROM scored GROUP BY 1
+)
+SELECT source, n_docs, n_keep,
+       (n_keep * 10000) // n_docs AS keep_bp,
+       score_sum // n_docs AS mean_score_x1000
+FROM agg
+ORDER BY source
+"""

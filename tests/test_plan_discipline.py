@@ -16,6 +16,10 @@ from tests.conftest import SF_DIR
 #: query -> (max hash shuffles, require zero shuffles?)
 BUDGETS = {
     # --- Round 9 (probed at sf0.001, pinned at the observed count)
+    "embedding_sparsity_audit": 1,
+    "source_quality_profile": 1,
+    "orders_priority_value_profile": 1,
+    "nation_order_priority_mix": 2,
     "customer_value_migration": 3,
     "part_size_price_curve": 1,
     "tax_band_revenue": 1,
