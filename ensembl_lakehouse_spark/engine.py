@@ -1077,6 +1077,8 @@ class Engine:
             raise QueryValidationError("freshness must be strict|stale_ok")
         filters: dict[str, list[str]] = {}
         range_filters: dict[str, tuple[str, str]] = {}
+        eq_cols: set[str] = set()
+        positional_cols: set[str] = set()
         for item in (filter or "").split(","):
             item = item.strip()
             if not item:
@@ -1091,15 +1093,31 @@ class Engine:
             # explicit verbatim equality (r8 ADVICE): a literal whose
             # value legitimately contains '..' or '|' cannot be
             # expressed through the positional grammar — 'col:eq:'
-            # takes the remainder as ONE equality value, unparsed
+            # takes the remainder as ONE equality value, unparsed.
+            # Repeated eq: items on one column union (IN); MIXING
+            # forms on one column is refused — append-vs-overwrite
+            # would silently drop a predicate depending on item
+            # order (r9 code review).
             if vals.startswith("eq:"):
                 if not col or not vals[3:]:
                     raise QueryValidationError(
                         f"bad filter item {item!r}: col:eq:value needs a "
                         "non-empty value"
                     )
+                if col in positional_cols or col in range_filters:
+                    raise QueryValidationError(
+                        f"filter mixes forms for column {col!r}: use "
+                        "either positional (col:v1|v2 / col:lo..hi) or "
+                        "col:eq:, not both"
+                    )
                 filters.setdefault(col, []).append(vals[3:])
+                eq_cols.add(col)
                 continue
+            if col in eq_cols or col in filters or col in range_filters:
+                raise QueryValidationError(
+                    f"filter names column {col!r} twice — one positional "
+                    "item per column (use | for IN), or repeated col:eq:"
+                )
             if ".." in vals:
                 lo, _, hi = vals.partition("..")
                 lo, hi = lo.strip(), hi.strip()
@@ -1111,6 +1129,7 @@ class Engine:
                         "col:eq:value"
                     )
                 range_filters[col] = (lo, hi)
+                positional_cols.add(col)
                 continue
             vlist = [v for v in (s.strip() for s in vals.split("|")) if v]
             if not col or not vlist:
@@ -1118,6 +1137,7 @@ class Engine:
                     f"bad filter item {item!r}: want col:v1|v2 or col:lo..hi"
                 )
             filters[col] = vlist
+            positional_cols.add(col)
         table_dir = self._snapshot_tables[name]
         pin_v = _SN.published_version(table_dir)
         if pin_v is None:

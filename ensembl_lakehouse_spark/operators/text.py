@@ -2526,7 +2526,7 @@ WITH t AS (
   FROM documents WHERE length(trim(text)) > 0
 ), r AS (
   SELECT source,
-    (((CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE) / len(toks)) * 0.25)
+    (((CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{s}'" for s in STOPWORDS)}))) AS DOUBLE) / len(toks)) * 0.25)
      + ((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.25)
      + ((1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.25)
      + ((CAST(least(len(toks), 100) AS DOUBLE) / 100.0) * 0.25)) AS score

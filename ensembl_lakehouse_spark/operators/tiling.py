@@ -9,7 +9,8 @@ serializes on a single executor core no matter how wide the cluster
 is. This module replaces it with the classic two-phase formulation
 every MPP engine uses for global ranking:
 
-1. **Boundary phase (one tiny eager job at plan-build time)**: the
+1. **Boundary phase (one eager FULL-INPUT aggregate at plan-build
+   time — parallel, but a real scan)**: the
    ordering tuple ``(value, key)`` is packed into one monotone
    DECIMAL(38,0) (``key`` must be a unique BIGINT — the same total-
    order requirement NTILE determinism already imposes), and ONE
@@ -42,6 +43,15 @@ customer_balance_spend_matrix) keep their plain-SQL ntile form.
 Boundary-quality note: approx_percentile boundaries only balance
 LOAD; correctness never depends on them. A pathological sketch
 would skew bucket sizes, not answers.
+
+Cost placement note: because the boundary job runs when the plan is
+BUILT, operators composed on this primitive execute one aggregate
+scan per tiling inside plan construction — a /analytics submit or
+EXPLAIN of such an operator blocks for that scan before returning
+(the same class as the engine's other plan-time-training operators:
+the in-engine classifier, checkpointed dedups). The submit cache is
+probed before the builder runs, so repeat submissions never re-pay
+it.
 """
 
 from __future__ import annotations

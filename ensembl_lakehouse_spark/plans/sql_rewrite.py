@@ -136,10 +136,23 @@ def _tokenize(sql: str) -> list[tuple[str, str]]:
         text = m.group(0)
         if kind == "word":
             low = text.lower()
-            toks.append(("kw", low) if low in _RESERVED or low in _AGG_FNS
-                        else ("ident", low))
+            if low in _RESERVED or low in _AGG_FNS:
+                toks.append(("kw", low))
+            elif text != low:
+                # Spark preserves the AS-TYPED spelling of bare
+                # columns and aliases in the output schema; the
+                # rewrite path re-projects from stored lowercase
+                # column names, so any uppercase identifier would
+                # change wire-visible headers between rewrite=on and
+                # =off (r9 code review) — fall back to verbatim
+                raise _Ineligible(f"mixed-case identifier {text!r}")
+            else:
+                toks.append(("ident", low))
         elif kind == "qid":
-            toks.append(("ident", text[1:-1].lower()))
+            body = text[1:-1]
+            if body != body.lower():
+                raise _Ineligible(f"mixed-case identifier {body!r}")
+            toks.append(("ident", body))
         elif kind == "str":
             body = text[1:-1]
             if "\\" in body:
@@ -352,6 +365,19 @@ class _Parser:
         for col, _ in order_by:
             if col not in out_cols:
                 raise _Ineligible(f"ORDER BY {col!r} is not selected")
+        # LIMIT cuts the row SET, so the ordering must be provably
+        # TOTAL over the aggregate output or ties at the cut could
+        # resolve differently on the rewritten plan than the
+        # verbatim one (r9 code review): the group keys are unique
+        # per output row, so an ORDER BY that includes every group
+        # column is total; anything else falls back. (ORDER BY
+        # without LIMIT only permutes ties — the set is identical
+        # and SQL leaves tie order unspecified either way.)
+        if limit is not None and set(group_by) - {c for c, _ in order_by}:
+            raise _Ineligible(
+                "LIMIT with an ORDER BY that is not a total order "
+                "over the group keys"
+            )
         return AggregateIntent(
             table=table[len("snap_"):],
             group_by=tuple(group_by),
@@ -412,6 +438,18 @@ def semantic_gate(
             # field would change the output schema — fall back
             return f"column {col!r} is mixed-case in the schema"
     for out, (fn, col) in intent.aggs.items():
+        if fn in ("sum", "avg") and not intent.group_by:
+            # a GLOBAL aggregate can see ZERO rows (filters match
+            # nothing / all groups tombstoned): SQL SUM/AVG of the
+            # empty set is NULL, the rollup algebra coalesces to 0 —
+            # the NOT-NULL column proof cannot cover the empty SET
+            # (r9 code review). Grouped queries are safe: a group
+            # only exists where rows do.
+            return (
+                f"{out}: global {fn.upper()} over zero rows is NULL "
+                "in SQL but 0 in the rollup algebra — only grouped "
+                f"{fn.upper()} rewrites"
+            )
         if fn in ("sum", "avg"):
             f = fields[col]
             if f.dataType.simpleString() not in _INTEGRAL:

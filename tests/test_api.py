@@ -1109,6 +1109,26 @@ def test_aux_rollup_aggregate_over_http(server, spark, tmp_path_factory):
         server,
         "/table/aux_src/aggregate?aggs=n%3Dcount&filter=grp%3Aeq%3A",
     )[0] == 400
+    # r9 code review: mixing filter FORMS on one column (or naming a
+    # column twice positionally) would silently drop a predicate
+    # depending on item order — refused in every order
+    for f in (
+        "grp%3Aeq%3Ag0,grp%3Ag1%7Cg2",   # eq then positional
+        "grp%3Ag1%7Cg2,grp%3Aeq%3Ag0",   # positional then eq
+        "grp%3Ag0,grp%3Ag1",             # positional twice
+        "grp%3Ag0..g1,grp%3Aeq%3Ag0",    # range then eq
+    ):
+        assert _get(
+            server, f"/table/aux_src/aggregate?aggs=n%3Dcount&filter={f}"
+        )[0] == 400, f
+    # repeated eq: items still union into an IN
+    status, _, r5 = _get(
+        server,
+        "/table/aux_src/aggregate?group_by=grp&aggs=n%3Dcount"
+        "&filter=grp%3Aeq%3Ag0,grp%3Aeq%3Ag1",
+    )
+    assert status == 200
+    assert {r["grp"] for r in rows_of(r5["query_id"])} == {"g0", "g1"}
 
 
 def test_rollups_freshness_dashboard_over_http(server, spark, tmp_path_factory):

@@ -613,9 +613,13 @@ def test_hll_union_vs_single_pass_drift(spark):
     single-pass build — and why rollup == base holds in this engine,
     where every base-path agg is partition-parallel."""
     n = 300_000
+    # repartition pins the multi-partition path the test claims to
+    # exercise: on a 1-CPU session spark.range would be a single
+    # partition and "parallel" would silently take the serial HIP
+    # path this test documents as allowed to differ (r9 code review)
     df = spark.range(n).select(
         F.col("id").alias("v"), (F.col("id") % 64).alias("g")
-    )
+    ).repartition(8)
     parallel = df.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("u")
     ).collect()[0][0]

@@ -65,10 +65,14 @@ def test_hll_sketch_spelling_maps_to_approx_count_distinct():
     assert i.aggs == {"u": ("approx_count_distinct", "uid")}
 
 
-def test_keywords_and_identifiers_fold_case_literals_do_not():
+def test_keywords_fold_identifiers_must_be_lowercase_literals_exact():
+    """Keywords and function names are case-insensitive; IDENTIFIERS
+    must be lowercase (Spark preserves as-typed output names, which
+    the rewrite cannot reproduce — r9 code review); string literals
+    stay byte-exact."""
     i = parse_aggregate_sql(
-        "select TYPE, Count(*) as N from SNAP_EVENTS "
-        "where TYPE = 'Click' group by TYPE"
+        "select type, Count(*) as n from snap_events "
+        "where type = 'Click' group by type"
     )
     assert i.table == "events" and i.group_by == ("type",)
     assert i.filters == {"type": ["Click"]}  # literal byte-exact
@@ -167,3 +171,59 @@ def test_gate_rejects_unknown_and_mixed_case_columns():
     assert "mixed-case" in semantic_gate(
         _intent({"lo": ("min", "mixed")}), _schema(), False
     )
+
+
+# -- r9 code-review gates ----------------------------------------------
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # Spark preserves as-typed case in output schemas; the
+        # rewrite re-projects lowercase stored columns, so any
+        # uppercase identifier must fall back to verbatim
+        "SELECT GRP, COUNT(*) AS n FROM snap_t GROUP BY GRP",
+        "SELECT grp, COUNT(*) AS Cnt FROM snap_t GROUP BY grp",
+        "SELECT `Grp`, COUNT(*) AS n FROM snap_t GROUP BY `Grp`",
+        # LIMIT cuts the row set: ORDER BY must be total over the
+        # group keys or ties at the cut could differ from verbatim
+        "SELECT a, b, COUNT(*) AS n FROM snap_t GROUP BY a, b "
+        "ORDER BY n LIMIT 1",
+        "SELECT a, b, COUNT(*) AS n FROM snap_t GROUP BY a, b "
+        "ORDER BY n, a LIMIT 2",
+    ],
+)
+def test_case_and_limit_tie_gates_fall_back(sql):
+    assert parse_aggregate_sql(sql) is None
+
+
+def test_limit_with_total_order_stays_eligible():
+    i = parse_aggregate_sql(
+        "SELECT a, b, COUNT(*) AS n FROM snap_t GROUP BY a, b "
+        "ORDER BY n DESC, a, b LIMIT 2"
+    )
+    assert i is not None and i.limit == 2
+    # global aggregate: single row, any LIMIT is trivially total
+    assert parse_aggregate_sql(
+        "SELECT COUNT(*) AS n FROM snap_t LIMIT 1"
+    ) is not None
+
+
+def test_global_sum_avg_fall_back_grouped_stay(spark=None):
+    """SQL SUM/AVG of the EMPTY set is NULL; the rollup algebra
+    coalesces to 0 — a global (ungrouped) SUM/AVG can see zero rows,
+    so the gate refuses it even with the NOT-NULL proof."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("g", LongType()), StructField("v", LongType()),
+    ])
+    g = parse_aggregate_sql("SELECT SUM(v) AS s FROM snap_t")
+    reason = semantic_gate(g, schema, False, {"v"})
+    assert reason and "zero rows" in reason
+    grouped = parse_aggregate_sql(
+        "SELECT g, SUM(v) AS s FROM snap_t GROUP BY g"
+    )
+    assert semantic_gate(grouped, schema, False, {"v"}) is None
+    # global COUNT/MIN/MAX keep their exact zero-row semantics
+    cnt = parse_aggregate_sql("SELECT COUNT(*) AS n, MIN(v) AS lo FROM snap_t")
+    assert semantic_gate(cnt, schema, False) is None
