@@ -9,29 +9,29 @@ serializes on a single executor core no matter how wide the cluster
 is. This module replaces it with the classic two-phase formulation
 every MPP engine uses for global ranking:
 
-1. **Boundary phase (one eager FULL-INPUT aggregate at plan-build
-   time — parallel, but a real scan)**: the
-   ordering tuple ``(value, key)`` is packed into one monotone
-   DECIMAL(38,0) (``key`` must be a unique BIGINT — the same total-
-   order requirement NTILE determinism already imposes), and ONE
-   aggregate over the input collects ``approx_percentile`` bucket
-   boundaries (plus the exact row count and the packing-safety
-   maxima). The boundaries become literals in the returned plan, so
-   the two consumers below can never disagree about bucketing — the
-   reason this phase is eager rather than a shared lazy subtree
-   (approx_percentile's merge order is not guaranteed deterministic;
-   two independent evaluations could bucket differently and corrupt
-   the offsets).
-2. **Assignment phase (fully lazy, fully parallel)**: each row's
-   bucket is its boundary count (a broadcast O(B) lambda — B
-   defaults to the session's shuffle parallelism), per-bucket counts
-   aggregate to ≤B+1 rows, a window over THAT bounded relation turns
-   them into cumulative offsets (SinglePartition over ≤B+1 rows —
-   bounded by cluster configuration, not by data), offsets broadcast-
-   join back, and ``row_number() OVER (PARTITION BY bucket ORDER BY
-   packed)`` ranks each bucket independently. The global rank is
-   ``offset + within-bucket rank`` — exact, because bucketing is
-   monotone in the packed order.
+1. **Boundary + offset phase (two eager FULL-INPUT jobs at
+   plan-build time — parallel, but real scans)**: the ordering tuple
+   ``(value, key)`` is packed into one monotone DECIMAL(38,0)
+   (``key`` must be a unique BIGINT — the same total-order
+   requirement NTILE determinism already imposes); one aggregate
+   collects ``approx_percentile`` bucket boundaries (plus the exact
+   row count and the packing-safety maxima), a second counts rows
+   per bucket and folds them into cumulative offsets. BOTH results
+   become literals in the returned plan. Eager is load-bearing
+   twice over: approx_percentile's merge order is not guaranteed
+   deterministic (two independent lazy evaluations could bucket
+   differently and corrupt the offsets), and a lazy counts branch
+   would be a second consumer of the upstream whose column-pruned
+   exchange never unifies with the rank branch's under
+   ReuseExchange — each consumer re-evaluates the whole upstream
+   DAG, which a chained tiling compounds into 2^k scans.
+2. **Assignment phase (fully lazy, single-branch, fully parallel)**:
+   each row's bucket is its boundary count (a broadcast O(B) lambda
+   — B defaults to the session's shuffle parallelism),
+   ``row_number() OVER (PARTITION BY bucket ORDER BY packed)`` ranks
+   each bucket independently, and the global rank is
+   ``literal_offset[bucket] + within-bucket rank`` — exact, because
+   bucketing is monotone in the packed order.
 
 The tile then derives from the exact global rank with the SQL
 NTILE fill rule (first ``N mod n`` tiles take one extra row), so the
@@ -56,7 +56,7 @@ it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 #: packing base: packed = sign*value * 10^13 + key. Keys must be
 #: unique non-negative BIGINTs < 10^13 (TPC-H keys at SF 100 000 are
@@ -140,26 +140,33 @@ def with_global_ntile(
             f"CAST(_gt_packed AS DOUBLE) >= b THEN 1 ELSE 0 END)"
         ),
     )
-    counts = bucketed.groupBy("_gt_bucket").agg(
-        F.count(F.lit(1)).alias("_gt_cnt")
-    )
-    # cumulative offsets: a window over ≤ buckets+1 rows — bounded by
-    # cluster configuration, never by SF (the one SinglePartition
-    # exchange this plan keeps, and the point of the whole module)
-    offsets = counts.select(
-        "_gt_bucket",
-        F.coalesce(
-            F.sum("_gt_cnt").over(
-                Window.orderBy("_gt_bucket").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).alias("_gt_offset"),
-    )
-    ranked = bucketed.join(F.broadcast(offsets), "_gt_bucket").withColumn(
+    # --- offsets are eager LITERALS like the boundaries (one more
+    # plan-build job): a lazy counts branch would be a second
+    # consumer of the bucketed upstream, and column pruning rewrites
+    # its exchange to carry fewer columns than the rank branch's, so
+    # ReuseExchange never unifies them — each consumer re-evaluates
+    # the whole upstream DAG, and a CHAINED tiling
+    # (orders_rfm_segments stacks three) multiplies that into 2^k
+    # upstream scans (measured: a 30× materialize blowup at sf0.1).
+    # With literal offsets the returned plan is ONE branch: bucket →
+    # rank-within-bucket → offset lookup. The cost moves to build
+    # time, stated in the module docstring's cost-placement note.
+    cnt_rows = bucketed.groupBy("_gt_bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    ).collect()
+    by_bucket = {r["_gt_bucket"]: r["c"] for r in cnt_rows}
+    n_buckets = len(bounds) + 1
+    offsets: list[int] = []
+    acc = 0
+    for b in range(n_buckets):
+        offsets.append(acc)
+        acc += by_bucket.get(b, 0)
+    oarr = "array(" + ", ".join(
+        f"CAST({o} AS BIGINT)" for o in offsets
+    ) + ")"
+    ranked = bucketed.withColumn(
         "_gt_rn",
-        F.col("_gt_offset")
+        F.expr(f"element_at({oarr}, _gt_bucket + 1)")
         + F.expr(
             "row_number() OVER (PARTITION BY _gt_bucket "
             "ORDER BY _gt_packed)"
@@ -179,5 +186,5 @@ def with_global_ntile(
             f"ELSE {rem} + (_gt_rn - 1 - {head}) DIV {base} + 1 END"
         )
     return ranked.withColumn(out, F.expr(tile_expr).cast("int")).drop(
-        "_gt_packed", "_gt_bucket", "_gt_offset", "_gt_rn"
+        "_gt_packed", "_gt_bucket", "_gt_rn"
     )

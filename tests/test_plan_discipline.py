@@ -39,10 +39,10 @@ BUDGETS = {
     "langid_margin_audit": 1,
     "boilerplate_prefix_rate": 2,
     # --- Round 8 (probed at sf0.001, pinned at the observed count)
-    # two-phase tiling (r9): per-tiling bucket-count agg +
-    # bucket-partitioned rank exchange replace the former
-    # SinglePartition global-ntile windows
-    "customer_balance_spend_matrix": 7,
+    # two-phase tiling (r9): bucket-partitioned rank exchanges
+    # (offsets/boundaries are plan-build literals) replace the
+    # former SinglePartition global-ntile windows
+    "customer_balance_spend_matrix": 4,
     "part_type_brand_matrix": 1,
     "supplier_part_coverage": 3,
     "user_retention_curve": 5,
@@ -63,7 +63,7 @@ BUDGETS = {
     "cohort_repeat_rate": 4,
     "calendar_adjusted_monthly_index": 2,
     "nation_trade_balance": 2,
-    "supplier_balance_deciles": 3,  # two-phase tiling (r9)
+    "supplier_balance_deciles": 2,  # two-phase tiling (r9)
     "orders_priority_mix_by_month": 3,
     "orders_interarrival_histogram": 2,
     "events_hourly_heatmap": 1,
@@ -225,7 +225,7 @@ BUDGETS = {
     # broadcast back (global ntile/share windows are SinglePartition,
     # not hash exchanges); yoy/concentration = agg + keyed window.
     "skyline_pareto": 2,
-    "orders_rfm_segments": 12,  # two-phase tiling ×3 (r9)
+    "orders_rfm_segments": 5,  # two-phase tiling ×3 (r9)
     "benford_audit": 1,
     "target_encoding": 1,
     "feature_bin_lift": 1,
