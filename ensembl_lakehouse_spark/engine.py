@@ -379,6 +379,20 @@ class Engine:
             # plan, and running the original text keeps /sql
             # semantics beyond question
             return None, audit
+        # HAVING runs on the aggregated values BEFORE the output
+        # projection (hidden __having_N measures exist only here);
+        # every filtered measure is exact-tier (semantic_gate refuses
+        # estimate-tier filters), so the surviving row SET matches
+        # the verbatim statement's by construction. NULL comparisons
+        # drop the row on both paths (SQL UNKNOWN ≡ Spark where()).
+        for alias, op, lit in intent.having:
+            c = F.col(alias)
+            lv = F.lit(lit)
+            cond = {
+                "=": c == lv, "<>": c != lv, "<": c < lv,
+                ">": c > lv, "<=": c <= lv, ">=": c >= lv,
+            }[op]
+            df = df.where(cond)
         df = df.select(*intent.select_order)
         if intent.order_by:
             df = df.orderBy(

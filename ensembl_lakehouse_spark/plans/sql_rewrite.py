@@ -13,6 +13,7 @@ rollup algebra can serve —
     FROM snap_<table>
     [WHERE <AND of col = lit | col IN (lits) | col BETWEEN lo AND hi>]
     [GROUP BY <cols>]
+    [HAVING <AND of (agg-alias | agg-call) {= < > <= >= <>} lit>]
     [ORDER BY <output cols [ASC|DESC]>]
     [LIMIT n]
 
@@ -21,14 +22,29 @@ rollup algebra can serve —
 the statement executes verbatim; a false negative costs a base scan,
 a false positive would serve a wrong answer, so the grammar is
 strict by construction: any unexpected token, expression, qualified
-name, DISTINCT, HAVING, JOIN, subquery, comment, or escape sequence
-makes the statement ineligible.
+name, DISTINCT, JOIN, subquery, comment, or escape sequence makes
+the statement ineligible.
+
+HAVING is inside the grammar (round 9): each term compares ONE
+derivable aggregate — a selected alias or a direct call, which gets
+a hidden ``__having_N`` measure dropped before output — against a
+literal. The filter runs on values the rollup reproduces exactly, so
+the surviving row SET is identical by construction; estimate-tier
+measures are NEVER filterable (``semantic_gate`` refuses even under
+``rewrite=approx`` — a filter on an estimator value changes WHICH
+rows return, not just a displayed number). HAVING on a bare group
+column stays ineligible: it is WHERE semantics in disguise, and the
+strict grammar keeps the two filter vocabularies separate.
 
 Exactness gating happens in TWO layers. This parser only proves the
 statement's *shape*; the engine then proves the *semantics* match the
 rollup algebra against the table's schema (``semantic_gate``):
 
 - COUNT(*) / COUNT(1): always exact (rollup n_rows counts rows).
+- COUNT(col): counts non-NULLs, which equals the row count exactly
+  when the column is proven non-NULL at the pinned version — the
+  same write-enforced CHECK-constraint proof SUM/AVG use. Unproven
+  columns fall back with the constraint hint.
 - MIN/MAX(col): exact for any column type (both paths ignore NULLs
   and re-aggregate min-of-mins over subset groupings).
 - SUM/AVG(col): exact ONLY when the column is integral AND proven
@@ -89,7 +105,7 @@ _TOKEN_RE = re.compile(
       | (?P<qid>`[^`]+`)
       | (?P<num>\d+\.\d+|\.\d+|\d+)
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<punct>\(|\)|,|=|\*|-)
+      | (?P<punct>\(|\)|,|<=|>=|<>|=|<|>|\*|-)
     """,
     re.X,
 )
@@ -102,7 +118,11 @@ class AggregateIntent:
     (fn, column) in answer_aggregate's vocabulary; ``select_order``
     is the SELECT-list output order (answer_aggregate emits group
     cols first, so the engine re-projects); ``order_by`` pairs
-    (output column, ascending)."""
+    (output column, ascending). ``having`` triples (agg alias, SQL
+    comparison op, literal) filter the aggregated rows BEFORE the
+    select_order re-projection; a HAVING over an unselected
+    aggregate appears in ``aggs`` under a hidden ``__having_N``
+    alias that select_order then drops."""
 
     table: str
     group_by: tuple[str, ...]
@@ -112,6 +132,7 @@ class AggregateIntent:
     select_order: tuple[str, ...] = ()
     order_by: tuple[tuple[str, bool], ...] = ()
     limit: int | None = None
+    having: tuple[tuple[str, str, object], ...] = ()
 
 
 class _Ineligible(Exception):
@@ -240,6 +261,12 @@ class _Parser:
                 group_by.append(self.ident())
                 if not self.accept(",", ","):
                     break
+        having_terms: list[tuple] = []
+        if self.accept("kw", "having"):
+            while True:
+                having_terms.append(self._having_term())
+                if not self.accept("kw", "and"):
+                    break
         order_by: list[tuple[str, bool]] = []
         if self.accept("kw", "order"):
             self.expect("kw", "by")
@@ -262,7 +289,8 @@ class _Parser:
         if self.peek()[0] != "eof":
             raise _Ineligible(f"trailing tokens: {self.peek()[1]!r}")
         return self._assemble(
-            items, table, filters, range_filters, group_by, order_by, limit
+            items, table, filters, range_filters, group_by, having_terms,
+            order_by, limit,
         )
 
     def _select_item(self):
@@ -284,16 +312,44 @@ class _Parser:
             return (alias, None, (fn, col))
         raise _Ineligible(f"unsupported select item at {t!r}")
 
+    def _having_term(self) -> tuple:
+        """→ ((kind, payload), op, literal): kind "alias" names a
+        SELECT-list output, kind "agg" is a direct (fn, col) call the
+        assembler gives a hidden measure alias. Only aggregate-vs-
+        literal comparisons are servable — anything else (column
+        comparands, OR, parens) aborts recognition."""
+        k, t = self.peek()
+        if k == "kw" and t in _AGG_FNS:
+            self.next()
+            ref = ("agg", self._agg_call(t))
+        elif k == "ident":
+            self.next()
+            ref = ("alias", t)
+        else:
+            raise _Ineligible(f"unsupported HAVING term at {t!r}")
+        op = self._cmp_op()
+        return (ref, op, self.literal())
+
+    def _cmp_op(self) -> str:
+        k, t = self.next()
+        if k in ("=", "<", ">", "<=", ">=", "<>"):
+            return k
+        raise _Ineligible(f"unsupported comparison operator {t!r}")
+
     def _agg_call(self, fn: str) -> tuple[str, str]:
         self.expect("(", "(")
         if fn == "count":
             k, t = self.next()
-            if (k, t) not in (("*", "*"), ("num", "1")):
-                # COUNT(col) counts non-NULLs — not derivable from
-                # the rollup's row count
-                raise _Ineligible("only COUNT(*) / COUNT(1) derive")
-            self.expect(")", ")")
-            return ("count", "")
+            if (k, t) in (("*", "*"), ("num", "1")):
+                self.expect(")", ")")
+                return ("count", "")
+            if k == "ident":
+                # COUNT(col) counts non-NULLs — derivable from the
+                # rollup row count ONLY under a proven NOT-NULL
+                # constraint, which semantic_gate enforces
+                self.expect(")", ")")
+                return ("count", t)
+            raise _Ineligible("COUNT wants *, 1, or a column")
         if fn == "hll_sketch_estimate":
             # the DataSketches spelling: hll_sketch_estimate(
             #   hll_sketch_agg(col))
@@ -336,8 +392,8 @@ class _Parser:
             raise _Ineligible(f"unsupported predicate operator {t!r}")
 
     def _assemble(
-        self, items, table, filters, range_filters, group_by, order_by,
-        limit,
+        self, items, table, filters, range_filters, group_by, having_terms,
+        order_by, limit,
     ) -> AggregateIntent:
         if not table.startswith("snap_") or len(table) <= len("snap_"):
             raise _Ineligible("not a snap_ view")
@@ -354,6 +410,32 @@ class _Parser:
                 aggs[out] = agg
         if not aggs:
             raise _Ineligible("no aggregate in the select list")
+        # HAVING resolution: alias terms must name a SELECT-list
+        # aggregate (a bare group column is WHERE semantics in
+        # disguise — outside the vocabulary); direct calls reuse the
+        # selected alias computing the identical measure, else get a
+        # hidden __having_N alias that select_order drops
+        having: list[tuple[str, str, object]] = []
+        for ref, op, lit in having_terms:
+            kind, payload = ref
+            if kind == "alias":
+                if payload not in aggs:
+                    raise _Ineligible(
+                        f"HAVING references {payload!r}, which is not a "
+                        "selected aggregate"
+                    )
+                having.append((payload, op, lit))
+                continue
+            alias = next(
+                (a for a, v in aggs.items() if v == payload), None
+            )
+            if alias is None:
+                n = 0
+                while f"__having_{n}" in aggs:  # user-held names skip
+                    n += 1
+                alias = f"__having_{n}"
+                aggs[alias] = payload
+            having.append((alias, op, lit))
         # the bare columns and the GROUP BY must agree exactly:
         # answer_aggregate emits every group col, and a grouped col
         # missing from the SELECT would change the output schema
@@ -387,6 +469,7 @@ class _Parser:
             select_order=tuple(select_order),
             order_by=tuple(order_by),
             limit=limit,
+            having=tuple(having),
         )
 
 
@@ -437,7 +520,26 @@ def semantic_gate(
             # spells them; the lexer lowercased, so a mixed-case
             # field would change the output schema — fall back
             return f"column {col!r} is mixed-case in the schema"
+    having_aliases = {alias for alias, _, _ in intent.having}
     for out, (fn, col) in intent.aggs.items():
+        if fn == "approx_count_distinct" and out in having_aliases:
+            # a HAVING filter on an estimate-tier measure selects
+            # WHICH rows return — swapping the estimator (native
+            # HLL++ vs DataSketches partials) could change the
+            # surviving row SET, not just a displayed value, so this
+            # is never rewritable (no opt-in tier exists for it)
+            return (
+                f"{out}: HAVING filters on an estimate-tier measure "
+                "— the rewrite could change the surviving row set, "
+                "never eligible"
+            )
+        if fn == "count" and col and col not in non_null_cols:
+            return (
+                f"{out}: COUNT({col}) counts non-NULL rows — needs a "
+                f"proven NOT-NULL column (add a '{col} IS NOT NULL' "
+                "CHECK constraint) to derive from the rollup row "
+                "count"
+            )
         if fn in ("sum", "avg") and not intent.group_by:
             # a GLOBAL aggregate can see ZERO rows (filters match
             # nothing / all groups tombstoned): SQL SUM/AVG of the

@@ -221,7 +221,9 @@ def test_explain_sql_reports_the_rewrite_decision(engine, mv):
     assert rol in payload["plan"] and src not in payload["plan"]
     off = engine.explain_sql(SQL, "", "off")
     assert off["rewrite"] is None and src in off["plan"]
-    inel = engine.explain_sql("SELECT COUNT(val) AS n FROM snap_sqlmv")
+    # COUNT(k): k has no NOT-NULL proof, so the gate falls back
+    # (COUNT(val) would now be ELIGIBLE — val_nn covers it, r9)
+    inel = engine.explain_sql("SELECT COUNT(k) AS n FROM snap_sqlmv")
     assert inel["rewrite"]["eligible"] is False
 
 
@@ -296,3 +298,83 @@ def test_constraint_records_preserve_stamps_and_legacy_strings(
     SN.drop_constraint(tdir, "old")
     assert SN.constraint_records(tdir)["k_nn"]["since_version"] == 0
     assert SN.list_constraints(tdir) == {"k_nn": "k IS NOT NULL"}
+
+
+# -- r9: HAVING + COUNT(col) through the rewrite -----------------------
+
+HAVING_SQL = (
+    "SELECT grp, reg, COUNT(*) AS n, SUM(val) AS total "
+    "FROM snap_sqlmv GROUP BY grp, reg "
+    "HAVING total > 2000 AND n >= 5 ORDER BY grp, reg"
+)
+
+
+def test_having_answers_from_rollup_and_matches_verbatim(engine, mv):
+    src, rol, _ = mv
+    resp = engine.submit_sql(HAVING_SQL)
+    assert resp["rewrite"]["eligible"] is True
+    assert resp["rewrite"]["answered_by"] == "by_grp_reg"
+    got = _rows(engine, resp["query_id"])
+    off = engine.submit_sql(HAVING_SQL, rewrite="off")
+    assert got == _rows(engine, off["query_id"])
+    assert len(got) > 1  # the filter actually selected a strict subset
+
+
+def test_having_hidden_measure_reads_zero_base_files(engine, mv):
+    """A HAVING over an UNSELECTED aggregate computes a hidden
+    measure from the rollup and drops it before output — still zero
+    base files, and the output schema matches the verbatim run."""
+    src, rol, _ = mv
+    sql = (
+        "SELECT grp, reg, COUNT(*) AS n FROM snap_sqlmv "
+        "GROUP BY grp, reg HAVING sum(val) > 2000 ORDER BY grp, reg"
+    )
+    rdf, audit = engine._try_sql_rewrite(sql, {}, False, "strict")
+    assert audit["answered_by"] == "by_grp_reg"
+    assert rdf.columns == ["grp", "reg", "n"]  # hidden alias dropped
+    files = rdf.inputFiles()
+    assert files and all(rol in f for f in files)
+    resp = engine.submit_sql(sql)
+    off = engine.submit_sql(sql, rewrite="off")
+    assert _rows(engine, resp["query_id"]) == _rows(engine, off["query_id"])
+
+
+def test_count_col_rewrites_only_with_not_null_proof(engine, mv):
+    """COUNT(val) ≡ COUNT(*) under the val_nn constraint → rollup
+    answer; COUNT(k) has no constraint → verbatim with the hint."""
+    src, rol, _ = mv
+    proven = (
+        "SELECT grp, reg, COUNT(val) AS n FROM snap_sqlmv "
+        "GROUP BY grp, reg ORDER BY grp, reg"
+    )
+    resp = engine.submit_sql(proven)
+    assert resp["rewrite"]["answered_by"] == "by_grp_reg"
+    off = engine.submit_sql(proven, rewrite="off")
+    assert _rows(engine, resp["query_id"]) == _rows(engine, off["query_id"])
+    unproven = (
+        "SELECT grp, reg, COUNT(k) AS n FROM snap_sqlmv "
+        "GROUP BY grp, reg"
+    )
+    resp = engine.submit_sql(unproven)
+    assert resp["rewrite"]["eligible"] is False
+    assert "k IS NOT NULL" in resp["rewrite"]["reason"]
+
+
+def test_having_on_estimate_tier_falls_back_even_with_approx(engine, mv):
+    sql = (
+        "SELECT grp, approx_count_distinct(k) AS u FROM snap_sqlmv "
+        "GROUP BY grp HAVING u > 1"
+    )
+    resp = engine.submit_sql(sql, rewrite="approx")
+    assert resp["rewrite"]["eligible"] is False
+    assert "row set" in resp["rewrite"]["reason"]
+    # and the verbatim run still answers correctly (header row 0 +
+    # the three groups)
+    assert len(_rows(engine, resp["query_id"])) == 4
+
+
+def test_explain_shows_having_rewrite_decision(engine, mv):
+    payload = engine.explain_sql(HAVING_SQL)
+    assert payload["rewrite"]["answered_by"] == "by_grp_reg"
+    # the rewritten plan filters the rollup, not the base table
+    assert "sqlmv_rol" in str(payload.get("plan", payload))

@@ -84,9 +84,7 @@ def test_keywords_fold_identifiers_must_be_lowercase_literals_exact():
         # outside the grammar — each must run verbatim, never misparse
         "SELECT type FROM snap_events",  # no aggregate
         "SELECT COUNT(*) FROM snap_events",  # unaliased aggregate
-        "SELECT COUNT(col) AS n FROM snap_events",  # non-null count
         "SELECT DISTINCT type FROM snap_events",
-        "SELECT type, COUNT(*) AS n FROM snap_events GROUP BY type HAVING n > 1",
         "SELECT t.type, COUNT(*) AS n FROM snap_events t GROUP BY t.type",
         "SELECT type, COUNT(*) AS n FROM events GROUP BY type",  # not snap_
         "SELECT a, COUNT(*) AS n FROM snap_t GROUP BY a, b",  # SELECT != GROUP BY
@@ -227,3 +225,105 @@ def test_global_sum_avg_fall_back_grouped_stay(spark=None):
     # global COUNT/MIN/MAX keep their exact zero-row semantics
     cnt = parse_aggregate_sql("SELECT COUNT(*) AS n, MIN(v) AS lo FROM snap_t")
     assert semantic_gate(cnt, schema, False) is None
+
+
+# -- r9: HAVING + COUNT(col) grammar extension -------------------------
+
+def test_having_on_selected_alias_extracts():
+    i = parse_aggregate_sql(
+        "SELECT type, COUNT(*) AS n FROM snap_events GROUP BY type "
+        "HAVING n > 1"
+    )
+    assert i is not None
+    assert i.having == (("n", ">", 1),)
+    assert i.select_order == ("type", "n")
+
+
+def test_having_direct_call_reuses_selected_alias():
+    i = parse_aggregate_sql(
+        "SELECT type, COUNT(*) AS n FROM snap_events GROUP BY type "
+        "HAVING count(*) >= 2"
+    )
+    assert i.having == (("n", ">=", 2),)
+    assert set(i.aggs) == {"n"}  # no hidden duplicate measure
+
+
+def test_having_direct_call_gets_hidden_alias_dropped_from_select():
+    i = parse_aggregate_sql(
+        "SELECT type, COUNT(*) AS n FROM snap_events GROUP BY type "
+        "HAVING sum(value) < 100 AND min(value) <> 0"
+    )
+    assert set(i.aggs) == {"n", "__having_0", "__having_1"}
+    assert i.aggs["__having_0"] == ("sum", "value")
+    assert i.aggs["__having_1"] == ("min", "value")
+    assert i.having == (
+        ("__having_0", "<", 100), ("__having_1", "<>", 0),
+    )
+    assert i.select_order == ("type", "n")  # hidden aliases dropped
+
+
+def test_having_every_comparison_operator():
+    for op in ("=", "<", ">", "<=", ">=", "<>"):
+        i = parse_aggregate_sql(
+            f"SELECT type, COUNT(*) AS n FROM snap_events "
+            f"GROUP BY type HAVING n {op} 3"
+        )
+        assert i is not None and i.having == (("n", op, 3),), op
+
+
+def test_having_hidden_alias_skips_user_held_name():
+    i = parse_aggregate_sql(
+        "SELECT type, COUNT(*) AS __having_0 FROM snap_events "
+        "GROUP BY type HAVING sum(value) > 1"
+    )
+    assert i.aggs["__having_0"] == ("count", "")
+    assert i.aggs["__having_1"] == ("sum", "value")
+    assert i.having == (("__having_1", ">", 1),)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # bare group column: WHERE semantics in disguise
+        "SELECT type, COUNT(*) AS n FROM snap_t GROUP BY type "
+        "HAVING type = 'click'",
+        # unknown alias
+        "SELECT type, COUNT(*) AS n FROM snap_t GROUP BY type "
+        "HAVING m > 1",
+        # OR between terms
+        "SELECT type, COUNT(*) AS n FROM snap_t GROUP BY type "
+        "HAVING n > 1 OR n < 0",
+        # column-vs-column comparand
+        "SELECT type, COUNT(*) AS n FROM snap_t GROUP BY type "
+        "HAVING n > type",
+        # literal on the left
+        "SELECT type, COUNT(*) AS n FROM snap_t GROUP BY type "
+        "HAVING 1 < n",
+        # comparison operators stay HAVING-only: WHERE keeps its
+        # eq/IN/BETWEEN vocabulary
+        "SELECT COUNT(*) AS n FROM snap_t WHERE a <= 5",
+    ],
+)
+def test_having_outside_grammar_returns_none(sql):
+    assert parse_aggregate_sql(sql) is None
+
+
+def test_count_col_extracts_and_needs_not_null_proof():
+    i = parse_aggregate_sql(
+        "SELECT type, COUNT(value) AS n FROM snap_t GROUP BY type"
+    )
+    assert i is not None and i.aggs == {"n": ("count", "value")}
+    reason = semantic_gate(i, _schema(), False)
+    assert reason and "COUNT(value)" in reason and "NOT-NULL" in reason
+    assert semantic_gate(i, _schema(), False, {"value"}) is None
+
+
+def test_having_on_estimate_tier_never_rewrites():
+    i = parse_aggregate_sql(
+        "SELECT type, approx_count_distinct(value) AS u FROM snap_t "
+        "GROUP BY type HAVING u > 1"
+    )
+    assert i is not None
+    for allow in (False, True):  # not even rewrite=approx
+        reason = semantic_gate(i, _schema(), allow)
+        assert reason and "row set" in reason
