@@ -55,6 +55,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the first-50 window leads with this round's new operators,
         # followed by certified filler; the 4 no-oracle entries stay
         # out of the window).
+        # --- Round-9 batch 6: order composition, geography mix,
+        # growth series, supplier credit quartiles.
+        "events_retention_by_first_type": R.events_retention_by_first_type,
+        "user_first_day_value": R.user_first_day_value,
+        "events_peak_hour_share": R.events_peak_hour_share,
+        "order_line_dominance": RP.order_line_dominance,
+        "customer_nation_mix_share": RP.customer_nation_mix_share,
+        "monthly_revenue_range": RP.monthly_revenue_range,
+        "region_segment_share": RP.region_segment_share,
+        "order_gap_bands_by_segment": RP.order_gap_bands_by_segment,
+        "top_customer_share_by_nation": RP.top_customer_share_by_nation,
+        "orders_quarter_growth": RP.orders_quarter_growth,
+        "supplier_balance_quartiles_by_nation":
+            RP.supplier_balance_quartiles_by_nation,
         # --- Round-9 batch 5: vector sparsity, source quality,
         # priority economics.
         "embedding_sparsity_audit": S.embedding_sparsity_audit,
@@ -386,6 +400,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- Round-9 batch 6.
+        "events_retention_by_first_type":
+            R.EVENTS_RETENTION_BY_FIRST_TYPE_SQL,
+        "user_first_day_value": R.USER_FIRST_DAY_VALUE_SQL,
+        "events_peak_hour_share": R.EVENTS_PEAK_HOUR_SHARE_SQL,
+        "order_line_dominance": RP.ORDER_LINE_DOMINANCE_SQL,
+        "customer_nation_mix_share": RP.CUSTOMER_NATION_MIX_SHARE_SQL,
+        "monthly_revenue_range": RP.MONTHLY_REVENUE_RANGE_SQL,
+        "region_segment_share": RP.REGION_SEGMENT_SHARE_SQL,
+        "order_gap_bands_by_segment": RP.ORDER_GAP_BANDS_BY_SEGMENT_SQL,
+        "top_customer_share_by_nation":
+            RP.TOP_CUSTOMER_SHARE_BY_NATION_SQL,
+        "orders_quarter_growth": RP.ORDERS_QUARTER_GROWTH_SQL,
+        "supplier_balance_quartiles_by_nation":
+            RP.SUPPLIER_BALANCE_QUARTILES_BY_NATION_SQL,
         # --- Round-9 batch 5.
         "embedding_sparsity_audit": S.EMBEDDING_SPARSITY_AUDIT_SQL,
         "source_quality_profile": T.SOURCE_QUALITY_PROFILE_SQL,

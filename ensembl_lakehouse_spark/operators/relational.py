@@ -4993,3 +4993,227 @@ SELECT volume_band, n_users, n_events,
 FROM banded
 ORDER BY volume_band
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 9 batch 6: first-touch cohorts, first-week monetization, peak hours
+# ---------------------------------------------------------------------------
+
+
+def events_retention_by_first_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does the FIRST thing a user does predict whether they come
+    back? Users are cohorted by their first event's type (ties on
+    the first timestamp broken by event_id, so the cohort assignment
+    is deterministic in both engines); per first-type cohort: cohort
+    size and the share still active in the NEXT epoch week (bp).
+    user_retention_curve answers "when do they leave"; this answers
+    "which entry point keeps them".
+
+    Plan (100 TB): one user-partitioned row_number window finds each
+    user's first event (user-keyed, never global); activity
+    collapses to the distinct (user, week) lattice map-side; the
+    week-1 join is user-keyed; final agg is ≤|types| rows."""
+    events = load_table(spark, sf_dir, "events")
+    first = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.expr(
+                "CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT)"
+            ).alias("w0"),
+            F.expr(
+                "row_number() OVER (PARTITION BY user_id "
+                "ORDER BY ts, event_id)"
+            ).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"), "w0")
+    )
+    uw = events.select(
+        "user_id",
+        F.expr(
+            "CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT)"
+        ).alias("week"),
+    ).distinct()
+    week1 = first.join(
+        uw,
+        (first["user_id"] == uw["user_id"])
+        & (uw["week"] == first["w0"] + 1),
+        "left",
+    ).select(
+        "first_type",
+        F.when(uw["week"].isNotNull(), 1).otherwise(0).alias("retained"),
+    )
+    return (
+        week1.groupBy("first_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cohort_users"),
+            F.sum("retained").cast("long").alias("retained_week1"),
+        )
+        .withColumn(
+            "retention_bp",
+            F.expr("(retained_week1 * 10000) DIV cohort_users"),
+        )
+        .orderBy("first_type")
+    )
+
+
+EVENTS_RETENTION_BY_FIRST_TYPE_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w0,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), first AS (
+  SELECT user_id, event_type AS first_type, w0 FROM ranked WHERE rn = 1
+), uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+), week1 AS (
+  SELECT f.first_type,
+         CASE WHEN u.user_id IS NULL THEN 0 ELSE 1 END AS retained
+  FROM first f
+  LEFT JOIN uw u ON u.user_id = f.user_id AND u.week = f.w0 + 1
+)
+SELECT first_type,
+       CAST(COUNT(*) AS BIGINT) AS cohort_users,
+       CAST(SUM(retained) AS BIGINT) AS retained_week1,
+       (CAST(SUM(retained) AS BIGINT) * 10000) //
+         CAST(COUNT(*) AS BIGINT) AS retention_bp
+FROM week1
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def user_first_day_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation-day monetization by signup cohort: per first-active
+    epoch day, the cohort size, the value (cents) those users
+    generated on that FIRST day, and the per-user average (cents,
+    integer DIV) — the activation-quality series at the granularity
+    onboarding changes actually ship. A cohort whose day-0 value
+    sinks while signups grow is buying the wrong users.
+    customer_ltv_cohorts tracks revenue over a customer's whole
+    life; this isolates the first-session window.
+
+    Plan (100 TB): per-(user, day) partial agg (map-side), then a
+    user-keyed min-window to tag the first day — both exchanges are
+    user-keyed; final agg is ≤|days| rows."""
+    events = load_table(spark, sf_dir, "events")
+    per_ud = events.select(
+        "user_id",
+        F.expr(
+            "CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)"
+        ).alias("day"),
+        F.expr(
+            "CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    ).groupBy("user_id", "day").agg(F.sum("cents").alias("ud_cents"))
+    first_day = per_ud.withColumn(
+        "d0", F.expr("MIN(day) OVER (PARTITION BY user_id)")
+    ).where(F.col("day") == F.col("d0"))
+    return (
+        first_day.groupBy(F.col("d0").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cohort_users"),
+            F.sum("ud_cents").cast("long").alias("first_day_cents"),
+        )
+        .withColumn(
+            "per_user_cents",
+            F.expr("first_day_cents DIV cohort_users"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+USER_FIRST_DAY_VALUE_SQL = """
+WITH per_ud AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         SUM(CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+           AS ud_cents
+  FROM events GROUP BY 1, 2
+), first_day AS (
+  SELECT *, MIN(day) OVER (PARTITION BY user_id) AS d0 FROM per_ud
+)
+SELECT d0 AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS cohort_users,
+       CAST(SUM(ud_cents) AS BIGINT) AS first_day_cents,
+       CAST(SUM(ud_cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+         AS per_user_cents
+FROM first_day
+WHERE day = d0
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def events_peak_hour_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the peak UTC hour (ties broken toward the
+    earliest hour — deterministic in both engines), its event count,
+    and the peak hour's share of the type's traffic (bp). A type
+    whose peak share dwarfs 1/24 ≈ 417 bp is schedule-driven
+    (batch jobs, digests) rather than organic — the capacity team
+    reads this before sizing for "average" load.
+
+    Plan (100 TB): one (type, hour) partial agg to a ≤|types|×24
+    grid; the rank window and share run on that grid, never on raw
+    events."""
+    events = load_table(spark, sf_dir, "events")
+    grid = events.select(
+        "event_type", F.hour("ts").alias("hour")
+    ).groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    ranked = grid.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY n_events DESC, hour)"
+        ).alias("rk"),
+        F.expr(
+            "SUM(n_events) OVER (PARTITION BY event_type)"
+        ).alias("total"),
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("peak_hour"),
+            F.col("n_events").cast("long").alias("peak_events"),
+            F.col("total").cast("long").alias("total_events"),
+            F.expr(
+                "CAST((n_events * 10000) DIV total AS BIGINT)"
+            ).alias("peak_share_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PEAK_HOUR_SHARE_SQL = """
+WITH grid AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hour,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, hour, n_events,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY n_events DESC, hour) AS rk,
+         SUM(n_events) OVER (PARTITION BY event_type) AS total
+  FROM grid
+)
+SELECT event_type,
+       hour AS peak_hour,
+       CAST(n_events AS BIGINT) AS peak_events,
+       CAST(total AS BIGINT) AS total_events,
+       CAST((n_events * 10000) // total AS BIGINT) AS peak_share_bp
+FROM ranked
+WHERE rk = 1
+ORDER BY event_type
+"""

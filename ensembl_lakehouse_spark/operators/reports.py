@@ -4332,3 +4332,544 @@ SELECT n_name, o_orderpriority, n_orders,
 FROM agg
 ORDER BY n_name, o_orderpriority
 """
+
+
+def order_line_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-composition skew: how much of each order's value sits
+    in its single biggest line. Per dominance band (top line's share
+    of order revenue, 0-9 = deciles, 10 = single-line orders at
+    exactly 100%), the order count and average order width (×100).
+    A corpus of one-line orders batches differently than balanced
+    baskets — this is the picking/packing shape report behind
+    order_width_histogram (reference surface: ad-hoc SQL over the
+    lakehouse, app/main.py:479).
+
+    Exactness: per-line discounted revenue in BIGINT cents before
+    any SUM, share and width by integer DIV.
+
+    Plan (100 TB): one l_orderkey-keyed partial agg (map-side
+    combine; the only fact-proportional exchange), then a ≤11-row
+    band agg — never a window over raw lines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("cents").alias("total_cents"),
+        F.max("cents").alias("top_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        per_order.where(F.col("total_cents") > 0)
+        .select(
+            F.expr(
+                "CAST(((top_cents * 10000) DIV total_cents) DIV 1000 "
+                "AS BIGINT)"
+            ).alias("dominance_band"),
+            "n_lines",
+        )
+        .groupBy("dominance_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr(
+                "CAST((SUM(n_lines) * 100) DIV COUNT(*) AS BIGINT)"
+            ).alias("avg_width_x100"),
+        )
+        .orderBy("dominance_band")
+    )
+
+
+ORDER_LINE_DOMINANCE_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100
+           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM lineitem
+), per_order AS (
+  SELECT l_orderkey, SUM(cents) AS total_cents, MAX(cents) AS top_cents,
+         COUNT(*) AS n_lines
+  FROM li GROUP BY 1
+)
+SELECT CAST(((top_cents * 10000) // total_cents) // 1000 AS BIGINT)
+         AS dominance_band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST((SUM(n_lines) * 100) // COUNT(*) AS BIGINT) AS avg_width_x100
+FROM per_order
+WHERE total_cents > 0
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def customer_nation_mix_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-book composition: per (nation, market segment), the
+    customer count, balance book in cents, and the segment's share
+    of the nation's customers (bp) — the account-planning view of
+    where each segment is over/under-weighted geographically.
+
+    Plan (100 TB): one (nationkey, segment)-keyed partial agg to a
+    ≤|nations|×|segments| grid, nation dim broadcast, share over a
+    |nation|-partitioned window on the tiny grid."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("bal_cents"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    agg = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("bal_cents").cast("long").alias("balance_cents"),
+    )
+    return (
+        agg.join(F.broadcast(nation), "c_nationkey")
+        .withColumn(
+            "nation_share_bp",
+            F.expr(
+                "(n_customers * 10000) DIV "
+                "(SUM(n_customers) OVER (PARTITION BY n_name))"
+            ),
+        )
+        .select(
+            "n_name", "c_mktsegment", "n_customers", "balance_cents",
+            "nation_share_bp",
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+CUSTOMER_NATION_MIX_SHARE_SQL = """
+WITH agg AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE))
+           AS BIGINT)) AS BIGINT) AS balance_cents
+  FROM customer GROUP BY 1, 2
+)
+SELECT n_name, c_mktsegment, n_customers, balance_cents,
+       (n_customers * 10000) //
+         CAST(SUM(n_customers) OVER (PARTITION BY n_name) AS BIGINT)
+         AS nation_share_bp
+FROM agg JOIN nation ON n_nationkey = c_nationkey
+ORDER BY n_name, c_mktsegment
+"""
+
+
+def monthly_revenue_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-year revenue dispersion without transcendentals: per
+    order year, the number of active months, best and worst month
+    (cents), and the peak-to-trough range as a share of the year's
+    total (bp) — the seasonality-amplitude card seasonal_index
+    normalizes away. A widening range year-over-year means capacity
+    planning can't use flat staffing.
+
+    Plan (100 TB): month partial agg (the only fact-proportional
+    exchange) → ≤12-rows-per-year agg."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    monthly = orders.groupBy("year", "month").agg(
+        F.sum("cents").alias("m_cents")
+    )
+    return (
+        monthly.groupBy("year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            F.min("m_cents").cast("long").alias("worst_month_cents"),
+            F.max("m_cents").cast("long").alias("best_month_cents"),
+            F.sum("m_cents").cast("long").alias("year_cents"),
+        )
+        .withColumn(
+            "range_share_bp",
+            F.expr(
+                "((best_month_cents - worst_month_cents) * 10000) "
+                "DIV year_cents"
+            ),
+        )
+        .orderBy("year")
+    )
+
+
+MONTHLY_REVENUE_RANGE_SQL = """
+WITH monthly AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS year,
+         EXTRACT(month FROM o_orderdate) AS month,
+         SUM(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+           AS BIGINT)) AS m_cents
+  FROM orders GROUP BY 1, 2
+), yearly AS (
+  SELECT year, CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(MIN(m_cents) AS BIGINT) AS worst_month_cents,
+         CAST(MAX(m_cents) AS BIGINT) AS best_month_cents,
+         CAST(SUM(m_cents) AS BIGINT) AS year_cents
+  FROM monthly GROUP BY 1
+)
+SELECT year, n_months, worst_month_cents, best_month_cents, year_cents,
+       ((best_month_cents - worst_month_cents) * 10000) // year_cents
+         AS range_share_bp
+FROM yearly
+ORDER BY year
+"""
+
+
+def region_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue mix by region × market segment: order count, revenue
+    cents, and the segment's share of its region's revenue (bp) —
+    the territory-planning cut one level above
+    customer_nation_mix_share's customer counts.
+
+    Plan (100 TB): orders⋈customer is the one fact-scale shuffle
+    (both sides keyed on custkey); nation and region dims broadcast;
+    the share window runs on the ≤|regions|×|segments| grid."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey",
+        "c_mktsegment",
+    )
+    geo = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nationkey"), "r_name")
+    )
+    agg = (
+        orders.join(cust, "o_custkey")
+        .join(F.broadcast(geo), "c_nationkey")
+        .groupBy("r_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    return (
+        agg.withColumn(
+            "region_share_bp",
+            F.expr(
+                "(revenue_cents * 10000) DIV "
+                "(SUM(revenue_cents) OVER (PARTITION BY r_name))"
+            ),
+        )
+        .orderBy("r_name", "c_mktsegment")
+    )
+
+
+REGION_SEGMENT_SHARE_SQL = """
+WITH agg AS (
+  SELECT r_name, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+           AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, c_mktsegment, n_orders, revenue_cents,
+       (revenue_cents * 10000) //
+         CAST(SUM(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT)
+         AS region_share_bp
+FROM agg
+ORDER BY r_name, c_mktsegment
+"""
+
+
+def order_gap_bands_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-cycle distribution: the gap in days between a
+    customer's consecutive orders, banded (0-7 / 8-30 / 31-90 /
+    91-365 / 365+), split by market segment — customer_order_cadence
+    reports the mean; the BANDS say whether the mean hides a bimodal
+    mix of subscribers and one-off buyers.
+
+    Determinism: gaps ordered by (o_orderdate, o_orderkey) so ties
+    on the date are broken by the unique key identically in both
+    engines; day arithmetic on DATE casts.
+
+    Plan (100 TB): the lag window is partitioned per customer (the
+    natural key, never global), one orders⋈customer shuffle, then a
+    ≤|segments|×5 band agg."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.expr("CAST(o_orderdate AS DATE)").alias("od"),
+    )
+    gaps = orders.select(
+        "o_custkey",
+        F.expr(
+            "datediff(od, lag(od) OVER (PARTITION BY o_custkey "
+            "ORDER BY od, o_orderkey))"
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    banded = gaps.join(cust, "o_custkey").select(
+        "c_mktsegment",
+        F.expr(
+            "CASE WHEN gap_days <= 7 THEN '0-7' "
+            "WHEN gap_days <= 30 THEN '08-30' "
+            "WHEN gap_days <= 90 THEN '31-90' "
+            "WHEN gap_days <= 365 THEN '91-365' "
+            "ELSE '365+' END"
+        ).alias("gap_band"),
+        "gap_days",
+    )
+    return (
+        banded.groupBy("c_mktsegment", "gap_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.expr(
+                "CAST((SUM(gap_days) * 100) DIV COUNT(*) AS BIGINT)"
+            ).alias("avg_gap_days_x100"),
+        )
+        .orderBy("c_mktsegment", "gap_band")
+    )
+
+
+ORDER_GAP_BANDS_BY_SEGMENT_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+           lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+), banded AS (
+  SELECT c_mktsegment,
+         CASE WHEN gap_days <= 7 THEN '0-7'
+              WHEN gap_days <= 30 THEN '08-30'
+              WHEN gap_days <= 90 THEN '31-90'
+              WHEN gap_days <= 365 THEN '91-365'
+              ELSE '365+' END AS gap_band,
+         gap_days
+  FROM gaps JOIN customer ON c_custkey = o_custkey
+  WHERE gap_days IS NOT NULL
+)
+SELECT c_mktsegment, gap_band,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST((SUM(gap_days) * 100) // COUNT(*) AS BIGINT)
+         AS avg_gap_days_x100
+FROM banded
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def top_customer_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-account concentration: per nation, the active customer
+    count, total order revenue (cents), the single biggest
+    customer's revenue, and that top account's share (bp) — the
+    "how exposed is this territory to one logo" risk card.
+    revenue_concentration counts heads to reach 50/80/95%; this
+    names the sharper single-account statistic per geography.
+
+    Plan (100 TB): custkey partial agg (fact-proportional), one
+    orders⋈customer shuffle, nation dim broadcast, ≤|nations| final
+    agg — max and sum compose in the same pass."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("cents").alias("cust_cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        per_cust.join(cust, "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_customers"),
+            F.sum("cust_cents").cast("long").alias("revenue_cents"),
+            F.max("cust_cents").cast("long").alias("top_customer_cents"),
+        )
+        .withColumn(
+            "top1_share_bp",
+            F.expr("(top_customer_cents * 10000) DIV revenue_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+TOP_CUSTOMER_SHARE_BY_NATION_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+           AS BIGINT)) AS cust_cents
+  FROM orders GROUP BY 1
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS active_customers,
+       CAST(SUM(cust_cents) AS BIGINT) AS revenue_cents,
+       CAST(MAX(cust_cents) AS BIGINT) AS top_customer_cents,
+       (CAST(MAX(cust_cents) AS BIGINT) * 10000) //
+         CAST(SUM(cust_cents) AS BIGINT) AS top1_share_bp
+FROM per_cust
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def orders_quarter_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue growth (bp): per calendar
+    quarter, order count, revenue cents, and QoQ growth as the floor
+    of the double ratio (the weekly_active_users signed-growth
+    contract — floor matches across engines on negative growth where
+    truncating DIV would not). revenue_yoy answers the annual
+    question; the quarterly series is what a board deck actually
+    plots.
+
+    Plan (100 TB): one quarter partial agg (fact-proportional), lag
+    window over the ≤|quarters| series."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "year(o_orderdate) * 10 + quarter(o_orderdate)"
+        ).alias("yq"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    quarterly = (
+        orders.groupBy("yq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .withColumn(
+            "prev_cents",
+            F.expr("lag(revenue_cents) OVER (ORDER BY yq)"),
+        )
+    )
+    return quarterly.select(
+        "yq",
+        "n_orders",
+        "revenue_cents",
+        F.expr(
+            "CASE WHEN prev_cents IS NULL THEN NULL ELSE "
+            "CAST(floor((revenue_cents - prev_cents) * "
+            "CAST(10000 AS DOUBLE) / prev_cents) AS BIGINT) END"
+        ).alias("qoq_bp"),
+    ).orderBy("yq")
+
+
+ORDERS_QUARTER_GROWTH_SQL = """
+WITH quarterly AS (
+  SELECT EXTRACT(year FROM o_orderdate) * 10
+           + EXTRACT(quarter FROM o_orderdate) AS yq,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+           AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT yq, n_orders, revenue_cents,
+         lag(revenue_cents) OVER (ORDER BY yq) AS prev_cents
+  FROM quarterly
+)
+SELECT yq, n_orders, revenue_cents,
+       CASE WHEN prev_cents IS NULL THEN NULL ELSE
+         CAST(floor((revenue_cents - prev_cents)
+           * CAST(10000 AS DOUBLE) / prev_cents) AS BIGINT) END AS qoq_bp
+FROM lagged
+ORDER BY yq
+"""
+
+
+def supplier_balance_quartiles_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supply-side credit health by geography: per nation, exact
+    quartiles of supplier account balances (cents) and the IQR —
+    the supplier-book twin of events_type_value_quartiles' per-type
+    card, using the same ×4/×2 fixed-point interpolated-percentile
+    contract so every quartile is integral in both engines.
+
+    Plan (100 TB): map-only cents projection → ONE ≤|nations|-row
+    percentile aggregate, nation dim broadcast after the agg."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        F.expr(
+            "CAST(floor(s_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    agg = sup.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.expr(
+            "CAST(percentile(cents * 4, CAST(0.25 AS DOUBLE)) AS BIGINT)"
+        ).alias("q1_x4"),
+        F.expr(
+            "CAST(percentile(cents * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("med_x2"),
+        F.expr(
+            "CAST(percentile(cents * 4, CAST(0.75 AS DOUBLE)) AS BIGINT)"
+        ).alias("q3_x4"),
+    )
+    return (
+        agg.join(F.broadcast(nation), "s_nationkey")
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.expr("q1_x4 DIV 4").alias("q1_cents"),
+            F.expr("med_x2 DIV 2").alias("median_cents"),
+            F.expr("q3_x4 DIV 4").alias("q3_cents"),
+            F.expr("(q3_x4 - q1_x4) DIV 4").alias("iqr_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SUPPLIER_BALANCE_QUARTILES_BY_NATION_SQL = """
+WITH cents AS (
+  SELECT s_nationkey,
+         CAST(floor(s_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM supplier
+), q AS (
+  SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(quantile_cont(cents * 4, CAST(0.25 AS DOUBLE)) AS BIGINT)
+           AS q1_x4,
+         CAST(quantile_cont(cents * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS med_x2,
+         CAST(quantile_cont(cents * 4, CAST(0.75 AS DOUBLE)) AS BIGINT)
+           AS q3_x4
+  FROM cents GROUP BY 1
+)
+SELECT n_name, n_suppliers,
+       q1_x4 // 4 AS q1_cents,
+       med_x2 // 2 AS median_cents,
+       q3_x4 // 4 AS q3_cents,
+       (q3_x4 - q1_x4) // 4 AS iqr_cents
+FROM q JOIN nation ON n_nationkey = s_nationkey
+ORDER BY n_name
+"""

@@ -16,6 +16,17 @@ from tests.conftest import SF_DIR
 #: query -> (max hash shuffles, require zero shuffles?)
 BUDGETS = {
     # --- Round 9 (probed at sf0.001, pinned at the observed count)
+    "events_retention_by_first_type": 3,
+    "user_first_day_value": 3,
+    "events_peak_hour_share": 2,
+    "order_line_dominance": 2,
+    "customer_nation_mix_share": 2,
+    "monthly_revenue_range": 2,
+    "region_segment_share": 2,
+    "order_gap_bands_by_segment": 2,
+    "top_customer_share_by_nation": 2,
+    "orders_quarter_growth": 1,
+    "supplier_balance_quartiles_by_nation": 1,
     "embedding_sparsity_audit": 1,
     "source_quality_profile": 1,
     "orders_priority_value_profile": 1,
