@@ -57,6 +57,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out of the window).
         # --- Round-9 batch 6: order composition, geography mix,
         # growth series, supplier credit quartiles.
+        "text_word_length_profile": T.text_word_length_profile,
+        "vocab_frequency_spectrum": T.vocab_frequency_spectrum,
+        "boilerplate_suffix_rate": T.boilerplate_suffix_rate,
+        "quality_length_matrix": T.quality_length_matrix,
+        "embedding_norm_label_matrix": S.embedding_norm_label_matrix,
         "events_retention_by_first_type": R.events_retention_by_first_type,
         "user_first_day_value": R.user_first_day_value,
         "events_peak_hour_share": R.events_peak_hour_share,
@@ -401,6 +406,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         # --- Round-9 batch 6.
+        "text_word_length_profile": T.TEXT_WORD_LENGTH_PROFILE_SQL,
+        "vocab_frequency_spectrum": T.VOCAB_FREQUENCY_SPECTRUM_SQL,
+        "boilerplate_suffix_rate": T.BOILERPLATE_SUFFIX_RATE_SQL,
+        "quality_length_matrix": T.QUALITY_LENGTH_MATRIX_SQL,
+        "embedding_norm_label_matrix": S.EMBEDDING_NORM_LABEL_MATRIX_SQL,
         "events_retention_by_first_type":
             R.EVENTS_RETENTION_BY_FIRST_TYPE_SQL,
         "user_first_day_value": R.USER_FIRST_DAY_VALUE_SQL,

@@ -1780,3 +1780,68 @@ ORDER BY zero_band
 
 
 EMBEDDING_SPARSITY_AUDIT_SQL = _embedding_sparsity_audit_sql()
+
+
+def embedding_norm_label_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm distribution per label: vectors cross-tabbed by (label,
+    L2-norm band of width 0.25, capped at band 12) with each band's
+    share of its label (bp) and the band's norm extremes —
+    embedding_norm_audit's one-row health card, resolved per class.
+    A label whose norm mass sits in a different band than the rest
+    was embedded by a different model revision or normalization
+    path; cosine retrieval quietly favors/punishes it.
+
+    The norm reuses _norm_expr's exact subtree (identical sqrt in
+    both engines), so banding by floor is stable cross-engine.
+
+    Plan (100 TB): map-only per-vector norm → one ≤|labels|×13-cell
+    agg; the share window runs on that grid."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr(_norm_expr("embedding")).alias("nrm"),
+    )
+    banded = emb.select(
+        "label",
+        F.expr(
+            "CAST(least(floor(nrm * 4), 12) AS BIGINT)"
+        ).alias("norm_band"),
+        "nrm",
+    )
+    grid = banded.groupBy("label", "norm_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+    return (
+        grid.withColumn(
+            "label_share_bp",
+            F.expr(
+                "(n_vectors * 10000) DIV "
+                "(SUM(n_vectors) OVER (PARTITION BY label))"
+            ),
+        )
+        .orderBy("label", "norm_band")
+    )
+
+
+EMBEDDING_NORM_LABEL_MATRIX_SQL = f"""
+WITH emb AS (
+  SELECT label, {sql_norm("embedding")} AS nrm
+  FROM embeddings
+), banded AS (
+  SELECT label,
+         CAST(least(floor(nrm * 4), 12) AS BIGINT) AS norm_band, nrm
+  FROM emb
+), grid AS (
+  SELECT label, norm_band,
+         CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+  FROM banded GROUP BY 1, 2
+)
+SELECT label, norm_band, n_vectors, min_norm, max_norm,
+       (n_vectors * 10000) //
+         CAST(SUM(n_vectors) OVER (PARTITION BY label) AS BIGINT)
+         AS label_share_bp
+FROM grid
+ORDER BY label, norm_band
+"""

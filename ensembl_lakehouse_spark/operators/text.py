@@ -2549,3 +2549,273 @@ SELECT source, n_docs, n_keep,
 FROM agg
 ORDER BY source
 """
+
+
+def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token-length spectrum: per token length (capped
+    at 15+), occurrence count, share of all tokens (bp), and the
+    distinct vocabulary at that length — the tokenizer-budget
+    companion to doc_token_length_profile's per-source medians. A
+    corpus whose mass sits at length 1-2 is symbol soup; a fat 15+
+    tail means URLs/code that a word-level tokenizer will shatter.
+
+    Plan (100 TB): the token explode is map-side; everything after
+    is a (length, token) partial agg collapsing to ≤15 rows — never
+    a corpus-wide sort."""
+    docs = _docs_with_tokens(spark, sf_dir)
+    toks = docs.select(F.explode("toks").alias("tok")).select(
+        F.expr("CAST(least(length(tok), 15) AS BIGINT)").alias("tok_len"),
+        "tok",
+    )
+    per_len = toks.groupBy("tok_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("vocab"),
+    )
+    return (
+        per_len.withColumn(
+            "share_bp",
+            F.expr("(n_tokens * 10000) DIV (SUM(n_tokens) OVER ())"),
+        )
+        .orderBy("tok_len")
+    )
+
+
+TEXT_WORD_LENGTH_PROFILE_SQL = f"""
+{_SQL_PREP}, toks AS (
+  SELECT CAST(least(length(tok), 15) AS BIGINT) AS tok_len, tok
+  FROM t, unnest(toks) AS u(tok)
+), per_len AS (
+  SELECT tok_len, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+  FROM toks GROUP BY 1
+)
+SELECT tok_len, n_tokens, vocab,
+       (n_tokens * 10000) // CAST(SUM(n_tokens) OVER () AS BIGINT)
+         AS share_bp
+FROM per_len
+ORDER BY tok_len
+"""
+
+
+def vocab_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies (the Good–Turing input) per source:
+    how many distinct terms occur exactly once, twice, ... five
+    times, or 6+ — the vocabulary-health spectrum behind
+    text_hapax_ratio's single number. A healthy natural-language
+    source shows the Zipf-ish monotone decay; a spectrum spiked at
+    one deep class is template text repeating a fixed vocabulary.
+
+    Plan (100 TB): (source, term) partial agg (the explode is the
+    only corpus-proportional stage), then a ≤|sources|×6 class agg;
+    the share window runs on that grid."""
+    docs = _docs_with_tokens(spark, sf_dir)
+    tf = (
+        docs.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spectrum = tf.select(
+        "source",
+        F.expr(
+            "CASE WHEN n <= 5 THEN CAST(n AS BIGINT) "
+            "ELSE CAST(6 AS BIGINT) END"
+        ).alias("freq_class"),
+    ).groupBy("source", "freq_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    return (
+        spectrum.withColumn(
+            "vocab_share_bp",
+            F.expr(
+                "(n_terms * 10000) DIV "
+                "(SUM(n_terms) OVER (PARTITION BY source))"
+            ),
+        )
+        .orderBy("source", "freq_class")
+    )
+
+
+VOCAB_FREQUENCY_SPECTRUM_SQL = """
+WITH d AS (
+  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT source, tok, COUNT(*) AS n
+  FROM d, unnest(toks) AS u(tok)
+  GROUP BY 1, 2
+), spectrum AS (
+  SELECT source,
+         CASE WHEN n <= 5 THEN CAST(n AS BIGINT)
+              ELSE CAST(6 AS BIGINT) END AS freq_class,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM tf GROUP BY 1, 2
+)
+SELECT source, freq_class, n_terms,
+       (n_terms * 10000) //
+         CAST(SUM(n_terms) OVER (PARTITION BY source) AS BIGINT)
+         AS vocab_share_bp
+FROM spectrum
+ORDER BY source, freq_class
+"""
+
+
+def boilerplate_suffix_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-FOOTER screen: the suffix twin of
+    boilerplate_prefix_rate — per source, the share of documents
+    whose LAST BP_PREFIX_LEN characters are shared by at least
+    BP_MIN_SHARED documents of that source. Scraped corpora carry
+    footers (copyright lines, "subscribe" blocks) as often as
+    headers, and a prefix screen alone passes them straight into
+    training.
+
+    Exact and scale-safe: one (source, suffix) agg — never a
+    pairwise comparison; the suffix lattice is corpus-bounded."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    suf = docs.select(
+        "source",
+        F.expr(f"right(trim(text), {BP_PREFIX_LEN})").alias("suffix"),
+    )
+    groups = suf.groupBy("source", "suffix").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_suffixes"),
+            F.sum(
+                F.when(
+                    F.col("n") >= BP_MIN_SHARED, F.col("n")
+                ).otherwise(0)
+            ).cast("long").alias("boilerplate_docs"),
+        )
+        .withColumn(
+            "boilerplate_bp",
+            F.expr("(boilerplate_docs * 10000) DIV n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+BOILERPLATE_SUFFIX_RATE_SQL = f"""
+WITH suf AS (
+  SELECT source, right(trim(text), {BP_PREFIX_LEN}) AS suffix
+  FROM documents WHERE length(trim(text)) > 0
+), groups AS (
+  SELECT source, suffix, CAST(COUNT(*) AS BIGINT) AS n
+  FROM suf GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_suffixes,
+       CAST(SUM(CASE WHEN n >= {BP_MIN_SHARED} THEN n ELSE 0 END)
+         AS BIGINT) AS boilerplate_docs,
+       (CAST(SUM(CASE WHEN n >= {BP_MIN_SHARED} THEN n ELSE 0 END)
+         AS BIGINT) * 10000) // CAST(SUM(n) AS BIGINT) AS boilerplate_bp
+FROM groups
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def quality_length_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-policy grid: documents cross-tabbed by quality-score
+    band (text_quality's exact composite, floored to tenths) ×
+    token-length band — the two axes every keep/drop rule actually
+    trades off. text_quality scores one document at a time; this
+    shows WHERE the corpus mass sits, so a threshold change can be
+    priced (how many docs move) before it ships.
+
+    The score reuses text_quality's exact left-associated composite
+    (bit-identical cross-engine), so banding by floor is stable —
+    no document can land in different bands on the two engines.
+
+    Plan (100 TB): map-only per-doc scoring → one ≤10×5-cell agg."""
+    stop_quoted = ", ".join(f"'{s}'" for s in STOPWORDS)
+    df = _docs_with_tokens(spark, sf_dir)
+    scored = df.select(
+        F.size("toks").alias("n_tokens"),
+        (
+            (
+                F.expr(
+                    f"size(filter(toks, x -> x IN ({stop_quoted})))"
+                ).cast("double")
+                / F.size("toks")
+            )
+            * 0.25
+            + (
+                F.size(F.array_distinct("toks")).cast("double")
+                / F.size("toks")
+            )
+            * 0.25
+            + (
+                F.lit(1.0)
+                - (
+                    F.length("text")
+                    - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+                ).cast("double")
+                / F.length("text")
+            )
+            * 0.25
+            + (F.least(F.size("toks"), F.lit(100)).cast("double") / F.lit(100.0))
+            * 0.25
+        ).alias("quality_score"),
+    )
+    banded = scored.select(
+        F.expr(
+            "CAST(least(floor(quality_score * 10), 9) AS BIGINT)"
+        ).alias("score_band"),
+        F.expr(
+            "CASE WHEN n_tokens <= 10 THEN '000-010' "
+            "WHEN n_tokens <= 30 THEN '011-030' "
+            "WHEN n_tokens <= 100 THEN '031-100' "
+            "WHEN n_tokens <= 300 THEN '101-300' "
+            "ELSE '300+' END"
+        ).alias("len_band"),
+        F.expr(
+            "CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END"
+        ).alias("keep"),
+    )
+    return (
+        banded.groupBy("score_band", "len_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+        )
+        .orderBy("score_band", "len_band")
+    )
+
+
+QUALITY_LENGTH_MATRIX_SQL = f"""
+{_SQL_PREP},
+r AS (SELECT
+  len(toks) AS n_tokens,
+  CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{s}'" for s in STOPWORDS)}))) AS DOUBLE) / len(toks) AS stop_ratio,
+  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+  CAST(least(len(toks), 100) AS DOUBLE) / 100.0 AS len_norm
+  FROM t),
+scored AS (
+  SELECT n_tokens,
+         ((((stop_ratio * 0.25) + (distinct_ratio * 0.25))
+           + ((1.0 - punct_ratio) * 0.25)) + (len_norm * 0.25))
+           AS quality_score
+  FROM r),
+banded AS (
+  SELECT CAST(least(floor(quality_score * 10), 9) AS BIGINT) AS score_band,
+         CASE WHEN n_tokens <= 10 THEN '000-010'
+              WHEN n_tokens <= 30 THEN '011-030'
+              WHEN n_tokens <= 100 THEN '031-100'
+              WHEN n_tokens <= 300 THEN '101-300'
+              ELSE '300+' END AS len_band,
+         CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS keep
+  FROM scored)
+SELECT score_band, len_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_keep
+FROM banded
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -16,6 +16,11 @@ from tests.conftest import SF_DIR
 #: query -> (max hash shuffles, require zero shuffles?)
 BUDGETS = {
     # --- Round 9 (probed at sf0.001, pinned at the observed count)
+    "text_word_length_profile": 2,
+    "vocab_frequency_spectrum": 3,
+    "boilerplate_suffix_rate": 2,
+    "quality_length_matrix": 1,
+    "embedding_norm_label_matrix": 2,
     "events_retention_by_first_type": 3,
     "user_first_day_value": 3,
     "events_peak_hour_share": 2,

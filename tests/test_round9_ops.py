@@ -143,3 +143,88 @@ def test_peak_hour_share_is_the_max_hour(spark):
         assert (r.peak_hour, r.peak_events) == best[r.event_type]
         # a uniform 24h profile floors at 416 bp
         assert r.peak_share_bp >= 416
+
+
+def test_word_length_profile_conserves_tokens(spark):
+    from ensembl_lakehouse_spark.operators import text as T
+
+    rows = T.text_word_length_profile(spark, SF_DIR).collect()
+    total = _scalar(
+        f"SELECT SUM(len(string_split_regex(trim(text), '\\s+'))) "
+        f"FROM '{SF_DIR}/documents.parquet' WHERE length(trim(text)) > 0"
+    )
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        assert 1 <= r.tok_len <= 15
+        assert r.vocab <= r.n_tokens
+
+
+def test_vocab_spectrum_sums_to_vocab(spark):
+    from ensembl_lakehouse_spark.operators import text as T
+
+    rows = T.vocab_frequency_spectrum(spark, SF_DIR).collect()
+    by_source: dict = {}
+    for r in rows:
+        assert 1 <= r.freq_class <= 6
+        by_source[r.source] = by_source.get(r.source, 0) + r.n_terms
+    vocab = dict(
+        duckdb.sql(
+            f"SELECT source, COUNT(DISTINCT tok) FROM ("
+            f"SELECT source, unnest(string_split_regex(trim(text), '\\s+'))"
+            f" AS tok FROM '{SF_DIR}/documents.parquet'"
+            f" WHERE length(trim(text)) > 0) GROUP BY 1"
+        ).fetchall()
+    )
+    assert by_source == vocab
+
+
+def test_boilerplate_suffix_counts_docs_once(spark):
+    from ensembl_lakehouse_spark.operators import text as T
+
+    rows = T.boilerplate_suffix_rate(spark, SF_DIR).collect()
+    n_docs = _scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet' "
+        f"WHERE length(trim(text)) > 0"
+    )
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.boilerplate_docs <= r.n_docs
+        assert r.n_suffixes <= r.n_docs
+
+
+def test_quality_length_matrix_matches_text_quality(spark):
+    """The matrix's keep counts must reconstruct text_quality's
+    verdicts exactly — same composite, same threshold."""
+    from ensembl_lakehouse_spark.operators import text as T
+
+    rows = T.quality_length_matrix(spark, SF_DIR).collect()
+    keeps = sum(r.n_keep for r in rows)
+    verdicts = (
+        T.text_quality(spark, SF_DIR)
+        .where("verdict = 'keep'")
+        .count()
+    )
+    assert keeps == verdicts
+    for r in rows:
+        assert 0 <= r.score_band <= 9
+        assert 0 <= r.n_keep <= r.n_docs
+        # score >= 0.5 iff band >= 5: bands 0-4 keep nothing,
+        # bands 5-9 keep everything
+        if r.score_band <= 4:
+            assert r.n_keep == 0
+        else:
+            assert r.n_keep == r.n_docs
+
+
+def test_norm_label_matrix_shares(spark):
+    from ensembl_lakehouse_spark.operators import similarity as S
+
+    rows = S.embedding_norm_label_matrix(spark, SF_DIR).collect()
+    n_vecs = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'")
+    assert sum(r.n_vectors for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r.norm_band <= 12
+        assert r.min_norm <= r.max_norm
+        # band edges: min/max norms live inside the band (cap at 12)
+        if r.norm_band < 12:
+            assert r.norm_band <= r.min_norm * 4 < r.norm_band + 1
