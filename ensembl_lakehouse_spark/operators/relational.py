@@ -5217,3 +5217,189 @@ FROM ranked
 WHERE rk = 1
 ORDER BY event_type
 """
+
+
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion: sessions (the events_sessionize
+    30-minute gap-and-island contract, same deterministic
+    tie-breaks) banded by depth (1 / 2-4 / 5-9 / 10+ events), with
+    the share containing a 'purchase' (bp) per band — the
+    engagement-to-conversion curve. events_funnel orders steps
+    within a journey; this prices DEPTH: if 10+-event sessions
+    convert no better than 2-4, the extra engagement is wandering,
+    not intent.
+
+    Plan (100 TB): the two session windows share one user_id
+    partitioning (one shuffle), a (user, session) partial agg, then
+    a 4-row band agg."""
+    events = load_table(spark, sf_dir, "events")
+    w = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    wsum = (
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr(
+            f"CASE WHEN lag(ts) OVER {w} IS NULL "
+            f"OR ts - lag(ts) OVER {w} > INTERVAL '30' MINUTE "
+            f"THEN 1 ELSE 0 END"
+        ).alias("is_new"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "event_type",
+        F.expr(f"SUM(is_new) OVER {wsum}").alias("session_num"),
+    )
+    sessions = numbered.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("depth"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    banded = sessions.select(
+        F.expr(
+            "CASE WHEN depth = 1 THEN '01' "
+            "WHEN depth <= 4 THEN '02-04' "
+            "WHEN depth <= 9 THEN '05-09' "
+            "ELSE '10+' END"
+        ).alias("depth_band"),
+        "converted",
+    )
+    return (
+        banded.groupBy("depth_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("converted_sessions"),
+        )
+        .withColumn(
+            "conversion_bp",
+            F.expr("(converted_sessions * 10000) DIV n_sessions"),
+        )
+        .orderBy("depth_band")
+    )
+
+
+SESSION_CONVERSION_RATE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_num
+  FROM marked
+), sessions AS (
+  SELECT user_id, session_num,
+         COUNT(*) AS depth,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM numbered GROUP BY 1, 2
+), banded AS (
+  SELECT CASE WHEN depth = 1 THEN '01'
+              WHEN depth <= 4 THEN '02-04'
+              WHEN depth <= 9 THEN '05-09'
+              ELSE '10+' END AS depth_band,
+         converted
+  FROM sessions
+)
+SELECT depth_band,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS converted_sessions,
+       (CAST(SUM(converted) AS BIGINT) * 10000) //
+         CAST(COUNT(*) AS BIGINT) AS conversion_bp
+FROM banded
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event-type pair: do the same USERS do both? Observed
+    co-users vs the independence expectation |A|·|B|/|U| as a lift
+    in basis points (10000 = independent) — the log-free PMI of
+    audience overlap. events_type_transitions asks what follows
+    what in time; this asks which audiences coincide at all, the
+    cross-sell / cannibalization signal.
+
+    Integer-exact: lift = co·total·10000 DIV (a·b).
+
+    Plan (100 TB): the distinct (user, type) lattice collapses
+    map-side (the only event-proportional stage); the pair self-join
+    is user-keyed over ≤|types| rows per user; all counts are
+    ≤|types|² rows."""
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    totals = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    total = ut.agg(
+        F.countDistinct("user_id").cast("long").alias("n_total")
+    )
+    a = ut.select(F.col("event_type").alias("ta"), "user_id")
+    b = ut.select(F.col("event_type").alias("tb"), "user_id")
+    co = (
+        a.join(b, "user_id")
+        .where("ta < tb")
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_users"))
+    )
+    na = totals.select(
+        F.col("event_type").alias("ta"), F.col("n_users").alias("users_a")
+    )
+    nb = totals.select(
+        F.col("event_type").alias("tb"), F.col("n_users").alias("users_b")
+    )
+    return (
+        co.join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "ta", "tb",
+            F.col("users_a").cast("long").alias("users_a"),
+            F.col("users_b").cast("long").alias("users_b"),
+            "co_users",
+            F.expr(
+                "(co_users * n_total * 10000) DIV (users_a * users_b)"
+            ).alias("lift_bp"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+TYPE_COOCCURRENCE_LIFT_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), totals AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM ut GROUP BY 1
+), total AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM ut
+), co AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS co_users
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ta, tb,
+       na.n_users AS users_a,
+       nb.n_users AS users_b,
+       co_users,
+       (co_users * total.n * 10000) // (na.n_users * nb.n_users)
+         AS lift_bp
+FROM co
+JOIN totals na ON na.event_type = ta
+JOIN totals nb ON nb.event_type = tb
+CROSS JOIN total
+ORDER BY ta, tb
+"""

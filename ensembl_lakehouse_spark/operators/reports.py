@@ -4873,3 +4873,307 @@ SELECT n_name, n_suppliers,
 FROM q JOIN nation ON n_nationkey = s_nationkey
 ORDER BY n_name
 """
+
+
+def linestatus_mix_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment pipeline mix over time: per ship month, the line
+    count and revenue split across (l_returnflag, l_linestatus)
+    cells with each cell's share of the month (bp) — TPC-H Q1's
+    pricing summary unrolled into a time series, so a drift in the
+    open/filled mix (capacity trouble) or the returns mix (quality
+    trouble) shows WHEN it started, not just that it exists.
+
+    Plan (100 TB): one (month, flag, status) partial agg — the grid
+    is ≤ |months|×6 cells; the share window runs on the grid."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_format(
+            F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM"
+        ).alias("month"),
+        "l_returnflag",
+        "l_linestatus",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    grid = li.groupBy("month", "l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    return (
+        grid.withColumn(
+            "month_share_bp",
+            F.expr(
+                "(n_lines * 10000) DIV "
+                "(SUM(n_lines) OVER (PARTITION BY month))"
+            ),
+        )
+        .orderBy("month", "l_returnflag", "l_linestatus")
+    )
+
+
+LINESTATUS_MIX_MONTHLY_SQL = """
+WITH grid AS (
+  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+         l_returnflag, l_linestatus,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT month, l_returnflag, l_linestatus, n_lines, revenue_cents,
+       (n_lines * 10000) //
+         CAST(SUM(n_lines) OVER (PARTITION BY month) AS BIGINT)
+         AS month_share_bp
+FROM grid
+ORDER BY month, l_returnflag, l_linestatus
+"""
+
+
+def brand_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand loyalty: per part brand, the distinct buyers, how many
+    bought the brand in MORE than one order, the repeat rate (bp),
+    and orders-per-buyer (×100) — part_name_price_lift prices the
+    label; this measures whether the label retains. A premium brand
+    with a commodity repeat rate is mispriced.
+
+    Plan (100 TB): lineitem⋈part on partkey and the order join on
+    orderkey are the two fact-scale shuffles; buyers collapse to the
+    distinct (brand, custkey, orderkey) lattice map-side before any
+    counting; final agg is ≤|brands| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    lattice = (
+        li.join(part, "l_partkey")
+        .join(orders, "l_orderkey")
+        .select("p_brand", "o_custkey", "l_orderkey")
+        .distinct()
+    )
+    per_buyer = lattice.groupBy("p_brand", "o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        per_buyer.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("buyers"),
+            F.sum(
+                F.when(F.col("n_orders") > 1, 1).otherwise(0)
+            ).cast("long").alias("repeat_buyers"),
+            F.sum("n_orders").cast("long").alias("brand_orders"),
+        )
+        .withColumn(
+            "repeat_rate_bp",
+            F.expr("(repeat_buyers * 10000) DIV buyers"),
+        )
+        .withColumn(
+            "orders_per_buyer_x100",
+            F.expr("(brand_orders * 100) DIV buyers"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_REPEAT_BUYERS_SQL = """
+WITH lattice AS (
+  SELECT DISTINCT p_brand, o_custkey, l_orderkey
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+), per_buyer AS (
+  SELECT p_brand, o_custkey, COUNT(*) AS n_orders
+  FROM lattice GROUP BY 1, 2
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS buyers,
+       CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS repeat_buyers,
+       CAST(SUM(n_orders) AS BIGINT) AS brand_orders,
+       (CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         * 10000) // CAST(COUNT(*) AS BIGINT) AS repeat_rate_bp,
+       (CAST(SUM(n_orders) AS BIGINT) * 100) // CAST(COUNT(*) AS BIGINT)
+         AS orders_per_buyer_x100
+FROM per_buyer
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def customer_value_trend_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer trajectory: each repeat customer's order history is
+    split at its midpoint (rank by order date, ties by orderkey;
+    first ceil(n/2) orders vs the rest) and the average order value
+    of the two halves compared — growing (second half ≥ 110% of
+    first), declining (≤ 90%), else flat — rolled up per market
+    segment. The churn-model feature customer_order_cadence times;
+    this one directions.
+
+    Integer-exact: half sums in cents, the 110%/90% tests as
+    cross-multiplied integer inequalities (no division at all).
+
+    Plan (100 TB): one custkey-partitioned rank window (the natural
+    key), one custkey agg, one broadcast-joined segment agg."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+        F.expr("CAST(o_orderdate AS DATE)").alias("od"),
+    )
+    ranked = orders.select(
+        "o_custkey", "cents",
+        F.expr(
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY od, o_orderkey)"
+        ).alias("rk"),
+        F.expr("COUNT(*) OVER (PARTITION BY o_custkey)").alias("n"),
+    ).where(F.col("n") >= 2)
+    halves = ranked.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.expr("rk <= (n + 1) DIV 2"), F.col("cents")).otherwise(0)
+        ).alias("h1_cents"),
+        F.sum(
+            F.when(F.expr("rk > (n + 1) DIV 2"), F.col("cents")).otherwise(0)
+        ).alias("h2_cents"),
+        F.max(F.expr("(n + 1) DIV 2")).alias("n1"),
+        F.max(F.expr("n - (n + 1) DIV 2")).alias("n2"),
+    )
+    classed = halves.select(
+        "o_custkey",
+        F.expr(
+            "CASE WHEN h2_cents * n1 * 10 >= h1_cents * n2 * 11 "
+            "THEN 'growing' "
+            "WHEN h2_cents * n1 * 10 <= h1_cents * n2 * 9 "
+            "THEN 'declining' ELSE 'flat' END"
+        ).alias("trend"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        classed.join(cust, "o_custkey")
+        .groupBy("c_mktsegment", "trend")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .withColumn(
+            "segment_share_bp",
+            F.expr(
+                "(n_customers * 10000) DIV "
+                "(SUM(n_customers) OVER (PARTITION BY c_mktsegment))"
+            ),
+        )
+        .orderBy("c_mktsegment", "trend")
+    )
+
+
+CUSTOMER_VALUE_TREND_BANDS_SQL = """
+WITH ranked AS (
+  SELECT o_custkey,
+         CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents,
+         row_number() OVER (PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+), halves AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN rk <= (n + 1) // 2 THEN cents ELSE 0 END)
+           AS h1_cents,
+         SUM(CASE WHEN rk > (n + 1) // 2 THEN cents ELSE 0 END)
+           AS h2_cents,
+         MAX((n + 1) // 2) AS n1,
+         MAX(n - (n + 1) // 2) AS n2
+  FROM ranked WHERE n >= 2 GROUP BY 1
+), classed AS (
+  SELECT o_custkey,
+         CASE WHEN h2_cents * n1 * 10 >= h1_cents * n2 * 11
+              THEN 'growing'
+              WHEN h2_cents * n1 * 10 <= h1_cents * n2 * 9
+              THEN 'declining' ELSE 'flat' END AS trend
+  FROM halves
+)
+SELECT c_mktsegment, trend,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       (CAST(COUNT(*) AS BIGINT) * 10000) //
+         CAST(SUM(COUNT(*)) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+         AS segment_share_bp
+FROM classed JOIN customer ON c_custkey = o_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def customer_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve of customer spend: customers tiled into
+    spend deciles via the two-phase boundary tiling
+    (operators/tiling.py — exact NTILE, no SinglePartition window on
+    the SF-growing customer spend table), each decile's revenue and
+    its cumulative share (bp). revenue_concentration reports the
+    50/80/95 crossing points; the full curve is what pricing and
+    account-coverage models consume.
+
+    Plan (100 TB): one custkey partial agg; tiling assigns buckets
+    by broadcast boundary comparison; decile agg is 10 rows and the
+    cumulative window runs on those 10."""
+    from ensembl_lakehouse_spark.operators.tiling import with_global_ntile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("cents").alias("cust_cents")
+    )
+    tiled = with_global_ntile(
+        per_cust, "cust_cents", "o_custkey", 10, "decile"
+    )
+    agg = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cust_cents").cast("long").alias("revenue_cents"),
+    )
+    return (
+        agg.withColumn(
+            "cum_share_bp",
+            F.expr(
+                "CAST((SUM(revenue_cents) OVER (ORDER BY decile "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "* 10000) DIV (SUM(revenue_cents) OVER ()) AS BIGINT)"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+CUSTOMER_SPEND_LORENZ_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+           AS BIGINT)) AS cust_cents
+  FROM orders GROUP BY 1
+), tiled AS (
+  SELECT cust_cents,
+         CAST(ntile(10) OVER (ORDER BY cust_cents, o_custkey)
+           AS INTEGER) AS decile
+  FROM per_cust
+), agg AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cust_cents) AS BIGINT) AS revenue_cents
+  FROM tiled GROUP BY 1
+)
+SELECT decile, n_customers, revenue_cents,
+       CAST((SUM(revenue_cents) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) //
+         CAST(SUM(revenue_cents) OVER () AS BIGINT) AS BIGINT)
+         AS cum_share_bp
+FROM agg
+ORDER BY decile
+"""

@@ -16,6 +16,14 @@ from tests.conftest import SF_DIR
 #: query -> (max hash shuffles, require zero shuffles?)
 BUDGETS = {
     # --- Round 9 (probed at sf0.001, pinned at the observed count)
+    "linestatus_mix_monthly": 2,
+    "brand_repeat_buyers": 3,
+    "customer_value_trend_bands": 3,
+    "customer_spend_lorenz": 3,
+    "session_conversion_rate": 2,
+    # multi-consumer (user, type) lattice — same accepted shape as
+    # sketch_kmv_union's cells; every consumer is lattice-sized
+    "type_cooccurrence_lift": 8,
     "text_word_length_profile": 2,
     "vocab_frequency_spectrum": 3,
     "boilerplate_suffix_rate": 2,

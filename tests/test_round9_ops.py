@@ -228,3 +228,84 @@ def test_norm_label_matrix_shares(spark):
         # band edges: min/max norms live inside the band (cap at 12)
         if r.norm_band < 12:
             assert r.norm_band <= r.min_norm * 4 < r.norm_band + 1
+
+
+def test_linestatus_mix_conserves_lines(spark):
+    rows = RP.linestatus_mix_monthly(spark, SF_DIR).collect()
+    assert sum(r.n_lines for r in rows) == _scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    months: dict = {}
+    for r in rows:
+        months.setdefault(r.month, 0)
+        months[r.month] += r.n_lines
+    for r in rows:
+        assert r.month_share_bp == r.n_lines * 10000 // months[r.month]
+
+
+def test_brand_repeat_buyers_bounds(spark):
+    for r in RP.brand_repeat_buyers(spark, SF_DIR).collect():
+        assert 0 <= r.repeat_buyers <= r.buyers
+        assert r.brand_orders >= r.buyers
+        assert r.orders_per_buyer_x100 >= 100
+
+
+def test_customer_value_trend_covers_repeat_customers(spark):
+    rows = RP.customer_value_trend_bands(spark, SF_DIR).collect()
+    repeaters = _scalar(
+        f"SELECT COUNT(*) FROM (SELECT o_custkey FROM "
+        f"'{SF_DIR}/orders.parquet' GROUP BY 1 HAVING COUNT(*) >= 2)"
+    )
+    assert sum(r.n_customers for r in rows) == repeaters
+    assert {r.trend for r in rows} <= {"growing", "flat", "declining"}
+
+
+def test_customer_spend_lorenz_is_monotone_convex(spark):
+    rows = sorted(
+        RP.customer_spend_lorenz(spark, SF_DIR).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # deciles are ordered by spend: per-customer average revenue is
+    # non-decreasing, cumulative share is monotone and ends at ~100%
+    avgs = [r.revenue_cents / r.n_customers for r in rows]
+    assert all(a <= b for a, b in zip(avgs, avgs[1:]))
+    shares = [r.cum_share_bp for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    assert shares[-1] == 10000
+    # exact-NTILE sizing: bucket sizes differ by at most 1
+    sizes = {r.n_customers for r in rows}
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_session_conversion_agrees_with_sessionize(spark):
+    from ensembl_lakehouse_spark.operators import relational as R2
+
+    rows = R2.session_conversion_rate(spark, SF_DIR).collect()
+    n_sessions = (
+        R2.events_sessionize(spark, SF_DIR).count()
+    )
+    assert sum(r.n_sessions for r in rows) == n_sessions
+    for r in rows:
+        assert 0 <= r.converted_sessions <= r.n_sessions
+
+
+def test_type_cooccurrence_lift_identities(spark):
+    from ensembl_lakehouse_spark.operators import relational as R2
+
+    rows = R2.type_cooccurrence_lift(spark, SF_DIR).collect()
+    n_types = _scalar(
+        f"SELECT COUNT(DISTINCT event_type) FROM '{SF_DIR}/events.parquet'"
+    )
+    assert len(rows) == n_types * (n_types - 1) // 2
+    n_users = _scalar(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
+    )
+    for r in rows:
+        assert r.ta < r.tb
+        assert r.co_users <= min(r.users_a, r.users_b)
+        # inclusion bound: can't co-occur more than the universe allows
+        assert r.co_users >= max(0, r.users_a + r.users_b - n_users)
+        assert r.lift_bp == (
+            r.co_users * n_users * 10000
+        ) // (r.users_a * r.users_b)
