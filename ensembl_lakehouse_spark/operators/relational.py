@@ -395,6 +395,41 @@ ORDER BY l_returnflag
 """
 
 
+def _sessionized_events(events: DataFrame) -> DataFrame:
+    """The 30-minute gap-and-island sessionization contract, shared
+    by events_sessionize and session_conversion_rate (r9 code
+    review: two hand-synced copies of the window pair). Returns
+    (user_id, ts, event_id, event_type, session_num); both window
+    passes share ONE user_id partitioning, ordering tie-broken by
+    event_id, explicit ROWS frame — change the gap rule here and
+    every consumer (and its SQL twin) moves together. Unused columns
+    prune away, so a consumer that drops event_type keeps the exact
+    pre-refactor plan."""
+    w = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    wsum = (
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr(
+            f"CASE WHEN lag(ts) OVER {w} IS NULL "
+            f"OR ts - lag(ts) OVER {w} > INTERVAL '30' MINUTE "
+            f"THEN 1 ELSE 0 END"
+        ).alias("is_new"),
+    )
+    return marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr(f"sum(is_new) OVER {wsum}").alias("session_num"),
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization of the event stream: per user, events
     closer than 30 minutes merge into one session (gap-and-island
@@ -407,24 +442,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shuffle, the second window reuses the partitioning — then a
     partial-agg groupBy on (user, session). Per-user data is the
     unit of parallelism, the natural sessionization shape."""
-    events = load_table(spark, sf_dir, "events")
-    w = "(PARTITION BY user_id ORDER BY ts, event_id)"
-    wsum = (
-        "(PARTITION BY user_id ORDER BY ts, event_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    )
-    marked = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.expr(
-            f"CASE WHEN lag(ts) OVER {w} IS NULL "
-            f"OR ts - lag(ts) OVER {w} > INTERVAL '30' MINUTE THEN 1 ELSE 0 END"
-        ).alias("is_new"),
-    )
-    sessions = marked.select(
-        "user_id", "ts", "event_id", F.expr(f"sum(is_new) OVER {wsum}").alias("session_num")
-    )
+    sessions = _sessionized_events(load_table(spark, sf_dir, "events"))
     return (
         sessions.groupBy("user_id", "session_num")
         .agg(
@@ -5232,28 +5250,7 @@ def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): the two session windows share one user_id
     partitioning (one shuffle), a (user, session) partial agg, then
     a 4-row band agg."""
-    events = load_table(spark, sf_dir, "events")
-    w = "(PARTITION BY user_id ORDER BY ts, event_id)"
-    wsum = (
-        "(PARTITION BY user_id ORDER BY ts, event_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    )
-    marked = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.expr(
-            f"CASE WHEN lag(ts) OVER {w} IS NULL "
-            f"OR ts - lag(ts) OVER {w} > INTERVAL '30' MINUTE "
-            f"THEN 1 ELSE 0 END"
-        ).alias("is_new"),
-    )
-    numbered = marked.select(
-        "user_id",
-        "event_type",
-        F.expr(f"SUM(is_new) OVER {wsum}").alias("session_num"),
-    )
+    numbered = _sessionized_events(load_table(spark, sf_dir, "events"))
     sessions = numbered.groupBy("user_id", "session_num").agg(
         F.count(F.lit(1)).alias("depth"),
         F.max(
@@ -5329,9 +5326,13 @@ def type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     in basis points (10000 = independent) — the log-free PMI of
     audience overlap. events_type_transitions asks what follows
     what in time; this asks which audiences coincide at all, the
-    cross-sell / cannibalization signal.
+    cross-sell / cannibalization signal. Emits the pairs with at
+    least one shared user (a zero-overlap pair has lift 0 and no
+    row — the inner-join contract the oracle mirrors).
 
-    Integer-exact: lift = co·total·10000 DIV (a·b).
+    Integer-exact: lift = co·total·10000 DIV (a·b), run in 128-bit
+    (DECIMAL(38,0) / HUGEINT) because the count-product numerator
+    exceeds BIGINT at target scale.
 
     Plan (100 TB): the distinct (user, type) lattice collapses
     map-side (the only event-proportional stage); the pair self-join
@@ -5368,8 +5369,16 @@ def type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("users_a").cast("long").alias("users_a"),
             F.col("users_b").cast("long").alias("users_b"),
             "co_users",
+            # the numerator multiplies two USER COUNTS by 10⁴ —
+            # quadratically past the single-count*10000 house
+            # pattern, it overflows BIGINT at the 100 TB target
+            # (co≈10⁷ · users≈10⁸ · 10⁴ = 10¹⁹ > 2⁶³), so it runs in
+            # DECIMAL(38,0); Spark DIV on decimals truncates toward
+            # zero exactly like DuckDB HUGEINT // (measured — DuckDB
+            # DECIMAL // ROUNDS instead, so the oracle uses HUGEINT)
             F.expr(
-                "(co_users * n_total * 10000) DIV (users_a * users_b)"
+                "CAST((CAST(co_users AS DECIMAL(38,0)) * n_total "
+                "* 10000) DIV (users_a * users_b) AS BIGINT)"
             ).alias("lift_bp"),
         )
         .orderBy("ta", "tb")
@@ -5395,8 +5404,8 @@ SELECT ta, tb,
        na.n_users AS users_a,
        nb.n_users AS users_b,
        co_users,
-       (co_users * total.n * 10000) // (na.n_users * nb.n_users)
-         AS lift_bp
+       CAST((CAST(co_users AS HUGEINT) * total.n * 10000)
+         // (na.n_users * nb.n_users) AS BIGINT) AS lift_bp
 FROM co
 JOIN totals na ON na.event_type = ta
 JOIN totals nb ON nb.event_type = tb

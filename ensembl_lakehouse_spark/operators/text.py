@@ -72,6 +72,73 @@ _SQL_PREP = (
 )
 
 
+def _quality_ratio_cols() -> dict:
+    """text_quality's four per-document ratios as Column expressions
+    over a _docs_with_tokens row (needs ``toks`` and ``text``) — THE
+    single definition. quality_length_matrix and
+    source_quality_profile band/average the same doubles
+    text_quality scores with, so any reweighting or new ratio must
+    land here or the pinned cross-operator identities
+    (test_quality_length_matrix_matches_text_quality) break
+    silently (r9 code review: this was three hand-synced copies)."""
+    stop_quoted = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return {
+        "stop_ratio": (
+            F.expr(
+                f"size(filter(toks, x -> x IN ({stop_quoted})))"
+            ).cast("double")
+            / F.size("toks")
+        ),
+        "punct_ratio": (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+            ).cast("double")
+            / F.length("text")
+        ),
+        "distinct_ratio": (
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks")
+        ),
+        "len_norm": (
+            F.least(F.size("toks"), F.lit(100)).cast("double")
+            / F.lit(100.0)
+        ),
+    }
+
+
+def _quality_score(stop_ratio, distinct_ratio, punct_ratio, len_norm):
+    """The composite: a LEFT-ASSOCIATED weighted sum (both engines
+    agree bit-for-bit on this association — reorder it and every
+    quality oracle drifts)."""
+    return (
+        stop_ratio * 0.25
+        + distinct_ratio * 0.25
+        + (F.lit(1.0) - punct_ratio) * 0.25
+        + len_norm * 0.25
+    )
+
+
+#: the same composite over DuckDB ratio column names — shared by the
+#: three quality-family oracles so Spark/SQL can only drift together
+_SQL_QUALITY_SCORE = (
+    "((((stop_ratio * 0.25) + (distinct_ratio * 0.25))"
+    " + ((1.0 - punct_ratio) * 0.25)) + (len_norm * 0.25))"
+)
+
+#: the DuckDB ratio definitions (SELECT-list fragment over a `t` row
+#: with ``toks``/``text``) feeding _SQL_QUALITY_SCORE
+_SQL_QUALITY_RATIOS = (
+    "CAST(len(list_filter(toks, x -> x IN ({stops}))) AS DOUBLE)"
+    " / len(toks) AS stop_ratio,\n"
+    "  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '',"
+    " 'g')) AS DOUBLE) / length(text) AS punct_ratio,\n"
+    "  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)"
+    " AS distinct_ratio,\n"
+    "  CAST(least(len(toks), 100) AS DOUBLE) / 100.0 AS len_norm"
+).format(stops=", ".join(f"'{s}'" for s in STOPWORDS))
+
+
 # ---------------------------------------------------------------------------
 # Token statistics
 # ---------------------------------------------------------------------------
@@ -188,32 +255,22 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every ratio is a single division of identically-ordered
     operands, and the composite is a left-associated weighted sum,
     so the DuckDB twin is bit-identical."""
-    stop_quoted = ", ".join(f"'{s}'" for s in STOPWORDS)
+    ratios = _quality_ratio_cols()
     df = _docs_with_tokens(spark, sf_dir)
     df = df.select(
         "doc_id",
         "lang",
         F.size("toks").alias("n_tokens"),
-        (
-            F.expr(f"size(filter(toks, x -> x IN ({stop_quoted})))").cast("double")
-            / F.size("toks")
-        ).alias("stop_ratio"),
-        (
-            (F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))).cast("double")
-            / F.length("text")
-        ).alias("punct_ratio"),
-        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
-            "distinct_ratio"
-        ),
-        (F.least(F.size("toks"), F.lit(100)).cast("double") / F.lit(100.0)).alias(
-            "len_norm"
-        ),
+        ratios["stop_ratio"].alias("stop_ratio"),
+        ratios["punct_ratio"].alias("punct_ratio"),
+        ratios["distinct_ratio"].alias("distinct_ratio"),
+        ratios["len_norm"].alias("len_norm"),
     )
-    score = (
-        F.col("stop_ratio") * 0.25
-        + F.col("distinct_ratio") * 0.25
-        + (F.lit(1.0) - F.col("punct_ratio")) * 0.25
-        + F.col("len_norm") * 0.25
+    score = _quality_score(
+        F.col("stop_ratio"),
+        F.col("distinct_ratio"),
+        F.col("punct_ratio"),
+        F.col("len_norm"),
     )
     return df.select(
         "doc_id",
@@ -232,14 +289,11 @@ TEXT_QUALITY_SQL = f"""
 {_SQL_PREP},
 r AS (SELECT doc_id, lang,
   len(toks) AS n_tokens,
-  CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{s}'" for s in STOPWORDS)}))) AS DOUBLE) / len(toks) AS stop_ratio,
-  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
-  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
-  CAST(least(len(toks), 100) AS DOUBLE) / 100.0 AS len_norm
+  {_SQL_QUALITY_RATIOS}
   FROM t)
 SELECT doc_id, lang, n_tokens, stop_ratio, punct_ratio, distinct_ratio, len_norm,
-       ((((stop_ratio * 0.25) + (distinct_ratio * 0.25)) + ((1.0 - punct_ratio) * 0.25)) + (len_norm * 0.25)) AS quality_score,
-       CASE WHEN ((((stop_ratio * 0.25) + (distinct_ratio * 0.25)) + ((1.0 - punct_ratio) * 0.25)) + (len_norm * 0.25)) >= 0.5
+       {_SQL_QUALITY_SCORE} AS quality_score,
+       CASE WHEN {_SQL_QUALITY_SCORE} >= 0.5
             THEN 'keep' ELSE 'drop' END AS verdict
 FROM r
 """
@@ -2468,31 +2522,15 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares text_quality's exact ratio/score expressions — the same
     left-associated weighted sum both engines already agree on
     per-row — so the two screens can never drift."""
-    stop_quoted = ", ".join(f"'{s}'" for s in STOPWORDS)
+    ratios = _quality_ratio_cols()
     df = _docs_with_tokens(spark, sf_dir)
     scored = df.select(
         "source",
-        (
-            (
-                F.expr(
-                    f"size(filter(toks, x -> x IN ({stop_quoted})))"
-                ).cast("double") / F.size("toks")
-            ) * 0.25
-            + (
-                F.size(F.array_distinct("toks")).cast("double")
-                / F.size("toks")
-            ) * 0.25
-            + (
-                F.lit(1.0)
-                - (
-                    F.length("text")
-                    - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
-                ).cast("double") / F.length("text")
-            ) * 0.25
-            + (
-                F.least(F.size("toks"), F.lit(100)).cast("double")
-                / F.lit(100.0)
-            ) * 0.25
+        _quality_score(
+            ratios["stop_ratio"],
+            ratios["distinct_ratio"],
+            ratios["punct_ratio"],
+            ratios["len_norm"],
         ).alias("score"),
     ).select(
         "source",
@@ -2524,13 +2562,13 @@ WITH t AS (
   SELECT doc_id, source, text,
          string_split_regex(trim(text), '\\s+') AS toks
   FROM documents WHERE length(trim(text)) > 0
-), r AS (
+), ratios AS (
   SELECT source,
-    (((CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{s}'" for s in STOPWORDS)}))) AS DOUBLE) / len(toks)) * 0.25)
-     + ((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.25)
-     + ((1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.25)
-     + ((CAST(least(len(toks), 100) AS DOUBLE) / 100.0) * 0.25)) AS score
+  {_SQL_QUALITY_RATIOS}
   FROM t
+), r AS (
+  SELECT source, {_SQL_QUALITY_SCORE} AS score
+  FROM ratios
 ), scored AS (
   SELECT source,
          CAST(floor(score * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
@@ -2733,34 +2771,15 @@ def quality_length_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     no document can land in different bands on the two engines.
 
     Plan (100 TB): map-only per-doc scoring → one ≤10×5-cell agg."""
-    stop_quoted = ", ".join(f"'{s}'" for s in STOPWORDS)
+    ratios = _quality_ratio_cols()
     df = _docs_with_tokens(spark, sf_dir)
     scored = df.select(
         F.size("toks").alias("n_tokens"),
-        (
-            (
-                F.expr(
-                    f"size(filter(toks, x -> x IN ({stop_quoted})))"
-                ).cast("double")
-                / F.size("toks")
-            )
-            * 0.25
-            + (
-                F.size(F.array_distinct("toks")).cast("double")
-                / F.size("toks")
-            )
-            * 0.25
-            + (
-                F.lit(1.0)
-                - (
-                    F.length("text")
-                    - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
-                ).cast("double")
-                / F.length("text")
-            )
-            * 0.25
-            + (F.least(F.size("toks"), F.lit(100)).cast("double") / F.lit(100.0))
-            * 0.25
+        _quality_score(
+            ratios["stop_ratio"],
+            ratios["distinct_ratio"],
+            ratios["punct_ratio"],
+            ratios["len_norm"],
         ).alias("quality_score"),
     )
     banded = scored.select(
@@ -2792,16 +2811,10 @@ QUALITY_LENGTH_MATRIX_SQL = f"""
 {_SQL_PREP},
 r AS (SELECT
   len(toks) AS n_tokens,
-  CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{s}'" for s in STOPWORDS)}))) AS DOUBLE) / len(toks) AS stop_ratio,
-  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
-  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
-  CAST(least(len(toks), 100) AS DOUBLE) / 100.0 AS len_norm
+  {_SQL_QUALITY_RATIOS}
   FROM t),
 scored AS (
-  SELECT n_tokens,
-         ((((stop_ratio * 0.25) + (distinct_ratio * 0.25))
-           + ((1.0 - punct_ratio) * 0.25)) + (len_norm * 0.25))
-           AS quality_score
+  SELECT n_tokens, {_SQL_QUALITY_SCORE} AS quality_score
   FROM r),
 banded AS (
   SELECT CAST(least(floor(quality_score * 10), 9) AS BIGINT) AS score_band,

@@ -414,12 +414,18 @@ class _Parser:
         # aggregate (a bare group column is WHERE semantics in
         # disguise — outside the vocabulary); direct calls reuse the
         # selected alias computing the identical measure, else get a
-        # hidden __having_N alias that select_order drops
+        # hidden __having_N alias that select_order drops. Alias
+        # terms resolve against the SELECT-list SNAPSHOT, not the
+        # growing aggs dict: a user-written __having_N identifier
+        # must never bind to a parser-invented hidden measure (the
+        # verbatim statement errors on it, so serving an answer
+        # would be a recognizer false positive — r9 code review)
+        selected_aggs = frozenset(aggs)
         having: list[tuple[str, str, object]] = []
         for ref, op, lit in having_terms:
             kind, payload = ref
             if kind == "alias":
-                if payload not in aggs:
+                if payload not in selected_aggs:
                     raise _Ineligible(
                         f"HAVING references {payload!r}, which is not a "
                         "selected aggregate"

@@ -327,3 +327,14 @@ def test_having_on_estimate_tier_never_rewrites():
     for allow in (False, True):  # not even rewrite=approx
         reason = semantic_gate(i, _schema(), allow)
         assert reason and "row set" in reason
+
+
+def test_having_alias_never_binds_to_hidden_measure():
+    """r9 code review: a user-written __having_N identifier must not
+    resolve against a parser-INVENTED hidden alias — the verbatim
+    statement errors on the unknown column, so recognizing it would
+    serve an answer for a failing statement."""
+    assert parse_aggregate_sql(
+        "SELECT type, COUNT(*) AS n FROM snap_events GROUP BY type "
+        "HAVING sum(value) > 1 AND __having_0 < 5"
+    ) is None
