@@ -5412,3 +5412,136 @@ JOIN totals nb ON nb.event_type = tb
 CROSS JOIN total
 ORDER BY ta, tb
 """
+
+
+def events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRE burn-rate card: per UTC hour of day, total events,
+    error events, the error rate (bp), and the hour's share of all
+    errors (bp) — events_hourly counts traffic; this isolates
+    whether failures track load (a capacity problem: flat rate,
+    share follows traffic) or cluster off-peak (a batch-job problem:
+    rate spikes where traffic is thin).
+
+    Plan (100 TB): one (hour) partial agg to 24 rows; the share
+    window runs on those 24."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.select(
+        F.hour("ts").alias("hour"),
+        F.expr(
+            "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"
+        ).alias("is_error"),
+    ).groupBy("hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("is_error").cast("long").alias("n_errors"),
+    )
+    return (
+        hourly.withColumn(
+            "error_rate_bp",
+            F.expr("(n_errors * 10000) DIV n_events"),
+        )
+        .withColumn(
+            "error_share_bp",
+            F.expr("(n_errors * 10000) DIV (SUM(n_errors) OVER ())"),
+        )
+        .orderBy("hour")
+    )
+
+
+EVENTS_ERROR_RATE_HOURLY_SQL = """
+WITH hourly AS (
+  SELECT EXTRACT(hour FROM ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT hour, n_events, n_errors,
+       (n_errors * 10000) // n_events AS error_rate_bp,
+       (n_errors * 10000) // CAST(SUM(n_errors) OVER () AS BIGINT)
+         AS error_share_bp
+FROM hourly
+ORDER BY hour
+"""
+
+
+def user_session_count_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visit-frequency distribution: users banded by their session
+    count (1 / 2-5 / 6-20 / 21+ — the _sessionized_events 30-minute
+    contract), with each band's user count, total sessions, and
+    average session depth (×100). session_conversion_rate prices
+    depth within a session; this prices RETURN VISITS — a corpus of
+    single-session users is acquisition without a product.
+
+    Plan (100 TB): the session windows' user_id partitioning flows
+    straight into the per-user agg (same key, no extra exchange);
+    the band agg is 4 rows."""
+    sessions = _sessionized_events(
+        load_table(spark, sf_dir, "events")
+    ).groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("depth")
+    )
+    per_user = sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("depth").alias("n_events"),
+    )
+    banded = per_user.select(
+        F.expr(
+            "CASE WHEN n_sessions = 1 THEN '01' "
+            "WHEN n_sessions <= 5 THEN '02-05' "
+            "WHEN n_sessions <= 20 THEN '06-20' "
+            "ELSE '21+' END"
+        ).alias("session_band"),
+        "n_sessions",
+        "n_events",
+    )
+    return (
+        banded.groupBy("session_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_sessions").cast("long").alias("total_sessions"),
+            F.expr(
+                "CAST((SUM(n_events) * 100) DIV SUM(n_sessions) "
+                "AS BIGINT)"
+            ).alias("avg_depth_x100"),
+        )
+        .orderBy("session_band")
+    )
+
+
+USER_SESSION_COUNT_BANDS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_num
+  FROM g
+), sessions AS (
+  SELECT user_id, session_num, COUNT(*) AS depth
+  FROM s GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, COUNT(*) AS n_sessions, SUM(depth) AS n_events
+  FROM sessions GROUP BY 1
+), banded AS (
+  SELECT CASE WHEN n_sessions = 1 THEN '01'
+              WHEN n_sessions <= 5 THEN '02-05'
+              WHEN n_sessions <= 20 THEN '06-20'
+              ELSE '21+' END AS session_band,
+         n_sessions, n_events
+  FROM per_user
+)
+SELECT session_band,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_sessions) AS BIGINT) AS total_sessions,
+       CAST((SUM(n_events) * 100) // SUM(n_sessions) AS BIGINT)
+         AS avg_depth_x100
+FROM banded
+GROUP BY 1
+ORDER BY 1
+"""

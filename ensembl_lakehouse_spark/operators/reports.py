@@ -5177,3 +5177,159 @@ SELECT decile, n_customers, revenue_cents,
 FROM agg
 ORDER BY decile
 """
+
+
+def nation_customer_supplier_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Demand/supply capacity per nation: customer count, supplier
+    count, the customers-per-supplier ratio (×100), and each side's
+    share of its global total (bp) — the territory card behind
+    nation_trade_balance's flows: a nation long on demand and short
+    on local supply imports fulfilment (and latency) from elsewhere.
+
+    Plan (100 TB): two dim-table partial aggs to ≤|nations| rows
+    each, one broadcast join between them, nation dim broadcast."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"))
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    return (
+        cust.join(sup, "nk")
+        .join(F.broadcast(nation), "nk")
+        .select(
+            "n_name",
+            "n_customers",
+            "n_suppliers",
+            F.expr(
+                "(n_customers * 100) DIV n_suppliers"
+            ).alias("cust_per_supp_x100"),
+            F.expr(
+                "(n_customers * 10000) DIV "
+                "(SUM(n_customers) OVER ())"
+            ).alias("customer_share_bp"),
+            F.expr(
+                "(n_suppliers * 10000) DIV "
+                "(SUM(n_suppliers) OVER ())"
+            ).alias("supplier_share_bp"),
+        )
+        .orderBy("n_name")
+    )
+
+
+NATION_CUSTOMER_SUPPLIER_RATIO_SQL = """
+WITH cust AS (
+  SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY 1
+), sup AS (
+  SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM supplier GROUP BY 1
+)
+SELECT n_name, n_customers, n_suppliers,
+       (n_customers * 100) // n_suppliers AS cust_per_supp_x100,
+       (n_customers * 10000) //
+         CAST(SUM(n_customers) OVER () AS BIGINT) AS customer_share_bp,
+       (n_suppliers * 10000) //
+         CAST(SUM(n_suppliers) OVER () AS BIGINT) AS supplier_share_bp
+FROM cust
+JOIN sup USING (nk)
+JOIN nation ON n_nationkey = nk
+ORDER BY n_name
+"""
+
+
+def tax_discount_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-lever interaction: lineitems cross-tabbed by
+    whole-percent tax band × discount band (0 / 1-2 / 3-5 / 6+ pct),
+    with line counts, gross revenue cents, and the cell's effective
+    take rate (net-of-discount, with-tax revenue vs gross, bp) —
+    tax_band_revenue and discount_band_lift each show one lever;
+    pricing committees set them together, and the interaction cell
+    is what the ledger actually collects.
+
+    Exactness: per-row BIGINT cents for gross and take before any
+    SUM; whole-percent bands on round(tax·100)/round(discount·100).
+
+    Plan (100 TB): one (tax_band, discount_band) partial agg to a
+    ≤|tax bands|×4 grid."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(floor(l_tax * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("tax_pct"),
+        F.expr(
+            "CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("disc_pct"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("gross_cents"),
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+            " * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("take_cents"),
+    )
+    banded = li.select(
+        F.expr(
+            "CASE WHEN disc_pct = 0 THEN '0' "
+            "WHEN disc_pct <= 2 THEN '1-2' "
+            "WHEN disc_pct <= 5 THEN '3-5' "
+            "ELSE '6+' END"
+        ).alias("discount_band"),
+        "tax_pct",
+        "gross_cents",
+        "take_cents",
+    )
+    return (
+        banded.groupBy("tax_pct", "discount_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("gross_cents").cast("long").alias("gross_cents"),
+            F.sum("take_cents").cast("long").alias("take_cents"),
+        )
+        .withColumn(
+            "take_rate_bp",
+            F.expr("(take_cents * 10000) DIV gross_cents"),
+        )
+        .orderBy("tax_pct", "discount_band")
+    )
+
+
+TAX_DISCOUNT_GRID_SQL = """
+WITH li AS (
+  SELECT CAST(floor(l_tax * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS tax_pct,
+         CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS disc_pct,
+         CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE))
+           AS BIGINT) AS gross_cents,
+         CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+           * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS take_cents
+  FROM lineitem
+), banded AS (
+  SELECT CASE WHEN disc_pct = 0 THEN '0'
+              WHEN disc_pct <= 2 THEN '1-2'
+              WHEN disc_pct <= 5 THEN '3-5'
+              ELSE '6+' END AS discount_band,
+         tax_pct, gross_cents, take_cents
+  FROM li
+)
+SELECT tax_pct, discount_band,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(gross_cents) AS BIGINT) AS gross_cents,
+       CAST(SUM(take_cents) AS BIGINT) AS take_cents,
+       (CAST(SUM(take_cents) AS BIGINT) * 10000) //
+         CAST(SUM(gross_cents) AS BIGINT) AS take_rate_bp
+FROM banded
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

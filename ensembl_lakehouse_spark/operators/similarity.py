@@ -1845,3 +1845,81 @@ SELECT label, norm_band, n_vectors, min_norm, max_norm,
 FROM grid
 ORDER BY label, norm_band
 """
+
+
+def embedding_peakiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-dominance audit: per vector, the largest absolute
+    component's share of the L1 mass; vectors histogrammed per label
+    by that share (5%-wide bands) — a band-12+ vector is nearly
+    one-hot (a dead-feature or overflow artifact of the embedding
+    model), and a LABEL whose mass sits high is a class the model
+    encodes with a private axis: cosine neighborhoods degenerate to
+    that axis. embedding_sparsity_audit counts zeros; this catches
+    vectors that are dense but effectively one-dimensional.
+
+    Both the max and the L1 fold run the same index-ordered
+    aggregate subtree in both engines (the _dot_expr discipline), so
+    the double ratio — and therefore the floor band — is
+    bit-stable.
+
+    Plan (100 TB): map-only per-vector signals → one
+    ≤|labels|×20-cell agg; the share window runs on the grid."""
+    abs_arr = "transform(embedding, x -> abs(cast(x AS double)))"
+    l1 = (
+        f"aggregate({abs_arr}, cast(0 AS double), (acc, v) -> acc + v)"
+    )
+    mx = (
+        f"aggregate({abs_arr}, cast(0 AS double), "
+        f"(acc, v) -> CASE WHEN v > acc THEN v ELSE acc END)"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr(l1).alias("l1"),
+        F.expr(mx).alias("mx"),
+    ).where(F.col("l1") > 0.0)
+    banded = emb.select(
+        "label",
+        F.expr(
+            "CAST(least(floor(mx / l1 * 20), 19) AS BIGINT)"
+        ).alias("peak_band"),
+    )
+    grid = banded.groupBy("label", "peak_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return (
+        grid.withColumn(
+            "label_share_bp",
+            F.expr(
+                "(n_vectors * 10000) DIV "
+                "(SUM(n_vectors) OVER (PARTITION BY label))"
+            ),
+        )
+        .orderBy("label", "peak_band")
+    )
+
+
+EMBEDDING_PEAKINESS_SQL = """
+WITH emb AS (
+  SELECT label,
+         list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           (acc, v) -> acc + v) AS l1,
+         list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           (acc, v) -> CASE WHEN v > acc THEN v ELSE acc END) AS mx
+  FROM embeddings
+), banded AS (
+  SELECT label,
+         CAST(least(floor(mx / l1 * 20), 19) AS BIGINT) AS peak_band
+  FROM emb WHERE l1 > 0.0
+), grid AS (
+  SELECT label, peak_band, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM banded GROUP BY 1, 2
+)
+SELECT label, peak_band, n_vectors,
+       (n_vectors * 10000) //
+         CAST(SUM(n_vectors) OVER (PARTITION BY label) AS BIGINT)
+         AS label_share_bp
+FROM grid
+ORDER BY label, peak_band
+"""

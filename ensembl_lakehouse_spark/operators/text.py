@@ -2832,3 +2832,77 @@ FROM banded
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def numeric_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level numeric pollution screen: per source, the share
+    of tokens that are pure digit runs (bp), the share that are
+    digit-bearing (bp), and the distinct pure-number vocabulary —
+    text_char_class_profile counts characters; tables, IDs and
+    serial dumps show up at the TOKEN level first, and a tokenizer
+    budget spent memorizing numbers is wasted.
+
+    Regex kept to character classes only — identical semantics in
+    Java regex (Spark) and RE2 (DuckDB).
+
+    Plan (100 TB): map-side token explode → one ≤|sources|-row
+    agg."""
+    docs = _docs_with_tokens(spark, sf_dir)
+    toks = docs.select("source", F.explode("toks").alias("tok")).select(
+        "source",
+        "tok",
+        F.expr(
+            "CASE WHEN tok RLIKE '^[0-9]+$' THEN 1 ELSE 0 END"
+        ).alias("is_numeric"),
+        F.expr(
+            "CASE WHEN tok RLIKE '[0-9]' THEN 1 ELSE 0 END"
+        ).alias("has_digit"),
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("is_numeric").cast("long").alias("numeric_tokens"),
+            F.sum("has_digit").cast("long").alias("digit_tokens"),
+            F.countDistinct(
+                F.when(F.col("is_numeric") == 1, F.col("tok"))
+            ).cast("long").alias("numeric_vocab"),
+        )
+        .withColumn(
+            "numeric_rate_bp",
+            F.expr("(numeric_tokens * 10000) DIV n_tokens"),
+        )
+        .withColumn(
+            "digit_rate_bp",
+            F.expr("(digit_tokens * 10000) DIV n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+NUMERIC_TOKEN_RATE_SQL = """
+WITH d AS (
+  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), toks AS (
+  SELECT source, tok,
+         CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 1 ELSE 0 END
+           AS is_numeric,
+         CASE WHEN regexp_matches(tok, '[0-9]') THEN 1 ELSE 0 END
+           AS has_digit
+  FROM d, unnest(toks) AS u(tok)
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(is_numeric) AS BIGINT) AS numeric_tokens,
+         CAST(SUM(has_digit) AS BIGINT) AS digit_tokens,
+         CAST(COUNT(DISTINCT CASE WHEN is_numeric = 1 THEN tok END)
+           AS BIGINT) AS numeric_vocab
+  FROM toks GROUP BY 1
+)
+SELECT source, n_tokens, numeric_tokens, digit_tokens, numeric_vocab,
+       (numeric_tokens * 10000) // n_tokens AS numeric_rate_bp,
+       (digit_tokens * 10000) // n_tokens AS digit_rate_bp
+FROM agg
+ORDER BY source
+"""

@@ -16,6 +16,12 @@ from tests.conftest import SF_DIR
 #: query -> (max hash shuffles, require zero shuffles?)
 BUDGETS = {
     # --- Round 9 (probed at sf0.001, pinned at the observed count)
+    "events_error_rate_hourly": 1,
+    "user_session_count_bands": 2,
+    "nation_customer_supplier_ratio": 2,
+    "tax_discount_grid": 1,
+    "numeric_token_rate": 2,
+    "embedding_peakiness": 2,
     "linestatus_mix_monthly": 2,
     "brand_repeat_buyers": 3,
     "customer_value_trend_bands": 3,

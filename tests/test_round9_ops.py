@@ -313,3 +313,74 @@ def test_type_cooccurrence_lift_identities(spark):
         assert r.lift_bp == (
             r.co_users * n_users * 10000
         ) // (r.users_a * r.users_b)
+
+
+def test_error_rate_hourly_conserves(spark):
+    from ensembl_lakehouse_spark.operators import relational as R2
+
+    rows = R2.events_error_rate_hourly(spark, SF_DIR).collect()
+    assert sum(r.n_events for r in rows) == _scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'"
+    )
+    assert sum(r.n_errors for r in rows) == _scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet' "
+        f"WHERE event_type = 'error'"
+    )
+    for r in rows:
+        assert 0 <= r.error_rate_bp <= 10000
+
+
+def test_session_bands_agree_with_sessionize(spark):
+    from ensembl_lakehouse_spark.operators import relational as R2
+
+    rows = R2.user_session_count_bands(spark, SF_DIR).collect()
+    assert sum(r.n_users for r in rows) == _scalar(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
+    )
+    n_sessions = R2.events_sessionize(spark, SF_DIR).count()
+    assert sum(r.total_sessions for r in rows) == n_sessions
+    for r in rows:
+        assert r.avg_depth_x100 >= 100
+
+
+def test_nation_ratio_shares_and_totals(spark):
+    rows = RP.nation_customer_supplier_ratio(spark, SF_DIR).collect()
+    n_cust = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet'")
+    n_supp = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/supplier.parquet'")
+    # inner join: only nations with BOTH sides — totals bound above
+    assert sum(r.n_customers for r in rows) <= n_cust
+    assert sum(r.n_suppliers for r in rows) <= n_supp
+    for r in rows:
+        assert r.cust_per_supp_x100 == r.n_customers * 100 // r.n_suppliers
+
+
+def test_tax_discount_grid_conserves_lines(spark):
+    rows = RP.tax_discount_grid(spark, SF_DIR).collect()
+    assert sum(r.n_lines for r in rows) == _scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    for r in rows:
+        # take = gross*(1-d)*(1+t): discount <= 10%, tax <= 8% in
+        # TPC-H ranges, so the rate lives in a sane band either side
+        # of par
+        assert 8000 <= r.take_rate_bp <= 11000
+
+
+def test_numeric_token_rate_bounds(spark):
+    from ensembl_lakehouse_spark.operators import text as T2
+
+    for r in T2.numeric_token_rate(spark, SF_DIR).collect():
+        # pure-digit tokens are a subset of digit-bearing tokens
+        assert r.numeric_tokens <= r.digit_tokens <= r.n_tokens
+        assert r.numeric_vocab <= r.numeric_tokens or r.numeric_tokens == 0
+
+
+def test_embedding_peakiness_covers_nonzero_vectors(spark):
+    from ensembl_lakehouse_spark.operators import similarity as S2
+
+    rows = S2.embedding_peakiness(spark, SF_DIR).collect()
+    n_vecs = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'")
+    assert 0 < sum(r.n_vectors for r in rows) <= n_vecs
+    for r in rows:
+        # max component share of L1 is at least 1/dim and at most 1
+        assert 0 <= r.peak_band <= 19
