@@ -262,6 +262,7 @@ def make_handler(engine: Engine):
                     q["aggs"],
                     q.get("freshness", "strict"),
                     q.get("filter", ""),
+                    q.get("having", ""),
                 )
                 self._send(200, resp)
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "changes":

@@ -41,6 +41,51 @@ from ensembl_lakehouse_spark.service.preview import preview as _preview
 from ensembl_lakehouse_spark.service.urls import UrlSigner
 
 
+def _proven_non_null(table_dir: str, pin_v: int | None) -> set[str]:
+    """Columns proven non-NULL at the pinned version: a
+    write-enforced ``col IS NOT NULL`` CHECK whose validation scan
+    the pin postdates (rollback refuses to cross ``since_version``,
+    so the induction holds for every version ≥ it). Shared by the
+    /sql rewrite gate and /aggregate's COUNT(col) gate — one proof,
+    two surfaces."""
+    import re as _re
+
+    from ensembl_lakehouse_spark import snapshots as _SN
+
+    return {
+        m.group(1).lower()
+        for rec in _SN.constraint_records(table_dir).values()
+        if rec["since_version"] is not None
+        and pin_v is not None
+        and pin_v >= rec["since_version"]
+        and (
+            m := _re.fullmatch(
+                r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+is\s+not\s+null\s*",
+                rec["expr"],
+                _re.I,
+            )
+        )
+    }
+
+
+def _apply_having(df, terms):
+    """Filter aggregated rows by (alias, SQL op, literal) triples —
+    the shared application step for /sql HAVING and /aggregate's
+    ``having`` parameter. NULL comparisons drop the row on both the
+    rewritten and base paths (SQL UNKNOWN ≡ Spark where())."""
+    from pyspark.sql import functions as F
+
+    for alias, op, lit in terms:
+        c = F.col(alias)
+        lv = F.lit(lit)
+        cond = {
+            "=": c == lv, "<>": c != lv, "<": c < lv,
+            ">": c > lv, "<=": c <= lv, ">=": c >= lv,
+        }[op]
+        df = df.where(cond)
+    return df
+
+
 class Engine:
     def __init__(
         self,
@@ -325,26 +370,7 @@ class Engine:
                 "eligible": False,
                 "reason": f"table unreadable at version {pin_v}: {exc}",
             }
-        # columns proven non-NULL at the pin: a write-enforced
-        # `col IS NOT NULL` CHECK whose validation scan the pin
-        # postdates (rollback refuses to cross since_version, so the
-        # induction holds for every version ≥ it)
-        import re as _re
-
-        non_null = {
-            m.group(1).lower()
-            for rec in _SN.constraint_records(table_dir).values()
-            if rec["since_version"] is not None
-            and pin_v is not None
-            and pin_v >= rec["since_version"]
-            and (
-                m := _re.fullmatch(
-                    r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+is\s+not\s+null\s*",
-                    rec["expr"],
-                    _re.I,
-                )
-            )
-        }
+        non_null = _proven_non_null(table_dir, pin_v)
         gate = semantic_gate(intent, schema, allow_estimates, non_null)
         if gate is not None:
             return None, {"eligible": False, "reason": gate}
@@ -383,16 +409,8 @@ class Engine:
         # projection (hidden __having_N measures exist only here);
         # every filtered measure is exact-tier (semantic_gate refuses
         # estimate-tier filters), so the surviving row SET matches
-        # the verbatim statement's by construction. NULL comparisons
-        # drop the row on both paths (SQL UNKNOWN ≡ Spark where()).
-        for alias, op, lit in intent.having:
-            c = F.col(alias)
-            lv = F.lit(lit)
-            cond = {
-                "=": c == lv, "<>": c != lv, "<": c < lv,
-                ">": c > lv, "<=": c <= lv, ">=": c >= lv,
-            }[op]
-            df = df.where(cond)
+        # the verbatim statement's by construction.
+        df = _apply_having(df, intent.having)
         df = df.select(*intent.select_order)
         if intent.order_by:
             df = df.orderBy(
@@ -1022,6 +1040,7 @@ class Engine:
         aggs: str,
         freshness: str = "strict",
         filter: str = "",
+        having: str = "",
     ) -> dict:
         """Aggregate a registered snapshot table through the
         MV-rewrite planner: answered from the cheapest fresh rollup
@@ -1038,6 +1057,23 @@ class Engine:
         that itself contains ``..`` or ``|`` must use the explicit
         verbatim form ``col:eq:value`` (r8 ADVICE — the positional
         grammar cannot express it).
+
+        ``having`` filters the AGGREGATED rows (r9: parity with the
+        /sql HAVING tier): a comma list of ``out:op:value`` terms
+        with op in eq/ne/lt/le/gt/ge, each referencing a SELECTED
+        output alias — the structured surface has explicit aliases,
+        so unlike /sql no hidden measures are needed (add the
+        measure to ``aggs``). Exact-tier only: filtering on an
+        approx_distinct output is refused — the estimator's value
+        decides WHICH rows return, so swapping estimators between
+        the rollup and base paths could change the row set.
+
+        ``out=count:col`` (COUNT of non-NULLs) is accepted ONLY for
+        a column proven NOT NULL by a write-enforced CHECK
+        constraint the pinned version postdates — the same proof the
+        /sql tier uses; without it even the BASE path would be wrong
+        (the rollup algebra counts rows), so the request is refused
+        with the constraint hint rather than served loosely.
 
         Reads pin the PUBLISHED version when a publish pointer
         exists (falling back to current) — the same
@@ -1071,7 +1107,9 @@ class Engine:
             fn, _, col = fn_col.partition(":")
             fn = fn.strip().lower()
             if fn == "count":
-                agg_spec[out] = ("count", "")
+                # out=count counts rows; out=count:col counts
+                # non-NULLs and is gated below on the NOT-NULL proof
+                agg_spec[out] = ("count", col.strip())
             elif fn in ("sum", "avg", "min", "max") and col.strip():
                 agg_spec[out] = (fn, col.strip())
             elif (
@@ -1152,10 +1190,68 @@ class Engine:
                 )
             filters[col] = vlist
             positional_cols.add(col)
+        # having grammar: out:op:value — SELECTED aliases only,
+        # exact-tier only (see docstring)
+        _HAVING_OPS = {
+            "eq": "=", "ne": "<>", "lt": "<",
+            "le": "<=", "gt": ">", "ge": ">=",
+        }
+        having_terms: list[tuple[str, str, object]] = []
+        for item in (having or "").split(","):
+            item = item.strip()
+            if not item:
+                continue
+            bits = item.split(":", 2)
+            if len(bits) != 3 or not all(b.strip() for b in bits):
+                raise QueryValidationError(
+                    f"bad having item {item!r}: want out:op:value with "
+                    "op in eq/ne/lt/le/gt/ge"
+                )
+            out, op, val = (b.strip() for b in bits)
+            if out not in agg_spec:
+                raise QueryValidationError(
+                    f"having references {out!r}, which is not an aggs "
+                    "output alias"
+                )
+            if agg_spec[out][0] == "approx_count_distinct":
+                raise QueryValidationError(
+                    f"having on {out!r} filters an estimate-tier "
+                    "measure — the estimator's value decides which "
+                    "rows return, never filterable"
+                )
+            if op not in _HAVING_OPS:
+                raise QueryValidationError(
+                    f"bad having op {op!r}: want eq/ne/lt/le/gt/ge"
+                )
+            try:
+                lit: object = int(val)
+            except ValueError:
+                try:
+                    lit = float(val)
+                except ValueError:
+                    lit = val
+            having_terms.append((out, _HAVING_OPS[op], lit))
         table_dir = self._snapshot_tables[name]
         pin_v = _SN.published_version(table_dir)
         if pin_v is None:
             pin_v = _SN.current_version(table_dir)
+        # COUNT(col) == row count ONLY under the NOT-NULL proof; the
+        # rollup algebra AND the base tier both count rows, so an
+        # unproven column is refused, not served loosely
+        count_cols = {
+            c for fn, c in agg_spec.values() if fn == "count" and c
+        }
+        if count_cols:
+            unproven = sorted(
+                count_cols - _proven_non_null(table_dir, pin_v)
+            )
+            if unproven:
+                raise QueryValidationError(
+                    f"count over nullable column(s) {unproven}: counts "
+                    "of non-NULLs need a write-enforced 'col IS NOT "
+                    "NULL' CHECK constraint the pinned version "
+                    "postdates (see /table/{name}/constraints)"
+                )
         try:
             df, why = _RW.answer_aggregate(
                 self.spark, self._rollups, table_dir, group_cols, agg_spec,
@@ -1166,6 +1262,7 @@ class Engine:
             )
         except Exception as exc:  # unknown column etc. — analysis-time
             raise QueryValidationError(f"aggregate failed: {exc}") from exc
+        df = _apply_having(df, having_terms)
         # "metadata" (manifest rowcounts), a rollup's name, or "base"
         answered_by = (
             why["rollup"] if why["used"] == "rollup" else why["used"]
@@ -1184,6 +1281,7 @@ class Engine:
             f"{sorted(agg_spec.items())!r}\x1f"
             f"{sorted(filters.items())!r}\x1f"
             f"{sorted(range_filters.items())!r}\x1f"
+            f"{sorted(map(repr, having_terms))!r}\x1f"
             f"{freshness}\x1f{answered_by}"
         )
         query_id = self.registry.cached_query_id(cache_probe)

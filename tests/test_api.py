@@ -1275,3 +1275,91 @@ def test_rollups_history_ledger_over_http(server, spark, tmp_path_factory):
     assert late["lag_commits"] == 1
     # unknown table fails closed
     assert _get(server, "/table/nope/rollups/history")[0] == 400
+
+
+def test_aggregate_having_and_count_col_over_http(
+    server, spark, tmp_path_factory
+):
+    """r9 parity: the structured /aggregate surface accepts the same
+    HAVING tier and NOT-NULL-gated COUNT(col) as the /sql rewrite —
+    rollup-answered, with the filter applied to values the rollup
+    reproduces exactly, and unproven COUNT(col) refused (even the
+    base tier counts rows, so serving it loosely would be wrong)."""
+    import time as _time
+    import urllib.parse as _up
+
+    from ensembl_lakehouse_spark import ivm
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    base = tmp_path_factory.mktemp("mv_having")
+    src, rol = str(base / "src"), str(base / "rol")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", i) for i in range(30)], ["k", "grp", "val"]
+        ),
+    )
+    SN.add_constraint(spark, src, "val_nn", "val IS NOT NULL")
+    ivm.maintain_rollup(spark, src, rol, ["grp"], "val")
+    server.engine.register_snapshot_table("hav_src", src)
+    server.engine.register_rollup("hav_src", "hav_by_grp", rol, ["grp"], "val")
+
+    def submit(qs):
+        status, _, resp = _get(server, f"/table/hav_src/aggregate?{qs}")
+        return status, resp
+
+    def rows_of(qid):
+        for _ in range(120):
+            st = _get(server, f"/query/{qid}/status")[2]
+            if st["status"] in ("SUCCEEDED", "FAILED"):
+                break
+            _time.sleep(0.5)
+        assert st["status"] == "SUCCEEDED"
+        prev = _get(server, f"/query/{qid}/preview?max_results=50")[2]
+        return [
+            [c.get("VarCharValue") for c in r["Data"]]
+            for r in prev["Rows"]
+        ][1:]  # drop the header row
+
+    aggs = _up.quote("n=count,total=sum:val")
+    status, unfiltered = submit(f"group_by=grp&aggs={aggs}")
+    assert status == 200 and unfiltered["answered_by"] == "hav_by_grp"
+    all_rows = rows_of(unfiltered["query_id"])
+
+    status, filtered = submit(
+        f"group_by=grp&aggs={aggs}&having=total:gt:140"
+    )
+    assert status == 200 and filtered["answered_by"] == "hav_by_grp"
+    got = rows_of(filtered["query_id"])
+    want = [r for r in all_rows if int(r[2]) > 140]
+    assert sorted(got) == sorted(want)
+    assert 0 < len(got) < len(all_rows)  # the filter actually cut
+
+    # distinct cache identity per having shape
+    assert filtered["query_id"] != unfiltered["query_id"]
+
+    # COUNT(col): proven NOT NULL -> answered; unproven -> 400 + hint
+    status, resp = submit(
+        "group_by=grp&aggs=" + _up.quote("nv=count:val")
+    )
+    assert status == 200 and resp["answered_by"] == "hav_by_grp"
+    assert rows_of(resp["query_id"]) == [
+        [r[0], r[1]] for r in all_rows
+    ]  # == COUNT(*) under the proof
+    status, resp = submit("group_by=grp&aggs=" + _up.quote("nk=count:k"))
+    assert status == 400
+    assert "NOT NULL" in resp["detail"]
+
+    # bad having shapes fail closed
+    for bad in (
+        "having=total:gt",            # missing value
+        "having=nope:gt:1",           # unknown alias
+        "having=total:between:1",     # unknown op
+    ):
+        status, resp = submit(f"group_by=grp&aggs={aggs}&{bad}")
+        assert status == 400, bad
+
+    # estimate-tier measures are never filterable
+    aggs_u = _up.quote("u=approx_distinct:val")
+    status, resp = submit(f"group_by=grp&aggs={aggs_u}&having=u:gt:1")
+    assert status == 400 and "estimate-tier" in resp["detail"]
