@@ -41,19 +41,23 @@ from ensembl_lakehouse_spark.service.preview import preview as _preview
 from ensembl_lakehouse_spark.service.urls import UrlSigner
 
 
-def _proven_non_null(table_dir: str, pin_v: int | None) -> set[str]:
-    """Columns proven non-NULL at the pinned version: a
-    write-enforced ``col IS NOT NULL`` CHECK whose validation scan
-    the pin postdates (rollback refuses to cross ``since_version``,
-    so the induction holds for every version ≥ it). Shared by the
-    /sql rewrite gate and /aggregate's COUNT(col) gate — one proof,
-    two surfaces."""
+def _proven_non_null(table_dir: str, pin_v: int | None) -> dict[str, int]:
+    """Columns proven non-NULL at the pinned version → the
+    ``since_version`` of the proving constraint: a write-enforced
+    ``col IS NOT NULL`` CHECK whose validation scan the pin
+    postdates (rollback refuses to cross ``since_version``, so the
+    induction holds for every version ≥ it — and ONLY for those:
+    a stale_ok rollup representing an older version needs the
+    since_version as a floor, r9 second review). Shared by the /sql
+    rewrite gate and /aggregate's COUNT(col) gate — one proof, two
+    surfaces. Dict membership keeps semantic_gate's set-style
+    ``col in non_null_cols`` checks working unchanged."""
     import re as _re
 
     from ensembl_lakehouse_spark import snapshots as _SN
 
     return {
-        m.group(1).lower()
+        m.group(1).lower(): rec["since_version"]
         for rec in _SN.constraint_records(table_dir).values()
         if rec["since_version"] is not None
         and pin_v is not None
@@ -66,6 +70,24 @@ def _proven_non_null(table_dir: str, pin_v: int | None) -> set[str]:
             )
         )
     }
+
+
+def _proof_floor(
+    non_null: dict[str, int], aggs: dict[str, tuple[str, str]]
+) -> int | None:
+    """The minimum source version a rollup answer must REPRESENT for
+    the NOT-NULL-gated measures in ``aggs`` (SUM/AVG, COUNT(col)) to
+    stay proven: the max since_version among the columns the proof
+    actually covers. None when no measure depends on a proof."""
+    needed = {
+        col.lower()
+        for fn, col in aggs.values()
+        if (fn in ("sum", "avg") and col) or (fn == "count" and col)
+    }
+    # unproven columns were already refused by the caller's gate, so
+    # every needed column is in the map here
+    floors = [non_null[c] for c in needed if c in non_null]
+    return max(floors) if floors else None
 
 
 def _apply_having(df, terms):
@@ -385,6 +407,7 @@ class Engine:
                 filters=intent.filters or None,
                 range_filters=intent.range_filters or None,
                 version=pin_v,
+                min_source_version=_proof_floor(non_null, intent.aggs),
             )
         except Exception as exc:  # analysis-time oddity → verbatim run
             return None, {
@@ -673,7 +696,7 @@ class Engine:
         for spec in self._rollups.specs():
             if spec.source_dir != tdir:
                 continue
-            state = _RW._chain_freshness(spec, pin_v)
+            state, represents = _RW._chain_freshness(spec, pin_v)
             rollup_v = _SN.current_version(spec.rollup_dir)
             out.append(
                 {
@@ -684,6 +707,9 @@ class Engine:
                     "hierarchical": spec.parent_dir is not None,
                     "freshness": state if state is not None else "fresh",
                     "pinned_source_version": pin_v,
+                    # the base version a stale_ok answer from this
+                    # rollup would REPRESENT (root's last applied)
+                    "represents_source_version": represents,
                     "rollup_version": rollup_v,
                     "rowcount": _SN.table_rowcount(
                         spec.rollup_dir, version=rollup_v
@@ -1104,6 +1130,18 @@ class Engine:
                     f"bad aggs item {item!r}: want out=count|out=sum:col|out=avg:col"
                 )
             out, fn_col = (s.strip() for s in item.split("=", 1))
+            # output aliases must be plain identifiers: a dotted or
+            # quoted alias would misresolve in downstream F.col()
+            # references (the having filter) as struct-field access
+            # and surface as a 500 instead of a 400 (r9 second
+            # review)
+            import re as _re2
+
+            if not _re2.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", out):
+                raise QueryValidationError(
+                    f"bad aggs alias {out!r}: want a plain identifier "
+                    "(letters, digits, underscores)"
+                )
             fn, _, col = fn_col.partition(":")
             fn = fn.strip().lower()
             if fn == "count":
@@ -1237,20 +1275,22 @@ class Engine:
             pin_v = _SN.current_version(table_dir)
         # COUNT(col) == row count ONLY under the NOT-NULL proof; the
         # rollup algebra AND the base tier both count rows, so an
-        # unproven column is refused, not served loosely
+        # unproven column is refused, not served loosely. Lowercased
+        # like the proof map — Spark resolves case-insensitively and
+        # the /sql lexer lowercases, so /aggregate must too (r9
+        # second review)
+        non_null = _proven_non_null(table_dir, pin_v)
         count_cols = {
-            c for fn, c in agg_spec.values() if fn == "count" and c
+            c.lower() for fn, c in agg_spec.values() if fn == "count" and c
         }
         if count_cols:
-            unproven = sorted(
-                count_cols - _proven_non_null(table_dir, pin_v)
-            )
+            unproven = sorted(count_cols - set(non_null))
             if unproven:
                 raise QueryValidationError(
                     f"count over nullable column(s) {unproven}: counts "
                     "of non-NULLs need a write-enforced 'col IS NOT "
                     "NULL' CHECK constraint the pinned version "
-                    "postdates (see /table/{name}/constraints)"
+                    f"postdates (see /table/{name}/constraints)"
                 )
         try:
             df, why = _RW.answer_aggregate(
@@ -1259,6 +1299,17 @@ class Engine:
                 filters=filters or None,
                 range_filters=range_filters or None,
                 version=pin_v,
+                # only COUNT(col) is proof-dependent on this surface
+                # (SUM/AVG here are the rollup algebra's own NULL→0
+                # contract, not an SQL-equivalence claim)
+                min_source_version=_proof_floor(
+                    non_null,
+                    {
+                        k: v
+                        for k, v in agg_spec.items()
+                        if v[0] == "count" and v[1]
+                    },
+                ),
             )
         except Exception as exc:  # unknown column etc. — analysis-time
             raise QueryValidationError(f"aggregate failed: {exc}") from exc

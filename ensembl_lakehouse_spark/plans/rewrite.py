@@ -160,11 +160,20 @@ def _last_applied(spec: RollupSpec) -> int | None:
     return applied[-1] if applied else None
 
 
-def _chain_freshness(spec: RollupSpec, src_v: int | None) -> str | None:
-    """None when the spec is exactly fresh w.r.t. the base pin;
-    'stale' when it provably lags the pin; 'ahead' when the chain
-    may contain data PAST the pin (staged rows — never servable,
-    even under stale_ok); 'never' when any hop has no stamps.
+def _chain_freshness(
+    spec: RollupSpec, src_v: int | None
+) -> tuple[str | None, int | None]:
+    """(state, represents): state is None when the spec is exactly
+    fresh w.r.t. the base pin; 'stale' when it provably lags the
+    pin; 'ahead' when the chain may contain data PAST the pin
+    (staged rows — never servable, even under stale_ok); 'never'
+    when any hop has no stamps. ``represents`` is the BASE version
+    the chain's content derives from (the root's last applied
+    version) — the version a stale_ok answer actually represents,
+    which proof-dependent measures must gate on (r9 review: a
+    NOT-NULL proof at the pin does not cover a stale rollup whose
+    rows were accumulated before the constraint's validation scan).
+    None when state is 'never'.
 
     A direct rollup's applied versions ARE base versions. A
     hierarchical child's are PARENT-rollup versions, so the walk
@@ -189,29 +198,29 @@ def _chain_freshness(spec: RollupSpec, src_v: int | None) -> str | None:
     parent = spec.parent_dir or ivm.rollup_lineage(spec.rollup_dir)
     while parent:
         if parent in seen:  # lineage cycle: refuse to serve
-            return "never"
+            return "never", None
         chain.append(parent)
         seen.add(parent)
         parent = ivm.rollup_lineage(parent)
     root_applied = ivm._applied_versions(chain[-1])
     if not root_applied:
-        return "never"
+        return "never", None
     root_last = root_applied[-1]
     if src_v is not None and root_last > src_v:
-        return "ahead"
+        return "ahead", root_last
     if root_last != src_v:
-        return "stale"
+        return "stale", root_last
     state = None
     for child, parent_dir in zip(chain, chain[1:]):
         ca = ivm._applied_versions(child)
         if not ca:
-            return "never"
+            return "never", None
         pv = SN.current_version(parent_dir)
         if pv is None or ca[-1] > pv:
-            return "ahead"
+            return "ahead", root_last
         if ca[-1] != pv:
             state = "stale"
-    return state
+    return state, root_last
 
 
 def _can_answer(
@@ -334,6 +343,7 @@ def answer_aggregate(
     filters: dict | None = None,
     range_filters: dict | None = None,
     version: int | None = None,
+    min_source_version: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Answer ``SELECT group_by, aggs FROM source GROUP BY group_by``
     from the cheapest registered rollup that can serve it exactly,
@@ -381,6 +391,13 @@ def answer_aggregate(
     group columns when counts are unrecorded), name-tiebroken — the
     runner-ups land in ``skipped`` with the cost they lost on, so
     the choice is auditable.
+
+    ``min_source_version`` (optional) is the proof floor for
+    NOT-NULL-gated measures: a rollup whose chain REPRESENTS a base
+    version older than it (possible only under ``stale_ok``) is
+    skipped — its rows were accumulated before the constraint's
+    validation scan, so the gate's proof does not cover them (r9
+    second review).
     """
     if freshness not in ("strict", "stale_ok"):
         raise ValueError(
@@ -444,7 +461,7 @@ def answer_aggregate(
         if reason is not None:
             skipped.append({"rollup": spec.name, "reason": reason})
             continue
-        state = _chain_freshness(spec, src_v)
+        state, represents = _chain_freshness(spec, src_v)
         if state == "never":
             skipped.append(
                 {"rollup": spec.name, "reason": "never applied"}
@@ -473,6 +490,28 @@ def answer_aggregate(
                 {
                     "rollup": spec.name,
                     "reason": "stale (chain not applied to source pin)",
+                }
+            )
+            continue
+        # proof-dependent measures (NOT-NULL-gated SUM/AVG/COUNT(col))
+        # are proven at the PIN; a stale_ok answer represents the
+        # root's applied version, which must not predate the proof's
+        # validation scan or the rollup's NULL→0 accumulation could
+        # cover rows the constraint never saw
+        if (
+            min_source_version is not None
+            and represents is not None
+            and represents < min_source_version
+        ):
+            skipped.append(
+                {
+                    "rollup": spec.name,
+                    "reason": (
+                        f"represents source v{represents}, before the "
+                        f"NOT-NULL proof's validation scan "
+                        f"(v{min_source_version}) — proof-dependent "
+                        "measures cannot serve from it"
+                    ),
                 }
             )
             continue

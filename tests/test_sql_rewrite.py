@@ -378,3 +378,81 @@ def test_explain_shows_having_rewrite_decision(engine, mv):
     assert payload["rewrite"]["answered_by"] == "by_grp_reg"
     # the rewritten plan filters the rollup, not the base table
     assert "sqlmv_rol" in str(payload.get("plan", payload))
+
+
+def test_stale_rollup_never_serves_proof_dependent_measures(
+    engine, spark, tmp_path
+):
+    """r9 second review: the NOT-NULL proof holds for versions >=
+    since_version ONLY — a stale_ok answer from a rollup maintained
+    BEFORE the constraint's validation scan represents data the
+    proof never covered (NULLs the rollup coalesced to 0). The proof
+    floor must skip that rollup; measures without a proof dependency
+    still serve from it."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    src = str(tmp_path / "stale_src")
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("grp", StringType()),
+        StructField("val", LongType()),
+    ])
+    # v0: includes NULL val rows; rollup maintained against it
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(0, "g0", 5), (1, "g0", None), (2, "g1", 7)], schema
+        ),
+    )
+    rol = str(tmp_path / "stale_rol")
+    ivm.maintain_rollup(spark, src, rol, ["grp"], "val")
+    # v1: NULLs removed, constraint validated (since_version = 1)
+    SN.delete_snapshot(spark, src, "val IS NULL")
+    SN.add_constraint(spark, src, "val_nn", "val IS NOT NULL")
+    engine.register_snapshot_table("stl", src)
+    engine.register_rollup("stl", "stl_by_grp", rol, ["grp"], "val")
+
+    # proof-dependent measure: stale rollup refused, verbatim answer
+    sql = "SELECT grp, COUNT(val) AS nv FROM snap_stl GROUP BY grp ORDER BY grp"
+    resp = engine.submit_sql(sql, freshness="stale_ok")
+    audit = resp["rewrite"]
+    assert audit["eligible"] is True
+    assert audit["answered_by"] == "base"
+    assert any(
+        "NOT-NULL proof" in s["reason"] for s in audit["skipped"]
+    ), audit["skipped"]
+    got = _rows(engine, resp["query_id"])
+    assert got[1:] == [["g0", "1"], ["g1", "1"]]  # post-delete truth
+
+    # no proof dependency: the same stale rollup still serves
+    resp2 = engine.submit_sql(
+        "SELECT grp, COUNT(*) AS n FROM snap_stl GROUP BY grp ORDER BY grp",
+        freshness="stale_ok",
+    )
+    assert resp2["rewrite"]["answered_by"] == "stl_by_grp"
+
+    # and the structured surface applies the same floor
+    resp3 = engine.submit_table_aggregate(
+        "stl", "grp", "nv=count:val", freshness="stale_ok"
+    )
+    assert resp3["answered_by"] == "base"
+    assert any(
+        "NOT-NULL proof" in s["reason"] for s in resp3["skipped"]
+    ), resp3["skipped"]
+
+
+def test_count_col_case_insensitive_on_aggregate_surface(engine, mv):
+    """Spark resolves identifiers case-insensitively and the /sql
+    lexer lowercases; /aggregate's COUNT(col) proof lookup must
+    too (r9 second review)."""
+    resp = engine.submit_table_aggregate("sqlmv", "grp", "nv=count:VAL")
+    # count derives from ANY rollup kind — the cheapest (per-grp)
+    # answers; the point is the proof lookup matched despite the case
+    assert resp["answered_by"] in ("hll_k", "by_grp_reg")
+
+
+def test_aggs_alias_must_be_plain_identifier(engine, mv):
+    with pytest.raises(QueryValidationError, match="plain identifier"):
+        engine.submit_table_aggregate("sqlmv", "grp", "a.b=count")
