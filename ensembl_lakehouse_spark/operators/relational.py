@@ -395,6 +395,27 @@ ORDER BY l_returnflag
 """
 
 
+#: DuckDB twin of _sessionized_events — the same 30-minute
+#: gap-and-island window pair, shared by every session-family oracle
+#: so the SQL side can only drift together with the Spark side. The
+#: final CTE `s` exposes (user_id, ts, event_id, event_type,
+#: session_num); consumers project what they need.
+_SQL_SESSION_CTES = """g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_num
+  FROM g
+)"""
+
+
 def _sessionized_events(events: DataFrame) -> DataFrame:
     """The 30-minute gap-and-island sessionization contract, shared
     by events_sessionize and session_conversion_rate (r9 code
@@ -979,19 +1000,8 @@ ORDER BY s.hour, s.event_type
 """
 
 
-EVENTS_SESSIONIZE_SQL = """
-WITH g AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), s AS (
-  SELECT user_id, ts, event_id,
-         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
-  FROM g
-)
+EVENTS_SESSIONIZE_SQL = f"""
+WITH {_SQL_SESSION_CTES}
 SELECT user_id, session_num,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events
@@ -2527,20 +2537,8 @@ def session_concurrency(
     )
 
 
-SESSION_CONCURRENCY_SQL = """
-WITH g AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), s AS (
-  SELECT user_id, ts, event_id,
-         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS session_num
-  FROM g
-), sessions AS (
+SESSION_CONCURRENCY_SQL = f"""
+WITH {_SQL_SESSION_CTES}, sessions AS (
   SELECT user_id, session_num, MIN(ts) AS s_start,
          MAX(ts) + INTERVAL 1 SECOND AS s_end_excl
   FROM s GROUP BY user_id, session_num
@@ -3723,21 +3721,8 @@ def session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSION_LENGTH_HISTOGRAM_SQL = """
-WITH g AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
-           AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), s AS (
-  SELECT user_id, ts,
-         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS session_num
-  FROM g
-), sess AS (
+SESSION_LENGTH_HISTOGRAM_SQL = f"""
+WITH {_SQL_SESSION_CTES}, sess AS (
   SELECT user_id, session_num,
          CAST(floor(epoch(MAX(ts))) AS BIGINT)
            - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS dur_s,
@@ -5280,27 +5265,13 @@ def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSION_CONVERSION_RATE_SQL = """
-WITH marked AS (
-  SELECT user_id, ts, event_id, event_type,
-         CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), numbered AS (
-  SELECT user_id, event_type,
-         SUM(is_new) OVER (PARTITION BY user_id
-           ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_num
-  FROM marked
-), sessions AS (
+SESSION_CONVERSION_RATE_SQL = f"""
+WITH {_SQL_SESSION_CTES}, sessions AS (
   SELECT user_id, session_num,
          COUNT(*) AS depth,
          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
            AS converted
-  FROM numbered GROUP BY 1, 2
+  FROM s GROUP BY 1, 2
 ), banded AS (
   SELECT CASE WHEN depth = 1 THEN '01'
               WHEN depth <= 4 THEN '02-04'
@@ -5508,21 +5479,8 @@ def user_session_count_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-USER_SESSION_COUNT_BANDS_SQL = """
-WITH g AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), s AS (
-  SELECT user_id,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_num
-  FROM g
-), sessions AS (
+USER_SESSION_COUNT_BANDS_SQL = f"""
+WITH {_SQL_SESSION_CTES}, sessions AS (
   SELECT user_id, session_num, COUNT(*) AS depth
   FROM s GROUP BY 1, 2
 ), per_user AS (
