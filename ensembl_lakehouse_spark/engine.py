@@ -85,8 +85,17 @@ def _proof_floor(
         if (fn in ("sum", "avg") and col) or (fn == "count" and col)
     }
     # unproven columns were already refused by the caller's gate, so
-    # every needed column is in the map here
-    floors = [non_null[c] for c in needed if c in non_null]
+    # every needed column is in the map here — enforce it: a caller
+    # that forgot its gate must fail loudly, not silently get
+    # floor=None and serve unproven measures (r9 ADVICE)
+    missing = needed - set(non_null)
+    if missing:
+        raise ValueError(
+            "proof-floor invariant violated: column(s) "
+            f"{sorted(missing)} have no NOT-NULL proof at the pin — "
+            "the caller's gate must refuse them before pricing a floor"
+        )
+    floors = [non_null[c] for c in needed]
     return max(floors) if floors else None
 
 
@@ -708,7 +717,10 @@ class Engine:
                     "freshness": state if state is not None else "fresh",
                     "pinned_source_version": pin_v,
                     # the base version a stale_ok answer from this
-                    # rollup would REPRESENT (root's last applied)
+                    # rollup would REPRESENT — exact even when a
+                    # non-root hop lags (ledger-walked); null means
+                    # the derivation is unresolvable (chain-lagged
+                    # pre-log state), i.e. possibly pre-proof
                     "represents_source_version": represents,
                     "rollup_version": rollup_v,
                     "rowcount": _SN.table_rowcount(

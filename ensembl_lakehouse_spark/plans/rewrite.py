@@ -160,6 +160,48 @@ def _last_applied(spec: RollupSpec) -> int | None:
     return applied[-1] if applied else None
 
 
+def _represented_base_version(chain: list[str]) -> int | None:
+    """The BASE version the leaf rollup's CONTENT actually derives
+    from, walked exactly from the ``_txns`` ledgers (r9 ADVICE: when
+    a non-root hop of a hierarchical chain lags, the leaf's content
+    reflects an OLDER parent state than the root's last apply, so
+    returning root-last overstates what a stale_ok answer represents
+    and can defeat the NOT-NULL proof floor).
+
+    ``chain`` is leaf-first, root-last. A child's ``ivm:src_v{v}``
+    stamps record the PARENT snapshot version it consumed; the
+    parent's own op records map each of ITS snapshot versions to the
+    feed version applied by the commit that created it. So: resolve
+    the leaf's last-consumed parent version, then at each parent find
+    the latest ivm stamp at-or-before the record that CREATED that
+    snapshot version (application order — creation is unique even
+    after a rollback re-points the pointer at an old number), and
+    carry the stamped feed version up. At the root the stamp is a
+    base version. None when any step is unresolvable (pre-log /
+    manifest-only state, or a consumed state that predates any
+    apply) — the caller must treat None as "unknown, possibly
+    pre-proof" and skip proof-dependent serving."""
+    applied = ivm._applied_versions(chain[0])
+    if not applied:
+        return None
+    v = applied[-1]
+    for parent_dir in chain[1:]:
+        recs = SN.committed_op_records(parent_dir)
+        created_at = next(
+            (i for i, (rv, _) in enumerate(recs) if rv == v), None
+        )
+        if created_at is None:
+            return None
+        stamp = None
+        for _, op in recs[: created_at + 1]:
+            if op.startswith("ivm:src_v"):
+                stamp = int(op.rsplit("v", 1)[1])
+        if stamp is None:
+            return None
+        v = stamp
+    return v
+
+
 def _chain_freshness(
     spec: RollupSpec, src_v: int | None
 ) -> tuple[str | None, int | None]:
@@ -168,12 +210,19 @@ def _chain_freshness(
     pin; 'ahead' when the chain may contain data PAST the pin
     (staged rows — never servable, even under stale_ok); 'never'
     when any hop has no stamps. ``represents`` is the BASE version
-    the chain's content derives from (the root's last applied
-    version) — the version a stale_ok answer actually represents,
-    which proof-dependent measures must gate on (r9 review: a
-    NOT-NULL proof at the pin does not cover a stale rollup whose
-    rows were accumulated before the constraint's validation scan).
-    None when state is 'never'.
+    the chain's content derives from — the version a stale_ok answer
+    actually represents, which proof-dependent measures must gate on
+    (r9 review: a NOT-NULL proof at the pin does not cover a stale
+    rollup whose rows were accumulated before the constraint's
+    validation scan). When every hop has fully consumed its parent
+    this is the root's last applied version; when a non-root hop
+    LAGS, the leaf's content derives from an OLDER parent state, so
+    the exact value is walked from the ``_txns`` ledgers
+    (_represented_base_version) instead of overstated as root-last
+    (r9 ADVICE — the overstatement could wrongly pass the proof
+    floor). None when state is 'never' OR when the walk cannot
+    resolve the derivation (unknown, possibly pre-proof — the proof
+    gate must skip such chains for proof-dependent measures).
 
     A direct rollup's applied versions ARE base versions. A
     hierarchical child's are PARENT-rollup versions, so the walk
@@ -209,7 +258,21 @@ def _chain_freshness(
     if src_v is not None and root_last > src_v:
         return "ahead", root_last
     if root_last != src_v:
-        return "stale", root_last
+        # root provably lags the pin; represents is root_last only if
+        # every downstream hop has fully consumed its parent — a
+        # lagging hop derives from an older state, walk for the exact
+        # value (same state either way, so hop 'ahead'/'never'
+        # subtleties stay the fresh-root branch's concern)
+        lagged = False
+        for child, parent_dir in zip(chain, chain[1:]):
+            ca = ivm._applied_versions(child)
+            pv = SN.current_version(parent_dir)
+            if not ca or pv is None or ca[-1] != pv:
+                lagged = True
+                break
+        return "stale", (
+            _represented_base_version(chain) if lagged else root_last
+        )
     state = None
     for child, parent_dir in zip(chain, chain[1:]):
         ca = ivm._applied_versions(child)
@@ -220,7 +283,9 @@ def _chain_freshness(
             return "ahead", root_last
         if ca[-1] != pv:
             state = "stale"
-    return state, root_last
+    if state == "stale":
+        return "stale", _represented_base_version(chain)
+    return None, root_last
 
 
 def _can_answer(
@@ -495,20 +560,27 @@ def answer_aggregate(
             continue
         # proof-dependent measures (NOT-NULL-gated SUM/AVG/COUNT(col))
         # are proven at the PIN; a stale_ok answer represents the
-        # root's applied version, which must not predate the proof's
-        # validation scan or the rollup's NULL→0 accumulation could
-        # cover rows the constraint never saw
-        if (
-            min_source_version is not None
-            and represents is not None
-            and represents < min_source_version
+        # version its chain's content actually derives from, which
+        # must not predate the proof's validation scan or the
+        # rollup's NULL→0 accumulation could cover rows the
+        # constraint never saw. represents=None here means the
+        # derivation is unresolvable (chain-lagged pre-log state) —
+        # possibly pre-proof, so it must skip too (r9 ADVICE)
+        if min_source_version is not None and (
+            represents is None or represents < min_source_version
         ):
             skipped.append(
                 {
                     "rollup": spec.name,
                     "reason": (
-                        f"represents source v{represents}, before the "
-                        f"NOT-NULL proof's validation scan "
+                        (
+                            f"represents source v{represents}, before "
+                            if represents is not None
+                            else "represented source version "
+                            "unresolvable (chain-lagged), possibly "
+                            "before "
+                        )
+                        + f"the NOT-NULL proof's validation scan "
                         f"(v{min_source_version}) — proof-dependent "
                         "measures cannot serve from it"
                     ),

@@ -443,6 +443,102 @@ def test_stale_rollup_never_serves_proof_dependent_measures(
     ), resp3["skipped"]
 
 
+def test_chain_lagged_hierarchy_never_serves_proof_dependent_measures(
+    engine, spark, tmp_path
+):
+    """r9 ADVICE: a hierarchical chain whose ROOT is fully applied to
+    the pin but whose CHILD hop lags derives its content from an
+    older parent state — a base version that can PREDATE the NOT-NULL
+    proof's validation scan even though root-last postdates it.
+    represents must be the ledger-walked derivation version, not
+    root-last, so the proof floor skips the lagging child; the fresh
+    parent (or base) answers instead."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    src = str(tmp_path / "hstale_src")
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("grp", StringType()),
+        StructField("reg", StringType()),
+        StructField("val", LongType()),
+    ])
+    # v0: NULL vals present; parent AND child maintained against it
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [
+                (0, "g0", "r0", 5),
+                (1, "g0", "r1", None),
+                (2, "g1", "r0", 7),
+                (3, "g1", "r1", None),
+            ],
+            schema,
+        ),
+    )
+    parent = str(tmp_path / "hstale_parent")
+    child = str(tmp_path / "hstale_child")
+    ivm.maintain_rollup(spark, src, parent, ["grp", "reg"], "val")
+    ivm.maintain_rollup_from_rollup(spark, parent, child, {"grp": "grp"})
+    pre_proof_base = ivm._applied_versions(parent)[-1]
+
+    # NULLs removed, constraint validated, PARENT re-applied to the
+    # pin — the child hop is deliberately left lagging
+    SN.delete_snapshot(spark, src, "val IS NULL")
+    SN.add_constraint(spark, src, "val_nn", "val IS NOT NULL")
+    ivm.maintain_rollup(spark, src, parent, ["grp", "reg"], "val")
+
+    engine.register_snapshot_table("hstl", src)
+    engine.register_rollup(
+        "hstl", "hstl_parent", parent, ["grp", "reg"], "val"
+    )
+    engine.register_rollup(
+        "hstl", "hstl_child", child, ["grp"], "val", parent_dir=parent
+    )
+
+    # the child is the CHEAPEST eligible rollup by rowcount, so only
+    # the proof floor keeps it from serving the proof-dependent SUM
+    sql = (
+        "SELECT grp, SUM(val) AS sv FROM snap_hstl "
+        "GROUP BY grp ORDER BY grp"
+    )
+    resp = engine.submit_sql(sql, freshness="stale_ok")
+    audit = resp["rewrite"]
+    assert audit["eligible"] is True
+    assert audit["answered_by"] == "hstl_parent"
+    assert any(
+        s["rollup"] == "hstl_child" and "NOT-NULL proof" in s["reason"]
+        for s in audit["skipped"]
+    ), audit["skipped"]
+    got = _rows(engine, resp["query_id"])
+    off = engine.submit_sql(sql, rewrite="off", freshness="stale_ok")
+    assert got == _rows(engine, off["query_id"])
+    assert got[1:] == [["g0", "5"], ["g1", "7"]]
+
+    # COUNT(*) has no proof dependency: the lagging child still
+    # serves under stale_ok (older-but-sound data, by contract)
+    resp2 = engine.submit_sql(
+        "SELECT grp, COUNT(*) AS n FROM snap_hstl GROUP BY grp",
+        freshness="stale_ok",
+    )
+    assert resp2["rewrite"]["answered_by"] == "hstl_child"
+
+    # the listing reports the WALKED derivation version for the
+    # lagging child — the pre-proof base version, not root-last
+    listing = {r["rollup"]: r for r in engine.table_rollups_report("hstl")}
+    assert listing["hstl_parent"]["freshness"] == "fresh"
+    assert listing["hstl_child"]["freshness"] == "stale"
+    assert (
+        listing["hstl_child"]["represents_source_version"]
+        == pre_proof_base
+    )
+    assert (
+        listing["hstl_parent"]["represents_source_version"]
+        == listing["hstl_parent"]["pinned_source_version"]
+    )
+
+
 def test_count_col_case_insensitive_on_aggregate_surface(engine, mv):
     """Spark resolves identifiers case-insensitively and the /sql
     lexer lowercases; /aggregate's COUNT(col) proof lookup must
