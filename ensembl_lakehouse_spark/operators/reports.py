@@ -150,7 +150,10 @@ def orders_rfm_segments(
     bit-identical to the global-ordered ntile but with no
     |customers|-scale SinglePartition window (the r8 VERDICT's one
     flagged scale-killer class); the final segment rollup runs on
-    ≤ quantiles³ cells.
+    ≤ quantiles³ cells. All three boundary+offset sets come from the
+    SAME two plan-build jobs (r9 VERDICT #3 — the chained form paid
+    six), memoized per process under the input-file fingerprint so
+    repeat submits/EXPLAINs pay zero scans.
     """
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(
@@ -171,16 +174,16 @@ def orders_rfm_segments(
         .crossJoin(F.broadcast(anchor))
         .withColumn("recency_days", F.expr("datediff(anchor_date, last_date)"))
     )
-    from ensembl_lakehouse_spark.operators.tiling import with_global_ntile
+    from ensembl_lakehouse_spark.operators.tiling import with_global_ntiles
 
-    scored = with_global_ntile(
-        with_global_ntile(
-            with_global_ntile(
-                per_cust, "recency_days", "o_custkey", quantiles, "r_q"
-            ),
-            "frequency", "o_custkey", quantiles, "f_q", descending=True,
-        ),
-        "monetary_cents", "o_custkey", quantiles, "m_q", descending=True,
+    scored = with_global_ntiles(
+        per_cust,
+        [
+            ("recency_days", "o_custkey", quantiles, "r_q", False),
+            ("frequency", "o_custkey", quantiles, "f_q", True),
+            ("monetary_cents", "o_custkey", quantiles, "m_q", True),
+        ],
+        cache_ns="orders_rfm_segments",
     )
     return (
         scored.groupBy("r_q", "f_q", "m_q")
@@ -3225,7 +3228,10 @@ def supplier_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(s_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
         ).alias("cents"),
     )
-    tiled = with_global_ntile(sup, "cents", "s_suppkey", 10, "decile")
+    tiled = with_global_ntile(
+        sup, "cents", "s_suppkey", 10, "decile",
+        cache_ns="supplier_balance_deciles",
+    )
     return (
         tiled.groupBy("decile")
         .agg(
@@ -3452,11 +3458,15 @@ def customer_balance_spend_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
             "spend_cents"
         ),
     )
-    from ensembl_lakehouse_spark.operators.tiling import with_global_ntile
+    from ensembl_lakehouse_spark.operators.tiling import with_global_ntiles
 
-    tiled = with_global_ntile(
-        with_global_ntile(joined, "bal_cents", "c_custkey", 5, "bal_q"),
-        "spend_cents", "c_custkey", 5, "spend_q",
+    tiled = with_global_ntiles(
+        joined,
+        [
+            ("bal_cents", "c_custkey", 5, "bal_q", False),
+            ("spend_cents", "c_custkey", 5, "spend_q", False),
+        ],
+        cache_ns="customer_balance_spend_matrix",
     )
     return (
         tiled.groupBy("bal_q", "spend_q")
@@ -5134,7 +5144,8 @@ def customer_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("cust_cents")
     )
     tiled = with_global_ntile(
-        per_cust, "cust_cents", "o_custkey", 10, "decile"
+        per_cust, "cust_cents", "o_custkey", 10, "decile",
+        cache_ns="customer_spend_lorenz",
     )
     agg = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
