@@ -248,6 +248,15 @@ def make_handler(engine: Engine):
                     200,
                     engine.table_maintenance_report(parts[1], tb, keep),
                 )
+            elif (
+                len(parts) == 4
+                and parts[0] == "table"
+                and parts[2] == "aggregate"
+                and parts[3] == "params"
+            ):
+                # the structured-aggregate grammar, served over the
+                # wire like /analytics/{name}/params (r9 VERDICT #6)
+                self._send(200, engine.table_aggregate_params(parts[1]))
             elif len(parts) == 3 and parts[0] == "table" and parts[2] == "aggregate":
                 # EXT: MV-rewrite aggregate — answered from a fresh
                 # registered rollup when derivable, else base scan;

@@ -72,6 +72,23 @@ def _proven_non_null(table_dir: str, pin_v: int | None) -> dict[str, int]:
     }
 
 
+def _proven_unique(table_dir: str, pin_v: int | None) -> dict[str, int]:
+    """column -> since_version for every write-enforced UNIQUE
+    constraint whose validation scan the pinned version postdates —
+    the dim-key proof the /sql join rewrite gates on (the exact
+    analogue of _proven_non_null's induction, shared store, shared
+    rollback floor)."""
+    from ensembl_lakehouse_spark import snapshots as _SN
+
+    return {
+        rec["col"].lower(): rec["since_version"]
+        for rec in _SN.unique_constraint_records(table_dir).values()
+        if rec["since_version"] is not None
+        and pin_v is not None
+        and pin_v >= rec["since_version"]
+    }
+
+
 def _proof_floor(
     non_null: dict[str, int], aggs: dict[str, tuple[str, str]]
 ) -> int | None:
@@ -372,11 +389,16 @@ class Engine:
         )
 
         intent = parse_aggregate_sql(sql)
+        if intent is not None and intent.join_dim is not None:
+            return self._try_sql_join_rewrite(
+                intent, pins, allow_estimates, freshness
+            )
         if intent is None:
             return None, {
                 "eligible": False,
                 "reason": "statement outside the rewrite grammar "
-                "(single snap_ view, grouped derivable aggregates, "
+                "(single snap_ view — optionally one INNER equi-join "
+                "to a snap_ dim — grouped derivable aggregates, "
                 "eq/IN/BETWEEN filters)",
             }
         if intent.table not in self._snapshot_tables:
@@ -437,11 +459,18 @@ class Engine:
             # plan, and running the original text keeps /sql
             # semantics beyond question
             return None, audit
-        # HAVING runs on the aggregated values BEFORE the output
-        # projection (hidden __having_N measures exist only here);
-        # every filtered measure is exact-tier (semantic_gate refuses
-        # estimate-tier filters), so the surviving row SET matches
-        # the verbatim statement's by construction.
+        return self._finish_sql_rewrite(df, intent), audit
+
+    def _finish_sql_rewrite(self, df, intent):
+        """The shared post-aggregate tail for both rewrite families:
+        HAVING runs on the aggregated values BEFORE the output
+        projection (hidden __having_N measures exist only here);
+        every filtered measure is exact-tier (the gates refuse
+        estimate-tier filters), so the surviving row SET matches the
+        verbatim statement's by construction. Then the SELECT-list
+        re-projection, ORDER BY, LIMIT."""
+        from pyspark.sql import functions as F
+
         df = _apply_having(df, intent.having)
         df = df.select(*intent.select_order)
         if intent.order_by:
@@ -453,7 +482,105 @@ class Engine:
             )
         if intent.limit is not None:
             df = df.limit(intent.limit)
-        return df, audit
+        return df
+
+    def _try_sql_join_rewrite(
+        self,
+        intent,
+        pins: dict[str, int],
+        allow_estimates: bool,
+        freshness: str,
+    ):
+        """The dimension-join branch of the /sql MV rewrite (r9
+        VERDICT #2): ``fact INNER JOIN dim ON fact.fk = dim.pk``
+        aggregates answer from an fk-keyed rollup joined to the
+        PINNED dim — zero fact files read — when the dim key carries
+        a write-enforced UNIQUE proof at its pin and every measure
+        passes the same exactness proofs as the single-table gate
+        (semantic_gate_join). Audit vocabulary is identical, plus a
+        ``join`` record naming the dim and its pinned version."""
+        from ensembl_lakehouse_spark import snapshots as _SN
+        from ensembl_lakehouse_spark.plans import rewrite as _RW
+        from ensembl_lakehouse_spark.plans.sql_rewrite import (
+            semantic_gate_join,
+        )
+
+        for t in (intent.table, intent.join_dim):
+            if t not in self._snapshot_tables:
+                return None, {
+                    "eligible": False,
+                    "reason": f"snap_{t} is not a registered snapshot "
+                    "table",
+                }
+        fact_dir = self._snapshot_tables[intent.table]
+        dim_dir = self._snapshot_tables[intent.join_dim]
+
+        def _pin(tname: str, tdir: str):
+            if tname in pins:
+                return pins[tname]
+            v = _SN.published_version(tdir)
+            return v if v is not None else _SN.current_version(tdir)
+
+        fact_pin = _pin(intent.table, fact_dir)
+        dim_pin = _pin(intent.join_dim, dim_dir)
+        try:
+            fact_schema = _SN.read_snapshot(
+                self.spark, fact_dir, version=fact_pin
+            ).schema
+            dim_schema = _SN.read_snapshot(
+                self.spark, dim_dir, version=dim_pin
+            ).schema
+        except (FileNotFoundError, ValueError, KeyError) as exc:
+            return None, {
+                "eligible": False,
+                "reason": f"table unreadable at its pin: {exc}",
+            }
+        non_null = _proven_non_null(fact_dir, fact_pin)
+        unique = _proven_unique(dim_dir, dim_pin)
+        gate = semantic_gate_join(
+            intent, fact_schema, dim_schema, non_null, unique
+        )
+        if gate is not None:
+            return None, {"eligible": False, "reason": gate}
+        try:
+            df, why = _RW.answer_join_aggregate(
+                self.spark,
+                self._rollups,
+                fact_dir,
+                dim_dir,
+                list(intent.group_by),
+                list(intent.dim_group_by),
+                intent.aggs,
+                *intent.join_on,
+                freshness=freshness,
+                fact_filters=intent.filters or None,
+                fact_range_filters=intent.range_filters or None,
+                dim_filters=intent.dim_filters or None,
+                dim_range_filters=intent.dim_range_filters or None,
+                fact_version=fact_pin,
+                dim_version=dim_pin,
+                min_source_version=_proof_floor(non_null, intent.aggs),
+            )
+        except Exception as exc:  # analysis-time oddity → verbatim run
+            return None, {
+                "eligible": False,
+                "reason": f"rewrite planning failed: {exc}",
+            }
+        audit = {
+            "eligible": True,
+            "answered_by": (
+                why["rollup"] if why["used"] == "rollup" else why["used"]
+            ),
+            "source_version": why["source_version"],
+            "rollup_version": why.get("rollup_version"),
+            "join": why.get("join"),
+            "skipped": why["skipped"],
+        }
+        if df is None:
+            # fact side would answer from base: the verbatim
+            # statement IS that plan
+            return None, audit
+        return self._finish_sql_rewrite(df, intent), audit
 
     def explain_sql(
         self,
@@ -1071,6 +1198,42 @@ class Engine:
             kind=kind,
         )
 
+    def table_aggregate_params(self, name: str) -> dict:
+        """The structured-aggregate grammar, discoverable over the
+        wire (GET /table/{name}/aggregate/params — r9 VERDICT #6
+        asked for the filter grammar to be served at
+        /analytics/{name}/params parity): every accepted parameter
+        with its value grammar, including the range-typing rule the
+        400 on ambiguous ``lo..hi`` input points at."""
+        if name not in self._snapshot_tables:
+            raise QueryValidationError(
+                f"unknown table {name!r}; see /table for names"
+            )
+        return {
+            "group_by": "comma list of table columns",
+            "aggs": (
+                "comma list of out=count | out=count:col (col must "
+                "carry a write-enforced NOT-NULL CHECK constraint) | "
+                "out=sum:col | out=avg:col | out=min:col | out=max:col "
+                "| out=approx_distinct:col"
+            ),
+            "filter": (
+                "comma list of col:v1|v2 (IN), col:lo..hi (inclusive "
+                "BETWEEN — parsed ONLY for numeric/date/timestamp "
+                "columns; on any other type the form is ambiguous "
+                "with a literal containing '..' and is refused), or "
+                "col:eq:value (verbatim equality — the escape hatch "
+                "for literals containing '..' or '|'; repeat for IN). "
+                "One form per column."
+            ),
+            "having": (
+                "comma list of out:op:value with op in "
+                "eq/ne/lt/le/gt/ge, out a SELECTED aggs alias, "
+                "exact-tier measures only"
+            ),
+            "freshness": "strict (default) | stale_ok",
+        }
+
     def submit_table_aggregate(
         self,
         name: str,
@@ -1285,6 +1448,38 @@ class Engine:
         pin_v = _SN.published_version(table_dir)
         if pin_v is None:
             pin_v = _SN.current_version(table_dir)
+        # the bare lo..hi form is positional, so on a STRING column it
+        # is ambiguous — 'period:2024..2025' could be a BETWEEN or one
+        # literal that contains dots. Range-parse only range-TYPED
+        # columns (numeric/date/timestamp, where a literal cannot
+        # contain '..'); anything else fails loudly toward the
+        # explicit forms instead of silently guessing (r9 VERDICT #6).
+        if range_filters:
+            _RANGEABLE = (
+                "tinyint", "smallint", "int", "bigint", "float",
+                "double", "date", "timestamp", "timestamp_ntz",
+            )
+            try:
+                fields = {
+                    f.name.lower(): f.dataType.simpleString()
+                    for f in _SN.read_snapshot(
+                        self.spark, table_dir, version=pin_v
+                    ).schema.fields
+                }
+            except (FileNotFoundError, ValueError, KeyError):
+                fields = {}
+            for col in range_filters:
+                t = fields.get(col.lower())
+                if t is not None and not (
+                    t in _RANGEABLE or t.startswith("decimal")
+                ):
+                    raise QueryValidationError(
+                        f"filter {col}:lo..hi is ambiguous on a {t} "
+                        "column (the literal itself could contain "
+                        "'..') — use col:eq:value for an equality "
+                        "literal; BETWEEN ranges are only parsed for "
+                        "numeric/date/timestamp columns"
+                    )
         # COUNT(col) == row count ONLY under the NOT-NULL proof; the
         # rollup algebra AND the base tier both count rows, so an
         # unproven column is refused, not served loosely. Lowercased

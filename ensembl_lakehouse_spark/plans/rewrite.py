@@ -630,3 +630,146 @@ def answer_aggregate(
         "source_version": src_v,
         "skipped": skipped,
     }
+
+
+def answer_join_aggregate(
+    spark: SparkSession,
+    catalog: RollupCatalog,
+    fact_dir: str,
+    dim_dir: str,
+    fact_group_by: list[str],
+    dim_group_by: list[str],
+    aggs: dict[str, tuple[str, str]],
+    fk: str,
+    pk: str,
+    freshness: str = "strict",
+    fact_filters: dict | None = None,
+    fact_range_filters: dict | None = None,
+    dim_filters: dict | None = None,
+    dim_range_filters: dict | None = None,
+    fact_version: int | None = None,
+    dim_version: int | None = None,
+    min_source_version: int | None = None,
+) -> tuple[DataFrame | None, dict]:
+    """Answer ``SELECT dims, aggs FROM fact INNER JOIN dim ON
+    fact.fk = dim.pk GROUP BY dims`` with the fact side served from a
+    rollup (r9 VERDICT #2 — the most common real-SQL shape beyond
+    single-table: the reference's users group a fact by a dimension
+    attribute, app/main.py:479 assembles exactly such SELECTs).
+
+    Decomposition: every requested measure is re-expressed as
+    fk-level PARTIALS (sum→sum, count→count, min/max→min/max,
+    avg→sum+count) and the partial aggregate is delegated to
+    :func:`answer_aggregate` grouped by ``[fk] + fact_group_by`` —
+    so the rollup lattice, freshness ladder, proof floor, and
+    cheapest-pick audit all apply unchanged. The ≤|dim|-row partial
+    result then joins the PINNED dim snapshot (inner equi-join on
+    the UNIQUE-proven ``pk`` — 1:≤1 by the write-enforced
+    constraint, so re-aggregating joined partials is the plain
+    rollup algebra) and recombines per measure: Σsum, Σcount,
+    min-of-mins, max-of-maxes, Σsum/Σcount for avg — the same
+    output-type contract as :func:`_agg_exprs`.
+
+    Exactness notes the gate (semantic_gate_join) relies on:
+    NULL fks drop on both paths (never equal to pk); fact filters
+    are whole-group selections validated by _can_answer; dim
+    filters/grouping run on the dim itself at FULL fidelity (any
+    eq/IN/BETWEEN column — the dim is not served from partials).
+
+    Returns ``(df, why)``; ``df`` is None when the fact side would
+    answer from base (the caller's verbatim statement IS that plan —
+    nothing to gain) — ``why`` still carries the audit. At 100 TB the
+    fact scan is the cost that matters: a rollup-answered join reads
+    |rollup| + |dim| rows and zero fact files.
+    """
+    partials: dict[str, tuple[str, str]] = {}
+    plan: dict[str, tuple[str, str | None, str | None]] = {}
+
+    def _partial(fn: str, col: str) -> str:
+        name = f"__jp_{fn}_{col}" if col else "__jp_cnt"
+        partials[name] = (fn, col)
+        return name
+
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            # COUNT(col) reaches here only under the NOT-NULL proof,
+            # where it equals the row count
+            plan[out] = ("count", _partial("count", ""), None)
+        elif fn == "sum":
+            plan[out] = ("sum", _partial("sum", col), None)
+        elif fn == "avg":
+            plan[out] = (
+                "avg", _partial("sum", col), _partial("count", "")
+            )
+        elif fn in ("min", "max"):
+            plan[out] = (fn, _partial(fn, col), None)
+        else:  # unreachable: semantic_gate_join refuses estimates
+            raise ValueError(f"{fn!r} cannot recombine across a join")
+    pdf, why = answer_aggregate(
+        spark,
+        catalog,
+        fact_dir,
+        [fk] + list(fact_group_by),
+        partials,
+        freshness=freshness,
+        filters=fact_filters,
+        range_filters=fact_range_filters,
+        version=fact_version,
+        min_source_version=min_source_version,
+    )
+    dim_v = (
+        SN.current_version(os.path.abspath(dim_dir))
+        if dim_version is None
+        else dim_version
+    )
+    why = dict(
+        why,
+        join={
+            "dim_dir": os.path.abspath(dim_dir),
+            "dim_version": dim_v,
+            "on": [fk, pk],
+        },
+    )
+    if why["used"] == "base":
+        return None, why
+    dim = SN.read_snapshot(spark, dim_dir, version=dim_v)
+    dexpr = (
+        _filter_expr(dim_filters, dim_range_filters)
+        if (dim_filters or dim_range_filters)
+        else None
+    )
+    if dexpr is not None:
+        dim = dim.where(dexpr)
+    # the pk lands under a reserved name so a same-named fact column
+    # (fk == pk spelling) can never collide in the join output; a
+    # GROUP BY on the pk itself reads the joined value back from it
+    dim_sel = [F.col(pk).alias("__jp_pk")] + [
+        F.col(c) for c in dim_group_by if c != pk
+    ]
+    joined = pdf.join(
+        dim.select(*dim_sel), F.col(fk) == F.col("__jp_pk"), "inner"
+    )
+    if pk in dim_group_by:
+        joined = joined.withColumn(pk, F.col("__jp_pk"))
+    final_groups = list(dim_group_by) + list(fact_group_by)
+    exprs = []
+    for out, (fn, p1, p2) in plan.items():
+        if fn == "count":
+            exprs.append(
+                F.coalesce(F.sum(p1), F.lit(0)).cast("bigint").alias(out)
+            )
+        elif fn == "sum":
+            exprs.append(
+                F.coalesce(F.sum(p1), F.lit(0)).cast("bigint").alias(out)
+            )
+        elif fn == "avg":
+            exprs.append(
+                (F.sum(p1).cast("double") / F.sum(p2).cast("double"))
+                .alias(out)
+            )
+        elif fn == "min":
+            exprs.append(F.min(p1).alias(out))
+        else:
+            exprs.append(F.max(p1).alias(out))
+    df = joined.groupBy(*final_groups).agg(*exprs)
+    return df, why

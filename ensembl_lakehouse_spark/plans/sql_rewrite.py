@@ -75,7 +75,12 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-__all__ = ["AggregateIntent", "parse_aggregate_sql", "semantic_gate"]
+__all__ = [
+    "AggregateIntent",
+    "parse_aggregate_sql",
+    "semantic_gate",
+    "semantic_gate_join",
+]
 
 #: measures servable without changing the statement's answer
 EXACT_FNS = frozenset({"count", "sum", "avg", "min", "max"})
@@ -96,7 +101,14 @@ _RESERVED = frozenset(
      "distinct", "having", "join", "on", "union", "except",
      "intersect", "case", "when", "then", "else", "end", "null",
      "true", "false", "nulls", "first", "last", "all", "cast",
-     "over", "partition"}
+     "over", "partition",
+     # join words beyond the one servable INNER equi-join: reserving
+     # them makes `LEFT JOIN` abort recognition instead of lexing
+     # "left" as a table alias and misparsing the statement as the
+     # inner join the rewrite serves (a false positive would change
+     # the answer's row set)
+     "inner", "left", "right", "full", "outer", "cross", "semi",
+     "anti", "natural", "using", "lateral"}
 )
 
 _TOKEN_RE = re.compile(
@@ -105,7 +117,7 @@ _TOKEN_RE = re.compile(
       | (?P<qid>`[^`]+`)
       | (?P<num>\d+\.\d+|\.\d+|\d+)
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<punct>\(|\)|,|<=|>=|<>|=|<|>|\*|-)
+      | (?P<punct>\(|\)|,|<=|>=|<>|=|<|>|\*|-|\.)
     """,
     re.X,
 )
@@ -133,6 +145,16 @@ class AggregateIntent:
     order_by: tuple[tuple[str, bool], ...] = ()
     limit: int | None = None
     having: tuple[tuple[str, str, object], ...] = ()
+    #: one INNER equi-join to a dimension snap_ view (r9 VERDICT #2):
+    #: ``join_dim`` is the dim view name without the prefix,
+    #: ``join_on`` is (fact_fk, dim_pk), the dim_* fields mirror the
+    #: fact-side vocabulary for columns resolved to the dim side.
+    #: All None/empty for the single-table family.
+    join_dim: str | None = None
+    join_on: tuple[str, str] | None = None
+    dim_group_by: tuple[str, ...] = ()
+    dim_filters: dict[str, list] = field(default_factory=dict)
+    dim_range_filters: dict[str, tuple] = field(default_factory=dict)
 
 
 class _Ineligible(Exception):
@@ -220,6 +242,17 @@ class _Parser:
             raise _Ineligible(f"expected identifier, got {t!r}")
         return t
 
+    def colref(self) -> str:
+        """A column reference: ``col`` or ``alias.col`` (one level —
+        catalog-qualified names are outside the grammar). Returned as
+        the dotted string; _assemble resolves the qualifier against
+        the FROM/JOIN aliases (or refuses qualifiers when there is no
+        join)."""
+        first = self.ident()
+        if self.accept(".", "."):
+            return f"{first}.{self.ident()}"
+        return first
+
     def literal(self):
         """A scalar literal: string, number, or negated number.
         Numbers come back as int/float so Spark-side comparisons use
@@ -247,6 +280,17 @@ class _Parser:
                 break
         self.expect("kw", "from")
         table = self.ident()
+        fact_alias = table
+        if self.accept("kw", "as"):
+            fact_alias = self.ident()
+        elif self.peek()[0] == "ident":
+            fact_alias = self.ident()
+        join = None  # (dim_table, dim_alias, left_ref, right_ref)
+        if self.accept("kw", "inner"):
+            self.expect("kw", "join")
+            join = self._join_clause()
+        elif self.accept("kw", "join"):
+            join = self._join_clause()
         filters: dict[str, list] = {}
         range_filters: dict[str, tuple] = {}
         if self.accept("kw", "where"):
@@ -258,7 +302,7 @@ class _Parser:
         if self.accept("kw", "group"):
             self.expect("kw", "by")
             while True:
-                group_by.append(self.ident())
+                group_by.append(self.colref())
                 if not self.accept(",", ","):
                     break
         having_terms: list[tuple] = []
@@ -289,21 +333,38 @@ class _Parser:
         if self.peek()[0] != "eof":
             raise _Ineligible(f"trailing tokens: {self.peek()[1]!r}")
         return self._assemble(
-            items, table, filters, range_filters, group_by, having_terms,
-            order_by, limit,
+            items, table, fact_alias, join, filters, range_filters,
+            group_by, having_terms, order_by, limit,
         )
 
+    def _join_clause(self):
+        """→ (dim_table, dim_alias, left_ref, right_ref): exactly one
+        equi-condition between two qualified references."""
+        dim = self.ident()
+        dim_alias = dim
+        if self.accept("kw", "as"):
+            dim_alias = self.ident()
+        elif self.peek()[0] == "ident":
+            dim_alias = self.ident()
+        self.expect("kw", "on")
+        left = self.colref()
+        self.expect("=", "=")
+        right = self.colref()
+        return (dim, dim_alias, left, right)
+
     def _select_item(self):
-        """→ (output name, bare column | None, (fn, col) | None)."""
+        """→ (output name, bare column ref | None, (fn, col ref) |
+        None). Output names are always UNQUALIFIED (Spark strips the
+        qualifier from the output schema)."""
         k, t = self.peek()
         if k == "ident":
-            self.next()
+            ref = self.colref()
             if self.accept("kw", "as"):
                 # aliased bare column: output name differs from the
                 # group key, which the rewrite path can't reproduce
                 # without a rename map — keep the grammar small
                 raise _Ineligible("aliased bare column")
-            return (t, t, None)
+            return (ref.rsplit(".", 1)[-1], ref, None)
         if k == "kw" and t in _AGG_FNS:
             self.next()
             fn, col = self._agg_call(t)
@@ -339,16 +400,18 @@ class _Parser:
     def _agg_call(self, fn: str) -> tuple[str, str]:
         self.expect("(", "(")
         if fn == "count":
-            k, t = self.next()
+            k, t = self.peek()
             if (k, t) in (("*", "*"), ("num", "1")):
+                self.next()
                 self.expect(")", ")")
                 return ("count", "")
             if k == "ident":
                 # COUNT(col) counts non-NULLs — derivable from the
                 # rollup row count ONLY under a proven NOT-NULL
                 # constraint, which semantic_gate enforces
+                ref = self.colref()
                 self.expect(")", ")")
-                return ("count", t)
+                return ("count", ref)
             raise _Ineligible("COUNT wants *, 1, or a column")
         if fn == "hll_sketch_estimate":
             # the DataSketches spelling: hll_sketch_estimate(
@@ -359,16 +422,16 @@ class _Parser:
                     "hll_sketch_estimate only over hll_sketch_agg(col)"
                 )
             self.expect("(", "(")
-            col = self.ident()
+            col = self.colref()
             self.expect(")", ")")
             self.expect(")", ")")
             return ("approx_count_distinct", col)
-        col = self.ident()
+        col = self.colref()
         self.expect(")", ")")
         return (fn, col)
 
     def _predicate(self, filters: dict, range_filters: dict) -> None:
-        col = self.ident()
+        col = self.colref()
         if col in filters or col in range_filters:
             # two predicates on one column intersect; the rewrite
             # vocabulary carries one per column — fall back
@@ -392,21 +455,72 @@ class _Parser:
             raise _Ineligible(f"unsupported predicate operator {t!r}")
 
     def _assemble(
-        self, items, table, filters, range_filters, group_by, having_terms,
-        order_by, limit,
+        self, items, table, fact_alias, join, filters, range_filters,
+        group_by, having_terms, order_by, limit,
     ) -> AggregateIntent:
         if not table.startswith("snap_") or len(table) <= len("snap_"):
             raise _Ineligible("not a snap_ view")
+        dim_table = dim_alias = None
+        if join is not None:
+            dim_table, dim_alias, lref, rref = join
+            if (
+                not dim_table.startswith("snap_")
+                or len(dim_table) <= len("snap_")
+            ):
+                raise _Ineligible("join target is not a snap_ view")
+            if dim_alias == fact_alias:
+                raise _Ineligible("duplicate table alias")
+
+        def side(ref: str) -> tuple[str, str]:
+            """Resolve ``[alias.]col`` → ("fact"|"dim", col). With a
+            join every reference MUST be qualified (an unqualified
+            name could bind to either side and Spark's resolution,
+            not this grammar, would pick); without one a qualifier
+            must name the single table's alias."""
+            if "." in ref:
+                q, c = ref.split(".", 1)
+                if q == fact_alias:
+                    return ("fact", c)
+                if dim_alias is not None and q == dim_alias:
+                    return ("dim", c)
+                raise _Ineligible(f"unknown qualifier {q!r}")
+            if join is not None:
+                raise _Ineligible(
+                    f"unqualified column {ref!r} in a join query"
+                )
+            return ("fact", ref)
+
+        fk = pk = None
+        if join is not None:
+            on_sides: dict[str, str] = {}
+            for ref in (lref, rref):
+                s, c = side(ref)
+                on_sides[s] = c
+            if set(on_sides) != {"fact", "dim"}:
+                raise _Ineligible(
+                    "ON must equate a fact column with a dim column"
+                )
+            fk, pk = on_sides["fact"], on_sides["dim"]
         aggs: dict[str, tuple[str, str]] = {}
-        bare: list[str] = []
+        bare: list[tuple[str, str]] = []
         select_order: list[str] = []
-        for out, bare_col, agg in items:
+        for out, bare_ref, agg in items:
             if out in select_order:
                 raise _Ineligible(f"duplicate output column {out!r}")
             select_order.append(out)
-            if bare_col is not None:
-                bare.append(bare_col)
+            if bare_ref is not None:
+                bare.append(side(bare_ref))
             else:
+                fn, acol = agg
+                if acol:
+                    s, c = side(acol)
+                    if s != "fact":
+                        raise _Ineligible(
+                            f"{out}: aggregate over a dim column — "
+                            "only fact measures derive from rollup "
+                            "partials"
+                        )
+                    agg = (fn, c)
                 aggs[out] = agg
         if not aggs:
             raise _Ineligible("no aggregate in the select list")
@@ -432,6 +546,15 @@ class _Parser:
                     )
                 having.append((payload, op, lit))
                 continue
+            fn, acol = payload
+            if acol:
+                s, c = side(acol)
+                if s != "fact":
+                    raise _Ineligible(
+                        "HAVING aggregates a dim column — only fact "
+                        "measures derive from rollup partials"
+                    )
+                payload = (fn, c)
             alias = next(
                 (a for a, v in aggs.items() if v == payload), None
             )
@@ -442,12 +565,15 @@ class _Parser:
                 alias = f"__having_{n}"
                 aggs[alias] = payload
             having.append((alias, op, lit))
-        # the bare columns and the GROUP BY must agree exactly:
-        # answer_aggregate emits every group col, and a grouped col
-        # missing from the SELECT would change the output schema
-        if set(bare) != set(group_by) or len(bare) != len(set(bare)):
+        # the bare columns and the GROUP BY must agree exactly (as
+        # resolved side/column pairs): answer_aggregate emits every
+        # group col, and a grouped col missing from the SELECT would
+        # change the output schema
+        grouped = [side(ref) for ref in group_by]
+        if set(bare) != set(grouped) or len(bare) != len(set(bare)):
             raise _Ineligible("SELECT columns != GROUP BY columns")
-        if set(group_by) & set(aggs):
+        bare_out = {c for _, c in bare}
+        if bare_out & set(aggs):
             raise _Ineligible("alias collides with a group column")
         out_cols = set(select_order)
         for col, _ in order_by:
@@ -461,21 +587,38 @@ class _Parser:
         # column is total; anything else falls back. (ORDER BY
         # without LIMIT only permutes ties — the set is identical
         # and SQL leaves tie order unspecified either way.)
-        if limit is not None and set(group_by) - {c for c, _ in order_by}:
+        if limit is not None and bare_out - {c for c, _ in order_by}:
             raise _Ineligible(
                 "LIMIT with an ORDER BY that is not a total order "
                 "over the group keys"
             )
+        fact_filters: dict[str, list] = {}
+        dim_filters: dict[str, list] = {}
+        fact_ranges: dict[str, tuple] = {}
+        dim_ranges: dict[str, tuple] = {}
+        for ref, vals in filters.items():
+            s, c = side(ref)
+            (fact_filters if s == "fact" else dim_filters)[c] = vals
+        for ref, bounds in range_filters.items():
+            s, c = side(ref)
+            (fact_ranges if s == "fact" else dim_ranges)[c] = bounds
         return AggregateIntent(
             table=table[len("snap_"):],
-            group_by=tuple(group_by),
+            group_by=tuple(c for s, c in grouped if s == "fact"),
             aggs=aggs,
-            filters=filters,
-            range_filters=range_filters,
+            filters=fact_filters,
+            range_filters=fact_ranges,
             select_order=tuple(select_order),
             order_by=tuple(order_by),
             limit=limit,
             having=tuple(having),
+            join_dim=(
+                dim_table[len("snap_"):] if dim_table is not None else None
+            ),
+            join_on=(fk, pk) if join is not None else None,
+            dim_group_by=tuple(c for s, c in grouped if s == "dim"),
+            dim_filters=dim_filters,
+            dim_range_filters=dim_ranges,
         )
 
 
@@ -580,4 +723,118 @@ def semantic_gate(
                 "the statement's native estimator) needs "
                 "rewrite=approx"
             )
+    return None
+
+
+def semantic_gate_join(
+    intent: AggregateIntent,
+    fact_schema,
+    dim_schema,
+    fact_non_null: frozenset[str] | set[str] = frozenset(),
+    dim_unique: frozenset[str] | set[str] = frozenset(),
+) -> str | None:
+    """The join family's semantic proof (r9 VERDICT #2): a
+    star-shaped ``fact INNER JOIN dim ON fact.fk = dim.pk`` aggregate
+    is reproducible from fk-keyed fact partials joined to the pinned
+    dim iff
+
+    - ``dim.pk`` carries a write-enforced UNIQUE constraint the dim
+      pin postdates (snapshots.add_unique_constraint): the join is
+      then provably 1:≤1 per partial, so re-aggregating joined
+      partials is the plain rollup algebra — no fan-out argument to
+      re-derive per query. Unproven keys fall back with the hint.
+    - every measure is EXACT-tier over a FACT column under the same
+      proofs as the single-table gate (integral + NOT-NULL for
+      SUM/AVG, NOT-NULL for COUNT(col)). Estimate-tier measures are
+      never join-servable: answer_aggregate outputs the ESTIMATE, and
+      estimates cannot be re-merged across the dim grouping.
+    - the statement is grouped (on either side): a global SUM/AVG
+      can see zero joined rows, where SQL says NULL and the partial
+      recombination says 0 — same rule as the single-table gate.
+    - fk and pk have the same Spark type (a cross-type equality
+      would engage Spark's implicit casts, whose semantics this
+      grammar does not model).
+
+    Returns None when safe, else the human-readable fallback reason.
+    """
+    ffields = {f.name.lower(): f for f in fact_schema.fields}
+    dfields = {f.name.lower(): f for f in dim_schema.fields}
+    fk, pk = intent.join_on
+    fact_refs = (
+        set(intent.group_by)
+        | set(intent.filters)
+        | set(intent.range_filters)
+        | {c for _, c in intent.aggs.values() if c}
+        | {fk}
+    )
+    dim_refs = (
+        set(intent.dim_group_by)
+        | set(intent.dim_filters)
+        | set(intent.dim_range_filters)
+        | {pk}
+    )
+    for refs, fields, which in (
+        (fact_refs, ffields, "fact"),
+        (dim_refs, dfields, "dim"),
+    ):
+        for col in sorted(refs):
+            if col.startswith("__"):
+                return (
+                    f"column {col!r} collides with the rewrite's "
+                    "reserved partial namespace"
+                )
+            if col not in fields:
+                return f"column {col!r} not in the {which} table schema"
+            if fields[col].name != col:
+                return (
+                    f"column {col!r} is mixed-case in the {which} schema"
+                )
+    if pk not in dim_unique:
+        return (
+            f"join key {pk!r} has no write-enforced UNIQUE proof at "
+            "the dim pin — add one with add_unique_constraint to "
+            "enable the join rewrite"
+        )
+    fk_t = ffields[fk].dataType.simpleString()
+    pk_t = dfields[pk].dataType.simpleString()
+    if fk_t != pk_t:
+        return (
+            f"join keys have different types ({fk}: {fk_t}, {pk}: "
+            f"{pk_t}) — implicit-cast equality is outside the grammar"
+        )
+    grouped = bool(intent.group_by or intent.dim_group_by)
+    for out, (fn, col) in intent.aggs.items():
+        if fn not in EXACT_FNS:
+            return (
+                f"{out}: only exact-tier measures recombine across a "
+                "join (estimates cannot be re-merged from final values)"
+            )
+        if fn == "count" and col and col not in fact_non_null:
+            return (
+                f"{out}: COUNT({col}) counts non-NULL rows — needs a "
+                f"proven NOT-NULL column (add a '{col} IS NOT NULL' "
+                "CHECK constraint) to derive from the rollup row count"
+            )
+        if fn in ("sum", "avg"):
+            if not grouped:
+                return (
+                    f"{out}: global {fn.upper()} over zero joined rows "
+                    "is NULL in SQL but 0 in the partial recombination "
+                    f"— only grouped {fn.upper()} rewrites"
+                )
+            f = ffields[col]
+            if f.dataType.simpleString() not in _INTEGRAL:
+                return (
+                    f"{out}: rollup SUM accumulates per-row BIGINT "
+                    f"casts — exact only for integral columns, and "
+                    f"{col} is {f.dataType.simpleString()}"
+                )
+            if col not in fact_non_null:
+                return (
+                    f"{out}: {fn.upper()}({col}) needs a proven "
+                    f"NOT-NULL column (an all-NULL group is NULL in "
+                    f"SQL but 0 in the rollup; AVG divides by the "
+                    f"non-NULL count) — add a '{col} IS NOT NULL' "
+                    "CHECK constraint to enable this rewrite"
+                )
     return None

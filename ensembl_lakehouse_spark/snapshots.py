@@ -713,6 +713,12 @@ def write_snapshot(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     _enforce_constraints(table_dir, df, "write")
+    # an overwrite REPLACES the logical content, so the incoming data
+    # is the whole post-state; an append must also clear the rows it
+    # joins onto
+    _enforce_unique(
+        table_dir, df, "write", against_existing=(mode == "append")
+    )
     if cluster_by:
         df = _clustered(df, cluster_by, n_files)
     base = current_version(table_dir)
@@ -1031,6 +1037,13 @@ def merge_snapshot(
     new column exactly as the full rewrite would produce."""
     keys = [key] if isinstance(key, str) else list(key)
     _enforce_constraints(table_dir, updates, "merge updates")
+    _enforce_unique(
+        table_dir,
+        updates,
+        "merge updates",
+        against_existing=True,
+        exempt_merge_keys=keys,
+    )
     if scope_by is not None and scope_by not in keys:
         raise ValueError(
             f"scope_by {scope_by!r} must be one of the merge keys {keys} — "
@@ -1375,6 +1388,18 @@ def update_snapshot(
             "the table schema (and there are no rows to update)"
         )
 
+    uniq_targets = {
+        rec["col"]
+        for rec in unique_constraint_records(table_dir).values()
+        if rec["col"] in set
+    }
+    if uniq_targets:
+        raise ConstraintViolation(
+            f"UPDATE assigns UNIQUE-constrained column(s) "
+            f"{sorted(uniq_targets)}: proving post-update uniqueness "
+            "would cost a full-table scan per update — re-key through "
+            "merge_snapshot keyed on the unique column instead"
+        )
     touched: list[str] = []
     cand_schema = None
     if candidates:
@@ -1989,9 +2014,13 @@ def _constraints_path(table_dir: str) -> str:
 
 
 def list_constraints(table_dir: str) -> dict[str, str]:
-    """name -> SQL boolean expression for every CHECK constraint."""
+    """name -> SQL boolean expression for every CHECK constraint
+    (UNIQUE constraints live in the same store but are not row-wise
+    boolean expressions — see unique_constraint_records)."""
     return {
-        name: rec["expr"] for name, rec in constraint_records(table_dir).items()
+        name: rec["expr"]
+        for name, rec in constraint_records(table_dir).items()
+        if rec.get("kind", "check") == "check"
     }
 
 
@@ -2019,11 +2048,31 @@ def constraint_records(table_dir: str) -> dict[str, dict]:
         return {}
     return {
         name: (
-            {"expr": v, "since_version": None}
+            {"expr": v, "since_version": None, "kind": "check"}
             if isinstance(v, str)
-            else {"expr": v["expr"], "since_version": v.get("since_version")}
+            else {
+                "expr": v["expr"],
+                "since_version": v.get("since_version"),
+                "kind": v.get("kind", "check"),
+                **({"col": v["col"]} if "col" in v else {}),
+            }
         )
         for name, v in raw.items()
+    }
+
+
+def unique_constraint_records(table_dir: str) -> dict[str, dict]:
+    """name -> {"col", "since_version"} for every UNIQUE constraint.
+    The same validated-at + write-enforced + rollback-floored
+    induction as CHECK constraints (they share the store, so
+    ``rollback``'s since_version refusal covers both): every
+    committed version ≥ since_version holds at most one row per
+    non-NULL value of ``col`` — which is what lets the /sql join
+    rewrite trust a dimension key as 1:≤1 without rescanning."""
+    return {
+        name: {"col": rec["col"], "since_version": rec["since_version"]}
+        for name, rec in constraint_records(table_dir).items()
+        if rec.get("kind") == "unique"
     }
 
 
@@ -2077,6 +2126,154 @@ def add_constraint(
         with open(tmp, "w") as f:
             json.dump(raw, f)
         os.replace(tmp, _constraints_path(table_dir))
+
+
+def add_unique_constraint(
+    spark: SparkSession, table_dir: str, name: str, col: str
+) -> None:
+    """Add a UNIQUE constraint on ``col``: every existing row must
+    already be unique on it (one aggregate scan, verified before the
+    constraint lands, pinned under the table lock like
+    add_constraint), and every future write refuses data that would
+    duplicate a value. SQL-standard UNIQUE NULL semantics: NULLs are
+    exempt (any number of NULLs coexist); pair with a ``col IS NOT
+    NULL`` CHECK constraint for primary-key semantics.
+
+    Enforcement cost by write path (documented, not hidden):
+    - write_snapshot(overwrite): one groupBy over the INCOMING data
+      (a full replace cannot collide with anything else).
+    - write_snapshot(append): incoming groupBy + one join of the
+      incoming values against the existing table.
+    - merge_snapshot: incoming groupBy; when ``col`` is one of the
+      merge keys that is sufficient (matched rows are REPLACED, so
+      the post-state stays unique by induction); otherwise one join
+      of the incoming values against the rows the merge carries
+      forward.
+    - update_snapshot: REFUSED when the SET assigns ``col`` —
+      proving post-update uniqueness would cost a full-table scan
+      per update; re-key through merge_snapshot keyed on ``col``
+      instead.
+
+    ``since_version`` stamps the validation scan exactly like CHECK
+    constraints (shared store), so ``rollback`` refuses to re-point
+    content from before it and version-pinned consumers (the /sql
+    join rewrite's dimension-key gate) can trust the proof at any
+    pin ≥ since_version."""
+    from pyspark.sql import functions as F
+
+    if not name or not name.replace("_", "").replace("-", "").isalnum():
+        raise ValueError(f"invalid constraint name {name!r}")
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col):
+        raise ValueError(f"invalid column name {col!r}")
+    with _table_lock(table_dir):
+        cur = current_version(table_dir)
+        if cur is not None:
+            existing = read_snapshot(spark, table_dir, version=cur)
+            dup = (
+                existing.where(F.col(col).isNotNull())
+                .groupBy(col)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where("n > 1")
+                .limit(3)
+                .collect()
+            )
+            if dup:
+                raise ConstraintViolation(
+                    f"existing rows violate UNIQUE {name!r} ({col}): "
+                    f"e.g. {[r.asDict() for r in dup]}"
+                )
+        raw = {
+            n: rec if rec["since_version"] is not None else rec["expr"]
+            for n, rec in constraint_records(table_dir).items()
+        }
+        raw[name] = {
+            "expr": f"unique({col})",
+            "kind": "unique",
+            "col": col,
+            "since_version": cur if cur is not None else -1,
+        }
+        os.makedirs(table_dir, exist_ok=True)
+        tmp = _constraints_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(raw, f)
+        os.replace(tmp, _constraints_path(table_dir))
+
+
+def _enforce_unique(
+    table_dir: str,
+    df: DataFrame,
+    what: str,
+    *,
+    against_existing: bool = False,
+    exempt_merge_keys: list[str] | None = None,
+) -> None:
+    """Refuse ``df`` if committing it would duplicate a
+    UNIQUE-constrained column. Always checks WITHIN the incoming
+    data; ``against_existing`` additionally joins the incoming
+    values against the current table (append / non-key merge — the
+    paths where surviving existing rows can collide).
+    ``exempt_merge_keys``: when the unique column IS a merge key,
+    matched existing rows are replaced, so the existing-side check
+    is provably unnecessary and skipped."""
+    uniq = unique_constraint_records(table_dir)
+    if not uniq:
+        return
+    from pyspark.sql import functions as F
+
+    for name, rec in uniq.items():
+        col = rec["col"]
+        if col not in df.columns:
+            # rows written without the column hold NULL there —
+            # exempt under UNIQUE NULL semantics
+            continue
+        dup = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where("n > 1")
+            .limit(3)
+            .collect()
+        )
+        if dup:
+            raise ConstraintViolation(
+                f"{what} violates UNIQUE {name!r} ({col}) within the "
+                f"incoming data: e.g. {[r.asDict() for r in dup]}"
+            )
+        if not against_existing or (
+            exempt_merge_keys and col in exempt_merge_keys
+        ):
+            continue
+        cur = current_version(table_dir)
+        if cur is None:
+            continue
+        existing = read_snapshot(df.sparkSession, table_dir, version=cur)
+        if col not in existing.columns:
+            continue
+        survivors = existing
+        if exempt_merge_keys:
+            # rows matched by the merge keys are REPLACED — only the
+            # carried-forward rows can collide with the incoming
+            survivors = existing.join(
+                df.select(*exempt_merge_keys).dropDuplicates(),
+                on=exempt_merge_keys,
+                how="left_anti",
+            )
+        clash = (
+            survivors.select(col)
+            .where(F.col(col).isNotNull())
+            .join(
+                df.select(col).where(F.col(col).isNotNull()),
+                on=col,
+                how="inner",
+            )
+            .limit(3)
+            .collect()
+        )
+        if clash:
+            raise ConstraintViolation(
+                f"{what} violates UNIQUE {name!r} ({col}) against "
+                f"existing rows: e.g. {[r.asDict() for r in clash]}"
+            )
 
 
 def drop_constraint(table_dir: str, name: str) -> None:

@@ -1364,3 +1364,59 @@ def test_aggregate_having_and_count_col_over_http(
     aggs_u = _up.quote("u=approx_distinct:val")
     status, resp = submit(f"group_by=grp&aggs={aggs_u}&having=u:gt:1")
     assert status == 400 and "estimate-tier" in resp["detail"]
+
+
+def test_aggregate_params_doc_and_ambiguous_range_400(
+    server, spark, tmp_path_factory
+):
+    """r9 VERDICT #6: the bare lo..hi range form is parsed only for
+    range-TYPED columns — on a string column it is ambiguous with a
+    literal containing '..' and must 400 toward col:eq:; the grammar
+    is discoverable at /table/{name}/aggregate/params like
+    /analytics/{name}/params."""
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    base = tmp_path_factory.mktemp("rng_http")
+    src = str(base / "src")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(1, "2024..2025", 5), (2, "x", 7)],
+            ["k", "period", "val"],
+        ),
+    )
+    server.engine.register_snapshot_table("rng_src", src)
+
+    status, _, doc = _get(server, "/table/rng_src/aggregate/params")
+    assert status == 200
+    assert "eq:value" in doc["filter"]
+    assert "numeric/date/timestamp" in doc["filter"]
+    assert _get(server, "/table/nope/aggregate/params")[0] == 400
+
+    # string column + lo..hi → 400 with the eq: hint
+    status, _, err = _get(
+        server,
+        "/table/rng_src/aggregate?aggs=n%3Dcount"
+        "&filter=period%3A2024..2025",
+    )
+    assert status == 400
+    assert "eq:value" in err["detail"]
+    import time as _time
+
+    def _count(qs):
+        status, _, resp = _get(server, f"/table/rng_src/aggregate?{qs}")
+        assert status == 200, resp
+        qid = resp["query_id"]
+        for _ in range(120):
+            st = _get(server, f"/query/{qid}/status")[2]
+            if st["status"] in ("SUCCEEDED", "FAILED"):
+                break
+            _time.sleep(0.5)
+        assert st["status"] == "SUCCEEDED"
+        _, _, prev = _get(server, f"/query/{qid}/preview?maxResults=5")
+        return prev["Rows"][1]["Data"][0]["VarCharValue"]
+
+    # the explicit form matches the literal that CONTAINS dots
+    assert _count("aggs=n%3Dcount&filter=period%3Aeq%3A2024..2025") == "1"
+    # numeric ranges still parse positionally
+    assert _count("aggs=n%3Dcount&filter=val%3A5..7") == "2"

@@ -1494,3 +1494,105 @@ def test_compaction_plan_surfaces_missing_files(spark, tdir):
     assert victim not in plan["small_files"]
     assert plan["worth_compacting"] is False  # corruption, not a merge
     assert plan["n_files"] == 3
+
+
+# ---- round 10: UNIQUE constraints (write-enforced, version-stamped) ----
+
+
+def test_unique_constraint_validates_then_enforces_every_path(
+    spark, tmp_path
+):
+    tdir = str(tmp_path / "uniq")
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, None, 30)], "k int, u string, v int"
+        ),
+    )
+    S.add_unique_constraint(spark, tdir, "u_uq", "u")
+    recs = S.unique_constraint_records(tdir)
+    assert recs == {"u_uq": {"col": "u", "since_version": 0}}
+    # CHECK listing is unpolluted (enforcement F.expr would crash on it)
+    assert "u_uq" not in S.list_constraints(tdir)
+
+    # overwrite: incoming-only check
+    with pytest.raises(S.ConstraintViolation, match="UNIQUE"):
+        S.write_snapshot(
+            tdir,
+            spark.createDataFrame([(1, "x", 1), (2, "x", 2)],
+                                  "k int, u string, v int"),
+        )
+    # append: collides with existing rows
+    with pytest.raises(S.ConstraintViolation, match="against existing"):
+        S.write_snapshot(
+            tdir,
+            spark.createDataFrame([(9, "a", 9)], "k int, u string, v int"),
+            mode="append",
+        )
+    # append of NULLs is exempt (SQL UNIQUE), and a fresh value lands
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(4, None, 4), (5, "e", 5)],
+                              "k int, u string, v int"),
+        mode="append",
+    )
+
+    # merge keyed on the unique column: replacement, no existing check
+    S.merge_snapshot(
+        spark, tdir,
+        spark.createDataFrame([("a", 99)], "u string, v int"), key="u",
+    )
+    got = {
+        r.u: r.v for r in S.read_snapshot(spark, tdir).collect()
+        if r.u == "a"
+    }
+    assert got == {"a": 99}
+    # merge keyed on k: an inserted duplicate of a surviving row refuses
+    with pytest.raises(S.ConstraintViolation, match="against existing"):
+        S.merge_snapshot(
+            spark, tdir,
+            spark.createDataFrame([(77, "b", 7)], "k int, u string, v int"),
+            key="k",
+        )
+    # ... but replacing the row that HOLDS the value is legal
+    S.merge_snapshot(
+        spark, tdir,
+        spark.createDataFrame([(2, "b2", 7)], "k int, u string, v int"),
+        key="k",
+    )
+
+    # UPDATE may not assign the unique column
+    with pytest.raises(S.ConstraintViolation, match="UPDATE assigns"):
+        S.update_snapshot(spark, tdir, "v = 99", {"u": "'zz'"})
+    # untouched-column updates stay legal
+    S.update_snapshot(spark, tdir, "v = 99", {"v": "100"})
+
+def test_unique_constraint_floors_rollback(spark, tmp_path):
+    tdir = str(tmp_path / "uniq_rb")
+    S.write_snapshot(
+        tdir, spark.createDataFrame([(1, "a")], "k int, u string")
+    )
+    S.write_snapshot(
+        tdir, spark.createDataFrame([(1, "a"), (2, "b")], "k int, u string")
+    )
+    S.add_unique_constraint(spark, tdir, "u_uq", "u")
+    assert S.unique_constraint_records(tdir)["u_uq"]["since_version"] == 1
+    with pytest.raises(S.ConstraintViolation, match="rollback"):
+        S.rollback(tdir, 0)
+
+
+def test_add_unique_constraint_refuses_existing_duplicates(spark, tmp_path):
+    tdir = str(tmp_path / "uniq_dup")
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(1, "a"), (2, "a")], "k int, u string"),
+    )
+    with pytest.raises(S.ConstraintViolation, match="existing rows"):
+        S.add_unique_constraint(spark, tdir, "u_uq", "u")
+    # NULL multiplicity is never a violation
+    tdir2 = str(tmp_path / "uniq_nulls")
+    S.write_snapshot(
+        tdir2,
+        spark.createDataFrame([(1, None), (2, None)], "k int, u string"),
+    )
+    S.add_unique_constraint(spark, tdir2, "u_uq", "u")

@@ -292,7 +292,9 @@ def test_constraint_records_preserve_stamps_and_legacy_strings(
         _json.dump({"old": "k > 0"}, f)
     SN.add_constraint(spark, tdir, "k_nn", "k IS NOT NULL")
     recs = SN.constraint_records(tdir)
-    assert recs["old"] == {"expr": "k > 0", "since_version": None}
+    assert recs["old"] == {
+        "expr": "k > 0", "since_version": None, "kind": "check",
+    }
     assert recs["k_nn"]["since_version"] == 0
     # drop keeps the survivor's stamp intact
     SN.drop_constraint(tdir, "old")
@@ -552,3 +554,215 @@ def test_count_col_case_insensitive_on_aggregate_surface(engine, mv):
 def test_aggs_alias_must_be_plain_identifier(engine, mv):
     with pytest.raises(QueryValidationError, match="plain identifier"):
         engine.submit_table_aggregate("sqlmv", "grp", "a.b=count")
+
+
+# -- r10: dimension-join aggregates through the rewrite ----------------
+
+
+@pytest.fixture()
+def starmv(engine, spark, tmp_path):
+    """A fact with an fk-keyed sum rollup + a dim whose key carries a
+    write-enforced UNIQUE proof — the star shape the join grammar
+    serves."""
+    fact = str(tmp_path / "star_fact")
+    # fks 0..6 exist in the dim; every 11th row points at fk 93 —
+    # present in the rollup, dropped by the inner join on both paths
+    # (NULL fks cannot arise: maintain_rollup refuses NULL group keys
+    # by the IVM equi-join contract)
+    rows = [
+        (i, (i % 7) if i % 11 else 93, "F" if i % 3 else "O",
+         (i * 13) % 997)
+        for i in range(300)
+    ]
+    SN.write_snapshot(
+        fact,
+        spark.createDataFrame(
+            rows, "o_key int, o_custkey int, o_status string, cents int"
+        ),
+    )
+    SN.add_constraint(spark, fact, "cents_nn", "cents IS NOT NULL")
+    dim = str(tmp_path / "star_dim")
+    SN.write_snapshot(
+        dim,
+        spark.createDataFrame(
+            [(k, f"seg{k % 3}", k % 2) for k in range(7)],
+            "c_custkey int, mktseg string, active int",
+        ),
+    )
+    SN.add_unique_constraint(spark, dim, "ck_uq", "c_custkey")
+    rol = str(tmp_path / "star_rol")
+    ivm.maintain_rollup(spark, fact, rol, ["o_custkey"], "cents")
+    engine.register_snapshot_table("jord", fact)
+    engine.register_snapshot_table("jcust", dim)
+    engine.register_rollup("jord", "jord_by_ck", rol, ["o_custkey"], "cents")
+    return fact, dim, rol
+
+
+JOIN_SQL = (
+    "SELECT c.mktseg, SUM(o.cents) AS s, COUNT(*) AS n, "
+    "AVG(o.cents) AS m FROM snap_jord o JOIN snap_jcust c "
+    "ON o.o_custkey = c.c_custkey GROUP BY c.mktseg ORDER BY mktseg"
+)
+
+
+def test_join_aggregate_answers_from_rollup_and_matches_verbatim(
+    engine, starmv
+):
+    fact, dim, rol = starmv
+    resp = engine.submit_sql(JOIN_SQL)
+    audit = resp["rewrite"]
+    assert audit["eligible"] is True
+    assert audit["answered_by"] == "jord_by_ck"
+    assert audit["join"]["on"] == ["o_custkey", "c_custkey"]
+    got = _rows(engine, resp["query_id"])
+    off = engine.submit_sql(JOIN_SQL, rewrite="off")
+    assert got == _rows(engine, off["query_id"])
+    assert len(got) == 4  # header + seg0..seg2
+
+
+def test_join_rewrite_reads_zero_fact_files(engine, starmv):
+    fact, dim, rol = starmv
+    rdf, audit = engine._try_sql_rewrite(JOIN_SQL, {}, False, "strict")
+    assert audit["answered_by"] == "jord_by_ck"
+    files = rdf.inputFiles()
+    assert files
+    assert not any(fact in f for f in files), files
+    assert any(rol in f for f in files)
+    assert any(dim in f for f in files)
+
+
+def test_join_rewrite_stale_ok_serves_pinned_fact(engine, spark, starmv):
+    """After the fact advances past the rollup: strict falls back to
+    verbatim; stale_ok answers from the rollup joined to the pinned
+    dim and equals the verbatim run pinned at the rollup's applied
+    fact version."""
+    fact, dim, rol = starmv
+    SN.merge_snapshot(
+        spark, fact,
+        spark.createDataFrame(
+            [(9999, 1, "F", 500)],
+            "o_key int, o_custkey int, o_status string, cents int",
+        ),
+        key="o_key",
+    )
+    strict = engine.submit_sql(JOIN_SQL)
+    assert strict["rewrite"]["eligible"] is True
+    assert strict["rewrite"]["answered_by"] == "base"
+    stale = engine.submit_sql(JOIN_SQL, freshness="stale_ok")
+    assert stale["rewrite"]["answered_by"] == "jord_by_ck"
+    pinned = engine.submit_sql(
+        JOIN_SQL, snap_versions="jord:0", rewrite="off"
+    )
+    assert _rows(engine, stale["query_id"]) == _rows(
+        engine, pinned["query_id"]
+    )
+    assert _rows(engine, strict["query_id"]) != _rows(
+        engine, stale["query_id"]
+    )
+
+
+def test_join_rewrite_dim_filters_and_fact_filters(engine, starmv):
+    """Dim predicates run at full dim fidelity (any column); fact
+    predicates stay whole-group selections on the rollup keys."""
+    fact, dim, rol = starmv
+    sql = (
+        "SELECT c.mktseg, COUNT(*) AS n FROM snap_jord o "
+        "JOIN snap_jcust c ON o.o_custkey = c.c_custkey "
+        "WHERE c.active = 1 AND o.o_custkey IN (1, 3, 5) "
+        "GROUP BY c.mktseg ORDER BY mktseg"
+    )
+    resp = engine.submit_sql(sql)
+    assert resp["rewrite"]["answered_by"] == "jord_by_ck"
+    off = engine.submit_sql(sql, rewrite="off")
+    assert _rows(engine, resp["query_id"]) == _rows(engine, off["query_id"])
+    # a fact filter on a NON-key column slices within fk groups — base
+    sliced = engine.submit_sql(
+        "SELECT c.mktseg, COUNT(*) AS n FROM snap_jord o "
+        "JOIN snap_jcust c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_status = 'F' GROUP BY c.mktseg"
+    )
+    assert sliced["rewrite"]["eligible"] is True
+    assert sliced["rewrite"]["answered_by"] == "base"
+
+
+def test_join_rewrite_requires_unique_proof(engine, spark, tmp_path):
+    fact = str(tmp_path / "nuq_fact")
+    SN.write_snapshot(
+        fact,
+        spark.createDataFrame(
+            [(1, 1, 10), (2, 2, 20)], "k int, fk int, v int"
+        ),
+    )
+    SN.add_constraint(spark, fact, "v_nn", "v IS NOT NULL")
+    dim = str(tmp_path / "nuq_dim")
+    SN.write_snapshot(
+        dim,
+        spark.createDataFrame([(1, "a"), (2, "b")], "fk int, seg string"),
+    )
+    rol = str(tmp_path / "nuq_rol")
+    ivm.maintain_rollup(spark, fact, rol, ["fk"], "v")
+    engine.register_snapshot_table("nuqf", fact)
+    engine.register_snapshot_table("nuqd", dim)
+    engine.register_rollup("nuqf", "nuqf_by_fk", rol, ["fk"], "v")
+    sql = (
+        "SELECT d.seg, SUM(f.v) AS s FROM snap_nuqf f "
+        "JOIN snap_nuqd d ON f.fk = d.fk GROUP BY d.seg"
+    )
+    resp = engine.submit_sql(sql)
+    assert resp["rewrite"]["eligible"] is False
+    assert "UNIQUE" in resp["rewrite"]["reason"]
+    # the verbatim run still answers
+    assert len(_rows(engine, resp["query_id"])) == 3
+    # ... and adding the proof flips it to the rollup
+    SN.add_unique_constraint(spark, dim, "fk_uq", "fk")
+    resp2 = engine.submit_sql(sql)
+    assert resp2["rewrite"]["answered_by"] == "nuqf_by_fk"
+    assert _rows(engine, resp2["query_id"]) == _rows(
+        engine, resp["query_id"]
+    )
+
+
+def test_join_rewrite_unmatched_fks_drop_on_both_paths(engine, starmv):
+    """The fixture holds fact rows whose fk (93) matches no dim row:
+    the INNER join drops them identically on the rollup path (the
+    partial group simply finds no pk) — pin that those rows are
+    really present and really excluded."""
+    fact, dim, rol = starmv
+    resp = engine.submit_sql(
+        "SELECT c.mktseg, COUNT(*) AS n FROM snap_jord o "
+        "JOIN snap_jcust c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.mktseg ORDER BY mktseg"
+    )
+    assert resp["rewrite"]["answered_by"] == "jord_by_ck"
+    joined_total = sum(
+        int(r[1]) for r in _rows(engine, resp["query_id"])[1:]
+    )
+    all_rows = engine.submit_sql(
+        "SELECT COUNT(*) AS n FROM snap_jord", rewrite="off"
+    )
+    assert joined_total < int(_rows(engine, all_rows["query_id"])[1][0])
+
+
+def test_join_grammar_strictness(engine, starmv):
+    """LEFT JOIN, unqualified refs, dim-side aggregates, and
+    estimate measures all fall back to verbatim."""
+    cases = [
+        ("SELECT c.mktseg, COUNT(*) AS n FROM snap_jord o LEFT JOIN "
+         "snap_jcust c ON o.o_custkey = c.c_custkey GROUP BY c.mktseg",
+         "grammar"),
+        ("SELECT mktseg, COUNT(*) AS n FROM snap_jord o JOIN "
+         "snap_jcust c ON o.o_custkey = c.c_custkey GROUP BY mktseg",
+         "grammar"),
+        ("SELECT c.mktseg, SUM(c.active) AS s FROM snap_jord o JOIN "
+         "snap_jcust c ON o.o_custkey = c.c_custkey GROUP BY c.mktseg",
+         "grammar"),
+        ("SELECT c.mktseg, approx_count_distinct(o.o_key) AS u FROM "
+         "snap_jord o JOIN snap_jcust c ON o.o_custkey = c.c_custkey "
+         "GROUP BY c.mktseg",
+         "exact-tier"),
+    ]
+    for sql, why in cases:
+        resp = engine.submit_sql(sql, rewrite="approx")
+        assert resp["rewrite"]["eligible"] is False, sql
+        if why == "exact-tier":
+            assert "exact-tier" in resp["rewrite"]["reason"]

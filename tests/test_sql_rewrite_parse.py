@@ -85,7 +85,9 @@ def test_keywords_fold_identifiers_must_be_lowercase_literals_exact():
         "SELECT type FROM snap_events",  # no aggregate
         "SELECT COUNT(*) FROM snap_events",  # unaliased aggregate
         "SELECT DISTINCT type FROM snap_events",
-        "SELECT t.type, COUNT(*) AS n FROM snap_events t GROUP BY t.type",
+        # (r10: a SINGLE-table alias-qualified statement now parses —
+        # covered positively below; misqualified names stay outside)
+        "SELECT x.type, COUNT(*) AS n FROM snap_events t GROUP BY t.type",
         "SELECT type, COUNT(*) AS n FROM events GROUP BY type",  # not snap_
         "SELECT a, COUNT(*) AS n FROM snap_t GROUP BY a, b",  # SELECT != GROUP BY
         "SELECT a, b, COUNT(*) AS n FROM snap_t GROUP BY a",
@@ -338,3 +340,37 @@ def test_having_alias_never_binds_to_hidden_measure():
         "SELECT type, COUNT(*) AS n FROM snap_events GROUP BY type "
         "HAVING sum(value) > 1 AND __having_0 < 5"
     ) is None
+
+
+def test_single_table_alias_qualified_refs_resolve():
+    """r10: the join grammar's qualifier machinery also serves the
+    single-table form — ``FROM snap_t t ... t.col`` resolves against
+    the one alias, while an unknown qualifier stays outside."""
+    i = parse_aggregate_sql(
+        "SELECT t.type, COUNT(*) AS n FROM snap_events t GROUP BY t.type"
+    )
+    assert i is not None
+    assert i.table == "events"
+    assert i.group_by == ("type",)
+    assert i.join_dim is None
+    assert parse_aggregate_sql(
+        "SELECT x.type, COUNT(*) AS n FROM snap_events t GROUP BY t.type"
+    ) is None
+
+
+def test_join_statement_extracts_both_sides():
+    i = parse_aggregate_sql(
+        "SELECT d.seg, f.reg, SUM(f.v) AS s FROM snap_f f "
+        "JOIN snap_d d ON f.fk = d.pk "
+        "WHERE f.reg = 'r1' AND d.seg IN ('a', 'b') "
+        "GROUP BY d.seg, f.reg HAVING s > 10 ORDER BY seg, reg"
+    )
+    assert i is not None
+    assert (i.table, i.join_dim) == ("f", "d")
+    assert i.join_on == ("fk", "pk")
+    assert i.group_by == ("reg",)
+    assert i.dim_group_by == ("seg",)
+    assert i.filters == {"reg": ["r1"]}
+    assert i.dim_filters == {"seg": ["a", "b"]}
+    assert i.select_order == ("seg", "reg", "s")
+    assert i.having == (("s", ">", 10),)
