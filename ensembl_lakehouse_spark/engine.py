@@ -1215,7 +1215,9 @@ class Engine:
                 "comma list of out=count | out=count:col (col must "
                 "carry a write-enforced NOT-NULL CHECK constraint) | "
                 "out=sum:col | out=avg:col | out=min:col | out=max:col "
-                "| out=approx_distinct:col"
+                "| out=approx_distinct:col | "
+                "out=approx_percentile:col:q (q in (0,1); DDSketch "
+                "estimate, <=0.99% relative error)"
             ),
             "filter": (
                 "comma list of col:v1|v2 (IN), col:lo..hi (inclusive "
@@ -1330,11 +1332,28 @@ class Engine:
                 and col.strip()
             ):
                 agg_spec[out] = ("approx_count_distinct", col.strip())
+            elif fn == "approx_percentile" and col.strip():
+                # out=approx_percentile:col:q — explicitly approximate
+                # (DDSketch, γ=1.02, ≤0.99 % relative error vs the
+                # order statistic at rank ceil(q·N)); the quantile
+                # rides in the fn spelling (the plan vocabulary is
+                # (fn, col) pairs everywhere)
+                c, _, qtxt = col.strip().partition(":")
+                try:
+                    qv = float(qtxt)
+                except ValueError:
+                    qv = -1.0
+                if not c or not (0.0 < qv < 1.0):
+                    raise QueryValidationError(
+                        f"bad aggs item {item!r}: want "
+                        "out=approx_percentile:col:q with q in (0, 1)"
+                    )
+                agg_spec[out] = (f"approx_percentile@{qv!r}", c)
             else:
                 raise QueryValidationError(
                     f"bad aggs item {item!r}: want out=count|out=sum:col|"
                     "out=avg:col|out=min:col|out=max:col|"
-                    "out=approx_distinct:col"
+                    "out=approx_distinct:col|out=approx_percentile:col:q"
                 )
         if not agg_spec:
             raise QueryValidationError("aggs must name at least one measure")
@@ -1426,7 +1445,10 @@ class Engine:
                     f"having references {out!r}, which is not an aggs "
                     "output alias"
                 )
-            if agg_spec[out][0] == "approx_count_distinct":
+            if agg_spec[out][0].split("@", 1)[0] in (
+                "approx_count_distinct",
+                "approx_percentile",
+            ):
                 raise QueryValidationError(
                     f"having on {out!r} filters an estimate-tier "
                     "measure — the estimator's value decides which "

@@ -45,6 +45,7 @@ Constraints and failure windows, stated plainly:
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -410,7 +411,177 @@ def maintain_rollup_from_rollup(
 #: touched are re-aggregated from the base pinned at src_v via a
 #: group-key semi join (cost ∝ rows of changed groups, never a full
 #: rescan), while insert-only groups merge in O(changed groups).
-AUX_KINDS = ("minmax", "hll")
+AUX_KINDS = ("minmax", "hll", "quantile")
+
+#: DDSketch-style log-bucket quantile sketch (Masson, Lee & Rister,
+#: "DDSketch: a fast and fully-mergeable quantile sketch with
+#: relative-error guarantees", VLDB 2019 — public algorithm). γ is
+#: fixed ENGINE-WIDE so every stored sketch is mergeable with every
+#: other; the quantile estimate's relative error is bounded by
+#: α = (γ-1)/(γ+1) ≈ 0.99 % at γ = 1.02. State per group is a
+#: map<int,bigint> of bucket→count: bucket ceil(log_γ v)+1 for
+#: v > 0, 0 for v = 0, mirrored negative for v < 0 — fully ADDITIVE
+#: (bucket-wise BIGINT adds), so sketches merge exactly across
+#: commits, partitions, and hierarchy hops; size is bounded by the
+#: value DOMAIN (≤ 2·log_γ(max|v|)+1 ≈ 2.3k entries for the full
+#: bigint range), never by row count.
+#:
+#: Storage is a key-SORTED array<struct<k:int,v:bigint>> rather than
+#: a map: Spark refuses MAP columns in set operations, and the
+#: hierarchical delta path diffs PARENT rollup rows through
+#: snapshot_diff's exceptAll — the canonical sorted-entries form
+#: keeps row equality (and the stored artifact) deterministic.
+Q_GAMMA = 1.02
+_Q_LN_G = math.log(Q_GAMMA)
+
+
+def q_bucket_expr(col: str):
+    """The DDSketch bucket index of one value (NULL for NULL values
+    — SQL percentile semantics ignore NULLs). log/ceil run on the
+    JVM; determinism is per-engine, which is all the rollup needs
+    (the estimate tier never claims cross-engine bit-equality)."""
+    v = F.col(col).cast("double")
+    pos = (F.ceil(F.log(v) / F.lit(_Q_LN_G)) + F.lit(1)).cast("int")
+    neg = (-(F.ceil(F.log(-v) / F.lit(_Q_LN_G)) + F.lit(1))).cast("int")
+    return (
+        F.when(v > 0, pos)
+        .when(v < 0, neg)
+        .when(v == 0, F.lit(0).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+def q_merge_expr(a: str, b: str):
+    """Bucket-wise addition of two non-NULL sketch entry arrays —
+    the DDSketch merge, as one higher-order-function expression
+    (JVM-side; the per-key map lookup bounds the cost at O(B²) over
+    the bucket count B, which the domain bounds at ~2.3k — never
+    row-scaled)."""
+    return F.expr(
+        f"sort_array(transform(array_distinct(concat("
+        f"transform({a}, x -> x.k), transform({b}, x -> x.k))), "
+        f"kk -> named_struct("
+        f"'k', kk, "
+        f"'v', coalesce(element_at(map_from_entries({a}), kk), 0L) + "
+        f"coalesce(element_at(map_from_entries({b}), kk), 0L))))"
+    )
+
+
+def q_rank_expr(qsk: str, q: float):
+    """Target rank for quantile ``q`` over one sketch map column:
+    ceil(q·N) over the non-NULL count N (type-1 / lower order
+    statistic), floored at 1. Computed as its OWN column so the
+    bucket walk's lambda references a plain value instead of
+    re-summing the map per entry (O(B), not O(B²))."""
+    return F.expr(
+        f"greatest(1L, CAST(ceil({q!r} * aggregate("
+        f"transform({qsk}, x -> x.v), 0L, (a, v) -> a + v)) AS BIGINT))"
+    )
+
+
+def q_key_expr(qsk: str, rank: str):
+    """The bucket key holding the ``rank``-th value: one ordered
+    walk over the sorted entries accumulating counts (bucket keys
+    sort in VALUE order by construction: mirrored negatives < 0 <
+    positives). NULL for an empty sketch."""
+    return F.expr(
+        f"aggregate({qsk}, "
+        f"named_struct('c', 0L, 'k', CAST(NULL AS INT)), "
+        f"(acc, e) -> CASE WHEN acc.k IS NOT NULL THEN acc "
+        f"WHEN acc.c + e.v >= {rank} THEN "
+        f"named_struct('c', acc.c + e.v, 'k', e.k) "
+        f"ELSE named_struct('c', acc.c + e.v, "
+        f"'k', CAST(NULL AS INT)) END, "
+        f"acc -> acc.k)"
+    )
+
+
+def q_value_expr(key: str):
+    """Bucket key → the DDSketch midpoint estimate 2γ^i/(γ+1)
+    (key = i+1 for positives, mirrored for negatives, 0 → 0.0):
+    relative error ≤ (γ-1)/(γ+1) ≈ 0.99 % at γ = 1.02 against the
+    true order statistic at the same rank."""
+    g = repr(Q_GAMMA)
+    return F.expr(
+        f"CASE WHEN {key} IS NULL THEN CAST(NULL AS DOUBLE) "
+        f"WHEN {key} = 0 THEN 0.0D "
+        f"WHEN {key} > 0 THEN "
+        f"2.0D * power({g}D, {key} - 1) / ({g}D + 1.0D) "
+        f"ELSE -2.0D * power({g}D, -{key} - 1) / ({g}D + 1.0D) END"
+    )
+
+
+def _quantile_state(df: DataFrame, group_cols: list[str], col: str):
+    """(group_cols, n_rows, qsk) from BASE rows: per-bucket counts
+    then a bounded collect into the map (Spark has no map-merge
+    aggregate; the collect_list is bounded by the bucket count, never
+    by rows). n_rows counts ALL rows (NULL values included — the aux
+    contract), the sketch covers non-NULL values only."""
+    b = df.select(*group_cols, q_bucket_expr(col).alias("_qb"))
+    per_bucket = b.groupBy(*group_cols, "_qb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_qn")
+    )
+    return per_bucket.groupBy(*group_cols).agg(
+        F.coalesce(F.sum("_qn"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("_qb").isNotNull(),
+                    F.struct(
+                        F.col("_qb").alias("k"),
+                        F.col("_qn").alias("v"),
+                    ),
+                )
+            )
+        ).alias("qsk"),
+    )
+
+
+def _quantile_state_from_partials(df: DataFrame, group_cols: list[str]):
+    """(group_cols, n_rows, qsk) re-aggregated from PARENT partial
+    rows (n_rows, qsk): explode the bounded maps, sum per (group,
+    bucket), re-collect — every exchange bounded by groups × buckets.
+    Groups whose every partial map is empty (all-NULL measure) keep
+    an empty map via the left join + typed coalesce."""
+    rows = df.groupBy(*group_cols).agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_rows")
+    )
+    sk = (
+        df.select(*group_cols, F.explode("qsk").alias("_e"))
+        .select(
+            *group_cols,
+            F.col("_e.k").alias("_qk"),
+            F.col("_e.v").alias("_qv"),
+        )
+        .groupBy(*group_cols, "_qk")
+        .agg(F.sum("_qv").cast("bigint").alias("_qn"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_qk").alias("k"),
+                        F.col("_qn").alias("v"),
+                    )
+                )
+            ).alias("qsk")
+        )
+    )
+    joined = (
+        rows.join(sk, on=group_cols, how="left")
+        if group_cols
+        # global: both sides are exactly one row (a global aggregate
+        # always returns one)
+        else rows.crossJoin(sk)
+    )
+    return joined.select(
+        *group_cols,
+        "n_rows",
+        F.coalesce(
+            F.col("qsk"),
+            F.expr("cast(array() as array<struct<k:int,v:bigint>>)"),
+        ).alias("qsk"),
+    )
 
 
 def _aux_measures(kind: str, col: str) -> list:
@@ -433,7 +604,23 @@ def _aux_measures(kind: str, col: str) -> list:
 
 
 def _aux_measure_cols(kind: str) -> list[str]:
-    return ["min_val", "max_val"] if kind == "minmax" else ["hll"]
+    if kind == "minmax":
+        return ["min_val", "max_val"]
+    return ["hll"] if kind == "hll" else ["qsk"]
+
+
+def _aux_state(
+    df: DataFrame, group_cols: list[str], col: str, kind: str
+) -> DataFrame:
+    """Exact per-group aux state from BASE rows, kind-dispatched:
+    the single-agg form for minmax/hll, the two-level bucket form
+    for quantile (whose map measure has no single-pass aggregate)."""
+    if kind == "quantile":
+        return _quantile_state(df, group_cols, col)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *_aux_measures(kind, col),
+    )
 
 
 def maintain_aux_rollup(
@@ -467,7 +654,12 @@ def maintain_aux_rollup(
     absolute-state, not additive. ``kind``: "minmax" stores
     (min_val, max_val) in the column's natural type; "hll" stores
     one Apache-DataSketches HLL binary per group
-    (plans/rewrite.py answers approx COUNT(DISTINCT) from it)."""
+    (plans/rewrite.py answers approx COUNT(DISTINCT) from it);
+    "quantile" stores one DDSketch log-bucket map<int,bigint> per
+    group (plans/rewrite.py answers approx percentiles from it —
+    bucket counts are fully additive, so insert-only deltas merge
+    exactly; deletes re-aggregate like the other kinds to keep one
+    delete story, though the map algebra could even subtract)."""
     if kind not in AUX_KINDS:
         raise ValueError(f"kind must be one of {AUX_KINDS}, got {kind!r}")
     src_v = SN.current_version(source_dir)
@@ -491,13 +683,9 @@ def maintain_aux_rollup(
     mcols = _aux_measure_cols(kind)
 
     def full_state():
-        return (
-            SN.read_snapshot(spark, source_dir, version=src_v)
-            .groupBy(*group_cols)
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                *_aux_measures(kind, col),
-            )
+        return _aux_state(
+            SN.read_snapshot(spark, source_dir, version=src_v),
+            group_cols, col, kind,
         )
 
     if not rebuild and applied and applied[-1] == src_v:
@@ -539,6 +727,20 @@ def maintain_aux_rollup(
     except FileNotFoundError:
         return _rebuild()
     ins = F.col("_change") == "insert"
+    if kind == "minmax":
+        ins_measures = [
+            F.min(F.when(ins, F.col(col))).alias("ins_min"),
+            F.max(F.when(ins, F.col(col))).alias("ins_max"),
+        ]
+    elif kind == "hll":
+        ins_measures = [
+            F.hll_sketch_agg(F.when(ins, F.col(col))).alias("ins_hll")
+        ]
+    else:
+        # the map measure has no single-pass aggregate — the insert
+        # sketches come from a separate bounded two-level aggregation
+        # joined in below
+        ins_measures = []
     per_group = (
         diff.select(*group_cols, col, "_change")
         .groupBy(*group_cols)
@@ -547,18 +749,7 @@ def maintain_aux_rollup(
                 F.sum(F.when(ins, 1).otherwise(-1)), F.lit(0)
             ).cast("bigint").alias("d_rows"),
             F.max((~ins).cast("int")).alias("has_del"),
-            *(
-                [
-                    F.min(F.when(ins, F.col(col))).alias("ins_min"),
-                    F.max(F.when(ins, F.col(col))).alias("ins_max"),
-                ]
-                if kind == "minmax"
-                else [
-                    F.hll_sketch_agg(
-                        F.when(ins, F.col(col))
-                    ).alias("ins_hll")
-                ]
-            ),
+            *ins_measures,
         )
     )
     # shared by the null-key check, the del-recompute, AND the
@@ -568,14 +759,11 @@ def maintain_aux_rollup(
     try:
         _reject_null_group_keys(per_group, group_cols, hint)
         del_keys = per_group.where("has_del = 1").select(*group_cols)
-        recomputed = (
-            SN.read_snapshot(spark, source_dir, version=src_v)
-            .join(del_keys, on=group_cols, how="leftsemi")
-            .groupBy(*group_cols)
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                *_aux_measures(kind, col),
-            )
+        recomputed = _aux_state(
+            SN.read_snapshot(spark, source_dir, version=src_v).join(
+                del_keys, on=group_cols, how="leftsemi"
+            ),
+            group_cols, col, kind,
         )
         gone = del_keys.join(
             recomputed, on=group_cols, how="left_anti"
@@ -589,28 +777,21 @@ def maintain_aux_rollup(
         )
         current = SN.read_snapshot(spark, rollup_dir)
         ins_groups = per_group.where("has_del = 0")
-        if kind == "minmax":
-            merged_measures = [
-                F.least(F.col("min_val"), F.col("ins_min")).alias("min_val"),
-                F.greatest(
-                    F.col("max_val"), F.col("ins_max")
-                ).alias("max_val"),
-            ]
-        else:
-            merged_measures = [
-                F.when(
-                    F.col("hll").isNull(), F.col("ins_hll")
-                )
-                .when(F.col("ins_hll").isNull(), F.col("hll"))
-                .otherwise(F.hll_union(F.col("hll"), F.col("ins_hll")))
-                .alias("hll")
-            ]
+        if kind == "quantile":
+            ins_groups = ins_groups.join(
+                _quantile_state(
+                    diff.where(ins).select(*group_cols, col),
+                    group_cols, col,
+                ).select(*group_cols, F.col("qsk").alias("ins_qsk")),
+                on=group_cols,
+                how="left",
+            )
         merged = ins_groups.join(current, on=group_cols, how="left").select(
             *group_cols,
             (
                 F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")
             ).cast("bigint").alias("n_rows"),
-            *merged_measures,
+            *_merged_aux_measures(kind),
         )
         updated = recomputed.unionByName(gone).unionByName(merged)
         SN.merge_snapshot(
@@ -620,6 +801,37 @@ def maintain_aux_rollup(
     finally:
         per_group.unpersist()
     return {"applied": src_v, "mode": "delta"}
+
+
+def _merged_aux_measures(kind: str, ins_prefix: str = "ins_") -> list:
+    """stored ⊕ inserted measure merge for insert-only groups, per
+    kind: least/greatest, register-union, or bucket-wise map add —
+    NULL on either side passes the other through (a brand-new group
+    has no stored state; an all-NULL insert batch adds nothing)."""
+    if kind == "minmax":
+        return [
+            F.least(F.col("min_val"), F.col(f"{ins_prefix}min")).alias(
+                "min_val"
+            ),
+            F.greatest(
+                F.col("max_val"), F.col(f"{ins_prefix}max")
+            ).alias("max_val"),
+        ]
+    if kind == "hll":
+        return [
+            F.when(F.col("hll").isNull(), F.col(f"{ins_prefix}hll"))
+            .when(F.col(f"{ins_prefix}hll").isNull(), F.col("hll"))
+            .otherwise(
+                F.hll_union(F.col("hll"), F.col(f"{ins_prefix}hll"))
+            )
+            .alias("hll")
+        ]
+    return [
+        F.when(F.col("qsk").isNull(), F.col(f"{ins_prefix}qsk"))
+        .when(F.col(f"{ins_prefix}qsk").isNull(), F.col("qsk"))
+        .otherwise(q_merge_expr("qsk", f"{ins_prefix}qsk"))
+        .alias("qsk")
+    ]
 
 
 def maintain_aux_rollup_from_rollup(
@@ -686,7 +898,9 @@ def maintain_aux_rollup_from_rollup(
 
     def _partial_measures():
         """Re-aggregate child measures from parent PARTIALS (exact:
-        min-of-mins / register-union)."""
+        min-of-mins / register-union; quantile dispatches through
+        _quantile_state_from_partials instead — map merge has no
+        single-pass aggregate)."""
         if kind == "minmax":
             return [
                 F.min("min_val").alias("min_val"),
@@ -694,18 +908,19 @@ def maintain_aux_rollup_from_rollup(
             ]
         return [F.hll_union_agg("hll").alias("hll")]
 
+    def _child_state(partials: DataFrame) -> DataFrame:
+        if kind == "quantile":
+            return _quantile_state_from_partials(partials, child_cols)
+        return partials.groupBy(*child_cols).agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0))
+            .cast("bigint")
+            .alias("n_rows"),
+            *_partial_measures(),
+        )
+
     def full_state():
         parent = read_rollup(spark, parent_dir, version=src_v)
-        return (
-            parent.select(*key_aliases, "n_rows", *mcols)
-            .groupBy(*child_cols)
-            .agg(
-                F.coalesce(F.sum("n_rows"), F.lit(0))
-                .cast("bigint")
-                .alias("n_rows"),
-                *_partial_measures(),
-            )
-        )
+        return _child_state(parent.select(*key_aliases, "n_rows", *mcols))
 
     if not rebuild and applied and applied[-1] == src_v:
         return {"applied": None, "mode": "noop"}
@@ -746,6 +961,17 @@ def maintain_aux_rollup_from_rollup(
     except FileNotFoundError:
         return _rebuild()
     ins = F.col("_change") == "insert"
+    if kind == "minmax":
+        ins_measures = [
+            F.min(F.when(ins, F.col("min_val"))).alias("ins_min"),
+            F.max(F.when(ins, F.col("max_val"))).alias("ins_max"),
+        ]
+    elif kind == "hll":
+        ins_measures = [
+            F.hll_union_agg(F.when(ins, F.col("hll"))).alias("ins_hll")
+        ]
+    else:
+        ins_measures = []  # joined in below (no map-merge aggregate)
     per_group = (
         diff.select(*key_aliases, "n_rows", *mcols, "_change")
         .groupBy(*child_cols)
@@ -757,18 +983,7 @@ def maintain_aux_rollup_from_rollup(
                 F.lit(0),
             ).cast("bigint").alias("d_rows"),
             F.max((~ins).cast("int")).alias("has_del"),
-            *(
-                [
-                    F.min(F.when(ins, F.col("min_val"))).alias("ins_min"),
-                    F.max(F.when(ins, F.col("max_val"))).alias("ins_max"),
-                ]
-                if kind == "minmax"
-                else [
-                    F.hll_union_agg(
-                        F.when(ins, F.col("hll"))
-                    ).alias("ins_hll")
-                ]
-            ),
+            *ins_measures,
         )
     )
     # one diff-side aggregation for all three consumers (the same
@@ -778,15 +993,9 @@ def maintain_aux_rollup_from_rollup(
         _reject_null_group_keys(per_group, child_cols, hint)
         del_keys = per_group.where("has_del = 1").select(*child_cols)
         parent_now = read_rollup(spark, parent_dir, version=src_v)
-        recomputed = (
-            parent_now.select(*key_aliases, "n_rows", *mcols)
-            .join(del_keys, on=child_cols, how="leftsemi")
-            .groupBy(*child_cols)
-            .agg(
-                F.coalesce(F.sum("n_rows"), F.lit(0))
-                .cast("bigint")
-                .alias("n_rows"),
-                *_partial_measures(),
+        recomputed = _child_state(
+            parent_now.select(*key_aliases, "n_rows", *mcols).join(
+                del_keys, on=child_cols, how="leftsemi"
             )
         )
         gone = del_keys.join(
@@ -801,22 +1010,15 @@ def maintain_aux_rollup_from_rollup(
         )
         current = SN.read_snapshot(spark, child_dir)
         ins_groups = per_group.where("has_del = 0")
-        if kind == "minmax":
-            merged_measures = [
-                F.least(F.col("min_val"), F.col("ins_min")).alias("min_val"),
-                F.greatest(
-                    F.col("max_val"), F.col("ins_max")
-                ).alias("max_val"),
-            ]
-        else:
-            merged_measures = [
-                F.when(
-                    F.col("hll").isNull(), F.col("ins_hll")
-                )
-                .when(F.col("ins_hll").isNull(), F.col("hll"))
-                .otherwise(F.hll_union(F.col("hll"), F.col("ins_hll")))
-                .alias("hll")
-            ]
+        if kind == "quantile":
+            ins_groups = ins_groups.join(
+                _quantile_state_from_partials(
+                    diff.where(ins).select(*key_aliases, "n_rows", *mcols),
+                    child_cols,
+                ).select(*child_cols, F.col("qsk").alias("ins_qsk")),
+                on=child_cols,
+                how="left",
+            )
         merged = ins_groups.join(
             current, on=child_cols, how="left"
         ).select(
@@ -824,7 +1026,7 @@ def maintain_aux_rollup_from_rollup(
             (
                 F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")
             ).cast("bigint").alias("n_rows"),
-            *merged_measures,
+            *_merged_aux_measures(kind),
         )
         updated = recomputed.unionByName(gone).unionByName(merged)
         SN.merge_snapshot(

@@ -1547,3 +1547,80 @@ FROM verdicts
 GROUP BY n_members
 ORDER BY n_members
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup_rate_by_batch (r10)
+# ---------------------------------------------------------------------------
+
+#: Ingest-batch width for the dedup-rate trend (doc_id DIV width —
+#: the deterministic stand-in for per-commit batches; the snapshot
+#: twin replays the ``_txns`` ledger instead).
+DEDUP_BATCH_WIDTH = 100
+
+
+def dedup_rate_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the duplicate rate of INCOMING batches trending up? Docs
+    are bucketed into ingest batches (doc_id DIV width — against
+    snapshot tables the batches come from the ``_txns`` commit
+    ledger); a doc is a DUP if its canonical signature (lowercased
+    alphanumeric prefix, the cheap first-pass screen ahead of
+    MinHash) already appeared in an earlier doc. Per batch: docs,
+    dups, rate (bp), distinct sources — the feed-health dial that
+    says a crawler started re-fetching BEFORE the expensive LSH
+    pass or storage bill notices.
+
+    Plan (100 TB): the signature is map-side; first-occurrence is a
+    signature-PARTITIONED row_number (keyed window, never global);
+    the final agg is ≤ batches rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("doc_id DIV " + str(DEDUP_BATCH_WIDTH)).alias("batch"),
+        F.expr(
+            "substring(lower(regexp_replace(text, '[^a-zA-Z0-9]', '')),"
+            " 1, 64)"
+        ).alias("sig"),
+    )
+    flagged = docs.withColumn(
+        "rn",
+        F.expr(
+            "row_number() OVER (PARTITION BY sig ORDER BY doc_id)"
+        ),
+    )
+    return (
+        flagged.groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN rn > 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_dups"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .withColumn("dup_rate_bp", F.expr("(n_dups * 10000) DIV n_docs"))
+        .orderBy("batch")
+    )
+
+
+DEDUP_RATE_BY_BATCH_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         doc_id // {DEDUP_BATCH_WIDTH} AS batch,
+         substr(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')),
+                1, 64) AS sig
+  FROM documents
+), flagged AS (
+  SELECT batch, source,
+         row_number() OVER (PARTITION BY sig ORDER BY doc_id) AS rn
+  FROM docs
+)
+SELECT batch,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST((SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 10000)
+            // COUNT(*) AS BIGINT) AS dup_rate_bp
+FROM flagged
+GROUP BY 1
+ORDER BY 1
+"""

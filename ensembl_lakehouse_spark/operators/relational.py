@@ -5503,3 +5503,155 @@ FROM banded
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling_retention_matrix (r10)
+# ---------------------------------------------------------------------------
+
+#: Offsets reported by the rolling-retention matrix (weeks since the
+#: cohort's first week).
+ROLLING_RETENTION_OFFSETS = 5
+
+
+def rolling_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING retention by weekly cohort: a user counts as retained
+    at offset k if they were active at offset k OR ANY LATER week —
+    the "will they ever come back" read product teams prefer over
+    classic at-offset retention (cohort_retention), which undercounts
+    skippers. Cells: cohort week (epoch weeks), offset 0..4, cohort
+    size, users whose LAST week ≥ cohort+offset, and the rate (bp).
+
+    Plan (100 TB): one user-keyed aggregate collapses events to
+    (user, first_week, last_week) — min/max partial aggs, no window;
+    a 5-element posexplode fans each user into its offsets map-side;
+    the final agg is ≤ weeks×5 rows. Two shuffles total, both
+    pre-reduced map-side."""
+    events = load_table(spark, sf_dir, "events")
+    span = (
+        events.select(
+            "user_id",
+            F.expr(
+                "CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT)"
+            ).alias("week"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("week").alias("w0"),
+            F.max("week").alias("w_last"),
+        )
+    )
+    k = ROLLING_RETENTION_OFFSETS
+    fanned = span.select(
+        "w0",
+        "w_last",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(k - 1))
+        ).alias("offset_weeks"),
+    )
+    return (
+        fanned.groupBy(F.col("w0").alias("cohort_week"), "offset_weeks")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cohort_users"),
+            F.sum(
+                F.when(
+                    F.col("w_last") >= F.col("w0") + F.col("offset_weeks"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("retained_rolling"),
+        )
+        .withColumn(
+            "retention_bp",
+            F.expr("(retained_rolling * 10000) DIV cohort_users"),
+        )
+        .orderBy("cohort_week", "offset_weeks")
+    )
+
+
+ROLLING_RETENTION_MATRIX_SQL = """
+WITH span AS (
+  SELECT user_id,
+         MIN(CAST(floor(epoch(ts) / 604800) AS BIGINT)) AS w0,
+         MAX(CAST(floor(epoch(ts) / 604800) AS BIGINT)) AS w_last
+  FROM events GROUP BY 1
+), fanned AS (
+  SELECT s.w0, s.w_last, o.offset_weeks
+  FROM span s
+  CROSS JOIN (SELECT UNNEST(range(5)) AS offset_weeks) o
+)
+SELECT w0 AS cohort_week, CAST(offset_weeks AS INTEGER) AS offset_weeks,
+       CAST(COUNT(*) AS BIGINT) AS cohort_users,
+       CAST(SUM(CASE WHEN w_last >= w0 + offset_weeks THEN 1 ELSE 0 END)
+            AS BIGINT) AS retained_rolling,
+       CAST((SUM(CASE WHEN w_last >= w0 + offset_weeks THEN 1 ELSE 0 END)
+             * 10000) // COUNT(*) AS BIGINT) AS retention_bp
+FROM fanned
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# resurrection_gap_histogram (r10)
+# ---------------------------------------------------------------------------
+
+
+def resurrection_gap_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How long do lapsed users stay away before coming back? Over
+    the distinct (user, day) activity lattice, a RESURRECTION is a
+    consecutive-active-day pair with a gap > 1; the histogram counts
+    resurrection events and distinct resurrected users per gap length
+    (days away). events_user_gaps histograms raw inter-EVENT gaps;
+    this collapses to the day lattice first, so within-day bursts
+    don't drown the churn signal.
+
+    Plan (100 TB): the lattice collapse is a map-side-reduced
+    distinct on (user, day); the lag window is USER-partitioned
+    (never global); the final agg is ≤ distinct-gap-lengths rows."""
+    events = load_table(spark, sf_dir, "events")
+    lattice = events.select(
+        "user_id",
+        F.expr(
+            "CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)"
+        ).alias("day"),
+    ).distinct()
+    gaps = lattice.select(
+        "user_id",
+        (
+            F.col("day")
+            - F.expr(
+                "lag(day) OVER (PARTITION BY user_id ORDER BY day)"
+            )
+        ).alias("gap_days"),
+    ).where(F.col("gap_days") > 1)
+    return (
+        gaps.groupBy("gap_days")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("resurrections"),
+            F.countDistinct("user_id").cast("long").alias("users"),
+        )
+        .orderBy("gap_days")
+    )
+
+
+RESURRECTION_GAP_HISTOGRAM_SQL = """
+WITH lattice AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), gaps AS (
+  SELECT user_id,
+         day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+           AS gap_days
+  FROM lattice
+)
+SELECT gap_days,
+       CAST(COUNT(*) AS BIGINT) AS resurrections,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM gaps
+WHERE gap_days > 1
+GROUP BY 1
+ORDER BY 1
+"""

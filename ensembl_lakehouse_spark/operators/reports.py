@@ -5344,3 +5344,357 @@ FROM banded
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# price_index_series (r10)
+# ---------------------------------------------------------------------------
+
+
+def price_index_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres-style monthly price index over lineitem: the base
+    period is the corpus's FIRST month; per part, the period price is
+    the MIN unit price observed that month (deterministic integer —
+    cents DIV quantity; an average would be a cross-engine rational),
+    base quantities are the base month's per-part totals. Index(t) =
+    Σ p_t·q₀ · 10000 DIV Σ p₀·q₀ over parts traded in BOTH months —
+    the standard fixed-basket inflation read, integer-exact end to
+    end (the house BIGINT-lattice rule).
+
+    Plan (100 TB): one (month, part) aggregate off the fact scan
+    (map-side partial); the base month joins back PART-keyed (never
+    a cross join); final agg is ≤ months rows. The base-month
+    subquery is a scalar broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "year(CAST(l_shipdate AS DATE)) * 12 + "
+            "month(CAST(l_shipdate AS DATE)) - 1"
+        ).alias("m"),
+        F.col("l_partkey").alias("pk"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    per = li.groupBy("m", "pk").agg(
+        F.min(F.expr("cents DIV qty")).alias("p"),
+        F.sum("qty").alias("q"),
+    )
+    base_m = per.agg(F.min("m").alias("m0"))
+    base = (
+        per.join(F.broadcast(base_m), per["m"] == F.col("m0"))
+        .select("pk", F.col("p").alias("p0"), F.col("q").alias("q0"))
+    )
+    return (
+        per.join(base, "pk")
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("basket_parts"),
+            F.sum(F.expr("p * q0")).cast("long").alias("cur_cents"),
+            F.sum(F.expr("p0 * q0")).cast("long").alias("base_cents"),
+        )
+        .withColumn(
+            "index_bp", F.expr("(cur_cents * 10000) DIV base_cents")
+        )
+        .orderBy("m")
+    )
+
+
+PRICE_INDEX_SERIES_SQL = """
+WITH li AS (
+  SELECT year(CAST(l_shipdate AS DATE)) * 12
+           + month(CAST(l_shipdate AS DATE)) - 1 AS m,
+         l_partkey AS pk,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), per AS (
+  SELECT m, pk, MIN(cents // qty) AS p, SUM(qty) AS q
+  FROM li GROUP BY 1, 2
+), base AS (
+  SELECT pk, p AS p0, q AS q0 FROM per
+  WHERE m = (SELECT MIN(m) FROM per)
+)
+SELECT per.m,
+       CAST(COUNT(*) AS BIGINT) AS basket_parts,
+       CAST(SUM(per.p * base.q0) AS BIGINT) AS cur_cents,
+       CAST(SUM(base.p0 * base.q0) AS BIGINT) AS base_cents,
+       CAST((SUM(per.p * base.q0) * 10000) // SUM(base.p0 * base.q0)
+            AS BIGINT) AS index_bp
+FROM per JOIN base ON per.pk = base.pk
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# status_priority_matrix (r10)
+# ---------------------------------------------------------------------------
+
+
+def status_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order lifecycle × urgency joint matrix: per (status, priority)
+    cell the order count, value (cents), and value share of the
+    STATUS row (bp) — does urgent work clear the pipeline faster, or
+    do high-priority orders pool in 'O'pen like everything else?
+    The per-priority profiles (orders_priority_value_profile) and
+    monthly mixes slice one dimension; the joint matrix is where a
+    stuck-cohort stands out.
+
+    Plan (100 TB): one (status, priority) aggregate off the orders
+    scan — map-side partial, ≤ |statuses|·|priorities| cells; the
+    share window runs on those cells only."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.expr(
+                "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+                "AS BIGINT)"
+            )
+        ).alias("cents"),
+    )
+    return (
+        agg.withColumn(
+            "status_share_bp",
+            F.expr(
+                "(cents * 10000) DIV SUM(cents) OVER "
+                "(PARTITION BY o_orderstatus)"
+            ),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+STATUS_PRIORITY_MATRIX_SQL = """
+WITH agg AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus, o_orderpriority, n_orders, cents,
+       CAST((cents * 10000) // SUM(cents)
+            OVER (PARTITION BY o_orderstatus) AS BIGINT)
+         AS status_share_bp
+FROM agg
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# quantity_band_returns (r10)
+# ---------------------------------------------------------------------------
+
+
+def quantity_band_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do BIG line items come back more often? Lines banded by
+    quantity decade (1-10 … 41-50); per band the line count, return
+    rate (l_returnflag = 'R', bp), and mean discount (×10⁴) — the
+    returns-exposure read that says whether bulk orders are the
+    problem population (and whether they were already discount-baited
+    in). returns_rate_monthly trends time; discount_band_lift bands
+    the discount; this bands the QUANTITY.
+
+    Plan (100 TB): pure map-side banding into a ≤ 5-cell aggregate;
+    one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST((CAST(l_quantity AS BIGINT) - 1) DIV 10 AS INT)"
+        ).alias("qty_band"),
+        F.expr(
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+        ).alias("returned"),
+        F.expr(
+            "CAST(floor(l_discount * 10000 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("disc_x10k"),
+    )
+    return (
+        li.groupBy("qty_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("returned").cast("long").alias("n_returned"),
+            F.sum("disc_x10k").cast("long").alias("disc_sum"),
+        )
+        .withColumn(
+            "return_bp", F.expr("(n_returned * 10000) DIV n_lines")
+        )
+        .withColumn(
+            "mean_disc_x10k", F.expr("disc_sum DIV n_lines")
+        )
+        .select(
+            "qty_band", "n_lines", "return_bp", "mean_disc_x10k"
+        )
+        .orderBy("qty_band")
+    )
+
+
+QUANTITY_BAND_RETURNS_SQL = """
+WITH li AS (
+  SELECT CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS INTEGER)
+           AS qty_band,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS returned,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_x10k
+  FROM lineitem
+)
+SELECT qty_band,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST((SUM(returned) * 10000) // COUNT(*) AS BIGINT) AS return_bp,
+       CAST(SUM(disc_x10k) // COUNT(*) AS BIGINT) AS mean_disc_x10k
+FROM li
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# brand_type_span (r10)
+# ---------------------------------------------------------------------------
+
+
+def brand_type_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog breadth per brand: distinct part types and sizes
+    carried, part count, and the retail price range (cents) — the
+    assortment-planning view (a brand spanning every type with a
+    wide price range is a generalist; a narrow span is a niche
+    line). part_brand_price_dispersion measures price VARIANCE;
+    part_type_brand_matrix counts (type, brand) cells; this measures
+    per-brand assortment SPAN.
+
+    Plan (100 TB): one brand-keyed aggregate off the part dim scan;
+    distinct counts are exact (brand cardinality is bounded);
+    output ≤ |brands| rows."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.countDistinct("p_type").cast("long").alias("n_types"),
+            F.countDistinct("p_size").cast("long").alias("n_sizes"),
+            F.min(
+                F.expr(
+                    "CAST(floor(p_retailprice * 100 + "
+                    "CAST(0.5 AS DOUBLE)) AS BIGINT)"
+                )
+            ).alias("min_price_cents"),
+            F.max(
+                F.expr(
+                    "CAST(floor(p_retailprice * 100 + "
+                    "CAST(0.5 AS DOUBLE)) AS BIGINT)"
+                )
+            ).alias("max_price_cents"),
+        )
+        .withColumn(
+            "price_span_cents",
+            F.expr("max_price_cents - min_price_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_TYPE_SPAN_SQL = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+       CAST(COUNT(DISTINCT p_size) AS BIGINT) AS n_sizes,
+       CAST(MIN(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS min_price_cents,
+       CAST(MAX(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS max_price_cents,
+       CAST(MAX(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+            - MIN(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS price_span_cents
+FROM part
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# segment_balance_profile (r10)
+# ---------------------------------------------------------------------------
+
+
+def segment_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit posture per market segment: customers, share with a
+    negative account balance (bp), and the mean balance split by
+    sign (cents) — the receivables-risk read segment_value_quartiles
+    (spend quartiles) does not carry. A segment whose negative share
+    climbs is extending credit faster than it collects.
+
+    Plan (100 TB): one segment-keyed aggregate off the customer dim
+    scan; output ≤ |segments| rows."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.expr(
+            "CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.expr("CASE WHEN cents < 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_negative"),
+            F.sum(F.expr("CASE WHEN cents < 0 THEN cents ELSE 0 END"))
+            .cast("long")
+            .alias("neg_cents"),
+            F.sum(F.expr("CASE WHEN cents >= 0 THEN cents ELSE 0 END"))
+            .cast("long")
+            .alias("pos_cents"),
+        )
+        .withColumn(
+            "negative_bp", F.expr("(n_negative * 10000) DIV n_customers")
+        )
+        .withColumn(
+            "mean_neg_cents",
+            F.expr(
+                "CASE WHEN n_negative > 0 THEN neg_cents DIV n_negative "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "mean_pos_cents",
+            F.expr(
+                "CASE WHEN n_customers > n_negative THEN pos_cents DIV "
+                "(n_customers - n_negative) ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .select(
+            "c_mktsegment", "n_customers", "negative_bp",
+            "mean_neg_cents", "mean_pos_cents",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SEGMENT_BALANCE_PROFILE_SQL = """
+WITH c AS (
+  SELECT c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), agg AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n_customers,
+         SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS n_negative,
+         SUM(CASE WHEN cents < 0 THEN cents ELSE 0 END) AS neg_cents,
+         SUM(CASE WHEN cents >= 0 THEN cents ELSE 0 END) AS pos_cents
+  FROM c GROUP BY 1
+)
+SELECT c_mktsegment,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST((n_negative * 10000) // n_customers AS BIGINT)
+         AS negative_bp,
+       CAST(CASE WHEN n_negative > 0 THEN neg_cents // n_negative
+                 ELSE 0 END AS BIGINT) AS mean_neg_cents,
+       CAST(CASE WHEN n_customers > n_negative
+                 THEN pos_cents // (n_customers - n_negative)
+                 ELSE 0 END AS BIGINT) AS mean_pos_cents
+FROM agg
+ORDER BY c_mktsegment
+"""

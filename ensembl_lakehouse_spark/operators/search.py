@@ -524,3 +524,138 @@ sel{step} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{step}),"""
 
 
 MMR_RERANK_SQL = _mmr_rerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# rerank_pairwise_audit (r10)
+# ---------------------------------------------------------------------------
+
+
+def rerank_pairwise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-style rerank audit over the bounded retrieval
+    pool: the first-stage ranking is cosine relevance to query 0;
+    the second-stage scorer is the deterministic length-penalized
+    stand-in ``rel − 0.1·|norm − 1|`` (a real cross-encoder slots in
+    behind the same contract — any per-(query, doc) scalar). Per
+    pool doc: both ranks and the shift, the drop-a-reranker-in
+    regression surface (how much does stage 2 reorder stage 1, and
+    WHICH docs move).
+
+    Ranks are computed by bounded pairwise counting (rank = 1 +
+    better-scored docs, ties by doc_id) — ≤ pool² comparisons with
+    NO global window, so the plan-discipline rule (no unpartitioned
+    row_number anywhere) holds even though a pool-sized window would
+    be configuration-bounded.
+
+    Scale shape: identical to mmr_rerank — one corpus scan into a
+    TakeOrdered pool of MMR_POOL rows, localCheckpoint truncates the
+    lineage, everything after runs on ≤ pool² rows."""
+    from ensembl_lakehouse_spark.operators.similarity import (
+        _PAIR_COSINE,
+        _split,
+    )
+
+    queries, corpus = _split(spark, sf_dir)
+    q0 = queries.where(F.col("q_id") == 0)
+    cand = (
+        corpus.crossJoin(F.broadcast(q0))
+        .withColumn("rel", F.expr(_PAIR_COSINE))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_POOL)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "rel",
+            F.expr(
+                "rel - CAST(0.1 AS DOUBLE) * abs(c_nrm - "
+                "CAST(1.0 AS DOUBLE))"
+            ).alias("ce_score"),
+        )
+        .localCheckpoint()  # bounded: <= pool rows
+    )
+    other = cand.select(
+        F.col("doc_id").alias("o_id"),
+        F.col("rel").alias("o_rel"),
+        F.col("ce_score").alias("o_ce"),
+    )
+    ranked = (
+        cand.join(F.broadcast(other), F.col("doc_id") != F.col("o_id"))
+        .groupBy("doc_id", "rel", "ce_score")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("o_rel") > F.col("rel"))
+                    | (
+                        (F.col("o_rel") == F.col("rel"))
+                        & (F.col("o_id") < F.col("doc_id"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("better_rel"),
+            F.sum(
+                F.when(
+                    (F.col("o_ce") > F.col("ce_score"))
+                    | (
+                        (F.col("o_ce") == F.col("ce_score"))
+                        & (F.col("o_id") < F.col("doc_id"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("better_ce"),
+        )
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            (F.col("better_rel") + 1).cast("int").alias("retrieval_rank"),
+            (F.col("better_ce") + 1).cast("int").alias("rerank_rank"),
+            (F.col("better_rel") - F.col("better_ce"))
+            .cast("int")
+            .alias("rank_gain"),
+        )
+        .orderBy("retrieval_rank")
+    )
+
+
+def _rerank_pairwise_audit_sql() -> str:
+    from ensembl_lakehouse_spark.functions.vectors import (
+        sql_cosine,
+        sql_norm,
+    )
+    from ensembl_lakehouse_spark.operators.similarity import N_QUERIES
+
+    cos = sql_cosine("q.q_vec", "c.embedding")
+    nrm = sql_norm("c.embedding")
+    return f"""
+WITH q AS (
+  SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0
+), c AS (
+  SELECT * FROM embeddings WHERE vec_id >= {N_QUERIES}
+), pool AS (
+  SELECT c.vec_id AS doc_id,
+         {cos} AS rel,
+         {cos} - 0.1 * abs({nrm} - 1.0) AS ce_score
+  FROM c CROSS JOIN q
+  ORDER BY rel DESC, doc_id ASC
+  LIMIT 20
+), ranked AS (
+  SELECT a.doc_id,
+         1 + SUM(CASE WHEN b.rel > a.rel
+                       OR (b.rel = a.rel AND b.doc_id < a.doc_id)
+                 THEN 1 ELSE 0 END) AS retrieval_rank,
+         1 + SUM(CASE WHEN b.ce_score > a.ce_score
+                       OR (b.ce_score = a.ce_score
+                           AND b.doc_id < a.doc_id)
+                 THEN 1 ELSE 0 END) AS rerank_rank
+  FROM pool a JOIN pool b ON a.doc_id <> b.doc_id
+  GROUP BY a.doc_id
+)
+SELECT doc_id,
+       CAST(retrieval_rank AS INTEGER) AS retrieval_rank,
+       CAST(rerank_rank AS INTEGER) AS rerank_rank,
+       CAST(retrieval_rank - rerank_rank AS INTEGER) AS rank_gain
+FROM ranked
+ORDER BY retrieval_rank
+"""
+
+
+RERANK_PAIRWISE_AUDIT_SQL = _rerank_pairwise_audit_sql()

@@ -1923,3 +1923,96 @@ SELECT label, peak_band, n_vectors,
 FROM grid
 ORDER BY label, peak_band
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_version_drift (r10)
+# ---------------------------------------------------------------------------
+
+#: Deterministic "re-encoded" slice for the version-drift screen:
+#: vec_id % 7 == 3 vectors are rescaled by 1 + (vec_id % 3)·0.02 —
+#: the in-plan stand-in for "v1 re-embedded part of the corpus"
+#: (the snapshot-layer twin diffs two committed versions with
+#: snapshot_diff and feeds the SAME per-label screen).
+_DRIFT_MOD, _DRIFT_REM = 7, 3
+
+
+def embedding_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift screen between two corpus VERSIONS: which
+    labels did a partial re-encode move, and by how much? The changed
+    set is the version diff (here the deterministic _DRIFT_MOD slice;
+    against snapshot tables, snapshot_diff(from, to) yields exactly
+    these rows); per label the screen reports the changed-vector
+    count, the summed per-element fixed-point |Δ| (L1 shift mass),
+    and the mean shift per vector — the re-deploy gate that says
+    WHICH classes an encoder bump actually moved before an ANN index
+    rebuild is approved.
+
+    Integer-exact: per-element FP_SCALE snap of old and new BEFORE
+    the subtraction (kmeans lattice rule), |Δ| summed as BIGINT —
+    partition-order invariant in both engines.
+
+    Plan (100 TB): changed rows are a pushed predicate slice of the
+    scan (or snapshot_diff's file-pruned delta); posexplode fans to
+    (label, dim) map-side; ONE label-keyed aggregate; output is
+    ≤ |labels| rows."""
+    from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    changed = emb.where(
+        F.col("vec_id") % _DRIFT_MOD == _DRIFT_REM
+    ).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "CAST(1.0 AS DOUBLE) + CAST(vec_id % 3 AS DOUBLE) "
+            "* CAST(0.02 AS DOUBLE)"
+        ).alias("scale"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    fp = changed.select(
+        "vec_id",
+        "label",
+        F.floor(F.col("x").cast("double") * FP_SCALE).alias("old_fp"),
+        F.floor(
+            F.col("x").cast("double") * F.col("scale") * FP_SCALE
+        ).alias("new_fp"),
+    )
+    return (
+        fp.groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").cast("long").alias("n_changed"),
+            F.sum(F.expr("abs(new_fp - old_fp)"))
+            .cast("long")
+            .alias("l1_shift_fp"),
+        )
+        .withColumn(
+            "mean_shift_fp", F.expr("l1_shift_fp DIV n_changed")
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_VERSION_DRIFT_SQL = """
+WITH changed AS (
+  SELECT vec_id, label,
+         1.0 + CAST(vec_id % 3 AS DOUBLE) * 0.02 AS scale,
+         UNNEST(embedding) AS x
+  FROM embeddings
+  WHERE vec_id % 7 = 3
+), fp AS (
+  SELECT vec_id, label,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS old_fp,
+         CAST(floor(CAST(x AS DOUBLE) * scale * 1000000) AS BIGINT)
+           AS new_fp
+  FROM changed
+)
+SELECT label,
+       CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_changed,
+       CAST(SUM(abs(new_fp - old_fp)) AS BIGINT) AS l1_shift_fp,
+       CAST(SUM(abs(new_fp - old_fp)) // COUNT(DISTINCT vec_id)
+            AS BIGINT) AS mean_shift_fp
+FROM fp
+GROUP BY 1
+ORDER BY 1
+"""

@@ -2906,3 +2906,78 @@ SELECT source, n_tokens, numeric_tokens, digit_tokens, numeric_vocab,
 FROM agg
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# dup_length_bias (r10)
+# ---------------------------------------------------------------------------
+
+
+def dup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are duplicated documents systematically shorter (boilerplate,
+    stubs, error pages) than unique ones? Docs are classed by the
+    canonical prefix signature (dedup_rate_by_batch's first-pass
+    screen): ``first`` = a signature's first occurrence, ``dup`` = a
+    later one, and per class the count, corpus share (bp), and mean
+    length (chars ×100). A dup class much shorter than the firsts
+    says the dedup keep-policy should also drop the FIRST copy of
+    short templates — a curation decision this table surfaces before
+    the MinHash pass prices it.
+
+    Plan (100 TB): signature map-side; one signature-PARTITIONED
+    row_number (keyed window); final agg is 2 rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "substring(lower(regexp_replace(text, '[^a-zA-Z0-9]', '')),"
+            " 1, 64)"
+        ).alias("sig"),
+    )
+    classed = docs.withColumn(
+        "dup_class",
+        F.expr(
+            "CASE WHEN row_number() OVER (PARTITION BY sig "
+            "ORDER BY doc_id) > 1 THEN 'dup' ELSE 'first' END"
+        ),
+    )
+    agg = classed.groupBy("dup_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+    )
+    return (
+        agg.withColumn(
+            "share_bp",
+            F.expr("(n_docs * 10000) DIV SUM(n_docs) OVER ()"),
+        )
+        .withColumn(
+            "mean_chars_x100", F.expr("(chars_sum * 100) DIV n_docs")
+        )
+        .select("dup_class", "n_docs", "share_bp", "mean_chars_x100")
+        .orderBy("dup_class")
+    )
+
+
+DUP_LENGTH_BIAS_SQL = """
+WITH docs AS (
+  SELECT doc_id, n_chars,
+         substr(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')),
+                1, 64) AS sig
+  FROM documents
+), classed AS (
+  SELECT CASE WHEN row_number() OVER (PARTITION BY sig ORDER BY doc_id)
+              > 1 THEN 'dup' ELSE 'first' END AS dup_class,
+         n_chars
+  FROM docs
+), agg AS (
+  SELECT dup_class, COUNT(*) AS n_docs, SUM(n_chars) AS chars_sum
+  FROM classed GROUP BY 1
+)
+SELECT dup_class,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST((n_docs * 10000) // SUM(n_docs) OVER () AS BIGINT)
+         AS share_bp,
+       CAST((chars_sum * 100) // n_docs AS BIGINT) AS mean_chars_x100
+FROM agg
+ORDER BY dup_class
+"""

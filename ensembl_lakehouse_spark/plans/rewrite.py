@@ -67,7 +67,30 @@ DERIVABLE_BY_KIND = {
     "sum": ("count", "sum", "avg"),
     "minmax": ("count", "min", "max"),
     "hll": ("count", "approx_count_distinct"),
+    # approx_percentile carries its quantile in the fn spelling
+    # ("approx_percentile@0.5"); _fn_base strips it for dispatch.
+    # Estimate tier like hll — the rollup's DDSketch (γ = 1.02,
+    # ≤ 0.99 % relative error vs the true order statistic) is a
+    # different estimator than an engine-native percentile_approx,
+    # so the /sql surface gates it behind rewrite=approx; bucket
+    # adds are fully additive, so rollup-path answers are
+    # BIT-deterministic (and the base path below computes the SAME
+    # sketch, making rollup ≡ base exact for this tier).
+    "quantile": ("count", "approx_percentile"),
 }
+
+
+def _fn_base(fn: str) -> str:
+    """Measure name without the parameter suffix
+    ("approx_percentile@0.25" → "approx_percentile")."""
+    return fn.split("@", 1)[0]
+
+
+def _fn_quantile(fn: str) -> float:
+    q = float(fn.split("@", 1)[1])
+    if not (0.0 < q < 1.0):
+        raise ValueError(f"quantile must be in (0, 1), got {q}")
+    return q
 
 
 @dataclass(frozen=True)
@@ -313,12 +336,13 @@ def _can_answer(
         return f"filter column(s) {sorted(bad)} not in rollup keys"
     derivable = DERIVABLE_BY_KIND[spec.kind]
     for out, (fn, col) in aggs.items():
-        if fn not in derivable:
+        base = _fn_base(fn)
+        if base not in derivable:
             return (
-                f"{out}: {fn} is not derivable from a {spec.kind} "
+                f"{out}: {base} is not derivable from a {spec.kind} "
                 "rollup's partials"
             )
-        if fn != "count" and col != spec.sum_col:
+        if base != "count" and col != spec.sum_col:
             return (
                 f"{out}: rollup maintains {spec.kind}({spec.sum_col}), "
                 f"not {col}"
@@ -396,6 +420,62 @@ def _agg_exprs(
         else:  # unreachable: _can_answer gates fn per kind
             raise ValueError(f"unknown measure {fn!r}")
     return exprs
+
+
+def _quantile_answer(
+    df: DataFrame,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    from_rollup: bool,
+    col: str | None = None,
+) -> DataFrame:
+    """Answer count/approx_percentile measures from DDSketch state —
+    the quantile kind's re-aggregation path (the map measure has no
+    single-agg expression, so subset groupings explode the bounded
+    maps, sum per bucket, and re-collect; every exchange is bounded
+    by groups × buckets). ``from_rollup`` re-merges stored partials
+    (``col`` names the rollup's measured column); the base variant
+    BUILDS the same sketch from rows, so rollup ≡ base is
+    bit-deterministic for this tier — stronger than the hll tier's
+    estimate-equivalence."""
+    gb = list(group_by)
+    if from_rollup:
+        state = ivm._quantile_state_from_partials(
+            df.select(*gb, "n_rows", "qsk"), gb
+        ).withColumnRenamed("qsk", f"__q_{col}")
+        sk_cols = {col: f"__q_{col}"}
+    else:
+        cols = sorted({
+            c for fn, c in aggs.values()
+            if _fn_base(fn) == "approx_percentile"
+        })
+        state = ivm._quantile_state(
+            df.select(*gb, cols[0]), gb, cols[0]
+        ).withColumnRenamed("qsk", f"__q_{cols[0]}")
+        for c in cols[1:]:
+            extra = ivm._quantile_state(df.select(*gb, c), gb, c).select(
+                *gb, F.col("qsk").alias(f"__q_{c}")
+            )
+            state = (
+                state.join(extra, on=gb, how="left")
+                if gb
+                else state.crossJoin(extra)
+            )
+        sk_cols = {c: f"__q_{c}" for c in cols}
+    out_cols = []
+    for out, (fn, c) in aggs.items():
+        if _fn_base(fn) == "count":
+            out_cols.append(F.col("n_rows").cast("bigint").alias(out))
+        else:
+            q = _fn_quantile(fn)
+            m = sk_cols[c]
+            rcol, kcol = f"__qr_{out}", f"__qk_{out}"
+            state = state.withColumn(
+                rcol, ivm.q_rank_expr(m, q)
+            ).withColumn(kcol, ivm.q_key_expr(m, rcol))
+            out_cols.append(ivm.q_value_expr(kcol).alias(out))
+    return state.select(*gb, *out_cols)
 
 
 def answer_aggregate(
@@ -609,9 +689,14 @@ def answer_aggregate(
         df = ivm.read_rollup(spark, spec.rollup_dir, version=rollup_v)
         if fexpr is not None:
             df = df.where(fexpr)
-        df = df.groupBy(*group_by).agg(
-            *_agg_exprs(aggs, from_rollup=True, kind=spec.kind)
-        )
+        if spec.kind == "quantile":
+            df = _quantile_answer(
+                df, group_by, aggs, from_rollup=True, col=spec.sum_col
+            )
+        else:
+            df = df.groupBy(*group_by).agg(
+                *_agg_exprs(aggs, from_rollup=True, kind=spec.kind)
+            )
         return df, {
             "used": "rollup",
             "rollup": spec.name,
@@ -623,7 +708,14 @@ def answer_aggregate(
     base = SN.read_snapshot(spark, src, version=src_v)
     if fexpr is not None:
         base = base.where(fexpr)
-    df = base.groupBy(*group_by).agg(*_agg_exprs(aggs, from_rollup=False))
+    if any(
+        _fn_base(fn) == "approx_percentile" for fn, _ in aggs.values()
+    ):
+        df = _quantile_answer(base, group_by, aggs, from_rollup=False)
+    else:
+        df = base.groupBy(*group_by).agg(
+            *_agg_exprs(aggs, from_rollup=False)
+        )
     return df, {
         "used": "base",
         "rollup": None,

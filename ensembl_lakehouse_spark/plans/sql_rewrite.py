@@ -85,11 +85,11 @@ __all__ = [
 #: measures servable without changing the statement's answer
 EXACT_FNS = frozenset({"count", "sum", "avg", "min", "max"})
 #: measures whose rewrite swaps the estimator (opt-in only)
-ESTIMATE_FNS = frozenset({"approx_count_distinct"})
+ESTIMATE_FNS = frozenset({"approx_count_distinct", "approx_percentile"})
 
 _AGG_FNS = frozenset(
     {"count", "sum", "avg", "min", "max", "approx_count_distinct",
-     "hll_sketch_estimate"}
+     "hll_sketch_estimate", "approx_percentile"}
 )
 
 #: words that may never be treated as an identifier — seeing one
@@ -426,6 +426,20 @@ class _Parser:
             self.expect(")", ")")
             self.expect(")", ")")
             return ("approx_count_distinct", col)
+        if fn == "approx_percentile":
+            # approx_percentile(col, q) — q a plain (0, 1) numeric
+            # literal; the quantile rides in the fn spelling (the
+            # engine vocabulary is (fn, col) pairs everywhere)
+            col = self.colref()
+            self.expect(",", ",")
+            k, t = self.next()
+            if k != "num":
+                raise _Ineligible("approx_percentile wants a numeric q")
+            q = float(t)
+            if not (0.0 < q < 1.0):
+                raise _Ineligible("approx_percentile q must be in (0, 1)")
+            self.expect(")", ")")
+            return (f"approx_percentile@{q!r}", col)
         col = self.colref()
         self.expect(")", ")")
         return (fn, col)
@@ -671,7 +685,8 @@ def semantic_gate(
             return f"column {col!r} is mixed-case in the schema"
     having_aliases = {alias for alias, _, _ in intent.having}
     for out, (fn, col) in intent.aggs.items():
-        if fn == "approx_count_distinct" and out in having_aliases:
+        fn = fn.split("@", 1)[0]  # approx_percentile@q → base name
+        if fn in ESTIMATE_FNS and out in having_aliases:
             # a HAVING filter on an estimate-tier measure selects
             # WHICH rows return — swapping the estimator (native
             # HLL++ vs DataSketches partials) could change the
@@ -717,12 +732,21 @@ def semantic_gate(
                     f"non-NULL count) — add a '{col} IS NOT NULL' "
                     "CHECK constraint to enable this rewrite"
                 )
-        elif fn == "approx_count_distinct" and not allow_estimates:
+        elif fn in ESTIMATE_FNS and not allow_estimates:
             return (
-                f"{out}: estimate-tier rewrite (DataSketches HLL vs "
-                "the statement's native estimator) needs "
+                f"{out}: estimate-tier rewrite (the rollup's sketch "
+                "vs the statement's native estimator) needs "
                 "rewrite=approx"
             )
+        elif fn == "approx_percentile":
+            f = fields[col]
+            t = f.dataType.simpleString()
+            if t not in _INTEGRAL and t not in ("float", "double") and \
+                    not t.startswith("decimal"):
+                return (
+                    f"{out}: approx_percentile needs a numeric "
+                    f"column, and {col} is {t}"
+                )
     return None
 
 

@@ -638,3 +638,155 @@ def test_hll_union_vs_single_pass_drift(spark):
     # the HIP path is allowed to differ — but only within sketch error
     assert abs(serial - n) / n < 0.015
     assert abs(unioned - n) / n < 0.015
+
+
+# ---- round 10: DDSketch quantile aux rollups ----
+
+
+def _q_truth(rows, q):
+    """Exact type-1 order statistic per group over non-NULL values."""
+    import collections
+    import math as _m
+
+    vals = collections.defaultdict(list)
+    for g, v in rows:
+        if v is not None:
+            vals[g].append(v)
+    return {
+        g: sorted(s)[max(1, _m.ceil(q * len(s))) - 1]
+        for g, s in vals.items()
+    }
+
+
+def _q_est(spark, rollup_dir, q):
+    df = ivm.read_aux_rollup(spark, rollup_dir)
+    return {
+        r.grp: r.est
+        for r in df.withColumn("_r", ivm.q_rank_expr("qsk", q))
+        .withColumn("_k", ivm.q_key_expr("qsk", "_r"))
+        .withColumn("est", ivm.q_value_expr("_k"))
+        .select("grp", "est")
+        .collect()
+    }
+
+
+def test_quantile_rollup_chain_equals_scratch_and_bounds_error(
+    spark, tmp_path
+):
+    """The DDSketch map is fully additive, so a full→delta→delta
+    chain must equal a from-scratch rebuild BIT-exactly (stronger
+    than the hll tier), and every quantile estimate must sit within
+    the stated α = (γ-1)/(γ+1) relative error of the true order
+    statistic at the same rank."""
+    import random
+
+    random.seed(11)
+    src = str(tmp_path / "src")
+    rol = str(tmp_path / "rol")
+    rows = [
+        (i, f"g{i % 3}", random.randint(-500, 9000) if i % 13 else None)
+        for i in range(700)
+    ]
+    SN.write_snapshot(
+        src, spark.createDataFrame(rows, "k int, grp string, v int")
+    )
+    assert ivm.maintain_aux_rollup(
+        spark, src, rol, ["grp"], "v", kind="quantile"
+    )["mode"] == "full"
+    # inserts only → map-merge delta
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame(
+            [(10_000 + i, "g0", 20_000 + i) for i in range(25)],
+            "k int, grp string, v int",
+        ),
+        key="k",
+    )
+    assert ivm.maintain_aux_rollup(
+        spark, src, rol, ["grp"], "v", kind="quantile"
+    )["mode"] == "delta"
+    # deletes → per-group recompute path
+    SN.delete_snapshot(spark, src, "grp = 'g1' AND v > 4000")
+    assert ivm.maintain_aux_rollup(
+        spark, src, rol, ["grp"], "v", kind="quantile"
+    )["mode"] == "delta"
+    assert ivm.maintain_aux_rollup(
+        spark, src, rol, ["grp"], "v", kind="quantile"
+    )["mode"] == "noop"
+
+    scratch = str(tmp_path / "scratch")
+    ivm.maintain_aux_rollup(spark, src, scratch, ["grp"], "v", kind="quantile")
+    chain = {
+        r.grp: (r.n_rows, tuple((e.k, e.v) for e in r.qsk))
+        for r in ivm.read_aux_rollup(spark, rol).collect()
+    }
+    want = {
+        r.grp: (r.n_rows, tuple((e.k, e.v) for e in r.qsk))
+        for r in ivm.read_aux_rollup(spark, scratch).collect()
+    }
+    assert chain == want
+
+    live = [
+        (r.grp, r.v)
+        for r in SN.read_snapshot(spark, src).select("grp", "v").collect()
+    ]
+    alpha = (ivm.Q_GAMMA - 1) / (ivm.Q_GAMMA + 1)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        truth = _q_truth(live, q)
+        est = _q_est(spark, rol, q)
+        for g, true in truth.items():
+            rel = abs(est[g] - true) / max(abs(true), 1e-9)
+            assert rel <= alpha + 1e-9 or abs(est[g] - true) <= 1, (
+                q, g, est[g], true,
+            )
+
+
+def test_quantile_hierarchical_child_matches_direct(spark, tmp_path):
+    """weekly←daily quantile chain: the child's merged maps must
+    BIT-equal the sketch built directly from base rows at the child
+    grouping (bucket adds are associative), including through a
+    parent delta."""
+    src = str(tmp_path / "src")
+    daily = str(tmp_path / "daily")
+    weekly = str(tmp_path / "weekly")
+    rows = [(i, i % 14, (i * 37) % 1000) for i in range(400)]
+    SN.write_snapshot(
+        src, spark.createDataFrame(rows, ["k", "day", "v"])
+    )
+    ivm.maintain_aux_rollup(spark, src, daily, ["day"], "v", kind="quantile")
+    assert ivm.maintain_aux_rollup_from_rollup(
+        spark, daily, weekly, {"week": "day DIV 7"}, kind="quantile"
+    )["mode"] == "full"
+
+    def _direct():
+        base = SN.read_snapshot(spark, src).withColumn(
+            "week", F.expr("day DIV 7")
+        )
+        return {
+            r.week: (r.n_rows, tuple((e.k, e.v) for e in r.qsk))
+            for r in ivm._quantile_state(base, ["week"], "v").collect()
+        }
+
+    def _child():
+        return {
+            r.week: (r.n_rows, tuple((e.k, e.v) for e in r.qsk))
+            for r in ivm.read_aux_rollup(spark, weekly).collect()
+        }
+
+    assert _child() == _direct()
+    # delta at both hops: insert + delete flows through
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(5000, 2, 777), (0, 0, 999)], ["k", "day", "v"]),
+        key="k",
+    )
+    assert ivm.maintain_aux_rollup(
+        spark, src, daily, ["day"], "v", kind="quantile"
+    )["mode"] == "delta"
+    assert ivm.maintain_aux_rollup_from_rollup(
+        spark, daily, weekly, {"week": "day DIV 7"}, kind="quantile"
+    )["mode"] == "delta"
+    assert _child() == _direct()
+    assert ivm.maintain_aux_rollup_from_rollup(
+        spark, daily, weekly, {"week": "day DIV 7"}, kind="quantile"
+    )["mode"] == "noop"

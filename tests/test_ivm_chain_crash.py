@@ -163,3 +163,68 @@ def test_parent_rollback_after_child_tick(spark, tmp_path):
     assert sorted(map(tuple, got3.collect())) == sorted(
         map(tuple, got2.collect())
     )
+
+
+def test_quantile_chain_crash_between_parent_and_child_tick(
+    spark, tmp_path
+):
+    """r10: the DDSketch aux chain under the same window (c) the sum
+    lattice is pinned for — parent ticked, process dies before the
+    child tick. Strict never serves the lagging child; the resumed
+    child tick converges to the direct-from-base sketch BIT-exactly
+    (bucket adds are associative)."""
+    src = str(tmp_path / "qsrc")
+    daily = str(tmp_path / "qdaily")
+    weekly = str(tmp_path / "qweekly")
+    # the child key must be base-resolvable (identity key_exprs —
+    # the RollupSpec registration contract), so week is carried as
+    # a base column
+    rows = [(i, i % 14, (i % 14) // 7, (i * 11) % 500) for i in range(120)]
+    SN.write_snapshot(
+        src, spark.createDataFrame(rows, ["k", "day", "week", "v"])
+    )
+    ivm.maintain_aux_rollup(
+        spark, src, daily, ["day", "week"], "v", kind="quantile"
+    )
+    ivm.maintain_aux_rollup_from_rollup(
+        spark, daily, weekly, {"week": "week"}, kind="quantile"
+    )
+    cat = RW.RollupCatalog()
+    cat.register(
+        "qdaily", daily, src, ["day", "week"], "v", kind="quantile"
+    )
+    cat.register(
+        "qweekly", weekly, src, ["week"], "v",
+        parent_dir=daily, kind="quantile",
+    )
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(900, 1, 0, 444)], ["k", "day", "week", "v"]),
+        key="k",
+    )
+    ivm.maintain_aux_rollup(
+        spark, src, daily, ["day", "week"], "v", kind="quantile"
+    )
+    # CRASH: child tick never ran. Strict falls back; the child is
+    # reported stale, the parent fresh.
+    aggs = {"p50": ("approx_percentile@0.5", "v")}
+    got, why = RW.answer_aggregate(spark, cat, src, ["day"], aggs)
+    assert why["used"] == "rollup" and why["rollup"] == "qdaily"
+    got2, why2 = RW.answer_aggregate(spark, cat, src, ["week"], aggs)
+    # the FRESH parent (grouped by day, week) still answers the week
+    # grouping exactly; the lagging child is skipped as stale — never
+    # served under strict
+    assert why2["used"] == "rollup" and why2["rollup"] == "qdaily"
+    reasons = {s["rollup"]: s["reason"] for s in why2["skipped"]}
+    assert reasons["qweekly"].startswith("stale")
+    # resume = run the child tick; it converges and answers
+    ivm.maintain_aux_rollup_from_rollup(
+        spark, daily, weekly, {"week": "week"}, kind="quantile"
+    )
+    got3, why3 = RW.answer_aggregate(spark, cat, src, ["week"], aggs)
+    assert why3["rollup"] == "qweekly"  # now cheapest AND fresh
+    # the child-chain estimate BIT-equals the parent-partials
+    # estimate (one additive sketch, associative adds)
+    assert sorted(map(tuple, got3.collect())) == sorted(
+        map(tuple, got2.collect())
+    )

@@ -37,6 +37,18 @@ BUDGETS = {
     "embedding_norm_label_matrix": 2,
     "events_retention_by_first_type": 3,
     "user_first_day_value": 3,
+    # --- Round 10 (probed at sf0.001, pinned at the observed count)
+    "rolling_retention_matrix": 2,
+    "resurrection_gap_histogram": 3,
+    "price_index_series": 3,
+    "rerank_pairwise_audit": 1,
+    "embedding_version_drift": 2,
+    "dedup_rate_by_batch": 3,
+    "status_priority_matrix": 2,
+    "quantity_band_returns": 1,
+    "brand_type_span": 2,
+    "segment_balance_profile": 1,
+    "dup_length_bias": 2,
     "events_peak_hour_share": 2,
     "order_line_dominance": 2,
     "customer_nation_mix_share": 2,

@@ -766,3 +766,91 @@ def test_join_grammar_strictness(engine, starmv):
         assert resp["rewrite"]["eligible"] is False, sql
         if why == "exact-tier":
             assert "exact-tier" in resp["rewrite"]["reason"]
+
+
+# -- r10: the quantile (DDSketch) estimate tier ------------------------
+
+
+@pytest.fixture()
+def qmv(engine, spark, tmp_path):
+    src = str(tmp_path / "qmv_src")
+    rows = [(i, f"g{i % 3}", (i * 37) % 5000) for i in range(300)]
+    SN.write_snapshot(
+        src, spark.createDataFrame(rows, "k int, grp string, v int")
+    )
+    rol = str(tmp_path / "qmv_rol")
+    ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "v", kind="quantile")
+    engine.register_snapshot_table("qmv", src)
+    engine.register_rollup("qmv", "qmv_by_grp", rol, ["grp"], "v",
+                           kind="quantile")
+    return src, rol
+
+
+def test_sql_percentile_needs_approx_then_serves_from_sketch(engine, qmv):
+    """approx_percentile in /sql is estimate-tier: the rollup's
+    DDSketch is a different estimator than Spark's native
+    approx_percentile, so the rewrite needs the explicit opt-in —
+    the same gate as the hll tier."""
+    sql = (
+        "SELECT grp, approx_percentile(v, 0.5) AS p50 FROM snap_qmv "
+        "GROUP BY grp ORDER BY grp"
+    )
+    default = engine.submit_sql(sql)
+    assert default["rewrite"]["eligible"] is False
+    assert "rewrite=approx" in default["rewrite"]["reason"]
+    approx = engine.submit_sql(sql, rewrite="approx")
+    assert approx["rewrite"]["answered_by"] == "qmv_by_grp"
+    # within the documented 0.99 % relative error of the exact
+    # median (the verbatim run uses a different estimator, so the
+    # check is against truth, not against rewrite=off)
+    import collections
+    import math as _m
+
+    rows = _rows(engine, approx["query_id"])[1:]
+    truth = collections.defaultdict(list)
+    src, _ = qmv
+    for r in SN.read_snapshot(engine.spark, src).collect():
+        truth[r.grp].append(r.v)
+    for grp, p50 in rows:
+        s = sorted(truth[grp])
+        true = s[max(1, _m.ceil(0.5 * len(s))) - 1]
+        assert abs(float(p50) - true) <= 0.0099 * abs(true) + 1e-9
+
+
+def test_aggregate_percentile_stale_ok_equals_pinned_base(
+    engine, spark, qmv
+):
+    """/aggregate's approx_percentile is explicitly approximate (the
+    name says so) — no opt-in needed; after the source advances,
+    strict falls back to the BASE sketch (same estimator, so the
+    stale_ok rollup answer BIT-equals the strict answer pinned at
+    the rollup's applied version)."""
+    src, rol = qmv
+    before = engine.submit_table_aggregate(
+        "qmv", "grp", "p90=approx_percentile:v:0.9,n=count"
+    )
+    assert before["answered_by"] == "qmv_by_grp"
+    pinned_rows = _rows(engine, before["query_id"])
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(9000, "g0", 99999)],
+                              "k int, grp string, v int"),
+        key="k",
+    )
+    strict = engine.submit_table_aggregate(
+        "qmv", "grp", "p90=approx_percentile:v:0.9,n=count"
+    )
+    assert strict["answered_by"] == "base"
+    stale = engine.submit_table_aggregate(
+        "qmv", "grp", "p90=approx_percentile:v:0.9,n=count",
+        freshness="stale_ok",
+    )
+    assert stale["answered_by"] == "qmv_by_grp"
+    assert _rows(engine, stale["query_id"]) == pinned_rows
+    assert _rows(engine, strict["query_id"]) != pinned_rows
+    # HAVING on the estimate output is refused (row set selection)
+    with pytest.raises(QueryValidationError, match="estimate-tier"):
+        engine.submit_table_aggregate(
+            "qmv", "grp", "p90=approx_percentile:v:0.9",
+            having="p90:gt:100",
+        )
