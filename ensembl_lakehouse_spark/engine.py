@@ -498,7 +498,13 @@ class Engine:
         a write-enforced UNIQUE proof at its pin and every measure
         passes the same exactness proofs as the single-table gate
         (semantic_gate_join). Audit vocabulary is identical, plus a
-        ``join`` record naming the dim and its pinned version."""
+        ``join`` record naming the dim and its pinned version.
+
+        ``allow_estimates`` is accepted for dispatch symmetry but has
+        no effect: estimate-tier measures never recombine across a
+        join (answer_aggregate outputs final estimates, which cannot
+        be re-merged), so the gate refuses them at every opt-in
+        level."""
         from ensembl_lakehouse_spark import snapshots as _SN
         from ensembl_lakehouse_spark.plans import rewrite as _RW
         from ensembl_lakehouse_spark.plans.sql_rewrite import (
@@ -1223,10 +1229,11 @@ class Engine:
                 "comma list of col:v1|v2 (IN), col:lo..hi (inclusive "
                 "BETWEEN — parsed ONLY for numeric/date/timestamp "
                 "columns; on any other type the form is ambiguous "
-                "with a literal containing '..' and is refused), or "
-                "col:eq:value (verbatim equality — the escape hatch "
-                "for literals containing '..' or '|'; repeat for IN). "
-                "One form per column."
+                "with a literal containing '..' and is refused), "
+                "col:between:lo:hi (explicit BETWEEN, any orderable "
+                "type), or col:eq:value (verbatim equality — the "
+                "escape hatch for literals containing '..' or '|'; "
+                "repeat for IN). One form per column."
             ),
             "having": (
                 "comma list of out:op:value with op in "
@@ -1362,6 +1369,7 @@ class Engine:
         filters: dict[str, list[str]] = {}
         range_filters: dict[str, tuple[str, str]] = {}
         eq_cols: set[str] = set()
+        explicit_ranges: set[str] = set()
         positional_cols: set[str] = set()
         for item in (filter or "").split(","):
             item = item.strip()
@@ -1396,6 +1404,27 @@ class Engine:
                     )
                 filters.setdefault(col, []).append(vals[3:])
                 eq_cols.add(col)
+                continue
+            # explicit BETWEEN (r10): the user SAYS it is a range, so
+            # it is valid on any orderable type — the escape hatch the
+            # bare lo..hi form's numeric-only rule points non-numeric
+            # columns at (a string range like grp:between:g0:g1 has no
+            # literal-vs-range ambiguity to guard)
+            if vals.startswith("between:"):
+                lo, _, hi = vals[len("between:"):].partition(":")
+                if not col or not lo or not hi:
+                    raise QueryValidationError(
+                        f"bad filter item {item!r}: want "
+                        "col:between:lo:hi"
+                    )
+                if col in eq_cols or col in filters or col in range_filters:
+                    raise QueryValidationError(
+                        f"filter names column {col!r} twice — one "
+                        "positional item per column (use | for IN), or "
+                        "repeated col:eq:"
+                    )
+                range_filters[col] = (lo, hi)
+                explicit_ranges.add(col)
                 continue
             if col in eq_cols or col in filters or col in range_filters:
                 raise QueryValidationError(
@@ -1476,7 +1505,7 @@ class Engine:
         # columns (numeric/date/timestamp, where a literal cannot
         # contain '..'); anything else fails loudly toward the
         # explicit forms instead of silently guessing (r9 VERDICT #6).
-        if range_filters:
+        if set(range_filters) - explicit_ranges:
             _RANGEABLE = (
                 "tinyint", "smallint", "int", "bigint", "float",
                 "double", "date", "timestamp", "timestamp_ntz",
@@ -1490,7 +1519,7 @@ class Engine:
                 }
             except (FileNotFoundError, ValueError, KeyError):
                 fields = {}
-            for col in range_filters:
+            for col in set(range_filters) - explicit_ranges:
                 t = fields.get(col.lower())
                 if t is not None and not (
                     t in _RANGEABLE or t.startswith("decimal")

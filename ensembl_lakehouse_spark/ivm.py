@@ -433,16 +433,30 @@ AUX_KINDS = ("minmax", "hll", "quantile")
 #: keeps row equality (and the stored artifact) deterministic.
 Q_GAMMA = 1.02
 _Q_LN_G = math.log(Q_GAMMA)
+#: Key-space offset separating the sign ranges: |ceil(log_γ |v|)| ≤
+#: ~36,000 over the full double range at γ = 1.02, so shifting the
+#: log index by 40,000 keeps every positive-value key > 0 and every
+#: negative-value key < 0 EVEN FOR |v| < 1 (whose raw log index is
+#: negative — the r10 code-review hole: an unshifted 0.5 landed in
+#: the negative key space and decoded as ≈ −1.9). Key order is value
+#: order by construction: mirrored negatives < 0 < positives.
+Q_KEY_OFFSET = 40_000
 
 
 def q_bucket_expr(col: str):
-    """The DDSketch bucket index of one value (NULL for NULL values
-    — SQL percentile semantics ignore NULLs). log/ceil run on the
-    JVM; determinism is per-engine, which is all the rollup needs
-    (the estimate tier never claims cross-engine bit-equality)."""
+    """The DDSketch bucket key of one value (NULL for NULL values —
+    SQL percentile semantics ignore NULLs): OFFSET + ceil(log_γ v)
+    for v > 0, 0 for v = 0, the mirrored negative for v < 0. log/ceil
+    run on the JVM; determinism is per-engine, which is all the
+    rollup needs (the estimate tier never claims cross-engine
+    bit-equality)."""
     v = F.col(col).cast("double")
-    pos = (F.ceil(F.log(v) / F.lit(_Q_LN_G)) + F.lit(1)).cast("int")
-    neg = (-(F.ceil(F.log(-v) / F.lit(_Q_LN_G)) + F.lit(1))).cast("int")
+    pos = (
+        F.ceil(F.log(v) / F.lit(_Q_LN_G)) + F.lit(Q_KEY_OFFSET)
+    ).cast("int")
+    neg = (
+        -(F.ceil(F.log(-v) / F.lit(_Q_LN_G)) + F.lit(Q_KEY_OFFSET))
+    ).cast("int")
     return (
         F.when(v > 0, pos)
         .when(v < 0, neg)
@@ -497,17 +511,19 @@ def q_key_expr(qsk: str, rank: str):
 
 
 def q_value_expr(key: str):
-    """Bucket key → the DDSketch midpoint estimate 2γ^i/(γ+1)
-    (key = i+1 for positives, mirrored for negatives, 0 → 0.0):
+    """Bucket key → the DDSketch midpoint estimate 2γ^i/(γ+1) with
+    i = |key| − Q_KEY_OFFSET (sign from the key's sign, 0 → 0.0):
     relative error ≤ (γ-1)/(γ+1) ≈ 0.99 % at γ = 1.02 against the
-    true order statistic at the same rank."""
+    true order statistic at the same rank — for EVERY magnitude,
+    including |v| < 1 (negative log index)."""
     g = repr(Q_GAMMA)
+    off = Q_KEY_OFFSET
     return F.expr(
         f"CASE WHEN {key} IS NULL THEN CAST(NULL AS DOUBLE) "
         f"WHEN {key} = 0 THEN 0.0D "
         f"WHEN {key} > 0 THEN "
-        f"2.0D * power({g}D, {key} - 1) / ({g}D + 1.0D) "
-        f"ELSE -2.0D * power({g}D, -{key} - 1) / ({g}D + 1.0D) END"
+        f"2.0D * power({g}D, {key} - {off}) / ({g}D + 1.0D) "
+        f"ELSE -2.0D * power({g}D, -{key} - {off}) / ({g}D + 1.0D) END"
     )
 
 

@@ -636,7 +636,7 @@ WITH q AS (
          {cos} - 0.1 * abs({nrm} - 1.0) AS ce_score
   FROM c CROSS JOIN q
   ORDER BY rel DESC, doc_id ASC
-  LIMIT 20
+  LIMIT {MMR_POOL}
 ), ranked AS (
   SELECT a.doc_id,
          1 + SUM(CASE WHEN b.rel > a.rel

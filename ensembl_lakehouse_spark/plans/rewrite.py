@@ -440,16 +440,20 @@ def _quantile_answer(
     bit-deterministic for this tier — stronger than the hll tier's
     estimate-equivalence."""
     gb = list(group_by)
+    pct = {
+        out: v
+        for out, v in aggs.items()
+        if _fn_base(v[0]) == "approx_percentile"
+    }
     if from_rollup:
+        # _can_answer gated the request to this kind's derivables
+        # (count + approx_percentile) before routing here
         state = ivm._quantile_state_from_partials(
             df.select(*gb, "n_rows", "qsk"), gb
         ).withColumnRenamed("qsk", f"__q_{col}")
         sk_cols = {col: f"__q_{col}"}
     else:
-        cols = sorted({
-            c for fn, c in aggs.values()
-            if _fn_base(fn) == "approx_percentile"
-        })
+        cols = sorted({c for _, c in pct.values()})
         state = ivm._quantile_state(
             df.select(*gb, cols[0]), gb, cols[0]
         ).withColumnRenamed("qsk", f"__q_{cols[0]}")
@@ -463,11 +467,28 @@ def _quantile_answer(
                 else state.crossJoin(extra)
             )
         sk_cols = {c: f"__q_{c}" for c in cols}
+        # measures BEYOND the sketch tier (sum/avg/min/max/
+        # approx_count_distinct mixed into the same request — a
+        # valid /aggregate shape, r10 code review) come from the
+        # ordinary base aggregate, joined back on the group keys
+        other = {
+            out: v for out, v in aggs.items()
+            if out not in pct and v[0] != "count"
+        }
+        if other:
+            odf = df.groupBy(*gb).agg(
+                *_agg_exprs(other, from_rollup=False)
+            )
+            state = (
+                state.join(odf, on=gb, how="left")
+                if gb
+                else state.crossJoin(odf)
+            )
     out_cols = []
     for out, (fn, c) in aggs.items():
         if _fn_base(fn) == "count":
             out_cols.append(F.col("n_rows").cast("bigint").alias(out))
-        else:
+        elif out in pct:
             q = _fn_quantile(fn)
             m = sk_cols[c]
             rcol, kcol = f"__qr_{out}", f"__qk_{out}"
@@ -475,6 +496,8 @@ def _quantile_answer(
                 rcol, ivm.q_rank_expr(m, q)
             ).withColumn(kcol, ivm.q_key_expr(m, rcol))
             out_cols.append(ivm.q_value_expr(kcol).alias(out))
+        else:
+            out_cols.append(F.col(out))
     return state.select(*gb, *out_cols)
 
 
@@ -801,7 +824,11 @@ def answer_join_aggregate(
         spark,
         catalog,
         fact_dir,
-        [fk] + list(fact_group_by),
+        # GROUP BY on the join key itself is a legal star shape —
+        # dedupe so the partial grouping doesn't carry fk twice
+        # (duplicate columns make the later equi-join ambiguous,
+        # r10 code review)
+        [fk] + [c for c in fact_group_by if c != fk],
         partials,
         freshness=freshness,
         filters=fact_filters,

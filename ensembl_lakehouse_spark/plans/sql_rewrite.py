@@ -610,12 +610,25 @@ class _Parser:
         dim_filters: dict[str, list] = {}
         fact_ranges: dict[str, tuple] = {}
         dim_ranges: dict[str, tuple] = {}
+        # the parser's duplicate-predicate check compared raw
+        # spellings; `t.x` and `x` resolve to the SAME column, and a
+        # dict overwrite here would silently drop one predicate —
+        # serving a wrong row set as eligible (r10 code review), so
+        # resolved collisions abort recognition instead
         for ref, vals in filters.items():
             s, c = side(ref)
-            (fact_filters if s == "fact" else dim_filters)[c] = vals
+            tgt = fact_filters if s == "fact" else dim_filters
+            if c in tgt:
+                raise _Ineligible(f"multiple predicates on {c!r}")
+            tgt[c] = vals
         for ref, bounds in range_filters.items():
             s, c = side(ref)
-            (fact_ranges if s == "fact" else dim_ranges)[c] = bounds
+            tgt = fact_ranges if s == "fact" else dim_ranges
+            if c in tgt or c in (
+                fact_filters if s == "fact" else dim_filters
+            ):
+                raise _Ineligible(f"multiple predicates on {c!r}")
+            tgt[c] = bounds
         return AggregateIntent(
             table=table[len("snap_"):],
             group_by=tuple(c for s, c in grouped if s == "fact"),
@@ -813,6 +826,13 @@ def semantic_gate_join(
                 return (
                     f"column {col!r} is mixed-case in the {which} schema"
                 )
+    clashing = set(intent.dim_group_by) & ({fk} | set(intent.group_by))
+    if clashing:
+        return (
+            f"dim group column(s) {sorted(clashing)} share a name "
+            "with a fact-side column — the composed plan's join "
+            "output would be ambiguous"
+        )
     if pk not in dim_unique:
         return (
             f"join key {pk!r} has no write-enforced UNIQUE proof at "

@@ -2144,11 +2144,12 @@ def add_unique_constraint(
       (a full replace cannot collide with anything else).
     - write_snapshot(append): incoming groupBy + one join of the
       incoming values against the existing table.
-    - merge_snapshot: incoming groupBy; when ``col`` is one of the
-      merge keys that is sufficient (matched rows are REPLACED, so
-      the post-state stays unique by induction); otherwise one join
-      of the incoming values against the rows the merge carries
-      forward.
+    - merge_snapshot: incoming groupBy; when ``col`` is the ENTIRE
+      merge key that is sufficient (matched rows are REPLACED by
+      this column, so the post-state stays unique by induction);
+      otherwise — including composite keys that merely CONTAIN the
+      column — one join of the incoming values against the rows the
+      merge carries forward.
     - update_snapshot: REFUSED when the SET assigns ``col`` —
       proving post-update uniqueness would cost a full-table scan
       per update; re-key through merge_snapshot keyed on ``col``
@@ -2212,9 +2213,14 @@ def _enforce_unique(
     data; ``against_existing`` additionally joins the incoming
     values against the current table (append / non-key merge — the
     paths where surviving existing rows can collide).
-    ``exempt_merge_keys``: when the unique column IS a merge key,
-    matched existing rows are replaced, so the existing-side check
-    is provably unnecessary and skipped."""
+    ``exempt_merge_keys``: when the unique column is the ENTIRE
+    merge key, matched existing rows are replaced BY that column, so
+    the existing-side check is provably unnecessary and skipped. A
+    composite key containing the column does NOT qualify (r10 code
+    review): merging (k=2, u='a') keyed on [k, u] carries forward an
+    existing (k=1, u='a') — replacement happens per (k, u) pair, so
+    the u-collision with a DIFFERENT k survives and must be
+    checked."""
     uniq = unique_constraint_records(table_dir)
     if not uniq:
         return
@@ -2240,7 +2246,7 @@ def _enforce_unique(
                 f"incoming data: e.g. {[r.asDict() for r in dup]}"
             )
         if not against_existing or (
-            exempt_merge_keys and col in exempt_merge_keys
+            exempt_merge_keys and list(exempt_merge_keys) == [col]
         ):
             continue
         cur = current_version(table_dir)

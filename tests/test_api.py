@@ -1060,11 +1060,13 @@ def test_aux_rollup_aggregate_over_http(server, spark, tmp_path_factory):
         ]
 
     # minmax with a BETWEEN range filter, answered from the rollup
+    # (explicit col:between: form — grp is a string column, so the
+    # bare lo..hi spelling is refused as ambiguous since r10)
     status, _, resp = _get(
         server,
         "/table/aux_src/aggregate?group_by=grp"
         "&aggs=lo%3Dmin%3Aval,hi%3Dmax%3Aval,n%3Dcount"
-        "&filter=grp%3Ag0..g1",
+        "&filter=grp%3Abetween%3Ag0%3Ag1",
     )
     assert status == 200 and resp["answered_by"] == "aux_mm", resp
     got = {r["grp"]: (r["lo"], r["hi"], r["n"]) for r in rows_of(resp["query_id"])}
@@ -1420,3 +1422,6 @@ def test_aggregate_params_doc_and_ambiguous_range_400(
     assert _count("aggs=n%3Dcount&filter=period%3Aeq%3A2024..2025") == "1"
     # numeric ranges still parse positionally
     assert _count("aggs=n%3Dcount&filter=val%3A5..7") == "2"
+    # explicit BETWEEN is the string-range escape hatch (the user
+    # SAYS it is a range, so any orderable type is fine)
+    assert _count("aggs=n%3Dcount&filter=period%3Abetween%3Aa%3Az") == "1"

@@ -790,3 +790,41 @@ def test_quantile_hierarchical_child_matches_direct(spark, tmp_path):
     assert ivm.maintain_aux_rollup_from_rollup(
         spark, daily, weekly, {"week": "day DIV 7"}, kind="quantile"
     )["mode"] == "noop"
+
+
+def test_quantile_sketch_handles_fractional_and_mixed_sign_values(
+    spark, tmp_path
+):
+    """r10 code review: 0 < |v| < 1 has a NEGATIVE log index; the
+    unshifted encoding collided those with the opposite sign's key
+    space and decoded 0.5 as ≈ −1.9. The offset keys must estimate
+    every magnitude within the α bound."""
+    import math as _m
+    import random
+
+    random.seed(23)
+    vals = (
+        [random.uniform(0.001, 0.999) for _ in range(150)]
+        + [-random.uniform(0.001, 0.999) for _ in range(120)]
+        + [random.uniform(1, 500) for _ in range(130)]
+        + [-random.uniform(1, 500) for _ in range(100)]
+        + [0.0] * 10
+    )
+    src = str(tmp_path / "fsrc")
+    rol = str(tmp_path / "frol")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(i, "g", float(v)) for i, v in enumerate(vals)],
+            "k int, grp string, v double",
+        ),
+    )
+    ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "v", kind="quantile")
+    alpha = (ivm.Q_GAMMA - 1) / (ivm.Q_GAMMA + 1)
+    s = sorted(vals)
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        est = _q_est(spark, rol, q)["g"]
+        true = s[max(1, _m.ceil(q * len(s))) - 1]
+        assert abs(est - true) <= alpha * abs(true) + 1e-12, (
+            q, est, true,
+        )

@@ -1596,3 +1596,27 @@ def test_add_unique_constraint_refuses_existing_duplicates(spark, tmp_path):
         spark.createDataFrame([(1, None), (2, None)], "k int, u string"),
     )
     S.add_unique_constraint(spark, tdir2, "u_uq", "u")
+
+
+def test_unique_composite_merge_key_still_checks_existing(spark, tmp_path):
+    """r10 code review: a composite merge key CONTAINING the unique
+    column does not replace by that column — the carried-forward row
+    with a different key half can still collide, so the existing-side
+    check must run (and refuse)."""
+    tdir = str(tmp_path / "uniq_comp")
+    S.write_snapshot(
+        tdir, spark.createDataFrame([(1, "a")], "k int, u string")
+    )
+    S.add_unique_constraint(spark, tdir, "u_uq", "u")
+    with pytest.raises(S.ConstraintViolation, match="against existing"):
+        S.merge_snapshot(
+            spark, tdir,
+            spark.createDataFrame([(2, "a")], "k int, u string"),
+            key=["k", "u"],
+        )
+    # replacing the exact (k, u) pair stays legal (no new collision)
+    S.merge_snapshot(
+        spark, tdir,
+        spark.createDataFrame([(1, "a")], "k int, u string"),
+        key=["k", "u"],
+    )

@@ -854,3 +854,47 @@ def test_aggregate_percentile_stale_ok_equals_pinned_base(
             "qmv", "grp", "p90=approx_percentile:v:0.9",
             having="p90:gt:100",
         )
+
+
+def test_aggregate_mixed_percentile_and_exact_measures(engine, spark, qmv):
+    """r10 code review: a percentile mixed with sum/min/max/avg in
+    one /aggregate request is a valid shape the params doc
+    advertises — no rollup kind derives the mix, so the BASE path
+    must serve all measures side by side (it crashed with an
+    IndexError before)."""
+    src, rol = qmv
+    resp = engine.submit_table_aggregate(
+        "qmv", "grp",
+        "p50=approx_percentile:v:0.5,total=sum:v,hi=max:v,n=count",
+    )
+    assert resp["answered_by"] == "base"
+    rows = _rows(engine, resp["query_id"])
+    assert rows[0] == ["grp", "p50", "total", "hi", "n"]
+    truth = engine.submit_sql(
+        "SELECT grp, SUM(v) AS total, MAX(v) AS hi, COUNT(*) AS n "
+        "FROM snap_qmv GROUP BY grp ORDER BY grp", rewrite="off",
+    )
+    want = {r[0]: r[1:] for r in _rows(engine, truth["query_id"])[1:]}
+    for grp, p50, total, hi, n in rows[1:]:
+        assert [total, hi, n] == list(want[grp])
+        assert p50 != ""  # the sketch estimate rides alongside
+
+
+def test_join_rewrite_grouping_by_the_join_key(engine, starmv):
+    """r10 code review: GROUP BY the fk itself is a legal star shape
+    (per-customer totals labeled by a dim attribute) — the partial
+    grouping must not carry the key twice."""
+    fact, dim, rol = starmv
+    sql = (
+        "SELECT o.o_custkey, c.mktseg, SUM(o.cents) AS s "
+        "FROM snap_jord o JOIN snap_jcust c "
+        "ON o.o_custkey = c.c_custkey "
+        "GROUP BY o.o_custkey, c.mktseg ORDER BY o_custkey"
+    )
+    resp = engine.submit_sql(sql)
+    assert resp["rewrite"]["eligible"] is True
+    assert resp["rewrite"]["answered_by"] == "jord_by_ck"
+    off = engine.submit_sql(sql, rewrite="off")
+    assert _rows(engine, resp["query_id"]) == _rows(
+        engine, off["query_id"]
+    )

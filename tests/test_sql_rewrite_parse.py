@@ -374,3 +374,17 @@ def test_join_statement_extracts_both_sides():
     assert i.dim_filters == {"seg": ["a", "b"]}
     assert i.select_order == ("seg", "reg", "s")
     assert i.having == (("s", ">", 10),)
+
+
+def test_same_column_via_different_spellings_is_ineligible():
+    """r10 code review: `t.x` and `x` resolve to ONE column; a dict
+    overwrite would drop a predicate and serve a wrong row set, so
+    resolved collisions abort recognition."""
+    assert parse_aggregate_sql(
+        "SELECT grp, COUNT(*) AS n FROM snap_t t "
+        "WHERE t.x = 1 AND x = 2 GROUP BY grp"
+    ) is None
+    assert parse_aggregate_sql(
+        "SELECT grp, COUNT(*) AS n FROM snap_t t "
+        "WHERE t.x = 1 AND x BETWEEN 2 AND 3 GROUP BY grp"
+    ) is None
