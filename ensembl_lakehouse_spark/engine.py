@@ -389,7 +389,7 @@ class Engine:
         )
 
         intent = parse_aggregate_sql(sql)
-        if intent is not None and intent.join_dim is not None:
+        if intent is not None and intent.joins:
             return self._try_sql_join_rewrite(
                 intent, pins, allow_estimates, freshness
             )
@@ -397,9 +397,9 @@ class Engine:
             return None, {
                 "eligible": False,
                 "reason": "statement outside the rewrite grammar "
-                "(single snap_ view — optionally one INNER equi-join "
-                "to a snap_ dim — grouped derivable aggregates, "
-                "eq/IN/BETWEEN filters)",
+                "(single snap_ view — optionally INNER equi-joins "
+                "to snap_ dims (star) — grouped derivable "
+                "aggregates, eq/IN/BETWEEN filters)",
             }
         if intent.table not in self._snapshot_tables:
             return None, {
@@ -492,13 +492,14 @@ class Engine:
         freshness: str,
     ):
         """The dimension-join branch of the /sql MV rewrite (r9
-        VERDICT #2): ``fact INNER JOIN dim ON fact.fk = dim.pk``
-        aggregates answer from an fk-keyed rollup joined to the
-        PINNED dim — zero fact files read — when the dim key carries
-        a write-enforced UNIQUE proof at its pin and every measure
-        passes the same exactness proofs as the single-table gate
-        (semantic_gate_join). Audit vocabulary is identical, plus a
-        ``join`` record naming the dim and its pinned version.
+        VERDICT #2; multi-dim star since the r10 second pass):
+        ``fact INNER JOIN dim_i ON fact.fk_i = dim_i.pk_i``
+        aggregates answer from an fk-keyed rollup joined to each
+        PINNED dim — zero fact files read — when every dim key
+        carries a write-enforced UNIQUE proof at its pin and every
+        measure passes the same exactness proofs as the single-table
+        gate (semantic_gate_join). Audit vocabulary is identical,
+        plus a ``join`` list naming each dim and its pinned version.
 
         ``allow_estimates`` is accepted for dispatch symmetry but has
         no effect: estimate-tier measures never recombine across a
@@ -511,7 +512,7 @@ class Engine:
             semantic_gate_join,
         )
 
-        for t in (intent.table, intent.join_dim):
+        for t in [intent.table] + [j.dim for j in intent.joins]:
             if t not in self._snapshot_tables:
                 return None, {
                     "eligible": False,
@@ -519,7 +520,6 @@ class Engine:
                     "table",
                 }
         fact_dir = self._snapshot_tables[intent.table]
-        dim_dir = self._snapshot_tables[intent.join_dim]
 
         def _pin(tname: str, tdir: str):
             if tname in pins:
@@ -528,23 +528,41 @@ class Engine:
             return v if v is not None else _SN.current_version(tdir)
 
         fact_pin = _pin(intent.table, fact_dir)
-        dim_pin = _pin(intent.join_dim, dim_dir)
+        dims = []
         try:
             fact_schema = _SN.read_snapshot(
                 self.spark, fact_dir, version=fact_pin
             ).schema
-            dim_schema = _SN.read_snapshot(
-                self.spark, dim_dir, version=dim_pin
-            ).schema
+            dim_schemas = []
+            dim_uniques = []
+            for j in intent.joins:
+                ddir = self._snapshot_tables[j.dim]
+                dpin = _pin(j.dim, ddir)
+                dim_schemas.append(
+                    _SN.read_snapshot(
+                        self.spark, ddir, version=dpin
+                    ).schema
+                )
+                dim_uniques.append(_proven_unique(ddir, dpin))
+                dims.append(
+                    {
+                        "dim_dir": ddir,
+                        "fk": j.fk,
+                        "pk": j.pk,
+                        "group_by": list(j.group_by),
+                        "filters": j.filters or None,
+                        "range_filters": j.range_filters or None,
+                        "version": dpin,
+                    }
+                )
         except (FileNotFoundError, ValueError, KeyError) as exc:
             return None, {
                 "eligible": False,
                 "reason": f"table unreadable at its pin: {exc}",
             }
         non_null = _proven_non_null(fact_dir, fact_pin)
-        unique = _proven_unique(dim_dir, dim_pin)
         gate = semantic_gate_join(
-            intent, fact_schema, dim_schema, non_null, unique
+            intent, fact_schema, dim_schemas, non_null, dim_uniques
         )
         if gate is not None:
             return None, {"eligible": False, "reason": gate}
@@ -553,18 +571,13 @@ class Engine:
                 self.spark,
                 self._rollups,
                 fact_dir,
-                dim_dir,
+                dims,
                 list(intent.group_by),
-                list(intent.dim_group_by),
                 intent.aggs,
-                *intent.join_on,
                 freshness=freshness,
                 fact_filters=intent.filters or None,
                 fact_range_filters=intent.range_filters or None,
-                dim_filters=intent.dim_filters or None,
-                dim_range_filters=intent.dim_range_filters or None,
                 fact_version=fact_pin,
-                dim_version=dim_pin,
                 min_source_version=_proof_floor(non_null, intent.aggs),
             )
         except Exception as exc:  # analysis-time oddity → verbatim run

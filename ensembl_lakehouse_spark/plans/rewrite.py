@@ -751,51 +751,52 @@ def answer_join_aggregate(
     spark: SparkSession,
     catalog: RollupCatalog,
     fact_dir: str,
-    dim_dir: str,
+    dims: list[dict],
     fact_group_by: list[str],
-    dim_group_by: list[str],
     aggs: dict[str, tuple[str, str]],
-    fk: str,
-    pk: str,
     freshness: str = "strict",
     fact_filters: dict | None = None,
     fact_range_filters: dict | None = None,
-    dim_filters: dict | None = None,
-    dim_range_filters: dict | None = None,
     fact_version: int | None = None,
-    dim_version: int | None = None,
     min_source_version: int | None = None,
 ) -> tuple[DataFrame | None, dict]:
-    """Answer ``SELECT dims, aggs FROM fact INNER JOIN dim ON
-    fact.fk = dim.pk GROUP BY dims`` with the fact side served from a
-    rollup (r9 VERDICT #2 — the most common real-SQL shape beyond
-    single-table: the reference's users group a fact by a dimension
-    attribute, app/main.py:479 assembles exactly such SELECTs).
+    """Answer ``SELECT dims, aggs FROM fact INNER JOIN dim_i ON
+    fact.fk_i = dim_i.pk_i GROUP BY dims`` with the fact side served
+    from a rollup (r9 VERDICT #2; generalized from one dim to a
+    multi-dim star in the r10 second pass — the reference's users
+    group a fact by several dimension attributes at once,
+    app/main.py:479 assembles exactly such SELECTs).
+
+    ``dims`` is a list of per-spoke specs::
+
+        {"dim_dir": path, "fk": col, "pk": col,
+         "group_by": [cols], "filters": {...} | None,
+         "range_filters": {...} | None, "version": int | None}
 
     Decomposition: every requested measure is re-expressed as
     fk-level PARTIALS (sum→sum, count→count, min/max→min/max,
     avg→sum+count) and the partial aggregate is delegated to
-    :func:`answer_aggregate` grouped by ``[fk] + fact_group_by`` —
-    so the rollup lattice, freshness ladder, proof floor, and
-    cheapest-pick audit all apply unchanged. The ≤|dim|-row partial
-    result then joins the PINNED dim snapshot (inner equi-join on
-    the UNIQUE-proven ``pk`` — 1:≤1 by the write-enforced
-    constraint, so re-aggregating joined partials is the plain
-    rollup algebra) and recombines per measure: Σsum, Σcount,
-    min-of-mins, max-of-maxes, Σsum/Σcount for avg — the same
-    output-type contract as :func:`_agg_exprs`.
+    :func:`answer_aggregate` grouped by ``[fk_1..fk_n] +
+    fact_group_by`` (deduped) — so the rollup lattice, freshness
+    ladder, proof floor, and cheapest-pick audit all apply unchanged.
+    The ≤ ∏|dim|-row partial result then joins each PINNED dim in
+    turn (inner equi-join on the UNIQUE-proven ``pk`` — 1:≤1 per
+    spoke by the write-enforced constraint, so re-aggregating joined
+    partials is the plain rollup algebra) and recombines per
+    measure: Σsum, Σcount, min-of-mins, max-of-maxes, Σsum/Σcount
+    for avg — the same output-type contract as :func:`_agg_exprs`.
 
     Exactness notes the gate (semantic_gate_join) relies on:
     NULL fks drop on both paths (never equal to pk); fact filters
     are whole-group selections validated by _can_answer; dim
-    filters/grouping run on the dim itself at FULL fidelity (any
-    eq/IN/BETWEEN column — the dim is not served from partials).
+    filters/grouping run on each dim itself at FULL fidelity (any
+    eq/IN/BETWEEN column — dims are not served from partials).
 
     Returns ``(df, why)``; ``df`` is None when the fact side would
     answer from base (the caller's verbatim statement IS that plan —
     nothing to gain) — ``why`` still carries the audit. At 100 TB the
-    fact scan is the cost that matters: a rollup-answered join reads
-    |rollup| + |dim| rows and zero fact files.
+    fact scan is the cost that matters: a rollup-answered star
+    aggregate reads |rollup| + Σ|dim| rows and zero fact files.
     """
     partials: dict[str, tuple[str, str]] = {}
     plan: dict[str, tuple[str, str | None, str | None]] = {}
@@ -820,15 +821,18 @@ def answer_join_aggregate(
             plan[out] = (fn, _partial(fn, col), None)
         else:  # unreachable: semantic_gate_join refuses estimates
             raise ValueError(f"{fn!r} cannot recombine across a join")
+    # GROUP BY on a join key itself is a legal star shape — dedupe so
+    # the partial grouping never carries a column twice (duplicate
+    # columns make the later equi-joins ambiguous, r10 code review)
+    pgb: list[str] = []
+    for c in [d["fk"] for d in dims] + list(fact_group_by):
+        if c not in pgb:
+            pgb.append(c)
     pdf, why = answer_aggregate(
         spark,
         catalog,
         fact_dir,
-        # GROUP BY on the join key itself is a legal star shape —
-        # dedupe so the partial grouping doesn't carry fk twice
-        # (duplicate columns make the later equi-join ambiguous,
-        # r10 code review)
-        [fk] + [c for c in fact_group_by if c != fk],
+        pgb,
         partials,
         freshness=freshness,
         filters=fact_filters,
@@ -836,41 +840,53 @@ def answer_join_aggregate(
         version=fact_version,
         min_source_version=min_source_version,
     )
-    dim_v = (
-        SN.current_version(os.path.abspath(dim_dir))
-        if dim_version is None
-        else dim_version
-    )
-    why = dict(
-        why,
-        join={
-            "dim_dir": os.path.abspath(dim_dir),
-            "dim_version": dim_v,
-            "on": [fk, pk],
-        },
-    )
+    join_audit = []
+    for d in dims:
+        dim_v = (
+            SN.current_version(os.path.abspath(d["dim_dir"]))
+            if d.get("version") is None
+            else d["version"]
+        )
+        d["_v"] = dim_v
+        join_audit.append(
+            {
+                "dim_dir": os.path.abspath(d["dim_dir"]),
+                "dim_version": dim_v,
+                "on": [d["fk"], d["pk"]],
+            }
+        )
+    why = dict(why, join=join_audit)
     if why["used"] == "base":
         return None, why
-    dim = SN.read_snapshot(spark, dim_dir, version=dim_v)
-    dexpr = (
-        _filter_expr(dim_filters, dim_range_filters)
-        if (dim_filters or dim_range_filters)
-        else None
-    )
-    if dexpr is not None:
-        dim = dim.where(dexpr)
-    # the pk lands under a reserved name so a same-named fact column
-    # (fk == pk spelling) can never collide in the join output; a
-    # GROUP BY on the pk itself reads the joined value back from it
-    dim_sel = [F.col(pk).alias("__jp_pk")] + [
-        F.col(c) for c in dim_group_by if c != pk
-    ]
-    joined = pdf.join(
-        dim.select(*dim_sel), F.col(fk) == F.col("__jp_pk"), "inner"
-    )
-    if pk in dim_group_by:
-        joined = joined.withColumn(pk, F.col("__jp_pk"))
-    final_groups = list(dim_group_by) + list(fact_group_by)
+    joined = pdf
+    final_groups: list[str] = []
+    for i, d in enumerate(dims):
+        dim = SN.read_snapshot(spark, d["dim_dir"], version=d["_v"])
+        dexpr = (
+            _filter_expr(d.get("filters"), d.get("range_filters"))
+            if (d.get("filters") or d.get("range_filters"))
+            else None
+        )
+        if dexpr is not None:
+            dim = dim.where(dexpr)
+        # each pk lands under a reserved name so a same-named fact
+        # column (fk == pk spelling) can never collide in the join
+        # output; a GROUP BY on the pk itself reads the joined value
+        # back from it
+        pk, fk = d["pk"], d["fk"]
+        dgb = list(d.get("group_by") or ())
+        dim_sel = [F.col(pk).alias(f"__jp_pk{i}")] + [
+            F.col(c) for c in dgb if c != pk
+        ]
+        joined = joined.join(
+            dim.select(*dim_sel),
+            F.col(fk) == F.col(f"__jp_pk{i}"),
+            "inner",
+        )
+        if pk in dgb:
+            joined = joined.withColumn(pk, F.col(f"__jp_pk{i}"))
+        final_groups += dgb
+    final_groups += list(fact_group_by)
     exprs = []
     for out, (fn, p1, p2) in plan.items():
         if fn == "count":

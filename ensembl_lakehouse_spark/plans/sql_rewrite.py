@@ -77,6 +77,7 @@ from dataclasses import dataclass, field
 
 __all__ = [
     "AggregateIntent",
+    "JoinClause",
     "parse_aggregate_sql",
     "semantic_gate",
     "semantic_gate_join",
@@ -145,16 +146,25 @@ class AggregateIntent:
     order_by: tuple[tuple[str, bool], ...] = ()
     limit: int | None = None
     having: tuple[tuple[str, str, object], ...] = ()
-    #: one INNER equi-join to a dimension snap_ view (r9 VERDICT #2):
-    #: ``join_dim`` is the dim view name without the prefix,
-    #: ``join_on`` is (fact_fk, dim_pk), the dim_* fields mirror the
-    #: fact-side vocabulary for columns resolved to the dim side.
-    #: All None/empty for the single-table family.
-    join_dim: str | None = None
-    join_on: tuple[str, str] | None = None
-    dim_group_by: tuple[str, ...] = ()
-    dim_filters: dict[str, list] = field(default_factory=dict)
-    dim_range_filters: dict[str, tuple] = field(default_factory=dict)
+    #: INNER equi-joins to dimension snap_ views (r9 VERDICT #2; r10
+    #: second pass generalizes one dim to a multi-dim star). Empty
+    #: for the single-table family.
+    joins: tuple["JoinClause", ...] = ()
+
+
+@dataclass(frozen=True)
+class JoinClause:
+    """One star spoke: ``dim`` is the view name without the
+    ``snap_`` prefix, the join is ``fact.fk = dim.pk``, and the
+    group/filter fields mirror the fact-side vocabulary for columns
+    resolved to THIS dim."""
+
+    dim: str
+    fk: str
+    pk: str
+    group_by: tuple[str, ...] = ()
+    filters: dict = field(default_factory=dict)
+    range_filters: dict = field(default_factory=dict)
 
 
 class _Ineligible(Exception):
@@ -285,12 +295,13 @@ class _Parser:
             fact_alias = self.ident()
         elif self.peek()[0] == "ident":
             fact_alias = self.ident()
-        join = None  # (dim_table, dim_alias, left_ref, right_ref)
-        if self.accept("kw", "inner"):
-            self.expect("kw", "join")
-            join = self._join_clause()
-        elif self.accept("kw", "join"):
-            join = self._join_clause()
+        joins = []  # [(dim_table, dim_alias, left_ref, right_ref)]
+        while True:
+            if self.accept("kw", "inner"):
+                self.expect("kw", "join")
+            elif not self.accept("kw", "join"):
+                break
+            joins.append(self._join_clause())
         filters: dict[str, list] = {}
         range_filters: dict[str, tuple] = {}
         if self.accept("kw", "where"):
@@ -333,7 +344,7 @@ class _Parser:
         if self.peek()[0] != "eof":
             raise _Ineligible(f"trailing tokens: {self.peek()[1]!r}")
         return self._assemble(
-            items, table, fact_alias, join, filters, range_filters,
+            items, table, fact_alias, joins, filters, range_filters,
             group_by, having_terms, order_by, limit,
         )
 
@@ -469,52 +480,51 @@ class _Parser:
             raise _Ineligible(f"unsupported predicate operator {t!r}")
 
     def _assemble(
-        self, items, table, fact_alias, join, filters, range_filters,
+        self, items, table, fact_alias, joins, filters, range_filters,
         group_by, having_terms, order_by, limit,
     ) -> AggregateIntent:
         if not table.startswith("snap_") or len(table) <= len("snap_"):
             raise _Ineligible("not a snap_ view")
-        dim_table = dim_alias = None
-        if join is not None:
-            dim_table, dim_alias, lref, rref = join
+        aliases: dict[str, object] = {fact_alias: "fact"}
+        for i, (dim_table, dim_alias, _, _) in enumerate(joins):
             if (
                 not dim_table.startswith("snap_")
                 or len(dim_table) <= len("snap_")
             ):
                 raise _Ineligible("join target is not a snap_ view")
-            if dim_alias == fact_alias:
+            if dim_alias in aliases:
                 raise _Ineligible("duplicate table alias")
+            aliases[dim_alias] = i
 
-        def side(ref: str) -> tuple[str, str]:
-            """Resolve ``[alias.]col`` → ("fact"|"dim", col). With a
-            join every reference MUST be qualified (an unqualified
-            name could bind to either side and Spark's resolution,
-            not this grammar, would pick); without one a qualifier
-            must name the single table's alias."""
+        def side(ref: str) -> tuple[object, str]:
+            """Resolve ``[alias.]col`` → ("fact" | dim index, col).
+            With any join every reference MUST be qualified (an
+            unqualified name could bind to several sides and Spark's
+            resolution, not this grammar, would pick); without one a
+            qualifier must name the single table's alias."""
             if "." in ref:
                 q, c = ref.split(".", 1)
-                if q == fact_alias:
-                    return ("fact", c)
-                if dim_alias is not None and q == dim_alias:
-                    return ("dim", c)
+                if q in aliases:
+                    return (aliases[q], c)
                 raise _Ineligible(f"unknown qualifier {q!r}")
-            if join is not None:
+            if joins:
                 raise _Ineligible(
                     f"unqualified column {ref!r} in a join query"
                 )
             return ("fact", ref)
 
-        fk = pk = None
-        if join is not None:
-            on_sides: dict[str, str] = {}
+        on_keys: list[tuple[str, str]] = []  # (fk, pk) per dim
+        for i, (_, _, lref, rref) in enumerate(joins):
+            on_sides: dict[object, str] = {}
             for ref in (lref, rref):
                 s, c = side(ref)
                 on_sides[s] = c
-            if set(on_sides) != {"fact", "dim"}:
+            if set(on_sides) != {"fact", i}:
                 raise _Ineligible(
-                    "ON must equate a fact column with a dim column"
+                    "each ON must equate a fact column with the "
+                    "just-joined dim's column (star shape only)"
                 )
-            fk, pk = on_sides["fact"], on_sides["dim"]
+            on_keys.append((on_sides["fact"], on_sides[i]))
         aggs: dict[str, tuple[str, str]] = {}
         bare: list[tuple[str, str]] = []
         select_order: list[str] = []
@@ -606,10 +616,12 @@ class _Parser:
                 "LIMIT with an ORDER BY that is not a total order "
                 "over the group keys"
             )
-        fact_filters: dict[str, list] = {}
-        dim_filters: dict[str, list] = {}
-        fact_ranges: dict[str, tuple] = {}
-        dim_ranges: dict[str, tuple] = {}
+        flt: dict[object, dict] = {
+            s: {} for s in ["fact", *range(len(joins))]
+        }
+        rng: dict[object, dict] = {
+            s: {} for s in ["fact", *range(len(joins))]
+        }
         # the parser's duplicate-predicate check compared raw
         # spellings; `t.x` and `x` resolve to the SAME column, and a
         # dict overwrite here would silently drop one predicate —
@@ -617,35 +629,35 @@ class _Parser:
         # resolved collisions abort recognition instead
         for ref, vals in filters.items():
             s, c = side(ref)
-            tgt = fact_filters if s == "fact" else dim_filters
-            if c in tgt:
+            if c in flt[s]:
                 raise _Ineligible(f"multiple predicates on {c!r}")
-            tgt[c] = vals
+            flt[s][c] = vals
         for ref, bounds in range_filters.items():
             s, c = side(ref)
-            tgt = fact_ranges if s == "fact" else dim_ranges
-            if c in tgt or c in (
-                fact_filters if s == "fact" else dim_filters
-            ):
+            if c in rng[s] or c in flt[s]:
                 raise _Ineligible(f"multiple predicates on {c!r}")
-            tgt[c] = bounds
+            rng[s][c] = bounds
         return AggregateIntent(
             table=table[len("snap_"):],
             group_by=tuple(c for s, c in grouped if s == "fact"),
             aggs=aggs,
-            filters=fact_filters,
-            range_filters=fact_ranges,
+            filters=flt["fact"],
+            range_filters=rng["fact"],
             select_order=tuple(select_order),
             order_by=tuple(order_by),
             limit=limit,
             having=tuple(having),
-            join_dim=(
-                dim_table[len("snap_"):] if dim_table is not None else None
+            joins=tuple(
+                JoinClause(
+                    dim=joins[i][0][len("snap_"):],
+                    fk=on_keys[i][0],
+                    pk=on_keys[i][1],
+                    group_by=tuple(c for s, c in grouped if s == i),
+                    filters=flt[i],
+                    range_filters=rng[i],
+                )
+                for i in range(len(joins))
             ),
-            join_on=(fk, pk) if join is not None else None,
-            dim_group_by=tuple(c for s, c in grouped if s == "dim"),
-            dim_filters=dim_filters,
-            dim_range_filters=dim_ranges,
         )
 
 
@@ -766,17 +778,18 @@ def semantic_gate(
 def semantic_gate_join(
     intent: AggregateIntent,
     fact_schema,
-    dim_schema,
+    dim_schemas: list,
     fact_non_null: frozenset[str] | set[str] = frozenset(),
-    dim_unique: frozenset[str] | set[str] = frozenset(),
+    dim_uniques: list | None = None,
 ) -> str | None:
-    """The join family's semantic proof (r9 VERDICT #2): a
-    star-shaped ``fact INNER JOIN dim ON fact.fk = dim.pk`` aggregate
-    is reproducible from fk-keyed fact partials joined to the pinned
-    dim iff
+    """The join family's semantic proof (r9 VERDICT #2; generalized
+    to a MULTI-dim star in the r10 second pass): a star-shaped
+    ``fact INNER JOIN dim_i ON fact.fk_i = dim_i.pk_i`` aggregate is
+    reproducible from fk-keyed fact partials joined to the pinned
+    dims iff, for EVERY spoke,
 
     - ``dim.pk`` carries a write-enforced UNIQUE constraint the dim
-      pin postdates (snapshots.add_unique_constraint): the join is
+      pin postdates (snapshots.add_unique_constraint): each join is
       then provably 1:≤1 per partial, so re-aggregating joined
       partials is the plain rollup algebra — no fan-out argument to
       re-derive per query. Unproven keys fall back with the hint.
@@ -785,35 +798,39 @@ def semantic_gate_join(
       SUM/AVG, NOT-NULL for COUNT(col)). Estimate-tier measures are
       never join-servable: answer_aggregate outputs the ESTIMATE, and
       estimates cannot be re-merged across the dim grouping.
-    - the statement is grouped (on either side): a global SUM/AVG
+    - the statement is grouped (on any side): a global SUM/AVG
       can see zero joined rows, where SQL says NULL and the partial
       recombination says 0 — same rule as the single-table gate.
     - fk and pk have the same Spark type (a cross-type equality
       would engage Spark's implicit casts, whose semantics this
       grammar does not model).
+    - no dim group column shares a name with any fact-side column or
+      another spoke's columns (the composed join output would be
+      ambiguous; SELECT-list duplicates are already refused by the
+      parser — this covers unselected fks).
 
     Returns None when safe, else the human-readable fallback reason.
     """
     ffields = {f.name.lower(): f for f in fact_schema.fields}
-    dfields = {f.name.lower(): f for f in dim_schema.fields}
-    fk, pk = intent.join_on
+    fks = [j.fk for j in intent.joins]
     fact_refs = (
         set(intent.group_by)
         | set(intent.filters)
         | set(intent.range_filters)
         | {c for _, c in intent.aggs.values() if c}
-        | {fk}
+        | set(fks)
     )
-    dim_refs = (
-        set(intent.dim_group_by)
-        | set(intent.dim_filters)
-        | set(intent.dim_range_filters)
-        | {pk}
-    )
-    for refs, fields, which in (
-        (fact_refs, ffields, "fact"),
-        (dim_refs, dfields, "dim"),
-    ):
+    checks = [(fact_refs, ffields, "fact")]
+    for i, j in enumerate(intent.joins):
+        dfields = {f.name.lower(): f for f in dim_schemas[i].fields}
+        dim_refs = (
+            set(j.group_by)
+            | set(j.filters)
+            | set(j.range_filters)
+            | {j.pk}
+        )
+        checks.append((dim_refs, dfields, j.dim))
+    for refs, fields, which in checks:
         for col in sorted(refs):
             if col.startswith("__"):
                 return (
@@ -826,27 +843,34 @@ def semantic_gate_join(
                 return (
                     f"column {col!r} is mixed-case in the {which} schema"
                 )
-    clashing = set(intent.dim_group_by) & ({fk} | set(intent.group_by))
-    if clashing:
-        return (
-            f"dim group column(s) {sorted(clashing)} share a name "
-            "with a fact-side column — the composed plan's join "
-            "output would be ambiguous"
-        )
-    if pk not in dim_unique:
-        return (
-            f"join key {pk!r} has no write-enforced UNIQUE proof at "
-            "the dim pin — add one with add_unique_constraint to "
-            "enable the join rewrite"
-        )
-    fk_t = ffields[fk].dataType.simpleString()
-    pk_t = dfields[pk].dataType.simpleString()
-    if fk_t != pk_t:
-        return (
-            f"join keys have different types ({fk}: {fk_t}, {pk}: "
-            f"{pk_t}) — implicit-cast equality is outside the grammar"
-        )
-    grouped = bool(intent.group_by or intent.dim_group_by)
+    taken = set(fks) | set(intent.group_by)
+    for i, j in enumerate(intent.joins):
+        clashing = set(j.group_by) & taken
+        if clashing:
+            return (
+                f"dim group column(s) {sorted(clashing)} share a name "
+                "with another side's columns — the composed plan's "
+                "join output would be ambiguous"
+            )
+        taken |= set(j.group_by)
+        if j.pk not in (dim_uniques or [frozenset()] * len(intent.joins))[i]:
+            return (
+                f"join key {j.pk!r} has no write-enforced UNIQUE proof "
+                f"at the {j.dim} pin — add one with "
+                "add_unique_constraint to enable the join rewrite"
+            )
+        dfields = {f.name.lower(): f for f in dim_schemas[i].fields}
+        fk_t = ffields[j.fk].dataType.simpleString()
+        pk_t = dfields[j.pk].dataType.simpleString()
+        if fk_t != pk_t:
+            return (
+                f"join keys have different types ({j.fk}: {fk_t}, "
+                f"{j.pk}: {pk_t}) — implicit-cast equality is outside "
+                "the grammar"
+            )
+    grouped = bool(
+        intent.group_by or any(j.group_by for j in intent.joins)
+    )
     for out, (fn, col) in intent.aggs.items():
         if fn not in EXACT_FNS:
             return (

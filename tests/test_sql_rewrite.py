@@ -613,7 +613,7 @@ def test_join_aggregate_answers_from_rollup_and_matches_verbatim(
     audit = resp["rewrite"]
     assert audit["eligible"] is True
     assert audit["answered_by"] == "jord_by_ck"
-    assert audit["join"]["on"] == ["o_custkey", "c_custkey"]
+    assert audit["join"][0]["on"] == ["o_custkey", "c_custkey"]
     got = _rows(engine, resp["query_id"])
     off = engine.submit_sql(JOIN_SQL, rewrite="off")
     assert got == _rows(engine, off["query_id"])
@@ -897,4 +897,95 @@ def test_join_rewrite_grouping_by_the_join_key(engine, starmv):
     off = engine.submit_sql(sql, rewrite="off")
     assert _rows(engine, resp["query_id"]) == _rows(
         engine, off["query_id"]
+    )
+
+
+def test_multi_dim_star_aggregate_answers_from_rollup(
+    engine, spark, tmp_path
+):
+    """r10 second pass: a TWO-dim star (fact JOIN customer-dim JOIN
+    part-dim) answers from a (fk1, fk2)-keyed rollup joined to both
+    pinned dims — zero fact files — and equals the verbatim run at
+    both freshness modes."""
+    fact = str(tmp_path / "star2_fact")
+    rows = [
+        (i, i % 5, i % 4, (i * 13) % 500) for i in range(400)
+    ]
+    SN.write_snapshot(
+        fact,
+        spark.createDataFrame(
+            rows, "k int, ck int, pk2 int, cents int"
+        ),
+    )
+    SN.add_constraint(spark, fact, "cents_nn", "cents IS NOT NULL")
+    dcust = str(tmp_path / "star2_cust")
+    SN.write_snapshot(
+        dcust,
+        spark.createDataFrame(
+            [(c, f"seg{c % 2}") for c in range(5)], "ck int, seg string"
+        ),
+    )
+    SN.add_unique_constraint(spark, dcust, "ck_uq", "ck")
+    dpart = str(tmp_path / "star2_part")
+    SN.write_snapshot(
+        dpart,
+        spark.createDataFrame(
+            [(p, f"brand{p % 2}") for p in range(4)],
+            "pk2 int, brand string",
+        ),
+    )
+    SN.add_unique_constraint(spark, dpart, "pk_uq", "pk2")
+    rol = str(tmp_path / "star2_rol")
+    ivm.maintain_rollup(spark, fact, rol, ["ck", "pk2"], "cents")
+    engine.register_snapshot_table("s2f", fact)
+    engine.register_snapshot_table("s2c", dcust)
+    engine.register_snapshot_table("s2p", dpart)
+    engine.register_rollup("s2f", "s2f_by_keys", rol, ["ck", "pk2"],
+                           "cents")
+    sql = (
+        "SELECT c.seg, p.brand, SUM(f.cents) AS s, COUNT(*) AS n, "
+        "AVG(f.cents) AS m FROM snap_s2f f "
+        "JOIN snap_s2c c ON f.ck = c.ck "
+        "JOIN snap_s2p p ON f.pk2 = p.pk2 "
+        "GROUP BY c.seg, p.brand ORDER BY seg, brand"
+    )
+    resp = engine.submit_sql(sql)
+    audit = resp["rewrite"]
+    assert audit["eligible"] is True, audit
+    assert audit["answered_by"] == "s2f_by_keys"
+    assert [j["on"] for j in audit["join"]] == [
+        ["ck", "ck"], ["pk2", "pk2"],
+    ]
+    got = _rows(engine, resp["query_id"])
+    off = engine.submit_sql(sql, rewrite="off")
+    assert got == _rows(engine, off["query_id"])
+    assert len(got) == 5  # header + 2 segs × 2 brands
+
+    # zero fact files on the rewritten plan
+    rdf, _ = engine._try_sql_rewrite(sql, {}, False, "strict")
+    files = rdf.inputFiles()
+    assert files and not any(fact in f for f in files)
+    assert any(dcust in f for f in files) and any(
+        dpart in f for f in files
+    )
+
+    # dim filters on both spokes; one missing UNIQUE proof falls back
+    filt = engine.submit_sql(
+        "SELECT c.seg, COUNT(*) AS n FROM snap_s2f f "
+        "JOIN snap_s2c c ON f.ck = c.ck "
+        "JOIN snap_s2p p ON f.pk2 = p.pk2 "
+        "WHERE p.brand = 'brand1' AND c.seg IN ('seg0') "
+        "GROUP BY c.seg"
+    )
+    assert filt["rewrite"]["answered_by"] == "s2f_by_keys"
+    filt_off = engine.submit_sql(
+        "SELECT c.seg, COUNT(*) AS n FROM snap_s2f f "
+        "JOIN snap_s2c c ON f.ck = c.ck "
+        "JOIN snap_s2p p ON f.pk2 = p.pk2 "
+        "WHERE p.brand = 'brand1' AND c.seg IN ('seg0') "
+        "GROUP BY c.seg",
+        rewrite="off",
+    )
+    assert _rows(engine, filt["query_id"]) == _rows(
+        engine, filt_off["query_id"]
     )

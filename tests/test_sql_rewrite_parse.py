@@ -352,7 +352,7 @@ def test_single_table_alias_qualified_refs_resolve():
     assert i is not None
     assert i.table == "events"
     assert i.group_by == ("type",)
-    assert i.join_dim is None
+    assert i.joins == ()
     assert parse_aggregate_sql(
         "SELECT x.type, COUNT(*) AS n FROM snap_events t GROUP BY t.type"
     ) is None
@@ -366,12 +366,14 @@ def test_join_statement_extracts_both_sides():
         "GROUP BY d.seg, f.reg HAVING s > 10 ORDER BY seg, reg"
     )
     assert i is not None
-    assert (i.table, i.join_dim) == ("f", "d")
-    assert i.join_on == ("fk", "pk")
+    assert i.table == "f"
+    assert len(i.joins) == 1
+    j = i.joins[0]
+    assert (j.dim, j.fk, j.pk) == ("d", "fk", "pk")
     assert i.group_by == ("reg",)
-    assert i.dim_group_by == ("seg",)
+    assert j.group_by == ("seg",)
     assert i.filters == {"reg": ["r1"]}
-    assert i.dim_filters == {"seg": ["a", "b"]}
+    assert j.filters == {"seg": ["a", "b"]}
     assert i.select_order == ("seg", "reg", "s")
     assert i.having == (("s", ">", 10),)
 

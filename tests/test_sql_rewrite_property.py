@@ -192,11 +192,25 @@ def star_engine(spark, tmp_path_factory):
         ),
     )
     SN.add_unique_constraint(spark, dim, "fk_uq", "fk")
+    dim2 = str(base / "dim2")
+    SN.write_snapshot(
+        dim2,
+        spark.createDataFrame(
+            [("s0", "low"), ("s1", "high")], ["st", "tier"]
+        ),
+    )
+    SN.add_unique_constraint(spark, dim2, "st_uq", "st")
     rol = str(base / "rol")
     ivm.maintain_rollup(spark, fact, rol, ["fk"], "val")
+    rol2 = str(base / "rol2")
+    ivm.maintain_rollup(spark, fact, rol2, ["fk", "st"], "val")
     eng.register_snapshot_table("pfact", fact)
     eng.register_snapshot_table("pdim", dim)
+    eng.register_snapshot_table("pdim2", dim2)
     eng.register_rollup("pfact", "pfact_by_fk", rol, ["fk"], "val")
+    eng.register_rollup(
+        "pfact", "pfact_by_fk_st", rol2, ["fk", "st"], "val"
+    )
     yield eng
     eng.close()
 
@@ -214,7 +228,10 @@ _JOIN_FILTERS = [
     "d.seg = 'seg1'",
     "d.active = 1",
     "d.active BETWEEN 0 AND 1",
-    "f.st = 's0'",  # non-key fact filter: must fall back, same answer
+    "f.st = 's0'",  # key of the (fk, st) rollup only — exercises pick
+    # non-key fact filter: no rollup groups on k, so the fact side
+    # must fall back to base (same answer, verbatim plan)
+    "f.k BETWEEN 10 AND 90",
 ]
 
 
@@ -229,6 +246,7 @@ def _join_statement(draw):
     group = draw(st.sampled_from(
         [("d.seg",), ("d.seg", "d.active"), ("d.seg", "f.fk")]
     ))
+    two_dims = draw(st.booleans())
     where = draw(st.lists(st.sampled_from(_JOIN_FILTERS), max_size=2,
                           unique=True))
     # one predicate per column (grammar rule)
@@ -238,9 +256,13 @@ def _join_statement(draw):
         if not (w.split()[0] in seen_cols or seen_cols.add(w.split()[0]))
     ]
     order = draw(st.booleans())
+    if two_dims:
+        group = tuple(group) + ("e.tier",)
     out_names = [g.split(".", 1)[1] for g in group]
     sql = "SELECT " + ", ".join(list(group) + measures)
     sql += " FROM snap_pfact f JOIN snap_pdim d ON f.fk = d.fk"
+    if two_dims:
+        sql += " JOIN snap_pdim2 e ON f.st = e.st"
     if where:
         sql += " WHERE " + " AND ".join(where)
     sql += " GROUP BY " + ", ".join(group)
@@ -279,5 +301,5 @@ def test_join_rewrite_on_equals_rewrite_off(star_engine, sql):
 
 
 def test_zz_join_fuzz_covered_both_branches():
-    assert "pfact_by_fk" in _JOIN_SEEN, _JOIN_SEEN
+    assert _JOIN_SEEN & {"pfact_by_fk", "pfact_by_fk_st"}, _JOIN_SEEN
     assert _JOIN_SEEN & {"base", "fallback"}, _JOIN_SEEN
