@@ -299,3 +299,65 @@ def test_stream_chain_ticks_aux_rollups(spark, tmp_path_factory):
     rep = IS.replay_batch(spark, src, batch, 0, [sum_r], aux=[aux_r])
     assert rep["merged"] is False
     assert rep["modes"] == ["noop", "noop"]
+
+
+def test_stream_chain_ticks_quantile_rollups(spark, tmp_path_factory):
+    """r10: the DDSketch quantile kind rides the same AuxRollupDef
+    seam — by run end the streaming-maintained sketch BIT-equals a
+    batch recompute (bucket adds are associative across micro-batch
+    deltas), the percentile estimate tracks the exact median within
+    the documented bound, and a replayed batch noops."""
+    import math as _m
+
+    base = tmp_path_factory.mktemp("ivm_stream_q")
+    load_events_batch(spark, f"{SF_DIR}/events.parquet").limit(
+        300
+    ).repartition(3).write.mode("overwrite").parquet(str(base / "files"))
+    events_dir = str(base / "files")
+    src = str(base / "source")
+    sum_r = IS.RollupDef(str(base / "by_type"), ("event_type",), "value")
+    q_r = IS.AuxRollupDef(
+        str(base / "q_type"), ("event_type",), "value", kind="quantile"
+    )
+    out = IS.run_stream_ivm(
+        spark, events_dir, src, [sum_r],
+        max_files_per_trigger=1, checkpoint_dir=str(base / "ckpt"),
+        aux=[q_r],
+    )
+    assert out["n_batches"] == 3
+    modes = [t[q_r.rollup_dir] for t in out["ticks"]]
+    assert modes[0] == "full" and set(modes[1:]) == {"delta"}
+    scratch = str(base / "scratch")
+    ivm.maintain_aux_rollup(
+        spark, src, scratch, ["event_type"], "value", kind="quantile"
+    )
+    def _state(d):
+        return {
+            r.event_type: (r.n_rows, tuple((e.k, e.v) for e in r.qsk))
+            for r in ivm.read_aux_rollup(spark, d).collect()
+        }
+    assert _state(q_r.rollup_dir) == _state(scratch)
+    # the served estimate tracks the exact median within α
+    est = {
+        r.event_type: r.p50
+        for r in ivm.read_aux_rollup(spark, q_r.rollup_dir)
+        .withColumn("_r", ivm.q_rank_expr("qsk", 0.5))
+        .withColumn("_k", ivm.q_key_expr("qsk", "_r"))
+        .withColumn("p50", ivm.q_value_expr("_k"))
+        .collect()
+    }
+    vals = {}
+    for r in load_events_batch(spark, events_dir).select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    alpha = (ivm.Q_GAMMA - 1) / (ivm.Q_GAMMA + 1)
+    for t, s in vals.items():
+        s = sorted(v for v in s if v is not None)
+        true = s[max(1, _m.ceil(0.5 * len(s))) - 1]
+        assert abs(est[t] - true) <= alpha * abs(true) + 1e-9
+    # replayed batch: no-op at ingest, sum AND quantile levels
+    batch = load_events_batch(spark, events_dir).limit(5)
+    rep = IS.replay_batch(spark, src, batch, 0, [sum_r], aux=[q_r])
+    assert rep["merged"] is False
+    assert rep["modes"] == ["noop", "noop"]
