@@ -1275,11 +1275,15 @@ class Engine:
         ``WHERE col IN (v1, v2) AND col2 = v3`` — the reference's
         mandatory equality-filter shape (app/main.py:479), rewritten
         to a rollup whenever every filter column is a rollup group
-        key. A positional value containing ``..`` is ALWAYS parsed
-        as a BETWEEN range (``col:lo..hi``); an equality literal
-        that itself contains ``..`` or ``|`` must use the explicit
-        verbatim form ``col:eq:value`` (r8 ADVICE — the positional
-        grammar cannot express it).
+        key. A positional value containing ``..`` parses as a
+        BETWEEN range (``col:lo..hi``) ONLY on numeric/date/
+        timestamp columns — on any other type the spelling is
+        ambiguous with a literal containing dots and is refused
+        (r9 VERDICT #6); ``col:between:lo:hi`` is the explicit range
+        form for any orderable type, and an equality literal that
+        itself contains ``..`` or ``|`` uses ``col:eq:value``
+        (r8 ADVICE). The grammar is served at
+        GET /table/{name}/aggregate/params.
 
         ``having`` filters the AGGREGATED rows (r9: parity with the
         /sql HAVING tier): a comma list of ``out:op:value`` terms

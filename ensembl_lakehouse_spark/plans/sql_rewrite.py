@@ -10,7 +10,8 @@ recursive-descent parser recognizes the exact statement family the
 rollup algebra can serve —
 
     SELECT <group cols + aliased aggregates>
-    FROM snap_<table>
+    FROM snap_<table> [alias]
+    [INNER JOIN snap_<dim> [alias] ON fact.fk = dim.pk]...   (star)
     [WHERE <AND of col = lit | col IN (lits) | col BETWEEN lo AND hi>]
     [GROUP BY <cols>]
     [HAVING <AND of (agg-alias | agg-call) {= < > <= >= <>} lit>]
@@ -18,12 +19,16 @@ rollup algebra can serve —
     [LIMIT n]
 
 — and extracts it as an ``AggregateIntent`` the engine feeds to
-``plans.rewrite.answer_aggregate``. EVERYTHING else returns None and
-the statement executes verbatim; a false negative costs a base scan,
-a false positive would serve a wrong answer, so the grammar is
-strict by construction: any unexpected token, expression, qualified
-name, DISTINCT, JOIN, subquery, comment, or escape sequence makes
-the statement ineligible.
+``plans.rewrite.answer_aggregate`` (or ``answer_join_aggregate``
+when star spokes are present — r9 VERDICT #2, generalized to
+multi-dim in r10; with any join every column reference must be
+alias-qualified, and every join word other than INNER is reserved so
+e.g. LEFT JOIN can never half-parse as servable). EVERYTHING else
+returns None and the statement executes verbatim; a false negative
+costs a base scan, a false positive would serve a wrong answer, so
+the grammar is strict by construction: any unexpected token,
+expression, DISTINCT, non-inner join, subquery, comment, or escape
+sequence makes the statement ineligible.
 
 HAVING is inside the grammar (round 9): each term compares ONE
 derivable aggregate — a selected alias or a direct call, which gets
