@@ -1343,6 +1343,15 @@ class Engine:
                     f"bad aggs alias {out!r}: want a plain identifier "
                     "(letters, digits, underscores)"
                 )
+            if out.startswith("__"):
+                # the rewrite's internal columns live under the __
+                # prefix (partials, sketch states) — a user alias
+                # there could collide and surface as an ambiguous
+                # AnalysisException 500 (r10 second review)
+                raise QueryValidationError(
+                    f"bad aggs alias {out!r}: the __ prefix is "
+                    "reserved for the rewrite's internal columns"
+                )
             fn, _, col = fn_col.partition(":")
             fn = fn.strip().lower()
             if fn == "count":
@@ -1428,7 +1437,20 @@ class Engine:
             # columns at (a string range like grp:between:g0:g1 has no
             # literal-vs-range ambiguity to guard)
             if vals.startswith("between:"):
-                lo, _, hi = vals[len("between:"):].partition(":")
+                rest = vals[len("between:"):]
+                if rest.count(":") != 1:
+                    # a bound containing ':' (times, timestamps)
+                    # cannot be split positionally — partitioning at
+                    # the FIRST colon would silently mis-split into
+                    # wrong bounds (r10 second review); fail loudly
+                    # toward the SQL surface instead of guessing
+                    raise QueryValidationError(
+                        f"bad filter item {item!r}: col:between:lo:hi "
+                        "needs exactly one ':' between the bounds — "
+                        "colon-bearing bounds (timestamps) cannot be "
+                        "expressed positionally; use /sql for those"
+                    )
+                lo, _, hi = rest.partition(":")
                 if not col or not lo or not hi:
                     raise QueryValidationError(
                         f"bad filter item {item!r}: want "

@@ -527,6 +527,39 @@ def q_value_expr(key: str):
     )
 
 
+#: Persisted-format stamp for quantile sketch rollups: the stored
+#: bucket keys are only meaningful under ONE (γ, offset) encoding, so
+#: every maintainer writes this marker on the first build and refuses
+#: to DELTA-MERGE into a rollup stamped with a different encoding
+#: (r10 second review: an encoding change silently mixed old and new
+#: keys in one map — garbage percentiles with every freshness stamp
+#: claiming health). A mismatch demands an explicit rebuild.
+_Q_FORMAT = f"ddsketch:v2:gamma={Q_GAMMA!r}:offset={Q_KEY_OFFSET}"
+
+
+def _q_format_guard(rollup_dir: str, rebuild: bool) -> None:
+    """Write/verify the sketch-encoding marker. Raises when the dir
+    holds sketches under a DIFFERENT encoding and the caller did not
+    ask for a rebuild; a rebuild (or first build) re-stamps."""
+    path = os.path.join(rollup_dir, "_qformat")
+    try:
+        with open(path) as f:
+            stored = f.read().strip()
+    except FileNotFoundError:
+        stored = None
+    if stored is not None and stored != _Q_FORMAT and not rebuild:
+        raise ValueError(
+            f"{rollup_dir} holds quantile sketches under encoding "
+            f"{stored!r} but this build uses {_Q_FORMAT!r} — bucket "
+            "keys are not mergeable across encodings; rerun with "
+            "rebuild=True to recompute the rollup"
+        )
+    if stored != _Q_FORMAT:
+        os.makedirs(rollup_dir, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(_Q_FORMAT)
+
+
 def _quantile_state(df: DataFrame, group_cols: list[str], col: str):
     """(group_cols, n_rows, qsk) from BASE rows: per-bucket counts
     then a bounded collect into the map (Spark has no map-merge
@@ -692,6 +725,8 @@ def maintain_aux_rollup(
         # marker with zero stamps: first hierarchical tick failed
         # before any merge — reclaimable, same rule as maintain_rollup
         os.remove(os.path.join(rollup_dir, "_lineage"))
+    if kind == "quantile":
+        _q_format_guard(rollup_dir, rebuild)
     stamp = _STAMP.format(v=src_v)
     applied = _applied_versions(rollup_dir)
     target_v = SN.current_version(rollup_dir)
@@ -905,6 +940,8 @@ def maintain_aux_rollup_from_rollup(
             f"not a maintained {kind!r} aux rollup"
         )
     _bind_child_lineage(child_dir, parent_abs)
+    if kind == "quantile":
+        _q_format_guard(child_dir, rebuild)
     child_cols = list(key_exprs)
     key_aliases = [F.expr(e).alias(c) for c, e in key_exprs.items()]
     stamp = _STAMP.format(v=src_v)

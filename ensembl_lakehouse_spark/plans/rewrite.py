@@ -445,6 +445,25 @@ def _quantile_answer(
         for out, v in aggs.items()
         if _fn_base(v[0]) == "approx_percentile"
     }
+
+    def _ns_join(left: DataFrame, right: DataFrame) -> DataFrame:
+        """LEFT join on the group keys with NULL-SAFE equality:
+        groupBy keeps NULL keys, and a plain equi-join would drop
+        every NULL-group measure from the right side (r10 second
+        review — silent wrong answers for NULL group values)."""
+        if not gb:
+            return left.crossJoin(right)
+        r = right
+        for c in gb:
+            r = r.withColumnRenamed(c, f"__qj_{c}")
+        cond = None
+        for c in gb:
+            t = left[c].eqNullSafe(r[f"__qj_{c}"])
+            cond = t if cond is None else cond & t
+        return left.join(r, cond, "left").drop(
+            *[f"__qj_{c}" for c in gb]
+        )
+
     if from_rollup:
         # _can_answer gated the request to this kind's derivables
         # (count + approx_percentile) before routing here
@@ -461,12 +480,13 @@ def _quantile_answer(
             extra = ivm._quantile_state(df.select(*gb, c), gb, c).select(
                 *gb, F.col("qsk").alias(f"__q_{c}")
             )
-            state = (
-                state.join(extra, on=gb, how="left")
-                if gb
-                else state.crossJoin(extra)
-            )
+            state = _ns_join(state, extra)
         sk_cols = {c: f"__q_{c}" for c in cols}
+    # the internal row count lives under the reserved prefix so a
+    # user measure ALIASED "n_rows" can never be ambiguous against
+    # it (r10 second review)
+    state = state.withColumnRenamed("n_rows", "__q_nrows")
+    if not from_rollup:
         # measures BEYOND the sketch tier (sum/avg/min/max/
         # approx_count_distinct mixed into the same request — a
         # valid /aggregate shape, r10 code review) come from the
@@ -479,15 +499,13 @@ def _quantile_answer(
             odf = df.groupBy(*gb).agg(
                 *_agg_exprs(other, from_rollup=False)
             )
-            state = (
-                state.join(odf, on=gb, how="left")
-                if gb
-                else state.crossJoin(odf)
-            )
+            state = _ns_join(state, odf)
     out_cols = []
     for out, (fn, c) in aggs.items():
         if _fn_base(fn) == "count":
-            out_cols.append(F.col("n_rows").cast("bigint").alias(out))
+            out_cols.append(
+                F.col("__q_nrows").cast("bigint").alias(out)
+            )
         elif out in pct:
             q = _fn_quantile(fn)
             m = sk_cols[c]

@@ -848,9 +848,17 @@ def semantic_gate_join(
                 return (
                     f"column {col!r} is mixed-case in the {which} schema"
                 )
+    uniques = dim_uniques or [frozenset()] * len(intent.joins)
     taken = set(fks) | set(intent.group_by)
     for i, j in enumerate(intent.joins):
-        clashing = set(j.group_by) & taken
+        # GROUP BY the dim's own pk under its fk's spelling is a
+        # supported shape (answer_join_aggregate re-reads the value
+        # from the reserved pk alias, and the two columns are EQUAL
+        # under the inner equi-join) — exempt exactly that name from
+        # the ambiguity rule (r10 second review: the blanket check
+        # regressed a shape the first pass served)
+        exempt = {j.pk} if j.pk == j.fk else set()
+        clashing = (set(j.group_by) - exempt) & taken
         if clashing:
             return (
                 f"dim group column(s) {sorted(clashing)} share a name "
@@ -858,7 +866,7 @@ def semantic_gate_join(
                 "join output would be ambiguous"
             )
         taken |= set(j.group_by)
-        if j.pk not in (dim_uniques or [frozenset()] * len(intent.joins))[i]:
+        if j.pk not in uniques[i]:
             return (
                 f"join key {j.pk!r} has no write-enforced UNIQUE proof "
                 f"at the {j.dim} pin — add one with "

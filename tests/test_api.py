@@ -1425,3 +1425,22 @@ def test_aggregate_params_doc_and_ambiguous_range_400(
     # explicit BETWEEN is the string-range escape hatch (the user
     # SAYS it is a range, so any orderable type is fine)
     assert _count("aggs=n%3Dcount&filter=period%3Abetween%3Aa%3Az") == "1"
+
+
+def test_between_with_colon_bearing_bounds_is_400(
+    server, spark, tmp_path_factory
+):
+    from ensembl_lakehouse_spark import snapshots as SN
+
+    src = str(tmp_path_factory.mktemp("btw") / "src")
+    SN.write_snapshot(
+        src, spark.createDataFrame([(1, "a")], "k int, x string")
+    )
+    server.engine.register_snapshot_table("btw_src", src)
+    status, _, err = _get(
+        server,
+        "/table/btw_src/aggregate?aggs=n%3Dcount"
+        "&filter=x%3Abetween%3Aa%3Ab%3Ac",
+    )
+    assert status == 400
+    assert "exactly one" in err["detail"]

@@ -828,3 +828,42 @@ def test_quantile_sketch_handles_fractional_and_mixed_sign_values(
         assert abs(est - true) <= alpha * abs(true) + 1e-12, (
             q, est, true,
         )
+
+
+def test_quantile_format_guard_refuses_cross_encoding_merge(
+    spark, tmp_path
+):
+    """r10 second review: the stored bucket keys are meaningful only
+    under one (γ, offset) encoding — a maintainer facing a rollup
+    stamped with a DIFFERENT encoding must refuse the delta merge
+    (mixing key spaces silently corrupts every percentile) and
+    demand an explicit rebuild, which re-stamps."""
+    import os
+
+    src = str(tmp_path / "src")
+    rol = str(tmp_path / "rol")
+    SN.write_snapshot(
+        src, spark.createDataFrame([(1, "g", 5)], "k int, grp string, v int")
+    )
+    ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "v", kind="quantile")
+    with open(os.path.join(rol, "_qformat")) as f:
+        assert f.read() == ivm._Q_FORMAT
+    # simulate a rollup persisted under an older encoding
+    with open(os.path.join(rol, "_qformat"), "w") as f:
+        f.write("ddsketch:v1:gamma=1.02:offset=0")
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(2, "g", 9)], "k int, grp string, v int"),
+        key="k",
+    )
+    with pytest.raises(ValueError, match="not mergeable across"):
+        ivm.maintain_aux_rollup(
+            spark, src, rol, ["grp"], "v", kind="quantile"
+        )
+    # rebuild recomputes and re-stamps the current encoding
+    out = ivm.maintain_aux_rollup(
+        spark, src, rol, ["grp"], "v", kind="quantile", rebuild=True
+    )
+    assert out["mode"] == "rebuild"
+    with open(os.path.join(rol, "_qformat")) as f:
+        assert f.read() == ivm._Q_FORMAT

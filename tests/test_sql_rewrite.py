@@ -989,3 +989,74 @@ def test_multi_dim_star_aggregate_answers_from_rollup(
     assert _rows(engine, filt["query_id"]) == _rows(
         engine, filt_off["query_id"]
     )
+
+
+def test_mixed_percentile_keeps_null_groups_and_reserved_aliases(
+    engine, spark, tmp_path
+):
+    """r10 second review: (a) NULL group keys must keep their exact
+    measures through the sketch path's join-back (null-safe
+    equality); (b) a user measure aliased 'n_rows' must not collide
+    with the sketch state's internal count; (c) __-prefixed aliases
+    are refused up front."""
+    src = str(tmp_path / "nullq_src")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(1, None, 5), (2, None, 7), (3, "g1", 10)],
+            "k int, grp string, v int",
+        ),
+    )
+    engine.register_snapshot_table("nullq", src)
+    resp = engine.submit_table_aggregate(
+        "nullq", "grp",
+        "p50=approx_percentile:v:0.5,total=sum:v,n_rows=max:v",
+    )
+    rows = {r[0]: r[1:] for r in _rows(engine, resp["query_id"])[1:]}
+    # NULL group key renders as a missing VarCharValue (None);
+    # truth: NULL group sums 12, max 7; g1 sums 10
+    assert rows[None][1:] == ["12", "7"], rows
+    assert rows["g1"][1:] == ["10", "10"]
+    with pytest.raises(QueryValidationError, match="reserved"):
+        engine.submit_table_aggregate(
+            "nullq", "grp", "__q_x=count"
+        )
+
+
+def test_join_rewrite_group_by_dim_pk_same_spelling(engine, spark, tmp_path):
+    """r10 second review: GROUP BY the dim's pk when it shares the
+    fk's spelling (ON f.ck = c.ck GROUP BY c.ck) is a supported
+    shape — the first-pass ambiguity rule must not regress it back
+    to the base scan."""
+    fact = str(tmp_path / "pkfk_fact")
+    SN.write_snapshot(
+        fact,
+        spark.createDataFrame(
+            [(i, i % 3, i * 10) for i in range(30)], "k int, ck int, v int"
+        ),
+    )
+    SN.add_constraint(spark, fact, "v_nn", "v IS NOT NULL")
+    dim = str(tmp_path / "pkfk_dim")
+    SN.write_snapshot(
+        dim,
+        spark.createDataFrame(
+            [(c, f"s{c}") for c in range(3)], "ck int, seg string"
+        ),
+    )
+    SN.add_unique_constraint(spark, dim, "ck_uq", "ck")
+    rol = str(tmp_path / "pkfk_rol")
+    ivm.maintain_rollup(spark, fact, rol, ["ck"], "v")
+    engine.register_snapshot_table("pf", fact)
+    engine.register_snapshot_table("pd", dim)
+    engine.register_rollup("pf", "pf_by_ck", rol, ["ck"], "v")
+    sql = (
+        "SELECT c.ck, SUM(f.v) AS s FROM snap_pf f "
+        "JOIN snap_pd c ON f.ck = c.ck GROUP BY c.ck ORDER BY ck"
+    )
+    resp = engine.submit_sql(sql)
+    assert resp["rewrite"]["eligible"] is True, resp["rewrite"]
+    assert resp["rewrite"]["answered_by"] == "pf_by_ck"
+    off = engine.submit_sql(sql, rewrite="off")
+    assert _rows(engine, resp["query_id"]) == _rows(
+        engine, off["query_id"]
+    )
