@@ -68,6 +68,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_type_span": RP.brand_type_span,
         "segment_balance_profile": RP.segment_balance_profile,
         "dup_length_bias": T.dup_length_bias,
+        # --- Round-10 batch 2: session-policy calibration, revenue
+        # growth accounting, spend consistency, quality drift.
+        "session_threshold_sensitivity":
+            R.session_threshold_sensitivity,
+        "monthly_new_vs_repeat_revenue":
+            RP.monthly_new_vs_repeat_revenue,
+        "spend_consistency_bands": RP.spend_consistency_bands,
+        "quality_by_batch": T.quality_by_batch,
         # --- Round-9 additions (driver-certified in r9; now window
         # filler behind the r10 cohort).
         # --- Round-9 batch 6: order composition, geography mix,
@@ -445,6 +453,12 @@ def oracle_sql() -> dict[str, str]:
         "brand_type_span": RP.BRAND_TYPE_SPAN_SQL,
         "segment_balance_profile": RP.SEGMENT_BALANCE_PROFILE_SQL,
         "dup_length_bias": T.DUP_LENGTH_BIAS_SQL,
+        "session_threshold_sensitivity":
+            R.SESSION_THRESHOLD_SENSITIVITY_SQL,
+        "monthly_new_vs_repeat_revenue":
+            RP.MONTHLY_NEW_VS_REPEAT_REVENUE_SQL,
+        "spend_consistency_bands": RP.SPEND_CONSISTENCY_BANDS_SQL,
+        "quality_by_batch": T.QUALITY_BY_BATCH_SQL,
         # --- Round-9 batch 6.
         "events_error_rate_hourly": R.EVENTS_ERROR_RATE_HOURLY_SQL,
         "user_session_count_bands": R.USER_SESSION_COUNT_BANDS_SQL,

@@ -5655,3 +5655,96 @@ WHERE gap_days > 1
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# session_threshold_sensitivity (r10)
+# ---------------------------------------------------------------------------
+
+#: Inactivity thresholds (minutes) the sensitivity report sweeps.
+SESSION_THRESHOLDS_MIN = (15, 30, 60)
+
+
+def session_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How sensitive is the session count to the inactivity
+    threshold? Session definitions are a POLICY (events_sessionize
+    pins 30 min); this sweeps 15/30/60 min in ONE pass over the
+    per-user gap lattice: sessions(t) = users + gaps > t, so each
+    threshold's total session count, sessions-per-user (×100), and
+    the count's delta vs the next-tighter threshold come from the
+    same aggregate — the calibration table read before anyone
+    re-runs a funnel under a different policy.
+
+    Plan (100 TB): one user-partitioned lag window (keyed, never
+    global) → one global aggregate of three conditional sums; no
+    per-threshold re-scan."""
+    events = load_table(spark, sf_dir, "events")
+    gaps = events.select(
+        "user_id",
+        (
+            F.expr("unix_timestamp(ts)")
+            - F.expr(
+                "lag(unix_timestamp(ts)) OVER (PARTITION BY user_id "
+                "ORDER BY ts, event_id)"
+            )
+        ).alias("gap_s"),
+    )
+    aggs = [
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    ] + [
+        F.sum(
+            F.when(F.col("gap_s") > t * 60, 1).otherwise(0)
+        ).cast("long").alias(f"breaks_{t}")
+        for t in SESSION_THRESHOLDS_MIN
+    ]
+    wide = gaps.agg(*aggs)
+    per_t = [
+        wide.select(
+            F.lit(t).alias("threshold_min"),
+            (F.col("n_users") + F.col(f"breaks_{t}"))
+            .cast("long")
+            .alias("n_sessions"),
+            F.expr(
+                f"((n_users + breaks_{t}) * 100) DIV n_users"
+            ).alias("sessions_per_user_x100"),
+        )
+        for t in SESSION_THRESHOLDS_MIN
+    ]
+    out = per_t[0]
+    for df in per_t[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("threshold_min")
+
+
+SESSION_THRESHOLD_SENSITIVITY_SQL = """
+WITH gaps AS (
+  -- floor() matches Spark's unix_timestamp second-truncation; a
+  -- fractional epoch would flip gaps landing exactly on a threshold
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+), wide AS (
+  SELECT COUNT(DISTINCT user_id) AS n_users,
+         SUM(CASE WHEN gap_s > 15 * 60 THEN 1 ELSE 0 END) AS b15,
+         SUM(CASE WHEN gap_s > 30 * 60 THEN 1 ELSE 0 END) AS b30,
+         SUM(CASE WHEN gap_s > 60 * 60 THEN 1 ELSE 0 END) AS b60
+  FROM gaps
+)
+SELECT threshold_min,
+       CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST((n_sessions * 100) // n_users AS BIGINT)
+         AS sessions_per_user_x100
+FROM (
+  SELECT 15 AS threshold_min, n_users + b15 AS n_sessions, n_users
+  FROM wide
+  UNION ALL
+  SELECT 30, n_users + b30, n_users FROM wide
+  UNION ALL
+  SELECT 60, n_users + b60, n_users FROM wide
+)
+ORDER BY threshold_min
+"""

@@ -5698,3 +5698,169 @@ SELECT c_mktsegment,
 FROM agg
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# monthly_new_vs_repeat_revenue (r10)
+# ---------------------------------------------------------------------------
+
+
+def monthly_new_vs_repeat_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue growth accounting: per month, revenue (cents) split
+    into FIRST-ORDER customers vs repeat customers, with the new
+    share (bp) — events_growth_accounting counts USERS on events;
+    this weighs the ORDER BOOK: a business whose new-share collapses
+    is living off its base. First-order month comes from a
+    customer-keyed min (no window); integer month arithmetic and
+    cent sums keep both engines bit-equal.
+
+    Plan (100 TB): one custkey partial agg (first month), one
+    custkey-keyed join back to orders, a ≤ months final agg."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "year(CAST(o_orderdate AS DATE)) * 12 + "
+            "month(CAST(o_orderdate AS DATE)) - 1"
+        ).alias("m"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    tagged = orders.join(first, "o_custkey").withColumn(
+        "is_new", F.expr("CASE WHEN m = m0 THEN 1 ELSE 0 END")
+    )
+    return (
+        tagged.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.expr("CASE WHEN is_new = 1 THEN cents ELSE 0 END"))
+            .cast("long")
+            .alias("new_cents"),
+            F.sum(F.expr("CASE WHEN is_new = 0 THEN cents ELSE 0 END"))
+            .cast("long")
+            .alias("repeat_cents"),
+        )
+        .withColumn(
+            "new_share_bp",
+            F.expr(
+                "(new_cents * 10000) DIV (new_cents + repeat_cents)"
+            ),
+        )
+        .orderBy("m")
+    )
+
+
+MONTHLY_NEW_VS_REPEAT_REVENUE_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(CAST(o_orderdate AS DATE)) * 12
+           + month(CAST(o_orderdate AS DATE)) - 1 AS m,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), first AS (
+  SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1
+)
+SELECT o.m,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o.m = first.m0 THEN o.cents ELSE 0 END)
+            AS BIGINT) AS new_cents,
+       CAST(SUM(CASE WHEN o.m <> first.m0 THEN o.cents ELSE 0 END)
+            AS BIGINT) AS repeat_cents,
+       CAST((SUM(CASE WHEN o.m = first.m0 THEN o.cents ELSE 0 END)
+             * 10000)
+            // SUM(o.cents) AS BIGINT) AS new_share_bp
+FROM o JOIN first USING (o_custkey)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# spend_consistency_bands (r10)
+# ---------------------------------------------------------------------------
+
+
+def spend_consistency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are a customer's orders steady or spiky? Per repeat customer
+    (≥ 2 orders) the coefficient of variation of order values is
+    computed on the exact integer lattice (Σ, Σ², n — cv²·10⁴ =
+    (n·Σ² − Σ²ᵤₘ)·10⁴ DIV Σ²ᵤₘ, no square root needed for banding),
+    then customers collapse into consistency bands with each band's
+    lifetime value — steady spenders are subscription-shaped,
+    spiky ones are promotion-shaped, and the band sizes say which
+    regime the book is in.
+
+    Plan (100 TB): one custkey partial agg carrying (n, Σ, Σ²) —
+    Σ² of cents ≈ 10¹⁴ per order stays far inside BIGINT at any
+    order count that fits a customer — then a ≤ bands re-agg."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.expr("(cents DIV 100) * (cents DIV 100)")).alias("s2d"),
+    )
+    # cv²×10⁴ on whole-dollar units (cents² over many orders could
+    # brush BIGINT at extreme LTVs; dollars keep 4 more decades of
+    # headroom with identical banding in both engines)
+    banded = (
+        per_cust.where("n >= 2")
+        .withColumn("sd", F.expr("s DIV 100"))
+        .withColumn(
+            "cv2_x10k",
+            F.expr("((n * s2d - sd * sd) * 10000) DIV (sd * sd)"),
+        )
+        .withColumn(
+            "band",
+            F.expr(
+                "CASE WHEN cv2_x10k < 1000 THEN 'steady' "
+                "WHEN cv2_x10k < 5000 THEN 'mixed' "
+                "ELSE 'spiky' END"
+            ),
+        )
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("s").cast("long").alias("ltv_cents"),
+        )
+        .orderBy("band")
+    )
+
+
+SPEND_CONSISTENCY_BANDS_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS s,
+         SUM((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100)
+             * (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100))
+           AS s2d
+  FROM orders GROUP BY 1
+), banded AS (
+  SELECT n, s,
+         CASE WHEN ((n * s2d - (s // 100) * (s // 100)) * 10000)
+                   // ((s // 100) * (s // 100)) < 1000 THEN 'steady'
+              WHEN ((n * s2d - (s // 100) * (s // 100)) * 10000)
+                   // ((s // 100) * (s // 100)) < 5000 THEN 'mixed'
+              ELSE 'spiky' END AS band
+  FROM per_cust WHERE n >= 2
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       CAST(SUM(s) AS BIGINT) AS ltv_cents
+FROM banded
+GROUP BY 1
+ORDER BY 1
+"""

@@ -2589,6 +2589,38 @@ ORDER BY source
 """
 
 
+QUALITY_BY_BATCH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, doc_id // 100 AS batch, text,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), ratios AS (
+  SELECT batch,
+  {_SQL_QUALITY_RATIOS}
+  FROM t
+), r AS (
+  SELECT batch, {_SQL_QUALITY_SCORE} AS score
+  FROM ratios
+), scored AS (
+  SELECT batch,
+         CAST(floor(score * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS score_x1000,
+         CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS keep
+  FROM r
+), agg AS (
+  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(keep) AS BIGINT) AS n_keep,
+         CAST(SUM(score_x1000) AS BIGINT) AS score_sum
+  FROM scored GROUP BY 1
+)
+SELECT batch, n_docs,
+       (n_keep * 10000) // n_docs AS keep_bp,
+       score_sum // n_docs AS mean_score_x1000
+FROM agg
+ORDER BY batch
+"""
+
+
 def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide token-length spectrum: per token length (capped
     at 15+), occurrence count, share of all tokens (bp), and the
@@ -2981,3 +3013,56 @@ SELECT dup_class,
 FROM agg
 ORDER BY dup_class
 """
+
+
+# ---------------------------------------------------------------------------
+# quality_by_batch (r10)
+# ---------------------------------------------------------------------------
+
+
+def quality_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is corpus quality DRIFTING across ingest batches? The
+    text_quality composite (same ×1000 lattice and keep rule as
+    source_quality_profile, so the screens can never drift) rolled
+    per ingest batch (doc_id DIV width, dedup_rate_by_batch's
+    convention; against snapshot tables the batches come from the
+    ``_txns`` ledger): batch doc count, keep rate (bp), mean score —
+    the companion dial to dedup_rate_by_batch: one says the feed is
+    re-fetching, this says it is rotting.
+
+    Plan (100 TB): per-doc scoring is map-side expression work; one
+    ≤ batches aggregate."""
+    from ensembl_lakehouse_spark.operators.dedup import DEDUP_BATCH_WIDTH
+
+    ratios = _quality_ratio_cols()
+    df = _docs_with_tokens(spark, sf_dir)
+    scored = df.select(
+        F.expr(f"doc_id DIV {DEDUP_BATCH_WIDTH}").alias("batch"),
+        _quality_score(
+            ratios["stop_ratio"],
+            ratios["distinct_ratio"],
+            ratios["punct_ratio"],
+            ratios["len_norm"],
+        ).alias("score"),
+    ).select(
+        "batch",
+        F.expr(
+            "CAST(floor(score * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("score_x1000"),
+        (F.col("score") >= 0.5).cast("int").alias("keep"),
+    )
+    return (
+        scored.groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            F.sum("score_x1000").cast("long").alias("score_sum"),
+        )
+        .select(
+            "batch",
+            "n_docs",
+            F.expr("(n_keep * 10000) DIV n_docs").alias("keep_bp"),
+            F.expr("score_sum DIV n_docs").alias("mean_score_x1000"),
+        )
+        .orderBy("batch")
+    )

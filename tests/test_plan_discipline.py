@@ -49,6 +49,10 @@ BUDGETS = {
     "brand_type_span": 2,
     "segment_balance_profile": 1,
     "dup_length_bias": 2,
+    "session_threshold_sensitivity": 1,
+    "monthly_new_vs_repeat_revenue": 2,
+    "spend_consistency_bands": 2,
+    "quality_by_batch": 1,
     "events_peak_hour_share": 2,
     "order_line_dominance": 2,
     "customer_nation_mix_share": 2,
