@@ -55,6 +55,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the first-50 window leads with this round's new operators,
         # followed by certified filler; the no-oracle entries stay
         # out of the window).
+        # --- Round-10 batch 3: session flow endpoints, returns
+        # exposure, the Paasche index twin, embedding axis collapse.
+        "session_entry_exit_matrix": R.session_entry_exit_matrix,
+        "brand_return_exposure": RP.brand_return_exposure,
+        "price_index_paasche": RP.price_index_paasche,
+        "embedding_dominant_dim": S.embedding_dominant_dim,
         # --- Round-10: rolling retention/resurrection, price index,
         # rerank audit, version drift, dedup-rate trend, ops fillers.
         "rolling_retention_matrix": R.rolling_retention_matrix,
@@ -441,6 +447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- Round-10 batch 3.
+        "session_entry_exit_matrix": R.SESSION_ENTRY_EXIT_MATRIX_SQL,
+        "brand_return_exposure": RP.BRAND_RETURN_EXPOSURE_SQL,
+        "price_index_paasche": RP.PRICE_INDEX_PAASCHE_SQL,
+        "embedding_dominant_dim": S.EMBEDDING_DOMINANT_DIM_SQL,
         # --- Round-10.
         "rolling_retention_matrix": R.ROLLING_RETENTION_MATRIX_SQL,
         "resurrection_gap_histogram": R.RESURRECTION_GAP_HISTOGRAM_SQL,

@@ -5748,3 +5748,82 @@ FROM (
 )
 ORDER BY threshold_min
 """
+
+
+# ---------------------------------------------------------------------------
+# session_entry_exit_matrix (r10)
+# ---------------------------------------------------------------------------
+
+
+def session_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing→parting flow matrix: per session (the shared
+    _sessionized_events 30-minute contract) the FIRST and LAST event
+    types, counted into an entry×exit grid with each cell's share of
+    its ENTRY row (bp). events_type_transitions reads consecutive
+    hops; this reads session endpoints — a 'view'→'view' heavy row
+    is browse-and-bounce traffic, 'view'→'purchase' is the funnel
+    working, and an 'error' exit column quantifies sessions a
+    failure ends. Endpoint picks are tie-broken by event_id inside
+    explicit unbounded frames, so both engines choose identical
+    rows.
+
+    Plan (100 TB): the endpoint window partitions by (user_id,
+    session_num) — a SUBSET-satisfied clustering of the session
+    lattice's existing user_id hash, so no new exchange; the
+    per-session collapse reuses it too (entry/exit are constant
+    within a session, MAX collapses without a tie rule). Only the
+    ≤|types|² grid agg shuffles; the share window runs per entry
+    row on that bounded grid."""
+    sessions = _sessionized_events(load_table(spark, sf_dir, "events"))
+    wf = (
+        "(PARTITION BY user_id, session_num ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    endpoints = sessions.select(
+        "user_id",
+        "session_num",
+        F.expr(f"first_value(event_type) OVER {wf}").alias("entry_type"),
+        F.expr(f"last_value(event_type) OVER {wf}").alias("exit_type"),
+    )
+    per_session = endpoints.groupBy("user_id", "session_num").agg(
+        F.max("entry_type").alias("entry_type"),
+        F.max("exit_type").alias("exit_type"),
+    )
+    grid = per_session.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    return (
+        grid.withColumn(
+            "entry_share_bp",
+            F.expr(
+                "(n_sessions * 10000) DIV "
+                "(SUM(n_sessions) OVER (PARTITION BY entry_type))"
+            ),
+        )
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+SESSION_ENTRY_EXIT_MATRIX_SQL = f"""
+WITH {_SQL_SESSION_CTES}, endpoints AS (
+  SELECT user_id, session_num,
+         first_value(event_type) OVER ws AS entry_type,
+         last_value(event_type) OVER ws AS exit_type
+  FROM s
+  WINDOW ws AS (PARTITION BY user_id, session_num ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+), per_session AS (
+  SELECT user_id, session_num,
+         MAX(entry_type) AS entry_type, MAX(exit_type) AS exit_type
+  FROM endpoints GROUP BY 1, 2
+), grid AS (
+  SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM per_session GROUP BY 1, 2
+)
+SELECT entry_type, exit_type, n_sessions,
+       (n_sessions * 10000)
+         // CAST(SUM(n_sessions) OVER (PARTITION BY entry_type) AS BIGINT)
+         AS entry_share_bp
+FROM grid
+ORDER BY entry_type, exit_type
+"""

@@ -5864,3 +5864,169 @@ FROM banded
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# brand_return_exposure (r10)
+# ---------------------------------------------------------------------------
+
+
+def brand_return_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand returns exposure: line count, returned-line count
+    (l_returnflag = 'R'), return incidence (bp), revenue cents and
+    the returned share of that revenue (bp). returns_rate_monthly
+    trends returns over time and quantity_band_returns cuts by order
+    size; this pins WHICH CATALOG BRANDS carry the exposure — a
+    brand whose value-share of returns runs far above its line-share
+    is a quality or description problem, not a volume one. Cents
+    lattice keeps both engines bit-equal; shares are integer DIV.
+
+    Plan (100 TB): part is a dim — broadcast join, no fact shuffle;
+    one (brand) partial agg off the joined scan (≤ |brands| rows),
+    share arithmetic on the aggregated cells only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").alias(
+            "is_ret"
+        ),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("is_ret").cast("long").alias("returned_lines"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.sum(F.expr("CASE WHEN is_ret = 1 THEN cents ELSE 0 END"))
+            .cast("long")
+            .alias("returned_cents"),
+        )
+        .withColumn(
+            "return_rate_bp",
+            F.expr(
+                "CAST((returned_lines * 10000) DIV n_lines AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "value_at_risk_bp",
+            F.expr(
+                "CAST((returned_cents * 10000) DIV revenue_cents "
+                "AS BIGINT)"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_RETURN_EXPOSURE_SQL = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS returned_lines,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST(SUM(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(floor(l_extendedprice * 100 + 0.5)
+                               AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS returned_cents,
+       CAST((SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             * 10000) // COUNT(*) AS BIGINT) AS return_rate_bp,
+       CAST((SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(floor(l_extendedprice * 100 + 0.5)
+                                AS BIGINT)
+                      ELSE 0 END) * 10000)
+            // SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS value_at_risk_bp
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# price_index_paasche (r10)
+# ---------------------------------------------------------------------------
+
+
+def price_index_paasche(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paasche-style monthly price index — the current-basket twin
+    of price_index_series (Laspeyres): same per-(month, part)
+    deterministic MIN unit-price lattice and first-month base, but
+    weights are the CURRENT month's quantities: index(t) =
+    Σ pₜ·qₜ · 10000 DIV Σ p₀·qₜ over parts traded in both months.
+    Laspeyres overstates inflation when buyers substitute away from
+    items that got expensive; Paasche understates it — the spread
+    between the two series (published side by side) bounds the true
+    index without any non-integer arithmetic.
+
+    Plan (100 TB): identical shape to the Laspeyres series — one
+    (month, part) partial agg off the fact scan, the base month
+    joins back PART-keyed, final agg is ≤ months rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "year(CAST(l_shipdate AS DATE)) * 12 + "
+            "month(CAST(l_shipdate AS DATE)) - 1"
+        ).alias("m"),
+        F.col("l_partkey").alias("pk"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    per = li.groupBy("m", "pk").agg(
+        F.min(F.expr("cents DIV qty")).alias("p"),
+        F.sum("qty").alias("q"),
+    )
+    base_m = per.agg(F.min("m").alias("m0"))
+    base = (
+        per.join(F.broadcast(base_m), per["m"] == F.col("m0"))
+        .select("pk", F.col("p").alias("p0"))
+    )
+    return (
+        per.join(base, "pk")
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("basket_parts"),
+            F.sum(F.expr("p * q")).cast("long").alias("cur_cents"),
+            F.sum(F.expr("p0 * q")).cast("long").alias("base_cents"),
+        )
+        .withColumn(
+            "index_bp", F.expr("(cur_cents * 10000) DIV base_cents")
+        )
+        .orderBy("m")
+    )
+
+
+PRICE_INDEX_PAASCHE_SQL = """
+WITH li AS (
+  SELECT year(CAST(l_shipdate AS DATE)) * 12
+           + month(CAST(l_shipdate AS DATE)) - 1 AS m,
+         l_partkey AS pk,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), per AS (
+  SELECT m, pk, MIN(cents // qty) AS p, SUM(qty) AS q
+  FROM li GROUP BY 1, 2
+), base AS (
+  SELECT pk, p AS p0 FROM per
+  WHERE m = (SELECT MIN(m) FROM per)
+)
+SELECT per.m,
+       CAST(COUNT(*) AS BIGINT) AS basket_parts,
+       CAST(SUM(per.p * per.q) AS BIGINT) AS cur_cents,
+       CAST(SUM(base.p0 * per.q) AS BIGINT) AS base_cents,
+       CAST((SUM(per.p * per.q) * 10000) // SUM(base.p0 * per.q)
+            AS BIGINT) AS index_bp
+FROM per JOIN base ON per.pk = base.pk
+GROUP BY 1
+ORDER BY 1
+"""

@@ -2016,3 +2016,77 @@ FROM fp
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_dominant_dim (r10)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dominant_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-collapse audit: per vector, the 1-based index of the
+    largest-|x| component; vectors counted into a (label,
+    dominant_dim) grid with each cell's share of its label (bp).
+    embedding_peakiness asks HOW dominant the top axis is; this asks
+    WHICH axis dominates — a label whose mass piles onto one index
+    is encoded by a private dimension (rogue/dead feature), and an
+    index dominating across MANY labels is a scaling artifact the
+    whole space leans on. The index is recovered by positional
+    equality against the per-vector max of the same transformed
+    array, so both engines pick the identical (first) position.
+
+    Plan (100 TB): map-only per-vector signals (two higher-order
+    folds over the pruned embedding column, no UDF) → one
+    ≤|labels|×d-cell agg; the share window runs on the grid."""
+    abs_arr = "transform(embedding, x -> abs(cast(x AS double)))"
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "label",
+            F.expr(
+                f"CAST(array_position({abs_arr}, "
+                f"array_max({abs_arr})) AS BIGINT)"
+            ).alias("dom_dim"),
+            F.expr(f"array_max({abs_arr})").alias("mx"),
+        )
+        .where(F.col("mx") > 0.0)
+    )
+    grid = emb.groupBy("label", "dom_dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return (
+        grid.withColumn(
+            "label_share_bp",
+            F.expr(
+                "(n_vectors * 10000) DIV "
+                "(SUM(n_vectors) OVER (PARTITION BY label))"
+            ),
+        )
+        .orderBy("label", "dom_dim")
+    )
+
+
+EMBEDDING_DOMINANT_DIM_SQL = """
+WITH emb AS (
+  SELECT label,
+         CAST(list_position(
+                list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                list_max(
+                  list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+              ) AS BIGINT) AS dom_dim,
+         list_max(
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))
+         ) AS mx
+  FROM embeddings
+), grid AS (
+  SELECT label, dom_dim, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM emb WHERE mx > 0.0
+  GROUP BY 1, 2
+)
+SELECT label, dom_dim, n_vectors,
+       (n_vectors * 10000) //
+         CAST(SUM(n_vectors) OVER (PARTITION BY label) AS BIGINT)
+         AS label_share_bp
+FROM grid
+ORDER BY label, dom_dim
+"""

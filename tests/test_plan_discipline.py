@@ -49,6 +49,13 @@ BUDGETS = {
     "brand_type_span": 2,
     "segment_balance_profile": 1,
     "dup_length_bias": 2,
+    # batch 3: the endpoint window + per-session collapse reuse the
+    # session lattice's user_id hash; the extra two exchanges are the
+    # bounded entry×exit grid's agg + share window
+    "session_entry_exit_matrix": 3,
+    "brand_return_exposure": 1,
+    "price_index_paasche": 3,
+    "embedding_dominant_dim": 2,
     "session_threshold_sensitivity": 1,
     "monthly_new_vs_repeat_revenue": 2,
     "spend_consistency_bands": 2,
