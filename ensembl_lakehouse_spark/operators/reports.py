@@ -5395,7 +5395,14 @@ def price_index_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("p0 * q0")).cast("long").alias("base_cents"),
         )
         .withColumn(
-            "index_bp", F.expr("(cur_cents * 10000) DIV base_cents")
+            # the monthly Σ p·q₀ numerator ×10⁴ can brush BIGINT at
+            # the 100 TB target — DECIMAL(38,0) numerator, truncating
+            # DIV (the lift-op rule; oracle uses HUGEINT //)
+            "index_bp",
+            F.expr(
+                "CAST((CAST(cur_cents AS DECIMAL(38,0)) * 10000) "
+                "DIV base_cents AS BIGINT)"
+            ),
         )
         .orderBy("m")
     )
@@ -5420,8 +5427,8 @@ SELECT per.m,
        CAST(COUNT(*) AS BIGINT) AS basket_parts,
        CAST(SUM(per.p * base.q0) AS BIGINT) AS cur_cents,
        CAST(SUM(base.p0 * base.q0) AS BIGINT) AS base_cents,
-       CAST((SUM(per.p * base.q0) * 10000) // SUM(base.p0 * base.q0)
-            AS BIGINT) AS index_bp
+       CAST((CAST(SUM(per.p * base.q0) AS HUGEINT) * 10000)
+            // SUM(base.p0 * base.q0) AS BIGINT) AS index_bp
 FROM per JOIN base ON per.pk = base.pk
 GROUP BY 1
 ORDER BY 1
@@ -5915,10 +5922,15 @@ def brand_return_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn(
+            # a per-brand CENTS sum ×10⁴ can brush BIGINT at the
+            # 100 TB target (≈10¹⁷ cents · 10⁴ > 2⁶³), so the
+            # numerator runs in DECIMAL(38,0); Spark DIV on decimals
+            # truncates like DuckDB HUGEINT // (the lift-op rule —
+            # DuckDB DECIMAL // would round)
             "value_at_risk_bp",
             F.expr(
-                "CAST((returned_cents * 10000) DIV revenue_cents "
-                "AS BIGINT)"
+                "CAST((CAST(returned_cents AS DECIMAL(38,0)) * 10000)"
+                " DIV revenue_cents AS BIGINT)"
             ),
         )
         .orderBy("p_brand")
@@ -5938,10 +5950,10 @@ SELECT p_brand,
             AS BIGINT) AS returned_cents,
        CAST((SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
              * 10000) // COUNT(*) AS BIGINT) AS return_rate_bp,
-       CAST((SUM(CASE WHEN l_returnflag = 'R'
-                      THEN CAST(floor(l_extendedprice * 100 + 0.5)
-                                AS BIGINT)
-                      ELSE 0 END) * 10000)
+       CAST((CAST(SUM(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)
+                           ELSE 0 END) AS HUGEINT) * 10000)
             // SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
             AS BIGINT) AS value_at_risk_bp
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -5999,7 +6011,14 @@ def price_index_paasche(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("p0 * q")).cast("long").alias("base_cents"),
         )
         .withColumn(
-            "index_bp", F.expr("(cur_cents * 10000) DIV base_cents")
+            # the monthly Σ p·q numerator ×10⁴ can brush BIGINT at
+            # the 100 TB target — DECIMAL(38,0) numerator, truncating
+            # DIV (the lift-op rule; oracle uses HUGEINT //)
+            "index_bp",
+            F.expr(
+                "CAST((CAST(cur_cents AS DECIMAL(38,0)) * 10000) "
+                "DIV base_cents AS BIGINT)"
+            ),
         )
         .orderBy("m")
     )
@@ -6024,8 +6043,8 @@ SELECT per.m,
        CAST(COUNT(*) AS BIGINT) AS basket_parts,
        CAST(SUM(per.p * per.q) AS BIGINT) AS cur_cents,
        CAST(SUM(base.p0 * per.q) AS BIGINT) AS base_cents,
-       CAST((SUM(per.p * per.q) * 10000) // SUM(base.p0 * per.q)
-            AS BIGINT) AS index_bp
+       CAST((CAST(SUM(per.p * per.q) AS HUGEINT) * 10000)
+            // SUM(base.p0 * per.q) AS BIGINT) AS index_bp
 FROM per JOIN base ON per.pk = base.pk
 GROUP BY 1
 ORDER BY 1
