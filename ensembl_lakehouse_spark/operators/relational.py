@@ -4062,7 +4062,10 @@ def order_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "rev_share_bp",
-            F.expr("(rev_cents * 10000) DIV SUM(rev_cents) OVER ()"),
+            F.expr(
+                "CAST((CAST(rev_cents AS DECIMAL(38,0)) * 10000) DIV "
+                "SUM(rev_cents) OVER () AS BIGINT)"
+            ),
         )
         .select(
             "band", "n_orders", "lines", "rev_cents",
@@ -4098,8 +4101,8 @@ WITH per_order AS (
 SELECT band, n_orders, lines, rev_cents,
        (n_orders * 10000) // CAST(SUM(n_orders) OVER () AS BIGINT)
          AS order_share_bp,
-       (rev_cents * 10000) // CAST(SUM(rev_cents) OVER () AS BIGINT)
-         AS rev_share_bp
+       CAST((CAST(rev_cents AS HUGEINT) * 10000)
+            // SUM(rev_cents) OVER () AS BIGINT) AS rev_share_bp
 FROM agg
 ORDER BY band
 """

@@ -664,7 +664,10 @@ def discount_band_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.crossJoin(F.broadcast(total))
         .withColumn(
             "revenue_share_bp",
-            F.expr("(revenue_cents * 10000) DIV total_cents"),
+            F.expr(
+                "CAST((CAST(revenue_cents AS DECIMAL(38,0)) * 10000)"
+                " DIV total_cents AS BIGINT)"
+            ),
         )
         .select(
             "band_pct", "n_lines", "total_qty", "revenue_cents",
@@ -692,7 +695,8 @@ WITH li AS (
   SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total_cents FROM bands
 )
 SELECT band_pct, n_lines, total_qty, revenue_cents,
-       (revenue_cents * 10000) // total_cents AS revenue_share_bp
+       CAST((CAST(revenue_cents AS HUGEINT) * 10000) // total_cents
+            AS BIGINT) AS revenue_share_bp
 FROM bands CROSS JOIN total
 ORDER BY band_pct
 """
@@ -1550,7 +1554,8 @@ def region_revenue_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.withColumn(
             "share_bp",
             F.expr(
-                "(rev_cents * 10000) DIV SUM(rev_cents) OVER (PARTITION BY yr)"
+                "CAST((CAST(rev_cents AS DECIMAL(38,0)) * 10000) DIV "
+                "SUM(rev_cents) OVER (PARTITION BY yr) AS BIGINT)"
             ),
         )
         .withColumn(
@@ -1579,8 +1584,8 @@ WITH cells AS (
   GROUP BY 1, 2
 ), shared AS (
   SELECT r_name, yr, rev_cents,
-         (rev_cents * 10000)
-           // CAST(SUM(rev_cents) OVER (PARTITION BY yr) AS BIGINT)
+         CAST((CAST(rev_cents AS HUGEINT) * 10000)
+           // SUM(rev_cents) OVER (PARTITION BY yr) AS BIGINT)
            AS share_bp
   FROM cells
 )
@@ -1635,11 +1640,17 @@ def part_type_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg.withColumn(
             "giveback_bp",
-            F.expr("((list_cents - net_cents) * 10000) DIV list_cents"),
+            F.expr(
+                "CAST((CAST(list_cents - net_cents AS DECIMAL(38,0)) "
+                "* 10000) DIV list_cents AS BIGINT)"
+            ),
         )
         .withColumn(
             "revenue_share_bp",
-            F.expr("(net_cents * 10000) DIV SUM(net_cents) OVER ()"),
+            F.expr(
+                "CAST((CAST(net_cents AS DECIMAL(38,0)) * 10000) DIV "
+                "SUM(net_cents) OVER () AS BIGINT)"
+            ),
         )
         .select(
             "p_type", "n_lines", "list_cents", "net_cents",
@@ -1662,9 +1673,10 @@ WITH agg AS (
   GROUP BY p_type
 )
 SELECT p_type, n_lines, list_cents, net_cents,
-       ((list_cents - net_cents) * 10000) // list_cents AS giveback_bp,
-       (net_cents * 10000) // CAST(SUM(net_cents) OVER () AS BIGINT)
-         AS revenue_share_bp
+       CAST((CAST(list_cents - net_cents AS HUGEINT) * 10000)
+            // list_cents AS BIGINT) AS giveback_bp,
+       CAST((CAST(net_cents AS HUGEINT) * 10000)
+            // SUM(net_cents) OVER () AS BIGINT) AS revenue_share_bp
 FROM agg
 ORDER BY p_type
 """
@@ -1701,11 +1713,18 @@ def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("rev_cents"),
         )
         .withColumn(
-            "share_bp", F.expr("(rev_cents * 10000) DIV SUM(rev_cents) OVER ()")
+            "share_bp",
+            F.expr(
+                "CAST((CAST(rev_cents AS DECIMAL(38,0)) * 10000) DIV "
+                "SUM(rev_cents) OVER () AS BIGINT)"
+            ),
         )
         .withColumn(
             "index_bp",
-            F.expr("(rev_cents * 120000) DIV SUM(rev_cents) OVER ()"),
+            F.expr(
+                "CAST((CAST(rev_cents AS DECIMAL(38,0)) * 120000) DIV "
+                "SUM(rev_cents) OVER () AS BIGINT)"
+            ),
         )
         .select("mon", "n_orders", "rev_cents", "share_bp", "index_bp")
         .orderBy("mon")
@@ -1721,10 +1740,10 @@ WITH agg AS (
   FROM orders GROUP BY 1
 )
 SELECT mon, n_orders, rev_cents,
-       (rev_cents * 10000) // CAST(SUM(rev_cents) OVER () AS BIGINT)
-         AS share_bp,
-       (rev_cents * 120000) // CAST(SUM(rev_cents) OVER () AS BIGINT)
-         AS index_bp
+       CAST((CAST(rev_cents AS HUGEINT) * 10000)
+            // SUM(rev_cents) OVER () AS BIGINT) AS share_bp,
+       CAST((CAST(rev_cents AS HUGEINT) * 120000)
+            // SUM(rev_cents) OVER () AS BIGINT) AS index_bp
 FROM agg
 ORDER BY mon
 """
@@ -3246,7 +3265,8 @@ def supplier_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "pos_share_bp",
             F.expr(
-                "(pos_cents * 10000) DIV SUM(pos_cents) OVER ()"
+                "CAST((CAST(pos_cents AS DECIMAL(38,0)) * 10000) DIV "
+                "SUM(pos_cents) OVER () AS BIGINT)"
             ),
         )
         .orderBy("decile")
@@ -3271,8 +3291,8 @@ WITH tiled AS (
   FROM tiled GROUP BY 1
 )
 SELECT decile, n_suppliers, min_cents, max_cents, sum_cents, pos_cents,
-       (pos_cents * 10000) // CAST(SUM(pos_cents) OVER () AS BIGINT)
-         AS pos_share_bp
+       CAST((CAST(pos_cents AS HUGEINT) * 10000)
+            // SUM(pos_cents) OVER () AS BIGINT) AS pos_share_bp
 FROM agg
 ORDER BY decile
 """
@@ -3584,7 +3604,7 @@ def holiday_revenue_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "share_bp",
             F.expr(
-                "CAST((revenue_cents * 10000) DIV "
+                "CAST((CAST(revenue_cents AS DECIMAL(38,0)) * 10000) DIV "
                 "(SUM(revenue_cents) OVER (PARTITION BY year)) AS BIGINT)"
             ),
         )
@@ -3632,8 +3652,8 @@ WITH o AS (
 )
 SELECT year, day_class, n_days, n_orders, revenue_cents,
        revenue_cents // n_days AS rev_per_day_cents,
-       (revenue_cents * 10000) //
-         CAST(SUM(revenue_cents) OVER (PARTITION BY year) AS BIGINT)
+       CAST((CAST(revenue_cents AS HUGEINT) * 10000) //
+         SUM(revenue_cents) OVER (PARTITION BY year) AS BIGINT)
          AS share_bp
 FROM cells
 ORDER BY year, day_class
@@ -3729,7 +3749,10 @@ def returns_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "returned_rev_bp",
-            F.expr("(returned_cents * 10000) DIV revenue_cents"),
+            F.expr(
+                "CAST((CAST(returned_cents AS DECIMAL(38,0)) * 10000)"
+                " DIV revenue_cents AS BIGINT)"
+            ),
         )
         .orderBy("month")
     )
@@ -3752,7 +3775,8 @@ WITH li AS (
 )
 SELECT month, n_lines, returned_lines, revenue_cents, returned_cents,
        (returned_lines * 10000) // n_lines AS return_rate_bp,
-       (returned_cents * 10000) // revenue_cents AS returned_rev_bp
+       CAST((CAST(returned_cents AS HUGEINT) * 10000)
+            // revenue_cents AS BIGINT) AS returned_rev_bp
 FROM agg
 ORDER BY month
 """
@@ -4126,7 +4150,10 @@ def tax_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "effective_tax_bp",
-            F.expr("(tax_cents * 10000) DIV revenue_cents"),
+            F.expr(
+                "CAST((CAST(tax_cents AS DECIMAL(38,0)) * 10000) "
+                "DIV revenue_cents AS BIGINT)"
+            ),
         )
         .orderBy("band_pct")
     )
@@ -4145,8 +4172,8 @@ WITH li AS (
 SELECT band_pct, CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents,
        CAST(SUM(tax_cents) AS BIGINT) AS tax_cents,
-       (CAST(SUM(tax_cents) AS BIGINT) * 10000) //
-         CAST(SUM(rev_cents) AS BIGINT) AS effective_tax_bp
+       CAST((CAST(SUM(tax_cents) AS HUGEINT) * 10000) //
+         CAST(SUM(rev_cents) AS BIGINT) AS BIGINT) AS effective_tax_bp
 FROM li
 GROUP BY band_pct
 ORDER BY band_pct
@@ -4574,8 +4601,8 @@ def region_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn(
             "region_share_bp",
             F.expr(
-                "(revenue_cents * 10000) DIV "
-                "(SUM(revenue_cents) OVER (PARTITION BY r_name))"
+                "CAST((CAST(revenue_cents AS DECIMAL(38,0)) * 10000) DIV "
+                "(SUM(revenue_cents) OVER (PARTITION BY r_name)) AS BIGINT)"
             ),
         )
         .orderBy("r_name", "c_mktsegment")
@@ -4595,8 +4622,8 @@ WITH agg AS (
   GROUP BY 1, 2
 )
 SELECT r_name, c_mktsegment, n_orders, revenue_cents,
-       (revenue_cents * 10000) //
-         CAST(SUM(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT)
+       CAST((CAST(revenue_cents AS HUGEINT) * 10000) //
+         SUM(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT)
          AS region_share_bp
 FROM agg
 ORDER BY r_name, c_mktsegment
@@ -5309,7 +5336,10 @@ def tax_discount_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "take_rate_bp",
-            F.expr("(take_cents * 10000) DIV gross_cents"),
+            F.expr(
+                "CAST((CAST(take_cents AS DECIMAL(38,0)) * 10000) "
+                "DIV gross_cents AS BIGINT)"
+            ),
         )
         .orderBy("tax_pct", "discount_band")
     )
@@ -5338,8 +5368,8 @@ SELECT tax_pct, discount_band,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(SUM(gross_cents) AS BIGINT) AS gross_cents,
        CAST(SUM(take_cents) AS BIGINT) AS take_cents,
-       (CAST(SUM(take_cents) AS BIGINT) * 10000) //
-         CAST(SUM(gross_cents) AS BIGINT) AS take_rate_bp
+       CAST((CAST(SUM(take_cents) AS HUGEINT) * 10000) //
+         CAST(SUM(gross_cents) AS BIGINT) AS BIGINT) AS take_rate_bp
 FROM banded
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -5466,8 +5496,8 @@ def status_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn(
             "status_share_bp",
             F.expr(
-                "(cents * 10000) DIV SUM(cents) OVER "
-                "(PARTITION BY o_orderstatus)"
+                "CAST((CAST(cents AS DECIMAL(38,0)) * 10000) DIV "
+                "SUM(cents) OVER (PARTITION BY o_orderstatus) AS BIGINT)"
             ),
         )
         .orderBy("o_orderstatus", "o_orderpriority")
@@ -5483,7 +5513,7 @@ WITH agg AS (
   FROM orders GROUP BY 1, 2
 )
 SELECT o_orderstatus, o_orderpriority, n_orders, cents,
-       CAST((cents * 10000) // SUM(cents)
+       CAST((CAST(cents AS HUGEINT) * 10000) // SUM(cents)
             OVER (PARTITION BY o_orderstatus) AS BIGINT)
          AS status_share_bp
 FROM agg
@@ -5754,7 +5784,8 @@ def monthly_new_vs_repeat_revenue(
         .withColumn(
             "new_share_bp",
             F.expr(
-                "(new_cents * 10000) DIV (new_cents + repeat_cents)"
+                "CAST((CAST(new_cents AS DECIMAL(38,0)) * 10000) DIV "
+                "(new_cents + repeat_cents) AS BIGINT)"
             ),
         )
         .orderBy("m")
@@ -5777,8 +5808,8 @@ SELECT o.m,
             AS BIGINT) AS new_cents,
        CAST(SUM(CASE WHEN o.m <> first.m0 THEN o.cents ELSE 0 END)
             AS BIGINT) AS repeat_cents,
-       CAST((SUM(CASE WHEN o.m = first.m0 THEN o.cents ELSE 0 END)
-             * 10000)
+       CAST((CAST(SUM(CASE WHEN o.m = first.m0 THEN o.cents
+                           ELSE 0 END) AS HUGEINT) * 10000)
             // SUM(o.cents) AS BIGINT) AS new_share_bp
 FROM o JOIN first USING (o_custkey)
 GROUP BY 1
