@@ -55,6 +55,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the first-50 window leads with this round's new operators,
         # followed by certified filler; the no-oracle entries stay
         # out of the window).
+        # --- Round-10 batch 4: batch-packing economics, activation
+        # latency, length-distribution drift.
+        "packing_efficiency": T.packing_efficiency,
+        "first_purchase_latency_bands": R.first_purchase_latency_bands,
+        "source_length_skew": T.source_length_skew,
         # --- Round-10 batch 3: session flow endpoints, returns
         # exposure, the Paasche index twin, embedding axis collapse.
         "session_entry_exit_matrix": R.session_entry_exit_matrix,
@@ -447,6 +452,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- Round-10 batch 4.
+        "packing_efficiency": T.PACKING_EFFICIENCY_SQL,
+        "first_purchase_latency_bands":
+            R.FIRST_PURCHASE_LATENCY_BANDS_SQL,
+        "source_length_skew": T.SOURCE_LENGTH_SKEW_SQL,
         # --- Round-10 batch 3.
         "session_entry_exit_matrix": R.SESSION_ENTRY_EXIT_MATRIX_SQL,
         "brand_return_exposure": RP.BRAND_RETURN_EXPOSURE_SQL,

@@ -5830,3 +5830,81 @@ SELECT entry_type, exit_type, n_sessions,
 FROM grid
 ORDER BY entry_type, exit_type
 """
+
+
+# ---------------------------------------------------------------------------
+# first_purchase_latency_bands (r10)
+# ---------------------------------------------------------------------------
+
+
+def first_purchase_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation latency: per user, the gap from their FIRST event
+    ever to their first purchase, banded (<1 h / same day / within a
+    week / over a week / never purchased) with each band's user
+    share in bp. user_first_day_value prices day-0 activity and
+    events_asof_forward times click→purchase pairs; this times the
+    whole account: where the conversion mass sits tells whether
+    onboarding or long-cycle nurture is the binding funnel stage.
+    Timestamps truncate to whole seconds on BOTH engines
+    (unix_timestamp ↔ floor(epoch)) so band edges cannot straddle a
+    sub-second divergence.
+
+    Plan (100 TB): one user-keyed partial agg carrying (min ts,
+    min purchase ts) — map-side combine does the funnel — then a
+    ≤5-row band agg; the share window runs on those bands."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("CAST(floor(unix_timestamp(MIN(ts))) AS BIGINT)").alias(
+            "t0"
+        ),
+        F.expr(
+            "CAST(floor(unix_timestamp(MIN(CASE WHEN event_type = "
+            "'purchase' THEN ts END))) AS BIGINT)"
+        ).alias("tp"),
+    )
+    banded = per_user.select(
+        F.expr(
+            "CASE WHEN tp IS NULL THEN 'e_never' "
+            "WHEN tp - t0 < 3600 THEN 'a_under_1h' "
+            "WHEN tp - t0 < 86400 THEN 'b_same_day' "
+            "WHEN tp - t0 < 604800 THEN 'c_within_week' "
+            "ELSE 'd_over_week' END"
+        ).alias("band")
+    )
+    return (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .withColumn(
+            "user_share_bp",
+            F.expr("(n_users * 10000) DIV SUM(n_users) OVER ()"),
+        )
+        .orderBy("band")
+    )
+
+
+FIRST_PURCHASE_LATENCY_BANDS_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t0,
+         CAST(floor(epoch(MIN(CASE WHEN event_type = 'purchase'
+                                   THEN ts END))) AS BIGINT) AS tp
+  FROM events GROUP BY 1
+), banded AS (
+  SELECT CASE WHEN tp IS NULL THEN 'e_never'
+              WHEN tp - t0 < 3600 THEN 'a_under_1h'
+              WHEN tp - t0 < 86400 THEN 'b_same_day'
+              WHEN tp - t0 < 604800 THEN 'c_within_week'
+              ELSE 'd_over_week' END AS band
+  FROM per_user
+), agg AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM banded GROUP BY 1
+)
+SELECT band, n_users,
+       (n_users * 10000) // CAST(SUM(n_users) OVER () AS BIGINT)
+         AS user_share_bp
+FROM agg
+ORDER BY band
+"""

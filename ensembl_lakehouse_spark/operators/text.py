@@ -3066,3 +3066,153 @@ def quality_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# packing_efficiency (r10)
+# ---------------------------------------------------------------------------
+
+
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch packing audit: per source, the token waste of
+    per-document padding (every doc rounded up to 512-token chunks —
+    the pad-to-max collator) vs GPT-style concat-then-chunk packing
+    (waste = only the final partial block), with the padded-waste
+    share in bp. pack_sequences BUILDS the packed batches; this
+    prices the decision — a short-doc source can waste half its
+    compute on pad tokens, and the delta column is the bp of
+    accelerator time packing buys back. Integer arithmetic end to
+    end (ceil via (n + 511) DIV 512), so both engines agree bitwise.
+
+    Plan (100 TB): map-only per-doc token counts (the shared
+    whitespace tokenizer) → one ≤|sources| partial agg; the packed
+    waste is modular arithmetic on the aggregated total."""
+    toks = _docs_with_tokens(spark, sf_dir).select(
+        "source", F.size("toks").cast("long").alias("n")
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(F.expr("((n + 511) DIV 512) * 512 - n"))
+            .cast("long")
+            .alias("padded_waste"),
+        )
+        .withColumn(
+            "packed_waste",
+            F.expr("CAST((512 - total_tokens % 512) % 512 AS BIGINT)"),
+        )
+        .withColumn(
+            "padded_waste_bp",
+            F.expr(
+                "CAST((padded_waste * 10000) DIV "
+                "(total_tokens + padded_waste) AS BIGINT)"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+PACKING_EFFICIENCY_SQL = """
+WITH t AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents WHERE length(trim(text)) > 0
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens,
+         CAST(SUM(((n + 511) // 512) * 512 - n) AS BIGINT)
+           AS padded_waste
+  FROM t GROUP BY 1
+)
+SELECT source, n_docs, total_tokens, padded_waste,
+       CAST((512 - total_tokens % 512) % 512 AS BIGINT) AS packed_waste,
+       CAST((padded_waste * 10000) // (total_tokens + padded_waste)
+            AS BIGINT) AS padded_waste_bp
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_length_skew (r10)
+# ---------------------------------------------------------------------------
+
+
+def source_length_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution drift per source: documents banded by
+    n_chars (<100 / <300 / <1000 / <3000 / 3000+), each (source,
+    band) cell carrying the source's share of that band's docs vs
+    the CORPUS share of the band, and the signed gap in bp — a
+    source whose mass sits far from the corpus profile (all tweets,
+    or all books) needs its own curation thresholds before mixing.
+    doc_lang_source_matrix counts composition; this compares
+    DISTRIBUTIONS. Cells a source lacks are absent rows (the grid is
+    an audit table, not a scalar distance). Integer DIV shares on
+    both engines.
+
+    Plan (100 TB): map-only banding → one ≤|sources|×5 partial agg;
+    the two share windows run on the bounded grid."""
+    banded = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            "CASE WHEN n_chars < 100 THEN 'a_lt100' "
+            "WHEN n_chars < 300 THEN 'b_lt300' "
+            "WHEN n_chars < 1000 THEN 'c_lt1000' "
+            "WHEN n_chars < 3000 THEN 'd_lt3000' "
+            "ELSE 'e_3000plus' END"
+        ).alias("band"),
+    )
+    grid = banded.groupBy("source", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        grid.withColumn(
+            "src_share_bp",
+            F.expr(
+                "(n_docs * 10000) DIV "
+                "(SUM(n_docs) OVER (PARTITION BY source))"
+            ),
+        )
+        .withColumn(
+            "corpus_share_bp",
+            F.expr(
+                "(SUM(n_docs) OVER (PARTITION BY band) * 10000) DIV "
+                "(SUM(n_docs) OVER ())"
+            ),
+        )
+        .withColumn(
+            "skew_bp", F.expr("src_share_bp - corpus_share_bp")
+        )
+        .orderBy("source", "band")
+    )
+
+
+SOURCE_LENGTH_SKEW_SQL = """
+WITH banded AS (
+  SELECT source,
+         CASE WHEN n_chars < 100 THEN 'a_lt100'
+              WHEN n_chars < 300 THEN 'b_lt300'
+              WHEN n_chars < 1000 THEN 'c_lt1000'
+              WHEN n_chars < 3000 THEN 'd_lt3000'
+              ELSE 'e_3000plus' END AS band
+  FROM documents
+), grid AS (
+  SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM banded GROUP BY 1, 2
+), shared AS (
+  SELECT source, band, n_docs,
+         (n_docs * 10000)
+           // CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)
+           AS src_share_bp,
+         (CAST(SUM(n_docs) OVER (PARTITION BY band) AS BIGINT) * 10000)
+           // CAST(SUM(n_docs) OVER () AS BIGINT) AS corpus_share_bp
+  FROM grid
+)
+SELECT source, band, n_docs, src_share_bp, corpus_share_bp,
+       src_share_bp - corpus_share_bp AS skew_bp
+FROM shared
+ORDER BY source, band
+"""

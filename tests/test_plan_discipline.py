@@ -49,6 +49,11 @@ BUDGETS = {
     "brand_type_span": 2,
     "segment_balance_profile": 1,
     "dup_length_bias": 2,
+    # batch 4: map-only prep → one bounded-grid agg each; the user
+    # funnel adds its user-keyed partial agg
+    "packing_efficiency": 1,
+    "first_purchase_latency_bands": 2,
+    "source_length_skew": 1,
     # batch 3: the endpoint window + per-session collapse reuse the
     # session lattice's user_id hash; the extra two exchanges are the
     # bounded entry×exit grid's agg + share window
