@@ -1028,7 +1028,10 @@ def nation_trade_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total", F.expr("SUM(n_trades) OVER ()"))
         .withColumn(
             "lift_bp",
-            F.expr("(n_trades * total * 10000) DIV (row_tot * col_tot)"),
+            F.expr(
+                "CAST((CAST(n_trades AS DECIMAL(38,0)) * total * 10000) "
+                "DIV (CAST(row_tot AS DECIMAL(38,0)) * col_tot) AS BIGINT)"
+            ),
         )
         .select("src", "dst", "n_trades", "lift_bp")
         .orderBy("src", "dst")
@@ -1045,7 +1048,8 @@ scored AS (
   FROM trade
 )
 SELECT src, dst, n_trades,
-       (n_trades * total * 10000) // (row_tot * col_tot) AS lift_bp
+       CAST((CAST(n_trades AS HUGEINT) * total * 10000)
+            // (CAST(row_tot AS HUGEINT) * col_tot) AS BIGINT) AS lift_bp
 FROM scored
 ORDER BY src, dst
 """

@@ -495,7 +495,10 @@ def revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "growth_bp",
-            F.expr("((rev_cents - prev_cents) * 10000) DIV prev_cents"),
+            F.expr(
+                "CAST((CAST(rev_cents - prev_cents AS DECIMAL(38,0)) "
+                "* 10000) DIV prev_cents AS BIGINT)"
+            ),
         )
         .select("l_returnflag", "ship_year", "rev_cents", "prev_cents", "growth_bp")
         .orderBy("l_returnflag", "ship_year")
@@ -516,8 +519,8 @@ WITH yearly AS (
   FROM yearly
 )
 SELECT l_returnflag, ship_year, rev_cents, prev_cents,
-       CAST(((rev_cents - prev_cents) * 10000) // prev_cents AS BIGINT)
-         AS growth_bp
+       CAST((CAST(rev_cents - prev_cents AS HUGEINT) * 10000)
+            // prev_cents AS BIGINT) AS growth_bp
 FROM lagged
 ORDER BY l_returnflag, ship_year
 """
@@ -1478,7 +1481,11 @@ def segment_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("total", F.expr("SUM(n) OVER ()"))
         .withColumn(
-            "lift_bp", F.expr("(n * total * 10000) DIV (row_tot * col_tot)")
+            "lift_bp",
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * total * 10000) DIV "
+                "(CAST(row_tot AS DECIMAL(38,0)) * col_tot) AS BIGINT)"
+            ),
         )
         .select("c_mktsegment", "o_orderpriority", "n", "lift_bp")
         .orderBy("c_mktsegment", "o_orderpriority")
@@ -1499,7 +1506,8 @@ WITH cells AS (
   FROM cells
 )
 SELECT c_mktsegment, o_orderpriority, n,
-       (n * total * 10000) // (row_tot * col_tot) AS lift_bp
+       CAST((CAST(n AS HUGEINT) * total * 10000)
+            // (CAST(row_tot AS HUGEINT) * col_tot) AS BIGINT) AS lift_bp
 FROM scored
 ORDER BY c_mktsegment, o_orderpriority
 """
@@ -2045,7 +2053,10 @@ def part_name_price_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mean_cents", F.expr("sum_cents DIV n_parts"))
         .withColumn(
             "lift_bp",
-            F.expr("(sum_cents * g_n * 10000) DIV (n_parts * g_sum)"),
+            F.expr(
+                "CAST((CAST(sum_cents AS DECIMAL(38,0)) * g_n * 10000) "
+                "DIV (CAST(n_parts AS DECIMAL(38,0)) * g_sum) AS BIGINT)"
+            ),
         )
         .select("term", "n_parts", "mean_cents", "lift_bp")
         .orderBy(F.desc("lift_bp"), F.asc("term"))
@@ -2072,7 +2083,8 @@ WITH p AS (
 )
 SELECT term, n_parts,
        sum_cents // n_parts AS mean_cents,
-       (sum_cents * g_n * 10000) // (n_parts * g_sum) AS lift_bp
+       CAST((CAST(sum_cents AS HUGEINT) * g_n * 10000)
+            // (CAST(n_parts AS HUGEINT) * g_sum) AS BIGINT) AS lift_bp
 FROM per_term, total
 WHERE n_parts >= {NAME_TERM_MIN_SUPPORT}
 ORDER BY lift_bp DESC, term ASC
@@ -2305,8 +2317,8 @@ def calendar_adjusted_monthly_index(spark: SparkSession, sf_dir: str) -> DataFra
         .withColumn(
             "index_bp",
             F.expr(
-                "(rev_per_day * 10000) DIV (SUM(rev_cents) OVER () "
-                "DIV SUM(days) OVER ())"
+                "CAST((CAST(rev_per_day AS DECIMAL(38,0)) * 10000) DIV "
+                "(SUM(rev_cents) OVER () DIV SUM(days) OVER ()) AS BIGINT)"
             ),
         )
         .select(
@@ -2336,9 +2348,9 @@ WITH o AS (
 )
 SELECT mon, n_orders, rev_cents, days,
        rev_cents // days AS rev_per_day,
-       ((rev_cents // days) * 10000)
+       CAST((CAST(rev_cents // days AS HUGEINT) * 10000)
          // (CAST(SUM(rev_cents) OVER () AS BIGINT)
-             // CAST(SUM(days) OVER () AS BIGINT)) AS index_bp
+             // CAST(SUM(days) OVER () AS BIGINT)) AS BIGINT) AS index_bp
 FROM m
 ORDER BY mon
 """
@@ -3687,8 +3699,8 @@ def orders_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "index_bp",
             F.expr(
-                "CAST((revenue_cents * 7 * 10000) DIV "
-                "(SUM(revenue_cents) OVER ()) AS BIGINT)"
+                "CAST((CAST(revenue_cents AS DECIMAL(38,0)) * 7 * 10000) "
+                "DIV (SUM(revenue_cents) OVER ()) AS BIGINT)"
             ),
         )
         .orderBy("weekday")
@@ -3708,8 +3720,8 @@ WITH o AS (
   FROM o GROUP BY 1
 )
 SELECT weekday, n_orders, revenue_cents,
-       (revenue_cents * 7 * 10000) //
-         CAST(SUM(revenue_cents) OVER () AS BIGINT) AS index_bp
+       CAST((CAST(revenue_cents AS HUGEINT) * 7 * 10000) //
+         SUM(revenue_cents) OVER () AS BIGINT) AS index_bp
 FROM agg
 ORDER BY weekday
 """

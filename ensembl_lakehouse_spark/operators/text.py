@@ -3080,8 +3080,9 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (waste = only the final partial block), with the padded-waste
     share in bp. pack_sequences BUILDS the packed batches; this
     prices the decision — a short-doc source can waste half its
-    compute on pad tokens, and the delta column is the bp of
-    accelerator time packing buys back. Integer arithmetic end to
+    compute on pad tokens; padded_waste_bp against the near-zero
+    packed_waste is the accelerator time packing buys back. Integer
+    arithmetic end to
     end (ceil via (n + 511) DIV 512), so both engines agree bitwise.
 
     Plan (100 TB): map-only per-doc token counts (the shared
@@ -3144,8 +3145,8 @@ ORDER BY source
 def source_length_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-distribution drift per source: documents banded by
     n_chars (<100 / <300 / <1000 / <3000 / 3000+), each (source,
-    band) cell carrying the source's share of that band's docs vs
-    the CORPUS share of the band, and the signed gap in bp — a
+    band) cell carrying the band's share of the SOURCE's docs vs the
+    band's share of the whole corpus, and the signed gap in bp — a
     source whose mass sits far from the corpus profile (all tweets,
     or all books) needs its own curation thresholds before mixing.
     doc_lang_source_matrix counts composition; this compares
