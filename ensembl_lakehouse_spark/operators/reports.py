@@ -576,19 +576,22 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(
                 F.expr(
-                    "CAST(CASE WHEN cum_prev * 100 < total_cents * 50 "
+                    "CAST(CASE WHEN CAST(cum_prev AS DECIMAL(38,0)) * 100 < "
+                    "CAST(total_cents AS DECIMAL(38,0)) * 50 "
                     "THEN 1 ELSE 0 END AS BIGINT)"
                 )
             ).alias("n_top50"),
             F.sum(
                 F.expr(
-                    "CAST(CASE WHEN cum_prev * 100 < total_cents * 80 "
+                    "CAST(CASE WHEN CAST(cum_prev AS DECIMAL(38,0)) * 100 < "
+                    "CAST(total_cents AS DECIMAL(38,0)) * 80 "
                     "THEN 1 ELSE 0 END AS BIGINT)"
                 )
             ).alias("n_top80"),
             F.sum(
                 F.expr(
-                    "CAST(CASE WHEN cum_prev * 100 < total_cents * 95 "
+                    "CAST(CASE WHEN CAST(cum_prev AS DECIMAL(38,0)) * 100 < "
+                    "CAST(total_cents AS DECIMAL(38,0)) * 95 "
                     "THEN 1 ELSE 0 END AS BIGINT)"
                 )
             ).alias("n_top95"),
@@ -616,11 +619,14 @@ WITH per_cust AS (
   FROM per_cust
 )
 SELECT c_mktsegment, COUNT(*) AS n_customers,
-       CAST(SUM(CASE WHEN cum_prev * 100 < total_cents * 50
+       CAST(SUM(CASE WHEN CAST(cum_prev AS HUGEINT) * 100
+                     < CAST(total_cents AS HUGEINT) * 50
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_top50,
-       CAST(SUM(CASE WHEN cum_prev * 100 < total_cents * 80
+       CAST(SUM(CASE WHEN CAST(cum_prev AS HUGEINT) * 100
+                     < CAST(total_cents AS HUGEINT) * 80
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
-       CAST(SUM(CASE WHEN cum_prev * 100 < total_cents * 95
+       CAST(SUM(CASE WHEN CAST(cum_prev AS HUGEINT) * 100
+                     < CAST(total_cents AS HUGEINT) * 95
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_top95,
        max(total_cents) AS total_cents
 FROM cum
