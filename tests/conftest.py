@@ -37,3 +37,11 @@ def engine(spark, tmp_path):
     eng.catalog.register_dir(SF_DIR)
     yield eng
     eng.close()
+
+
+def duckdb_scalar(sql: str):
+    """One-value DuckDB oracle probe shared by the per-round pin
+    files (was four hand-synced copies of the same `_scalar`)."""
+    import duckdb
+
+    return duckdb.sql(sql).fetchone()[0]

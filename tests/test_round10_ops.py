@@ -4,17 +4,12 @@ provable identities)."""
 
 from __future__ import annotations
 
-import duckdb
 
 from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import reports as RP
 from ensembl_lakehouse_spark.operators import similarity as S
 from ensembl_lakehouse_spark.operators import text as T
-from tests.conftest import SF_DIR
-
-
-def _scalar(sql: str):
-    return duckdb.sql(sql).fetchone()[0]
+from tests.conftest import SF_DIR, duckdb_scalar
 
 
 def test_session_entry_exit_conserves_sessions(spark):
@@ -32,10 +27,10 @@ def test_session_entry_exit_conserves_sessions(spark):
 
 def test_brand_return_exposure_conserves_lines_and_cents(spark):
     rows = RP.brand_return_exposure(spark, SF_DIR).collect()
-    assert sum(r.n_lines for r in rows) == _scalar(
+    assert sum(r.n_lines for r in rows) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
     )
-    assert sum(r.revenue_cents for r in rows) == _scalar(
+    assert sum(r.revenue_cents for r in rows) == duckdb_scalar(
         "SELECT SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) "
         f"FROM '{SF_DIR}/lineitem.parquet'"
     )
@@ -66,10 +61,10 @@ def test_price_index_laspeyres_base_month_is_par(spark):
 
 def test_embedding_dominant_dim_bounds_and_conservation(spark):
     rows = S.embedding_dominant_dim(spark, SF_DIR).collect()
-    dim = _scalar(
+    dim = duckdb_scalar(
         f"SELECT MAX(len(embedding)) FROM '{SF_DIR}/embeddings.parquet'"
     )
-    nonzero = _scalar(
+    nonzero = duckdb_scalar(
         "SELECT COUNT(*) FROM (SELECT list_max(list_transform(embedding, "
         "x -> abs(CAST(x AS DOUBLE)))) AS mx FROM "
         f"'{SF_DIR}/embeddings.parquet') WHERE mx > 0.0"
@@ -91,7 +86,7 @@ def test_packing_efficiency_padded_dominates_packed(spark):
         assert 0 <= r.packed_waste < 512
         assert 0 <= r.padded_waste_bp <= 10000
     # conservation: token totals match the shared tokenizer's count
-    assert sum(r.total_tokens for r in rows) == _scalar(
+    assert sum(r.total_tokens for r in rows) == duckdb_scalar(
         "SELECT SUM(len(string_split_regex(trim(text), '\\s+'))) FROM "
         f"'{SF_DIR}/documents.parquet' WHERE length(trim(text)) > 0"
     )
@@ -99,14 +94,14 @@ def test_packing_efficiency_padded_dominates_packed(spark):
 
 def test_first_purchase_latency_conserves_users(spark):
     rows = R.first_purchase_latency_bands(spark, SF_DIR).collect()
-    assert sum(r.n_users for r in rows) == _scalar(
+    assert sum(r.n_users for r in rows) == duckdb_scalar(
         f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
     )
     shares = [r.user_share_bp for r in rows]
     assert 10000 - len(shares) < sum(shares) <= 10000
     never = next((r for r in rows if r.band == "e_never"), None)
     if never is not None:
-        assert never.n_users == _scalar(
+        assert never.n_users == duckdb_scalar(
             "SELECT COUNT(*) FROM (SELECT user_id FROM "
             f"'{SF_DIR}/events.parquet' GROUP BY 1 HAVING "
             "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0)"
@@ -115,7 +110,7 @@ def test_first_purchase_latency_conserves_users(spark):
 
 def test_source_length_skew_shares_partition_each_source(spark):
     rows = T.source_length_skew(spark, SF_DIR).collect()
-    assert sum(r.n_docs for r in rows) == _scalar(
+    assert sum(r.n_docs for r in rows) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
     )
     by_source: dict = {}

@@ -4,15 +4,10 @@ monotonicity, cross-run determinism)."""
 
 from __future__ import annotations
 
-import duckdb
 
 from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import text as T
-from tests.conftest import SF_DIR
-
-
-def _scalar(sql: str):
-    return duckdb.sql(sql).fetchone()[0]
+from tests.conftest import SF_DIR, duckdb_scalar
 
 
 def test_text_hapax_ratio_bounds_and_conservation(spark):
@@ -39,7 +34,7 @@ def test_text_ttr_curve_is_monotone_nonincreasing(spark):
     rows = sorted(T.text_ttr_curve(spark, SF_DIR).collect(), key=lambda r: r.band)
     assert rows
     n_docs = sum(r.n_docs for r in rows)
-    assert n_docs == _scalar(
+    assert n_docs == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet' "
         "WHERE length(trim(text)) > 0"
     )
@@ -74,11 +69,11 @@ def test_events_dow_anomaly_rows_exceed_threshold(spark):
 def test_events_cusum_shift_magnitude_and_location(spark):
     rows = {r.event_type: r for r in R.events_cusum_shift(spark, SF_DIR).collect()}
     assert rows
-    day_lo = _scalar(
+    day_lo = duckdb_scalar(
         f"SELECT CAST(floor(epoch(MIN(ts))/86400) AS BIGINT) "
         f"FROM '{SF_DIR}/events.parquet'"
     )
-    day_hi = _scalar(
+    day_hi = duckdb_scalar(
         f"SELECT CAST(floor(epoch(MAX(ts))/86400) AS BIGINT) "
         f"FROM '{SF_DIR}/events.parquet'"
     )
@@ -90,8 +85,8 @@ def test_events_cusum_shift_magnitude_and_location(spark):
 
 def test_events_gap_histogram_conserves_gaps(spark):
     rows = {r.band: r for r in R.events_gap_histogram(spark, SF_DIR).collect()}
-    n_events = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'")
-    n_users = _scalar(
+    n_events = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'")
+    n_users = duckdb_scalar(
         f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
     )
     assert sum(r.n_gaps for r in rows.values()) == n_events - n_users
@@ -106,8 +101,8 @@ def test_events_user_concentration_curve_shape(spark):
         key=lambda r: r.decile,
     )
     assert [r.decile for r in rows] == list(range(1, 11))
-    n_events = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'")
-    n_users = _scalar(
+    n_events = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'")
+    n_users = duckdb_scalar(
         f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
     )
     assert sum(r.events for r in rows) == n_events
@@ -139,7 +134,7 @@ def test_part_type_margin_accounting_identity(spark):
 def test_seasonal_index_is_centered(spark):
     rows = sorted(RP.seasonal_index(spark, SF_DIR).collect(), key=lambda r: r.mon)
     assert [r.mon for r in rows] == list(range(1, 13))
-    n_orders = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")
+    n_orders = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")
     assert sum(r.n_orders for r in rows) == n_orders
     # index averages to ~10000 across months (floor DIV rounds down)
     mean_idx = sum(r.index_bp for r in rows) / 12
@@ -152,8 +147,8 @@ def test_customer_order_cadence_gap_conservation(spark):
     rows = {r.c_mktsegment: r for r in RP.customer_order_cadence(spark, SF_DIR).collect()}
     assert rows
     # gaps = orders - customers-with-orders, distributed over segments
-    n_orders = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")
-    n_cust = _scalar(
+    n_orders = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")
+    n_cust = duckdb_scalar(
         f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF_DIR}/orders.parquet'"
     )
     assert sum(r.n_gaps for r in rows.values()) == n_orders - n_cust
@@ -219,8 +214,8 @@ def test_embedding_batch_drift_consistency(spark):
     import duckdb as dd
 
     rows = {r.dim: r for r in SIM.embedding_batch_drift(spark, SF_DIR).collect()}
-    n_vecs = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'")
-    dims = _scalar(
+    n_vecs = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'")
+    dims = duckdb_scalar(
         f"SELECT MAX(len(embedding)) FROM '{SF_DIR}/embeddings.parquet'"
     )
     assert set(rows) == set(range(dims))
@@ -240,7 +235,7 @@ def test_embedding_batch_drift_consistency(spark):
 
 def test_session_length_histogram_conserves_events(spark):
     rows = {r.band: r for r in R.session_length_histogram(spark, SF_DIR).collect()}
-    n_events = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'")
+    n_events = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'")
     assert sum(r.events for r in rows.values()) == n_events
     for r in rows.values():
         assert r.n_sessions > 0
@@ -276,9 +271,9 @@ def test_part_name_price_lift_is_calibrated(spark):
 def test_balance_activity_corr_moment_identities(spark):
     rows = {r.c_mktsegment: r for r in RP.balance_activity_corr(spark, SF_DIR).collect()}
     assert rows
-    n_cust = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet'")
+    n_cust = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet'")
     assert sum(r.n for r in rows.values()) == n_cust  # spine = customers
-    n_orders = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")
+    n_orders = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")
     assert sum(r.sy for r in rows.values()) == n_orders  # Σy = orders
     for r in rows.values():
         assert -1_000_000 <= r.corr_e6 <= 1_000_000
@@ -320,7 +315,7 @@ def test_events_type_share_drift_counts_appearing_and_vanishing_types(
 def test_events_weekly_quantiles_shape(spark):
     rows = sorted(R.events_weekly_quantiles(spark, SF_DIR).collect(), key=lambda r: r.week)
     assert rows
-    n_events = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'")
+    n_events = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'")
     assert sum(r.n_events for r in rows) == n_events
     assert rows[0].p95_delta is None  # first week has no prior
     for r in rows:
@@ -334,7 +329,7 @@ def test_funnel_latency_quartiles_identities(spark):
     assert 0 < r.n_converted <= r.n_signup_users
     assert r.conv_bp == r.n_converted * 10000 // r.n_signup_users
     assert 0 <= r.p25_delay_s <= r.p50_delay_s <= r.p75_delay_s
-    n_signup_users = _scalar(
+    n_signup_users = duckdb_scalar(
         f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet' "
         "WHERE event_type = 'signup'"
     )
@@ -364,11 +359,11 @@ def test_multimodal_size_histogram_conserves_bytes(spark):
     rows = MM.multimodal_size_histogram(spark, SF_DIR).collect()
     assert rows
     total_docs = sum(r.n_docs for r in rows)
-    assert total_docs == _scalar(
+    assert total_docs == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
     )
     total_bytes = sum(r.bytes for r in rows)
-    assert total_bytes == _scalar(
+    assert total_bytes == duckdb_scalar(
         f"SELECT SUM(octet_length(encode(text))) "
         f"FROM '{SF_DIR}/documents.parquet'"
     )
@@ -385,10 +380,10 @@ def test_multimodal_size_histogram_conserves_bytes(spark):
 
 def test_order_width_histogram_conserves_lines_and_revenue(spark):
     rows = {r.band: r for r in R.order_width_histogram(spark, SF_DIR).collect()}
-    assert sum(r.n_orders for r in rows.values()) == _scalar(
+    assert sum(r.n_orders for r in rows.values()) == duckdb_scalar(
         f"SELECT COUNT(DISTINCT l_orderkey) FROM '{SF_DIR}/lineitem.parquet'"
     )
-    assert sum(r.lines for r in rows.values()) == _scalar(
+    assert sum(r.lines for r in rows.values()) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
     )
     assert 9990 <= sum(r.order_share_bp for r in rows.values()) <= 10000

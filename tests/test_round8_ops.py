@@ -10,16 +10,12 @@ from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import reports as RP
 from ensembl_lakehouse_spark.operators import similarity as S
 from ensembl_lakehouse_spark.operators import text as T
-from tests.conftest import SF_DIR
-
-
-def _scalar(sql: str):
-    return duckdb.sql(sql).fetchone()[0]
+from tests.conftest import SF_DIR, duckdb_scalar
 
 
 def test_events_hourly_heatmap_covers_all_events(spark):
     rows = R.events_hourly_heatmap(spark, SF_DIR).collect()
-    assert sum(r.n_events for r in rows) == _scalar(
+    assert sum(r.n_events for r in rows) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'"
     )
     for r in rows:
@@ -37,7 +33,7 @@ def test_weekly_active_users_identities(spark):
         R.weekly_active_users(spark, SF_DIR).collect(), key=lambda r: r.week
     )
     assert rows[0].wow_bp is None  # no predecessor week
-    total_users = _scalar(
+    total_users = duckdb_scalar(
         f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
     )
     for r in rows:
@@ -66,7 +62,7 @@ def test_user_burstiness_bounds(spark):
 
 def test_events_value_drift_is_bounded_and_dense(spark):
     rows = R.events_value_drift(spark, SF_DIR).collect()
-    types = _scalar(
+    types = duckdb_scalar(
         f"SELECT COUNT(DISTINCT event_type) FROM '{SF_DIR}/events.parquet'"
     )
     assert len(rows) == types  # every type scored, even drift-free
@@ -78,8 +74,8 @@ def test_events_value_drift_is_bounded_and_dense(spark):
 
 def test_orders_interarrival_histogram_conserves_gaps(spark):
     rows = R.orders_interarrival_histogram(spark, SF_DIR).collect()
-    n_orders = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")
-    n_cust = _scalar(
+    n_orders = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")
+    n_cust = duckdb_scalar(
         f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF_DIR}/orders.parquet'"
     )
     assert sum(r.n_gaps for r in rows) == n_orders - n_cust
@@ -104,7 +100,7 @@ def test_sketch_kmv_rollup_read_error_is_small(spark):
 
 def test_user_type_gini_identities(spark):
     rows = R.user_type_gini(spark, SF_DIR).collect()
-    assert len(rows) == _scalar(
+    assert len(rows) == duckdb_scalar(
         f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
     )
     for r in rows:
@@ -117,7 +113,7 @@ def test_user_type_gini_identities(spark):
 def test_calendar_adjusted_monthly_index_identities(spark):
     rows = RP.calendar_adjusted_monthly_index(spark, SF_DIR).collect()
     assert len(rows) == 12
-    assert sum(r.n_orders for r in rows) == _scalar(
+    assert sum(r.n_orders for r in rows) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'"
     )
     for r in rows:
@@ -174,14 +170,14 @@ def test_customer_ltv_cohorts_identities(spark):
     by_cohort: dict = {}
     for r in rows:
         by_cohort.setdefault(r.cohort, []).append(r)
-    n_cust = _scalar(
+    n_cust = duckdb_scalar(
         f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF_DIR}/orders.parquet'"
     )
     assert sum(
         rs[0].cohort_size for rs in
         (sorted(v, key=lambda r: r.age_months) for v in by_cohort.values())
     ) == n_cust
-    total_cents = _scalar(
+    total_cents = duckdb_scalar(
         "SELECT SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
         f"FROM '{SF_DIR}/orders.parquet'"
     )
@@ -198,7 +194,7 @@ def test_customer_ltv_cohorts_identities(spark):
 
 def test_cohort_repeat_rate_bounds(spark):
     rows = RP.cohort_repeat_rate(spark, SF_DIR).collect()
-    assert sum(r.cohort_size for r in rows) == _scalar(
+    assert sum(r.cohort_size for r in rows) == duckdb_scalar(
         f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF_DIR}/orders.parquet'"
     )
     for r in rows:
@@ -208,10 +204,10 @@ def test_cohort_repeat_rate_bounds(spark):
 
 def test_nation_trade_balance_conserves_both_sides(spark):
     rows = RP.nation_trade_balance(spark, SF_DIR).collect()
-    assert len(rows) == _scalar(
+    assert len(rows) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/nation.parquet'"
     )
-    assert sum(r.consumed_cents for r in rows) == _scalar(
+    assert sum(r.consumed_cents for r in rows) == duckdb_scalar(
         "SELECT SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
         f"FROM '{SF_DIR}/orders.parquet'"
     )
@@ -239,7 +235,7 @@ def test_orders_priority_mix_grid_is_dense_and_sums(spark):
     months = {r.mon for r in rows}
     prios = {r.o_orderpriority for r in rows}
     assert len(rows) == len(months) * len(prios)  # dense grid
-    assert sum(r.n_orders for r in rows) == _scalar(
+    assert sum(r.n_orders for r in rows) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'"
     )
     for m in months:
@@ -250,7 +246,7 @@ def test_orders_priority_mix_grid_is_dense_and_sums(spark):
 
 def test_lineitem_discount_effectiveness_conserves(spark):
     rows = RP.lineitem_discount_effectiveness(spark, SF_DIR).collect()
-    assert sum(r.n_lines for r in rows) == _scalar(
+    assert sum(r.n_lines for r in rows) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
     )
     for r in rows:
@@ -264,7 +260,7 @@ def test_supplier_balance_deciles_partition(spark):
         key=lambda r: r.decile,
     )
     assert [r.decile for r in rows] == list(range(1, 11))
-    assert sum(r.n_suppliers for r in rows) == _scalar(
+    assert sum(r.n_suppliers for r in rows) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/supplier.parquet'"
     )
     # deciles are ordered ranges
@@ -274,7 +270,7 @@ def test_supplier_balance_deciles_partition(spark):
 
 def test_contamination_matrix_complete_and_bounded(spark):
     rows = T.contamination_matrix(spark, SF_DIR).collect()
-    sources = _scalar(
+    sources = duckdb_scalar(
         f"SELECT COUNT(DISTINCT source) FROM '{SF_DIR}/documents.parquet' "
         "WHERE length(trim(text)) > 0"
     )
@@ -318,7 +314,7 @@ def test_doc_length_mad_outliers_matches_python(spark):
 
 def test_embedding_label_separation_is_a_metric_sample(spark):
     rows = S.embedding_label_separation(spark, SF_DIR).collect()
-    labels = _scalar(
+    labels = duckdb_scalar(
         f"SELECT COUNT(DISTINCT label) FROM '{SF_DIR}/embeddings.parquet'"
     )
     assert len(rows) == labels * (labels - 1) // 2  # complete matrix
@@ -333,7 +329,7 @@ def test_embedding_label_separation_is_a_metric_sample(spark):
 
 def test_customer_balance_spend_matrix_is_square(spark):
     rows = RP.customer_balance_spend_matrix(spark, SF_DIR).collect()
-    n_cust = _scalar(
+    n_cust = duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet'"
     )
     assert sum(r.n_customers for r in rows) == n_cust  # incl. no-order
@@ -368,7 +364,7 @@ def test_user_retention_curve_monotone_from_full(spark):
     by_cohort: dict = {}
     for r in rows:
         by_cohort.setdefault(r.cohort_week, []).append(r)
-    total = _scalar(
+    total = duckdb_scalar(
         f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
     )
     assert sum(

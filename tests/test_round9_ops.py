@@ -8,16 +8,12 @@ import duckdb
 
 from ensembl_lakehouse_spark.operators import relational as R
 from ensembl_lakehouse_spark.operators import reports as RP
-from tests.conftest import SF_DIR
-
-
-def _scalar(sql: str):
-    return duckdb.sql(sql).fetchone()[0]
+from tests.conftest import SF_DIR, duckdb_scalar
 
 
 def test_order_line_dominance_conserves_orders(spark):
     rows = RP.order_line_dominance(spark, SF_DIR).collect()
-    assert sum(r.n_orders for r in rows) == _scalar(
+    assert sum(r.n_orders for r in rows) == duckdb_scalar(
         f"SELECT COUNT(DISTINCT l_orderkey) FROM '{SF_DIR}/lineitem.parquet'"
     )
     for r in rows:
@@ -31,7 +27,7 @@ def test_order_line_dominance_conserves_orders(spark):
 
 def test_customer_nation_mix_share_sums_to_nation(spark):
     rows = RP.customer_nation_mix_share(spark, SF_DIR).collect()
-    assert sum(r.n_customers for r in rows) == _scalar(
+    assert sum(r.n_customers for r in rows) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet'"
     )
     by_nation: dict = {}
@@ -67,8 +63,8 @@ def test_region_segment_share_partition_identity(spark):
 
 def test_order_gap_bands_count_all_consecutive_pairs(spark):
     rows = RP.order_gap_bands_by_segment(spark, SF_DIR).collect()
-    n_orders = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")
-    n_custs = _scalar(
+    n_orders = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")
+    n_custs = duckdb_scalar(
         f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF_DIR}/orders.parquet'"
     )
     # each customer with k orders contributes k-1 gaps
@@ -113,7 +109,7 @@ def test_supplier_quartiles_ordered(spark):
 
 def test_retention_by_first_type_covers_every_user(spark):
     rows = R.events_retention_by_first_type(spark, SF_DIR).collect()
-    assert sum(r.cohort_users for r in rows) == _scalar(
+    assert sum(r.cohort_users for r in rows) == duckdb_scalar(
         f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
     )
     for r in rows:
@@ -123,7 +119,7 @@ def test_retention_by_first_type_covers_every_user(spark):
 
 def test_user_first_day_value_covers_every_user(spark):
     rows = R.user_first_day_value(spark, SF_DIR).collect()
-    assert sum(r.cohort_users for r in rows) == _scalar(
+    assert sum(r.cohort_users for r in rows) == duckdb_scalar(
         f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
     )
     for r in rows:
@@ -152,7 +148,7 @@ def test_word_length_profile_conserves_tokens(spark):
     from ensembl_lakehouse_spark.operators import text as T
 
     rows = T.text_word_length_profile(spark, SF_DIR).collect()
-    total = _scalar(
+    total = duckdb_scalar(
         f"SELECT SUM(len(string_split_regex(trim(text), '\\s+'))) "
         f"FROM '{SF_DIR}/documents.parquet' WHERE length(trim(text)) > 0"
     )
@@ -185,7 +181,7 @@ def test_boilerplate_suffix_counts_docs_once(spark):
     from ensembl_lakehouse_spark.operators import text as T
 
     rows = T.boilerplate_suffix_rate(spark, SF_DIR).collect()
-    n_docs = _scalar(
+    n_docs = duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet' "
         f"WHERE length(trim(text)) > 0"
     )
@@ -223,7 +219,7 @@ def test_norm_label_matrix_shares(spark):
     from ensembl_lakehouse_spark.operators import similarity as S
 
     rows = S.embedding_norm_label_matrix(spark, SF_DIR).collect()
-    n_vecs = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'")
+    n_vecs = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'")
     assert sum(r.n_vectors for r in rows) == n_vecs
     for r in rows:
         assert 0 <= r.norm_band <= 12
@@ -235,7 +231,7 @@ def test_norm_label_matrix_shares(spark):
 
 def test_linestatus_mix_conserves_lines(spark):
     rows = RP.linestatus_mix_monthly(spark, SF_DIR).collect()
-    assert sum(r.n_lines for r in rows) == _scalar(
+    assert sum(r.n_lines for r in rows) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
     )
     months: dict = {}
@@ -255,7 +251,7 @@ def test_brand_repeat_buyers_bounds(spark):
 
 def test_customer_value_trend_covers_repeat_customers(spark):
     rows = RP.customer_value_trend_bands(spark, SF_DIR).collect()
-    repeaters = _scalar(
+    repeaters = duckdb_scalar(
         f"SELECT COUNT(*) FROM (SELECT o_custkey FROM "
         f"'{SF_DIR}/orders.parquet' GROUP BY 1 HAVING COUNT(*) >= 2)"
     )
@@ -297,12 +293,12 @@ def test_type_cooccurrence_lift_identities(spark):
     from ensembl_lakehouse_spark.operators import relational as R2
 
     rows = R2.type_cooccurrence_lift(spark, SF_DIR).collect()
-    n_types = _scalar(
+    n_types = duckdb_scalar(
         f"SELECT COUNT(DISTINCT event_type) FROM '{SF_DIR}/events.parquet'"
     )
     # inner-join contract: only pairs sharing >= 1 user emit a row
     assert 0 < len(rows) <= n_types * (n_types - 1) // 2
-    n_users = _scalar(
+    n_users = duckdb_scalar(
         f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
     )
     for r in rows:
@@ -319,10 +315,10 @@ def test_error_rate_hourly_conserves(spark):
     from ensembl_lakehouse_spark.operators import relational as R2
 
     rows = R2.events_error_rate_hourly(spark, SF_DIR).collect()
-    assert sum(r.n_events for r in rows) == _scalar(
+    assert sum(r.n_events for r in rows) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'"
     )
-    assert sum(r.n_errors for r in rows) == _scalar(
+    assert sum(r.n_errors for r in rows) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet' "
         f"WHERE event_type = 'error'"
     )
@@ -334,7 +330,7 @@ def test_session_bands_agree_with_sessionize(spark):
     from ensembl_lakehouse_spark.operators import relational as R2
 
     rows = R2.user_session_count_bands(spark, SF_DIR).collect()
-    assert sum(r.n_users for r in rows) == _scalar(
+    assert sum(r.n_users for r in rows) == duckdb_scalar(
         f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
     )
     n_sessions = R2.events_sessionize(spark, SF_DIR).count()
@@ -345,8 +341,8 @@ def test_session_bands_agree_with_sessionize(spark):
 
 def test_nation_ratio_shares_and_totals(spark):
     rows = RP.nation_customer_supplier_ratio(spark, SF_DIR).collect()
-    n_cust = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet'")
-    n_supp = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/supplier.parquet'")
+    n_cust = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet'")
+    n_supp = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/supplier.parquet'")
     # inner join: only nations with BOTH sides — totals bound above
     assert sum(r.n_customers for r in rows) <= n_cust
     assert sum(r.n_suppliers for r in rows) <= n_supp
@@ -356,7 +352,7 @@ def test_nation_ratio_shares_and_totals(spark):
 
 def test_tax_discount_grid_conserves_lines(spark):
     rows = RP.tax_discount_grid(spark, SF_DIR).collect()
-    assert sum(r.n_lines for r in rows) == _scalar(
+    assert sum(r.n_lines for r in rows) == duckdb_scalar(
         f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
     )
     for r in rows:
@@ -379,7 +375,7 @@ def test_embedding_peakiness_covers_nonzero_vectors(spark):
     from ensembl_lakehouse_spark.operators import similarity as S2
 
     rows = S2.embedding_peakiness(spark, SF_DIR).collect()
-    n_vecs = _scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'")
+    n_vecs = duckdb_scalar(f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'")
     assert 0 < sum(r.n_vectors for r in rows) <= n_vecs
     for r in rows:
         # max component share of L1 is at least 1/dim and at most 1
