@@ -554,6 +554,19 @@ def _q_format_guard(rollup_dir: str, rebuild: bool) -> None:
             "keys are not mergeable across encodings; rerun with "
             "rebuild=True to recompute the rollup"
         )
+    if stored is None and not rebuild and _applied_versions(rollup_dir):
+        # committed sketch state with NO marker (lost in a partial
+        # copy/restore, or written by an encoding that predates
+        # markers): the encoding of the stored bucket keys is
+        # unknowable, so re-stamping and delta-merging would be
+        # exactly the mixed-key corruption this guard exists to stop
+        # (r10 ADVICE low #4) — demand an explicit rebuild instead.
+        raise ValueError(
+            f"{rollup_dir} holds committed quantile sketch state but "
+            "no _qformat marker — the stored bucket-key encoding is "
+            "unknown and cannot be delta-merged safely; rerun with "
+            "rebuild=True to recompute the rollup"
+        )
     if stored != _Q_FORMAT:
         os.makedirs(rollup_dir, exist_ok=True)
         with open(path, "w") as f:

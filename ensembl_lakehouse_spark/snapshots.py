@@ -1388,10 +1388,14 @@ def update_snapshot(
             "the table schema (and there are no rows to update)"
         )
 
+    # case-insensitive: SET targets resolve against the schema with
+    # Spark's insensitive rules, so 'PK' assigns the 'pk' column and
+    # must trip the refusal just the same (r10 ADVICE medium #2)
+    set_lower = {k.lower() for k in set}
     uniq_targets = {
         rec["col"]
         for rec in unique_constraint_records(table_dir).values()
-        if rec["col"] in set
+        if rec["col"].lower() in set_lower
     }
     if uniq_targets:
         raise ConstraintViolation(
@@ -1539,6 +1543,19 @@ def drop_columns(
                 f"constraint {name!r} ({expr}) references a dropped "
                 "column — drop_constraint or redefine it first"
             ) from None
+    # UNIQUE constraints are not boolean expressions, so the probe
+    # above never sees them — refuse explicitly, or the record would
+    # survive the drop with since_version intact while enforcement
+    # silently skips (col gone), and re-adding a column by that name
+    # would revive a stale 1:≤1 proof for the /sql join rewrite
+    # (r10 ADVICE medium #1).
+    for name, rec in unique_constraint_records(table_dir).items():
+        if rec["col"].lower() in dropped:
+            raise ValueError(
+                f"UNIQUE constraint {name!r} is declared on dropped "
+                f"column {rec['col']!r} — drop_constraint or redefine "
+                "it first"
+            )
     files = _write_data(table_dir, out_df, base + 1)
     stats = _file_stats(table_dir, files)
     blooms = _file_blooms(table_dir, files, bloom_for) if bloom_for else {}
@@ -1600,6 +1617,16 @@ def rename_column(
                 f"constraint {name!r} ({expr}) references the renamed "
                 "column — drop_constraint or redefine it first"
             ) from None
+    # same loud-refusal as drop_columns: a UNIQUE record naming the
+    # old column would survive the rename unenforced, then revive a
+    # stale proof if the name ever comes back (r10 ADVICE medium #1)
+    for name, rec in unique_constraint_records(table_dir).items():
+        if rec["col"].lower() == old.lower():
+            raise ValueError(
+                f"UNIQUE constraint {name!r} is declared on renamed "
+                f"column {rec['col']!r} — drop_constraint or redefine "
+                "it first"
+            )
     files = _write_data(table_dir, out_df, base + 1)
     stats = _file_stats(table_dir, files)
     blooms = _file_blooms(table_dir, files, bloom_for) if bloom_for else {}
@@ -2170,6 +2197,20 @@ def add_unique_constraint(
         cur = current_version(table_dir)
         if cur is not None:
             existing = read_snapshot(spark, table_dir, version=cur)
+            # canonicalize to the schema's spelling: Spark resolves
+            # F.col case-insensitively, so a constraint declared as
+            # 'PK' against a 'pk' column would validate here yet be
+            # skipped by every case-SENSITIVE Python-side check in
+            # _enforce_unique / update_snapshot — advertising a
+            # pin-valid 1:≤1 proof that is never write-enforced
+            # (r10 ADVICE medium #2). Store the real name instead.
+            low = {c.lower(): c for c in existing.columns}
+            if col.lower() not in low:
+                raise ValueError(
+                    f"cannot add UNIQUE on {col!r}: not in table "
+                    f"columns {existing.columns}"
+                )
+            col = low[col.lower()]
             dup = (
                 existing.where(F.col(col).isNotNull())
                 .groupBy(col)
@@ -2227,8 +2268,17 @@ def _enforce_unique(
     from pyspark.sql import functions as F
 
     for name, rec in uniq.items():
-        col = rec["col"]
-        if col not in df.columns:
+        # resolve against the incoming schema case-insensitively —
+        # Spark's own resolution is case-insensitive, so a writer
+        # supplying 'PK' data for a 'pk' constraint WILL land rows in
+        # the constrained column and must be checked (a sensitive
+        # `in` here would skip enforcement entirely, r10 ADVICE
+        # medium #2); pre-canonicalized records make this mostly a
+        # no-op, but legacy records and empty-table adds still carry
+        # the user's spelling
+        incoming = {c.lower(): c for c in df.columns}
+        col = incoming.get(rec["col"].lower())
+        if col is None:
             # rows written without the column hold NULL there —
             # exempt under UNIQUE NULL semantics
             continue
@@ -2246,14 +2296,15 @@ def _enforce_unique(
                 f"incoming data: e.g. {[r.asDict() for r in dup]}"
             )
         if not against_existing or (
-            exempt_merge_keys and list(exempt_merge_keys) == [col]
+            exempt_merge_keys
+            and [k.lower() for k in exempt_merge_keys] == [col.lower()]
         ):
             continue
         cur = current_version(table_dir)
         if cur is None:
             continue
         existing = read_snapshot(df.sparkSession, table_dir, version=cur)
-        if col not in existing.columns:
+        if col.lower() not in {c.lower() for c in existing.columns}:
             continue
         survivors = existing
         if exempt_merge_keys:

@@ -4,6 +4,8 @@ exactly-once and delta-driven after the first run."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -867,3 +869,41 @@ def test_quantile_format_guard_refuses_cross_encoding_merge(
     assert out["mode"] == "rebuild"
     with open(os.path.join(rol, "_qformat")) as f:
         assert f.read() == ivm._Q_FORMAT
+
+def test_qformat_marker_lost_over_committed_state_demands_rebuild(
+    spark, tmp_path
+):
+    """r10 ADVICE low #4: a rollup dir holding committed sketch state
+    with NO _qformat marker (partial copy/restore, pre-marker
+    encoding) has an unknowable bucket-key encoding — silently
+    re-stamping and delta-merging is exactly the mixed-key corruption
+    the guard exists to stop. Demand rebuild=True instead."""
+    src = str(tmp_path / "src")
+    rol = str(tmp_path / "rol")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(i, f"g{i % 2}", i * 3) for i in range(40)],
+            "k int, grp string, v int",
+        ),
+    )
+    ivm.maintain_aux_rollup(spark, src, rol, ["grp"], "v", kind="quantile")
+    os.remove(os.path.join(rol, "_qformat"))
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(100, "g0", 777)], "k int, grp string, v int"),
+        key="k",
+    )
+    with pytest.raises(ValueError, match="no _qformat marker"):
+        ivm.maintain_aux_rollup(
+            spark, src, rol, ["grp"], "v", kind="quantile"
+        )
+    # explicit rebuild recomputes, re-stamps, and the chain resumes
+    out = ivm.maintain_aux_rollup(
+        spark, src, rol, ["grp"], "v", kind="quantile", rebuild=True
+    )
+    assert out["mode"] == "rebuild"
+    assert os.path.exists(os.path.join(rol, "_qformat"))
+    assert ivm.maintain_aux_rollup(
+        spark, src, rol, ["grp"], "v", kind="quantile"
+    )["mode"] == "noop"

@@ -1620,3 +1620,101 @@ def test_unique_composite_merge_key_still_checks_existing(spark, tmp_path):
         spark.createDataFrame([(1, "a")], "k int, u string"),
         key=["k", "u"],
     )
+
+def test_unique_constraint_blocks_drop_and_rename_of_its_column(
+    spark, tmp_path
+):
+    """r10 ADVICE medium #1: the CHECK-probe in drop/rename never sees
+    UNIQUE records (they are not boolean expressions), so without an
+    explicit refusal the record would survive the DDL unenforced and
+    revive a stale 1:≤1 proof if the name ever came back."""
+    tdir = str(tmp_path / "uniq_ddl")
+    S.write_snapshot(
+        tdir,
+        spark.createDataFrame([(1, "a", 5)], "k int, u string, v int"),
+    )
+    S.add_unique_constraint(spark, tdir, "u_uq", "u")
+    with pytest.raises(ValueError, match="UNIQUE constraint 'u_uq'"):
+        S.drop_columns(spark, tdir, ["u"])
+    with pytest.raises(ValueError, match="UNIQUE constraint 'u_uq'"):
+        S.rename_column(spark, tdir, "u", "w")
+    # refusal is case-insensitive like the rest of the DDL surface
+    with pytest.raises(ValueError, match="UNIQUE constraint 'u_uq'"):
+        S.drop_columns(spark, tdir, ["U"])
+    # unrelated columns stay droppable, and dropping the constraint
+    # first unblocks the DDL
+    S.drop_columns(spark, tdir, ["v"])
+    S.drop_constraint(tdir, "u_uq")
+    S.rename_column(spark, tdir, "u", "w")
+    assert S.read_snapshot(spark, tdir).columns == ["k", "w"]
+
+
+def test_unique_constraint_case_insensitive_enforcement(spark, tmp_path):
+    """r10 ADVICE medium #2: a constraint declared with different
+    casing than the schema must still be write-enforced — Spark
+    resolves columns case-insensitively, so 'PK' data lands in the
+    'pk' column and can collide."""
+    tdir = str(tmp_path / "uniq_case")
+    S.write_snapshot(
+        tdir, spark.createDataFrame([(1, "a")], "k int, pk string")
+    )
+    # declared as 'PK': canonicalized to the schema spelling at add
+    S.add_unique_constraint(spark, tdir, "pk_uq", "PK")
+    assert S.unique_constraint_records(tdir)["pk_uq"]["col"] == "pk"
+    # a column absent from the schema is a loud error, not a record
+    # that never enforces
+    with pytest.raises(ValueError, match="not in table columns"):
+        S.add_unique_constraint(spark, tdir, "ghost_uq", "nope")
+    # append whose schema spells the column 'PK' still collides
+    with pytest.raises(S.ConstraintViolation, match="against existing"):
+        S.write_snapshot(
+            tdir,
+            spark.createDataFrame([(2, "a")], "k int, PK string"),
+            mode="append",
+        )
+    # UPDATE refusal matches SET targets case-insensitively
+    with pytest.raises(S.ConstraintViolation, match="UPDATE assigns"):
+        S.update_snapshot(spark, tdir, "k = 1", {"PK": "'z'"})
+    # a record added against an EMPTY table keeps the declared
+    # spelling (no schema to canonicalize against) yet still enforces
+    # once data arrives under any casing
+    tdir2 = str(tmp_path / "uniq_case_empty")
+    S.add_unique_constraint(spark, tdir2, "pk_uq", "PK")
+    with pytest.raises(S.ConstraintViolation, match="within the incoming"):
+        S.write_snapshot(
+            tdir2, spark.createDataFrame([(1, "x"), (2, "x")],
+                                         "k int, pk string")
+        )
+
+
+def test_scoped_merge_existing_check_covers_inscope_unmatched_rows(
+    spark, tmp_path
+):
+    """r10 ADVICE low #3 adjudicated as NOT a bug: a scope_by merge
+    KEEPS in-scope rows whose key the updates do not carry (kept =
+    touched-files anti-join on the merge keys) — it never deletes
+    them — so the existing-side UNIQUE check must treat them as
+    survivors. Excluding them (the suggested fix) would let a real
+    duplicate land. Pin both directions."""
+    tdir = str(tmp_path / "uniq_scoped")
+    S.write_snapshot(
+        tdir, spark.createDataFrame([(1, "a"), (2, "b")],
+                                    "k int, u string")
+    )
+    S.add_unique_constraint(spark, tdir, "u_uq", "u")
+    # updates carry k=2 only; k=1 ('a') is in-scope-unmatched and
+    # SURVIVES the merge, so reusing its value must refuse
+    with pytest.raises(S.ConstraintViolation, match="against existing"):
+        S.merge_snapshot(
+            spark, tdir,
+            spark.createDataFrame([(2, "a")], "k int, u string"),
+            key="k", scope_by="k",
+        )
+    # replacing the holder itself stays legal (anti-join exemption)
+    S.merge_snapshot(
+        spark, tdir,
+        spark.createDataFrame([(1, "a")], "k int, u string"),
+        key="k", scope_by="k",
+    )
+    got = {r.k: r.u for r in S.read_snapshot(spark, tdir).collect()}
+    assert got == {1: "a", 2: "b"}
