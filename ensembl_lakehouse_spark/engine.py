@@ -439,6 +439,7 @@ class Engine:
                 range_filters=intent.range_filters or None,
                 version=pin_v,
                 min_source_version=_proof_floor(non_null, intent.aggs),
+                group_exprs=dict(intent.group_exprs) or None,
             )
         except Exception as exc:  # analysis-time oddity → verbatim run
             return None, {
@@ -1193,6 +1194,7 @@ class Engine:
         sum_col: str,
         parent_dir: str | None = None,
         kind: str = "sum",
+        group_exprs: dict[str, str] | None = None,
     ) -> None:
         """Register a maintained rollup (ivm.maintain_rollup output)
         as a materialized view over a REGISTERED snapshot table, so
@@ -1202,7 +1204,11 @@ class Engine:
         composes through that parent rollup. ``kind`` "minmax"/"hll"
         marks an ivm.maintain_aux_rollup view (MIN/MAX or approx
         COUNT(DISTINCT) answering; sum_col names the measured
-        column). Operator-side only, like table registration."""
+        column). ``group_exprs`` marks TIME-BUCKET group columns
+        (ivm.maintain_rollup ``key_exprs``) — the /sql rewrite then
+        serves ``GROUP BY date_trunc('day', ts)``-style statements
+        from this view. Operator-side only, like table
+        registration."""
         if table_name not in self._snapshot_tables:
             raise QueryValidationError(
                 f"unknown table {table_name!r}; register it first"
@@ -1215,6 +1221,7 @@ class Engine:
             sum_col,
             parent_dir=parent_dir,
             kind=kind,
+            group_exprs=group_exprs,
         )
 
     def table_aggregate_params(self, name: str) -> dict:

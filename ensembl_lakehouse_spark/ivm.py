@@ -45,14 +45,111 @@ Constraints and failure windows, stated plainly:
 
 from __future__ import annotations
 
+import json
 import math
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ensembl_lakehouse_spark import snapshots as SN
 
 _STAMP = "ivm:src_v{v}"
+
+#: Whitelisted time-bucket vocabulary for ``maintain_rollup``'s
+#: ``key_exprs`` (r10 VERDICT #2 — the /sql rewrite matches a
+#: ``GROUP BY date_trunc('day', ts)`` statement against a rollup by
+#: CANONICAL-STRING equality of these expressions, so the vocabulary
+#: must be closed and deterministic: every member is a pure function
+#: of one column given a fixed session timezone).
+BUCKET_UNITS = frozenset(
+    {"year", "quarter", "month", "week", "day", "hour"}
+)
+
+_BUCKET_RE = re.compile(
+    r"^\s*(?:"
+    r"date_trunc\s*\(\s*'([A-Za-z]+)'\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)"
+    r"|(year|month)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)"
+    r")\s*$",
+    re.I,
+)
+
+
+def canonical_bucket_expr(expr: str) -> tuple[str, str]:
+    """Validate a bucket expression against the closed vocabulary and
+    return ``(canonical form, source column)``. The canonical form is
+    lowercase with no interior whitespace (``date_trunc('day',ts)``)
+    — the exact string the /sql recognizer produces, so spec matching
+    is plain equality. Raises ValueError outside the vocabulary:
+    arbitrary SQL here would break both the delta soundness argument
+    (the expression re-buckets diff rows and must be deterministic)
+    and the rewrite's semantic proof."""
+    m = _BUCKET_RE.match(expr)
+    if m is None:
+        raise ValueError(
+            f"bucket expression {expr!r} is outside the vocabulary "
+            "(date_trunc('<unit>', col) | year(col) | month(col))"
+        )
+    if m.group(1) is not None:
+        unit, col = m.group(1).lower(), m.group(2).lower()
+        if unit not in BUCKET_UNITS:
+            raise ValueError(
+                f"date_trunc unit {unit!r} not in {sorted(BUCKET_UNITS)}"
+            )
+        return f"date_trunc('{unit}',{col})", col
+    fn, col = m.group(3).lower(), m.group(4).lower()
+    return f"{fn}({col})", col
+
+
+def _bucket_guard(
+    rollup_dir: str,
+    canon: dict[str, str] | None,
+    tz: str,
+    rebuild: bool,
+) -> None:
+    """Write/verify the ``_bucketspec`` marker: the stored group-key
+    values of a bucket-keyed rollup are only meaningful under ONE
+    (expression set, session timezone) pair — ``date_trunc`` over a
+    TIMESTAMP truncates in the session zone, so a tick under a
+    different zone (or different expressions) would delta-merge keys
+    from two incompatible encodings into one table, the exact mixed-
+    key corruption the ``_qformat`` guard stops for sketches. Same
+    rules: mismatch demands ``rebuild=True``; committed state with NO
+    marker is unknowable and also demands a rebuild; a rebuild (or
+    first build) re-stamps."""
+    stamp = (
+        json.dumps({"exprs": canon, "tz": tz}, sort_keys=True)
+        if canon
+        else None
+    )
+    path = os.path.join(rollup_dir, "_bucketspec")
+    try:
+        with open(path) as f:
+            stored = f.read().strip()
+    except FileNotFoundError:
+        stored = None
+    if stored != stamp and not rebuild:
+        if stored is not None:
+            raise ValueError(
+                f"{rollup_dir} was maintained under bucket spec "
+                f"{stored} but this tick uses {stamp} — group-key "
+                "encodings are not mergeable; rerun with rebuild=True"
+            )
+        if _applied_versions(rollup_dir):
+            raise ValueError(
+                f"{rollup_dir} holds committed state but no "
+                "_bucketspec marker — its group-key encoding is "
+                "unknown and cannot be delta-merged under bucket "
+                "expressions; rerun with rebuild=True"
+            )
+    if stamp is None:
+        if stored is not None:
+            os.remove(path)
+        return
+    if stored != stamp:
+        os.makedirs(rollup_dir, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(stamp)
 
 
 def _applied_versions(rollup_dir: str) -> list[int]:
@@ -237,6 +334,7 @@ def maintain_rollup(
     group_cols: list[str],
     sum_col: str,
     rebuild: bool = False,
+    key_exprs: dict[str, str] | None = None,
 ) -> dict:
     """Bring the rollup up to the source's CURRENT version.
 
@@ -258,12 +356,60 @@ def maintain_rollup(
     maintenance would resume from a base the content no longer
     matches.
 
+    ``key_exprs`` (optional) maps a group column to a whitelisted
+    TIME-BUCKET expression over the source's columns
+    (``canonical_bucket_expr`` vocabulary: ``date_trunc('<unit>',
+    col)`` / ``year(col)`` / ``month(col)``) — the rollup is then
+    keyed on the computed bucket, e.g. ``{"day":
+    "date_trunc('day', ts)"}`` maintains a daily view of an event
+    table with no materialized day column (r10 VERDICT #2: the /sql
+    rewrite serves ``GROUP BY date_trunc('day', ts)`` from exactly
+    this). Remaining group columns are identity. Delta soundness is
+    unchanged — the expression deterministically re-buckets each
+    diff row to the same key the full build produced — PROVIDED the
+    session timezone is stable across ticks (``date_trunc`` over
+    TIMESTAMP truncates in the session zone), which the
+    ``_bucketspec`` marker enforces: a tick under a different zone
+    or expression set refuses loudly and demands ``rebuild=True``.
+
     Returns {"applied": from_v_exclusive..to_v or None, "mode":
     "full"|"delta"|"rebuild"|"noop"}.
     """
     src_v = SN.current_version(source_dir)
     if src_v is None:
         raise FileNotFoundError(f"no committed snapshot in {source_dir}")
+    canon: dict[str, str] | None = None
+    if key_exprs:
+        extra = set(key_exprs) - set(group_cols)
+        if extra:
+            raise ValueError(
+                f"key_exprs names {sorted(extra)}, not in group_cols "
+                f"{group_cols}"
+            )
+        canon = {c: canonical_bucket_expr(e)[0] for c, e in key_exprs.items()}
+        if sum_col in canon:
+            raise ValueError(
+                f"bucket key {sum_col!r} is also the measure column"
+            )
+        src_cols = {
+            f.lower()
+            for f in SN.read_snapshot(spark, source_dir).columns
+        }
+        shadowed = {c for c in canon if c.lower() in src_cols}
+        if shadowed:
+            # a bucket key named after a real source column would
+            # silently replace it in the keyed projection — the
+            # rollup would store different data than the name claims
+            raise ValueError(
+                f"bucket key(s) {sorted(shadowed)} shadow existing "
+                "source columns — pick fresh names"
+            )
+    _bucket_guard(
+        rollup_dir,
+        canon,
+        spark.conf.get("spark.sql.session.timeZone"),
+        rebuild,
+    )
     if rollup_lineage(rollup_dir) is not None:
         if _applied_versions(rollup_dir):
             raise ValueError(
@@ -278,12 +424,21 @@ def maintain_rollup(
         # direct maintenance (r7 ADVICE, ivm.py:349).
         os.remove(os.path.join(rollup_dir, "_lineage"))
 
+    def _keyed(df: DataFrame) -> DataFrame:
+        """Materialize the bucket keys (identity columns pass
+        through): explicit withColumn per bucket so every other
+        column — the measure, the diff's _change marker — survives
+        for the aggregates below."""
+        for c, e in (canon or {}).items():
+            df = df.withColumn(c, F.expr(e))
+        return df
+
     def full_fn():
         # version pinned: a source commit landing mid-run must not
         # be aggregated under the earlier stamp (it would be
         # re-applied by the next delta — double count)
         return (
-            SN.read_snapshot(spark, source_dir, version=src_v)
+            _keyed(SN.read_snapshot(spark, source_dir, version=src_v))
             .groupBy(*group_cols)
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
@@ -294,7 +449,7 @@ def maintain_rollup(
         )
 
     def delta_fn(last: int):
-        diff = SN.snapshot_diff(spark, source_dir, last, src_v)
+        diff = _keyed(SN.snapshot_diff(spark, source_dir, last, src_v))
         sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )

@@ -116,6 +116,17 @@ class RollupSpec:
     #: (maintain_aux_rollup); sum_col doubles as the measured
     #: column for the aux kinds
     kind: str = "sum"
+    #: (group col, canonical bucket expression) pairs for BUCKET-keyed
+    #: group columns (ivm.maintain_rollup key_exprs, r10 VERDICT #2):
+    #: the column holds ``date_trunc('day',ts)``-style computed values
+    #: rather than a base column, and a query's bucket group key
+    #: matches it by canonical-string equality. Empty for plain specs.
+    group_exprs: tuple[tuple[str, str], ...] = ()
+    #: session timezone the bucket keys were maintained under —
+    #: date_trunc over TIMESTAMP truncates in the session zone, so a
+    #: bucket-exposing answer is only valid when the querying
+    #: session's zone matches (answer_aggregate skips otherwise).
+    tz: str | None = None
 
 
 class RollupCatalog:
@@ -135,11 +146,58 @@ class RollupCatalog:
         sum_col: str,
         parent_dir: str | None = None,
         kind: str = "sum",
+        group_exprs: dict[str, str] | None = None,
+        tz: str | None = None,
     ) -> RollupSpec:
+        """``group_exprs`` marks bucket-keyed group columns (must
+        mirror the ivm.maintain_rollup ``key_exprs`` the view is
+        maintained with — the ``_bucketspec`` marker is the source
+        of truth and is verified against this registration when
+        present); ``tz`` is the maintenance session timezone
+        (defaulted from the marker)."""
         if kind not in DERIVABLE_BY_KIND:
             raise ValueError(
                 f"kind must be one of {sorted(DERIVABLE_BY_KIND)}, "
                 f"got {kind!r}"
+            )
+        canon: dict[str, str] = {}
+        if group_exprs:
+            if kind != "sum":
+                raise ValueError(
+                    "bucket group_exprs are maintained by "
+                    "maintain_rollup only (kind='sum')"
+                )
+            bad = set(group_exprs) - set(group_cols)
+            if bad:
+                raise ValueError(
+                    f"group_exprs names {sorted(bad)}, not in "
+                    f"group_cols {group_cols}"
+                )
+            canon = {
+                c: ivm.canonical_bucket_expr(e)[0]
+                for c, e in group_exprs.items()
+            }
+        marker = _read_bucketspec(os.path.abspath(rollup_dir))
+        if marker is not None:
+            if canon != (marker.get("exprs") or {}):
+                raise ValueError(
+                    f"rollup {name!r} is maintained under bucket spec "
+                    f"{marker.get('exprs')} but registered with "
+                    f"{canon or None} — the registration contradicts "
+                    "how the view is maintained"
+                )
+            if tz is None:
+                tz = marker.get("tz")
+            elif tz != marker.get("tz"):
+                raise ValueError(
+                    f"rollup {name!r} was maintained under timezone "
+                    f"{marker.get('tz')!r}, not {tz!r}"
+                )
+        elif canon:
+            raise ValueError(
+                f"rollup {name!r} registered with bucket group_exprs "
+                "but carries no _bucketspec marker — maintain it with "
+                "ivm.maintain_rollup(key_exprs=...) first"
             )
         lineage = ivm.rollup_lineage(os.path.abspath(rollup_dir))
         if (
@@ -162,6 +220,8 @@ class RollupCatalog:
                 os.path.abspath(parent_dir) if parent_dir else lineage
             ),
             kind=kind,
+            group_exprs=tuple(sorted(canon.items())),
+            tz=tz,
         )
         self._specs[name] = spec
         return spec
@@ -176,6 +236,19 @@ class RollupCatalog:
         return sorted(
             self._specs.values(), key=lambda s: (len(s.group_cols), s.name)
         )
+
+
+def _read_bucketspec(rollup_dir: str) -> dict | None:
+    """The ``_bucketspec`` marker ivm.maintain_rollup stamps on a
+    bucket-keyed rollup ({"exprs": {col: canonical}, "tz": zone}),
+    or None for plain rollups."""
+    import json
+
+    try:
+        with open(os.path.join(rollup_dir, "_bucketspec")) as f:
+            return json.loads(f.read())
+    except FileNotFoundError:
+        return None
 
 
 def _last_applied(spec: RollupSpec) -> int | None:
@@ -317,6 +390,7 @@ def _can_answer(
     aggs: dict[str, tuple[str, str]],
     filters: dict | None = None,
     range_filters: dict | None = None,
+    group_exprs: dict[str, str] | None = None,
 ) -> str | None:
     """None if the spec can answer; else the human-readable reason
     it cannot (the first failing check — enough for the log).
@@ -326,12 +400,29 @@ def _can_answer(
     so filtering the partials ≡ filtering the base rows before
     aggregating — exact. A filter on any other column slices within
     groups, which the stored partials cannot express, so the spec
-    is rejected."""
-    missing = set(group_by) - set(spec.group_cols)
+    is rejected.
+
+    Bucket keys: a BUCKET-keyed rollup column (spec.group_exprs)
+    stores computed values, not a base column, so it never matches a
+    PLAIN group/filter key of the same name; a requested bucket key
+    (``group_exprs``: output alias → canonical expression) matches
+    it by canonical-string equality — equal strings compute the
+    identical deterministic function, so grouping the stored buckets
+    ≡ grouping the base rows by the expression (the timezone
+    precondition is checked by the caller against spec.tz)."""
+    spec_exprs = dict(spec.group_exprs)
+    identity = set(spec.group_cols) - set(spec_exprs)
+    missing = set(group_by) - identity
     if missing:
         return f"group key(s) {sorted(missing)} not in rollup keys"
+    for alias, expr in (group_exprs or {}).items():
+        if expr not in spec_exprs.values():
+            return (
+                f"bucket group key {expr!r} not maintained by this "
+                "rollup"
+            )
     fcols = set(filters or ()) | set(range_filters or ())
-    bad = fcols - set(spec.group_cols)
+    bad = fcols - identity
     if bad:
         return f"filter column(s) {sorted(bad)} not in rollup keys"
     derivable = DERIVABLE_BY_KIND[spec.kind]
@@ -530,10 +621,23 @@ def answer_aggregate(
     range_filters: dict | None = None,
     version: int | None = None,
     min_source_version: int | None = None,
+    group_exprs: dict[str, str] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Answer ``SELECT group_by, aggs FROM source GROUP BY group_by``
     from the cheapest registered rollup that can serve it exactly,
     else from the base table.
+
+    ``group_exprs`` (optional) adds TIME-BUCKET group keys: output
+    alias → canonical bucket expression over the base columns
+    (``ivm.canonical_bucket_expr`` vocabulary). A rollup serves them
+    only when it is maintained on the IDENTICAL canonical expression
+    (``_can_answer``) AND the querying session's timezone equals the
+    maintenance timezone recorded in the spec — ``date_trunc`` over
+    TIMESTAMP truncates in the session zone, so a zone mismatch
+    would return buckets the verbatim statement would not compute.
+    The base path evaluates the same expressions, so rollup ≡ base
+    holds by construction. Output columns: ``group_by`` then the
+    bucket aliases then the measures.
 
     ``aggs`` maps output column → ("count"|"sum"|"avg", column)
     (column ignored for count). Returns (df, explanation) where
@@ -591,6 +695,18 @@ def answer_aggregate(
         )
     src = os.path.abspath(source_dir)
     src_v = SN.current_version(src) if version is None else version
+    for alias, expr in (group_exprs or {}).items():
+        canon, _ = ivm.canonical_bucket_expr(expr)  # closed vocabulary
+        if canon != expr:
+            raise ValueError(
+                f"group_exprs[{alias!r}] must be canonical "
+                f"({canon!r}), got {expr!r}"
+            )
+        if alias in (group_by or []) or alias in aggs:
+            raise ValueError(
+                f"bucket alias {alias!r} collides with another "
+                "output column"
+            )
     for col, bounds in (range_filters or {}).items():
         if not isinstance(bounds, (list, tuple)) or len(bounds) != 2:
             raise ValueError(
@@ -611,6 +727,7 @@ def answer_aggregate(
     # number).
     if (
         not group_by
+        and not group_exprs
         and not filters
         and not range_filters
         and all(fn == "count" for fn, _ in aggs.values())
@@ -640,12 +757,29 @@ def answer_aggregate(
     # data and poisons the stale_ok cache), then answer from the
     # cheapest by recorded rowcount
     eligible: list[tuple[float, int, str, RollupSpec, int]] = []
+    tz = spark.conf.get("spark.sql.session.timeZone")
     for spec in catalog.specs():
         if spec.source_dir != src:
             continue
-        reason = _can_answer(spec, group_by, aggs, filters, range_filters)
+        reason = _can_answer(
+            spec, group_by, aggs, filters, range_filters, group_exprs
+        )
         if reason is not None:
             skipped.append({"rollup": spec.name, "reason": reason})
+            continue
+        if group_exprs and spec.tz != tz:
+            # serving stored buckets under a different session zone
+            # would answer with keys the verbatim statement would not
+            # compute (date_trunc truncates in the session zone)
+            skipped.append(
+                {
+                    "rollup": spec.name,
+                    "reason": (
+                        f"bucket keys maintained under timezone "
+                        f"{spec.tz!r}, session is {tz!r}"
+                    ),
+                }
+            )
             continue
         state, represents = _chain_freshness(spec, src_v)
         if state == "never":
@@ -730,12 +864,20 @@ def answer_aggregate(
         df = ivm.read_rollup(spark, spec.rollup_dir, version=rollup_v)
         if fexpr is not None:
             df = df.where(fexpr)
+        out_keys = list(group_by)
+        if group_exprs:
+            # surface each stored bucket column under the caller's
+            # alias (canonical-expr equality located the column)
+            by_expr = {e: c for c, e in spec.group_exprs}
+            for alias, expr in group_exprs.items():
+                df = df.withColumn(alias, F.col(by_expr[expr]))
+                out_keys.append(alias)
         if spec.kind == "quantile":
             df = _quantile_answer(
-                df, group_by, aggs, from_rollup=True, col=spec.sum_col
+                df, out_keys, aggs, from_rollup=True, col=spec.sum_col
             )
         else:
-            df = df.groupBy(*group_by).agg(
+            df = df.groupBy(*out_keys).agg(
                 *_agg_exprs(aggs, from_rollup=True, kind=spec.kind)
             )
         return df, {
@@ -749,12 +891,19 @@ def answer_aggregate(
     base = SN.read_snapshot(spark, src, version=src_v)
     if fexpr is not None:
         base = base.where(fexpr)
+    out_keys = list(group_by)
+    for alias, expr in (group_exprs or {}).items():
+        # the caller (semantic layer / engine gate) guarantees the
+        # alias does not collide with a base column, so withColumn
+        # adds rather than silently replaces
+        base = base.withColumn(alias, F.expr(expr))
+        out_keys.append(alias)
     if any(
         _fn_base(fn) == "approx_percentile" for fn, _ in aggs.values()
     ):
-        df = _quantile_answer(base, group_by, aggs, from_rollup=False)
+        df = _quantile_answer(base, out_keys, aggs, from_rollup=False)
     else:
-        df = base.groupBy(*group_by).agg(
+        df = base.groupBy(*out_keys).agg(
             *_agg_exprs(aggs, from_rollup=False)
         )
     return df, {

@@ -907,3 +907,144 @@ def test_qformat_marker_lost_over_committed_state_demands_rebuild(
     assert ivm.maintain_aux_rollup(
         spark, src, rol, ["grp"], "v", kind="quantile"
     )["mode"] == "noop"
+
+# ---- round 11: time-bucketed rollup keys (r10 VERDICT #2) ----
+
+
+def test_bucket_keyed_rollup_chain_equals_scratch(spark, tmp_path):
+    """A rollup keyed on date_trunc('day', ts) with no materialized
+    day column: full → delta chain must equal a from-scratch build,
+    including deletes re-bucketing through the same expression."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    rol = str(tmp_path / "rol")
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 20, i % 24), f"t{i % 3}", i)
+        for i in range(300)
+    ]
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            rows, "k int, ts timestamp, typ string, v int"
+        ),
+    )
+    ke = {"day": "date_trunc('day', ts)"}
+    out = ivm.maintain_rollup(
+        spark, src, rol, ["day", "typ"], "v", key_exprs=ke
+    )
+    assert out["mode"] == "full"
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame(
+            [(1000, dt.datetime(2024, 2, 1, 5), "t0", 99)],
+            "k int, ts timestamp, typ string, v int",
+        ),
+        key="k",
+    )
+    SN.delete_snapshot(spark, src, "v > 250")
+    assert ivm.maintain_rollup(
+        spark, src, rol, ["day", "typ"], "v", key_exprs=ke
+    )["mode"] == "delta"
+    scratch = str(tmp_path / "scratch")
+    ivm.maintain_rollup(
+        spark, src, scratch, ["day", "typ"], "v", key_exprs=ke
+    )
+    a = sorted(map(tuple, ivm.read_rollup(spark, rol).collect()))
+    b = sorted(map(tuple, ivm.read_rollup(spark, scratch).collect()))
+    assert a == b and len(a) > 20
+    # the stored key is the truncated timestamp (midnight)
+    assert all(r[0].hour == 0 and r[0].minute == 0 for r in a)
+
+
+def test_bucket_spec_marker_guards_every_drift(spark, tmp_path):
+    """_bucketspec marker: a tick under a different timezone,
+    different expressions, or no expressions at all refuses loudly
+    (mixed key encodings in one table — the _qformat rule); committed
+    state with a LOST marker demands a rebuild; rebuild re-stamps."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    rol = str(tmp_path / "rol")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(i, dt.datetime(2024, 3, 1 + i % 5, 12), i) for i in range(40)],
+            "k int, ts timestamp, v int",
+        ),
+    )
+    ke = {"day": "date_trunc('day', ts)"}
+    ivm.maintain_rollup(spark, src, rol, ["day"], "v", key_exprs=ke)
+    SN.merge_snapshot(
+        spark, src,
+        spark.createDataFrame(
+            [(99, dt.datetime(2024, 3, 9, 1), 7)],
+            "k int, ts timestamp, v int",
+        ),
+        key="k",
+    )
+    # timezone drift
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="bucket spec"):
+            ivm.maintain_rollup(spark, src, rol, ["day"], "v", key_exprs=ke)
+    finally:
+        spark.conf.unset("spark.sql.session.timeZone")
+    # expression drift
+    with pytest.raises(ValueError, match="bucket spec"):
+        ivm.maintain_rollup(
+            spark, src, rol, ["day"], "v",
+            key_exprs={"day": "date_trunc('month', ts)"},
+        )
+    # identity tick on a bucket-keyed table
+    with pytest.raises(ValueError, match="bucket spec"):
+        ivm.maintain_rollup(spark, src, rol, ["day"], "v")
+    # lost marker over committed state
+    os.remove(os.path.join(rol, "_bucketspec"))
+    with pytest.raises(ValueError, match="no _bucketspec marker"):
+        ivm.maintain_rollup(spark, src, rol, ["day"], "v", key_exprs=ke)
+    # rebuild re-stamps and the chain resumes
+    assert ivm.maintain_rollup(
+        spark, src, rol, ["day"], "v", key_exprs=ke, rebuild=True
+    )["mode"] == "rebuild"
+    assert ivm.maintain_rollup(
+        spark, src, rol, ["day"], "v", key_exprs=ke
+    )["mode"] == "noop"
+
+
+def test_bucket_key_validation_is_loud(spark, tmp_path):
+    """Closed vocabulary, no shadowing, keys ⊆ group_cols."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 1, 5)],
+            "k int, ts timestamp, day int, v int",
+        ),
+    )
+    with pytest.raises(ValueError, match="outside the vocabulary"):
+        ivm.maintain_rollup(
+            spark, src, str(tmp_path / "r1"), ["b"], "v",
+            key_exprs={"b": "ts + interval 1 day"},
+        )
+    with pytest.raises(ValueError, match="not in group_cols"):
+        ivm.maintain_rollup(
+            spark, src, str(tmp_path / "r2"), ["k"], "v",
+            key_exprs={"b": "year(ts)"},
+        )
+    # "day" is a REAL source column here — the bucket key would
+    # silently replace it
+    with pytest.raises(ValueError, match="shadow"):
+        ivm.maintain_rollup(
+            spark, src, str(tmp_path / "r3"), ["day"], "v",
+            key_exprs={"day": "date_trunc('day', ts)"},
+        )
+    # canonicalization is exact about units
+    with pytest.raises(ValueError, match="unit"):
+        ivm.canonical_bucket_expr("date_trunc('minute', ts)")
+    assert ivm.canonical_bucket_expr("DATE_TRUNC('Day', TS)") == (
+        "date_trunc('day',ts)", "ts"
+    )
+    assert ivm.canonical_bucket_expr("year(ts)") == ("year(ts)", "ts")

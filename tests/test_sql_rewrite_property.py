@@ -303,3 +303,149 @@ def test_join_rewrite_on_equals_rewrite_off(star_engine, sql):
 def test_zz_join_fuzz_covered_both_branches():
     assert _JOIN_SEEN & {"pfact_by_fk", "pfact_by_fk_st"}, _JOIN_SEEN
     assert _JOIN_SEEN & {"base", "fallback"}, _JOIN_SEEN
+
+# -- r11: the time-bucket branch ----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bucket_engine(spark, tmp_path_factory):
+    """Event-shaped table (timestamp ts, plain typ, NOT-NULL val)
+    with DAILY and MONTHLY bucket rollups — no materialized bucket
+    columns anywhere, so every served bucket answer comes from the
+    canonical-expression match."""
+    import datetime as dt
+
+    from ensembl_lakehouse_spark.engine import Engine
+
+    base = tmp_path_factory.mktemp("sqlbucket")
+    eng = Engine(spark, work_dir=str(base / "work"))
+    src = str(base / "src")
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1 + (i % 3), 1 + (i % 25), i % 24),
+            f"t{i % 3}",
+            (i * 11) % 89,
+        )
+        for i in range(90)
+    ]
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            rows, "k int, ts timestamp, typ string, val int"
+        ),
+    )
+    SN.add_constraint(spark, src, "val_nn", "val IS NOT NULL")
+    daily = str(base / "daily")
+    ivm.maintain_rollup(
+        spark, src, daily, ["day", "typ"], "val",
+        key_exprs={"day": "date_trunc('day', ts)"},
+    )
+    monthly = str(base / "monthly")
+    ivm.maintain_rollup(
+        spark, src, monthly, ["mo"], "val",
+        key_exprs={"mo": "date_trunc('month', ts)"},
+    )
+    eng.register_snapshot_table("bev", src)
+    eng.register_rollup(
+        "bev", "daily", daily, ["day", "typ"], "val",
+        group_exprs={"day": "date_trunc('day', ts)"},
+    )
+    eng.register_rollup(
+        "bev", "monthly", monthly, ["mo"], "val",
+        group_exprs={"mo": "date_trunc('month', ts)"},
+    )
+    yield eng
+    eng.close()
+
+
+_B_MEASURES = [
+    "COUNT(*) AS n",
+    "COUNT(val) AS nv",
+    "SUM(val) AS total",
+    "AVG(val) AS mean",
+    "MIN(val) AS lo",
+    "MAX(val) AS hi",
+]
+
+#: (select item, group term when grouped by EXPRESSION, alias) —
+#: served (daily/monthly) and unserved (week/year) buckets both fuzz
+_B_BUCKETS = [
+    ("date_trunc('day', ts) AS d", "date_trunc('day', ts)", "d"),
+    ("date_trunc('month', ts) AS m", "date_trunc('month', ts)", "m"),
+    ("date_trunc('week', ts) AS w", "date_trunc('week', ts)", "w"),
+    ("year(ts) AS yr", "year(ts)", "yr"),
+    ("month(ts) AS mon", "month(ts)", "mon"),
+]
+
+
+@st.composite
+def _bucket_statement(draw):
+    bucket = draw(st.sampled_from(_B_BUCKETS))
+    with_typ = draw(st.booleans())
+    measures = draw(
+        st.lists(
+            st.sampled_from(_B_MEASURES), min_size=1, max_size=3,
+            unique=True,
+        )
+    )
+    sel = [bucket[0]] + (["typ"] if with_typ else []) + measures
+    # three GROUP BY spellings the grammar serves: the expression,
+    # the 1-based ordinal, or mixed ordinals
+    spelling = draw(st.sampled_from(["expr", "ord"]))
+    if spelling == "expr":
+        group = [bucket[1]] + (["typ"] if with_typ else [])
+    else:
+        group = ["1"] + (["2"] if with_typ else [])
+    having = draw(st.lists(st.sampled_from(["n > 2", "total >= 50"]), max_size=1))
+    sel_aliases = {m.split(" AS ")[1] for m in measures}
+    having = [
+        h for h in having if h.split()[0] in sel_aliases
+    ]
+    order = draw(st.booleans())
+    sql = "SELECT " + ", ".join(sel) + " FROM snap_bev"
+    if draw(st.booleans()):
+        sql += " WHERE typ IN ('t0', 't1')" if with_typ else ""
+    sql += " GROUP BY " + ", ".join(group)
+    if having:
+        sql += " HAVING " + " AND ".join(having)
+    if order:
+        sql += " ORDER BY " + bucket[2] + (", typ" if with_typ else "")
+    return sql
+
+
+_B_SEEN: set = set()
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=_bucket_statement())
+def test_bucket_rewrite_on_equals_rewrite_off(bucket_engine, sql):
+    """Bucket-keyed statements: whatever the recognizer and the
+    timezone/expression gates decide, rewrite on ≡ off on the wire."""
+    on_resp, on_status, on_rows = _result(bucket_engine, sql)
+    audit = on_resp.get("rewrite") or {}
+    if audit.get("eligible"):
+        _B_SEEN.add(audit.get("answered_by") or "base")
+    else:
+        _B_SEEN.add("fallback")
+    off_resp, off_status, off_rows = _result(
+        bucket_engine, sql, rewrite="off"
+    )
+    assert on_status == off_status == "SUCCEEDED", sql
+    if " ORDER BY " in sql:
+        assert on_rows == off_rows, sql
+    else:
+        assert on_rows[0] == off_rows[0], sql
+        assert sorted(on_rows[1:]) == sorted(off_rows[1:]), sql
+
+
+def test_zz_bucket_fuzz_covered_both_branches():
+    """The bucket fuzz must have served from BOTH bucket rollups and
+    exercised the unserved-unit base fallback."""
+    assert "daily" in _B_SEEN, _B_SEEN
+    assert "monthly" in _B_SEEN, _B_SEEN
+    assert "base" in _B_SEEN, _B_SEEN
