@@ -76,6 +76,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue_share_trend": RP.region_revenue_share_trend,
         "returns_rate_monthly": RP.returns_rate_monthly,
         "tax_band_revenue": RP.tax_band_revenue,
+        # --- Round-11 additions (after the recert block, inside the
+        # first-50 window so they certify on first sampling).
+        # Batch 1: superlative price index, fulfilment SLA, value
+        # mix, demand curve, credit geography, Q1 grid audit, unit
+        # economics, session transition model, weekend uplift,
+        # lifespan split, packing curve, punctuation screen, sign
+        # balance, balance contrast.
+        "price_index_fisher": RP.price_index_fisher,
+        "ship_delay_by_priority": RP.ship_delay_by_priority,
+        "order_value_band_monthly": RP.order_value_band_monthly,
+        "size_demand_curve": RP.size_demand_curve,
+        "nation_negative_balance": RP.nation_negative_balance,
+        "returnflag_linestatus_grid": RP.returnflag_linestatus_grid,
+        "order_age_by_status": RP.order_age_by_status,
+        "monthly_revenue_per_customer": RP.monthly_revenue_per_customer,
+        "nation_balance_contrast": RP.nation_balance_contrast,
+        "session_transition_probs": R.session_transition_probs,
+        "events_weekend_uplift": R.events_weekend_uplift,
+        "user_lifespan_bands": R.user_lifespan_bands,
+        "packing_efficiency_curve": T.packing_efficiency_curve,
+        "lang_punctuation_bands": T.lang_punctuation_bands,
+        "embedding_sign_balance": S.embedding_sign_balance,
         # --- Round-10 additions (window discipline: every
         # oracle-backed entry was driver-certified across r1-r9, so
         # the first-50 window leads with this round's new operators,
@@ -460,6 +482,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- Round-11 batch 1.
+        "price_index_fisher": RP.PRICE_INDEX_FISHER_SQL,
+        "ship_delay_by_priority": RP.SHIP_DELAY_BY_PRIORITY_SQL,
+        "order_value_band_monthly": RP.ORDER_VALUE_BAND_MONTHLY_SQL,
+        "size_demand_curve": RP.SIZE_DEMAND_CURVE_SQL,
+        "nation_negative_balance": RP.NATION_NEGATIVE_BALANCE_SQL,
+        "returnflag_linestatus_grid": RP.RETURNFLAG_LINESTATUS_GRID_SQL,
+        "order_age_by_status": RP.ORDER_AGE_BY_STATUS_SQL,
+        "monthly_revenue_per_customer":
+            RP.MONTHLY_REVENUE_PER_CUSTOMER_SQL,
+        "nation_balance_contrast": RP.NATION_BALANCE_CONTRAST_SQL,
+        "session_transition_probs": R.SESSION_TRANSITION_PROBS_SQL,
+        "events_weekend_uplift": R.EVENTS_WEEKEND_UPLIFT_SQL,
+        "user_lifespan_bands": R.USER_LIFESPAN_BANDS_SQL,
+        "packing_efficiency_curve": T.PACKING_EFFICIENCY_CURVE_SQL,
+        "lang_punctuation_bands": T.LANG_PUNCTUATION_BANDS_SQL,
+        "embedding_sign_balance": S.EMBEDDING_SIGN_BALANCE_SQL,
         # --- Round-10 batch 4.
         "packing_efficiency": T.PACKING_EFFICIENCY_SQL,
         "first_purchase_latency_bands":

@@ -5908,3 +5908,296 @@ SELECT band, n_users,
 FROM agg
 ORDER BY band
 """
+
+
+# ---------------------------------------------------------------------------
+# session_transition_probs (r11)
+# ---------------------------------------------------------------------------
+
+
+def session_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-smoothed session entry→exit transition model: the
+    session_entry_exit_matrix grid re-read as probabilities —
+    p(exit | entry) = (n + 1) / (row_total + |exit types|), reported
+    ×10⁴ (truncating DIV, exact integers). Smoothing is what makes
+    the table a usable MODEL: an unobserved (entry, exit) pair gets
+    mass 1/(row+K) instead of a zero a downstream sampler would
+    never escape — so the output enumerates the FULL entry×exit
+    cross (observed or not), unlike the matrix, which lists observed
+    cells only. |exit types| counts types observed as an exit
+    anywhere in the corpus (the model's support).
+
+    Plan (100 TB): the same single session lattice as the matrix
+    (endpoint window rides the user_id hash, one ≤|types|² grid
+    agg), computed ONCE and localCheckpointed — the full-cross
+    construction branches the grid four ways (entries, exits, the
+    smoothing constant, the observed-count join), and without the
+    checkpoint each branch would re-run the whole lattice (the
+    column-pruned exchanges never unify under ReuseExchange — the
+    tiling lesson). Everything after the checkpoint is ≤|types|²
+    rows."""
+    sessions = _sessionized_events(load_table(spark, sf_dir, "events"))
+    wf = (
+        "(PARTITION BY user_id, session_num ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    endpoints = sessions.select(
+        "user_id",
+        "session_num",
+        F.expr(f"first_value(event_type) OVER {wf}").alias("entry_type"),
+        F.expr(f"last_value(event_type) OVER {wf}").alias("exit_type"),
+    )
+    per_session = endpoints.groupBy("user_id", "session_num").agg(
+        F.max("entry_type").alias("entry_type"),
+        F.max("exit_type").alias("exit_type"),
+    )
+    grid = (
+        per_session.groupBy("entry_type", "exit_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .localCheckpoint()
+    )
+    entries = grid.select("entry_type").distinct()
+    exits = grid.select("exit_type").distinct()
+    k_df = exits.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    cross = entries.crossJoin(exits)
+    full = cross.join(grid, ["entry_type", "exit_type"], "left").select(
+        "entry_type",
+        "exit_type",
+        F.coalesce(F.col("n_sessions"), F.lit(0))
+        .cast("long")
+        .alias("n_sessions"),
+    )
+    return (
+        full.crossJoin(F.broadcast(k_df))
+        .withColumn(
+            "row_total",
+            F.expr(
+                "SUM(n_sessions) OVER (PARTITION BY entry_type)"
+            ).cast("long"),
+        )
+        .withColumn(
+            "prob_x10k",
+            F.expr(
+                "CAST(((n_sessions + 1) * 10000) DIV "
+                "(row_total + k) AS BIGINT)"
+            ),
+        )
+        .drop("k")
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+SESSION_TRANSITION_PROBS_SQL = f"""
+WITH {_SQL_SESSION_CTES}, endpoints AS (
+  SELECT user_id, session_num,
+         first_value(event_type) OVER ws AS entry_type,
+         last_value(event_type) OVER ws AS exit_type
+  FROM s
+  WINDOW ws AS (PARTITION BY user_id, session_num ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+), per_session AS (
+  SELECT user_id, session_num,
+         MAX(entry_type) AS entry_type, MAX(exit_type) AS exit_type
+  FROM endpoints GROUP BY 1, 2
+), grid AS (
+  SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM per_session GROUP BY 1, 2
+), fullgrid AS (
+  SELECT e.entry_type, x.exit_type,
+         COALESCE(g.n_sessions, 0) AS n_sessions
+  FROM (SELECT DISTINCT entry_type FROM grid) e
+  CROSS JOIN (SELECT DISTINCT exit_type FROM grid) x
+  LEFT JOIN grid g
+    ON e.entry_type = g.entry_type AND x.exit_type = g.exit_type
+)
+SELECT entry_type, exit_type, CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(SUM(n_sessions) OVER (PARTITION BY entry_type) AS BIGINT)
+         AS row_total,
+       CAST(((n_sessions + 1) * 10000)
+            // (SUM(n_sessions) OVER (PARTITION BY entry_type)
+                + (SELECT COUNT(DISTINCT exit_type) FROM grid))
+            AS BIGINT) AS prob_x10k
+FROM fullgrid
+ORDER BY entry_type, exit_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_weekend_uplift (r11)
+# ---------------------------------------------------------------------------
+
+
+def events_weekend_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday demand shift per event type: events per
+    DISTINCT ACTIVE DAY on weekends vs weekdays (×100 — rates over
+    the days each class actually has in the corpus window) and the
+    uplift ratio in bp. events_dow_profile lists the seven raw
+    counts; this collapses them into the one ratio a capacity
+    planner thresholds, normalized per-day so a corpus with 5×
+    weekday days cannot masquerade as weekday demand. Weekday is the
+    arithmetic ``(days_since_epoch + 3) % 7`` with 0 = Monday (the
+    events_dow_profile rule) — engine dayofweek() conventions differ
+    (Spark 1=Sunday, DuckDB 0=Sunday) and already burned one oracle
+    run.
+
+    Plan (100 TB): map-only day labeling; one (type, is_weekend)
+    partial agg with a (type, date)-expanded exact distinct-day
+    count — fact-bounded; the uplift arithmetic runs on ≤|types|·2
+    cells."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ts AS DATE)").alias("d"),
+        F.expr(
+            "CASE WHEN (CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)"
+            " + 3) % 7 >= 5 THEN 1 ELSE 0 END"
+        ).alias("is_weekend"),
+    )
+    per = ev.groupBy("event_type", "is_weekend").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("d").cast("long").alias("n_days"),
+    )
+    wide = per.groupBy("event_type").agg(
+        F.sum(F.expr("CASE WHEN is_weekend = 1 THEN n_events END"))
+        .cast("long").alias("we_events"),
+        F.sum(F.expr("CASE WHEN is_weekend = 1 THEN n_days END"))
+        .cast("long").alias("we_days"),
+        F.sum(F.expr("CASE WHEN is_weekend = 0 THEN n_events END"))
+        .cast("long").alias("wd_events"),
+        F.sum(F.expr("CASE WHEN is_weekend = 0 THEN n_days END"))
+        .cast("long").alias("wd_days"),
+    )
+    return (
+        wide.where("we_days IS NOT NULL AND wd_days IS NOT NULL")
+        .withColumn(
+            "we_rate_x100",
+            F.expr("CAST((we_events * 100) DIV we_days AS BIGINT)"),
+        )
+        .withColumn(
+            "wd_rate_x100",
+            F.expr("CAST((wd_events * 100) DIV wd_days AS BIGINT)"),
+        )
+        .withColumn(
+            # rate-of-rates as one exact integer expression — the
+            # two DIV-truncated rates would compound truncation
+            "uplift_bp",
+            F.expr(
+                "CAST((we_events * wd_days * 10000) DIV "
+                "(wd_events * we_days) AS BIGINT)"
+            ),
+        )
+        .select(
+            "event_type", "we_events", "wd_events",
+            "we_rate_x100", "wd_rate_x100", "uplift_bp",
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_WEEKEND_UPLIFT_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3)
+                   % 7 >= 5
+              THEN 1 ELSE 0 END AS is_weekend
+  FROM events
+), per AS (
+  SELECT event_type, is_weekend,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days
+  FROM ev GROUP BY 1, 2
+), wide AS (
+  SELECT event_type,
+         SUM(CASE WHEN is_weekend = 1 THEN n_events END) AS we_events,
+         SUM(CASE WHEN is_weekend = 1 THEN n_days END) AS we_days,
+         SUM(CASE WHEN is_weekend = 0 THEN n_events END) AS wd_events,
+         SUM(CASE WHEN is_weekend = 0 THEN n_days END) AS wd_days
+  FROM per GROUP BY 1
+)
+SELECT event_type,
+       CAST(we_events AS BIGINT) AS we_events,
+       CAST(wd_events AS BIGINT) AS wd_events,
+       CAST((we_events * 100) // we_days AS BIGINT) AS we_rate_x100,
+       CAST((wd_events * 100) // wd_days AS BIGINT) AS wd_rate_x100,
+       CAST((we_events * wd_days * 10000) // (wd_events * we_days)
+            AS BIGINT) AS uplift_bp
+FROM wide
+WHERE we_days IS NOT NULL AND wd_days IS NOT NULL
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_lifespan_bands (r11)
+# ---------------------------------------------------------------------------
+
+
+def user_lifespan_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-lifetime distribution: per user the first→last event
+    span in whole days, banded (single day / ≤1 week / ≤1 month /
+    ≤1 quarter / longer), each band carrying user count, share (bp),
+    and the band's total event volume. user_retention_curve tracks
+    return-by-week and resurrection_gap_histogram the gaps between
+    visits; this is the headline engagement split — what fraction of
+    the user base are one-day wonders vs durable accounts, and how
+    much event volume each cohort generates. Timestamps truncate to
+    DATE on both engines before the span.
+
+    Plan (100 TB): one per-user partial agg off the events scan
+    (min/max/count — fully map-side combinable), map-only banding,
+    one ≤5-row band agg; the share window runs on that."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(ts AS DATE)").alias("d")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("datediff(MAX(d), MIN(d))").alias("span_d"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    banded = per_user.select(
+        F.expr(
+            "CASE WHEN span_d = 0 THEN 'a_single_day' "
+            "WHEN span_d <= 7 THEN 'b_week' "
+            "WHEN span_d <= 30 THEN 'c_month' "
+            "WHEN span_d <= 90 THEN 'd_quarter' "
+            "ELSE 'e_longer' END"
+        ).alias("band"),
+        "n_events",
+    )
+    grid = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+    return (
+        grid.withColumn(
+            "user_share_bp",
+            F.expr("(n_users * 10000) DIV (SUM(n_users) OVER ())"),
+        )
+        .orderBy("band")
+    )
+
+
+USER_LIFESPAN_BANDS_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+           AS span_d,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), banded AS (
+  SELECT CASE WHEN span_d = 0 THEN 'a_single_day'
+              WHEN span_d <= 7 THEN 'b_week'
+              WHEN span_d <= 30 THEN 'c_month'
+              WHEN span_d <= 90 THEN 'd_quarter'
+              ELSE 'e_longer' END AS band,
+         n_events
+  FROM per_user
+), grid AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n_events) AS BIGINT) AS total_events
+  FROM banded GROUP BY 1
+)
+SELECT band, n_users, total_events,
+       (n_users * 10000) // CAST(SUM(n_users) OVER () AS BIGINT)
+         AS user_share_bp
+FROM grid
+ORDER BY band
+"""

@@ -6098,3 +6098,715 @@ FROM per JOIN base ON per.pk = base.pk
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# price_index_fisher (r11)
+# ---------------------------------------------------------------------------
+
+
+def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher ideal monthly price index — the geometric mean of the
+    Laspeyres (base-basket) and Paasche (current-basket) indices the
+    r10 pair already publishes: Laspeyres overstates inflation under
+    substitution, Paasche understates it, and Fisher is the
+    superlative index in between (Diewert 1976). Both component
+    indices are the exact integer-rational bp values of their
+    standalone operators — one (month, part) lattice feeds both, the
+    base month broadcasts back part-keyed — and fisher_bp =
+    floor(sqrt(lasp_bp · paas_bp)). The product is < 2^53, IEEE-754
+    requires sqrt correctly rounded, and both engines floor the same
+    double, so the value is bit-deterministic cross-engine.
+
+    Plan (100 TB): identical shape to price_index_series — one
+    (month, part) partial agg off the fact scan, base month joined
+    back part-keyed (AQE-broadcast), final agg ≤ months rows; the
+    two weightings are extra columns on the SAME lattice, not a
+    second scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "year(CAST(l_shipdate AS DATE)) * 12 + "
+            "month(CAST(l_shipdate AS DATE)) - 1"
+        ).alias("m"),
+        F.col("l_partkey").alias("pk"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    per = li.groupBy("m", "pk").agg(
+        F.min(F.expr("cents DIV qty")).alias("p"),
+        F.sum("qty").alias("q"),
+    )
+    base_m = per.agg(F.min("m").alias("m0"))
+    base = (
+        per.join(F.broadcast(base_m), per["m"] == F.col("m0"))
+        .select("pk", F.col("p").alias("p0"), F.col("q").alias("q0"))
+    )
+    return (
+        per.join(base, "pk")
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("basket_parts"),
+            F.sum(F.expr("p * q0")).cast("long").alias("lasp_cur"),
+            F.sum(F.expr("p0 * q0")).cast("long").alias("lasp_base"),
+            F.sum(F.expr("p * q")).cast("long").alias("paas_cur"),
+            F.sum(F.expr("p0 * q")).cast("long").alias("paas_base"),
+        )
+        .withColumn(
+            "lasp_bp",
+            F.expr(
+                "CAST((CAST(lasp_cur AS DECIMAL(38,0)) * 10000) "
+                "DIV lasp_base AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "paas_bp",
+            F.expr(
+                "CAST((CAST(paas_cur AS DECIMAL(38,0)) * 10000) "
+                "DIV paas_base AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "fisher_bp",
+            F.expr(
+                "CAST(floor(sqrt(CAST(lasp_bp * paas_bp AS DOUBLE))) "
+                "AS BIGINT)"
+            ),
+        )
+        .select(
+            "m", "basket_parts", "lasp_bp", "paas_bp", "fisher_bp"
+        )
+        .orderBy("m")
+    )
+
+
+PRICE_INDEX_FISHER_SQL = """
+WITH li AS (
+  SELECT year(CAST(l_shipdate AS DATE)) * 12
+           + month(CAST(l_shipdate AS DATE)) - 1 AS m,
+         l_partkey AS pk,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), per AS (
+  SELECT m, pk, MIN(cents // qty) AS p, SUM(qty) AS q
+  FROM li GROUP BY 1, 2
+), base AS (
+  SELECT pk, p AS p0, q AS q0 FROM per
+  WHERE m = (SELECT MIN(m) FROM per)
+), agg AS (
+  SELECT per.m,
+         CAST(COUNT(*) AS BIGINT) AS basket_parts,
+         CAST((CAST(SUM(per.p * base.q0) AS HUGEINT) * 10000)
+              // SUM(base.p0 * base.q0) AS BIGINT) AS lasp_bp,
+         CAST((CAST(SUM(per.p * per.q) AS HUGEINT) * 10000)
+              // SUM(base.p0 * per.q) AS BIGINT) AS paas_bp
+  FROM per JOIN base ON per.pk = base.pk
+  GROUP BY 1
+)
+SELECT m, basket_parts, lasp_bp, paas_bp,
+       CAST(floor(sqrt(CAST(lasp_bp * paas_bp AS DOUBLE)))
+            AS BIGINT) AS fisher_bp
+FROM agg
+ORDER BY m
+"""
+
+
+# ---------------------------------------------------------------------------
+# ship_delay_by_priority (r11)
+# ---------------------------------------------------------------------------
+
+
+def ship_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment SLA audit: line-level order→ship latency banded
+    (≤7 / ≤30 / ≤90 / 90+ days) per order priority, with each band's
+    line share of its priority row (bp) and the priority's mean
+    delay in whole days. late_priority counts one lateness predicate;
+    this maps the whole latency DISTRIBUTION against the priority
+    ladder — a 1-URGENT row whose mass sits in 90+ is the ops
+    finding. datediff on DATE-cast timestamps is whole-day integer
+    on both engines.
+
+    Plan (100 TB): orders⋈lineitem on the orderkey both tables
+    cluster on (the co-keyed fact join every TPC-H engine makes);
+    one (priority, band) partial agg bounds everything after the
+    join at ≤ 5·4 cells; the share window runs on that grid."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sdate")
+    )
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.expr("datediff(sdate, odate)").alias("delay_d"),
+    )
+    banded = joined.select(
+        "o_orderpriority",
+        "delay_d",
+        F.expr(
+            "CASE WHEN delay_d <= 7 THEN 'a_week' "
+            "WHEN delay_d <= 30 THEN 'b_month' "
+            "WHEN delay_d <= 90 THEN 'c_quarter' "
+            "ELSE 'd_longer' END"
+        ).alias("band"),
+    )
+    grid = banded.groupBy("o_orderpriority", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("delay_d").cast("long").alias("delay_days_sum"),
+    )
+    return (
+        grid.withColumn(
+            "band_share_bp",
+            F.expr(
+                "(n_lines * 10000) DIV (SUM(n_lines) OVER "
+                "(PARTITION BY o_orderpriority))"
+            ),
+        )
+        .withColumn(
+            "mean_delay_d",
+            F.expr("CAST(delay_days_sum DIV n_lines AS BIGINT)"),
+        )
+        .select(
+            "o_orderpriority", "band", "n_lines", "band_share_bp",
+            "mean_delay_d",
+        )
+        .orderBy("o_orderpriority", "band")
+    )
+
+
+SHIP_DELAY_BY_PRIORITY_SQL = """
+WITH j AS (
+  SELECT o_orderpriority,
+         datediff('day', CAST(o_orderdate AS DATE),
+                  CAST(l_shipdate AS DATE)) AS delay_d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), banded AS (
+  SELECT o_orderpriority, delay_d,
+         CASE WHEN delay_d <= 7 THEN 'a_week'
+              WHEN delay_d <= 30 THEN 'b_month'
+              WHEN delay_d <= 90 THEN 'c_quarter'
+              ELSE 'd_longer' END AS band
+  FROM j
+), grid AS (
+  SELECT o_orderpriority, band,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(delay_d) AS BIGINT) AS delay_days_sum
+  FROM banded GROUP BY 1, 2
+)
+SELECT o_orderpriority, band, n_lines,
+       (n_lines * 10000)
+         // CAST(SUM(n_lines) OVER (PARTITION BY o_orderpriority)
+                 AS BIGINT) AS band_share_bp,
+       CAST(delay_days_sum // n_lines AS BIGINT) AS mean_delay_d
+FROM grid
+ORDER BY o_orderpriority, band
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_value_band_monthly (r11)
+# ---------------------------------------------------------------------------
+
+
+def order_value_band_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value mix trend: orders banded by total price (<1k /
+    <10k / <100k / 100k+) per month, with each band's share of the
+    month's orders and of the month's revenue (bp). monthly_revenue_
+    range tracks extremes and orders_priority_mix_by_month tracks
+    the priority mix; this tracks WHERE THE MONEY SITS — a revenue
+    share migrating into the top band while the order share doesn't
+    is whale concentration in the making. Cents are fixed before any
+    sum; shares are integer DIV.
+
+    Plan (100 TB): map-only banding off the orders scan → one
+    (month, band) partial agg; both share windows run per month on
+    the ≤ months·4 grid."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "year(CAST(o_orderdate AS DATE)) * 12 + "
+            "month(CAST(o_orderdate AS DATE)) - 1"
+        ).alias("m"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    ).withColumn(
+        "band",
+        F.expr(
+            "CASE WHEN cents < 100000 THEN 'a_lt1k' "
+            "WHEN cents < 1000000 THEN 'b_lt10k' "
+            "WHEN cents < 10000000 THEN 'c_lt100k' "
+            "ELSE 'd_ge100k' END"
+        ),
+    )
+    grid = o.groupBy("m", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    return (
+        grid.withColumn(
+            "order_share_bp",
+            F.expr(
+                "(n_orders * 10000) DIV (SUM(n_orders) OVER "
+                "(PARTITION BY m))"
+            ),
+        )
+        .withColumn(
+            # monthly cents ×10⁴ brushes BIGINT at 100 TB — DECIMAL
+            # numerator, truncating DIV (HUGEINT // in the oracle)
+            "revenue_share_bp",
+            F.expr(
+                "CAST((CAST(revenue_cents AS DECIMAL(38,0)) * 10000) "
+                "DIV (SUM(revenue_cents) OVER (PARTITION BY m)) "
+                "AS BIGINT)"
+            ),
+        )
+        .orderBy("m", "band")
+    )
+
+
+ORDER_VALUE_BAND_MONTHLY_SQL = """
+WITH o AS (
+  SELECT year(CAST(o_orderdate AS DATE)) * 12
+           + month(CAST(o_orderdate AS DATE)) - 1 AS m,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), banded AS (
+  SELECT m, cents,
+         CASE WHEN cents < 100000 THEN 'a_lt1k'
+              WHEN cents < 1000000 THEN 'b_lt10k'
+              WHEN cents < 10000000 THEN 'c_lt100k'
+              ELSE 'd_ge100k' END AS band
+  FROM o
+), grid AS (
+  SELECT m, band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM banded GROUP BY 1, 2
+)
+SELECT m, band, n_orders, revenue_cents,
+       (n_orders * 10000)
+         // CAST(SUM(n_orders) OVER (PARTITION BY m) AS BIGINT)
+         AS order_share_bp,
+       CAST((CAST(revenue_cents AS HUGEINT) * 10000)
+            // SUM(revenue_cents) OVER (PARTITION BY m) AS BIGINT)
+         AS revenue_share_bp
+FROM grid
+ORDER BY m, band
+"""
+
+
+# ---------------------------------------------------------------------------
+# size_demand_curve (r11)
+# ---------------------------------------------------------------------------
+
+
+def size_demand_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand by physical part size: per p_size, distinct parts
+    traded, line count, total quantity, revenue cents, and the mean
+    quantity per line ×100 — the merchandising curve that says
+    whether demand concentrates in small or bulky SKUs (a revenue
+    curve that rises with size while quantity falls is price mix,
+    not volume). part_size_price_curve prices the catalog; this
+    weighs what actually SOLD.
+
+    Plan (100 TB): part is a dim — broadcast join, no fact shuffle;
+    one ≤|sizes| partial agg off the joined scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size"
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_size")
+        .agg(
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .withColumn(
+            "mean_qty_x100",
+            F.expr("CAST((total_qty * 100) DIV n_lines AS BIGINT)"),
+        )
+        .orderBy("p_size")
+    )
+
+
+SIZE_DEMAND_CURVE_SQL = """
+SELECT p_size,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST((SUM(CAST(l_quantity AS BIGINT)) * 100) // COUNT(*)
+            AS BIGINT) AS mean_qty_x100
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_size
+ORDER BY p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# nation_negative_balance (r11)
+# ---------------------------------------------------------------------------
+
+
+def nation_negative_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-risk geography: per nation, customers in arrears
+    (negative account balance), their share of the nation's book
+    (bp), and the arrears depth in cents — where receivables risk
+    concentrates. customer_nation_mix_share counts composition and
+    segment_balance_profile bands the whole balance range; this
+    isolates the NEGATIVE tail by geography. Balances fix to cents
+    before any comparison or sum, so the zero boundary cannot move
+    between engines.
+
+    Plan (100 TB): nation is a dim — broadcast join; one ≤|nations|
+    partial agg off the customer scan."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.expr(
+            "CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("bal_cents"),
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.expr("CASE WHEN bal_cents < 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_negative"),
+            F.sum(
+                F.expr("CASE WHEN bal_cents < 0 THEN -bal_cents ELSE 0 END")
+            )
+            .cast("long")
+            .alias("arrears_cents"),
+        )
+        .withColumn(
+            "negative_share_bp",
+            F.expr("CAST((n_negative * 10000) DIV n_customers AS BIGINT)"),
+        )
+        .orderBy("n_name")
+    )
+
+
+NATION_NEGATIVE_BALANCE_SQL = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                          < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       CAST(SUM(CASE WHEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                          < 0
+                     THEN -CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS arrears_cents,
+       CAST((SUM(CASE WHEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                           < 0 THEN 1 ELSE 0 END) * 10000)
+            // COUNT(*) AS BIGINT) AS negative_share_bp
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# returnflag_linestatus_grid (r11)
+# ---------------------------------------------------------------------------
+
+
+def returnflag_linestatus_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q1 grid read as a composition audit: per
+    (returnflag, linestatus) cell, lines, quantity, revenue cents,
+    and the cell's share of ALL lines and of ALL revenue (bp).
+    agg_pricing_summary reproduces Q1's measure battery; this
+    publishes the grid's RELATIVE mix — the two numbers a monitoring
+    dashboard actually thresholds (the 'R' row share is the
+    corpus-wide return rate).
+
+    Plan (100 TB): one (flag, status) partial agg off the fact scan
+    (≤ 6 cells); shares are windows over that bounded grid."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    grid = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    return (
+        grid.withColumn(
+            "line_share_bp",
+            F.expr("(n_lines * 10000) DIV (SUM(n_lines) OVER ())"),
+        )
+        .withColumn(
+            "revenue_share_bp",
+            F.expr(
+                "CAST((CAST(revenue_cents AS DECIMAL(38,0)) * 10000) "
+                "DIV (SUM(revenue_cents) OVER ()) AS BIGINT)"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+RETURNFLAG_LINESTATUS_GRID_SQL = """
+WITH grid AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, n_lines, total_qty, revenue_cents,
+       (n_lines * 10000) // CAST(SUM(n_lines) OVER () AS BIGINT)
+         AS line_share_bp,
+       CAST((CAST(revenue_cents AS HUGEINT) * 10000)
+            // SUM(revenue_cents) OVER () AS BIGINT)
+         AS revenue_share_bp
+FROM grid
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_age_by_status (r11)
+# ---------------------------------------------------------------------------
+
+
+def order_age_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging by state: per order status, the order-age
+    distribution against the corpus max date (min / mean / max whole
+    days) plus count and value. orders_backlog_aging bands open
+    orders; this contrasts the AGE PROFILE of the states themselves
+    — an 'O' (open) mean age drifting toward 'F' (fulfilled) means
+    fulfilment is stalling. The anchor broadcasts from a one-row
+    aggregate, so the report is reproducible at any read.
+
+    Plan (100 TB): one-row anchor broadcast back; one ≤|statuses|
+    partial agg off the orders scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    anchor = o.agg(F.max("odate").alias("anchor_date"))
+    return (
+        o.crossJoin(F.broadcast(anchor))
+        .withColumn("age_d", F.expr("datediff(anchor_date, odate)"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.min("age_d").cast("long").alias("min_age_d"),
+            F.max("age_d").cast("long").alias("max_age_d"),
+            F.sum("age_d").cast("long").alias("age_sum"),
+        )
+        .withColumn(
+            "mean_age_d",
+            F.expr("CAST(age_sum DIV n_orders AS BIGINT)"),
+        )
+        .drop("age_sum")
+        .orderBy("o_orderstatus")
+    )
+
+
+ORDER_AGE_BY_STATUS_SQL = """
+WITH o AS (
+  SELECT o_orderstatus,
+         datediff('day', CAST(o_orderdate AS DATE),
+                  (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+           AS age_d,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(MIN(age_d) AS BIGINT) AS min_age_d,
+       CAST(MAX(age_d) AS BIGINT) AS max_age_d,
+       CAST(SUM(age_d) // COUNT(*) AS BIGINT) AS mean_age_d
+FROM o
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# monthly_revenue_per_customer (r11)
+# ---------------------------------------------------------------------------
+
+
+def monthly_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit economics trend: per month, revenue cents, distinct
+    active customers, orders, and the two per-unit rates (cents per
+    customer, cents per order — both integer DIV). Revenue growth
+    with flat cents-per-customer is acquisition; growing
+    cents-per-customer on flat acquisition is expansion —
+    monthly_new_vs_repeat_revenue splits WHO pays, this prices HOW
+    MUCH each payer is worth.
+
+    Plan (100 TB): one (month) partial agg with an exact
+    count-distinct over the orders scan — the distinct expands to
+    (month, custkey) before the partial, still fact-bounded; rates
+    are arithmetic on the ≤ months rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "year(CAST(o_orderdate AS DATE)) * 12 + "
+            "month(CAST(o_orderdate AS DATE)) - 1"
+        ).alias("m"),
+        "o_custkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        o.groupBy("m")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .withColumn(
+            "cents_per_customer",
+            F.expr("CAST(revenue_cents DIV n_customers AS BIGINT)"),
+        )
+        .withColumn(
+            "cents_per_order",
+            F.expr("CAST(revenue_cents DIV n_orders AS BIGINT)"),
+        )
+        .orderBy("m")
+    )
+
+
+MONTHLY_REVENUE_PER_CUSTOMER_SQL = """
+SELECT year(CAST(o_orderdate AS DATE)) * 12
+         + month(CAST(o_orderdate AS DATE)) - 1 AS m,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            // COUNT(DISTINCT o_custkey) AS BIGINT)
+         AS cents_per_customer,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS cents_per_order
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# nation_balance_contrast (r11)
+# ---------------------------------------------------------------------------
+
+
+def nation_balance_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided credit posture per nation: mean customer balance
+    vs mean supplier balance (cents, integer DIV) and the signed gap
+    — a nation whose customers run rich while suppliers run poor is
+    a working-capital asymmetry the treasury wants to see.
+    nation_customer_supplier_ratio contrasts COUNTS; this contrasts
+    the MONEY. The two sides aggregate independently to ≤|nations|
+    rows each before a nation-keyed join, so nothing fact-scale ever
+    joins.
+
+    Plan (100 TB): two dim-bounded partial aggs (customer, supplier
+    are the small tables here but the shape holds for any size) →
+    ≤|nations| join, nation dim broadcast for names."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE)) "
+                    "AS BIGINT)"
+                )
+            ).cast("long").alias("cust_cents"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(s_acctbal * 100 + CAST(0.5 AS DOUBLE)) "
+                    "AS BIGINT)"
+                )
+            ).cast("long").alias("supp_cents"),
+        )
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        c.join(s, c["c_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name", "n_customers", "n_suppliers",
+            F.expr("CAST(cust_cents DIV n_customers AS BIGINT)").alias(
+                "mean_cust_cents"
+            ),
+            F.expr("CAST(supp_cents DIV n_suppliers AS BIGINT)").alias(
+                "mean_supp_cents"
+            ),
+        )
+        .withColumn(
+            "gap_cents",
+            F.expr("mean_cust_cents - mean_supp_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+NATION_BALANCE_CONTRAST_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS cust_cents
+  FROM customer GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS supp_cents
+  FROM supplier GROUP BY 1
+)
+SELECT n_name, n_customers, n_suppliers,
+       CAST(cust_cents // n_customers AS BIGINT) AS mean_cust_cents,
+       CAST(supp_cents // n_suppliers AS BIGINT) AS mean_supp_cents,
+       CAST(cust_cents // n_customers - supp_cents // n_suppliers
+            AS BIGINT) AS gap_cents
+FROM c JOIN s ON c.nk = s.nk
+JOIN nation ON c.nk = n_nationkey
+ORDER BY n_name
+"""

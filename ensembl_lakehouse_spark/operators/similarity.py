@@ -2090,3 +2090,86 @@ SELECT label, dom_dim, n_vectors,
 FROM grid
 ORDER BY label, dom_dim
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_sign_balance (r11)
+# ---------------------------------------------------------------------------
+
+
+def embedding_sign_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-structure audit per label: vectors banded by their share
+    of NEGATIVE components (<25 % / <45 % / <55 % / <75 % / ≥75 %),
+    each (label, band) cell with its share of the label (bp). A
+    healthy dense embedding is roughly sign-balanced per vector
+    (~50 % negative); mass in the outer bands means truncated ReLU
+    features, dead dimensions, or an un-centered encoder — per
+    LABEL, because a single class drifting is a labeling or encoder
+    regression the global audits (embedding_dim_stats,
+    embedding_norm_audit) average away. The negative count is an
+    integer fold over the array (sign tests are exact on floats —
+    no float SUM enters any comparison), so banding is
+    engine-exact.
+
+    Plan (100 TB): map-only higher-order-function fold per vector
+    (zero shuffle) → one ≤|labels|·5 partial agg; the share window
+    runs on that grid."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr(
+            "aggregate(embedding, 0L, (acc, x) -> acc + "
+            "CASE WHEN x < CAST(0.0 AS FLOAT) THEN 1L ELSE 0L END)"
+        ).alias("n_neg"),
+        F.expr("CAST(size(embedding) AS BIGINT)").alias("dim"),
+    )
+    banded = emb.select(
+        "label",
+        F.expr(
+            "CASE WHEN n_neg * 100 < dim * 25 THEN 'a_positive_heavy' "
+            "WHEN n_neg * 100 < dim * 45 THEN 'b_positive_lean' "
+            "WHEN n_neg * 100 < dim * 55 THEN 'c_balanced' "
+            "WHEN n_neg * 100 < dim * 75 THEN 'd_negative_lean' "
+            "ELSE 'e_negative_heavy' END"
+        ).alias("band"),
+    )
+    grid = banded.groupBy("label", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return (
+        grid.withColumn(
+            "label_share_bp",
+            F.expr(
+                "(n_vectors * 10000) DIV (SUM(n_vectors) OVER "
+                "(PARTITION BY label))"
+            ),
+        )
+        .orderBy("label", "band")
+    )
+
+
+EMBEDDING_SIGN_BALANCE_SQL = """
+WITH e AS (
+  SELECT label,
+         CAST(len(list_filter(embedding, x -> x < 0)) AS BIGINT)
+           AS n_neg,
+         CAST(len(embedding) AS BIGINT) AS dim
+  FROM embeddings
+), banded AS (
+  SELECT label,
+         CASE WHEN n_neg * 100 < dim * 25 THEN 'a_positive_heavy'
+              WHEN n_neg * 100 < dim * 45 THEN 'b_positive_lean'
+              WHEN n_neg * 100 < dim * 55 THEN 'c_balanced'
+              WHEN n_neg * 100 < dim * 75 THEN 'd_negative_lean'
+              ELSE 'e_negative_heavy' END AS band
+  FROM e
+), grid AS (
+  SELECT label, band, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM banded GROUP BY 1, 2
+)
+SELECT label, band, n_vectors,
+       (n_vectors * 10000)
+         // CAST(SUM(n_vectors) OVER (PARTITION BY label) AS BIGINT)
+         AS label_share_bp
+FROM grid
+ORDER BY label, band
+"""

@@ -3217,3 +3217,188 @@ SELECT source, band, n_docs, src_share_bp, corpus_share_bp,
 FROM shared
 ORDER BY source, band
 """
+
+
+# ---------------------------------------------------------------------------
+# packing_efficiency_curve (r11)
+# ---------------------------------------------------------------------------
+
+#: Block sizes the packing curve prices (tokens per training block).
+PACKING_BLOCK_SIZES = (128, 256, 512, 1024, 2048)
+
+
+def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing_efficiency decision priced ACROSS block sizes in
+    ONE pass: corpus-wide padded waste (pad-to-block collator) vs
+    packed waste (concat-then-chunk) at 128/256/512/1024/2048-token
+    blocks, with the padded-waste share in bp per size. The curve is
+    the capacity-planning artifact: padding waste grows with block
+    size (every doc rounds up further) while packed waste stays
+    sub-block, so the gap between the curves is the accelerator time
+    a packed collator buys at each sequence length. Integer ceil
+    arithmetic end to end.
+
+    Plan (100 TB): map-only per-doc token counts → ONE global
+    partial agg computing every size's padded waste side by side
+    (the sizes are literals, not data) → a ≤|sizes|-row explode of
+    the single aggregate row. One fact pass for the whole curve —
+    running packing_efficiency per size would pay |sizes| scans."""
+    toks = _docs_with_tokens(spark, sf_dir).select(
+        F.size("toks").cast("long").alias("n")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+    ] + [
+        F.sum(F.expr(f"((n + {b - 1}) DIV {b}) * {b} - n"))
+        .cast("long")
+        .alias(f"pw{b}")
+        for b in PACKING_BLOCK_SIZES
+    ]
+    wide = toks.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("block_size"),
+                F.col(f"pw{b}").alias("padded_waste"),
+            )
+            for b in PACKING_BLOCK_SIZES
+        ]
+    )
+    return (
+        wide.select("n_docs", "total_tokens", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.block_size").alias("block_size"),
+            "n_docs",
+            "total_tokens",
+            F.col("r.padded_waste").alias("padded_waste"),
+        )
+        .withColumn(
+            "packed_waste",
+            F.expr(
+                "CAST((block_size - total_tokens % block_size) "
+                "% block_size AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "padded_waste_bp",
+            F.expr(
+                "CAST((padded_waste * 10000) DIV "
+                "(total_tokens + padded_waste) AS BIGINT)"
+            ),
+        )
+        .orderBy("block_size")
+    )
+
+
+PACKING_EFFICIENCY_CURVE_SQL = """
+WITH t AS (
+  SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents WHERE length(trim(text)) > 0
+), wide AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens,
+         CAST(SUM(((n + 127) // 128) * 128 - n) AS BIGINT) AS pw128,
+         CAST(SUM(((n + 255) // 256) * 256 - n) AS BIGINT) AS pw256,
+         CAST(SUM(((n + 511) // 512) * 512 - n) AS BIGINT) AS pw512,
+         CAST(SUM(((n + 1023) // 1024) * 1024 - n) AS BIGINT) AS pw1024,
+         CAST(SUM(((n + 2047) // 2048) * 2048 - n) AS BIGINT) AS pw2048
+  FROM t
+), curve AS (
+  SELECT 128 AS block_size, n_docs, total_tokens, pw128 AS padded_waste
+  FROM wide
+  UNION ALL SELECT 256, n_docs, total_tokens, pw256 FROM wide
+  UNION ALL SELECT 512, n_docs, total_tokens, pw512 FROM wide
+  UNION ALL SELECT 1024, n_docs, total_tokens, pw1024 FROM wide
+  UNION ALL SELECT 2048, n_docs, total_tokens, pw2048 FROM wide
+)
+SELECT CAST(block_size AS BIGINT) AS block_size, n_docs, total_tokens,
+       padded_waste,
+       CAST((block_size - total_tokens % block_size) % block_size
+            AS BIGINT) AS packed_waste,
+       CAST((padded_waste * 10000) // (total_tokens + padded_waste)
+            AS BIGINT) AS padded_waste_bp
+FROM curve
+ORDER BY block_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# lang_punctuation_bands (r11)
+# ---------------------------------------------------------------------------
+
+
+def lang_punctuation_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punctuation-density screen per language: docs banded by
+    punctuation per 1000 chars (0 / ≤20 / ≤60 / ≤120 / heavier),
+    each (lang, band) cell with its share of the language (bp).
+    text_char_class_profile profiles classes corpus-wide and
+    text_quality folds punctuation into one score; this isolates the
+    punctuation DISTRIBUTION per language — a lang whose mass sits
+    in the zero band is list/code scrape, the heavy band is markup
+    or OCR noise, and the thresholds differ legitimately by language
+    (CJK punctuates less per char). Density is integer per-mille-ish
+    (×1000 DIV n_chars) so band edges are engine-exact; empty docs
+    are excluded (density undefined).
+
+    Plan (100 TB): map-only regexp count + banding → one
+    ≤|langs|·5 partial agg; the share window runs on that grid."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        "length(text) > 0"
+    )
+    banded = docs.select(
+        "lang",
+        F.expr(
+            "CAST((length(regexp_replace(text, '[^.,;:!?]', '')) "
+            "* 1000) DIV length(text) AS BIGINT)"
+        ).alias("density"),
+    ).select(
+        "lang",
+        F.expr(
+            "CASE WHEN density = 0 THEN 'a_none' "
+            "WHEN density <= 20 THEN 'b_light' "
+            "WHEN density <= 60 THEN 'c_normal' "
+            "WHEN density <= 120 THEN 'd_heavy' "
+            "ELSE 'e_extreme' END"
+        ).alias("band"),
+    )
+    grid = banded.groupBy("lang", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        grid.withColumn(
+            "lang_share_bp",
+            F.expr(
+                "(n_docs * 10000) DIV (SUM(n_docs) OVER "
+                "(PARTITION BY lang))"
+            ),
+        )
+        .orderBy("lang", "band")
+    )
+
+
+LANG_PUNCTUATION_BANDS_SQL = """
+WITH d AS (
+  SELECT lang,
+         CAST((length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+               * 1000) // length(text) AS BIGINT) AS density
+  FROM documents WHERE length(text) > 0
+), banded AS (
+  SELECT lang,
+         CASE WHEN density = 0 THEN 'a_none'
+              WHEN density <= 20 THEN 'b_light'
+              WHEN density <= 60 THEN 'c_normal'
+              WHEN density <= 120 THEN 'd_heavy'
+              ELSE 'e_extreme' END AS band
+  FROM d
+), grid AS (
+  SELECT lang, band, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM banded GROUP BY 1, 2
+)
+SELECT lang, band, n_docs,
+       (n_docs * 10000)
+         // CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+         AS lang_share_bp
+FROM grid
+ORDER BY lang, band
+"""

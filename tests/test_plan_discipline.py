@@ -15,6 +15,23 @@ from tests.conftest import SF_DIR
 
 #: query -> (max hash shuffles, require zero shuffles?)
 BUDGETS = {
+    # --- Round 11 (probed at sf0.001, pinned at the observed count)
+    "price_index_fisher": 3,
+    "ship_delay_by_priority": 2,
+    "order_value_band_monthly": 2,
+    "size_demand_curve": 2,
+    "nation_negative_balance": 1,
+    "returnflag_linestatus_grid": 1,
+    "order_age_by_status": 1,
+    "monthly_revenue_per_customer": 2,
+    "nation_balance_contrast": 2,
+    # checkpointed ≤|types|² grid re-read by four bounded branches
+    "session_transition_probs": 3,
+    "events_weekend_uplift": 3,
+    "user_lifespan_bands": 2,
+    "packing_efficiency_curve": 0,
+    "lang_punctuation_bands": 2,
+    "embedding_sign_balance": 2,
     # --- Round 9 (probed at sf0.001, pinned at the observed count)
     "events_error_rate_hourly": 1,
     "user_session_count_bands": 2,

