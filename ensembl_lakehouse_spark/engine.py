@@ -554,6 +554,7 @@ class Engine:
                         "filters": j.filters or None,
                         "range_filters": j.range_filters or None,
                         "version": dpin,
+                        "fk_side": j.fk_side,
                     }
                 )
         except (FileNotFoundError, ValueError, KeyError) as exc:

@@ -938,7 +938,17 @@ def answer_join_aggregate(
 
         {"dim_dir": path, "fk": col, "pk": col,
          "group_by": [cols], "filters": {...} | None,
-         "range_filters": {...} | None, "version": int | None}
+         "range_filters": {...} | None, "version": int | None,
+         "fk_side": "fact" | earlier spoke index}
+
+    ``fk_side`` (default "fact") marks a SNOWFLAKE hop (r10 VERDICT
+    #4b): the fk lives in an EARLIER spoke's dim — ``orders ⋈
+    customer ⋈ nation ON c_nationkey = n_nationkey``. The hop stays
+    inside the recombination algebra because every spoke's pk is
+    UNIQUE-proven: each (partial ⋈ dim_k) row reaches ≤1 dim_j row,
+    so the composed join is still 1:≤1 per partial. The bridging
+    column is carried through dim_k's projection under a reserved
+    alias and never collides with fact columns.
 
     Decomposition: every requested measure is re-expressed as
     fk-level PARTIALS (sum→sum, count→count, min/max→min/max,
@@ -990,9 +1000,13 @@ def answer_join_aggregate(
             raise ValueError(f"{fn!r} cannot recombine across a join")
     # GROUP BY on a join key itself is a legal star shape — dedupe so
     # the partial grouping never carries a column twice (duplicate
-    # columns make the later equi-joins ambiguous, r10 code review)
+    # columns make the later equi-joins ambiguous, r10 code review).
+    # Only FACT-side fks group the partials; a snowflake hop's fk is
+    # a dim column that joins in later.
     pgb: list[str] = []
-    for c in [d["fk"] for d in dims] + list(fact_group_by):
+    for c in [
+        d["fk"] for d in dims if d.get("fk_side", "fact") == "fact"
+    ] + list(fact_group_by):
         if c not in pgb:
             pgb.append(c)
     pdf, why = answer_aggregate(
@@ -1039,15 +1053,26 @@ def answer_join_aggregate(
         # each pk lands under a reserved name so a same-named fact
         # column (fk == pk spelling) can never collide in the join
         # output; a GROUP BY on the pk itself reads the joined value
-        # back from it
+        # back from it. Snowflake bridging columns (a LATER spoke's
+        # fk living in THIS dim) ride along under reserved aliases.
         pk, fk = d["pk"], d["fk"]
         dgb = list(d.get("group_by") or ())
         dim_sel = [F.col(pk).alias(f"__jp_pk{i}")] + [
             F.col(c) for c in dgb if c != pk
         ]
+        for lj, later in enumerate(dims):
+            if later.get("fk_side", "fact") == i:
+                dim_sel.append(
+                    F.col(later["fk"]).alias(f"__jp_fk{lj}")
+                )
+        left_key = (
+            F.col(fk)
+            if d.get("fk_side", "fact") == "fact"
+            else F.col(f"__jp_fk{i}")
+        )
         joined = joined.join(
             dim.select(*dim_sel),
-            F.col(fk) == F.col(f"__jp_pk{i}"),
+            left_key == F.col(f"__jp_pk{i}"),
             "inner",
         )
         if pk in dgb:

@@ -168,9 +168,15 @@ class AggregateIntent:
 @dataclass(frozen=True)
 class JoinClause:
     """One star spoke: ``dim`` is the view name without the
-    ``snap_`` prefix, the join is ``fact.fk = dim.pk``, and the
+    ``snap_`` prefix, the join is ``<left>.fk = dim.pk``, and the
     group/filter fields mirror the fact-side vocabulary for columns
-    resolved to THIS dim."""
+    resolved to THIS dim. ``fk_side`` names the LEFT side: "fact"
+    for a plain star spoke, or the 0-based index of an EARLIER
+    spoke for a snowflake hop (r10 VERDICT #4b — ``orders JOIN
+    customer ON o_custkey = c_custkey JOIN nation ON c_nationkey =
+    n_nationkey``): the fk then lives in that dim's schema, and the
+    hop stays 1:≤1 because THIS dim's pk carries the same
+    write-enforced UNIQUE proof every spoke needs."""
 
     dim: str
     fk: str
@@ -178,6 +184,7 @@ class JoinClause:
     group_by: tuple[str, ...] = ()
     filters: dict = field(default_factory=dict)
     range_filters: dict = field(default_factory=dict)
+    fk_side: object = "fact"
 
 
 class _Ineligible(Exception):
@@ -582,18 +589,28 @@ class _Parser:
                 )
             return ("fact", ref)
 
-        on_keys: list[tuple[str, str]] = []  # (fk, pk) per dim
+        # (fk, pk, fk_side) per dim: fk_side is "fact" for a star
+        # spoke or an EARLIER spoke's index for a snowflake hop —
+        # each ON equates the just-joined dim with a side already
+        # bound, never a later one (a forward reference could only
+        # half-parse) and never itself
+        on_keys: list[tuple[str, str, object]] = []
         for i, (_, _, lref, rref) in enumerate(joins):
             on_sides: dict[object, str] = {}
             for ref in (lref, rref):
                 s, c = side(ref)
                 on_sides[s] = c
-            if set(on_sides) != {"fact", i}:
+            if i not in on_sides or len(on_sides) != 2:
                 raise _Ineligible(
-                    "each ON must equate a fact column with the "
-                    "just-joined dim's column (star shape only)"
+                    "each ON must equate the just-joined dim's column "
+                    "with an already-bound side (star/snowflake only)"
                 )
-            on_keys.append((on_sides["fact"], on_sides[i]))
+            left = next(s for s in on_sides if s != i)
+            if left != "fact" and (not isinstance(left, int) or left >= i):
+                raise _Ineligible(
+                    "ON references a dim joined later in the statement"
+                )
+            on_keys.append((on_sides[left], on_sides[i], left))
         def bucket_canon(bucket: tuple) -> str:
             """Resolve a bucket call's column and render the
             canonical form (ivm.canonical_bucket_expr's spelling).
@@ -782,6 +799,7 @@ class _Parser:
                     group_by=tuple(c for s, c in grouped if s == i),
                     filters=flt[i],
                     range_filters=rng[i],
+                    fk_side=on_keys[i][2],
                 )
                 for i in range(len(joins))
             ),
@@ -968,12 +986,14 @@ def semantic_gate_join(
     """
     ffields = {f.name.lower(): f for f in fact_schema.fields}
     fks = [j.fk for j in intent.joins]
+    # each fk resolves against ITS side's schema: the fact for star
+    # spokes, an earlier dim for snowflake hops (r10 VERDICT #4b)
     fact_refs = (
         set(intent.group_by)
         | set(intent.filters)
         | set(intent.range_filters)
         | {c for _, c in intent.aggs.values() if c}
-        | set(fks)
+        | {j.fk for j in intent.joins if j.fk_side == "fact"}
     )
     checks = [(fact_refs, ffields, "fact")]
     for i, j in enumerate(intent.joins):
@@ -983,6 +1003,11 @@ def semantic_gate_join(
             | set(j.filters)
             | set(j.range_filters)
             | {j.pk}
+            | {
+                other.fk
+                for other in intent.joins
+                if other.fk_side == i
+            }
         )
         checks.append((dim_refs, dfields, j.dim))
     for refs, fields, which in checks:
@@ -999,7 +1024,14 @@ def semantic_gate_join(
                     f"column {col!r} is mixed-case in the {which} schema"
                 )
     uniques = dim_uniques or [frozenset()] * len(intent.joins)
-    taken = set(fks) | set(intent.group_by)
+    # ambiguity set = raw names present in the composed partial plan:
+    # fact group cols + FACT-side fks. Snowflake hop fks never appear
+    # raw (answer_join_aggregate carries them under reserved __jp_fk
+    # aliases), so listing them here would wrongly refuse GROUP BY on
+    # the very dim column a hop keys off
+    taken = {
+        j.fk for j in intent.joins if j.fk_side == "fact"
+    } | set(intent.group_by)
     for i, j in enumerate(intent.joins):
         # GROUP BY the dim's own pk under its fk's spelling is a
         # supported shape (answer_join_aggregate re-reads the value
@@ -1023,7 +1055,18 @@ def semantic_gate_join(
                 "add_unique_constraint to enable the join rewrite"
             )
         dfields = {f.name.lower(): f for f in dim_schemas[i].fields}
-        fk_t = ffields[j.fk].dataType.simpleString()
+        if j.fk_side == "fact":
+            lfields = ffields
+        else:
+            # snowflake hop: the fk lives in an EARLIER dim, whose
+            # own pk-unique proof (checked when that spoke's turn
+            # came) makes every row of it reach ≤1 row here — the
+            # 1:≤1 composition the recombination algebra needs
+            lfields = {
+                f.name.lower(): f
+                for f in dim_schemas[j.fk_side].fields
+            }
+        fk_t = lfields[j.fk].dataType.simpleString()
         pk_t = dfields[j.pk].dataType.simpleString()
         if fk_t != pk_t:
             return (

@@ -200,6 +200,17 @@ def star_engine(spark, tmp_path_factory):
         ),
     )
     SN.add_unique_constraint(spark, dim2, "st_uq", "st")
+    # snowflake hop target (r11 VERDICT #4b): keyed off dim.seg, one
+    # proven 1:≤1 hop past the star
+    dim3 = str(base / "dim3")
+    SN.write_snapshot(
+        dim3,
+        spark.createDataFrame(
+            [("seg0", "famA"), ("seg1", "famB"), ("seg2", "famA")],
+            ["seg", "family"],
+        ),
+    )
+    SN.add_unique_constraint(spark, dim3, "seg_uq", "seg")
     rol = str(base / "rol")
     ivm.maintain_rollup(spark, fact, rol, ["fk"], "val")
     rol2 = str(base / "rol2")
@@ -207,6 +218,7 @@ def star_engine(spark, tmp_path_factory):
     eng.register_snapshot_table("pfact", fact)
     eng.register_snapshot_table("pdim", dim)
     eng.register_snapshot_table("pdim2", dim2)
+    eng.register_snapshot_table("pdim3", dim3)
     eng.register_rollup("pfact", "pfact_by_fk", rol, ["fk"], "val")
     eng.register_rollup(
         "pfact", "pfact_by_fk_st", rol2, ["fk", "st"], "val"
@@ -256,13 +268,19 @@ def _join_statement(draw):
         if not (w.split()[0] in seen_cols or seen_cols.add(w.split()[0]))
     ]
     order = draw(st.booleans())
+    snowflake = draw(st.booleans())
     if two_dims:
         group = tuple(group) + ("e.tier",)
+    if snowflake:
+        # one proven hop past the star: pdim3 keys off d.seg
+        group = tuple(group) + ("g.family",)
     out_names = [g.split(".", 1)[1] for g in group]
     sql = "SELECT " + ", ".join(list(group) + measures)
     sql += " FROM snap_pfact f JOIN snap_pdim d ON f.fk = d.fk"
     if two_dims:
         sql += " JOIN snap_pdim2 e ON f.st = e.st"
+    if snowflake:
+        sql += " JOIN snap_pdim3 g ON d.seg = g.seg"
     if where:
         sql += " WHERE " + " AND ".join(where)
     sql += " GROUP BY " + ", ".join(group)
