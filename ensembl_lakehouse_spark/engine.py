@@ -502,11 +502,15 @@ class Engine:
         gate (semantic_gate_join). Audit vocabulary is identical,
         plus a ``join`` list naming each dim and its pinned version.
 
-        ``allow_estimates`` is accepted for dispatch symmetry but has
-        no effect: estimate-tier measures never recombine across a
-        join (answer_aggregate outputs final estimates, which cannot
-        be re-merged), so the gate refuses them at every opt-in
-        level."""
+        ``allow_estimates`` gates the one estimate-tier shape that IS
+        join-servable (r10 VERDICT #6): when every join fk is itself
+        a group key the output grouping preserves the fact partials
+        1:1 — no estimate is ever re-merged, the join only filters
+        whole groups and attaches functionally-dependent dim
+        attributes — so approx_percentile/approx_count_distinct serve
+        under ``rewrite=approx`` exactly like the single-table tier.
+        Any grouping that would merge partials stays refused at every
+        opt-in level."""
         from ensembl_lakehouse_spark import snapshots as _SN
         from ensembl_lakehouse_spark.plans import rewrite as _RW
         from ensembl_lakehouse_spark.plans.sql_rewrite import (
@@ -564,7 +568,8 @@ class Engine:
             }
         non_null = _proven_non_null(fact_dir, fact_pin)
         gate = semantic_gate_join(
-            intent, fact_schema, dim_schemas, non_null, dim_uniques
+            intent, fact_schema, dim_schemas, non_null, dim_uniques,
+            allow_estimates,
         )
         if gate is not None:
             return None, {"eligible": False, "reason": gate}

@@ -979,11 +979,40 @@ def answer_join_aggregate(
     plan: dict[str, tuple[str, str | None, str | None]] = {}
 
     def _partial(fn: str, col: str) -> str:
-        name = f"__jp_{fn}_{col}" if col else "__jp_cnt"
+        # parameterized fns carry '@q' — keep the alias identifier-safe
+        # (a dotted name would parse as struct access downstream)
+        safe = fn.replace("@", "_q").replace(".", "_")
+        name = f"__jp_{safe}_{col}" if col else "__jp_cnt"
         partials[name] = (fn, col)
         return name
 
+    est_requested = any(
+        _fn_base(fn) in ("approx_percentile", "approx_count_distinct")
+        for fn, _ in aggs.values()
+    )
+    if est_requested:
+        # estimate-tier pass-through (r10 VERDICT #6): a final
+        # estimate cannot be re-merged, so it is join-servable ONLY
+        # when the output grouping preserves the partial grouping
+        # 1:1 — every fact-side fk must be a final group key
+        # (directly in fact_group_by, or as the dim's same-spelled pk
+        # in its group_by). The gate proves this for /sql callers;
+        # programmatic callers fail loudly here.
+        for d in dims:
+            if d.get("fk_side", "fact") != "fact":
+                continue
+            fk, pk = d["fk"], d["pk"]
+            if fk in fact_group_by:
+                continue
+            if pk == fk and pk in (d.get("group_by") or ()):
+                continue
+            raise ValueError(
+                f"estimate-tier measures need every join fk grouped "
+                f"({fk!r} is not) — the final estimate cannot be "
+                "re-merged across partial groups"
+            )
     for out, (fn, col) in aggs.items():
+        base_fn = _fn_base(fn)
         if fn == "count":
             # COUNT(col) reaches here only under the NOT-NULL proof,
             # where it equals the row count
@@ -996,7 +1025,11 @@ def answer_join_aggregate(
             )
         elif fn in ("min", "max"):
             plan[out] = (fn, _partial(fn, col), None)
-        else:  # unreachable: semantic_gate_join refuses estimates
+        elif base_fn in ("approx_percentile", "approx_count_distinct"):
+            # pass-through: with 1:1 grouping each final group holds
+            # exactly one partial row, so MIN is the identity read
+            plan[out] = ("pass", _partial(fn, col), None)
+        else:
             raise ValueError(f"{fn!r} cannot recombine across a join")
     # GROUP BY on a join key itself is a legal star shape — dedupe so
     # the partial grouping never carries a column twice (duplicate
@@ -1095,6 +1128,10 @@ def answer_join_aggregate(
                 .alias(out)
             )
         elif fn == "min":
+            exprs.append(F.min(p1).alias(out))
+        elif fn == "pass":
+            # 1:1 grouping (enforced above): one partial row per
+            # final group, MIN reads it back unchanged
             exprs.append(F.min(p1).alias(out))
         else:
             exprs.append(F.max(p1).alias(out))

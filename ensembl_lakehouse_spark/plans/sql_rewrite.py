@@ -954,6 +954,7 @@ def semantic_gate_join(
     dim_schemas: list,
     fact_non_null: frozenset[str] | set[str] = frozenset(),
     dim_uniques: list | None = None,
+    allow_estimates: bool = False,
 ) -> str | None:
     """The join family's semantic proof (r9 VERDICT #2; generalized
     to a MULTI-dim star in the r10 second pass): a star-shaped
@@ -1077,7 +1078,56 @@ def semantic_gate_join(
     grouped = bool(
         intent.group_by or any(j.group_by for j in intent.joins)
     )
+    # Estimate-tier special case (r10 VERDICT #6): a final estimate
+    # cannot be RE-MERGED across groups, but when the output grouping
+    # preserves the partial grouping 1:1 no merge ever happens — the
+    # join only filters whole partial groups (dim filters select
+    # whole pks) and attaches functionally-dependent dim attributes.
+    # That holds exactly when EVERY fact-side fk is itself a group
+    # key (directly, or as the dim's pk under the same spelling — the
+    # equal-value exempt shape). Hop spokes key off an earlier dim's
+    # column, a function of that dim's pk, so they never split a
+    # partial group.
+    fk_grouped = all(
+        j.fk in intent.group_by
+        or (j.pk == j.fk and j.pk in j.group_by)
+        for j in intent.joins
+        if j.fk_side == "fact"
+    )
+    having_aliases = {alias for alias, _, _ in intent.having}
     for out, (fn, col) in intent.aggs.items():
+        base_fn = fn.split("@", 1)[0]
+        if base_fn in ESTIMATE_FNS:
+            if out in having_aliases:
+                return (
+                    f"{out}: HAVING filters on an estimate-tier "
+                    "measure — the rewrite could change the surviving "
+                    "row set, never eligible"
+                )
+            if not fk_grouped:
+                return (
+                    f"{out}: only exact-tier measures recombine "
+                    "across a join (estimates cannot be re-merged "
+                    "from final values; grouping by every join fk "
+                    "would avoid the merge)"
+                )
+            if not allow_estimates:
+                return (
+                    f"{out}: estimate-tier rewrite (the rollup's "
+                    "sketch vs the statement's native estimator) "
+                    "needs rewrite=approx"
+                )
+            if base_fn == "approx_percentile":
+                f = ffields[col]
+                t = f.dataType.simpleString()
+                if t not in _INTEGRAL and t not in (
+                    "float", "double"
+                ) and not t.startswith("decimal"):
+                    return (
+                        f"{out}: approx_percentile needs a numeric "
+                        f"column, and {col} is {t}"
+                    )
+            continue
         if fn not in EXACT_FNS:
             return (
                 f"{out}: only exact-tier measures recombine across a "

@@ -1348,3 +1348,95 @@ def test_snowflake_hop_refusals_are_loud(engine, spark, snowflake_mv):
     )
     rdf, audit = engine._try_sql_rewrite(ghost, {}, False, "strict")
     assert rdf is None and "'nope'" in audit["reason"]
+
+
+# ---- round 11: estimate tier through the join rewrite (VERDICT #6) ----
+
+
+@pytest.fixture()
+def qjoin_mv(engine, spark, tmp_path):
+    """Fact with a quantile aux rollup keyed on fk + UNIQUE-proven
+    dim — the one estimate-tier shape the join rewrite serves."""
+    fact = str(tmp_path / "qj_fact")
+    rows = [(i, i % 5, (i * 17) % 200) for i in range(400)]
+    SN.write_snapshot(
+        fact, spark.createDataFrame(rows, ["k", "fk", "val"])
+    )
+    dim = str(tmp_path / "qj_dim")
+    SN.write_snapshot(
+        dim,
+        spark.createDataFrame(
+            [(d, f"seg{d % 2}") for d in range(5)], ["fk", "seg"]
+        ),
+    )
+    SN.add_unique_constraint(spark, dim, "fk_uq", "fk")
+    rol = str(tmp_path / "qj_rol")
+    ivm.maintain_aux_rollup(spark, fact, rol, ["fk"], "val", kind="quantile")
+    engine.register_snapshot_table("qjfact", fact)
+    engine.register_snapshot_table("qjdim", dim)
+    engine.register_rollup(
+        "qjfact", "q_by_fk", rol, ["fk"], "val", kind="quantile"
+    )
+    return fact, dim, rol
+
+
+QJ_SQL = (
+    "SELECT f.fk, d.seg, approx_percentile(f.val, 0.5) AS p50, "
+    "COUNT(*) AS n "
+    "FROM snap_qjfact f JOIN snap_qjdim d ON f.fk = d.fk "
+    "GROUP BY f.fk, d.seg ORDER BY fk, seg"
+)
+
+
+def test_quantile_joins_when_every_fk_is_grouped(engine, spark, qjoin_mv):
+    """With every join fk a group key, no estimate is ever re-merged
+    — the join rewrite serves approx_percentile from the quantile
+    rollup under rewrite=approx: zero fact files, counts exact, and
+    every estimate within the DDSketch α = (γ−1)/(γ+1) of the true
+    type-1 order statistic."""
+    import math
+
+    fact, dim, rol = qjoin_mv
+    rdf, audit = engine._try_sql_rewrite(QJ_SQL, {}, True, "strict")
+    assert audit["answered_by"] == "q_by_fk"
+    files = rdf.inputFiles()
+    assert files and not any(fact in f for f in files)
+    got = {(r.fk, r.seg): (r.p50, r.n) for r in rdf.collect()}
+    assert len(got) == 5
+    base = {
+        (r.fk,): sorted(
+            x.val
+            for x in SN.read_snapshot(spark, fact)
+            .where(f"fk = {r.fk}")
+            .collect()
+        )
+        for r in rdf.collect()
+    }
+    alpha = 0.02 / 2.02
+    for (fk, seg), (p50, n) in got.items():
+        vals = base[(fk,)]
+        assert n == len(vals)
+        order_stat = vals[max(1, math.ceil(0.5 * len(vals))) - 1]
+        assert abs(p50 - order_stat) <= alpha * abs(order_stat) + 1e-9
+
+
+def test_quantile_join_refusals_stay_loud(engine, qjoin_mv):
+    """Grouping that would merge partials refuses at every opt-in
+    level; the fk-grouped shape still needs rewrite=approx; HAVING on
+    the estimate never serves."""
+    seg_only = (
+        "SELECT d.seg, approx_percentile(f.val, 0.5) AS p50 "
+        "FROM snap_qjfact f JOIN snap_qjdim d ON f.fk = d.fk "
+        "GROUP BY d.seg"
+    )
+    rdf, audit = engine._try_sql_rewrite(seg_only, {}, True, "strict")
+    assert rdf is None and "cannot be re-merged" in audit["reason"]
+    rdf, audit = engine._try_sql_rewrite(QJ_SQL, {}, False, "strict")
+    assert rdf is None and "rewrite=approx" in audit["reason"]
+    having = (
+        "SELECT f.fk, approx_percentile(f.val, 0.5) AS p50 "
+        "FROM snap_qjfact f JOIN snap_qjdim d ON f.fk = d.fk "
+        "GROUP BY f.fk HAVING p50 > 10"
+    )
+    rdf, audit = engine._try_sql_rewrite(having, {}, True, "strict")
+    assert rdf is None and "HAVING filters on an estimate" in audit["reason"]
