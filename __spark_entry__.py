@@ -98,6 +98,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency_curve": T.packing_efficiency_curve,
         "lang_punctuation_bands": T.lang_punctuation_bands,
         "embedding_sign_balance": S.embedding_sign_balance,
+        # Batch 2: competitive rank churn, priority stickiness,
+        # supply concentration by flow, basket-width trend,
+        # activation matrix, brand momentum, traffic volatility,
+        # casing screen.
+        "brand_rank_stability": RP.brand_rank_stability,
+        "priority_loyalty": RP.priority_loyalty,
+        "supplier_revenue_deciles": RP.supplier_revenue_deciles,
+        "order_width_monthly": RP.order_width_monthly,
+        "first_order_value_matrix": RP.first_order_value_matrix,
+        "brand_quarter_growth": RP.brand_quarter_growth,
+        "events_daily_volatility": R.events_daily_volatility,
+        "token_case_profile": T.token_case_profile,
         # --- Round-10 additions (window discipline: every
         # oracle-backed entry was driver-certified across r1-r9, so
         # the first-50 window leads with this round's new operators,
@@ -499,6 +511,14 @@ def oracle_sql() -> dict[str, str]:
         "packing_efficiency_curve": T.PACKING_EFFICIENCY_CURVE_SQL,
         "lang_punctuation_bands": T.LANG_PUNCTUATION_BANDS_SQL,
         "embedding_sign_balance": S.EMBEDDING_SIGN_BALANCE_SQL,
+        "brand_rank_stability": RP.BRAND_RANK_STABILITY_SQL,
+        "priority_loyalty": RP.PRIORITY_LOYALTY_SQL,
+        "supplier_revenue_deciles": RP.SUPPLIER_REVENUE_DECILES_SQL,
+        "order_width_monthly": RP.ORDER_WIDTH_MONTHLY_SQL,
+        "first_order_value_matrix": RP.FIRST_ORDER_VALUE_MATRIX_SQL,
+        "brand_quarter_growth": RP.BRAND_QUARTER_GROWTH_SQL,
+        "events_daily_volatility": R.EVENTS_DAILY_VOLATILITY_SQL,
+        "token_case_profile": T.TOKEN_CASE_PROFILE_SQL,
         # --- Round-10 batch 4.
         "packing_efficiency": T.PACKING_EFFICIENCY_SQL,
         "first_purchase_latency_bands":

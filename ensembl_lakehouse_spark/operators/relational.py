@@ -6201,3 +6201,78 @@ SELECT band, n_users, total_events,
 FROM grid
 ORDER BY band
 """
+
+
+# ---------------------------------------------------------------------------
+# events_daily_volatility (r11)
+# ---------------------------------------------------------------------------
+
+
+def events_daily_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day traffic volatility per event type: mean absolute
+    day-over-day change relative to the previous day, in bp
+    (Σ |Δ|·10⁴/prev DIV n_changes — each ratio integer-exact before
+    the mean), plus the worst single-day swing. events_burstiness
+    scores inter-arrival clumping and events_dow_anomaly seasonal
+    outliers; this is the capacity-planning number — how much
+    headroom tomorrow needs over today, per type. Consecutive
+    OBSERVED days only (a type absent a day compares across the
+    gap; zero-fill is the gapfill operator's job).
+
+    Plan (100 TB): one (type, date) partial agg off the fact scan;
+    the lag window partitions per type over the ≤ types·days grid;
+    the final agg is ≤|types| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(ts AS DATE)").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    lagged = daily.withColumn(
+        "prev",
+        F.expr("lag(n) OVER (PARTITION BY event_type ORDER BY d)"),
+    ).where("prev IS NOT NULL")
+    per_day = lagged.select(
+        "event_type",
+        F.expr(
+            "CAST((abs(n - prev) * 10000) DIV prev AS BIGINT)"
+        ).alias("swing_bp"),
+    )
+    return (
+        per_day.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_changes"),
+            F.sum("swing_bp").cast("long").alias("swing_sum"),
+            F.max("swing_bp").cast("long").alias("max_swing_bp"),
+        )
+        .withColumn(
+            "mean_swing_bp",
+            F.expr("CAST(swing_sum DIV n_changes AS BIGINT)"),
+        )
+        .drop("swing_sum")
+        .orderBy("event_type")
+    )
+
+
+EVENTS_DAILY_VOLATILITY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY d) AS prev
+  FROM daily
+), per_day AS (
+  SELECT event_type,
+         CAST((abs(n - prev) * 10000) // prev AS BIGINT) AS swing_bp
+  FROM lagged WHERE prev IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_changes,
+       CAST(MAX(swing_bp) AS BIGINT) AS max_swing_bp,
+       CAST(SUM(swing_bp) // COUNT(*) AS BIGINT) AS mean_swing_bp
+FROM per_day
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -6810,3 +6810,531 @@ FROM c JOIN s ON c.nk = s.nk
 JOIN nation ON c.nk = n_nationkey
 ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# brand_rank_stability (r11)
+# ---------------------------------------------------------------------------
+
+
+def brand_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competitive churn: per brand, how many months it was ranked
+    (by monthly revenue, brand-name tie-break) in the top 5, its
+    best and worst monthly rank, and the mean rank ×100 — a brand
+    whose rank whipsaws is promotional noise, one that slowly sinks
+    is a real share loss. Ranks are computed per month over the
+    ≤ months·|brands| aggregated grid with a deterministic total
+    order (revenue DESC, brand ASC), so both engines rank
+    identically.
+
+    Plan (100 TB): part is a dim — broadcast join; one
+    (month, brand) partial agg off the fact scan; the rank window
+    partitions per month on the bounded grid (never
+    SinglePartition over fact rows); the final agg is ≤|brands|."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "year(CAST(l_shipdate AS DATE)) * 12 + "
+            "month(CAST(l_shipdate AS DATE)) - 1"
+        ).alias("m"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    grid = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("m", "p_brand")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    ranked = grid.withColumn(
+        "rnk",
+        F.expr(
+            "rank() OVER (PARTITION BY m "
+            "ORDER BY rev_cents DESC, p_brand ASC)"
+        ),
+    )
+    return (
+        ranked.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            F.sum(F.expr("CASE WHEN rnk <= 5 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("months_top5"),
+            F.min("rnk").cast("long").alias("best_rank"),
+            F.max("rnk").cast("long").alias("worst_rank"),
+            F.sum("rnk").cast("long").alias("rank_sum"),
+        )
+        .withColumn(
+            "mean_rank_x100",
+            F.expr("CAST((rank_sum * 100) DIV n_months AS BIGINT)"),
+        )
+        .drop("rank_sum")
+        .orderBy("p_brand")
+    )
+
+
+BRAND_RANK_STABILITY_SQL = """
+WITH grid AS (
+  SELECT year(CAST(l_shipdate AS DATE)) * 12
+           + month(CAST(l_shipdate AS DATE)) - 1 AS m,
+         p_brand,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT p_brand,
+         rank() OVER (PARTITION BY m
+                      ORDER BY rev_cents DESC, p_brand ASC) AS rnk
+  FROM grid
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       CAST(SUM(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS months_top5,
+       CAST(MIN(rnk) AS BIGINT) AS best_rank,
+       CAST(MAX(rnk) AS BIGINT) AS worst_rank,
+       CAST((SUM(rnk) * 100) // COUNT(*) AS BIGINT) AS mean_rank_x100
+FROM ranked
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# priority_loyalty (r11)
+# ---------------------------------------------------------------------------
+
+
+def priority_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority stickiness: per order priority, how many multi-order
+    customers use it EXCLUSIVELY (every one of their orders), their
+    share of the priority's multi-order customer base (bp), and the
+    loyal customers' order volume. A priority whose users never mix
+    is a real product tier; one everybody mixes is a checkout
+    afterthought. Single-order customers are excluded (exclusivity
+    is vacuous on one order).
+
+    Plan (100 TB): one per-(customer, priority) partial agg, folded
+    to one per-customer row carrying its ≤|priorities| priority SET
+    (bounded — never a count-distinct over raw facts), then ONE
+    explode back out and a ≤|priorities| agg — single lattice pass,
+    no self-join, no second branch re-evaluating the upstream."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    per_cp = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    per_cust = per_cp.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prios"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.collect_set("o_orderpriority").alias("prios"),
+    )
+    exploded = per_cust.where("n_orders >= 2").select(
+        "n_prios",
+        "n_orders",
+        F.explode("prios").alias("o_orderpriority"),
+    )
+    return (
+        exploded.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.expr("CASE WHEN n_prios = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("loyal_customers"),
+            F.sum(
+                F.expr("CASE WHEN n_prios = 1 THEN n_orders ELSE 0 END")
+            )
+            .cast("long")
+            .alias("loyal_orders"),
+        )
+        .withColumn(
+            "loyal_share_bp",
+            F.expr(
+                "CAST((loyal_customers * 10000) DIV n_customers "
+                "AS BIGINT)"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PRIORITY_LOYALTY_SQL = """
+WITH per_cp AS (
+  SELECT o_custkey, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+), per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_prios, SUM(n_orders) AS n_orders,
+         list(o_orderpriority) AS prios
+  FROM per_cp GROUP BY 1
+), exploded AS (
+  SELECT n_prios, n_orders,
+         unnest(prios) AS o_orderpriority
+  FROM per_cust WHERE n_orders >= 2
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN n_prios = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS loyal_customers,
+       CAST(SUM(CASE WHEN n_prios = 1 THEN n_orders ELSE 0 END)
+            AS BIGINT) AS loyal_orders,
+       CAST((SUM(CASE WHEN n_prios = 1 THEN 1 ELSE 0 END) * 10000)
+            // COUNT(*) AS BIGINT) AS loyal_share_bp
+FROM exploded
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# supplier_revenue_deciles (r11)
+# ---------------------------------------------------------------------------
+
+
+def supplier_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-side concentration: suppliers ranked into revenue
+    deciles — per decile, supplier count, total revenue cents, the
+    decile's revenue share (bp), and the boundary values. The
+    balance twin (supplier_balance_deciles) ranks by CREDIT; this
+    ranks by what each supplier actually SHIPPED — together they
+    split 'big book, small flow' suppliers from the real backbone.
+    Decile assignment is exact global NTILE via the two-phase
+    boundary-broadcast primitive (operators/tiling.py) under the
+    (revenue DESC, suppkey ASC) total order — bit-identical to the
+    plain-SQL ntile the oracle runs, no SinglePartition window.
+
+    Plan (100 TB): one per-supplier partial agg off the fact scan;
+    the tiling's two plan-build jobs are memoized per process
+    (cache_ns) and the assignment phase is per-bucket windows; the
+    final agg is exactly 10 cells."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum("cents").cast("long").alias("rev_cents")
+    )
+    from ensembl_lakehouse_spark.operators.tiling import with_global_ntile
+
+    tiled = with_global_ntile(
+        per_supp, "rev_cents", "l_suppkey", 10, "decile",
+        descending=True, cache_ns="supplier_revenue_deciles",
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("rev_cents").cast("long").alias("decile_cents"),
+            F.min("rev_cents").cast("long").alias("min_cents"),
+            F.max("rev_cents").cast("long").alias("max_cents"),
+        )
+        .withColumn(
+            "revenue_share_bp",
+            F.expr(
+                "CAST((CAST(decile_cents AS DECIMAL(38,0)) * 10000) "
+                "DIV (SUM(decile_cents) OVER ()) AS BIGINT)"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+SUPPLIER_REVENUE_DECILES_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY 1
+), tiled AS (
+  SELECT rev_cents,
+         ntile(10) OVER (ORDER BY rev_cents DESC, l_suppkey ASC)
+           AS decile
+  FROM per_supp
+), grid AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(rev_cents) AS BIGINT) AS decile_cents,
+         CAST(MIN(rev_cents) AS BIGINT) AS min_cents,
+         CAST(MAX(rev_cents) AS BIGINT) AS max_cents
+  FROM tiled GROUP BY 1
+)
+SELECT decile, n_suppliers, decile_cents, min_cents, max_cents,
+       CAST((CAST(decile_cents AS HUGEINT) * 10000)
+            // SUM(decile_cents) OVER () AS BIGINT) AS revenue_share_bp
+FROM grid
+ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_width_monthly (r11)
+# ---------------------------------------------------------------------------
+
+
+def order_width_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-width trend: per month, orders, lines, quantity, and
+    the two per-order rates (lines per order ×100, quantity per
+    order ×100). order_width_histogram is the static distribution;
+    this is its TIME SERIES — a shrinking lines-per-order under
+    growing order counts is basket fragmentation (more shipments per
+    revenue dollar). The month is the ORDER's month; lines attach by
+    the co-keyed orderkey join.
+
+    Plan (100 TB): per-order line partials first (orderkey partial
+    agg off the lineitem scan), then the co-keyed join to orders and
+    one ≤ months agg — the join carries |orders| rows, never raw
+    lines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "year(CAST(o_orderdate AS DATE)) * 12 + "
+            "month(CAST(o_orderdate AS DATE)) - 1"
+        ).alias("m"),
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)"))
+            .cast("long")
+            .alias("qty"),
+        )
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("qty").cast("long").alias("total_qty"),
+        )
+        .withColumn(
+            "lines_per_order_x100",
+            F.expr("CAST((n_lines * 100) DIV n_orders AS BIGINT)"),
+        )
+        .withColumn(
+            "qty_per_order_x100",
+            F.expr("CAST((total_qty * 100) DIV n_orders AS BIGINT)"),
+        )
+        .orderBy("m")
+    )
+
+
+ORDER_WIDTH_MONTHLY_SQL = """
+WITH li AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1
+)
+SELECT year(CAST(o_orderdate AS DATE)) * 12
+         + month(CAST(o_orderdate AS DATE)) - 1 AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       CAST((SUM(n_lines) * 100) // COUNT(*) AS BIGINT)
+         AS lines_per_order_x100,
+       CAST((SUM(qty) * 100) // COUNT(*) AS BIGINT)
+         AS qty_per_order_x100
+FROM orders JOIN li ON o_orderkey = l_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# first_order_value_matrix (r11)
+# ---------------------------------------------------------------------------
+
+
+def first_order_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation-quality matrix: each customer's FIRST order value
+    band (date then orderkey tie-break — deterministic) crossed with
+    their LIFETIME value band, cell count plus the share of the
+    first-band row (bp). The diagonal says first impressions
+    predict; mass above it says small first orders grow into big
+    accounts (so don't gate onboarding on first-order size).
+    customer_value_migration tracks period-to-period moves; this
+    anchors on the very first transaction.
+
+    Plan (100 TB): one per-customer partial agg computing BOTH the
+    first-order pick (min_by over the composite date-orderkey key)
+    and the lifetime sum in a single pass; banding is map-only on
+    the ≤|customers| lattice; the grid is ≤ 4·4 cells."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(o_orderdate AS DATE)").alias("od"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.expr(
+            "min_by(cents, struct(od, o_orderkey))"
+        ).alias("first_cents"),
+        F.sum("cents").cast("long").alias("ltv_cents"),
+    )
+
+    def band(col: str) -> str:
+        return (
+            f"CASE WHEN {col} < 100000 THEN 'a_lt1k' "
+            f"WHEN {col} < 1000000 THEN 'b_lt10k' "
+            f"WHEN {col} < 10000000 THEN 'c_lt100k' "
+            "ELSE 'd_ge100k' END"
+        )
+
+    grid = (
+        per_cust.select(
+            F.expr(band("first_cents")).alias("first_band"),
+            F.expr(band("ltv_cents")).alias("ltv_band"),
+        )
+        .groupBy("first_band", "ltv_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    return (
+        grid.withColumn(
+            "row_share_bp",
+            F.expr(
+                "(n_customers * 10000) DIV (SUM(n_customers) OVER "
+                "(PARTITION BY first_band))"
+            ),
+        )
+        .orderBy("first_band", "ltv_band")
+    )
+
+
+FIRST_ORDER_VALUE_MATRIX_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), firsts AS (
+  -- DuckDB min_by has no struct-key overload, so the deterministic
+  -- first-order pick runs as a window instead (same total order)
+  SELECT o_custkey, cents AS first_cents
+  FROM (SELECT o_custkey, cents,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY od, o_orderkey) AS rn
+        FROM o)
+  WHERE rn = 1
+), per_cust AS (
+  SELECT o.o_custkey,
+         MAX(f.first_cents) AS first_cents,
+         CAST(SUM(o.cents) AS BIGINT) AS ltv_cents
+  FROM o JOIN firsts f ON o.o_custkey = f.o_custkey
+  GROUP BY 1
+), banded AS (
+  SELECT CASE WHEN first_cents < 100000 THEN 'a_lt1k'
+              WHEN first_cents < 1000000 THEN 'b_lt10k'
+              WHEN first_cents < 10000000 THEN 'c_lt100k'
+              ELSE 'd_ge100k' END AS first_band,
+         CASE WHEN ltv_cents < 100000 THEN 'a_lt1k'
+              WHEN ltv_cents < 1000000 THEN 'b_lt10k'
+              WHEN ltv_cents < 10000000 THEN 'c_lt100k'
+              ELSE 'd_ge100k' END AS ltv_band
+  FROM per_cust
+), grid AS (
+  SELECT first_band, ltv_band,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM banded GROUP BY 1, 2
+)
+SELECT first_band, ltv_band, n_customers,
+       (n_customers * 10000)
+         // CAST(SUM(n_customers) OVER (PARTITION BY first_band)
+                 AS BIGINT) AS row_share_bp
+FROM grid
+ORDER BY first_band, ltv_band
+"""
+
+
+# ---------------------------------------------------------------------------
+# brand_quarter_growth (r11)
+# ---------------------------------------------------------------------------
+
+
+def brand_quarter_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand momentum: per (brand, quarter), revenue cents plus the
+    quarter-over-quarter growth in bp (vs the brand's PREVIOUS
+    OBSERVED quarter — a brand absent a quarter compares across the
+    gap, stated in the contract). orders_quarter_growth tracks the
+    whole book; this decomposes the momentum by brand so a flat
+    total can still show the portfolio rotating. The lag window
+    partitions per brand over the ≤ brands·quarters grid.
+
+    Plan (100 TB): part is a dim — broadcast join; one
+    (brand, quarter) partial agg off the fact scan; lag + growth
+    arithmetic on the bounded grid only. First observed quarter has
+    no baseline → NULL growth (kept, not dropped)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "year(CAST(l_shipdate AS DATE)) * 4 + "
+            "(quarter(CAST(l_shipdate AS DATE)) - 1)"
+        ).alias("q"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    grid = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "q")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    return (
+        grid.withColumn(
+            "prev_cents",
+            F.expr(
+                "lag(rev_cents) OVER (PARTITION BY p_brand ORDER BY q)"
+            ),
+        )
+        .withColumn(
+            "qoq_growth_bp",
+            F.expr(
+                "CAST(CASE WHEN prev_cents IS NULL THEN NULL "
+                "ELSE ((rev_cents - prev_cents) * 10000) DIV prev_cents "
+                "END AS BIGINT)"
+            ),
+        )
+        .orderBy("p_brand", "q")
+    )
+
+
+BRAND_QUARTER_GROWTH_SQL = """
+WITH grid AS (
+  SELECT p_brand,
+         year(CAST(l_shipdate AS DATE)) * 4
+           + (quarter(CAST(l_shipdate AS DATE)) - 1) AS q,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand, q, rev_cents,
+       CAST(lag(rev_cents) OVER (PARTITION BY p_brand ORDER BY q)
+            AS BIGINT) AS prev_cents,
+       CAST(CASE WHEN lag(rev_cents) OVER (PARTITION BY p_brand
+                                           ORDER BY q) IS NULL
+                 THEN NULL
+                 ELSE ((rev_cents - lag(rev_cents) OVER (
+                          PARTITION BY p_brand ORDER BY q)) * 10000)
+                      // lag(rev_cents) OVER (PARTITION BY p_brand
+                                              ORDER BY q)
+            END AS BIGINT) AS qoq_growth_bp
+FROM grid
+ORDER BY p_brand, q
+"""

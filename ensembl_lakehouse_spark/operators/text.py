@@ -3402,3 +3402,77 @@ SELECT lang, band, n_docs,
 FROM grid
 ORDER BY lang, band
 """
+
+
+# ---------------------------------------------------------------------------
+# token_case_profile (r11)
+# ---------------------------------------------------------------------------
+
+
+def token_case_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casing composition per language: alphabetic tokens split into
+    lowercase / Capitalized / ALLCAPS / mixed classes, each with its
+    share of the language's alphabetic tokens (bp). A lang whose
+    ALLCAPS share spikes is shouting-forum or OCR-artifact scrape; a
+    Capitalized share far above English's ~15 % is title/listing
+    boilerplate. Classes are anchored regexes on the shared
+    whitespace tokenizer — non-alphabetic tokens (numbers, urls,
+    punctuation runs) are excluded so the denominator means
+    something.
+
+    Plan (100 TB): explode over the shared tokenizer → map-only
+    class labeling → one ≤|langs|·4 partial agg; the share window
+    runs on that grid."""
+    toks = _docs_with_tokens(spark, sf_dir).select(
+        "lang", F.explode("toks").alias("tok")
+    )
+    classed = toks.select(
+        "lang",
+        F.expr(
+            "CASE "
+            "WHEN tok RLIKE '^[a-z]+$' THEN 'a_lower' "
+            "WHEN tok RLIKE '^[A-Z][a-z]+$' THEN 'b_capitalized' "
+            "WHEN tok RLIKE '^[A-Z]+$' THEN 'c_allcaps' "
+            "WHEN tok RLIKE '^[A-Za-z]+$' THEN 'd_mixed' "
+            "ELSE NULL END"
+        ).alias("cls"),
+    ).where("cls IS NOT NULL")
+    grid = classed.groupBy("lang", "cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return (
+        grid.withColumn(
+            "lang_share_bp",
+            F.expr(
+                "(n_tokens * 10000) DIV (SUM(n_tokens) OVER "
+                "(PARTITION BY lang))"
+            ),
+        )
+        .orderBy("lang", "cls")
+    )
+
+
+TOKEN_CASE_PROFILE_SQL = """
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), classed AS (
+  SELECT lang,
+         CASE
+           WHEN regexp_full_match(tok, '[a-z]+') THEN 'a_lower'
+           WHEN regexp_full_match(tok, '[A-Z][a-z]+') THEN 'b_capitalized'
+           WHEN regexp_full_match(tok, '[A-Z]+') THEN 'c_allcaps'
+           WHEN regexp_full_match(tok, '[A-Za-z]+') THEN 'd_mixed'
+           ELSE NULL END AS cls
+  FROM toks
+), grid AS (
+  SELECT lang, cls, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM classed WHERE cls IS NOT NULL GROUP BY 1, 2
+)
+SELECT lang, cls, n_tokens,
+       (n_tokens * 10000)
+         // CAST(SUM(n_tokens) OVER (PARTITION BY lang) AS BIGINT)
+         AS lang_share_bp
+FROM grid
+ORDER BY lang, cls
+"""

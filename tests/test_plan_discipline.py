@@ -32,6 +32,16 @@ BUDGETS = {
     "packing_efficiency_curve": 0,
     "lang_punctuation_bands": 2,
     "embedding_sign_balance": 2,
+    "brand_rank_stability": 3,
+    # single lattice pass: (cust, prio) → cust (priority SET, ≤5)
+    # → explode → prio cells; the first cut self-joined at 7
+    "priority_loyalty": 3,
+    "supplier_revenue_deciles": 3,
+    "order_width_monthly": 2,
+    "first_order_value_matrix": 3,
+    "brand_quarter_growth": 2,
+    "events_daily_volatility": 2,
+    "token_case_profile": 2,
     # --- Round 9 (probed at sf0.001, pinned at the observed count)
     "events_error_rate_hourly": 1,
     "user_session_count_bands": 2,

@@ -155,3 +155,104 @@ def test_nation_balance_contrast_gap_identity(spark):
     for r in RP.nation_balance_contrast(spark, SF_DIR).collect():
         assert r.gap_cents == r.mean_cust_cents - r.mean_supp_cents
         assert r.n_customers > 0 and r.n_suppliers > 0
+
+
+# ---- batch 2 ----
+
+
+def test_supplier_revenue_deciles_partition_the_book(spark):
+    rows = RP.supplier_revenue_deciles(spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_suppliers for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(DISTINCT l_suppkey) FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    # descending ranking: decile 1 holds the largest revenues
+    for a, b in zip(rows, rows[1:]):
+        assert a.min_cents >= b.max_cents
+    assert 10000 - 10 < sum(r.revenue_share_bp for r in rows) <= 10000
+
+
+def test_priority_loyalty_bounds(spark):
+    rows = RP.priority_loyalty(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.loyal_customers <= r.n_customers
+        assert 0 <= r.loyal_share_bp <= 10000
+        # every loyal customer placed >= 2 orders (multi-order gate)
+        assert r.loyal_orders >= 2 * r.loyal_customers
+
+
+def test_order_width_monthly_conserves_lines(spark):
+    rows = RP.order_width_monthly(spark, SF_DIR).collect()
+    assert sum(r.n_lines for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    # basket width is undefined for a line-less order, so the inner
+    # join counts only orders that shipped something (the fixture
+    # holds a few header-only orders)
+    assert sum(r.n_orders for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(DISTINCT l_orderkey) FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    for r in rows:
+        assert r.lines_per_order_x100 >= 100  # every counted order has a line
+
+
+def test_first_order_value_matrix_conserves_customers(spark):
+    rows = RP.first_order_value_matrix(spark, SF_DIR).collect()
+    assert sum(r.n_customers for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF_DIR}/orders.parquet'"
+    )
+    for r in rows:
+        # lifetime >= first order, so LTV band >= first band
+        assert r.ltv_band >= r.first_band
+
+
+def test_brand_rank_stability_ranks_are_coherent(spark):
+    rows = RP.brand_rank_stability(spark, SF_DIR).collect()
+    n_top5 = sum(r.months_top5 for r in rows)
+    n_months = duckdb_scalar(
+        "SELECT COUNT(DISTINCT year(CAST(l_shipdate AS DATE)) * 12 "
+        "+ month(CAST(l_shipdate AS DATE)) - 1) "
+        f"FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    # exactly 5 top-5 slots per month (rank() can tie but the
+    # revenue-then-brand order is total, so ties are impossible)
+    assert n_top5 == 5 * n_months
+    for r in rows:
+        assert 1 <= r.best_rank <= r.worst_rank
+        assert r.best_rank * 100 <= r.mean_rank_x100 <= r.worst_rank * 100
+
+
+def test_brand_quarter_growth_identity(spark):
+    rows = RP.brand_quarter_growth(spark, SF_DIR).collect()
+    by_brand: dict = {}
+    for r in rows:
+        by_brand.setdefault(r.p_brand, []).append(r)
+    for brand, series in by_brand.items():
+        series.sort(key=lambda r: r.q)
+        assert series[0].qoq_growth_bp is None  # no baseline
+        for prev, cur in zip(series, series[1:]):
+            assert cur.prev_cents == prev.rev_cents
+            expected = ((cur.rev_cents - prev.rev_cents) * 10000) // prev.rev_cents
+            if ((cur.rev_cents - prev.rev_cents) * 10000) % prev.rev_cents != 0 \
+                    and (cur.rev_cents - prev.rev_cents) < 0:
+                # python // floors; engines truncate toward zero
+                expected += 1
+            assert cur.qoq_growth_bp == expected, (brand, cur.q)
+
+
+def test_events_daily_volatility_bounds(spark):
+    rows = R.events_daily_volatility(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.mean_swing_bp <= r.max_swing_bp
+
+
+def test_token_case_profile_is_a_partition_of_alpha_tokens(spark):
+    rows = T.token_case_profile(spark, SF_DIR).collect()
+    by_lang: dict = {}
+    for r in rows:
+        assert r.cls in ("a_lower", "b_capitalized", "c_allcaps", "d_mixed")
+        by_lang.setdefault(r.lang, []).append(r.lang_share_bp)
+    for lang, shares in by_lang.items():
+        assert 10000 - len(shares) < sum(shares) <= 10000, lang
