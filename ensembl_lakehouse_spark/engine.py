@@ -389,6 +389,22 @@ class Engine:
         )
 
         intent = parse_aggregate_sql(sql)
+        if intent is not None and intent.used_ordinals and (
+            self.spark.conf.get(
+                "spark.sql.groupByOrdinal", "true"
+            ).lower() != "true"
+        ):
+            # positional resolution matched Spark's default only —
+            # with the conf off, the verbatim statement groups by the
+            # integer LITERAL, so serving per-position groups would
+            # change the answer (r11 code review)
+            return None, {
+                "eligible": False,
+                "reason": "GROUP BY ordinal recognized but "
+                "spark.sql.groupByOrdinal is disabled on this "
+                "session — the verbatim statement groups by the "
+                "literal",
+            }
         if intent is not None and intent.joins:
             return self._try_sql_join_rewrite(
                 intent, pins, allow_estimates, freshness

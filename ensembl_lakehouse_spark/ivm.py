@@ -101,55 +101,95 @@ def canonical_bucket_expr(expr: str) -> tuple[str, str]:
     return f"{fn}({col})", col
 
 
+def read_bucketspec(rollup_dir: str) -> dict | None:
+    """The ``_bucketspec`` marker a bucket-keyed rollup carries
+    ({"exprs": {col: canonical}, "tz": zone}) or None for plain
+    rollups — the one accessor every consumer (the guard below, the
+    rewrite catalog's registration check) reads through, so the
+    filename and format live in exactly one place. A corrupt marker
+    is a loud ValueError, not a raw JSONDecodeError."""
+    path = os.path.join(rollup_dir, "_bucketspec")
+    try:
+        with open(path) as f:
+            raw = f.read().strip()
+    except FileNotFoundError:
+        return None
+    try:
+        return json.loads(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"{path} is not valid JSON ({exc}) — the bucket-key "
+            "encoding is unknowable; restore the marker or rebuild"
+        ) from None
+
+
+def _bucket_stamp(canon: dict[str, str] | None, tz: str) -> str | None:
+    return (
+        json.dumps({"exprs": canon, "tz": tz}, sort_keys=True)
+        if canon
+        else None
+    )
+
+
 def _bucket_guard(
     rollup_dir: str,
     canon: dict[str, str] | None,
     tz: str,
     rebuild: bool,
 ) -> None:
-    """Write/verify the ``_bucketspec`` marker: the stored group-key
-    values of a bucket-keyed rollup are only meaningful under ONE
-    (expression set, session timezone) pair — ``date_trunc`` over a
-    TIMESTAMP truncates in the session zone, so a tick under a
-    different zone (or different expressions) would delta-merge keys
-    from two incompatible encodings into one table, the exact mixed-
-    key corruption the ``_qformat`` guard stops for sketches. Same
-    rules: mismatch demands ``rebuild=True``; committed state with NO
-    marker is unknowable and also demands a rebuild; a rebuild (or
-    first build) re-stamps."""
-    stamp = (
-        json.dumps({"exprs": canon, "tz": tz}, sort_keys=True)
-        if canon
-        else None
+    """VERIFY the ``_bucketspec`` marker against this tick's
+    encoding: the stored group-key values of a bucket-keyed rollup
+    are only meaningful under ONE (expression set, session timezone)
+    pair — ``date_trunc`` over a TIMESTAMP truncates in the session
+    zone, so a tick under a different zone (or different
+    expressions) would delta-merge keys from two incompatible
+    encodings into one table, the exact mixed-key corruption the
+    ``_qformat`` guard stops for sketches. Mismatch demands
+    ``rebuild=True``; committed state with NO marker is unknowable
+    and also demands a rebuild.
+
+    Verification ONLY — the caller stamps via ``_bucket_commit``
+    AFTER the rebuild's commit succeeds (r11 code review: stamping
+    up front left a failed rebuild's marker describing an encoding
+    the committed rows do not have, and the next non-rebuild tick
+    would then silently merge mixed encodings — the guard defeating
+    itself)."""
+    stamp = _bucket_stamp(canon, tz)
+    spec = read_bucketspec(rollup_dir)
+    stored = (
+        json.dumps(spec, sort_keys=True) if spec is not None else None
     )
+    if stored == stamp or rebuild:
+        return
+    if stored is not None:
+        raise ValueError(
+            f"{rollup_dir} was maintained under bucket spec "
+            f"{stored} but this tick uses {stamp} — group-key "
+            "encodings are not mergeable; rerun with rebuild=True"
+        )
+    if canon and _applied_versions(rollup_dir):
+        raise ValueError(
+            f"{rollup_dir} holds committed state but no "
+            "_bucketspec marker — its group-key encoding is "
+            "unknown and cannot be delta-merged under bucket "
+            "expressions; rerun with rebuild=True"
+        )
+
+
+def _bucket_commit(
+    rollup_dir: str, canon: dict[str, str] | None, tz: str
+) -> None:
+    """Stamp (or remove) the marker — called only after the tick's
+    commit lands, so the marker always describes COMMITTED state."""
+    stamp = _bucket_stamp(canon, tz)
     path = os.path.join(rollup_dir, "_bucketspec")
-    try:
-        with open(path) as f:
-            stored = f.read().strip()
-    except FileNotFoundError:
-        stored = None
-    if stored != stamp and not rebuild:
-        if stored is not None:
-            raise ValueError(
-                f"{rollup_dir} was maintained under bucket spec "
-                f"{stored} but this tick uses {stamp} — group-key "
-                "encodings are not mergeable; rerun with rebuild=True"
-            )
-        if _applied_versions(rollup_dir):
-            raise ValueError(
-                f"{rollup_dir} holds committed state but no "
-                "_bucketspec marker — its group-key encoding is "
-                "unknown and cannot be delta-merged under bucket "
-                "expressions; rerun with rebuild=True"
-            )
     if stamp is None:
-        if stored is not None:
+        if os.path.exists(path):
             os.remove(path)
         return
-    if stored != stamp:
-        os.makedirs(rollup_dir, exist_ok=True)
-        with open(path, "w") as f:
-            f.write(stamp)
+    os.makedirs(rollup_dir, exist_ok=True)
+    with open(path, "w") as f:
+        f.write(stamp)
 
 
 def _applied_versions(rollup_dir: str) -> list[int]:
@@ -391,9 +431,14 @@ def maintain_rollup(
             raise ValueError(
                 f"bucket key {sum_col!r} is also the measure column"
             )
+        # pinned at src_v like the build itself — a schema-changing
+        # commit racing this tick must not make the shadow check
+        # inspect a different version than full_fn aggregates
         src_cols = {
             f.lower()
-            for f in SN.read_snapshot(spark, source_dir).columns
+            for f in SN.read_snapshot(
+                spark, source_dir, version=src_v
+            ).columns
         }
         shadowed = {c for c in canon if c.lower() in src_cols}
         if shadowed:
@@ -404,12 +449,8 @@ def maintain_rollup(
                 f"bucket key(s) {sorted(shadowed)} shadow existing "
                 "source columns — pick fresh names"
             )
-    _bucket_guard(
-        rollup_dir,
-        canon,
-        spark.conf.get("spark.sql.session.timeZone"),
-        rebuild,
-    )
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    _bucket_guard(rollup_dir, canon, tz, rebuild)
     if rollup_lineage(rollup_dir) is not None:
         if _applied_versions(rollup_dir):
             raise ValueError(
@@ -462,10 +503,17 @@ def maintain_rollup(
             ).alias("d_sum"),
         )
 
-    return _tick(
+    out = _tick(
         spark, rollup_dir, group_cols, src_v, rebuild, full_fn, delta_fn,
         "filter or coalesce upstream",
     )
+    # stamp only AFTER the tick's commit: a failed rebuild must leave
+    # the marker describing the encoding the rows actually have (r11
+    # code review — the crash window now demands a rebuild instead of
+    # silently merging mixed encodings)
+    if canon or read_bucketspec(rollup_dir) is not None:
+        _bucket_commit(rollup_dir, canon, tz)
+    return out
 
 
 def maintain_rollup_from_rollup(

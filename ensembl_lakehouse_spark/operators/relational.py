@@ -6078,11 +6078,14 @@ def events_weekend_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             # rate-of-rates as one exact integer expression — the
-            # two DIV-truncated rates would compound truncation
+            # two DIV-truncated rates would compound truncation. The
+            # numerator multiplies a count by days by 10⁴, which
+            # passes BIGINT at the 100 TB plan — DECIMAL(38,0)
+            # numerator, truncating DIV (oracle: HUGEINT //)
             "uplift_bp",
             F.expr(
-                "CAST((we_events * wd_days * 10000) DIV "
-                "(wd_events * we_days) AS BIGINT)"
+                "CAST((CAST(we_events AS DECIMAL(38,0)) * wd_days "
+                "* 10000) DIV (wd_events * we_days) AS BIGINT)"
             ),
         )
         .select(
@@ -6118,8 +6121,8 @@ SELECT event_type,
        CAST(wd_events AS BIGINT) AS wd_events,
        CAST((we_events * 100) // we_days AS BIGINT) AS we_rate_x100,
        CAST((wd_events * 100) // wd_days AS BIGINT) AS wd_rate_x100,
-       CAST((we_events * wd_days * 10000) // (wd_events * we_days)
-            AS BIGINT) AS uplift_bp
+       CAST((CAST(we_events AS HUGEINT) * wd_days * 10000)
+            // (wd_events * we_days) AS BIGINT) AS uplift_bp
 FROM wide
 WHERE we_days IS NOT NULL AND wd_days IS NOT NULL
 ORDER BY event_type

@@ -7303,10 +7303,14 @@ def brand_quarter_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn(
+            # a per-(brand, quarter) cents sum ×10⁴ passes BIGINT at
+            # the 100 TB target — DECIMAL(38,0) numerator, truncating
+            # DIV (the lift-op rule; the oracle uses HUGEINT //)
             "qoq_growth_bp",
             F.expr(
                 "CAST(CASE WHEN prev_cents IS NULL THEN NULL "
-                "ELSE ((rev_cents - prev_cents) * 10000) DIV prev_cents "
+                "ELSE ((CAST(rev_cents AS DECIMAL(38,0)) - prev_cents) "
+                "* 10000) DIV prev_cents "
                 "END AS BIGINT)"
             ),
         )
@@ -7330,8 +7334,9 @@ SELECT p_brand, q, rev_cents,
        CAST(CASE WHEN lag(rev_cents) OVER (PARTITION BY p_brand
                                            ORDER BY q) IS NULL
                  THEN NULL
-                 ELSE ((rev_cents - lag(rev_cents) OVER (
-                          PARTITION BY p_brand ORDER BY q)) * 10000)
+                 ELSE ((CAST(rev_cents AS HUGEINT) - lag(rev_cents)
+                          OVER (PARTITION BY p_brand ORDER BY q))
+                       * 10000)
                       // lag(rev_cents) OVER (PARTITION BY p_brand
                                               ORDER BY q)
             END AS BIGINT) AS qoq_growth_bp

@@ -80,6 +80,14 @@ DERIVABLE_BY_KIND = {
 }
 
 
+#: column names the rollup answer path reads as stored partials —
+#: user-chosen output aliases may never take these spellings (the
+#: bucket-alias withColumn would silently replace the partial)
+_ROLLUP_INTERNAL = frozenset(
+    {"n_rows", "sum_val", "min_val", "max_val", "hll", "qsk"}
+)
+
+
 def _fn_base(fn: str) -> str:
     """Measure name without the parameter suffix
     ("approx_percentile@0.25" → "approx_percentile")."""
@@ -177,7 +185,8 @@ class RollupCatalog:
                 c: ivm.canonical_bucket_expr(e)[0]
                 for c, e in group_exprs.items()
             }
-        marker = _read_bucketspec(os.path.abspath(rollup_dir))
+        # ivm owns the marker's filename/format — one reader, shared
+        marker = ivm.read_bucketspec(os.path.abspath(rollup_dir))
         if marker is not None:
             if canon != (marker.get("exprs") or {}):
                 raise ValueError(
@@ -236,19 +245,6 @@ class RollupCatalog:
         return sorted(
             self._specs.values(), key=lambda s: (len(s.group_cols), s.name)
         )
-
-
-def _read_bucketspec(rollup_dir: str) -> dict | None:
-    """The ``_bucketspec`` marker ivm.maintain_rollup stamps on a
-    bucket-keyed rollup ({"exprs": {col: canonical}, "tz": zone}),
-    or None for plain rollups."""
-    import json
-
-    try:
-        with open(os.path.join(rollup_dir, "_bucketspec")) as f:
-            return json.loads(f.read())
-    except FileNotFoundError:
-        return None
 
 
 def _last_applied(spec: RollupSpec) -> int | None:
@@ -706,6 +702,16 @@ def answer_aggregate(
             raise ValueError(
                 f"bucket alias {alias!r} collides with another "
                 "output column"
+            )
+        if alias in _ROLLUP_INTERNAL or alias.startswith("__"):
+            # the rollup path withColumns the alias BEFORE
+            # re-aggregating the stored partials — an alias named
+            # n_rows/sum_val/... would clobber the very partial
+            # _agg_exprs reads (r11 code review: silently wrong
+            # rewrite answers)
+            raise ValueError(
+                f"bucket alias {alias!r} collides with the rewrite's "
+                "reserved partial columns"
             )
     for col, bounds in (range_filters or {}).items():
         if not isinstance(bounds, (list, tuple)) or len(bounds) != 2:

@@ -163,6 +163,13 @@ class AggregateIntent:
     #: second pass generalizes one dim to a multi-dim star). Empty
     #: for the single-table family.
     joins: tuple["JoinClause", ...] = ()
+    #: True when any GROUP BY term was a SELECT-list ordinal: the
+    #: recognizer resolves it positionally, which matches Spark only
+    #: under spark.sql.groupByOrdinal=true (the default) — the
+    #: engine refuses the rewrite when that conf is off, where the
+    #: verbatim statement groups by the integer LITERAL instead
+    #: (r11 code review).
+    used_ordinals: bool = False
 
 
 @dataclass(frozen=True)
@@ -713,6 +720,7 @@ class _Parser:
         # equality.
         grouped: list[tuple[str, str]] = []
         grouped_buckets: list[str] = []
+        used_ordinals = any(k == "ord" for k, _ in group_terms)
         for term in group_terms:
             kind, payload = term
             if kind == "ord":
@@ -784,6 +792,7 @@ class _Parser:
             table=table[len("snap_"):],
             group_by=tuple(c for s, c in grouped if s == "fact"),
             group_exprs=tuple(buckets),
+            used_ordinals=used_ordinals,
             aggs=aggs,
             filters=flt["fact"],
             range_filters=rng["fact"],
@@ -864,6 +873,16 @@ def semantic_gate(
                 return (
                     f"bucket alias {alias!r} collides with a table "
                     "column"
+                )
+            if alias in (
+                "n_rows", "sum_val", "min_val", "max_val", "hll", "qsk"
+            ) or alias.startswith("__"):
+                # the rollup path aliases the stored bucket column
+                # BEFORE re-aggregating — these spellings would
+                # clobber the partial being read (r11 code review)
+                return (
+                    f"bucket alias {alias!r} collides with the "
+                    "rewrite's reserved partial namespace"
                 )
             _, srccol = canonical_bucket_expr(expr)
             f = fields.get(srccol)

@@ -1048,3 +1048,46 @@ def test_bucket_key_validation_is_loud(spark, tmp_path):
         "date_trunc('day',ts)", "ts"
     )
     assert ivm.canonical_bucket_expr("year(ts)") == ("year(ts)", "ts")
+
+def test_bucket_marker_stamps_only_after_commit(spark, tmp_path):
+    """r11 code review: a rebuild that FAILS must leave the marker
+    describing the encoding the committed rows actually have —
+    stamping up front would let the next non-rebuild tick silently
+    merge mixed encodings."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    rol = str(tmp_path / "rol")
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(
+            [(i, dt.datetime(2024, 4, 1 + i % 6, 9), i) for i in range(30)],
+            "k int, ts timestamp, v int",
+        ),
+    )
+    old = {"day": "date_trunc('day', ts)"}
+    ivm.maintain_rollup(spark, src, rol, ["day"], "v", key_exprs=old)
+    stamped = ivm.read_bucketspec(rol)
+    # a rebuild under a NEW encoding that fails mid-build (the bucket
+    # source column vanishes at plan time) must NOT move the marker
+    with pytest.raises(Exception):
+        ivm.maintain_rollup(
+            spark, src, rol, ["day"], "v",
+            key_exprs={"day": "date_trunc('day', nope)"}, rebuild=True,
+        )
+    assert ivm.read_bucketspec(rol) == stamped
+    # and the old-encoding chain still ticks (noop — nothing changed)
+    assert ivm.maintain_rollup(
+        spark, src, rol, ["day"], "v", key_exprs=old
+    )["mode"] == "noop"
+    # bucket→plain transition: a failed rebuild keeps the marker too
+    with pytest.raises(Exception):
+        ivm.maintain_rollup(
+            spark, src, rol, ["nope_col"], "v", rebuild=True
+        )
+    assert ivm.read_bucketspec(rol) == stamped
+    # a corrupt marker is a loud ValueError, not a JSON traceback
+    with open(os.path.join(rol, "_bucketspec"), "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="not valid JSON"):
+        ivm.maintain_rollup(spark, src, rol, ["day"], "v", key_exprs=old)

@@ -1440,3 +1440,35 @@ def test_quantile_join_refusals_stay_loud(engine, qjoin_mv):
     )
     rdf, audit = engine._try_sql_rewrite(having, {}, True, "strict")
     assert rdf is None and "HAVING filters on an estimate" in audit["reason"]
+
+
+def test_bucket_alias_reserved_and_ordinal_conf_gates(engine, spark, tmv):
+    """r11 code review pins: a bucket alias spelled like a rollup
+    partial column (n_rows/sum_val/...) falls back with the reserved-
+    namespace reason instead of silently clobbering the partial; and
+    ordinal GROUP BY recognition refuses when
+    spark.sql.groupByOrdinal is off (the verbatim statement then
+    groups by the literal)."""
+    clobber = (
+        "SELECT date_trunc('day', ts) AS n_rows, COUNT(*) AS n "
+        "FROM snap_tev GROUP BY 1"
+    )
+    rdf, audit = engine._try_sql_rewrite(clobber, {}, False, "strict")
+    assert rdf is None and "reserved partial" in audit["reason"]
+    spark.conf.set("spark.sql.groupByOrdinal", "false")
+    try:
+        rdf, audit = engine._try_sql_rewrite(
+            "SELECT typ, COUNT(*) AS n FROM snap_tev GROUP BY 1",
+            {}, False, "strict",
+        )
+        assert rdf is None
+        assert "groupByOrdinal is disabled" in audit["reason"]
+    finally:
+        spark.conf.unset("spark.sql.groupByOrdinal")
+    # expression-spelled GROUP BY is conf-independent — still serves
+    rdf, audit = engine._try_sql_rewrite(
+        "SELECT date_trunc('day', ts) AS d, COUNT(*) AS n "
+        "FROM snap_tev GROUP BY date_trunc('day', ts)",
+        {}, False, "strict",
+    )
+    assert audit["answered_by"] == "daily"
