@@ -110,6 +110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_quarter_growth": RP.brand_quarter_growth,
         "events_daily_volatility": R.events_daily_volatility,
         "token_case_profile": T.token_case_profile,
+        # Batch 3: dedup-policy calibration, price realization,
+        # ingestion-loss audit, embedding exact dups, payload bloat.
+        "dedup_threshold_sensitivity": D.dedup_threshold_sensitivity,
+        "net_multiplier_bands": RP.net_multiplier_bands,
+        "docid_continuity_audit": RP.docid_continuity_audit,
+        "embedding_exact_dups": S.embedding_exact_dups,
+        "props_size_profile": R.props_size_profile,
         # --- Round-10 additions (window discipline: every
         # oracle-backed entry was driver-certified across r1-r9, so
         # the first-50 window leads with this round's new operators,
@@ -519,6 +526,12 @@ def oracle_sql() -> dict[str, str]:
         "brand_quarter_growth": RP.BRAND_QUARTER_GROWTH_SQL,
         "events_daily_volatility": R.EVENTS_DAILY_VOLATILITY_SQL,
         "token_case_profile": T.TOKEN_CASE_PROFILE_SQL,
+        "dedup_threshold_sensitivity":
+            D.DEDUP_THRESHOLD_SENSITIVITY_SQL,
+        "net_multiplier_bands": RP.NET_MULTIPLIER_BANDS_SQL,
+        "docid_continuity_audit": RP.DOCID_CONTINUITY_AUDIT_SQL,
+        "embedding_exact_dups": S.EMBEDDING_EXACT_DUPS_SQL,
+        "props_size_profile": R.PROPS_SIZE_PROFILE_SQL,
         # --- Round-10 batch 4.
         "packing_efficiency": T.PACKING_EFFICIENCY_SQL,
         "first_purchase_latency_bands":

@@ -513,10 +513,11 @@ def _duck_band_keys(sig: str) -> str:
     )
 
 
-def _near_sql(s_cte: str) -> str:
+def _near_sql(s_cte: str, threshold: float = JACCARD_THRESHOLD) -> str:
     """Shared MinHash+LSH+verify oracle SQL over a caller-supplied
     CTE chain ending in ``s(doc_id, sh)`` — the DuckDB twin of
-    :func:`_near_pipeline`."""
+    :func:`_near_pipeline`. ``threshold=0.0`` keeps every verified
+    candidate (the sensitivity sweep's base relation)."""
     return f"""
 WITH {s_cte}, hs AS (
   SELECT doc_id, sh, list_transform(sh, x -> {sql_md5_long31("x")}) AS h FROM s
@@ -550,7 +551,7 @@ WITH {s_cte}, hs AS (
 SELECT doc_a, doc_b, n_sh_a, n_sh_b, n_common,
        CAST(n_common AS DOUBLE) / (n_sh_a + n_sh_b - n_common) AS jaccard
 FROM scored
-WHERE CAST(n_common AS DOUBLE) / (n_sh_a + n_sh_b - n_common) >= {JACCARD_THRESHOLD}
+WHERE CAST(n_common AS DOUBLE) / (n_sh_a + n_sh_b - n_common) >= {threshold}
 """
 
 
@@ -1621,6 +1622,82 @@ SELECT batch,
        CAST((SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 10000)
             // COUNT(*) AS BIGINT) AS dup_rate_bp
 FROM flagged
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_sensitivity (r11)
+# ---------------------------------------------------------------------------
+
+#: Jaccard thresholds (percent) the sensitivity sweep prices.
+SENSITIVITY_THRESHOLDS_PCT = (50, 70, 80, 90)
+
+
+def dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-policy calibration: the surviving near-dup pair count
+    and flagged-doc count at FOUR Jaccard thresholds (50/70/80/90 %)
+    from ONE MinHash+LSH+verify pass — the
+    session_threshold_sensitivity pattern applied to dedup. The
+    production threshold (JACCARD_THRESHOLD = 0.8) is a policy knob;
+    this table is what makes choosing it an informed decision: a
+    cliff between 70 and 80 means the corpus has a near-dup family
+    right at the boundary, a flat curve means the choice is free.
+    'Flagged' counts distinct doc_b over surviving pairs — the docs
+    a keep-smallest policy would drop before transitive closure
+    (dedup_components prices the closure). Survival is the exact
+    INTEGER cross-comparison ``n_common·100 ≥ t·union`` — no double
+    ever enters a threshold decision, so both engines band
+    identically.
+
+    Plan (100 TB): the shared banded-LSH candidate lattice (bucket
+    caps, checkpointed shingles — never all-pairs) evaluated ONCE at
+    threshold 0; the sweep is a 4× explode of the verified PAIR set
+    (pairs ≪ docs), one ≤4-row agg. Thresholds with zero survivors
+    still report (conditional sums, not a filter)."""
+    scored = _near_pipeline(_shingled(spark, sf_dir), threshold=0.0)
+    tarr = ", ".join(str(t) for t in SENSITIVITY_THRESHOLDS_PCT)
+    swept = scored.select(
+        "doc_b",
+        F.expr("n_sh_a + n_sh_b - n_common").alias("n_union"),
+        "n_common",
+        F.explode(F.expr(f"array({tarr})")).alias("threshold_pct"),
+    ).withColumn(
+        "survives",
+        F.expr("CASE WHEN n_common * 100 >= threshold_pct * n_union "
+               "THEN 1 ELSE 0 END"),
+    )
+    return (
+        swept.groupBy("threshold_pct")
+        .agg(
+            F.sum("survives").cast("long").alias("n_pairs"),
+            F.countDistinct(
+                F.expr("CASE WHEN survives = 1 THEN doc_b END")
+            ).cast("long").alias("n_flagged_docs"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+DEDUP_THRESHOLD_SENSITIVITY_SQL = f"""
+WITH all_scored AS ({_near_sql(_WORD_S_CTE, 0.0)}),
+swept AS (
+  SELECT doc_b, n_sh_a + n_sh_b - n_common AS n_union, n_common,
+         unnest([{", ".join(str(t) for t in SENSITIVITY_THRESHOLDS_PCT)}])
+           AS threshold_pct
+  FROM all_scored
+)
+SELECT threshold_pct,
+       CAST(SUM(CASE WHEN n_common * 100 >= threshold_pct * n_union
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN n_common * 100
+                                     >= threshold_pct * n_union
+                                THEN doc_b END) AS BIGINT)
+         AS n_flagged_docs
+FROM swept
 GROUP BY 1
 ORDER BY 1
 """

@@ -6279,3 +6279,79 @@ FROM per_day
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# props_size_profile (r11)
+# ---------------------------------------------------------------------------
+
+
+def props_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-bloat audit: event props (the JSON string column)
+    banded by byte length (empty / ≤64 / ≤256 / ≤1024 / larger) per
+    event type, with each band's share of the type (bp) and the
+    band's total bytes — where ingest/storage cost actually sits.
+    events_json_extract reads the payload's CONTENT; this prices its
+    SIZE: one type carrying kilobyte payloads on billions of rows is
+    the first thing a pipeline bill audit finds. NULL props count as
+    empty (length 0 — stated, not implicit).
+
+    Plan (100 TB): map-only length + banding → one ≤|types|·5
+    partial agg; the share window runs on that grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("length(coalesce(props, ''))").alias("nbytes"),
+    )
+    banded = ev.select(
+        "event_type",
+        "nbytes",
+        F.expr(
+            "CASE WHEN nbytes = 0 THEN 'a_empty' "
+            "WHEN nbytes <= 64 THEN 'b_small' "
+            "WHEN nbytes <= 256 THEN 'c_medium' "
+            "WHEN nbytes <= 1024 THEN 'd_large' "
+            "ELSE 'e_huge' END"
+        ).alias("band"),
+    )
+    grid = banded.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("nbytes").cast("long").alias("total_bytes"),
+    )
+    return (
+        grid.withColumn(
+            "type_share_bp",
+            F.expr(
+                "(n_events * 10000) DIV (SUM(n_events) OVER "
+                "(PARTITION BY event_type))"
+            ),
+        )
+        .orderBy("event_type", "band")
+    )
+
+
+PROPS_SIZE_PROFILE_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(length(COALESCE(props, '')) AS BIGINT) AS nbytes
+  FROM events
+), banded AS (
+  SELECT event_type, nbytes,
+         CASE WHEN nbytes = 0 THEN 'a_empty'
+              WHEN nbytes <= 64 THEN 'b_small'
+              WHEN nbytes <= 256 THEN 'c_medium'
+              WHEN nbytes <= 1024 THEN 'd_large'
+              ELSE 'e_huge' END AS band
+  FROM ev
+), grid AS (
+  SELECT event_type, band,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(nbytes) AS BIGINT) AS total_bytes
+  FROM banded GROUP BY 1, 2
+)
+SELECT event_type, band, n_events, total_bytes,
+       (n_events * 10000)
+         // CAST(SUM(n_events) OVER (PARTITION BY event_type)
+                 AS BIGINT) AS type_share_bp
+FROM grid
+ORDER BY event_type, band
+"""

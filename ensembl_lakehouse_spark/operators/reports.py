@@ -7343,3 +7343,167 @@ SELECT p_brand, q, rev_cents,
 FROM grid
 ORDER BY p_brand, q
 """
+
+
+# ---------------------------------------------------------------------------
+# net_multiplier_bands (r11)
+# ---------------------------------------------------------------------------
+
+
+def net_multiplier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-realization audit: each line's net multiplier
+    (1−discount)(1+tax) in fixed-point ×10⁴, banded (<90 % / <97 % /
+    <103 % / <110 % / higher), per band: lines, gross cents, net
+    cents, and the band's share of gross (bp). The grid says how
+    much of the book transacts materially below list (deep-discount
+    exposure) vs above (tax-heavy jurisdictions).
+    lineitem_discount_effectiveness prices discount ROI; this is the
+    two-factor NET of discount and tax together. The multiplier
+    fixes to ×10⁴ per row before banding (floor + 0.5 — the cents
+    rule), so band edges are engine-exact; net cents round per row
+    from the gross-cents × multiplier product in DECIMAL.
+
+    Plan (100 TB): map-only fixed-point arithmetic + banding → one
+    ≤5-cell partial agg; the share window runs on that."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("gross_cents"),
+        F.expr(
+            "CAST(floor((CAST(1.0 AS DOUBLE) - l_discount) * "
+            "(CAST(1.0 AS DOUBLE) + l_tax) * 10000 + "
+            "CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("mult_x10k"),
+    )
+    banded = li.select(
+        "gross_cents",
+        "mult_x10k",
+        F.expr(
+            "CASE WHEN mult_x10k < 9000 THEN 'a_deep_discount' "
+            "WHEN mult_x10k < 9700 THEN 'b_discounted' "
+            "WHEN mult_x10k < 10300 THEN 'c_near_list' "
+            "WHEN mult_x10k < 11000 THEN 'd_tax_heavy' "
+            "ELSE 'e_premium' END"
+        ).alias("band"),
+        F.expr(
+            "CAST((CAST(gross_cents AS DECIMAL(38,0)) * mult_x10k) "
+            "DIV 10000 AS BIGINT)"
+        ).alias("net_cents"),
+    )
+    grid = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("gross_cents").cast("long").alias("gross_cents"),
+        F.sum("net_cents").cast("long").alias("net_cents"),
+    )
+    return (
+        grid.withColumn(
+            "gross_share_bp",
+            F.expr(
+                "CAST((CAST(gross_cents AS DECIMAL(38,0)) * 10000) "
+                "DIV (SUM(gross_cents) OVER ()) AS BIGINT)"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+NET_MULTIPLIER_BANDS_SQL = """
+WITH li AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           AS gross_cents,
+         CAST(floor((1.0 - l_discount) * (1.0 + l_tax) * 10000 + 0.5)
+              AS BIGINT) AS mult_x10k
+  FROM lineitem
+), banded AS (
+  SELECT gross_cents,
+         CASE WHEN mult_x10k < 9000 THEN 'a_deep_discount'
+              WHEN mult_x10k < 9700 THEN 'b_discounted'
+              WHEN mult_x10k < 10300 THEN 'c_near_list'
+              WHEN mult_x10k < 11000 THEN 'd_tax_heavy'
+              ELSE 'e_premium' END AS band,
+         CAST((CAST(gross_cents AS HUGEINT) * mult_x10k) // 10000
+              AS BIGINT) AS net_cents
+  FROM li
+), grid AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(gross_cents) AS BIGINT) AS gross_cents,
+         CAST(SUM(net_cents) AS BIGINT) AS net_cents
+  FROM banded GROUP BY 1
+)
+SELECT band, n_lines, gross_cents, net_cents,
+       CAST((CAST(gross_cents AS HUGEINT) * 10000)
+            // SUM(gross_cents) OVER () AS BIGINT) AS gross_share_bp
+FROM grid
+ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# docid_continuity_audit (r11)
+# ---------------------------------------------------------------------------
+
+
+def docid_continuity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-loss audit: per source, the doc_id span it covers
+    ([min, max]), its doc count, the ids MISSING inside its own span
+    that belong to NO other source (true corpus holes vs interleaved
+    sources), and the corpus-global hole count repeated per row for
+    the headline. A pipeline that lost a shard shows as a hole
+    cluster; interleaved sources legitimately pock each other's
+    spans, which is why the per-source 'missing' alone would
+    over-alarm — the global hole count is the real loss signal.
+
+    Plan (100 TB): one ≤|sources| partial agg (min/max/count) plus
+    ONE global 3-value agg broadcast back — no per-id work, pure
+    arithmetic on the aggregates (span − count identities)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id"
+    )
+    per_src = docs.groupBy("source").agg(
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    glob = docs.agg(
+        F.min("doc_id").cast("long").alias("g_min"),
+        F.max("doc_id").cast("long").alias("g_max"),
+        F.count(F.lit(1)).cast("long").alias("g_docs"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "min_id",
+            "max_id",
+            "n_docs",
+            F.expr("max_id - min_id + 1 - n_docs").alias(
+                "span_missing"
+            ),
+            F.expr("g_max - g_min + 1 - g_docs").alias(
+                "corpus_holes"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DOCID_CONTINUITY_AUDIT_SQL = """
+WITH per_src AS (
+  SELECT source,
+         CAST(MIN(doc_id) AS BIGINT) AS min_id,
+         CAST(MAX(doc_id) AS BIGINT) AS max_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), corpus AS (
+  SELECT CAST(MIN(doc_id) AS BIGINT) AS g_min,
+         CAST(MAX(doc_id) AS BIGINT) AS g_max,
+         CAST(COUNT(*) AS BIGINT) AS g_docs
+  FROM documents
+)
+SELECT source, min_id, max_id, n_docs,
+       CAST(max_id - min_id + 1 - n_docs AS BIGINT) AS span_missing,
+       CAST(g_max - g_min + 1 - g_docs AS BIGINT) AS corpus_holes
+FROM per_src CROSS JOIN corpus
+ORDER BY source
+"""

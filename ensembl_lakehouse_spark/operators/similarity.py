@@ -2173,3 +2173,83 @@ SELECT label, band, n_vectors,
 FROM grid
 ORDER BY label, band
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_exact_dups (r11)
+# ---------------------------------------------------------------------------
+
+
+def embedding_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate vector families: vectors grouped by their
+    full float array (bit-equality — the leak signal: two rows with
+    IDENTICAL embeddings are re-encoded copies or an upstream join
+    fan-out, which train/test splitters must know about), reported
+    per label as family count, duplicated-vector count, and the
+    wasted share of the label's vectors (bp). The dedup_* family
+    hunts NEAR-duplicates in text; this is the embedding-side exact
+    screen — zero tolerance, zero estimation. Grouping keys on the
+    raw float array (no arithmetic, no tolerance), so bit-equal is
+    the contract on both engines.
+
+    Plan (100 TB): one hash-groupBy on the vector array (Spark
+    hashes arrays natively — the exact-dedup shape), families ≥2
+    only, then a ≤|labels| partial agg. Never any pairwise work."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "embedding"
+    )
+    fams = (
+        emb.groupBy("label", "embedding")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
+        .where("n_copies >= 2")
+    )
+    per_label = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    agg = fams.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_families"),
+        F.sum(F.expr("n_copies - 1")).cast("long").alias("n_redundant"),
+    )
+    return (
+        per_label.join(agg, "label", "left")
+        .select(
+            "label",
+            "n_vectors",
+            F.coalesce("n_families", F.lit(0))
+            .cast("long")
+            .alias("n_families"),
+            F.coalesce("n_redundant", F.lit(0))
+            .cast("long")
+            .alias("n_redundant"),
+        )
+        .withColumn(
+            "redundant_share_bp",
+            F.expr(
+                "CAST((n_redundant * 10000) DIV n_vectors AS BIGINT)"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_EXACT_DUPS_SQL = """
+WITH fams AS (
+  SELECT label, embedding, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM embeddings GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+), per_label AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM embeddings GROUP BY 1
+), agg AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_families,
+         CAST(SUM(n_copies - 1) AS BIGINT) AS n_redundant
+  FROM fams GROUP BY 1
+)
+SELECT p.label, p.n_vectors,
+       CAST(COALESCE(a.n_families, 0) AS BIGINT) AS n_families,
+       CAST(COALESCE(a.n_redundant, 0) AS BIGINT) AS n_redundant,
+       CAST((COALESCE(a.n_redundant, 0) * 10000) // p.n_vectors
+            AS BIGINT) AS redundant_share_bp
+FROM per_label p LEFT JOIN agg a ON p.label = a.label
+ORDER BY p.label
+"""

@@ -42,6 +42,12 @@ BUDGETS = {
     "brand_quarter_growth": 2,
     "events_daily_volatility": 2,
     "token_case_profile": 2,
+    # rides the shared banded-LSH candidate lattice at threshold 0
+    "dedup_threshold_sensitivity": 3,
+    "net_multiplier_bands": 1,
+    "docid_continuity_audit": 1,
+    "embedding_exact_dups": 3,
+    "props_size_profile": 2,
     # --- Round 9 (probed at sf0.001, pinned at the observed count)
     "events_error_rate_hourly": 1,
     "user_session_count_bands": 2,

@@ -256,3 +256,77 @@ def test_token_case_profile_is_a_partition_of_alpha_tokens(spark):
         by_lang.setdefault(r.lang, []).append(r.lang_share_bp)
     for lang, shares in by_lang.items():
         assert 10000 - len(shares) < sum(shares) <= 10000, lang
+
+
+# ---- batch 3 ----
+
+
+def test_dedup_threshold_sensitivity_is_monotone_and_anchored(spark):
+    """Higher threshold → fewer (or equal) pairs and flagged docs;
+    the 80 % row must equal dedup_near's own survivor counts (same
+    lattice, same verify)."""
+    from ensembl_lakehouse_spark.operators import dedup as D
+
+    rows = {
+        r.threshold_pct: r
+        for r in D.dedup_threshold_sensitivity(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == [50, 70, 80, 90]
+    for lo, hi in [(50, 70), (70, 80), (80, 90)]:
+        assert rows[lo].n_pairs >= rows[hi].n_pairs
+        assert rows[lo].n_flagged_docs >= rows[hi].n_flagged_docs
+    near = D.dedup_near(spark, SF_DIR).collect()
+    assert rows[80].n_pairs == len(near)
+    assert rows[80].n_flagged_docs == len({r.doc_b for r in near})
+
+
+def test_net_multiplier_bands_conserve_lines_and_gross(spark):
+    rows = RP.net_multiplier_bands(spark, SF_DIR).collect()
+    assert sum(r.n_lines for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    assert sum(r.gross_cents for r in rows) == duckdb_scalar(
+        "SELECT SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    for r in rows:
+        # discounts cap at ~10% and taxes at ~8% in the fixture, so
+        # net stays within a sane corridor of gross per band
+        assert 0 < r.net_cents
+
+
+def test_docid_continuity_identities(spark):
+    rows = RP.docid_continuity_audit(spark, SF_DIR).collect()
+    n_docs = duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+    )
+    assert sum(r.n_docs for r in rows) == n_docs
+    holes = {r.corpus_holes for r in rows}
+    assert len(holes) == 1  # global headline repeats per row
+    for r in rows:
+        assert r.span_missing >= 0
+        assert r.max_id - r.min_id + 1 == r.n_docs + r.span_missing
+
+
+def test_embedding_exact_dups_conserves_and_bounds(spark):
+    rows = S.embedding_exact_dups(spark, SF_DIR).collect()
+    assert sum(r.n_vectors for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    for r in rows:
+        assert 0 <= r.n_families <= r.n_redundant or (
+            r.n_families == 0 and r.n_redundant == 0
+        )
+        assert 0 <= r.redundant_share_bp <= 10000
+
+
+def test_props_size_profile_conserves_events(spark):
+    rows = R.props_size_profile(spark, SF_DIR).collect()
+    assert sum(r.n_events for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'"
+    )
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.type_share_bp)
+    for t, shares in by_type.items():
+        assert 10000 - len(shares) < sum(shares) <= 10000, t
