@@ -36,7 +36,7 @@ BUDGETS = {
     # single lattice pass: (cust, prio) → cust (priority SET, ≤5)
     # → explode → prio cells; the first cut self-joined at 7
     "priority_loyalty": 3,
-    "supplier_revenue_deciles": 3,
+    "supplier_revenue_deciles": 2,
     "order_width_monthly": 2,
     "first_order_value_matrix": 3,
     "brand_quarter_growth": 2,
@@ -58,7 +58,7 @@ BUDGETS = {
     "linestatus_mix_monthly": 2,
     "brand_repeat_buyers": 3,
     "customer_value_trend_bands": 3,
-    "customer_spend_lorenz": 3,
+    "customer_spend_lorenz": 2,
     "session_conversion_rate": 2,
     # multi-consumer (user, type) lattice — same accepted shape as
     # sketch_kmv_union's cells; every consumer is lattice-sized
@@ -133,7 +133,7 @@ BUDGETS = {
     # two-phase tiling (r9): bucket-partitioned rank exchanges
     # (offsets/boundaries are plan-build literals) replace the
     # former SinglePartition global-ntile windows
-    "customer_balance_spend_matrix": 4,
+    "customer_balance_spend_matrix": 2,
     "part_type_brand_matrix": 1,
     "supplier_part_coverage": 3,
     "user_retention_curve": 5,
@@ -154,7 +154,7 @@ BUDGETS = {
     "cohort_repeat_rate": 4,
     "calendar_adjusted_monthly_index": 2,
     "nation_trade_balance": 2,
-    "supplier_balance_deciles": 2,  # two-phase tiling (r9)
+    "supplier_balance_deciles": 1,  # map-only cutoff tiling (r11)
     "orders_priority_mix_by_month": 3,
     "orders_interarrival_histogram": 2,
     "events_hourly_heatmap": 1,
@@ -316,7 +316,7 @@ BUDGETS = {
     # broadcast back (global ntile/share windows are SinglePartition,
     # not hash exchanges); yoy/concentration = agg + keyed window.
     "skyline_pareto": 2,
-    "orders_rfm_segments": 5,  # two-phase tiling ×3 (r9)
+    "orders_rfm_segments": 2,  # map-only cutoff tiling ×3 (r11)
     "benford_audit": 1,
     "target_encoding": 1,
     "feature_bin_lift": 1,

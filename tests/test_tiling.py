@@ -1,8 +1,8 @@
 """The two-phase boundary-broadcast tiling primitive
 (operators/tiling.py): bit-identical to ``ntile(n) OVER (ORDER BY
 value, key)`` under every shape that exercises the fill rule —
-duplicates, skew, DESC, n > N — while keeping every row_number
-window partitioned (the plan-shape half is pinned in
+duplicates, skew, DESC, n > N — while the returned plan stays
+map-only (no window at all; the plan-shape half is pinned in
 test_plan_discipline.test_no_global_window_on_sf_growing_input)."""
 
 from __future__ import annotations
@@ -63,9 +63,9 @@ def test_packing_contract_is_verified_not_assumed(spark):
 
 
 def test_multi_spec_matches_chained_native(spark, skewed):
-    """with_global_ntiles shares ONE boundary + ONE offset job across
-    specs; the result must stay bit-identical to independent native
-    ntile windows per spec."""
+    """with_global_ntiles shares the plan-build jobs across specs;
+    the result must stay bit-identical to independent native ntile
+    windows per spec."""
     from ensembl_lakehouse_spark.operators.tiling import with_global_ntiles
 
     d2 = skewed.withColumn("w", F.expr("(k * 37) % 1000"))
@@ -83,11 +83,12 @@ def test_multi_spec_matches_chained_native(spark, skewed):
 
 
 def test_literal_cache_skips_plan_build_jobs(spark, tmp_path, monkeypatch):
-    """cache_ns memoizes boundary/offset literals under the
-    input-file fingerprint: first build pays exactly TWO eager
-    evaluations for ANY number of specs (jobs-per-evaluation is
-    AQE's business), a repeat build over unchanged files pays ZERO,
-    and rewriting the files invalidates (mtime/size change) so stale
+    """cache_ns memoizes the cutoff literals under the input-file
+    fingerprint: first build pays exactly THREE eager evaluations
+    for ANY number of specs — boundaries, per-bucket counts, and the
+    exact boundary-rank selection (jobs-per-evaluation is AQE's
+    business) — a repeat build over unchanged files pays ZERO, and
+    rewriting the files invalidates (mtime/size change) so stale
     literals are never served."""
     import time
 
@@ -111,12 +112,12 @@ def test_literal_cache_skips_plan_build_jobs(spark, tmp_path, monkeypatch):
     )
     try:
         first = tiling.with_global_ntiles(df, specs, cache_ns="tct")
-        assert len(evals) == 2, len(evals)
+        assert len(evals) == 3, len(evals)
 
         repeat = tiling.with_global_ntiles(
             spark.read.parquet(p), specs, cache_ns="tct"
         )
-        assert len(evals) == 2, len(evals)  # zero new evaluations
+        assert len(evals) == 3, len(evals)  # zero new evaluations
         monkeypatch.setattr(DataFrame, "collect", real_collect)
         assert sorted(map(tuple, first.collect())) == sorted(
             map(tuple, repeat.collect())
