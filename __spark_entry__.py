@@ -117,6 +117,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docid_continuity_audit": RP.docid_continuity_audit,
         "embedding_exact_dups": S.embedding_exact_dups,
         "props_size_profile": R.props_size_profile,
+        # Batch 4: order-position economics, timestamp-skew audit,
+        # unit-economics mix, session value decay, habit shapes,
+        # prefix dedup tripwire, within-doc novelty, spectral mass.
+        "linenumber_price_profile": RP.linenumber_price_profile,
+        "negative_lead_audit": RP.negative_lead_audit,
+        "unit_price_band_mix": RP.unit_price_band_mix,
+        "session_depth_value_decay": R.session_depth_value_decay,
+        "user_weekday_regularity": R.user_weekday_regularity,
+        "prefix_collision_rate": T.prefix_collision_rate,
+        "intra_doc_novelty": T.intra_doc_novelty,
+        "embedding_band_energy": S.embedding_band_energy,
         # --- Round-10 additions (window discipline: every
         # oracle-backed entry was driver-certified across r1-r9, so
         # the first-50 window leads with this round's new operators,
@@ -532,6 +543,15 @@ def oracle_sql() -> dict[str, str]:
         "docid_continuity_audit": RP.DOCID_CONTINUITY_AUDIT_SQL,
         "embedding_exact_dups": S.EMBEDDING_EXACT_DUPS_SQL,
         "props_size_profile": R.PROPS_SIZE_PROFILE_SQL,
+        # --- Round-11 batch 4.
+        "linenumber_price_profile": RP.LINENUMBER_PRICE_PROFILE_SQL,
+        "negative_lead_audit": RP.NEGATIVE_LEAD_AUDIT_SQL,
+        "unit_price_band_mix": RP.UNIT_PRICE_BAND_MIX_SQL,
+        "session_depth_value_decay": R.SESSION_DEPTH_VALUE_DECAY_SQL,
+        "user_weekday_regularity": R.USER_WEEKDAY_REGULARITY_SQL,
+        "prefix_collision_rate": T.PREFIX_COLLISION_RATE_SQL,
+        "intra_doc_novelty": T.INTRA_DOC_NOVELTY_SQL,
+        "embedding_band_energy": S.EMBEDDING_BAND_ENERGY_SQL,
         # --- Round-10 batch 4.
         "packing_efficiency": T.PACKING_EFFICIENCY_SQL,
         "first_purchase_latency_bands":

@@ -416,16 +416,20 @@ _SQL_SESSION_CTES = """g AS (
 )"""
 
 
-def _sessionized_events(events: DataFrame) -> DataFrame:
+def _sessionized_events(
+    events: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """The 30-minute gap-and-island sessionization contract, shared
     by events_sessionize and session_conversion_rate (r9 code
     review: two hand-synced copies of the window pair). Returns
-    (user_id, ts, event_id, event_type, session_num); both window
-    passes share ONE user_id partitioning, ordering tie-broken by
-    event_id, explicit ROWS frame — change the gap rule here and
-    every consumer (and its SQL twin) moves together. Unused columns
-    prune away, so a consumer that drops event_type keeps the exact
-    pre-refactor plan."""
+    (user_id, ts, event_id, event_type, *extra_cols, session_num);
+    both window passes share ONE user_id partitioning, ordering
+    tie-broken by event_id, explicit ROWS frame — change the gap
+    rule here and every consumer (and its SQL twin) moves together.
+    Unused columns prune away, so a consumer that drops event_type
+    keeps the exact pre-refactor plan; ``extra_cols`` lets a
+    consumer carry payload columns (e.g. ``value``) through without
+    forking the window-pair contract."""
     w = "(PARTITION BY user_id ORDER BY ts, event_id)"
     wsum = (
         "(PARTITION BY user_id ORDER BY ts, event_id "
@@ -436,6 +440,7 @@ def _sessionized_events(events: DataFrame) -> DataFrame:
         "ts",
         "event_id",
         "event_type",
+        *extra_cols,
         F.expr(
             f"CASE WHEN lag(ts) OVER {w} IS NULL "
             f"OR ts - lag(ts) OVER {w} > INTERVAL '30' MINUTE "
@@ -447,6 +452,7 @@ def _sessionized_events(events: DataFrame) -> DataFrame:
         "ts",
         "event_id",
         "event_type",
+        *extra_cols,
         F.expr(f"sum(is_new) OVER {wsum}").alias("session_num"),
     )
 
@@ -6354,4 +6360,159 @@ SELECT event_type, band, n_events, total_bytes,
                  AS BIGINT) AS type_share_bp
 FROM grid
 ORDER BY event_type, band
+"""
+
+
+# ---------------------------------------------------------------------------
+# session_depth_value_decay (r11 batch 4)
+# ---------------------------------------------------------------------------
+
+
+def session_depth_value_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value decay along the session: events bucketed by their
+    POSITION within the session (1st, 2nd, … capped at 10+) with
+    count and mean value at each depth. Since every session
+    contributes exactly one event per depth it reaches, n_events at
+    depth d IS the number of sessions reaching d — the engagement
+    funnel and the value-per-interaction curve in one table. A
+    monotone value decay says early-session interactions carry the
+    revenue; a flat curve says session length is the lever.
+
+    Plan (100 TB): rides the shared sessionization lattice
+    (_sessionized_events — one user_id exchange for both window
+    passes); the depth row_number partitions by (user_id,
+    session_num), which the SAME user_id hash partitioning already
+    satisfies (HashPartitioning(user) ⊆ clustering(user, session)),
+    so NO new exchange — then one ≤11-row partial agg."""
+    events = load_table(spark, sf_dir, "events")
+    sess = _sessionized_events(events, extra_cols=("value",))
+    depth = sess.select(
+        F.expr(
+            "CASE WHEN row_number() OVER (PARTITION BY user_id, "
+            "session_num ORDER BY ts, event_id) >= 10 THEN 10 "
+            "ELSE row_number() OVER (PARTITION BY user_id, "
+            "session_num ORDER BY ts, event_id) END"
+        ).alias("depth"),
+        F.expr(
+            "CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        depth.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            "depth",
+            "n_events",
+            "total_cents",
+            F.expr("total_cents DIV n_events").alias("avg_cents"),
+        )
+        .orderBy("depth")
+    )
+
+
+#: the shared session CTEs with ``value`` carried through — textually
+#: anchored to _SQL_SESSION_CTES (same window pair, same tie-break);
+#: a gap-rule change must edit both.
+SESSION_DEPTH_VALUE_DECAY_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_num
+  FROM g
+), d AS (
+  SELECT CASE WHEN row_number() OVER (PARTITION BY user_id, session_num
+                                      ORDER BY ts, event_id) >= 10
+              THEN 10
+              ELSE row_number() OVER (PARTITION BY user_id, session_num
+                                      ORDER BY ts, event_id) END AS depth,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM s
+)
+SELECT CAST(depth AS INT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents
+FROM d
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_weekday_regularity (r11 batch 4)
+# ---------------------------------------------------------------------------
+
+
+def user_weekday_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Habit-shape histogram: users grouped by HOW MANY distinct
+    weekdays they were ever active on (1 = single-day-of-week
+    accounts, 7 = everyday users), with each cohort's size, share of
+    the user base (bp), and events per user. Bot traffic and batch
+    importers cluster at 1–2 weekdays with high volume; organic
+    users spread. The weekday twin of user_session_count_bands'
+    volume lens.
+
+    Weekday numbering never leaves the engine (only COUNT DISTINCT
+    crosses to the oracle), so Spark's Sunday=1 vs DuckDB's
+    Sunday=0 cannot desync the answer.
+
+    Plan (100 TB): (user, dow) partial agg collapses the stream
+    map-side, per-user count-distinct on the ≤|users|·7 grid, then
+    a ≤7-row histogram; the share window runs on that grid."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.select(
+            "user_id", F.expr("dayofweek(ts)").alias("dow")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("dow").alias("active_dows"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    hist = per_user.groupBy("active_dows").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("total_events"),
+    )
+    return (
+        hist.select(
+            F.col("active_dows").cast("long").alias("active_dows"),
+            "n_users",
+            F.expr(
+                "(n_users * 10000) DIV (SUM(n_users) OVER ())"
+            ).alias("user_share_bp"),
+            F.expr("total_events DIV n_users").alias("events_per_user"),
+        )
+        .orderBy("active_dows")
+    )
+
+
+USER_WEEKDAY_REGULARITY_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(DISTINCT dayofweek(ts)) AS BIGINT) AS active_dows,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+), hist AS (
+  SELECT active_dows, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n_events) AS BIGINT) AS total_events
+  FROM per_user GROUP BY active_dows
+)
+SELECT active_dows, n_users,
+       (n_users * 10000) // CAST(SUM(n_users) OVER () AS BIGINT)
+         AS user_share_bp,
+       total_events // n_users AS events_per_user
+FROM hist
+ORDER BY active_dows
 """

@@ -7509,3 +7509,254 @@ SELECT source, min_id, max_id, n_docs,
 FROM per_src CROSS JOIN corpus
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# linenumber_price_profile (r11 batch 4)
+# ---------------------------------------------------------------------------
+
+
+def linenumber_price_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-position economics: lineitems grouped by their position
+    within the order (l_linenumber 1–7) with volume, mean line value
+    and mean discount. A basket whose later lines are systematically
+    cheaper (or deeper-discounted) is add-on behavior; flat curves
+    mean position carries no signal and basket models can drop it.
+    The one TPC-H dimension no other report in the inventory uses.
+
+    Integer-exact: cents via the corpus-wide floor(×100+0.5) idiom,
+    discount in bp, means by integer DIV.
+
+    Plan (100 TB): ONE partial agg map-side-combines the fact scan
+    to ≤7 rows; the share window runs on that grid. No joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grid = li.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.expr(
+                "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+                "AS BIGINT)"
+            )
+        ).alias("value_cents"),
+        F.sum(
+            F.expr(
+                "CAST(floor(l_discount * 10000 + CAST(0.5 AS DOUBLE)) "
+                "AS BIGINT)"
+            )
+        ).alias("disc_bp_sum"),
+    )
+    return (
+        grid.select(
+            "l_linenumber",
+            "n_lines",
+            F.expr(
+                "(n_lines * 10000) DIV (SUM(n_lines) OVER ())"
+            ).alias("line_share_bp"),
+            F.expr("value_cents DIV n_lines").alias("avg_value_cents"),
+            F.expr("disc_bp_sum DIV n_lines").alias("avg_discount_bp"),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+LINENUMBER_PRICE_PROFILE_SQL = """
+WITH grid AS (
+  SELECT l_linenumber,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS value_cents,
+         CAST(SUM(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+              AS BIGINT) AS disc_bp_sum
+  FROM lineitem GROUP BY 1
+)
+SELECT l_linenumber, n_lines,
+       (n_lines * 10000) // CAST(SUM(n_lines) OVER () AS BIGINT)
+         AS line_share_bp,
+       value_cents // n_lines AS avg_value_cents,
+       disc_bp_sum // n_lines AS avg_discount_bp
+FROM grid
+ORDER BY l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
+# negative_lead_audit (r11 batch 4)
+# ---------------------------------------------------------------------------
+
+
+def negative_lead_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-order sanity screen: lineitems whose ship date
+    precedes their order's order date — impossible in a real supply
+    chain, so every hit is a timestamp-skew or backfill artifact.
+    Reported per order priority (count, share bp, and mean days of
+    negative lead among offenders) so a priority class whose feed
+    systematically back-dates stands out from uniform clock noise.
+    The temporal twin of docid_continuity_audit's id-space screen.
+
+    Plan (100 TB): the one fact-fact shuffle join (lineitem ⋈ orders
+    on orderkey, AQE-skew-splittable — the join_order_lineitem
+    shape), immediately collapsed by a ≤5-row partial agg. Only
+    orderkey/shipdate survive the scan projection."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "o_orderpriority",
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), "
+            "CAST(l_shipdate AS DATE))"
+        ).alias("neg_lead_days"),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.expr("CASE WHEN neg_lead_days > 0 THEN 1 ELSE 0 END")
+            ).alias("early_lines"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN neg_lead_days > 0 THEN neg_lead_days "
+                    "ELSE 0 END"
+                )
+            ).alias("early_days_sum"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            "early_lines",
+            F.expr("(early_lines * 10000) DIV n_lines").alias(
+                "early_share_bp"
+            ),
+            F.expr(
+                "CASE WHEN early_lines > 0 "
+                "THEN early_days_sum DIV early_lines ELSE 0 END"
+            ).alias("avg_early_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+NEGATIVE_LEAD_AUDIT_SQL = """
+WITH joined AS (
+  SELECT o.o_orderpriority,
+         datediff('day', CAST(l.l_shipdate AS DATE),
+                  CAST(o.o_orderdate AS DATE)) AS neg_lead_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN neg_lead_days > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS early_lines,
+       (CAST(SUM(CASE WHEN neg_lead_days > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) * 10000) // CAST(COUNT(*) AS BIGINT)
+         AS early_share_bp,
+       CASE WHEN SUM(CASE WHEN neg_lead_days > 0 THEN 1 ELSE 0 END) > 0
+            THEN CAST(SUM(CASE WHEN neg_lead_days > 0
+                               THEN neg_lead_days ELSE 0 END) AS BIGINT)
+                 // CAST(SUM(CASE WHEN neg_lead_days > 0 THEN 1 ELSE 0 END)
+                         AS BIGINT)
+            ELSE 0 END AS avg_early_days
+FROM joined
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# unit_price_band_mix (r11 batch 4)
+# ---------------------------------------------------------------------------
+
+
+def unit_price_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-economics mix: lineitems banded by PER-UNIT price
+    (extendedprice/quantity — the actual part price paid, which
+    extendedprice alone conflates with basket size) crossed with
+    return flag: volume, revenue share, and return exposure per
+    band. If returns concentrate in the luxury band, inspection
+    effort should follow the unit price, not the line total.
+
+    TPC-H quantities are integral by construction; the unit price
+    lands in exact cents via BIGINT DIV (both engines floor toward
+    zero on positive operands).
+
+    Plan (100 TB): map-only banding on the fact scan, ONE partial
+    agg to a ≤5·3 grid; the share window runs on the grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    banded = li.select(
+        "l_returnflag",
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT) DIV CAST(l_quantity AS BIGINT)"
+        ).alias("unit_cents"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("line_cents"),
+    ).select(
+        "l_returnflag",
+        "line_cents",
+        F.expr(
+            "CASE WHEN unit_cents <= 50000 THEN 'a_budget' "
+            "WHEN unit_cents <= 150000 THEN 'b_value' "
+            "WHEN unit_cents <= 300000 THEN 'c_mid' "
+            "WHEN unit_cents <= 600000 THEN 'd_premium' "
+            "ELSE 'e_luxury' END"
+        ).alias("band"),
+    )
+    grid = banded.groupBy("band", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("line_cents").alias("revenue_cents"),
+    )
+    return (
+        grid.select(
+            "band",
+            "l_returnflag",
+            "n_lines",
+            "revenue_cents",
+            F.expr(
+                "(revenue_cents * 10000) DIV "
+                "(SUM(revenue_cents) OVER ())"
+            ).alias("revenue_share_bp"),
+            F.expr(
+                "(n_lines * 10000) DIV (SUM(n_lines) OVER "
+                "(PARTITION BY band))"
+            ).alias("band_flag_share_bp"),
+        )
+        .orderBy("band", "l_returnflag")
+    )
+
+
+UNIT_PRICE_BAND_MIX_SQL = """
+WITH banded AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS line_cents,
+         CASE WHEN u <= 50000 THEN 'a_budget'
+              WHEN u <= 150000 THEN 'b_value'
+              WHEN u <= 300000 THEN 'c_mid'
+              WHEN u <= 600000 THEN 'd_premium'
+              ELSE 'e_luxury' END AS band
+  FROM (
+    SELECT l_returnflag, l_extendedprice,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             // CAST(l_quantity AS BIGINT) AS u
+    FROM lineitem)
+), grid AS (
+  SELECT band, l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(line_cents) AS BIGINT) AS revenue_cents
+  FROM banded GROUP BY 1, 2
+)
+SELECT band, l_returnflag, n_lines, revenue_cents,
+       (revenue_cents * 10000) // CAST(SUM(revenue_cents) OVER ()
+                                       AS BIGINT) AS revenue_share_bp,
+       (n_lines * 10000) // CAST(SUM(n_lines) OVER (PARTITION BY band)
+                                 AS BIGINT) AS band_flag_share_bp
+FROM grid
+ORDER BY band, l_returnflag
+"""

@@ -2253,3 +2253,87 @@ SELECT p.label, p.n_vectors,
 FROM per_label p LEFT JOIN agg a ON p.label = a.label
 ORDER BY p.label
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_band_energy (r11 batch 4)
+# ---------------------------------------------------------------------------
+
+
+def embedding_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-mass audit per label: the share of each vector's L2
+    energy carried by the LEADING 16 of 64 dimensions, in basis
+    points. PCA-rotated or Matryoshka-trained encoders front-load
+    energy (high leading share — the cue that truncation/MRL serving
+    is safe); a raw encoder spreads it flat. A label whose
+    distribution diverges from the rest was embedded by a different
+    model revision — the dim-level twin of embedding_version_drift.
+
+    Fixed-point: elements quantize to BIGINT thousandths
+    (floor(×1000+0.5)) before squaring, so sums are associative
+    integers and bit-stable in any partition order.
+
+    Plan (100 TB): map-only per-vector array fold (zero explode,
+    zero shuffle), then ONE ≤|labels| partial agg."""
+    q = "CAST(floor(CAST(x AS DOUBLE) * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr(
+            f"aggregate(slice(embedding, 1, 16), CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc + {q} * {q})"
+        ).alias("lead_e"),
+        F.expr(
+            f"aggregate(embedding, CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc + {q} * {q})"
+        ).alias("total_e"),
+    ).where("total_e > 0")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("lead_e").alias("lead_energy"),
+            F.sum("total_e").alias("total_energy"),
+            F.sum(F.expr("(lead_e * 10000) DIV total_e")).alias(
+                "share_bp_sum"
+            ),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "lead_energy",
+            "total_energy",
+            F.expr("(lead_energy * 10000) DIV total_energy").alias(
+                "pooled_lead_share_bp"
+            ),
+            F.expr("share_bp_sum DIV n_vecs").alias(
+                "avg_lead_share_bp"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+_BAND_Q = "CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+
+EMBEDDING_BAND_ENERGY_SQL = f"""
+WITH e AS (
+  SELECT label,
+         CAST(list_sum(list_transform(embedding[1:16],
+              x -> {_BAND_Q} * {_BAND_Q})) AS BIGINT) AS lead_e,
+         CAST(list_sum(list_transform(embedding,
+              x -> {_BAND_Q} * {_BAND_Q})) AS BIGINT) AS total_e
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(lead_e) AS BIGINT) AS lead_energy,
+       CAST(SUM(total_e) AS BIGINT) AS total_energy,
+       (CAST(SUM(lead_e) AS BIGINT) * 10000)
+         // CAST(SUM(total_e) AS BIGINT) AS pooled_lead_share_bp,
+       CAST(SUM((lead_e * 10000) // total_e) // COUNT(*) AS BIGINT)
+         AS avg_lead_share_bp
+FROM e
+WHERE total_e > 0
+GROUP BY label
+ORDER BY label
+"""

@@ -3476,3 +3476,169 @@ SELECT lang, cls, n_tokens,
 FROM grid
 ORDER BY lang, cls
 """
+
+
+# ---------------------------------------------------------------------------
+# prefix_collision_rate (r11 batch 4)
+# ---------------------------------------------------------------------------
+
+
+def prefix_collision_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-duplication screen per source: documents sharing an
+    IDENTICAL first-64-char prefix with another doc of the same
+    source — the cheapest near-dup tripwire there is. Scraped dumps
+    whose pages share a boilerplate header all collide here long
+    before a MinHash pass runs, so curation teams use the prefix
+    rate to decide WHICH sources earn the expensive LSH treatment
+    (dedup_near) at all. Complements cross_source_exact_dups (whole-
+    text hash across sources) with a within-source prefix lens.
+
+    Plan (100 TB): groupBy (source, prefix) — the prefix is 64 bytes
+    regardless of document size, so the exchange carries a fixed-
+    width key, and group cardinality grows with the corpus (no
+    skew pocket beyond true template families); then a per-source
+    partial agg to ≤|sources| rows. Two shuffles, no joins.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "source", F.expr("substring(text, 1, 64)").alias("prefix")
+        )
+    )
+    groups = docs.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_prefixes"),
+            F.sum(F.expr("CASE WHEN n > 1 THEN n ELSE 0 END")).alias(
+                "colliding_docs"
+            ),
+            F.max("n").alias("largest_family"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_prefixes",
+            "colliding_docs",
+            F.expr("(colliding_docs * 10000) DIV n_docs").alias(
+                "collision_bp"
+            ),
+            "largest_family",
+        )
+        .orderBy("source")
+    )
+
+
+PREFIX_COLLISION_RATE_SQL = """
+WITH groups AS (
+  SELECT source, substr(text, 1, 64) AS prefix,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents WHERE length(trim(text)) > 0
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+       CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+         AS colliding_docs,
+       (CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) * 10000)
+         // CAST(SUM(n) AS BIGINT) AS collision_bp,
+       CAST(MAX(n) AS BIGINT) AS largest_family
+FROM groups
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# intra_doc_novelty (r11 batch 4)
+# ---------------------------------------------------------------------------
+
+
+def intra_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document vocabulary novelty per source: how much of
+    each document's SECOND half introduces tokens its first half
+    never used — novelty_bp = |distinct(2nd) \\ distinct(1st)| /
+    |distinct(2nd)| in basis points, averaged per source. Generated
+    or template text repeats its own opening vocabulary (low
+    novelty); genuine long-form prose keeps introducing terms. The
+    per-document twin of ngram_novelty's corpus-level screen, cheap
+    enough to run on every ingest batch.
+
+    Docs need ≥2 tokens (an empty second half has no denominator).
+    Distinct-set semantics on BOTH sides: Spark's array_except and
+    the DuckDB twin's list_filter(list_distinct(...)) agree by
+    construction.
+
+    Plan (100 TB): map-only per-document set algebra inside the
+    array functions (zero explode, zero shuffle), then ONE
+    ≤|sources| partial agg.
+    """
+    docs = _docs_with_tokens(spark, sf_dir).where(F.size("toks") >= 2)
+    scored = docs.select(
+        "source",
+        F.expr(
+            "size(array_except("
+            "slice(toks, CAST(size(toks) DIV 2 AS INT) + 1, "
+            "size(toks) - CAST(size(toks) DIV 2 AS INT)), "
+            "slice(toks, 1, CAST(size(toks) DIV 2 AS INT))))"
+        ).alias("novel"),
+        F.expr(
+            "size(array_distinct("
+            "slice(toks, CAST(size(toks) DIV 2 AS INT) + 1, "
+            "size(toks) - CAST(size(toks) DIV 2 AS INT))))"
+        ).alias("denom"),
+    ).select(
+        "source",
+        F.expr("CAST((novel * 10000) DIV denom AS BIGINT)").alias(
+            "novelty_bp"
+        ),
+        F.expr("CAST(CASE WHEN novel = denom THEN 1 ELSE 0 END AS BIGINT)")
+        .alias("fully_novel"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("SUM(novelty_bp) DIV COUNT(1)").alias(
+                "avg_novelty_bp"
+            ),
+            F.min("novelty_bp").alias("min_novelty_bp"),
+            F.sum("fully_novel").alias("fully_novel_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+INTRA_DOC_NOVELTY_SQL = """
+WITH t AS (
+  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), halves AS (
+  SELECT source,
+         toks[1 : CAST(len(toks) // 2 AS INT)] AS first_half,
+         toks[CAST(len(toks) // 2 AS INT) + 1 : len(toks)] AS second_half
+  FROM t WHERE len(toks) >= 2
+), scored AS (
+  SELECT source,
+         CAST(len(list_filter(list_distinct(second_half),
+                              x -> NOT list_contains(first_half, x)))
+              AS BIGINT) AS novel,
+         CAST(len(list_distinct(second_half)) AS BIGINT) AS denom
+  FROM halves
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM((novel * 10000) // denom) // COUNT(*) AS BIGINT)
+         AS avg_novelty_bp,
+       CAST(MIN((novel * 10000) // denom) AS BIGINT) AS min_novelty_bp,
+       CAST(SUM(CASE WHEN novel = denom THEN 1 ELSE 0 END) AS BIGINT)
+         AS fully_novel_docs
+FROM scored
+GROUP BY source
+ORDER BY source
+"""

@@ -48,6 +48,17 @@ BUDGETS = {
     "docid_continuity_audit": 1,
     "embedding_exact_dups": 3,
     "props_size_profile": 2,
+    # --- Round 11 batch 4
+    "linenumber_price_profile": 1,
+    # AQE broadcasts the orderkey join at probe SF; plain SMJ adds
+    # two exchanges at scale — budget the scale shape
+    "negative_lead_audit": 3,
+    "unit_price_band_mix": 1,
+    "session_depth_value_decay": 2,
+    "user_weekday_regularity": 3,
+    "prefix_collision_rate": 2,
+    "intra_doc_novelty": 1,
+    "embedding_band_energy": 1,
     # --- Round 9 (probed at sf0.001, pinned at the observed count)
     "events_error_rate_hourly": 1,
     "user_session_count_bands": 2,

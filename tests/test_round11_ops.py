@@ -330,3 +330,117 @@ def test_props_size_profile_conserves_events(spark):
         by_type.setdefault(r.event_type, []).append(r.type_share_bp)
     for t, shares in by_type.items():
         assert 10000 - len(shares) < sum(shares) <= 10000, t
+
+
+# --- batch 4 ---------------------------------------------------------------
+
+
+def test_linenumber_profile_conserves_lines_and_shares(spark):
+    rows = RP.linenumber_price_profile(spark, SF_DIR).collect()
+    assert [r.l_linenumber for r in rows] == sorted(
+        r.l_linenumber for r in rows
+    )
+    assert sum(r.n_lines for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    shares = [r.line_share_bp for r in rows]
+    assert 10000 - len(shares) < sum(shares) <= 10000
+    for r in rows:
+        assert 0 <= r.avg_discount_bp <= 1000  # TPC-H discount ≤ 10 %
+
+
+def test_negative_lead_audit_matches_direct_count(spark):
+    rows = RP.negative_lead_audit(spark, SF_DIR).collect()
+    assert sum(r.n_lines for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    assert sum(r.early_lines for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet' l "
+        f"JOIN '{SF_DIR}/orders.parquet' o ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate < o_orderdate"
+    )
+    for r in rows:
+        assert 0 <= r.early_lines <= r.n_lines
+        assert (r.early_lines == 0) == (r.avg_early_days == 0)
+
+
+def test_unit_price_bands_conserve_revenue(spark):
+    rows = RP.unit_price_band_mix(spark, SF_DIR).collect()
+    assert sum(r.n_lines for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    assert sum(r.revenue_cents for r in rows) == duckdb_scalar(
+        "SELECT SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    by_band: dict = {}
+    for r in rows:
+        by_band.setdefault(r.band, []).append(r.band_flag_share_bp)
+    for band, shares in by_band.items():
+        assert 10000 - len(shares) < sum(shares) <= 10000, band
+
+
+def test_session_depth_is_a_funnel(spark):
+    rows = {r.depth: r for r in RP_sessions_depth(spark)}
+    n_sessions = R.events_sessionize(spark, SF_DIR).count()
+    assert rows[1].n_events == n_sessions  # every session has a 1st event
+    for d in range(2, 10):
+        if d in rows and (d - 1) in rows:
+            assert rows[d].n_events <= rows[d - 1].n_events
+    total = sum(r.n_events for r in rows.values())
+    assert total == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'"
+    )
+
+
+def RP_sessions_depth(spark):
+    return R.session_depth_value_decay(spark, SF_DIR).collect()
+
+
+def test_weekday_regularity_partitions_users(spark):
+    rows = R.user_weekday_regularity(spark, SF_DIR).collect()
+    assert sum(r.n_users for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
+    )
+    for r in rows:
+        assert 1 <= r.active_dows <= 7
+        assert r.events_per_user >= 1
+
+
+def test_prefix_collisions_are_internally_consistent(spark):
+    rows = T.prefix_collision_rate(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet' "
+        "WHERE length(trim(text)) > 0"
+    )
+    for r in rows:
+        assert r.n_prefixes <= r.n_docs
+        assert r.colliding_docs != 1  # a collision needs ≥ 2 members
+        assert r.largest_family <= r.n_docs
+        assert (r.colliding_docs > 0) == (r.largest_family > 1)
+
+
+def test_intra_doc_novelty_bounds_and_population(spark):
+    rows = T.intra_doc_novelty(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet' "
+        "WHERE len(string_split_regex(trim(text), '\\s+')) >= 2 "
+        "AND length(trim(text)) > 0"
+    )
+    for r in rows:
+        assert 0 <= r.min_novelty_bp <= r.avg_novelty_bp <= 10000
+        assert 0 <= r.fully_novel_docs <= r.n_docs
+
+
+def test_band_energy_is_a_share_of_total(spark):
+    rows = S.embedding_band_energy(spark, SF_DIR).collect()
+    assert sum(r.n_vecs for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet' e "
+        "WHERE list_sum(list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+        "* CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))) > 0"
+    )
+    for r in rows:
+        assert 0 <= r.lead_energy <= r.total_energy
+        assert 0 <= r.pooled_lead_share_bp <= 10000
+        assert 0 <= r.avg_lead_share_bp <= 10000
