@@ -154,12 +154,21 @@ def _bucket_guard(
     the committed rows do not have, and the next non-rebuild tick
     would then silently merge mixed encodings — the guard defeating
     itself)."""
+    if rebuild:
+        # a rebuild replaces ALL committed state, so the stored
+        # marker is irrelevant — and must not even be READ: a
+        # corrupt _bucketspec raises in read_bucketspec, and probing
+        # it first would make the advertised remedy ("restore the
+        # marker or rebuild") unreachable (r11 code review —
+        # rebuild=True could never get past the guard it was sent to
+        # satisfy)
+        return
     stamp = _bucket_stamp(canon, tz)
     spec = read_bucketspec(rollup_dir)
     stored = (
         json.dumps(spec, sort_keys=True) if spec is not None else None
     )
-    if stored == stamp or rebuild:
+    if stored == stamp:
         return
     if stored is not None:
         raise ValueError(

@@ -7719,9 +7719,13 @@ def unit_price_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "n_lines",
             "revenue_cents",
+            # DECIMAL(38,0) numerator: a band's cents approach the
+            # corpus total (~2.3e18 at SF 100k), and ×10⁴ in BIGINT
+            # wraps silently (r11 code review — the same class the
+            # r10 overflow sweep fixed)
             F.expr(
-                "(revenue_cents * 10000) DIV "
-                "(SUM(revenue_cents) OVER ())"
+                "CAST((CAST(revenue_cents AS DECIMAL(38,0)) * 10000) "
+                "DIV (SUM(revenue_cents) OVER ()) AS BIGINT)"
             ).alias("revenue_share_bp"),
             F.expr(
                 "(n_lines * 10000) DIV (SUM(n_lines) OVER "
@@ -7753,8 +7757,9 @@ WITH banded AS (
   FROM banded GROUP BY 1, 2
 )
 SELECT band, l_returnflag, n_lines, revenue_cents,
-       (revenue_cents * 10000) // CAST(SUM(revenue_cents) OVER ()
-                                       AS BIGINT) AS revenue_share_bp,
+       CAST((CAST(revenue_cents AS HUGEINT) * 10000)
+            // SUM(revenue_cents) OVER () AS BIGINT)
+         AS revenue_share_bp,
        (n_lines * 10000) // CAST(SUM(n_lines) OVER (PARTITION BY band)
                                  AS BIGINT) AS band_flag_share_bp
 FROM grid

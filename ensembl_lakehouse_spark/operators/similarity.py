@@ -2302,9 +2302,13 @@ def embedding_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
             "lead_energy",
             "total_energy",
-            F.expr("(lead_energy * 10000) DIV total_energy").alias(
-                "pooled_lead_share_bp"
-            ),
+            # DECIMAL(38,0) numerator: per-label energy sums reach
+            # ~1e18 at the 100 TB design point, and ×10⁴ in BIGINT
+            # wraps silently (r11 code review)
+            F.expr(
+                "CAST((CAST(lead_energy AS DECIMAL(38,0)) * 10000) "
+                "DIV total_energy AS BIGINT)"
+            ).alias("pooled_lead_share_bp"),
             F.expr("share_bp_sum DIV n_vecs").alias(
                 "avg_lead_share_bp"
             ),
@@ -2328,8 +2332,8 @@ SELECT label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(SUM(lead_e) AS BIGINT) AS lead_energy,
        CAST(SUM(total_e) AS BIGINT) AS total_energy,
-       (CAST(SUM(lead_e) AS BIGINT) * 10000)
-         // CAST(SUM(total_e) AS BIGINT) AS pooled_lead_share_bp,
+       CAST((CAST(SUM(lead_e) AS HUGEINT) * 10000)
+            // SUM(total_e) AS BIGINT) AS pooled_lead_share_bp,
        CAST(SUM((lead_e * 10000) // total_e) // COUNT(*) AS BIGINT)
          AS avg_lead_share_bp
 FROM e

@@ -873,11 +873,26 @@ def answer_aggregate(
         out_keys = list(group_by)
         if group_exprs:
             # surface each stored bucket column under the caller's
-            # alias (canonical-expr equality located the column)
+            # alias (canonical-expr equality located the column) —
+            # in ONE select, so every alias reads the ORIGINAL
+            # stored column: sequential withColumn would let an
+            # alias that equals another spec's stored column name
+            # (SELECT month AS d, day AS m over a rollup storing
+            # d=day, m=month) overwrite the source before the next
+            # alias reads it, silently swapping buckets (r11 code
+            # review)
             by_expr = {e: c for c, e in spec.group_exprs}
-            for alias, expr in group_exprs.items():
-                df = df.withColumn(alias, F.col(by_expr[expr]))
-                out_keys.append(alias)
+            proj = [
+                F.col(by_expr[expr]).alias(alias)
+                for alias, expr in group_exprs.items()
+            ]
+            proj += [
+                F.col(c)
+                for c in df.columns
+                if c not in group_exprs
+            ]
+            df = df.select(*proj)
+            out_keys.extend(group_exprs)
         if spec.kind == "quantile":
             df = _quantile_answer(
                 df, out_keys, aggs, from_rollup=True, col=spec.sum_col

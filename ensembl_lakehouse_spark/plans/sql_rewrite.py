@@ -318,9 +318,17 @@ class _Parser:
             if k != "str":
                 raise _Ineligible("date_trunc wants a quoted unit")
             unit = t.lower()
-            if unit not in (
-                "year", "quarter", "month", "week", "day", "hour"
-            ):
+            # the ONE unit vocabulary, shared with the rollup
+            # maintainer: the parser renders exactly what
+            # canonical_bucket_expr validates, so a unit added to
+            # ivm.BUCKET_UNITS is recognizable here on the same
+            # commit (r11 code review: an inline copy could drift
+            # and leave rollups the /sql grammar can never match).
+            # Lazy import — this module stays dependency-light
+            # until a bucket statement actually parses.
+            from ensembl_lakehouse_spark.ivm import BUCKET_UNITS
+
+            if unit not in BUCKET_UNITS:
                 raise _Ineligible(f"date_trunc unit {t!r} not servable")
             self.expect(",", ",")
         col = self.colref()
@@ -874,9 +882,15 @@ def semantic_gate(
                     f"bucket alias {alias!r} collides with a table "
                     "column"
                 )
-            if alias in (
-                "n_rows", "sum_val", "min_val", "max_val", "hll", "qsk"
-            ) or alias.startswith("__"):
+            # _ROLLUP_INTERNAL is THE reserved-partial namespace
+            # (plans/rewrite.py) — one set, not a re-spelled copy, so
+            # a new partial column reserves its alias here on the
+            # same commit (r11 code review)
+            from ensembl_lakehouse_spark.plans.rewrite import (
+                _ROLLUP_INTERNAL,
+            )
+
+            if alias in _ROLLUP_INTERNAL or alias.startswith("__"):
                 # the rollup path aliases the stored bucket column
                 # BEFORE re-aggregating — these spellings would
                 # clobber the partial being read (r11 code review)
@@ -1005,7 +1019,6 @@ def semantic_gate_join(
     Returns None when safe, else the human-readable fallback reason.
     """
     ffields = {f.name.lower(): f for f in fact_schema.fields}
-    fks = [j.fk for j in intent.joins]
     # each fk resolves against ITS side's schema: the fact for star
     # spokes, an earlier dim for snowflake hops (r10 VERDICT #4b)
     fact_refs = (

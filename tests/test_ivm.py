@@ -1010,6 +1010,20 @@ def test_bucket_spec_marker_guards_every_drift(spark, tmp_path):
     assert ivm.maintain_rollup(
         spark, src, rol, ["day"], "v", key_exprs=ke
     )["mode"] == "noop"
+    # CORRUPT marker: plain ticks refuse with the restore-or-rebuild
+    # remedy, and rebuild=True must actually BE that remedy — the
+    # guard may not probe the unreadable marker first (r11 code
+    # review: it did, so the advertised recovery could never run)
+    with open(os.path.join(rol, "_bucketspec"), "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="restore the marker or rebuild"):
+        ivm.maintain_rollup(spark, src, rol, ["day"], "v", key_exprs=ke)
+    assert ivm.maintain_rollup(
+        spark, src, rol, ["day"], "v", key_exprs=ke, rebuild=True
+    )["mode"] == "rebuild"
+    assert ivm.maintain_rollup(
+        spark, src, rol, ["day"], "v", key_exprs=ke
+    )["mode"] == "noop"
 
 
 def test_bucket_key_validation_is_loud(spark, tmp_path):

@@ -1135,6 +1135,52 @@ def test_bucket_group_by_ordinal_and_mixed_keys(engine, tmv):
     assert _rows(engine, on["query_id"]) == _rows(engine, off["query_id"])
 
 
+def test_swapped_bucket_aliases_do_not_clobber(engine, spark, tmp_path):
+    """r11 code review: a statement whose bucket ALIASES are the
+    other bucket's STORED column names (SELECT month AS d, day AS m
+    over a rollup storing d=day, m=month) must keep each alias bound
+    to its own expression — the sequential-withColumn shape
+    overwrote 'd' with month values before 'm' read it, silently
+    grouping by (month, month)."""
+    import datetime as dt
+
+    src = str(tmp_path / "swap_src")
+    rows = [
+        (i, dt.datetime(2024, 1 + i % 3, 1 + i % 20, i % 24), i * 3)
+        for i in range(120)
+    ]
+    SN.write_snapshot(
+        src,
+        spark.createDataFrame(rows, "k int, ts timestamp, val int"),
+    )
+    SN.add_constraint(spark, src, "val_nn", "val IS NOT NULL")
+    rol = str(tmp_path / "swap_rol")
+    ivm.maintain_rollup(
+        spark, src, rol, ["d", "m"], "val",
+        key_exprs={
+            "d": "date_trunc('day', ts)",
+            "m": "date_trunc('month', ts)",
+        },
+    )
+    engine.register_snapshot_table("swev", src)
+    engine.register_rollup(
+        "swev", "swapped", rol, ["d", "m"], "val",
+        group_exprs={
+            "d": "date_trunc('day', ts)",
+            "m": "date_trunc('month', ts)",
+        },
+    )
+    sql = (
+        "SELECT date_trunc('month', ts) AS d, "
+        "date_trunc('day', ts) AS m, COUNT(*) AS n "
+        "FROM snap_swev GROUP BY 1, 2 ORDER BY d, m"
+    )
+    on = engine.submit_sql(sql)
+    assert on["rewrite"]["answered_by"] == "swapped"
+    off = engine.submit_sql(sql, rewrite="off")
+    assert _rows(engine, on["query_id"]) == _rows(engine, off["query_id"])
+
+
 def test_bucket_rewrite_stale_ok_serves_pinned_bucket_answer(
     engine, spark, tmv
 ):
