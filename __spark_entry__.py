@@ -128,6 +128,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_collision_rate": T.prefix_collision_rate,
         "intra_doc_novelty": T.intra_doc_novelty,
         "embedding_band_energy": S.embedding_band_energy,
+        # Batch 5: header/detail tie-out, token position fingerprint,
+        # exact budget apportionment, screen calibration, embedding
+        # referential coverage.
+        "order_total_reconciliation": RP.order_total_reconciliation,
+        "token_position_bias": T.token_position_bias,
+        "token_budget_apportionment": T.token_budget_apportionment,
+        "prefix_screen_precision": T.prefix_screen_precision,
+        "embedding_coverage_audit": S.embedding_coverage_audit,
         # --- Round-10 additions (window discipline: every
         # oracle-backed entry was driver-certified across r1-r9, so
         # the first-50 window leads with this round's new operators,
@@ -552,6 +560,14 @@ def oracle_sql() -> dict[str, str]:
         "prefix_collision_rate": T.PREFIX_COLLISION_RATE_SQL,
         "intra_doc_novelty": T.INTRA_DOC_NOVELTY_SQL,
         "embedding_band_energy": S.EMBEDDING_BAND_ENERGY_SQL,
+        # --- Round-11 batch 5.
+        "order_total_reconciliation":
+            RP.ORDER_TOTAL_RECONCILIATION_SQL,
+        "token_position_bias": T.TOKEN_POSITION_BIAS_SQL,
+        "token_budget_apportionment":
+            T.TOKEN_BUDGET_APPORTIONMENT_SQL,
+        "prefix_screen_precision": T.PREFIX_SCREEN_PRECISION_SQL,
+        "embedding_coverage_audit": S.EMBEDDING_COVERAGE_AUDIT_SQL,
         # --- Round-10 batch 4.
         "packing_efficiency": T.PACKING_EFFICIENCY_SQL,
         "first_purchase_latency_bands":

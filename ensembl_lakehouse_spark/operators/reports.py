@@ -7765,3 +7765,119 @@ SELECT band, l_returnflag, n_lines, revenue_cents,
 FROM grid
 ORDER BY band, l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# order_total_reconciliation (r11 batch 5)
+# ---------------------------------------------------------------------------
+
+
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value tie-out audit: does ``o_totalprice`` equal the order's
+    line-level gross (extendedprice net of discount, plus tax)?
+    Reported per order status: mean/max absolute discrepancy and the
+    share of orders landing within 1 % of their own header total. On
+    a correctly ingested TPC-H feed the discrepancy is rounding
+    cents; on this fixture the header totals are synthetic and the
+    audit quantifies exactly how far they drift — which is the
+    point: a feed whose header/detail tie-out breaks is unusable
+    for finance extracts regardless of row counts matching
+    (audit_referential checks existence; this checks VALUE).
+
+    Integer-exact: per-line net = gross_cents × (10⁴−disc_bp) ×
+    (10⁴+tax_bp) / 10⁸, all in BIGINT — the product is ENTITY-
+    bounded (one line's gross ≤ ~10⁷ cents at any SF, so the triple
+    product peaks ~10¹⁵ ≪ 2⁶³; a DECIMAL(38,0) first cut cost 2×
+    the whole operator in decimal128 arithmetic for headroom the
+    bound proves unnecessary). Factors fixed-point BEFORE any
+    product — no float products cross engines.
+
+    Plan (100 TB): lineitem partial-aggs to |orders| rows on the
+    orderkey it then joins orders on — one co-keyed fact-fact
+    shuffle, AQE-skew-splittable — then a ≤|statuses| agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                "(CAST(floor(l_extendedprice * 100 + "
+                "CAST(0.5 AS DOUBLE)) AS BIGINT) "
+                "* (10000 - CAST(floor(l_discount * 10000 + "
+                "CAST(0.5 AS DOUBLE)) AS BIGINT)) "
+                "* (10000 + CAST(floor(l_tax * 10000 + "
+                "CAST(0.5 AS DOUBLE)) AS BIGINT))) "
+                "DIV 100000000"
+            )
+        ).alias("lines_cents")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("header_cents"),
+    )
+    joined = orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey
+    ).select(
+        "o_orderstatus",
+        "header_cents",
+        F.expr("abs(header_cents - lines_cents)").alias("abs_diff"),
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("SUM(abs_diff) DIV COUNT(1)").alias(
+                "mean_abs_diff_cents"
+            ),
+            F.max("abs_diff").alias("max_abs_diff_cents"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN abs_diff * 100 <= header_cents "
+                    "THEN 1 ELSE 0 END"
+                )
+            ).alias("within_1pct"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "mean_abs_diff_cents",
+            "max_abs_diff_cents",
+            F.expr("(within_1pct * 10000) DIV n_orders").alias(
+                "tieout_1pct_bp"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORDER_TOTAL_RECONCILIATION_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(SUM((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (10000 - CAST(floor(l_discount * 10000 + 0.5)
+                                   AS BIGINT))
+                   * (10000 + CAST(floor(l_tax * 10000 + 0.5)
+                                   AS BIGINT)))
+                  // 100000000) AS BIGINT) AS lines_cents
+  FROM lineitem GROUP BY 1
+), joined AS (
+  SELECT o.o_orderstatus,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+           AS header_cents,
+         abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+             - p.lines_cents) AS abs_diff
+  FROM orders o JOIN per_order p ON o.o_orderkey = p.l_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(abs_diff) // COUNT(*) AS BIGINT) AS mean_abs_diff_cents,
+       CAST(MAX(abs_diff) AS BIGINT) AS max_abs_diff_cents,
+       (CAST(SUM(CASE WHEN abs_diff * 100 <= header_cents
+                      THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         // CAST(COUNT(*) AS BIGINT) AS tieout_1pct_bp
+FROM joined
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

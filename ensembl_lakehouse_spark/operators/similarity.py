@@ -2341,3 +2341,71 @@ WHERE total_e > 0
 GROUP BY label
 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_coverage_audit (r11 batch 5)
+# ---------------------------------------------------------------------------
+
+
+def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which documents actually HAVE embeddings? Per source: docs,
+    docs with a vector (doc_id present in the embeddings table), and
+    coverage in bp. The embedding pipeline's referential tie-out —
+    at sf0.1 the fixture's vector table covers 2 000 of 5 000 docs,
+    so a retrieval index built without this audit silently drops 60 %
+    of the corpus. The documents↔embeddings twin of
+    audit_referential's TPC-H fk checks.
+
+    Plan (100 TB): LEFT SEMI-shaped via a left join on the id (both
+    sides SF-growing — a key-partitioned shuffle join, never
+    broadcast), pre-projected to (vec_id) on the build side, then a
+    ≤|sources| partial agg."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id"
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("v_id")
+    )
+    joined = docs.join(
+        vecs, docs.doc_id == vecs.v_id, "left"
+    ).select(
+        "source",
+        F.expr(
+            "CASE WHEN v_id IS NOT NULL THEN 1 ELSE 0 END"
+        ).alias("has_vec"),
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_vec").alias("with_embedding"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "with_embedding",
+            F.expr("(with_embedding * 10000) DIV n_docs").alias(
+                "coverage_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+EMBEDDING_COVERAGE_AUDIT_SQL = """
+WITH joined AS (
+  SELECT d.source,
+         CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS has_vec
+  FROM documents d
+  LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(has_vec) AS BIGINT) AS with_embedding,
+       (CAST(SUM(has_vec) AS BIGINT) * 10000) // CAST(COUNT(*) AS BIGINT)
+         AS coverage_bp
+FROM joined
+GROUP BY source
+ORDER BY source
+"""

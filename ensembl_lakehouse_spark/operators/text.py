@@ -3642,3 +3642,249 @@ FROM scored
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# token_position_bias (r11 batch 5)
+# ---------------------------------------------------------------------------
+
+#: top-N tokens reported by token_position_bias.
+POSITION_BIAS_TOPK = 20
+
+
+def token_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE in documents does each high-frequency token live? Mean
+    relative position (0 = always document-opening, 10000 = always
+    closing) for the corpus's top tokens. Boilerplate headers score
+    near 0, sign-off/footer vocabulary near 10⁴, body vocabulary
+    ~5000 — the positional fingerprint chunk_boilerplate's
+    line-level screen can't see at token granularity.
+
+    Docs need ≥2 tokens (a single token has no relative position).
+
+    Plan (100 TB): posexplode → map-only relative position → ONE
+    vocab-bounded partial agg; the top-k is TakeOrdered over the
+    vocabulary grid, never over token instances."""
+    docs = _docs_with_tokens(spark, sf_dir).where(F.size("toks") >= 2)
+    placed = docs.select(
+        F.posexplode("toks").alias("pos", "tok"),
+        F.size("toks").alias("n"),
+    ).select(
+        "tok",
+        F.expr("(pos * 10000) DIV (n - 1)").alias("rel_bp"),
+    )
+    return (
+        placed.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.expr("SUM(rel_bp) DIV COUNT(1)").alias(
+                "mean_position_bp"
+            ),
+        )
+        .orderBy(F.desc("occurrences"), "tok")
+        .limit(POSITION_BIAS_TOPK)
+    )
+
+
+TOKEN_POSITION_BIAS_SQL = f"""
+WITH t AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), placed AS (
+  SELECT unnest(toks) AS tok,
+         ((unnest(range(1, len(toks) + 1)) - 1) * 10000)
+           // (len(toks) - 1) AS rel_bp
+  FROM t WHERE len(toks) >= 2
+)
+SELECT tok,
+       CAST(COUNT(*) AS BIGINT) AS occurrences,
+       CAST(SUM(rel_bp) // COUNT(*) AS BIGINT) AS mean_position_bp
+FROM placed
+GROUP BY tok
+ORDER BY occurrences DESC, tok
+LIMIT {POSITION_BIAS_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_budget_apportionment (r11 batch 5)
+# ---------------------------------------------------------------------------
+
+#: total token budget apportioned by token_budget_apportionment.
+APPORTION_BUDGET = 1_000_000
+
+
+def token_budget_apportionment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed training
+    token budget across sources, proportional to each source's token
+    mass: quota = ⌊B·mass/total⌋, then the leftover B − Σ⌊·⌋ tokens
+    go to the largest fractional remainders (ties to the
+    alphabetically first source — deterministic). The allocations
+    sum to EXACTLY B — what a sampling pipeline actually needs,
+    where mix_temperature_weights' independent rounding leaves an
+    off-by-Σ gap the data loader would have to fudge.
+
+    Integer-exact throughout: quotas by BIGINT DIV, remainders by %,
+    both engines truncating on non-negative operands.
+
+    Plan (100 TB): explode-free token mass per source (map-only
+    size()), ONE ≤|sources| partial agg, then rank windows on that
+    grid."""
+    docs = _docs_with_tokens(spark, sf_dir)
+    mass = docs.groupBy("source").agg(
+        F.sum(F.size("toks").cast("long")).alias("token_mass")
+    )
+    b = APPORTION_BUDGET
+    quota = mass.select(
+        "source",
+        "token_mass",
+        F.expr(
+            f"(CAST(token_mass AS DECIMAL(38,0)) * {b}) "
+            "DIV (SUM(token_mass) OVER ())"
+        ).cast("long").alias("quota"),
+        F.expr(
+            f"(CAST(token_mass AS DECIMAL(38,0)) * {b}) "
+            "% (SUM(token_mass) OVER ())"
+        ).cast("long").alias("remainder"),
+    )
+    return (
+        quota.select(
+            "source",
+            "token_mass",
+            "quota",
+            F.expr(
+                "row_number() OVER (ORDER BY remainder DESC, source)"
+            ).alias("rk"),
+            F.expr(f"{b} - SUM(quota) OVER ()").alias("leftover"),
+        )
+        .select(
+            "source",
+            "token_mass",
+            "quota",
+            F.expr(
+                "quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"
+            ).alias("allocation"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_BUDGET_APPORTIONMENT_SQL = f"""
+WITH t AS (
+  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), mass AS (
+  SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS token_mass
+  FROM t GROUP BY 1
+), quota AS (
+  SELECT source, token_mass,
+         CAST((CAST(token_mass AS HUGEINT) * {APPORTION_BUDGET})
+              // SUM(token_mass) OVER () AS BIGINT) AS quota,
+         CAST((CAST(token_mass AS HUGEINT) * {APPORTION_BUDGET})
+              % SUM(token_mass) OVER () AS BIGINT) AS remainder
+  FROM mass
+), ranked AS (
+  SELECT source, token_mass, quota,
+         row_number() OVER (ORDER BY remainder DESC, source) AS rk,
+         {APPORTION_BUDGET} - SUM(quota) OVER () AS leftover
+  FROM quota
+)
+SELECT source, token_mass, quota,
+       CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS allocation
+FROM ranked
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# prefix_screen_precision (r11 batch 5)
+# ---------------------------------------------------------------------------
+
+
+def prefix_screen_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the cheap dedup tripwire against ground truth:
+    per source, documents flagged by the 64-char-prefix screen
+    (prefix_collision_rate's signal) crossed with documents that are
+    EXACT duplicates (full-text hash). precision_bp says how many
+    prefix hits are real whole-document dups; prefix-only hits are
+    the template-sharing near-dup tail the screen exists to surface,
+    and exact-only hits (distinct prefixes, same body — impossible
+    for true full-text dups, so always 0) pin the construction. The
+    same shape as dedup_threshold_sensitivity's LSH calibration, at
+    the zero-cost end of the screen spectrum.
+
+    Plan (100 TB): two count windows over (source, key) partitions —
+    prefix and md5 — on the SAME source-resident rows (two
+    exchanges), then a ≤|sources| partial agg. The md5 key keeps the
+    second exchange fixed-width regardless of document size."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.expr("substring(text, 1, 64)").alias("prefix"),
+            F.expr("md5(text)").alias("h"),
+        )
+    )
+    flagged = docs.select(
+        "source",
+        F.expr(
+            "CASE WHEN COUNT(1) OVER (PARTITION BY source, prefix) > 1 "
+            "THEN 1 ELSE 0 END"
+        ).alias("pre_hit"),
+        F.expr(
+            "CASE WHEN COUNT(1) OVER (PARTITION BY source, h) > 1 "
+            "THEN 1 ELSE 0 END"
+        ).alias("exact_hit"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pre_hit").alias("prefix_flagged"),
+            F.sum("exact_hit").alias("exact_dups"),
+            F.sum(F.expr("pre_hit * exact_hit")).alias("both"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "prefix_flagged",
+            "exact_dups",
+            "both",
+            F.expr(
+                "CASE WHEN prefix_flagged > 0 "
+                "THEN (both * 10000) DIV prefix_flagged ELSE 10000 END"
+            ).alias("precision_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+PREFIX_SCREEN_PRECISION_SQL = """
+WITH docs AS (
+  SELECT source, substr(text, 1, 64) AS prefix, md5(text) AS h
+  FROM documents WHERE length(trim(text)) > 0
+), flagged AS (
+  SELECT source,
+         CASE WHEN COUNT(*) OVER (PARTITION BY source, prefix) > 1
+              THEN 1 ELSE 0 END AS pre_hit,
+         CASE WHEN COUNT(*) OVER (PARTITION BY source, h) > 1
+              THEN 1 ELSE 0 END AS exact_hit
+  FROM docs
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pre_hit) AS BIGINT) AS prefix_flagged,
+       CAST(SUM(exact_hit) AS BIGINT) AS exact_dups,
+       CAST(SUM(pre_hit * exact_hit) AS BIGINT) AS both,
+       CASE WHEN SUM(pre_hit) > 0
+            THEN (CAST(SUM(pre_hit * exact_hit) AS BIGINT) * 10000)
+                 // CAST(SUM(pre_hit) AS BIGINT)
+            ELSE 10000 END AS precision_bp
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""

@@ -59,6 +59,14 @@ BUDGETS = {
     "prefix_collision_rate": 2,
     "intra_doc_novelty": 1,
     "embedding_band_energy": 1,
+    # --- Round 11 batch 5
+    # AQE broadcasts the orderkey/id joins at probe SF; plain SMJ
+    # adds exchanges at scale — budget the scale shape
+    "order_total_reconciliation": 3,
+    "token_position_bias": 1,
+    "token_budget_apportionment": 1,
+    "prefix_screen_precision": 3,
+    "embedding_coverage_audit": 3,
     # --- Round 9 (probed at sf0.001, pinned at the observed count)
     "events_error_rate_hourly": 1,
     "user_session_count_bands": 2,

@@ -444,3 +444,62 @@ def test_band_energy_is_a_share_of_total(spark):
         assert 0 <= r.lead_energy <= r.total_energy
         assert 0 <= r.pooled_lead_share_bp <= 10000
         assert 0 <= r.avg_lead_share_bp <= 10000
+
+
+# --- batch 5 ---------------------------------------------------------------
+
+
+def test_reconciliation_covers_every_lined_order(spark):
+    rows = RP.order_total_reconciliation(spark, SF_DIR).collect()
+    assert sum(r.n_orders for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(DISTINCT l_orderkey) FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    for r in rows:
+        assert 0 <= r.mean_abs_diff_cents <= r.max_abs_diff_cents
+        assert 0 <= r.tieout_1pct_bp <= 10000
+
+
+def test_token_position_bias_is_topk_by_frequency(spark):
+    rows = T.token_position_bias(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= T.POSITION_BIAS_TOPK
+    occ = [r.occurrences for r in rows]
+    assert occ == sorted(occ, reverse=True)
+    for r in rows:
+        assert 0 <= r.mean_position_bp <= 10000
+
+
+def test_apportionment_sums_exactly_to_budget(spark):
+    """The Hamilton-method postcondition no independent rounding
+    gives: Σ allocation == B exactly, with every source within 1 of
+    its real-valued quota."""
+    rows = T.token_budget_apportionment(spark, SF_DIR).collect()
+    assert sum(r.allocation for r in rows) == T.APPORTION_BUDGET
+    total = sum(r.token_mass for r in rows)
+    for r in rows:
+        lo = (r.token_mass * T.APPORTION_BUDGET) // total
+        assert r.allocation in (lo, lo + 1), r
+
+
+def test_prefix_screen_contains_exact_dups(spark):
+    """Identical full texts share their 64-char prefix, so the
+    prefix screen's hits are a SUPERSET of exact dups per source —
+    and both cells therefore equal the exact-dup count."""
+    rows = T.prefix_screen_precision(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.exact_dups <= r.prefix_flagged <= r.n_docs
+        assert r.both == r.exact_dups, r
+        assert 0 <= r.precision_bp <= 10000
+
+
+def test_embedding_coverage_counts_the_id_intersection(spark):
+    rows = S.embedding_coverage_audit(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+    )
+    assert sum(r.with_embedding for r in rows) == duckdb_scalar(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet' d "
+        f"WHERE d.doc_id IN (SELECT vec_id FROM "
+        f"'{SF_DIR}/embeddings.parquet')"
+    )
+    for r in rows:
+        assert 0 <= r.with_embedding <= r.n_docs
