@@ -50,34 +50,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- Round-11 recertification block FIRST: these 18
-        # operators were modified by the r10 DECIMAL(38,0) overflow
-        # sweep / tiling rewire AFTER their last driver
-        # certification (r10 VERDICT "what's wrong" #1). The
-        # builder's strict sf0.01+sf0.1 oracle gate is green on all
-        # of them, but the driver stamp is the hard signal — lead
-        # the first-50 window with them so CORRECTNESS_r11 refreshes
-        # every stale certification.
-        "revenue_concentration": RP.revenue_concentration,
-        "nation_trade_lift": G.nation_trade_lift,
-        "part_name_price_lift": RP.part_name_price_lift,
-        "segment_priority_lift": RP.segment_priority_lift,
-        "orders_rfm_segments": RP.orders_rfm_segments,
-        "supplier_balance_deciles": RP.supplier_balance_deciles,
-        "customer_balance_spend_matrix": RP.customer_balance_spend_matrix,
-        "revenue_yoy": RP.revenue_yoy,
-        "seasonal_index": RP.seasonal_index,
-        "calendar_adjusted_monthly_index": RP.calendar_adjusted_monthly_index,
-        "discount_band_lift": RP.discount_band_lift,
-        "holiday_revenue_calendar": RP.holiday_revenue_calendar,
-        "order_width_histogram": R.order_width_histogram,
-        "orders_weekday_index": RP.orders_weekday_index,
-        "part_type_margin": RP.part_type_margin,
-        "region_revenue_share_trend": RP.region_revenue_share_trend,
-        "returns_rate_monthly": RP.returns_rate_monthly,
-        "tax_band_revenue": RP.tax_band_revenue,
-        # --- Round-11 additions (after the recert block, inside the
-        # first-50 window so they certify on first sampling).
+        # --- Round-11 additions FIRST: the r11 build window grew to
+        # 41 new oracle-backed entries, so the uncertified set alone
+        # nearly fills the driver's first-50 sampling window — every
+        # uncertified entry must sit inside it (rotation invariant,
+        # tests/test_contract.py). The 18 stale-certified recert
+        # operators follow; the 9 that fit in the window's remaining
+        # seats refresh this round, the rest queue for the next.
         # Batch 1: superlative price index, fulfilment SLA, value
         # mix, demand curve, credit geography, Q1 grid audit, unit
         # economics, session transition model, weekend uplift,
@@ -136,6 +115,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_apportionment": T.token_budget_apportionment,
         "prefix_screen_precision": T.prefix_screen_precision,
         "embedding_coverage_audit": S.embedding_coverage_audit,
+        # --- Recertification block: these 18 operators were
+        # modified by the r10 DECIMAL(38,0) overflow sweep / tiling
+        # rewire AFTER their last driver certification (r10 VERDICT
+        # "what's wrong" #1). The builder's strict sf0.01+sf0.1
+        # oracle gate is green on all of them; the first 9 land in
+        # the driver window's remaining seats this round.
+        "revenue_concentration": RP.revenue_concentration,
+        "nation_trade_lift": G.nation_trade_lift,
+        "part_name_price_lift": RP.part_name_price_lift,
+        "segment_priority_lift": RP.segment_priority_lift,
+        "orders_rfm_segments": RP.orders_rfm_segments,
+        "supplier_balance_deciles": RP.supplier_balance_deciles,
+        "customer_balance_spend_matrix": RP.customer_balance_spend_matrix,
+        "revenue_yoy": RP.revenue_yoy,
+        "seasonal_index": RP.seasonal_index,
+        "calendar_adjusted_monthly_index": RP.calendar_adjusted_monthly_index,
+        "discount_band_lift": RP.discount_band_lift,
+        "holiday_revenue_calendar": RP.holiday_revenue_calendar,
+        "order_width_histogram": R.order_width_histogram,
+        "orders_weekday_index": RP.orders_weekday_index,
+        "part_type_margin": RP.part_type_margin,
+        "region_revenue_share_trend": RP.region_revenue_share_trend,
+        "returns_rate_monthly": RP.returns_rate_monthly,
+        "tax_band_revenue": RP.tax_band_revenue,
         # --- Round-10 additions (window discipline: every
         # oracle-backed entry was driver-certified across r1-r9, so
         # the first-50 window leads with this round's new operators,

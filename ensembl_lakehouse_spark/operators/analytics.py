@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 _DEC = "decimal(12,2)"
 
@@ -49,7 +49,9 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     one DECIMAL type first (unpivot requires a common value type,
     and it keeps the sums exact).
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # conditional l_orderkey spread (guide §2.5): parallelizes the
+    # 4× unpivot fan-out + partial agg; decimal sums are invariant
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey").select(
         "l_returnflag",
         _dec("l_quantity").alias("quantity"),
         _dec("l_extendedprice").alias("extendedprice"),
@@ -118,8 +120,12 @@ def corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     VARCHAR (decimal → exact digit string → strtod), which is also
     correctly rounded, so both engines produce the identical double
     for the identical exact rational.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
+
+    Conditional l_orderkey spread (guide §2.5): the decimal
+    co-moment partial agg is exact and order-invariant BY
+    CONSTRUCTION (that is this operator's whole point), so the
+    spread is free to parallelize it."""
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     x, y = _dec("l_quantity"), _dec("l_extendedprice")
     moments = (
         li.groupBy("l_returnflag")
@@ -283,8 +289,14 @@ def capped_basket_items(
     co-purchase consumer (basket_pairs, basket_rules,
     graph_link_predict, graph_kcore) must apply BEFORE its
     within-order self-join. One implementation so a change to the
-    cap semantics can never reach only some of the four."""
-    li = load_table(spark, sf_dir, "lineitem")
+    cap semantics can never reach only some of the four.
+
+    Conditional l_orderkey spread (guide §2.5): one partitioning
+    serves the distinct, the basket-size window AND the downstream
+    within-order self-join (all cluster on l_orderkey), so the
+    spread exchange replaces up to three and the funnel's map work
+    runs 32-way instead of single-task on the fixture layout."""
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     items = li.select("l_orderkey", "l_partkey").distinct()
     return (
         items.withColumn(

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 #: Tokens per chunk and stride between chunk starts (overlap = CHUNK_W - CHUNK_S).
 CHUNK_W = 64
@@ -69,7 +69,8 @@ def chunk_documents(
     chunk_start, n_chunk_tokens, chunk_fp) — the fingerprint stands
     in for the chunk text so the contract result stays narrow; a
     pipeline keeps the text column too (same plan, wider rows)."""
-    docs = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    # conditional doc_id spread (guide §2.5): per-chunk md5 map work
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(F.length(F.trim("text")) > 0)
     chunks = (
         f"transform(array({_TOKS}), t -> transform({_starts_expr(width, stride)}, "
         f"s -> named_struct("

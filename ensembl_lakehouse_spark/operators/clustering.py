@@ -42,7 +42,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ensembl_lakehouse_spark.operators.similarity import DIM
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 #: Clusters.
 KM_K = 8

@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 #: Fixed-point quantization scale for exact accumulation.
 PCA_SCALE = 1_000_000
@@ -95,7 +95,7 @@ def _collect_moments(spark: SparkSession, sf_dir: str) -> tuple[list, int, "obje
     """Run the distributed reduction; returns (gram_rows, d, numpy)."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select("embedding")
     partials = emb.mapInPandas(_partial_grams, schema=_PARTIAL_SCHEMA)
     # DECIMAL(38,0) sum: exact and partition-order invariant; int64
     # would overflow at ~10^5 × the fixture scale, decimal never does.

@@ -51,7 +51,7 @@ from ensembl_lakehouse_spark.functions.text import (
     NORM_SPARK_SQL,
     sql_word_shingles,
 )
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 #: Shingle width (words) for near-dup signatures.
 SHINGLE_N = 3
@@ -140,7 +140,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     work; the window form reads the data once.
     """
     df = (
-        load_table(spark, sf_dir, "documents")
+        # conditional doc_id spread (guide §2.5): parallelizes the
+        # per-doc normalize+md5 map work; no-op at scale
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .where(F.length(F.trim("text")) > 0)
         .withColumn(
             "fp_md5",
@@ -173,7 +175,11 @@ FROM d
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = "split(trim(text), '\\\\s+')"
     return (
-        load_table(spark, sf_dir, "documents")
+        # conditional doc_id spread (guide §2.5): shingling +
+        # downstream minhash/md5 signatures are the heavy map work;
+        # without it the single-row-group fixture file runs them on
+        # ONE task (also serializing the _near_pipeline checkpoint)
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .where(F.length(F.trim("text")) > 0)
         .select("doc_id", F.expr(_spark_shingles(toks)).alias("sh"))
     )
@@ -285,7 +291,9 @@ def dedup_near_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> array_join(slice(ch, i, {CHARGRAM_N}), ''))))[0]"
     )
     s = (
-        load_table(spark, sf_dir, "documents")
+        # conditional doc_id spread (guide §2.5) — char-gram
+        # extraction is the costliest shingler in the family
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .where(F.length(F.trim("text")) > 0)
         .select("doc_id", F.expr(sh).alias("sh"))
     )
@@ -354,7 +362,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     toks = "split(trim(lower(text)), '\\\\s+')"
     sigs = (
-        load_table(spark, sf_dir, "documents")
+        # conditional doc_id spread (guide §2.5): per-token md5 bit
+        # voting is heavy map work; no-op at scale
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .where(F.length(F.trim("text")) > 0)
         .select("doc_id", F.expr(_spark_simhash(toks)).alias("sim"))
     )
@@ -847,7 +857,9 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference has no dedup surface (single-table SELECT,
     app/main.py:479); EXT X1 north star.
     """
-    docs = load_table(spark, sf_dir, "documents").where(
+    # conditional doc_id spread (guide §2.5): gram explosion is the
+    # heavy map stage; no-op at scale
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(
         F.length(F.expr(NORM_SPARK_SQL)) >= SUBSTR_GRAM
     )
     g = docs.select("doc_id", F.explode(F.expr(_substr_grams_expr())).alias("gram"))
@@ -942,7 +954,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged by where the corpus side comes from.
     """
     docs = (
-        load_table(spark, sf_dir, "documents")
+        # conditional doc_id spread (guide §2.5): md5 + shingling
+        # feed an eager checkpoint — spread parallelizes both
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .where(F.length(F.trim("text")) > 0)
         .withColumn("is_new", (F.col("doc_id") % INCR_MOD) == 0)
         .withColumn(
@@ -1157,7 +1171,9 @@ def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports.
     """
     docs = (
-        load_table(spark, sf_dir, "documents")
+        # conditional doc_id spread (guide §2.5): normalize+md5 map
+        # work; integer-sum rollup is partition-order invariant
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .where(F.length(F.trim("text")) > 0)
         .select(
             "doc_id",
@@ -1574,7 +1590,9 @@ def dedup_rate_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): the signature is map-side; first-occurrence is a
     signature-PARTITIONED row_number (keyed window, never global);
     the final agg is ≤ batches rows."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    # conditional doc_id spread (guide §2.5): the full-text regexp
+    # normalize is the heavy map stage; no-op at scale
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id",
         "source",
         F.expr("doc_id DIV " + str(DEDUP_BATCH_WIDTH)).alias("batch"),

@@ -40,7 +40,7 @@ from ensembl_lakehouse_spark.operators.similarity import (
     similarity_lsh,
     similarity_topk,
 )
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +251,8 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     column: Σ c², max c, Σ c as BIGINTs → the three ratios. Linear,
     two exchanges, any number of audited columns in one pass.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(*SKEW_KEYS)
+    # conditional l_orderkey spread (guide §2.5): explode+partial agg
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey").select(*SKEW_KEYS)
     structs = ", ".join(
         f"named_struct('col_name', '{c}', 'key', CAST({c} AS STRING))"
         for c in SKEW_KEYS

@@ -110,7 +110,13 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select(
         F.col("n_name").alias("node")
     )
-    edges = _trade_edges(spark, sf_dir).where(F.col("src") != F.col("dst"))
+    # localCheckpoint: edges feed out_ AND in_ — uncheckpointed, the
+    # fact aggregation runs once per reference (see graph_pagerank)
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint()
+    )
     out_ = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_degree"),
         F.sum("n_trades").alias("out_trades"),
@@ -190,12 +196,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("node")
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # localCheckpoint: the unrolled iterations reference the edge
+    # lattice (and the ranks chain built on it) several times EACH,
+    # and Spark re-evaluates the whole upstream per reference with
+    # no exchange reuse — the executed r10 plan had 312 fact scans /
+    # 426 exchanges at PR_ITERS=3 (2^k subtree blowup, the same
+    # failure mode the tiling module documents). Truncating lineage
+    # at the ≤|nations|² aggregate is the "aggregate-then-graph,
+    # checkpointed once" contract every OTHER graph operator here
+    # already applies (kcore/link_predict/reciprocity); identical
+    # rows, so results are unchanged.
     edges = (
         _trade_edges(spark, sf_dir)
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
+        .localCheckpoint()
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint()
+    )
     ranks = (
         nodes.crossJoin(F.broadcast(nn))
         .select("node", F.expr("CAST(1 AS DOUBLE) / n").alias("rank"))
@@ -325,12 +346,22 @@ def graph_pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("node")
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # localCheckpoint — see graph_pagerank: the dangling-mass branch
+    # references edges/outdeg/ranks a second time per iteration, so
+    # the uncheckpointed 2^k subtree blowup is even steeper here
+    # (the r10 executed plan re-ran the fact join 312×). Identical
+    # rows, results unchanged.
     edges = (
         _trade_edges(spark, sf_dir)
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
+        .localCheckpoint()
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint()
+    )
     ranks = (
         nodes.crossJoin(F.broadcast(nn))
         .select("node", F.expr("CAST(1 AS DOUBLE) / n").alias("rank"))
@@ -446,6 +477,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordering optimization (orient edges low-degree→high)
     bounds the join fan-out.
     """
+    # localCheckpoint: und feeds all three self-join sides —
+    # uncheckpointed, the fact aggregation runs 3× (see
+    # graph_pagerank)
     und = (
         _trade_edges(spark, sf_dir)
         .where(F.col("src") != F.col("dst"))
@@ -453,6 +487,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        .localCheckpoint()
     )
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (
@@ -703,7 +738,9 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-bounded) and rolls up per src. Self-loops are excluded
     (trivially reciprocal).
     """
-    edges = _trade_edges(spark, sf_dir).where("src <> dst")
+    # localCheckpoint: edges feed both the probe side and the
+    # reversed broadcast copy (see graph_pagerank)
+    edges = _trade_edges(spark, sf_dir).where("src <> dst").localCheckpoint()
     rev = edges.select(
         F.col("src").alias("r_dst"), F.col("dst").alias("r_src")
     )

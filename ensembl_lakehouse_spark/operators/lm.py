@@ -82,14 +82,17 @@ _SQL_PAIRS = (
 
 def _pair_counts(spark: SparkSession, sf_dir: str):
     """(pairs, heads, vocab-size) lattice shared by both LM queries."""
-    toks = _docs_with_tokens(spark, sf_dir).where(F.size("toks") >= 2)
+    # spread=False: the pair lattice is referenced by heads AND
+    # pairs (and lm_doc_score re-joins it) — each reference re-pays
+    # a spread exchange (measured lm_doc_score 0.93 s -> 1.46 s)
+    toks = _docs_with_tokens(spark, sf_dir, spread=False).where(F.size("toks") >= 2)
     inst = toks.select(
         "doc_id", F.explode(F.expr(_PAIRS_EXPR)).alias("p")
     ).select("doc_id", "p.w1", "p.w2")
     pairs = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     heads = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n_head"))
     vocab = (
-        _docs_with_tokens(spark, sf_dir)
+        _docs_with_tokens(spark, sf_dir, spread=False)
         .select(F.explode("toks").alias("term"))
         .agg(F.countDistinct("term").alias("v"))
     )

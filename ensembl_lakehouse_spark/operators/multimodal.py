@@ -58,7 +58,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 #: Fixed-point scale for deterministic float aggregation (micro-units).
 FP_SCALE = 1_000_000
@@ -73,7 +73,7 @@ def multimodal_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces each task's output to ≤640 rows before the one shuffle,
     so the plan is scan-bound at any corpus size.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("dim", "x")
     ).withColumn("x_fp", F.floor(F.col("x").cast("double") * FP_SCALE))
@@ -133,7 +133,7 @@ def multimodal_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only plan, zero shuffle: at 100 TB this is scan-bound and
     embarrassingly parallel, the same shape as the text operators.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     xd = F.transform("embedding", lambda x: x.cast("double"))
     df = emb.select(
         "vec_id",

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ensembl_lakehouse_spark.functions.stats import pearson_e6
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 # DECIMAL(12,2): TPC-H money/quantity values are < 10^10 with 2
 # decimals, so this cast is lossless; products of three such casts
@@ -131,8 +131,10 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces each scan task's output to ≤6 rows before the shuffle,
     so the shuffle is O(tasks), not O(rows) — the canonical
     100 TB-safe aggregation shape. Decimal sums are exact (see
-    module docstring)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    module docstring). Conditional l_orderkey spread (guide §2.5)
+    parallelizes the partial agg over the single-row-group fixture
+    file; exact decimal sums are partition-order invariant."""
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
     charge = disc_price * (F.lit(1).cast(_DEC) + _dec("l_tax"))
     return (
@@ -172,8 +174,10 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL grouping keys, matching ANSI ROLLUP in DuckDB.
 
     Spark expands rollup into a single Expand+Aggregate — one scan,
-    one shuffle, regardless of grouping-set count."""
-    li = load_table(spark, sf_dir, "lineitem")
+    one shuffle, regardless of grouping-set count. Conditional
+    l_orderkey spread (guide §2.5) parallelizes the Expand + partial
+    agg; decimal sums are partition-order invariant."""
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -200,8 +204,9 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same Expand+Aggregate single-scan plan as rollup — grouping-set
     count multiplies the Expand fan-out (rows × sets pre-partial-
-    agg), not the number of scans or shuffles."""
-    li = load_table(spark, sf_dir, "lineitem")
+    agg), not the number of scans or shuffles. Conditional
+    l_orderkey spread (guide §2.5) parallelizes that fan-out."""
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
@@ -342,8 +347,11 @@ def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key alone — at 100 TB with one dominant key that is a
     single-reducer straggler; this shape is how production pipelines
     write it. The oracle is the semantically-equal direct form.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
+
+    Conditional l_partkey spread (guide §2.5): co-locates equal
+    (flag, partkey) pairs so the distinct's partial agg runs 32-way
+    and its own exchange is absorbed by the spread partitioning."""
+    li = load_spread(spark, sf_dir, "lineitem", "l_partkey")
     pairs = li.select("l_returnflag", "l_partkey").distinct()
     return (
         pairs.groupBy("l_returnflag")
@@ -371,8 +379,14 @@ def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile_approx`` (t-digest-style mergeable sketch, fully
     partial-aggregated); it is not oracle-checkable because sketch
     error is engine-specific, which is exactly why the exact form
-    carries the correctness contract here."""
-    li = load_table(spark, sf_dir, "lineitem")
+    carries the correctness contract here.
+
+    Conditional l_orderkey spread (guide §2.5): the percentile
+    partial aggregate buffers every group value — by far the
+    heaviest map-side stage here — and a single-row-group file runs
+    it on ONE task. percentile sorts its merged buffer, so the
+    result is partition-order invariant."""
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -537,8 +551,11 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge, so there is no global sort and no single-partition
     window. The rank column is added AFTER the limit, over n=200
     rows (bounded, like preview_limit).
-    """
-    docs = load_table(spark, sf_dir, "documents")
+
+    Conditional doc_id spread (guide §2.5): the ≤32-md5-per-row key
+    is the heavy map stage; TakeOrdered heaps are rank-defined, so
+    results are partition-count independent."""
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     w = (
         f"greatest(1, least({WEIGHTED_SAMPLE_MAX_W}, "
         f"size(split(trim(text), '\\\\s+'))))"
@@ -810,7 +827,10 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     what COUNT(DISTINCT) cannot do. Plan: distinct (flag, partkey)
     pairs (skew-free two-column shuffle), hash, per-flag rank, keep
     rank k. Output carries the exact count too, so the estimate's
-    error is visible in the result (~1/√k ≈ 12 % at k=64)."""
+    error is visible in the result (~1/√k ≈ 12 % at k=64).
+
+    NOT spread: pairs feeds both the rank window and the exact
+    count (2 references; measured 1.24× slower with a spread)."""
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select("l_returnflag", "l_partkey").distinct()
     hashed = pairs.withColumn(
@@ -888,8 +908,13 @@ def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried alongside (one extra agg over the same scan) so the
     sample error ~1/√k is visible in the result, mirroring
     sketch_kmv_distinct's exact_distinct column.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
+
+    Conditional l_orderkey spread (guide §2.5): parallelizes the
+    per-row md5 rank and the exact-percentile partial agg (both
+    otherwise single-task on the fixture layout); percentile sorts
+    its buffer, WindowGroupLimit's heap is rank-defined — both
+    partition-order invariant."""
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     h = (
         "cast(conv(substring(md5(concat(cast(l_orderkey AS string), '|', "
         "cast(l_linenumber AS string))), 1, 15), 16, 10) AS bigint)"
@@ -1028,7 +1053,9 @@ def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, so the only shuffle is lineitem ⋈ orders on
     orderkey — one fact-fact shuffle, AQE-skew-splittable. The
     aggregation then reduces to 5 rows via partial agg."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # conditional l_orderkey spread (guide §2.5): parallelizes the
+    # broadcast-probe + partial-agg map stage (decimal sums exact)
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -1220,7 +1247,9 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct fields); the aggregation is the standard partial-agg
     shape. Integer sums — no float determinism concerns.
     """
-    events = load_table(spark, sf_dir, "events")
+    # conditional event_id spread (guide §2.5): the per-row JSON
+    # parse is the heavy map stage; integer sums stay invariant
+    events = load_spread(spark, sf_dir, "events", "event_id")
     k = "cast(get_json_object(props, '$.k') AS bigint)"
     return (
         events.select(
@@ -1270,8 +1299,11 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Count-distinct per column is exact here (the profile contract);
     a 100 TB profile swaps in approx_count_distinct per column —
     same single-scan shape, sketch-sized state.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
+
+    Conditional l_orderkey spread (guide §2.5): the Expand fan-out
+    (rows × 11 grouping branches) and the partial distinct agg are
+    the heavy map stages; counts are partition-order invariant."""
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in _PROFILE_COLS:
         aggs.append(F.count(c).alias(f"_nn_{c}"))

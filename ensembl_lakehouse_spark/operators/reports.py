@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ensembl_lakehouse_spark.functions.stats import pearson_e6
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 # ---------------------------------------------------------------------------
 # skyline_pareto
@@ -3397,7 +3397,9 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: lineitem×part broadcast join → per-supplier agg with two
     distinct counts (one EXPAND lattice); the catalog type count is
     a 1-row broadcast."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # conditional l_suppkey spread (guide §2.5): absorbs the
+    # per-supplier agg exchange and parallelizes the EXPAND lattice
+    li = load_spread(spark, sf_dir, "lineitem", "l_suppkey").select(
         "l_suppkey",
         "l_partkey",
         F.expr(
@@ -3907,8 +3909,10 @@ def segment_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: orders⋈customer shuffle on custkey (both fact-sized at
     100 TB; only 2 columns of each survive the scan), one
-    |segments|-row aggregate."""
-    orders = load_table(spark, sf_dir, "orders").select(
+    |segments|-row aggregate. Conditional o_custkey spread (guide
+    §2.5): feeds the custkey join partitioning and parallelizes the
+    fixed-point map + percentile partial agg (order-invariant)."""
+    orders = load_spread(spark, sf_dir, "orders", "o_custkey").select(
         "o_custkey",
         F.expr(
             "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
@@ -4271,8 +4275,10 @@ def orders_priority_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     orders; this prices them.
 
     One |priorities|-row aggregate; the fixed-point percentile
-    contract keeps quartiles integral cross-engine."""
-    orders = load_table(spark, sf_dir, "orders").select(
+    contract keeps quartiles integral cross-engine. Conditional
+    o_orderkey spread (guide §2.5): parallelizes the percentile
+    partial agg (percentile sorts its buffer — order-invariant)."""
+    orders = load_spread(spark, sf_dir, "orders", "o_orderkey").select(
         "o_orderpriority",
         F.expr(
             "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "
@@ -4998,7 +5004,10 @@ def brand_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey are the two fact-scale shuffles; buyers collapse to the
     distinct (brand, custkey, orderkey) lattice map-side before any
     counting; final agg is ≤|brands| rows."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # conditional l_orderkey spread (guide §2.5): orderkey is one of
+    # the distinct-lattice keys, so the spread partitioning absorbs
+    # the distinct's exchange and the joins' map work runs 32-way
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey").select(
         "l_orderkey", "l_partkey"
     )
     part = load_table(spark, sf_dir, "part").select(
@@ -5415,6 +5424,9 @@ def price_index_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side partial); the base month joins back PART-keyed (never
     a cross join); final agg is ≤ months rows. The base-month
     subquery is a scalar broadcast."""
+    # NOT spread: the per lattice is referenced 3× (base_m, base,
+    # main), and each reference re-pays the spread exchange
+    # (measured 1.10-1.15× slower with it)
     li = load_table(spark, sf_dir, "lineitem").select(
         F.expr(
             "year(CAST(l_shipdate AS DATE)) * 12 + "
@@ -6032,6 +6044,9 @@ def price_index_paasche(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): identical shape to the Laspeyres series — one
     (month, part) partial agg off the fact scan, the base month
     joins back PART-keyed, final agg is ≤ months rows."""
+    # NOT spread: the per lattice is referenced 3× (base_m, base,
+    # main), and each reference re-pays the spread exchange
+    # (measured 1.10-1.15× slower with it)
     li = load_table(spark, sf_dir, "lineitem").select(
         F.expr(
             "year(CAST(l_shipdate AS DATE)) * 12 + "
@@ -6125,6 +6140,9 @@ def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
     back part-keyed (AQE-broadcast), final agg ≤ months rows; the
     two weightings are extra columns on the SAME lattice, not a
     second scan."""
+    # NOT spread: the per lattice is referenced 3× (base_m, base,
+    # main), and each reference re-pays the spread exchange
+    # (measured 1.10-1.15× slower with it)
     li = load_table(spark, sf_dir, "lineitem").select(
         F.expr(
             "year(CAST(l_shipdate AS DATE)) * 12 + "
@@ -7367,7 +7385,9 @@ def net_multiplier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100 TB): map-only fixed-point arithmetic + banding → one
     ≤5-cell partial agg; the share window runs on that."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # conditional l_orderkey spread (guide §2.5): map-only
+    # fixed-point banding is the whole cost; integer sums invariant
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey").select(
         F.expr(
             "CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) "
             "AS BIGINT)"

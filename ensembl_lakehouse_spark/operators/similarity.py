@@ -38,7 +38,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ensembl_lakehouse_spark.functions.vectors import sql_cosine, sql_norm
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table, spread_scan
 
 #: Number of query vectors: vec_id < N_QUERIES are queries, the rest corpus.
 N_QUERIES = 5
@@ -107,15 +107,22 @@ def _split(
 ) -> tuple[DataFrame, DataFrame]:
     """(queries, corpus), each carrying its precomputed L2 norm —
     one map-side aggregate per vector instead of one per scored
-    pair (see _norm_expr; bit-identical to the inline form)."""
+    pair (see _norm_expr; bit-identical to the inline form).
+
+    Only the CORPUS side is spread (guide §2.5): queries filter to
+    ``n_queries`` rows and feed a broadcast, where a spread exchange
+    is pure overhead; the corpus side carries the per-pair cosine
+    map work that the spread parallelizes."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
         F.expr(_norm_expr("embedding")).alias("q_nrm"),
     )
-    corpus = emb.where(F.col("vec_id") >= n_queries).withColumn(
-        "c_nrm", F.expr(_norm_expr("embedding"))
+    corpus = (
+        spread_scan(emb, spark, sf_dir, "embeddings", "vec_id")
+        .where(F.col("vec_id") >= n_queries)
+        .withColumn("c_nrm", F.expr(_norm_expr("embedding")))
     )
     return queries, corpus
 
@@ -412,7 +419,7 @@ def dedup_embedding(
     (≥0.95) the bucket keys get longer (P up) and the candidate set
     collapses to near-misses only.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     # Buckets carry ONLY the id: the candidate-pair distinct must
     # shuffle 16-byte id pairs, not 2×64-float vectors — measured
     # 31 s → ~3 s at sf0.1 when the vectors ride through the
@@ -552,7 +559,7 @@ def dedup_semantic(
 
     Reference has no vector surface (app/main.py:479); EXT X1/X2.
     """
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").withColumn(
         "nrm", F.expr(_norm_expr("embedding"))
     )
     centroids = emb.where(
@@ -655,7 +662,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     cen = (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .withColumn("x_fp", F.floor(F.col("x").cast("double") * FP_SCALE))
@@ -733,7 +740,7 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are order-independent and the mean rides the usual per-row
     fixed-point rounding, so the row is bit-stable cross-engine.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.expr(_norm_expr("embedding")).alias("nrm"),
@@ -892,7 +899,7 @@ def embedding_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _QUANT_Q.format(x="x")
     err2 = _QUANT_ERR2_FP.format(x="x", q=q)
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        load_spread(spark, sf_dir, "embeddings", "vec_id")
         .withColumn(
             "maxabs",
             F.expr(
@@ -972,7 +979,7 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     cent = (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .withColumn(
@@ -1060,7 +1067,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     exploded = (
         emb.select(F.posexplode("embedding").alias("dim", "x"))
         .withColumn("x_fp", F.floor(F.col("x").cast("double") * FP_SCALE))
@@ -1333,7 +1340,7 @@ def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     exploded = (
         emb.select(
             F.expr("CAST(vec_id % 2 AS INT)").alias("half"),
@@ -1452,7 +1459,7 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     only corpus-proportional stage."""
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     cent = (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .withColumn("x_fp", F.floor(F.col("x").cast("double") * FP_SCALE))
@@ -1543,7 +1550,7 @@ def embedding_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     |dims| clip agg."""
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     x = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
         "dim",
         F.floor(F.col("v").cast("double") * FP_SCALE).alias("x_fp"),
@@ -1655,7 +1662,7 @@ def embedding_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Integer-exact: band = floor(v·10); shares by DIV over a keyed
     window. One posexplode pass, one (label, band) agg."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     return (
         emb.select(
             "label", F.explode("embedding").alias("v")
@@ -1717,7 +1724,7 @@ def embedding_sparsity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
     eps_fp = int(SPARSE_EPS * FP_SCALE)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     per_vec = emb.select(
         F.expr(
             f"size(filter(embedding, x -> "
@@ -1796,7 +1803,7 @@ def embedding_norm_label_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100 TB): map-only per-vector norm → one ≤|labels|×13-cell
     agg; the share window runs on that grid."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "label",
         F.expr(_norm_expr("embedding")).alias("nrm"),
     )
@@ -1872,7 +1879,7 @@ def embedding_peakiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate({abs_arr}, cast(0 AS double), "
         f"(acc, v) -> CASE WHEN v > acc THEN v ELSE acc END)"
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "label",
         F.expr(l1).alias("l1"),
         F.expr(mx).alias("mx"),
@@ -1958,7 +1965,7 @@ def embedding_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ |labels| rows."""
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     changed = emb.where(
         F.col("vec_id") % _DRIFT_MOD == _DRIFT_REM
     ).select(
@@ -2040,7 +2047,7 @@ def embedding_dominant_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤|labels|×d-cell agg; the share window runs on the grid."""
     abs_arr = "transform(embedding, x -> abs(cast(x AS double)))"
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        load_spread(spark, sf_dir, "embeddings", "vec_id")
         .select(
             "label",
             F.expr(
@@ -2114,7 +2121,7 @@ def embedding_sign_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): map-only higher-order-function fold per vector
     (zero shuffle) → one ≤|labels|·5 partial agg; the share window
     runs on that grid."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "label",
         F.expr(
             "aggregate(embedding, 0L, (acc, x) -> acc + "
@@ -2195,7 +2202,7 @@ def embedding_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): one hash-groupBy on the vector array (Spark
     hashes arrays natively — the exact-dedup shape), families ≥2
     only, then a ≤|labels| partial agg. Never any pairwise work."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "label", "embedding"
     )
     fams = (
@@ -2276,7 +2283,7 @@ def embedding_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): map-only per-vector array fold (zero explode,
     zero shuffle), then ONE ≤|labels| partial agg."""
     q = "CAST(floor(CAST(x AS DOUBLE) * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "label",
         F.expr(
             f"aggregate(slice(embedding, 1, 16), CAST(0 AS BIGINT), "
@@ -2364,7 +2371,7 @@ def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "source", "doc_id"
     )
-    vecs = load_table(spark, sf_dir, "embeddings").select(
+    vecs = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         F.col("vec_id").alias("v_id")
     )
     joined = docs.join(

@@ -33,7 +33,7 @@ from ensembl_lakehouse_spark.functions.hashing import (
 )
 
 from ensembl_lakehouse_spark.operators.text import _SQL_PREP, _docs_with_tokens
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 #: Count-Min geometry: D independent hash rows × W buckets.
 CMS_DEPTH = 4
@@ -154,6 +154,8 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     register table IS the mergeable sketch state: the same MAX-merge
     runs per-partition, per-node, or per-day incrementally.
     """
+    # NOT spread: ev feeds hashed + grid + exact (3 references), each
+    # re-paying a spread exchange (measured 0.51 s -> 0.85 s)
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     hashed = ev.selectExpr(
         "event_type",

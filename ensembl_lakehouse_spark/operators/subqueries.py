@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 _DEC = "decimal(12,2)"
 
@@ -194,6 +194,8 @@ def suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: counts and keys only — no float math anywhere.
     """
+    # NOT spread: measured 0.71 s -> 1.06 s with a spread exchange —
+    # the orderkey SMJ already repartitions both sides
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), LATE_DAYS)
@@ -309,7 +311,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately un-hinted). The pair × year output is tiny, so the
     final agg is partial-agg dominated — scan-bound end to end.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")

