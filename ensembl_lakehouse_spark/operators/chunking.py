@@ -60,6 +60,7 @@ def chunk_documents(
     *,
     width: int = CHUNK_W,
     stride: int = CHUNK_S,
+    spread: bool = True,
 ) -> DataFrame:
     """Split every document into ``width``-token windows every
     ``stride`` tokens (width−stride token overlap, the standard
@@ -68,9 +69,18 @@ def chunk_documents(
     RAG/packing pipeline sweeps). Emits (doc_id, lang, chunk_idx,
     chunk_start, n_chunk_tokens, chunk_fp) — the fingerprint stands
     in for the chunk text so the contract result stays narrow; a
-    pipeline keeps the text column too (same plan, wider rows)."""
+    pipeline keeps the text column too (same plan, wider rows).
+
+    ``spread=False`` for consumers that reference this lattice more
+    than once in one plan (each reference re-pays the spread
+    exchange — the _docs_with_tokens rule)."""
     # conditional doc_id spread (guide §2.5): per-chunk md5 map work
-    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(F.length(F.trim("text")) > 0)
+    base = (
+        load_spread(spark, sf_dir, "documents", "doc_id")
+        if spread
+        else load_table(spark, sf_dir, "documents")
+    )
+    docs = base.where(F.length(F.trim("text")) > 0)
     chunks = (
         f"transform(array({_TOKS}), t -> transform({_starts_expr(width, stride)}, "
         f"s -> named_struct("
@@ -206,7 +216,10 @@ def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint appearing in millions of docs still yields one
     narrow row at 100 TB.
     """
-    chunks = chunk_documents(spark, sf_dir)
+    # spread reverted (r11 A/B): +0.30 s at sf0.1 — the per-fp agg
+    # clusters on chunk_fp, not doc_id, so the spread exchange is
+    # never absorbed downstream
+    chunks = chunk_documents(spark, sf_dir, spread=False)
     return (
         chunks.groupBy("chunk_fp")
         .agg(

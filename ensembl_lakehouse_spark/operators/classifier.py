@@ -94,10 +94,13 @@ def _partial_normal_eq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def _featurized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hash_features (unsorted core — the join destroys order) +
     binary is-English label."""
-    labels = _docs_with_tokens(spark, sf_dir).select(
+    # spread reverted on both sides (r11 A/B): +0.40 s at sf0.1 —
+    # the doc_id join reshuffles both lattices anyway (partition
+    # counts differ), so each spread exchange was pure overhead
+    labels = _docs_with_tokens(spark, sf_dir, spread=False).select(
         "doc_id", (F.col("lang") == "en").cast("long").alias("label")
     )
-    return hash_features_core(spark, sf_dir).join(labels, "doc_id")
+    return hash_features_core(spark, sf_dir, spread=False).join(labels, "doc_id")
 
 
 def train_ridge(

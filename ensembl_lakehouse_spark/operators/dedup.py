@@ -140,9 +140,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     work; the window form reads the data once.
     """
     df = (
-        # conditional doc_id spread (guide §2.5): parallelizes the
-        # per-doc normalize+md5 map work; no-op at scale
-        load_spread(spark, sf_dir, "documents", "doc_id")
+        # spread reverted (r11 A/B): the exchange cost the fixture +0.30 s vs no-spread at sf0.1; map work here is too light to earn it
+        load_table(spark, sf_dir, "documents")
         .where(F.length(F.trim("text")) > 0)
         .withColumn(
             "fp_md5",
@@ -1171,9 +1170,8 @@ def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports.
     """
     docs = (
-        # conditional doc_id spread (guide §2.5): normalize+md5 map
-        # work; integer-sum rollup is partition-order invariant
-        load_spread(spark, sf_dir, "documents", "doc_id")
+        # spread reverted (r11 A/B): the exchange cost the fixture +0.31 s vs no-spread at sf0.1; map work here is too light to earn it
+        load_table(spark, sf_dir, "documents")
         .where(F.length(F.trim("text")) > 0)
         .select(
             "doc_id",
@@ -1590,9 +1588,8 @@ def dedup_rate_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): the signature is map-side; first-occurrence is a
     signature-PARTITIONED row_number (keyed window, never global);
     the final agg is ≤ batches rows."""
-    # conditional doc_id spread (guide §2.5): the full-text regexp
-    # normalize is the heavy map stage; no-op at scale
-    docs = load_spread(spark, sf_dir, "documents", "doc_id").select(
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.24 s vs no-spread at sf0.1; map work here is too light to earn it
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.expr("doc_id DIV " + str(DEDUP_BATCH_WIDTH)).alias("batch"),

@@ -251,8 +251,10 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     column: Σ c², max c, Σ c as BIGINTs → the three ratios. Linear,
     two exchanges, any number of audited columns in one pass.
     """
-    # conditional l_orderkey spread (guide §2.5): explode+partial agg
-    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey").select(*SKEW_KEYS)
+    # spread reverted (r11 A/B): +0.46 s at sf0.1 — the spread keys on
+    # l_orderkey but this plan clusters on (col_name, key), so the
+    # exchange is never absorbed downstream and is pure overhead
+    li = load_table(spark, sf_dir, "lineitem").select(*SKEW_KEYS)
     structs = ", ".join(
         f"named_struct('col_name', '{c}', 'key', CAST({c} AS STRING))"
         for c in SKEW_KEYS

@@ -238,11 +238,15 @@ def hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_features_core(spark, sf_dir).orderBy("doc_id")
 
 
-def hash_features_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hash_features_core(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """hash_features without the final ORDER BY — the form a
     downstream join/agg consumes (its exchange would destroy the
-    order anyway)."""
-    toks = _docs_with_tokens(spark, sf_dir)
+    order anyway). ``spread=False`` for consumers that join this
+    lattice against a second spread lattice (each side would pay
+    its own exchange — the _docs_with_tokens rule)."""
+    toks = _docs_with_tokens(spark, sf_dir, spread=spread)
     bucketed = toks.select(
         "doc_id", F.explode("toks").alias("term")
     ).withColumn("bucket", F.expr(_BUCKET_SPARK))

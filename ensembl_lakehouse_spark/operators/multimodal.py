@@ -73,7 +73,8 @@ def multimodal_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces each task's output to ≤640 rows before the one shuffle,
     so the plan is scan-bound at any corpus size.
     """
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.48 s vs no-spread at sf0.1; map work here is too light to earn it
+    emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("dim", "x")
     ).withColumn("x_fp", F.floor(F.col("x").cast("double") * FP_SCALE))

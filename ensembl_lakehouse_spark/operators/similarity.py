@@ -559,7 +559,8 @@ def dedup_semantic(
 
     Reference has no vector surface (app/main.py:479); EXT X1/X2.
     """
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").withColumn(
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.16 s vs no-spread at sf0.1; map work here is too light to earn it
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "nrm", F.expr(_norm_expr("embedding"))
     )
     centroids = emb.where(
@@ -662,7 +663,8 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.43 s vs no-spread at sf0.1; map work here is too light to earn it
+    emb = load_table(spark, sf_dir, "embeddings")
     cen = (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .withColumn("x_fp", F.floor(F.col("x").cast("double") * FP_SCALE))
@@ -899,7 +901,8 @@ def embedding_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _QUANT_Q.format(x="x")
     err2 = _QUANT_ERR2_FP.format(x="x", q=q)
     emb = (
-        load_spread(spark, sf_dir, "embeddings", "vec_id")
+        # spread reverted (r11 A/B): the exchange cost the fixture +0.12 s vs no-spread at sf0.1; map work here is too light to earn it
+        load_table(spark, sf_dir, "embeddings")
         .withColumn(
             "maxabs",
             F.expr(
@@ -979,7 +982,8 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.44 s vs no-spread at sf0.1; map work here is too light to earn it
+    emb = load_table(spark, sf_dir, "embeddings")
     cent = (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .withColumn(
@@ -1067,7 +1071,8 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.26 s vs no-spread at sf0.1; map work here is too light to earn it
+    emb = load_table(spark, sf_dir, "embeddings")
     exploded = (
         emb.select(F.posexplode("embedding").alias("dim", "x"))
         .withColumn("x_fp", F.floor(F.col("x").cast("double") * FP_SCALE))
@@ -1174,7 +1179,14 @@ def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_vec"),
         F.expr(_norm_expr("embedding")).alias("q_nrm"),
     )
-    right = emb.select(
+    # The probe side carries the panel² cosine evaluation — the
+    # dominant stage (HUB_PANEL² pairs × dim HOF ops). On the
+    # single-row-group fixture file it runs as ONE task; conditional
+    # vec_id spread (guide §2.5) fans it to every core (with the
+    # single-evaluation join below: 3.05 s → 0.84 s at sf0.1; no-op
+    # on a multi-row-group layout). Only this side is spread:
+    # `left` feeds a broadcast.
+    right = spread_scan(emb, spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", "embedding",
         F.expr(_norm_expr("embedding")).alias("c_nrm"),
     )
@@ -1194,13 +1206,20 @@ def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     indeg = knn.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("long").alias("in_deg")
     )
-    orphans = (
-        emb.join(indeg, "vec_id", "left_anti")
-        .select(F.lit(0).cast("long").alias("in_deg"))
-    )
+    # Zero-in-degree vectors via LEFT JOIN + coalesce(0) instead of
+    # the former union(indeg, anti-join): the anti-join referenced
+    # ``indeg`` a second time and Spark re-executed the ENTIRE
+    # panel² scoring subtree per reference (the r11 executed plan
+    # ran the BNLJ+window twice). One panel-row left join against
+    # the broadcast ≤panel-row indeg yields the identical in_deg
+    # multiset — every panel vector exactly once, 0 when absent —
+    # with the expensive subtree evaluated ONCE.
     return (
-        indeg.select("in_deg")
-        .unionByName(orphans)
+        emb.select("vec_id")
+        .join(F.broadcast(indeg), "vec_id", "left")
+        .select(
+            F.coalesce(F.col("in_deg"), F.lit(0).cast("long")).alias("in_deg")
+        )
         .groupBy("in_deg")
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
         .orderBy("in_deg")
@@ -1340,7 +1359,8 @@ def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.45 s vs no-spread at sf0.1; map work here is too light to earn it
+    emb = load_table(spark, sf_dir, "embeddings")
     exploded = (
         emb.select(
             F.expr("CAST(vec_id % 2 AS INT)").alias("half"),
@@ -1459,7 +1479,8 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     only corpus-proportional stage."""
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.41 s vs no-spread at sf0.1; map work here is too light to earn it
+    emb = load_table(spark, sf_dir, "embeddings")
     cent = (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .withColumn("x_fp", F.floor(F.col("x").cast("double") * FP_SCALE))
@@ -1550,7 +1571,8 @@ def embedding_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     |dims| clip agg."""
     from ensembl_lakehouse_spark.operators.multimodal import FP_SCALE
 
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.69 s vs no-spread at sf0.1; map work here is too light to earn it
+    emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
         "dim",
         F.floor(F.col("v").cast("double") * FP_SCALE).alias("x_fp"),
@@ -1662,7 +1684,8 @@ def embedding_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Integer-exact: band = floor(v·10); shares by DIV over a keyed
     window. One posexplode pass, one (label, band) agg."""
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.42 s vs no-spread at sf0.1; map work here is too light to earn it
+    emb = load_table(spark, sf_dir, "embeddings")
     return (
         emb.select(
             "label", F.explode("embedding").alias("v")
@@ -1879,7 +1902,8 @@ def embedding_peakiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate({abs_arr}, cast(0 AS double), "
         f"(acc, v) -> CASE WHEN v > acc THEN v ELSE acc END)"
     )
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.17 s vs no-spread at sf0.1; map work here is too light to earn it
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "label",
         F.expr(l1).alias("l1"),
         F.expr(mx).alias("mx"),
@@ -2047,7 +2071,8 @@ def embedding_dominant_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤|labels|×d-cell agg; the share window runs on the grid."""
     abs_arr = "transform(embedding, x -> abs(cast(x AS double)))"
     emb = (
-        load_spread(spark, sf_dir, "embeddings", "vec_id")
+        # spread reverted (r11 A/B): the exchange cost the fixture +0.29 s vs no-spread at sf0.1; map work here is too light to earn it
+        load_table(spark, sf_dir, "embeddings")
         .select(
             "label",
             F.expr(

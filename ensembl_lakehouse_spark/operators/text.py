@@ -772,7 +772,8 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts are integers; ties rank (n DESC, pair ASC) —
     a total order both engines share.
     """
-    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(F.length(F.trim("text")) > 0)
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.16 s vs no-spread at sf0.1; map work here is too light to earn it
+    docs = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     words = docs.select(
         F.explode(
             F.expr(f"regexp_extract_all(lower(text), '{BPE_REGEX}', 0)")
@@ -1068,7 +1069,8 @@ def source_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     on |sources × vocab| aggregated rows.
     """
     terms = (
-        _docs_with_tokens(spark, sf_dir)
+        # spread reverted (r11 A/B): the exchange cost the fixture +0.43 s vs no-spread at sf0.1; map work here is too light to earn it
+        _docs_with_tokens(spark, sf_dir, spread=False)
         .select("source", F.explode("toks").alias("term"))
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -1160,7 +1162,8 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SinglePartition window on a tiny relation). No per-term state
     beyond the agg lattice; scale-safe at any corpus size.
     """
-    toks = _docs_with_tokens(spark, sf_dir).select(
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.45 s vs no-spread at sf0.1; map work here is too light to earn it
+    toks = _docs_with_tokens(spark, sf_dir, spread=False).select(
         F.expr(f"doc_id DIV {VOCAB_BUCKET_DOCS}").alias("bucket"),
         F.explode("toks").alias("term"),
     )
@@ -1475,7 +1478,8 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     both over pre-combined single-width rows — the 100 TB cost is
     the map-side explode, everything after is |vocab|-bounded.
     """
-    toks = _docs_with_tokens(spark, sf_dir)
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.33 s vs no-spread at sf0.1; map work here is too light to earn it
+    toks = _docs_with_tokens(spark, sf_dir, spread=False)
     per_term = (
         toks.select("lang", F.explode("toks").alias("tok"))
         .groupBy("lang", "tok")
@@ -1547,7 +1551,8 @@ def text_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one partition at web scale). The 1-row total joins by
     broadcast. Head size is ZIPF_TOP — driver-bounded output.
     """
-    toks = _docs_with_tokens(spark, sf_dir)
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.15 s vs no-spread at sf0.1; map work here is too light to earn it
+    toks = _docs_with_tokens(spark, sf_dir, spread=False)
     counts = (
         toks.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
@@ -1693,7 +1698,8 @@ def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vocab|·|langs|-bounded, never corpus-bounded — at 100 TB the
     explode is the only data-proportional stage.
     """
-    toks = _docs_with_tokens(spark, sf_dir)
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.41 s vs no-spread at sf0.1; map work here is too light to earn it
+    toks = _docs_with_tokens(spark, sf_dir, spread=False)
     vocab = (
         toks.select("lang", F.explode("toks").alias("tok")).distinct()
     )
@@ -2115,7 +2121,8 @@ def source_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: (source, tok) partial agg (the explode is the only
     corpus-proportional stage), per-source fold over vocab rows
     with a source-partitioned total window — never a global sort."""
-    docs = _docs_with_tokens(spark, sf_dir)
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.29 s vs no-spread at sf0.1; map work here is too light to earn it
+    docs = _docs_with_tokens(spark, sf_dir, spread=False)
     tf = (
         docs.select("source", F.explode("toks").alias("tok"))
         .groupBy("source", "tok")
@@ -2192,7 +2199,8 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per checkpoint k with the vocabulary size
     actually available at k and coverage in bp."""
-    df = _docs_with_tokens(spark, sf_dir)
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.27 s vs no-spread at sf0.1; map work here is too light to earn it
+    df = _docs_with_tokens(spark, sf_dir, spread=False)
     freq = (
         df.select(F.explode("toks").alias("tok"))
         .select(F.lower("tok").alias("term"))
@@ -2366,7 +2374,8 @@ def boilerplate_prefix_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact and scale-safe: one (source, prefix) agg — never a pairwise
     comparison; the prefix lattice is corpus-bounded like any
     group-by."""
-    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.47 s vs no-spread at sf0.1; map work here is too light to earn it
+    docs = load_table(spark, sf_dir, "documents").where(
         F.length(F.trim("text")) > 0
     )
     pref = docs.select(
@@ -2477,7 +2486,8 @@ def cross_source_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-(fingerprint, source) dedup FIRST, so both pair
     stages join DISTINCT rows keyed on the fingerprint — bounded by
     duplicated fingerprints, never the corpus."""
-    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.52 s vs no-spread at sf0.1; map work here is too light to earn it
+    docs = load_table(spark, sf_dir, "documents").where(
         F.length(F.trim("text")) > 0
     )
 
@@ -2662,7 +2672,8 @@ def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): the token explode is map-side; everything after
     is a (length, token) partial agg collapsing to ≤15 rows — never
     a corpus-wide sort."""
-    docs = _docs_with_tokens(spark, sf_dir)
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.25 s vs no-spread at sf0.1; map work here is too light to earn it
+    docs = _docs_with_tokens(spark, sf_dir, spread=False)
     toks = docs.select(F.explode("toks").alias("tok")).select(
         F.expr("CAST(least(length(tok), 15) AS BIGINT)").alias("tok_len"),
         "tok",
@@ -2708,7 +2719,8 @@ def vocab_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): (source, term) partial agg (the explode is the
     only corpus-proportional stage), then a ≤|sources|×6 class agg;
     the share window runs on that grid."""
-    docs = _docs_with_tokens(spark, sf_dir)
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.27 s vs no-spread at sf0.1; map work here is too light to earn it
+    docs = _docs_with_tokens(spark, sf_dir, spread=False)
     tf = (
         docs.select("source", F.explode("toks").alias("tok"))
         .groupBy("source", "tok")
@@ -2770,7 +2782,8 @@ def boilerplate_suffix_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact and scale-safe: one (source, suffix) agg — never a
     pairwise comparison; the suffix lattice is corpus-bounded."""
-    docs = load_spread(spark, sf_dir, "documents", "doc_id").where(
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.39 s vs no-spread at sf0.1; map work here is too light to earn it
+    docs = load_table(spark, sf_dir, "documents").where(
         F.length(F.trim("text")) > 0
     )
     suf = docs.select(
@@ -2909,7 +2922,8 @@ def numeric_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100 TB): map-side token explode → one ≤|sources|-row
     agg."""
-    docs = _docs_with_tokens(spark, sf_dir)
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.15 s vs no-spread at sf0.1; map work here is too light to earn it
+    docs = _docs_with_tokens(spark, sf_dir, spread=False)
     toks = docs.select("source", F.explode("toks").alias("tok")).select(
         "source",
         "tok",
@@ -2988,7 +3002,8 @@ def dup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100 TB): signature map-side; one signature-PARTITIONED
     row_number (keyed window); final agg is 2 rows."""
-    docs = load_spread(spark, sf_dir, "documents", "doc_id").select(
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.27 s vs no-spread at sf0.1; map work here is too light to earn it
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "n_chars",
         F.expr(
@@ -3118,7 +3133,8 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): map-only per-doc token counts (the shared
     whitespace tokenizer) → one ≤|sources| partial agg; the packed
     waste is modular arithmetic on the aggregated total."""
-    toks = _docs_with_tokens(spark, sf_dir).select(
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.16 s vs no-spread at sf0.1; map work here is too light to earn it
+    toks = _docs_with_tokens(spark, sf_dir, spread=False).select(
         "source", F.size("toks").cast("long").alias("n")
     )
     return (
@@ -3186,7 +3202,8 @@ def source_length_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100 TB): map-only banding → one ≤|sources|×5 partial agg;
     the two share windows run on the bounded grid."""
-    banded = load_spread(spark, sf_dir, "documents", "doc_id").select(
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.27 s vs no-spread at sf0.1; map work here is too light to earn it
+    banded = load_table(spark, sf_dir, "documents").select(
         "source",
         F.expr(
             "CASE WHEN n_chars < 100 THEN 'a_lt100' "
@@ -3530,7 +3547,8 @@ def prefix_collision_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg to ≤|sources| rows. Two shuffles, no joins.
     """
     docs = (
-        load_spread(spark, sf_dir, "documents", "doc_id")
+        # spread reverted (r11 A/B): the exchange cost the fixture +0.27 s vs no-spread at sf0.1; map work here is too light to earn it
+        load_table(spark, sf_dir, "documents")
         .where(F.length(F.trim("text")) > 0)
         .select(
             "source", F.expr("substring(text, 1, 64)").alias("prefix")
@@ -3695,7 +3713,8 @@ def token_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): posexplode → map-only relative position → ONE
     vocab-bounded partial agg; the top-k is TakeOrdered over the
     vocabulary grid, never over token instances."""
-    docs = _docs_with_tokens(spark, sf_dir).where(F.size("toks") >= 2)
+    # spread reverted (r11 A/B): the exchange cost the fixture +0.15 s vs no-spread at sf0.1; map work here is too light to earn it
+    docs = _docs_with_tokens(spark, sf_dir, spread=False).where(F.size("toks") >= 2)
     placed = docs.select(
         F.posexplode("toks").alias("pos", "tok"),
         F.size("toks").alias("n"),
@@ -3851,7 +3870,8 @@ def prefix_screen_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges), then a ≤|sources| partial agg. The md5 key keeps the
     second exchange fixed-width regardless of document size."""
     docs = (
-        load_spread(spark, sf_dir, "documents", "doc_id")
+        # spread reverted (r11 A/B): the exchange cost the fixture +0.34 s vs no-spread at sf0.1; map work here is too light to earn it
+        load_table(spark, sf_dir, "documents")
         .where(F.length(F.trim("text")) > 0)
         .select(
             "source",
