@@ -344,7 +344,13 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     binds; on retail data it is the difference between |orders|·k²
     and one pathological basket of 10⁵ items generating 10¹⁰ pairs.
     """
-    sized = capped_basket_items(spark, sf_dir, BASKET_MAX_ITEMS)
+    # localCheckpoint (r11, guide §3.3): the capped lattice feeds BOTH
+    # self-join sides, and without it each side re-runs the scan +
+    # distinct + basket-size window (2 full subtree evaluations in the
+    # executed plan). Materializing the ≤|orders|·cap lattice once
+    # halves the pre-join work; the checkpoint keeps the l_orderkey
+    # hash partitioning, so the self-join still shuffles neither side.
+    sized = capped_basket_items(spark, sf_dir, BASKET_MAX_ITEMS).localCheckpoint()
     a = sized.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
     b = sized.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
     return (
@@ -399,7 +405,14 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     under 2^63 at warehouse scale, where support·N·S alone would
     overflow (2.25e22 at 1.5e9 baskets).
     """
-    kept = capped_basket_items(spark, sf_dir, BASKET_MAX_ITEMS)
+    # localCheckpoint (r11, guide §3.3): kept feeds FOUR consumers
+    # (n_baskets, supp, both self-join sides) and pairs feeds both
+    # directions of the rule union — uncheckpointed, the executed plan
+    # ran the scan + distinct + basket-size window subtree 6× and the
+    # entire pair self-join + top-N twice (14 parquet scans,
+    # plans/r11/basket_rules_before.txt). Each lattice now computes
+    # once; pairs is ≤RULES_TOP_N rows, so its checkpoint is free.
+    kept = capped_basket_items(spark, sf_dir, BASKET_MAX_ITEMS).localCheckpoint()
     n_baskets = kept.agg(
         F.countDistinct("l_orderkey").alias("n_baskets")
     )
@@ -414,6 +427,7 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(RULES_TOP_N)
+        .localCheckpoint()
     )
     directed = pairs.selectExpr(
         "part_a AS antecedent", "part_b AS consequent", "support"

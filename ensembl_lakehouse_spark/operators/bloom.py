@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ensembl_lakehouse_spark.functions.hashing import spark_md5_long31, sql_md5_long31
-from ensembl_lakehouse_spark.sources.tables import load_table
+from ensembl_lakehouse_spark.sources.tables import load_table, spread_scan
 
 #: Bitmap geometry: BLOOM_WORDS words of 63 usable bits each (bit 63
 #: stays clear — DuckDB rejects 1<<63 as signed overflow and Spark
@@ -81,8 +81,17 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
     lets_o, probes_o = _probe_structs_spark("o_custkey")
+    # Probe side spread (r11, guide §2.5): the 3·|orders| md5 probe
+    # evaluation ran as ONE task on the single-row-group fixture
+    # file; the conditional o_orderkey spread fans it out, and the
+    # per-order bloom_pass aggregation clusters on the same key, so
+    # the spread exchange REPLACES the agg exchange (no-op at scale;
+    # min() of hits is partition-order invariant).
+    spread_orders = spread_scan(
+        orders, spark, sf_dir, "orders", "o_orderkey"
+    )
     probes = (
-        orders.selectExpr("o_orderkey", "o_custkey", "o_orderstatus", *lets_o)
+        spread_orders.selectExpr("o_orderkey", "o_custkey", "o_orderstatus", *lets_o)
         .selectExpr(
             "o_orderkey",
             "o_custkey",

@@ -209,7 +209,9 @@ def dedup_near(
 
 
 def _near_pipeline(
-    s: DataFrame, threshold: float = JACCARD_THRESHOLD
+    s: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    wide_verify: bool = False,
 ) -> DataFrame:
     """MinHash+LSH+verify over any (doc_id, sh: array<string>)
     input — the shingle definition (word n-gram, char n-gram, url,
@@ -232,18 +234,36 @@ def _near_pipeline(
         "bucket_n", F.expr("count(*) OVER (PARTITION BY band_idx, band_key)")
     ).where(F.col("bucket_n").between(2, BUCKET_CAP)).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_idx") == F.col("b.band_idx"),
-                F.col("a.band_key") == F.col("b.band_key"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    raw_pairs = a.join(
+        b,
+        on=[
+            F.col("a.band_idx") == F.col("b.band_idx"),
+            F.col("a.band_key") == F.col("b.band_key"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        ],
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # ``wide_verify`` pins the candidate lattice's partitioning on
+    # doc_a (r11, guide §2.5): the pairs relation is tiny in BYTES
+    # (16 B ids) but each row triggers an exact shingle-set
+    # intersection downstream — AQE's byte-based coalescing squeezed
+    # it to ONE partition and serialized the whole verify stage.
+    # HashPartitioning(doc_a) satisfies both the dedup distinct's
+    # (doc_a, doc_b) clustering and the verify join's doc_a
+    # clustering, so both run in-partition with zero further
+    # exchanges; the count is defaultParallelism (cluster width, not
+    # a local constant) and per-doc fan-out is BUCKET_CAP-bounded,
+    # so no partition can be hot. Opt-IN because it only pays when
+    # the per-pair intersection is expensive: the char-gram variant
+    # (~|text| grams/doc) measured 1.72 s → 0.52 s with it, while
+    # the word-shingle consumers (~|words| grams) measured 0.14 s →
+    # 0.64 s — the exchange + 32-task stage overhead outweighs the
+    # cheap intersections there (both at sf0.1, r11 A/B).
+    if wide_verify:
+        pairs = raw_pairs.repartition(
+            raw_pairs.sparkSession.sparkContext.defaultParallelism, "doc_a"
+        ).dropDuplicates(["doc_a", "doc_b"])
+    else:
+        pairs = raw_pairs.distinct()
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     scored = (
@@ -296,7 +316,7 @@ def dedup_near_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length(F.trim("text")) > 0)
         .select("doc_id", F.expr(sh).alias("sh"))
     )
-    return _near_pipeline(s)
+    return _near_pipeline(s, wide_verify=True)
 
 
 # ---------------------------------------------------------------------------
@@ -638,11 +658,15 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = FUZZY_MAX_DIST
     parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # localCheckpoint (r11, guide §3.3): the distinct-name lattice
+    # feeds both sides of the banded self-join — uncheckpointed, each
+    # side re-ran the scan + distinct (4 parquet scans in
+    # plans/r11/fuzzy_match_names_before.txt).
     names = parts.select("p_name").distinct().select(
         "p_name",
         F.element_at(F.split("p_name", " "), -1).alias("block"),
         F.length("p_name").alias("nlen"),
-    )
+    ).localCheckpoint()
     na = names.alias("na").withColumn(
         "join_len",
         F.explode(F.array(*[F.col("nlen") + F.lit(i) for i in range(-d, d + 1)])),
@@ -1304,9 +1328,17 @@ def doc_jaccard_knn(
     from ensembl_lakehouse_spark.operators.text import _docs_with_tokens
 
     toks = _docs_with_tokens(spark, sf_dir)
+    # localCheckpoints (r11, guide §3.3): doc_terms feeds n_docs,
+    # df_ok AND kept; kept feeds sizes AND both posting-join sides;
+    # inter feeds both directions of the neighbor union —
+    # uncheckpointed, the executed plan re-ran tokenize + explode +
+    # distinct EIGHTEEN times (plans/r11/doc_jaccard_knn_before.txt).
+    # Each lattice now materializes exactly once; all three are
+    # row-bounded (distinct doc-term pairs, the df-capped projection,
+    # and the posting-join pair aggregate).
     doc_terms = toks.select(
         "doc_id", F.explode("toks").alias("term")
-    ).distinct()
+    ).distinct().localCheckpoint()
     n_docs = doc_terms.agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
@@ -1317,7 +1349,7 @@ def doc_jaccard_knn(
         .where(F.expr(f"df * {JKNN_DF_DIV} <= n_docs"))
         .select("term")
     )
-    kept = doc_terms.join(df_ok, "term")
+    kept = doc_terms.join(df_ok, "term").localCheckpoint()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
     a = kept.select(F.col("term").alias("t"), F.col("doc_id").alias("doc_a"))
     b = kept.select(F.col("term").alias("t2"), F.col("doc_id").alias("doc_b"))
@@ -1325,6 +1357,7 @@ def doc_jaccard_knn(
         a.join(b, (F.col("t") == F.col("t2")) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
+        .localCheckpoint()
     )
     directed = inter.selectExpr(
         "doc_a AS doc_id", "doc_b AS neighbor_id", "inter"
@@ -1485,8 +1518,13 @@ def dedup_cluster_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 0.8 gate is the integer cross-multiplication
     (10·common ≥ 8·union), so the verdict is engine-exact.
     """
-    labeled = components_recursive(spark, sf_dir)
-    s = _shingled(spark, sf_dir)
+    # localCheckpoints (r11, guide §3.3): labeled feeds sizes AND the
+    # member-pair probe — uncheckpointed, the recursion's final label
+    # aggregation ran twice; the shingle projection feeds both the
+    # member and the representative join sides — uncheckpointed,
+    # tokenize + shingle ran twice. Both are |paired docs|-bounded.
+    labeled = components_recursive(spark, sf_dir).localCheckpoint()
+    s = _shingled(spark, sf_dir).localCheckpoint()
     sizes = labeled.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )

@@ -89,7 +89,15 @@ def _pair_counts(spark: SparkSession, sf_dir: str):
     inst = toks.select(
         "doc_id", F.explode(F.expr(_PAIRS_EXPR)).alias("p")
     ).select("doc_id", "p.w1", "p.w2")
-    pairs = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    # localCheckpoint (r11, guide §3.3): the vocabulary²-bounded pair
+    # model feeds heads AND the consumer join (lm_bigram_topk reads it
+    # twice, lm_doc_score three ways) — uncheckpointed, every
+    # reference re-ran the tokenize + bigram-explode + count subtree.
+    # The model materializes once; inst stays lazy (scored in one
+    # fresh pass by lm_doc_score).
+    pairs = inst.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    ).localCheckpoint()
     heads = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n_head"))
     vocab = (
         _docs_with_tokens(spark, sf_dir, spread=False)

@@ -390,9 +390,21 @@ def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
-            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+            # One percentile buffer for BOTH price quantiles: the
+            # array form builds/merges/sorts the value-count map once
+            # and interpolates each p from it — bit-identical to two
+            # scalar calls (same sorted buffer, same interpolation),
+            # measured 1.12 s → 0.64 s at sf0.1 (r11).
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias(
+                "pp"
+            ),
             F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("pp")[0].alias("p50_price"),
+            F.col("pp")[1].alias("p95_price"),
+            "p50_qty",
         )
         .orderBy("l_returnflag")
     )
@@ -932,9 +944,24 @@ def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= QSKETCH_K)
         .groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_sample"),
-            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_sample"),
+            # One percentile buffer for BOTH sample quantiles (r11):
+            # the array form builds/sorts the k-row buffer once and
+            # interpolates each p from it — bit-identical to two
+            # scalar calls (the quantile_summary precedent). The
+            # rk <= k filter stays BEFORE the agg so the rank window
+            # keeps compiling to two-phase WindowGroupLimit (map-side
+            # k-row heaps), which a merged FILTER-agg form would
+            # destroy (full rank of every row in |groups| tasks).
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.95))"
+            ).alias("pp"),
             F.count(F.lit(1)).alias("n_sample"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("pp")[0].alias("p50_sample"),
+            F.col("pp")[1].alias("p95_sample"),
+            "n_sample",
         )
     )
     exact = (
@@ -2501,6 +2528,11 @@ def session_concurrency(
             "least(s_end_excl, CAST(day AS TIMESTAMP) + INTERVAL '1' DAY)"
         ).alias("ce"),
     ).where("cs < ce")
+    # localCheckpoint (r11, guide §3.3): per_day feeds BOTH union
+    # sides of the sweep — uncheckpointed, the entire sessionize
+    # (two user windows + session agg + day explode) ran twice. The
+    # |session-days| lattice materializes once.
+    per_day = per_day.localCheckpoint()
     deltas = per_day.selectExpr(
         "day", "cs AS t", "1 AS delta", "user_id", "session_num"
     ).unionAll(
@@ -3535,6 +3567,13 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     never events.
     """
     events = load_table(spark, sf_dir, "events")
+    # localCheckpoints (r11, guide §3.3): cells feeds the rank
+    # window, the exact counts AND both exact-intersection sides —
+    # uncheckpointed, the scan + distinct + md5 subtree ran 5× (10
+    # parquet scans in plans/r11/sketch_kmv_union plan). The bottom-k
+    # survivor set additionally feeds the pair merge twice and the
+    # kth extraction — materializing it (≤ k·|types| rows, free)
+    # keeps the rank window single-run too.
     cells = (
         events.select(
             "event_type",
@@ -3551,6 +3590,7 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "'|', cast(day AS string))), 1, 15), 16, 10) AS bigint)"
             ),
         )
+        .localCheckpoint()
     )
     ranked = cells.withColumn(
         "rk",
@@ -3560,7 +3600,10 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     k = KMV_UNION_K
-    sketch = ranked.where(F.col("rk") <= k).select("event_type", "h")
+    bottom = ranked.where(F.col("rk") <= k).select(
+        "event_type", "h", "rk"
+    ).localCheckpoint()
+    sketch = bottom.select("event_type", "h")
     # pairwise union sketches over the tiny bottom-k sets
     a = sketch.select(F.col("event_type").alias("ta"), "h")
     b = sketch.select(F.col("event_type").alias("tb"), "h")
@@ -3586,7 +3629,7 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ta", "tb", F.col("h").alias("h_union"))
     )
     kth = (
-        ranked.where(F.col("rk") == k)
+        bottom.where(F.col("rk") == k)
         .select("event_type", F.col("h").alias("h_single"))
     )
     exact = cells.groupBy("event_type").agg(

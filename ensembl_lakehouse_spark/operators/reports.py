@@ -5439,10 +5439,13 @@ def price_index_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents"),
         F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
     )
+    # localCheckpoint (r11, guide §3.3): those same 3 references each
+    # re-ran the fact scan + (month, part) aggregation; the
+    # |months·parts|-bounded lattice now materializes once.
     per = li.groupBy("m", "pk").agg(
         F.min(F.expr("cents DIV qty")).alias("p"),
         F.sum("qty").alias("q"),
-    )
+    ).localCheckpoint()
     base_m = per.agg(F.min("m").alias("m0"))
     base = (
         per.join(F.broadcast(base_m), per["m"] == F.col("m0"))
@@ -6059,10 +6062,13 @@ def price_index_paasche(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents"),
         F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
     )
+    # localCheckpoint (r11, guide §3.3): those same 3 references each
+    # re-ran the fact scan + (month, part) aggregation; the
+    # |months·parts|-bounded lattice now materializes once.
     per = li.groupBy("m", "pk").agg(
         F.min(F.expr("cents DIV qty")).alias("p"),
         F.sum("qty").alias("q"),
-    )
+    ).localCheckpoint()
     base_m = per.agg(F.min("m").alias("m0"))
     base = (
         per.join(F.broadcast(base_m), per["m"] == F.col("m0"))
@@ -6155,10 +6161,13 @@ def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents"),
         F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
     )
+    # localCheckpoint (r11, guide §3.3): those same 3 references each
+    # re-ran the fact scan + (month, part) aggregation; the
+    # |months·parts|-bounded lattice now materializes once.
     per = li.groupBy("m", "pk").agg(
         F.min(F.expr("cents DIV qty")).alias("p"),
         F.sum("qty").alias("q"),
-    )
+    ).localCheckpoint()
     base_m = per.agg(F.min("m").alias("m0"))
     base = (
         per.join(F.broadcast(base_m), per["m"] == F.col("m0"))

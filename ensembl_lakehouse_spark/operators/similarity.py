@@ -1293,7 +1293,14 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
         F.expr(_norm_expr("embedding")).alias("q_nrm"),
     )
-    right = emb.select(
+    # Probe side spread (r11, guide §2.5 — the embedding_hubness
+    # pattern): the panel²/2 cosine evaluation is the dominant stage
+    # and ran as ONE task on the single-row-group fixture file;
+    # conditional vec_id spread fans it across every core (no-op on a
+    # multi-row-group layout). Only this side is spread — `left`
+    # feeds a broadcast. Counts-only aggregation downstream is
+    # partition-order invariant.
+    right = spread_scan(emb, spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", "embedding", "label",
         F.expr(_norm_expr("embedding")).alias("c_nrm"),
     )
@@ -1573,10 +1580,14 @@ def embedding_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # spread reverted (r11 A/B): the exchange cost the fixture +0.69 s vs no-spread at sf0.1; map work here is too light to earn it
     emb = load_table(spark, sf_dir, "embeddings")
+    # localCheckpoint (r11, guide §3.3): the exploded fixed-point
+    # lattice feeds ns, the rank window AND the final clip agg —
+    # uncheckpointed, the scan + posexplode ran three times. |vecs|·
+    # |dims| bounded rows materialize once.
     x = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
         "dim",
         F.floor(F.col("v").cast("double") * FP_SCALE).alias("x_fp"),
-    )
+    ).localCheckpoint()
     ns = x.groupBy("dim").agg(F.count(F.lit(1)).cast("long").alias("n"))
     ranked = x.withColumn(
         "rn",

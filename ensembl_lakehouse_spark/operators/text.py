@@ -914,9 +914,16 @@ def cooccur_pmi(
     doc_terms = toks.select(
         "doc_id", F.explode("toks").alias("term")
     ).distinct()
+    # localCheckpoint (r11, guide §3.3): those same 4 references each
+    # re-ran the tokenize + explode + distinct + per-doc-cap window
+    # subtree (5 parquet scans in plans/r11/cooccur_pmi_before.txt);
+    # the ≤|docs|·cap lattice now materializes once and keeps its
+    # doc_id partitioning for the self-join.
     kept = doc_terms.withColumn(
         "n_terms", F.expr("count(*) OVER (PARTITION BY doc_id)")
-    ).where(F.col("n_terms") <= COOCCUR_MAX_TERMS).select("doc_id", "term")
+    ).where(F.col("n_terms") <= COOCCUR_MAX_TERMS).select(
+        "doc_id", "term"
+    ).localCheckpoint()
     n_docs = kept.agg(F.countDistinct("doc_id").alias("n_docs"))
     supp = kept.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
     a = kept.select(F.col("doc_id").alias("d"), F.col("term").alias("term_a"))
@@ -1007,10 +1014,14 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped rows, never raw text.
     """
     docs = _docs_with_tokens(spark, sf_dir)
+    # localCheckpoint (r11, guide §3.3): the gram lattice feeds the
+    # corpus-DF aggregate AND the per-doc join probe —
+    # uncheckpointed, tokenize + shingle-explode ran twice (3 parquet
+    # scans in plans/r11/ngram_novelty_before.txt).
     lattice = docs.select(
         "doc_id",
         F.explode(word_shingles("toks", NOVELTY_N)).alias("shingle"),
-    )
+    ).localCheckpoint()
     df = lattice.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
         lattice.join(df, "shingle")
@@ -1166,7 +1177,10 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs_with_tokens(spark, sf_dir, spread=False).select(
         F.expr(f"doc_id DIV {VOCAB_BUCKET_DOCS}").alias("bucket"),
         F.explode("toks").alias("term"),
-    )
+    ).localCheckpoint()
+    # localCheckpoint (r11, guide §3.3): the token lattice feeds the
+    # first-seen agg AND the volume agg — uncheckpointed, tokenize +
+    # explode ran twice.
     first_seen = (
         toks.groupBy("term")
         .agg(F.min("bucket").alias("first_bucket"))
@@ -1700,9 +1714,13 @@ def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # spread reverted (r11 A/B): the exchange cost the fixture +0.41 s vs no-spread at sf0.1; map work here is too light to earn it
     toks = _docs_with_tokens(spark, sf_dir, spread=False)
+    # localCheckpoint (r11, guide §3.3): the (lang, tok) lattice feeds
+    # sizes AND both self-join sides — uncheckpointed, tokenize +
+    # explode + distinct ran three times (4 parquet scans in
+    # plans/r11/lang_vocab_overlap_before.txt).
     vocab = (
         toks.select("lang", F.explode("toks").alias("tok")).distinct()
-    )
+    ).localCheckpoint()
     sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
     a = vocab.alias("a")
     b = vocab.alias("b")
@@ -1786,9 +1804,13 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with its own pruning, so no ReusedExchange unifies the spread
     # shuffles and each reference pays one (measured 1.2 s → 1.8 s)
     docs = _docs_with_tokens(spark, sf_dir, spread=False)
+    # localCheckpoint (r11, guide §3.3): those same 3 references each
+    # re-ran tokenize + 8-gram explode + distinct; the n-gram index
+    # now materializes once (it is the distinct (source, gram)
+    # posting set — bounded by the index size, not the corpus).
     grams = docs.select(
         "source", F.explode(word_shingles("toks", 8)).alias("g")
-    ).distinct()
+    ).distinct().localCheckpoint()
     sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -2492,7 +2514,12 @@ def cross_source_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pair_counts(fp_col, out):
-        d = docs.select("source", fp_col.alias("h")).distinct()
+        # localCheckpoint (r11, guide §3.3): each tier's distinct
+        # (source, fingerprint) lattice feeds both self-join sides —
+        # uncheckpointed, the scan + md5/prefix + distinct ran twice
+        # per tier (4 parquet scans in
+        # plans/r11/cross_source_exact_dups plan).
+        d = docs.select("source", fp_col.alias("h")).distinct().localCheckpoint()
         a = d.select(F.col("source").alias("source_a"), "h")
         b = d.select(F.col("source").alias("source_b"), "h")
         return (

@@ -579,9 +579,13 @@ def min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the spread exchange would be paid per reference (measured
     # 0.86 s -> 1.31 s); the agg exchange parallelizes downstream
     li = load_table(spark, sf_dir, "lineitem")
+    # localCheckpoint (r11, guide §3.3): quotes feeds best AND the
+    # join-back — uncheckpointed, the fact scan + pair agg ran twice
+    # (5 parquet scans in plans/r11/min_price_supplier_before.txt).
+    # The |catalog-pairs| lattice materializes once.
     quotes = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(_dec("l_extendedprice")).alias("quote_d")
-    )
+    ).localCheckpoint()
     best = quotes.groupBy("l_partkey").agg(F.min("quote_d").alias("best_d"))
     part = (
         load_table(spark, sf_dir, "part")
@@ -656,9 +660,12 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # localCheckpoint (r11, guide §3.3): the per-part view feeds the
+    # threshold aggregate AND the filter side — uncheckpointed, the
+    # fact scan + agg ran twice.
     value = li.groupBy("l_partkey").agg(
         F.sum(_dec("l_extendedprice")).alias("value_d")
-    )
+    ).localCheckpoint()
     total = value.agg(F.sum("value_d").alias("total_d"))
     return (
         value.join(F.broadcast(total))
