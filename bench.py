@@ -83,6 +83,8 @@ def main() -> int:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
 
+    import gc
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -96,6 +98,16 @@ def main() -> int:
             runs.append(time.perf_counter() - start)
         timings[name] = round(min(runs), 4)
         spread[name] = round(max(runs) - min(runs), 4)
+        # Outside the timed region: drop the plan's references so the
+        # ContextCleaner releases any localCheckpoint blocks promptly.
+        # Without this, blocks from every previous query accumulate in
+        # executor memory and their deferred cleanup/GC lands inside
+        # LATER queries' timed runs (r11: 8 untouched sub-second
+        # queries spiked 1.9-4.9x in the full sequence but measured at
+        # baseline in isolation). Methodology (warm-up + min-of-N
+        # noop-sink materializations) is unchanged.
+        del df
+        gc.collect()
 
     total = round(sum(timings.values()), 4)
     sf = _sf_from_dir(SF_DIR)

@@ -598,7 +598,13 @@ def graph_link_predict(
     join), out-cap and in-cap windows, wedge equi-join on the
     shared neighbor, candidate agg, anti join, bounded top-N.
     """
-    sized = capped_basket_items(spark, sf_dir, LINKPRED_BASKET_CAP)
+    # localCheckpoints (r11, guide §3.3): sized feeds both self-join
+    # sides (the funnel ran twice); kept feeds deg AND inv; inv feeds
+    # both wedge sides; deg feeds both score joins. Each dim-bounded
+    # lattice now materializes once.
+    sized = capped_basket_items(
+        spark, sf_dir, LINKPRED_BASKET_CAP
+    ).localCheckpoint()
     pairs = (
         sized.alias("a")
         .join(sized.alias("b"), "l_orderkey")
@@ -624,8 +630,11 @@ def graph_link_predict(
         )
         .where(F.col("rk") <= LINKPRED_NEIGHBOR_CAP)
         .select("node", "nbr", "co_count")
+        .localCheckpoint()
     )
-    deg = kept.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    deg = kept.groupBy("node").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
     inv = (
         kept.withColumn(
             "rk",
@@ -636,6 +645,7 @@ def graph_link_predict(
         )
         .where(F.col("rk") <= LINKPRED_NEIGHBOR_CAP)
         .selectExpr("nbr AS x", "node")
+        .localCheckpoint()
     )
     wedges = (
         inv.selectExpr("x", "node AS part_a")
@@ -799,7 +809,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_kcore and graph_assortativity so the two structural
     reports provably describe the same graph (the capped_basket_items
     rule, one layer up)."""
-    sized = capped_basket_items(spark, sf_dir, KCORE_BASKET_CAP)
+    # localCheckpoint (r11, guide §3.3): sized feeds both self-join
+    # sides — uncheckpointed, the distinct + basket-cap window funnel
+    # ran twice (the basket_pairs fix, one layer down).
+    sized = capped_basket_items(
+        spark, sf_dir, KCORE_BASKET_CAP
+    ).localCheckpoint()
     a = sized.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = sized.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
     return (
@@ -867,6 +882,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
 
     deg0 = degrees(edges)
+    # lazy localCheckpoint (r11, guide §3.3): k is referenced by every
+    # round summary AND every peel filter (7 references) — each one
+    # re-ran the degree aggregation + percentile window over the edge
+    # list. The 1-row k relation materializes on first use.
     k_df = (
         deg0.withColumn(
             "rn",
@@ -875,6 +894,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.expr("count(*) OVER ()"))
         .where("rn = (n * 3) DIV 4 + 1")
         .select(F.col("deg").alias("k"))
+        .localCheckpoint(eager=False)
     )
 
     def summary(e: DataFrame, rnd: int) -> DataFrame:

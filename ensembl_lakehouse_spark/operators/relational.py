@@ -1739,7 +1739,12 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     mo = F.year("o_orderdate") * 12 + F.month("o_orderdate")
-    first = orders.groupBy("o_custkey").agg(F.min(mo).alias("cohort_mo"))
+    # localCheckpoint (r11, guide §3.3): the cohort spine feeds sized
+    # AND the join back onto orders — uncheckpointed, the first-order
+    # aggregate (scan + per-customer min) ran twice.
+    first = orders.groupBy("o_custkey").agg(
+        F.min(mo).alias("cohort_mo")
+    ).localCheckpoint()
     sized = first.groupBy("cohort_mo").agg(F.count(F.lit(1)).alias("cohort_size"))
     return (
         orders.select("o_custkey", mo.alias("mo"))
@@ -3973,8 +3978,15 @@ def events_weekly_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("week")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.expr("percentile(value, 0.5)").alias("p50_value"),
-            F.expr("percentile(value, 0.95)").alias("p95_value"),
+            # One percentile buffer for both ps (r11, the
+            # quantile_summary precedent — bit-identical).
+            F.expr("percentile(value, array(0.5, 0.95))").alias("pp"),
+        )
+        .select(
+            "week",
+            "n_events",
+            F.col("pp")[0].alias("p50_value"),
+            F.col("pp")[1].alias("p95_value"),
         )
     )
     return (
@@ -4056,9 +4068,16 @@ def funnel_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "(count(delay_s) * 10000) DIV count(1)"
         ).alias("conv_bp"),
-        F.expr("percentile(delay_s, 0.25)").alias("p25_delay_s"),
-        F.expr("percentile(delay_s, 0.5)").alias("p50_delay_s"),
-        F.expr("percentile(delay_s, 0.75)").alias("p75_delay_s"),
+        # One percentile buffer for all three ps (r11, the
+        # quantile_summary precedent — bit-identical).
+        F.expr("percentile(delay_s, array(0.25, 0.5, 0.75))").alias("pp"),
+    ).select(
+        "n_signup_users",
+        "n_converted",
+        "conv_bp",
+        F.col("pp")[0].alias("p25_delay_s"),
+        F.col("pp")[1].alias("p50_delay_s"),
+        F.col("pp")[2].alias("p75_delay_s"),
     )
 
 
@@ -4943,25 +4962,25 @@ def events_type_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # One percentile buffer for the two ×4 quartiles (r11,
+            # the quantile_summary precedent — bit-identical).
             F.expr(
-                "CAST(percentile(cents * 4, CAST(0.25 AS DOUBLE)) "
-                "AS BIGINT)"
-            ).alias("q1_x4"),
+                "percentile(cents * 4, array(CAST(0.25 AS DOUBLE), "
+                "CAST(0.75 AS DOUBLE)))"
+            ).alias("qq_x4"),
             F.expr(
                 "CAST(percentile(cents * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)"
             ).alias("med_x2"),
-            F.expr(
-                "CAST(percentile(cents * 4, CAST(0.75 AS DOUBLE)) "
-                "AS BIGINT)"
-            ).alias("q3_x4"),
         )
         .select(
             "event_type",
             "n_events",
-            F.expr("q1_x4 DIV 4").alias("q1_cents"),
+            F.expr("CAST(qq_x4[0] AS BIGINT) DIV 4").alias("q1_cents"),
             F.expr("med_x2 DIV 2").alias("median_cents"),
-            F.expr("q3_x4 DIV 4").alias("q3_cents"),
-            F.expr("(q3_x4 - q1_x4) DIV 4").alias("iqr_cents"),
+            F.expr("CAST(qq_x4[1] AS BIGINT) DIV 4").alias("q3_cents"),
+            F.expr(
+                "(CAST(qq_x4[1] AS BIGINT) - CAST(qq_x4[0] AS BIGINT)) DIV 4"
+            ).alias("iqr_cents"),
         )
         .orderBy("event_type")
     )

@@ -3024,17 +3024,15 @@ def part_brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_parts"),
             F.min("cents").alias("min_cents"),
             F.max("cents").alias("max_cents"),
+            # One percentile buffer for the two ×4 quartiles (r11,
+            # the quantile_summary precedent — bit-identical).
             F.expr(
-                "CAST(percentile(cents * 4, CAST(0.25 AS DOUBLE)) "
-                "AS BIGINT)"
-            ).alias("q1_x4"),
+                "percentile(cents * 4, array(CAST(0.25 AS DOUBLE), "
+                "CAST(0.75 AS DOUBLE)))"
+            ).alias("qq_x4"),
             F.expr(
                 "CAST(percentile(cents * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)"
             ).alias("med_x2"),
-            F.expr(
-                "CAST(percentile(cents * 4, CAST(0.75 AS DOUBLE)) "
-                "AS BIGINT)"
-            ).alias("q3_x4"),
         )
         .select(
             "p_brand",
@@ -3042,9 +3040,12 @@ def part_brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_cents",
             "max_cents",
             F.expr("med_x2 DIV 2").alias("median_cents"),
-            F.expr("(q3_x4 - q1_x4) DIV 4").alias("iqr_cents"),
             F.expr(
-                "(((q3_x4 - q1_x4) DIV 4) * 10000) DIV (med_x2 DIV 2)"
+                "(CAST(qq_x4[1] AS BIGINT) - CAST(qq_x4[0] AS BIGINT)) DIV 4"
+            ).alias("iqr_cents"),
+            F.expr(
+                "(((CAST(qq_x4[1] AS BIGINT) - CAST(qq_x4[0] AS BIGINT)) "
+                "DIV 4) * 10000) DIV (med_x2 DIV 2)"
             ).alias("iqr_over_median_bp"),
         )
         .orderBy("p_brand")
@@ -3929,27 +3930,27 @@ def segment_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.min("cents").alias("min_cents"),
             F.max("cents").alias("max_cents"),
+            # One percentile buffer for the two ×4 quartiles (r11,
+            # the quantile_summary precedent): the array form
+            # builds/sorts the cents*4 buffer once and interpolates
+            # both ps from it — bit-identical to two scalar calls.
             F.expr(
-                "CAST(percentile(cents * 4, CAST(0.25 AS DOUBLE)) "
-                "AS BIGINT)"
-            ).alias("q1_x4"),
+                "percentile(cents * 4, array(CAST(0.25 AS DOUBLE), "
+                "CAST(0.75 AS DOUBLE)))"
+            ).alias("qq_x4"),
             F.expr(
                 "CAST(percentile(cents * 2, CAST(0.5 AS DOUBLE)) "
                 "AS BIGINT)"
             ).alias("med_x2"),
-            F.expr(
-                "CAST(percentile(cents * 4, CAST(0.75 AS DOUBLE)) "
-                "AS BIGINT)"
-            ).alias("q3_x4"),
         )
         .select(
             "c_mktsegment",
             "n_orders",
             "min_cents",
             "max_cents",
-            F.expr("q1_x4 DIV 4").alias("q1_cents"),
+            F.expr("CAST(qq_x4[0] AS BIGINT) DIV 4").alias("q1_cents"),
             F.expr("med_x2 DIV 2").alias("median_cents"),
-            F.expr("q3_x4 DIV 4").alias("q3_cents"),
+            F.expr("CAST(qq_x4[1] AS BIGINT) DIV 4").alias("q3_cents"),
         )
         .orderBy("c_mktsegment")
     )
@@ -4093,26 +4094,26 @@ def part_size_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.groupBy("p_size")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
+            # One percentile buffer for the two ×4 quartiles (r11,
+            # the quantile_summary precedent — bit-identical).
             F.expr(
-                "CAST(percentile(cents * 4, CAST(0.25 AS DOUBLE)) "
-                "AS BIGINT)"
-            ).alias("q1_x4"),
+                "percentile(cents * 4, array(CAST(0.25 AS DOUBLE), "
+                "CAST(0.75 AS DOUBLE)))"
+            ).alias("qq_x4"),
             F.expr(
                 "CAST(percentile(cents * 2, CAST(0.5 AS DOUBLE)) "
                 "AS BIGINT)"
             ).alias("med_x2"),
-            F.expr(
-                "CAST(percentile(cents * 4, CAST(0.75 AS DOUBLE)) "
-                "AS BIGINT)"
-            ).alias("q3_x4"),
         )
         .select(
             "p_size",
             "n_parts",
-            F.expr("q1_x4 DIV 4").alias("q1_cents"),
+            F.expr("CAST(qq_x4[0] AS BIGINT) DIV 4").alias("q1_cents"),
             F.expr("med_x2 DIV 2").alias("median_cents"),
-            F.expr("q3_x4 DIV 4").alias("q3_cents"),
-            F.expr("(q3_x4 - q1_x4) DIV 4").alias("iqr_cents"),
+            F.expr("CAST(qq_x4[1] AS BIGINT) DIV 4").alias("q3_cents"),
+            F.expr(
+                "(CAST(qq_x4[1] AS BIGINT) - CAST(qq_x4[0] AS BIGINT)) DIV 4"
+            ).alias("iqr_cents"),
         )
         .orderBy("p_size")
     )
@@ -4291,27 +4292,25 @@ def orders_priority_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.min("cents").alias("min_cents"),
             F.max("cents").alias("max_cents"),
+            # One percentile buffer for the two ×4 quartiles (r11,
+            # the quantile_summary precedent — bit-identical).
             F.expr(
-                "CAST(percentile(cents * 4, CAST(0.25 AS DOUBLE)) "
-                "AS BIGINT)"
-            ).alias("q1_x4"),
+                "percentile(cents * 4, array(CAST(0.25 AS DOUBLE), "
+                "CAST(0.75 AS DOUBLE)))"
+            ).alias("qq_x4"),
             F.expr(
                 "CAST(percentile(cents * 2, CAST(0.5 AS DOUBLE)) "
                 "AS BIGINT)"
             ).alias("med_x2"),
-            F.expr(
-                "CAST(percentile(cents * 4, CAST(0.75 AS DOUBLE)) "
-                "AS BIGINT)"
-            ).alias("q3_x4"),
         )
         .select(
             "o_orderpriority",
             "n_orders",
             "min_cents",
             "max_cents",
-            F.expr("q1_x4 DIV 4").alias("q1_cents"),
+            F.expr("CAST(qq_x4[0] AS BIGINT) DIV 4").alias("q1_cents"),
             F.expr("med_x2 DIV 2").alias("median_cents"),
-            F.expr("q3_x4 DIV 4").alias("q3_cents"),
+            F.expr("CAST(qq_x4[1] AS BIGINT) DIV 4").alias("q3_cents"),
         )
         .orderBy("o_orderpriority")
     )
@@ -4888,25 +4887,27 @@ def supplier_balance_quartiles_by_nation(
     )
     agg = sup.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        # One percentile buffer for the two ×4 quartiles (r11, the
+        # quantile_summary precedent — bit-identical).
         F.expr(
-            "CAST(percentile(cents * 4, CAST(0.25 AS DOUBLE)) AS BIGINT)"
-        ).alias("q1_x4"),
+            "percentile(cents * 4, array(CAST(0.25 AS DOUBLE), "
+            "CAST(0.75 AS DOUBLE)))"
+        ).alias("qq_x4"),
         F.expr(
             "CAST(percentile(cents * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)"
         ).alias("med_x2"),
-        F.expr(
-            "CAST(percentile(cents * 4, CAST(0.75 AS DOUBLE)) AS BIGINT)"
-        ).alias("q3_x4"),
     )
     return (
         agg.join(F.broadcast(nation), "s_nationkey")
         .select(
             "n_name",
             "n_suppliers",
-            F.expr("q1_x4 DIV 4").alias("q1_cents"),
+            F.expr("CAST(qq_x4[0] AS BIGINT) DIV 4").alias("q1_cents"),
             F.expr("med_x2 DIV 2").alias("median_cents"),
-            F.expr("q3_x4 DIV 4").alias("q3_cents"),
-            F.expr("(q3_x4 - q1_x4) DIV 4").alias("iqr_cents"),
+            F.expr("CAST(qq_x4[1] AS BIGINT) DIV 4").alias("q3_cents"),
+            F.expr(
+                "(CAST(qq_x4[1] AS BIGINT) - CAST(qq_x4[0] AS BIGINT)) DIV 4"
+            ).alias("iqr_cents"),
         )
         .orderBy("n_name")
     )

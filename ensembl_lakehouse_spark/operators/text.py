@@ -504,7 +504,13 @@ def text_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = toks.select(
         "doc_id", F.explode("toks").alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # localCheckpoint (r11, guide §3.3): the tf lattice feeds the df
+    # aggregate AND the score join — uncheckpointed, tokenize +
+    # explode + (doc, term) agg ran twice. n_docs stays on the raw
+    # scan (column pruning drops the tokenize there).
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = toks.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -1085,6 +1091,10 @@ def source_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode("toks").alias("term"))
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # localCheckpoint (r11, guide §3.3): the (source, term)
+        # wordcount lattice feeds the rollup AND the dominant-term
+        # window — uncheckpointed, tokenize + explode + agg ran twice.
+        .localCheckpoint()
     )
     per_source = terms.groupBy("source").agg(
         F.sum("tf").alias("n_tokens"),
