@@ -2008,9 +2008,12 @@ def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sketch_hll_distinct) merged over day buckets.
     """
     events = load_table(spark, sf_dir, "events")
+    # localCheckpoint (r11, guide §3.3): the (day, user) lattice
+    # feeds the observed-day spine AND the visibility explode —
+    # uncheckpointed, the events scan + distinct ran twice.
     ud = events.select(
         F.to_date("ts").alias("d"), "user_id"
-    ).distinct()
+    ).distinct().localCheckpoint()
     days = ud.select(F.col("d").alias("day")).distinct()
     span = ud.select(
         F.explode(
@@ -3063,9 +3066,13 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     All integers; one DIV for the ratio.
     """
     events = load_table(spark, sf_dir, "events")
+    # localCheckpoint (r11, guide §3.3): the (user, day) distinct
+    # lattice feeds the day spine, the range-join AND the DAU agg —
+    # uncheckpointed, the events scan + distinct ran 4× (4 parquet
+    # scans in the plan). Dim-bounded (|users×days|), once.
     ud = events.select(
         "user_id", F.expr("CAST(ts AS DATE)").alias("day")
-    ).distinct()
+    ).distinct().localCheckpoint()
     days = ud.select("day").distinct()
     spine = days.select(F.col("day").alias("d"))
     wau = (
@@ -4454,6 +4461,12 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "band", "half")
         .agg(F.count(F.lit(1)).alias("n"))
+        # localCheckpoint (r11, guide §3.3): halves feeds the grid's
+        # two distinct sides AND both half projections (4 refs) —
+        # uncheckpointed, the events scan + band agg (and the nested
+        # midpoint scan) ran 4×: 16 parquet scans in the executed
+        # plan. The ≤|types|·2·11-row cell relation materializes once.
+        .localCheckpoint()
     )
     grid = (
         halves.select("event_type").distinct()
@@ -4474,6 +4487,8 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("coalesce(n_early, CAST(0 AS BIGINT))").alias("n_early"),
             F.expr("coalesce(n_late, CAST(0 AS BIGINT))").alias("n_late"),
         )
+        # dense feeds tot AND the share join (2 refs) — same pattern.
+        .localCheckpoint()
     )
     tot = dense.groupBy("event_type").agg(
         F.sum("n_early").alias("tot_early"),
@@ -4681,7 +4696,10 @@ def sketch_kmv_rollup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(conv(substring(md5(cast(user_id AS string)), 1, 15), "
             "16, 10) AS bigint)"
         ),
-    )
+    ).localCheckpoint()
+    # localCheckpoint (r11, guide §3.3): cells feeds the partial
+    # sketches AND the exact twin — uncheckpointed, the events scan +
+    # distinct + md5 ran twice.
     k = KMV_ROLLUP_K
     # the stored rollup: per (type, day) bottom-k user hashes
     partials = cells.withColumn(

@@ -2619,7 +2619,12 @@ def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
         ).alias("cents"),
     )
-    first = orders.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    # localCheckpoint (r11, guide §3.3): the cohort spine feeds sizes
+    # AND the triangle join — uncheckpointed, the orders scan +
+    # per-customer min ran twice (4 parquet scans in the plan).
+    first = orders.groupBy("o_custkey").agg(
+        F.min("m").alias("m0")
+    ).localCheckpoint()
     sizes = first.groupBy("m0").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )
@@ -2714,9 +2719,12 @@ def cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "year(o_orderdate) * 12 + month(o_orderdate) - 1"
         ).alias("m"),
     )
+    # localCheckpoint (r11, guide §3.3): per_cust feeds the
+    # second-order probe AND the left join — uncheckpointed, the
+    # orders scan + per-customer agg ran twice.
     per_cust = orders.groupBy("o_custkey").agg(
         F.min("m").alias("m0"), F.count(F.lit(1)).alias("n_orders")
-    )
+    ).localCheckpoint()
     second = (
         orders.join(per_cust, "o_custkey")
         .where("m > m0")

@@ -425,6 +425,11 @@ def dedup_embedding(
     # 31 s → ~3 s at sf0.1 when the vectors ride through the
     # distinct. Embeddings are joined back per side afterwards,
     # exactly like dedup_near re-joins shingle sets.
+    # NOT checkpointed (r11 A/B): materializing the bucket lattice and
+    # the norm-carrying vectors measured 0.67 s -> 2.6-3.3 s at sf0.1
+    # — the two extra scans are cheaper than serializing the vector
+    # arrays to block storage, and the spread exchange already
+    # parallelizes the HOF map work.
     buckets = emb.select(
         "vec_id",
         F.posexplode(F.expr(_bucket_expr("embedding"))).alias("t_idx", "bucket"),
@@ -2241,13 +2246,19 @@ def embedding_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "label", "embedding"
     )
-    fams = (
+    # One pass (r11, guide §2.4): fams and per_label both scanned the
+    # table (each re-paying the spread exchange); the unfiltered
+    # family lattice now computes once and BOTH consumers are tiny
+    # rollups of it — per-label vector count = Σ n_copies over the
+    # label's families (identical value by construction).
+    fams_all = (
         emb.groupBy("label", "embedding")
         .agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
-        .where("n_copies >= 2")
+        .localCheckpoint()
     )
-    per_label = emb.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    fams = fams_all.where("n_copies >= 2")
+    per_label = fams_all.groupBy("label").agg(
+        F.sum("n_copies").cast("long").alias("n_vectors")
     )
     agg = fams.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_families"),

@@ -709,7 +709,13 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread=False: terms feeds cf AND the join-back (2 references
     # re-paying the spread exchange; measured 0.53 s -> 0.82 s)
     toks = _docs_with_tokens(spark, sf_dir, spread=False)
-    terms = toks.select("doc_id", F.explode("toks").alias("term"))
+    # localCheckpoint (r11, guide §3.3): the token-instance lattice
+    # feeds the corpus-frequency agg AND the join-back —
+    # uncheckpointed, tokenize + explode ran twice (the
+    # ngram_novelty pattern).
+    terms = toks.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).localCheckpoint()
     cf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
     return (
         terms.join(cf, "term")
@@ -2001,12 +2007,16 @@ def doc_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(percentile(n_chars * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)"
         ).alias("med2")
     )
+    # localCheckpoint (r11, guide §3.3): the deviation lattice feeds
+    # the MAD aggregate AND the final outlier pass — uncheckpointed,
+    # the docs scan + median join ran twice. Narrow (4 columns),
+    # |docs| rows, once.
     dev = docs.join(F.broadcast(med), "lang").select(
         "lang",
         "n_chars",
         "med2",
         F.expr("abs(n_chars * 2 - med2)").alias("adev2"),
-    )
+    ).localCheckpoint()
     mad = dev.groupBy("lang").agg(
         F.expr(
             "CAST(percentile(adev2 * 2, CAST(0.5 AS DOUBLE)) AS BIGINT)"

@@ -467,7 +467,8 @@ BUDGETS = {
     # the gini lattice's two doc-keyed aggs + the |langs| moment agg
     "doc_length_gini_corr": 3,
     # panel² broadcast self-join; ONE ≤80-cell band agg
-    "embedding_cosine_histogram": 1,
+    # +1: conditional spread_scan exchange at probe SF (no-op at scale)
+    "embedding_cosine_histogram": 2,
     # ---- Round-7 backfill: the pre-r3 cohort (VERDICT r6 "what's
     # wrong #1") — budgets pinned at the plan shapes hand-audited in
     # r2/r3 and re-measured for this backfill, so a regression in
