@@ -108,6 +108,19 @@ def main() -> int:
         # noop-sink materializations) is unchanged.
         del df
         gc.collect()
+        # The Python-side collect alone is NOT enough: ContextCleaner
+        # only learns a JVM RDD/broadcast is dead when a JVM GC runs
+        # (weak-reference queue), and Spark's own periodic trigger
+        # (spark.cleaner.periodicGC.interval) defaults to 30 min —
+        # longer than the whole bench. Until then every checkpointed
+        # lattice block from every previous query stays in the block
+        # manager, and the mounting storage/GC pressure lands inside
+        # later queries' timed runs (measured: untouched sub-second
+        # queries ran 2-4x slower late in the full sequence than in a
+        # warm isolated process). One explicit JVM GC per query,
+        # outside the timed region, drains the cleaner queue
+        # deterministically.
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     sf = _sf_from_dir(SF_DIR)
