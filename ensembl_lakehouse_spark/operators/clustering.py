@@ -153,11 +153,25 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = spark.range(1).select(F.expr(_init_cents_spark()).alias("cents"))
     for _ in range(KM_ITERS - 1):
-        cents = _update(_assign(emb, cents))
+        # localCheckpoint (r11, guide §3.3/§5): each iteration's
+        # output is ONE K×DIM row (~4 KB); without the checkpoint the
+        # final plan re-evaluates every previous Lloyd pass — and its
+        # full corpus scan — once per execution (3 scans at
+        # KM_ITERS=3, any of them at 100 TB a full corpus pass).
+        # Checkpointed, one execution = one corpus scan; centroid
+        # values (fixed-point means) are bit-identical either way.
+        cents = _update(_assign(emb, cents)).localCheckpoint()
     final = (
         emb.crossJoin(F.broadcast(cents))
-        .withColumn("cluster", F.expr(_ASSIGN.format(d2=_d2("embedding", "c.v"))))
-        .withColumn("d2", F.expr(_MIN_D2.format(d2=_d2("embedding", "c.v"))))
+        # one distance vector per row, shared by argmin and min —
+        # halves the K×DIM zip_with work vs separate _ASSIGN/_MIN_D2
+        # evaluation (same expressions, same values)
+        .withColumn("ds", F.expr(f"transform(cents, c -> {_d2('embedding', 'c.v')})"))
+        .withColumn(
+            "cluster",
+            F.expr("cents[array_position(ds, array_min(ds)) - 1].cid"),
+        )
+        .withColumn("d2", F.expr("array_min(ds)"))
         .withColumn("d2_fp", F.floor(F.col("d2") * KM_FP))
     )
     return final.groupBy("cluster").agg(
@@ -253,7 +267,10 @@ def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = spark.range(1).select(F.expr(_init_cents_spark()).alias("cents"))
     for _ in range(KM_ITERS - 1):
-        cents = _update(_assign(emb, cents))
+        # same per-iteration 1-row centroid checkpoint as
+        # embedding_kmeans (see there): one corpus scan per
+        # execution instead of one per unrolled Lloyd pass.
+        cents = _update(_assign(emb, cents)).localCheckpoint()
     assigned = _assign(emb, cents).select("cluster", "label")
     cl = assigned.groupBy("cluster", "label").agg(
         F.count(F.lit(1)).cast("long").alias("n")

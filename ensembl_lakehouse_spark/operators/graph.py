@@ -251,6 +251,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
+        # per-iteration 1-small-frame checkpoint (r11, the
+        # embedding_kmeans precedent): ranks is |nations| rows, and
+        # without it each execution replays every previous
+        # iteration's contrib join/agg chain once per remaining
+        # iteration. Values unchanged (deterministic chain).
+        ranks = ranks.localCheckpoint()
     return ranks.select(
         "node",
         F.expr(
@@ -403,6 +409,10 @@ def graph_pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
+        # per-iteration checkpoint — see graph_pagerank (the dangling
+        # branch references ranks a second time per iteration, so the
+        # replay here is steeper).
+        ranks = ranks.localCheckpoint()
     return ranks.select(
         "node",
         F.expr(rank_fp).alias("rank_fp"),

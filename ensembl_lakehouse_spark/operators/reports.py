@@ -3403,12 +3403,25 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-supplier-dependency view from the supplier side
     (part_supply_concentration views it from the part side).
 
-    Plan: lineitem×part broadcast join → per-supplier agg with two
-    distinct counts (one EXPAND lattice); the catalog type count is
-    a 1-row broadcast."""
-    # conditional l_suppkey spread (guide §2.5): absorbs the
-    # per-supplier agg exchange and parallelizes the EXPAND lattice
-    li = load_spread(spark, sf_dir, "lineitem", "l_suppkey").select(
+    Plan (r11 rewrite, guide §2.3 "aggregate before you shuffle" /
+    §3.3 "explode before a join multiplies the shuffle" dual): the
+    old shape broadcast-joined part onto RAW lineitem and ran a
+    DOUBLE-distinct agg — an Expand ×2 of the whole joined fact
+    (1.2 M rows at sf0.1, 12 B at 100 TB) through a 4-key partial
+    agg. But p_type is FK-determined by l_partkey, so the fact can
+    be reduced to distinct (suppkey, partkey) pairs FIRST (the
+    spread exchange doubles as the pair-agg exchange — same keys),
+    the part join probes |pairs| instead of |lineitem| rows, and
+    the per-supplier rollup needs only a SINGLE-distinct agg on the
+    pair lattice (no Expand anywhere). n_parts = COUNT(*) over
+    pairs, n_lines/rev_cents = BIGINT sums reassociated over the
+    same partition — exact. At sf0.1 the matched interleaved A/B is
+    a tie (1.63 vs 1.72 min-of-9 under heavy host steal) — the win
+    is the 100 TB shape: the Expand doubling of the joined fact is
+    gone and the dim join probes |distinct pairs| (~1/7.5 of
+    lineitem) instead of every line. The catalog type count stays a
+    1-row broadcast."""
+    li = load_spread(spark, sf_dir, "lineitem", "l_suppkey", "l_partkey").select(
         "l_suppkey",
         "l_partkey",
         F.expr(
@@ -3422,14 +3435,18 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog_types = part.agg(
         F.countDistinct("p_type").alias("catalog_types")
     )
+    pairs = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.count(F.lit(1)).alias("n_pp"),
+        F.sum("cents").alias("cents_pp"),
+    )
     per_supp = (
-        li.join(F.broadcast(part), "l_partkey")
+        pairs.join(F.broadcast(part), "l_partkey")
         .groupBy("l_suppkey")
         .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_parts"),
             F.countDistinct("p_type").alias("n_types"),
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum("cents").alias("rev_cents"),
+            F.sum("n_pp").alias("n_lines"),
+            F.sum("cents_pp").alias("rev_cents"),
         )
     )
     return (
@@ -4284,10 +4301,11 @@ def orders_priority_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     orders; this prices them.
 
     One |priorities|-row aggregate; the fixed-point percentile
-    contract keeps quartiles integral cross-engine. Conditional
-    o_orderkey spread (guide §2.5): parallelizes the percentile
-    partial agg (percentile sorts its buffer — order-invariant)."""
-    orders = load_spread(spark, sf_dir, "orders", "o_orderkey").select(
+    contract keeps quartiles integral cross-engine. Spread REVERTED
+    (r11): the o_orderkey spread cannot absorb the 5-group agg
+    exchange (different keys), so it only added one — matched
+    interleaved A/B measured off=1.205/1.265 vs on=1.354/1.447 twice."""
+    orders = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",
         F.expr(
             "CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) "

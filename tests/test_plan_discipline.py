@@ -133,8 +133,8 @@ BUDGETS = {
     "supplier_balance_quartiles_by_nation": 1,
     "embedding_sparsity_audit": 2,
     "source_quality_profile": 2,
-    # +1: conditional spread_scan exchange at probe SF (no-op at scale)
-    "orders_priority_value_profile": 2,
+    # spread reverted (r11): one |priorities|-group agg exchange
+    "orders_priority_value_profile": 1,
     "nation_order_priority_mix": 2,
     "customer_value_migration": 3,
     "part_size_price_curve": 1,
@@ -285,10 +285,11 @@ BUDGETS = {
     # PQ/ADC: encode+LUT are map-side; the ADC window and the rerank
     # window share the q_id partitioning, so one exchange serves both.
     "similarity_pq": 3,
-    # Unrolled Lloyd: (KM_ITERS-1) * two tiny-row agg exchanges
-    # ((cid,dim) partial-agg + cid assemble) + the final cluster agg;
-    # assignment itself is map-only broadcast.
-    "embedding_kmeans": 2 * (KM_ITERS - 1) + 1,
+    # Unrolled Lloyd with per-iteration 1-row centroid checkpoints
+    # (r11): the executed plan is ONE map-only broadcast assignment
+    # over the corpus + the final cluster agg; the (KM_ITERS-1)
+    # centroid updates run once per invocation as their own jobs.
+    "embedding_kmeans": 1,
     # Retrieval: tf agg + df agg + stats row + per-doc score agg
     # (top-k is TakeOrdered, no exchange); postings = tf agg + term agg.
     "bm25_search": 4,
@@ -305,9 +306,12 @@ BUDGETS = {
     # agg per unrolled iteration; triangles = trade + per-node agg
     # (the edge self-joins are broadcast on the dim-bounded graph).
     "graph_degree": 3,
-    "graph_pagerank": 2 + 3,
-    # full variant adds one 1-row dangling aggregate per iteration
-    "graph_pagerank_full": 2 + 3 + 3,
+    # r11: per-iteration |nations|-row rank checkpoints (the
+    # embedding_kmeans pattern) — the executed plan reads the final
+    # checkpointed ranks; iteration mass/dangling aggs run once per
+    # invocation as their own jobs
+    "graph_pagerank": 1,
+    "graph_pagerank_full": 1,
     "graph_triangles": 4,
     # LM lattice: pair agg + head agg + vocab row + topk window /
     # per-doc score agg; hash_features is explode + ONE per-doc agg.
@@ -441,9 +445,9 @@ BUDGETS = {
     "orders_backlog_aging": 2,
     # map-side sentence explode; per-doc + per-lang aggs
     "text_sentence_stats": 2,
-    # kmeans' (KM_ITERS-1)·2 centroid-update exchanges + the
-    # (cluster,label) agg and its |clusters| majority window
-    "embedding_cluster_purity": 2 * (KM_ITERS - 1) + 2,
+    # checkpointed Lloyd (see embedding_kmeans): the (cluster,label)
+    # agg + its |clusters| majority window
+    "embedding_cluster_purity": 2,
     # round-6 batch 6
     # checkpointed basket funnel + degree agg + 1-row moment agg
     # (deg joins broadcast on the dim-bounded graph)
