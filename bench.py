@@ -29,6 +29,21 @@ stall leaked through is visible (r1: two queries recorded ~24 s
 host stalls that min-of-3 failed to filter). Flags: --no-warmup,
 --repeats=N (default 5).
 
+Timed-boundary fix (r12, per the r11 VERDICT): each timed repeat
+now REBUILDS the DataFrame — ``fn(spark, SF_DIR)`` runs inside
+``perf_counter()`` — and the process-level plan-literal memo
+(tiling cutoffs) is cleared before every timed repeat. Previously
+``fn()`` ran once, outside the timed region, so the ~45 operators
+that materialize a shared lattice via eager ``localCheckpoint()``
+(and the 5 tiling consumers whose cutoff jobs run at plan-build)
+executed their heavy work at build time and the timed runs only
+read warm blocks — their r11 numbers are LOWER BOUNDS, not costs.
+From r12 on, a recorded number is the full cost of one cold
+end-to-end execution: plan construction + every plan-build job +
+execution. r11-and-earlier BENCH_FULL records are preserved
+unchanged for reference; cross-methodology deltas are reconciled in
+OPTIMIZATION_r12.md.
+
 Positional args select a subset of queries; unknown names are a
 hard error (a typo must not silently bench nothing).
 """
@@ -85,28 +100,53 @@ def main() -> int:
 
     import gc
 
+    from ensembl_lakehouse_spark.operators import tiling as _tiling
+
+    def _reset_plan_memos() -> None:
+        # The one results-bearing process memo: tiling's cutoff
+        # literals (keyed on input-file fingerprints). Cleared before
+        # every timed repeat so the boundary jobs that run at
+        # plan-build time are INSIDE the measurement — each repeat is
+        # a genuinely cold execution. (sources/tables._ROW_GROUP_CACHE
+        # is parquet-footer metadata only, not results; it stays.)
+        _tiling._LITERAL_CACHE.clear()
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
-        df = fn(spark, SF_DIR)
         if warmup:
+            # Untimed warm-up: primes JIT/code-cache/parquet footers,
+            # never the plan memos (cleared again before each repeat).
+            _reset_plan_memos()
+            df = fn(spark, SF_DIR)
             materialize(df)
+            del df
         runs = []
         for _ in range(repeats):
+            # Each repeat rebuilds the DataFrame inside the timed
+            # region (r11 VERDICT #1): eager localCheckpoint lattices
+            # and tiling/classifier plan-build jobs execute during
+            # fn(), so excluding construction measured stub reads for
+            # ~50 operators. perf_counter now brackets construction +
+            # plan-build jobs + full noop materialization.
+            _reset_plan_memos()
             start = time.perf_counter()
+            df = fn(spark, SF_DIR)
             materialize(df)
             runs.append(time.perf_counter() - start)
+            # Drop the plan's references between repeats (untimed) so
+            # each repeat's checkpoint blocks are released rather than
+            # accumulating 5x within a query.
+            del df
         timings[name] = round(min(runs), 4)
         spread[name] = round(max(runs) - min(runs), 4)
-        # Outside the timed region: drop the plan's references so the
-        # ContextCleaner releases any localCheckpoint blocks promptly.
-        # Without this, blocks from every previous query accumulate in
-        # executor memory and their deferred cleanup/GC lands inside
-        # LATER queries' timed runs (r11: 8 untouched sub-second
-        # queries spiked 1.9-4.9x in the full sequence but measured at
-        # baseline in isolation). Methodology (warm-up + min-of-N
-        # noop-sink materializations) is unchanged.
-        del df
+        # Outside the timed region: make the ContextCleaner release
+        # this query's localCheckpoint blocks promptly. Without this,
+        # blocks from every previous query accumulate in executor
+        # memory and their deferred cleanup/GC lands inside LATER
+        # queries' timed runs (r11: 8 untouched sub-second queries
+        # spiked 1.9-4.9x in the full sequence but measured at
+        # baseline in isolation).
         gc.collect()
         # The Python-side collect alone is NOT enough: ContextCleaner
         # only learns a JVM RDD/broadcast is dead when a JVM GC runs
