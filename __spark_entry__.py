@@ -50,7 +50,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- Round-11 additions FIRST: the r11 build window grew to
+        # --- r12 window head: the 9 recertification operators whose
+        # r10 modifications (DECIMAL(38,0) overflow sweep / tiling
+        # rewire) postdate their last driver certification. r11's
+        # 50-seat window certified the other 9 of the 18; these 9
+        # queued (r11 VERDICT gate section) and must lead this
+        # round's first-50 so the driver refreshes their rows. The
+        # builder's strict sf0.01+sf0.1 oracle gate is green on all.
+        "calendar_adjusted_monthly_index": RP.calendar_adjusted_monthly_index,
+        "discount_band_lift": RP.discount_band_lift,
+        "holiday_revenue_calendar": RP.holiday_revenue_calendar,
+        "order_width_histogram": R.order_width_histogram,
+        "orders_weekday_index": RP.orders_weekday_index,
+        "part_type_margin": RP.part_type_margin,
+        "region_revenue_share_trend": RP.region_revenue_share_trend,
+        "returns_rate_monthly": RP.returns_rate_monthly,
+        "tax_band_revenue": RP.tax_band_revenue,
+        # --- Round-11 additions (all driver-certified green in
+        # CORRECTNESS_r11): the r11 build window grew to
         # 41 new oracle-backed entries, so the uncertified set alone
         # nearly fills the driver's first-50 sampling window — every
         # uncertified entry must sit inside it (rotation invariant,
@@ -130,15 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_spend_matrix": RP.customer_balance_spend_matrix,
         "revenue_yoy": RP.revenue_yoy,
         "seasonal_index": RP.seasonal_index,
-        "calendar_adjusted_monthly_index": RP.calendar_adjusted_monthly_index,
-        "discount_band_lift": RP.discount_band_lift,
-        "holiday_revenue_calendar": RP.holiday_revenue_calendar,
-        "order_width_histogram": R.order_width_histogram,
-        "orders_weekday_index": RP.orders_weekday_index,
-        "part_type_margin": RP.part_type_margin,
-        "region_revenue_share_trend": RP.region_revenue_share_trend,
-        "returns_rate_monthly": RP.returns_rate_monthly,
-        "tax_band_revenue": RP.tax_band_revenue,
+        # (the other 9 recert operators moved to the r12 window head
+        # above — r11's window certified only the first 9 here)
         # --- Round-10 additions (window discipline: every
         # oracle-backed entry was driver-certified across r1-r9, so
         # the first-50 window leads with this round's new operators,

@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """Matched A/B micro-bench for one query under host-noise (r11).
 
-Builds the SAME query twice — variant A = current tree, variant B =
+Runs the SAME query two ways — variant A = current tree, variant B =
 an alternative builder monkey-patched in by the caller — and
-interleaves their timed materializations (A,B,A,B,...) in ONE
+interleaves their timed cold executions (A,B,A,B,...) in ONE
 process, so a time-localized host slowdown (CPU steal burst) hits
 both variants equally and the min-over-repeats comparison stays
-fair. This is the round's keep/revert instrument; cross-run FULL
+fair. r12: each repeat rebuilds the DataFrame inside the timed
+region (bench.py timed-boundary fix), so eager-checkpoint and
+plan-build costs are part of every number. This is the round's keep/revert instrument; cross-run FULL
 totals are not (OPTIMIZATION_r11.md "second interruption" note).
 
 Usage: python tools/ab_bench.py <query> [repeats]
@@ -29,29 +31,41 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _materialize(df) -> float:
-    start = time.perf_counter()
+def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - start
+
+
+def _timed_cold_run(build, spark) -> float:
+    """One cold end-to-end execution, bench.py r12 semantics: clear
+    the plan-literal memo, then time construction (which runs eager
+    localCheckpoint / tiling plan-build jobs) + full materialization."""
+    from ensembl_lakehouse_spark.operators import tiling
+
+    tiling._LITERAL_CACHE.clear()
+    start = time.perf_counter()
+    df = build(spark, SF_DIR)
+    _materialize(df)
+    elapsed = time.perf_counter() - start
+    del df
+    return elapsed
 
 
 def ab(name_a, build_a, name_b, build_b, repeats: int = 7, spark=None):
-    """Interleaved A/B; returns (min_a, min_b). Each build_* is
-    called once (bench.py plan-build semantics), then the two plans
-    are materialized alternately ``repeats`` times after one warm-up
-    pass each."""
+    """Interleaved A/B; returns (min_a, min_b). r12 timed-boundary
+    semantics (matches bench.py): each repeat REBUILDS the DataFrame
+    inside the timed region so eager-checkpoint / plan-build work is
+    priced, after one untimed warm-up pass per variant."""
     if spark is None:
         from ensembl_lakehouse_spark.session import get_spark
 
         spark = get_spark(app_name="ab-bench")
-    df_a = build_a(spark, SF_DIR)
-    df_b = build_b(spark, SF_DIR)
-    _materialize(df_a)
-    _materialize(df_b)
+    # Warm-up (untimed): JIT / code cache / parquet footers.
+    _timed_cold_run(build_a, spark)
+    _timed_cold_run(build_b, spark)
     runs_a, runs_b = [], []
     for _ in range(repeats):
-        runs_a.append(_materialize(df_a))
-        runs_b.append(_materialize(df_b))
+        runs_a.append(_timed_cold_run(build_a, spark))
+        runs_b.append(_timed_cold_run(build_b, spark))
     min_a, min_b = min(runs_a), min(runs_b)
     print(
         f"A {name_a}: min {min_a:.3f}  runs {[round(r, 3) for r in runs_a]}"
@@ -59,7 +73,6 @@ def ab(name_a, build_a, name_b, build_b, repeats: int = 7, spark=None):
     print(
         f"B {name_b}: min {min_b:.3f}  runs {[round(r, 3) for r in runs_b]}"
     )
-    del df_a, df_b
     gc.collect()
     spark.sparkContext._jvm.System.gc()
     return min_a, min_b
