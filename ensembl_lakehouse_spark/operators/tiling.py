@@ -144,15 +144,18 @@ def with_global_ntiles(
     if buckets is None:
         buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     buckets = max(2, buckets)
-    work = df
-    for i, (value_col, key_col, _, _, descending) in enumerate(specs):
-        sign = -1 if descending else 1
-        work = work.withColumn(
-            f"_gt_packed{i}",
-            F.col(value_col).cast("decimal(38,0)")
-            * F.lit(sign * _KEY_BASE)
-            + F.col(key_col).cast("decimal(38,0)"),
-        )
+    # one withColumns call, not a per-spec withColumn loop: every
+    # DataFrame API call re-analyzes the (pre-checkpoint) plan in the
+    # JVM — batching the packing/bucket/assignment loops removed
+    # ~0.4 s of py4j/analysis time per build at sf0.1
+    work = df.withColumns(
+        {
+            f"_gt_packed{i}": F.col(value_col).cast("decimal(38,0)")
+            * F.lit((-1 if descending else 1) * _KEY_BASE)
+            + F.col(key_col).cast("decimal(38,0)")
+            for i, (value_col, key_col, _, _, descending) in enumerate(specs)
+        }
+    )
 
     cache_key = None
     lit = None
@@ -163,6 +166,19 @@ def with_global_ntiles(
             lit = _LITERAL_CACHE.get(cache_key)
 
     if lit is None:
+        # --- materialize the packed lattice ONCE (r12, guide §3.3).
+        # The boundary/offset/selection jobs below plus the returned
+        # consumer plan are FOUR independent evaluations of ``work``
+        # — and ``work`` is usually itself an aggregation of a fact
+        # table, so each job re-ran the upstream scan+shuffle from
+        # the base tables (orders_rfm_segments: 5.6 s of plan-build
+        # at sf0.1, ~4 upstream evals). One localCheckpoint makes it
+        # one evaluation; the three jobs and the consumer read the
+        # materialized |keys|-row lattice (measured 5.6→0.9 s build).
+        # Values are integral decimals — merge-order deterministic —
+        # and the warm cache_ns path (lit cached) stays lazy and
+        # untouched.
+        work = work.localCheckpoint()
         # --- boundary phase: ONE aggregate job for every spec;
         # results become literals
         probs = [i / buckets for i in range(1, buckets)]
@@ -223,17 +239,26 @@ def with_global_ntiles(
         # materialize blowup at sf0.1). With literal offsets the
         # returned plan is ONE branch per spec: bucket →
         # rank-within-bucket → offset lookup.
-        pair_structs = []
-        counted = work
-        for i in range(len(specs)):
-            counted = counted.withColumn(
-                f"_gt_b{i}", _bucket_expr(i, bounds_by_spec[i])
-            )
-            pair_structs.append(
-                F.struct(
-                    F.lit(i).alias("s"), F.col(f"_gt_b{i}").alias("b")
-                )
-            )
+        # hoist the decimal→double cast out of the bucket expression:
+        # it was re-evaluated per BOUND per row (measured: the counts
+        # job dropped 1.5→0.4 s at sf0.1); two batched withColumns
+        # (the _gt_b exprs read the _gt_d columns, so they cannot
+        # share one call) instead of a per-spec loop
+        counted = work.withColumns(
+            {
+                f"_gt_d{i}": F.col(f"_gt_packed{i}").cast("double")
+                for i in range(len(specs))
+            }
+        ).withColumns(
+            {
+                f"_gt_b{i}": _bucket_expr(i, bounds_by_spec[i])
+                for i in range(len(specs))
+            }
+        )
+        pair_structs = [
+            F.struct(F.lit(i).alias("s"), F.col(f"_gt_b{i}").alias("b"))
+            for i in range(len(specs))
+        ]
         cnt_rows = (
             counted.select(F.explode(F.array(*pair_structs)).alias("p"))
             .groupBy("p.s", "p.b")
@@ -353,34 +378,68 @@ def with_global_ntiles(
     # each repetition advances the tile — that IS the fill rule;
     # correctness argument in the module docstring). O(n) per row —
     # n is the tile count (4/10 for every consumer), not the data.
-    out_df = work
-    drop = []
+    # Flat CASE-sum, not an aggregate() HOF (r12): lambda HOFs are
+    # interpreted per element and block whole-stage codegen in every
+    # consumer's executed plan; the flat form codegens and sidesteps
+    # the filter()-lambda NoSuchElementException this comment block
+    # used to work around (plan deduplication over exceptAll /
+    # self-joins of the tiled output). Exact DECIMAL(38,0) compares,
+    # same count, bit-identical tile.
+    assigns = {}
     for i, (_, _, n, out, _) in enumerate(specs):
         cuts = lit["cutoffs"][i]
         if not cuts:
-            out_df = out_df.withColumn(out, F.lit(1).cast("int"))
+            assigns[out] = F.lit(1).cast("int")
+        elif len(cuts) <= _FLAT_SUM_CAP:
+            terms = _sum_tree(
+                [
+                    f"(CASE WHEN CAST('{c}' AS DECIMAL(38,0)) "
+                    f"< _gt_packed{i} THEN 1 ELSE 0 END)"
+                    for c in cuts
+                ]
+            )
+            assigns[out] = (F.lit(1) + F.expr(terms)).cast("int")
         else:
+            # huge tile counts: the flat Add tree overflows the
+            # optimizer's recursive flattenAdd (StackOverflow at
+            # n=5000); the O(n)-per-row interpreted HOF is the safe
+            # form there. aggregate(), not size(filter()): a filter()
+            # lambda capturing an outer column trips a
+            # NoSuchElementException in this Spark build's plan
+            # deduplication (exceptAll / self-join over the tiled
+            # output); the aggregate() form survives it.
             carr = "array(" + ", ".join(
                 f"CAST('{c}' AS DECIMAL(38,0))" for c in cuts
             ) + ")"
-            # aggregate(), not size(filter()): a filter() lambda
-            # capturing an outer column trips a NoSuchElementException
-            # in this Spark build's plan deduplication (exceptAll /
-            # self-join over the tiled output); the aggregate() form
-            # survives it
-            out_df = out_df.withColumn(
-                out,
-                (
-                    F.lit(1)
-                    + F.expr(
-                        f"aggregate({carr}, 0, (acc, c) -> acc + "
-                        f"CASE WHEN c < _gt_packed{i} "
-                        "THEN 1 ELSE 0 END)"
-                    )
-                ).cast("int"),
-            )
-        drop += [f"_gt_packed{i}"]
-    return out_df.drop(*drop)
+            assigns[out] = (
+                F.lit(1)
+                + F.expr(
+                    f"aggregate({carr}, 0, (acc, c) -> acc + "
+                    f"CASE WHEN c < _gt_packed{i} THEN 1 ELSE 0 END)"
+                )
+            ).cast("int")
+    return work.withColumns(assigns).drop(
+        *[f"_gt_packed{i}" for i in range(len(specs))]
+    )
+
+
+#: max CASE terms in a flat codegen-able sum; past this the Add tree
+#: risks the optimizer's recursive flattenAdd (StackOverflow measured
+#: at ~5000 terms) and callers fall back to an aggregate() HOF.
+_FLAT_SUM_CAP = 256
+
+
+def _sum_tree(terms: list[str]) -> str:
+    """Sum of the term expressions as a BALANCED parenthesized tree:
+    a flat ``a + b + ...`` chain of ~1000 terms exceeds the SQL
+    parser's recursion budget ([FAILED_TO_PARSE_TOO_COMPLEX]); 8-ary
+    grouping keeps depth logarithmic with identical integer sums."""
+    while len(terms) > 1:
+        terms = [
+            "(" + " + ".join(terms[j : j + 8]) + ")"
+            for j in range(0, len(terms), 8)
+        ]
+    return terms[0]
 
 
 def _bucket_expr(i: int, bounds: list[float]):
@@ -388,13 +447,37 @@ def _bucket_expr(i: int, bounds: list[float]):
     monotone in the packed order by construction (the same DOUBLE
     cast on both sides keeps the comparison consistent; ties that
     collapse in DOUBLE land in the same bucket and re-order by the
-    EXACT packed value inside it)."""
-    barr = "array(" + ", ".join(
-        f"CAST({b!r} AS DOUBLE)" for b in bounds
-    ) + ")"
+    EXACT packed value inside it). Reads the hoisted ``_gt_d{i}``
+    double column (cast once per row, not per array element — the
+    HOF lambda is interpreted, guide §1.2 per-task work).
+
+    Codegen-able sum of CASEs, not an ``aggregate()`` HOF: lambda
+    HOFs are evaluated by the Catalyst interpreter per element, and
+    the AQE-coalesced lattice runs them on ONE task — measured
+    ~1.2 s per plan-build job at sf0.1 for 15k rows × 3 specs × 63
+    bounds; the flat expression whole-stage-codegens to straight-line
+    comparisons (same integer count, bit-identical bucket). Built as
+    ONE SQL string: a Python loop of Column ``+``/``when`` ops costs
+    ~2·B py4j round trips per spec (~1.9 s of plan-build at B=64 ×
+    3 specs); one ``F.expr`` parse is a single call."""
+    if not bounds:
+        return F.lit(0)
+    if len(bounds) > _FLAT_SUM_CAP:
+        barr = "array(" + ", ".join(
+            f"CAST({b!r} AS DOUBLE)" for b in bounds
+        ) + ")"
+        return F.expr(
+            f"aggregate({barr}, 0, (acc, b) -> acc + CASE WHEN "
+            f"_gt_d{i} >= b THEN 1 ELSE 0 END)"
+        )
     return F.expr(
-        f"aggregate({barr}, 0, (acc, b) -> acc + CASE WHEN "
-        f"CAST(_gt_packed{i} AS DOUBLE) >= b THEN 1 ELSE 0 END)"
+        _sum_tree(
+            [
+                f"(CASE WHEN _gt_d{i} >= CAST({b!r} AS DOUBLE) "
+                "THEN 1 ELSE 0 END)"
+                for b in bounds
+            ]
+        )
     )
 
 

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Dump executed .explain("formatted") plans for named queries to
-``plans/r11/<query>_<suffix>.txt`` — the optimization-round evidence
+``plans/r12/<query>_<suffix>.txt`` — the optimization-round evidence
 files (judge checks plan claims against these).
 
 Usage: python tools/dump_plans.py <suffix> <query> [query ...]
@@ -41,7 +41,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        "r12",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dump-plans")
