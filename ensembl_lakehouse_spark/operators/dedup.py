@@ -224,15 +224,28 @@ def _near_pipeline(
     md5-per-shingle map stage up to 4x — measured 5.1 s → 2.0 s on
     the char-gram variant and 3.5 s → 0.4 s on the word variant at
     sf0.1, identical output. Same reasoning as the pair-graph
-    checkpoint in components_recursive."""
-    s = s.localCheckpoint()
+    checkpoint in components_recursive.
+
+    ``eager=False`` (r12 sweep): under AQE, a lazy localCheckpoint
+    already executes its shuffle stages at plan-build (toRdd
+    materializes query stages) — laziness only defers the FINAL
+    result stage + block write into the consumer job, where it
+    fuses. Matched 3-variant A/B (tools/ckpt_sweep.py): lazy beats
+    eager consistently across the family (near 1.29→1.14, chargram
+    1.80→1.51, substring 2.02→1.93, and every downstream components
+    consumer), and beats no-checkpoint everywhere the lattice fans
+    out. Bit-safe lazily: every value here is md5-derived
+    integer/string — identical under any evaluation order."""
+    s = s.localCheckpoint(eager=False)
     sig = s.select("doc_id", "sh", F.expr(_spark_signature("sh")).alias("sig"))
     bands = sig.select(
         "doc_id", F.posexplode(F.expr(_spark_band_keys("sig"))).alias("band_idx", "band_key")
     )
     bands = bands.withColumn(
         "bucket_n", F.expr("count(*) OVER (PARTITION BY band_idx, band_key)")
-    ).where(F.col("bucket_n").between(2, BUCKET_CAP)).localCheckpoint()
+    ).where(F.col("bucket_n").between(2, BUCKET_CAP)).localCheckpoint(
+        eager=False  # r12 sweep — see the s checkpoint note above
+    )
     a, b = bands.alias("a"), bands.alias("b")
     raw_pairs = a.join(
         b,
@@ -1335,10 +1348,13 @@ def doc_jaccard_knn(
     # distinct EIGHTEEN times (plans/r11/doc_jaccard_knn_before.txt).
     # Each lattice now materializes exactly once; all three are
     # row-bounded (distinct doc-term pairs, the df-capped projection,
-    # and the posting-join pair aggregate).
+    # and the posting-join pair aggregate). eager=False (r12 sweep):
+    # lazy defers each final stage + block write into the consumer
+    # job — matched A/B 2.19 s (eager) vs 1.54 s (lazy); integer/
+    # string values, order-safe.
     doc_terms = toks.select(
         "doc_id", F.explode("toks").alias("term")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     n_docs = doc_terms.agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
@@ -1349,7 +1365,7 @@ def doc_jaccard_knn(
         .where(F.expr(f"df * {JKNN_DF_DIV} <= n_docs"))
         .select("term")
     )
-    kept = doc_terms.join(df_ok, "term").localCheckpoint()
+    kept = doc_terms.join(df_ok, "term").localCheckpoint(eager=False)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
     a = kept.select(F.col("term").alias("t"), F.col("doc_id").alias("doc_a"))
     b = kept.select(F.col("term").alias("t2"), F.col("doc_id").alias("doc_b"))
@@ -1357,7 +1373,7 @@ def doc_jaccard_knn(
         a.join(b, (F.col("t") == F.col("t2")) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     directed = inter.selectExpr(
         "doc_a AS doc_id", "doc_b AS neighbor_id", "inter"

@@ -59,14 +59,33 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (q_id, n_exact, lsh_hits, ivf_hits, lsh_recall,
     ivf_recall), one row per query vector.
     """
-    exact = similarity_topk(spark, sf_dir).select("q_id", "vec_id")
+    # ONE shared (queries, corpus) lattice for all three retrieval
+    # arms (r12, VERDICT #6 / guide §3.3): each arm's internal
+    # _split re-scanned embeddings and recomputed the per-vector
+    # norms — three corpus evaluations per execution. The corpus
+    # side (vectors + norms) is lazily checkpointed so it
+    # materializes once inside the audit job; the query side is 5
+    # rows and stays a lazy broadcast. Values are the identical
+    # arrays/norms every arm computed for itself (matched A/B at
+    # sf0.1: tie, 1.72 vs 1.89 min under heavy variance — kept for
+    # the one-corpus-pass shape at scale).
+    from ensembl_lakehouse_spark.operators.similarity import _split
+
+    queries, corpus = _split(spark, sf_dir)
+    split = (
+        queries.localCheckpoint(eager=False),
+        corpus.localCheckpoint(eager=False),
+    )
+    exact = similarity_topk(spark, sf_dir, split=split).select(
+        "q_id", "vec_id"
+    )
     lsh = (
-        similarity_lsh(spark, sf_dir)
+        similarity_lsh(spark, sf_dir, split=split)
         .select("q_id", "vec_id")
         .withColumn("lsh_hit", F.lit(1))
     )
     ivf = (
-        similarity_ivf(spark, sf_dir)
+        similarity_ivf(spark, sf_dir, split=split)
         .select("q_id", "vec_id")
         .withColumn("ivf_hit", F.lit(1))
     )

@@ -138,6 +138,7 @@ def similarity_topk(
     *,
     n_queries: int = N_QUERIES,
     topk: int = TOP_K,
+    split: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: for each of the first ``n_queries`` query
     vectors, the ``topk`` nearest corpus vectors (cosine DESC,
@@ -152,8 +153,12 @@ def similarity_topk(
     hand-rolled partition-id pre-top-k (tried first) produced the
     same result with one extra shuffle — the "let Catalyst optimize"
     rule, measured.
+
+    ``split`` lets a composing audit (ann_recall_audit) pass ONE
+    shared (queries, corpus) lattice to all three retrieval arms —
+    same rows as the internal ``_split``, so results are unchanged.
     """
-    queries, corpus = _split(spark, sf_dir, n_queries)
+    queries, corpus = split or _split(spark, sf_dir, n_queries)
     return (
         corpus.crossJoin(F.broadcast(queries))
         .withColumn("cosine", F.expr(_PAIR_COSINE))
@@ -223,7 +228,12 @@ def _duck_bucket(vec: str) -> str:
     return "[" + ", ".join(keys) + "]"
 
 
-def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    split: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: candidates are corpus
     vectors sharing ≥1 of LSH_TABLES bucket keys with the query;
     exact cosine then ranks the candidates (cosine DESC, vec_id ASC,
@@ -235,8 +245,9 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector; candidate generation is an equi-join on
     (table_idx, bucket) against the broadcast query buckets —
     no cross join, no global sort; the only full shuffle-free path.
+    (``split`` as in similarity_topk.)
     """
-    queries, corpus = _split(spark, sf_dir)
+    queries, corpus = split or _split(spark, sf_dir)
     qb = queries.select(
         "q_id",
         "q_vec",
@@ -309,6 +320,7 @@ def similarity_ivf(
     *,
     n_probe: int = IVF_NPROBE,
     topk: int = TOP_K,
+    split: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) coarse quantizer:
     corpus vectors are assigned to their nearest centroid cell;
@@ -325,8 +337,9 @@ def similarity_ivf(
     scan is corpus/|cells|·nprobe instead of corpus. Recall depends
     on neighbors landing in probed cells — measured against the
     exact baseline in tests (isotropic-fixture caveat as for LSH).
+    (``split`` as in similarity_topk.)
     """
-    queries, corpus = _split(spark, sf_dir)
+    queries, corpus = split or _split(spark, sf_dir)
     centroids = (
         corpus.where(
             (F.col("vec_id") % IVF_CENTROID_MOD) == IVF_CENTROID_REM

@@ -930,12 +930,15 @@ def cooccur_pmi(
     # re-ran the tokenize + explode + distinct + per-doc-cap window
     # subtree (5 parquet scans in plans/r11/cooccur_pmi_before.txt);
     # the ≤|docs|·cap lattice now materializes once and keeps its
-    # doc_id partitioning for the self-join.
+    # doc_id partitioning for the self-join. eager=False (r12
+    # sweep): lazy defers the final stage + block write into the
+    # consumer job — matched A/B 1.24 (eager) vs 1.03 s (lazy);
+    # integer/string values, order-safe.
     kept = doc_terms.withColumn(
         "n_terms", F.expr("count(*) OVER (PARTITION BY doc_id)")
     ).where(F.col("n_terms") <= COOCCUR_MAX_TERMS).select(
         "doc_id", "term"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n_docs = kept.agg(F.countDistinct("doc_id").alias("n_docs"))
     supp = kept.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
     a = kept.select(F.col("doc_id").alias("d"), F.col("term").alias("term_a"))
