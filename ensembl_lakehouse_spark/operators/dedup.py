@@ -900,10 +900,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = docs.select("doc_id", F.explode(F.expr(_substr_grams_expr())).alias("gram"))
     # Consumed by both sides of the self-join: materialize once
-    # (same reasoning as the bands checkpoint in _near_pipeline).
+    # (same reasoning as the bands checkpoint in _near_pipeline;
+    # eager=False r12 sweep — text/integer values, order-safe).
     g = g.withColumn(
         "gram_n", F.expr("count(*) OVER (PARTITION BY gram)")
-    ).where(F.col("gram_n").between(2, SUBSTR_CAP)).localCheckpoint()
+    ).where(F.col("gram_n").between(2, SUBSTR_CAP)).localCheckpoint(
+        eager=False
+    )
     a, b = g.alias("a"), g.alias("b")
     return (
         a.join(
@@ -1005,7 +1008,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = "split(trim(text), '\\\\s+')"
     s = docs.select(
         "doc_id", "is_new", "fp_md5", F.expr(_spark_shingles(toks)).alias("sh")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # r12 sweep: 1.81 -> 1.63 s
 
     # exact: batch fp joins corpus fp; min corpus id per new doc
     new_fp = s.where("is_new").select(
@@ -1034,7 +1037,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_n", F.expr("count(*) OVER (PARTITION BY band_idx, band_key)")
         )
         .where(F.col("bucket_n").between(2, BUCKET_CAP))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # r12 sweep, with s above
     )
     nb = bands.where("is_new").select(
         F.col("doc_id").alias("new_id"), "band_idx", "band_key"

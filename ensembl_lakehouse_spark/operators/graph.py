@@ -960,13 +960,18 @@ WITH {_copurchase_sql()}, d0 AS (
     chain = []
     for r in range(1, KCORE_ROUNDS + 1):
         p, c = f"e{r - 1}", f"e{r}"
-        chain.append(f""", keep{r} AS (
+        # MATERIALIZED: each e{r} references keep{r} twice and
+        # keep{r} references e{r-1} twice, so DuckDB's CTE inlining
+        # expanded the chain ~4^r ways at BIND time — EXPLAIN alone
+        # took 94 s (the whole oracle-binds test's cost). The hint
+        # pins one evaluation per CTE; results are unchanged.
+        chain.append(f""", keep{r} AS MATERIALIZED (
   SELECT node FROM (
     SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
       SELECT pa AS node FROM {p} UNION ALL SELECT pb FROM {p}
     ) GROUP BY node
   ), kv WHERE deg >= kv.k
-), {c} AS (
+), {c} AS MATERIALIZED (
   SELECT pa, pb FROM {p}
   WHERE pa IN (SELECT node FROM keep{r})
     AND pb IN (SELECT node FROM keep{r})

@@ -126,7 +126,7 @@ def _result(eng, sql, **kw):
 
 
 @settings(
-    max_examples=40,
+    max_examples=20,  # 40 -> 20 (r12 gate-time; zz tests pin branch coverage)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -293,7 +293,11 @@ _JOIN_SEEN: set = set()
 
 
 @settings(
-    max_examples=40,
+    # 40 -> 15 (r12 gate-time): each example costs two engine submits
+    # (~3 s); branch coverage does NOT depend on the example budget —
+    # the zz coverage tests top it up with one canonical statement
+    # per branch regardless
+    max_examples=15,
     deadline=None,
     # deterministic example selection: test_zz_join_fuzz_covered_both
     # _branches asserts this fuzz SERVED at least one statement from a
@@ -461,7 +465,7 @@ _B_SEEN: set = set()
 
 
 @settings(
-    max_examples=30,
+    max_examples=20,  # 30 -> 20 (r12 gate-time; zz tests pin branch coverage)
     deadline=None,
     # deterministic example selection — a random seed can miss a
     # branch that test_zz_bucket_fuzz_covered_both_branches asserts
